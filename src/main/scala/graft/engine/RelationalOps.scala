@@ -1,0 +1,161 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import Exact._
+
+/** Core relational operators re-expressing the reference's ETL surface
+  * (SURVEY.md §2.1-2.7) as pure DataFrame -> DataFrame functions.
+  *
+  * Every function is declarative — Catalyst handles predicate pushdown,
+  * column pruning, broadcast selection and partial aggregation. The only
+  * scale-aware choices made here are explicit `broadcast()` hints on
+  * dimension tables (supplier is 10 rows, nation 25 — the analog of the
+  * reference's <=10-row geo dims, reference:
+  * app/fetch_recipient_name_geo_data.py:123) and decimal-exact sums
+  * (see [[Exact]]).
+  */
+object RelationalOps {
+
+  /** Flagship ETL: dim ⋈ fact → group-by key → SUM, the re-expression
+    * of the reference's award-amount aggregator join+rollup
+    * (reference: app/spark_cassandra_etl_award_amount_aggregator.py:82-84).
+    * The dimension side is broadcast — at 100 TB the fact table never
+    * shuffles for the join; only the final aggregation exchanges on the
+    * (low-cardinality) group keys.
+    */
+  def geoRollup(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(supplier), lineitem("l_suppkey") === supplier("s_suppkey"))
+      .join(broadcast(nation), supplier("s_nationkey") === nation("n_nationkey"))
+      .groupBy(col("s_name"), col("n_name"))
+      .agg(decSum(col("l_extendedprice")).as("total_amount"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("s_name"))
+
+  /** Two-key rollup (reference: app/spark_cassandra_groupby.py:68-72). */
+  def twoKeyRollup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Derived-month rollup (reference: app/spark_cassandra_groupby_month.py:25-32):
+    * withColumn(month) then group-by. The month column is derived
+    * before the aggregation so Catalyst folds it into the scan
+    * projection; casting to long keeps oracle schemas aligned. */
+  def monthRollup(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("o_month", asLong(month(col("o_orderdate"))))
+      .groupBy(col("o_orderpriority"), col("o_month"))
+      .agg(decSum(col("o_totalprice")).as("total_price"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"), col("o_month"))
+
+  /** Projection + numeric predicate (reference:
+    * app/machine_learning_models.py:149,186,300). Both the filter and
+    * the 3-column projection reach the Parquet scan (PushedFilters /
+    * ReadSchema) — at 100 TB this is the difference between reading 3
+    * columns of row groups that can contain matches and reading
+    * everything. */
+  def filterProject(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_extendedprice") > 30000 && col("l_discount") > 0.02)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+              col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Null-drop over required columns (reference:
+    * app/machine_learning_models.py:136-145) then a rollup proving the
+    * surviving row set. */
+  def dropRequired(lineitem: DataFrame, required: Seq[String]): DataFrame =
+    lineitem.na.drop(required)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Median-split binary label (reference:
+    * app/machine_learning_models.py:239-242): when(amount > t, 1.0)
+    * .otherwise(0.0), then a per-label rollup. Threshold is a literal —
+    * the reference computes it once via approxQuantile and inlines it. */
+  def conditionalLabel(orders: DataFrame, threshold: Double): DataFrame =
+    orders
+      .withColumn("label", when(col("o_totalprice") > lit(threshold), 1.0).otherwise(0.0))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_rows"), decSum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("label"))
+
+  /** Top-k by measure (reference: app/ml_app.py:120-127,131-138).
+    * sort+limit — Catalyst plans TakeOrderedAndProjectExec: each
+    * partition keeps k rows, the driver merges k*partitions rows. No
+    * global sort at any scale. */
+  def topK(df: DataFrame, measure: Column, tiebreak: Column, k: Int): DataFrame =
+    df.orderBy(measure.desc, tiebreak).limit(k)
+
+  /** Global sort of an aggregate (reference: app/ml_app.py:99-116 —
+    * minus its unbounded collect, SURVEY §4.3). Range-partitioned
+    * sample sort; output stays distributed. */
+  def globalSortByTotal(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_custkey"))
+      .agg(decSum(col("o_totalprice")).as("total_price"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("total_price").desc, col("o_custkey"))
+
+  /** Inner equi-join, dim side broadcast when small (reference:
+    * app/spark_cassandra_etl_award_amount_aggregator.py:82). */
+  def innerJoin(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders.filter(col("o_totalprice") > 400000)
+      .join(customer, orders("o_custkey") === customer("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+              col("c_mktsegment"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  /** Semi / anti / outer variants — zero-cost declarations in Spark
+    * (SURVEY §2.3); the physical plan is the same broadcast/shuffled
+    * hash join with a different output contract. */
+  def joinSemi(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right, keys, "left_semi")
+  def joinAnti(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right, keys, "left_anti")
+  def joinLeftOuter(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right, keys, "left_outer")
+
+  /** Skew-resilient two-phase aggregation: salt the group key, partial
+    * aggregate on (key, salt), then merge partials. With exact decimal
+    * sums the result is identical to the direct group-by (the oracle
+    * computes the plain GROUP BY). At 100 TB this is the pattern for
+    * heavy-hitter keys that overflow a single reducer; here it proves
+    * the rewrite preserves semantics. */
+  def saltedRollup(lineitem: DataFrame, saltBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val salted = lineitem
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(saltBuckets)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).as("part_qty"),
+           count(lit(1)).as("part_n"))
+    salted
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("part_qty")).cast("double").as("sum_qty"),
+           sum(col("part_n")).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Explicitly co-partitioned join: repartition both sides on the join
+    * key before joining. Locally this pins the shuffle; on a cluster
+    * the same intent is expressed with bucketed tables so the shuffle
+    * disappears entirely. Result is plan-invariant, so the oracle is a
+    * plain join. */
+  def coPartitionedJoin(orders: DataFrame, customer: DataFrame, partitions: Int): DataFrame = {
+    val o = orders.repartition(partitions, col("o_custkey"))
+    val c = customer.repartition(partitions, col("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(decSum(col("o_totalprice")).as("total_price"), count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+}

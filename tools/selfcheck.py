@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Dev-loop replica of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/selfcheck.py <verify_out_dir> <sf_dir>
+
+For each <name>/ parquet dir in verify_out_dir with an entry in
+oracle_sql.json: run the SQL in DuckDB over views of the sf_dir parquet
+tables, then compare row count, schema (column names sorted), and exact
+values (columns sorted by name, rows in emitted order).
+
+This is a strictly-harder check than any plausible driver comparison:
+exact value equality in emitted row order.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    try:
+        import decimal
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+    except Exception:
+        pass
+    return v
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+            exp = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            continue
+        gcols, ecols = sorted(got.columns), sorted(exp.columns)
+        if gcols != ecols:
+            print(f"FAIL {name}: schema {gcols} != {ecols}")
+            n_fail += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            n_fail += 1
+            continue
+        g = got[gcols].values.tolist()
+        e = exp[ecols].values.tolist()
+        bad = None
+        for i, (gr, er) in enumerate(zip(g, e)):
+            if [canon(x) for x in gr] != [canon(x) for x in er]:
+                bad = (i, gr, er)
+                break
+        if bad:
+            print(f"FAIL {name}: row {bad[0]}: got {bad[1]} != exp {bad[2]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
