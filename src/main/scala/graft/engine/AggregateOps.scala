@@ -1,0 +1,105 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import Exact._
+
+/** Statistical / aggregate operators (SURVEY §2.4: A4-A10).
+  *
+  * Scale notes: everything here is a single partial+final hash
+  * aggregate — one shuffle on the group keys, no driver-side loops.
+  * The reference's driver-side `Counter` top-k
+  * (reference: app/fetch_recipient_name_geo_data.py:99-113) becomes a
+  * distributed count + TakeOrderedAndProject; exact COUNT(DISTINCT)
+  * keeps a per-key shuffle, with [[approxDistinct]] (HyperLogLog++) as
+  * the 100 TB path.
+  */
+object AggregateOps {
+
+  /** Exact per-column distinct cardinalities in one aggregate pass
+    * (reference's categorical gate, app/machine_learning_models.py:159-167). */
+  def distinctCounts(lineitem: DataFrame): DataFrame =
+    lineitem.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_returnflag")).as("d_returnflag"),
+      countDistinct(col("l_linestatus")).as("d_linestatus"),
+      countDistinct(col("l_suppkey")).as("d_suppkey"),
+      countDistinct(col("l_partkey")).as("d_partkey"))
+
+  /** HLL++ sketch alternative for 100 TB cardinalities — constant
+    * memory per key, no per-value shuffle. Not oracle-comparable
+    * (sketch-valued); invariants covered by ScalaTest. */
+  def approxDistinct(lineitem: DataFrame, rsd: Double = 0.05): DataFrame =
+    lineitem.agg(
+      approx_count_distinct(col("l_suppkey"), rsd).as("ad_suppkey"),
+      approx_count_distinct(col("l_partkey"), rsd).as("ad_partkey"),
+      approx_count_distinct(col("l_orderkey"), rsd).as("ad_orderkey"))
+
+  /** Exact interpolated percentiles (generalizes the reference's
+    * approxQuantile median, app/machine_learning_models.py:237-238).
+    * `percentile` sorts per-group values exactly; at 100 TB swap in
+    * [[approxQuantileRow]] (Greenwald-Khanna sketch). */
+  def quantiles(orders: DataFrame): DataFrame =
+    orders.agg(
+      expr("percentile(o_totalprice, 0.25)").as("p25"),
+      expr("percentile(o_totalprice, 0.5)").as("p50"),
+      expr("percentile(o_totalprice, 0.75)").as("p75"))
+
+  /** Sketch-based quantiles — the reference's actual operator (A6). */
+  def approxQuantileRow(orders: DataFrame, relErr: Double = 0.001): DataFrame = {
+    import orders.sparkSession.implicits._
+    val Array(p25, p50, p75) =
+      orders.stat.approxQuantile("o_totalprice", Array(0.25, 0.5, 0.75), relErr)
+    Seq((p25, p50, p75)).toDF("p25", "p50", "p75")
+  }
+
+  /** describe()-equivalent summary (reference:
+    * app/machine_learning_models.py:300) as an explicit aggregate —
+    * one row per column, deterministic: exact decimal mean, stddev
+    * rounded to 4 decimals (cross-engine fp agreement ~1e-10 relative,
+    * far inside the rounding bucket). */
+  def describeStats(lineitem: DataFrame): DataFrame = {
+    def one(c: String): DataFrame =
+      lineitem.agg(
+        count(col(c)).as("n"),
+        decAvg(col(c)).as("mean"),
+        round(stddev_samp(col(c)), 4).as("stddev"),
+        min(col(c)).as("min_v"),
+        max(col(c)).as("max_v"))
+        .select(lit(c).as("col_name"), col("n"), col("mean"), col("stddev"),
+                col("min_v"), col("max_v"))
+    one("l_quantity").unionAll(one("l_extendedprice")).unionAll(one("l_discount"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Pairwise Pearson correlation (reference's correlation analysis,
+    * app/machine_learning_models.py:191; full-matrix form lives in
+    * MLPipelines via ml.stat.Correlation). Rounded to 6 decimals for
+    * cross-engine agreement. */
+  def corrPairs(lineitem: DataFrame): DataFrame =
+    lineitem.agg(
+      round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+      round(corr(col("l_extendedprice"), col("l_discount")), 6).as("corr_price_disc"),
+      round(corr(col("l_quantity"), col("l_tax")), 6).as("corr_qty_tax"))
+
+  /** Distributed frequency count + top-k, replacing the reference's
+    * driver-side Counter.most_common (A9/T3). */
+  def freqTopK(customer: DataFrame, key: String, k: Int): DataFrame =
+    customer.groupBy(col(key))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(key))
+      .limit(k)
+
+  /** ROLLUP generalization of the reference's 2-key aggregate (A2 →
+    * grouping-sets family; SURVEY §2.4 "not present" extensions). */
+  def rollupAgg(lineitem: DataFrame): DataFrame =
+    lineitem.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(decSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  def cubeAgg(lineitem: DataFrame): DataFrame =
+    lineitem.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(decSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+}

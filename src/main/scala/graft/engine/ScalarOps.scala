@@ -1,0 +1,48 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Exact._
+
+/** Scalar-function surface (SURVEY §2.7: F1-F7) exercised as queries. */
+object ScalarOps {
+
+  /** Date-part extraction + formatting roundtrip (F1/F2 — reference:
+    * app/spark_cassandra_groupby_month.py:25, app/ml_app.py:561-576).
+    * year/month as BIGINT; the min formatted date proves the
+    * format/parse path (to_date of the formatted string). */
+  def dateParts(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("o_year", asLong(year(col("o_orderdate"))))
+      .withColumn("o_month", asLong(month(col("o_orderdate"))))
+      .groupBy(col("o_year"), col("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+           min(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("first_day"),
+           min(to_date(date_format(col("o_orderdate"), "yyyy-MM-dd"), "yyyy-MM-dd"))
+             .as("first_date"))
+      .orderBy(col("o_year"), col("o_month"))
+
+  /** Null-on-failure casts (F3 — reference: app/ml_app.py:479-485,
+    * `float(x)` with ValueError -> None). Non-ANSI cast semantics:
+    * '1-URGENT' prefix digit parses, a status letter does not. */
+  def tryCasts(orders: DataFrame): DataFrame =
+    orders.select(
+      col("o_orderkey"),
+      substring(col("o_orderpriority"), 1, 1).cast("long").as("prio_num"),
+      col("o_orderstatus").cast("double").as("status_num"))
+      .orderBy(col("o_orderkey"))
+
+  /** Ingest-audit row (F6/F7 — reference: download_history insert,
+    * app/ml_app.py:542-551): uuid + timestamps + row count. uuid() and
+    * current_timestamp() are nondeterministic by design — no oracle;
+    * the driver records a rows-only check. */
+  def auditRow(spark: SparkSession, ingested: DataFrame): DataFrame = {
+    val n = ingested.count()
+    spark.range(1).select(
+      expr("uuid()").as("download_id"),
+      current_timestamp().as("start_time"),
+      current_timestamp().as("end_time"),
+      lit(n).as("number_of_rows"))
+  }
+}

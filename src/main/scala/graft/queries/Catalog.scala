@@ -23,10 +23,7 @@ final case class QuerySpec(
 
 object Catalog {
 
-  private def t(name: String)(implicit s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, name)
-
-  def specs: Seq[QuerySpec] = relational
+  def specs: Seq[QuerySpec] = relational ++ joinsAndSets ++ stats ++ scalars
 
   // ---------------------------------------------------------------- //
   // §2.1-2.7 reference-parity relational operators
@@ -141,5 +138,224 @@ object Catalog {
               |FROM orders JOIN customer ON o_custkey = c_custkey
               |GROUP BY c_mktsegment
               |ORDER BY c_mktsegment""".stripMargin))
+  )
+
+  // ---------------------------------------------------------------- //
+  // §2.3/§2.6 join variants + set operations
+  // ---------------------------------------------------------------- //
+  private def joinsAndSets: Seq[QuerySpec] = {
+    import org.apache.spark.sql.functions._
+    Seq(
+      QuerySpec(
+        "q10_join_left_semi",
+        (s, dir) => {
+          val c = Tables.customer(s, dir)
+          val big = Tables.orders(s, dir).filter(col("o_totalprice") > 450000)
+            .withColumnRenamed("o_custkey", "c_custkey")
+          RelationalOps.joinSemi(c, big, Seq("c_custkey"))
+            .select(col("c_custkey"), col("c_name"))
+            .orderBy(col("c_custkey"))
+        },
+        Some("""SELECT c_custkey, c_name FROM customer
+               |WHERE EXISTS (SELECT 1 FROM orders
+               |              WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+               |ORDER BY c_custkey""".stripMargin)),
+
+      QuerySpec(
+        "q11_join_left_anti",
+        (s, dir) => {
+          val c = Tables.customer(s, dir)
+          val o = Tables.orders(s, dir).withColumnRenamed("o_custkey", "c_custkey")
+          RelationalOps.joinAnti(c, o, Seq("c_custkey"))
+            .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+            .orderBy(col("c_custkey"))
+        },
+        Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+               |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+               |ORDER BY c_custkey""".stripMargin)),
+
+      QuerySpec(
+        "q12_join_left_outer",
+        (s, dir) => {
+          val c = Tables.customer(s, dir)
+          val per = Tables.orders(s, dir)
+            .groupBy(col("o_custkey").as("c_custkey"))
+            .agg(count(lit(1)).as("n_o"), decSum(col("o_totalprice")).as("sum_o"))
+          RelationalOps.joinLeftOuter(c, per, Seq("c_custkey"))
+            .select(col("c_custkey"), col("c_name"),
+                    coalesce(col("n_o"), lit(0L)).as("n_orders"),
+                    coalesce(col("sum_o"), lit(0.0)).as("total_price"))
+            .orderBy(col("c_custkey"))
+        },
+        Some(s"""SELECT c_custkey, c_name,
+                |       COALESCE(n_o, 0) AS n_orders,
+                |       COALESCE(sum_o, 0.0) AS total_price
+                |FROM customer LEFT JOIN (
+                |  SELECT o_custkey, COUNT(*) AS n_o,
+                |         ${decSumSql("o_totalprice")} AS sum_o
+                |  FROM orders GROUP BY o_custkey
+                |) ON o_custkey = c_custkey
+                |ORDER BY c_custkey""".stripMargin)),
+
+      QuerySpec(
+        "q13_union_all",
+        (s, dir) => {
+          val o = Tables.orders(s, dir)
+          val hi = o.filter(col("o_totalprice") > 500000)
+            .select(col("o_orderkey"), lit("high_value").as("tag"))
+          val ur = o.filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey"), lit("urgent").as("tag"))
+          hi.unionAll(ur).orderBy(col("o_orderkey"), col("tag"))
+        },
+        Some("""SELECT o_orderkey, 'high_value' AS tag FROM orders WHERE o_totalprice > 500000
+               |UNION ALL
+               |SELECT o_orderkey, 'urgent' AS tag FROM orders WHERE o_orderpriority = '1-URGENT'
+               |ORDER BY o_orderkey, tag""".stripMargin)),
+
+      QuerySpec(
+        "q14_intersect",
+        (s, dir) => {
+          val seg = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+            .select(col("c_custkey").as("k"))
+          val big = Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+            .select(col("o_custkey").as("k"))
+          seg.intersect(big).orderBy(col("k"))
+        },
+        Some("""SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+               |INTERSECT
+               |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
+               |ORDER BY k""".stripMargin)),
+
+      QuerySpec(
+        "q15_except",
+        (s, dir) => {
+          val all = Tables.customer(s, dir).select(col("c_custkey").as("k"))
+          val big = Tables.orders(s, dir).filter(col("o_totalprice") > 200000)
+            .select(col("o_custkey").as("k"))
+          all.except(big).orderBy(col("k"))
+        },
+        Some("""SELECT c_custkey AS k FROM customer
+               |EXCEPT
+               |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000
+               |ORDER BY k""".stripMargin))
+    )
+  }
+
+  // ---------------------------------------------------------------- //
+  // §2.4 statistics (A4-A10) + grouping-sets extensions
+  // ---------------------------------------------------------------- //
+  private def stats: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q16_distinct_counts",
+      (s, dir) => AggregateOps.distinctCounts(Tables.lineitem(s, dir)),
+      Some("""SELECT COUNT(*) AS n_rows,
+             |       COUNT(DISTINCT l_returnflag) AS d_returnflag,
+             |       COUNT(DISTINCT l_linestatus) AS d_linestatus,
+             |       COUNT(DISTINCT l_suppkey) AS d_suppkey,
+             |       COUNT(DISTINCT l_partkey) AS d_partkey
+             |FROM lineitem""".stripMargin)),
+
+    QuerySpec(
+      "q17_approx_distinct",
+      (s, dir) => AggregateOps.approxDistinct(Tables.lineitem(s, dir)),
+      None),
+
+    QuerySpec(
+      "q18_quantiles",
+      (s, dir) => AggregateOps.quantiles(Tables.orders(s, dir)),
+      Some("""SELECT quantile_cont(o_totalprice, 0.25) AS p25,
+             |       quantile_cont(o_totalprice, 0.5)  AS p50,
+             |       quantile_cont(o_totalprice, 0.75) AS p75
+             |FROM orders""".stripMargin)),
+
+    QuerySpec(
+      "q19_approx_quantiles",
+      (s, dir) => AggregateOps.approxQuantileRow(Tables.orders(s, dir)),
+      None),
+
+    QuerySpec(
+      "q20_describe_stats",
+      (s, dir) => AggregateOps.describeStats(Tables.lineitem(s, dir)),
+      Some(s"""SELECT * FROM (
+              |  SELECT 'l_quantity' AS col_name, COUNT(l_quantity) AS n,
+              |         ${decAvgSql("l_quantity")} AS mean,
+              |         ROUND(stddev_samp(l_quantity), 4) AS stddev,
+              |         MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v FROM lineitem
+              |  UNION ALL
+              |  SELECT 'l_extendedprice', COUNT(l_extendedprice),
+              |         ${decAvgSql("l_extendedprice")},
+              |         ROUND(stddev_samp(l_extendedprice), 4),
+              |         MIN(l_extendedprice), MAX(l_extendedprice) FROM lineitem
+              |  UNION ALL
+              |  SELECT 'l_discount', COUNT(l_discount),
+              |         ${decAvgSql("l_discount")},
+              |         ROUND(stddev_samp(l_discount), 4),
+              |         MIN(l_discount), MAX(l_discount) FROM lineitem
+              |) ORDER BY col_name""".stripMargin)),
+
+    QuerySpec(
+      "q21_corr_pairs",
+      (s, dir) => AggregateOps.corrPairs(Tables.lineitem(s, dir)),
+      Some("""SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+             |       ROUND(corr(l_extendedprice, l_discount), 6) AS corr_price_disc,
+             |       ROUND(corr(l_quantity, l_tax), 6) AS corr_qty_tax
+             |FROM lineitem""".stripMargin)),
+
+    QuerySpec(
+      "q22_freq_topk",
+      (s, dir) => AggregateOps.freqTopK(Tables.customer(s, dir), "c_mktsegment", 5),
+      Some("""SELECT c_mktsegment, COUNT(*) AS n FROM customer
+             |GROUP BY c_mktsegment
+             |ORDER BY n DESC, c_mktsegment
+             |LIMIT 5""".stripMargin)),
+
+    QuerySpec(
+      "q23_rollup",
+      (s, dir) => AggregateOps.rollupAgg(Tables.lineitem(s, dir)),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |       ${decSumSql("l_quantity")} AS sum_qty, COUNT(*) AS n_rows
+              |FROM lineitem
+              |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    QuerySpec(
+      "q24_cube",
+      (s, dir) => AggregateOps.cubeAgg(Tables.lineitem(s, dir)),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |       ${decSumSql("l_quantity")} AS sum_qty, COUNT(*) AS n_rows
+              |FROM lineitem
+              |GROUP BY CUBE (l_returnflag, l_linestatus)
+              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin))
+  )
+
+  // ---------------------------------------------------------------- //
+  // §2.7 scalar functions
+  // ---------------------------------------------------------------- //
+  private def scalars: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q25_date_parts",
+      (s, dir) => ScalarOps.dateParts(Tables.orders(s, dir)),
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+             |       COUNT(*) AS n_orders,
+             |       MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_day,
+             |       MIN(CAST(o_orderdate AS DATE)) AS first_date
+             |FROM orders
+             |GROUP BY o_year, o_month
+             |ORDER BY o_year, o_month""".stripMargin)),
+
+    QuerySpec(
+      "q26_try_cast",
+      (s, dir) => ScalarOps.tryCasts(Tables.orders(s, dir)),
+      Some("""SELECT o_orderkey,
+             |       TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
+             |       TRY_CAST(o_orderstatus AS DOUBLE) AS status_num
+             |FROM orders
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    QuerySpec(
+      "q27_audit_row",
+      (s, dir) => ScalarOps.auditRow(s, Tables.orders(s, dir)),
+      None)
   )
 }
