@@ -15,6 +15,8 @@ object Verify {
       // (reference: app/ml_app.py:479-485); Spark 4 defaults ANSI on.
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // events.parquet stores TIMESTAMP(NANOS); see Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

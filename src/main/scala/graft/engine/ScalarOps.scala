@@ -33,6 +33,20 @@ object ScalarOps {
       col("o_orderstatus").cast("double").as("status_num"))
       .orderBy(col("o_orderkey"))
 
+  /** JSON extraction over `events.props` (north-star extension; the
+    * reference's JSON handling is driver-side dict access,
+    * app/ml_app.py:449-452). Both paths shown: path-expression
+    * `get_json_object` and schema-projected `from_json` — the latter
+    * is the 100 TB choice (single parse, pruned struct). */
+  def jsonExtract(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k_get"),
+      from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))).getField("k").as("k_struct"))
+      .orderBy(col("event_id"))
+
   /** Ingest-audit row (F6/F7 — reference: download_history insert,
     * app/ml_app.py:542-551): uuid + timestamps + row count. uuid() and
     * current_timestamp() are nondeterministic by design — no oracle;

@@ -1,0 +1,85 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+import Exact._
+
+/** Event-time windowing over the `events` table — SURVEY §2.9.
+  *
+  * The reference has no streaming (its ingest is a driver-side REST
+  * poll, app/ml_app.py:406-531); these are the Structured Streaming
+  * re-expressions the scale path needs. Each windowed aggregation is
+  * defined once over a DataFrame, so the identical code runs in batch
+  * mode (oracle-comparable) and under `readStream` (watermarked,
+  * incremental state) — batch==stream equivalence is asserted in
+  * StreamingSpec.
+  */
+object StreamOps {
+
+  /** Tumbling 10-minute window per event type. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+              col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  /** Sliding window: 10-minute length, 5-minute slide — each event
+    * contributes to exactly two windows. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+              col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  /** Session windows with a 5-minute inactivity gap per user.
+    * Spark semantics: a session is [first_ts, last_ts + gap); an event
+    * at exactly prev_ts + gap starts a new session. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("user_id"), col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** The streaming form of [[tumbling]]: watermark + append-mode
+    * windowed aggregation into a named memory sink. State per window
+    * is bounded by the watermark — late data beyond 10 minutes is
+    * dropped, closed windows are evicted. */
+  def streamingTumbling(spark: SparkSession, sfDir: String, sinkName: String): StreamingQuery = {
+    import org.apache.spark.sql.functions.timestamp_micros
+    import org.apache.spark.sql.types.LongType
+    // schema as stored (ts is LongType nanos under nanosAsLong); the
+    // nanos->micros conversion runs inside the stream, as it would on a
+    // real ingest pipeline.
+    val raw: StructType = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // FileStreamSource wants a directory; scope it to the events file
+    // with a glob filter.
+    val source = spark.readStream.schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val withTs =
+      if (raw("ts").dataType == LongType)
+        source.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else source
+    val stream = withTs
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+              col("event_type"), col("n_events"), col("sum_value"))
+    stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+  }
+}

@@ -28,7 +28,19 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  def events(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")
+  /** The events parquet carries TIMESTAMP(NANOS) which Spark's reader
+    * rejects; with `spark.sql.legacy.parquet.nanosAsLong=true` (set in
+    * all engine sessions) it surfaces as LongType nanos, converted here
+    * to a proper TimestampType by flooring to micros — the same
+    * truncation DuckDB applies reading the same file. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.LongType
+    val raw = load(spark, sfDir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 }

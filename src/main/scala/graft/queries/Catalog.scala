@@ -23,7 +23,8 @@ final case class QuerySpec(
 
 object Catalog {
 
-  def specs: Seq[QuerySpec] = relational ++ joinsAndSets ++ stats ++ scalars
+  def specs: Seq[QuerySpec] =
+    relational ++ joinsAndSets ++ stats ++ scalars ++ windows ++ eventWindows
 
   // ---------------------------------------------------------------- //
   // §2.1-2.7 reference-parity relational operators
@@ -357,5 +358,111 @@ object Catalog {
       "q27_audit_row",
       (s, dir) => ScalarOps.auditRow(s, Tables.orders(s, dir)),
       None)
+  )
+
+  // ---------------------------------------------------------------- //
+  // §2.8 window functions
+  // ---------------------------------------------------------------- //
+  private def windows: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q28_window_rank",
+      (s, dir) => WindowOps.topPerGroup(Tables.customer(s, dir), 3),
+      Some("""SELECT * FROM (
+             |  SELECT c_mktsegment, c_custkey, c_acctbal,
+             |         CAST(row_number() OVER w AS BIGINT) AS rn,
+             |         CAST(rank() OVER w AS BIGINT) AS rnk
+             |  FROM customer
+             |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+             |) WHERE rn <= 3
+             |ORDER BY c_mktsegment, rn""".stripMargin)),
+
+    QuerySpec(
+      "q29_window_running",
+      (s, dir) => WindowOps.runningTotal(Tables.orders(s, dir)),
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+             |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+             |       CAST(row_number() OVER (PARTITION BY o_custkey
+             |            ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
+             |FROM orders WHERE o_custkey < 100
+             |ORDER BY o_custkey, order_seq""".stripMargin)),
+
+    QuerySpec(
+      "q30_window_lag",
+      (s, dir) => WindowOps.monthDelta(Tables.orders(s, dir)),
+      Some(s"""WITH monthly AS (
+              |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+              |         CAST(month(o_orderdate) AS BIGINT) AS o_month,
+              |         ${decSumSql("o_totalprice")} AS total_price
+              |  FROM orders GROUP BY o_year, o_month)
+              |SELECT o_year, o_month, total_price,
+              |       lag(total_price) OVER (ORDER BY o_year, o_month) AS prev_total,
+              |       total_price - lag(total_price) OVER (ORDER BY o_year, o_month) AS delta
+              |FROM monthly
+              |ORDER BY o_year, o_month""".stripMargin))
+  )
+
+  // ---------------------------------------------------------------- //
+  // §2.9 event-time windows (batch-equivalent forms; streaming
+  // equivalence asserted in StreamingSpec) + JSON extraction
+  // ---------------------------------------------------------------- //
+  private def eventWindows: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q31_events_tumbling",
+      (s, dir) => StreamOps.tumbling(Tables.events(s, dir)),
+      Some(s"""SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+              |       time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS win_end,
+              |       event_type, COUNT(*) AS n_events,
+              |       ${decSumSql("value")} AS sum_value
+              |FROM events
+              |GROUP BY win_start, win_end, event_type
+              |ORDER BY win_start, event_type""".stripMargin)),
+
+    QuerySpec(
+      "q32_events_sliding",
+      (s, dir) => StreamOps.sliding(Tables.events(s, dir)),
+      Some(s"""WITH b AS (
+              |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type, value
+              |  FROM events
+              |  UNION ALL
+              |  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', event_type, value
+              |  FROM events)
+              |SELECT win_start, win_start + INTERVAL '10 minutes' AS win_end,
+              |       event_type, COUNT(*) AS n_events,
+              |       ${decSumSql("value")} AS sum_value
+              |FROM b
+              |GROUP BY win_start, event_type
+              |ORDER BY win_start, event_type""".stripMargin)),
+
+    QuerySpec(
+      "q33_events_session",
+      (s, dir) => StreamOps.sessions(Tables.events(s, dir)),
+      Some(s"""WITH m AS (
+              |  SELECT user_id, ts, value,
+              |         CASE WHEN lag(ts) OVER w IS NULL
+              |                   OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+              |              THEN 1 ELSE 0 END AS new_s
+              |  FROM events
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              |g AS (
+              |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+              |                             ROWS UNBOUNDED PRECEDING) AS sid
+              |  FROM m)
+              |SELECT MIN(ts) AS session_start,
+              |       MAX(ts) + INTERVAL '5 minutes' AS session_end,
+              |       user_id, COUNT(*) AS n_events,
+              |       ${decSumSql("value")} AS sum_value
+              |FROM g GROUP BY user_id, sid
+              |ORDER BY user_id, session_start""".stripMargin)),
+
+    QuerySpec(
+      "q34_json_extract",
+      (s, dir) => ScalarOps.jsonExtract(Tables.events(s, dir)),
+      Some("""SELECT event_id,
+             |       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_get,
+             |       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct
+             |FROM events
+             |ORDER BY event_id""".stripMargin))
   )
 }

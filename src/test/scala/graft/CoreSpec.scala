@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine._
+
+/** Semantics the DuckDB oracle can't check (SURVEY §5.2.2-3):
+  * sketch tolerances, seeded sampling determinism, and algebraic
+  * invariants of the rewrites. */
+class CoreSpec extends SparkSpec {
+
+  test("entry flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every catalog query runs and returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+
+  test("approx_count_distinct within 10% of exact") {
+    val li = Tables.lineitem(spark, sf)
+    val exact = li.agg(countDistinct(col("l_suppkey")), countDistinct(col("l_partkey")))
+      .head()
+    val approx = AggregateOps.approxDistinct(li).head()
+    assert(math.abs(approx.getLong(0) - exact.getLong(0)).toDouble / exact.getLong(0) < 0.1)
+    assert(math.abs(approx.getLong(1) - exact.getLong(1)).toDouble / exact.getLong(1) < 0.1)
+  }
+
+  test("approxQuantile(relErr 0.001) brackets the exact median") {
+    val o = Tables.orders(spark, sf)
+    val approx = AggregateOps.approxQuantileRow(o).head().getDouble(1)
+    val exact = AggregateOps.quantiles(o).head().getDouble(1)
+    // rank error <= relErr * n; translate to a loose value tolerance
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+
+  test("salted rollup equals direct rollup (A1 invariant)") {
+    val li = Tables.lineitem(spark, sf)
+    val direct = RelationalOps.twoKeyRollup(li)
+      .groupBy(col("l_returnflag")).agg(sum(col("sum_qty")).as("q"))
+      .orderBy(col("l_returnflag")).collect().map(r => (r.getString(0), r.getDouble(1)))
+    val salted = RelationalOps.saltedRollup(li, 16)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(direct.toSeq == salted.toSeq)
+  }
+
+  test("randomSplit seed 42 is deterministic (A10)") {
+    val o = Tables.orders(spark, sf)
+    val Array(a1, b1) = o.randomSplit(Array(0.8, 0.2), seed = 42)
+    val Array(a2, b2) = o.randomSplit(Array(0.8, 0.2), seed = 42)
+    assert(a1.count() == a2.count() && b1.count() == b2.count())
+    assert(a1.count() + b1.count() == o.count())
+  }
+
+  test("top-k is a prefix of the global sort") {
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val topk = RelationalOps.topK(o, col("o_totalprice"), col("o_orderkey"), 15)
+      .collect().map(_.getLong(0)).toSeq
+    val prefix = o.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(15).collect().map(_.getLong(0)).toSeq
+    assert(topk == prefix)
+  }
+
+  test("dropna leaves no nulls in required columns (P4)") {
+    val li = Tables.lineitem(spark, sf)
+    val req = Seq("l_quantity", "l_extendedprice", "l_returnflag")
+    val cleaned = li.na.drop(req)
+    val nulls = cleaned.filter(req.map(c => col(c).isNull).reduce(_ || _)).count()
+    assert(nulls == 0)
+  }
+
+  test("median-split label counts match threshold predicate (P5)") {
+    val o = Tables.orders(spark, sf)
+    val t = 100000.0
+    val labeled = RelationalOps.conditionalLabel(o, t)
+    val high = labeled.filter(col("label") === 1.0).select(col("n_rows")).head().getLong(0)
+    assert(high == o.filter(col("o_totalprice") > t).count())
+  }
+}

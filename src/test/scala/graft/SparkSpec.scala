@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared one-session-per-suite fixture (SURVEY §5.2.2). Pins the same
+  * confs as Verify/Bench so seeded/sketch results are reproducible. */
+trait SparkSpec extends AnyFunSuite {
+  val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
