@@ -1,0 +1,86 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north-star): media as opaque binary
+  * columns with typed metadata, processed by batched per-partition
+  * functions.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB (see [[decodeStub]]) — what is
+  * real and tested is the Spark-side shape of the pipeline: binary
+  * column + metadata struct schema, partition-preserving batched
+  * processing via `mapPartitions` over a typed Dataset (the Scala
+  * analogue of arrow-batched pandas UDFs), and a fixed-width feature
+  * array output ready for [[SimilarityOps]].
+  */
+object MultimodalOps {
+
+  /** A media record: opaque payload + typed metadata. */
+  final case class MediaRecord(
+      media_id: Long, payload: Array[Byte], mime: String,
+      source: String, n_bytes: Long)
+
+  final case class MediaFeatures(
+      media_id: Long, n_bytes: Long, first_byte: Long,
+      content_hash: Long, features: Array[Double])
+
+  /** Build the media table from `documents`, treating the UTF-8 text
+    * payload as the opaque blob (stand-in for image/audio bytes). */
+  def mediaTable(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit("text/plain").as("mime"),
+      col("source"),
+      octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+
+  /** Metadata projection — the oracle-checkable part (no decode). */
+  def mediaMeta(documents: DataFrame): DataFrame =
+    mediaTable(documents)
+      .select(col("media_id"), col("mime"), col("source"), col("n_bytes"))
+      .orderBy(col("media_id"))
+
+  /** STUB DECODE — stands in for image decode / audio resample /
+    * frame sampling, which need codecs absent from this environment.
+    * Deterministic fake: features derived from payload bytes. The
+    * real-world swap-in is a partition-batched codec call with the
+    * exact same signature (Iterator[MediaRecord] => Iterator[MediaFeatures]),
+    * preserving partitioning and batch amortization. */
+  def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      // One "codec init" per partition, amortized across the batch —
+      // the property that matters at scale.
+      batch.map { rec =>
+        var h = 1469598103934665603L // FNV-1a offset basis
+        var i = 0
+        while (i < rec.payload.length) {
+          h = (h ^ (rec.payload(i) & 0xffL)) * 1099511628211L
+          i += 1
+        }
+        val feats = Array.tabulate(4) { d =>
+          ((h >>> (d * 16)) & 0xffffL).toDouble / 65535.0
+        }
+        MediaFeatures(
+          rec.media_id, rec.n_bytes,
+          if (rec.payload.nonEmpty) (rec.payload(0) & 0xffL) else -1L,
+          h, feats)
+      }
+    }
+  }
+
+  /** End-to-end media pipeline: table → typed records → batched
+    * decode → flat feature columns. */
+  def decodeFeatures(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val media = mediaTable(documents).as[MediaRecord]
+    decodeStub(media)
+      .select(col("media_id"), col("n_bytes"), col("first_byte"), col("content_hash"),
+        col("features").getItem(0).as("f0"), col("features").getItem(1).as("f1"),
+        col("features").getItem(2).as("f2"), col("features").getItem(3).as("f3"))
+      .orderBy(col("media_id"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (north-star ANN).
+  *
+  * Two paths:
+  *  - [[cosineTopK]]: brute-force exact — queries broadcast against
+  *    all candidates, dot products via higher-order array functions
+  *    (codegen'd, no UDF). Correct baseline; O(q·n) scans, so at
+  *    100 TB use it only for small query sets.
+  *  - [[annBuckets]] / [[annTopK]]: random-hyperplane LSH — signatures
+  *    computed in one pass, candidates restricted to same-bucket
+  *    vectors, the scale path (sub-linear candidate sets; recall
+  *    measured in SimilaritySpec).
+  */
+object SimilarityOps {
+
+  /** Cast float embedding to double and attach its L2 norm (computed
+    * by a left-to-right fold, matching oracle engines' sequential
+    * list_inner_product accumulation). */
+  private def withVec(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("vec", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("norm", sqrt(expr("aggregate(vec, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")))
+
+  /** Exact cosine top-k: query vectors vec_id < nQueries against all
+    * other vectors. */
+  def cosineTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val v = withVec(embeddings)
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"), col("norm").as("qnorm"))
+    val joined = v.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qvec, vec, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("score", round(col("dot") / (col("qnorm") * col("norm")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    joined
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Random-hyperplane signatures: bit p = sign(Σ_d v[d]·s(p,d)) with
+    * s(p,d) ∈ {−1,+1} derived from xxhash64(p,d) — deterministic
+    * pseudo-random hyperplanes with no stored projection matrix.
+    * `numPlanes` bits → one integer bucket per vector. */
+  def annBuckets(embeddings: DataFrame, numPlanes: Int = 6): DataFrame = {
+    val exploded = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+    val perPlane = (0 until numPlanes).map { p =>
+      sum(col("v").cast("double") *
+          (pmod(xxhash64(lit(p), col("pos")), lit(2)) * 2 - 1).cast("double")).as(s"proj_$p")
+    }
+    val projected = exploded.groupBy(col("vec_id")).agg(perPlane.head, perPlane.tail: _*)
+    val bucket = (0 until numPlanes)
+      .map(p => when(col(s"proj_$p") > 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    projected.select(col("vec_id"), bucket.as("bucket"))
+  }
+
+  /** ANN top-k: exact cosine, but only within each query's LSH bucket.
+    * The bucket join replaces the all-pairs cross product — at scale
+    * the candidate set per query is n / 2^planes on average (tune planes to data volume). */
+  def annTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10, numPlanes: Int = 6): DataFrame = {
+    val v = withVec(embeddings).join(annBuckets(embeddings, numPlanes), "vec_id")
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"),
+              col("norm").as("qnorm"), col("bucket").as("qbucket"))
+    val joined = v.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qvec, vec, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("score", round(col("dot") / (col("qnorm") * col("norm")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    joined
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.RollingHash
+
+/** Text-analysis operators over the `documents` table (north-star:
+  * language-ID, quality scoring, token counting, fingerprinting).
+  * Everything is per-row expression work — embarrassingly parallel, no
+  * shuffle, fully inside whole-stage codegen. Regex classes are spelled
+  * as explicit ASCII ranges so Java regex (Spark) and RE2 (typical
+  * oracle engines) agree.
+  */
+object TextOps {
+
+  private val tokenRe = "[A-Za-z0-9_]+"
+
+  /** Token counting + character-class statistics. */
+  def textStats(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_tokens", size(expr(s"regexp_extract_all(text, '$tokenRe', 0)")).cast("long"))
+      .withColumn("n_alnum", length(regexp_replace(col("text"), "[^A-Za-z0-9_]", "")).cast("long"))
+      .withColumn("n_spaces", (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).cast("long"))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") > 0, col("n_alnum").cast("double") / col("n_tokens")).otherwise(0.0))
+      .withColumn("space_ratio",
+        when(col("n_chars") > 0, col("n_spaces").cast("double") / col("n_chars")).otherwise(0.0))
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("n_alnum"),
+              col("avg_token_len"), col("space_ratio"))
+      .orderBy(col("doc_id"))
+
+  /** Stopword-count language heuristic: count marker stopwords per
+    * language, argmax with a fixed preference order for ties. A crude
+    * but deterministic n-gram-family classifier — the engine pattern
+    * (per-row scoring, no shuffle) is what scales; swap the marker
+    * lists for real models without touching the plan. */
+  def langId(documents: DataFrame): DataFrame = {
+    def hits(pat: String) =
+      size(expr(s"regexp_extract_all(lower(text), '\\\\b($pat)\\\\b', 0)")).cast("long")
+    documents
+      .select(col("doc_id"), col("text"))
+      .withColumn("n_en", hits("the|and|of|to|in"))
+      .withColumn("n_de", hits("der|die|und|das|ein"))
+      .withColumn("n_fr", hits("le|la|les|et|un"))
+      .withColumn("n_es", hits("el|los|las|y|una"))
+      .withColumn("lang_guess",
+        when(col("n_en") >= col("n_de") && col("n_en") >= col("n_fr") && col("n_en") >= col("n_es"), "en")
+          .when(col("n_de") >= col("n_fr") && col("n_de") >= col("n_es"), "de")
+          .when(col("n_fr") >= col("n_es"), "fr")
+          .otherwise("es"))
+      .select(col("doc_id"), col("n_en"), col("n_de"), col("n_fr"), col("n_es"), col("lang_guess"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Composite quality score in [0,1]: length saturation, low-punct
+    * bonus, stopword density. Pure double arithmetic over exact integer
+    * counts — identical expression tree on the oracle side, so the
+    * 64-bit result matches; rounded to 6 decimals for safety. */
+  def qualityScore(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_tokens", size(expr(s"regexp_extract_all(text, '$tokenRe', 0)")).cast("long"))
+      .withColumn("n_punct", length(regexp_replace(col("text"), "[A-Za-z0-9_ ]", "")).cast("long"))
+      .withColumn("n_stop", size(expr("regexp_extract_all(lower(text), '\\\\b(the|and|of|to|in|a)\\\\b', 0)")).cast("long"))
+      .withColumn("len_component", least(col("n_tokens").cast("double") / 100.0, lit(1.0)))
+      .withColumn("punct_component",
+        lit(1.0) - least(col("n_punct").cast("double") / greatest(col("n_chars"), lit(1L)).cast("double") * 10.0, lit(1.0)))
+      .withColumn("stop_component",
+        least(col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1L)).cast("double") * 5.0, lit(1.0)))
+      .withColumn("quality",
+        round(col("len_component") * 0.4 + col("punct_component") * 0.3 + col("stop_component") * 0.3, 6))
+      .select(col("doc_id"), col("n_tokens"), col("n_punct"), col("n_stop"), col("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Content fingerprints: md5 (cross-engine canonical) — the dedup
+    * identity used by [[DedupOps.exactDedup]]. */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), md5(col("text")).as("fp_md5"),
+              length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Fingerprint via the custom codegen'd [[RollingHash]] expression
+    * (not SQL-oracle-expressible; value-checked in TextSpec against an
+    * independent Scala implementation). */
+  def rollingFingerprints(documents: DataFrame): DataFrame = {
+    RollingHash.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"), expr("rolling_hash(text)").as("fp_rolling"))
+      .orderBy(col("doc_id"))
+  }
+}

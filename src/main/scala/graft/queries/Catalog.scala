@@ -24,7 +24,8 @@ final case class QuerySpec(
 object Catalog {
 
   def specs: Seq[QuerySpec] =
-    relational ++ joinsAndSets ++ stats ++ scalars ++ windows ++ eventWindows
+    relational ++ joinsAndSets ++ stats ++ scalars ++ windows ++ eventWindows ++
+      textQueries ++ dedupQueries ++ similarityQueries ++ multimodalQueries
 
   // ---------------------------------------------------------------- //
   // §2.1-2.7 reference-parity relational operators
@@ -464,5 +465,149 @@ object Catalog {
              |       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct
              |FROM events
              |ORDER BY event_id""".stripMargin))
+  )
+
+  // ---------------------------------------------------------------- //
+  // north-star: text analysis over `documents`
+  // ---------------------------------------------------------------- //
+  private def textQueries: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q35_text_stats",
+      (s, dir) => TextOps.textStats(Tables.documents(s, dir)),
+      Some("""SELECT doc_id,
+             |       CAST(length(text) AS BIGINT) AS n_chars,
+             |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens,
+             |       CAST(length(regexp_replace(text, '[^A-Za-z0-9_]', '', 'g')) AS BIGINT) AS n_alnum,
+             |       CASE WHEN n_tokens > 0 THEN CAST(n_alnum AS DOUBLE) / n_tokens ELSE 0.0 END AS avg_token_len,
+             |       CASE WHEN n_chars > 0
+             |            THEN CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / n_chars
+             |            ELSE 0.0 END AS space_ratio
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec(
+      "q36_lang_id",
+      (s, dir) => TextOps.langId(Tables.documents(s, dir)),
+      Some("""SELECT doc_id,
+             |       CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS BIGINT) AS n_en,
+             |       CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ein)\b')) AS BIGINT) AS n_de,
+             |       CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|un)\b')) AS BIGINT) AS n_fr,
+             |       CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|y|una)\b')) AS BIGINT) AS n_es,
+             |       CASE WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+             |            WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+             |            WHEN n_fr >= n_es THEN 'fr'
+             |            ELSE 'es' END AS lang_guess
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec(
+      "q37_quality_score",
+      (s, dir) => TextOps.qualityScore(Tables.documents(s, dir)),
+      Some("""SELECT doc_id, n_tokens, n_punct, n_stop,
+             |       ROUND(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+             |           + (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) * 10.0, 1.0)) * 0.3
+             |           + least(CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) * 5.0, 1.0) * 0.3, 6) AS quality
+             |FROM (
+             |  SELECT doc_id,
+             |         CAST(length(text) AS BIGINT) AS n_chars,
+             |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens,
+             |         CAST(length(regexp_replace(text, '[A-Za-z0-9_ ]', '', 'g')) AS BIGINT) AS n_punct,
+             |         CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a)\b')) AS BIGINT) AS n_stop
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec(
+      "q38_doc_fingerprint",
+      (s, dir) => TextOps.fingerprints(Tables.documents(s, dir)),
+      Some("""SELECT doc_id, md5(text) AS fp_md5, CAST(length(text) AS BIGINT) AS n_chars
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec(
+      "q39_rolling_hash",
+      (s, dir) => TextOps.rollingFingerprints(Tables.documents(s, dir)),
+      None)
+  )
+
+  // ---------------------------------------------------------------- //
+  // north-star: deduplication over `documents`
+  // ---------------------------------------------------------------- //
+  private def dedupQueries: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q40_dedup_exact",
+      (s, dir) => DedupOps.exactDedup(Tables.documents(s, dir)),
+      Some("""SELECT doc_id, md5(text) AS fp_md5, lang, source FROM documents
+             |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+             |ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec(
+      "q41_jaccard_pairs",
+      (s, dir) => DedupOps.jaccardPairs(Tables.documents(s, dir)),
+      Some("""WITH sh AS (
+             |  SELECT DISTINCT doc_id, s FROM (
+             |    SELECT doc_id, substr(text, unnest(range(1, length(text) - 3)), 5) AS s
+             |    FROM documents WHERE doc_id < 60)),
+             |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+             |c AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS common
+             |      FROM sh a JOIN sh b USING (s)
+             |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT doc_i, doc_j, common,
+             |       ROUND(CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common), 6) AS jaccard
+             |FROM c JOIN n ni ON doc_i = ni.doc_id JOIN n nj ON doc_j = nj.doc_id
+             |WHERE ROUND(CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common), 6) >= 0.15
+             |ORDER BY doc_i, doc_j""".stripMargin)),
+
+    QuerySpec(
+      "q42_minhash_lsh_pairs",
+      (s, dir) => DedupOps.minhashPairs(Tables.documents(s, dir)),
+      None),
+
+    QuerySpec(
+      "q43_simhash_pairs",
+      (s, dir) => DedupOps.simhashPairs(Tables.documents(s, dir)),
+      None)
+  )
+
+  // ---------------------------------------------------------------- //
+  // north-star: similarity search over `embeddings`
+  // ---------------------------------------------------------------- //
+  private def similarityQueries: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q46_cosine_topk",
+      (s, dir) => SimilarityOps.cosineTopK(Tables.embeddings(s, dir)),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+             |s AS (SELECT qid, vec_id,
+             |             ROUND(list_inner_product(qe, e) /
+             |                   (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 6) AS score
+             |      FROM v CROSS JOIN q WHERE vec_id <> qid),
+             |r AS (SELECT qid, vec_id, score,
+             |             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+             |      FROM s)
+             |SELECT qid, vec_id, score, rn FROM r WHERE rn <= 10
+             |ORDER BY qid, rn""".stripMargin)),
+
+    QuerySpec(
+      "q47_ann_lsh_topk",
+      (s, dir) => SimilarityOps.annTopK(Tables.embeddings(s, dir)),
+      None)
+  )
+
+  // ---------------------------------------------------------------- //
+  // north-star: multimodal binary columns
+  // ---------------------------------------------------------------- //
+  private def multimodalQueries: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q48_multimodal_meta",
+      (s, dir) => MultimodalOps.mediaMeta(Tables.documents(s, dir)),
+      Some("""SELECT doc_id AS media_id, 'text/plain' AS mime, source,
+             |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+             |FROM documents
+             |ORDER BY media_id""".stripMargin)),
+
+    QuerySpec(
+      "q49_multimodal_decode",
+      (s, dir) => MultimodalOps.decodeFeatures(Tables.documents(s, dir)),
+      None)
   )
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine._
+import graft.functions.RollingHash
+
+/** North-star text/dedup semantics the oracle can't express:
+  * custom-expression values, sketch behavior on injected
+  * near-duplicates. */
+class TextDedupSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("rolling_hash expression matches an independent implementation") {
+    val rows = TextOps.rollingFingerprints(docs).limit(20).collect()
+    val texts = docs.select(col("doc_id"), col("text")).limit(20).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + (b & 0xffL))
+    rows.foreach { r =>
+      assert(r.getLong(1) == ref(texts(r.getLong(0))), s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("rolling_hash works through whole-stage codegen and SQL") {
+    RollingHash.register(spark)
+    docs.limit(5).createOrReplaceTempView("rh_docs")
+    val viaSql = spark.sql("SELECT rolling_hash(text) FROM rh_docs ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val viaDf = TextOps.rollingFingerprints(docs).limit(5)
+      .collect().map(_.getLong(1)).toSeq
+    assert(viaSql == viaDf)
+  }
+
+  test("quality score stays in [0,1]") {
+    val qualities = TextOps.qualityScore(docs).select(col("quality")).collect().map(_.getDouble(0))
+    assert(qualities.forall(q => q >= 0.0 && q <= 1.0))
+  }
+
+  test("exact dedup drops an injected duplicate, keeps the lower id") {
+    val dup = docs.limit(1)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val withDup = docs.unionByName(dup)
+    val kept = DedupOps.exactDedup(withDup)
+    assert(kept.count() == docs.count())
+    assert(kept.filter(col("doc_id") === 1000000L).count() == 0)
+  }
+
+  test("minhash LSH flags an injected near-duplicate with high estimate") {
+    val base = docs.filter(col("doc_id") === 0)
+    val nearDup = base
+      .withColumn("doc_id", lit(1000000L))
+      .withColumn("text", concat(col("text"), lit(" tail")))
+    val pairs = DedupOps.minhashPairs(docs.unionByName(nearDup))
+      .filter(col("doc_i") === 0 && col("doc_j") === 1000000L)
+      .collect()
+    assert(pairs.length == 1, "near-dup pair should survive LSH banding")
+    assert(pairs.head.getDouble(2) > 0.5, s"estimate ${pairs.head.getDouble(2)} too low")
+  }
+
+  test("simhash of identical text has hamming distance 0") {
+    val dup = docs.filter(col("doc_id") === 0).withColumn("doc_id", lit(55L))
+    val injected = docs.filter(col("doc_id") < 55).unionByName(dup)
+    val pairs = DedupOps.simhashPairs(injected, maxDocId = 60, maxHamming = 64)
+      .filter(col("doc_i") === 0 && col("doc_j") === 55)
+      .collect()
+    assert(pairs.length == 1 && pairs.head.getLong(2) == 0L)
+  }
+
+  test("jaccard pairs are within [0,1] and thresholded") {
+    val pairs = DedupOps.jaccardPairs(docs).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { r =>
+      val j = r.getDouble(3); j >= 0.15 && j <= 1.0
+    })
+  }
+}
