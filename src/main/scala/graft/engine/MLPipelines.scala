@@ -1,0 +1,145 @@
+package graft.engine
+
+import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage}
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, RegressionEvaluator}
+import org.apache.spark.ml.feature.{OneHotEncoder, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.regression.LinearRegression
+import org.apache.spark.ml.stat.Correlation
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ML pipeline surface (SURVEY §2.10, M1-M9) — the reference's entire
+  * extensibility layer re-expressed in Scala spark.ml.
+  *
+  * Reference semantics preserved exactly:
+  *  - StringIndexer handleInvalid="skip" (app/machine_learning_models.py:220)
+  *    silently drops rows with unseen categories at inference — the
+  *    empty-prediction branch the serving layer checks (app/ml_app.py:212);
+  *  - categorical columns with <2 distinct values are gated out before
+  *    indexing (app/machine_learning_models.py:159-167);
+  *  - classification label = amount > approx-median (:237-242);
+  *  - seeds pinned (randomSplit 42, KMeans 42) for reproducibility.
+  */
+object MLPipelines {
+
+  /** Feature table: orders ⋈ customer (the awards-fact analog, SURVEY
+    * §7.2) with derived month/year and the reference's preprocessing —
+    * dropna on required cols + positive-amount filter
+    * (app/machine_learning_models.py:145-149). */
+  def featureTable(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders.join(customer, orders("o_custkey") === customer("c_custkey"))
+      .na.drop(Seq("o_totalprice", "o_orderdate", "o_orderpriority", "o_orderstatus", "c_mktsegment"))
+      .filter(col("o_totalprice") > 0)
+      .withColumn("o_month", month(col("o_orderdate")))
+      .withColumn("o_year", year(col("o_orderdate")))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_month"), col("o_year"),
+              col("o_orderpriority"), col("o_orderstatus"), col("c_mktsegment"))
+
+  val CategoricalCols: Seq[String] = Seq("o_orderpriority", "o_orderstatus", "c_mktsegment")
+  val NumericCols: Seq[String] = Seq("o_month", "o_year")
+
+  /** The reference's distinct-count gate (A5): keep categoricals with
+    * at least 2 distinct values. */
+  def usableCategoricals(df: DataFrame, cols: Seq[String] = CategoricalCols): Seq[String] =
+    cols.filter(c => df.select(col(c)).distinct().count() >= 2)
+
+  private def encoderStages(cats: Seq[String]): (Array[PipelineStage], Array[String]) = {
+    val indexers = cats.map(c =>
+      new StringIndexer().setInputCol(c).setOutputCol(s"${c}_idx").setHandleInvalid("skip"))
+    val encoder = new OneHotEncoder()
+      .setInputCols(cats.map(c => s"${c}_idx").toArray)
+      .setOutputCols(cats.map(c => s"${c}_vec").toArray)
+    ((indexers :+ encoder).toArray, cats.map(c => s"${c}_vec").toArray)
+  }
+
+  /** Pearson correlation matrix over assembled numeric + indexed
+    * categorical features (M1/M3/A8 — app/machine_learning_models.py:170-191).
+    * Returns (feature_i, feature_j, corr) rows — the engine emits the
+    * matrix as a DataFrame; rendering is out of scope (SURVEY S10). */
+  def correlationMatrix(features: DataFrame): DataFrame = {
+    val cats = usableCategoricals(features)
+    val indexers = cats.map(c =>
+      new StringIndexer().setInputCol(c).setOutputCol(s"${c}_idx").setHandleInvalid("skip"))
+    val cols = NumericCols ++ Seq("o_totalprice") ++ cats.map(c => s"${c}_idx")
+    val assembler = new VectorAssembler().setInputCols(cols.toArray).setOutputCol("corr_features")
+    val assembled = new Pipeline().setStages((indexers :+ assembler).toArray)
+      .fit(features).transform(features)
+    val m = Correlation.corr(assembled, "corr_features", "pearson")
+      .head.getAs[org.apache.spark.ml.linalg.Matrix](0)
+    val spark = features.sparkSession
+    import spark.implicits._
+    val rows = for {
+      i <- 0 until m.numRows
+      j <- 0 until m.numCols
+    } yield (cols(i), cols(j), math.rint(m(i, j) * 1e6) / 1e6)
+    rows.toDF("feature_i", "feature_j", "corr")
+      .orderBy(col("feature_i"), col("feature_j"))
+  }
+
+  /** M1-M4: regression pipeline (indexers → one-hot → assembler → LR),
+    * label = o_totalprice. Returns (model, rmse-on-test). */
+  def regression(features: DataFrame): (PipelineModel, Double) = {
+    val cats = usableCategoricals(features)
+    val (stages, vecCols) = encoderStages(cats)
+    val assembler = new VectorAssembler()
+      .setInputCols((vecCols ++ NumericCols).toArray).setOutputCol("features")
+    val lr = new LinearRegression().setFeaturesCol("features").setLabelCol("o_totalprice")
+    val pipeline = new Pipeline().setStages(stages ++ Array[PipelineStage](assembler, lr))
+    val Array(train, test) = features.randomSplit(Array(0.8, 0.2), seed = 42)
+    val model = pipeline.fit(train)
+    val rmse = new RegressionEvaluator()
+      .setLabelCol("o_totalprice").setPredictionCol("prediction").setMetricName("rmse")
+      .evaluate(model.transform(test))
+    (model, rmse)
+  }
+
+  /** M5: binary classification — label from the approx-median split
+    * (relErr 0.001, fallback-free), LogisticRegression maxIter=20.
+    * Returns (model, threshold, auc). */
+  def classification(features: DataFrame): (PipelineModel, Double, Double) = {
+    val Array(median) = features.stat.approxQuantile("o_totalprice", Array(0.5), 0.001)
+    val labeled = features.withColumn("label",
+      when(col("o_totalprice") > lit(median), 1.0).otherwise(0.0))
+    val cats = usableCategoricals(features)
+    val (stages, vecCols) = encoderStages(cats)
+    val assembler = new VectorAssembler()
+      .setInputCols((vecCols ++ NumericCols).toArray).setOutputCol("features")
+    val logreg = new LogisticRegression().setMaxIter(20)
+      .setFeaturesCol("features").setLabelCol("label")
+    val pipeline = new Pipeline().setStages(stages ++ Array[PipelineStage](assembler, logreg))
+    val Array(train, test) = labeled.randomSplit(Array(0.8, 0.2), seed = 42)
+    val model = pipeline.fit(train)
+    val auc = new BinaryClassificationEvaluator()
+      .setLabelCol("label").setRawPredictionCol("rawPrediction")
+      .setMetricName("areaUnderROC")
+      .evaluate(model.transform(test))
+    (model, median, auc)
+  }
+
+  /** M6: KMeans k=5 seed=42 over one-hot + numeric + amount features
+    * (app/machine_learning_models.py:251-258). */
+  def clustering(features: DataFrame, k: Int = 5): PipelineModel = {
+    val cats = usableCategoricals(features)
+    val (stages, vecCols) = encoderStages(cats)
+    val assembler = new VectorAssembler()
+      .setInputCols((vecCols ++ NumericCols :+ "o_totalprice").toArray)
+      .setOutputCol("features")
+    val km = new KMeans().setK(k).setSeed(42).setFeaturesCol("features")
+    new Pipeline().setStages(stages ++ Array[PipelineStage](assembler, km)).fit(features)
+  }
+
+  /** Single-row inference (the reference's Flask POST path, §3.3):
+    * unseen categories → handleInvalid=skip drops the row → caller
+    * must handle the empty frame. */
+  def predictOne(spark: SparkSession, model: PipelineModel,
+                 priority: String, status: String, segment: String,
+                 monthV: Int, yearV: Int): DataFrame = {
+    import spark.implicits._
+    val in = Seq((0L, 0.0, monthV, yearV, priority, status, segment))
+      .toDF("o_orderkey", "o_totalprice", "o_month", "o_year",
+            "o_orderpriority", "o_orderstatus", "c_mktsegment")
+    model.transform(in)
+  }
+}

@@ -25,7 +25,7 @@ object Catalog {
 
   def specs: Seq[QuerySpec] =
     relational ++ joinsAndSets ++ stats ++ scalars ++ windows ++ eventWindows ++
-      textQueries ++ dedupQueries ++ similarityQueries ++ multimodalQueries
+      textQueries ++ dedupQueries ++ similarityQueries ++ multimodalQueries ++ mlQueries
 
   // ---------------------------------------------------------------- //
   // §2.1-2.7 reference-parity relational operators
@@ -608,6 +608,51 @@ object Catalog {
     QuerySpec(
       "q49_multimodal_decode",
       (s, dir) => MultimodalOps.decodeFeatures(Tables.documents(s, dir)),
+      None)
+  )
+
+  // ---------------------------------------------------------------- //
+  // §2.10 ML pipelines (M1-M9) — not SQL-expressible; rows-only here,
+  // semantics covered by MLSpec
+  // ---------------------------------------------------------------- //
+  private def mlQueries: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q50_ml_correlation",
+      (s, dir) => MLPipelines.correlationMatrix(
+        MLPipelines.featureTable(Tables.orders(s, dir), Tables.customer(s, dir))),
+      None),
+
+    QuerySpec(
+      "q51_ml_regression",
+      (s, dir) => {
+        import s.implicits._
+        val feats = MLPipelines.featureTable(Tables.orders(s, dir), Tables.customer(s, dir))
+        val (_, rmse) = MLPipelines.regression(feats)
+        Seq(("linear_regression", feats.count(), rmse)).toDF("model", "n_rows", "rmse")
+      },
+      None),
+
+    QuerySpec(
+      "q52_ml_classification",
+      (s, dir) => {
+        import s.implicits._
+        val feats = MLPipelines.featureTable(Tables.orders(s, dir), Tables.customer(s, dir))
+        val (_, median, auc) = MLPipelines.classification(feats)
+        Seq(("logistic_regression", median, auc)).toDF("model", "median_threshold", "auc")
+      },
+      None),
+
+    QuerySpec(
+      "q53_ml_kmeans",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, count, lit}
+        val feats = MLPipelines.featureTable(Tables.orders(s, dir), Tables.customer(s, dir))
+        val model = MLPipelines.clustering(feats)
+        model.transform(feats)
+          .groupBy(col("prediction"))
+          .agg(count(lit(1)).as("n_rows"))
+          .orderBy(col("prediction"))
+      },
       None)
   )
 }

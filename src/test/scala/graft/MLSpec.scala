@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.sql.functions._
+
+import graft.engine.{MLPipelines, Tables}
+
+/** ML pipeline semantics vs the reference (SURVEY §5.2.4): stage
+  * structure, handleInvalid=skip row-dropping, metric sanity, model
+  * persistence roundtrip. */
+class MLSpec extends SparkSpec {
+
+  private lazy val feats =
+    MLPipelines.featureTable(Tables.orders(spark, sf), Tables.customer(spark, sf)).cache()
+
+  test("feature table applies dropna and positive-amount filter") {
+    assert(feats.count() > 0)
+    assert(feats.filter(col("o_totalprice") <= 0).count() == 0)
+  }
+
+  test("categorical gate keeps only columns with >=2 distinct values") {
+    val usable = MLPipelines.usableCategoricals(feats)
+    assert(usable.nonEmpty)
+    usable.foreach { c =>
+      assert(feats.select(col(c)).distinct().count() >= 2)
+    }
+  }
+
+  test("regression pipeline: stage structure and finite rmse") {
+    val (model, rmse) = MLPipelines.regression(feats)
+    val kinds = model.stages.map(_.getClass.getSimpleName).toSeq
+    // N indexers, then encoder, assembler, regression model
+    assert(kinds.takeRight(3) ==
+      Seq("OneHotEncoderModel", "VectorAssembler", "LinearRegressionModel"))
+    assert(kinds.dropRight(3).forall(_ == "StringIndexerModel"))
+    assert(!rmse.isNaN && rmse > 0)
+  }
+
+  test("classification: auc within (0.4, 1], median threshold positive") {
+    val (_, median, auc) = MLPipelines.classification(feats)
+    assert(median > 0)
+    assert(auc > 0.4 && auc <= 1.0)
+  }
+
+  test("kmeans k=5 produces 5 clusters covering all rows") {
+    val model = MLPipelines.clustering(feats)
+    val assigned = model.transform(feats)
+    val clusters = assigned.select(col("prediction")).distinct().count()
+    assert(clusters == 5)
+    assert(assigned.count() == feats.count())
+  }
+
+  test("handleInvalid=skip drops rows with unseen categories at inference") {
+    val (model, _) = MLPipelines.regression(feats)
+    val known = MLPipelines.predictOne(spark, model,
+      "1-URGENT", "O", "BUILDING", 6, 1996)
+    assert(!known.isEmpty, "known categories should predict")
+    val unseen = MLPipelines.predictOne(spark, model,
+      "NO-SUCH-PRIORITY", "O", "BUILDING", 6, 1996)
+    assert(unseen.isEmpty, "unseen category must be skipped (empty prediction)")
+  }
+
+  test("pipeline model save/load roundtrip preserves predictions") {
+    val (model, _) = MLPipelines.regression(feats)
+    val dir = Files.createTempDirectory("graft_model_").toString + "/reg"
+    model.write.overwrite().save(dir)
+    val loaded = PipelineModel.load(dir)
+    val sample = feats.limit(50)
+    val a = model.transform(sample).select(col("o_orderkey"), col("prediction"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = loaded.transform(sample).select(col("o_orderkey"), col("prediction"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b)
+  }
+
+  test("correlation matrix is symmetric with unit diagonal") {
+    val m = MLPipelines.correlationMatrix(feats)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    m.foreach { case ((i, j), v) =>
+      assert(math.abs(v - m((j, i))) < 1e-9)
+      if (i == j) assert(math.abs(v - 1.0) < 1e-9)
+    }
+  }
+}
