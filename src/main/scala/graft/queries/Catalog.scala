@@ -618,17 +618,23 @@ object Catalog {
   private def mlQueries: Seq[QuerySpec] = Seq(
     QuerySpec(
       "q50_ml_correlation",
-      (s, dir) => MLPipelines.correlationMatrix(
-        MLPipelines.featureTable(Tables.orders(s, dir), Tables.customer(s, dir))),
+      (s, dir) => {
+        val feats = MLPipelines.featureTable(Tables.orders(s, dir), Tables.customer(s, dir)).cache()
+        try MLPipelines.correlationMatrix(feats) finally feats.unpersist()
+      },
       None),
 
     QuerySpec(
       "q51_ml_regression",
       (s, dir) => {
         import s.implicits._
-        val feats = MLPipelines.featureTable(Tables.orders(s, dir), Tables.customer(s, dir))
+        // cache: pipeline fitting makes many passes (per-indexer distinct
+        // scans + LR iterations) over the join
+        val feats = MLPipelines.featureTable(Tables.orders(s, dir), Tables.customer(s, dir)).cache()
         val (_, rmse) = MLPipelines.regression(feats)
-        Seq(("linear_regression", feats.count(), rmse)).toDF("model", "n_rows", "rmse")
+        val n = feats.count()
+        feats.unpersist()
+        Seq(("linear_regression", n, rmse)).toDF("model", "n_rows", "rmse")
       },
       None),
 
@@ -636,8 +642,9 @@ object Catalog {
       "q52_ml_classification",
       (s, dir) => {
         import s.implicits._
-        val feats = MLPipelines.featureTable(Tables.orders(s, dir), Tables.customer(s, dir))
+        val feats = MLPipelines.featureTable(Tables.orders(s, dir), Tables.customer(s, dir)).cache()
         val (_, median, auc) = MLPipelines.classification(feats)
+        feats.unpersist()
         Seq(("logistic_regression", median, auc)).toDF("model", "median_threshold", "auc")
       },
       None),
@@ -646,12 +653,15 @@ object Catalog {
       "q53_ml_kmeans",
       (s, dir) => {
         import org.apache.spark.sql.functions.{col, count, lit}
-        val feats = MLPipelines.featureTable(Tables.orders(s, dir), Tables.customer(s, dir))
+        val feats = MLPipelines.featureTable(Tables.orders(s, dir), Tables.customer(s, dir)).cache()
         val model = MLPipelines.clustering(feats)
-        model.transform(feats)
+        val out = model.transform(feats)
           .groupBy(col("prediction"))
           .agg(count(lit(1)).as("n_rows"))
           .orderBy(col("prediction"))
+        out.count() // materialize before releasing the cache
+        feats.unpersist()
+        out
       },
       None)
   )

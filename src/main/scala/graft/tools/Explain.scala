@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Plan-audit utility: prints `explain("formatted")` for the named
+  * queries (or a default audit set) so scan pushdown (PushedFilters /
+  * ReadSchema), join strategy (BroadcastHashJoin vs SortMergeJoin) and
+  * WholeStageCodegen spans can be inspected per query.
+  *
+  * Usage: runMain graft.tools.Explain [sfDir] [queryName...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("q01_flagship_geo_rollup", "q04_filter_project", "q07_topk",
+               "q08_global_sort", "q42_minhash_lsh_pairs", "q46_cosine_topk")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      println(s"\n========== $name ==========")
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
