@@ -14,21 +14,48 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warmup: touch every table once (OS page cache + reader/codegen
+    // Warmup 1: touch every table once (OS page cache + reader/codegen
     // JIT) so per-query numbers reflect steady state, not first-touch.
     graft.engine.Tables.names.foreach { t =>
       try graft.engine.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => }
     }
+    // Warmup 2: one tiny fit per estimator family so the first timed ML
+    // query measures the pipeline, not breeze/netlib/WLS classloading
+    // and JIT.
+    try {
+      import org.apache.spark.ml.Pipeline
+      import org.apache.spark.ml.classification.LogisticRegression
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.feature.{OneHotEncoder, StringIndexer, VectorAssembler}
+      import org.apache.spark.ml.regression.LinearRegression
+      import spark.implicits._
+      val warm = (0 until 64)
+        .map(i => (i.toDouble, (i % 2).toDouble, (i % 7).toDouble, ((i * 13) % 5).toString))
+        .toDF("y", "label", "x", "c")
+      val enc = Array(
+        new StringIndexer().setInputCol("c").setOutputCol("ci"),
+        new OneHotEncoder().setInputCols(Array("ci")).setOutputCols(Array("cv")),
+        new VectorAssembler().setInputCols(Array("cv", "x")).setOutputCol("features"))
+      new Pipeline().setStages(enc :+ new LinearRegression().setLabelCol("y")).fit(warm)
+      new Pipeline().setStages(enc :+ new LogisticRegression().setMaxIter(5)).fit(warm)
+      new Pipeline().setStages(enc :+ new KMeans().setK(2).setSeed(42)).fit(warm)
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
+    }
+    graft.queries.MLShared.release()
+    // Failed queries are reported as null and EXCLUDED from the total,
+    // with an explicit "failed" list — a fast-failing query must not
+    // deflate the benchmark.
+    val qs = results.map { case (k, v, ok) =>
+      s"\"" + k + "\":" + (if (ok) v.toString else "null")
+    }.mkString("{", ",", "}")
+    val failed = results.filter(!_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = results.filter(_._3).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

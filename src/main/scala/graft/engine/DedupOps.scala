@@ -4,19 +4,27 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.{MinHashAgg, SimHashAgg}
+
 /** Deduplication operators over `documents` (north-star: exact,
   * MinHash+LSH, SimHash, n-gram Jaccard).
   *
   * Scale design:
   *  - exact dedup is one hash-shuffle on the content fingerprint;
-  *  - MinHash signatures are a single explode + 32 min-aggregates
-  *    (map-side partial combine, one shuffle on doc_id);
-  *  - LSH banding turns the quadratic all-pairs problem into an
-  *    equi-join on (band, band_hash) — only colliding buckets pay;
-  *  - exact Jaccard verification runs only on candidate pairs.
+  *  - MinHash/SimHash signatures are one explode + ONE typed
+  *    Aggregator column each ([[graft.functions.MinHashAgg]] /
+  *    [[graft.functions.SimHashAgg]]) — map-side partial combine, one
+  *    shuffle on doc_id, no per-lane codegen blowup;
+  *  - LSH banding (both sketches) turns the quadratic all-pairs
+  *    problem into an equi-join on (band, band_hash) — only colliding
+  *    buckets pay;
+  *  - exact verification (Jaccard / hamming) runs only on candidates.
   * Nothing here ever materializes all O(n²) pairs; the only
   * intentionally-bounded query is the exhaustive-pairs oracle
-  * demonstrator [[jaccardPairs]], which caps the doc set.
+  * demonstrator [[jaccardPairs]], which caps the doc set. No operator
+  * caches without releasing: signatures are carried through the bucket
+  * explode so the self-join is over one plan (whose shuffled aggregate
+  * Spark reuses via exchange reuse) instead of a cached temp.
   */
 object DedupOps {
 
@@ -48,9 +56,12 @@ object DedupOps {
   /** Exhaustive n-gram Jaccard similarity on a bounded doc subset —
     * the oracle-checkable ground truth for the LSH path. Joins on
     * shingle, so only co-occurring shingles pay; the doc_id cap keeps
-    * the demonstrator O(60²) at any scale factor. */
+    * the demonstrator O(60²) at any scale factor. The shingle set is
+    * recomputed per use instead of cached — it is bounded by the cap,
+    * and leaving no resident cache behind matters more in a long-lived
+    * session than the rescan. */
   def jaccardPairs(documents: DataFrame, maxDocId: Long = 60, threshold: Double = 0.15): DataFrame = {
-    val sh = shingles(documents.filter(col("doc_id") < maxDocId)).cache()
+    val sh = shingles(documents.filter(col("doc_id") < maxDocId))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a").join(sh.as("b"), col("a.shingle") === col("b.shingle"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -67,29 +78,24 @@ object DedupOps {
       .orderBy(col("doc_i"), col("doc_j"))
   }
 
-  /** MinHash signatures: k independent permutations approximated by
-    * seeded xxhash64; signature i = min over shingles. One aggregate
-    * pass, map-side combinable. */
+  /** MinHash signatures: k pseudo-random permutations in ONE typed
+    * aggregate ([[MinHashAgg]]) over one base hash per shingle. Output
+    * column `sig` is the k-element array. */
   def minhashSignatures(documents: DataFrame, numHashes: Int = 32): DataFrame = {
-    val sh = shingles(documents)
-    val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val mh = udaf(new MinHashAgg(numHashes))
+    shingles(documents)
+      .groupBy(col("doc_id"))
+      .agg(mh(xxhash64(col("shingle"))).as("sig"))
   }
 
-  /** LSH banding: hash each band of `rowsPerBand` consecutive minhash
-    * values; docs sharing any (band, hash) bucket become candidates.
-    * With J ≈ pairwise Jaccard, P(candidate) = 1-(1-J^r)^b — tuned so
-    * dissimilar pairs almost never collide, keeping the bucket join
-    * linear-ish in n. */
+  /** LSH banding over array signatures: hash each band of
+    * `rowsPerBand` consecutive minhash values; docs sharing any
+    * (band, hash) bucket become candidates. With J ≈ pairwise Jaccard,
+    * P(candidate) = 1-(1-J^r)^b — tuned so dissimilar pairs almost
+    * never collide, keeping the bucket join linear-ish in n. */
   def lshCandidates(signatures: DataFrame, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val bandCols = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
-    }
-    val buckets = signatures
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val buckets = bandBuckets(signatures, bands, rowsPerBand)
+      .select(col("doc_id"), col("band"), col("bh"))
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -97,48 +103,81 @@ object DedupOps {
       .distinct()
   }
 
+  private def bandBuckets(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
+    }
+    signatures
+      .select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
   /** Full MinHash+LSH near-dup pipeline: signatures → banded
-    * candidates → signature-estimated Jaccard. Not SQL-expressible
-    * (seeded sketch); DedupSpec checks recall against ground truth. */
-  def minhashPairs(documents: DataFrame, numHashes: Int = 32): DataFrame = {
-    val sigs = minhashSignatures(documents, numHashes).cache()
-    val cands = lshCandidates(sigs)
-    val eqTerms = (0 until numHashes)
-      .map(i => when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    cands
-      .join(sigs.as("a"), col("doc_i") === col("a.doc_id"))
-      .join(sigs.as("b"), col("doc_j") === col("b.doc_id"))
-      .withColumn("est_jaccard", round(eqTerms.cast("double") / numHashes, 6))
+    * candidates → signature-estimated Jaccard. The signature is
+    * carried through the bucket explode so both join sides share one
+    * plan (exchange-reused), no cache needed. Not SQL-expressible
+    * (seeded sketch); TextDedupSpec checks recall on injected
+    * near-dups. */
+  def minhashPairs(documents: DataFrame, numHashes: Int = 32,
+                   bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val buckets = bandBuckets(minhashSignatures(documents, numHashes), bands, rowsPerBand)
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+              col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_i", "doc_j")
+      .withColumn("n_eq",
+        expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
+      .withColumn("est_jaccard", round(col("n_eq").cast("double") / numHashes, 6))
       .select(col("doc_i"), col("doc_j"), col("est_jaccard"))
       .orderBy(col("doc_i"), col("doc_j"))
   }
 
-  /** SimHash: 64-bit signature from per-token hash bit votes; hamming
-    * distance over a bounded subset ranks near-duplicates. The bit
-    * votes are 64 conditional sums in one aggregate (map-side
-    * combinable); pair scoring uses bit_count(xor). */
+  /** SimHash: 64-bit signature from per-token hash bit votes, computed
+    * by ONE typed aggregate ([[SimHashAgg]]) instead of 64 conditional
+    * sums. */
   def simhashSignatures(documents: DataFrame): DataFrame = {
-    val tokens = documents
+    val sh = udaf(SimHashAgg)
+    documents
       .select(col("doc_id"),
         explode(expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map(i =>
-      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"v_$i"))
-    val voted = tokens.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64)
-      .map(i => when(col(s"v_$i") > 0, expr(s"CAST(1 AS BIGINT) << $i")).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    voted.select(col("doc_id"), sig.as("simhash"))
+      .groupBy(col("doc_id"))
+      .agg(sh(xxhash64(col("tok"))).as("simhash"))
   }
 
-  def simhashPairs(documents: DataFrame, maxDocId: Long = 60, maxHamming: Int = 28): DataFrame = {
-    val sigs = simhashSignatures(documents.filter(col("doc_id") < maxDocId))
-    sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .withColumn("hamming",
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long"))
+  /** SimHash near-dup pairs via prefix-band bucketing — the same LSH
+    * trick as MinHash, applied to contiguous chunks of the 64-bit
+    * signature. Pigeonhole guarantee: any pair within hamming distance
+    * `bands - 1` agrees exactly on at least one chunk, so for
+    * maxHamming <= bands - 1 recall is EXACT while the join stays an
+    * equi-join on (band, chunk) — no all-pairs cross product, no doc
+    * cap, scale-safe (bucket width 64/bands bits; widen bands only as
+    * ln(n) grows). Replaces round 1's doc_id<60-capped cartesian
+    * self-join. */
+  def simhashPairs(documents: DataFrame, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    require(maxHamming <= bands - 1,
+      s"banding guarantees exact recall only for maxHamming <= bands-1 (got $maxHamming, $bands)")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sigs = simhashSignatures(documents)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"shiftrightunsigned(simhash, ${b * width}) & $mask").as("bh"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+              col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+      .dropDuplicates("doc_i", "doc_j")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"), col("hamming"))
+      .select(col("doc_i"), col("doc_j"), col("hamming"))
       .orderBy(col("doc_i"), col("doc_j"))
   }
 }

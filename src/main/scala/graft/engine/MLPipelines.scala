@@ -5,6 +5,7 @@ import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, RegressionEvaluator}
 import org.apache.spark.ml.feature.{OneHotEncoder, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.ml.regression.LinearRegression
 import org.apache.spark.ml.stat.Correlation
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -18,9 +19,18 @@ import org.apache.spark.sql.functions._
   *    silently drops rows with unseen categories at inference — the
   *    empty-prediction branch the serving layer checks (app/ml_app.py:212);
   *  - categorical columns with <2 distinct values are gated out before
-  *    indexing (app/machine_learning_models.py:159-167);
+  *    indexing (app/machine_learning_models.py:159-167) — here as ONE
+  *    multi-countDistinct aggregate instead of the reference's serial
+  *    per-column distinct().count() jobs;
   *  - classification label = amount > approx-median (:237-242);
   *  - seeds pinned (randomSplit 42, KMeans 42) for reproducibility.
+  *
+  * Deliberate divergence (SURVEY §4.3 — reference inefficiencies we do
+  * not reproduce): the reference re-fits its StringIndexers once for
+  * the correlation path and again inside every pipeline; here the
+  * indexer + one-hot stages are fit ONCE over the feature table
+  * ([[fitEncoders]]) and the fitted transformers are shared across the
+  * correlation/regression/classification/clustering pipelines.
   */
 object MLPipelines {
 
@@ -41,30 +51,43 @@ object MLPipelines {
   val NumericCols: Seq[String] = Seq("o_month", "o_year")
 
   /** The reference's distinct-count gate (A5): keep categoricals with
-    * at least 2 distinct values. */
+    * at least 2 distinct values. One agg(countDistinct...) pass — a
+    * single job regardless of column count. */
   def usableCategoricals(df: DataFrame, cols: Seq[String] = CategoricalCols): Seq[String] =
-    cols.filter(c => df.select(col(c)).distinct().count() >= 2)
+    if (cols.isEmpty) Seq.empty
+    else {
+      val row = df.agg(
+        countDistinct(col(cols.head)).as(cols.head),
+        cols.tail.map(c => countDistinct(col(c)).as(c)): _*).head()
+      cols.filter(c => row.getAs[Long](c) >= 2)
+    }
 
-  private def encoderStages(cats: Seq[String]): (Array[PipelineStage], Array[String]) = {
+  /** Fitted, shareable encoding stages: StringIndexerModels (skip
+    * semantics) + OneHotEncoderModel, fit once over the feature table. */
+  final case class FittedEncoders(cats: Seq[String], stages: Array[PipelineStage],
+                                  vecCols: Array[String])
+
+  def fitEncoders(features: DataFrame, cats0: Seq[String] = null): FittedEncoders = {
+    val cats = Option(cats0).getOrElse(usableCategoricals(features))
     val indexers = cats.map(c =>
       new StringIndexer().setInputCol(c).setOutputCol(s"${c}_idx").setHandleInvalid("skip"))
     val encoder = new OneHotEncoder()
       .setInputCols(cats.map(c => s"${c}_idx").toArray)
       .setOutputCols(cats.map(c => s"${c}_vec").toArray)
-    ((indexers :+ encoder).toArray, cats.map(c => s"${c}_vec").toArray)
+    val fitted = new Pipeline().setStages((indexers :+ encoder).toArray).fit(features)
+    FittedEncoders(cats, fitted.stages.map(s => s: PipelineStage),
+                   cats.map(c => s"${c}_vec").toArray)
   }
 
   /** Pearson correlation matrix over assembled numeric + indexed
     * categorical features (M1/M3/A8 — app/machine_learning_models.py:170-191).
     * Returns (feature_i, feature_j, corr) rows — the engine emits the
     * matrix as a DataFrame; rendering is out of scope (SURVEY S10). */
-  def correlationMatrix(features: DataFrame): DataFrame = {
-    val cats = usableCategoricals(features)
-    val indexers = cats.map(c =>
-      new StringIndexer().setInputCol(c).setOutputCol(s"${c}_idx").setHandleInvalid("skip"))
-    val cols = NumericCols ++ Seq("o_totalprice") ++ cats.map(c => s"${c}_idx")
+  def correlationMatrix(features: DataFrame, enc0: FittedEncoders = null): DataFrame = {
+    val enc = Option(enc0).getOrElse(fitEncoders(features))
+    val cols = NumericCols ++ Seq("o_totalprice") ++ enc.cats.map(c => s"${c}_idx")
     val assembler = new VectorAssembler().setInputCols(cols.toArray).setOutputCol("corr_features")
-    val assembled = new Pipeline().setStages((indexers :+ assembler).toArray)
+    val assembled = new Pipeline().setStages(enc.stages :+ (assembler: PipelineStage))
       .fit(features).transform(features)
     val m = Correlation.corr(assembled, "corr_features", "pearson")
       .head.getAs[org.apache.spark.ml.linalg.Matrix](0)
@@ -80,13 +103,12 @@ object MLPipelines {
 
   /** M1-M4: regression pipeline (indexers → one-hot → assembler → LR),
     * label = o_totalprice. Returns (model, rmse-on-test). */
-  def regression(features: DataFrame): (PipelineModel, Double) = {
-    val cats = usableCategoricals(features)
-    val (stages, vecCols) = encoderStages(cats)
+  def regression(features: DataFrame, enc0: FittedEncoders = null): (PipelineModel, Double) = {
+    val enc = Option(enc0).getOrElse(fitEncoders(features))
     val assembler = new VectorAssembler()
-      .setInputCols((vecCols ++ NumericCols).toArray).setOutputCol("features")
+      .setInputCols(enc.vecCols ++ NumericCols).setOutputCol("features")
     val lr = new LinearRegression().setFeaturesCol("features").setLabelCol("o_totalprice")
-    val pipeline = new Pipeline().setStages(stages ++ Array[PipelineStage](assembler, lr))
+    val pipeline = new Pipeline().setStages(enc.stages ++ Array[PipelineStage](assembler, lr))
     val Array(train, test) = features.randomSplit(Array(0.8, 0.2), seed = 42)
     val model = pipeline.fit(train)
     val rmse = new RegressionEvaluator()
@@ -96,19 +118,18 @@ object MLPipelines {
   }
 
   /** M5: binary classification — label from the approx-median split
-    * (relErr 0.001, fallback-free), LogisticRegression maxIter=20.
+    * (relErr 0.001), LogisticRegression maxIter=20.
     * Returns (model, threshold, auc). */
-  def classification(features: DataFrame): (PipelineModel, Double, Double) = {
+  def classification(features: DataFrame, enc0: FittedEncoders = null): (PipelineModel, Double, Double) = {
+    val enc = Option(enc0).getOrElse(fitEncoders(features))
     val Array(median) = features.stat.approxQuantile("o_totalprice", Array(0.5), 0.001)
     val labeled = features.withColumn("label",
       when(col("o_totalprice") > lit(median), 1.0).otherwise(0.0))
-    val cats = usableCategoricals(features)
-    val (stages, vecCols) = encoderStages(cats)
     val assembler = new VectorAssembler()
-      .setInputCols((vecCols ++ NumericCols).toArray).setOutputCol("features")
+      .setInputCols(enc.vecCols ++ NumericCols).setOutputCol("features")
     val logreg = new LogisticRegression().setMaxIter(20)
       .setFeaturesCol("features").setLabelCol("label")
-    val pipeline = new Pipeline().setStages(stages ++ Array[PipelineStage](assembler, logreg))
+    val pipeline = new Pipeline().setStages(enc.stages ++ Array[PipelineStage](assembler, logreg))
     val Array(train, test) = labeled.randomSplit(Array(0.8, 0.2), seed = 42)
     val model = pipeline.fit(train)
     val auc = new BinaryClassificationEvaluator()
@@ -120,14 +141,13 @@ object MLPipelines {
 
   /** M6: KMeans k=5 seed=42 over one-hot + numeric + amount features
     * (app/machine_learning_models.py:251-258). */
-  def clustering(features: DataFrame, k: Int = 5): PipelineModel = {
-    val cats = usableCategoricals(features)
-    val (stages, vecCols) = encoderStages(cats)
+  def clustering(features: DataFrame, k: Int = 5, enc0: FittedEncoders = null): PipelineModel = {
+    val enc = Option(enc0).getOrElse(fitEncoders(features))
     val assembler = new VectorAssembler()
-      .setInputCols((vecCols ++ NumericCols :+ "o_totalprice").toArray)
+      .setInputCols(enc.vecCols ++ NumericCols :+ "o_totalprice")
       .setOutputCol("features")
     val km = new KMeans().setK(k).setSeed(42).setFeaturesCol("features")
-    new Pipeline().setStages(stages ++ Array[PipelineStage](assembler, km)).fit(features)
+    new Pipeline().setStages(enc.stages ++ Array[PipelineStage](assembler, km)).fit(features)
   }
 
   /** Single-row inference (the reference's Flask POST path, §3.3):
@@ -142,4 +162,18 @@ object MLPipelines {
             "o_orderpriority", "o_orderstatus", "c_mktsegment")
     model.transform(in)
   }
+
+  /** Classification inference with probability extraction — the
+    * reference's serving-path label + confidence (app/ml_app.py:282-287:
+    * label = HIGH iff prediction==1, confidence = probability[label]·100,
+    * rounded to 2 decimals). `probability` is a VectorUDT; element
+    * extraction goes through ml.functions.vector_to_array (1-based
+    * element_at). */
+  def withConfidence(predictions: DataFrame): DataFrame =
+    predictions
+      .withColumn("pred_label",
+        when(col("prediction") === 1.0, lit("HIGH")).otherwise(lit("LOW")))
+      .withColumn("confidence",
+        round(element_at(vector_to_array(col("probability")),
+                         col("prediction").cast("int") + 1) * 100, 2))
 }

@@ -71,9 +71,12 @@ object RelationalOps {
 
   /** Null-drop over required columns (reference:
     * app/machine_learning_models.py:136-145) then a rollup proving the
-    * surviving row set. */
+    * surviving row set. Explicit IS NOT NULL predicates rather than
+    * na.drop: na.drop also drops NaN in numeric columns, which SQL's
+    * IS NOT NULL does not — the explicit form keeps Spark and the
+    * oracle aligned even if NaN values ever appear. */
   def dropRequired(lineitem: DataFrame, required: Seq[String]): DataFrame =
-    lineitem.na.drop(required)
+    lineitem.filter(required.map(c => col(c).isNotNull).reduce(_ && _))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
@@ -144,6 +147,37 @@ object RelationalOps {
            sum(col("part_n")).as("n_rows"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** The dashboard's top-30 month slice (reference: app/ml_app.py:131-138
+    * — the `awarding_sub_agency_by_month` table sorted by total,
+    * limit 30). TakeOrderedAndProject over the month rollup. */
+  def topMonthSlice(orders: DataFrame, k: Int = 30): DataFrame =
+    monthRollup(orders)
+      .select(col("o_orderpriority"), col("o_month"), col("total_price"))
+      .orderBy(col("total_price").desc, col("o_orderpriority"), col("o_month"))
+      .limit(k)
+
+  /** Dashboard second-stage rollup #1 (reference:
+    * templates/dashboard.html:148-158 — the pie chart's in-browser
+    * re-sum by sub-agency over the top-30 slice, SURVEY §3.2 commits
+    * to expressing it as an engine query). 30 rows in — the second
+    * aggregation is a near-free single-partition agg. */
+  def dashSubAgencyRollup(orders: DataFrame, k: Int = 30): DataFrame =
+    topMonthSlice(orders, k)
+      .groupBy(col("o_orderpriority"))
+      .agg(decSum(col("total_price")).as("total_price"),
+           count(lit(1)).as("n_months"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Dashboard second-stage rollup #2 (reference:
+    * templates/dashboard.html:179-189 — the line chart's in-browser
+    * re-sum by month across sub-agencies over the same slice). */
+  def dashMonthRollup(orders: DataFrame, k: Int = 30): DataFrame =
+    topMonthSlice(orders, k)
+      .groupBy(col("o_month"))
+      .agg(decSum(col("total_price")).as("total_price"),
+           count(lit(1)).as("n_agencies"))
+      .orderBy(col("o_month"))
 
   /** Explicitly co-partitioned join: repartition both sides on the join
     * key before joining. Locally this pins the shuffle; on a cluster

@@ -42,9 +42,14 @@ object ScalarOps {
     events.select(
       col("event_id"),
       get_json_object(col("props"), "$.k").cast("long").as("k_get"),
+      // parse k as STRING then cast — mirrors the oracle's
+      // json_extract_string + TRY_CAST, so a quoted numeric like
+      // {"k":"12"} yields 12 on both sides (a LongType schema would
+      // parse it to NULL in Spark but 12 in the oracle)
       from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("k",
-          org.apache.spark.sql.types.LongType)))).getField("k").as("k_struct"))
+          org.apache.spark.sql.types.StringType))))
+        .getField("k").cast("long").as("k_struct"))
       .orderBy(col("event_id"))
 
   /** Ingest-audit row (F6/F7 — reference: download_history insert,

@@ -62,14 +62,37 @@ object SimilarityOps {
     projected.select(col("vec_id"), bucket.as("bucket"))
   }
 
-  /** ANN top-k: exact cosine, but only within each query's LSH bucket.
-    * The bucket join replaces the all-pairs cross product — at scale
-    * the candidate set per query is n / 2^planes on average (tune planes to data volume). */
-  def annTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10, numPlanes: Int = 6): DataFrame = {
+  /** ANN top-k: exact cosine, but only within each query's LSH
+    * bucket(s). The bucket join replaces the all-pairs cross product —
+    * at scale the candidate set per query is a 2^-planes-ish slice of
+    * n (tune planes to data volume).
+    *
+    * Multi-probe: each query also probes every bucket within hamming
+    * distance `probeHamming` of its own signature — a vector that
+    * lands just across one or two hyperplanes (the dominant LSH
+    * failure mode for near neighbors) is still found, trading
+    * candidate volume (1 + C(planes,1) + C(planes,2) buckets) for the
+    * recall measured in SimilarityMultimodalSpec. The right depth is
+    * data-dependent: true near-duplicates (cosine → 1) are recovered
+    * by probe depth 1; weakly-separated neighbor structure (this test
+    * corpus: top-10 neighbors at cosine ≈ 0.3) needs fewer planes or
+    * depth 2 — the measured recall/candidate tradeoff is recorded in
+    * the spec. Probe values are distinct, so no candidate is scored
+    * twice. */
+  def annTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10, numPlanes: Int = 6,
+              probeHamming: Int = 1): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 2, "probeHamming in {0,1,2}")
     val v = withVec(embeddings).join(annBuckets(embeddings, numPlanes), "vec_id")
+    val flips: Seq[Long] = Seq(0L) ++
+      (if (probeHamming >= 1) (0 until numPlanes).map(p => 1L << p) else Seq.empty) ++
+      (if (probeHamming >= 2)
+         for { a <- 0 until numPlanes; b <- (a + 1) until numPlanes }
+           yield (1L << a) | (1L << b)
+       else Seq.empty)
+    val probeCols = flips.map(f => col("bucket").bitwiseXOR(lit(f)))
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("vec").as("qvec"),
-              col("norm").as("qnorm"), col("bucket").as("qbucket"))
+              col("norm").as("qnorm"), explode(array(probeCols: _*)).as("qbucket"))
     val joined = v.join(broadcast(q),
         col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
       .withColumn("dot",

@@ -25,7 +25,8 @@ object Catalog {
 
   def specs: Seq[QuerySpec] =
     relational ++ joinsAndSets ++ stats ++ scalars ++ windows ++ eventWindows ++
-      textQueries ++ dedupQueries ++ similarityQueries ++ multimodalQueries ++ mlQueries
+      textQueries ++ dedupQueries ++ similarityQueries ++ multimodalQueries ++
+      mlQueries ++ ingestAndServing
 
   // ---------------------------------------------------------------- //
   // §2.1-2.7 reference-parity relational operators
@@ -613,14 +614,17 @@ object Catalog {
 
   // ---------------------------------------------------------------- //
   // §2.10 ML pipelines (M1-M9) — not SQL-expressible; rows-only here,
-  // semantics covered by MLSpec
+  // semantics covered by MLSpec. All four draw on [[MLShared]]: ONE
+  // persisted feature table + ONE set of fitted encoder stages per
+  // run (round 1 rebuilt/cached/unpersisted per query — the top bench
+  // cost); Verify/Bench release the shared cache at end of run.
   // ---------------------------------------------------------------- //
   private def mlQueries: Seq[QuerySpec] = Seq(
     QuerySpec(
       "q50_ml_correlation",
       (s, dir) => {
-        val feats = MLPipelines.featureTable(Tables.orders(s, dir), Tables.customer(s, dir)).cache()
-        try MLPipelines.correlationMatrix(feats) finally feats.unpersist()
+        val (feats, enc) = MLShared.features(s, dir)
+        MLPipelines.correlationMatrix(feats, enc)
       },
       None),
 
@@ -628,12 +632,9 @@ object Catalog {
       "q51_ml_regression",
       (s, dir) => {
         import s.implicits._
-        // cache: pipeline fitting makes many passes (per-indexer distinct
-        // scans + LR iterations) over the join
-        val feats = MLPipelines.featureTable(Tables.orders(s, dir), Tables.customer(s, dir)).cache()
-        val (_, rmse) = MLPipelines.regression(feats)
+        val (feats, enc) = MLShared.features(s, dir)
+        val (_, rmse) = MLPipelines.regression(feats, enc)
         val n = feats.count()
-        feats.unpersist()
         Seq(("linear_regression", n, rmse)).toDF("model", "n_rows", "rmse")
       },
       None),
@@ -642,9 +643,7 @@ object Catalog {
       "q52_ml_classification",
       (s, dir) => {
         import s.implicits._
-        val feats = MLPipelines.featureTable(Tables.orders(s, dir), Tables.customer(s, dir)).cache()
-        val (_, median, auc) = MLPipelines.classification(feats)
-        feats.unpersist()
+        val (_, median, auc) = MLShared.classification(s, dir)
         Seq(("logistic_regression", median, auc)).toDF("model", "median_threshold", "auc")
       },
       None),
@@ -653,16 +652,110 @@ object Catalog {
       "q53_ml_kmeans",
       (s, dir) => {
         import org.apache.spark.sql.functions.{col, count, lit}
-        val feats = MLPipelines.featureTable(Tables.orders(s, dir), Tables.customer(s, dir)).cache()
-        val model = MLPipelines.clustering(feats)
-        val out = model.transform(feats)
+        val (feats, enc) = MLShared.features(s, dir)
+        val model = MLPipelines.clustering(feats, enc0 = enc)
+        model.transform(feats)
           .groupBy(col("prediction"))
           .agg(count(lit(1)).as("n_rows"))
           .orderBy(col("prediction"))
-        out.count() // materialize before releasing the cache
-        feats.unpersist()
-        out
       },
       None)
   )
+
+  // ---------------------------------------------------------------- //
+  // round-2 additions: ingest pipeline (S3/S4), dashboard second-stage
+  // rollups (§3.2), classification serving (§3.3), geocoding
+  // enrichment (S6), materialized-view rebuild (S2)
+  // ---------------------------------------------------------------- //
+  private def ingestAndServing: Seq[QuerySpec] = {
+    import org.apache.spark.sql.functions._
+    def tmp(tag: String, dir: String) =
+      s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${Integer.toHexString(dir.hashCode)}"
+    Seq(
+      QuerySpec(
+        "q54_ingest_batch",
+        (s, dir) => IngestOps.ingestBatch(s, Tables.orders(s, dir), tmp("ingest", dir)),
+        Some("""SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+               |FROM orders WHERE o_orderkey <= 6000
+               |ORDER BY o_orderkey""".stripMargin)),
+
+      QuerySpec(
+        "q55_dash_pie_rollup",
+        (s, dir) => RelationalOps.dashSubAgencyRollup(Tables.orders(s, dir)),
+        Some(s"""WITH monthly AS (
+                |  SELECT o_orderpriority, CAST(month(o_orderdate) AS BIGINT) AS o_month,
+                |         ${decSumSql("o_totalprice")} AS total_price
+                |  FROM orders GROUP BY o_orderpriority, o_month),
+                |top30 AS (
+                |  SELECT * FROM monthly
+                |  ORDER BY total_price DESC, o_orderpriority, o_month LIMIT 30)
+                |SELECT o_orderpriority, ${decSumSql("total_price")} AS total_price,
+                |       COUNT(*) AS n_months
+                |FROM top30 GROUP BY o_orderpriority
+                |ORDER BY o_orderpriority""".stripMargin)),
+
+      QuerySpec(
+        "q56_dash_line_rollup",
+        (s, dir) => RelationalOps.dashMonthRollup(Tables.orders(s, dir)),
+        Some(s"""WITH monthly AS (
+                |  SELECT o_orderpriority, CAST(month(o_orderdate) AS BIGINT) AS o_month,
+                |         ${decSumSql("o_totalprice")} AS total_price
+                |  FROM orders GROUP BY o_orderpriority, o_month),
+                |top30 AS (
+                |  SELECT * FROM monthly
+                |  ORDER BY total_price DESC, o_orderpriority, o_month LIMIT 30)
+                |SELECT o_month, ${decSumSql("total_price")} AS total_price,
+                |       COUNT(*) AS n_agencies
+                |FROM top30 GROUP BY o_month
+                |ORDER BY o_month""".stripMargin)),
+
+      QuerySpec(
+        "q57_classify_infer",
+        (s, dir) => {
+          val (model, _, _) = MLShared.classification(s, dir)
+          val (feats, _) = MLShared.features(s, dir)
+          val in = feats.orderBy(col("o_orderkey")).limit(20)
+          MLPipelines.withConfidence(model.transform(in))
+            .select(col("o_orderkey"), col("pred_label"), col("confidence"))
+            .orderBy(col("o_orderkey"))
+        },
+        None),
+
+      QuerySpec(
+        "q58_geo_enrich_rollup",
+        (s, dir) => GeoOps.geoEnrichedRollup(
+          Tables.lineitem(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir)),
+        Some(s"""WITH geo AS (
+                |  SELECT n_name,
+                |         CAST(((length(n_name) * 7 + ascii(substr(n_name, 1, 1)) * 3) % 120) - 60 + 0.5 AS DOUBLE) AS latitude,
+                |         CAST(((length(n_name) * 13 + ascii(substr(n_name, 1, 1)) * 5) % 360) - 180 + 0.25 AS DOUBLE) AS longitude
+                |  FROM nation)
+                |SELECT n_name, latitude, longitude,
+                |       ${decSumSql("l_extendedprice")} AS total_amount,
+                |       COUNT(*) AS n_items
+                |FROM lineitem
+                |JOIN supplier ON l_suppkey = s_suppkey
+                |JOIN nation ON s_nationkey = n_nationkey
+                |JOIN geo USING (n_name)
+                |GROUP BY n_name, latitude, longitude
+                |ORDER BY n_name""".stripMargin)),
+
+      QuerySpec(
+        "q59_mv_rebuild",
+        (s, dir) => {
+          val agg = RelationalOps.geoRollup(
+            Tables.lineitem(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir))
+          WriteOps.rebuild(agg, tmp("mv", dir), Seq("n_name"))
+            .select(col("s_name"), col("n_name"), col("total_amount"), col("n_items"))
+            .orderBy(col("s_name"))
+        },
+        Some(s"""SELECT s_name, n_name, ${decSumSql("l_extendedprice")} AS total_amount,
+                |       COUNT(*) AS n_items
+                |FROM lineitem
+                |JOIN supplier ON l_suppkey = s_suppkey
+                |JOIN nation   ON s_nationkey = n_nationkey
+                |GROUP BY s_name, n_name
+                |ORDER BY s_name""".stripMargin))
+    )
+  }
 }

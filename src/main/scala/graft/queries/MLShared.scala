@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import graft.engine.{MLPipelines, Tables}
+import graft.engine.MLPipelines.FittedEncoders
+
+/** Session-scoped shared state for the ML catalog queries (q50-q53,
+  * q57).
+  *
+  * All five consume the same feature table and the same fitted
+  * encoder stages. Round 1 built, cached and unpersisted that table
+  * independently per query — four build/cache cycles plus 15 serial
+  * distinct-count jobs per bench run. This memo builds it once per
+  * sfDir, persists it for the lifetime of the run (a deliberate shared
+  * materialization, released by Verify/Bench via [[release]]), fits
+  * the indexer/encoder stages once, and re-persists transparently if
+  * an external clearCache() evicted the table. The classification
+  * model is memoized too so the inference query (q57) reuses q52's fit
+  * instead of re-training — query evaluation order is not assumed
+  * (Verify iterates an unordered Map), so every accessor builds
+  * whatever it is missing on first touch.
+  */
+object MLShared {
+  private final case class St(dir: String, feats: DataFrame, enc: FittedEncoders)
+  private var st: Option[St] = None
+  private var cls: Option[(String, PipelineModel, Double, Double)] = None
+
+  def features(s: SparkSession, dir: String): (DataFrame, FittedEncoders) = synchronized {
+    st match {
+      case Some(x) if x.dir == dir =>
+        if (x.feats.storageLevel == StorageLevel.NONE) x.feats.persist()
+        (x.feats, x.enc)
+      case _ =>
+        release()
+        val f = MLPipelines.featureTable(Tables.orders(s, dir), Tables.customer(s, dir)).persist()
+        val enc = MLPipelines.fitEncoders(f)
+        st = Some(St(dir, f, enc))
+        (f, enc)
+    }
+  }
+
+  /** Memoized classification fit: (model, median threshold, auc). */
+  def classification(s: SparkSession, dir: String): (PipelineModel, Double, Double) =
+    synchronized {
+      cls match {
+        case Some((d, m, med, auc)) if d == dir => (m, med, auc)
+        case _ =>
+          val (f, enc) = features(s, dir)
+          val (m, med, auc) = MLPipelines.classification(f, enc)
+          cls = Some((dir, m, med, auc))
+          (m, med, auc)
+      }
+    }
+
+  def release(): Unit = synchronized {
+    st.foreach(_.feats.unpersist())
+    st = None
+    cls = None
+  }
+}

@@ -13,10 +13,18 @@ class CoreSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // Queries whose correct result CAN be empty on small fixtures:
+  // q11 anti-join (every customer may have orders), q15 EXCEPT (every
+  // customer may have a qualifying order), q43 strict-hamming
+  // near-dups (the corpus may genuinely contain none).
+  private val mayBeEmpty =
+    Set("q11_join_left_anti", "q15_except", "q43_simhash_pairs")
+
   test("every catalog query runs and returns rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
-      assert(n >= 0, s"$name failed")
+      if (mayBeEmpty(name)) assert(n >= 0, s"$name failed")
+      else assert(n > 0, s"$name returned no rows")
     }
   }
 

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.engine._
+import graft.engine.IngestOps.{FixtureSource, OrderRec}
+
+/** Round-2 operator semantics: batched ingest (S3/S4), MV rebuild
+  * (S2), geocoding enrichment (S6), dashboard second-stage rollups. */
+class IngestWriteSpec extends SparkSpec {
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft_${tag}_").toString + "/out"
+
+  test("ingest loop pages, retries one transient failure, and lands every row") {
+    val rows = (0 until 2345).map(i =>
+      OrderRec(i.toLong, i.toLong % 100, s"P${i % 5}", i * 1.5))
+    val out = tmpDir("ingest")
+    val n = IngestOps.runIngest(spark, new FixtureSource(rows, pageSize = 100),
+      out, batchSize = 1000)
+    assert(n == 2345, "retry must recover the failing page, not drop it")
+    val landed = spark.read.parquet(out)
+    assert(landed.count() == 2345)
+    assert(landed.select(col("o_orderpriority")).distinct().count() == 5,
+      "partition column round-trips through partitionBy")
+    val sums = landed.agg(sum(col("o_orderkey"))).head.getLong(0)
+    assert(sums == rows.map(_.o_orderkey).sum, "no row lost or duplicated")
+  }
+
+  test("ingest gives up after maxRetries persistent failures") {
+    val alwaysFail = new IngestOps.PagedSource {
+      def fetchPage(page: Int): Option[Seq[OrderRec]] =
+        throw new java.io.IOException("persistent")
+    }
+    intercept[java.io.IOException] {
+      IngestOps.fetchWithRetry(alwaysFail, 0, maxRetries = 2)
+    }
+  }
+
+  test("ingest is idempotent: re-running overwrites, not doubles") {
+    val rows = (0 until 500).map(i => OrderRec(i.toLong, 0L, s"P${i % 3}", 1.0))
+    val out = tmpDir("ingest2")
+    IngestOps.runIngest(spark, new FixtureSource(rows, 100), out, batchSize = 1000)
+    IngestOps.runIngest(spark, new FixtureSource(rows, 100), out, batchSize = 1000)
+    assert(spark.read.parquet(out).count() == 500)
+  }
+
+  test("MV rebuild round-trip hash-matches the in-memory aggregate") {
+    val agg = RelationalOps.geoRollup(
+      Tables.lineitem(spark, sf), Tables.supplier(spark, sf), Tables.nation(spark, sf))
+    val back = WriteOps.rebuild(agg, tmpDir("mv"), Seq("n_name"))
+      .select(col("s_name"), col("n_name"), col("total_amount"), col("n_items"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("s_name")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(key(back) == key(agg.select(col("s_name"), col("n_name"),
+      col("total_amount"), col("n_items"))))
+  }
+
+  test("geo lookup is deterministic and in valid ranges") {
+    val names = Seq("UNITED STATES", "FRANCE", "a")
+    names.foreach { n =>
+      val (lat, lon) = GeoOps.lookup(n)
+      assert(GeoOps.lookup(n) == ((lat, lon)))
+      assert(lat >= -90 && lat <= 90 && lon >= -180 && lon <= 180)
+    }
+  }
+
+  test("rate-limited client spaces lookups by the floor interval") {
+    val client = new GeoOps.RateLimitedClient(minIntervalMs = 20)
+    val t0 = System.nanoTime()
+    (1 to 4).foreach(_ => client.geocode("X"))
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(elapsedMs >= 60, s"4 lookups at 20ms floor took only ${elapsedMs}ms")
+  }
+
+  test("geo-enriched rollup matches the plain join rollup on totals") {
+    val li = Tables.lineitem(spark, sf)
+    val su = Tables.supplier(spark, sf)
+    val na = Tables.nation(spark, sf)
+    val enriched = GeoOps.geoEnrichedRollup(li, su, na)
+      .select(col("n_name"), col("total_amount"), col("n_items"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    val plain = RelationalOps.geoRollup(li, su, na)
+      .groupBy(col("n_name"))
+      .agg(sum(col("total_amount")).as("t"), sum(col("n_items")).as("n"))
+      .orderBy(col("n_name"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(enriched.sortBy(_._1) == plain.sortBy(_._1),
+      "enrichment must not change the aggregate, only add coordinates")
+  }
+
+  test("dashboard second-stage rollups conserve the top-30 slice total") {
+    val o = Tables.orders(spark, sf)
+    val slice = RelationalOps.topMonthSlice(o)
+      .agg(sum(col("total_price"))).head.getDouble(0)
+    val byAgency = RelationalOps.dashSubAgencyRollup(o)
+      .agg(sum(col("total_price"))).head.getDouble(0)
+    val byMonth = RelationalOps.dashMonthRollup(o)
+      .agg(sum(col("total_price"))).head.getDouble(0)
+    assert(math.abs(slice - byAgency) < 1e-6)
+    assert(math.abs(slice - byMonth) < 1e-6)
+  }
+}

@@ -75,6 +75,23 @@ class MLSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("classification inference: label + confidence, empty frame on unseen category") {
+    val (model, _, _) = MLPipelines.classification(feats)
+    val known = MLPipelines.withConfidence(model.transform(feats.limit(10)))
+      .select(col("pred_label"), col("confidence")).collect()
+    assert(known.nonEmpty)
+    known.foreach { r =>
+      assert(Set("HIGH", "LOW").contains(r.getString(0)))
+      // confidence = P(predicted class) * 100; the argmax class of a
+      // binary model has probability > 0.5
+      assert(r.getDouble(1) > 50.0 - 1e-6 && r.getDouble(1) <= 100.0,
+        s"confidence ${r.getDouble(1)} out of range")
+    }
+    val unseen = MLPipelines.predictOne(spark, model,
+      "NO-SUCH-PRIORITY", "O", "BUILDING", 6, 1996)
+    assert(unseen.isEmpty, "unseen category must be skipped (empty prediction)")
+  }
+
   test("correlation matrix is symmetric with unit diagonal") {
     val m = MLPipelines.correlationMatrix(feats)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap

@@ -33,13 +33,35 @@ class SimilarityMultimodalSpec extends SparkSpec {
     }
   }
 
-  test("ANN candidates all share the query bucket") {
+  test("ANN candidates lie in the query bucket or a 1-bit probe neighbor") {
     val buckets = SimilarityOps.annBuckets(emb)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val ann = SimilarityOps.annTopK(emb, nQueries = 5, k = 10).collect()
     ann.foreach { r =>
-      assert(buckets(r.getLong(0)) == buckets(r.getLong(1)))
+      val h = java.lang.Long.bitCount(buckets(r.getLong(0)) ^ buckets(r.getLong(1)))
+      assert(h <= 1, s"candidate ${r.getLong(1)} at bucket hamming $h")
     }
+  }
+
+  test("ANN recall@10 >= 0.8 at the recorded plane/probe config") {
+    // This corpus has weakly-separated neighbors (top-10 at cosine
+    // ~0.3), so the recorded config trades candidate pruning for
+    // recall: 4 planes, probe depth 2. The default q47 config
+    // (6 planes, depth 1) prunes harder and is the near-duplicate /
+    // production-scale shape; its recall here is recorded below for
+    // reference, not asserted.
+    val brute = SimilarityOps.cosineTopK(emb, nQueries = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(planes: Int, probe: Int): Double = {
+      val ann = SimilarityOps.annTopK(emb, nQueries = 5, k = 10,
+        numPlanes = planes, probeHamming = probe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (ann intersect brute).size.toDouble / brute.size
+    }
+    info(f"default config (6 planes, probe 1): recall@10 = ${recallOf(6, 1)}%.2f")
+    val recorded = recallOf(4, 2)
+    info(f"recorded config (4 planes, probe 2): recall@10 = $recorded%.2f")
+    assert(recorded >= 0.8, s"recall@10 = $recorded at 4 planes / probe 2")
   }
 
   test("multimodal decode stub is deterministic and shape-correct") {

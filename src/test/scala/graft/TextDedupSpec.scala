@@ -59,13 +59,31 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.head.getDouble(2) > 0.5, s"estimate ${pairs.head.getDouble(2)} too low")
   }
 
-  test("simhash of identical text has hamming distance 0") {
-    val dup = docs.filter(col("doc_id") === 0).withColumn("doc_id", lit(55L))
-    val injected = docs.filter(col("doc_id") < 55).unionByName(dup)
-    val pairs = DedupOps.simhashPairs(injected, maxDocId = 60, maxHamming = 64)
-      .filter(col("doc_i") === 0 && col("doc_j") === 55)
+  test("simhash banding finds an injected duplicate at hamming 0 (full corpus, no cap)") {
+    val dup = docs.filter(col("doc_id") === 0).withColumn("doc_id", lit(1000000L))
+    val pairs = DedupOps.simhashPairs(docs.unionByName(dup))
+      .filter(col("doc_i") === 0 && col("doc_j") === 1000000L)
       .collect()
-    assert(pairs.length == 1 && pairs.head.getLong(2) == 0L)
+    assert(pairs.length == 1 && pairs.head.getLong(2) == 0L,
+      "identical text must share every band bucket and score hamming 0")
+  }
+
+  test("simhash banding recall is exact within the pigeonhole bound") {
+    // All surviving pairs obey the threshold, and a direct all-pairs
+    // hamming scan over the signatures finds no pair <= maxHamming that
+    // banding missed (the bands-1 >= maxHamming guarantee).
+    val maxHamming = 3
+    val found = DedupOps.simhashPairs(docs, bands = 4, maxHamming = maxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(found.values.forall(_ <= maxHamming))
+    val sigs = DedupOps.simhashSignatures(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val exhaustive = (for {
+      (i, si) <- sigs; (j, sj) <- sigs if i < j
+      h = java.lang.Long.bitCount(si ^ sj) if h <= maxHamming
+    } yield (i, j) -> h.toLong).toMap
+    assert(found == exhaustive,
+      s"banding must find exactly the exhaustive pairs: got ${found.size}, want ${exhaustive.size}")
   }
 
   test("jaccard pairs are within [0,1] and thresholded") {
