@@ -107,7 +107,7 @@ object IngestOps {
     * partition-discovering reader. Oracle: the same slice selected
     * directly from the source table. */
   def ingestBatch(spark: SparkSession, orders: DataFrame, outPath: String,
-                  maxKey: Long = 6000L, pageSize: Int = 500, batchSize: Int = 1000): DataFrame = {
+                  maxKey: Long = 6000L, pageSize: Int = 500, batchSize: Int = 2000): DataFrame = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     val rows = orders.filter(col("o_orderkey") <= maxKey)

@@ -52,6 +52,39 @@ object ScalarOps {
         .getField("k").cast("long").as("k_struct"))
       .orderBy(col("event_id"))
 
+  /** Display number formatting (F8 — reference:
+    * templates/dashboard.html:80-92 `formatNumberWithSuffix`:
+    * toFixed(2) + " Trillion|Billion|Million|Thousand"). Re-expressed
+    * engine-side so the serving layer never re-formats in JS. One
+    * deliberate divergence: the reference's else-branch returns raw
+    * `num.toString`; we pin two decimals there too so the output is
+    * byte-stable across engines (double-to-string formatting is not). */
+  def displayFormat(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def two(c: org.apache.spark.sql.Column) =
+      round(c, 2).cast(DecimalType(18, 2)).cast("string")
+    def part(c: org.apache.spark.sql.Column, div: Double, suffix: String) =
+      concat(two(c / div), lit(suffix))
+    val c = col("total_price")
+    val fmt = when(c >= 1e12, part(c, 1e12, " Trillion"))
+      .when(c >= 1e9, part(c, 1e9, " Billion"))
+      .when(c >= 1e6, part(c, 1e6, " Million"))
+      .when(c >= 1e3, part(c, 1e3, " Thousand"))
+      .otherwise(two(c))
+    orders
+      .groupBy(col("o_orderpriority"))
+      .agg(decSum(col("o_totalprice")).as("total_price"),
+           decAvg(col("o_totalprice")).as("avg_price"))
+      .select(col("o_orderpriority"), col("total_price"),
+              fmt.as("display_total"),
+              when(col("avg_price") >= 1e12, part(col("avg_price"), 1e12, " Trillion"))
+                .when(col("avg_price") >= 1e9, part(col("avg_price"), 1e9, " Billion"))
+                .when(col("avg_price") >= 1e6, part(col("avg_price"), 1e6, " Million"))
+                .when(col("avg_price") >= 1e3, part(col("avg_price"), 1e3, " Thousand"))
+                .otherwise(two(col("avg_price"))).as("display_avg"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Ingest-audit row (F6/F7 — reference: download_history insert,
     * app/ml_app.py:542-551): uuid + timestamps + row count. uuid() and
     * current_timestamp() are nondeterministic by design — no oracle;

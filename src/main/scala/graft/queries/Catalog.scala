@@ -359,7 +359,29 @@ object Catalog {
     QuerySpec(
       "q27_audit_row",
       (s, dir) => ScalarOps.auditRow(s, Tables.orders(s, dir)),
-      None)
+      None),
+
+    QuerySpec(
+      "q60_display_format",
+      (s, dir) => ScalarOps.displayFormat(Tables.orders(s, dir)),
+      Some {
+        def two(e: String) = s"CAST(CAST(ROUND($e, 2) AS DECIMAL(18,2)) AS VARCHAR)"
+        def fmt(c: String) =
+          s"""CASE WHEN $c >= 1e12 THEN ${two(s"$c/1e12")} || ' Trillion'
+             |     WHEN $c >= 1e9  THEN ${two(s"$c/1e9")} || ' Billion'
+             |     WHEN $c >= 1e6  THEN ${two(s"$c/1e6")} || ' Million'
+             |     WHEN $c >= 1e3  THEN ${two(s"$c/1e3")} || ' Thousand'
+             |     ELSE ${two(c)} END""".stripMargin
+        s"""WITH t AS (
+           |  SELECT o_orderpriority,
+           |         ${decSumSql("o_totalprice")} AS total_price,
+           |         ${decAvgSql("o_totalprice")} AS avg_price
+           |  FROM orders GROUP BY o_orderpriority)
+           |SELECT o_orderpriority, total_price,
+           |       ${fmt("total_price")} AS display_total,
+           |       ${fmt("avg_price")} AS display_avg
+           |FROM t ORDER BY o_orderpriority""".stripMargin
+      })
   )
 
   // ---------------------------------------------------------------- //
