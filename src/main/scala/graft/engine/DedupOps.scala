@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{MinHashAgg, SimHashAgg}
+import graft.functions.{MinHashAgg, SimHashPack}
 
 /** Deduplication operators over `documents` (north-star: exact,
   * MinHash+LSH, SimHash, n-gram Jaccard).
@@ -134,16 +134,23 @@ object DedupOps {
       .orderBy(col("doc_i"), col("doc_j"))
   }
 
-  /** SimHash: 64-bit signature from per-token hash bit votes, computed
-    * by ONE typed aggregate ([[SimHashAgg]]) instead of 64 conditional
-    * sums. */
+  /** SimHash: 64-bit signature from per-token hash bit votes. A
+    * document's tokens already live in one row, so the whole signature
+    * is per-row expression work: tokenize → xxhash64 each token inside
+    * a higher-order `transform` → fold the votes with the codegen'd
+    * [[SimHashPack]] expression. No explode, no aggregate, no shuffle —
+    * a pure scan projection (round 2's explode + typed-Aggregator plan
+    * pushed one row per token through an ExpressionEncoder and cost
+    * 20 s at sf0.1; same votes, same packing, same signatures).
+    * Token-less documents are dropped, matching the explode-form
+    * semantics where they produced no group. */
   def simhashSignatures(documents: DataFrame): DataFrame = {
-    val sh = udaf(SimHashAgg)
+    SimHashPack.register(documents.sparkSession)
     documents
       .select(col("doc_id"),
-        explode(expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)")).as("tok"))
-      .groupBy(col("doc_id"))
-      .agg(sh(xxhash64(col("tok"))).as("simhash"))
+        expr("transform(regexp_extract_all(lower(text), '[a-z0-9_]+', 0), t -> xxhash64(t))").as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), expr("simhash_pack(toks)").as("simhash"))
   }
 
   /** SimHash near-dup pairs via prefix-band bucketing — the same LSH
@@ -179,5 +186,78 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_i"), col("doc_j"), col("hamming"))
       .orderBy(col("doc_i"), col("doc_j"))
+  }
+
+  /** Connected components over candidate-pair edges by iterative
+    * min-label propagation: every node starts labelled with its own id;
+    * each round a node takes the minimum of its label and its
+    * neighbours' labels; at fixpoint the label is the component's
+    * minimum doc_id. The loop is driver-side CONTROL only — each round
+    * is one distributed join + aggregate, never a driver-side graph;
+    * rounds needed = component diameter (near-dup clusters are
+    * shallow). Every round is `localCheckpoint`ed: lineage stays O(1)
+    * so the plan does not grow with iterations (at cluster scale swap
+    * in reliable `checkpoint` to a DFS dir for fault tolerance).
+    *
+    * `nodes` must carry a unique `doc_id`; `edges` carries
+    * (doc_i, doc_j). Returns (doc_id, cluster_id). */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges
+      .select(col("doc_i").cast("long").as("src"), col("doc_j").cast("long").as("dst"))
+      .union(edges.select(col("doc_j").cast("long").as("src"), col("doc_i").cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = nodes
+      .select(col("doc_id").cast("long").as("doc_id"), col("doc_id").cast("long").as("cluster_id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("doc_id").as("src"), col("cluster_id").as("src_cluster")), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("src_cluster")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.withColumnRenamed("cluster_id", "prev_cluster"), "doc_id")
+        .filter(col("cluster_id") =!= col("prev_cluster"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-dup dedup, end-to-end: candidate-pair edges → connected
+    * components → canonical document (the cluster's min doc_id) per
+    * cluster. Returns the deduped corpus: one row per KEPT document
+    * with the number of originals it absorbed. Oracle-checkable when
+    * the edge set is SQL-expressible (q61 feeds [[jaccardPairs]];
+    * DuckDB reproduces the transitive closure with a recursive CTE). */
+  def nearDedup(documents: DataFrame, edges: DataFrame): DataFrame =
+    connectedComponents(documents.select(col("doc_id")), edges)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("cluster_id").as("doc_id"), col("n_members"))
+      .orderBy(col("doc_id"))
+
+  /** The production near-dedup pipeline: sketch-based candidate edges
+    * (MinHash-LSH estimated Jaccard ∪ SimHash hamming ball), clustered
+    * and collapsed by [[nearDedup]]. Not SQL-expressible (seeded
+    * sketches); recall on injected near-dups is asserted in
+    * TextDedupSpec. */
+  def nearDedupSketch(documents: DataFrame, minEstJaccard: Double = 0.5,
+                      maxHamming: Int = 3): DataFrame = {
+    val mh = minhashPairs(documents)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("doc_i"), col("doc_j"))
+    val sh = simhashPairs(documents, maxHamming = maxHamming)
+      .select(col("doc_i"), col("doc_j"))
+    nearDedup(documents, mh.union(sh).distinct())
   }
 }

@@ -163,6 +163,19 @@ object MLPipelines {
     model.transform(in)
   }
 
+  /** S9: engine-level model persistence. The reference trains offline
+    * and loads saved PipelineModels at serving startup
+    * (app/ml_app.py:68-74); artifact layout is Spark ML's native one —
+    * `<path>/metadata/part-00000` (JSON with the stageUids list, as in
+    * the reference's outputs/pipeline_regression/metadata/part-00000)
+    * plus one `<path>/stages/<i>_<uid>/` dir per fitted stage.
+    * Round-trip equality is asserted in MLSpec; the serving-path
+    * save→load→infer composition is catalog-visible as q65. */
+  def saveModel(model: PipelineModel, path: String): Unit =
+    model.write.overwrite().save(path)
+
+  def loadModel(path: String): PipelineModel = PipelineModel.load(path)
+
   /** Classification inference with probability extraction — the
     * reference's serving-path label + confidence (app/ml_app.py:282-287:
     * label = HIGH iff prediction==1, confidence = probability[label]·100,

@@ -105,4 +105,45 @@ object SimilarityOps {
       .select(col("qid"), col("vec_id"), col("score"), col("rn"))
       .orderBy(col("qid"), col("rn"))
   }
+
+  /** High-cosine pair candidates restricted to same-LSH-bucket vectors
+    * — the edge set for [[semanticDedup]]. Bucketing keeps the
+    * self-join equi on `bucket` (no all-pairs cross product); exact
+    * cosine verifies every candidate, so precision is exact and only
+    * recall depends on the LSH (near-identical vectors agree on all
+    * planes w.h.p.; identical vectors deterministically). */
+  def semanticDupPairs(embeddings: DataFrame, numPlanes: Int = 8,
+                       threshold: Double = 0.95): DataFrame = {
+    val v = withVec(embeddings).join(annBuckets(embeddings, numPlanes), "vec_id")
+    val a = v.select(col("vec_id").as("vec_i"), col("vec").as("vec_a"),
+                     col("norm").as("norm_a"), col("bucket"))
+    val b = v.select(col("vec_id").as("vec_j"), col("vec").as("vec_b"),
+                     col("norm").as("norm_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_i") < col("vec_j"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(vec_a, vec_b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("score", round(col("dot") / (col("norm_a") * col("norm_b")), 6))
+      .filter(col("score") >= threshold)
+      .select(col("vec_i"), col("vec_j"), col("score"))
+  }
+
+  /** Semantic (embedding-space) dedup — the SemDeDup-style pipeline:
+    * LSH-bucketed high-cosine pairs → connected components
+    * ([[DedupOps.connectedComponents]], distributed min-label
+    * propagation) → one canonical vector (min vec_id) per cluster.
+    * Emits EVERY vector with its cluster and dup flag so the caller
+    * can either drop dups or map them to their canonical
+    * representative. Not SQL-expressible (hash-derived hyperplanes);
+    * injected-duplicate behavior is asserted in
+    * SimilarityMultimodalSpec. */
+  def semanticDedup(embeddings: DataFrame, numPlanes: Int = 8,
+                    threshold: Double = 0.95): DataFrame = {
+    val edges = semanticDupPairs(embeddings, numPlanes, threshold)
+      .select(col("vec_i").as("doc_i"), col("vec_j").as("doc_j"))
+    DedupOps.connectedComponents(embeddings.select(col("vec_id").as("doc_id")), edges)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+              (col("doc_id") =!= col("cluster_id")).as("is_dup"))
+      .orderBy(col("vec_id"))
+  }
 }

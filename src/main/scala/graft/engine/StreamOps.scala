@@ -50,32 +50,54 @@ object StreamOps {
               col("user_id"), col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Watermarked streaming source over the events parquet. Schema as
+    * stored (ts is LongType nanos under nanosAsLong); the nanos→micros
+    * conversion runs inside the stream, as it would on a real ingest
+    * pipeline. FileStreamSource wants a directory; scope it to the
+    * events file with a glob filter. */
+  private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.timestamp_micros
+    import org.apache.spark.sql.types.LongType
+    val raw: StructType = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val source = spark.readStream.schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    if (raw("ts").dataType == LongType)
+      source.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else source
+  }
+
   /** The streaming form of [[tumbling]]: watermark + append-mode
     * windowed aggregation into a named memory sink. State per window
     * is bounded by the watermark — late data beyond 10 minutes is
     * dropped, closed windows are evicted. */
   def streamingTumbling(spark: SparkSession, sfDir: String, sinkName: String): StreamingQuery = {
-    import org.apache.spark.sql.functions.timestamp_micros
-    import org.apache.spark.sql.types.LongType
-    // schema as stored (ts is LongType nanos under nanosAsLong); the
-    // nanos->micros conversion runs inside the stream, as it would on a
-    // real ingest pipeline.
-    val raw: StructType = spark.read.parquet(s"$sfDir/events.parquet").schema
-    // FileStreamSource wants a directory; scope it to the events file
-    // with a glob filter.
-    val source = spark.readStream.schema(raw)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-    val withTs =
-      if (raw("ts").dataType == LongType)
-        source.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else source
-    val stream = withTs
+    val stream = eventStream(spark, sfDir)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
               col("event_type"), col("n_events"), col("sum_value"))
+    stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+  }
+
+  /** The streaming form of [[sessions]]: watermarked session windows,
+    * append mode — a session is emitted once the watermark passes its
+    * end (last event + gap), so session state is bounded even with
+    * unbounded users. Identical aggregation to the batch form;
+    * equivalence on the emitted subset is asserted in StreamingSpec. */
+  def streamingSessions(spark: SparkSession, sfDir: String, sinkName: String): StreamingQuery = {
+    val stream = eventStream(spark, sfDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("user_id"), col("n_events"), col("sum_value"))
     stream.writeStream
       .outputMode("append")
       .format("memory")

@@ -84,6 +84,41 @@ object TextOps {
               length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Distinct word n-grams per document (lowercased token windows,
+    * joined with single spaces) — the decontamination unit. Exploded
+    * long-form: (doc_id, gram). */
+  def wordNgrams(documents: DataFrame, n: Int = 5): DataFrame =
+    documents
+      .select(col("doc_id"),
+        expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(array_distinct(
+        expr(s"transform(sequence(1, size(toks) - ${n - 1}), i -> array_join(slice(toks, i, $n), ' '))")))
+        .as("gram"))
+
+  /** Cross-set decontamination (the LLM-pipeline eval-leak check):
+    * count, per corpus document, the distinct word n-grams it shares
+    * with ANY held-out document, and flag documents at or above
+    * `minShared`. Joining against the DISTINCT held-out gram set (not
+    * held-out documents) keeps the join linear in corpus grams — no
+    * corpus-doc × heldout-doc pair blowup; at 100 TB the held-out gram
+    * set is small enough to broadcast or bloom-filter, and AQE picks
+    * the broadcast side automatically here. Fully SQL-expressible →
+    * hash-checked against the DuckDB oracle (q62). */
+  def contaminationCheck(corpus: DataFrame, heldout: DataFrame,
+                         n: Int = 5, minShared: Int = 5): DataFrame = {
+    val heldGrams = wordNgrams(heldout, n).select(col("gram")).distinct()
+    val shared = wordNgrams(corpus, n)
+      .join(heldGrams, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    corpus.select(col("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("flagged", col("n_shared") >= minShared)
+      .orderBy(col("doc_id"))
+  }
+
   /** Fingerprint via the custom codegen'd [[RollingHash]] expression
     * (not SQL-oracle-expressible; value-checked in TextSpec against an
     * independent Scala implementation). */

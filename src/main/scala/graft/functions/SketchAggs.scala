@@ -40,8 +40,10 @@ object SketchAggs {
   * Charikar construction); output = the packed 64-bit signature whose
   * bit i is set iff votes(i) > 0.
   *
-  * Replaces the 64 `sum(when(...))` aggregate columns of round 1
-  * (reference semantics unchanged — same votes, same packing).
+  * Replaced in the engine by the per-row codegen'd
+  * [[SimHashPack]] expression (a document's tokens are one row — no
+  * explode/shuffle needed); retained as the independent reference
+  * implementation TextDedupSpec checks the expression against.
   */
 object SimHashAgg extends Aggregator[Long, Array[Long], Long] {
   override def zero: Array[Long] = new Array[Long](64)

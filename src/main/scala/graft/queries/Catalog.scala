@@ -140,7 +140,22 @@ object Catalog {
               |       COUNT(*) AS n_orders
               |FROM orders JOIN customer ON o_custkey = c_custkey
               |GROUP BY c_mktsegment
-              |ORDER BY c_mktsegment""".stripMargin))
+              |ORDER BY c_mktsegment""".stripMargin)),
+
+    // Partitioned storage layer + dynamic partition pruning: the month
+    // filter reaches the fact scan only through the dim join (DPP
+    // evidence in ScaleSpec / SCALE.md); the oracle applies the
+    // equivalent static predicate to the raw table.
+    QuerySpec(
+      "q64_partitioned_dpp",
+      (s, dir) => PartitionedTables.quarterRollup(s, dir, quarter = 1),
+      Some(s"""SELECT CAST(month(o_orderdate) AS BIGINT) AS o_month,
+              |       ${decSumSql("o_totalprice")} AS total_price,
+              |       COUNT(*) AS n_orders
+              |FROM orders
+              |WHERE month(o_orderdate) IN (1, 2, 3)
+              |GROUP BY o_month
+              |ORDER BY o_month""".stripMargin))
   )
 
   // ---------------------------------------------------------------- //
@@ -549,7 +564,34 @@ object Catalog {
     QuerySpec(
       "q39_rolling_hash",
       (s, dir) => TextOps.rollingFingerprints(Tables.documents(s, dir)),
-      None)
+      None),
+
+    // Decontamination: corpus docs (doc_id >= 50) sharing word 5-grams
+    // with the held-out slice (doc_id < 50).
+    QuerySpec(
+      "q62_decontamination",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val docs = Tables.documents(s, dir)
+        TextOps.contaminationCheck(
+          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS t
+             |  FROM documents),
+             |ng AS (
+             |  SELECT DISTINCT doc_id, array_to_string(list_slice(t, gi, gi + 4), ' ') AS g
+             |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS gi
+             |        FROM tok WHERE len(t) >= 5)),
+             |hg AS (SELECT DISTINCT g FROM ng WHERE doc_id < 50),
+             |shr AS (SELECT doc_id, COUNT(*) AS n_shared
+             |        FROM ng JOIN hg USING (g)
+             |        WHERE doc_id >= 50 GROUP BY doc_id)
+             |SELECT d.doc_id, COALESCE(shr.n_shared, 0) AS n_shared,
+             |       COALESCE(shr.n_shared, 0) >= 5 AS flagged
+             |FROM (SELECT doc_id FROM documents WHERE doc_id >= 50) d
+             |LEFT JOIN shr USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))
   )
 
   // ---------------------------------------------------------------- //
@@ -588,7 +630,43 @@ object Catalog {
     QuerySpec(
       "q43_simhash_pairs",
       (s, dir) => DedupOps.simhashPairs(Tables.documents(s, dir)),
-      None)
+      None),
+
+    // End-to-end near-dup dedup: candidate pairs -> connected
+    // components -> canonical corpus. Edges here are the
+    // SQL-expressible exact-Jaccard pairs (q41), so DuckDB can
+    // reproduce the transitive closure with a recursive CTE; the
+    // sketch-edge production pipeline (nearDedupSketch) is covered by
+    // TextDedupSpec.
+    QuerySpec(
+      "q61_near_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val docs = Tables.documents(s, dir)
+        DedupOps.nearDedup(docs,
+          DedupOps.jaccardPairs(docs).select(col("doc_i"), col("doc_j")))
+      },
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT DISTINCT doc_id, s FROM (
+             |    SELECT doc_id, substr(text, unnest(range(1, length(text) - 3)), 5) AS s
+             |    FROM documents WHERE doc_id < 60)),
+             |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+             |c AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS common
+             |      FROM sh a JOIN sh b USING (s)
+             |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+             |p AS (SELECT doc_i, doc_j FROM c
+             |      JOIN n ni ON doc_i = ni.doc_id JOIN n nj ON doc_j = nj.doc_id
+             |      WHERE ROUND(CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common), 6) >= 0.15),
+             |e AS (SELECT doc_i AS src, doc_j AS dst FROM p
+             |      UNION ALL SELECT doc_j, doc_i FROM p),
+             |reach(node, lbl) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node),
+             |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+             |SELECT cluster_id AS doc_id, COUNT(*) AS n_members
+             |FROM cl GROUP BY cluster_id
+             |ORDER BY doc_id""".stripMargin))
   )
 
   // ---------------------------------------------------------------- //
@@ -613,6 +691,11 @@ object Catalog {
     QuerySpec(
       "q47_ann_lsh_topk",
       (s, dir) => SimilarityOps.annTopK(Tables.embeddings(s, dir)),
+      None),
+
+    QuerySpec(
+      "q63_semantic_dedup",
+      (s, dir) => SimilarityOps.semanticDedup(Tables.embeddings(s, dir)),
       None)
   )
 
@@ -691,8 +774,10 @@ object Catalog {
   // ---------------------------------------------------------------- //
   private def ingestAndServing: Seq[QuerySpec] = {
     import org.apache.spark.sql.functions._
+    // pid-tagged so two concurrent runs over the same sfDir never
+    // write into each other's scratch space (VERDICT r3 robustness note)
     def tmp(tag: String, dir: String) =
-      s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${Integer.toHexString(dir.hashCode)}"
+      s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${Integer.toHexString(dir.hashCode)}_${ProcessHandle.current().pid()}"
     Seq(
       QuerySpec(
         "q54_ingest_batch",
@@ -738,6 +823,24 @@ object Catalog {
           val (feats, _) = MLShared.features(s, dir)
           val in = feats.orderBy(col("o_orderkey")).limit(20)
           MLPipelines.withConfidence(model.transform(in))
+            .select(col("o_orderkey"), col("pred_label"), col("confidence"))
+            .orderBy(col("o_orderkey"))
+        },
+        None),
+
+      // S9 made catalog-visible: save the fitted classification model,
+      // load it back, and serve the q57 inference slice from the LOADED
+      // model — the reference's train-offline / load-at-startup path.
+      QuerySpec(
+        "q65_model_persist_infer",
+        (s, dir) => {
+          val (model, _, _) = MLShared.classification(s, dir)
+          val path = tmp("model", dir)
+          MLPipelines.saveModel(model, path)
+          val loaded = MLPipelines.loadModel(path)
+          val (feats, _) = MLShared.features(s, dir)
+          val in = feats.orderBy(col("o_orderkey")).limit(20)
+          MLPipelines.withConfidence(loaded.transform(in))
             .select(col("o_orderkey"), col("pred_label"), col("confidence"))
             .orderBy(col("o_orderkey"))
         },

@@ -2,7 +2,6 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.ml.PipelineModel
 import org.apache.spark.sql.functions._
 
 import graft.engine.{MLPipelines, Tables}
@@ -62,11 +61,24 @@ class MLSpec extends SparkSpec {
     assert(unseen.isEmpty, "unseen category must be skipped (empty prediction)")
   }
 
-  test("pipeline model save/load roundtrip preserves predictions") {
+  test("engine save/load roundtrip preserves predictions; artifact layout matches reference") {
     val (model, _) = MLPipelines.regression(feats)
     val dir = Files.createTempDirectory("graft_model_").toString + "/reg"
-    model.write.overwrite().save(dir)
-    val loaded = PipelineModel.load(dir)
+    MLPipelines.saveModel(model, dir)
+    // Artifact-layout parity with the reference's saved pipeline
+    // (outputs/pipeline_regression/metadata/part-00000): a JSON
+    // metadata part file declaring the PipelineModel class and the
+    // ordered stageUids list, plus one stages/<i>_<uid> dir per stage.
+    // (Spark 4 names the part file part-00000-<uuid>-c000.txt.)
+    val metaFile = new java.io.File(s"$dir/metadata").listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val meta = new String(Files.readAllBytes(metaFile.toPath))
+    assert(meta.contains("\"class\":\"org.apache.spark.ml.PipelineModel\""))
+    assert(meta.contains("\"stageUids\""))
+    val stageDirs = new java.io.File(s"$dir/stages").list().sorted
+    assert(stageDirs.length == model.stages.length)
+    val loaded = MLPipelines.loadModel(dir)
+    assert(loaded.stages.map(_.uid).toSeq == model.stages.map(_.uid).toSeq)
     val sample = feats.limit(50)
     val a = model.transform(sample).select(col("o_orderkey"), col("prediction"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{PartitionedTables, Tables}
+import graft.engine.Exact._
+
+/** Scale-path evidence tests: the partitioned storage layer and the
+  * runtime pruning it unlocks (SURVEY §2.1 S1 100 TB column; VERDICT
+  * r3 missing item 4). */
+class ScaleSpec extends SparkSpec {
+
+  test("partitioned layout round-trips orders exactly") {
+    val part = PartitionedTables.ordersByMonth(spark, sf)
+    val raw = Tables.orders(spark, sf)
+    assert(part.count() == raw.count())
+    // partition column equals the derived month for every row
+    assert(part.filter(col("o_month") =!= month(col("o_orderdate"))).count() == 0)
+  }
+
+  test("quarter rollup over partitioned fact: DPP in the plan, result matches raw table") {
+    val df = PartitionedTables.quarterRollup(spark, sf, quarter = 1)
+    val got = df.collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val direct = Tables.orders(spark, sf)
+      .filter(month(col("o_orderdate")).isin(1, 2, 3))
+      .groupBy(month(col("o_orderdate")).cast("long").as("o_month"))
+      .agg(decSum(col("o_totalprice")).as("total_price"), count(lit(1)).as("n_orders"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got == direct, s"partitioned result diverges: $got vs $direct")
+    // The month predicate never appears in the query over the fact —
+    // it must reach the partitioned scan as a DynamicPruningExpression
+    // built from the filtered dim at runtime.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning in the physical plan:\n$plan")
+  }
+}

@@ -64,6 +64,30 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(recorded >= 0.8, s"recall@10 = $recorded at 4 planes / probe 2")
   }
 
+  test("semantic dedup absorbs an injected identical vector, keeps real vectors") {
+    val copy = emb.filter(col("vec_id") === 0).withColumn("vec_id", lit(1000000L))
+    val out = SimilarityOps.semanticDedup(emb.unionByName(copy))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.size == emb.count() + 1, "every vector must appear exactly once")
+    assert(out(1000000L) == (0L, true),
+      s"identical copy must cluster under vec 0 as a dup, got ${out(1000000L)}")
+    assert(out(0L) == (0L, false), "the canonical vector is not a dup")
+  }
+
+  test("semantic dedup pairs match brute-force cosine at the same threshold (precision exact)") {
+    val bucketed = SimilarityOps.semanticDupPairs(emb, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // precision: every bucketed pair's score is confirmed >= threshold
+    assert(bucketed.values.forall(_ >= 0.9))
+    // agreement: scores equal the brute-force cosine for the same pair
+    val brute = SimilarityOps.cosineTopK(emb, nQueries = emb.count().toInt, k = 5)
+      .collect().map(r => (math.min(r.getLong(0), r.getLong(1)),
+                           math.max(r.getLong(0), r.getLong(1))) -> r.getDouble(2)).toMap
+    bucketed.foreach { case (pair, s) =>
+      brute.get(pair).foreach(bs => assert(math.abs(bs - s) < 1e-9, s"pair $pair"))
+    }
+  }
+
   test("multimodal decode stub is deterministic and shape-correct") {
     val docs = Tables.documents(spark, sf)
     val a = MultimodalOps.decodeFeatures(docs).collect()

@@ -31,6 +31,59 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming session window equals batch session window on the emitted subset") {
+    val q = StreamOps.streamingSessions(spark, sf, "stream_sessions")
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("stream_sessions").collect()
+    assert(streamed.nonEmpty, "watermark should close most 5-minute-gap sessions")
+    val batchMap = StreamOps.sessions(Tables.events(spark, sf)).collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2)) ->
+                (r.getLong(3), r.getDouble(4)))
+      .toMap
+    streamed.foreach { r =>
+      val key = (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2))
+      val expected = batchMap.get(key)
+      assert(expected.contains((r.getLong(3), r.getDouble(4))),
+        s"session $key differs: streamed (${r.getLong(3)}, ${r.getDouble(4)}) vs batch $expected")
+    }
+  }
+
+  test("watermark drops data later than the delay; on-time windows are unaffected") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val agg = input.toDF().toDF("sec", "k")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("k"), col("n"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("wm_drop").start()
+    try {
+      // batch 1: two on-time events in window [0,10) + one at 30min
+      // that advances the watermark to 20min, closing [0,10)
+      input.addData((60L, "a"), (120L, "a"), (1800L, "b"))
+      q.processAllAvailable()
+      // batch 2: a LATE event for [0,10) — event time 2min is behind
+      // the 20min watermark, so it must be dropped, not re-aggregated
+      input.addData((120L, "a"))
+      q.processAllAvailable()
+      // batch 3: advance the watermark past window [30,40) to flush it
+      input.addData((3600L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("wm_drop").collect()
+      .map(r => (r.getTimestamp(0).toInstant.getEpochSecond, r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(rows((0L, "a")) == 2L,
+      s"late event must not change the closed window: $rows")
+    assert(rows.get((1800L, "b")).contains(1L), s"on-time window missing: $rows")
+  }
+
   test("session windows never overlap per user and respect the gap") {
     val sessions = StreamOps.sessions(Tables.events(spark, sf)).collect()
     sessions.groupBy(_.getLong(2)).foreach { case (_, rows) =>

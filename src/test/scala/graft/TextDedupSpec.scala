@@ -86,6 +86,42 @@ class TextDedupSpec extends SparkSpec {
       s"banding must find exactly the exhaustive pairs: got ${found.size}, want ${exhaustive.size}")
   }
 
+  test("simhash_pack signatures equal the explode+aggregator reference path") {
+    val agg = udaf(graft.functions.SimHashAgg)
+    val viaAgg = docs
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)")).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(agg(xxhash64(col("tok"))).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPack = DedupOps.simhashSignatures(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaPack == viaAgg)
+  }
+
+  test("connected components: transitive chains collapse, singletons stay") {
+    import spark.implicits._
+    val nodes = (0L to 6L).toDF("doc_id")
+    val edges = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("doc_i", "doc_j")
+    val cc = DedupOps.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("near-dedup sketch collapses injected near-duplicates into one canonical doc") {
+    val base = docs.filter(col("doc_id") === 0)
+    val nearDup = base
+      .withColumn("doc_id", lit(1000000L))
+      .withColumn("text", concat(col("text"), lit(" tail")))
+    val exactDup = base.withColumn("doc_id", lit(1000001L))
+    val deduped = DedupOps.nearDedupSketch(
+      docs.unionByName(nearDup).unionByName(exactDup))
+    val kept = deduped.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!kept.contains(1000000L) && !kept.contains(1000001L),
+      "injected duplicates must be absorbed, not kept")
+    assert(kept(0L) >= 3L, s"doc 0 should absorb both injections, n_members=${kept.get(0L)}")
+  }
+
   test("jaccard pairs are within [0,1] and thresholded") {
     val pairs = DedupOps.jaccardPairs(docs).collect()
     assert(pairs.nonEmpty)
