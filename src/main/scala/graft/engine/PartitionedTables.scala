@@ -58,6 +58,22 @@ object PartitionedTables {
   def monthDim(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"${ensure(spark, sfDir)}/month_dim")
 
+  /** Register the partitioned layout as a named EXTERNAL table in the
+    * session catalog and recover its partitions, so the same relation
+    * resolves via `spark.read.table(name)` — the catalog path promised
+    * for the 100 TB layout (SURVEY §2.1 S1). Partition recovery is the
+    * one-time MSCK equivalent; subsequent reads prune through catalog
+    * partition metadata. Idempotent per session. */
+  def registerCatalog(spark: SparkSession, sfDir: String,
+                      name: String = "orders_by_month"): String = {
+    val base = ensure(spark, sfDir)
+    if (!spark.catalog.tableExists(name)) {
+      spark.catalog.createTable(name, s"$base/orders_by_month", "parquet")
+      spark.catalog.recoverPartitions(name)
+    }
+    name
+  }
+
   /** Quarterly rollup over the partitioned fact, joined to the month
     * dim filtered to one quarter. The month filter is NOT in this
     * query's text — it reaches the fact scan as a

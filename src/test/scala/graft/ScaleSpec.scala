@@ -18,6 +18,20 @@ class ScaleSpec extends SparkSpec {
     assert(part.filter(col("o_month") =!= month(col("o_orderdate"))).count() == 0)
   }
 
+  test("partitioned layout resolves through the session catalog via spark.read.table") {
+    val name = PartitionedTables.registerCatalog(spark, sf)
+    val viaTable = spark.read.table(name)
+    assert(viaTable.count() == Tables.orders(spark, sf).count())
+    // the partition column survives catalog resolution and still
+    // prunes statically: a single-month read scans one partition
+    val one = viaTable.filter(col("o_month") === 3)
+    val planned = one.queryExecution.executedPlan.toString
+    assert(planned.contains("PartitionFilters") && planned.contains("o_month"),
+      s"expected a partition filter on o_month in:\n$planned")
+    assert(one.count() ==
+      Tables.orders(spark, sf).filter(month(col("o_orderdate")) === 3).count())
+  }
+
   test("quarter rollup over partitioned fact: DPP in the plan, result matches raw table") {
     val df = PartitionedTables.quarterRollup(spark, sf, quarter = 1)
     val got = df.collect()
