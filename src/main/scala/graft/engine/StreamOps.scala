@@ -1,8 +1,8 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
 import org.apache.spark.sql.types.StructType
 
 import Exact._
@@ -103,5 +103,39 @@ object StreamOps {
       .format("memory")
       .queryName(sinkName)
       .start()
+  }
+
+  /** Streaming exact dedup: drop re-delivered event ids, with the
+    * dedup state BOUNDED by the watermark — the streaming form of the
+    * training-pipeline's exact dedup (an id re-sent within the
+    * horizon is dropped; state for ids older than the watermark is
+    * evicted, so memory is O(events per horizon), not O(stream)).
+    * Applies to any keyed stream; asserted on re-delivered ids in
+    * StreamingSpec. */
+  def streamingDedup(events: DataFrame, idCols: Seq[String],
+                     delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** Arbitrary stateful processing (SURVEY brief: custom state via
+    * mapGroupsWithState): running per-user (count, sum) maintained in
+    * a typed GroupState across micro-batches, emitting the updated
+    * totals each batch. The state is one fixed-size tuple per user —
+    * at 100 TB the state store shards by the group key like any keyed
+    * aggregation. Equivalence with the batch aggregate over the same
+    * fed data is asserted in StreamingSpec. */
+  def runningUserTotals(events: Dataset[(Long, Double)]): Dataset[(Long, Long, Double)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          var (n, s) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          (user, n, s)
+      }
   }
 }

@@ -84,6 +84,56 @@ class StreamingSpec extends SparkSpec {
     assert(rows.get((1800L, "b")).contains(1L), s"on-time window missing: $rows")
   }
 
+  test("streaming dedup drops ids re-delivered within the watermark horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long)]
+    val deduped = StreamOps.streamingDedup(
+      input.toDF().toDF("event_id", "sec")
+        .withColumn("ts", timestamp_seconds(col("sec"))),
+      Seq("event_id"))
+    val q = deduped.select(col("event_id")).writeStream
+      .outputMode("append").format("memory").queryName("dedup_stream").start()
+    try {
+      input.addData((1L, 60L), (2L, 70L), (3L, 80L))
+      q.processAllAvailable()
+      // id 2 re-delivered in a later batch, still within the horizon
+      input.addData((2L, 90L), (4L, 100L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_stream").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L), s"re-delivered id must be dropped once: $ids")
+  }
+
+  test("mapGroupsWithState running totals match the batch aggregate over the same data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Double)]
+    val q = StreamOps.runningUserTotals(input.toDS())
+      .toDF("user_id", "n", "sum_value")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("running_totals").start()
+    val batch1 = Seq((1L, 2.0), (1L, 3.0), (2L, 5.0))
+    val batch2 = Seq((1L, 4.0), (3L, 7.0))
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // update mode emits one row per touched user per batch; the LAST
+    // emission per user is the running total — compare against the
+    // batch group-by over everything fed
+    val last = spark.table("running_totals").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).maxBy(_._1) }
+    val expected = (batch1 ++ batch2).groupBy(_._1)
+      .map { case (u, rows) => u -> (rows.size.toLong, rows.map(_._2).sum) }
+    assert(last == expected, s"state totals $last != batch $expected")
+  }
+
   test("session windows never overlap per user and respect the gap") {
     val sessions = StreamOps.sessions(Tables.events(spark, sf)).collect()
     sessions.groupBy(_.getLong(2)).foreach { case (_, rows) =>
