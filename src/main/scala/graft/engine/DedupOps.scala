@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{MinHashAgg, SimHashPack}
+import graft.functions.{MinHashPack, SimHashPack}
 
 /** Deduplication operators over `documents` (north-star: exact,
   * MinHash+LSH, SimHash, n-gram Jaccard).
@@ -30,15 +30,17 @@ object DedupOps {
 
   val ShingleSize = 5
 
-  /** Distinct character k-shingles per document. `sequence` is guarded
-    * for texts shorter than the shingle size. */
+  /** Distinct character k-shingles per document as ONE array column.
+    * `sequence` is guarded for texts shorter than the shingle size. */
+  private val shingleArraySql: String =
+    s"CASE WHEN length(text) >= $ShingleSize " +
+    s"THEN array_distinct(transform(sequence(1, length(text) - ${ShingleSize - 1}), i -> substr(text, i, $ShingleSize))) " +
+    "ELSE array() END"
+
+  /** Distinct character k-shingles per document, exploded long-form. */
   def shingles(documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id"),
-        explode(array_distinct(expr(
-          s"CASE WHEN length(text) >= $ShingleSize " +
-          s"THEN transform(sequence(1, length(text) - ${ShingleSize - 1}), i -> substr(text, i, $ShingleSize)) " +
-          "ELSE array() END"))).as("shingle"))
+      .select(col("doc_id"), explode(expr(shingleArraySql)).as("shingle"))
 
   /** Exact dedup: canonical row per content hash (min doc_id wins).
     * One shuffle on md5(text); at 100 TB the same plan with the hash
@@ -78,14 +80,20 @@ object DedupOps {
       .orderBy(col("doc_i"), col("doc_j"))
   }
 
-  /** MinHash signatures: k pseudo-random permutations in ONE typed
-    * aggregate ([[MinHashAgg]]) over one base hash per shingle. Output
-    * column `sig` is the k-element array. */
+  /** MinHash signatures: k pseudo-random permutations folded per-row
+    * by the codegen'd [[MinHashPack]] expression over the document's
+    * distinct-shingle hash array — no explode, no aggregate, no
+    * shuffle (same lanes as the round-2 typed Aggregator,
+    * equivalence-tested in TextDedupSpec). Output column `sig` is the
+    * k-element array. Shingle-less documents are dropped, matching the
+    * explode-form semantics where they produced no group. */
   def minhashSignatures(documents: DataFrame, numHashes: Int = 32): DataFrame = {
-    val mh = udaf(new MinHashAgg(numHashes))
-    shingles(documents)
-      .groupBy(col("doc_id"))
-      .agg(mh(xxhash64(col("shingle"))).as("sig"))
+    MinHashPack.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"),
+        expr(s"transform($shingleArraySql, s -> xxhash64(s))").as("sh_hashes"))
+      .filter(size(col("sh_hashes")) > 0)
+      .select(col("doc_id"), expr(s"minhash_pack(sh_hashes, $numHashes)").as("sig"))
   }
 
   /** LSH banding over array signatures: hash each band of

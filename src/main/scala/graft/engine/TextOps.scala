@@ -84,6 +84,25 @@ object TextOps {
               length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** BPE-ish token-count estimate (the training-cost denominator):
+    * whitespace tokens plus a subword-piece proxy — letter runs,
+    * single digits (BPE-style digit splitting), and single
+    * punctuation marks each count as one piece. A pure per-row regex
+    * count in whole-stage codegen, no shuffle; the regexes avoid
+    * escape classes so Java (Spark) and RE2 (oracle) agree byte for
+    * byte. */
+  def tokenEstimate(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0)"))
+          .cast("long").as("n_pieces"),
+        size(expr("regexp_extract_all(text, '[^ ]+', 0)"))
+          .cast("long").as("n_ws_tokens"))
+      .withColumn("pieces_per_token",
+        round(col("n_pieces").cast("double") /
+              greatest(col("n_ws_tokens"), lit(1L)).cast("double"), 6))
+      .orderBy(col("doc_id"))
+
   /** Distinct word n-grams per document (lowercased token windows,
     * joined with single spaces) — the decontamination unit. Exploded
     * long-form: (doc_id, gram). */

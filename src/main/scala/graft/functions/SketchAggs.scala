@@ -82,6 +82,11 @@ object SimHashAgg extends Aggregator[Long, Array[Long], Long] {
   * min(mix64(h ^ seed_i)) — k independent pseudo-random permutations
   * approximated by seeded avalanche mixing. Output = the k-element
   * signature array (banded downstream for LSH candidate generation).
+  *
+  * Replaced in the engine by the per-row codegen'd [[MinHashPack]]
+  * expression (identical lanes, no explode/shuffle); retained as the
+  * independent reference implementation TextDedupSpec checks the
+  * expression against.
   */
 final class MinHashAgg(numHashes: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
   private val seeds: Array[Long] =

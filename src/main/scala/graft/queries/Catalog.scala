@@ -566,6 +566,17 @@ object Catalog {
       (s, dir) => TextOps.rollingFingerprints(Tables.documents(s, dir)),
       None),
 
+    QuerySpec(
+      "q66_token_estimate",
+      (s, dir) => TextOps.tokenEstimate(Tables.documents(s, dir)),
+      Some("""SELECT doc_id,
+             |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_pieces,
+             |       CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_ws_tokens,
+             |       ROUND(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS DOUBLE)
+             |             / GREATEST(len(regexp_extract_all(text, '[^ ]+')), 1), 6) AS pieces_per_token
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
     // Decontamination: corpus docs (doc_id >= 50) sharing word 5-grams
     // with the held-out slice (doc_id < 50).
     QuerySpec(

@@ -99,6 +99,17 @@ class TextDedupSpec extends SparkSpec {
     assert(viaPack == viaAgg)
   }
 
+  test("minhash_pack signatures equal the explode+aggregator reference path") {
+    val agg = udaf(new graft.functions.MinHashAgg(32))
+    val viaAgg = DedupOps.shingles(docs)
+      .groupBy(col("doc_id"))
+      .agg(agg(xxhash64(col("shingle"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val viaPack = DedupOps.minhashSignatures(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    assert(viaPack == viaAgg)
+  }
+
   test("connected components: transitive chains collapse, singletons stay") {
     import spark.implicits._
     val nodes = (0L to 6L).toDF("doc_id")
