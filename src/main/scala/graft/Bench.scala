@@ -45,7 +45,10 @@ object Bench {
     // code): run the whole suite twice and report the per-query MIN —
     // the best-of-2 is the stable JIT/GC-steady-state estimate — plus
     // both raw pass totals for drift visibility.
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Optional args: query names to bench (subset runs for targeted
+    // perf work); no args = the full catalog.
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    val names = if (args.nonEmpty) all.filter(q => args.contains(q._1)) else all
     def onePass(): Seq[(String, Double, Boolean)] = names.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }

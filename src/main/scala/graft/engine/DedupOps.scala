@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{MinHashPack, SimHashPack}
+import graft.functions.{MinHashPack, ShingleHashes, SimHashPack}
 
 /** Deduplication operators over `documents` (north-star: exact,
   * MinHash+LSH, SimHash, n-gram Jaccard).
@@ -89,9 +89,10 @@ object DedupOps {
     * explode-form semantics where they produced no group. */
   def minhashSignatures(documents: DataFrame, numHashes: Int = 32): DataFrame = {
     MinHashPack.register(documents.sparkSession)
+    ShingleHashes.register(documents.sparkSession)
     documents
       .select(col("doc_id"),
-        expr(s"transform($shingleArraySql, s -> xxhash64(s))").as("sh_hashes"))
+        expr(s"shingle_hashes(text, $ShingleSize)").as("sh_hashes"))
       .filter(size(col("sh_hashes")) > 0)
       .select(col("doc_id"), expr(s"minhash_pack(sh_hashes, $numHashes)").as("sig"))
   }
@@ -121,14 +122,20 @@ object DedupOps {
   }
 
   /** Full MinHash+LSH near-dup pipeline: signatures → banded
-    * candidates → signature-estimated Jaccard. The signature is
-    * carried through the bucket explode so both join sides share one
-    * plan (exchange-reused), no cache needed. Not SQL-expressible
-    * (seeded sketch); TextDedupSpec checks recall on injected
-    * near-dups. */
+    * candidates → signature-estimated Jaccard. The signatures feed
+    * BOTH sides of the bucket self-join; since the per-row
+    * [[MinHashPack]] form has no shuffle of its own, they are lazily
+    * localCheckpoint'ed: the first action materializes the (tiny — k
+    * longs per doc) signature RDD once and both sides read it, instead
+    * of re-packing every document per side (AQE plans the sides
+    * independently, so exchange reuse alone does not dedupe them).
+    * Storage is reclaimed by the context cleaner when the frame is
+    * GC'd. Not SQL-expressible (seeded sketch); TextDedupSpec checks
+    * recall on injected near-dups. */
   def minhashPairs(documents: DataFrame, numHashes: Int = 32,
                    bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val buckets = bandBuckets(minhashSignatures(documents, numHashes), bands, rowsPerBand)
+    val sigs = minhashSignatures(documents, numHashes).localCheckpoint(false)
+    val buckets = bandBuckets(sigs, bands, rowsPerBand)
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -176,7 +183,9 @@ object DedupOps {
       s"banding guarantees exact recall only for maxHamming <= bands-1 (got $maxHamming, $bands)")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sigs = simhashSignatures(documents)
+    // same lazy-checkpoint trick as minhashPairs: pack each doc once,
+    // not once per self-join side
+    val sigs = simhashSignatures(documents).localCheckpoint(false)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         expr(s"shiftrightunsigned(simhash, ${b * width}) & $mask").as("bh"))

@@ -99,6 +99,17 @@ class TextDedupSpec extends SparkSpec {
     assert(viaPack == viaAgg)
   }
 
+  test("shingle_hashes equals the declarative substr+array_distinct+xxhash64 hash set") {
+    graft.functions.ShingleHashes.register(spark)
+    val viaExpr = docs
+      .select(col("doc_id"), expr(s"shingle_hashes(text, ${DedupOps.ShingleSize})").as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val viaSql = DedupOps.shingles(docs)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .collect().groupBy(_.getLong(0)).map { case (id, rows) => id -> rows.map(_.getLong(1)).toSet }
+    assert(viaExpr == viaSql)
+  }
+
   test("minhash_pack signatures equal the explode+aggregator reference path") {
     val agg = udaf(new graft.functions.MinHashAgg(32))
     val viaAgg = DedupOps.shingles(docs)
