@@ -106,6 +106,56 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** IVF (inverted-file) ANN — the second scale path beside LSH: a
+    * seeded k-means coarse quantizer assigns every vector to one of
+    * `nLists` inverted lists; each query probes only its `nProbe`
+    * nearest centroids and runs exact cosine inside those lists. At
+    * 100 TB the lists are the partitioning key (each probe touches
+    * nProbe/nLists of the corpus); the centroid table is tiny and
+    * broadcast. Not SQL-expressible (iterative seeded fit);
+    * recall@10 vs brute force is asserted in
+    * SimilarityMultimodalSpec. */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
+              nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val withFv = embeddings.withColumn("fv", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nLists).setSeed(42)
+      .setFeaturesCol("fv").setPredictionCol("list_id").fit(withFv)
+    val assigned = withVec(embeddings)
+      .join(model.transform(withFv).select(col("vec_id"), col("list_id")), "vec_id")
+      .localCheckpoint(false) // read by both the query and candidate side
+    // centroid relation: nLists rows — the broadcast side everywhere
+    val centers = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq
+      .toDF("c_list_id", "centroid")
+    // each query ranks centroids by euclidean distance (the quantizer
+    // metric) and probes the top nProbe lists
+    val qDist = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"), col("norm").as("qnorm"))
+      .crossJoin(broadcast(centers))
+      .withColumn("d2",
+        expr("aggregate(zip_with(qvec, centroid, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("d2"), col("c_list_id"))
+    val probes = qDist
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("qid"), col("qvec"), col("qnorm"), col("c_list_id").as("list_id"))
+    val joined = assigned.join(broadcast(probes),
+        Seq("list_id")).filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qvec, vec, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("score", round(col("dot") / (col("qnorm") * col("norm")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    joined
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** High-cosine pair candidates restricted to same-LSH-bucket vectors
     * — the edge set for [[semanticDedup]]. Bucketing keeps the
     * self-join equi on `bucket` (no all-pairs cross product); exact

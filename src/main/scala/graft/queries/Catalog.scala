@@ -707,6 +707,11 @@ object Catalog {
     QuerySpec(
       "q63_semantic_dedup",
       (s, dir) => SimilarityOps.semanticDedup(Tables.embeddings(s, dir)),
+      None),
+
+    QuerySpec(
+      "q67_ivf_topk",
+      (s, dir) => SimilarityOps.ivfTopK(Tables.embeddings(s, dir)),
       None)
   )
 

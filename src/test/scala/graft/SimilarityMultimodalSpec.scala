@@ -64,6 +64,27 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(recorded >= 0.8, s"recall@10 = $recorded at 4 planes / probe 2")
   }
 
+  test("IVF ANN: scores agree with brute force; recall@10 >= 0.8 at half-space probing") {
+    val brute = SimilarityOps.cosineTopK(emb, nQueries = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteScores = SimilarityOps.cosineTopK(emb, nQueries = 5, k = emb.count().toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def recallOf(lists: Int, probe: Int): Double = {
+      val ivf = SimilarityOps.ivfTopK(emb, nQueries = 5, k = 10,
+        nLists = lists, nProbe = probe).collect()
+      ivf.foreach { r =>
+        val pair = (r.getLong(0), r.getLong(1))
+        assert(math.abs(bruteScores(pair) - r.getDouble(2)) < 1e-9,
+          s"IVF score must equal exact cosine for $pair")
+      }
+      (ivf.map(r => (r.getLong(0), r.getLong(1))).toSet intersect brute).size.toDouble / brute.size
+    }
+    info(f"default config (16 lists, probe 4): recall@10 = ${recallOf(16, 4)}%.2f")
+    val half = recallOf(8, 4)
+    info(f"half-space config (8 lists, probe 4): recall@10 = $half%.2f")
+    assert(half >= 0.8, s"recall@10 = $half at 8 lists / probe 4")
+  }
+
   test("semantic dedup absorbs an injected identical vector, keeps real vectors") {
     val copy = emb.filter(col("vec_id") === 0).withColumn("vec_id", lit(1000000L))
     val out = SimilarityOps.semanticDedup(emb.unionByName(copy))
