@@ -71,6 +71,29 @@ object MultimodalOps {
     }
   }
 
+  /** Frame sampling — the video-pipeline shape: every `step`-th
+    * fixed-length window of the payload becomes one "frame" row with
+    * its content fingerprint (stand-in for a decoded video frame; with
+    * codecs, the same explode shape emits decoded frames). Pure
+    * per-row generate + scalar work, no shuffle; one row per sampled
+    * frame. Oracle-expressible because the fingerprint is md5 of a
+    * substring of the (text stand-in) payload. */
+  def frameSample(documents: DataFrame, frameLen: Int = 64, step: Int = 128): DataFrame =
+    documents
+      .select(col("doc_id").as("media_id"), col("text"))
+      .withColumn("n_frames",
+        when(length(col("text")) >= frameLen,
+          ((length(col("text")) - frameLen) / step + 1).cast("long"))
+          .otherwise(lit(0L)))
+      .filter(col("n_frames") > 0)
+      .select(col("media_id"), col("text"), col("n_frames"),
+        explode(expr(s"sequence(0, n_frames - 1)")).as("frame_idx"))
+      .withColumn("frame_idx", col("frame_idx").cast("long"))
+      .withColumn("frame_fp",
+        md5(expr(s"substr(text, CAST(frame_idx * $step + 1 AS INT), $frameLen)")))
+      .select(col("media_id"), col("frame_idx"), col("n_frames"), col("frame_fp"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
   /** End-to-end media pipeline: table → typed records → batched
     * decode → flat feature columns. */
   def decodeFeatures(documents: DataFrame): DataFrame = {

@@ -730,7 +730,22 @@ object Catalog {
     QuerySpec(
       "q49_multimodal_decode",
       (s, dir) => MultimodalOps.decodeFeatures(Tables.documents(s, dir)),
-      None)
+      None),
+
+    // Frame sampling over the stand-in payload: every 128th 64-char
+    // window is a "frame" with its md5 fingerprint — the video
+    // frame-sample explode shape, oracle-expressible on text.
+    QuerySpec(
+      "q68_frame_sample",
+      (s, dir) => MultimodalOps.frameSample(Tables.documents(s, dir)),
+      Some("""WITH f AS (
+             |  SELECT doc_id AS media_id,
+             |         CAST((length(text) - 64) // 128 + 1 AS BIGINT) AS n_frames, text
+             |  FROM documents WHERE length(text) >= 64)
+             |SELECT media_id, CAST(gi AS BIGINT) AS frame_idx, n_frames,
+             |       md5(substr(text, CAST(gi * 128 + 1 AS INT), 64)) AS frame_fp
+             |FROM (SELECT media_id, n_frames, text, unnest(range(0, n_frames)) AS gi FROM f)
+             |ORDER BY media_id, frame_idx""".stripMargin))
   )
 
   // ---------------------------------------------------------------- //
