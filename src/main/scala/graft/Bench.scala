@@ -12,6 +12,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // bucketed/catalog tables land in a run-unique tmp warehouse,
+      // never in the working directory
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_wh_${ProcessHandle.current().pid()}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup 1: touch every table once (OS page cache + reader/codegen

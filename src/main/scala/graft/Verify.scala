@@ -18,6 +18,10 @@ object Verify {
       // events.parquet stores TIMESTAMP(NANOS); see Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // bucketed/catalog tables land in a run-unique tmp warehouse,
+      // never in the working directory
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_wh_${ProcessHandle.current().pid()}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

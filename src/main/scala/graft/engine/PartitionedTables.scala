@@ -74,6 +74,47 @@ object PartitionedTables {
     name
   }
 
+  /** Write orders and customer as BUCKETED catalog tables on the
+    * customer key (same bucket count both sides) — the storage layout
+    * that makes the fact-to-fact join shuffle-free: both scans are
+    * already hash-distributed on the join key, so the join planner
+    * needs no exchange on either side (asserted on the plan in
+    * ScaleSpec). At 100 TB this is THE layout decision for repeated
+    * fact⋈fact joins; q45's runtime repartition expresses the same
+    * intent per-query, this persists it. Table names carry the sfDir
+    * hash (one warehouse serves multiple scale factors); idempotent
+    * per session/catalog. */
+  def ensureBucketed(spark: SparkSession, sfDir: String, buckets: Int = 8): (String, String) = {
+    val tag = Integer.toHexString(sfDir.hashCode)
+    val (ot, ct) = (s"orders_bkt_$tag", s"customer_bkt_$tag")
+    synchronized {
+      if (!spark.catalog.tableExists(ot)) {
+        Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .write.bucketBy(buckets, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
+        Tables.customer(spark, sfDir)
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .write.bucketBy(buckets, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
+      }
+    }
+    (ot, ct)
+  }
+
+  /** The q45 segment rollup over the BUCKETED tables: the orders ⋈
+    * customer join runs with no shuffle on either side (bucketing is
+    * the join distribution); the only exchange left is the one the
+    * aggregation itself needs. */
+  def bucketedJoinRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ot, ct) = ensureBucketed(spark, sfDir)
+    val o = spark.read.table(ot)
+    val c = spark.read.table(ct)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(decSum(col("o_totalprice")).as("total_price"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Quarterly rollup over the partitioned fact, joined to the month
     * dim filtered to one quarter. The month filter is NOT in this
     * query's text — it reaches the fact scan as a

@@ -142,6 +142,18 @@ object Catalog {
               |GROUP BY c_mktsegment
               |ORDER BY c_mktsegment""".stripMargin)),
 
+    // Bucketed storage layer: the same segment rollup as q45, but the
+    // orders ⋈ customer join reads bucketed tables co-distributed on
+    // the key — no join-side shuffle (plan asserted in ScaleSpec).
+    QuerySpec(
+      "q69_bucketed_join",
+      (s, dir) => PartitionedTables.bucketedJoinRollup(s, dir),
+      Some(s"""SELECT c_mktsegment, ${decSumSql("o_totalprice")} AS total_price,
+              |       COUNT(*) AS n_orders
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |GROUP BY c_mktsegment
+              |ORDER BY c_mktsegment""".stripMargin)),
+
     // Partitioned storage layer + dynamic partition pruning: the month
     // filter reaches the fact scan only through the dim join (DPP
     // evidence in ScaleSpec / SCALE.md); the oracle applies the

@@ -26,6 +26,10 @@ object Explain {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // bucketed/catalog tables land in a run-unique tmp warehouse,
+      // never in the working directory
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_wh_${ProcessHandle.current().pid()}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>

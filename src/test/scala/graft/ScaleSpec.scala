@@ -32,6 +32,30 @@ class ScaleSpec extends SparkSpec {
       Tables.orders(spark, sf).filter(month(col("o_orderdate")) === 3).count())
   }
 
+  test("bucketed orders-customer join plans with no join-side shuffle, matches raw join") {
+    val (ot, ct) = PartitionedTables.ensureBucketed(spark, sf)
+    val o = spark.read.table(ot)
+    val c = spark.read.table(ct)
+    val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // both sides are pre-distributed by the bucketing — a hash exchange
+    // under the join would mean the layout was ignored
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle either side:\n$plan")
+    val ro = Tables.orders(spark, sf)
+    val rc = Tables.customer(spark, sf)
+    assert(joined.count() == ro.join(rc, ro("o_custkey") === rc("c_custkey")).count())
+    // and the full rollup matches the plain-table computation
+    val got = PartitionedTables.bucketedJoinRollup(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val direct = ro
+      .join(rc, ro("o_custkey") === rc("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(decSum(col("o_totalprice")).as("t"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got == direct)
+  }
+
   test("quarter rollup over partitioned fact: DPP in the plan, result matches raw table") {
     val df = PartitionedTables.quarterRollup(spark, sf, quarter = 1)
     val got = df.collect()
