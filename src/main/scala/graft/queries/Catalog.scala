@@ -689,7 +689,16 @@ object Catalog {
              |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
              |SELECT cluster_id AS doc_id, COUNT(*) AS n_members
              |FROM cl GROUP BY cluster_id
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // The production near-dedup pipeline: MinHash-LSH ∪ SimHash sketch
+    // edges (full corpus, no doc cap) -> connected components ->
+    // canonical corpus. Seeded sketches => rows-only; recall behavior
+    // asserted in TextDedupSpec.
+    QuerySpec(
+      "q70_near_dedup_sketch",
+      (s, dir) => DedupOps.nearDedupSketch(Tables.documents(s, dir)),
+      None)
   )
 
   // ---------------------------------------------------------------- //
