@@ -15,7 +15,8 @@ object Bench {
       // bucketed/catalog tables land in a run-unique tmp warehouse,
       // never in the working directory
       .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft_wh_${ProcessHandle.current().pid()}")
+        graft.engine.Scratch.dir(
+        s"${System.getProperty("java.io.tmpdir")}/graft_wh_${ProcessHandle.current().pid()}"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup 1: touch every table once (OS page cache + reader/codegen
@@ -48,7 +49,11 @@ object Bench {
     // Variance control (VERDICT r3: n=1 numbers swung 3x on identical
     // code): run the whole suite twice and report the per-query MIN —
     // the best-of-2 is the stable JIT/GC-steady-state estimate — plus
-    // both raw pass totals for drift visibility.
+    // both raw pass totals for drift visibility. Note the min
+    // deliberately excludes one-time costs that pass 1 pays and pass 2
+    // reuses (ML fits memoized in MLShared, partitioned/bucketed
+    // layout writes): pass_totals[0] is the cold-run number to compare
+    // against single-pass history.
     // Optional args: query names to bench (subset runs for targeted
     // perf work); no args = the full catalog.
     val all = SparkEntry.queries.toSeq.sortBy(_._1)

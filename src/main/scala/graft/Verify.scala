@@ -21,7 +21,8 @@ object Verify {
       // bucketed/catalog tables land in a run-unique tmp warehouse,
       // never in the working directory
       .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft_wh_${ProcessHandle.current().pid()}")
+        graft.engine.Scratch.dir(
+        s"${System.getProperty("java.io.tmpdir")}/graft_wh_${ProcessHandle.current().pid()}"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -217,8 +217,13 @@ object DedupOps {
     * in reliable `checkpoint` to a DFS dir for fault tolerance).
     *
     * `nodes` must carry a unique `doc_id`; `edges` carries
-    * (doc_i, doc_j). Returns (doc_id, cluster_id). */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    * (doc_i, doc_j). Returns (doc_id, cluster_id). Superseded label
+    * snapshots are dereferenced each round and reclaimed by the
+    * context cleaner; convergence takes diameter rounds, and hitting
+    * `maxIter` without converging THROWS rather than silently
+    * returning partial labels (raise maxIter for pathologically long
+    * chains). */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 100): DataFrame = {
     val sym = edges
       .select(col("doc_i").cast("long").as("src"), col("doc_j").cast("long").as("dst"))
       .union(edges.select(col("doc_j").cast("long").as("src"), col("doc_i").cast("long").as("dst")))
@@ -247,6 +252,10 @@ object DedupOps {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+        "component diameter exceeds maxIter; raise it for this edge set")
     labels
   }
 

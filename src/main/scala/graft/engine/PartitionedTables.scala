@@ -34,7 +34,7 @@ object PartitionedTables {
   /** Write orders partitioned by derived o_month + the month dim, once
     * per JVM run. Idempotent and cheap relative to any query over it. */
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
-    val base = baseDir(sfDir)
+    val base = Scratch.dir(baseDir(sfDir))
     if (!ready.contains(base)) {
       Tables.orders(spark, sfDir)
         .withColumn("o_month", month(col("o_orderdate")))
@@ -64,8 +64,11 @@ object PartitionedTables {
     * for the 100 TB layout (SURVEY §2.1 S1). Partition recovery is the
     * one-time MSCK equivalent; subsequent reads prune through catalog
     * partition metadata. Idempotent per session. */
-  def registerCatalog(spark: SparkSession, sfDir: String,
-                      name: String = "orders_by_month"): String = {
+  def registerCatalog(spark: SparkSession, sfDir: String): String = synchronized {
+    // sfDir-tagged (like ensureBucketed): one session may serve several
+    // scale factors, and an untagged name would silently resolve every
+    // later sfDir to the first one's data
+    val name = s"orders_by_month_${Integer.toHexString(sfDir.hashCode)}"
     val base = ensure(spark, sfDir)
     if (!spark.catalog.tableExists(name)) {
       spark.catalog.createTable(name, s"$base/orders_by_month", "parquet")
@@ -88,13 +91,17 @@ object PartitionedTables {
     val tag = Integer.toHexString(sfDir.hashCode)
     val (ot, ct) = (s"orders_bkt_$tag", s"customer_bkt_$tag")
     synchronized {
-      if (!spark.catalog.tableExists(ot)) {
+      // guard on BOTH tables (a partial earlier failure must repair,
+      // not wedge the session) and overwrite so the repair path works
+      if (!spark.catalog.tableExists(ot) || !spark.catalog.tableExists(ct)) {
         Tables.orders(spark, sfDir)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-          .write.bucketBy(buckets, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
+          .write.mode("overwrite")
+          .bucketBy(buckets, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
         Tables.customer(spark, sfDir)
           .select(col("c_custkey"), col("c_mktsegment"))
-          .write.bucketBy(buckets, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
+          .write.mode("overwrite")
+          .bucketBy(buckets, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
       }
     }
     (ot, ct)

@@ -113,9 +113,9 @@ object StreamOps {
     * Applies to any keyed stream; asserted on re-delivered ids in
     * StreamingSpec. */
   def streamingDedup(events: DataFrame, idCols: Seq[String],
-                     delay: String = "10 minutes"): DataFrame =
+                     tsCol: String = "ts", delay: String = "10 minutes"): DataFrame =
     events
-      .withWatermark("ts", delay)
+      .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(idCols)
 
   /** Arbitrary stateful processing (SURVEY brief: custom state via

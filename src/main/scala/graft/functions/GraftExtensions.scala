@@ -32,11 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_pack"),
       info("minhash_pack", "minhash_pack(array<bigint>, k) - k-lane MinHash signature"),
       (exprs: Seq[Expression]) => MinHashPack(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue())))
+        MinHashPack.litIntArg(exprs, "minhash_pack"))))
     ext.injectFunction((
       FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes", "shingle_hashes(str, k) - distinct k-char shingle hashes"),
       (exprs: Seq[Expression]) => ShingleHashes(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue())))
+        MinHashPack.litIntArg(exprs, "shingle_hashes"))))
   }
 }

@@ -72,12 +72,22 @@ object MinHashPack {
     new GenericArrayData(lanes)
   }
 
+  /** Extract the required foldable-literal int argument with a clear
+    * error (a non-literal would otherwise crash deep inside eval).
+    * Shared by the registry builder and [[GraftExtensions]]. */
+  private[functions] def litIntArg(exprs: Seq[Expression], fnName: String): Int = {
+    require(exprs.length == 2,
+      s"$fnName expects exactly 2 arguments (got ${exprs.length})")
+    require(exprs(1).foldable,
+      s"$fnName's second argument must be a foldable integer literal")
+    exprs(1).eval(null).asInstanceOf[Number].intValue()
+  }
+
   /** Register `minhash_pack(arr, k)`; k must be a foldable literal.
     * Idempotent. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_pack",
-      exprs => MinHashPack(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      exprs => MinHashPack(exprs.head, litIntArg(exprs, "minhash_pack")),
       "built-in")
 }

@@ -92,7 +92,6 @@ object ShingleHashes {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes",
-      exprs => ShingleHashes(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      exprs => ShingleHashes(exprs.head, MinHashPack.litIntArg(exprs, "shingle_hashes")),
       "built-in")
 }

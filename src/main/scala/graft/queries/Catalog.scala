@@ -23,6 +23,29 @@ final case class QuerySpec(
 
 object Catalog {
 
+  /** Shared by q45 (runtime co-partitioning) and q69 (persisted
+    * bucketing): the two queries MUST stay result-identical — one SQL
+    * text keeps the equivalence claim from drifting. */
+  private val segmentRollupOracle: String =
+    s"""SELECT c_mktsegment, ${Exact.decSumSql("o_totalprice")} AS total_price,
+       |       COUNT(*) AS n_orders
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
+  /** Shared by q57 (in-memory model) and q65 (save→load→serve): the
+    * same bounded inference slice, so the two queries differ ONLY in
+    * where the model comes from. */
+  private def inferSlice(s: SparkSession, dir: String,
+                         model: org.apache.spark.ml.PipelineModel): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (feats, _) = MLShared.features(s, dir)
+    val in = feats.orderBy(col("o_orderkey")).limit(20)
+    MLPipelines.withConfidence(model.transform(in))
+      .select(col("o_orderkey"), col("pred_label"), col("confidence"))
+      .orderBy(col("o_orderkey"))
+  }
+
   def specs: Seq[QuerySpec] =
     relational ++ joinsAndSets ++ stats ++ scalars ++ windows ++ eventWindows ++
       textQueries ++ dedupQueries ++ similarityQueries ++ multimodalQueries ++
@@ -136,11 +159,7 @@ object Catalog {
     QuerySpec(
       "q45_copartition_join",
       (s, dir) => RelationalOps.coPartitionedJoin(Tables.orders(s, dir), Tables.customer(s, dir), 32),
-      Some(s"""SELECT c_mktsegment, ${decSumSql("o_totalprice")} AS total_price,
-              |       COUNT(*) AS n_orders
-              |FROM orders JOIN customer ON o_custkey = c_custkey
-              |GROUP BY c_mktsegment
-              |ORDER BY c_mktsegment""".stripMargin)),
+      Some(segmentRollupOracle)),
 
     // Bucketed storage layer: the same segment rollup as q45, but the
     // orders ⋈ customer join reads bucketed tables co-distributed on
@@ -148,11 +167,7 @@ object Catalog {
     QuerySpec(
       "q69_bucketed_join",
       (s, dir) => PartitionedTables.bucketedJoinRollup(s, dir),
-      Some(s"""SELECT c_mktsegment, ${decSumSql("o_totalprice")} AS total_price,
-              |       COUNT(*) AS n_orders
-              |FROM orders JOIN customer ON o_custkey = c_custkey
-              |GROUP BY c_mktsegment
-              |ORDER BY c_mktsegment""".stripMargin)),
+      Some(segmentRollupOracle)),
 
     // Partitioned storage layer + dynamic partition pruning: the month
     // filter reaches the fact scan only through the dim join (DPP
@@ -827,9 +842,11 @@ object Catalog {
   private def ingestAndServing: Seq[QuerySpec] = {
     import org.apache.spark.sql.functions._
     // pid-tagged so two concurrent runs over the same sfDir never
-    // write into each other's scratch space (VERDICT r3 robustness note)
-    def tmp(tag: String, dir: String) =
-      s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${Integer.toHexString(dir.hashCode)}_${ProcessHandle.current().pid()}"
+    // write into each other's scratch space (VERDICT r3 robustness
+    // note); Scratch-registered so repeated runs don't accumulate
+    // pid-unique copies in the tmp dir
+    def tmp(tag: String, dir: String) = Scratch.dir(
+      s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${Integer.toHexString(dir.hashCode)}_${ProcessHandle.current().pid()}")
     Seq(
       QuerySpec(
         "q54_ingest_batch",
@@ -872,11 +889,7 @@ object Catalog {
         "q57_classify_infer",
         (s, dir) => {
           val (model, _, _) = MLShared.classification(s, dir)
-          val (feats, _) = MLShared.features(s, dir)
-          val in = feats.orderBy(col("o_orderkey")).limit(20)
-          MLPipelines.withConfidence(model.transform(in))
-            .select(col("o_orderkey"), col("pred_label"), col("confidence"))
-            .orderBy(col("o_orderkey"))
+          inferSlice(s, dir, model)
         },
         None),
 
@@ -889,12 +902,7 @@ object Catalog {
           val (model, _, _) = MLShared.classification(s, dir)
           val path = tmp("model", dir)
           MLPipelines.saveModel(model, path)
-          val loaded = MLPipelines.loadModel(path)
-          val (feats, _) = MLShared.features(s, dir)
-          val in = feats.orderBy(col("o_orderkey")).limit(20)
-          MLPipelines.withConfidence(loaded.transform(in))
-            .select(col("o_orderkey"), col("pred_label"), col("confidence"))
-            .orderBy(col("o_orderkey"))
+          inferSlice(s, dir, MLPipelines.loadModel(path))
         },
         None),
 

@@ -17,6 +17,7 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.warehouse.dir",
-      s"${System.getProperty("java.io.tmpdir")}/graft_wh_${ProcessHandle.current().pid()}")
+      graft.engine.Scratch.dir(
+        s"${System.getProperty("java.io.tmpdir")}/graft_wh_${ProcessHandle.current().pid()}"))
     .getOrCreate()
 }
