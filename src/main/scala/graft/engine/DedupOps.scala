@@ -121,6 +121,25 @@ object DedupOps {
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
+  /** Degenerate-bucket guard for LSH self-joins. A bucket with m
+    * members yields m² candidate pairs; a content flood (thousands of
+    * near-identical boilerplate docs sharing every band) turns the
+    * linear-ish bucket join quadratic. Buckets above `maxBucket` are
+    * dropped from pair generation — by construction their members are
+    * overwhelmingly identical-content floods that EXACT dedup (q40,
+    * which a real pipeline runs first) already collapses, so the
+    * recall loss is confined to that degenerate case while the
+    * worst-case join cost is bounded at maxBucket² per bucket. One
+    * count-aggregate over the bucket keys; the filter prunes both
+    * sides before the join. */
+  private def boundBuckets(buckets: DataFrame, maxBucket: Int): DataFrame = {
+    val sizes = buckets.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .select(col("band"), col("bh"))
+    buckets.join(sizes, Seq("band", "bh"))
+  }
+
   /** Full MinHash+LSH near-dup pipeline: signatures → banded
     * candidates → signature-estimated Jaccard. The signatures feed
     * BOTH sides of the bucket self-join; since the per-row
@@ -133,9 +152,10 @@ object DedupOps {
     * GC'd. Not SQL-expressible (seeded sketch); TextDedupSpec checks
     * recall on injected near-dups. */
   def minhashPairs(documents: DataFrame, numHashes: Int = 32,
-                   bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+                   bands: Int = 8, rowsPerBand: Int = 4,
+                   maxBucket: Int = 10000): DataFrame = {
     val sigs = minhashSignatures(documents, numHashes).localCheckpoint(false)
-    val buckets = bandBuckets(sigs, bands, rowsPerBand)
+    val buckets = boundBuckets(bandBuckets(sigs, bands, rowsPerBand), maxBucket)
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -176,8 +196,12 @@ object DedupOps {
     * equi-join on (band, chunk) — no all-pairs cross product, no doc
     * cap, scale-safe (bucket width 64/bands bits; widen bands only as
     * ln(n) grows). Replaces round 1's doc_id<60-capped cartesian
-    * self-join. */
-  def simhashPairs(documents: DataFrame, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    * self-join. The exactness guarantee is qualified only by the
+    * [[boundBuckets]] degenerate-bucket guard (default 10k members),
+    * which drops identical-content flood buckets that exact dedup
+    * collapses anyway. */
+  def simhashPairs(documents: DataFrame, bands: Int = 4, maxHamming: Int = 3,
+                   maxBucket: Int = 10000): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     require(maxHamming <= bands - 1,
       s"banding guarantees exact recall only for maxHamming <= bands-1 (got $maxHamming, $bands)")
@@ -190,9 +214,11 @@ object DedupOps {
       struct(lit(b).as("band"),
         expr(s"shiftrightunsigned(simhash, ${b * width}) & $mask").as("bh"))
     }
-    val buckets = sigs
-      .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val buckets = boundBuckets(
+      sigs
+        .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bh").as("bh")),
+      maxBucket)
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))

@@ -118,6 +118,15 @@ object StreamOps {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-static enrichment join — the standard streaming dimension
+    * lookup: every micro-batch of the stream inner-joins the (small)
+    * static dimension, explicitly broadcast so no batch ever shuffles
+    * the stream side. The static plan is re-evaluated per batch, so a
+    * refreshed dim table is picked up without restarting the query.
+    * Batch==stream row equivalence is asserted in StreamingSpec. */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys)
+
   /** Arbitrary stateful processing (SURVEY brief: custom state via
     * mapGroupsWithState): running per-user (count, sum) maintained in
     * a typed GroupState across micro-batches, emitting the updated

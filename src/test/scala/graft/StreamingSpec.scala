@@ -134,6 +134,24 @@ class StreamingSpec extends SparkSpec {
     assert(last == expected, s"state totals $last != batch $expected")
   }
 
+  test("stream-static enrichment join matches the batch join per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Double)]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = StreamOps.enrich(input.toDF().toDF("user_id", "value"), dim, Seq("user_id"))
+      .writeStream.outputMode("append").format("memory").queryName("enriched").start()
+    try {
+      input.addData((1L, 5.0), (2L, 7.0), (3L, 9.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("enriched").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    // inner join: user 3 has no dim row and is dropped; tiers resolve
+    assert(rows == Set((1L, 5.0, "gold"), (2L, 7.0, "basic")))
+  }
+
   test("session windows never overlap per user and respect the gap") {
     val sessions = StreamOps.sessions(Tables.events(spark, sf)).collect()
     sessions.groupBy(_.getLong(2)).foreach { case (_, rows) =>

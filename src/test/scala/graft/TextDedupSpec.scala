@@ -144,6 +144,23 @@ class TextDedupSpec extends SparkSpec {
     assert(kept(0L) >= 3L, s"doc 0 should absorb both injections, n_members=${kept.get(0L)}")
   }
 
+  test("degenerate-bucket guard drops flood buckets, leaves normal buckets intact") {
+    // 30 exact copies of doc 0: every band bucket holding that content
+    // has 31 members
+    val base = docs.filter(col("doc_id") === 0)
+    val flooded = (1 to 30).map(i => base.withColumn("doc_id", lit(1000000L + i)))
+      .foldLeft(docs)(_ unionByName _)
+    val floodIds = (Set(0L) ++ (1 to 30).map(i => 1000000L + i)).map(java.lang.Long.valueOf)
+    def floodPairs(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("doc_i").isin(floodIds.toSeq: _*) &&
+                col("doc_j").isin(floodIds.toSeq: _*)).count()
+    // default cap (10k) leaves the 31-member bucket alone: all C(31,2)
+    // identical pairs surface at hamming 0
+    assert(floodPairs(DedupOps.simhashPairs(flooded)) == 31L * 30 / 2)
+    // cap 10 excludes the flood bucket from pair generation entirely
+    assert(floodPairs(DedupOps.simhashPairs(flooded, maxBucket = 10)) == 0L)
+  }
+
   test("jaccard pairs are within [0,1] and thresholded") {
     val pairs = DedupOps.jaccardPairs(docs).collect()
     assert(pairs.nonEmpty)
