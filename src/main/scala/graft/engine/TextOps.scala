@@ -138,6 +138,55 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** PII scrubbing — the redaction pass a training pipeline runs
+    * before anything else: mask email-shaped tokens and long digit
+    * runs (phone/account numbers), and report how many of each were
+    * redacted per document. Pure per-row regexp_replace work in
+    * whole-stage codegen; patterns avoid escape classes so Java and
+    * RE2 agree. Swap the patterns for jurisdiction-specific ones
+    * without touching the plan. */
+  def piiScrub(documents: DataFrame): DataFrame = {
+    val emailRe = "[A-Za-z0-9_.]+@[A-Za-z0-9_.]+"
+    val digitsRe = "[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+"
+    documents
+      .select(col("doc_id"), col("text"))
+      .withColumn("n_emails",
+        size(expr(s"regexp_extract_all(text, '$emailRe', 0)")).cast("long"))
+      .withColumn("n_numbers",
+        size(expr(s"regexp_extract_all(regexp_replace(text, '$emailRe', '<EMAIL>'), '$digitsRe', 0)")).cast("long"))
+      .withColumn("clean_text",
+        regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"), digitsRe, "<NUMBER>"))
+      .withColumn("clean_fp", md5(col("clean_text")))
+      .select(col("doc_id"), col("n_emails"), col("n_numbers"), col("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher-style repetition signals — the quality gates that catch
+    * boilerplate and degenerate generation: distinct-token ratio,
+    * most-frequent-token share, and duplicate-line fraction. All
+    * per-row array work, no shuffle. */
+  def repetitionSignals(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)").as("toks"),
+        split(col("text"), "\\. ").as("sentences"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("distinct_ratio",
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6))
+      .withColumn("top_tok_share", round(
+        expr("aggregate(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))), 0, (a, x) -> IF(x > a, x, a))")
+          .cast("double") / col("n_tokens"), 6))
+      .withColumn("n_sentences", size(col("sentences")).cast("long"))
+      .withColumn("n_distinct_sentences", size(array_distinct(col("sentences"))).cast("long"))
+      .withColumn("dup_sentence_frac", round(
+        (col("n_sentences") - col("n_distinct_sentences")).cast("double") /
+          greatest(col("n_sentences"), lit(1L)).cast("double"), 6))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("distinct_ratio"),
+              col("top_tok_share"), col("dup_sentence_frac"))
+      .orderBy(col("doc_id"))
+
   /** Fingerprint via the custom codegen'd [[RollingHash]] expression
     * (not SQL-oracle-expressible; value-checked in TextSpec against an
     * independent Scala implementation). */

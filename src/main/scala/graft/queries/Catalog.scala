@@ -593,6 +593,43 @@ object Catalog {
       (s, dir) => TextOps.rollingFingerprints(Tables.documents(s, dir)),
       None),
 
+    // PII scrub over a deterministically PII-injected corpus (the
+    // synthetic docs contain no emails/numbers, which would make the
+    // check vacuous): both engines append the same synthetic contact
+    // string, then redact it.
+    QuerySpec(
+      "q71_pii_scrub",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, concat, lit}
+        TextOps.piiScrub(Tables.documents(s, dir)
+          .withColumn("text", concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com id 123456789"))))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com id 123456789' AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9_.]+@[A-Za-z0-9_.]+')) AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(regexp_replace(text, '[A-Za-z0-9_.]+@[A-Za-z0-9_.]+', '<EMAIL>', 'g'), '[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+')) AS BIGINT) AS n_numbers,
+             |  md5(regexp_replace(regexp_replace(text, '[A-Za-z0-9_.]+@[A-Za-z0-9_.]+', '<EMAIL>', 'g'), '[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+', '<NUMBER>', 'g')) AS clean_fp
+             |FROM d ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec(
+      "q72_repetition_signals",
+      (s, dir) => TextOps.repetitionSignals(Tables.documents(s, dir)),
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS toks,
+             |         string_split(text, '. ') AS sentences
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(toks) AS BIGINT) AS n_tokens,
+             |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             |  ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio,
+             |  ROUND(CAST(list_max(list_transform(list_distinct(toks), x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE) / len(toks), 6) AS top_tok_share,
+             |  ROUND(CAST(len(sentences) - len(list_distinct(sentences)) AS DOUBLE) / GREATEST(len(sentences), 1), 6) AS dup_sentence_frac
+             |FROM t WHERE len(toks) > 0 ORDER BY doc_id""".stripMargin)),
+
     QuerySpec(
       "q66_token_estimate",
       (s, dir) => TextOps.tokenEstimate(Tables.documents(s, dir)),
