@@ -258,6 +258,13 @@ object DedupOps {
     var labels = nodes
       .select(col("doc_id").cast("long").as("doc_id"), col("doc_id").cast("long").as("cluster_id"))
       .localCheckpoint(true)
+    // Convergence test: labels only ever DECREASE, so the exact
+    // (decimal, overflow-free) label sum is strictly monotone while
+    // anything changes — one cheap aggregate over the checkpointed
+    // round instead of a join-and-count against the previous round.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -270,12 +277,10 @@ object DedupOps {
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("cluster_id", "prev_cluster"), "doc_id")
-        .filter(col("cluster_id") =!= col("prev_cluster"))
-        .count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     if (!converged)
