@@ -169,6 +169,33 @@ object DedupOps {
       .orderBy(col("doc_i"), col("doc_j"))
   }
 
+  /** Exact-verified near-dup pairs — the production shape: LSH
+    * candidates ([[minhashPairs]]) carry only an ESTIMATED Jaccard;
+    * this joins each candidate pair back to the two documents'
+    * distinct-shingle sets and computes the exact Jaccard, keeping
+    * pairs at or above `threshold`. Exact similarity is computed for
+    * candidate pairs ONLY — never all pairs — so the cost is bounded
+    * by the (LSH-pruned) candidate count regardless of corpus size;
+    * [[jaccardPairs]]' doc-cap demonstrator is not needed here.
+    * Values match [[jaccardPairs]] exactly on shared pairs
+    * (TextDedupSpec); seeded candidates ⇒ rows-only vs the oracle. */
+  def verifiedJaccardPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val cands = minhashPairs(documents).select(col("doc_i"), col("doc_j"))
+    val shArr = documents
+      .select(col("doc_id"), expr(shingleArraySql).as("sh"))
+      .filter(size(col("sh")) > 0)
+    cands
+      .join(shArr.select(col("doc_id").as("doc_i"), col("sh").as("sh_i")), "doc_i")
+      .join(shArr.select(col("doc_id").as("doc_j"), col("sh").as("sh_j")), "doc_j")
+      .withColumn("inter", size(array_intersect(col("sh_i"), col("sh_j"))).cast("long"))
+      .withColumn("uni",
+        (size(col("sh_i")) + size(col("sh_j"))).cast("long") - col("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni").cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_i"), col("doc_j"), col("jaccard"))
+      .orderBy(col("doc_i"), col("doc_j"))
+  }
+
   /** SimHash: 64-bit signature from per-token hash bit votes. A
     * document's tokens already live in one row, so the whole signature
     * is per-row expression work: tokenize → xxhash64 each token inside

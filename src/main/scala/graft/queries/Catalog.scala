@@ -750,6 +750,13 @@ object Catalog {
     QuerySpec(
       "q70_near_dedup_sketch",
       (s, dir) => DedupOps.nearDedupSketch(Tables.documents(s, dir)),
+      None),
+
+    // LSH candidates verified with EXACT Jaccard on the pair's shingle
+    // sets — exactness bounded to candidates, never all pairs.
+    QuerySpec(
+      "q73_verified_jaccard",
+      (s, dir) => DedupOps.verifiedJaccardPairs(Tables.documents(s, dir)),
       None)
   )
 

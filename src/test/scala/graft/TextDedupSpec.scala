@@ -144,6 +144,20 @@ class TextDedupSpec extends SparkSpec {
     assert(kept(0L) >= 3L, s"doc 0 should absorb both injections, n_members=${kept.get(0L)}")
   }
 
+  test("verified jaccard equals the exhaustive ground truth on shared pairs") {
+    // exhaustive ground truth on the capped subset, same 0.15 threshold
+    val truth = DedupOps.jaccardPairs(docs, threshold = 0.15)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val verified = DedupOps.verifiedJaccardPairs(docs, threshold = 0.15)
+      .filter(col("doc_i") < 60 && col("doc_j") < 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(verified.nonEmpty)
+    // every verified candidate's exact jaccard matches the ground truth
+    verified.foreach { case (pair, j) =>
+      assert(truth.get(pair).contains(j), s"pair $pair: verified=$j truth=${truth.get(pair)}")
+    }
+  }
+
   test("degenerate-bucket guard drops flood buckets, leaves normal buckets intact") {
     // 30 exact copies of doc 0: every band bucket holding that content
     // has 31 members
