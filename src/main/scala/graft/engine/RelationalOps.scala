@@ -192,4 +192,26 @@ object RelationalOps {
       .agg(decSum(col("o_totalprice")).as("total_price"), count(lit(1)).as("n_orders"))
       .orderBy(col("c_mktsegment"))
   }
+
+  /** Non-equi range (band) join: each order lands in the price band
+    * containing it via a `lo <= x < hi` predicate against a small band
+    * dim. The dim is explicitly broadcast, so the plan is a
+    * BroadcastNestedLoopJoin — the right physical shape when one side
+    * is tiny; for big-big range joins the scale rewrite is to
+    * bucketize the range key (floor(x / width)) to recover an
+    * equi-join and post-filter, which the oracle SQL demonstrates by
+    * computing the same result with floor(). */
+  def priceBandRollup(orders: DataFrame, bandWidth: Double = 100000.0,
+                      nBands: Int = 6): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val bands = (0 until nBands)
+      .map(i => (i.toLong, i * bandWidth, (i + 1) * bandWidth))
+      .toDF("band_id", "lo", "hi")
+    orders.join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band_id"))
+      .agg(decSum(col("o_totalprice")).as("total_price"), count(lit(1)).as("n_orders"))
+      .orderBy(col("band_id"))
+  }
 }

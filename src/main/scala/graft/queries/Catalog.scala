@@ -161,6 +161,20 @@ object Catalog {
       (s, dir) => RelationalOps.coPartitionedJoin(Tables.orders(s, dir), Tables.customer(s, dir), 32),
       Some(segmentRollupOracle)),
 
+    // Non-equi range join: broadcast band dim, nested-loop plan; the
+    // oracle computes the same bands arithmetically (the bucketize
+    // rewrite big-big range joins use).
+    QuerySpec(
+      "q75_range_band_join",
+      (s, dir) => RelationalOps.priceBandRollup(Tables.orders(s, dir)),
+      Some(s"""SELECT CAST(FLOOR(o_totalprice / 100000) AS BIGINT) AS band_id,
+              |       ${decSumSql("o_totalprice")} AS total_price,
+              |       COUNT(*) AS n_orders
+              |FROM orders
+              |WHERE o_totalprice >= 0 AND o_totalprice < 600000
+              |GROUP BY band_id
+              |ORDER BY band_id""".stripMargin)),
+
     // Bucketed storage layer: the same segment rollup as q45, but the
     // orders ⋈ customer join reads bucketed tables co-distributed on
     // the key — no join-side shuffle (plan asserted in ScaleSpec).
@@ -521,6 +535,24 @@ object Catalog {
               |       ${decSumSql("value")} AS sum_value
               |FROM g GROUP BY user_id, sid
               |ORDER BY user_id, session_start""".stripMargin)),
+
+    // As-of join (custom temporal operator re-expressed as
+    // union + keyed time window): each event picks up the user's most
+    // recent order at or before the event time. DuckDB's native ASOF
+    // JOIN is the oracle.
+    QuerySpec(
+      "q74_asof_join",
+      (s, dir) => TemporalOps.asofLatestOrder(Tables.events(s, dir), Tables.orders(s, dir)),
+      Some("""WITH od AS (
+             |  SELECT o_custkey, o_orderdate,
+             |         MAX(o_orderkey) AS o_orderkey,
+             |         max_by(o_totalprice, o_orderkey) AS o_totalprice
+             |  FROM orders GROUP BY o_custkey, o_orderdate)
+             |SELECT e.event_id, e.user_id, e.value,
+             |       o.o_orderkey AS asof_orderkey, o.o_totalprice AS asof_totalprice
+             |FROM events e ASOF LEFT JOIN od o
+             |  ON e.user_id = o.o_custkey AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP)
+             |ORDER BY e.event_id""".stripMargin)),
 
     QuerySpec(
       "q34_json_extract",

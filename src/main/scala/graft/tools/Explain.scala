@@ -17,7 +17,8 @@ object Explain {
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_flagship_geo_rollup", "q04_filter_project", "q07_topk",
-               "q08_global_sort", "q42_minhash_lsh_pairs", "q46_cosine_topk")
+               "q08_global_sort", "q42_minhash_lsh_pairs", "q46_cosine_topk",
+               "q64_partitioned_dpp", "q69_bucketed_join", "q74_asof_join")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
