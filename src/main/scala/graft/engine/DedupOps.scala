@@ -177,13 +177,19 @@ object DedupOps {
     * candidate pairs ONLY — never all pairs — so the cost is bounded
     * by the (LSH-pruned) candidate count regardless of corpus size;
     * [[jaccardPairs]]' doc-cap demonstrator is not needed here.
-    * Values match [[jaccardPairs]] exactly on shared pairs
+    * Shingle sets are the [[ShingleHashes]] 64-bit hash sets (the
+    * string form costs ~10× in array building; set Jaccard is
+    * identical absent an xxhash64 collision, which already bounds the
+    * candidate generation), checkpointed once and read by both join
+    * sides. Values match [[jaccardPairs]] exactly on shared pairs
     * (TextDedupSpec); seeded candidates ⇒ rows-only vs the oracle. */
   def verifiedJaccardPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
     val cands = minhashPairs(documents).select(col("doc_i"), col("doc_j"))
+    ShingleHashes.register(documents.sparkSession)
     val shArr = documents
-      .select(col("doc_id"), expr(shingleArraySql).as("sh"))
+      .select(col("doc_id"), expr(s"shingle_hashes(text, $ShingleSize)").as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint(false)
     cands
       .join(shArr.select(col("doc_id").as("doc_i"), col("sh").as("sh_i")), "doc_i")
       .join(shArr.select(col("doc_id").as("doc_j"), col("sh").as("sh_j")), "doc_j")
