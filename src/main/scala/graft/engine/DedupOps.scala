@@ -80,6 +80,27 @@ object DedupOps {
       .orderBy(col("doc_i"), col("doc_j"))
   }
 
+  /** Diagnostic for sizing the [[boundBuckets]] cap: the bucket-size
+    * histogram of the simhash banding — (bucket_n, n_buckets), largest
+    * first. Any row with bucket_n above the configured cap is a bucket
+    * (and its docs' pairs) that [[simhashPairs]] will skip. */
+  def simhashBucketStats(documents: DataFrame, bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"shiftrightunsigned(simhash, ${b * width}) & $mask").as("bh"))
+    }
+    simhashSignatures(documents)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .groupBy(col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .groupBy(col("bucket_n"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .orderBy(col("bucket_n").desc)
+  }
+
   /** MinHash signatures: k pseudo-random permutations folded per-row
     * by the codegen'd [[MinHashPack]] expression over the document's
     * distinct-shingle hash array — no explode, no aggregate, no
@@ -102,8 +123,9 @@ object DedupOps {
     * (band, hash) bucket become candidates. With J ≈ pairwise Jaccard,
     * P(candidate) = 1-(1-J^r)^b — tuned so dissimilar pairs almost
     * never collide, keeping the bucket join linear-ish in n. */
-  def lshCandidates(signatures: DataFrame, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val buckets = bandBuckets(signatures, bands, rowsPerBand)
+  def lshCandidates(signatures: DataFrame, bands: Int = 8, rowsPerBand: Int = 4,
+                    maxBucket: Int = 10000): DataFrame = {
+    val buckets = boundBuckets(bandBuckets(signatures, bands, rowsPerBand), maxBucket)
       .select(col("doc_id"), col("band"), col("bh"))
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -123,15 +145,16 @@ object DedupOps {
 
   /** Degenerate-bucket guard for LSH self-joins. A bucket with m
     * members yields m² candidate pairs; a content flood (thousands of
-    * near-identical boilerplate docs sharing every band) turns the
-    * linear-ish bucket join quadratic. Buckets above `maxBucket` are
-    * dropped from pair generation — by construction their members are
-    * overwhelmingly identical-content floods that EXACT dedup (q40,
-    * which a real pipeline runs first) already collapses, so the
-    * recall loss is confined to that degenerate case while the
-    * worst-case join cost is bounded at maxBucket² per bucket. One
-    * count-aggregate over the bucket keys; the filter prunes both
-    * sides before the join. */
+    * near-identical boilerplate/templated docs sharing every band)
+    * turns the linear-ish bucket join quadratic. Buckets above
+    * `maxBucket` are dropped from pair generation, bounding worst-case
+    * join cost at maxBucket² per bucket. The recall cost is real for
+    * templated near-dups that exact dedup does NOT collapse (distinct
+    * bytes, same bands) — the drop is silent in the pair path by
+    * design (surfacing counts there would force an extra action per
+    * run), so operators size the cap and account for dropped buckets
+    * with the [[bucketSizeStats]] diagnostic. One count-aggregate over
+    * the bucket keys; the filter prunes both sides before the join. */
   private def boundBuckets(buckets: DataFrame, maxBucket: Int): DataFrame = {
     val sizes = buckets.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("bucket_n"))
@@ -183,13 +206,18 @@ object DedupOps {
     * candidate generation), checkpointed once and read by both join
     * sides. Values match [[jaccardPairs]] exactly on shared pairs
     * (TextDedupSpec); seeded candidates ⇒ rows-only vs the oracle. */
-  def verifiedJaccardPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val cands = minhashPairs(documents).select(col("doc_i"), col("doc_j"))
+  def verifiedJaccardPairs(documents: DataFrame, threshold: Double = 0.5,
+                           numHashes: Int = 32): DataFrame = {
     ShingleHashes.register(documents.sparkSession)
+    MinHashPack.register(documents.sparkSession)
+    // ONE shingling pass: the checkpointed hash sets feed both the
+    // signature/candidate generation and the exact verification join
     val shArr = documents
       .select(col("doc_id"), expr(s"shingle_hashes(text, $ShingleSize)").as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint(false)
+    val sigs = shArr.select(col("doc_id"), expr(s"minhash_pack(sh, $numHashes)").as("sig"))
+    val cands = lshCandidates(sigs)
     cands
       .join(shArr.select(col("doc_id").as("doc_i"), col("sh").as("sh_i")), "doc_i")
       .join(shArr.select(col("doc_id").as("doc_j"), col("sh").as("sh_j")), "doc_j")
@@ -296,10 +324,11 @@ object DedupOps {
     // anything changes — one cheap aggregate over the checkpointed
     // round instead of a join-and-count against the previous round.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+      Option(df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // sum over zero rows is null
     var prevSum = labelSum(labels)
     var iter = 0
-    var converged = false
+    var converged = labels.isEmpty // no nodes: already at fixpoint
     while (!converged && iter < maxIter) {
       val nbrMin = sym
         .join(labels.select(col("doc_id").as("src"), col("cluster_id").as("src_cluster")), "src")

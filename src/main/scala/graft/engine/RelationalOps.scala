@@ -195,18 +195,21 @@ object RelationalOps {
 
   /** Non-equi range (band) join: each order lands in the price band
     * containing it via a `lo <= x < hi` predicate against a small band
-    * dim. The dim is explicitly broadcast, so the plan is a
+    * dim. The LAST band is open-ended, so no non-negative price ever
+    * falls outside the dim and silently disappears from the rollup.
+    * The dim is explicitly broadcast, so the plan is a
     * BroadcastNestedLoopJoin — the right physical shape when one side
     * is tiny; for big-big range joins the scale rewrite is to
-    * bucketize the range key (floor(x / width)) to recover an
-    * equi-join and post-filter, which the oracle SQL demonstrates by
-    * computing the same result with floor(). */
+    * bucketize the range key (floor(x / width) capped to the last
+    * band) to recover an equi-join, which the oracle SQL demonstrates
+    * by computing the same result with LEAST(FLOOR(...)). */
   def priceBandRollup(orders: DataFrame, bandWidth: Double = 100000.0,
                       nBands: Int = 6): DataFrame = {
     val spark = orders.sparkSession
     import spark.implicits._
     val bands = (0 until nBands)
-      .map(i => (i.toLong, i * bandWidth, (i + 1) * bandWidth))
+      .map(i => (i.toLong, i * bandWidth,
+        if (i == nBands - 1) Double.MaxValue else (i + 1) * bandWidth))
       .toDF("band_id", "lo", "hi")
     orders.join(broadcast(bands),
         col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))

@@ -9,7 +9,10 @@ object Scratch {
   private val registered = scala.collection.mutable.LinkedHashSet.empty[String]
   private lazy val hookInstalled: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      registered.foreach { p =>
+      // snapshot under the same lock dir() uses — iterating the live
+      // set while a query thread registers would abort cleanup with a
+      // ConcurrentModificationException
+      Scratch.synchronized(registered.toList).foreach { p =>
         try delete(new java.io.File(p)) catch { case _: Throwable => }
       }))
 

@@ -175,8 +175,17 @@ object TextOps {
       .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
       .withColumn("distinct_ratio",
         round(col("n_distinct").cast("double") / col("n_tokens"), 6))
+      // max token frequency = longest equal-run in the sorted array:
+      // O(n log n) per row (the distinct×filter formulation is
+      // O(distinct·n) — quadratic on real-corpus documents)
       .withColumn("top_tok_share", round(
-        expr("aggregate(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))), 0, (a, x) -> IF(x > a, x, a))")
+        expr("""aggregate(array_sort(toks),
+               named_struct('prev', '', 'run', 0, 'best', 0),
+               (acc, x) -> named_struct(
+                 'prev', x,
+                 'run', IF(x = acc.prev, acc.run + 1, 1),
+                 'best', GREATEST(acc.best, IF(x = acc.prev, acc.run + 1, 1))),
+               acc -> acc.best)""")
           .cast("double") / col("n_tokens"), 6))
       .withColumn("n_sentences", size(col("sentences")).cast("long"))
       .withColumn("n_distinct_sentences", size(array_distinct(col("sentences"))).cast("long"))

@@ -80,7 +80,9 @@ object MinHashPack {
       s"$fnName expects exactly 2 arguments (got ${exprs.length})")
     require(exprs(1).foldable,
       s"$fnName's second argument must be a foldable integer literal")
-    exprs(1).eval(null).asInstanceOf[Number].intValue()
+    val v = exprs(1).eval(null)
+    require(v != null, s"$fnName's second argument must not be NULL")
+    v.asInstanceOf[Number].intValue()
   }
 
   /** Register `minhash_pack(arr, k)`; k must be a foldable literal.

@@ -167,11 +167,11 @@ object Catalog {
     QuerySpec(
       "q75_range_band_join",
       (s, dir) => RelationalOps.priceBandRollup(Tables.orders(s, dir)),
-      Some(s"""SELECT CAST(FLOOR(o_totalprice / 100000) AS BIGINT) AS band_id,
+      Some(s"""SELECT LEAST(CAST(FLOOR(o_totalprice / 100000) AS BIGINT), 5) AS band_id,
               |       ${decSumSql("o_totalprice")} AS total_price,
               |       COUNT(*) AS n_orders
               |FROM orders
-              |WHERE o_totalprice >= 0 AND o_totalprice < 600000
+              |WHERE o_totalprice >= 0
               |GROUP BY band_id
               |ORDER BY band_id""".stripMargin)),
 

@@ -73,7 +73,9 @@ class IngestWriteSpec extends SparkSpec {
     val t0 = System.nanoTime()
     (1 to 4).foreach(_ => client.geocode("X"))
     val elapsedMs = (System.nanoTime() - t0) / 1000000L
-    assert(elapsedMs >= 60, s"4 lookups at 20ms floor took only ${elapsedMs}ms")
+    // 3 spaced intervals ≈ 60ms; allow for millisecond-clock
+    // truncation on the sleep boundaries (observed 59ms flake)
+    assert(elapsedMs >= 55, s"4 lookups at 20ms floor took only ${elapsedMs}ms")
   }
 
   test("geo-enriched rollup matches the plain join rollup on totals") {
