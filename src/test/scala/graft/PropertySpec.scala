@@ -1,0 +1,120 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.engine.DedupOps
+import graft.functions.{MinHashPack, RollingHash, ShingleHashes, SimHashPack, SketchAggs}
+
+/** Seeded randomized property tests for the custom expressions — the
+  * corpus-driven specs only exercise ASCII input and well-formed
+  * shapes; these drive the hand-rolled byte/bit paths (multibyte UTF-8
+  * walking, empty/short inputs, degenerate graphs) against independent
+  * reference implementations. Fixed seeds keep every run identical. */
+class PropertySpec extends SparkSpec {
+
+  private val unicodeAlphabet: Array[String] =
+    ("abcXYZ019 _".map(_.toString) ++ Seq("é", "ß", "中", "文", "🚀", "𝄞", "ñ", "ع")).toArray
+
+  private def randomString(rnd: Random, maxLen: Int): String =
+    (0 until rnd.nextInt(maxLen + 1))
+      .map(_ => unicodeAlphabet(rnd.nextInt(unicodeAlphabet.length))).mkString
+
+  test("shingle_hashes matches the declarative path on random multibyte strings") {
+    val rnd = new Random(7)
+    val texts = (0 until 120).map(i => (i.toLong, randomString(rnd, 24))) :+
+      (999L, "") :+ (998L, "abcd") // shorter than the shingle size
+    import spark.implicits._
+    val df = texts.toDF("doc_id", "text")
+    ShingleHashes.register(spark)
+    val viaExpr = df
+      .select(col("doc_id"), expr(s"shingle_hashes(text, ${DedupOps.ShingleSize})").as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val viaSql = df
+      .select(col("doc_id"), explode(expr(
+        s"CASE WHEN length(text) >= ${DedupOps.ShingleSize} " +
+        s"THEN array_distinct(transform(sequence(1, length(text) - ${DedupOps.ShingleSize - 1}), i -> substr(text, i, ${DedupOps.ShingleSize}))) " +
+        "ELSE array() END")).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(_.getLong(1)).toSet }
+    texts.foreach { case (id, _) =>
+      assert(viaExpr(id) == viaSql.getOrElse(id, Set.empty[Long]), s"doc $id")
+    }
+  }
+
+  test("SimHashPack.pack matches an independent vote fold on random hash arrays") {
+    val rnd = new Random(11)
+    def reference(hs: Array[Long]): Long = {
+      val votes = Array.fill(64)(0L)
+      hs.foreach(h => (0 until 64).foreach(i => votes(i) += ((h >>> i) & 1L) * 2 - 1))
+      votes.zipWithIndex.foldLeft(0L) { case (sig, (v, i)) =>
+        if (v > 0) sig | (1L << i) else sig
+      }
+    }
+    (0 until 200).foreach { _ =>
+      val hs = Array.fill(rnd.nextInt(40))(rnd.nextLong())
+      assert(SimHashPack.pack(new GenericArrayData(hs)) == reference(hs))
+    }
+  }
+
+  test("MinHashPack.pack matches an independent per-lane minimum on random hash arrays") {
+    val rnd = new Random(13)
+    def reference(hs: Array[Long], k: Int): Seq[Long] = {
+      val seeds = (1 to k).map(i => SketchAggs.mix64(0x9E3779B97F4A7C15L * i))
+      seeds.map(s =>
+        if (hs.isEmpty) Long.MaxValue
+        else hs.map(h => SketchAggs.mix64(h ^ s)).min)
+    }
+    (0 until 100).foreach { _ =>
+      val k = 1 + rnd.nextInt(48)
+      val hs = Array.fill(rnd.nextInt(60))(rnd.nextLong())
+      val packed = MinHashPack.pack(new GenericArrayData(hs), k).toLongArray.toSeq
+      assert(packed == reference(hs, k))
+    }
+  }
+
+  test("RollingHash.hash matches the byte fold on random multibyte strings") {
+    val rnd = new Random(17)
+    (0 until 200).foreach { _ =>
+      val s = randomString(rnd, 32)
+      val expected = s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + (b & 0xffL))
+      assert(RollingHash.hash(UTF8String.fromString(s)) == expected, s"string '$s'")
+    }
+  }
+
+  test("connectedComponents matches union-find on random graphs") {
+    import spark.implicits._
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // path-compress fully so every node points at the component min
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    Seq(19, 23, 29).foreach { seed =>
+      val rnd = new Random(seed)
+      val n = 30 + rnd.nextInt(20)
+      val edges = Seq.fill(rnd.nextInt(n))((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val got = DedupOps.connectedComponents(
+          (0 until n).map(_.toLong).toDF("doc_id"),
+          edges.toDF("doc_i", "doc_j"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFind(n, edges), s"seed $seed, n=$n, edges=$edges")
+    }
+  }
+
+  test("connectedComponents handles an empty node set") {
+    import spark.implicits._
+    val empty = DedupOps.connectedComponents(
+      Seq.empty[Long].toDF("doc_id"), Seq.empty[(Long, Long)].toDF("doc_i", "doc_j"))
+    assert(empty.count() == 0)
+  }
+}
