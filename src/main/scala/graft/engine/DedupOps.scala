@@ -324,7 +324,7 @@ object DedupOps {
     // anything changes — one cheap aggregate over the checkpointed
     // round instead of a join-and-count against the previous round.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0))
+      Option(df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO) // sum over zero rows is null
     var prevSum = labelSum(labels)
     var iter = 0

@@ -90,7 +90,7 @@ object MLPipelines {
     val assembled = new Pipeline().setStages(enc.stages :+ (assembler: PipelineStage))
       .fit(features).transform(features)
     val m = Correlation.corr(assembled, "corr_features", "pearson")
-      .head.getAs[org.apache.spark.ml.linalg.Matrix](0)
+      .head().getAs[org.apache.spark.ml.linalg.Matrix](0)
     val spark = features.sparkSession
     import spark.implicits._
     val rows = for {
