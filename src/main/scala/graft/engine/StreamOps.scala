@@ -118,6 +118,23 @@ object StreamOps {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Watermarked stream-stream interval join — the attribution shape:
+    * clicks joined to the same user's impressions within a bounded
+    * look-back window. BOTH sides carry watermarks and the join
+    * condition bounds event time in BOTH directions, which is exactly
+    * what lets Structured Streaming evict each side's buffered rows
+    * once the other side's watermark clears the interval — state stays
+    * bounded on unbounded streams. Inputs: impressions(imp_user,
+    * imp_id, imp_ts), clicks(click_user, click_id, click_ts).
+    * Batch==stream equivalence is asserted in StreamingSpec. */
+  def impressionClickJoin(impressions: DataFrame, clicks: DataFrame,
+                          lookback: String = "10 minutes"): DataFrame =
+    impressions.withWatermark("imp_ts", lookback)
+      .join(clicks.withWatermark("click_ts", lookback),
+        expr(s"""imp_user = click_user
+                 AND click_ts >= imp_ts
+                 AND click_ts <= imp_ts + interval $lookback"""))
+
   /** Stream-static enrichment join — the standard streaming dimension
     * lookup: every micro-batch of the stream inner-joins the (small)
     * static dimension, explicitly broadcast so no batch ever shuffles

@@ -134,6 +134,39 @@ class StreamingSpec extends SparkSpec {
     assert(last == expected, s"state totals $last != batch $expected")
   }
 
+  test("watermarked stream-stream interval join matches the batch interval join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val impIn = MemoryStream[(Long, Long, Long)] // (user, imp_id, sec)
+    val clkIn = MemoryStream[(Long, Long, Long)] // (user, click_id, sec)
+    def shape(df: org.apache.spark.sql.DataFrame, u: String, id: String, ts: String) =
+      df.toDF(u, id, "sec").withColumn(ts, timestamp_seconds(col("sec"))).drop("sec")
+    val joined = StreamOps.impressionClickJoin(
+      shape(impIn.toDF(), "imp_user", "imp_id", "imp_ts"),
+      shape(clkIn.toDF(), "click_user", "click_id", "click_ts"))
+    val q = joined.select(col("imp_id"), col("click_id")).writeStream
+      .outputMode("append").format("memory").queryName("attrib").start()
+    // user 1: click 300s after impression (inside 10min); a second
+    // click at 3000s (outside); user 2: click before any impression
+    val imps = Seq((1L, 100L, 60L), (2L, 200L, 500L))
+    val clicks = Seq((1L, 900L, 360L), (1L, 901L, 3060L), (2L, 902L, 400L))
+    try {
+      impIn.addData(imps: _*)
+      q.processAllAvailable()
+      clkIn.addData(clicks: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("attrib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      (u, i, it) <- imps; (cu, c, ct) <- clicks
+      if u == cu && ct >= it && ct <= it + 600
+    } yield (i, c)).toSet
+    assert(streamed == expected, s"streamed $streamed != batch $expected")
+    assert(expected == Set((100L, 900L)), "fixture sanity: exactly one attributed click")
+  }
+
   test("stream-static enrichment join matches the batch join per micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
