@@ -144,6 +144,31 @@ object StreamOps {
   def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys)
 
+  /** Threshold alerts via flatMapGroupsWithState — the 0..n-outputs
+    * stateful shape (mapGroupsWithState emits exactly one row per
+    * touched group per batch; this emits one row per THRESHOLD
+    * CROSSING, which can be none or several): state is the user's
+    * running total, and each batch emits an alert row for every
+    * multiple of `threshold` the total crossed. StreamingSpec asserts
+    * the emitted alerts equal the batch-computed crossings. */
+  def thresholdAlerts(events: Dataset[(Long, Double)],
+                      threshold: Double): Dataset[(Long, Long, Double)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[Double]) =>
+          val before = state.getOption.getOrElse(0.0)
+          val after = before + rows.map(_._2).sum
+          state.update(after)
+          val firstLevel = math.floor(before / threshold).toLong + 1
+          val lastLevel = math.floor(after / threshold).toLong
+          (firstLevel to lastLevel).iterator.map(level => (user, level, after))
+      }
+  }
+
   /** Arbitrary stateful processing (SURVEY brief: custom state via
     * mapGroupsWithState): running per-user (count, sum) maintained in
     * a typed GroupState across micro-batches, emitting the updated

@@ -120,6 +120,17 @@ class SimilarityMultimodalSpec extends SparkSpec {
     }, "stub features normalized to [0,1]")
   }
 
+  test("resize stub emits fixed-size deterministic byte arrays") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val media = MultimodalOps.mediaTable(docs).as[MultimodalOps.MediaRecord]
+    val a = MultimodalOps.resizeStub(media, outBytes = 16).collect().toMap
+    val b = MultimodalOps.resizeStub(media, outBytes = 16).collect().toMap
+    assert(a.size == docs.count())
+    assert(a.values.forall(_.length == 16), "fixed output shape")
+    assert(a.keys.forall(k => a(k).toSeq == b(k).toSeq), "deterministic")
+  }
+
   test("media table payload length equals utf-8 byte length") {
     val docs = Tables.documents(spark, sf)
     val rows = MultimodalOps.mediaTable(docs)

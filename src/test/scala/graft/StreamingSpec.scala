@@ -134,6 +134,28 @@ class StreamingSpec extends SparkSpec {
     assert(last == expected, s"state totals $last != batch $expected")
   }
 
+  test("flatMapGroupsWithState emits one alert per threshold crossing, none otherwise") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Double)]
+    val q = StreamOps.thresholdAlerts(input.toDS(), threshold = 10.0)
+      .toDF("user_id", "level", "total")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("alerts").start()
+    try {
+      // user 1 reaches 8 (no alert), then 23 (crosses 10 and 20:
+      // two alerts); user 2 reaches 9.5 (no alert)
+      input.addData((1L, 8.0), (2L, 9.5))
+      q.processAllAvailable()
+      input.addData((1L, 15.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val alerts = spark.table("alerts").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(alerts == Set((1L, 1L), (1L, 2L)), s"got $alerts")
+  }
+
   test("watermarked stream-stream interval join matches the batch interval join") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
