@@ -66,6 +66,7 @@ object Bench {
     val pass1 = onePass()
     val pass2 = onePass()
     graft.queries.MLShared.release()
+    graft.engine.SimilarityOps.release()
     val results = pass1.zip(pass2).map { case ((name, t1, ok1), (_, t2, ok2)) =>
       val best = (ok1, ok2) match {
         case (true, true)  => math.min(t1, t2)

@@ -54,6 +54,26 @@ object AggregateOps {
     Seq((p25, p50, p75)).toDF("p25", "p50", "p75")
   }
 
+  /** The ORACLE form of the sketch quantiles (q19): same GK code path
+    * as [[approxQuantileRow]], but with the relative error pinned
+    * below 1/(2n) so the sketch's ±εn rank window collapses to a
+    * single rank — the answer is then the unique order statistic at
+    * rank ⌈p·n⌉, which DuckDB names directly as `quantile_disc`.
+    * Deterministic by construction (no rounding-bucket straddle risk);
+    * the sketch is still the operator under test — a broken summary
+    * would return a wrong element and hash-mismatch. This tolerance
+    * costs GK its compression (all n samples survive), so it is the
+    * CONFORMANCE setting: production uses [[approxQuantileRow]] at
+    * 0.001, whose answer this form brackets. */
+  def approxQuantileOracle(orders: DataFrame): DataFrame = {
+    import orders.sparkSession.implicits._
+    val n = orders.count()
+    val relErr = 0.49 / math.max(n, 1L)
+    val Array(p25, p50, p75) =
+      orders.stat.approxQuantile("o_totalprice", Array(0.25, 0.5, 0.75), relErr)
+    Seq((p25, p50, p75)).toDF("p25", "p50", "p75")
+  }
+
   /** describe()-equivalent summary (reference:
     * app/machine_learning_models.py:300) as an explicit aggregate —
     * one row per column, deterministic: exact decimal mean, stddev

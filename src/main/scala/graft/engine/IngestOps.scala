@@ -100,6 +100,88 @@ object IngestOps {
     total
   }
 
+  /** Streaming form of the ingest loop (SURVEY §2.1 S3 100 TB column;
+    * VERDICT r4 missing item 2): the paged feed drains into a landing
+    * zone — one file per page, the way a collector daemon or
+    * CDC/export job lands a remote feed — and Structured Streaming
+    * consumes the zone with `Trigger.AvailableNow`: process every
+    * file currently available, record them in the checkpointed file
+    * log, stop. The sink writes the SAME partitioned parquet layout
+    * [[runIngest]] produces, so the serving side cannot tell which
+    * path landed the data. Incremental by construction: a later run
+    * with new pages landed processes ONLY the new files (the file
+    * log skips seen ones) — the reference's "fetch since last time"
+    * poll loop (app/ml_app.py:406-531) without driver-side batching
+    * state. Returns the number of pages staged this call. */
+  def stagePages(src: PagedSource, stagingDir: String): Int = {
+    val dir = new java.io.File(stagingDir)
+    dir.mkdirs()
+    var page = 0
+    var staged = 0
+    var more = true
+    while (more) {
+      fetchWithRetry(src, page) match {
+        case Some(rows) =>
+          val f = new java.io.File(dir, f"page_$page%05d.csv")
+          if (!f.exists()) { // idempotent re-stage: land only new pages
+            val tmp = new java.io.File(dir, f".page_$page%05d.csv.tmp")
+            val w = new java.io.PrintWriter(tmp, "UTF-8")
+            try rows.foreach(r =>
+              w.println(s"${r.o_orderkey},${r.o_custkey},${r.o_orderpriority},${r.o_totalprice}"))
+            finally w.close()
+            // atomic rename so the file source never reads a half page
+            if (!tmp.renameTo(f))
+              throw new java.io.IOException(s"stage rename failed for $f")
+            staged += 1
+          }
+          page += 1
+        case None => more = false
+      }
+    }
+    staged
+  }
+
+  /** Consume the landing zone with Trigger.AvailableNow into the
+    * partitioned parquet sink, then return the re-read result. The
+    * checkpoint dir carries the processed-file log across calls —
+    * calling again with no new pages staged is a no-op. */
+  def runIngestStream(spark: SparkSession, stagingDir: String, outPath: String,
+                      checkpointDir: String,
+                      partitionKey: String = "o_orderpriority"): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.Trigger
+    val stream = spark.readStream
+      .schema(Encoders.product[OrderRec].schema)
+      .csv(stagingDir)
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy(partitionKey)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outPath)
+  }
+
+  /** End-to-end STREAMED ingest query (q76): same bounded fixture
+    * slice as [[ingestBatch]], landed via the streaming path —
+    * oracle-identical to the batch form. */
+  def ingestStream(spark: SparkSession, orders: DataFrame, baseDir: String,
+                   maxKey: Long = 6000L, pageSize: Int = 500): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rows = orders.filter(col("o_orderkey") <= maxKey)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+      .as[OrderRec].collect().toIndexedSeq // bounded by maxKey, ~1.5k rows at any sf
+    stagePages(new FixtureSource(rows, pageSize), s"$baseDir/landing")
+    runIngestStream(spark, s"$baseDir/landing", s"$baseDir/out", s"$baseDir/ckpt")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** End-to-end ingest query: a bounded deterministic orders slice
     * (constant row count at every scale factor — the fixture stands in
     * for a remote API, not for the fact table) paged through the loop,

@@ -152,7 +152,17 @@ object RelationalOps {
     * — the `awarding_sub_agency_by_month` table sorted by total,
     * limit 30). TakeOrderedAndProject over the month rollup. */
   def topMonthSlice(orders: DataFrame, k: Int = 30): DataFrame =
-    monthRollup(orders)
+    topSliceOfMonthly(monthRollup(orders), k)
+
+  /** The same top-k slice over an ALREADY-AGGREGATED monthly rollup —
+    * the serving path: the reference's dashboard reads only
+    * pre-aggregated tables (app/ml_app.py:99-139 scans
+    * `total_award_amount_by_*`, never the fact), so the per-request
+    * plan must start from the materialized (priority, month) aggregate,
+    * not from `orders`. TakeOrderedAndProject over ≤ #priorities×12
+    * rows. */
+  def topSliceOfMonthly(monthly: DataFrame, k: Int = 30): DataFrame =
+    monthly
       .select(col("o_orderpriority"), col("o_month"), col("total_price"))
       .orderBy(col("total_price").desc, col("o_orderpriority"), col("o_month"))
       .limit(k)
@@ -163,7 +173,12 @@ object RelationalOps {
     * to expressing it as an engine query). 30 rows in — the second
     * aggregation is a near-free single-partition agg. */
   def dashSubAgencyRollup(orders: DataFrame, k: Int = 30): DataFrame =
-    topMonthSlice(orders, k)
+    pieOverSlice(topMonthSlice(orders, k))
+
+  /** Pie re-grouping over any top-k monthly slice (serving path takes
+    * the slice from the MV, the q55 catalog form from the fact). */
+  def pieOverSlice(slice: DataFrame): DataFrame =
+    slice
       .groupBy(col("o_orderpriority"))
       .agg(decSum(col("total_price")).as("total_price"),
            count(lit(1)).as("n_months"))
@@ -173,7 +188,12 @@ object RelationalOps {
     * templates/dashboard.html:179-189 — the line chart's in-browser
     * re-sum by month across sub-agencies over the same slice). */
   def dashMonthRollup(orders: DataFrame, k: Int = 30): DataFrame =
-    topMonthSlice(orders, k)
+    lineOverSlice(topMonthSlice(orders, k))
+
+  /** Line-chart re-grouping over any top-k monthly slice (see
+    * [[pieOverSlice]]). */
+  def lineOverSlice(slice: DataFrame): DataFrame =
+    slice
       .groupBy(col("o_month"))
       .agg(decSum(col("total_price")).as("total_price"),
            count(lit(1)).as("n_agencies"))

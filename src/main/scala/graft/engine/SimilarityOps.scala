@@ -106,17 +106,22 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rn"))
   }
 
-  /** IVF (inverted-file) ANN — the second scale path beside LSH: a
-    * seeded k-means coarse quantizer assigns every vector to one of
-    * `nLists` inverted lists; each query probes only its `nProbe`
-    * nearest centroids and runs exact cosine inside those lists. At
-    * 100 TB the lists are the partitioning key (each probe touches
-    * nProbe/nLists of the corpus); the centroid table is tiny and
-    * broadcast. Not SQL-expressible (iterative seeded fit);
-    * recall@10 vs brute force is asserted in
-    * SimilarityMultimodalSpec. */
-  def ivfTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
-              nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+  /** A built IVF index: the coarse-quantizer assignments (vec_id, vec,
+    * norm, list_id — materialized, so probes never refit) plus the
+    * tiny centroid relation (nLists rows — the broadcast side
+    * everywhere). */
+  final case class IvfIndex(assigned: DataFrame, centers: DataFrame, nLists: Int)
+
+  /** Build the IVF index ONCE: fit the seeded k-means coarse quantizer
+    * and materialize every vector's list assignment. This is the
+    * expensive, amortizable step — it belongs OUTSIDE the query path
+    * (a real ANN service builds its index offline and probes it per
+    * request; the same build-once pattern as
+    * [[PartitionedTables.ensureBucketed]]). Locally the assignments
+    * are an eagerly-materialized localCheckpoint; at 100 TB they
+    * persist as a table PARTITIONED/bucketed by `list_id`, so each
+    * probe prunes to nProbe/nLists of the corpus at the scan. */
+  def buildIvfIndex(embeddings: DataFrame, nLists: Int = 16): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = embeddings.sparkSession
@@ -126,11 +131,42 @@ object SimilarityOps {
       .setFeaturesCol("fv").setPredictionCol("list_id").fit(withFv)
     val assigned = withVec(embeddings)
       .join(model.transform(withFv).select(col("vec_id"), col("list_id")), "vec_id")
-      .localCheckpoint(false) // read by both the query and candidate side
-    // centroid relation: nLists rows — the broadcast side everywhere
+      .localCheckpoint(true) // materialize at BUILD time; probes only read
     val centers = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray) }.toSeq
       .toDF("c_list_id", "centroid")
+    IvfIndex(assigned, centers, nLists)
+  }
+
+  /** Session-lifetime index memo, keyed by (caller tag, nLists) — the
+    * [[graft.queries.MLShared]] pattern: the first query over a corpus
+    * pays the quantizer fit, every later probe reuses it. [[release]]
+    * drops the memo (Verify/Bench end-of-run). */
+  private var ivfMemo: Map[(String, Int), IvfIndex] = Map.empty
+
+  def ivfIndexFor(embeddings: DataFrame, tag: String, nLists: Int = 16): IvfIndex =
+    synchronized {
+      ivfMemo.getOrElse((tag, nLists), {
+        val idx = buildIvfIndex(embeddings, nLists)
+        ivfMemo += ((tag, nLists) -> idx)
+        idx
+      })
+    }
+
+  def release(): Unit = synchronized { ivfMemo = Map.empty }
+
+  /** IVF (inverted-file) ANN — the second scale path beside LSH: the
+    * coarse quantizer assigns every vector to one of nLists inverted
+    * lists; each query probes only its `nProbe` nearest centroids and
+    * runs exact cosine inside those lists. This overload is PROBE
+    * ONLY — the index is prebuilt ([[buildIvfIndex]] /
+    * [[ivfIndexFor]]), so the per-query cost is a centroid ranking
+    * (nQueries × nLists rows) plus the in-list exact cosine. Not
+    * SQL-expressible (iterative seeded fit); recall@10 vs brute force
+    * is asserted in SimilarityMultimodalSpec. */
+  def ivfTopK(index: IvfIndex, nQueries: Int, k: Int, nProbe: Int): DataFrame = {
+    val assigned = index.assigned
+    val centers = index.centers
     // each query ranks centroids by euclidean distance (the quantizer
     // metric) and probes the top nProbe lists
     val qDist = assigned.filter(col("vec_id") < nQueries)
@@ -155,6 +191,14 @@ object SimilarityOps {
       .select(col("qid"), col("vec_id"), col("score"), col("rn"))
       .orderBy(col("qid"), col("rn"))
   }
+
+  /** One-shot IVF form: builds the index inline and probes it — for
+    * ad-hoc exploration and the recall/score-parity tests. Production
+    * and the catalog go through [[ivfIndexFor]] so the build is paid
+    * once. */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
+              nLists: Int = 16, nProbe: Int = 4): DataFrame =
+    ivfTopK(buildIvfIndex(embeddings, nLists), nQueries, k, nProbe)
 
   /** High-cosine pair candidates restricted to same-LSH-bucket vectors
     * — the edge set for [[semanticDedup]]. Bucketing keeps the

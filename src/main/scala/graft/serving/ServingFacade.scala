@@ -4,7 +4,7 @@ import org.apache.spark.ml.PipelineModel
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.{MLPipelines, RelationalOps, Tables}
+import graft.engine.{MLPipelines, RelationalOps, Scratch, Tables, WriteOps}
 
 /** Long-lived serving facade — the reference's Flask app re-expressed
   * as a library (HTTP transport itself is out of scope per SURVEY §2.1
@@ -25,16 +25,48 @@ final class ServingFacade(spark: SparkSession, sfDir: String, modelDir: String) 
   /** Startup-time model load — train offline, load here (S9). */
   private val classifier: PipelineModel = MLPipelines.loadModel(modelDir)
 
+  /** Startup-time MV build: the (priority, month) monthly aggregate the
+    * dashboards serve from — the reference never scans the fact table
+    * at request time (app/ml_app.py:99-139 reads only the
+    * `total_award_amount_by_*` aggregate tables its ETL maintained);
+    * here the facade rebuilds the same aggregate ONCE at construction
+    * via the engine's MV machinery (q59 path) and every request reads
+    * the ≤ #priorities×12-row materialization. At 100 TB this is the
+    * difference between a ms-scale MV read and a full fact scan per
+    * request; refreshes go through [[WriteOps.rebuild]] /
+    * [[WriteOps.refreshPartitions]] out-of-band, exactly like the
+    * reference's ETL jobs. */
+  private val monthlyMvPath: String = Scratch.dir(
+    s"${System.getProperty("java.io.tmpdir")}/graft_serving_mv_${Integer.toHexString(sfDir.hashCode)}_${ProcessHandle.current().pid()}")
+  locally {
+    WriteOps.rebuild(
+      RelationalOps.monthRollup(Tables.orders(spark, sfDir)),
+      monthlyMvPath, Seq("o_orderpriority"))
+    ()
+  }
+
+  /** The materialized monthly aggregate, re-read per request — a
+    * parquet scan of the MV path only (asserted on the executed plan
+    * in ServingSpec). */
+  private def monthlyMv: org.apache.spark.sql.DataFrame =
+    spark.read.parquet(monthlyMvPath)
+
   /** Pie-chart rollup behind the reference's dashboard
     * (app/ml_app.py:120-127): top-30 priority-month cells re-grouped
-    * by priority. ≤ #priorities rows. */
+    * by priority, computed over the startup-built MV. ≤ #priorities
+    * rows. */
   def dashboardPie(): Array[Row] =
-    RelationalOps.dashSubAgencyRollup(Tables.orders(spark, sfDir)).collect()
+    RelationalOps.pieOverSlice(RelationalOps.topSliceOfMonthly(monthlyMv)).collect()
 
-  /** Line-chart rollup (app/ml_app.py:131-138): the same top-30 cells
-    * re-grouped by month. ≤ 12 rows. */
+  /** Line-chart rollup (app/ml_app.py:131-138): the same top-30 MV
+    * cells re-grouped by month. ≤ 12 rows. */
   def dashboardLine(): Array[Row] =
-    RelationalOps.dashMonthRollup(Tables.orders(spark, sfDir)).collect()
+    RelationalOps.lineOverSlice(RelationalOps.topSliceOfMonthly(monthlyMv)).collect()
+
+  /** The per-request dashboard plan, exposed for plan assertions
+    * (ServingSpec proves it scans the MV path and never the fact). */
+  private[graft] def dashboardPiePlan: org.apache.spark.sql.DataFrame =
+    RelationalOps.pieOverSlice(RelationalOps.topSliceOfMonthly(monthlyMv))
 
   /** Single-request classification (app/ml_app.py:262-298): build the
     * 1-row frame, run the PRELOADED pipeline, extract label +

@@ -59,6 +59,46 @@ class IngestWriteSpec extends SparkSpec {
       col("total_amount"), col("n_items"))))
   }
 
+  test("incremental MV refresh rewrites ONLY the touched partition (others byte-identical)") {
+    val agg = RelationalOps.geoRollup(
+      Tables.lineitem(spark, sf), Tables.supplier(spark, sf), Tables.nation(spark, sf))
+    val path = tmpDir("mv_dyn")
+    WriteOps.rebuild(agg, path, Seq("n_name"))
+    def files(pred: java.nio.file.Path => Boolean): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(path)
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) && pred(p)
+          && !p.getFileName.toString.startsWith("_") && !p.getFileName.toString.startsWith("."))
+        .map { p =>
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(p))
+          root.relativize(p).toString -> md5.map("%02x".format(_)).mkString
+        }.toMap
+    }
+    // pick a key that exists at this scale factor (sf0.001 has only
+    // 10 suppliers, so not every nation appears in the rollup)
+    val hotName = agg.agg(min(col("n_name"))).head.getString(0)
+    val hot = s"n_name=$hotName/"
+    val untouchedBefore = files(!_.toString.contains(hot))
+    val touchedBefore = files(_.toString.contains(hot))
+    assert(untouchedBefore.nonEmpty && touchedBefore.nonEmpty)
+    WriteOps.refreshPartitions(agg.filter(col("n_name") === hotName), path, Seq("n_name"))
+    // dynamic overwrite: every partition we did NOT write is untouched
+    // on disk — same files, same bytes — while the refreshed key's
+    // directory was rewritten (new task files)
+    assert(files(!_.toString.contains(hot)) == untouchedBefore,
+      "untouched partitions must be byte-identical after a keyed refresh")
+    assert(files(_.toString.contains(hot)).keySet != touchedBefore.keySet,
+      "the refreshed partition must actually have been rewritten")
+    // and the re-read view still equals the full aggregate
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("s_name"), col("n_name"), col("total_amount"), col("n_items"))
+        .orderBy(col("s_name")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(key(spark.read.parquet(path)) == key(agg))
+  }
+
   test("geo lookup is deterministic and in valid ranges") {
     val names = Seq("UNITED STATES", "FRANCE", "a")
     names.foreach { n =>

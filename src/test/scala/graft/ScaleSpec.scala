@@ -56,6 +56,63 @@ class ScaleSpec extends SparkSpec {
     assert(got == direct)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      // force a sort-merge join and lower the skew thresholds to
+      // local-test scale (the 100 TB defaults are 256 MB partitions)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // a hot key holding ~90% of the fact — the heavy-hitter shape
+      // saltedRollup rewrites by hand; here AQE must handle it unaided
+      val fact = spark.range(0, 120000)
+        .select(when(col("id") % 10 < 9, lit(0L)).otherwise(col("id") % 64).as("k"),
+                concat(lit("pad_pad_pad_pad_pad_"), col("id")).as("pad"))
+      val dim = spark.range(0, 64).select(col("id").as("k"), col("id").as("v"))
+      val joined = fact.join(dim, "k")
+      // execute THIS dataframe's query execution (count() would spawn
+      // its own) so the adaptive plan we inspect is the finalized one
+      assert(joined.collect().length == 120000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the hot-key join as skew-handled:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
+  test("connected components converge in few rounds on the near-dedup edge sets") {
+    import graft.engine.{DedupOps, Tables}
+    val docs = Tables.documents(spark, sf)
+    // q61's edge set (capped exhaustive Jaccard) and q70's sketch set
+    val exact = DedupOps.jaccardPairs(docs).select(col("doc_i"), col("doc_j"))
+    val (labels, st) = DedupOps.connectedComponentsWithStats(
+      docs.select(col("doc_id")), exact)
+    info(s"q61 edge set: nodes=${st.nodes} symEdges=${st.symEdges} rounds=${st.rounds}")
+    assert(labels.count() == st.nodes)
+    // rounds = cluster diameter + 1 detection round; near-dup clusters
+    // are shallow, so propagation must finish far below the maxIter
+    // guard (recorded per scale factor in SCALE.md)
+    assert(st.rounds <= 8, s"expected shallow clusters, took ${st.rounds} rounds")
+    val sketch = DedupOps.minhashPairs(docs)
+      .filter(col("est_jaccard") >= 0.5).select(col("doc_i"), col("doc_j"))
+    val (_, st2) = DedupOps.connectedComponentsWithStats(
+      docs.select(col("doc_id")), sketch)
+    info(s"minhash edge set: nodes=${st2.nodes} symEdges=${st2.symEdges} rounds=${st2.rounds}")
+    assert(st2.rounds <= 8)
+  }
+
   test("quarter rollup over partitioned fact: DPP in the plan, result matches raw table") {
     val df = PartitionedTables.quarterRollup(spark, sf, quarter = 1)
     val got = df.collect()

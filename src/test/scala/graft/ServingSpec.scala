@@ -27,6 +27,32 @@ class ServingSpec extends SparkSpec {
     assert(line.nonEmpty && line.length <= 12)
   }
 
+  test("dashboard requests read the materialized aggregate, never the fact table") {
+    // the per-request executed plan must scan ONLY the MV path — the
+    // reference's serving architecture (app/ml_app.py:99-139) reads
+    // pre-aggregated tables exclusively; a fact scan per request is
+    // the ms-vs-minutes difference at 100 TB
+    val plan = facade.dashboardPiePlan.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_serving_mv_"),
+      s"per-request plan must read the serving MV:\n$plan")
+    assert(!plan.contains("orders.parquet") && !plan.contains(sf),
+      s"per-request plan must not scan the fact table:\n$plan")
+  }
+
+  test("MV-served dashboards return the same rows as the fact-derived q55/q56 forms") {
+    import graft.engine.{RelationalOps, Tables}
+    val pieDirect = RelationalOps.dashSubAgencyRollup(Tables.orders(spark, sf))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    val pieMv = facade.dashboardPie()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(pieMv == pieDirect)
+    val lineDirect = RelationalOps.dashMonthRollup(Tables.orders(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val lineMv = facade.dashboardLine()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(lineMv == lineDirect)
+  }
+
   test("single-row classify returns label + confidence from the preloaded model") {
     val known = facade.classify("1-URGENT", "O", "BUILDING", 6, 1996)
     assert(known.isDefined)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.engine.{StreamOps, Tables}
+import graft.engine.{IngestOps, StreamOps, Tables}
 
 /** Batch==stream equivalence for the windowed event aggregations
   * (SURVEY §7.5: streaming state has no DuckDB oracle; validated by
@@ -29,6 +29,22 @@ class StreamingSpec extends SparkSpec {
       val expected = batchMap(key)
       assert((r.getLong(3), r.getDouble(4)) == expected, s"window $key differs")
     }
+  }
+
+  test("streamed ingest (Trigger.AvailableNow) lands exactly the batch loop's rows") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ingstream_").toString
+    val orders = Tables.orders(spark, sf)
+    val streamed = IngestOps.ingestStream(spark, orders, base)
+    val batch = IngestOps.ingestBatch(spark, orders, s"$base/batch_out")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSeq
+    val s1 = key(streamed)
+    assert(s1.nonEmpty && s1 == key(batch),
+      "the streaming and batch ingest paths must land identical data")
+    // re-running with no new pages staged is a no-op: the checkpointed
+    // file log skips every already-processed landing file
+    val again = IngestOps.ingestStream(spark, orders, base)
+    assert(key(again) == s1, "AvailableNow re-run must not duplicate rows")
   }
 
   test("streaming session window equals batch session window on the emitted subset") {
