@@ -144,6 +144,22 @@ class TextDedupSpec extends SparkSpec {
     assert(kept(0L) >= 3L, s"doc 0 should absorb both injections, n_members=${kept.get(0L)}")
   }
 
+  test("merged-bucket sketch pipeline equals the union of the standalone pair generators") {
+    // nearDedupSketch runs ONE self-join over the merged minhash ∪
+    // simhash bucket space; its clusters must be identical to feeding
+    // nearDedup the two standalone pair sets unioned — the merge is a
+    // shuffle optimization, not a semantics change
+    val merged = DedupOps.nearDedupSketch(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mh = DedupOps.minhashPairs(docs)
+      .filter(col("est_jaccard") >= 0.5).select(col("doc_i"), col("doc_j"))
+    val sh = DedupOps.simhashPairs(docs, maxHamming = 3)
+      .select(col("doc_i"), col("doc_j"))
+    val standalone = DedupOps.nearDedup(docs, mh.union(sh).distinct())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == standalone)
+  }
+
   test("verified jaccard equals the exhaustive ground truth on shared pairs") {
     // exhaustive ground truth on the capped subset, same 0.15 threshold
     val truth = DedupOps.jaccardPairs(docs, threshold = 0.15)
