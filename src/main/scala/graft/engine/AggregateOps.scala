@@ -122,4 +122,53 @@ object AggregateOps {
     lineitem.cube(col("l_returnflag"), col("l_linestatus"))
       .agg(decSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Pivot — the wide form of the A2 two-key rollup: one row per
+    * returnflag, one column per linestatus. Pivot values are PINNED
+    * (not discovered), so the plan is a single partial+final aggregate
+    * pass with no values-discovery job and the output schema is stable
+    * at any scale — the form to use at 100 TB, where an unpinned pivot
+    * first runs a distinct over the fact. */
+  def pivotAgg(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(decSum(col("l_quantity")))
+      .orderBy(col("l_returnflag"))
+
+  /** Unpivot/melt — wide metric columns to long (metric, value) rows,
+    * the inverse reshape. Pure per-row expansion (each input row emits
+    * one row per metric): no shuffle, no state; the bound keeps the
+    * oracle dump small while the operator itself is corpus-size
+    * independent. */
+  def unpivotMetrics(lineitem: DataFrame, maxOrderKey: Long = 2000): DataFrame =
+    lineitem.filter(col("l_orderkey") <= maxOrderKey)
+      .select(col("l_orderkey"), asLong(col("l_linenumber")).as("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+
+  /** Seeded Bernoulli sample (A10 family): deterministic given
+    * (seed, partitioning) — both pinned by the session configuration —
+    * but not SQL-expressible, so rows-only + CoreSpec determinism.
+    * One scan, no shuffle; the 100 TB story is the same plan (sampling
+    * is embedded in the scan projection). */
+  def seededSample(orders: DataFrame, fraction: Double = 0.1, seed: Long = 42): DataFrame =
+    orders.sample(fraction, seed)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  /** Stratified sample: per-stratum Bernoulli fractions via
+    * `stat.sampleBy` — the training-pipeline rebalancing shape (e.g.
+    * downsample boilerplate strata, keep rare ones). Emits the sampled
+    * per-stratum counts; seeded ⇒ rows-only + CoreSpec checks the
+    * realized fractions. */
+  def stratifiedSampleCounts(lineitem: DataFrame, seed: Long = 42): DataFrame = {
+    val fractions = Map("A" -> 0.2, "N" -> 0.1, "R" -> 0.05)
+    lineitem.stat.sampleBy("l_returnflag", fractions, seed)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("l_returnflag"))
+  }
 }

@@ -165,21 +165,72 @@ object IngestOps {
     spark.read.parquet(outPath)
   }
 
-  /** End-to-end STREAMED ingest query (q76): same bounded fixture
-    * slice as [[ingestBatch]], landed via the streaming path —
-    * oracle-identical to the batch form. */
-  def ingestStream(spark: SparkSession, orders: DataFrame, baseDir: String,
-                   maxKey: Long = 6000L, pageSize: Int = 500): DataFrame = {
+  /** Stage the bounded deterministic fixture slice into a landing
+    * zone (shared by the q76/q80 streaming queries). */
+  def stageFixture(spark: SparkSession, orders: DataFrame, landingDir: String,
+                   maxKey: Long = 6000L, pageSize: Int = 500): Unit = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     val rows = orders.filter(col("o_orderkey") <= maxKey)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
       .as[OrderRec].collect().toIndexedSeq // bounded by maxKey, ~1.5k rows at any sf
-    stagePages(new FixtureSource(rows, pageSize), s"$baseDir/landing")
+    stagePages(new FixtureSource(rows, pageSize), landingDir)
+    ()
+  }
+
+  /** End-to-end STREAMED ingest query (q76): same bounded fixture
+    * slice as [[ingestBatch]], landed via the streaming path —
+    * oracle-identical to the batch form. */
+  def ingestStream(spark: SparkSession, orders: DataFrame, baseDir: String,
+                   maxKey: Long = 6000L, pageSize: Int = 500): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    stageFixture(spark, orders, s"$baseDir/landing", maxKey, pageSize)
     runIngestStream(spark, s"$baseDir/landing", s"$baseDir/out", s"$baseDir/ckpt")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
+  }
+
+  /** STREAMING keyed MV maintenance — the composition of the q76
+    * landing zone and the q77 keyed upsert: a stateful per-key
+    * aggregation over the stream in UPDATE output mode, so each
+    * micro-batch emits ONLY the keys whose running totals changed,
+    * and those keys' partitions are upserted into the materialized
+    * view via dynamic partition overwrite. This is the reference's
+    * continuously-maintained keyed aggregate table (reference:
+    * app/spark_cassandra_groupby.py:74-82 — mode("append") into a
+    * Cassandra table whose primary key makes the append an upsert)
+    * as Structured Streaming + parquet. `maxFilesPerTrigger=1` makes
+    * AvailableNow replay the zone page by page — several real
+    * micro-batches with aggregation state carried across, not one
+    * batch wearing a streaming hat. A replayed batch after a failure
+    * rewrites the same keys with the same totals, so the sink is
+    * idempotent. State is bounded by the key domain (priorities), not
+    * the stream length. */
+  def runMvMaintain(spark: SparkSession, stagingDir: String, mvPath: String,
+                    checkpointDir: String): DataFrame = {
+    import org.apache.spark.sql.{DataFrame => DF, Encoders}
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import org.apache.spark.sql.streaming.Trigger
+    val stream = spark.readStream
+      .schema(Encoders.product[OrderRec].schema)
+      .option("maxFilesPerTrigger", 1)
+      .csv(stagingDir)
+    val agg = stream.groupBy(col("o_orderpriority"))
+      .agg(Exact.decSum(col("o_totalprice")).as("total_price"),
+           count(lit(1)).as("n_orders"))
+    val q = agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DF, _: Long) =>
+        if (!batch.isEmpty)
+          WriteOps.refreshPartitions(batch, mvPath, Seq("o_orderpriority"))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(mvPath)
   }
 
   /** End-to-end ingest query: a bounded deterministic orders slice

@@ -359,6 +359,49 @@ object Catalog {
               |         MIN(l_discount), MAX(l_discount) FROM lineitem
               |) ORDER BY col_name""".stripMargin)),
 
+    // wide/long reshape pair (§2.4 extensions): pivot with PINNED
+    // values (single aggregate pass, stable schema — no
+    // values-discovery job over the fact) and its unpivot inverse
+    QuerySpec(
+      "q78_pivot",
+      (s, dir) => AggregateOps.pivotAgg(Tables.lineitem(s, dir)),
+      Some("""SELECT l_returnflag,
+             |       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS F,
+             |       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS O
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    QuerySpec(
+      "q79_unpivot",
+      (s, dir) => AggregateOps.unpivotMetrics(Tables.lineitem(s, dir)),
+      Some("""SELECT * FROM (
+             |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |         'l_quantity' AS metric, l_quantity AS value
+             |  FROM lineitem WHERE l_orderkey <= 2000
+             |  UNION ALL
+             |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+             |         'l_extendedprice', l_extendedprice
+             |  FROM lineitem WHERE l_orderkey <= 2000
+             |  UNION ALL
+             |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+             |         'l_discount', l_discount
+             |  FROM lineitem WHERE l_orderkey <= 2000
+             |) ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)),
+
+    // A10 family widened: seeded Bernoulli sample and per-stratum
+    // sampleBy — deterministic given (seed, partitioning), both pinned
+    // by the session; seeded ⇒ rows-only, determinism + realized
+    // fractions asserted in CoreSpec
+    QuerySpec(
+      "q81_seeded_sample",
+      (s, dir) => AggregateOps.seededSample(Tables.orders(s, dir)),
+      None),
+
+    QuerySpec(
+      "q82_stratified_sample",
+      (s, dir) => AggregateOps.stratifiedSampleCounts(Tables.lineitem(s, dir)),
+      None),
+
     QuerySpec(
       "q21_corr_pairs",
       (s, dir) => AggregateOps.corrPairs(Tables.lineitem(s, dir)),
@@ -1029,6 +1072,26 @@ object Catalog {
       // key's directory is rewritten (untouched partitions asserted
       // byte-identical in IngestWriteSpec); the re-read view must still
       // equal the full aggregate.
+      // q76 ∘ q77 as ONE streaming pipeline: stateful keyed aggregate
+      // in update mode, changed keys upserted per micro-batch via
+      // dynamic partition overwrite (maxFilesPerTrigger=1 → the zone
+      // replays page by page with state carried across batches)
+      QuerySpec(
+        "q80_streaming_mv_maintain",
+        (s, dir) => {
+          import org.apache.spark.sql.functions.col
+          val base = tmp("mv_stream", dir)
+          IngestOps.stageFixture(s, Tables.orders(s, dir), s"$base/landing")
+          IngestOps.runMvMaintain(s, s"$base/landing", s"$base/mv", s"$base/ckpt")
+            .select(col("o_orderpriority"), col("total_price"), col("n_orders"))
+            .orderBy(col("o_orderpriority"))
+        },
+        Some(s"""SELECT o_orderpriority, ${decSumSql("o_totalprice")} AS total_price,
+                |       COUNT(*) AS n_orders
+                |FROM orders WHERE o_orderkey <= 6000
+                |GROUP BY o_orderpriority
+                |ORDER BY o_orderpriority""".stripMargin)),
+
       QuerySpec(
         "q77_mv_incremental_refresh",
         (s, dir) => {

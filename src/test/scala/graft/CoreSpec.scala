@@ -88,4 +88,40 @@ class CoreSpec extends SparkSpec {
     val high = labeled.filter(col("label") === 1.0).select(col("n_rows")).head().getLong(0)
     assert(high == o.filter(col("o_totalprice") > t).count())
   }
+
+  test("seeded sample is deterministic and near the requested fraction") {
+    val o = Tables.orders(spark, sf)
+    val s1 = AggregateOps.seededSample(o).collect().map(_.getLong(0)).toSeq
+    val s2 = AggregateOps.seededSample(o).collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2, "same seed + same partitioning must give the same sample")
+    val frac = s1.size.toDouble / o.count()
+    assert(frac > 0.05 && frac < 0.15, s"realized fraction $frac far from 0.1")
+  }
+
+  test("stratified sample hits each stratum's fraction within tolerance") {
+    val li = Tables.lineitem(spark, sf)
+    val totals = li.groupBy(col("l_returnflag")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = AggregateOps.stratifiedSampleCounts(li).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Map("A" -> 0.2, "N" -> 0.1, "R" -> 0.05)
+    want.foreach { case (k, f) =>
+      val realized = sampled.getOrElse(k, 0L).toDouble / totals(k)
+      assert(math.abs(realized - f) < 0.05, s"stratum $k realized $realized wanted $f")
+    }
+  }
+
+  test("pivot is the wide form of the two-key rollup; unpivot is its row-count inverse") {
+    val li = Tables.lineitem(spark, sf)
+    val wide = AggregateOps.pivotAgg(li).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val long = RelationalOps.twoKeyRollup(li).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    wide.foreach { case (rf, (f, o)) =>
+      assert(long((rf, "F")) == f && long((rf, "O")) == o)
+    }
+    val n = li.filter(col("l_orderkey") <= 2000).count()
+    assert(AggregateOps.unpivotMetrics(li).count() == 3 * n,
+      "unpivot must emit one row per (input row, metric)")
+  }
 }

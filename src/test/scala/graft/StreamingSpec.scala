@@ -47,6 +47,26 @@ class StreamingSpec extends SparkSpec {
     assert(key(again) == s1, "AvailableNow re-run must not duplicate rows")
   }
 
+  test("streaming keyed MV maintenance converges to the batch aggregate via per-batch upserts") {
+    import graft.engine.Exact.decSum
+    val base = java.nio.file.Files.createTempDirectory("graft_mvstream_").toString
+    val orders = Tables.orders(spark, sf)
+    IngestOps.stageFixture(spark, orders, s"$base/landing")
+    val mv = IngestOps.runMvMaintain(spark, s"$base/landing", s"$base/mv", s"$base/ckpt")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("o_orderpriority"), col("total_price"), col("n_orders"))
+      .orderBy(col("o_orderpriority")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    val direct = orders.filter(col("o_orderkey") <= 6000)
+      .groupBy(col("o_orderpriority"))
+      .agg(decSum(col("o_totalprice")).as("total_price"), count(lit(1)).as("n_orders"))
+    assert(key(mv) == key(direct),
+      "after draining the zone, the streamed MV must equal the batch aggregate")
+    // no new pages staged → AvailableNow finds nothing → MV untouched
+    val again = IngestOps.runMvMaintain(spark, s"$base/landing", s"$base/mv", s"$base/ckpt")
+    assert(key(again) == key(direct))
+  }
+
   test("streaming session window equals batch session window on the emitted subset") {
     val q = StreamOps.streamingSessions(spark, sf, "stream_sessions")
     try {
