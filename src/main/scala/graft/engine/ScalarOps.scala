@@ -85,6 +85,28 @@ object ScalarOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** JSON serialize→parse round trip: struct → `to_json` →
+    * `from_json(schema)` → fields. [[jsonExtract]] proves the parse
+    * direction over stored JSON; this proves the EMIT direction (the
+    * engine handing JSON to a downstream queue/API) is lossless —
+    * the oracle compares the round-tripped fields against the source
+    * columns directly, so any formatting drift (doubles most of all)
+    * would hash-mismatch. Per-row codegen'd Jackson work, no
+    * shuffle. */
+  def jsonRoundTrip(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("p", StringType), StructField("t", DoubleType)))
+    orders
+      .select(col("o_orderkey"),
+        to_json(struct(col("o_orderpriority").as("p"),
+                       col("o_totalprice").as("t"))).as("js"))
+      .select(col("o_orderkey"), from_json(col("js"), schema).as("o"))
+      .select(col("o_orderkey"),
+        col("o.p").as("o_orderpriority"), col("o.t").as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Ingest-audit row (F6/F7 — reference: download_history insert,
     * app/ml_app.py:542-551): uuid + timestamps + row count. uuid() and
     * current_timestamp() are nondeterministic by design — no oracle;

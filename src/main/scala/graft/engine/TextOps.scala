@@ -138,6 +138,63 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Decontamination with a BLOOM-FILTER held-out set — the 100 TB
+    * form of [[contaminationCheck]]: instead of joining corpus grams
+    * against the distinct held-out gram relation, the held-out grams
+    * are folded into one Bloom filter (built distributed via
+    * `stat.bloomFilter`'s aggregate), broadcast to every executor,
+    * and corpus grams are tested locally — the shuffle of corpus
+    * grams to a join disappears entirely; the only cluster traffic is
+    * the filter itself (MB-scale at fpp 1e-3 for hundreds of millions
+    * of grams). False positives can only over-count shared grams, so
+    * flags are a SUPERSET of the exact check's (no false negatives —
+    * asserted in TextDedupSpec); run the exact join on the flagged
+    * subset when exactness matters. Filter contents depend on the
+    * hash seeds ⇒ rows-only vs the oracle. */
+  def bloomContaminationCheck(corpus: DataFrame, heldout: DataFrame,
+                              n: Int = 5, minShared: Int = 5,
+                              fpp: Double = 0.001): DataFrame = {
+    val spark = corpus.sparkSession
+    val heldGrams = wordNgrams(heldout, n).select(col("gram")).distinct()
+    val expected = math.max(heldGrams.count(), 1L)
+    val bf = heldGrams.stat.bloomFilter("gram", expected, fpp)
+    val bfBc = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((g: String) => bfBc.value.mightContain(g))
+    val shared = wordNgrams(corpus, n)
+      .filter(mightContain(col("gram")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    corpus.select(col("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("flagged", col("n_shared") >= minShared)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fuzzy entity matching (edit distance within blocking keys) — the
+    * entity-resolution operator a spend/vendor pipeline needs for
+    * near-identical name variants. All-pairs Levenshtein is O(n²·L²)
+    * and never acceptable; BLOCKING makes it tractable: candidates
+    * are generated only within equal blocking keys (here the brand),
+    * an equi-join, and the quadratic edit distance runs per block.
+    * At 100 TB the blocking key is the shuffle key and per-block cost
+    * is bounded by the largest block (pick keys accordingly, or
+    * compose with the LSH candidate generators for text blocks).
+    * Fully SQL-expressible — hash-matched against DuckDB's
+    * levenshtein. */
+  def fuzzyNameMatch(part: DataFrame, maxDist: Int = 2): DataFrame = {
+    val a = part.select(col("p_partkey").as("key_i"), col("p_brand"),
+                        col("p_name").as("name_i"))
+    val b = part.select(col("p_partkey").as("key_j"), col("p_brand"),
+                        col("p_name").as("name_j"))
+    a.join(b, Seq("p_brand"))
+      .filter(col("key_i") < col("key_j"))
+      .withColumn("dist", levenshtein(col("name_i"), col("name_j")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("key_i"), col("key_j"), col("dist"))
+      .orderBy(col("key_i"), col("key_j"))
+  }
+
   /** PII scrubbing — the redaction pass a training pipeline runs
     * before anything else: mask email-shaped tokens and long digit
     * runs (phone/account numbers), and report how many of each were

@@ -467,6 +467,15 @@ object Catalog {
       (s, dir) => ScalarOps.auditRow(s, Tables.orders(s, dir)),
       None),
 
+    // JSON EMIT direction: struct → to_json → from_json round trip;
+    // the oracle reads the source columns directly, so any formatting
+    // loss (doubles especially) hash-mismatches.
+    QuerySpec(
+      "q84_json_roundtrip",
+      (s, dir) => ScalarOps.jsonRoundTrip(Tables.orders(s, dir)),
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     QuerySpec(
       "q60_display_format",
       (s, dir) => ScalarOps.displayFormat(Tables.orders(s, dir)),
@@ -722,6 +731,33 @@ object Catalog {
              |             / GREATEST(len(regexp_extract_all(text, '[^ ]+')), 1), 6) AS pieces_per_token
              |FROM documents
              |ORDER BY doc_id""".stripMargin)),
+
+    // The 100 TB decontamination shape: held-out grams folded into a
+    // broadcast Bloom filter, corpus grams tested locally — no join
+    // shuffle. Hash-seeded filter ⇒ rows-only; the no-false-negative
+    // superset property vs q62 is asserted in TextDedupSpec.
+    QuerySpec(
+      "q85_decontamination_bloom",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val docs = Tables.documents(s, dir)
+        TextOps.bloomContaminationCheck(
+          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50))
+      },
+      None),
+
+    // Fuzzy entity matching: per-block (brand) Levenshtein pairs —
+    // blocking keeps the quadratic edit distance inside equi-join
+    // buckets, never all-pairs.
+    QuerySpec(
+      "q83_fuzzy_match",
+      (s, dir) => TextOps.fuzzyNameMatch(Tables.part(s, dir)),
+      Some("""SELECT a.p_partkey AS key_i, b.p_partkey AS key_j,
+             |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+             |FROM part a JOIN part b
+             |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+             |WHERE levenshtein(a.p_name, b.p_name) <= 2
+             |ORDER BY key_i, key_j""".stripMargin)),
 
     // Decontamination: corpus docs (doc_id >= 50) sharing word 5-grams
     // with the held-out slice (doc_id < 50).

@@ -160,6 +160,26 @@ class TextDedupSpec extends SparkSpec {
     assert(merged == standalone)
   }
 
+  test("bloom decontamination never under-counts the exact join (no false negatives)") {
+    import graft.engine.TextOps
+    val corpus = docs.filter(col("doc_id") >= 50)
+    val heldout = docs.filter(col("doc_id") < 50)
+    val exact = TextOps.contaminationCheck(corpus, heldout)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val bloom = TextOps.bloomContaminationCheck(corpus, heldout)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(bloom.keySet == exact.keySet)
+    exact.foreach { case (doc, (nExact, flaggedExact)) =>
+      val (nBloom, flaggedBloom) = bloom(doc)
+      assert(nBloom >= nExact, s"doc $doc: bloom $nBloom < exact $nExact — a false negative")
+      assert(!flaggedExact || flaggedBloom, s"doc $doc flagged by exact but not by bloom")
+    }
+    // and at fpp 1e-3 the filter should be TIGHT on this corpus: the
+    // totals agree almost everywhere
+    val overcount = exact.count { case (doc, (n, _)) => bloom(doc)._1 != n }
+    assert(overcount <= exact.size / 10, s"$overcount docs over-counted — fpp far off")
+  }
+
   test("verified jaccard equals the exhaustive ground truth on shared pairs") {
     // exhaustive ground truth on the capped subset, same 0.15 threshold
     val truth = DedupOps.jaccardPairs(docs, threshold = 0.15)
