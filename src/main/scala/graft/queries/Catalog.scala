@@ -402,6 +402,14 @@ object Catalog {
       (s, dir) => AggregateOps.stratifiedSampleCounts(Tables.lineitem(s, dir)),
       None),
 
+    // sketch family completed: CMS heavy-hitter estimates (never
+    // under-counts; ≤ eps·n over — CoreSpec) beside HLL (q17), GK
+    // (q19), Bloom (q85)
+    QuerySpec(
+      "q86_cms_heavy_hitters",
+      (s, dir) => AggregateOps.cmsHeavyHitters(Tables.orders(s, dir)),
+      None),
+
     QuerySpec(
       "q21_corr_pairs",
       (s, dir) => AggregateOps.corrPairs(Tables.lineitem(s, dir)),

@@ -89,6 +89,19 @@ class CoreSpec extends SparkSpec {
     assert(high == o.filter(col("o_totalprice") > t).count())
   }
 
+  test("CMS heavy hitters never under-count and stay within the eps bound") {
+    val o = Tables.orders(spark, sf)
+    val n = o.count()
+    val rows = AggregateOps.cmsHeavyHitters(o).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS must never under-estimate: $est < $exact")
+      assert(est <= exact + math.max(1L, (0.001 * n).toLong) * 10,
+        s"estimate $est wildly over exact $exact")
+    }
+  }
+
   test("seeded sample is deterministic and near the requested fraction") {
     val o = Tables.orders(spark, sf)
     val s1 = AggregateOps.seededSample(o).collect().map(_.getLong(0)).toSeq
