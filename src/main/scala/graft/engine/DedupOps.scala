@@ -227,7 +227,18 @@ object DedupOps {
       .filter(size(col("sh")) > 0)
       .localCheckpoint(false)
     val sigs = shArr.select(col("doc_id"), expr(s"minhash_pack(sh, $numHashes)").as("sig"))
-    val cands = lshCandidates(sigs)
+    // Estimate prefilter before the exact verification joins: the
+    // signature-estimated Jaccard is free (the signatures already feed
+    // the banding), so pairs estimated far below threshold skip the
+    // O(|sh_i|+|sh_j|) exact intersection. The 0.25 margin is > 4
+    // standard deviations of the 32-lane estimator at the boundary
+    // (miss probability ~3e-4 for a true-threshold pair — two orders
+    // below the banding's own miss rate), and degrades to no filter
+    // at all for low thresholds.
+    val estPrefilter = math.max(0.0, threshold - 0.25)
+    val cands = minhashPairsFromSigs(sigs, numHashes)
+      .filter(col("est_jaccard") >= estPrefilter)
+      .select(col("doc_i"), col("doc_j"))
     cands
       .join(shArr.select(col("doc_id").as("doc_i"), col("sh").as("sh_i")), "doc_i")
       .join(shArr.select(col("doc_id").as("doc_j"), col("sh").as("sh_j")), "doc_j")

@@ -979,8 +979,8 @@ object Catalog {
       "q51_ml_regression",
       (s, dir) => {
         import s.implicits._
-        val (feats, enc) = MLShared.features(s, dir)
-        val (_, rmse) = MLPipelines.regression(feats, enc)
+        val (feats, _) = MLShared.features(s, dir)
+        val (_, rmse) = MLShared.regression(s, dir)
         val n = feats.count()
         Seq(("linear_regression", n, rmse)).toDF("model", "n_rows", "rmse")
       },
@@ -999,8 +999,8 @@ object Catalog {
       "q53_ml_kmeans",
       (s, dir) => {
         import org.apache.spark.sql.functions.{col, count, lit}
-        val (feats, enc) = MLShared.features(s, dir)
-        val model = MLPipelines.clustering(feats, enc0 = enc)
+        val (feats, _) = MLShared.features(s, dir)
+        val model = MLShared.clustering(s, dir)
         model.transform(feats)
           .groupBy(col("prediction"))
           .agg(count(lit(1)).as("n_rows"))

@@ -27,6 +27,8 @@ object MLShared {
   private final case class St(dir: String, feats: DataFrame, enc: FittedEncoders)
   private var st: Option[St] = None
   private var cls: Option[(String, PipelineModel, Double, Double)] = None
+  private var reg: Option[(String, PipelineModel, Double)] = None
+  private var km: Option[(String, PipelineModel)] = None
 
   def features(s: SparkSession, dir: String): (DataFrame, FittedEncoders) = synchronized {
     st match {
@@ -55,9 +57,37 @@ object MLShared {
       }
     }
 
+  /** Memoized regression fit: (model, rmse) — same pattern as
+    * [[classification]] (seeded fit over the shared feature table is
+    * deterministic, so refitting per query run is pure waste). */
+  def regression(s: SparkSession, dir: String): (PipelineModel, Double) = synchronized {
+    reg match {
+      case Some((d, m, rmse)) if d == dir => (m, rmse)
+      case _ =>
+        val (f, enc) = features(s, dir)
+        val (m, rmse) = MLPipelines.regression(f, enc)
+        reg = Some((dir, m, rmse))
+        (m, rmse)
+    }
+  }
+
+  /** Memoized KMeans fit (k=5, seed=42). */
+  def clustering(s: SparkSession, dir: String): PipelineModel = synchronized {
+    km match {
+      case Some((d, m)) if d == dir => m
+      case _ =>
+        val (f, enc) = features(s, dir)
+        val m = MLPipelines.clustering(f, enc0 = enc)
+        km = Some((dir, m))
+        m
+    }
+  }
+
   def release(): Unit = synchronized {
     st.foreach(_.feats.unpersist())
     st = None
     cls = None
+    reg = None
+    km = None
   }
 }
