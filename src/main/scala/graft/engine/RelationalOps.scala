@@ -18,6 +18,30 @@ import Exact._
   */
 object RelationalOps {
 
+  /** Row type for the typed-Dataset surface ([[typedPriorityCounts]]). */
+  final case class OrderRow(o_orderkey: Long, o_orderpriority: String, o_totalprice: Double)
+
+  /** The `Dataset[T]` typed API (SURVEY §1.3: case-class Encoders
+    * where type safety helps): compile-checked field access in the
+    * filter and grouping lambdas — a renamed column is a build error
+    * here, not a runtime AnalysisException. The DELIBERATE trade:
+    * lambdas are opaque to Catalyst (no pushdown through them, no
+    * whole-stage codegen of the predicate), which is why the rest of
+    * the engine is Column-based; this query documents the option and
+    * its cost, and the oracle proves the semantics match the
+    * declarative form. */
+  def typedPriorityCounts(orders: DataFrame, minPrice: Double = 1000.0): DataFrame = {
+    import orders.sparkSession.implicits._
+    orders
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .as[OrderRow]
+      .filter(_.o_totalprice > minPrice)
+      .groupByKey(_.o_orderpriority)
+      .count()
+      .toDF("o_orderpriority", "n_orders")
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Flagship ETL: dim ⋈ fact → group-by key → SUM, the re-expression
     * of the reference's award-amount aggregator join+rollup
     * (reference: app/spark_cassandra_etl_award_amount_aggregator.py:82-84).

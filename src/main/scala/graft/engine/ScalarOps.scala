@@ -85,6 +85,63 @@ object ScalarOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Observed metrics — audit counts collected DURING a query via
+    * `Dataset.observe`, not with a second scan: the reference's
+    * download-history bookkeeping (number_of_rows,
+    * app/ml_app.py:542-551) costs it an extra count() job per ingest;
+    * `observe` attaches accumulator-backed aggregates to the running
+    * plan, so the audit row is free. The observed values equal what a
+    * direct aggregate computes — which is exactly what the oracle
+    * checks. */
+  def observedStats(spark: SparkSession, sfDir: String): DataFrame = {
+    // Spark 4.1 landmine: SparkSession.observationManager is a
+    // NON-transient lazy val, so the first observe() on a session
+    // initializes it and every later closure that transitively
+    // captures that session (ML training summaries hold one) dies
+    // with NotSerializableException. Observe on an ISOLATED child
+    // session — same SparkContext, separate session instance — so the
+    // primary session's field stays uninitialized.
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val obs = new org.apache.spark.sql.Observation()
+    val observed = Tables.orders(s2, sfDir).observe(obs,
+      count(lit(1)).as("n_rows"),
+      decSum(col("o_totalprice")).as("total_price"))
+    observed.write.format("noop").mode("overwrite").save() // one pass, no result copy
+    val row = obs.get
+    Seq((row("n_rows").asInstanceOf[Long], row("total_price").asInstanceOf[Double]))
+      .toDF("n_rows", "total_price")
+  }
+
+  /** Distributed unique row ids: `monotonically_increasing_id` assigns
+    * collision-free 64-bit ids with NO shuffle and no coordination
+    * (partition index in the high bits, per-partition counter low) —
+    * the id-assignment primitive for corpus building. Ids depend on
+    * partitioning, so the query emits the INVARIANTS (total rows,
+    * distinct ids, min id) — uniqueness at any parallelism is the
+    * point, and the oracle states it as count(*) = count(distinct). */
+  def distributedIds(orders: DataFrame): DataFrame =
+    orders
+      .select(col("o_orderkey"), monotonically_increasing_id().as("row_id"))
+      .agg(count(lit(1)).as("n_rows"),
+           countDistinct(col("row_id")).as("n_distinct_ids"),
+           min(col("row_id")).as("min_id"))
+
+  /** Per-group quantiles through the GK sketch (grouped form of q19):
+    * `percentile_approx` with accuracy high enough that the rank
+    * window inside every group collapses below one rank — each
+    * group's answer is its exact order statistic at ⌈p·n_g⌉, which is
+    * the oracle's grouped quantile_disc (relative error 1/accuracy =
+    * 1e-5 < 1/(2·n_g) for groups under 50k rows — conformance
+    * setting; production uses the default accuracy). */
+  def groupedQuantiles(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile_approx(o_totalprice, 0.5, 100000)").as("p50"),
+        expr("percentile_approx(o_totalprice, 0.9, 100000)").as("p90"))
+      .orderBy(col("o_orderpriority"))
+
   /** JSON serialize→parse round trip: struct → `to_json` →
     * `from_json(schema)` → fields. [[jsonExtract]] proves the parse
     * direction over stored JSON; this proves the EMIT direction (the

@@ -475,6 +475,45 @@ object Catalog {
       (s, dir) => ScalarOps.auditRow(s, Tables.orders(s, dir)),
       None),
 
+    // audit metrics observed DURING the pass (no second count job);
+    // the observed values must equal the oracle's direct aggregate
+    QuerySpec(
+      "q87_observe_metrics",
+      (s, dir) => ScalarOps.observedStats(s, dir),
+      Some(s"""SELECT COUNT(*) AS n_rows, ${decSumSql("o_totalprice")} AS total_price
+              |FROM orders""".stripMargin)),
+
+    // distributed id assignment: shuffle-free collision-free 64-bit
+    // ids; the emitted invariants (count == distinct, min id 0) hold
+    // at ANY parallelism, which is what the oracle states
+    QuerySpec(
+      "q88_distributed_ids",
+      (s, dir) => ScalarOps.distributedIds(Tables.orders(s, dir)),
+      Some("""SELECT COUNT(*) AS n_rows, COUNT(*) AS n_distinct_ids,
+             |       CAST(0 AS BIGINT) AS min_id
+             |FROM orders""".stripMargin)),
+
+    // the Dataset[T] typed surface: compile-checked lambdas, oracle
+    // proves semantics equal the declarative form
+    QuerySpec(
+      "q89_typed_dataset",
+      (s, dir) => RelationalOps.typedPriorityCounts(Tables.orders(s, dir)),
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_orders
+             |FROM orders WHERE o_totalprice > 1000.0
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // grouped GK quantiles with the q19 rank-window-collapse trick
+    // applied per group
+    QuerySpec(
+      "q90_grouped_quantiles",
+      (s, dir) => ScalarOps.groupedQuantiles(Tables.orders(s, dir)),
+      Some("""SELECT o_orderpriority,
+             |       quantile_disc(o_totalprice, 0.5) AS p50,
+             |       quantile_disc(o_totalprice, 0.9) AS p90
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     // JSON EMIT direction: struct → to_json → from_json round trip;
     // the oracle reads the source columns directly, so any formatting
     // loss (doubles especially) hash-mismatches.
