@@ -36,6 +36,27 @@ object WriteOps {
     * byte-identical in IngestWriteSpec). The session-level conf is set
     * per-write via the DataFrameWriter option, so concurrent full
     * rebuilds keep their whole-view overwrite semantics. */
+  /** Small-file compaction — the maintenance pass every append-heavy
+    * sink needs (the streaming/batched ingest paths land one file per
+    * flush/micro-batch; a year of that is millions of KB-files whose
+    * open/footer cost dominates scans). Rewrites the layout into
+    * ⌈bytes/target⌉ files at `path + "_compacted"` and returns that
+    * path; the caller swaps directories atomically at its own commit
+    * point. Data is proven byte-equal by IngestWriteSpec. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): String = {
+    def walkBytes(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walkBytes).sum).getOrElse(0L)
+      else if (f.getName.startsWith("_") || f.getName.startsWith(".")) 0L
+      else f.length()
+    val totalBytes = walkBytes(new java.io.File(path))
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val out = path + "_compacted"
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
   def refreshPartitions(slice: DataFrame, path: String, partitionKeys: Seq[String]): DataFrame = {
     require(partitionKeys.nonEmpty, "incremental refresh needs partition keys")
     slice.write

@@ -908,6 +908,46 @@ object Catalog {
              |FROM cl GROUP BY cluster_id
              |ORDER BY doc_id""".stripMargin)),
 
+    // END-TO-END corpus curation: near-dedup → canonical docs → PII
+    // scrub → quality score → token estimate, ONE plan, ONE oracle
+    // (the recursive-CTE closure composed with every metric's SQL).
+    // The production form swaps the capped exact edge set for the
+    // sketch generator with no other change.
+    QuerySpec(
+      "q91_corpus_pipeline",
+      (s, dir) => CorpusOps.curate(Tables.documents(s, dir)),
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT DISTINCT doc_id, s FROM (
+             |    SELECT doc_id, substr(text, unnest(range(1, length(text) - 3)), 5) AS s
+             |    FROM documents WHERE doc_id < 60)),
+             |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+             |c AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS common
+             |      FROM sh a JOIN sh b USING (s)
+             |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+             |p AS (SELECT doc_i, doc_j FROM c
+             |      JOIN n ni ON doc_i = ni.doc_id JOIN n nj ON doc_j = nj.doc_id
+             |      WHERE ROUND(CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common), 6) >= 0.15),
+             |e AS (SELECT doc_i AS src, doc_j AS dst FROM p
+             |      UNION ALL SELECT doc_j, doc_i FROM p),
+             |reach(node, lbl) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node),
+             |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+             |sizes AS (SELECT cluster_id, COUNT(*) AS n_members FROM cl GROUP BY cluster_id),
+             |canon AS (SELECT doc_id, n_members FROM cl JOIN sizes USING (cluster_id)
+             |          WHERE doc_id = cluster_id)
+             |SELECT d.doc_id, canon.n_members,
+             |  CAST(len(regexp_extract_all(d.text, '[A-Za-z0-9_.]+@[A-Za-z0-9_.]+')) AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(regexp_replace(d.text, '[A-Za-z0-9_.]+@[A-Za-z0-9_.]+', '<EMAIL>', 'g'), '[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+')) AS BIGINT) AS n_numbers,
+             |  md5(regexp_replace(regexp_replace(d.text, '[A-Za-z0-9_.]+@[A-Za-z0-9_.]+', '<EMAIL>', 'g'), '[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+', '<NUMBER>', 'g')) AS clean_fp,
+             |  ROUND(least(CAST(len(regexp_extract_all(d.text, '[A-Za-z0-9_]+')) AS DOUBLE) / 100.0, 1.0) * 0.4
+             |      + (1.0 - least(CAST(length(regexp_replace(d.text, '[A-Za-z0-9_ ]', '', 'g')) AS DOUBLE) / CAST(greatest(length(d.text), 1) AS DOUBLE) * 10.0, 1.0)) * 0.3
+             |      + least(CAST(len(regexp_extract_all(lower(d.text), '\b(the|and|of|to|in|a)\b')) AS DOUBLE) / CAST(greatest(len(regexp_extract_all(d.text, '[A-Za-z0-9_]+')), 1) AS DOUBLE) * 5.0, 1.0) * 0.3, 6) AS quality,
+             |  CAST(len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_pieces
+             |FROM documents d JOIN canon USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // The production near-dedup pipeline: MinHash-LSH ∪ SimHash sketch
     // edges (full corpus, no doc cap) -> connected components ->
     // canonical corpus. Seeded sketches => rows-only; recall behavior

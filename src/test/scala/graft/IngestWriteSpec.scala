@@ -99,6 +99,29 @@ class IngestWriteSpec extends SparkSpec {
     assert(key(spark.read.parquet(path)) == key(agg))
   }
 
+  test("compaction collapses small ingest files without changing the data") {
+    val rows = (0 until 3000).map(i => OrderRec(i.toLong, i.toLong % 50, s"P${i % 5}", i * 2.0))
+    val out = tmpDir("compact")
+    // small batches → many flushes → many small files per partition
+    IngestOps.runIngest(spark, new FixtureSource(rows, pageSize = 100), out, batchSize = 200)
+    def parquetFiles(p: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(p))
+    }
+    val before = parquetFiles(out)
+    assert(before > 10, s"expected many small files from batched appends, got $before")
+    val compacted = WriteOps.compact(spark, out)
+    assert(parquetFiles(compacted) < before / 2,
+      "compaction must materially reduce the file count")
+    val a = spark.read.parquet(out)
+    val b = spark.read.parquet(compacted)
+    assert(b.count() == a.count())
+    assert(b.agg(sum(col("o_orderkey"))).head.getLong(0) ==
+           a.agg(sum(col("o_orderkey"))).head.getLong(0))
+  }
+
   test("geo lookup is deterministic and in valid ranges") {
     val names = Seq("UNITED STATES", "FRANCE", "a")
     names.foreach { n =>
