@@ -55,6 +55,25 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** INCREMENTAL exact dedup — the corpus-building form: a new batch
+    * arrives and must be deduplicated against the EXISTING corpus
+    * without rescanning it for pairwise work. One anti-join of the
+    * batch's content hashes against the corpus hash set (plus an
+    * in-batch min-id collapse): at 100 TB the corpus side is its
+    * stored fingerprint column (hash-bucketed, so the anti-join is
+    * shuffle-free against the layout), never the text. Returns the
+    * batch rows that survive. */
+  def incrementalExactDedup(existing: DataFrame, batch: DataFrame): DataFrame = {
+    val seen = existing.select(md5(col("text")).as("fp_md5")).distinct()
+    batch
+      .withColumn("fp_md5", md5(col("text")))
+      .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("fp_md5"))))
+      .filter(col("doc_id") === col("keeper"))
+      .join(seen, Seq("fp_md5"), "left_anti")
+      .select(col("doc_id"), col("fp_md5"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exhaustive n-gram Jaccard similarity on a bounded doc subset —
     * the oracle-checkable ground truth for the LSH path. Joins on
     * shingle, so only co-occurring shingles pay; the doc_id cap keeps

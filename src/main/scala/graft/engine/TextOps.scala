@@ -209,6 +209,42 @@ object TextOps {
       .orderBy(col("key_i"), col("key_j"))
   }
 
+  /** Quality deciles — data-mixing's bucketing step: rank every
+    * document by its quality score into ntile(10) bands (doc_id
+    * breaks ties, so the assignment is total and deterministic) and
+    * report each band's population and score range. The global sort
+    * behind ntile is the one scale cost; at 100 TB swap in bands cut
+    * at approx-quantile boundaries (q19's sketch) — same output
+    * shape, no total order. */
+  def qualityDeciles(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("quality"), col("doc_id"))
+    qualityScore(documents)
+      .select(col("doc_id"), col("quality"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("quality")).as("min_q"),
+           max(col("quality")).as("max_q"))
+      .orderBy(col("decile"))
+  }
+
+  /** Deterministic train/val/test assignment by KEY HASH — the split
+    * that stays stable as the corpus grows (a doc's split never
+    * changes when other docs arrive, unlike randomSplit's
+    * partition-sensitive sampling). xxhash64 of the id, mod 10:
+    * 0-7 train, 8 val, 9 test. Emits per-split populations;
+    * assignment determinism and disjointness are CoreSpec-asserted
+    * (hash function is engine-specific ⇒ rows-only vs the oracle). */
+  def hashSplit(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), pmod(xxhash64(col("doc_id")), lit(10)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 8, "train").when(col("bucket") === 8, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("split"))
+
   /** PII scrubbing — the redaction pass a training pipeline runs
     * before anything else: mask email-shaped tokens and long digit
     * runs (phone/account numbers), and report how many of each were

@@ -908,6 +908,57 @@ object Catalog {
              |FROM cl GROUP BY cluster_id
              |ORDER BY doc_id""".stripMargin)),
 
+    // incremental corpus build: new batch deduplicated against the
+    // existing corpus's fingerprint set — one anti-join, no pairwise
+    // work against history
+    QuerySpec(
+      "q92_incremental_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val docs = Tables.documents(s, dir)
+        DedupOps.incrementalExactDedup(
+          docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400))
+      },
+      Some("""WITH ex AS (SELECT DISTINCT md5(text) AS fp_md5 FROM documents WHERE doc_id < 400),
+             |b AS (SELECT doc_id, md5(text) AS fp_md5, lang, source,
+             |             MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+             |      FROM documents WHERE doc_id >= 400)
+             |SELECT doc_id, fp_md5, lang, source FROM b
+             |WHERE doc_id = keeper AND fp_md5 NOT IN (SELECT fp_md5 FROM ex)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // data-mixing buckets: quality deciles via ntile with total
+    // deterministic order
+    QuerySpec(
+      "q93_quality_deciles",
+      (s, dir) => TextOps.qualityDeciles(Tables.documents(s, dir)),
+      Some("""WITH base AS (
+             |  SELECT doc_id,
+             |         CAST(length(text) AS BIGINT) AS n_chars,
+             |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens,
+             |         CAST(length(regexp_replace(text, '[A-Za-z0-9_ ]', '', 'g')) AS BIGINT) AS n_punct,
+             |         CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a)\b')) AS BIGINT) AS n_stop
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id,
+             |         ROUND(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+             |             + (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) * 10.0, 1.0)) * 0.3
+             |             + least(CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) * 5.0, 1.0) * 0.3, 6) AS quality
+             |  FROM base),
+             |d AS (SELECT doc_id, quality,
+             |             CAST(ntile(10) OVER (ORDER BY quality, doc_id) AS BIGINT) AS decile
+             |      FROM q)
+             |SELECT decile, COUNT(*) AS n_docs, MIN(quality) AS min_q, MAX(quality) AS max_q
+             |FROM d GROUP BY decile
+             |ORDER BY decile""".stripMargin)),
+
+    // growth-stable split assignment by key hash (engine-specific
+    // hash ⇒ rows-only; determinism + disjointness in CoreSpec)
+    QuerySpec(
+      "q94_hash_split",
+      (s, dir) => TextOps.hashSplit(Tables.documents(s, dir)),
+      None),
+
     // END-TO-END corpus curation: near-dedup → canonical docs → PII
     // scrub → quality score → token estimate, ONE plan, ONE oracle
     // (the recursive-CTE closure composed with every metric's SQL).

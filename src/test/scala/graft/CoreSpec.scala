@@ -102,6 +102,24 @@ class CoreSpec extends SparkSpec {
     }
   }
 
+  test("hash split is deterministic, disjoint, and growth-stable") {
+    import graft.engine.TextOps
+    val docs = Tables.documents(spark, sf)
+    val counts = TextOps.hashSplit(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == docs.count(), "every doc lands in exactly one split")
+    assert(TextOps.hashSplit(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == counts, "assignment is deterministic")
+    // growth stability: a doc's split is a pure function of its id —
+    // restricting the corpus must not move any surviving doc
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val assignAll = docs.select(col("doc_id"),
+      pmod(xxhash64(col("doc_id")), lit(10)).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    half.select(col("doc_id"), pmod(xxhash64(col("doc_id")), lit(10)).as("b")).collect()
+      .foreach(r => assert(assignAll(r.getLong(0)) == r.getLong(1)))
+  }
+
   test("seeded sample is deterministic and near the requested fraction") {
     val o = Tables.orders(spark, sf)
     val s1 = AggregateOps.seededSample(o).collect().map(_.getLong(0)).toSeq
