@@ -118,6 +118,26 @@ object MultimodalOps {
       .select(col("media_id"), col("frame_idx"), col("n_frames"), col("frame_fp"))
       .orderBy(col("media_id"), col("frame_idx"))
 
+  /** Media similarity — the SemDeDup-for-images composition: opaque
+    * payloads → partition-batched (stub) feature extraction → exact
+    * cosine top-k over the extracted vectors. The decode output is
+    * handed to [[SimilarityOps]] through its (vec_id, embedding)
+    * input contract, so a real codec swaps into [[decodeStub]] and
+    * NOTHING downstream changes — the image-dedup / image-search
+    * path at 100 TB is this exact plan with LSH/IVF in place of the
+    * brute-force scorer. Stub features are engine-side FNV work ⇒
+    * rows-only; injected-duplicate behavior is asserted in
+    * SimilarityMultimodalSpec. */
+  def mediaAnnTopK(documents: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val media = mediaTable(documents).as[MediaRecord]
+    val emb = decodeStub(media)
+      .select(col("media_id").as("vec_id"),
+        expr("transform(features, x -> CAST(x AS FLOAT))").as("embedding"))
+    SimilarityOps.cosineTopK(emb, nQueries, k)
+  }
+
   /** End-to-end media pipeline: table → typed records → batched
     * decode → flat feature columns. */
   def decodeFeatures(documents: DataFrame): DataFrame = {

@@ -1060,6 +1060,14 @@ object Catalog {
   // north-star: multimodal binary columns
   // ---------------------------------------------------------------- //
   private def multimodalQueries: Seq[QuerySpec] = Seq(
+    // media payloads → batched feature extraction → similarity search,
+    // through SimilarityOps' (vec_id, embedding) contract — the
+    // image-dedup composition (stub features ⇒ rows-only)
+    QuerySpec(
+      "q95_media_ann",
+      (s, dir) => MultimodalOps.mediaAnnTopK(Tables.documents(s, dir)),
+      None),
+
     QuerySpec(
       "q48_multimodal_meta",
       (s, dir) => MultimodalOps.mediaMeta(Tables.documents(s, dir)),

@@ -131,6 +131,22 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(a.keys.forall(k => a(k).toSeq == b(k).toSeq), "deterministic")
   }
 
+  test("media ANN ranks an injected identical payload first with score 1") {
+    val docs = Tables.documents(spark, sf)
+    val dup = docs.filter(col("doc_id") === 0).withColumn("doc_id", lit(999999L))
+    val top = MultimodalOps.mediaAnnTopK(docs.unionByName(dup), nQueries = 1, k = 5)
+      .collect()
+    assert(top.nonEmpty)
+    val first = top.head
+    assert(first.getLong(0) == 0L && first.getLong(1) == 999999L,
+      s"identical payload must rank first, got ${first.mkString(",")}")
+    assert(math.abs(first.getDouble(2) - 1.0) < 1e-6)
+    // deterministic: same input, same ranking
+    val again = MultimodalOps.mediaAnnTopK(docs.unionByName(dup), nQueries = 1, k = 5)
+      .collect().map(_.toString).toSeq
+    assert(again == top.map(_.toString).toSeq)
+  }
+
   test("media table payload length equals utf-8 byte length") {
     val docs = Tables.documents(spark, sf)
     val rows = MultimodalOps.mediaTable(docs)
