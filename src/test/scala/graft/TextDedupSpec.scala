@@ -121,6 +121,28 @@ class TextDedupSpec extends SparkSpec {
     assert(viaPack == viaAgg)
   }
 
+  test("incremental dedup composes to whole-corpus dedup when batch ids follow existing ids") {
+    val existing = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val whole = DedupOps.exactDedup(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val composed =
+      DedupOps.exactDedup(existing).select("doc_id").collect().map(_.getLong(0)).toSet ++
+      DedupOps.incrementalExactDedup(existing, batch)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(composed == whole,
+      "dedup(existing) ∪ incremental(existing, batch) must equal dedup(existing ∪ batch)")
+  }
+
+  test("connected components throws rather than returning partial labels at maxIter") {
+    import spark.implicits._
+    val nodes = (0L to 40L).toDF("doc_id")
+    val edges = (0L until 40L).map(i => (i, i + 1)).toDF("doc_i", "doc_j")
+    intercept[IllegalStateException] {
+      DedupOps.connectedComponents(nodes, edges, maxIter = 2).count()
+    }
+  }
+
   test("connected components: transitive chains collapse, singletons stay") {
     import spark.implicits._
     val nodes = (0L to 6L).toDF("doc_id")
