@@ -366,10 +366,11 @@ object DedupOps {
   }
 
   /** Convergence diagnostics for one [[connectedComponents]] run —
-    * `symEdges` is the DIRECTED symmetric edge count (2× undirected,
-    * self-loops once); `rounds` is propagation rounds to fixpoint
-    * (= component diameter + 1 detection round). Recorded per edge set
-    * in SCALE.md so the "near-dup clusters are shallow" claim is
+    * `symEdges` is the DIRECTED symmetric edge count (2× the input
+    * pairs; input duplicates would be counted, the pair generators
+    * emit distinct pairs); `rounds` is propagation rounds to fixpoint
+    * including the one detection round. Recorded per edge set in
+    * SCALE.md so the "near-dup clusters are shallow" claim is
     * measured, not asserted. */
   final case class CCStats(nodes: Long, symEdges: Long, rounds: Int)
 
@@ -417,10 +418,13 @@ object DedupOps {
     val session = nodes.sparkSession
     val nodeIds: RDD[Long] = nodes.select(col("doc_id").cast("long")).rdd.map(_.getLong(0))
     val part = new HashPartitioner(math.max(1, nodeIds.getNumPartitions))
+    // no dedup pass on the symmetrized edges: min-label propagation is
+    // idempotent over duplicate messages (min of a multiset), so a
+    // repeated edge costs one extra combined message, not correctness
+    // — dropping the distinct saves a full shuffle of the edge list
     val sym: RDD[(Long, Long)] = edges
       .select(col("doc_i").cast("long"), col("doc_j").cast("long")).rdd
       .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
-      .distinct(part.numPartitions)
       .partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels: RDD[(Long, Long)] = nodeIds.map(id => (id, id))
@@ -435,25 +439,36 @@ object DedupOps {
     var prevSum = sum0
     var iter = 0
     var converged = nNodes == 0L // no nodes: already at fixpoint
-    while (!converged && iter < maxIter) {
-      // hook — sym and labels are co-partitioned: the join is narrow;
-      // only the (dst, label) messages shuffle, combined map-side
-      val nbrMin: RDD[(Long, Long)] = sym.join(labels)
+    // Round structure, measured on the real sketch edge sets (see
+    // SCALE.md): a hook is ONE shuffle (the combined min-label
+    // messages), a jump is TWO (re-key by label, re-key the result),
+    // so on the shallow graphs near-dup produces, two hooks per round
+    // beat hook+jump (7 rounds/14 shuffles vs 10/30 at sf0.1). The
+    // jump still runs every third round so a pathological chain
+    // collapses geometrically — O(log diameter) worst case — instead
+    // of paying its two shuffles every round.
+    def hook(cur: RDD[(Long, Long)]): RDD[(Long, Long)] = {
+      val nbrMin = sym.join(cur) // narrow: sym and labels share `part`
         .map { case (_, (dst, lbl)) => (dst, lbl) }
         .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
-      val hooked: RDD[(Long, Long)] = labels.leftOuterJoin(nbrMin) // narrow: both on `part`
+      cur.leftOuterJoin(nbrMin) // narrow: both on `part`
         .mapValues { case (own, m) => math.min(own, m.getOrElse(own)) }
-      // shortcut — look up the label's own label: re-key by label
-      // (small shuffle), join against hooked (narrow on `part`)
-      val jumpMsgs: RDD[(Long, Long)] = hooked
+    }
+    def jump(cur: RDD[(Long, Long)]): RDD[(Long, Long)] = {
+      val msgs = cur
         .map { case (node, lbl) => (lbl, node) }
         .partitionBy(part)
-        .join(hooked)
+        .join(cur)
         .map { case (_, (node, lblOfLbl)) => (node, lblOfLbl) }
         .partitionBy(part)
-      val next: RDD[(Long, Long)] = hooked.leftOuterJoin(jumpMsgs)
+      cur.leftOuterJoin(msgs)
         .mapValues { case (own, m) => math.min(own, m.getOrElse(own)) }
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    while (!converged && iter < maxIter) {
+      val stepped = hook(hook(labels))
+      val next: RDD[(Long, Long)] =
+        (if ((iter + 1) % 3 == 0) jump(stepped) else stepped)
+          .persist(StorageLevel.MEMORY_AND_DISK)
       val (_, nextSum) = stats(next)
       labels.unpersist(blocking = false)
       labels = next
