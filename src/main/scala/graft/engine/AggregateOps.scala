@@ -123,6 +123,37 @@ object AggregateOps {
       .agg(decSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** Explicit GROUPING SETS — the general grouping-family member
+    * (rollup and cube are its special cases): per-returnflag totals,
+    * per-linestatus totals, and the grand total in ONE aggregate pass
+    * (Catalyst expands the sets into a single Expand + hash
+    * aggregate — not three scans unioned). */
+  def groupingSetsAgg(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(decSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** The SQL face of the engine + correlated-subquery planning:
+    * a correlated EXISTS the optimizer decorrelates into a left-semi
+    * join (same physical shape as q10's API form — the point is that
+    * the SQL surface reaches the same plan). Views are registered
+    * per-session; `spark.sql` is a first-class entry path. */
+  def sqlExistsSubquery(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val s = orders.sparkSession
+    orders.createOrReplaceTempView("orders_v")
+    lineitem.createOrReplaceTempView("lineitem_v")
+    s.sql("""
+      SELECT o_orderpriority, COUNT(*) AS n_orders
+      FROM orders_v
+      WHERE EXISTS (SELECT 1 FROM lineitem_v
+                    WHERE l_orderkey = o_orderkey AND l_extendedprice > 50000)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  }
+
   /** Pivot — the wide form of the A2 two-key rollup: one row per
     * returnflag, one column per linestatus. Pivot values are PINNED
     * (not discovered), so the plan is a single partial+final aggregate

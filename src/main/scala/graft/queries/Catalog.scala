@@ -359,6 +359,30 @@ object Catalog {
               |         MIN(l_discount), MAX(l_discount) FROM lineitem
               |) ORDER BY col_name""".stripMargin)),
 
+    // the general grouping-family member (rollup/cube are special
+    // cases): one Expand + one aggregate pass
+    QuerySpec(
+      "q96_grouping_sets",
+      (s, dir) => AggregateOps.groupingSetsAgg(Tables.lineitem(s, dir)),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |       ${decSumSql("l_quantity")} AS sum_qty, COUNT(*) AS n_rows
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // the SQL entry path + correlated-subquery decorrelation (same
+    // physical semi join as q10's API form)
+    QuerySpec(
+      "q97_sql_exists",
+      (s, dir) => AggregateOps.sqlExistsSubquery(
+        Tables.orders(s, dir), Tables.lineitem(s, dir)),
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_orders
+             |FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_extendedprice > 50000)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     // wide/long reshape pair (§2.4 extensions): pivot with PINNED
     // values (single aggregate pass, stable schema — no
     // values-discovery job over the fact) and its unpivot inverse
