@@ -42,6 +42,24 @@ object RelationalOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Schema evolution at the union: an old-schema slice (no tax
+    * column — the shape of data landed before a field existed) unioned
+    * with the current schema via `unionByName(allowMissingColumns)`,
+    * missing fields null-filled — how a corpus spanning format
+    * versions reads as one relation. Name-based resolution (never
+    * positional) is the survival property when columns are added or
+    * reordered across years of landed data. */
+  def evolvedUnion(lineitem: DataFrame, cutover: Long = 3000L): DataFrame = {
+    val old = lineitem.filter(col("l_orderkey") < cutover)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+              col("l_quantity"))
+    val current = lineitem.filter(col("l_orderkey") >= cutover)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+              col("l_quantity"), col("l_tax"))
+    old.unionByName(current, allowMissingColumns = true)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** Flagship ETL: dim ⋈ fact → group-by key → SUM, the re-expression
     * of the reference's award-amount aggregator join+rollup
     * (reference: app/spark_cassandra_etl_award_amount_aggregator.py:82-84).

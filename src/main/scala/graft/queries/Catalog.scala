@@ -359,6 +359,21 @@ object Catalog {
               |         MIN(l_discount), MAX(l_discount) FROM lineitem
               |) ORDER BY col_name""".stripMargin)),
 
+    // schema evolution: old-schema slice ∪ current schema by NAME,
+    // missing fields null-filled
+    QuerySpec(
+      "q98_schema_evolution",
+      (s, dir) => RelationalOps.evolvedUnion(Tables.lineitem(s, dir)),
+      Some("""SELECT * FROM (
+             |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |         l_quantity, CAST(NULL AS DOUBLE) AS l_tax
+             |  FROM lineitem WHERE l_orderkey < 3000
+             |  UNION ALL
+             |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+             |         l_quantity, l_tax
+             |  FROM lineitem WHERE l_orderkey >= 3000)
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // the general grouping-family member (rollup/cube are special
     // cases): one Expand + one aggregate pass
     QuerySpec(

@@ -99,6 +99,19 @@ class IngestWriteSpec extends SparkSpec {
     assert(key(spark.read.parquet(path)) == key(agg))
   }
 
+  test("mergeSchema reads a layout whose files span schema versions") {
+    import spark.implicits._
+    val path = tmpDir("evolve")
+    // v1 files land without the tax column; v2 files add it
+    Seq((1L, 10.0)).toDF("k", "qty").write.parquet(s"$path/part=a")
+    Seq((2L, 20.0, 0.05)).toDF("k", "qty", "tax").write.parquet(s"$path/part=b")
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+      .select(col("k"), col("qty"), col("tax")).orderBy(col("k")).collect()
+    assert(merged.length == 2)
+    assert(merged(0).isNullAt(2), "v1 rows must null-fill the added column")
+    assert(merged(1).getDouble(2) == 0.05)
+  }
+
   test("compaction collapses small ingest files without changing the data") {
     val rows = (0 until 3000).map(i => OrderRec(i.toLong, i.toLong % 50, s"P${i % 5}", i * 2.0))
     val out = tmpDir("compact")
