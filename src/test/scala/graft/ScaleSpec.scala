@@ -113,6 +113,29 @@ class ScaleSpec extends SparkSpec {
     assert(st2.rounds <= 8)
   }
 
+  test("round-5 plan shapes: broadcast anti-join, single Expand, decorrelated semi join") {
+    import graft.engine.{AggregateOps, DedupOps}
+    val docs = Tables.documents(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    // q92: incremental dedup anti-joins the fingerprint set (broadcast here)
+    val q92 = DedupOps.incrementalExactDedup(
+      docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400))
+    q92.collect()
+    val p92 = q92.queryExecution.executedPlan.toString
+    assert(p92.contains("LeftAnti"), s"expected an anti-join:\n$p92")
+    // q96: grouping sets expand into ONE aggregate pass, never a union of scans
+    val q96 = AggregateOps.groupingSetsAgg(li)
+    q96.collect()
+    val p96 = q96.queryExecution.executedPlan.toString
+    assert(p96.contains("Expand") && !p96.contains("Union"),
+      s"grouping sets must be one Expand + aggregate pass:\n$p96")
+    // q97: the correlated EXISTS decorrelates to a semi join
+    val q97 = AggregateOps.sqlExistsSubquery(Tables.orders(spark, sf), li)
+    q97.collect()
+    val p97 = q97.queryExecution.executedPlan.toString
+    assert(p97.contains("LeftSemi"), s"EXISTS must decorrelate to a semi join:\n$p97")
+  }
+
   test("quarter rollup over partitioned fact: DPP in the plan, result matches raw table") {
     val df = PartitionedTables.quarterRollup(spark, sf, quarter = 1)
     val got = df.collect()
