@@ -55,6 +55,27 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Normalization-aware exact dedup — the canonicalize-before-hash
+    * step real corpora need: case folding + whitespace collapse +
+    * punctuation-run trimming BEFORE fingerprinting, so trivially
+    * reformatted copies (double spaces, case drift, trailing
+    * punctuation) collapse that byte-exact hashing misses. Same
+    * one-shuffle topology as [[exactDedup]], hash over the normalized
+    * form; per-doc normalization is codegen'd regex work in the scan
+    * projection. */
+  def normalizedDedup(documents: DataFrame): DataFrame = {
+    val normalized = regexp_replace(
+      regexp_replace(lower(col("text")), "[ \\t\\r\\n]+", " "),
+      "[.!?,;:]+", ".")
+    val w = Window.partitionBy(col("norm_fp"))
+    documents
+      .withColumn("norm_fp", md5(trim(normalized)))
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("norm_fp"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** INCREMENTAL exact dedup — the corpus-building form: a new batch
     * arrives and must be deduplicated against the EXISTING corpus
     * without rescanning it for pairwise work. One anti-join of the

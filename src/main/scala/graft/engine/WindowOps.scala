@@ -65,4 +65,21 @@ object WindowOps {
       .withColumn("delta", col("total_price") - col("prev_total"))
       .orderBy(col("o_year"), col("o_month"))
   }
+
+  /** Distribution-position windows — percent_rank and cume_dist per
+    * group (where does this order sit inside its priority class?),
+    * completing the ranking family beside rank/row_number/ntile. One
+    * exchange on the partition key; the unique tiebreaker keeps the
+    * positions total-ordered and oracle-comparable. */
+  def distributionPosition(orders: DataFrame, perGroup: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= perGroup)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("pr"), col("cd"), col("rn"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
 }

@@ -589,6 +589,21 @@ object Catalog {
   // §2.8 window functions
   // ---------------------------------------------------------------- //
   private def windows: Seq[QuerySpec] = Seq(
+    // percent_rank/cume_dist complete the ranking family beside
+    // rank/row_number (q28) and ntile (q93)
+    QuerySpec(
+      "q100_distribution_position",
+      (s, dir) => WindowOps.distributionPosition(Tables.orders(s, dir)),
+      Some("""SELECT * FROM (
+             |  SELECT o_orderpriority, o_orderkey,
+             |         ROUND(percent_rank() OVER w, 6) AS pr,
+             |         ROUND(cume_dist() OVER w, 6) AS cd,
+             |         CAST(row_number() OVER w AS BIGINT) AS rn
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+             |) WHERE rn <= 20
+             |ORDER BY o_orderpriority, rn""".stripMargin)),
+
     QuerySpec(
       "q28_window_rank",
       (s, dir) => WindowOps.topPerGroup(Tables.customer(s, dir), 3),
@@ -882,6 +897,21 @@ object Catalog {
       (s, dir) => DedupOps.exactDedup(Tables.documents(s, dir)),
       Some("""SELECT doc_id, md5(text) AS fp_md5, lang, source FROM documents
              |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // canonicalize-before-hash: case folding + whitespace collapse +
+    // punctuation-run trim, so reformatted copies collapse that
+    // byte-exact hashing misses
+    QuerySpec(
+      "q99_normalized_dedup",
+      (s, dir) => DedupOps.normalizedDedup(Tables.documents(s, dir)),
+      Some("""WITH nrm AS (
+             |  SELECT doc_id, lang, source,
+             |         md5(trim(regexp_replace(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g'),
+             |                                 '[.!?,;:]+', '.', 'g'))) AS norm_fp
+             |  FROM documents)
+             |SELECT doc_id, norm_fp, lang, source FROM nrm
+             |WHERE doc_id IN (SELECT min(doc_id) FROM nrm GROUP BY norm_fp)
              |ORDER BY doc_id""".stripMargin)),
 
     QuerySpec(

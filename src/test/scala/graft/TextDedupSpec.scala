@@ -121,6 +121,17 @@ class TextDedupSpec extends SparkSpec {
     assert(viaPack == viaAgg)
   }
 
+  test("normalized dedup collapses a reformatted copy that byte-exact dedup keeps") {
+    val base = docs.filter(col("doc_id") === 0)
+    val reformatted = base.withColumn("doc_id", lit(1000000L))
+      .withColumn("text", upper(regexp_replace(col("text"), " ", "  ")))
+    val corpus = docs.unionByName(reformatted)
+    assert(DedupOps.exactDedup(corpus).filter(col("doc_id") === 1000000L).count() == 1,
+      "case/whitespace drift must evade byte-exact hashing")
+    assert(DedupOps.normalizedDedup(corpus).filter(col("doc_id") === 1000000L).count() == 0,
+      "normalization must collapse the reformatted copy onto doc 0")
+  }
+
   test("incremental dedup composes to whole-corpus dedup when batch ids follow existing ids") {
     val existing = docs.filter(col("doc_id") < 400)
     val batch = docs.filter(col("doc_id") >= 400)
