@@ -72,17 +72,23 @@ object IngestOps {
     * Append — the reference's mode("append") aggregate-table pattern,
     * app/spark_cassandra_groupby.py:75-82). Returns rows landed. */
   def runIngest(spark: SparkSession, src: PagedSource, outPath: String,
-                batchSize: Int = 2000, partitionKey: String = "o_orderpriority"): Long = {
+                batchSize: Int = 2000, partitionKey: String = "o_orderpriority",
+                compact: Boolean = true,
+                compactTargetBytes: Long = 128L * 1024 * 1024): Long = {
     import spark.implicits._
     var page = 0
     var buf = Vector.empty[OrderRec]
     var total = 0L
-    var firstFlush = true
+    var flushes = 0
     def flush(): Unit = if (buf.nonEmpty) {
-      val mode = if (firstFlush) "overwrite" else "append"
-      firstFlush = false
-      buf.toDS().toDF()
+      val mode = if (flushes == 0) "overwrite" else "append"
+      // a batch is a driver-local buffer: one write task, so each flush
+      // lands ONE file per partition key it touches, not one per
+      // default-parallelism slice (32 empty-ish task files per key was
+      // the round-5 small-file regression)
+      buf.toDS().toDF().coalesce(1)
         .write.mode(mode).partitionBy(partitionKey).parquet(outPath)
+      flushes += 1
       total += buf.size
       buf = Vector.empty
     }
@@ -97,6 +103,12 @@ object IngestOps {
       }
     }
     flush()
+    // the maintenance pass every append-heavy sink needs, wired into
+    // the sink itself: a multi-flush run leaves one file per key per
+    // flush; collapse to ⌈bytes/target⌉ before handing the layout to
+    // readers. A single-flush run is already minimal — skip the rewrite.
+    if (compact && flushes > 1)
+      WriteOps.compactPartitionedInPlace(spark, outPath, Seq(partitionKey), compactTargetBytes)
     total
   }
 

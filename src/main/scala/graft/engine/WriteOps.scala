@@ -57,6 +57,39 @@ object WriteOps {
     out
   }
 
+  /** [[compact]] for a PARTITIONED layout, swapped in place: rewrites
+    * the layout so each partition directory holds a single file (every
+    * key hashes to exactly one of the ⌈bytes/target⌉ write tasks), then
+    * replaces `path` with the compacted copy. The in-place swap is the
+    * local-FS form of the maintenance commit; at cluster scale the same
+    * rewrite lands next to the live layout and the catalog's table
+    * location is swapped atomically. Partitions individually larger
+    * than `targetFileBytes` would need an intra-key split (salt or
+    * `maxRecordsPerFile`) — not the ingest-sink shape this serves,
+    * where the problem is many SMALL files per key. */
+  def compactPartitionedInPlace(spark: org.apache.spark.sql.SparkSession, path: String,
+                                partitionKeys: Seq[String],
+                                targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    import org.apache.spark.sql.functions.col
+    def walkBytes(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walkBytes).sum).getOrElse(0L)
+      else if (f.getName.startsWith("_") || f.getName.startsWith(".")) 0L
+      else f.length()
+    val nFiles = math.max(1,
+      math.ceil(walkBytes(new java.io.File(path)).toDouble / targetFileBytes).toInt)
+    val tmp = path + "_compacting"
+    spark.read.parquet(path)
+      .repartition(nFiles, partitionKeys.map(col): _*)
+      .write.mode("overwrite").partitionBy(partitionKeys: _*).parquet(tmp)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    if (!new java.io.File(tmp).renameTo(new java.io.File(path)))
+      throw new java.io.IOException(s"compaction swap failed for $path")
+  }
+
   def refreshPartitions(slice: DataFrame, path: String, partitionKeys: Seq[String]): DataFrame = {
     require(partitionKeys.nonEmpty, "incremental refresh needs partition keys")
     slice.write

@@ -112,17 +112,22 @@ class IngestWriteSpec extends SparkSpec {
     assert(merged(1).getDouble(2) == 0.05)
   }
 
+  private def parquetFilesPerDir(p: String): Map[String, Int] = {
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isDirectory) Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Seq.empty)
+      else if (f.getName.endsWith(".parquet")) Seq(f.getParent) else Seq.empty
+    walk(new java.io.File(p)).groupBy(identity).map { case (d, fs) => d -> fs.size }
+  }
+
   test("compaction collapses small ingest files without changing the data") {
     val rows = (0 until 3000).map(i => OrderRec(i.toLong, i.toLong % 50, s"P${i % 5}", i * 2.0))
     val out = tmpDir("compact")
     // small batches → many flushes → many small files per partition
-    IngestOps.runIngest(spark, new FixtureSource(rows, pageSize = 100), out, batchSize = 200)
-    def parquetFiles(p: String): Int = {
-      def walk(f: java.io.File): Int =
-        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
-        else if (f.getName.endsWith(".parquet")) 1 else 0
-      walk(new java.io.File(p))
-    }
+    // (compact=false shows the raw append pattern the sink would
+    // otherwise accumulate)
+    IngestOps.runIngest(spark, new FixtureSource(rows, pageSize = 100), out,
+      batchSize = 200, compact = false)
+    def parquetFiles(p: String): Int = parquetFilesPerDir(p).values.sum
     val before = parquetFiles(out)
     assert(before > 10, s"expected many small files from batched appends, got $before")
     val compacted = WriteOps.compact(spark, out)
@@ -133,6 +138,30 @@ class IngestWriteSpec extends SparkSpec {
     assert(b.count() == a.count())
     assert(b.agg(sum(col("o_orderkey"))).head.getLong(0) ==
            a.agg(sum(col("o_orderkey"))).head.getLong(0))
+  }
+
+  test("batch sink lands ≤ ⌈bytes/target⌉ files per partition dir (compaction wired in)") {
+    val rows = (0 until 3000).map(i => OrderRec(i.toLong, i.toLong % 50, s"P${i % 5}", i * 2.0))
+    val out = tmpDir("compact_wired")
+    // 15 flushes; the wired-in maintenance pass must collapse the
+    // per-flush files so every partition directory holds at most
+    // max(1, ceil(dirBytes / target)) data files — here 1, the target
+    // dwarfs the fixture
+    val n = IngestOps.runIngest(spark, new FixtureSource(rows, pageSize = 100), out,
+      batchSize = 200)
+    assert(n == 3000)
+    val perDir = parquetFilesPerDir(out)
+    assert(perDir.nonEmpty)
+    perDir.foreach { case (dir, count) =>
+      val dirBytes = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet")).map(_.length()).sum
+      val bound = math.max(1, math.ceil(dirBytes.toDouble / (128L * 1024 * 1024)).toInt)
+      assert(count <= bound, s"$dir has $count files, bound $bound")
+    }
+    val landed = spark.read.parquet(out)
+    assert(landed.count() == 3000)
+    assert(landed.agg(sum(col("o_orderkey"))).head.getLong(0) ==
+           rows.map(_.o_orderkey).sum)
   }
 
   test("geo lookup is deterministic and in valid ranges") {
