@@ -26,7 +26,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-loop filter: SPARK_GRAFT_ONLY=q50,q67 runs just the named
+    // queries (prefix match). Unset → full run (the driver's mode).
+    val only: Option[Seq[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSeq)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith)) }
+    selected.foreach { case (name, fn) =>
       def attempt(): Unit =
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

@@ -1173,6 +1173,44 @@ object Catalog {
   // run (round 1 rebuilt/cached/unpersisted per query — the top bench
   // cost); Verify/Bench release the shared cache at end of run.
   // ---------------------------------------------------------------- //
+  /** q50 oracle: the correlation matrix IS SQL-expressible once the
+    * StringIndexer is reproduced — frequencyDesc assigns 0,1,2,… by
+    * count DESC with ties broken alphabetically ASC (Spark
+    * StringIndexer.getSortFunc), i.e. exactly
+    * `row_number() OVER (ORDER BY count(*) DESC, value ASC) - 1`.
+    * The 36 (feature_i, feature_j) pairs are generated as UNION ALL
+    * branches; corr() is sample Pearson on both sides, rounded to 6dp
+    * (pattern proven by q21). */
+  private val q50OracleSql: String = {
+    val cols = Seq("o_month", "o_year", "o_totalprice",
+      "o_orderpriority_idx", "o_orderstatus_idx", "c_mktsegment_idx")
+    val branches = (for { i <- cols; j <- cols } yield
+      s"SELECT '$i' AS feature_i, '$j' AS feature_j, ROUND(corr($i, $j), 6) AS corr FROM fi"
+      ).mkString("\nUNION ALL ")
+    s"""WITH f AS (
+       |  SELECT o_totalprice, month(o_orderdate) AS o_month, year(o_orderdate) AS o_year,
+       |         o_orderpriority, o_orderstatus, c_mktsegment
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+       |    AND o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+       |    AND c_mktsegment IS NOT NULL AND o_totalprice > 0
+       |),
+       |pm AS (SELECT o_orderpriority AS v, row_number() OVER (ORDER BY count(*) DESC, o_orderpriority ASC) - 1 AS idx FROM f GROUP BY 1),
+       |sm AS (SELECT o_orderstatus AS v, row_number() OVER (ORDER BY count(*) DESC, o_orderstatus ASC) - 1 AS idx FROM f GROUP BY 1),
+       |mm AS (SELECT c_mktsegment AS v, row_number() OVER (ORDER BY count(*) DESC, c_mktsegment ASC) - 1 AS idx FROM f GROUP BY 1),
+       |fi AS (
+       |  SELECT f.o_month, f.o_year, f.o_totalprice,
+       |         CAST(pm.idx AS DOUBLE) AS o_orderpriority_idx,
+       |         CAST(sm.idx AS DOUBLE) AS o_orderstatus_idx,
+       |         CAST(mm.idx AS DOUBLE) AS c_mktsegment_idx
+       |  FROM f JOIN pm ON f.o_orderpriority = pm.v
+       |         JOIN sm ON f.o_orderstatus = sm.v
+       |         JOIN mm ON f.c_mktsegment = mm.v
+       |)
+       |$branches
+       |ORDER BY feature_i, feature_j""".stripMargin
+  }
+
   private def mlQueries: Seq[QuerySpec] = Seq(
     QuerySpec(
       "q50_ml_correlation",
@@ -1180,7 +1218,7 @@ object Catalog {
         val (feats, enc) = MLShared.features(s, dir)
         MLPipelines.correlationMatrix(feats, enc)
       },
-      None),
+      Some(q50OracleSql)),
 
     QuerySpec(
       "q51_ml_regression",

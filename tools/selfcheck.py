@@ -44,6 +44,10 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        import os
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            # not dumped (SPARK_GRAFT_ONLY-filtered Verify run) — skip
+            continue
         try:
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
