@@ -121,9 +121,15 @@ object SimilarityOps {
     * are an eagerly-materialized localCheckpoint; at 100 TB they
     * persist as a table PARTITIONED/bucketed by `list_id`, so each
     * probe prunes to nProbe/nLists of the corpus at the scan. */
+  /** Build-count test hook: ScaleSpec asserts a persisted-index load
+    * performs ZERO quantizer fits (tests run sequentially —
+    * build.sbt pins parallelExecution := false). */
+  private[graft] var indexBuilds: Int = 0
+
   def buildIvfIndex(embeddings: DataFrame, nLists: Int = 16): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    synchronized { indexBuilds += 1 }
     val spark = embeddings.sparkSession
     import spark.implicits._
     val withFv = embeddings.withColumn("fv", array_to_vector(col("embedding")))
@@ -141,13 +147,58 @@ object SimilarityOps {
   /** Session-lifetime index memo, keyed by (caller tag, nLists) — the
     * [[graft.queries.MLShared]] pattern: the first query over a corpus
     * pays the quantizer fit, every later probe reuses it. [[release]]
-    * drops the memo (Verify/Bench end-of-run). */
+    * drops the memo (Verify/Bench end-of-run).
+    *
+    * The memo is only the FAST path: behind it the index lives as a
+    * pair of CATALOG TABLES ([[ensureIvfTables]]), so a brand-new
+    * session — or a different process sharing the warehouse — loads
+    * the assignments with NO quantizer refit (asserted in ScaleSpec).
+    * That is the cross-session persistence SCALE.md claims: the build
+    * is an offline job, probes are table scans. */
   private var ivfMemo: Map[(String, Int), IvfIndex] = Map.empty
+
+  /** Catalog table names for a persisted IVF index: assignments
+    * (bucketed by list_id) + centroids. Tag-hashed like
+    * [[PartitionedTables.ensureBucketed]] so one warehouse serves
+    * multiple corpora. */
+  private[graft] def ivfTableNames(tag: String, nLists: Int): (String, String) = {
+    val h = Integer.toHexString(tag.hashCode)
+    (s"ivf_assign_${h}_$nLists", s"ivf_centers_${h}_$nLists")
+  }
+
+  /** Materialize the IVF index as catalog tables if absent, then load
+    * it from the catalog. The assignments table is BUCKETED on
+    * `list_id` (the probe key): locally that pins the layout; on a
+    * cluster the same bucketing means an in-list probe with a literal
+    * `list_id IN (…)` filter (the probe set is nQueries×nProbe ints —
+    * driver-collectable by construction) prunes the scan to
+    * nProbe/nLists of the corpus before any join. Idempotent per
+    * catalog; `overwrite` keeps the repair path working after a
+    * partial failure. */
+  def ensureIvfTables(embeddings: DataFrame, tag: String, nLists: Int = 16): (String, String) = {
+    val spark = embeddings.sparkSession
+    val (at, ct) = ivfTableNames(tag, nLists)
+    synchronized {
+      if (!spark.catalog.tableExists(at) || !spark.catalog.tableExists(ct)) {
+        val idx = buildIvfIndex(embeddings, nLists)
+        idx.assigned.select(col("vec_id"), col("vec"), col("norm"), col("list_id"))
+          .write.mode("overwrite")
+          .bucketBy(nLists, "list_id").sortBy("vec_id").saveAsTable(at)
+        idx.centers.write.mode("overwrite").saveAsTable(ct)
+      }
+    }
+    (at, ct)
+  }
 
   def ivfIndexFor(embeddings: DataFrame, tag: String, nLists: Int = 16): IvfIndex =
     synchronized {
       ivfMemo.getOrElse((tag, nLists), {
-        val idx = buildIvfIndex(embeddings, nLists)
+        val (at, ct) = ensureIvfTables(embeddings, tag, nLists)
+        val spark = embeddings.sparkSession
+        val idx = IvfIndex(
+          spark.read.table(at).select(col("vec_id"), col("vec"), col("norm"), col("list_id")),
+          spark.read.table(ct),
+          nLists)
         ivfMemo += ((tag, nLists) -> idx)
         idx
       })

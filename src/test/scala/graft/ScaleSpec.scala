@@ -153,4 +153,34 @@ class ScaleSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("dynamicpruning"),
       s"expected dynamic partition pruning in the physical plan:\n$plan")
   }
+
+  test("IVF index persists across sessions: fresh probe scans the bucketed table, no refit") {
+    import graft.engine.SimilarityOps
+    val emb = Tables.embeddings(spark, sf)
+    // first call: builds the quantizer and persists the catalog tables
+    SimilarityOps.ivfIndexFor(emb, tag = sf)
+    // simulate a new session: drop the in-memory memo; the catalog
+    // tables survive (same warehouse — what a restarted job sees)
+    SimilarityOps.release()
+    val buildsBefore = SimilarityOps.indexBuilds
+    val idx = SimilarityOps.ivfIndexFor(emb, tag = sf)
+    assert(SimilarityOps.indexBuilds == buildsBefore,
+      "loading a persisted IVF index must not refit the quantizer")
+    val (at, _) = SimilarityOps.ivfTableNames(sf, 16)
+    val optimized = idx.assigned.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("ivf_assign_"),
+      s"expected the probe side to scan the catalog table $at:\n$optimized")
+    // the persisted layout carries the list_id bucket spec
+    val desc = spark.sql(s"DESCRIBE EXTENDED $at")
+      .collect().map(_.mkString(" ")).mkString("\n")
+    assert(desc.contains("Num Buckets") && desc.contains("list_id"),
+      s"expected a list_id bucket spec on $at:\n$desc")
+    // probes over the persisted index are value-identical to a fresh
+    // in-memory build (same seed, same quantizer)
+    val persisted = SimilarityOps.ivfTopK(idx, nQueries = 5, k = 10, nProbe = 4).collect()
+    val fresh = SimilarityOps.ivfTopK(
+      SimilarityOps.buildIvfIndex(emb), nQueries = 5, k = 10, nProbe = 4).collect()
+    assert(persisted.sameElements(fresh),
+      "persisted-index probe results diverge from a fresh build")
+  }
 }
