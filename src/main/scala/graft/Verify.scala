@@ -65,6 +65,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.queries.MLShared.release()
+    graft.queries.SketchShared.release()
     graft.engine.SimilarityOps.release()
     spark.stop()
   }

@@ -42,6 +42,29 @@ object DedupOps {
     documents
       .select(col("doc_id"), explode(expr(shingleArraySql)).as("shingle"))
 
+  /** ONE corpus pass producing every sketch column the dedup family
+    * consumes — (doc_id, sh, sig, simhash): the distinct shingle-hash
+    * set, the k-lane MinHash signature and the 64-bit SimHash, all
+    * computed in the same codegen'd scan projection. This is the frame
+    * [[graft.queries.SketchShared]] persists as a catalog column table
+    * so q42/q43/q70/q73 share one sketch build instead of
+    * re-shingling the corpus per query — the production shape: sketch
+    * once at ingest, probe everywhere. Per-sketch empty-input
+    * semantics match the standalone forms: sh/sig are null for
+    * shingle-less docs, simhash is null for token-less docs. */
+  def docSketches(documents: DataFrame, numHashes: Int = 32): DataFrame = {
+    val s = documents.sparkSession
+    MinHashPack.register(s); ShingleHashes.register(s); SimHashPack.register(s)
+    documents
+      .select(col("doc_id"),
+        expr(s"shingle_hashes(text, $ShingleSize)").as("sh0"),
+        expr("transform(regexp_extract_all(lower(text), '[a-z0-9_]+', 0), t -> xxhash64(t))").as("toks"))
+      .select(col("doc_id"),
+        when(size(col("sh0")) > 0, col("sh0")).as("sh"),
+        expr(s"CASE WHEN size(sh0) > 0 THEN minhash_pack(sh0, $numHashes) END").as("sig"),
+        expr("CASE WHEN size(toks) > 0 THEN simhash_pack(toks) END").as("simhash"))
+  }
+
   /** Exact dedup: canonical row per content hash (min doc_id wins).
     * One shuffle on md5(text); at 100 TB the same plan with the hash
     * bucketed to storage makes re-dedup incremental. */
@@ -267,6 +290,23 @@ object DedupOps {
       .filter(size(col("sh")) > 0)
       .localCheckpoint(false)
     val sigs = shArr.select(col("doc_id"), expr(s"minhash_pack(sh, $numHashes)").as("sig"))
+    verifiedJaccardCore(shArr, sigs, threshold, numHashes)
+  }
+
+  /** [[verifiedJaccardPairs]] over a PREBUILT sketch frame
+    * ([[docSketches]] / the SketchShared catalog table): both the
+    * shingle sets and the signatures come from the shared pass, so the
+    * query itself scans no document text at all. Value-identical to
+    * the standalone form (TextDedupSpec). */
+  def verifiedJaccardPairsFromSketches(sketches: DataFrame, threshold: Double = 0.5,
+                                       numHashes: Int = 32): DataFrame = {
+    val shArr = sketches.filter(col("sh").isNotNull).select(col("doc_id"), col("sh"))
+    val sigs = sketches.filter(col("sig").isNotNull).select(col("doc_id"), col("sig"))
+    verifiedJaccardCore(shArr, sigs, threshold, numHashes)
+  }
+
+  private def verifiedJaccardCore(shArr: DataFrame, sigs: DataFrame,
+                                  threshold: Double, numHashes: Int): DataFrame = {
     // Estimate prefilter before the exact verification joins: the
     // signature-estimated Jaccard is free (the signatures already feed
     // the banding), so pairs estimated far below threshold skip the
@@ -279,6 +319,35 @@ object DedupOps {
     val cands = minhashPairsFromSigs(sigs, numHashes)
       .filter(col("est_jaccard") >= estPrefilter)
       .select(col("doc_i"), col("doc_j"))
+    verifyCandidates(shArr, cands, threshold)
+  }
+
+  /** [[verifiedJaccardPairs]] over PREBUILT estimate pairs (the
+    * SketchShared candidate table, i.e. q42's output): the query is
+    * the estimate prefilter plus the exact verification joins — no
+    * signature banding, no self-join. The stored `est_jaccard` is
+    * round(m/numHashes, 6); for the power-of-two lane counts used
+    * here m/numHashes is a dyadic rational with ≤6 decimal digits, so
+    * filtering the rounded column is EXACTLY the unrounded filter and
+    * results are value-identical to the standalone form
+    * (TextDedupSpec). */
+  def verifiedJaccardPairsFromShared(sketches: DataFrame, estPairs: DataFrame,
+                                     threshold: Double = 0.5): DataFrame = {
+    // both verification joins read the (heavy) shingle-set column —
+    // checkpoint it once per call so the table scan+decode happens
+    // once, not per join side (same trick as the standalone form)
+    val shArr = sketches.filter(col("sh").isNotNull).select(col("doc_id"), col("sh"))
+      .localCheckpoint(false)
+    val estPrefilter = math.max(0.0, threshold - 0.25)
+    val cands = estPairs.filter(col("est_jaccard") >= estPrefilter)
+      .select(col("doc_i"), col("doc_j"))
+    verifyCandidates(shArr, cands, threshold)
+  }
+
+  /** Exact-Jaccard verification of a candidate pair set against the
+    * per-doc distinct-shingle hash sets. */
+  private def verifyCandidates(shArr: DataFrame, cands: DataFrame,
+                               threshold: Double): DataFrame = {
     cands
       .join(shArr.select(col("doc_id").as("doc_i"), col("sh").as("sh_i")), "doc_i")
       .join(shArr.select(col("doc_id").as("doc_j"), col("sh").as("sh_j")), "doc_j")
@@ -536,18 +605,37 @@ object DedupOps {
     * sketches); recall on injected near-dups is asserted in
     * TextDedupSpec. */
   def nearDedupSketch(documents: DataFrame, minEstJaccard: Double = 0.5,
-                      maxHamming: Int = 3, numHashes: Int = 32): DataFrame = {
+                      maxHamming: Int = 3, numHashes: Int = 32): DataFrame =
+    nearDedupSketchFromSketches(documents,
+      docSketches(documents, numHashes).localCheckpoint(false),
+      minEstJaccard, maxHamming, numHashes)
+
+  /** [[nearDedupSketch]] over the PREBUILT per-sketch pair sets (the
+    * SketchShared candidate tables — q42's and q43's outputs): the
+    * merged-bucket join's per-collision acceptance is exactly "either
+    * sketch admits the pair" (equivalence to the standalone union
+    * asserted in TextDedupSpec), so with both pair sets already
+    * materialized the query reduces to a filter + union + distinct +
+    * connected components. The est_jaccard filter on the stored
+    * rounded column is exact — see
+    * [[verifiedJaccardPairsFromShared]]'s dyadic-rational note. */
+  def nearDedupFromPairSets(documents: DataFrame, mhPairs: DataFrame, shPairs: DataFrame,
+                            minEstJaccard: Double = 0.5, maxHamming: Int = 3): DataFrame = {
+    val edges = mhPairs.filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("doc_i"), col("doc_j"))
+      .unionByName(shPairs.filter(col("hamming") <= maxHamming)
+        .select(col("doc_i"), col("doc_j")))
+      .distinct()
+    nearDedup(documents, edges)
+  }
+
+  /** [[nearDedupSketch]] over a PREBUILT sketch frame (the
+    * SketchShared catalog table): the pipeline starts at the bucket
+    * join — zero text passes in the query itself. */
+  def nearDedupSketchFromSketches(documents: DataFrame, sketches: DataFrame,
+                                  minEstJaccard: Double = 0.5,
+                                  maxHamming: Int = 3, numHashes: Int = 32): DataFrame = {
     require(maxHamming <= 3, "4 simhash bands guarantee exact recall only for maxHamming <= 3")
-    val s = documents.sparkSession
-    MinHashPack.register(s); ShingleHashes.register(s); SimHashPack.register(s)
-    val sketches = documents
-      .select(col("doc_id"),
-        expr(s"shingle_hashes(text, $ShingleSize)").as("sh_hashes"),
-        expr("transform(regexp_extract_all(lower(text), '[a-z0-9_]+', 0), t -> xxhash64(t))").as("toks"))
-      .select(col("doc_id"),
-        expr(s"CASE WHEN size(sh_hashes) > 0 THEN minhash_pack(sh_hashes, $numHashes) END").as("sig"),
-        expr("CASE WHEN size(toks) > 0 THEN simhash_pack(toks) END").as("simhash"))
-      .localCheckpoint(false)
     // ONE self-join for BOTH sketches: the two bucket spaces are
     // disjoint band ranges (minhash bands 0..7, simhash bands 100+),
     // so their union goes through one degenerate-bucket guard, one

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.engine._
 import graft.engine.Exact._
@@ -931,14 +932,20 @@ object Catalog {
              |WHERE ROUND(CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common), 6) >= 0.15
              |ORDER BY doc_i, doc_j""".stripMargin)),
 
+    // q42/q43/q70/q73 all draw on ONE persisted sketch pass
+    // (SketchShared): the (doc_id, sh, sig, simhash) column table plus
+    // the two candidate-pair tables built from it — value-identical to
+    // the standalone per-query forms (TextDedupSpec equivalence test).
     QuerySpec(
       "q42_minhash_lsh_pairs",
-      (s, dir) => DedupOps.minhashPairs(Tables.documents(s, dir)),
+      (s, dir) => SketchShared.minhashPairs(s, dir)
+        .orderBy(col("doc_i"), col("doc_j")),
       None),
 
     QuerySpec(
       "q43_simhash_pairs",
-      (s, dir) => DedupOps.simhashPairs(Tables.documents(s, dir)),
+      (s, dir) => SketchShared.simhashPairs(s, dir)
+        .orderBy(col("doc_i"), col("doc_j")),
       None),
 
     // End-to-end near-dup dedup: candidate pairs -> connected
@@ -1074,14 +1081,17 @@ object Catalog {
     // asserted in TextDedupSpec.
     QuerySpec(
       "q70_near_dedup_sketch",
-      (s, dir) => DedupOps.nearDedupSketch(Tables.documents(s, dir)),
+      (s, dir) => DedupOps.nearDedupFromPairSets(
+        Tables.documents(s, dir),
+        SketchShared.minhashPairs(s, dir), SketchShared.simhashPairs(s, dir)),
       None),
 
     // LSH candidates verified with EXACT Jaccard on the pair's shingle
     // sets — exactness bounded to candidates, never all pairs.
     QuerySpec(
       "q73_verified_jaccard",
-      (s, dir) => DedupOps.verifiedJaccardPairs(Tables.documents(s, dir)),
+      (s, dir) => DedupOps.verifiedJaccardPairsFromShared(
+        SketchShared.sketches(s, dir), SketchShared.minhashPairs(s, dir)),
       None)
   )
 

@@ -251,4 +251,28 @@ class TextDedupSpec extends SparkSpec {
       val j = r.getDouble(3); j >= 0.15 && j <= 1.0
     })
   }
+
+  test("shared sketch pass: every family member equals its standalone form") {
+    // the one-pass sketch frame (what SketchShared persists) must make
+    // q42/q43/q70/q73 value-identical to the per-query standalone paths
+    val sketches = DedupOps.docSketches(docs).localCheckpoint(false)
+    val sigs = sketches.filter(col("sig").isNotNull).select(col("doc_id"), col("sig"))
+    val sims = sketches.filter(col("simhash").isNotNull).select(col("doc_id"), col("simhash"))
+    assert(DedupOps.minhashPairsFromSigs(sigs).collect().toSeq ==
+           DedupOps.minhashPairs(docs).collect().toSeq)
+    assert(DedupOps.simhashPairsFromSigs(sims).collect().toSeq ==
+           DedupOps.simhashPairs(docs).collect().toSeq)
+    assert(DedupOps.nearDedupSketchFromSketches(docs, sketches).collect().toSeq ==
+           DedupOps.nearDedupSketch(docs).collect().toSeq)
+    assert(DedupOps.verifiedJaccardPairsFromSketches(sketches).collect().toSeq ==
+           DedupOps.verifiedJaccardPairs(docs).collect().toSeq)
+    // the stored-pair-set forms (what the catalog runs): q70 from the
+    // two materialized pair sets, q73 from the estimate pairs
+    val mhPairs = DedupOps.minhashPairsFromSigs(sigs).localCheckpoint(false)
+    val simPairs = DedupOps.simhashPairsFromSigs(sims).localCheckpoint(false)
+    assert(DedupOps.nearDedupFromPairSets(docs, mhPairs, simPairs).collect().toSeq ==
+           DedupOps.nearDedupSketch(docs).collect().toSeq)
+    assert(DedupOps.verifiedJaccardPairsFromShared(sketches, mhPairs).collect().toSeq ==
+           DedupOps.verifiedJaccardPairs(docs).collect().toSeq)
+  }
 }
