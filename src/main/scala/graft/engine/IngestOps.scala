@@ -245,6 +245,102 @@ object IngestOps {
     spark.read.parquet(mvPath)
   }
 
+  /** Deterministic malformed lines for the quarantine fixture — the
+    * shapes a real 100 TB feed produces: unparseable field types,
+    * wrong arity (both directions), and free-text fragments. */
+  val GarbageLines: Seq[String] = Seq(
+    "not,a,number,abc",
+    "999999999999999999999999999,1,1-URGENT,10.5",
+    "12,34",
+    "13,35,3-MEDIUM,1.5,EXTRA,COLS",
+    "<<< transfer aborted: partial page %%% >>>")
+
+  /** Inject the garbage lines into an already-staged landing zone by
+    * rewriting one page with malformed lines interleaved between its
+    * valid rows — file-level corruption, not a separate bad file, so
+    * the reader must salvage the page's good rows rather than skip or
+    * crash (the file-scale analogue of the reference's per-field
+    * tolerance, app/ml_app.py:479-485,561-576). Idempotent: a zone
+    * already carrying the marker line is left untouched. Returns the
+    * number of garbage lines present. */
+  def injectGarbage(stagingDir: String, page: Int = 1): Int = {
+    val f = new java.io.File(stagingDir, f"page_$page%05d.csv")
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    val lines = try src.getLines().toVector finally src.close()
+    if (lines.contains(GarbageLines.head)) return GarbageLines.size
+    // spread the garbage through the page: one bad line every
+    // |page|/(n+1) good rows
+    val stride = math.max(1, lines.size / (GarbageLines.size + 1))
+    val out = lines.grouped(stride).toVector.zipAll(
+      GarbageLines.map(Vector(_)), Vector.empty[String], Vector.empty[String])
+      .flatMap { case (good, bad) => good ++ bad }
+    val tmp = new java.io.File(stagingDir, f".page_$page%05d.csv.tmp")
+    val w = new java.io.PrintWriter(tmp, "UTF-8")
+    try out.foreach(w.println) finally w.close()
+    if (!tmp.renameTo(f)) {
+      f.delete()
+      if (!tmp.renameTo(f))
+        throw new java.io.IOException(s"garbage inject rename failed for $f")
+    }
+    GarbageLines.size
+  }
+
+  /** Landing-zone read with bad-record QUARANTINE: `PERMISSIVE` +
+    * `columnNameOfCorruptRecord`, so a malformed line becomes a row
+    * whose data columns are null and whose corrupt column carries the
+    * raw text. Clean rows land in the partitioned sink; corrupt rows
+    * land — raw line preserved — in the quarantine output for offline
+    * triage/replay. Neither path ever throws on garbage and no good
+    * row in a dirty file is lost: exactly the posture a 100 TB feed
+    * needs (every real feed contains garbage; FAILFAST kills the job,
+    * DROPMALFORMED silently destroys evidence). The parsed frame is
+    * persisted because Spark disallows file-source queries whose only
+    * referenced column is the internal corrupt-record column (the
+    * documented cache workaround) — and the two output passes share
+    * the parse anyway. Returns (clean re-read, quarantined count). */
+  def readWithQuarantine(spark: SparkSession, stagingDir: String, outPath: String,
+                         quarantinePath: String,
+                         partitionKey: String = "o_orderpriority"): (DataFrame, Long) = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.StringType
+    val schema = Encoders.product[OrderRec].schema.add("_corrupt_record", StringType)
+    val raw = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(stagingDir)
+      .persist()
+    try {
+      raw.filter(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record").as("raw_line"))
+        .write.mode("overwrite").parquet(quarantinePath)
+      raw.filter(col("_corrupt_record").isNull)
+        .drop("_corrupt_record")
+        .coalesce(1)
+        .write.mode("overwrite").partitionBy(partitionKey).parquet(outPath)
+    } finally { raw.unpersist(blocking = false); () }
+    (spark.read.parquet(outPath), spark.read.parquet(quarantinePath).count())
+  }
+
+  /** End-to-end quarantine ingest query (q101): the q76 fixture slice
+    * staged to a landing zone, garbage injected INTO one page, then
+    * the quarantine read — the clean output is value-identical to the
+    * garbage-free ingest (same oracle as q54/q76); the garbage lines
+    * are preserved verbatim in the quarantine output (counted in
+    * IngestWriteSpec). */
+  def ingestQuarantine(spark: SparkSession, orders: DataFrame, baseDir: String,
+                       maxKey: Long = 6000L, pageSize: Int = 500): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    stageFixture(spark, orders, s"$baseDir/landing", maxKey, pageSize)
+    injectGarbage(s"$baseDir/landing")
+    val (clean, _) = readWithQuarantine(
+      spark, s"$baseDir/landing", s"$baseDir/out", s"$baseDir/quarantine")
+    clean
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** End-to-end ingest query: a bounded deterministic orders slice
     * (constant row count at every scale factor — the fixture stands in
     * for a remote API, not for the fact table) paged through the loop,

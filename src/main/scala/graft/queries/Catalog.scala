@@ -1285,6 +1285,19 @@ object Catalog {
                |FROM orders WHERE o_orderkey <= 6000
                |ORDER BY o_orderkey""".stripMargin)),
 
+      // q54's slice with garbage injected into a landing page: the
+      // PERMISSIVE + corrupt-record-column read quarantines malformed
+      // lines and salvages every good row, so the clean output
+      // hash-matches the SAME oracle as the garbage-free paths
+      // (quarantined-line count asserted in IngestWriteSpec).
+      QuerySpec(
+        "q101_ingest_quarantine",
+        (s, dir) => IngestOps.ingestQuarantine(
+          s, Tables.orders(s, dir), tmp("ingest_q", dir)),
+        Some("""SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+               |FROM orders WHERE o_orderkey <= 6000
+               |ORDER BY o_orderkey""".stripMargin)),
+
       QuerySpec(
         "q55_dash_pie_rollup",
         (s, dir) => RelationalOps.dashSubAgencyRollup(Tables.orders(s, dir)),

@@ -164,6 +164,29 @@ class IngestWriteSpec extends SparkSpec {
            rows.map(_.o_orderkey).sum)
   }
 
+  test("quarantine read salvages every good row and captures every garbage line verbatim") {
+    val rows = (0 until 1200).map(i =>
+      OrderRec(i.toLong, i.toLong % 100, s"P${i % 5}", i * 1.5))
+    val base = tmpDir("quarantine")
+    IngestOps.stagePages(new FixtureSource(rows, pageSize = 300), s"$base/landing")
+    val nBad = IngestOps.injectGarbage(s"$base/landing")
+    assert(nBad == IngestOps.GarbageLines.size)
+    // idempotent: a second injection on the same zone adds nothing
+    assert(IngestOps.injectGarbage(s"$base/landing") == nBad)
+    val (clean, quarantined) = IngestOps.readWithQuarantine(
+      spark, s"$base/landing", s"$base/out", s"$base/quarantine")
+    assert(quarantined == nBad.toLong,
+      s"expected exactly $nBad quarantined lines, got $quarantined")
+    assert(clean.count() == 1200, "no good row may be lost from the dirty page")
+    assert(clean.agg(sum(col("o_orderkey"))).head.getLong(0) ==
+      rows.map(_.o_orderkey).sum, "good rows round-trip exactly")
+    // the quarantine preserves the raw lines for triage/replay
+    val lines = spark.read.parquet(s"$base/quarantine")
+      .collect().map(_.getString(0)).toSet
+    assert(lines == IngestOps.GarbageLines.toSet,
+      s"quarantine must carry the malformed lines verbatim: $lines")
+  }
+
   test("geo lookup is deterministic and in valid ranges") {
     val names = Seq("UNITED STATES", "FRANCE", "a")
     names.foreach { n =>
