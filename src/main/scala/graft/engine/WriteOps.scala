@@ -36,6 +36,46 @@ object WriteOps {
     * byte-identical in IngestWriteSpec). The session-level conf is set
     * per-write via the DataFrameWriter option, so concurrent full
     * rebuilds keep their whole-view overwrite semantics. */
+  /** Data-file bytes under `path`, resolved through the Hadoop
+    * FileSystem of the path's scheme — a `file:` URI, a plain local
+    * path and an object-store/HDFS path all size correctly (a raw
+    * java.io.File walk silently returned 0 for anything but plain
+    * local paths). Metadata files (`_SUCCESS`, dotfiles) are excluded
+    * — only data bytes should size the target file count. */
+  private def walkBytes(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path): Long =
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).map { st =>
+      if (st.isDirectory) walkBytes(fs, st.getPath)
+      else if (st.getPath.getName.startsWith("_") ||
+               st.getPath.getName.startsWith(".")) 0L
+      else st.getLen
+    }.sum
+
+  private def fsFor(spark: org.apache.spark.sql.SparkSession,
+                    path: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Run `body` with partition-column type inference OFF: the
+    * compaction re-read must round-trip partition VALUES verbatim —
+    * with inference on, a numeric-looking string partition value
+    * (e.g. "00123") would come back as an int and be rewritten to a
+    * different directory name. The session conf is restored
+    * afterwards, so queries outside the maintenance pass keep the
+    * default reader behavior. */
+  private def withRawPartitionValues[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Small-file compaction — the maintenance pass every append-heavy
     * sink needs (the streaming/batched ingest paths land one file per
     * flush/micro-batch; a year of that is millions of KB-files whose
@@ -45,11 +85,8 @@ object WriteOps {
     * point. Data is proven byte-equal by IngestWriteSpec. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024): String = {
-    def walkBytes(f: java.io.File): Long =
-      if (f.isDirectory) Option(f.listFiles()).map(_.map(walkBytes).sum).getOrElse(0L)
-      else if (f.getName.startsWith("_") || f.getName.startsWith(".")) 0L
-      else f.length()
-    val totalBytes = walkBytes(new java.io.File(path))
+    val (fs, p) = fsFor(spark, path)
+    val totalBytes = walkBytes(fs, p)
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val out = path + "_compacted"
     spark.read.parquet(path).repartition(nFiles)
@@ -60,34 +97,47 @@ object WriteOps {
   /** [[compact]] for a PARTITIONED layout, swapped in place: rewrites
     * the layout so each partition directory holds a single file (every
     * key hashes to exactly one of the ⌈bytes/target⌉ write tasks), then
-    * replaces `path` with the compacted copy. The in-place swap is the
-    * local-FS form of the maintenance commit; at cluster scale the same
-    * rewrite lands next to the live layout and the catalog's table
-    * location is swapped atomically. Partitions individually larger
-    * than `targetFileBytes` would need an intra-key split (salt or
+    * replaces `path` with the compacted copy. The swap never leaves a
+    * moment with no data at `path` recoverable only from scratch dirs:
+    * the live layout is renamed ASIDE first, the compacted copy
+    * renamed in, and only then is the old copy deleted — a crash at
+    * any step leaves either the live layout or the old copy in place,
+    * and every failure message names the directory that still holds
+    * the data. All filesystem ops go through the path's Hadoop
+    * FileSystem, so `file:` URIs and cluster filesystems behave the
+    * same as plain local paths. At cluster scale the same rewrite
+    * lands next to the live layout and the catalog's table location is
+    * swapped atomically. Partitions individually larger than
+    * `targetFileBytes` would need an intra-key split (salt or
     * `maxRecordsPerFile`) — not the ingest-sink shape this serves,
     * where the problem is many SMALL files per key. */
   def compactPartitionedInPlace(spark: org.apache.spark.sql.SparkSession, path: String,
                                 partitionKeys: Seq[String],
                                 targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     import org.apache.spark.sql.functions.col
-    def walkBytes(f: java.io.File): Long =
-      if (f.isDirectory) Option(f.listFiles()).map(_.map(walkBytes).sum).getOrElse(0L)
-      else if (f.getName.startsWith("_") || f.getName.startsWith(".")) 0L
-      else f.length()
+    val (fs, live) = fsFor(spark, path)
     val nFiles = math.max(1,
-      math.ceil(walkBytes(new java.io.File(path)).toDouble / targetFileBytes).toInt)
-    val tmp = path + "_compacting"
-    spark.read.parquet(path)
-      .repartition(nFiles, partitionKeys.map(col): _*)
-      .write.mode("overwrite").partitionBy(partitionKeys: _*).parquet(tmp)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
+      math.ceil(walkBytes(fs, live).toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
+    withRawPartitionValues(spark) {
+      spark.read.parquet(path)
+        .repartition(nFiles, partitionKeys.map(col): _*)
+        .write.mode("overwrite").partitionBy(partitionKeys: _*).parquet(tmp.toString)
     }
-    rm(new java.io.File(path))
-    if (!new java.io.File(tmp).renameTo(new java.io.File(path)))
-      throw new java.io.IOException(s"compaction swap failed for $path")
+    val old = new org.apache.hadoop.fs.Path(path + "_old")
+    if (fs.exists(old)) fs.delete(old, true) // leftover from an earlier crash
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(
+        s"compaction swap: could not move live layout aside ($live -> $old); " +
+        s"live data untouched at $live, compacted copy at $tmp")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(old, live) // restore; keep tmp for inspection
+      throw new java.io.IOException(
+        s"compaction swap: could not move compacted copy into place; " +
+        s"live layout restored at $live, compacted copy left at $tmp")
+    }
+    fs.delete(old, true)
+    ()
   }
 
   def refreshPartitions(slice: DataFrame, path: String, partitionKeys: Seq[String]): DataFrame = {

@@ -164,6 +164,25 @@ class IngestWriteSpec extends SparkSpec {
            rows.map(_.o_orderkey).sum)
   }
 
+  test("in-place compaction round-trips numeric-looking string partition values verbatim") {
+    import spark.implicits._
+    val base = tmpDir("compact_vals")
+    val df = Seq((1L, "00123"), (2L, "00123"), (3L, "7"), (4L, "007")).toDF("id", "key")
+    df.write.mode("overwrite").partitionBy("key").parquet(base)
+    df.write.mode("append").partitionBy("key").parquet(base)
+    WriteOps.compactPartitionedInPlace(spark, base, Seq("key"))
+    // with partition-value type inference, "00123" would be rewritten
+    // to key=123 — a different directory and a different value
+    val dirs = new java.io.File(base).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("key=00123", "key=7", "key=007"),
+      s"partition directory names must round-trip verbatim: $dirs")
+    assert(spark.read.parquet(base).count() == 8)
+    // no leftover swap directories
+    assert(!new java.io.File(base + "_old").exists())
+    assert(!new java.io.File(base + "_compacting").exists())
+  }
+
   test("quarantine read salvages every good row and captures every garbage line verbatim") {
     val rows = (0 until 1200).map(i =>
       OrderRec(i.toLong, i.toLong % 100, s"P${i % 5}", i * 1.5))
