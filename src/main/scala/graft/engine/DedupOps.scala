@@ -449,8 +449,27 @@ object DedupOps {
     * snapshots are unpersisted each round; hitting `maxIter` without
     * converging THROWS rather than silently returning partial labels
     * (raise maxIter for pathologically long chains). */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 100): DataFrame = {
-    val (labels, _, _, sym) = ccRun(nodes, edges, maxIter)
+  /** Lineage/fault posture for the CC loop.
+    *  - [[CcCheckpoint.Local]] (default): per-round MEMORY_AND_DISK
+    *    caches + a final localCheckpoint — fastest, but blocks die
+    *    with their executors; right for local[] and short jobs.
+    *  - [[CcCheckpoint.Reliable]]: additionally writes a RELIABLE
+    *    RDD checkpoint into `dir` every `every` rounds and makes the
+    *    final materialization a reliable Dataset checkpoint — the
+    *    cluster posture SCALE.md names: lineage is truncated to the
+    *    last checkpoint, and an executor loss replays at most `every`
+    *    rounds instead of the whole loop. */
+  sealed trait CcCheckpoint
+  object CcCheckpoint {
+    case object Local extends CcCheckpoint
+    final case class Reliable(dir: String, every: Int = 5) extends CcCheckpoint {
+      require(every >= 1, "checkpoint interval must be >= 1")
+    }
+  }
+
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 100,
+                          checkpoint: CcCheckpoint = CcCheckpoint.Local): DataFrame = {
+    val (labels, _, _, sym) = ccRun(nodes, edges, maxIter, checkpoint)
     sym.unpersist(blocking = false)
     labels
   }
@@ -465,8 +484,9 @@ object DedupOps {
   final case class CCStats(nodes: Long, symEdges: Long, rounds: Int)
 
   def connectedComponentsWithStats(nodes: DataFrame, edges: DataFrame,
-                                   maxIter: Int = 100): (DataFrame, CCStats) = {
-    val (labels, rounds, nNodes, sym) = ccRun(nodes, edges, maxIter)
+                                   maxIter: Int = 100,
+                                   checkpoint: CcCheckpoint = CcCheckpoint.Local): (DataFrame, CCStats) = {
+    val (labels, rounds, nNodes, sym) = ccRun(nodes, edges, maxIter, checkpoint)
     val st = CCStats(nNodes, sym.count(), rounds)
     sym.unpersist(blocking = false)
     (labels, st)
@@ -500,12 +520,20 @@ object DedupOps {
     * cache materializer. Lineage is truncated by caching each round
     * and unpersisting the previous one (at cluster scale swap the
     * final cache for a reliable checkpoint, as before). */
-  private def ccRun(nodes: DataFrame, edges: DataFrame,
-                    maxIter: Int): (DataFrame, Int, Long, org.apache.spark.rdd.RDD[(Long, Long)]) = {
+  private def ccRun(nodes: DataFrame, edges: DataFrame, maxIter: Int,
+                    checkpoint: CcCheckpoint = CcCheckpoint.Local)
+      : (DataFrame, Int, Long, org.apache.spark.rdd.RDD[(Long, Long)]) = {
     import org.apache.spark.HashPartitioner
     import org.apache.spark.rdd.RDD
     import org.apache.spark.storage.StorageLevel
     val session = nodes.sparkSession
+    val reliable: Option[CcCheckpoint.Reliable] = checkpoint match {
+      case r: CcCheckpoint.Reliable =>
+        if (session.sparkContext.getCheckpointDir.isEmpty)
+          session.sparkContext.setCheckpointDir(r.dir)
+        Some(r)
+      case CcCheckpoint.Local => None
+    }
     val nodeIds: RDD[Long] = nodes.select(col("doc_id").cast("long")).rdd.map(_.getLong(0))
     val part = new HashPartitioner(math.max(1, nodeIds.getNumPartitions))
     // no dedup pass on the symmetrized edges: min-label propagation is
@@ -559,6 +587,10 @@ object DedupOps {
       val next: RDD[(Long, Long)] =
         (if ((iter + 1) % 3 == 0) jump(stepped) else stepped)
           .persist(StorageLevel.MEMORY_AND_DISK)
+      // reliable mode: mark for checkpoint BEFORE the round's action —
+      // the stats() job both materializes the cache and writes the
+      // checkpoint files, truncating lineage to this round
+      reliable.foreach(r => if ((iter + 1) % r.every == 0) next.checkpoint())
       val (_, nextSum) = stats(next)
       labels.unpersist(blocking = false)
       labels = next
@@ -571,7 +603,12 @@ object DedupOps {
         s"connectedComponents did not converge in $maxIter rounds — " +
         "component diameter exceeds maxIter; raise it for this edge set")
     import session.implicits._
-    val out = labels.toDF("doc_id", "cluster_id").localCheckpoint(true)
+    val outDf = labels.toDF("doc_id", "cluster_id")
+    // final materialization matches the mode: executor-local blocks
+    // for Local, a reliable Dataset checkpoint for Reliable
+    val out =
+      if (reliable.isDefined) outDf.checkpoint(eager = true)
+      else outDf.localCheckpoint(true)
     labels.unpersist(blocking = false)
     (out, iter, nNodes, sym)
   }

@@ -117,4 +117,27 @@ class PropertySpec extends SparkSpec {
       Seq.empty[Long].toDF("doc_id"), Seq.empty[(Long, Long)].toDF("doc_i", "doc_j"))
     assert(empty.count() == 0)
   }
+
+  test("connectedComponents reliable-checkpoint mode matches local mode and writes checkpoints") {
+    import spark.implicits._
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt_").toString
+    // a 101-node chain: deep enough that the loop runs several rounds,
+    // so the every=1 interval actually writes per-round checkpoints
+    val n = 101
+    val nodes = (0 until n).map(_.toLong).toDF("doc_id")
+    val edges = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("doc_i", "doc_j")
+    val local = DedupOps.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rel = DedupOps.connectedComponents(nodes, edges,
+        checkpoint = DedupOps.CcCheckpoint.Reliable(ckptDir, every = 1))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rel == local, "reliable-checkpoint labels must equal local-mode labels")
+    assert(rel.values.toSet == Set(0L), "a chain is one component rooted at its min id")
+    // the reliable path must actually have written checkpoint data
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+    val ckptFiles = walk(new java.io.File(ckptDir)).filter(_.getName.startsWith("part-"))
+    assert(ckptFiles.nonEmpty,
+      s"expected RDD checkpoint part files under $ckptDir")
+  }
 }
