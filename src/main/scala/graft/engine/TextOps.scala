@@ -154,14 +154,14 @@ object TextOps {
   def bloomContaminationCheck(corpus: DataFrame, heldout: DataFrame,
                               n: Int = 5, minShared: Int = 5,
                               fpp: Double = 0.001): DataFrame = {
-    val spark = corpus.sparkSession
     val heldGrams = wordNgrams(heldout, n).select(col("gram")).distinct()
     val expected = math.max(heldGrams.count(), 1L)
     val bf = heldGrams.stat.bloomFilter("gram", expected, fpp)
-    val bfBc = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((g: String) => bfBc.value.mightContain(g))
+    // native codegen probe — no Scala-UDF barrier in the scan
+    // (graft.functions.BloomProbe; the serialized filter rides the
+    // task binary, which Spark broadcasts once per stage)
     val shared = wordNgrams(corpus, n)
-      .filter(mightContain(col("gram")))
+      .filter(graft.functions.BloomProbe.probe(corpus.sparkSession, bf, col("gram")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
     corpus.select(col("doc_id"))

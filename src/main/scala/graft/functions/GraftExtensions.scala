@@ -39,5 +39,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("shingle_hashes", "shingle_hashes(str, k) - distinct k-char shingle hashes"),
       (exprs: Seq[Expression]) => ShingleHashes(exprs.head,
         MinHashPack.litIntArg(exprs, "shingle_hashes"))))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_probe"),
+      info("bloom_probe", "bloom_probe(str, filter_bytes) - codegen Bloom membership probe"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"bloom_probe expects 2 arguments (got ${exprs.length})")
+        BloomProbe(exprs.head, exprs(1))
+      }))
   }
 }

@@ -213,6 +213,28 @@ class TextDedupSpec extends SparkSpec {
     assert(overcount <= exact.size / 10, s"$overcount docs over-counted — fpp far off")
   }
 
+  test("codegen bloom probe is bit-identical to the UDF probe and stays in codegen") {
+    import graft.engine.TextOps
+    import org.apache.spark.sql.functions.udf
+    val corpus = docs.filter(col("doc_id") >= 50)
+    val heldout = docs.filter(col("doc_id") < 50)
+    val grams = TextOps.wordNgrams(heldout, 5).select(col("gram")).distinct()
+    val bf = grams.stat.bloomFilter("gram", math.max(grams.count(), 1L), 0.001)
+    val corpusGrams = TextOps.wordNgrams(corpus, 5)
+    val viaExpr = corpusGrams
+      .filter(graft.functions.BloomProbe.probe(spark, bf, col("gram")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val mightContain = udf((g: String) => bf.mightContain(g))
+    val viaUdf = corpusGrams.filter(mightContain(col("gram")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaExpr == viaUdf, "expression probe must match the UDF probe bit-for-bit")
+    // the probe must run inside whole-stage codegen with no UDF barrier
+    val plan = TextOps.bloomContaminationCheck(corpus, heldout)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_probe"), s"expected the native probe in:\n$plan")
+    assert(!plan.contains("UDF"), s"expected no Scala-UDF barrier in:\n$plan")
+  }
+
   test("verified jaccard equals the exhaustive ground truth on shared pairs") {
     // exhaustive ground truth on the capped subset, same 0.15 threshold
     val truth = DedupOps.jaccardPairs(docs, threshold = 0.15)
