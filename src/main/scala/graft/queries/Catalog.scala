@@ -781,10 +781,28 @@ object Catalog {
              |FROM documents
              |ORDER BY doc_id""".stripMargin)),
 
+    // The rolling fingerprint IS oracle-expressible (new in r7): the
+    // fold h = h*31 + byte over UTF-8 bytes is reproduced in DuckDB by
+    // hex-decoding the payload and list_reduce-ing in HUGEINT mod 2^64
+    // (wrap-around semantics), then converting to signed BIGINT.
     QuerySpec(
       "q39_rolling_hash",
       (s, dir) => TextOps.rollingFingerprints(Tables.documents(s, dir)),
-      None),
+      Some(s"""WITH b AS (
+              |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+              |  FROM documents
+              |),
+              |byt AS (
+              |  SELECT doc_id, $hexBytesSql AS bytes FROM b
+              |),
+              |h AS (
+              |  SELECT doc_id,
+              |    list_reduce(list_prepend(CAST(0 AS HUGEINT), bytes),
+              |      (acc, x) -> (acc*31 + x) % CAST(18446744073709551616 AS HUGEINT)) AS uh
+              |  FROM byt
+              |)
+              |SELECT doc_id, $toSignedSql AS fp_rolling
+              |FROM h ORDER BY doc_id""".stripMargin)),
 
     // PII scrub over a deterministically PII-injected corpus (the
     // synthetic docs contain no emails/numbers, which would make the
@@ -1155,10 +1173,37 @@ object Catalog {
              |FROM documents
              |ORDER BY media_id""".stripMargin)),
 
+    // The decode STUB is deterministic byte arithmetic (FNV-1a fold +
+    // 16-bit feature slices), so it IS oracle-expressible (new in r7):
+    // DuckDB reproduces the fold in HUGEINT mod 2^64, emulating the
+    // low-byte XOR with (acc - acc%256 + xor(acc%256, b)). A real
+    // codec swap-in would return this query to rows-only.
     QuerySpec(
       "q49_multimodal_decode",
       (s, dir) => MultimodalOps.decodeFeatures(Tables.documents(s, dir)),
-      None),
+      Some(s"""WITH b AS (
+              |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+              |         octet_length(encode(text)) AS n
+              |  FROM documents
+              |),
+              |byt AS (
+              |  SELECT media_id, CAST(n AS BIGINT) AS n_bytes, $hexBytesSql AS bytes FROM b
+              |),
+              |h AS (
+              |  SELECT media_id, n_bytes, bytes,
+              |    list_reduce(list_prepend(CAST(1469598103934665603 AS HUGEINT), bytes),
+              |      (acc, x) -> ((acc - (acc % 256) + xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)))
+              |                   * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS uh
+              |  FROM byt
+              |)
+              |SELECT media_id, n_bytes,
+              |  CASE WHEN len(bytes) > 0 THEN CAST(bytes[1] AS BIGINT) ELSE -1 END AS first_byte,
+              |  $toSignedSql AS content_hash,
+              |  CAST((uh // 1) % 65536 AS DOUBLE) / 65535.0 AS f0,
+              |  CAST((uh // 65536) % 65536 AS DOUBLE) / 65535.0 AS f1,
+              |  CAST((uh // 4294967296) % 65536 AS DOUBLE) / 65535.0 AS f2,
+              |  CAST((uh // 281474976710656) % 65536 AS DOUBLE) / 65535.0 AS f3
+              |FROM h ORDER BY media_id""".stripMargin)),
 
     // Frame sampling over the stand-in payload: every 128th 64-char
     // window is a "frame" with its md5 fingerprint — the video
@@ -1183,6 +1228,18 @@ object Catalog {
   // run (round 1 rebuilt/cached/unpersisted per query — the top bench
   // cost); Verify/Bench release the shared cache at end of run.
   // ---------------------------------------------------------------- //
+  /** Shared SQL fragments for the byte-fold oracles (q39/q49): UTF-8
+    * bytes of `hx`/`n` (hex payload + octet length) as an int list,
+    * and unsigned-HUGEINT `uh` → signed BIGINT two's-complement. */
+  private val hexBytesSql: String =
+    """list_transform(range(0, n),
+      |      i -> 16*(strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1))-1)
+      |           + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1))-1))""".stripMargin
+
+  private val toSignedSql: String =
+    """CAST(CASE WHEN uh >= CAST(9223372036854775808 AS HUGEINT)
+      |       THEN uh - CAST(18446744073709551616 AS HUGEINT) ELSE uh END AS BIGINT)""".stripMargin
+
   /** q50 oracle: the correlation matrix IS SQL-expressible once the
     * StringIndexer is reproduced — frequencyDesc assigns 0,1,2,… by
     * count DESC with ties broken alphabetically ASC (Spark
