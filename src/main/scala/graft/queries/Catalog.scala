@@ -1047,11 +1047,13 @@ object Catalog {
              |ORDER BY decile""".stripMargin)),
 
     // growth-stable split assignment by key hash (engine-specific
-    // hash ⇒ rows-only; determinism + disjointness in CoreSpec)
+    // growth-stable split: bucket = pmod(xxhash64(doc_id), 10) — the
+    // hash is reproduced bit-exact in the oracle (q94OracleSql);
+    // determinism + disjointness additionally pinned in CoreSpec
     QuerySpec(
       "q94_hash_split",
       (s, dir) => TextOps.hashSplit(Tables.documents(s, dir)),
-      None),
+      Some(q94OracleSql)),
 
     // END-TO-END corpus curation: near-dedup → canonical docs → PII
     // scrub → quality score → token estimate, ONE plan, ONE oracle
@@ -1239,6 +1241,46 @@ object Catalog {
   private val toSignedSql: String =
     """CAST(CASE WHEN uh >= CAST(9223372036854775808 AS HUGEINT)
       |       THEN uh - CAST(18446744073709551616 AS HUGEINT) ELSE uh END AS BIGINT)""".stripMargin
+
+  /** q94 oracle: Spark's `xxhash64` over a LONG column is XXH64 of
+    * the 8-byte little-endian value with seed 42 — a FIXED sequence
+    * of mod-2^64 multiplies, rotates and xors (single 8-byte block +
+    * avalanche), reproduced in DuckDB HUGEINT arithmetic. The 64×64
+    * multiply is split at 32 bits so intermediates stay inside the
+    * signed 128-bit HUGEINT range; xor runs through signed BIGINT
+    * (bitwise identity). Validated bit-exact against the Spark
+    * per-doc buckets. */
+  private val q94OracleSql: String = {
+    val M64 = "18446744073709551616"
+    val B32 = "4294967296"
+    def mul(a: String, b: String) =
+      s"((((($a)//$B32)*($b))%$B32)*$B32 + (($a)%$B32)*($b)) % $M64"
+    def rotl(x: String, r: Int) =
+      s"((($x)*${1L << r} + ($x)//${1L << (64 - r)}) % $M64)"
+    def tos(x: String) =
+      s"(CASE WHEN ($x) >= 9223372036854775808 THEN CAST(($x) - $M64 AS BIGINT) ELSE CAST(($x) AS BIGINT) END)"
+    def xor64(a: String, b: String) =
+      s"(CASE WHEN xor(${tos(a)}, ${tos(b)}) < 0 THEN CAST(xor(${tos(a)}, ${tos(b)}) AS HUGEINT) + $M64 ELSE CAST(xor(${tos(a)}, ${tos(b)}) AS HUGEINT) END)"
+    val p1 = s"CAST(11400714785074694791 AS HUGEINT)"
+    val p2 = s"CAST(14029467366897019727 AS HUGEINT)"
+    val p3 = s"CAST(1609587929392839161 AS HUGEINT)"
+    val p4 = "9650029242287828579"
+    val h0 = "CAST(2870177450012600311 AS HUGEINT)" // (seed 42 + PRIME64_5 + len 8) mod 2^64
+    s"""WITH d AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS k FROM documents),
+       |s3 AS (SELECT doc_id, ${mul(rotl(mul("k", p2), 31), p1)} AS k1c FROM d),
+       |s5 AS (SELECT doc_id, (${mul(rotl(xor64(h0, "k1c"), 27), p1)} + $p4) % $M64 AS h3 FROM s3),
+       |s6 AS (SELECT doc_id, ${xor64("h3", "h3//8589934592")} AS h4 FROM s5),
+       |s7 AS (SELECT doc_id, ${mul("h4", p2)} AS h5 FROM s6),
+       |s8 AS (SELECT doc_id, ${xor64("h5", "h5//536870912")} AS h6 FROM s7),
+       |s9 AS (SELECT doc_id, ${mul("h6", p3)} AS h7 FROM s8),
+       |s10 AS (SELECT doc_id, ${xor64("h7", "h7//4294967296")} AS h8 FROM s9),
+       |buck AS (SELECT doc_id, ((${tos("h8")} % 10) + 10) % 10 AS bucket FROM s10),
+       |sp AS (SELECT doc_id,
+       |         CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val'
+       |              ELSE 'test' END AS split
+       |       FROM buck)
+       |SELECT split, COUNT(*) AS n_docs FROM sp GROUP BY split ORDER BY split""".stripMargin
+  }
 
   /** q50 oracle: the correlation matrix IS SQL-expressible once the
     * StringIndexer is reproduced — frequencyDesc assigns 0,1,2,… by
