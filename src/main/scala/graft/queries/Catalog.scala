@@ -958,7 +958,7 @@ object Catalog {
       "q42_minhash_lsh_pairs",
       (s, dir) => SketchShared.minhashPairs(s, dir)
         .orderBy(col("doc_i"), col("doc_j")),
-      None),
+      Some(q42OracleSql)),
 
     QuerySpec(
       "q43_simhash_pairs",
@@ -1280,6 +1280,176 @@ object Catalog {
        |              ELSE 'test' END AS split
        |       FROM buck)
        |SELECT split, COUNT(*) AS n_docs FROM sp GROUP BY split ORDER BY split""".stripMargin
+  }
+
+  /** q42 oracle: the whole MinHash+LSH chain is deterministic, so it
+    * is SQL-expressible end-to-end — XXH64(seed 42) over each distinct
+    * 5-char shingle's UTF-8 bytes (the [[graft.functions.ShingleHashes]]
+    * contract: a char substring IS a byte slice), splitmix64 lane
+    * values mix64(h ^ seed_i) with seed_i = mix64(golden·(i+1))
+    * ([[graft.functions.MinHashPack]]), SIGNED min per lane, then
+    * Spark's array-xxhash64 band fold (per element: one XXH64.hashLong
+    * step INCLUDING its final avalanche, previous hash as seed).
+    *
+    * Arithmetic runs in DuckDB UBIGINT (native xor / `>>`); the only
+    * ops UBIGINT lacks are wrapping multiply (64×64 split at 32 bits
+    * through HUGEINT — intermediates < 2^97) and `<<` (DuckDB
+    * range-checks shifts, so `x << r` is the same HUGEINT multiply by
+    * 2^r). DuckDB gives `|`/`>>` EQUAL precedence, left-associative
+    * (PostgreSQL operator rules), so every rotl keeps explicit parens.
+    * Each mix step is its own nested subquery — lateral column aliases
+    * re-expand the referenced expression per use (the 3-reference
+    * multiply made the chain exponential); nesting keeps it linear.
+    * The chain runs once per DISTINCT shingle (~2k at sf0.01, not the
+    * ~150k windows) and once per DISTINCT shingle-hash × 32 lanes,
+    * then joins back to (doc, shingle) pairs for the per-doc lane min.
+    * Validated bit-exact against the Spark dump at sf0.01 (578 pairs,
+    * 0 mismatches). */
+  private val q42OracleSql: String = {
+    val M64 = "18446744073709551616"
+    def U(c: String) = s"CAST($c AS UBIGINT)"
+    val p1 = U("11400714785074694791")
+    val p2 = U("14029467366897019727")
+    val p3 = U("1609587929392839161")
+    val p5 = U("2870177450012600261")
+    val c1 = U("13787848793156543929") // 0xBF58476D1CE4E5B9
+    val c2 = U("10723151780598845931") // 0x94D049BB133111EB
+    val gold = "11400714819323198485"  // 0x9E3779B97F4A7C15
+    def mul(a: String, b: String) =
+      s"CAST((((CAST($a AS HUGEINT)//4294967296*CAST($b AS HUGEINT))%4294967296)*4294967296" +
+        s" + CAST($a AS HUGEINT)%4294967296*CAST($b AS HUGEINT)) % $M64 AS UBIGINT)"
+    def rotl(x: String, r: Int) =
+      s"((${mul(s"($x)", U((1L << r).toString))}) | (($x) >> ${64 - r}))"
+    def xr(a: String, b: String) = s"xor($a, $b)"
+    def shr(x: String, n: Int) = s"(($x) >> $n)"
+    def toS(x: String) =
+      s"CAST(CAST($x AS HUGEINT) - (CASE WHEN ($x) >= ${U("9223372036854775808")}" +
+        s" THEN CAST($M64 AS HUGEINT) ELSE 0 END) AS BIGINT)"
+    def toU(x: String) =
+      s"CAST(CAST($x AS HUGEINT) + (CASE WHEN ($x) < 0" +
+        s" THEN CAST($M64 AS HUGEINT) ELSE 0 END) AS UBIGINT)"
+    def plus(a: String, lit: String) =
+      s"CAST((CAST($a AS HUGEINT) + $lit) % $M64 AS UBIGINT)"
+    // one XXH64.hashLong avalanche (h ^= h>>33; h*=P2; ^= >>29; *=P3; ^= >>32)
+    def fmix(h: String, pfx: String): Seq[(String, String)] = Seq(
+      (s"${pfx}a", xr(h, shr(h, 33))),
+      (s"${pfx}b", mul(s"${pfx}a", p2)),
+      (s"${pfx}c", xr(s"${pfx}b", shr(s"${pfx}b", 29))),
+      (s"${pfx}d", mul(s"${pfx}c", p3)),
+      (s"${pfx}e", xr(s"${pfx}d", shr(s"${pfx}d", 32))))
+    def nest(base: String, cols: Seq[(String, String)]): String =
+      cols.foldLeft(base) { case (q, (n, e)) => s"SELECT *, $e AS $n FROM ($q)" }
+    def b2w8(off: Int) =
+      (0 until 8).map(k => s"bytes[${off + k + 1}]*${BigInt(256).pow(k)}").mkString(" + ")
+    def b2w4(offExpr: String) =
+      (0 until 4).map(k => s"bytes[CAST($offExpr AS INT)+${k + 1}]*${BigInt(256).pow(k)}").mkString(" + ")
+
+    // XXH64(seed 42) of an n-byte buffer, n in [5, 20]: no 32-byte
+    // stripes; up to two 8-byte words, one 4-byte word, <=3 tail bytes.
+    val tailCols = (0 until 3).foldLeft((Seq.empty[(String, String)], "hi1")) {
+      case ((acc, hPrev), t) =>
+        (acc ++ Seq(
+          (s"tb$t", s"CASE WHEN n > toff+$t THEN ${U(s"bytes[CAST(toff AS INT)+${t + 1}]")} END"),
+          (s"hb$t", s"CASE WHEN n > toff+$t THEN ${xr(hPrev, mul(s"tb$t", p5))} ELSE $hPrev END"),
+          (s"ht$t", s"CASE WHEN n > toff+$t THEN ${mul(rotl(s"hb$t", 11), p1)} ELSE hb$t END")),
+          s"ht$t")
+    }
+    val shCols = Seq(
+      ("w0", s"CASE WHEN n >= 8 THEN ${U(s"(${b2w8(0)})")} END"),
+      ("w1", s"CASE WHEN n >= 16 THEN ${U(s"(${b2w8(8)})")} END"),
+      ("h0", U("(2870177450012600303 + n)")), // seed 42 + PRIME64_5, + len n
+      ("k10", s"CASE WHEN n >= 8 THEN ${mul(rotl(mul("w0", p2), 31), p1)} END"),
+      ("hx0", s"CASE WHEN n >= 8 THEN ${xr("h0", "k10")} ELSE h0 END"),
+      ("hw0", s"CASE WHEN n >= 8 THEN ${plus(mul(rotl("hx0", 27), p1), "9650029242287828579")} ELSE hx0 END"),
+      ("k11", s"CASE WHEN n >= 16 THEN ${mul(rotl(mul("w1", p2), 31), p1)} END"),
+      ("hx1", s"CASE WHEN n >= 16 THEN ${xr("hw0", "k11")} ELSE hw0 END"),
+      ("hw1", s"CASE WHEN n >= 16 THEN ${plus(mul(rotl("hx1", 27), p1), "9650029242287828579")} ELSE hx1 END"),
+      ("ioff", "(n//8)*8"),
+      ("iv", s"CASE WHEN n%8 >= 4 THEN ${U(s"(${b2w4("ioff")})")} END"),
+      ("hi0", s"CASE WHEN n%8 >= 4 THEN ${xr("hw1", mul("iv", p1))} ELSE hw1 END"),
+      ("hi1", s"CASE WHEN n%8 >= 4 THEN ${plus(mul(rotl("hi0", 23), p2), "1609587929392839161")} ELSE hi0 END"),
+      ("toff", "ioff + CASE WHEN n%8 >= 4 THEN 4 ELSE 0 END")) ++
+      tailCols._1 ++ fmix(tailCols._2, "fm")
+
+    // splitmix64 lane mix: lv_i = mix64(h ^ seed_i), compared SIGNED
+    val mixCols = Seq(
+      ("z0", xr("h", "seed")),
+      ("z1", plus("z0", gold)),
+      ("z2", mul(xr("z1", shr("z1", 30)), c1)),
+      ("z3", mul(xr("z2", shr("z2", 27)), c2)),
+      ("z4", xr("z3", shr("z3", 31))),
+      ("lv", toS("z4")))
+
+    // Spark xxhash64(slice(sig, b*4+1, 4)): fold 4 longs, each a full
+    // hashLong step (seed+P5+8; word mix; avalanche), prev hash as seed
+    val bandCols = (0 until 4).flatMap { e =>
+      val prev = if (e == 0) U("42") else s"g${e - 1}e"
+      Seq(
+        (s"e$e", toU(s"sig[${e + 1}+b*4]")),
+        (s"s$e", plus(prev, "2870177450012600269")), // + PRIME64_5 + len 8
+        (s"k$e", mul(rotl(mul(s"e$e", p2), 31), p1)),
+        (s"x$e", xr(s"s$e", s"k$e")),
+        (s"p$e", plus(mul(rotl(s"x$e", 27), p1), "9650029242287828579"))) ++
+        fmix(s"p$e", s"g$e")
+    } :+ ("bh", toS("g3e"))
+
+    val seedValues = (0 until 32)
+      .map(i => graft.functions.SketchAggs.mix64(0x9E3779B97F4A7C15L * (i + 1)))
+      .zipWithIndex
+      .map { case (s, i) => s"($i, ${U(java.lang.Long.toUnsignedString(s))})" }
+      .mkString(", ")
+
+    val shhInner = nest("SELECT sh, n, bytes FROM byt", shCols)
+    val lanesInner = nest(
+      "SELECT h, lane, seed FROM (SELECT DISTINCT h FROM shh)," +
+        s" (SELECT * FROM (VALUES $seedValues) AS s(lane, seed))", mixCols)
+    val bbInner = nest(
+      "SELECT doc_id, sig, CAST(b AS INT) AS b FROM sigs, unnest(range(0, 8)) AS t(b)", bandCols)
+
+    s"""WITH win AS MATERIALIZED (
+       |  SELECT doc_id, substr(text, CAST(i AS INT), 5) AS sh
+       |  FROM documents, unnest(range(1, length(text) - 3)) AS t(i)
+       |  WHERE length(text) >= 5
+       |),
+       |dsh AS (
+       |  SELECT hex(encode(sh)) AS hx, octet_length(encode(sh)) AS n, sh
+       |  FROM (SELECT DISTINCT sh FROM win)
+       |),
+       |byt AS (
+       |  SELECT sh, n, $hexBytesSql AS bytes
+       |  FROM dsh
+       |),
+       |shg AS MATERIALIZED (
+       |  SELECT sh, fme AS h FROM ($shhInner)
+       |),
+       |shh AS MATERIALIZED (
+       |  SELECT DISTINCT w.doc_id, g.h FROM win w JOIN shg g USING (sh)
+       |),
+       |lanevals AS MATERIALIZED (
+       |  SELECT h, lane, lv FROM ($lanesInner)
+       |),
+       |sigs AS MATERIALIZED (
+       |  SELECT doc_id, list(mn ORDER BY lane) AS sig
+       |  FROM (SELECT s.doc_id, v.lane, min(v.lv) AS mn
+       |        FROM shh s JOIN lanevals v USING (h) GROUP BY s.doc_id, v.lane)
+       |  GROUP BY doc_id
+       |),
+       |bb AS MATERIALIZED (
+       |  SELECT doc_id, b AS band, bh FROM ($bbInner)
+       |),
+       |capped AS (SELECT band, bh FROM bb GROUP BY band, bh HAVING COUNT(*) <= 10000),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_i, bside.doc_id AS doc_j
+       |  FROM (SELECT bb.* FROM bb JOIN capped USING (band, bh)) a
+       |  JOIN (SELECT bb.* FROM bb JOIN capped USING (band, bh)) bside
+       |    ON a.band = bside.band AND a.bh = bside.bh AND a.doc_id < bside.doc_id
+       |)
+       |SELECT p.doc_i, p.doc_j,
+       |  ROUND(CAST(length(list_filter(range(1, 33), i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / 32, 6) AS est_jaccard
+       |FROM pairs p
+       |JOIN sigs sa ON p.doc_i = sa.doc_id
+       |JOIN sigs sb ON p.doc_j = sb.doc_id
+       |ORDER BY p.doc_i, p.doc_j""".stripMargin
   }
 
   /** q50 oracle: the correlation matrix IS SQL-expressible once the
