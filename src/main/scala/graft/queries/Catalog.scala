@@ -1112,7 +1112,7 @@ object Catalog {
       "q73_verified_jaccard",
       (s, dir) => DedupOps.verifiedJaccardPairsFromShared(
         SketchShared.sketches(s, dir), SketchShared.minhashPairs(s, dir)),
-      None)
+      Some(q73OracleSql))
   )
 
   // ---------------------------------------------------------------- //
@@ -1304,8 +1304,14 @@ object Catalog {
     * ~150k windows) and once per DISTINCT shingle-hash × 32 lanes,
     * then joins back to (doc, shingle) pairs for the per-doc lane min.
     * Validated bit-exact against the Spark dump at sf0.01 (578 pairs,
-    * 0 mismatches). */
-  private val q42OracleSql: String = {
+    * 0 mismatches).
+    *
+    * q73 reuses the same CTE chain: candidates at est_jaccard >= 0.25
+    * (the [[graft.engine.DedupOps.verifiedJaccardPairsFromShared]]
+    * prefilter — exact on the rounded column because m/32 is dyadic),
+    * exact Jaccard from the (doc_id, h) distinct-shingle-hash sets the
+    * chain already materializes (`shh`), kept at >= 0.5. */
+  private val (q42OracleSql, q73OracleSql): (String, String) = {
     val M64 = "18446744073709551616"
     def U(c: String) = s"CAST($c AS UBIGINT)"
     val p1 = U("11400714785074694791")
@@ -1406,7 +1412,7 @@ object Catalog {
     val bbInner = nest(
       "SELECT doc_id, sig, CAST(b AS INT) AS b FROM sigs, unnest(range(0, 8)) AS t(b)", bandCols)
 
-    s"""WITH win AS MATERIALIZED (
+    val ctes = s"""WITH win AS MATERIALIZED (
        |  SELECT doc_id, substr(text, CAST(i AS INT), 5) AS sh
        |  FROM documents, unnest(range(1, length(text) - 3)) AS t(i)
        |  WHERE length(text) >= 5
@@ -1443,13 +1449,33 @@ object Catalog {
        |  FROM (SELECT bb.* FROM bb JOIN capped USING (band, bh)) a
        |  JOIN (SELECT bb.* FROM bb JOIN capped USING (band, bh)) bside
        |    ON a.band = bside.band AND a.bh = bside.bh AND a.doc_id < bside.doc_id
-       |)
-       |SELECT p.doc_i, p.doc_j,
-       |  ROUND(CAST(length(list_filter(range(1, 33), i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / 32, 6) AS est_jaccard
-       |FROM pairs p
-       |JOIN sigs sa ON p.doc_i = sa.doc_id
-       |JOIN sigs sb ON p.doc_j = sb.doc_id
-       |ORDER BY p.doc_i, p.doc_j""".stripMargin
+       |),
+       |est AS (
+       |  SELECT p.doc_i, p.doc_j,
+       |    ROUND(CAST(length(list_filter(range(1, 33), i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / 32, 6) AS est_jaccard
+       |  FROM pairs p
+       |  JOIN sigs sa ON p.doc_i = sa.doc_id
+       |  JOIN sigs sb ON p.doc_j = sb.doc_id
+       |)""".stripMargin
+
+    val q42 = s"""$ctes
+       |SELECT doc_i, doc_j, est_jaccard FROM est ORDER BY doc_i, doc_j""".stripMargin
+
+    val q73 = s"""$ctes,
+       |cand AS (SELECT doc_i, doc_j FROM est WHERE est_jaccard >= 0.25),
+       |nsh AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id),
+       |it AS (SELECT c.doc_i, c.doc_j, COUNT(*) AS inter
+       |       FROM cand c JOIN shh a ON a.doc_id = c.doc_i
+       |                   JOIN shh b ON b.doc_id = c.doc_j AND b.h = a.h
+       |       GROUP BY 1, 2)
+       |SELECT it.doc_i, it.doc_j,
+       |  ROUND(CAST(inter AS DOUBLE) / (ni.n_sh + nj.n_sh - inter), 6) AS jaccard
+       |FROM it JOIN nsh ni ON it.doc_i = ni.doc_id
+       |        JOIN nsh nj ON it.doc_j = nj.doc_id
+       |WHERE ROUND(CAST(inter AS DOUBLE) / (ni.n_sh + nj.n_sh - inter), 6) >= 0.5
+       |ORDER BY it.doc_i, it.doc_j""".stripMargin
+
+    (q42, q73)
   }
 
   /** q50 oracle: the correlation matrix IS SQL-expressible once the
