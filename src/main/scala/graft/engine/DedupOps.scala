@@ -235,8 +235,9 @@ object DedupOps {
     * of re-packing every document per side (AQE plans the sides
     * independently, so exchange reuse alone does not dedupe them).
     * Storage is reclaimed by the context cleaner when the frame is
-    * GC'd. Not SQL-expressible (seeded sketch); TextDedupSpec checks
-    * recall on injected near-dups. */
+    * GC'd. The chain is deterministic (XXH64 shingles, splitmix64
+    * lanes), so since r7 the DuckDB oracle reproduces it bit-exact;
+    * TextDedupSpec checks recall on injected near-dups. */
   def minhashPairs(documents: DataFrame, numHashes: Int = 32,
                    bands: Int = 8, rowsPerBand: Int = 4,
                    maxBucket: Int = 10000): DataFrame = {
@@ -278,7 +279,7 @@ object DedupOps {
     * identical absent an xxhash64 collision, which already bounds the
     * candidate generation), checkpointed once and read by both join
     * sides. Values match [[jaccardPairs]] exactly on shared pairs
-    * (TextDedupSpec); seeded candidates ⇒ rows-only vs the oracle. */
+    * (TextDedupSpec); the r7 oracle reproduces the candidate chain. */
   def verifiedJaccardPairs(documents: DataFrame, threshold: Double = 0.5,
                            numHashes: Int = 32): DataFrame = {
     ShingleHashes.register(documents.sparkSession)
@@ -638,9 +639,9 @@ object DedupOps {
     * corpus per sketch per side (VERDICT r4: the compose-of-publics
     * form paid two full text passes). Per-sketch empty-input semantics
     * are preserved: a doc too short to shingle still simhashes if it
-    * has tokens, and vice versa. Not SQL-expressible (seeded
-    * sketches); recall on injected near-dups is asserted in
-    * TextDedupSpec. */
+    * has tokens, and vice versa. Deterministic sketches ⇒ the r7
+    * oracle reproduces both chains; recall on injected near-dups is
+    * asserted in TextDedupSpec. */
   def nearDedupSketch(documents: DataFrame, minEstJaccard: Double = 0.5,
                       maxHamming: Int = 3, numHashes: Int = 32): DataFrame =
     nearDedupSketchFromSketches(documents,

@@ -964,7 +964,7 @@ object Catalog {
       "q43_simhash_pairs",
       (s, dir) => SketchShared.simhashPairs(s, dir)
         .orderBy(col("doc_i"), col("doc_j")),
-      None),
+      Some(q43OracleSql)),
 
     // End-to-end near-dup dedup: candidate pairs -> connected
     // components -> canonical corpus. Edges here are the
@@ -1097,14 +1097,15 @@ object Catalog {
 
     // The production near-dedup pipeline: MinHash-LSH ∪ SimHash sketch
     // edges (full corpus, no doc cap) -> connected components ->
-    // canonical corpus. Seeded sketches => rows-only; recall behavior
-    // asserted in TextDedupSpec.
+    // canonical corpus. Both sketch chains are deterministic, so the
+    // whole pipeline oracles: sketch CTEs + the q61 recursive-CTE
+    // transitive closure. Recall behavior asserted in TextDedupSpec.
     QuerySpec(
       "q70_near_dedup_sketch",
       (s, dir) => DedupOps.nearDedupFromPairSets(
         Tables.documents(s, dir),
         SketchShared.minhashPairs(s, dir), SketchShared.simhashPairs(s, dir)),
-      None),
+      Some(q70OracleSql)),
 
     // LSH candidates verified with EXACT Jaccard on the pair's shingle
     // sets — exactness bounded to candidates, never all pairs.
@@ -1310,8 +1311,20 @@ object Catalog {
     * (the [[graft.engine.DedupOps.verifiedJaccardPairsFromShared]]
     * prefilter — exact on the rounded column because m/32 is dyadic),
     * exact Jaccard from the (doc_id, h) distinct-shingle-hash sets the
-    * chain already materializes (`shh`), kept at >= 0.5. */
-  private val (q42OracleSql, q73OracleSql): (String, String) = {
+    * chain already materializes (`shh`), kept at >= 0.5.
+    *
+    * q43 runs the SAME XXH64 byte chain per DISTINCT token
+    * (`[a-z0-9_]+` of lower(text) — identical classes in Java regex
+    * and RE2; the corpus is pure ASCII so lower() agrees too), then
+    * the [[graft.functions.SimHashPack]] vote: per (doc, bit), sum
+    * cnt·(bit set ? +1 : −1) over the doc's tokens, bit set iff the
+    * sum is positive; 16-bit prefix bands bucket the self-join and
+    * bit_count(xor) is the hamming filter. q70 is the union of the
+    * two pair sets (est >= 0.5 / hamming <= 3) closed under the q61
+    * recursive-CTE connected components. All four validated bit-exact
+    * against the Spark dumps at sf0.01 (578 / 17 / 473 / 25 rows). */
+  private val (q42OracleSql, q43OracleSql, q70OracleSql, q73OracleSql)
+      : (String, String, String, String) = {
     val M64 = "18446744073709551616"
     def U(c: String) = s"CAST($c AS UBIGINT)"
     val p1 = U("11400714785074694791")
@@ -1412,7 +1425,7 @@ object Catalog {
     val bbInner = nest(
       "SELECT doc_id, sig, CAST(b AS INT) AS b FROM sigs, unnest(range(0, 8)) AS t(b)", bandCols)
 
-    val ctes = s"""WITH win AS MATERIALIZED (
+    val ctes = s"""win AS MATERIALIZED (
        |  SELECT doc_id, substr(text, CAST(i AS INT), 5) AS sh
        |  FROM documents, unnest(range(1, length(text) - 3)) AS t(i)
        |  WHERE length(text) >= 5
@@ -1458,10 +1471,10 @@ object Catalog {
        |  JOIN sigs sb ON p.doc_j = sb.doc_id
        |)""".stripMargin
 
-    val q42 = s"""$ctes
+    val q42 = s"""WITH $ctes
        |SELECT doc_i, doc_j, est_jaccard FROM est ORDER BY doc_i, doc_j""".stripMargin
 
-    val q73 = s"""$ctes,
+    val q73 = s"""WITH $ctes,
        |cand AS (SELECT doc_i, doc_j FROM est WHERE est_jaccard >= 0.25),
        |nsh AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id),
        |it AS (SELECT c.doc_i, c.doc_j, COUNT(*) AS inter
@@ -1475,7 +1488,92 @@ object Catalog {
        |WHERE ROUND(CAST(inter AS DOUBLE) / (ni.n_sh + nj.n_sh - inter), 6) >= 0.5
        |ORDER BY it.doc_i, it.doc_j""".stripMargin
 
-    (q42, q73)
+    // SimHash CTE block, name-prefixed so q70 can splice it next to
+    // the MinHash block without collisions. The XXH64 chain (shCols)
+    // is reused verbatim — tokens are <= 8 bytes here, well inside the
+    // chain's n <= 23 coverage (two 8-byte words + int + 3 tail bytes).
+    val bitsValues = (0 until 64).map(i =>
+      s"($i, ${U(java.lang.Long.toUnsignedString(1L << i))})").mkString(", ")
+    def simhashCtes(p: String): String = {
+      val tkhInner = nest(s"SELECT tok, n, bytes FROM ${p}byt2", shCols)
+      s"""${p}tokw AS MATERIALIZED (
+         |  SELECT doc_id, t AS tok
+         |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS u(t)
+         |),
+         |${p}tokc AS MATERIALIZED (
+         |  SELECT doc_id, tok, COUNT(*) AS cnt FROM ${p}tokw GROUP BY doc_id, tok
+         |),
+         |${p}dtok AS (
+         |  SELECT hex(encode(tok)) AS hx, octet_length(encode(tok)) AS n, tok
+         |  FROM (SELECT DISTINCT tok FROM ${p}tokc)
+         |),
+         |${p}byt2 AS (
+         |  SELECT tok, n, $hexBytesSql AS bytes
+         |  FROM ${p}dtok
+         |),
+         |${p}tkh AS MATERIALIZED (
+         |  SELECT tok, fme AS h FROM ($tkhInner)
+         |),
+         |${p}bits(i, p2) AS (VALUES $bitsValues),
+         |${p}hbits AS (
+         |  SELECT h, i, p2, CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END AS v
+         |  FROM (SELECT DISTINCT h FROM ${p}tkh), ${p}bits
+         |),
+         |${p}votes AS (
+         |  SELECT c.doc_id, b.i, b.p2, SUM(c.cnt * b.v) AS vs
+         |  FROM ${p}tokc c JOIN ${p}tkh t USING (tok) JOIN ${p}hbits b ON b.h = t.h
+         |  GROUP BY c.doc_id, b.i, b.p2
+         |),
+         |${p}sig AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST(COALESCE(SUM(CASE WHEN vs > 0 THEN CAST(p2 AS HUGEINT) END), 0) AS HUGEINT) AS suh
+         |  FROM ${p}votes GROUP BY doc_id
+         |),
+         |${p}sig2 AS (
+         |  SELECT doc_id, CAST(suh AS UBIGINT) AS su,
+         |    CAST(suh - (CASE WHEN suh >= CAST(9223372036854775808 AS HUGEINT) THEN CAST($M64 AS HUGEINT) ELSE 0 END) AS BIGINT) AS s
+         |  FROM ${p}sig
+         |),
+         |${p}bb2 AS MATERIALIZED (
+         |  SELECT doc_id, CAST(b AS INT) AS band, (su >> (CAST(b AS INT)*16)) & 65535 AS bh, s
+         |  FROM ${p}sig2, unnest(range(0, 4)) AS t(b)
+         |),
+         |${p}capped2 AS (SELECT band, bh FROM ${p}bb2 GROUP BY band, bh HAVING COUNT(*) <= 10000),
+         |${p}pairs2 AS (
+         |  SELECT a.doc_id AS doc_i, bside.doc_id AS doc_j,
+         |         any_value(a.s) AS s_a, any_value(bside.s) AS s_b
+         |  FROM (SELECT b1.* FROM ${p}bb2 b1 JOIN ${p}capped2 USING (band, bh)) a
+         |  JOIN (SELECT b2.* FROM ${p}bb2 b2 JOIN ${p}capped2 USING (band, bh)) bside
+         |    ON a.band = bside.band AND a.bh = bside.bh AND a.doc_id < bside.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |${p}ham AS (
+         |  SELECT doc_i, doc_j, CAST(bit_count(xor(s_a, s_b)) AS BIGINT) AS hamming
+         |  FROM ${p}pairs2 WHERE bit_count(xor(s_a, s_b)) <= 3
+         |)""".stripMargin
+    }
+
+    val q43 = s"""WITH ${simhashCtes("")}
+       |SELECT doc_i, doc_j, hamming FROM ham ORDER BY doc_i, doc_j""".stripMargin
+
+    val q70 = s"""WITH RECURSIVE $ctes,
+       |${simhashCtes("s")},
+       |med AS (
+       |  SELECT doc_i, doc_j FROM est WHERE est_jaccard >= 0.5
+       |  UNION
+       |  SELECT doc_i, doc_j FROM sham WHERE hamming <= 3
+       |),
+       |e AS (SELECT doc_i AS src, doc_j AS dst FROM med UNION ALL SELECT doc_j, doc_i FROM med),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node),
+       |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+       |SELECT cluster_id AS doc_id, COUNT(*) AS n_members
+       |FROM cl GROUP BY cluster_id
+       |ORDER BY doc_id""".stripMargin
+
+    (q42, q43, q70, q73)
   }
 
   /** q50 oracle: the correlation matrix IS SQL-expressible once the
