@@ -125,9 +125,9 @@ object MultimodalOps {
     * input contract, so a real codec swaps into [[decodeStub]] and
     * NOTHING downstream changes — the image-dedup / image-search
     * path at 100 TB is this exact plan with LSH/IVF in place of the
-    * brute-force scorer. Stub features are engine-side FNV work ⇒
-    * rows-only; injected-duplicate behavior is asserted in
-    * SimilarityMultimodalSpec. */
+    * brute-force scorer. The FNV stub is deterministic, so the r7
+    * oracle reproduces decode + top-k end-to-end; injected-duplicate
+    * behavior is asserted in SimilarityMultimodalSpec. */
   def mediaAnnTopK(documents: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._

@@ -279,8 +279,9 @@ object SimilarityOps {
     * propagation) → one canonical vector (min vec_id) per cluster.
     * Emits EVERY vector with its cluster and dup flag so the caller
     * can either drop dups or map them to their canonical
-    * representative. Not SQL-expressible (hash-derived hyperplanes);
-    * injected-duplicate behavior is asserted in
+    * representative. The hash-derived hyperplanes are deterministic,
+    * so the r7 oracle embeds the sign matrix and reproduces the whole
+    * pipeline; injected-duplicate behavior is asserted in
     * SimilarityMultimodalSpec. */
   def semanticDedup(embeddings: DataFrame, numPlanes: Int = 8,
                     threshold: Double = 0.95): DataFrame = {

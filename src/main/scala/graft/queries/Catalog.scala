@@ -1143,7 +1143,7 @@ object Catalog {
     QuerySpec(
       "q63_semantic_dedup",
       (s, dir) => SimilarityOps.semanticDedup(Tables.embeddings(s, dir)),
-      None),
+      Some(q63OracleSql)),
 
     // probe-only: the quantizer fit + assignments are built once per
     // (dir, nLists) via the session memo (VERDICT r4 "what's wrong" #1
@@ -1162,11 +1162,11 @@ object Catalog {
   private def multimodalQueries: Seq[QuerySpec] = Seq(
     // media payloads → batched feature extraction → similarity search,
     // through SimilarityOps' (vec_id, embedding) contract — the
-    // image-dedup composition (stub features ⇒ rows-only)
+    // image-dedup composition (deterministic stub ⇒ oracle since r7)
     QuerySpec(
       "q95_media_ann",
       (s, dir) => MultimodalOps.mediaAnnTopK(Tables.documents(s, dir)),
-      None),
+      Some(q95OracleSql)),
 
     QuerySpec(
       "q48_multimodal_meta",
@@ -1575,6 +1575,89 @@ object Catalog {
 
     (q42, q43, q70, q73)
   }
+
+  /** q63 oracle: the SemDeDup pipeline is deterministic end-to-end.
+    * The "random" hyperplanes are sign bits of xxhash64(p, pos) —
+    * reproduced here by evaluating the SAME XXH64 chain (
+    * [[org.apache.spark.sql.catalyst.expressions.XXH64.hashInt]],
+    * seed 42, two chained int inputs) at ORACLE-GENERATION time and
+    * embedding the ±1 sign rows as list literals (the seedValues
+    * pattern). Spark's per-plane projection is a fold over posexploded
+    * elements in array order, which is exactly DuckDB's sequential
+    * `list_inner_product`; cosine + round(…,6) is the q46-proven
+    * pattern; the cluster closure is the q61 recursive CTE. */
+  private val q63OracleSql: String = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val signs = (0 until 8).map { p =>
+      val h1 = XXH64.hashInt(p, 42L)
+      (0 until 64).map { d =>
+        val h = XXH64.hashInt(d, h1)
+        if (((h % 2) + 2) % 2 == 1) "1.0" else "-1.0"
+      }.mkString("[", ", ", "]")
+    }
+    val projTerms = signs.zipWithIndex.map { case (row, p) =>
+      s"(CASE WHEN list_inner_product(e, $row) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH RECURSIVE v AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |),
+       |vb AS MATERIALIZED (
+       |  SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS norm,
+       |         $projTerms AS bucket
+       |  FROM v
+       |),
+       |pr AS (
+       |  SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+       |         ROUND(list_inner_product(a.e, b.e) / (a.norm * b.norm), 6) AS score
+       |  FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |),
+       |ed AS (SELECT vec_i, vec_j FROM pr WHERE score >= 0.95),
+       |e2 AS (SELECT vec_i AS src, vec_j AS dst FROM ed UNION ALL SELECT vec_j, vec_i FROM ed),
+       |reach(node, lbl) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e2.dst, r.lbl FROM reach r JOIN e2 ON e2.src = r.node),
+       |cl AS (SELECT node AS vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+       |SELECT vec_id, cluster_id, (vec_id <> cluster_id) AS is_dup FROM cl ORDER BY vec_id""".stripMargin
+  }
+
+  /** q95 oracle: the q49 FNV-1a decode-stub fold (already
+    * oracle-proven) produces the 4 features, cast to FLOAT exactly as
+    * [[graft.engine.MultimodalOps.mediaAnnTopK]]'s embedding contract
+    * does, then the q46 brute-force cosine top-k tail (k = 5). A real
+    * codec swap-in would return this query to rows-only. */
+  private val q95OracleSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id AS media_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+       |  FROM documents
+       |),
+       |byt AS (SELECT media_id, $hexBytesSql AS bytes FROM b),
+       |h AS (
+       |  SELECT media_id,
+       |    list_reduce(list_prepend(CAST(1469598103934665603 AS HUGEINT), bytes),
+       |      (acc, x) -> ((acc - (acc % 256) + xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)))
+       |                   * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS uh
+       |  FROM byt
+       |),
+       |emb AS (
+       |  SELECT media_id AS vec_id,
+       |    [CAST(CAST((uh // 1) % 65536 AS DOUBLE) / 65535.0 AS FLOAT),
+       |     CAST(CAST((uh // 65536) % 65536 AS DOUBLE) / 65535.0 AS FLOAT),
+       |     CAST(CAST((uh // 4294967296) % 65536 AS DOUBLE) / 65535.0 AS FLOAT),
+       |     CAST(CAST((uh // 281474976710656) % 65536 AS DOUBLE) / 65535.0 AS FLOAT)] AS embedding
+       |  FROM h
+       |),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM emb),
+       |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+       |s AS (SELECT qid, vec_id,
+       |             ROUND(list_inner_product(qe, e) /
+       |                   (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 6) AS score
+       |      FROM v CROSS JOIN q WHERE vec_id <> qid),
+       |r AS (SELECT qid, vec_id, score,
+       |             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+       |      FROM s)
+       |SELECT qid, vec_id, score, rn FROM r WHERE rn <= 5
+       |ORDER BY qid, rn""".stripMargin
 
   /** q50 oracle: the correlation matrix IS SQL-expressible once the
     * StringIndexer is reproduced — frequencyDesc assigns 0,1,2,… by
