@@ -1138,7 +1138,7 @@ object Catalog {
     QuerySpec(
       "q47_ann_lsh_topk",
       (s, dir) => SimilarityOps.annTopK(Tables.embeddings(s, dir)),
-      None),
+      Some(q47OracleSql)),
 
     QuerySpec(
       "q63_semantic_dedup",
@@ -1619,6 +1619,49 @@ object Catalog {
        |  SELECT e2.dst, r.lbl FROM reach r JOIN e2 ON e2.src = r.node),
        |cl AS (SELECT node AS vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
        |SELECT vec_id, cluster_id, (vec_id <> cluster_id) AS is_dup FROM cl ORDER BY vec_id""".stripMargin
+  }
+
+  /** q47 oracle: same deterministic-hyperplane reproduction as q63
+    * (6 planes here), plus the multi-probe expansion — each query
+    * probes its own bucket and every bucket one bit-flip away
+    * (xor with 0,1,2,4,8,16,32), then exact cosine top-10. Probe
+    * values are distinct so no candidate is scored twice. */
+  private val q47OracleSql: String = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val signs = (0 until 6).map { p =>
+      val h1 = XXH64.hashInt(p, 42L)
+      (0 until 64).map { d =>
+        val h = XXH64.hashInt(d, h1)
+        if (((h % 2) + 2) % 2 == 1) "1.0" else "-1.0"
+      }.mkString("[", ", ", "]")
+    }
+    val projTerms = signs.zipWithIndex.map { case (row, p) =>
+      s"(CASE WHEN list_inner_product(e, $row) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val flips = (Seq(0L) ++ (0 until 6).map(p => 1L << p)).map(f => s"($f)").mkString(", ")
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |),
+       |vb AS MATERIALIZED (
+       |  SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS norm,
+       |         $projTerms AS bucket
+       |  FROM v
+       |),
+       |q AS (
+       |  SELECT vec_id AS qid, e AS qe, norm AS qnorm, xor(bucket, f) AS qbucket
+       |  FROM vb, (SELECT * FROM (VALUES $flips) AS fl(f))
+       |  WHERE vec_id < 5
+       |),
+       |s AS (
+       |  SELECT q.qid, vb.vec_id,
+       |         ROUND(list_inner_product(q.qe, vb.e) / (q.qnorm * vb.norm), 6) AS score
+       |  FROM vb JOIN q ON vb.bucket = q.qbucket AND vb.vec_id <> q.qid
+       |),
+       |r AS (SELECT qid, vec_id, score,
+       |             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+       |      FROM s)
+       |SELECT qid, vec_id, score, rn FROM r WHERE rn <= 10
+       |ORDER BY qid, rn""".stripMargin
   }
 
   /** q95 oracle: the q49 FNV-1a decode-stub fold (already
