@@ -199,7 +199,8 @@ object AggregateOps {
     * confidence 1-delta — both bounds asserted in CoreSpec. The exact
     * top-k keys come from the (already-verified) distributed count
     * (A9); only the tiny top-k list is estimated driver-side, so the
-    * query stays bounded. Seeded sketch ⇒ rows-only vs the oracle. */
+    * query stays bounded. The sketch is seed-deterministic and merges
+    * cellwise, so the r7 oracle rebuilds the table in SQL. */
   def cmsHeavyHitters(orders: DataFrame, k: Int = 10,
                       eps: Double = 0.001, confidence: Double = 0.99,
                       seed: Int = 42): DataFrame = {

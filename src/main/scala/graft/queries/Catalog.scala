@@ -448,7 +448,7 @@ object Catalog {
     QuerySpec(
       "q86_cms_heavy_hitters",
       (s, dir) => AggregateOps.cmsHeavyHitters(Tables.orders(s, dir)),
-      None),
+      Some(q86OracleSql)),
 
     QuerySpec(
       "q21_corr_pairs",
@@ -1619,6 +1619,50 @@ object Catalog {
        |  SELECT e2.dst, r.lbl FROM reach r JOIN e2 ON e2.src = r.node),
        |cl AS (SELECT node AS vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
        |SELECT vec_id, cluster_id, (vec_id <> cluster_id) AS is_dup FROM cl ORDER BY vec_id""".stripMargin
+  }
+
+  /** q86 oracle: Spark's CountMinSketch (stream-lib scheme) is
+    * deterministic given the seed — row constants are
+    * `new Random(seed).nextInt(Int.MaxValue)` (evaluated HERE with the
+    * real java.util.Random), the per-row hash is
+    * `h = a·item; h += h >> 32; h &= 2^31−1; h %= width`, and merging
+    * per-partition sketches is a cellwise sum, so the final table is
+    * partition-order-independent: table[i][b] = Σ counts of keys
+    * hashing to (i,b). eps 0.001 → width 2000; confidence 0.99 →
+    * depth 7. The wrapping multiply runs in HUGEINT; `>> 32` on the
+    * signed value is the floor division (s − pmod(s,2^32)) / 2^32.
+    * Validated bit-exact against the Spark sketch at sf0.01. */
+  private val q86OracleSql: String = {
+    val rnd = new java.util.Random(42)
+    val haValues = (0 until 7)
+      .map(i => s"($i, ${rnd.nextInt(Int.MaxValue)})").mkString(", ")
+    val M64 = "18446744073709551616"
+    s"""WITH ha(i, a) AS (VALUES $haValues),
+       |ex AS MATERIALIZED (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey),
+       |hb AS MATERIALIZED (
+       |  SELECT o_custkey, n, i,
+       |    CAST(((s + fl) % 2147483648 + 2147483648) % 2147483648 % 2000 AS BIGINT) AS b
+       |  FROM (
+       |    SELECT o_custkey, n, i, s,
+       |      (s - ((s % 4294967296 + 4294967296) % 4294967296)) // 4294967296 AS fl
+       |    FROM (
+       |      SELECT o_custkey, n, i,
+       |        m - (CASE WHEN m >= CAST(9223372036854775808 AS HUGEINT) THEN CAST($M64 AS HUGEINT) ELSE 0 END) AS s
+       |      FROM (
+       |        SELECT e0.o_custkey, e0.n, h0.i,
+       |          ((CAST(h0.a AS HUGEINT) * e0.o_custkey) % $M64 + $M64) % $M64 AS m
+       |        FROM ex e0, ha h0)))
+       |),
+       |tbl AS (SELECT i, b, SUM(n) AS cnt FROM hb GROUP BY i, b),
+       |topk AS (SELECT o_custkey, n AS n_exact FROM ex ORDER BY n DESC, o_custkey LIMIT 10),
+       |estm AS (
+       |  SELECT t.o_custkey, t.n_exact, MIN(tb.cnt) AS n_estimated
+       |  FROM topk t JOIN hb q ON q.o_custkey = t.o_custkey
+       |       JOIN tbl tb ON tb.i = q.i AND tb.b = q.b
+       |  GROUP BY t.o_custkey, t.n_exact
+       |)
+       |SELECT o_custkey, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_estimated AS BIGINT) AS n_estimated
+       |FROM estm ORDER BY n_exact DESC, o_custkey""".stripMargin
   }
 
   /** q47 oracle: same deterministic-hyperplane reproduction as q63
