@@ -28,8 +28,10 @@ object AggregateOps {
       countDistinct(col("l_partkey")).as("d_partkey"))
 
   /** HLL++ sketch alternative for 100 TB cardinalities — constant
-    * memory per key, no per-value shuffle. Not oracle-comparable
-    * (sketch-valued); invariants covered by ScalaTest. */
+    * memory per key, no per-value shuffle. The sketch is deterministic
+    * (seed-42 XXH64, order-independent register max), so the r7 oracle
+    * replays HLL++ — registers, linear counting and the empirical bias
+    * tables — in SQL; invariants also covered by ScalaTest. */
   def approxDistinct(lineitem: DataFrame, rsd: Double = 0.05): DataFrame =
     lineitem.agg(
       approx_count_distinct(col("l_suppkey"), rsd).as("ad_suppkey"),

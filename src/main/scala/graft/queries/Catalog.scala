@@ -318,7 +318,7 @@ object Catalog {
     QuerySpec(
       "q17_approx_distinct",
       (s, dir) => AggregateOps.approxDistinct(Tables.lineitem(s, dir)),
-      None),
+      Some(q17OracleSql)),
 
     QuerySpec(
       "q18_quantiles",
@@ -1323,8 +1323,14 @@ object Catalog {
     * two pair sets (est >= 0.5 / hamming <= 3) closed under the q61
     * recursive-CTE connected components. All four validated bit-exact
     * against the Spark dumps at sf0.01 (578 / 17 / 473 / 25 rows). */
-  private val (q42OracleSql, q43OracleSql, q70OracleSql, q73OracleSql)
-      : (String, String, String, String) = {
+  /** Shared UBIGINT-arithmetic SQL builders for the hash-chain oracles
+    * (q42/q43/q70/q73 sketches, q17 HLL++): wrapping 64×64 multiply
+    * split at 32 bits through HUGEINT, rotate-left as multiply+shift
+    * (DuckDB range-checks `<<`), signed/unsigned reinterpretation, and
+    * the one-column-per-nested-subquery chain builder (lateral column
+    * aliases re-expand the referenced expression per use — the
+    * 3-reference multiply made alias chains exponential). */
+  private object UbigintSql {
     val M64 = "18446744073709551616"
     def U(c: String) = s"CAST($c AS UBIGINT)"
     val p1 = U("11400714785074694791")
@@ -1358,6 +1364,11 @@ object Catalog {
       (s"${pfx}e", xr(s"${pfx}d", shr(s"${pfx}d", 32))))
     def nest(base: String, cols: Seq[(String, String)]): String =
       cols.foldLeft(base) { case (q, (n, e)) => s"SELECT *, $e AS $n FROM ($q)" }
+  }
+
+  private val (q42OracleSql, q43OracleSql, q70OracleSql, q73OracleSql)
+      : (String, String, String, String) = {
+    import UbigintSql._
     def b2w8(off: Int) =
       (0 until 8).map(k => s"bytes[${off + k + 1}]*${BigInt(256).pow(k)}").mkString(" + ")
     def b2w4(offExpr: String) =
@@ -1619,6 +1630,99 @@ object Catalog {
        |  SELECT e2.dst, r.lbl FROM reach r JOIN e2 ON e2.src = r.node),
        |cl AS (SELECT node AS vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
        |SELECT vec_id, cluster_id, (vec_id <> cluster_id) AS is_dup FROM cl ORDER BY vec_id""".stripMargin
+  }
+
+  /** q17 oracle: Spark's approx_count_distinct IS deterministic — the
+    * HLL++ registers are max(rho) over XXH64(value, seed 42) with no
+    * randomness, and register max is order-independent, so the whole
+    * sketch is reproducible. rsd 0.05 ⇒ p = 9, m = 512, index = the
+    * top 9 hash bits, rho = Long.numberOfLeadingZeros((h << 9) | 256)
+    * + 1 (so rho <= 56 and the padded word is never 0 — nlz falls out
+    * of DuckDB's variable-width `bin()` with NO floating log2). The
+    * harmonic sum Σ 2^-rho runs in EXACT HUGEINT fixed-point at scale
+    * 2^56, so it does not depend on Spark's register accumulation
+    * order; linear counting, the 2.5m/5m switchovers and Math.round =
+    * floor(x+0.5) follow the decompiled
+    * [[org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper]]
+    * query() exactly. The empirical bias correction (binary-search
+    * insertion point, 6-wide window walked right while strictly
+    * closer, averaged bias) is reproduced with the REAL p=9
+    * RAW_ESTIMATE_DATA/BIAS_DATA tables, read reflectively from the
+    * running Spark at oracle-generation time and embedded as list
+    * literals. Validated bit-exact at sf0.01 and sf0.1 (all three
+    * estimates on each). */
+  private val q17OracleSql: String = {
+    import UbigintSql._
+    val helperCls = Class.forName(
+      "org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper")
+    def table(name: String): Array[Double] = helperCls.getMethod(name)
+      .invoke(null).asInstanceOf[Array[Array[Double]]](5) // p - 4 = 5
+    val rawList = table("RAW_ESTIMATE_DATA").map(_.toString).mkString("[", ", ", "]")
+    val biasList = table("BIAS_DATA").map(_.toString).mkString("[", ", ", "]")
+    val n = table("RAW_ESTIMATE_DATA").length // 201
+    // alphaM2 in the constructor's exact evaluation order (p > 6 arm)
+    val alphaM2 = (0.7213 / (1d + 1.079 / 512d) * 512d * 512d).toString
+
+    // XXH64.hashLong(v, 42) — the q94 chain, emitted as nested
+    // subqueries over the column's DISTINCT values (register max only
+    // sees distinct hashes)
+    val hashCols = Seq(
+      ("uv", toU("v")),
+      ("k1", mul(rotl(mul("uv", p2), 31), p1)),
+      ("hx", xr(U("2870177450012600311"), "k1")), // seed 42 + PRIME64_5 + len 8
+      ("hw", plus(mul(rotl("hx", 27), p1), "9650029242287828579"))) ++
+      fmix("hw", "f")
+
+    def colChain(col: String, p: String): String = {
+      val inner = nest(
+        s"SELECT DISTINCT $col AS v FROM lineitem WHERE $col IS NOT NULL", hashCols)
+      s"""${p}hh AS (
+         |  SELECT fe AS h FROM ($inner)
+         |),
+         |${p}reg AS (
+         |  SELECT h >> 55 AS idx, MAX(65 - length(bin((${mul("h", U("512"))}) | ${U("256")}))) AS rho
+         |  FROM ${p}hh GROUP BY h >> 55
+         |),
+         |${p}agg AS (
+         |  SELECT SUM(CAST(1 AS HUGEINT) * (1::BIGINT << (56 - rho)))
+         |         + (512 - COUNT(*)) * (CAST(1 AS HUGEINT) * (1::BIGINT << 56)) AS sfix,
+         |         CAST(512 - COUNT(*) AS BIGINT) AS vz
+         |  FROM ${p}reg
+         |),
+         |${p}e AS (
+         |  SELECT $alphaM2 / (CAST(sfix AS DOUBLE) / 72057594037927936) AS ee, vz FROM ${p}agg
+         |),
+         |${p}ip AS (
+         |  SELECT COUNT(*) AS ip FROM ${p}e, unnest($rawList) AS r(x) WHERE r.x < ${p}e.ee
+         |),
+         |${p}win AS (
+         |  SELECT GREATEST(ip - 5, 0) AS lo0, LEAST(GREATEST(ip - 5, 0) + 6, $n) AS hi0 FROM ${p}ip
+         |),
+         |${p}sh AS (
+         |  SELECT MIN(s) AS s FROM ${p}win, ${p}e, range(0, ${n + 1}) AS t(s)
+         |  WHERE hi0 + s >= $n
+         |     OR power(ee - ($rawList)[CAST(hi0 + s AS INT) + 1], 2) >= power(ee - ($rawList)[CAST(lo0 + s AS INT) + 1], 2)
+         |),
+         |${p}bias AS (
+         |  SELECT SUM(($biasList)[CAST(w.lo0 + h.s + t.j AS INT) + 1]) / (MIN(w.hi0) - MIN(w.lo0)) AS bavg
+         |  FROM ${p}win w, ${p}sh h, range(0, 6) AS t(j)
+         |  WHERE w.lo0 + h.s + t.j < w.hi0 + h.s
+         |),
+         |${p}res AS (
+         |  SELECT CAST(floor(
+         |    CASE WHEN vz > 0 AND (512 * ln(512.0 / vz) <= 400.0 OR ee <= 1280.0)
+         |         THEN 512 * ln(512.0 / vz)
+         |         WHEN ee < 2560.0 THEN ee - (SELECT bavg FROM ${p}bias)
+         |         ELSE ee END + 0.5) AS BIGINT) AS ad
+         |  FROM ${p}e
+         |)""".stripMargin
+    }
+
+    s"""WITH ${colChain("l_suppkey", "s")},
+       |${colChain("l_partkey", "p")},
+       |${colChain("l_orderkey", "o")}
+       |SELECT s.ad AS ad_suppkey, p.ad AS ad_partkey, o.ad AS ad_orderkey
+       |FROM sres s, pres p, ores o""".stripMargin
   }
 
   /** q86 oracle: Spark's CountMinSketch (stream-lib scheme) is
