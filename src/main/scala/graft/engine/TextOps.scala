@@ -149,8 +149,10 @@ object TextOps {
     * of grams). False positives can only over-count shared grams, so
     * flags are a SUPERSET of the exact check's (no false negatives —
     * asserted in TextDedupSpec); run the exact join on the flagged
-    * subset when exactness matters. Filter contents depend on the
-    * hash seeds ⇒ rows-only vs the oracle. */
+    * subset when exactness matters. The filter itself is
+    * deterministic (Murmur3_x86_32, seed 0), so the DuckDB oracle
+    * replays it bit-exactly, false positives included
+    * (queries/Catalog.scala q85OracleSql). */
   def bloomContaminationCheck(corpus: DataFrame, heldout: DataFrame,
                               n: Int = 5, minShared: Int = 5,
                               fpp: Double = 0.001): DataFrame = {

@@ -854,8 +854,10 @@ object Catalog {
 
     // The 100 TB decontamination shape: held-out grams folded into a
     // broadcast Bloom filter, corpus grams tested locally — no join
-    // shuffle. Hash-seeded filter ⇒ rows-only; the no-false-negative
-    // superset property vs q62 is asserted in TextDedupSpec.
+    // shuffle. The filter is deterministic (Murmur3 seed 0), so the
+    // oracle replays it bit-exactly — false positives included (see
+    // q85OracleSql); the no-false-negative superset property vs q62
+    // is additionally asserted in TextDedupSpec.
     QuerySpec(
       "q85_decontamination_bloom",
       (s, dir) => {
@@ -864,7 +866,7 @@ object Catalog {
         TextOps.bloomContaminationCheck(
           docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50))
       },
-      None),
+      Some(q85OracleSql)),
 
     // Fuzzy entity matching: per-block (brand) Levenshtein pairs —
     // blocking keeps the quadratic edit distance inside equi-join
@@ -1723,6 +1725,98 @@ object Catalog {
        |${colChain("l_orderkey", "o")}
        |SELECT s.ad AS ad_suppkey, p.ad AS ad_partkey, o.ad AS ad_orderkey
        |FROM sres s, pres p, ores o""".stripMargin
+  }
+
+  /** q85 oracle: Spark's Bloom filter (serialization V2) is fully
+    * deterministic — `putString` hashes UTF-8 bytes with
+    * Murmur3_x86_32: h1 = murmur(bytes, seed 0), h2 = murmur(bytes,
+    * h1), then probe i (1-based) sets/tests bit
+    * `(|h1·Int.MaxValue + i·h2|₊) mod bitSize` in 64-bit signed
+    * arithmetic (negative → bitwise NOT; `df.stat.bloomFilter`
+    * byte-identical to manual putString construction, checked on the
+    * running Spark). So "might contain" needs NO bit array in SQL:
+    * a corpus gram is flagged iff ALL k of its probe positions fall
+    * inside the distinct-position set laid down by the held-out grams
+    * — an anti-join on position. The murmur block fold runs as a
+    * DuckDB `list_reduce` lambda in UBIGINT mod-2³² arithmetic (grams
+    * are ASCII by construction — `[a-z0-9_]+` tokens joined by
+    * single spaces — so chars = bytes and the signed-byte tail rule
+    * never fires; each tail byte still gets Spark's full mix round).
+    * Filter geometry replays `BloomFilter.create(n, 0.001)`:
+    * numBits = ⌊−n·ln p / ln²2⌋, k = max(1, round(numBits/n·ln 2)),
+    * bitSize rounded up to whole 64-bit words. The scatter loop runs
+    * un-wrapped in HUGEINT — |h1ₛ·(2³¹−1)| < 2⁶² and |i·h2ₛ| ≤ k·2³¹,
+    * so the Java long never overflows for k ≪ 2³⁰ and the signed-64
+    * wrap is unreachable. Validated bit-exact at sf0.01 and sf0.1
+    * (450 / 4950 rows, Bloom false positives reproduced exactly). */
+  private val q85OracleSql: String = {
+    import UbigintSql.nest
+    val M = "4294967296"
+    def rotl32(x: String, r: Int) =
+      s"((($x) * ${1L << r}) % $M + (($x) // ${1L << (32 - r)}))"
+    // list_reduce step: x = running h1, y = next 4-byte word (tail
+    // bytes ride the same round — Spark's hashUnsafeBytes tail rule)
+    val k1 = s"((${rotl32(s"(y * 3432918353) % $M", 15)}) * 461845907) % $M"
+    val mix = s"((${rotl32(s"xor(x, $k1)", 13)}) * 5 + 3864292196) % $M"
+    def fmix32(f: String, pfx: String): Seq[(String, String)] = Seq(
+      (s"${pfx}a", s"xor($f, nb)"),
+      (s"${pfx}b", s"xor(${pfx}a, ${pfx}a // 65536)"),
+      (s"${pfx}c", s"(${pfx}b * 2246822507) % $M"),
+      (s"${pfx}d", s"xor(${pfx}c, ${pfx}c // 8192)"),
+      (s"${pfx}e", s"(${pfx}d * 3266489909) % $M"),
+      (s"${pfx}h", s"xor(${pfx}e, ${pfx}e // 65536)"))
+    // little-endian 4-byte blocks + tail bytes of an ASCII gram `g`
+    val blocks =
+      "list_transform(range(0, CAST(nb // 4 AS INT)), i -> " +
+        "CAST(ord(substr(g, CAST(4*i+1 AS INT), 1)) AS UBIGINT)" +
+        " + 256*ord(substr(g, CAST(4*i+2 AS INT), 1))" +
+        " + 65536*ord(substr(g, CAST(4*i+3 AS INT), 1))" +
+        " + 16777216*ord(substr(g, CAST(4*i+4 AS INT), 1)))"
+    val tail =
+      "list_transform(range(CAST((nb // 4)*4 AS INT), CAST(nb AS INT)), i -> " +
+        "CAST(ord(substr(g, CAST(i+1 AS INT), 1)) AS UBIGINT))"
+    // h1 (seed 0) and h2 (seed h1) over a relation of distinct grams
+    def hashed(base: String): String = nest(base, Seq(
+      ("nb", "CAST(octet_length(encode(g)) AS UBIGINT)"),
+      ("blk", s"$blocks || $tail"),
+      ("f1", s"list_reduce(list_prepend(CAST(0 AS UBIGINT), blk), (x, y) -> $mix)")) ++
+      fmix32("f1", "u") ++ Seq(
+      ("f2", s"list_reduce(list_prepend(uh, blk), (x, y) -> $mix)")) ++
+      fmix32("f2", "v") ++ Seq(
+      ("h1s", s"CAST(uh AS HUGEINT) - CASE WHEN uh >= 2147483648 THEN $M ELSE 0 END"),
+      ("h2s", s"CAST(vh AS HUGEINT) - CASE WHEN vh >= 2147483648 THEN $M ELSE 0 END")))
+    // k probe positions per gram (i is 1-based: V2 adds h2 BEFORE use)
+    def positions(rel: String): String =
+      "SELECT g, CAST(CASE WHEN hraw < 0 THEN -hraw - 1 ELSE hraw END % bitsize AS BIGINT) AS pos " +
+        s"FROM (SELECT r.g, r.h1s * 2147483647 + t.i * r.h2s AS hraw, p.bitsize " +
+        s"      FROM ($rel) r, par p, LATERAL (SELECT unnest(range(1, p.k + 1)) AS i) t)"
+    val heldHashed = hashed("SELECT DISTINCT g FROM ng WHERE doc_id < 50")
+    val corpHashed = hashed("SELECT DISTINCT g FROM ng WHERE doc_id >= 50")
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS t
+       |  FROM documents),
+       |ng AS (
+       |  SELECT DISTINCT doc_id, array_to_string(list_slice(t, gi, gi + 4), ' ') AS g
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS gi
+       |        FROM tok WHERE len(t) >= 5)),
+       |par AS (
+       |  SELECT n, m0,
+       |         GREATEST(1, CAST(floor(CAST(m0 AS DOUBLE) / n * ln(2) + 0.5) AS BIGINT)) AS k,
+       |         CAST(ceil(m0 / 64.0) AS HUGEINT) * 64 AS bitsize
+       |  FROM (SELECT n, CAST(floor((-n * ln(0.001)) / (ln(2) * ln(2))) AS BIGINT) AS m0
+       |        FROM (SELECT CAST(GREATEST(COUNT(*), 1) AS DOUBLE) AS n
+       |              FROM (SELECT DISTINCT g FROM ng WHERE doc_id < 50)))),
+       |heldpos AS (SELECT DISTINCT pos FROM (${positions(heldHashed)})),
+       |cpos AS (${positions(corpHashed)}),
+       |miss AS (SELECT DISTINCT g FROM cpos ANTI JOIN heldpos USING (pos)),
+       |might AS (SELECT DISTINCT g FROM ng WHERE doc_id >= 50 EXCEPT SELECT g FROM miss),
+       |shr AS (SELECT doc_id, COUNT(*) AS n_shared FROM ng JOIN might USING (g)
+       |        WHERE doc_id >= 50 GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(shr.n_shared, 0) AS n_shared,
+       |       COALESCE(shr.n_shared, 0) >= 5 AS flagged
+       |FROM (SELECT doc_id FROM documents WHERE doc_id >= 50) d
+       |LEFT JOIN shr USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** q86 oracle: Spark's CountMinSketch (stream-lib scheme) is
