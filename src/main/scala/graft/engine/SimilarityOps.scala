@@ -44,6 +44,55 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Int8 scalar quantization of the embedding column:
+    * q[d] = floor(x[d]·127/max|x| + 0.5) ∈ [−127, 127] — per-vector
+    * symmetric max-abs scaling, the standard first rung of the ANN
+    * memory ladder (float32 → int8 is a 4× cut in vector bytes and
+    * scan bandwidth; PQ is the next rung). Emitted as BIGINT lanes
+    * for overflow-free integer dot products downstream; a storage
+    * sink would write `CAST(... AS TINYINT)`.
+    *
+    * Every step is exact or correctly-rounded IEEE (max, one multiply,
+    * one divide, floor), so quantization — unlike the float training
+    * paths — reproduces bit-identically in any engine: the q102
+    * oracle replays it in DuckDB. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("amax", expr(
+        "aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"))
+      .withColumn("qvec", expr(
+        "CASE WHEN amax = 0 THEN transform(embedding, x -> CAST(0 AS BIGINT)) " +
+        "ELSE transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT)) END"))
+      .withColumn("qn", expr(
+        "aggregate(zip_with(qvec, qvec, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .select(col("vec_id"), col("qvec"), col("qn"))
+
+  /** Quantized cosine top-k: cosine over the int8 vectors. The
+    * per-vector scales CANCEL in cosine (qa·qb / (|qa||qb|)), so the
+    * whole score pipeline is integer dot products (exact, ≤ d·127² ≪
+    * 2⁵³) plus one correctly-rounded sqrt/divide — deterministic
+    * across engines, hence a full hash-match oracle where the
+    * float-accumulation exact path needs fold-order discipline. Same
+    * topology as [[cosineTopK]] (broadcast queries, one candidate
+    * scan); at 100 TB the scan reads ¼ the bytes of the float path,
+    * and recall vs exact is measured in SimilarityMultimodalSpec. */
+  def quantizedCosineTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val v = quantizeInt8(embeddings).filter(col("qn") > 0)
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qvec").as("qq"), col("qn").as("qqn"))
+    val joined = v.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qq, qvec, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("score",
+        round(col("dot").cast("double") / (sqrt(col("qqn").cast("double")) * sqrt(col("qn").cast("double"))), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    joined
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** Random-hyperplane signatures: bit p = sign(Σ_d v[d]·s(p,d)) with
     * s(p,d) ∈ {−1,+1} derived from xxhash64(p,d) — deterministic
     * pseudo-random hyperplanes with no stored projection matrix.

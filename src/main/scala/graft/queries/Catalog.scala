@@ -1155,7 +1155,38 @@ object Catalog {
       (s, dir) => SimilarityOps.ivfTopK(
         SimilarityOps.ivfIndexFor(Tables.embeddings(s, dir), tag = dir),
         nQueries = 5, k = 10, nProbe = 4),
-      None)
+      None),
+
+    // int8 scalar-quantized cosine: per-vector max-abs scales cancel
+    // in cosine, so scoring is exact integer dot products — the one
+    // ANN family member that hash-matches without fold-order care
+    // (see SimilarityOps.quantizeInt8). 4× scan-bandwidth cut at
+    // 100 TB; recall vs exact measured in SimilarityMultimodalSpec.
+    QuerySpec(
+      "q102_quantized_ann",
+      (s, dir) => SimilarityOps.quantizedCosineTopK(Tables.embeddings(s, dir)),
+      Some("""WITH v0 AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |v1 AS (
+             |  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS amax FROM v0),
+             |v AS (
+             |  SELECT vec_id,
+             |         CASE WHEN amax = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+             |              ELSE list_transform(e, x -> CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT)) END AS qv
+             |  FROM v1),
+             |n AS (
+             |  SELECT vec_id, qv, CAST(list_inner_product(qv, qv) AS BIGINT) AS qn
+             |  FROM v),
+             |nn AS (SELECT * FROM n WHERE qn > 0),
+             |q AS (SELECT vec_id AS qid, qv AS qq, qn AS qqn FROM nn WHERE vec_id < 5),
+             |s AS (SELECT qid, vec_id,
+             |             ROUND(list_inner_product(qq, qv) / (sqrt(CAST(qqn AS DOUBLE)) * sqrt(CAST(qn AS DOUBLE))), 6) AS score
+             |      FROM nn CROSS JOIN q WHERE vec_id <> qid),
+             |r AS (SELECT qid, vec_id, score,
+             |             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+             |      FROM s)
+             |SELECT qid, vec_id, score, rn FROM r WHERE rn <= 10
+             |ORDER BY qid, rn""".stripMargin))
   )
 
   // ---------------------------------------------------------------- //

@@ -64,6 +64,28 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(recorded >= 0.8, s"recall@10 = $recorded at 4 planes / probe 2")
   }
 
+  test("int8 quantized cosine: bounded lanes, score error small, recall@10 high") {
+    val q8 = SimilarityOps.quantizeInt8(emb).collect()
+    q8.foreach { r =>
+      val lanes = r.getSeq[Long](1)
+      assert(lanes.forall(l => l >= -127 && l <= 127), s"lane out of int8 range for ${r.getLong(0)}")
+    }
+    val brute = SimilarityOps.cosineTopK(emb, nQueries = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = SimilarityOps.quantizedCosineTopK(emb, nQueries = 5, k = 10).collect()
+    val recall = (quant.map(r => (r.getLong(0), r.getLong(1))).toSet intersect brute).size.toDouble / brute.size
+    info(f"int8 recall@10 vs exact = $recall%.2f")
+    assert(recall >= 0.8, s"int8 quantization recall@10 = $recall")
+    // quantized scores track exact cosine within the int8 error budget
+    val exact = SimilarityOps.cosineTopK(emb, nQueries = 5, k = emb.count().toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    quant.foreach { r =>
+      val e = exact((r.getLong(0), r.getLong(1)))
+      assert(math.abs(r.getDouble(2) - e) < 0.02,
+        s"quantized score ${r.getDouble(2)} drifted from exact $e")
+    }
+  }
+
   test("IVF ANN: scores agree with brute force; recall@10 >= 0.8 at half-space probing") {
     val brute = SimilarityOps.cosineTopK(emb, nQueries = 5, k = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
