@@ -77,7 +77,17 @@ object SimilarityOps {
     * scan); at 100 TB the scan reads ¼ the bytes of the float path,
     * and recall vs exact is measured in SimilarityMultimodalSpec. */
   def quantizedCosineTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
-    val v = quantizeInt8(embeddings).filter(col("qn") > 0)
+    // zero-vector guard on the RAW column, not on qn: `qn > 0` after
+    // the quantize projections gets predicate-pushed below them by
+    // re-deriving qn — which inlines the whole HOF chain into the
+    // filter (qvec twice inside zip_with, amax twice inside each
+    // qvec: ~6 interpreted array passes per row before the
+    // projections run them again; measured 4× the q46 runtime).
+    // exists(x <> 0) is equivalent (amax > 0 ⟺ some lane nonzero ⟺
+    // qn > 0), pushes to the scan as one short-circuit pass, and
+    // leaves the quantize chain evaluated exactly once.
+    val v = quantizeInt8(
+      embeddings.filter(expr("exists(embedding, x -> CAST(x AS DOUBLE) <> 0.0)")))
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("qvec").as("qq"), col("qn").as("qqn"))
     val joined = v.join(broadcast(q), col("vec_id") =!= col("qid"))

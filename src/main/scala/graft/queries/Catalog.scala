@@ -1171,13 +1171,11 @@ object Catalog {
              |  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS amax FROM v0),
              |v AS (
              |  SELECT vec_id,
-             |         CASE WHEN amax = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
-             |              ELSE list_transform(e, x -> CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT)) END AS qv
-             |  FROM v1),
-             |n AS (
+             |         list_transform(e, x -> CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT)) AS qv
+             |  FROM v1 WHERE amax > 0),
+             |nn AS (
              |  SELECT vec_id, qv, CAST(list_inner_product(qv, qv) AS BIGINT) AS qn
              |  FROM v),
-             |nn AS (SELECT * FROM n WHERE qn > 0),
              |q AS (SELECT vec_id AS qid, qv AS qq, qn AS qqn FROM nn WHERE vec_id < 5),
              |s AS (SELECT qid, vec_id,
              |             ROUND(list_inner_product(qq, qv) / (sqrt(CAST(qqn AS DOUBLE)) * sqrt(CAST(qn AS DOUBLE))), 6) AS score
