@@ -44,4 +44,40 @@ object CorpusOps {
               col("clean_fp"), col("quality"), col("n_pieces"))
       .orderBy(col("doc_id"))
   }
+
+  /** Sequence packing — the concat-and-chunk step that turns a
+    * curated corpus into fixed-length training sequences: documents
+    * are concatenated in stream order and cut into `seqLen`-token
+    * sequences, so each document maps to a span of sequence ids
+    * (start_seq..end_seq) plus its token offset inside the first one.
+    * Pure window arithmetic over the running token count — one
+    * shuffle on the stream key, no sequential driver loop.
+    *
+    * Streams are per-`lang` here (`Window.partitionBy`): packing is
+    * only meaningful within a stream, and that is exactly what makes
+    * it scale — at 100 TB the partition key is the shard/stream id,
+    * every stream packs independently in parallel, and no global
+    * order or global cumsum exists anywhere in the plan. (A single
+    * global stream would be the classic unpartitioned-window
+    * anti-pattern: all rows to one task.) Token counts use the q66
+    * BPE-ish piece estimate; zero-token documents carry nothing into
+    * the stream and are dropped. Deterministic integer arithmetic
+    * throughout → full hash-match oracle (q103). */
+  def packSequences(documents: DataFrame, seqLen: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents.select(col("lang"), col("doc_id"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0)"))
+          .cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    toks
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("start_seq", expr(s"(cum - n_tokens) DIV $seqLen"))
+      .withColumn("end_seq", expr(s"(cum - 1) DIV $seqLen"))
+      .withColumn("tok_offset", expr(s"(cum - n_tokens) % $seqLen"))
+      .withColumn("n_seqs", col("end_seq") - col("start_seq") + lit(1L))
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("start_seq"),
+              col("end_seq"), col("tok_offset"), col("n_seqs"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
 }

@@ -1115,7 +1115,29 @@ object Catalog {
       "q73_verified_jaccard",
       (s, dir) => DedupOps.verifiedJaccardPairsFromShared(
         SketchShared.sketches(s, dir), SketchShared.minhashPairs(s, dir)),
-      Some(q73OracleSql))
+      Some(q73OracleSql)),
+
+    // Concat-and-chunk sequence packing: per-lang streams, window
+    // cumsum → each doc's training-sequence span. Integer arithmetic
+    // end to end → hash-match oracle (see CorpusOps.packSequences for
+    // the per-stream 100 TB posture).
+    QuerySpec(
+      "q103_sequence_pack",
+      (s, dir) => CorpusOps.packSequences(Tables.documents(s, dir)),
+      Some("""WITH t AS (
+             |  SELECT lang, doc_id,
+             |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT lang, doc_id, n_tokens,
+             |         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+             |  FROM t WHERE n_tokens > 0)
+             |SELECT lang, doc_id, n_tokens,
+             |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS start_seq,
+             |       CAST((cum - 1) // 2048 AS BIGINT) AS end_seq,
+             |       CAST((cum - n_tokens) % 2048 AS BIGINT) AS tok_offset,
+             |       CAST((cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1 AS BIGINT) AS n_seqs
+             |FROM c ORDER BY lang, doc_id""".stripMargin))
   )
 
   // ---------------------------------------------------------------- //

@@ -297,4 +297,30 @@ class TextDedupSpec extends SparkSpec {
     assert(DedupOps.verifiedJaccardPairsFromShared(sketches, mhPairs).collect().toSeq ==
            DedupOps.verifiedJaccardPairs(docs).collect().toSeq)
   }
+
+  test("sequence packing: contiguous spans per stream, offsets bounded, chunk count exact") {
+    val seqLen = 2048
+    val packed = CorpusOps.packSequences(Tables.documents(spark, sf), seqLen).collect()
+    assert(packed.nonEmpty)
+    packed.foreach { r =>
+      val (nTok, start, end, off, nSeqs) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(nTok > 0 && off >= 0 && off < seqLen, s"offset $off out of range")
+      assert(end >= start && nSeqs == end - start + 1)
+      // the doc's tokens end exactly at offset+nTok within its span
+      assert(start * seqLen + off + nTok - 1 == end * seqLen + ((off + nTok - 1) % seqLen))
+    }
+    // per stream: docs tile the concatenated token run with no gaps
+    packed.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val ordered = rows.sortBy(_.getLong(1))
+      var cum = 0L
+      ordered.foreach { r =>
+        assert(r.getLong(3) == cum / seqLen && r.getLong(5) == cum % seqLen,
+          s"$lang doc ${r.getLong(1)}: span does not continue the stream")
+        cum += r.getLong(2)
+      }
+      val lastEnd = ordered.last.getLong(4)
+      assert(lastEnd == (cum - 1) / seqLen, s"$lang: final chunk count wrong")
+    }
+  }
 }
