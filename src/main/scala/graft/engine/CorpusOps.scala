@@ -80,4 +80,33 @@ object CorpusOps {
               col("end_seq"), col("tok_offset"), col("n_seqs"))
       .orderBy(col("lang"), col("doc_id"))
   }
+
+  /** Corpus mixing — deterministic per-source up/down-sampling to a
+    * target data mix: each document gets n_copies = ⌊w⌋ + (u < frac(w))
+    * copies, where w is its source's mix weight and u ∈ [0,1) is
+    * derived from `xxhash64(doc_id)` — NOT from `rand()`. Hash-based
+    * membership is what a production mix needs: reruns reproduce the
+    * same corpus bit-for-bit, a document keeps its fate when the
+    * corpus grows (rates don't reshuffle everyone like
+    * partition-seeded RNG does), and the mix composes with the
+    * hash-split (q94) because both are pure functions of the key.
+    * w = 0 drops a source, w ∈ (0,1) down-samples, w > 1 up-samples
+    * (epoch column = copy index, the repeat-factor artifact LLM data
+    * mixes feed the loader). One scan, no shuffle beyond the
+    * catalog-form sort; output size = Σ ⌈w_s·n_s⌉. Deterministic
+    * integers/exact binary fractions end to end → hash-match oracle
+    * (q104). */
+  def mixCorpus(documents: DataFrame, weights: Map[String, Double]): DataFrame = {
+    val w = weights.foldLeft(lit(1.0)) { case (acc, (src, wt)) =>
+      when(col("source") === src, lit(wt)).otherwise(acc) }
+    documents.select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("w", w)
+      .withColumn("u", pmod(xxhash64(col("doc_id")), lit(1000000L)).cast("double") / 1000000.0)
+      .withColumn("n_copies",
+        (floor(col("w")) + when(col("u") < col("w") - floor(col("w")), 1L).otherwise(0L)).cast("long"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_copies"),
+              explode(expr("sequence(0L, n_copies - 1L)")).as("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
 }

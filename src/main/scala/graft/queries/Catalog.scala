@@ -1117,6 +1117,16 @@ object Catalog {
         SketchShared.sketches(s, dir), SketchShared.minhashPairs(s, dir)),
       Some(q73OracleSql)),
 
+    // Deterministic data mixing: per-source weights 0 / 0.5 / 2 / 2.25
+    // exercise drop, down-sample, integer and fractional up-sample;
+    // membership from xxhash64(doc_id), never rand() (see
+    // CorpusOps.mixCorpus for why that is the production property).
+    QuerySpec(
+      "q104_corpus_mix",
+      (s, dir) => CorpusOps.mixCorpus(Tables.documents(s, dir),
+        Map("src0" -> 0.0, "src1" -> 0.5, "src2" -> 2.0, "src3" -> 2.25)),
+      Some(q104OracleSql)),
+
     // Concat-and-chunk sequence packing: per-lang streams, window
     // cumsum → each doc's training-sequence span. Integer arithmetic
     // end to end → hash-match oracle (see CorpusOps.packSequences for
@@ -1296,44 +1306,78 @@ object Catalog {
     """CAST(CASE WHEN uh >= CAST(9223372036854775808 AS HUGEINT)
       |       THEN uh - CAST(18446744073709551616 AS HUGEINT) ELSE uh END AS BIGINT)""".stripMargin
 
-  /** q94 oracle: Spark's `xxhash64` over a LONG column is XXH64 of
-    * the 8-byte little-endian value with seed 42 — a FIXED sequence
-    * of mod-2^64 multiplies, rotates and xors (single 8-byte block +
-    * avalanche), reproduced in DuckDB HUGEINT arithmetic. The 64×64
-    * multiply is split at 32 bits so intermediates stay inside the
-    * signed 128-bit HUGEINT range; xor runs through signed BIGINT
-    * (bitwise identity). Validated bit-exact against the Spark
-    * per-doc buckets. */
-  private val q94OracleSql: String = {
-    val M64 = "18446744073709551616"
-    val B32 = "4294967296"
-    def mul(a: String, b: String) =
+  /** XXH64(seed 42) of the BIGINT `doc_id` — Spark's `xxhash64` over
+    * a LONG column: a FIXED sequence of mod-2^64 multiplies, rotates
+    * and xors (single 8-byte block + avalanche), reproduced in DuckDB
+    * HUGEINT arithmetic. The 64×64 multiply is split at 32 bits so
+    * intermediates stay inside the signed 128-bit HUGEINT range; xor
+    * runs through signed BIGINT (bitwise identity). Emitted as the
+    * CTE chain `d, s3..s10` ending in unsigned `h8`, plus the
+    * signed-BIGINT converter for the caller's mod — shared by the
+    * q94 (hash split) and q104 (corpus mixing) oracles; validated
+    * bit-exact against the Spark per-doc values. */
+  private object Xxh64DocIdSql {
+    private val M64 = "18446744073709551616"
+    private val B32 = "4294967296"
+    private def mul(a: String, b: String) =
       s"((((($a)//$B32)*($b))%$B32)*$B32 + (($a)%$B32)*($b)) % $M64"
-    def rotl(x: String, r: Int) =
+    private def rotl(x: String, r: Int) =
       s"((($x)*${1L << r} + ($x)//${1L << (64 - r)}) % $M64)"
     def tos(x: String) =
       s"(CASE WHEN ($x) >= 9223372036854775808 THEN CAST(($x) - $M64 AS BIGINT) ELSE CAST(($x) AS BIGINT) END)"
-    def xor64(a: String, b: String) =
+    private def xor64(a: String, b: String) =
       s"(CASE WHEN xor(${tos(a)}, ${tos(b)}) < 0 THEN CAST(xor(${tos(a)}, ${tos(b)}) AS HUGEINT) + $M64 ELSE CAST(xor(${tos(a)}, ${tos(b)}) AS HUGEINT) END)"
-    val p1 = s"CAST(11400714785074694791 AS HUGEINT)"
-    val p2 = s"CAST(14029467366897019727 AS HUGEINT)"
-    val p3 = s"CAST(1609587929392839161 AS HUGEINT)"
-    val p4 = "9650029242287828579"
-    val h0 = "CAST(2870177450012600311 AS HUGEINT)" // (seed 42 + PRIME64_5 + len 8) mod 2^64
-    s"""WITH d AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS k FROM documents),
-       |s3 AS (SELECT doc_id, ${mul(rotl(mul("k", p2), 31), p1)} AS k1c FROM d),
-       |s5 AS (SELECT doc_id, (${mul(rotl(xor64(h0, "k1c"), 27), p1)} + $p4) % $M64 AS h3 FROM s3),
-       |s6 AS (SELECT doc_id, ${xor64("h3", "h3//8589934592")} AS h4 FROM s5),
-       |s7 AS (SELECT doc_id, ${mul("h4", p2)} AS h5 FROM s6),
-       |s8 AS (SELECT doc_id, ${xor64("h5", "h5//536870912")} AS h6 FROM s7),
-       |s9 AS (SELECT doc_id, ${mul("h6", p3)} AS h7 FROM s8),
-       |s10 AS (SELECT doc_id, ${xor64("h7", "h7//4294967296")} AS h8 FROM s9),
+    private val p1 = s"CAST(11400714785074694791 AS HUGEINT)"
+    private val p2 = s"CAST(14029467366897019727 AS HUGEINT)"
+    private val p3 = s"CAST(1609587929392839161 AS HUGEINT)"
+    private val p4 = "9650029242287828579"
+    private val h0 = "CAST(2870177450012600311 AS HUGEINT)" // (seed 42 + PRIME64_5 + len 8) mod 2^64
+    /** CTEs computing h8 = xxhash64(doc_id, 42) as unsigned HUGEINT. */
+    val ctes: String =
+      s"""d AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS k FROM documents),
+         |s3 AS (SELECT doc_id, ${mul(rotl(mul("k", p2), 31), p1)} AS k1c FROM d),
+         |s5 AS (SELECT doc_id, (${mul(rotl(xor64(h0, "k1c"), 27), p1)} + $p4) % $M64 AS h3 FROM s3),
+         |s6 AS (SELECT doc_id, ${xor64("h3", "h3//8589934592")} AS h4 FROM s5),
+         |s7 AS (SELECT doc_id, ${mul("h4", p2)} AS h5 FROM s6),
+         |s8 AS (SELECT doc_id, ${xor64("h5", "h5//536870912")} AS h6 FROM s7),
+         |s9 AS (SELECT doc_id, ${mul("h6", p3)} AS h7 FROM s8),
+         |s10 AS (SELECT doc_id, ${xor64("h7", "h7//4294967296")} AS h8 FROM s9)""".stripMargin
+  }
+
+  private val q94OracleSql: String = {
+    import Xxh64DocIdSql.{ctes, tos}
+    s"""WITH $ctes,
        |buck AS (SELECT doc_id, ((${tos("h8")} % 10) + 10) % 10 AS bucket FROM s10),
        |sp AS (SELECT doc_id,
        |         CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val'
        |              ELSE 'test' END AS split
        |       FROM buck)
        |SELECT split, COUNT(*) AS n_docs FROM sp GROUP BY split ORDER BY split""".stripMargin
+  }
+
+  /** q104 oracle: mixing replays the same xxhash64 chain — u =
+    * pmod(h, 10^6)/10^6, n_copies = ⌊w⌋ + (u < frac(w)), one row per
+    * (doc, epoch). The example weights are exact binary fractions, so
+    * the frac(w) comparison carries no FP drift across engines. */
+  private val q104OracleSql: String = {
+    import Xxh64DocIdSql.{ctes, tos}
+    s"""WITH $ctes,
+       |u AS (SELECT doc_id,
+       |        CAST(((${tos("h8")} % 1000000) + 1000000) % 1000000 AS DOUBLE) / 1000000.0 AS u
+       |      FROM s10),
+       |m AS (SELECT dd.doc_id, dd.lang, dd.source,
+       |        CASE dd.source WHEN 'src0' THEN 0.0 WHEN 'src1' THEN 0.5
+       |                       WHEN 'src2' THEN 2.0 WHEN 'src3' THEN 2.25
+       |                       ELSE 1.0 END AS w,
+       |        u.u
+       |      FROM documents dd JOIN u USING (doc_id)),
+       |n AS (SELECT doc_id, lang, source,
+       |        CAST(floor(w) + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+       |      FROM m)
+       |SELECT doc_id, lang, source, n_copies,
+       |       CAST(unnest(range(0, n_copies)) AS BIGINT) AS epoch
+       |FROM n WHERE n_copies > 0
+       |ORDER BY doc_id, epoch""".stripMargin
   }
 
   /** q42 oracle: the whole MinHash+LSH chain is deterministic, so it

@@ -323,4 +323,30 @@ class TextDedupSpec extends SparkSpec {
       assert(lastEnd == (cum - 1) / seqLen, s"$lang: final chunk count wrong")
     }
   }
+
+  test("corpus mixing: weights respected, growth-stable, never rand-dependent") {
+    val weights = Map("src0" -> 0.0, "src1" -> 0.5, "src2" -> 2.0, "src3" -> 2.25)
+    val mixed = CorpusOps.mixCorpus(docs, weights).collect()
+    // src0 dropped entirely; every doc's copy count is floor(w) or ceil(w)
+    assert(!mixed.exists(_.getString(2) == "src0"))
+    mixed.groupBy(r => (r.getLong(0), r.getString(2))).foreach { case ((id, src), copies) =>
+      val w = weights.getOrElse(src, 1.0)
+      val n = copies.map(_.getLong(4)).toSet // epochs 0..n-1, no dup epochs
+      assert(n == (0L until copies.length.toLong).toSet, s"doc $id epochs not contiguous")
+      assert(copies.length == math.floor(w).toLong || copies.length == math.ceil(w).toLong,
+        s"doc $id from $src got ${copies.length} copies for weight $w")
+    }
+    // down-sampled source lands near its target rate
+    val nSrc1 = mixed.count(_.getString(2) == "src1")
+    val src1Total = docs.filter(col("source") === "src1").count()
+    assert(nSrc1 > 0 && nSrc1 < src1Total, s"src1: $nSrc1 of $src1Total kept")
+    // growth-stability: mixing HALF the corpus gives every surviving
+    // doc the same copy count as in the full-corpus mix
+    val halfIds = CorpusOps.mixCorpus(docs.filter(col("doc_id") < 250), weights)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    val fullIds = mixed.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    halfIds.foreach { case (id, n) =>
+      assert(fullIds(id) == n, s"doc $id changed copy count when corpus grew")
+    }
+  }
 }
