@@ -189,4 +189,40 @@ object StreamOps {
           (user, n, s)
       }
   }
+
+  /** Streaming sequence packing — [[graft.engine.CorpusOps.packSequences]]
+    * as continuous data prep: documents arrive as (lang, doc_id,
+    * n_tokens), per-lang state is ONE long (the stream's running token
+    * count), and each arriving doc is assigned its training-sequence
+    * span incrementally. Sequence ids are stable across micro-batches
+    * because the cumsum carries in state, so a restart-from-checkpoint
+    * resumes exactly where the stream left off — the property that
+    * lets a 100 TB pre-training feed pack as it lands instead of in a
+    * terminal batch job. State is O(1) per stream key; within a batch,
+    * group rows are packed in doc_id order (the stream's order
+    * contract; equality with the batch form over the same fed data is
+    * asserted in StreamingSpec). Zero-token docs carry nothing. */
+  def packSequencesStream(docs: Dataset[(String, Long, Long)], seqLen: Int = 2048)
+      : Dataset[(String, Long, Long, Long, Long, Long, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    docs
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (lang: String, rows: Iterator[(String, Long, Long)], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          // bounded: one micro-batch of one group; sort restores the
+          // stream-order contract within the batch
+          val packed = rows.toSeq.sortBy(_._2).filter(_._3 > 0).map { case (_, id, n) =>
+            val start = cum / seqLen
+            val off = cum % seqLen
+            cum += n
+            val end = (cum - 1) / seqLen
+            (lang, id, n, start, end, off, end - start + 1)
+          }
+          state.update(cum)
+          packed.iterator
+      }
+  }
 }

@@ -255,4 +255,38 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming sequence packing equals the batch form over the same fed docs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // real per-doc token counts, fed across batches in doc_id order
+    // (the stream-order contract): the per-lang cumsum state must
+    // carry across the batch boundary for spans to stay aligned
+    val toks = graft.engine.Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0)")).cast("long"))
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    val (feed1, feed2) = toks.splitAt(toks.length / 2)
+    val input = MemoryStream[(String, Long, Long)]
+    val q = StreamOps.packSequencesStream(input.toDS())
+      .toDF("lang", "doc_id", "n_tokens", "start_seq", "end_seq", "tok_offset", "n_seqs")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_pack").start()
+    try {
+      input.addData(feed1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(feed2.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("stream_pack").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(t => (t._1, t._2))
+    val batch = graft.engine.CorpusOps.packSequences(
+        graft.engine.Tables.documents(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(t => (t._1, t._2))
+    assert(streamed.toSeq == batch.toSeq,
+      s"streaming packing diverged from batch (${streamed.length} vs ${batch.length} rows)")
+  }
 }
