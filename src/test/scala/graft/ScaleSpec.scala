@@ -183,4 +183,24 @@ class ScaleSpec extends SparkSpec {
     assert(persisted.sameElements(fresh),
       "persisted-index probe results diverge from a fresh build")
   }
+
+  test("q102 zero-vector guard stays out of the quantize chain under pushdown") {
+    // Regression pin for the r7 finding: a qn > 0 filter placed after
+    // the quantize projections gets predicate-pushed below them by
+    // RE-DERIVING qn, inlining ~6 interpreted HOF array passes into
+    // the filter (2.6x the query's runtime). The guard now lives on
+    // the raw embedding column; assert no Filter in the optimized
+    // plan carries a folded aggregate/zip_with chain.
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val plan = graft.engine.SimilarityOps.quantizedCosineTopK(emb)
+      .queryExecution.optimizedPlan
+    val filterConds = plan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition.toString
+    }
+    assert(filterConds.nonEmpty, "expected the zero-vector guard filter to exist")
+    filterConds.foreach { c =>
+      assert(!c.contains("zip_with") && !c.contains("aggregate("),
+        s"quantize chain re-derived inside a pushed filter:\n$c")
+    }
+  }
 }
