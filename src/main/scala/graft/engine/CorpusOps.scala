@@ -81,6 +81,31 @@ object CorpusOps {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** Sequence manifest — the inverse of [[packSequences]]: for every
+    * training sequence, which documents compose it and where. One row
+    * per (sequence, contributing doc) with the in-sequence offset, the
+    * token count taken, and how many of the doc's tokens precede this
+    * sequence — exactly what a training loader needs to assemble
+    * sequence s without scanning the corpus. Derived by exploding
+    * each doc's span (bounded: a doc touches ⌈n/seqLen⌉+1 sequences)
+    * and intersecting global token intervals; every sequence except a
+    * stream's last is full, asserted in TextDedupSpec. Same
+    * per-stream posture as packing; integer arithmetic end to end →
+    * hash-match oracle (q105). */
+  def sequenceManifest(documents: DataFrame, seqLen: Int = 2048): DataFrame =
+    packSequences(documents, seqLen)
+      .withColumn("seq_id", explode(expr("sequence(start_seq, end_seq)")))
+      .withColumn("g0", col("start_seq") * seqLen + col("tok_offset"))
+      .withColumn("s0", col("seq_id") * seqLen)
+      .withColumn("take_from", greatest(col("g0"), col("s0")))
+      .select(
+        col("lang"), col("seq_id"), col("doc_id"),
+        (col("take_from") - col("s0")).as("offset_in_seq"),
+        (least(col("g0") + col("n_tokens"), col("s0") + seqLen) - col("take_from"))
+          .as("n_from_doc"),
+        (col("take_from") - col("g0")).as("doc_skip"))
+      .orderBy(col("lang"), col("seq_id"), col("offset_in_seq"))
+
   /** Corpus mixing — deterministic per-source up/down-sampling to a
     * target data mix: each document gets n_copies = ⌊w⌋ + (u < frac(w))
     * copies, where w is its source's mix weight and u ∈ [0,1) is

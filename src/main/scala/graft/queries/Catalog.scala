@@ -1147,7 +1147,43 @@ object Catalog {
              |       CAST((cum - 1) // 2048 AS BIGINT) AS end_seq,
              |       CAST((cum - n_tokens) % 2048 AS BIGINT) AS tok_offset,
              |       CAST((cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1 AS BIGINT) AS n_seqs
-             |FROM c ORDER BY lang, doc_id""".stripMargin))
+             |FROM c ORDER BY lang, doc_id""".stripMargin)),
+
+    // The packer's inverse: per training sequence, which docs compose
+    // it and where — the loader-side artifact. Same stream posture,
+    // same exact-integer oracle path.
+    QuerySpec(
+      "q105_sequence_manifest",
+      (s, dir) => CorpusOps.sequenceManifest(Tables.documents(s, dir)),
+      Some("""WITH t AS (
+             |  SELECT lang, doc_id,
+             |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT lang, doc_id, n_tokens,
+             |         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+             |  FROM t WHERE n_tokens > 0),
+             |sp AS (
+             |  SELECT lang, doc_id, n_tokens,
+             |         CAST((cum - n_tokens) // 2048 AS BIGINT) AS start_seq,
+             |         CAST((cum - 1) // 2048 AS BIGINT) AS end_seq,
+             |         CAST((cum - n_tokens) % 2048 AS BIGINT) AS tok_offset
+             |  FROM c),
+             |e AS (
+             |  SELECT lang, doc_id, n_tokens, tok_offset, start_seq,
+             |         CAST(unnest(range(start_seq, end_seq + 1)) AS BIGINT) AS seq_id
+             |  FROM sp),
+             |g AS (
+             |  SELECT lang, seq_id, doc_id, n_tokens,
+             |         start_seq * 2048 + tok_offset AS g0,
+             |         seq_id * 2048 AS s0,
+             |         GREATEST(start_seq * 2048 + tok_offset, seq_id * 2048) AS take_from
+             |  FROM e)
+             |SELECT lang, seq_id, doc_id,
+             |       CAST(take_from - s0 AS BIGINT) AS offset_in_seq,
+             |       CAST(LEAST(g0 + n_tokens, s0 + 2048) - take_from AS BIGINT) AS n_from_doc,
+             |       CAST(take_from - g0 AS BIGINT) AS doc_skip
+             |FROM g ORDER BY lang, seq_id, offset_in_seq""".stripMargin))
   )
 
   // ---------------------------------------------------------------- //

@@ -324,6 +324,32 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("sequence manifest: every sequence full except each stream's last, pieces contiguous") {
+    val seqLen = 2048
+    val rows = CorpusOps.sequenceManifest(docs, seqLen).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(t => (t._1, t._2)).foreach { case ((lang, seq), pieces) =>
+      val ordered = pieces.sortBy(_._4)
+      // pieces tile the sequence with no gaps or overlaps from offset 0
+      ordered.foldLeft(0L) { case (expectOff, (_, _, _, off, n, _)) =>
+        assert(off == expectOff, s"$lang seq $seq: piece at $off, expected $expectOff")
+        assert(n > 0); off + n
+      }
+      val lastSeq = rows.filter(_._1 == lang).map(_._2).max
+      val total = ordered.map(_._5).sum
+      if (seq != lastSeq) assert(total == seqLen, s"$lang seq $seq holds $total tokens")
+      else assert(total <= seqLen)
+    }
+    // cross-check against the packer: total tokens agree per doc
+    val packed = CorpusOps.packSequences(docs, seqLen).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val byDoc = rows.groupBy(t => (t._1, t._3)).view.mapValues(_.map(_._5).sum)
+    byDoc.foreach { case (key, n) =>
+      assert(packed(key) == n, s"doc $key: manifest pieces sum $n != packed ${packed(key)}")
+    }
+  }
+
   test("corpus mixing: weights respected, growth-stable, never rand-dependent") {
     val weights = Map("src0" -> 0.0, "src1" -> 0.5, "src2" -> 2.0, "src3" -> 2.25)
     val mixed = CorpusOps.mixCorpus(docs, weights).collect()
