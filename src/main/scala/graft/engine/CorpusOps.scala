@@ -65,10 +65,17 @@ object CorpusOps {
     * throughout → full hash-match oracle (q103). */
   def packSequences(documents: DataFrame, seqLen: Int = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = documents.select(col("lang"), col("doc_id"),
+    // zero-token guard on the RAW text, not on n_tokens: the pushed
+    // `n_tokens > 0` re-derives the full regexp_extract_all in the
+    // filter below the projection (the q102 pushdown lesson —
+    // doubling the query's dominant regex cost). Every non-space char
+    // contributes to some piece of the token regex and spaces
+    // contribute nothing, so `has a non-space char` is the same set.
+    val toks = documents
+      .filter(col("text").rlike("[^ ]"))
+      .select(col("lang"), col("doc_id"),
         size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0)"))
           .cast("long").as("n_tokens"))
-      .filter(col("n_tokens") > 0)
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
     toks
       .withColumn("cum", sum(col("n_tokens")).over(w))
