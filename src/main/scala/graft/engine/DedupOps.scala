@@ -174,10 +174,14 @@ object DedupOps {
   def minhashSignatures(documents: DataFrame, numHashes: Int = 32): DataFrame = {
     MinHashPack.register(documents.sparkSession)
     ShingleHashes.register(documents.sparkSession)
+    // shingle-less guard on the RAW text (the q102/q103 pushdown
+    // lesson): `size(sh_hashes) > 0` after the projection re-derives
+    // shingle_hashes inside the pushed filter — the whole text pass,
+    // twice. A document has a shingle iff it has >= ShingleSize chars.
     documents
+      .filter(length(col("text")) >= ShingleSize)
       .select(col("doc_id"),
         expr(s"shingle_hashes(text, $ShingleSize)").as("sh_hashes"))
-      .filter(size(col("sh_hashes")) > 0)
       .select(col("doc_id"), expr(s"minhash_pack(sh_hashes, $numHashes)").as("sig"))
   }
 
@@ -285,10 +289,14 @@ object DedupOps {
     ShingleHashes.register(documents.sparkSession)
     MinHashPack.register(documents.sparkSession)
     // ONE shingling pass: the checkpointed hash sets feed both the
-    // signature/candidate generation and the exact verification join
+    // signature/candidate generation and the exact verification join.
+    // Shingle-less guard on the raw length, not size(sh) — a pushed
+    // size(sh) > 0 re-derives shingle_hashes in the filter (q102/q103
+    // pushdown lesson), doubling the pass this checkpoint exists to
+    // pay once.
     val shArr = documents
+      .filter(length(col("text")) >= ShingleSize)
       .select(col("doc_id"), expr(s"shingle_hashes(text, $ShingleSize)").as("sh"))
-      .filter(size(col("sh")) > 0)
       .localCheckpoint(false)
     val sigs = shArr.select(col("doc_id"), expr(s"minhash_pack(sh, $numHashes)").as("sig"))
     verifiedJaccardCore(shArr, sigs, threshold, numHashes)
@@ -373,10 +381,14 @@ object DedupOps {
     * semantics where they produced no group. */
   def simhashSignatures(documents: DataFrame): DataFrame = {
     SimHashPack.register(documents.sparkSession)
+    // token-less guard on the RAW text: a pushed size(toks) > 0
+    // re-derives the regexp+hash transform inside the filter
+    // (q102/q103 pushdown lesson). The token regex matches iff the
+    // text has an alphanumeric/underscore char.
     documents
+      .filter(col("text").rlike("[A-Za-z0-9_]"))
       .select(col("doc_id"),
         expr("transform(regexp_extract_all(lower(text), '[a-z0-9_]+', 0), t -> xxhash64(t))").as("toks"))
-      .filter(size(col("toks")) > 0)
       .select(col("doc_id"), expr("simhash_pack(toks)").as("simhash"))
   }
 

@@ -107,12 +107,20 @@ object TextOps {
     * joined with single spaces) — the decontamination unit. Exploded
     * long-form: (doc_id, gram). */
   def wordNgrams(documents: DataFrame, n: Int = 5): DataFrame =
+    // no filter on size(toks): predicate pushdown would re-derive the
+    // token regex inside the filter (q102/q103 lesson), and "has >= n
+    // tokens" has no cheap raw-text equivalent. Guard inside the gram
+    // projection instead — explode of the empty array drops short
+    // docs exactly like the filter did, and CollapseProject keeps the
+    // two projections separate (toks is referenced more than once and
+    // is not cheap), so the regex runs once per row.
     documents
       .select(col("doc_id"),
         expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)").as("toks"))
-      .filter(size(col("toks")) >= n)
       .select(col("doc_id"), explode(array_distinct(
-        expr(s"transform(sequence(1, size(toks) - ${n - 1}), i -> array_join(slice(toks, i, $n), ' '))")))
+        expr(s"CASE WHEN size(toks) >= $n THEN " +
+          s"transform(sequence(1, size(toks) - ${n - 1}), i -> array_join(slice(toks, i, $n), ' ')) " +
+          "ELSE array() END")))
         .as("gram"))
 
   /** Cross-set decontamination (the LLM-pipeline eval-leak check):
@@ -276,11 +284,15 @@ object TextOps {
     * per-row array work, no shuffle. */
   def repetitionSignals(documents: DataFrame): DataFrame =
     documents
+      // token-less guard on the RAW text (q102/q103 pushdown lesson:
+      // a pushed `n_tokens > 0` re-derives the token regex in the
+      // filter); the token regex matches iff some alnum/underscore
+      // char exists
+      .filter(col("text").rlike("[A-Za-z0-9_]"))
       .select(col("doc_id"),
         expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)").as("toks"),
         split(col("text"), "\\. ").as("sentences"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .filter(col("n_tokens") > 0)
       .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
       .withColumn("distinct_ratio",
         round(col("n_distinct").cast("double") / col("n_tokens"), 6))
