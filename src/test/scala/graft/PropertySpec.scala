@@ -111,6 +111,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sequence packing + manifest invariants hold on random corpora") {
+    import spark.implicits._
+    // independent reference: sequential per-stream concat-and-chunk
+    def refPack(rows: Seq[(String, Long, Long)], seqLen: Long)
+        : Map[(String, Long), (Long, Long, Long)] = {
+      rows.groupBy(_._1).flatMap { case (lang, docs) =>
+        var cum = 0L
+        docs.sortBy(_._2).filter(_._3 > 0).map { case (_, id, n) =>
+          val start = cum / seqLen; val off = cum % seqLen
+          cum += n
+          ((lang, id), (start, (cum - 1) / seqLen, off))
+        }
+      }
+    }
+    Seq(31, 37, 41).foreach { seed =>
+      val rnd = new Random(seed)
+      val seqLen = 16 + rnd.nextInt(48)
+      // token counts skewed: many tiny docs, some spanning multiple
+      // sequences, some zero-token
+      val rows = (0 until 80 + rnd.nextInt(60)).map { i =>
+        val lang = Seq("aa", "bb", "cc")(rnd.nextInt(3))
+        val n = rnd.nextInt(4) match {
+          case 0 => 0L
+          case 1 => (1 + rnd.nextInt(5)).toLong
+          case _ => (1 + rnd.nextInt(3 * seqLen)).toLong
+        }
+        (lang, i.toLong, n)
+      }
+      // drive the REAL operator through synthetic text whose token
+      // count is exact: n space-separated single-letter tokens
+      val docs = rows.map { case (lang, id, n) =>
+        (id, ("x " * n.toInt).trim, lang, "srcP")
+      }.toDF("doc_id", "text", "lang", "source")
+      val got = graft.engine.CorpusOps.packSequences(docs, seqLen).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toMap
+      assert(got == refPack(rows, seqLen), s"seed $seed, seqLen $seqLen")
+      // manifest pieces per doc must sum to the doc's token count
+      val pieces = graft.engine.CorpusOps.sequenceManifest(docs, seqLen).collect()
+        .groupBy(r => (r.getString(0), r.getLong(2))).view.mapValues(_.map(_.getLong(4)).sum)
+      rows.filter(_._3 > 0).foreach { case (lang, id, n) =>
+        assert(pieces((lang, id)) == n, s"seed $seed: doc $id pieces != $n tokens")
+      }
+    }
+  }
+
   test("connectedComponents handles an empty node set") {
     import spark.implicits._
     val empty = DedupOps.connectedComponents(
