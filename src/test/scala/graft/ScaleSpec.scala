@@ -184,6 +184,23 @@ class ScaleSpec extends SparkSpec {
       "persisted-index probe results diverge from a fresh build")
   }
 
+  test("expensive text expressions evaluate once per row across the audited operators") {
+    // Regression pin for the round-7 pushdown audit: a filter on a
+    // computed column gets pushed below its projection by
+    // substituting the full expression, so the text pass runs twice
+    // per row. Each audited operator must mention its dominant
+    // expression exactly once in the optimized plan.
+    import graft.engine.{CorpusOps, DedupOps, TextOps}
+    val docs = graft.engine.Tables.documents(spark, sf)
+    def occurrences(df: org.apache.spark.sql.DataFrame, token: String): Int =
+      token.r.findAllIn(df.queryExecution.optimizedPlan.toString).length
+    assert(occurrences(DedupOps.minhashSignatures(docs), "shingle_hashes") == 1)
+    assert(occurrences(DedupOps.simhashSignatures(docs), "regexp_extract_all") == 1)
+    assert(occurrences(TextOps.wordNgrams(docs), "regexp_extract_all") == 1)
+    assert(occurrences(TextOps.repetitionSignals(docs), "regexp_extract_all") == 1)
+    assert(occurrences(CorpusOps.packSequences(docs), "regexp_extract_all") == 1)
+  }
+
   test("q102 zero-vector guard stays out of the quantize chain under pushdown") {
     // Regression pin for the r7 finding: a qn > 0 filter placed after
     // the quantize projections gets predicate-pushed below them by
