@@ -113,6 +113,34 @@ object CorpusOps {
         (col("take_from") - col("g0")).as("doc_skip"))
       .orderBy(col("lang"), col("seq_id"), col("offset_in_seq"))
 
+  /** Sequence-level decontamination — the check that matters AFTER
+    * packing: an eval-leaked document contaminates every training
+    * sequence it touches, including the neighbors packed around it.
+    * Composes [[sequenceManifest]] over the corpus stream with
+    * [[graft.engine.TextOps.contaminationCheck]]'s per-doc flags and
+    * rolls up per sequence: how many docs it holds, how many are
+    * contaminated, how many of its tokens come from contaminated
+    * docs, and the drop/keep flag. Both inputs are proven stages; the
+    * composition is two key-joins plus one keyed aggregate, and the
+    * whole thing — recursive gram join included — hash-matches one
+    * composed DuckDB oracle (q107). At 100 TB the flag side is tiny
+    * (one bool per corpus doc) and broadcasts. */
+  def contaminatedSequences(documents: DataFrame, seqLen: Int = 2048): DataFrame = {
+    val corpus = documents.filter(col("doc_id") >= 50)
+    val heldout = documents.filter(col("doc_id") < 50)
+    val flags = TextOps.contaminationCheck(corpus, heldout)
+      .select(col("doc_id"), col("flagged"))
+    sequenceManifest(corpus, seqLen)
+      .join(flags, "doc_id")
+      .groupBy(col("lang"), col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_contaminated_docs"),
+        sum(when(col("flagged"), col("n_from_doc")).otherwise(0L)).as("n_contaminated_tokens"))
+      .withColumn("drop_seq", col("n_contaminated_docs") > 0)
+      .orderBy(col("lang"), col("seq_id"))
+  }
+
   /** Corpus mixing — deterministic per-source up/down-sampling to a
     * target data mix: each document gets n_copies = ⌊w⌋ + (u < frac(w))
     * copies, where w is its source's mix weight and u ∈ [0,1) is

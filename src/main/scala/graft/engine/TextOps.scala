@@ -326,4 +326,28 @@ object TextOps {
       .select(col("doc_id"), expr("rolling_hash(text)").as("fp_rolling"))
       .orderBy(col("doc_id"))
   }
+
+  /** Merge-candidate discovery — the distributed counting core of one
+    * BPE/WordPiece merge round: frequency of ADJACENT unit pairs
+    * across the corpus, top-k by count. Run here at word level; the
+    * in-word character-level round a tokenizer trainer iterates is
+    * the SAME plan over finer units. Pairs explode from the token
+    * array in the scan projection (one text pass — the zero/one-token
+    * guard lives inside the projection per the pushdown audit), then
+    * ONE shuffle on the pair key with map-side combine, then
+    * TakeOrdered for the top-k; total order (count desc, pair) makes
+    * the cut deterministic. At 100 TB this is a word-count-shaped
+    * job — the shuffle carries only distinct pairs per partition. */
+  def bpeMergePairs(documents: DataFrame, k: Int = 20): DataFrame =
+    documents
+      .filter(col("text").rlike("[A-Za-z0-9_]"))
+      .select(expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)").as("toks"))
+      .select(explode(expr(
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), " +
+        "i -> struct(toks[i-1] AS l, toks[i] AS r)) ELSE array() END")).as("p"))
+      .select(col("p.l").as("tok_left"), col("p.r").as("tok_right"))
+      .groupBy(col("tok_left"), col("tok_right"))
+      .agg(count(lit(1)).as("n_pair"))
+      .orderBy(col("n_pair").desc, col("tok_left"), col("tok_right"))
+      .limit(k)
 }

@@ -906,7 +906,23 @@ object Catalog {
              |       COALESCE(shr.n_shared, 0) >= 5 AS flagged
              |FROM (SELECT doc_id FROM documents WHERE doc_id >= 50) d
              |LEFT JOIN shr USING (doc_id)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // One BPE/WordPiece merge round's counting core: adjacent-pair
+    // frequencies, top-k with a total-order tie-break. Word-count
+    // shaped — one shuffle with map-side combine.
+    QuerySpec(
+      "q106_bpe_merge_pairs",
+      (s, dir) => TextOps.bpeMergePairs(Tables.documents(s, dir)),
+      Some("""WITH tok AS (
+             |  SELECT regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS t FROM documents),
+             |p AS (
+             |  SELECT t[gi] AS tok_left, t[gi + 1] AS tok_right
+             |  FROM (SELECT t, unnest(range(1, len(t))) AS gi FROM tok WHERE len(t) >= 2))
+             |SELECT tok_left, tok_right, COUNT(*) AS n_pair
+             |FROM p GROUP BY tok_left, tok_right
+             |ORDER BY n_pair DESC, tok_left, tok_right
+             |LIMIT 20""".stripMargin))
   )
 
   // ---------------------------------------------------------------- //
@@ -1148,6 +1164,57 @@ object Catalog {
              |       CAST((cum - n_tokens) % 2048 AS BIGINT) AS tok_offset,
              |       CAST((cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1 AS BIGINT) AS n_seqs
              |FROM c ORDER BY lang, doc_id""".stripMargin)),
+
+    // Post-packing decontamination: an eval-leaked doc poisons every
+    // sequence it touches — manifest × per-doc flags → per-sequence
+    // drop/keep rollup, hash-matched as one composed oracle.
+    QuerySpec(
+      "q107_contaminated_sequences",
+      (s, dir) => CorpusOps.contaminatedSequences(Tables.documents(s, dir)),
+      Some("""WITH t AS (
+             |  SELECT lang, doc_id,
+             |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+             |  FROM documents WHERE doc_id >= 50),
+             |c AS (
+             |  SELECT lang, doc_id, n_tokens,
+             |         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+             |  FROM t WHERE n_tokens > 0),
+             |sp AS (
+             |  SELECT lang, doc_id, n_tokens,
+             |         CAST((cum - n_tokens) // 2048 AS BIGINT) AS start_seq,
+             |         CAST((cum - 1) // 2048 AS BIGINT) AS end_seq,
+             |         CAST((cum - n_tokens) % 2048 AS BIGINT) AS tok_offset
+             |  FROM c),
+             |e AS (
+             |  SELECT lang, doc_id, n_tokens, tok_offset, start_seq,
+             |         CAST(unnest(range(start_seq, end_seq + 1)) AS BIGINT) AS seq_id
+             |  FROM sp),
+             |mani AS (
+             |  SELECT lang, seq_id, doc_id,
+             |         CAST(LEAST(start_seq * 2048 + tok_offset + n_tokens, seq_id * 2048 + 2048)
+             |              - GREATEST(start_seq * 2048 + tok_offset, seq_id * 2048) AS BIGINT) AS n_from_doc
+             |  FROM e),
+             |tok2 AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS t2 FROM documents),
+             |ng AS (
+             |  SELECT DISTINCT doc_id, array_to_string(list_slice(t2, gi, gi + 4), ' ') AS g
+             |  FROM (SELECT doc_id, t2, unnest(range(1, len(t2) - 3)) AS gi
+             |        FROM tok2 WHERE len(t2) >= 5)),
+             |hg AS (SELECT DISTINCT g FROM ng WHERE doc_id < 50),
+             |shr AS (SELECT doc_id, COUNT(*) AS n_shared
+             |        FROM ng JOIN hg USING (g)
+             |        WHERE doc_id >= 50 GROUP BY doc_id),
+             |fl AS (SELECT d.doc_id, COALESCE(shr.n_shared, 0) >= 5 AS flagged
+             |       FROM (SELECT doc_id FROM documents WHERE doc_id >= 50) d
+             |       LEFT JOIN shr USING (doc_id))
+             |SELECT m.lang, m.seq_id,
+             |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(CASE WHEN f.flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated_docs,
+             |       CAST(SUM(CASE WHEN f.flagged THEN m.n_from_doc ELSE 0 END) AS BIGINT) AS n_contaminated_tokens,
+             |       SUM(CASE WHEN f.flagged THEN 1 ELSE 0 END) > 0 AS drop_seq
+             |FROM mani m JOIN fl f USING (doc_id)
+             |GROUP BY m.lang, m.seq_id
+             |ORDER BY m.lang, m.seq_id""".stripMargin)),
 
     // The packer's inverse: per training sequence, which docs compose
     // it and where — the loader-side artifact. Same stream posture,

@@ -350,6 +350,30 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("sequence decontamination: every sequence a flagged doc touches is dropped") {
+    val corpus = docs.filter(col("doc_id") >= 50)
+    val flagged = TextOps.contaminationCheck(corpus, docs.filter(col("doc_id") < 50))
+      .filter(col("flagged")).collect().map(_.getLong(0)).toSet
+    val mani = CorpusOps.sequenceManifest(corpus).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    val seqs = CorpusOps.contaminatedSequences(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(seqs.nonEmpty && flagged.nonEmpty, "fixture should contain contamination")
+    // drop flag = exactly the sequences touched by a flagged doc
+    val touched = mani.filter(t => flagged(t._3)).map(t => (t._1, t._2)).toSet
+    seqs.foreach { case (key, (_, nDocs, nToks, drop)) =>
+      assert(drop == touched(key), s"seq $key drop flag mismatch")
+      assert((nDocs > 0) == drop && (nToks > 0) == drop)
+    }
+    // contaminated token counts equal the manifest pieces of flagged docs
+    val expectToks = mani.filter(t => flagged(t._3))
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._4).sum)
+    expectToks.foreach { case (key, n) =>
+      assert(seqs(key)._3 == n, s"seq $key contaminated tokens ${seqs(key)._3} != $n")
+    }
+  }
+
   test("corpus mixing: weights respected, growth-stable, never rand-dependent") {
     val weights = Map("src0" -> 0.0, "src1" -> 0.5, "src2" -> 2.0, "src3" -> 2.25)
     val mixed = CorpusOps.mixCorpus(docs, weights).collect()
