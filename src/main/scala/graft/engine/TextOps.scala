@@ -350,4 +350,64 @@ object TextOps {
       .agg(count(lit(1)).as("n_pair"))
       .orderBy(col("n_pair").desc, col("tok_left"), col("tok_right"))
       .limit(k)
+
+  /** BPE vocabulary learning — `rounds` actual merge rounds at
+    * character level, the tokenizer-training loop itself (q106 counts
+    * ONE round at word level; this iterates the real thing). State is
+    * the distinct-WORD table (word frequency + current unit split),
+    * never the corpus: the text is read once to build it, and every
+    * round is (1) a pair-count over units weighted by word frequency —
+    * one word-count-shaped shuffle, (2) a top-1 best pair with a
+    * total-order tie-break — a ONE-ROW driver step, the same bounded
+    * iteration shape as KMeans, and (3) a per-word unit rewrite that
+    * merges the best pair left-to-right non-overlapping via a
+    * delimiter-string fold (greedy BPE semantics: in "aaa" the merge
+    * (a,a) produces [aa, a]). `localCheckpoint` per round caps the
+    * lineage like the CC loop. Deterministic end to end, so the
+    * DuckDB oracle replays every round unrolled (q108). At 100 TB the
+    * word table is the corpus's distinct-token set — millions of
+    * rows, not terabytes — and each round touches only it. */
+  def bpeLearn(documents: DataFrame, rounds: Int = 5): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    var cur = documents
+      .filter(col("text").rlike("[A-Za-z0-9_]"))
+      .select(explode(expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("units"))
+      .localCheckpoint(false)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // top-1 of the weighted pair counts: bounded single-row collect
+      val best = cur
+        .select(col("freq"), explode(expr(
+          "CASE WHEN size(units) >= 2 THEN transform(sequence(1, size(units) - 1), " +
+          "i -> struct(units[i-1] AS l, units[i] AS r)) ELSE array() END")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, rr, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r.toLong, l, rr, n))
+        // greedy left-to-right merge: fold units into a '|'-delimited
+        // string, gluing x onto acc when acc's LAST UNIT is l and x is
+        // rr; '|' can never occur inside a unit (units are [a-z0-9_]
+        // merges), so the unit boundary test is exact
+        cur = cur.withColumn("units", expr(
+          s"CASE WHEN size(units) <= 1 THEN units ELSE " +
+          s"split(aggregate(slice(units, 2, size(units) - 1), units[0], " +
+          s"(acc, x) -> CASE WHEN (acc = '$l' OR endswith(acc, '|$l')) AND x = '$rr' " +
+          s"THEN concat(acc, x) ELSE concat(acc, '|', x) END), '[|]') END"))
+          .localCheckpoint(false)
+        r += 1
+      }
+    }
+    merges.result().toDF("round", "tok_left", "tok_right", "n_pair")
+      .orderBy(col("round"))
+  }
 }

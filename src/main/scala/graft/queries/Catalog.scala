@@ -922,8 +922,69 @@ object Catalog {
              |SELECT tok_left, tok_right, COUNT(*) AS n_pair
              |FROM p GROUP BY tok_left, tok_right
              |ORDER BY n_pair DESC, tok_left, tok_right
-             |LIMIT 20""".stripMargin))
+             |LIMIT 20""".stripMargin)),
+
+    // The real tokenizer-training loop: 5 character-level BPE merge
+    // rounds over the distinct-word frequency table; the oracle
+    // replays every round unrolled (see q108OracleSql).
+    QuerySpec(
+      "q108_bpe_learn",
+      (s, dir) => TextOps.bpeLearn(Tables.documents(s, dir)),
+      Some(q108OracleSql))
   )
+
+  /** q108 oracle: BPE learning is deterministic — the corpus only
+    * enters through the distinct-word frequency table, the best pair
+    * per round has a total-order tie-break (count desc, pair asc),
+    * and the greedy left-to-right merge is a pure fold — so the whole
+    * `rounds`-iteration loop unrolls into chained CTEs: pair-count →
+    * 1-row best → per-word unit rewrite, repeated. The rewrite
+    * mirrors the Spark side exactly: fold units into a '|'-delimited
+    * string, gluing y onto x when x's last unit is the best left and
+    * y is the best right ('|' cannot occur inside a unit, so the
+    * boundary test is exact; list_reduce seeds with the first element
+    * exactly like Spark's aggregate(slice(...,2,...), units[0], …)).
+    * Assumes ≥ rounds mergeable pairs exist (true for any real text
+    * corpus; the Spark side stops early on exhaustion). */
+  private val q108OracleSql: String = {
+    val rounds = 5
+    def pairsCte(u: String, p: String) =
+      s"""$p AS (
+         |  SELECT units[gi] AS bl, units[gi + 1] AS br, CAST(SUM(freq) AS BIGINT) AS n
+         |  FROM (SELECT freq, units, unnest(range(1, len(units))) AS gi
+         |        FROM $u WHERE len(units) >= 2)
+         |  GROUP BY 1, 2)""".stripMargin
+    def bestCte(p: String, b: String) =
+      s"$b AS (SELECT bl, br, n FROM $p ORDER BY n DESC, bl, br LIMIT 1)"
+    def mergeCte(u0: String, b: String, u1: String) =
+      s"""$u1 AS (
+         |  SELECT freq,
+         |         CASE WHEN len(units) <= 1 THEN units
+         |              ELSE string_split(list_reduce(units, (x, y) ->
+         |                CASE WHEN (x = bb.bl OR ends_with(x, '|' || bb.bl)) AND y = bb.br
+         |                     THEN x || y ELSE x || '|' || y END), '|') END AS units
+         |  FROM $u0, $b bb)""".stripMargin
+    val u0 =
+      """u0 AS (
+        |  SELECT freq,
+        |         list_transform(range(1, length(w) + 1), i -> substr(w, CAST(i AS INT), 1)) AS units
+        |  FROM (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+        |        FROM (SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS w
+        |              FROM documents)
+        |        GROUP BY w))""".stripMargin
+    val ctes = (1 to rounds).flatMap { r =>
+      Seq(pairsCte(s"u${r - 1}", s"p$r"), bestCte(s"p$r", s"b$r")) ++
+        (if (r < rounds) Seq(mergeCte(s"u${r - 1}", s"b$r", s"u$r")) else Seq.empty)
+    }
+    val union = (1 to rounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, bl AS tok_left, br AS tok_right, n AS n_pair FROM b$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $u0,
+       |${ctes.mkString(",\n")}
+       |SELECT * FROM (
+       |  $union)
+       |ORDER BY round""".stripMargin
+  }
 
   // ---------------------------------------------------------------- //
   // north-star: deduplication over `documents`

@@ -350,6 +350,24 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("BPE learning: greedy non-overlapping merges, weighted counts, tie-break") {
+    import spark.implicits._
+    def learn(texts: Seq[String], rounds: Int): Seq[(Long, String, String, Long)] =
+      TextOps.bpeLearn(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s") }
+          .toDF("doc_id", "text", "lang", "source"), rounds)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // "aaa" twice: round 1 merges (a,a) with weight 2 pairs x freq 2;
+    // greedy left-to-right gives [aa, a], so round 2 merges (aa, a)
+    assert(learn(Seq("aaa aaa"), 2) ==
+      Seq((1L, "a", "a", 4L), (2L, "aa", "a", 2L)))
+    // equal counts: (a,b) beats (b,c) on the pair tie-break
+    assert(learn(Seq("ab bc"), 1) == Seq((1L, "a", "b", 1L)))
+    // merged unit participates in later rounds: "abab" -> ab ab -> abab
+    assert(learn(Seq("abab abab abab xy"), 2) ==
+      Seq((1L, "a", "b", 6L), (2L, "ab", "ab", 3L)))
+  }
+
   test("sequence decontamination: every sequence a flagged doc touches is dropped") {
     val corpus = docs.filter(col("doc_id") >= 50)
     val flagged = TextOps.contaminationCheck(corpus, docs.filter(col("doc_id") < 50))
