@@ -302,6 +302,47 @@ object DedupOps {
     verifiedJaccardCore(shArr, sigs, threshold, numHashes)
   }
 
+  /** Incremental NEAR-dedup — the crawl-ingest shape: drop new-batch
+    * documents that are near-duplicates of the EXISTING corpus
+    * without re-clustering history. The new batch's signatures
+    * band-join the stored corpus signatures (in production the
+    * SketchShared catalog table; here the stand-in builds them from
+    * the history slice), candidates verify on estimated Jaccard, and
+    * every new doc reports how many stored docs it duplicates plus
+    * its keep/drop flag. Complements q92's EXACT incremental dedup:
+    * this catches reformatted/near copies the byte hash misses. The
+    * join is new×stored on (band, hash) — never history×history, so
+    * cost scales with the batch, not the corpus; at 100 TB the stored
+    * band table is bucketed on (band, bh) and the join is
+    * shuffle-free against the layout. Deterministic chain → the
+    * DuckDB oracle replays it (q109). */
+  def incrementalNearDedup(documents: DataFrame, splitId: Long = 450,
+                           threshold: Double = 0.5, numHashes: Int = 32,
+                           bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val newDocs = documents.filter(col("doc_id") >= splitId)
+    val storedSigs = minhashSignatures(
+      documents.filter(col("doc_id") < splitId), numHashes).localCheckpoint(false)
+    val newSigs = minhashSignatures(newDocs, numHashes).localCheckpoint(false)
+    val nb = bandBuckets(newSigs, bands, rowsPerBand)
+      .select(col("doc_id").as("new_id"), col("sig").as("sig_n"), col("band"), col("bh"))
+    val ob = bandBuckets(storedSigs, bands, rowsPerBand)
+      .select(col("doc_id").as("old_id"), col("sig").as("sig_o"), col("band"), col("bh"))
+    val matches = nb.join(ob, Seq("band", "bh"))
+      .select(col("new_id"), col("old_id"), col("sig_n"), col("sig_o"))
+      .dropDuplicates("new_id", "old_id")
+      .withColumn("n_eq",
+        expr("aggregate(zip_with(sig_n, sig_o, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
+      .withColumn("est", round(col("n_eq").cast("double") / numHashes, 6))
+      .filter(col("est") >= threshold)
+      .groupBy(col("new_id"))
+      .agg(countDistinct(col("old_id")).as("n_dup_of"))
+    newDocs.select(col("doc_id"))
+      .join(matches, col("doc_id") === col("new_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_dup_of"), lit(0L)).as("n_dup_of"))
+      .withColumn("kept", col("n_dup_of") === 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** [[verifiedJaccardPairs]] over a PREBUILT sketch frame
     * ([[docSketches]] / the SketchShared catalog table): both the
     * shingle sets and the signatures come from the shared pass, so the

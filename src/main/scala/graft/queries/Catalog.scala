@@ -1100,6 +1100,14 @@ object Catalog {
              |WHERE doc_id = keeper AND fp_md5 NOT IN (SELECT fp_md5 FROM ex)
              |ORDER BY doc_id""".stripMargin)),
 
+    // incremental NEAR-dedup: the new batch band-joins the STORED
+    // corpus signatures — catches the reformatted copies q92's byte
+    // hash misses; cost scales with the batch, never history².
+    QuerySpec(
+      "q109_incremental_near_dedup",
+      (s, dir) => DedupOps.incrementalNearDedup(Tables.documents(s, dir)),
+      Some(q109OracleSql)),
+
     // data-mixing buckets: quality deciles via ntile with total
     // deterministic order
     QuerySpec(
@@ -1627,8 +1635,8 @@ object Catalog {
       cols.foldLeft(base) { case (q, (n, e)) => s"SELECT *, $e AS $n FROM ($q)" }
   }
 
-  private val (q42OracleSql, q43OracleSql, q70OracleSql, q73OracleSql)
-      : (String, String, String, String) = {
+  private val (q42OracleSql, q43OracleSql, q70OracleSql, q73OracleSql, q109OracleSql)
+      : (String, String, String, String, String) = {
     import UbigintSql._
     def b2w8(off: Int) =
       (0 until 8).map(k => s"bytes[${off + k + 1}]*${BigInt(256).pow(k)}").mkString(" + ")
@@ -1845,7 +1853,29 @@ object Catalog {
        |FROM cl GROUP BY cluster_id
        |ORDER BY doc_id""".stripMargin
 
-    (q42, q43, q70, q73)
+    // q109: incremental near-dedup — same signature/band CTEs; the
+    // candidate join is new-batch × history on (band, bh) with NO
+    // bucket cap (matching DedupOps.incrementalNearDedup), then the
+    // est-Jaccard verify and a per-new-doc keep/drop rollup.
+    val q109 = s"""WITH $ctes,
+       |cnd AS (
+       |  SELECT DISTINCT a.doc_id AS new_id, bside.doc_id AS old_id
+       |  FROM bb a JOIN bb bside ON a.band = bside.band AND a.bh = bside.bh
+       |  WHERE a.doc_id >= 450 AND bside.doc_id < 450),
+       |m AS (
+       |  SELECT new_id, CAST(COUNT(DISTINCT old_id) AS BIGINT) AS n_dup_of
+       |  FROM (SELECT c.new_id, c.old_id,
+       |          ROUND(CAST(length(list_filter(range(1, 33), i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / 32, 6) AS est
+       |        FROM cnd c JOIN sigs sa ON c.new_id = sa.doc_id
+       |                   JOIN sigs sb ON c.old_id = sb.doc_id)
+       |  WHERE est >= 0.5 GROUP BY new_id)
+       |SELECT d.doc_id, COALESCE(m.n_dup_of, 0) AS n_dup_of,
+       |       COALESCE(m.n_dup_of, 0) = 0 AS kept
+       |FROM (SELECT doc_id FROM documents WHERE doc_id >= 450) d
+       |LEFT JOIN m ON d.doc_id = m.new_id
+       |ORDER BY d.doc_id""".stripMargin
+
+    (q42, q43, q70, q73, q109)
   }
 
   /** q63 oracle: the SemDeDup pipeline is deterministic end-to-end.

@@ -350,6 +350,28 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental near-dedup drops near-copies of history, keeps novel docs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val corpus = Seq(
+      (1L, base, "en", "s"),                                  // history
+      (2L, "completely different ancient text about rivers and mountains flowing", "en", "s"),
+      (500L, base.replace("lazy", "sleepy"), "en", "s"),      // near-copy of 1 -> dropped
+      (501L, "novel content never seen before in any earlier batch at all", "en", "s"),
+      (502L, "tiny", "en", "s")                               // shingle-less-ish, no match -> kept
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = DedupOps.incrementalNearDedup(corpus, splitId = 100)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(500L)._2 == false && got(500L)._1 >= 1, "near-copy of history must drop")
+    assert(got(501L) == (0L, true) && got(502L) == (0L, true), "novel docs must keep")
+    // exact-incremental (q92) misses the reformatted copy — that gap
+    // is this operator's reason to exist
+    val exact = DedupOps.incrementalExactDedup(
+      corpus.filter(col("doc_id") < 100), corpus.filter(col("doc_id") >= 100))
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.contains(500L), "byte-exact dedup should NOT catch the near copy")
+  }
+
   test("BPE learning: greedy non-overlapping merges, weighted counts, tie-break") {
     import spark.implicits._
     def learn(texts: Seq[String], rounds: Int): Seq[(Long, String, String, Long)] =
