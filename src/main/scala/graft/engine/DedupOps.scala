@@ -320,9 +320,23 @@ object DedupOps {
                            threshold: Double = 0.5, numHashes: Int = 32,
                            bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val newDocs = documents.filter(col("doc_id") >= splitId)
-    val storedSigs = minhashSignatures(
-      documents.filter(col("doc_id") < splitId), numHashes).localCheckpoint(false)
-    val newSigs = minhashSignatures(newDocs, numHashes).localCheckpoint(false)
+    incrementalNearDedupFromSigs(
+      newDocs.select(col("doc_id")),
+      minhashSignatures(newDocs, numHashes).localCheckpoint(false),
+      minhashSignatures(
+        documents.filter(col("doc_id") < splitId), numHashes).localCheckpoint(false),
+      threshold, numHashes, bands, rowsPerBand)
+  }
+
+  /** [[incrementalNearDedup]] over PREBUILT signature frames — the
+    * production entry point: `storedSigs` is the SketchShared catalog
+    * table (sketches computed at ingest, never re-derived), `newSigs`
+    * the incoming batch's. Value-identical to the standalone form
+    * (TextDedupSpec). */
+  private[graft] def incrementalNearDedupFromSigs(
+      newIds: DataFrame, newSigs: DataFrame, storedSigs: DataFrame,
+      threshold: Double = 0.5, numHashes: Int = 32,
+      bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val nb = bandBuckets(newSigs, bands, rowsPerBand)
       .select(col("doc_id").as("new_id"), col("sig").as("sig_n"), col("band"), col("bh"))
     val ob = bandBuckets(storedSigs, bands, rowsPerBand)
@@ -336,7 +350,7 @@ object DedupOps {
       .filter(col("est") >= threshold)
       .groupBy(col("new_id"))
       .agg(countDistinct(col("old_id")).as("n_dup_of"))
-    newDocs.select(col("doc_id"))
+    newIds
       .join(matches, col("doc_id") === col("new_id"), "left")
       .select(col("doc_id"), coalesce(col("n_dup_of"), lit(0L)).as("n_dup_of"))
       .withColumn("kept", col("n_dup_of") === 0)

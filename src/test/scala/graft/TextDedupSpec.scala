@@ -370,6 +370,15 @@ class TextDedupSpec extends SparkSpec {
       corpus.filter(col("doc_id") < 100), corpus.filter(col("doc_id") >= 100))
       .collect().map(_.getLong(0)).toSet
     assert(exact.contains(500L), "byte-exact dedup should NOT catch the near copy")
+    // prebuilt-signature entry point (the SketchShared path) is
+    // value-identical to the standalone form
+    val sigs = DedupOps.minhashSignatures(corpus)
+    val fromSigs = DedupOps.incrementalNearDedupFromSigs(
+      corpus.filter(col("doc_id") >= 100).select(col("doc_id")),
+      sigs.join(corpus.filter(col("doc_id") >= 100).select(col("doc_id")), "doc_id"),
+      sigs.join(corpus.filter(col("doc_id") < 100).select(col("doc_id")), "doc_id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(fromSigs == got, "FromSigs form diverged from standalone")
   }
 
   test("BPE learning: greedy non-overlapping merges, weighted counts, tie-break") {
