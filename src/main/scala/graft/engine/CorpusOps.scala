@@ -113,6 +113,35 @@ object CorpusOps {
         (col("take_from") - col("g0")).as("doc_skip"))
       .orderBy(col("lang"), col("seq_id"), col("offset_in_seq"))
 
+  /** Corpus card — the per-(lang, source) report that drives mix
+    * weights and curation thresholds: volume, token mass, quality,
+    * and exact-duplicate rate for every stream in one rollup. The
+    * quality mean accumulates in exact DECIMAL ([[Exact.decAvg]]) so
+    * the value is identical on 32 threads or 1000 executors; the dup
+    * flag reuses the q40 min-id-keeper identity. One fact-sized
+    * shuffle for the dup window, one for the rollup — both on keys
+    * the later mix (q104) and split (q94) operators also use. */
+  def corpusCard(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qual = TextOps.qualityScore(documents)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val dup = documents
+      .withColumn("keeper",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .select(col("doc_id"), col("lang"), col("source"),
+              (col("doc_id") =!= col("keeper")).as("is_dup"))
+    dup.join(qual, "doc_id")
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        round(Exact.decAvg(col("quality"), 6), 6).as("avg_quality"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_exact_dups"))
+      .withColumn("dup_rate",
+        round(col("n_exact_dups").cast("double") / col("n_docs"), 6))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** Sequence-level decontamination — the check that matters AFTER
     * packing: an eval-leaked document contaminates every training
     * sequence it touches, including the neighbors packed around it.

@@ -1243,6 +1243,38 @@ object Catalog {
              |       CAST((cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1 AS BIGINT) AS n_seqs
              |FROM c ORDER BY lang, doc_id""".stripMargin)),
 
+    // The per-stream corpus card: volume, token mass, DECIMAL-exact
+    // quality mean, exact-dup rate — the report mix weights are set
+    // from. Composition of proven stages, one rollup.
+    QuerySpec(
+      "q110_corpus_card",
+      (s, dir) => CorpusOps.corpusCard(Tables.documents(s, dir)),
+      Some(s"""WITH q AS (
+             |  SELECT doc_id, n_tokens,
+             |       ROUND(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+             |           + (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) * 10.0, 1.0)) * 0.3
+             |           + least(CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) * 5.0, 1.0) * 0.3, 6) AS quality
+             |  FROM (
+             |    SELECT doc_id,
+             |           CAST(length(text) AS BIGINT) AS n_chars,
+             |           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens,
+             |           CAST(length(regexp_replace(text, '[A-Za-z0-9_ ]', '', 'g')) AS BIGINT) AS n_punct,
+             |           CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a)\\b')) AS BIGINT) AS n_stop
+             |    FROM documents)),
+             |d AS (
+             |  SELECT doc_id, lang, source,
+             |         doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+             |  FROM documents)
+             |SELECT d.lang, d.source,
+             |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(q.n_tokens) AS BIGINT) AS n_tokens,
+             |       ROUND(${graft.engine.Exact.decAvgSql("q.quality", 6)}, 6) AS avg_quality,
+             |       CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+             |       ROUND(CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+             |FROM d JOIN q USING (doc_id)
+             |GROUP BY d.lang, d.source
+             |ORDER BY d.lang, d.source""".stripMargin)),
+
     // Post-packing decontamination: an eval-leaked doc poisons every
     // sequence it touches — manifest × per-doc flags → per-sequence
     // drop/keep rollup, hash-matched as one composed oracle.
