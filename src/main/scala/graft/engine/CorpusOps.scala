@@ -74,7 +74,7 @@ object CorpusOps {
     val toks = documents
       .filter(col("text").rlike("[^ ]"))
       .select(col("lang"), col("doc_id"),
-        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0)"))
+        size(expr(s"regexp_extract_all(text, '${TextOps.pieceRe}', 0)"))
           .cast("long").as("n_tokens"))
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
     toks
@@ -154,9 +154,8 @@ object CorpusOps {
     * whole thing — recursive gram join included — hash-matches one
     * composed DuckDB oracle (q107). At 100 TB the flag side is tiny
     * (one bool per corpus doc) and broadcasts. */
-  def contaminatedSequences(documents: DataFrame, seqLen: Int = 2048): DataFrame = {
-    val corpus = documents.filter(col("doc_id") >= 50)
-    val heldout = documents.filter(col("doc_id") < 50)
+  def contaminatedSequences(corpus: DataFrame, heldout: DataFrame,
+                            seqLen: Int = 2048): DataFrame = {
     val flags = TextOps.contaminationCheck(corpus, heldout)
       .select(col("doc_id"), col("flagged"))
     sequenceManifest(corpus, seqLen)

@@ -331,15 +331,19 @@ object DedupOps {
   /** [[incrementalNearDedup]] over PREBUILT signature frames — the
     * production entry point: `storedSigs` is the SketchShared catalog
     * table (sketches computed at ingest, never re-derived), `newSigs`
-    * the incoming batch's. Value-identical to the standalone form
-    * (TextDedupSpec). */
+    * the incoming batch's. Both sides carry the [[boundBuckets]]
+    * degenerate-bucket cap — a boilerplate flood in HISTORY would
+    * otherwise make one hot (band, bh) bucket join every matching new
+    * doc against all of history, which is exactly the blowup the cap
+    * exists to bound in the self-join path. Value-identical to the
+    * standalone form (TextDedupSpec). */
   private[graft] def incrementalNearDedupFromSigs(
       newIds: DataFrame, newSigs: DataFrame, storedSigs: DataFrame,
       threshold: Double = 0.5, numHashes: Int = 32,
-      bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val nb = bandBuckets(newSigs, bands, rowsPerBand)
+      bands: Int = 8, rowsPerBand: Int = 4, maxBucket: Int = 10000): DataFrame = {
+    val nb = boundBuckets(bandBuckets(newSigs, bands, rowsPerBand), maxBucket)
       .select(col("doc_id").as("new_id"), col("sig").as("sig_n"), col("band"), col("bh"))
-    val ob = bandBuckets(storedSigs, bands, rowsPerBand)
+    val ob = boundBuckets(bandBuckets(storedSigs, bands, rowsPerBand), maxBucket)
       .select(col("doc_id").as("old_id"), col("sig").as("sig_o"), col("band"), col("bh"))
     val matches = nb.join(ob, Seq("band", "bh"))
       .select(col("new_id"), col("old_id"), col("sig_n"), col("sig_o"))
@@ -441,7 +445,7 @@ object DedupOps {
     // (q102/q103 pushdown lesson). The token regex matches iff the
     // text has an alphanumeric/underscore char.
     documents
-      .filter(col("text").rlike("[A-Za-z0-9_]"))
+      .filter(lower(col("text")).rlike("[a-z0-9_]"))
       .select(col("doc_id"),
         expr("transform(regexp_extract_all(lower(text), '[a-z0-9_]+', 0), t -> xxhash64(t))").as("toks"))
       .select(col("doc_id"), expr("simhash_pack(toks)").as("simhash"))

@@ -16,6 +16,13 @@ object TextOps {
 
   private val tokenRe = "[A-Za-z0-9_]+"
 
+  /** The BPE-ish subword-piece unit ([[tokenEstimate]]'s n_pieces):
+    * letter runs, single digits, single non-space punctuation. ONE
+    * definition — the packing operators ([[CorpusOps.packSequences]]
+    * and friends), the streaming packer's test feed, and every q66/
+    * q103/q105/q107 oracle must agree on it byte for byte. */
+  val pieceRe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
   /** Token counting + character-class statistics. */
   def textStats(documents: DataFrame): DataFrame =
     documents
@@ -94,7 +101,7 @@ object TextOps {
   def tokenEstimate(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"),
-        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0)"))
+        size(expr(s"regexp_extract_all(text, '$pieceRe', 0)"))
           .cast("long").as("n_pieces"),
         size(expr("regexp_extract_all(text, '[^ ]+', 0)"))
           .cast("long").as("n_ws_tokens"))
@@ -288,7 +295,7 @@ object TextOps {
       // a pushed `n_tokens > 0` re-derives the token regex in the
       // filter); the token regex matches iff some alnum/underscore
       // char exists
-      .filter(col("text").rlike("[A-Za-z0-9_]"))
+      .filter(lower(col("text")).rlike("[a-z0-9_]"))
       .select(col("doc_id"),
         expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)").as("toks"),
         split(col("text"), "\\. ").as("sentences"))
@@ -340,7 +347,7 @@ object TextOps {
     * job — the shuffle carries only distinct pairs per partition. */
   def bpeMergePairs(documents: DataFrame, k: Int = 20): DataFrame =
     documents
-      .filter(col("text").rlike("[A-Za-z0-9_]"))
+      .filter(lower(col("text")).rlike("[a-z0-9_]"))
       .select(expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)").as("toks"))
       .select(explode(expr(
         "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), " +
@@ -371,7 +378,7 @@ object TextOps {
     val s = documents.sparkSession
     import s.implicits._
     var cur = documents
-      .filter(col("text").rlike("[A-Za-z0-9_]"))
+      .filter(lower(col("text")).rlike("[a-z0-9_]"))
       .select(explode(expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(col("freq"),

@@ -728,6 +728,25 @@ object Catalog {
   // ---------------------------------------------------------------- //
   // north-star: text analysis over `documents`
   // ---------------------------------------------------------------- //
+  /** Per-doc quality-score subquery shared by the q37/q93/q110
+    * oracles — the hash-match is sensitive to the exact FP
+    * association order of the component sum, so the formula exists
+    * ONCE here, mirroring `TextOps.qualityScore` term for term
+    * (q91's copy is embedded in its composed canon-join SQL). Emits
+    * (doc_id, n_chars, n_tokens, n_punct, n_stop, quality). */
+  private val qualityPerDocSql: String =
+    """SELECT doc_id, n_chars, n_tokens, n_punct, n_stop,
+      |       ROUND(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+      |           + (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) * 10.0, 1.0)) * 0.3
+      |           + least(CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) * 5.0, 1.0) * 0.3, 6) AS quality
+      |FROM (
+      |  SELECT doc_id,
+      |         CAST(length(text) AS BIGINT) AS n_chars,
+      |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens,
+      |         CAST(length(regexp_replace(text, '[A-Za-z0-9_ ]', '', 'g')) AS BIGINT) AS n_punct,
+      |         CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a)\b')) AS BIGINT) AS n_stop
+      |  FROM documents)""".stripMargin
+
   private def textQueries: Seq[QuerySpec] = Seq(
     QuerySpec(
       "q35_text_stats",
@@ -761,17 +780,8 @@ object Catalog {
     QuerySpec(
       "q37_quality_score",
       (s, dir) => TextOps.qualityScore(Tables.documents(s, dir)),
-      Some("""SELECT doc_id, n_tokens, n_punct, n_stop,
-             |       ROUND(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
-             |           + (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) * 10.0, 1.0)) * 0.3
-             |           + least(CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) * 5.0, 1.0) * 0.3, 6) AS quality
-             |FROM (
-             |  SELECT doc_id,
-             |         CAST(length(text) AS BIGINT) AS n_chars,
-             |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens,
-             |         CAST(length(regexp_replace(text, '[A-Za-z0-9_ ]', '', 'g')) AS BIGINT) AS n_punct,
-             |         CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a)\b')) AS BIGINT) AS n_stop
-             |  FROM documents)
+      Some(s"""SELECT doc_id, n_tokens, n_punct, n_stop, quality
+             |FROM ($qualityPerDocSql)
              |ORDER BY doc_id""".stripMargin)),
 
     QuerySpec(
@@ -1122,19 +1132,7 @@ object Catalog {
     QuerySpec(
       "q93_quality_deciles",
       (s, dir) => TextOps.qualityDeciles(Tables.documents(s, dir)),
-      Some("""WITH base AS (
-             |  SELECT doc_id,
-             |         CAST(length(text) AS BIGINT) AS n_chars,
-             |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens,
-             |         CAST(length(regexp_replace(text, '[A-Za-z0-9_ ]', '', 'g')) AS BIGINT) AS n_punct,
-             |         CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a)\b')) AS BIGINT) AS n_stop
-             |  FROM documents),
-             |q AS (
-             |  SELECT doc_id,
-             |         ROUND(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
-             |             + (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) * 10.0, 1.0)) * 0.3
-             |             + least(CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) * 5.0, 1.0) * 0.3, 6) AS quality
-             |  FROM base),
+      Some(s"""WITH q AS (SELECT doc_id, quality FROM ($qualityPerDocSql)),
              |d AS (SELECT doc_id, quality,
              |             CAST(ntile(10) OVER (ORDER BY quality, doc_id) AS BIGINT) AS decile
              |      FROM q)
@@ -1249,18 +1247,7 @@ object Catalog {
     QuerySpec(
       "q110_corpus_card",
       (s, dir) => CorpusOps.corpusCard(Tables.documents(s, dir)),
-      Some(s"""WITH q AS (
-             |  SELECT doc_id, n_tokens,
-             |       ROUND(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
-             |           + (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) * 10.0, 1.0)) * 0.3
-             |           + least(CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) * 5.0, 1.0) * 0.3, 6) AS quality
-             |  FROM (
-             |    SELECT doc_id,
-             |           CAST(length(text) AS BIGINT) AS n_chars,
-             |           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens,
-             |           CAST(length(regexp_replace(text, '[A-Za-z0-9_ ]', '', 'g')) AS BIGINT) AS n_punct,
-             |           CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a)\\b')) AS BIGINT) AS n_stop
-             |    FROM documents)),
+      Some(s"""WITH q AS (SELECT doc_id, n_tokens, quality FROM ($qualityPerDocSql)),
              |d AS (
              |  SELECT doc_id, lang, source,
              |         doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
@@ -1280,7 +1267,12 @@ object Catalog {
     // drop/keep rollup, hash-matched as one composed oracle.
     QuerySpec(
       "q107_contaminated_sequences",
-      (s, dir) => CorpusOps.contaminatedSequences(Tables.documents(s, dir)),
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val docs = Tables.documents(s, dir)
+        CorpusOps.contaminatedSequences(
+          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50))
+      },
       Some("""WITH t AS (
              |  SELECT lang, doc_id,
              |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
@@ -1895,14 +1887,20 @@ object Catalog {
        |ORDER BY doc_id""".stripMargin
 
     // q109: incremental near-dedup — same signature/band CTEs; the
-    // candidate join is new-batch × history on (band, bh) with NO
-    // bucket cap (matching DedupOps.incrementalNearDedup), then the
-    // est-Jaccard verify and a per-new-doc keep/drop rollup.
+    // candidate join is new-batch × history on (band, bh), each side
+    // carrying its own degenerate-bucket cap (mirroring
+    // incrementalNearDedupFromSigs' boundBuckets on both frames),
+    // then the est-Jaccard verify and a per-new-doc keep/drop rollup.
     val q109 = s"""WITH $ctes,
+       |nbb AS (SELECT * FROM bb WHERE doc_id >= 450),
+       |obb AS (SELECT * FROM bb WHERE doc_id < 450),
+       |ncap AS (SELECT band, bh FROM nbb GROUP BY band, bh HAVING COUNT(*) <= 10000),
+       |ocap AS (SELECT band, bh FROM obb GROUP BY band, bh HAVING COUNT(*) <= 10000),
        |cnd AS (
        |  SELECT DISTINCT a.doc_id AS new_id, bside.doc_id AS old_id
-       |  FROM bb a JOIN bb bside ON a.band = bside.band AND a.bh = bside.bh
-       |  WHERE a.doc_id >= 450 AND bside.doc_id < 450),
+       |  FROM (SELECT nbb.* FROM nbb JOIN ncap USING (band, bh)) a
+       |  JOIN (SELECT obb.* FROM obb JOIN ocap USING (band, bh)) bside
+       |    ON a.band = bside.band AND a.bh = bside.bh),
        |m AS (
        |  SELECT new_id, CAST(COUNT(DISTINCT old_id) AS BIGINT) AS n_dup_of
        |  FROM (SELECT c.new_id, c.old_id,

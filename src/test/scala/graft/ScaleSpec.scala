@@ -214,7 +214,8 @@ class ScaleSpec extends SparkSpec {
     val filterConds = plan.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition.toString
     }
-    assert(filterConds.nonEmpty, "expected the zero-vector guard filter to exist")
+    assert(filterConds.exists(_.contains("exists")),
+      "the zero-vector guard (exists on the raw embedding) must be present in a filter")
     filterConds.foreach { c =>
       assert(!c.contains("zip_with") && !c.contains("aggregate("),
         s"quantize chain re-derived inside a pushed filter:\n$c")

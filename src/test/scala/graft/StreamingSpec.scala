@@ -265,7 +265,7 @@ class StreamingSpec extends SparkSpec {
     // carry across the batch boundary for spans to stay aligned
     val toks = graft.engine.Tables.documents(spark, sf)
       .select(col("lang"), col("doc_id"),
-        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0)")).cast("long"))
+        size(expr(s"regexp_extract_all(text, '${graft.engine.TextOps.pieceRe}', 0)")).cast("long"))
       .as[(String, Long, Long)].collect().sortBy(_._2)
     val (feed1, feed2) = toks.splitAt(toks.length / 2)
     val input = MemoryStream[(String, Long, Long)]

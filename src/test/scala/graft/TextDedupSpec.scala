@@ -405,7 +405,8 @@ class TextDedupSpec extends SparkSpec {
       .filter(col("flagged")).collect().map(_.getLong(0)).toSet
     val mani = CorpusOps.sequenceManifest(corpus).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
-    val seqs = CorpusOps.contaminatedSequences(docs).collect()
+    val seqs = CorpusOps.contaminatedSequences(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50)).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
     assert(seqs.nonEmpty && flagged.nonEmpty, "fixture should contain contamination")
