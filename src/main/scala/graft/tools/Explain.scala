@@ -18,7 +18,8 @@ object Explain {
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_flagship_geo_rollup", "q04_filter_project", "q07_topk",
                "q08_global_sort", "q42_minhash_lsh_pairs", "q46_cosine_topk",
-               "q64_partitioned_dpp", "q69_bucketed_join", "q74_asof_join")
+               "q64_partitioned_dpp", "q69_bucketed_join", "q74_asof_join",
+               "q102_quantized_ann", "q103_sequence_pack", "q109_incremental_near_dedup")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
