@@ -374,14 +374,20 @@ object TextOps {
     * DuckDB oracle replays every round unrolled (q108). At 100 TB the
     * word table is the corpus's distinct-token set — millions of
     * rows, not terabytes — and each round touches only it. */
-  def bpeLearn(documents: DataFrame, rounds: Int = 5): DataFrame = {
+  def bpeLearn(documents: DataFrame, rounds: Int = 5): DataFrame =
+    bpeLearnState(documents, rounds)._1
+
+  /** The loop behind [[bpeLearn]], also returning the FINAL word
+    * table (w, freq, units) so [[bpeVocabReport]] can apply the
+    * learned vocabulary without re-running the rounds. */
+  private def bpeLearnState(documents: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     val s = documents.sparkSession
     import s.implicits._
     var cur = documents
       .filter(lower(col("text")).rlike("[a-z0-9_]"))
       .select(explode(expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"),
+      .select(col("w"), col("freq"),
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("units"))
       .localCheckpoint(false)
     val merges = Seq.newBuilder[(Long, String, String, Long)]
@@ -414,7 +420,31 @@ object TextOps {
         r += 1
       }
     }
-    merges.result().toDF("round", "tok_left", "tok_right", "n_pair")
-      .orderBy(col("round"))
+    (merges.result().toDF("round", "tok_left", "tok_right", "n_pair")
+      .orderBy(col("round")), cur)
+  }
+
+  /** Apply the learned vocabulary back to the corpus — the other half
+    * of tokenizer training: per `lang`, how many token occurrences
+    * the stream has, how many UNITS they cost under the k-merge
+    * vocabulary, and the resulting units-per-token compression. The
+    * per-word unit counts come from [[bpeLearnState]]'s final word
+    * table (computed once, a distinct-word-sized frame); applying
+    * them to the corpus is one token explode + one broadcast-sized
+    * join + one rollup — the vocabulary's value is measured against
+    * the corpus it trains on without any per-doc re-merging. */
+  def bpeVocabReport(documents: DataFrame, rounds: Int = 5): DataFrame = {
+    val vocabWords = bpeLearnState(documents, rounds)._2
+      .select(col("w"), size(col("units")).cast("long").as("n_units_w"))
+    documents
+      .filter(lower(col("text")).rlike("[a-z0-9_]"))
+      .select(col("lang"),
+        explode(expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)")).as("w"))
+      .join(vocabWords, "w")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_units_w")).as("n_units"))
+      .withColumn("units_per_token",
+        round(col("n_units").cast("double") / col("n_tokens"), 6))
+      .orderBy(col("lang"))
   }
 }

@@ -940,7 +940,15 @@ object Catalog {
     QuerySpec(
       "q108_bpe_learn",
       (s, dir) => TextOps.bpeLearn(Tables.documents(s, dir)),
-      Some(q108OracleSql))
+      Some(q108OracleSql)),
+
+    // The learned vocabulary applied back to the corpus: per-lang
+    // token mass and units-per-token compression under the k merges —
+    // learn (q108) and apply, closed loop.
+    QuerySpec(
+      "q111_bpe_vocab_report",
+      (s, dir) => TextOps.bpeVocabReport(Tables.documents(s, dir)),
+      Some(q111OracleSql))
   )
 
   /** q108 oracle: BPE learning is deterministic — the corpus only
@@ -956,7 +964,7 @@ object Catalog {
     * exactly like Spark's aggregate(slice(...,2,...), units[0], …)).
     * Assumes ≥ rounds mergeable pairs exist (true for any real text
     * corpus; the Spark side stops early on exhaustion). */
-  private val q108OracleSql: String = {
+  private val (q108OracleSql, q111OracleSql): (String, String) = {
     val rounds = 5
     def pairsCte(u: String, p: String) =
       s"""$p AS (
@@ -968,7 +976,7 @@ object Catalog {
       s"$b AS (SELECT bl, br, n FROM $p ORDER BY n DESC, bl, br LIMIT 1)"
     def mergeCte(u0: String, b: String, u1: String) =
       s"""$u1 AS (
-         |  SELECT freq,
+         |  SELECT w, freq,
          |         CASE WHEN len(units) <= 1 THEN units
          |              ELSE string_split(list_reduce(units, (x, y) ->
          |                CASE WHEN (x = bb.bl OR ends_with(x, '|' || bb.bl)) AND y = bb.br
@@ -976,24 +984,40 @@ object Catalog {
          |  FROM $u0, $b bb)""".stripMargin
     val u0 =
       """u0 AS (
-        |  SELECT freq,
+        |  SELECT w, freq,
         |         list_transform(range(1, length(w) + 1), i -> substr(w, CAST(i AS INT), 1)) AS units
         |  FROM (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
         |        FROM (SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS w
         |              FROM documents)
         |        GROUP BY w))""".stripMargin
+    // every round rewrites (q111 reads the FINAL u$rounds state; q108
+    // only reads the b$r best rows, so the extra last rewrite is free)
     val ctes = (1 to rounds).flatMap { r =>
-      Seq(pairsCte(s"u${r - 1}", s"p$r"), bestCte(s"p$r", s"b$r")) ++
-        (if (r < rounds) Seq(mergeCte(s"u${r - 1}", s"b$r", s"u$r")) else Seq.empty)
+      Seq(pairsCte(s"u${r - 1}", s"p$r"), bestCte(s"p$r", s"b$r"),
+          mergeCte(s"u${r - 1}", s"b$r", s"u$r"))
     }
     val union = (1 to rounds)
       .map(r => s"SELECT CAST($r AS BIGINT) AS round, bl AS tok_left, br AS tok_right, n AS n_pair FROM b$r")
       .mkString("\n  UNION ALL ")
-    s"""WITH $u0,
+    val q108 = s"""WITH $u0,
        |${ctes.mkString(",\n")}
        |SELECT * FROM (
        |  $union)
        |ORDER BY round""".stripMargin
+    val q111 = s"""WITH $u0,
+       |${ctes.mkString(",\n")},
+       |occ AS (
+       |  SELECT lang, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS w
+       |  FROM documents),
+       |voc AS (SELECT w, CAST(len(units) AS BIGINT) AS nu FROM u$rounds)
+       |SELECT o.lang,
+       |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(v.nu) AS BIGINT) AS n_units,
+       |       ROUND(CAST(SUM(v.nu) AS DOUBLE) / COUNT(*), 6) AS units_per_token
+       |FROM occ o JOIN voc v USING (w)
+       |GROUP BY o.lang
+       |ORDER BY o.lang""".stripMargin
+    (q108, q111)
   }
 
   // ---------------------------------------------------------------- //

@@ -399,6 +399,21 @@ class TextDedupSpec extends SparkSpec {
       Seq((1L, "a", "b", 6L), (2L, "ab", "ab", 3L)))
   }
 
+  test("BPE vocab report: more merge rounds never inflate units-per-token") {
+    def ratio(rounds: Int): Map[String, Double] =
+      TextOps.bpeVocabReport(docs, rounds).collect()
+        .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val r0 = ratio(0) // char-split baseline: avg word length
+    val r3 = ratio(3)
+    val r5 = ratio(5)
+    r5.keys.foreach { lang =>
+      assert(r0(lang) >= r3(lang) && r3(lang) >= r5(lang),
+        s"$lang: merges must monotonically compress (${r0(lang)} -> ${r3(lang)} -> ${r5(lang)})")
+      assert(r5(lang) >= 1.0, s"$lang: cannot compress below one unit per token")
+    }
+    assert(r5.exists { case (l, v) => v < r0(l) }, "five merges should compress something")
+  }
+
   test("sequence decontamination: every sequence a flagged doc touches is dropped") {
     val corpus = docs.filter(col("doc_id") >= 50)
     val flagged = TextOps.contaminationCheck(corpus, docs.filter(col("doc_id") < 50))
