@@ -728,12 +728,11 @@ object Catalog {
   // ---------------------------------------------------------------- //
   // north-star: text analysis over `documents`
   // ---------------------------------------------------------------- //
-  /** Per-doc quality-score subquery shared by the q37/q93/q110
+  /** Per-doc quality-score subquery shared by the q37/q91/q93/q110
     * oracles — the hash-match is sensitive to the exact FP
     * association order of the component sum, so the formula exists
-    * ONCE here, mirroring `TextOps.qualityScore` term for term
-    * (q91's copy is embedded in its composed canon-join SQL). Emits
-    * (doc_id, n_chars, n_tokens, n_punct, n_stop, quality). */
+    * ONCE here, mirroring `TextOps.qualityScore` term for term.
+    * Emits (doc_id, n_chars, n_tokens, n_punct, n_stop, quality). */
   private val qualityPerDocSql: String =
     """SELECT doc_id, n_chars, n_tokens, n_punct, n_stop,
       |       ROUND(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
@@ -1181,7 +1180,7 @@ object Catalog {
     QuerySpec(
       "q91_corpus_pipeline",
       (s, dir) => CorpusOps.curate(Tables.documents(s, dir)),
-      Some("""WITH RECURSIVE sh AS (
+      Some(s"""WITH RECURSIVE sh AS (
              |  SELECT DISTINCT doc_id, s FROM (
              |    SELECT doc_id, substr(text, unnest(range(1, length(text) - 3)), 5) AS s
              |    FROM documents WHERE doc_id < 60)),
@@ -1201,16 +1200,15 @@ object Catalog {
              |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
              |sizes AS (SELECT cluster_id, COUNT(*) AS n_members FROM cl GROUP BY cluster_id),
              |canon AS (SELECT doc_id, n_members FROM cl JOIN sizes USING (cluster_id)
-             |          WHERE doc_id = cluster_id)
+             |          WHERE doc_id = cluster_id),
+             |qsc AS ($qualityPerDocSql)
              |SELECT d.doc_id, canon.n_members,
              |  CAST(len(regexp_extract_all(d.text, '[A-Za-z0-9_.]+@[A-Za-z0-9_.]+')) AS BIGINT) AS n_emails,
              |  CAST(len(regexp_extract_all(regexp_replace(d.text, '[A-Za-z0-9_.]+@[A-Za-z0-9_.]+', '<EMAIL>', 'g'), '[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+')) AS BIGINT) AS n_numbers,
              |  md5(regexp_replace(regexp_replace(d.text, '[A-Za-z0-9_.]+@[A-Za-z0-9_.]+', '<EMAIL>', 'g'), '[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+', '<NUMBER>', 'g')) AS clean_fp,
-             |  ROUND(least(CAST(len(regexp_extract_all(d.text, '[A-Za-z0-9_]+')) AS DOUBLE) / 100.0, 1.0) * 0.4
-             |      + (1.0 - least(CAST(length(regexp_replace(d.text, '[A-Za-z0-9_ ]', '', 'g')) AS DOUBLE) / CAST(greatest(length(d.text), 1) AS DOUBLE) * 10.0, 1.0)) * 0.3
-             |      + least(CAST(len(regexp_extract_all(lower(d.text), '\b(the|and|of|to|in|a)\b')) AS DOUBLE) / CAST(greatest(len(regexp_extract_all(d.text, '[A-Za-z0-9_]+')), 1) AS DOUBLE) * 5.0, 1.0) * 0.3, 6) AS quality,
+             |  qsc.quality,
              |  CAST(len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_pieces
-             |FROM documents d JOIN canon USING (doc_id)
+             |FROM documents d JOIN canon USING (doc_id) JOIN qsc USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
     // The production near-dedup pipeline: MinHash-LSH ∪ SimHash sketch
