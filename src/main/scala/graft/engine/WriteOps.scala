@@ -149,4 +149,20 @@ object WriteOps {
       .parquet(path)
     slice.sparkSession.read.parquet(path)
   }
+
+  /** Columnar-format interop: land a slice as ORC (Spark's second
+    * built-in columnar format), read it back through the vectorized
+    * ORC reader, and emit it for the PARQUET-sourced oracle to
+    * hash-match — schema and values (doubles especially) must survive
+    * the cross-format round trip bit-for-bit. At 100 TB the storage
+    * format is a sink-layer decision; every operator above reads
+    * whatever `Tables` hands it, and this query pins that the engine
+    * is not silently parquet-only. */
+  def orcRoundTrip(orders: DataFrame, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    orders.filter(col("o_orderkey") <= 6000)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .write.mode("overwrite").orc(path)
+    orders.sparkSession.read.orc(path).orderBy(col("o_orderkey"))
+  }
 }

@@ -2396,6 +2396,15 @@ object Catalog {
                |FROM orders WHERE o_orderkey <= 6000
                |ORDER BY o_orderkey""".stripMargin)),
 
+      // cross-format sink/source interop: the slice lands as ORC and
+      // must hash-match the parquet-sourced oracle after re-read.
+      QuerySpec(
+        "q112_orc_roundtrip",
+        (s, dir) => WriteOps.orcRoundTrip(Tables.orders(s, dir), tmp("orc", dir)),
+        Some("""SELECT o_orderkey, o_orderpriority, o_totalprice
+               |FROM orders WHERE o_orderkey <= 6000
+               |ORDER BY o_orderkey""".stripMargin)),
+
       // q54's slice with garbage injected into a landing page: the
       // PERMISSIVE + corrupt-record-column read quarantines malformed
       // lines and salvages every good row, so the clean output

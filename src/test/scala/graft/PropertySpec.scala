@@ -157,6 +157,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("corpus mixing honors arbitrary weights and stays growth-stable") {
+    import spark.implicits._
+    Seq(43, 47, 53).foreach { seed =>
+      val rnd = new Random(seed)
+      // weights on a 0.25 grid: exact binary fractions like production
+      // mixes, spanning drop / down / integer-up / fractional-up
+      val weights = (0 until 4).map(i => s"s$i" -> rnd.nextInt(13) * 0.25).toMap
+      val docs = (0 until 160).map { i =>
+        (i.toLong, s"doc number $i body", "en", s"s${rnd.nextInt(5)}") // s4 = default 1.0
+      }.toDF("doc_id", "text", "lang", "source")
+      val got = graft.engine.CorpusOps.mixCorpus(docs, weights).collect()
+        .groupBy(r => (r.getLong(0), r.getString(2)))
+      got.foreach { case ((id, src), copies) =>
+        val w = weights.getOrElse(src, 1.0)
+        val n = copies.length
+        assert(n == math.floor(w).toLong || n == math.ceil(w).toLong,
+          s"seed $seed: doc $id of $src got $n copies for weight $w")
+        assert(copies.map(_.getLong(4)).sorted.toSeq == (0L until n.toLong),
+          s"seed $seed: doc $id epochs not 0..${n - 1}")
+      }
+      // zero-weight sources vanish; stability under halving the corpus
+      weights.filter(_._2 == 0.0).keys.foreach { src =>
+        assert(!got.keys.exists(_._2 == src), s"seed $seed: weight-0 source $src survived")
+      }
+      val half = graft.engine.CorpusOps.mixCorpus(
+          docs.filter(col("doc_id") < 80), weights).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+      half.foreach { case (id, n) =>
+        assert(got((id, docs.collect().find(_.getLong(0) == id).get.getString(3))).length == n,
+          s"seed $seed: doc $id copy count changed with corpus size")
+      }
+    }
+  }
+
   test("connectedComponents handles an empty node set") {
     import spark.implicits._
     val empty = DedupOps.connectedComponents(
