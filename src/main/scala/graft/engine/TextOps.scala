@@ -334,6 +334,49 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-document repeated-SPAN detection — the boilerplate /
+    * copied-passage finder that doc-level near-dedup cannot express:
+    * positioned word n-grams join on the gram, and each shared
+    * occurrence lands on an alignment DIAGONAL (pos_i − pos_j); a
+    * contiguous copied span of L tokens puts L − n + 1 hits on one
+    * diagonal, so per doc pair the max diagonal count measures the
+    * longest aligned run while the total counts overall overlap.
+    * Grams occurring at more than `maxPostings` positions are dropped
+    * before the self-join (the [[graft.engine.DedupOps]] degenerate-
+    * bucket discipline — a universal boilerplate gram would square
+    * the join); the gram string itself is the join key, so the oracle
+    * needs no hash replay. One gram shuffle + one pair aggregate;
+    * never all-pairs. */
+  def sharedSpans(documents: DataFrame, n: Int = 10, minShared: Int = 3,
+                  maxPostings: Int = 50): DataFrame = {
+    val ng = documents
+      .select(col("doc_id"),
+        expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"CASE WHEN size(toks) >= $n THEN transform(sequence(1, size(toks) - ${n - 1}), " +
+        s"i -> struct(i AS pos, array_join(slice(toks, i, $n), ' ') AS g)) " +
+        "ELSE array() END")).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+    val keep = ng.groupBy(col("g")).agg(count(lit(1)).as("pn"))
+      .filter(col("pn") <= maxPostings).select(col("g"))
+    val capped = ng.join(keep, "g")
+    val diagHits = capped.as("a")
+      .join(capped.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+               (col("a.pos") - col("b.pos")).as("diag"))
+      .agg(count(lit(1)).as("diag_hits"))
+    diagHits
+      .groupBy(col("doc_i"), col("doc_j"))
+      .agg(sum(col("diag_hits")).as("n_shared_spans"),
+           count(lit(1)).as("n_diags"),
+           max(col("diag_hits")).as("max_diag_hits"))
+      .filter(col("n_shared_spans") >= minShared)
+      .select(col("doc_i"), col("doc_j"), col("n_shared_spans"),
+              col("n_diags"), col("max_diag_hits"))
+      .orderBy(col("doc_i"), col("doc_j"))
+  }
+
   /** Merge-candidate discovery — the distributed counting core of one
     * BPE/WordPiece merge round: frequency of ADJACENT unit pairs
     * across the corpus, top-k by count. Run here at word level; the

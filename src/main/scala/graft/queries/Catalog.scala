@@ -933,6 +933,34 @@ object Catalog {
              |ORDER BY n_pair DESC, tok_left, tok_right
              |LIMIT 20""".stripMargin)),
 
+    // Repeated-span detection: positioned grams join on the string,
+    // shared hits grouped by alignment diagonal — a copied L-token
+    // passage is L-n+1 hits on one diagonal. Postings-capped, never
+    // all-pairs.
+    QuerySpec(
+      "q113_shared_spans",
+      (s, dir) => TextOps.sharedSpans(Tables.documents(s, dir)),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS t FROM documents),
+             |ng AS (
+             |  SELECT doc_id, gi AS pos, array_to_string(list_slice(t, gi, gi + 9), ' ') AS g
+             |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 8)) AS gi
+             |        FROM tok WHERE len(t) >= 10)),
+             |keep AS (SELECT g FROM ng GROUP BY g HAVING COUNT(*) <= 50),
+             |capped AS (SELECT ng.* FROM ng JOIN keep USING (g)),
+             |dh AS (
+             |  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, a.pos - b.pos AS diag,
+             |         CAST(COUNT(*) AS BIGINT) AS diag_hits
+             |  FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2, 3)
+             |SELECT doc_i, doc_j,
+             |       CAST(SUM(diag_hits) AS BIGINT) AS n_shared_spans,
+             |       CAST(COUNT(*) AS BIGINT) AS n_diags,
+             |       CAST(MAX(diag_hits) AS BIGINT) AS max_diag_hits
+             |FROM dh GROUP BY doc_i, doc_j
+             |HAVING SUM(diag_hits) >= 3
+             |ORDER BY doc_i, doc_j""".stripMargin)),
+
     // The real tokenizer-training loop: 5 character-level BPE merge
     // rounds over the distinct-word frequency table; the oracle
     // replays every round unrolled (see q108OracleSql).

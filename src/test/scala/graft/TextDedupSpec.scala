@@ -350,6 +350,23 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("shared spans: a copied passage is exactly L-n+1 hits on one diagonal") {
+    import spark.implicits._
+    val span = (1 to 30).map(i => s"tok$i").mkString(" ") // 30-token copied passage
+    val corpus = Seq(
+      (1L, s"alpha beta gamma $span delta epsilon", "en", "s"),
+      (2L, s"completely different words here $span and unrelated tail content", "en", "s"),
+      (3L, "no overlap with anything else at all in this one document body", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = TextOps.sharedSpans(corpus, n = 10, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(4))).toMap
+    // the 30-token span yields 30-10+1 = 21 grams, all on ONE diagonal
+    assert(got.keySet == Set((1L, 2L)), s"only the copied-span pair should surface: $got")
+    val (total, maxDiag) = got((1L, 2L))
+    assert(maxDiag == 21L, s"expected 21 aligned hits, got $maxDiag")
+    assert(total == 21L, s"no off-diagonal sharing expected, got $total")
+  }
+
   test("incremental near-dedup drops near-copies of history, keeps novel docs") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
