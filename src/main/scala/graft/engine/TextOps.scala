@@ -357,9 +357,14 @@ object TextOps {
         s"i -> struct(i AS pos, array_join(slice(toks, i, $n), ' ') AS g)) " +
         "ELSE array() END")).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+    // lower bound 2: a gram with one posting can never produce a
+    // cross-doc hit, and singletons are the overwhelming majority of
+    // positioned grams — the bound turns the self-join input from
+    // every gram into just the shared ones (broadcast-joinable), so
+    // the only full-width shuffle left is the postings count itself
     val keep = ng.groupBy(col("g")).agg(count(lit(1)).as("pn"))
-      .filter(col("pn") <= maxPostings).select(col("g"))
-    val capped = ng.join(keep, "g")
+      .filter(col("pn") >= 2 && col("pn") <= maxPostings).select(col("g"))
+    val capped = ng.join(broadcast(keep), "g")
     val diagHits = capped.as("a")
       .join(capped.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))

@@ -946,7 +946,7 @@ object Catalog {
              |  SELECT doc_id, gi AS pos, array_to_string(list_slice(t, gi, gi + 9), ' ') AS g
              |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 8)) AS gi
              |        FROM tok WHERE len(t) >= 10)),
-             |keep AS (SELECT g FROM ng GROUP BY g HAVING COUNT(*) <= 50),
+             |keep AS (SELECT g FROM ng GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 50),
              |capped AS (SELECT ng.* FROM ng JOIN keep USING (g)),
              |dh AS (
              |  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, a.pos - b.pos AS diag,
