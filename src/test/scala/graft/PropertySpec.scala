@@ -157,6 +157,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sharedSpans matches a brute-force reference on random corpora") {
+    import spark.implicits._
+    def brute(texts: Seq[(Long, String)], n: Int, minShared: Long)
+        : Map[(Long, Long), (Long, Long, Long)] = {
+      val grams = texts.map { case (id, t) =>
+        val toks = "[a-z0-9_]+".r.findAllIn(t.toLowerCase).toVector
+        id -> toks.sliding(n).zipWithIndex.collect {
+          case (w, i) if w.length == n => (i + 1, w.mkString(" "))
+        }.toVector
+      }.toMap
+      // postings bound 2..50 over ALL positioned occurrences
+      val counts = grams.values.flatten.groupBy(_._2).view.mapValues(_.size).toMap
+      val ok = (g: String) => counts(g) >= 2 && counts(g) <= 50
+      (for {
+        (i, gi) <- grams.toSeq; (j, gj) <- grams.toSeq if i < j
+        hits = for {
+          (pi, g) <- gi if ok(g); (pj, g2) <- gj if g2 == g
+        } yield (pi - pj).toLong
+        if hits.nonEmpty
+        byDiag = hits.groupBy(identity).view.mapValues(_.size.toLong)
+        if hits.size >= minShared
+      } yield (i, j) -> (hits.size.toLong, byDiag.size.toLong, byDiag.values.max))
+        .toMap
+    }
+    Seq(61, 67, 71).foreach { seed =>
+      val rnd = new Random(seed)
+      // small vocab forces heavy gram collisions, repeats, multi-diag
+      // overlaps — the shapes the fixture corpus never produces
+      val vocab = Vector("aa", "bb", "cc", "dd")
+      val texts = (0L until 14L).map { id =>
+        id -> (0 until 8 + rnd.nextInt(16)).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      val docs = texts.map { case (id, t) => (id, t, "en", "s") }
+        .toDF("doc_id", "text", "lang", "source")
+      val got = graft.engine.TextOps.sharedSpans(docs, n = 3, minShared = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(got == brute(texts, 3, 1), s"seed $seed diverged from brute force")
+    }
+  }
+
   test("corpus mixing honors arbitrary weights and stays growth-stable") {
     import spark.implicits._
     Seq(43, 47, 53).foreach { seed =>
