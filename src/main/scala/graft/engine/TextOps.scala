@@ -334,6 +334,31 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Repetition-RULE filtering — the published-rule document gate
+    * (Gopher/RefinedWeb-style repetition criteria) composed from the
+    * q72 signals into one keep/drop verdict with the FIRST failing
+    * rule as the reason: too short, duplicate-sentence fraction,
+    * dominant-token share, low token diversity — in that order, so
+    * the verdict is deterministic under rule overlap. Thresholds are
+    * the dial; the engine contract is the composition: signals are
+    * computed once (pure codegen scan work), the gate is a CASE, and
+    * the drop REASON survives for the corpus card's accounting. All
+    * comparisons run on the 6-dp-rounded signals, so the oracle's
+    * CASE sees bit-identical inputs. */
+  def repetitionRuleFilter(documents: DataFrame): DataFrame =
+    repetitionSignals(documents)
+      .withColumn("verdict",
+        when(col("n_tokens") < 5, "too_short")
+          .when(col("dup_sentence_frac") > 0.30, "dup_sentences")
+          .when(col("top_tok_share") > 0.20, "top_token")
+          .when(col("distinct_ratio") < 0.30, "low_diversity")
+          .otherwise("keep"))
+      .withColumn("kept", col("verdict") === "keep")
+      .select(col("doc_id"), col("n_tokens"), col("distinct_ratio"),
+              col("top_tok_share"), col("dup_sentence_frac"),
+              col("verdict"), col("kept"))
+      .orderBy(col("doc_id"))
+
   /** Cross-document repeated-SPAN detection — the boilerplate /
     * copied-passage finder that doc-level near-dedup cannot express:
     * positioned word n-grams join on the gram, and each shared

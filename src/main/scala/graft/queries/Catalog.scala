@@ -850,6 +850,34 @@ object Catalog {
              |  ROUND(CAST(len(sentences) - len(list_distinct(sentences)) AS DOUBLE) / GREATEST(len(sentences), 1), 6) AS dup_sentence_frac
              |FROM t WHERE len(toks) > 0 ORDER BY doc_id""".stripMargin)),
 
+    // Published-rule repetition gate: the q72 signals composed into a
+    // first-failing-rule verdict; comparisons on the rounded signals
+    // so both engines gate bit-identical inputs.
+    QuerySpec(
+      "q114_repetition_filter",
+      (s, dir) => TextOps.repetitionRuleFilter(Tables.documents(s, dir)),
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS toks,
+             |         string_split(text, '. ') AS sentences
+             |  FROM documents),
+             |sig AS (
+             |  SELECT doc_id,
+             |    CAST(len(toks) AS BIGINT) AS n_tokens,
+             |    ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio,
+             |    ROUND(CAST(list_max(list_transform(list_distinct(toks), x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE) / len(toks), 6) AS top_tok_share,
+             |    ROUND(CAST(len(sentences) - len(list_distinct(sentences)) AS DOUBLE) / GREATEST(len(sentences), 1), 6) AS dup_sentence_frac
+             |  FROM t WHERE len(toks) > 0),
+             |v AS (
+             |  SELECT *, CASE WHEN n_tokens < 5 THEN 'too_short'
+             |                 WHEN dup_sentence_frac > 0.30 THEN 'dup_sentences'
+             |                 WHEN top_tok_share > 0.20 THEN 'top_token'
+             |                 WHEN distinct_ratio < 0.30 THEN 'low_diversity'
+             |                 ELSE 'keep' END AS verdict
+             |  FROM sig)
+             |SELECT doc_id, n_tokens, distinct_ratio, top_tok_share, dup_sentence_frac,
+             |       verdict, verdict = 'keep' AS kept
+             |FROM v ORDER BY doc_id""".stripMargin)),
+
     QuerySpec(
       "q66_token_estimate",
       (s, dir) => TextOps.tokenEstimate(Tables.documents(s, dir)),

@@ -350,6 +350,25 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("repetition rules fire in priority order with the right reasons") {
+    import spark.implicits._
+    val dupSent = (1 to 6).map(_ => "this sentence repeats forever and ever again").mkString(". ")
+    val corpus = Seq(
+      (1L, "one two", "en", "s"),                                    // too_short
+      (2L, dupSent, "en", "s"),                                      // dup_sentences (despite top-token overlap)
+      (3L, "spam " * 40 + "other words here now", "en", "s"),        // top_token
+      (4L, ("aa bb " * 20).trim, "en", "s"),                         // low diversity only if share <= .2: aa share=.5 -> top_token
+      (5L, "a perfectly ordinary sentence with many different words inside it today", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = TextOps.repetitionRuleFilter(corpus)
+      .collect().map(r => r.getLong(0) -> (r.getString(5), r.getBoolean(6))).toMap
+    assert(got(1L) == ("too_short", false))
+    assert(got(2L) == ("dup_sentences", false), s"got ${got(2L)}")
+    assert(got(3L) == ("top_token", false))
+    assert(got(4L)._2 == false)
+    assert(got(5L) == ("keep", true))
+  }
+
   test("shared spans: a copied passage is exactly L-n+1 hits on one diagonal") {
     import spark.implicits._
     val span = (1 to 30).map(i => s"tok$i").mkString(" ") // 30-token copied passage
