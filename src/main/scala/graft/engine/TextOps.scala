@@ -344,9 +344,16 @@ object TextOps {
     * computed once (pure codegen scan work), the gate is a CASE, and
     * the drop REASON survives for the corpus card's accounting. All
     * comparisons run on the 6-dp-rounded signals, so the oracle's
-    * CASE sees bit-identical inputs. */
+    * CASE sees bit-identical inputs. Token-LESS documents (which
+    * [[repetitionSignals]] excludes — its ratios are undefined at
+    * n_tokens = 0) still get a verdict row here: a gate that loses
+    * exactly the most droppable docs would corrupt every downstream
+    * kept/dropped tally, so the left join restores them with
+    * n_tokens = 0, NULL signals, and verdict 'too_short'. */
   def repetitionRuleFilter(documents: DataFrame): DataFrame =
-    repetitionSignals(documents)
+    documents.select(col("doc_id"))
+      .join(repetitionSignals(documents), Seq("doc_id"), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
       .withColumn("verdict",
         when(col("n_tokens") < 5, "too_short")
           .when(col("dup_sentence_frac") > 0.30, "dup_sentences")
@@ -385,11 +392,16 @@ object TextOps {
     // lower bound 2: a gram with one posting can never produce a
     // cross-doc hit, and singletons are the overwhelming majority of
     // positioned grams — the bound turns the self-join input from
-    // every gram into just the shared ones (broadcast-joinable), so
-    // the only full-width shuffle left is the postings count itself
+    // every gram into just the shared ones. The prune is a LEFT-SEMI
+    // join with NO broadcast hint: the non-singleton gram set scales
+    // with the corpus (a forced broadcast would collect a corpus-
+    // sized set onto the driver at 100 TB), while the semi-join
+    // co-partitions with the postings-count shuffle already paid on
+    // `g` — and AQE still downgrades to broadcast when the set is
+    // genuinely small
     val keep = ng.groupBy(col("g")).agg(count(lit(1)).as("pn"))
       .filter(col("pn") >= 2 && col("pn") <= maxPostings).select(col("g"))
-    val capped = ng.join(broadcast(keep), "g")
+    val capped = ng.join(keep, Seq("g"), "left_semi")
     val diagHits = capped.as("a")
       .join(capped.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -479,6 +491,12 @@ object TextOps {
       if (best.isEmpty) exhausted = true
       else {
         val (l, rr, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        // units are spliced into SQL expression text below — only
+        // safe because tokenRe confines them to [a-z0-9_]; assert
+        // that invariant so a future tokenRe change (apostrophes,
+        // quotes) fails loudly instead of corrupting the expression
+        require(l.matches("[a-z0-9_]+") && rr.matches("[a-z0-9_]+"),
+          s"BPE unit escapes [a-z0-9_]+ — unsafe to interpolate: '$l', '$rr'")
         merges += ((r.toLong, l, rr, n))
         // greedy left-to-right merge: fold units into a '|'-delimited
         // string, gluing x onto acc when acc's LAST UNIT is l and x is

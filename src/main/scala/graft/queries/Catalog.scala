@@ -852,7 +852,9 @@ object Catalog {
 
     // Published-rule repetition gate: the q72 signals composed into a
     // first-failing-rule verdict; comparisons on the rounded signals
-    // so both engines gate bit-identical inputs.
+    // so both engines gate bit-identical inputs. Token-less docs are
+    // restored by a left join (n_tokens 0, NULL signals, 'too_short')
+    // so gate accounting never loses the most droppable docs.
     QuerySpec(
       "q114_repetition_filter",
       (s, dir) => TextOps.repetitionRuleFilter(Tables.documents(s, dir)),
@@ -868,12 +870,15 @@ object Catalog {
              |    ROUND(CAST(len(sentences) - len(list_distinct(sentences)) AS DOUBLE) / GREATEST(len(sentences), 1), 6) AS dup_sentence_frac
              |  FROM t WHERE len(toks) > 0),
              |v AS (
-             |  SELECT *, CASE WHEN n_tokens < 5 THEN 'too_short'
-             |                 WHEN dup_sentence_frac > 0.30 THEN 'dup_sentences'
-             |                 WHEN top_tok_share > 0.20 THEN 'top_token'
-             |                 WHEN distinct_ratio < 0.30 THEN 'low_diversity'
-             |                 ELSE 'keep' END AS verdict
-             |  FROM sig)
+             |  SELECT d.doc_id,
+             |         CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+             |         s.distinct_ratio, s.top_tok_share, s.dup_sentence_frac,
+             |         CASE WHEN COALESCE(s.n_tokens, 0) < 5 THEN 'too_short'
+             |              WHEN s.dup_sentence_frac > 0.30 THEN 'dup_sentences'
+             |              WHEN s.top_tok_share > 0.20 THEN 'top_token'
+             |              WHEN s.distinct_ratio < 0.30 THEN 'low_diversity'
+             |              ELSE 'keep' END AS verdict
+             |  FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id)
              |SELECT doc_id, n_tokens, distinct_ratio, top_tok_share, dup_sentence_frac,
              |       verdict, verdict = 'keep' AS kept
              |FROM v ORDER BY doc_id""".stripMargin)),

@@ -358,15 +358,22 @@ class TextDedupSpec extends SparkSpec {
       (2L, dupSent, "en", "s"),                                      // dup_sentences (despite top-token overlap)
       (3L, "spam " * 40 + "other words here now", "en", "s"),        // top_token
       (4L, ("aa bb " * 20).trim, "en", "s"),                         // low diversity only if share <= .2: aa share=.5 -> top_token
-      (5L, "a perfectly ordinary sentence with many different words inside it today", "en", "s")
+      (5L, "a perfectly ordinary sentence with many different words inside it today", "en", "s"),
+      (6L, "!!! ??? --- ...", "en", "s")                               // ZERO tokens
     ).toDF("doc_id", "text", "lang", "source")
-    val got = TextOps.repetitionRuleFilter(corpus)
-      .collect().map(r => r.getLong(0) -> (r.getString(5), r.getBoolean(6))).toMap
+    val rows = TextOps.repetitionRuleFilter(corpus).collect()
+    val got = rows.map(r => r.getLong(0) -> (r.getString(5), r.getBoolean(6))).toMap
     assert(got(1L) == ("too_short", false))
     assert(got(2L) == ("dup_sentences", false), s"got ${got(2L)}")
     assert(got(3L) == ("top_token", false))
     assert(got(4L)._2 == false)
     assert(got(5L) == ("keep", true))
+    // token-less docs must not vanish from the gate (they are the
+    // most droppable rows of all): verdict too_short, n_tokens 0,
+    // NULL signal columns
+    assert(got(6L) == ("too_short", false), s"zero-token doc lost: $got")
+    val r6 = rows.find(_.getLong(0) == 6L).get
+    assert(r6.getLong(1) == 0L && r6.isNullAt(2) && r6.isNullAt(3) && r6.isNullAt(4))
   }
 
   test("shared spans: a copied passage is exactly L-n+1 hits on one diagonal") {
@@ -384,6 +391,30 @@ class TextDedupSpec extends SparkSpec {
     val (total, maxDiag) = got((1L, 2L))
     assert(maxDiag == 21L, s"expected 21 aligned hits, got $maxDiag")
     assert(total == 21L, s"no off-diagonal sharing expected, got $total")
+  }
+
+  test("shared spans: boilerplate flood is capped out and keep side is not force-broadcast") {
+    import spark.implicits._
+    // hot template passage shared by 200 docs — its grams have 200
+    // postings, far over maxPostings=50, so the cap must exclude
+    // them from pair generation entirely (without it: 200*199/2
+    // flood pairs), while a genuine 2-doc copied span still surfaces
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
+    val flood = (1L to 200L).map(i => (i, s"$boiler unique$i filler words", "en", "s"))
+    val span = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val corpus = (flood ++ Seq(
+      (1001L, s"alpha beta gamma $span delta epsilon", "en", "s"),
+      (1002L, s"different intro words $span tail content here", "en", "s")
+    )).toDF("doc_id", "text", "lang", "source")
+    val df = TextOps.sharedSpans(corpus, n = 10, minShared = 3)
+    // the keep (non-singleton gram) side scales with the corpus: the
+    // LOGICAL plan must carry no forced broadcast hint (AQE may still
+    // choose broadcast physically when the set is genuinely small)
+    val logical = df.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!logical.contains("broadcast"), s"forced broadcast hint survives:\n$logical")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == Set((1001L, 1002L)), s"flood pairs leaked: ${got.keySet.take(5)}")
+    assert(got((1001L, 1002L)) == 21L)
   }
 
   test("incremental near-dedup drops near-copies of history, keeps novel docs") {
