@@ -49,6 +49,14 @@ object Verify {
           }
       }
     }
+    // q67's oracle replays the probe from the PERSISTED index state:
+    // export (vec_id, list_id) + centroids as plain parquet at the
+    // stable path the oracle SQL embeds — the tmp warehouse holding
+    // the catalog tables dies with this JVM, the dump must not.
+    // (ivfIndexFor memo ⇒ zero extra quantizer fits after q67 ran.)
+    if (selected.contains("q67_ivf_topk"))
+      graft.engine.SimilarityOps.dumpIvfOracle(
+        graft.engine.Tables.embeddings(spark, sfDir), tag = sfDir)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -265,6 +265,32 @@ object SimilarityOps {
 
   def release(): Unit = synchronized { ivfMemo = Map.empty }
 
+  /** Stable location of the oracle-facing IVF index dump (see
+    * [[dumpIvfOracle]]). A constant because the q67 oracle SQL embeds
+    * it literally; /tmp because it must outlive this JVM (the tmp
+    * warehouse holding the catalog tables is scratch-cleaned at
+    * shutdown) so the driver's DuckDB compare can still read it. */
+  val IvfOracleDumpPath = "/tmp/graft_ivf_oracle"
+
+  /** Dump the persisted IVF index where the DuckDB oracle can read it:
+    * (vec_id, list_id) assignments + (c_list_id, centroid) centroids
+    * as plain parquet under [[IvfOracleDumpPath]]. The k-means BUILD
+    * is iterative/seeded and not SQL-expressible, but the PROBE is
+    * pure relational algebra over these two relations + the
+    * embeddings table — so with the fitted state exported, q67's
+    * centroid ranking, nProbe list pruning, and exact in-list cosine
+    * replay verbatim in SQL (the q47/q102 conversion pattern).
+    * Verify-only side channel (called from graft.Verify, never from
+    * Bench): both relations are index-metadata-sized — nVectors ints
+    * and nLists small arrays, NOT the corpus — at any scale. */
+  def dumpIvfOracle(embeddings: DataFrame, tag: String, nLists: Int = 16,
+                    path: String = IvfOracleDumpPath): Unit = {
+    val idx = ivfIndexFor(embeddings, tag, nLists)
+    idx.assigned.select(col("vec_id"), col("list_id"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/assign")
+    idx.centers.coalesce(1).write.mode("overwrite").parquet(s"$path/centers")
+  }
+
   /** IVF (inverted-file) ANN — the second scale path beside LSH: the
     * coarse quantizer assigns every vector to one of nLists inverted
     * lists; each query probes only its `nProbe` nearest centroids and
