@@ -113,6 +113,55 @@ object CorpusOps {
         (col("take_from") - col("g0")).as("doc_skip"))
       .orderBy(col("lang"), col("seq_id"), col("offset_in_seq"))
 
+  /** Training-shard writer — the loader-facing artifact the packing
+    * family builds toward: the [[sequenceManifest]] rows land on disk
+    * sharded by (lang, shard_id = seq_id DIV seqsPerShard), so a
+    * training job opens shard k and gets exactly the loader rows for
+    * its contiguous sequence range — no corpus scan, no manifest
+    * filter. Layout contract, all enforced by construction and
+    * asserted in IngestWriteSpec:
+    *  - one directory per (lang, shard): `partitionBy` keys the
+    *    layout; `repartition` on exactly those keys puts each shard
+    *    in ONE write task, so a shard is one file...
+    *  - ...unless it exceeds `maxRecordsPerFile`, where Spark's
+    *    writer rolls the file — the record-size target that keeps any
+    *    single file loader-friendly no matter how skewed a stream is;
+    *  - BYTE-size targeting is the compaction dial, not the writer's:
+    *    [[WriteOps.compact]] / [[WriteOps.compactPartitionedInPlace]]
+    *    re-tile this same layout to a byte budget when a deployment
+    *    cares about object sizes instead of record counts.
+    * Returns the SHARD MANIFEST computed from the READ-BACK layout
+    * (the [[WriteOps.rebuild]] proof pattern: what landed, not what
+    * was meant to land): per shard, its sequence range, row/sequence
+    * counts and token mass — hash-matched against a DuckDB oracle
+    * that rebuilds the same rollup from the raw documents (q115). At
+    * 100 TB each stream shards independently (the packing posture);
+    * the write is one shuffle on the shard key and the manifest one
+    * keyed aggregate over loader-row-sized data. */
+  def writeTrainingShards(documents: DataFrame, path: String, seqLen: Int = 2048,
+                          seqsPerShard: Long = 16L,
+                          maxRecordsPerFile: Long = 1000000L): DataFrame = {
+    val rows = sequenceManifest(documents, seqLen)
+      .withColumn("shard_id", expr(s"seq_id DIV $seqsPerShard"))
+    rows
+      .repartition(col("lang"), col("shard_id"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("lang", "shard_id")
+      .parquet(path)
+    documents.sparkSession.read.parquet(path)
+      // partition-column inference reads shard_id back as int
+      .withColumn("shard_id", col("shard_id").cast("long"))
+      .groupBy(col("lang"), col("shard_id"))
+      .agg(
+        min(col("seq_id")).as("first_seq"),
+        max(col("seq_id")).as("last_seq"),
+        count_distinct(col("seq_id")).as("n_seqs"),
+        count(lit(1)).as("n_rows"),
+        sum(col("n_from_doc")).as("n_tokens"))
+      .orderBy(col("lang"), col("shard_id"))
+  }
+
   /** Corpus card — the per-(lang, source) report that drives mix
     * weights and curation thresholds: volume, token mass, quality,
     * and exact-duplicate rate for every stream in one rollup. The

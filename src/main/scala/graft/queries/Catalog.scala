@@ -1435,7 +1435,53 @@ object Catalog {
              |       CAST(take_from - s0 AS BIGINT) AS offset_in_seq,
              |       CAST(LEAST(g0 + n_tokens, s0 + 2048) - take_from AS BIGINT) AS n_from_doc,
              |       CAST(take_from - g0 AS BIGINT) AS doc_skip
-             |FROM g ORDER BY lang, seq_id, offset_in_seq""".stripMargin))
+             |FROM g ORDER BY lang, seq_id, offset_in_seq""".stripMargin)),
+
+    // The corpus→loader terminus: manifest rows land sharded by
+    // (lang, seq_id DIV 16) — one dir per shard, one file unless
+    // maxRecordsPerFile rolls it — and the emitted shard manifest is
+    // recomputed from the READ-BACK layout, so the oracle match
+    // proves what landed, not what was meant to land. File-level
+    // bounds asserted in IngestWriteSpec.
+    QuerySpec(
+      "q115_training_shards",
+      (s, dir) => CorpusOps.writeTrainingShards(
+        Tables.documents(s, dir), Catalog.tmpDir("shards", dir)),
+      Some("""WITH t AS (
+             |  SELECT lang, doc_id,
+             |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT lang, doc_id, n_tokens,
+             |         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+             |  FROM t WHERE n_tokens > 0),
+             |sp AS (
+             |  SELECT lang, doc_id, n_tokens,
+             |         CAST((cum - n_tokens) // 2048 AS BIGINT) AS start_seq,
+             |         CAST((cum - 1) // 2048 AS BIGINT) AS end_seq,
+             |         CAST((cum - n_tokens) % 2048 AS BIGINT) AS tok_offset
+             |  FROM c),
+             |e AS (
+             |  SELECT lang, doc_id, n_tokens, tok_offset, start_seq,
+             |         CAST(unnest(range(start_seq, end_seq + 1)) AS BIGINT) AS seq_id
+             |  FROM sp),
+             |g AS (
+             |  SELECT lang, seq_id, doc_id, n_tokens,
+             |         start_seq * 2048 + tok_offset AS g0,
+             |         seq_id * 2048 AS s0,
+             |         GREATEST(start_seq * 2048 + tok_offset, seq_id * 2048) AS take_from
+             |  FROM e),
+             |m AS (
+             |  SELECT lang, seq_id,
+             |         CAST(LEAST(g0 + n_tokens, s0 + 2048) - take_from AS BIGINT) AS n_from_doc
+             |  FROM g)
+             |SELECT lang, CAST(seq_id // 16 AS BIGINT) AS shard_id,
+             |       MIN(seq_id) AS first_seq, MAX(seq_id) AS last_seq,
+             |       CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+             |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |       CAST(SUM(n_from_doc) AS BIGINT) AS n_tokens
+             |FROM m GROUP BY lang, seq_id // 16
+             |ORDER BY lang, shard_id""".stripMargin))
   )
 
   // ---------------------------------------------------------------- //
@@ -2474,14 +2520,17 @@ object Catalog {
   // rollups (§3.2), classification serving (§3.3), geocoding
   // enrichment (S6), materialized-view rebuild (S2)
   // ---------------------------------------------------------------- //
+  /** Per-(tag, sfDir) scratch directory for write-path queries:
+    * pid-tagged so two concurrent runs over the same sfDir never
+    * write into each other's scratch space (VERDICT r3 robustness
+    * note); Scratch-registered so repeated runs don't accumulate
+    * pid-unique copies in the tmp dir. */
+  private[queries] def tmpDir(tag: String, dir: String): String = Scratch.dir(
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${Integer.toHexString(dir.hashCode)}_${ProcessHandle.current().pid()}")
+
   private def ingestAndServing: Seq[QuerySpec] = {
     import org.apache.spark.sql.functions._
-    // pid-tagged so two concurrent runs over the same sfDir never
-    // write into each other's scratch space (VERDICT r3 robustness
-    // note); Scratch-registered so repeated runs don't accumulate
-    // pid-unique copies in the tmp dir
-    def tmp(tag: String, dir: String) = Scratch.dir(
-      s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${Integer.toHexString(dir.hashCode)}_${ProcessHandle.current().pid()}")
+    def tmp(tag: String, dir: String) = tmpDir(tag, dir)
     Seq(
       QuerySpec(
         "q54_ingest_batch",

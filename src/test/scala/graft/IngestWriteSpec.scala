@@ -241,6 +241,56 @@ class IngestWriteSpec extends SparkSpec {
       "enrichment must not change the aggregate, only add coordinates")
   }
 
+  test("training shards: bounded files, per-shard ranges, manifest matches layout") {
+    import spark.implicits._
+    // 2 langs × 20 docs × 100 tokens at seqLen=64 → ~32 sequences per
+    // stream → 4+ shards at seqsPerShard=8; maxRecordsPerFile=10
+    // forces the writer to roll files inside at least one shard
+    val docs = (for {
+      (lang, base) <- Seq(("en", 0L), ("fr", 1000L)); i <- 1 to 20
+    } yield (base + i, ("tok " * 100).trim, lang, "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = tmpDir("shards")
+    val manifest = CorpusOps.writeTrainingShards(docs, out, seqLen = 64,
+      seqsPerShard = 8L, maxRecordsPerFile = 10L).collect()
+    assert(manifest.length >= 8, s"expected >=4 shards per lang, got ${manifest.length}")
+    // every individual data FILE respects the record bound (the
+    // loader-friendliness contract maxRecordsPerFile enforces)
+    def dataFiles(d: java.io.File): Seq[java.io.File] =
+      d.listFiles.toSeq.flatMap {
+        case f if f.isDirectory => dataFiles(f)
+        case f if f.getName.endsWith(".parquet") => Seq(f)
+        case _ => Seq.empty
+      }
+    val files = dataFiles(new java.io.File(out))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val n = spark.read.parquet(f.getPath).count()
+      assert(n <= 10L, s"file ${f.getName} holds $n rows > maxRecordsPerFile")
+    }
+    // a shard directory holds ONLY its own sequence range
+    for {
+      langDir <- new java.io.File(out).listFiles.toSeq.filter(d => d.isDirectory && d.getName.startsWith("lang="))
+      shardDir <- langDir.listFiles.toSeq.filter(d => d.isDirectory && d.getName.startsWith("shard_id="))
+    } {
+      val sid = shardDir.getName.stripPrefix("shard_id=").toLong
+      val seqs = spark.read.parquet(shardDir.getPath)
+        .select(col("seq_id")).as[Long].collect()
+      assert(seqs.nonEmpty && seqs.forall(_ / 8 == sid),
+        s"${shardDir.getName} holds sequences outside its range")
+    }
+    // the emitted shard manifest equals an independent recompute from
+    // the sequence manifest — nothing lost or duplicated by the write
+    val expect = CorpusOps.sequenceManifest(docs, 64)
+      .withColumn("shard_id", expr("seq_id DIV 8"))
+      .groupBy(col("lang"), col("shard_id"))
+      .agg(min(col("seq_id")).as("first_seq"), max(col("seq_id")).as("last_seq"),
+           count_distinct(col("seq_id")).as("n_seqs"), count(lit(1)).as("n_rows"),
+           sum(col("n_from_doc")).as("n_tokens"))
+      .orderBy(col("lang"), col("shard_id")).collect()
+    assert(manifest.map(_.toSeq).toSeq == expect.map(_.toSeq).toSeq)
+  }
+
   test("dashboard second-stage rollups conserve the top-30 slice total") {
     val o = Tables.orders(spark, sf)
     val slice = RelationalOps.topMonthSlice(o)
