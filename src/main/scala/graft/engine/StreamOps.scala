@@ -225,4 +225,41 @@ object StreamOps {
           packed.iterator
       }
   }
+
+  /** Streaming incremental near-dedup — [[DedupOps.incrementalNearDedup]]
+    * (q109) moved to WHERE IT BELONGS in production: the landing zone.
+    * Each micro-batch of arriving documents is minhash-signed once and
+    * band-probed against the STORED corpus sketch table (the
+    * SketchShared shape: sketches computed at ingest, never re-derived
+    * from history text), and the per-doc verdicts (doc_id, n_dup_of,
+    * kept) append to the verdict sink — so near-duplicates of the
+    * corpus are flagged as data lands instead of in a terminal batch
+    * job. foreachBatch (the q80 maintenance pattern) because the probe
+    * is a join + aggregate per batch, not a running windowed state:
+    * the only cross-batch state is the checkpoint's source offsets,
+    * exactly-once via the sink's file log. Batch×history topology
+    * inherits [[DedupOps.incrementalNearDedupFromSigs]] wholesale —
+    * bucket caps both sides, cost scales with the BATCH, and
+    * stream≡batch vs the q109 output across a micro-batch boundary is
+    * asserted in StreamingSpec (the split point cannot matter: each
+    * doc's verdict depends only on (doc, store)). Growing the store as
+    * kept docs land is the natural composition — append the batch's
+    * kept sigs to the sketch table in the same foreachBatch — left to
+    * the caller because it changes the semantics from q109's fixed
+    * history to a monotone one. */
+  def streamingNearDedup(docs: DataFrame, storedSigs: DataFrame,
+                         outPath: String, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val sigs = DedupOps.minhashSignatures(batch).localCheckpoint(false)
+          DedupOps.incrementalNearDedupFromSigs(
+              batch.select(col("doc_id")), sigs, storedSigs)
+            .write.mode("append").parquet(outPath)
+        }
+        ()
+      }
+      .start()
 }

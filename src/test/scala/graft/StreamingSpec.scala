@@ -256,6 +256,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dedup verdicts equal q109 across a micro-batch boundary") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.engine.Tables.documents(spark, sf)
+    // stored corpus sketches (the SketchShared shape) for history,
+    // new docs arriving as a stream split across TWO micro-batches —
+    // each doc's verdict depends only on (doc, store), so the split
+    // point must not matter
+    val storedSigs = graft.engine.DedupOps
+      .minhashSignatures(docs.filter(col("doc_id") < 450)).localCheckpoint(false)
+    val newDocs = docs.filter(col("doc_id") >= 450)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .as[(Long, String, String, String)].collect().sortBy(_._1)
+    val (feed1, feed2) = newDocs.splitAt(newDocs.length / 2)
+    val out = java.nio.file.Files.createTempDirectory("graft_snd_out_").toString + "/v"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_snd_ckpt_").toString
+    val input = MemoryStream[(Long, String, String, String)]
+    val q = StreamOps.streamingNearDedup(
+      input.toDS().toDF("doc_id", "text", "lang", "source"), storedSigs, out, ckpt)
+    try {
+      input.addData(feed1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(feed2.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    val batch = graft.engine.DedupOps.incrementalNearDedup(docs, splitId = 450).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(streamed.length == batch.length && streamed.toSeq == batch.toSeq,
+      s"streaming near-dedup diverged from q109 (${streamed.length} vs ${batch.length} rows)")
+    assert(streamed.exists(!_._3), "fixture must contain at least one dropped near-dup")
+  }
+
   test("streaming sequence packing equals the batch form over the same fed docs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
