@@ -74,6 +74,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.queries.MLShared.release()
     graft.queries.SketchShared.release()
+    graft.queries.BpeShared.release()
     graft.engine.SimilarityOps.release()
     spark.stop()
   }

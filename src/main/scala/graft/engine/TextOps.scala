@@ -464,8 +464,13 @@ object TextOps {
 
   /** The loop behind [[bpeLearn]], also returning the FINAL word
     * table (w, freq, units) so [[bpeVocabReport]] can apply the
-    * learned vocabulary without re-running the rounds. */
-  private def bpeLearnState(documents: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+    * learned vocabulary without re-running the rounds.
+    * `private[graft]` so [[graft.queries.BpeShared]] can persist the
+    * pair as catalog tables — the SketchShared pattern: train once
+    * per corpus, every consumer (q108's merge report, q111's vocab
+    * application, a shard writer stamping tokenizer provenance) reads
+    * the stored state. */
+  private[graft] def bpeLearnState(documents: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     val s = documents.sparkSession
     import s.implicits._
     var cur = documents
@@ -524,8 +529,14 @@ object TextOps {
     * them to the corpus is one token explode + one broadcast-sized
     * join + one rollup — the vocabulary's value is measured against
     * the corpus it trains on without any per-doc re-merging. */
-  def bpeVocabReport(documents: DataFrame, rounds: Int = 5): DataFrame = {
-    val vocabWords = bpeLearnState(documents, rounds)._2
+  def bpeVocabReport(documents: DataFrame, rounds: Int = 5): DataFrame =
+    bpeVocabReportFromState(documents, bpeLearnState(documents, rounds)._2)
+
+  /** [[bpeVocabReport]] over a PREBUILT final word table (w, freq,
+    * units) — the production entry point ([[graft.queries.BpeShared]]
+    * catalog table): applying a vocabulary must not retrain it. */
+  def bpeVocabReportFromState(documents: DataFrame, words: DataFrame): DataFrame = {
+    val vocabWords = words
       .select(col("w"), size(col("units")).cast("long").as("n_units_w"))
     documents
       .filter(lower(col("text")).rlike("[a-z0-9_]"))

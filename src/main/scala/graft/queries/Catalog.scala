@@ -996,18 +996,22 @@ object Catalog {
 
     // The real tokenizer-training loop: 5 character-level BPE merge
     // rounds over the distinct-word frequency table; the oracle
-    // replays every round unrolled (see q108OracleSql).
+    // replays every round unrolled (see q108OracleSql). Trained ONCE
+    // per corpus via BpeShared (catalog tables) — q111 applies the
+    // same stored state instead of re-running the rounds.
     QuerySpec(
       "q108_bpe_learn",
-      (s, dir) => TextOps.bpeLearn(Tables.documents(s, dir)),
+      (s, dir) => BpeShared.merges(s, dir),
       Some(q108OracleSql)),
 
     // The learned vocabulary applied back to the corpus: per-lang
     // token mass and units-per-token compression under the k merges —
-    // learn (q108) and apply, closed loop.
+    // learn (q108) and apply, closed loop, from the SHARED stored
+    // word table (zero training rounds in this query's path).
     QuerySpec(
       "q111_bpe_vocab_report",
-      (s, dir) => TextOps.bpeVocabReport(Tables.documents(s, dir)),
+      (s, dir) => TextOps.bpeVocabReportFromState(
+        Tables.documents(s, dir), BpeShared.words(s, dir)),
       Some(q111OracleSql))
   )
 

@@ -481,6 +481,17 @@ class TextDedupSpec extends SparkSpec {
     assert(r5.exists { case (l, v) => v < r0(l) }, "five merges should compress something")
   }
 
+  test("BPE vocab report from prebuilt state equals the standalone form") {
+    // the BpeShared path: train once, apply from the stored word
+    // table — must be value-identical to learn-and-apply in one call
+    val (_, words) = TextOps.bpeLearnState(docs, 5)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(key(TextOps.bpeVocabReportFromState(docs, words)) ==
+           key(TextOps.bpeVocabReport(docs, 5)),
+      "FromState form diverged from standalone")
+  }
+
   test("sequence decontamination: every sequence a flagged doc touches is dropped") {
     val corpus = docs.filter(col("doc_id") >= 50)
     val flagged = TextOps.contaminationCheck(corpus, docs.filter(col("doc_id") < 50))
