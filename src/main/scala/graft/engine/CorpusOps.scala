@@ -218,6 +218,39 @@ object CorpusOps {
       .orderBy(col("lang"), col("seq_id"))
   }
 
+  /** Mixed-corpus packing — [[mixCorpus]] composed with
+    * [[packSequences]]: the training sequences for the corpus AS THE
+    * LOADER SEES IT, epochs included. An up-sampled document occupies
+    * one span PER EPOCH, so the pack must order the stream by
+    * (doc_id, epoch) — a total order within each lang stream (doc_id
+    * is unique per corpus, epochs distinct per doc); plain doc_id
+    * ordering would make every up-sampled doc's copies window PEERS
+    * and corrupt the cumsum. Token counts join once from the raw
+    * corpus (one key join — the mix carries no text, by design);
+    * everything downstream is [[packSequences]]' per-stream window
+    * arithmetic, same 100 TB posture, and the whole composition is
+    * deterministic integers → hash-match oracle (q117). */
+  def packMixedSequences(documents: DataFrame, weights: Map[String, Double],
+                         seqLen: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents
+      .filter(col("text").rlike("[^ ]"))
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(text, '${TextOps.pieceRe}', 0)"))
+          .cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"), col("epoch"))
+    mixCorpus(documents, weights)
+      .join(toks, "doc_id")
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("start_seq", expr(s"(cum - n_tokens) DIV $seqLen"))
+      .withColumn("end_seq", expr(s"(cum - 1) DIV $seqLen"))
+      .withColumn("tok_offset", expr(s"(cum - n_tokens) % $seqLen"))
+      .withColumn("n_seqs", col("end_seq") - col("start_seq") + lit(1L))
+      .select(col("lang"), col("doc_id"), col("epoch"), col("n_tokens"),
+              col("start_seq"), col("end_seq"), col("tok_offset"), col("n_seqs"))
+      .orderBy(col("lang"), col("doc_id"), col("epoch"))
+  }
+
   /** Corpus mixing — deterministic per-source up/down-sampling to a
     * target data mix: each document gets n_copies = ⌊w⌋ + (u < frac(w))
     * copies, where w is its source's mix weight and u ∈ [0,1) is

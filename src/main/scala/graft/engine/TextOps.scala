@@ -366,6 +366,28 @@ object TextOps {
               col("verdict"), col("kept"))
       .orderBy(col("doc_id"))
 
+  /** Gate accounting — the kept/dropped tally the repetition gate
+    * exists to feed: per verdict, how many documents and how much
+    * token mass the rule keeps or removes, plus each verdict's share
+    * of the corpus. This is the number a curation run reports ("the
+    * dup-sentence rule cost 4.2% of tokens") and the reason
+    * [[repetitionRuleFilter]] must emit a row for EVERY input doc —
+    * a gate that loses zero-token docs under-counts its own
+    * 'too_short' bucket (the r8 fix this rollup makes observable).
+    * One keyed aggregate over the gate's scan output; the share is a
+    * tiny whole-frame window over ≤5 verdict rows. */
+  def gateAccounting(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    repetitionRuleFilter(documents)
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("doc_frac", round(
+        col("n_docs").cast("double") /
+          sum(col("n_docs")).over(Window.partitionBy()), 6))
+      .select(col("verdict"), col("n_docs"), col("n_tokens"), col("doc_frac"))
+      .orderBy(col("verdict"))
+  }
+
   /** Cross-document repeated-SPAN detection — the boilerplate /
     * copied-passage finder that doc-level near-dedup cannot express:
     * positioned word n-grams join on the gram, and each shared

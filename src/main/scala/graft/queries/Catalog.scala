@@ -883,6 +883,40 @@ object Catalog {
              |       verdict, verdict = 'keep' AS kept
              |FROM v ORDER BY doc_id""".stripMargin)),
 
+    // The gate's accounting rollup: per verdict, docs and token mass
+    // kept/removed plus corpus share — the tally the q114 zero-token
+    // fix keeps honest (token-less docs count into 'too_short'
+    // instead of vanishing).
+    QuerySpec(
+      "q116_gate_accounting",
+      (s, dir) => TextOps.gateAccounting(Tables.documents(s, dir)),
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS toks,
+             |         string_split(text, '. ') AS sentences
+             |  FROM documents),
+             |sig AS (
+             |  SELECT doc_id,
+             |    CAST(len(toks) AS BIGINT) AS n_tokens,
+             |    ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio,
+             |    ROUND(CAST(list_max(list_transform(list_distinct(toks), x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE) / len(toks), 6) AS top_tok_share,
+             |    ROUND(CAST(len(sentences) - len(list_distinct(sentences)) AS DOUBLE) / GREATEST(len(sentences), 1), 6) AS dup_sentence_frac
+             |  FROM t WHERE len(toks) > 0),
+             |v AS (
+             |  SELECT d.doc_id,
+             |         CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+             |         CASE WHEN COALESCE(s.n_tokens, 0) < 5 THEN 'too_short'
+             |              WHEN s.dup_sentence_frac > 0.30 THEN 'dup_sentences'
+             |              WHEN s.top_tok_share > 0.20 THEN 'top_token'
+             |              WHEN s.distinct_ratio < 0.30 THEN 'low_diversity'
+             |              ELSE 'keep' END AS verdict
+             |  FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id)
+             |SELECT verdict,
+             |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             |       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS doc_frac
+             |FROM v GROUP BY verdict
+             |ORDER BY verdict""".stripMargin)),
+
     QuerySpec(
       "q66_token_estimate",
       (s, dir) => TextOps.tokenEstimate(Tables.documents(s, dir)),
@@ -1305,6 +1339,15 @@ object Catalog {
       (s, dir) => CorpusOps.mixCorpus(Tables.documents(s, dir),
         Map("src0" -> 0.0, "src1" -> 0.5, "src2" -> 2.0, "src3" -> 2.25)),
       Some(q104OracleSql)),
+
+    // mix → pack composition: the loader's sequence spans over the
+    // MIXED corpus, epochs as separate stream occupants (ordered by
+    // (doc_id, epoch) so up-sampled copies are never window peers).
+    QuerySpec(
+      "q117_mixed_pack",
+      (s, dir) => CorpusOps.packMixedSequences(Tables.documents(s, dir),
+        Map("src0" -> 0.0, "src1" -> 0.5, "src2" -> 2.0, "src3" -> 2.25)),
+      Some(q117OracleSql)),
 
     // Concat-and-chunk sequence packing: per-lang streams, window
     // cumsum → each doc's training-sequence span. Integer arithmetic
@@ -1749,6 +1792,44 @@ object Catalog {
        |       CAST(unnest(range(0, n_copies)) AS BIGINT) AS epoch
        |FROM n WHERE n_copies > 0
        |ORDER BY doc_id, epoch""".stripMargin
+  }
+
+  /** q117 oracle: the q104 mix chain (xxhash64 fate replica) composed
+    * with the q103 pack arithmetic, ordered by (doc_id, epoch) within
+    * each lang stream — the total order that keeps up-sampled copies
+    * from becoming window peers. */
+  private val q117OracleSql: String = {
+    import Xxh64DocIdSql.{ctes, tos}
+    s"""WITH $ctes,
+       |u AS (SELECT doc_id,
+       |        CAST(((${tos("h8")} % 1000000) + 1000000) % 1000000 AS DOUBLE) / 1000000.0 AS u
+       |      FROM s10),
+       |m AS (SELECT dd.doc_id, dd.lang,
+       |        CASE dd.source WHEN 'src0' THEN 0.0 WHEN 'src1' THEN 0.5
+       |                       WHEN 'src2' THEN 2.0 WHEN 'src3' THEN 2.25
+       |                       ELSE 1.0 END AS w,
+       |        u.u
+       |      FROM documents dd JOIN u USING (doc_id)),
+       |n AS (SELECT doc_id, lang,
+       |        CAST(floor(w) + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+       |      FROM m),
+       |e AS (SELECT doc_id, lang,
+       |        CAST(unnest(range(0, n_copies)) AS BIGINT) AS epoch
+       |      FROM n WHERE n_copies > 0),
+       |tk AS (SELECT doc_id,
+       |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+       |       FROM documents),
+       |j AS (SELECT e.lang, e.doc_id, e.epoch, tk.n_tokens
+       |      FROM e JOIN tk USING (doc_id) WHERE tk.n_tokens > 0),
+       |c AS (SELECT lang, doc_id, epoch, n_tokens,
+       |        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id, epoch) AS cum
+       |      FROM j)
+       |SELECT lang, doc_id, epoch, n_tokens,
+       |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS start_seq,
+       |       CAST((cum - 1) // 2048 AS BIGINT) AS end_seq,
+       |       CAST((cum - n_tokens) % 2048 AS BIGINT) AS tok_offset,
+       |       CAST((cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1 AS BIGINT) AS n_seqs
+       |FROM c ORDER BY lang, doc_id, epoch""".stripMargin
   }
 
   /** q42 oracle: the whole MinHash+LSH chain is deterministic, so it

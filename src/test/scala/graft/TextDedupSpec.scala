@@ -542,4 +542,50 @@ class TextDedupSpec extends SparkSpec {
       assert(fullIds(id) == n, s"doc $id changed copy count when corpus grew")
     }
   }
+
+  test("gate accounting conserves the corpus; zero-token docs land in too_short") {
+    import spark.implicits._
+    val corpus = docs.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .union(Seq((900001L, "??? !!!", "en", "s")).toDF("doc_id", "text", "lang", "source"))
+    val acct = graft.engine.TextOps.gateAccounting(corpus).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val total = corpus.count()
+    // every input doc is accounted for, exactly once
+    assert(acct.values.map(_._1).sum == total, s"gate lost docs: $acct")
+    assert(math.abs(acct.values.map(_._3).sum - 1.0) < 1e-4)
+    // the injected token-less doc counts into too_short with 0 tokens
+    assert(acct.contains("too_short") && acct("too_short")._1 >= 1)
+    // verdict-level tallies agree with the per-doc gate
+    val perDoc = graft.engine.TextOps.repetitionRuleFilter(corpus).collect()
+      .groupBy(_.getString(5)).view.mapValues(_.length.toLong).toMap
+    assert(acct.view.mapValues(_._1).toMap == perDoc)
+  }
+
+  test("mixed-corpus packing tiles each stream; up-sampled copies get their own spans") {
+    val weights = Map("src0" -> 0.0, "src1" -> 0.5, "src2" -> 2.0, "src3" -> 2.25)
+    val seqLen = 64
+    val packed = CorpusOps.packMixedSequences(docs, weights, seqLen).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(packed.nonEmpty)
+    // spans tile contiguously in (doc_id, epoch) order per stream:
+    // each occupant starts exactly where the previous one's tokens end
+    packed.groupBy(_._1).foreach { case (lang, rows) =>
+      val ordered = rows.sortBy(t => (t._2, t._3))
+      ordered.foldLeft(0L) { case (cum, (_, id, ep, n, s0, e1, off, nseq)) =>
+        assert(s0 == cum / seqLen && off == cum % seqLen,
+          s"$lang doc $id epoch $ep misaligned at cum $cum")
+        assert(e1 == (cum + n - 1) / seqLen && nseq == e1 - s0 + 1)
+        cum + n
+      }
+    }
+    // an up-sampled doc occupies one DISTINCT span per epoch
+    val bySrc2 = packed.filter(t => t._3 == 1L)
+    assert(bySrc2.nonEmpty, "weight-2 source must produce epoch-1 copies")
+    // mixed occupants equal the mix × token-bearing docs (inner join)
+    val expect = CorpusOps.mixCorpus(docs, weights)
+      .join(docs.filter(col("text").rlike("[^ ]")).select(col("doc_id")), "doc_id")
+      .count()
+    assert(packed.length.toLong == expect)
+  }
 }
