@@ -518,28 +518,69 @@ object TextOps {
       if (best.isEmpty) exhausted = true
       else {
         val (l, rr, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        // units are spliced into SQL expression text below — only
-        // safe because tokenRe confines them to [a-z0-9_]; assert
-        // that invariant so a future tokenRe change (apostrophes,
-        // quotes) fails loudly instead of corrupting the expression
-        require(l.matches("[a-z0-9_]+") && rr.matches("[a-z0-9_]+"),
-          s"BPE unit escapes [a-z0-9_]+ — unsafe to interpolate: '$l', '$rr'")
         merges += ((r.toLong, l, rr, n))
-        // greedy left-to-right merge: fold units into a '|'-delimited
-        // string, gluing x onto acc when acc's LAST UNIT is l and x is
-        // rr; '|' can never occur inside a unit (units are [a-z0-9_]
-        // merges), so the unit boundary test is exact
-        cur = cur.withColumn("units", expr(
-          s"CASE WHEN size(units) <= 1 THEN units ELSE " +
-          s"split(aggregate(slice(units, 2, size(units) - 1), units[0], " +
-          s"(acc, x) -> CASE WHEN (acc = '$l' OR endswith(acc, '|$l')) AND x = '$rr' " +
-          s"THEN concat(acc, x) ELSE concat(acc, '|', x) END), '[|]') END"))
+        cur = cur.withColumn("units", expr(mergeRewriteExpr(l, rr)))
           .localCheckpoint(false)
         r += 1
       }
     }
     (merges.result().toDF("round", "tok_left", "tok_right", "n_pair")
       .orderBy(col("round")), cur)
+  }
+
+  /** One greedy left-to-right merge applied to a `units` array
+    * column: fold units into a '|'-delimited string, gluing x onto
+    * acc when acc's LAST UNIT is `l` and x is `rr`; '|' can never
+    * occur inside a unit (units stay within [a-z0-9_]), so the unit
+    * boundary test is exact. The units are spliced into SQL
+    * expression text — only safe because tokenRe confines them to
+    * [a-z0-9_]; the require makes a future tokenRe change
+    * (apostrophes, quotes) fail loudly instead of corrupting the
+    * expression. Shared by the training loop and [[bpeSegmentCost]]'s
+    * inference-side replay. */
+  private def mergeRewriteExpr(l: String, rr: String): String = {
+    require(l.matches("[a-z0-9_]+") && rr.matches("[a-z0-9_]+"),
+      s"BPE unit escapes [a-z0-9_]+ — unsafe to interpolate: '$l', '$rr'")
+    s"CASE WHEN size(units) <= 1 THEN units ELSE " +
+    s"split(aggregate(slice(units, 2, size(units) - 1), units[0], " +
+    s"(acc, x) -> CASE WHEN (acc = '$l' OR endswith(acc, '|$l')) AND x = '$rr' " +
+    s"THEN concat(acc, x) ELSE concat(acc, '|', x) END), '[|]') END"
+  }
+
+  /** Inference-side tokenization cost — the OTHER direction from
+    * [[bpeVocabReport]]: segment ANY corpus (including words never
+    * seen in training) under a stored merge list by replaying the
+    * merges, in order, over each distinct word's character split —
+    * greedy BPE application, which is exactly what a tokenizer does
+    * at encode time. The merge list is round-bounded (k rows — a
+    * driver-side Seq, the q108 artifact), each merge is one codegen'd
+    * fold over the DISTINCT-word frame, and the corpus pays one token
+    * explode + one broadcast-sized join — the same word-table
+    * discipline as training: text is never re-scanned per merge.
+    * Emits per-document token count, unit cost and units-per-token —
+    * the loader-facing "how expensive is this doc to tokenize"
+    * signal. Deterministic → hash-match oracle (q118). */
+  def bpeSegmentCost(documents: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val words = documents
+      .filter(lower(col("text")).rlike("[a-z0-9_]"))
+      .select(explode(expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)")).as("w"))
+      .distinct()
+      .withColumn("units",
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+    val applied = merges.foldLeft(words) { case (df, (l, rr)) =>
+      df.withColumn("units", expr(mergeRewriteExpr(l, rr)))
+    }
+    val voc = applied.select(col("w"), size(col("units")).cast("long").as("n_units_w"))
+    documents
+      .filter(lower(col("text")).rlike("[a-z0-9_]"))
+      .select(col("doc_id"),
+        explode(expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)")).as("w"))
+      .join(voc, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_units_w")).as("n_units"))
+      .withColumn("units_per_token",
+        round(col("n_units").cast("double") / col("n_tokens"), 6))
+      .orderBy(col("doc_id"))
   }
 
   /** Apply the learned vocabulary back to the corpus — the other half

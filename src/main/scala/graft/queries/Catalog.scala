@@ -1046,7 +1046,22 @@ object Catalog {
       "q111_bpe_vocab_report",
       (s, dir) => TextOps.bpeVocabReportFromState(
         Tables.documents(s, dir), BpeShared.words(s, dir)),
-      Some(q111OracleSql))
+      Some(q111OracleSql)),
+
+    // encode-time segmentation: the STORED merge schedule (a
+    // round-bounded driver-side list — 5 rows here, the q108
+    // artifact) replayed over the corpus's distinct words, per-doc
+    // cost rollup. Works on unseen words by construction
+    // (TextDedupSpec); here train==apply corpus, so the oracle's
+    // seen-word vocabulary covers every token.
+    QuerySpec(
+      "q118_bpe_segment_cost",
+      (s, dir) => {
+        val m = BpeShared.merges(s, dir).collect() // bounded: ≤ rounds rows
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        TextOps.bpeSegmentCost(Tables.documents(s, dir), m)
+      },
+      Some(q118OracleSql))
   )
 
   /** q108 oracle: BPE learning is deterministic — the corpus only
@@ -1062,7 +1077,7 @@ object Catalog {
     * exactly like Spark's aggregate(slice(...,2,...), units[0], …)).
     * Assumes ≥ rounds mergeable pairs exist (true for any real text
     * corpus; the Spark side stops early on exhaustion). */
-  private val (q108OracleSql, q111OracleSql): (String, String) = {
+  private val (q108OracleSql, q111OracleSql, q118OracleSql): (String, String, String) = {
     val rounds = 5
     def pairsCte(u: String, p: String) =
       s"""$p AS (
@@ -1115,7 +1130,23 @@ object Catalog {
        |FROM occ o JOIN voc v USING (w)
        |GROUP BY o.lang
        |ORDER BY o.lang""".stripMargin
-    (q108, q111)
+    // q118: the same unrolled vocabulary applied per DOCUMENT — the
+    // encode-time cost signal (training corpus == applied corpus in
+    // the catalog form, so the seen-word join covers every token)
+    val q118 = s"""WITH $u0,
+       |${ctes.mkString(",\n")},
+       |occ AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS w
+       |  FROM documents),
+       |voc AS (SELECT w, CAST(len(units) AS BIGINT) AS nu FROM u$rounds)
+       |SELECT o.doc_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(v.nu) AS BIGINT) AS n_units,
+       |       ROUND(CAST(SUM(v.nu) AS DOUBLE) / COUNT(*), 6) AS units_per_token
+       |FROM occ o JOIN voc v USING (w)
+       |GROUP BY o.doc_id
+       |ORDER BY o.doc_id""".stripMargin
+    (q108, q111, q118)
   }
 
   // ---------------------------------------------------------------- //

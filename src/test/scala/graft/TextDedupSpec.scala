@@ -466,6 +466,22 @@ class TextDedupSpec extends SparkSpec {
       Seq((1L, "a", "b", 6L), (2L, "ab", "ab", 3L)))
   }
 
+  test("BPE segmentation applies stored merges greedily, unseen words included") {
+    import spark.implicits._
+    // merges learned elsewhere; this corpus was never trained on
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val corpus = Seq(
+      (1L, "abcab", "en", "s"),   // a b c a b -> ab c ab -> abc ab: 2 units
+      (2L, "zzz abc", "en", "s"), // zzz unseen: 3 units; abc: 1 unit
+      (3L, "ba", "en", "s")       // no (b,a) merge: 2 units
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = graft.engine.TextOps.bpeSegmentCost(corpus, merges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (1L, 2L), s"abcab should cost 2 units, got ${got(1L)}")
+    assert(got(2L) == (2L, 4L), s"zzz+abc should cost 3+1 units, got ${got(2L)}")
+    assert(got(3L) == (1L, 2L), s"ba must not merge, got ${got(3L)}")
+  }
+
   test("BPE vocab report: more merge rounds never inflate units-per-token") {
     def ratio(rounds: Int): Map[String, Double] =
       TextOps.bpeVocabReport(docs, rounds).collect()
