@@ -441,6 +441,31 @@ object TextOps {
       .orderBy(col("doc_i"), col("doc_j"))
   }
 
+  /** Corpus boilerplate report — the flip side of [[sharedSpans]]'
+    * postings cap: the grams the cap EXCLUDES from pair generation
+    * (headers, footers, templates — any passage stamped across the
+    * corpus) are exactly the signal a curation run wants reported.
+    * Top-k word n-grams by total postings with their document
+    * coverage; total order (postings desc, gram) makes the cut
+    * deterministic. Word-count shaped — gram explode in the scan
+    * projection, ONE shuffle with map-side partial aggregation,
+    * TakeOrdered top-k — so the report costs the same as a token
+    * count at any corpus size. The short-doc guard lives inside the
+    * projection (empty-array explode), per the pushdown audit. */
+  def boilerplateGrams(documents: DataFrame, n: Int = 3, minPostings: Long = 5,
+                       k: Int = 20): DataFrame =
+    documents
+      .select(col("doc_id"),
+        expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"CASE WHEN size(toks) >= $n THEN transform(sequence(1, size(toks) - ${n - 1}), " +
+        s"i -> array_join(slice(toks, i, $n), ' ')) ELSE array() END")).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_postings"), countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_postings") >= minPostings)
+      .orderBy(col("n_postings").desc, col("gram"))
+      .limit(k)
+
   /** Merge-candidate discovery — the distributed counting core of one
     * BPE/WordPiece merge round: frequency of ADJACENT unit pairs
     * across the corpus, top-k by count. Run here at word level; the

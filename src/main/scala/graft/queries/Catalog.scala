@@ -883,6 +883,25 @@ object Catalog {
              |       verdict, verdict = 'keep' AS kept
              |FROM v ORDER BY doc_id""".stripMargin)),
 
+    // the postings cap's flip side: the corpus-wide template/footer
+    // grams reported top-k — word-count shaped, total-order cut
+    QuerySpec(
+      "q119_boilerplate_grams",
+      (s, dir) => TextOps.boilerplateGrams(Tables.documents(s, dir)),
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |         unnest(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS gram
+             |  FROM t WHERE len(toks) >= 3),
+             |c AS (
+             |  SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_postings,
+             |         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+             |  FROM g GROUP BY gram)
+             |SELECT gram, n_postings, n_docs FROM c WHERE n_postings >= 5
+             |ORDER BY n_postings DESC, gram LIMIT 20""".stripMargin)),
+
     // The gate's accounting rollup: per verdict, docs and token mass
     // kept/removed plus corpus share — the tally the q114 zero-token
     // fix keeps honest (token-less docs count into 'too_short'

@@ -466,6 +466,20 @@ class TextDedupSpec extends SparkSpec {
       Seq((1L, "a", "b", 6L), (2L, "ab", "ab", 3L)))
   }
 
+  test("boilerplate report surfaces the stamped template at the top") {
+    import spark.implicits._
+    val footer = "contact support for help"  // 4 tokens -> 2 3-grams
+    val corpus = ((1L to 30L).map(i => (i, s"doc body number$i words here. $footer", "en", "s")) ++
+      Seq((99L, "entirely unrelated text with no template at all", "en", "s")))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextOps.boilerplateGrams(corpus, n = 3, minPostings = 5, k = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.forall(_._2 >= 30L),
+      s"only the 30-doc footer grams clear the threshold: ${got.toSeq}")
+    assert(got.exists(_._1 == "contact support for"), s"footer gram missing: ${got.toSeq}")
+    assert(got.forall(_._3 == 30L), "doc coverage must count distinct docs")
+  }
+
   test("BPE segmentation applies stored merges greedily, unseen words included") {
     import spark.implicits._
     // merges learned elsewhere; this corpus was never trained on
