@@ -403,6 +403,13 @@ object TextOps {
     * never all-pairs. */
   def sharedSpans(documents: DataFrame, n: Int = 10, minShared: Int = 3,
                   maxPostings: Int = 50): DataFrame = {
+    // positioned grams materialize ONCE (the verifiedJaccardPairs
+    // checkpoint discipline): the frame feeds FOUR consumers — the
+    // postings count, the semi-join probe, and both self-join sides —
+    // and without the checkpoint each re-runs the tokenize+explode
+    // scan (plan-audited: 4 Generate+Scan subtrees; measured 2.98 →
+    // 1.40 s at sf0.1). Size is bounded by the corpus's token count —
+    // the same data the postings-count shuffle moves anyway.
     val ng = documents
       .select(col("doc_id"),
         expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)").as("toks"))
@@ -411,6 +418,7 @@ object TextOps {
         s"i -> struct(i AS pos, array_join(slice(toks, i, $n), ' ') AS g)) " +
         "ELSE array() END")).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+      .localCheckpoint(false)
     // lower bound 2: a gram with one posting can never produce a
     // cross-doc hit, and singletons are the overwhelming majority of
     // positioned grams — the bound turns the self-join input from
