@@ -137,7 +137,11 @@ object CorpusOps {
     * that rebuilds the same rollup from the raw documents (q115). At
     * 100 TB each stream shards independently (the packing posture);
     * the write is one shuffle on the shard key and the manifest one
-    * keyed aggregate over loader-row-sized data. */
+    * keyed aggregate over loader-row-sized data. The reference's
+    * closest analogue is its keyed batch sink (reference:
+    * app/spark_cassandra_groupby.py:74-82, appending a rollup into a
+    * keyed Cassandra table); here the "table" is the loader's shard
+    * layout and the key is the sequence range. */
   def writeTrainingShards(documents: DataFrame, path: String, seqLen: Int = 2048,
                           seqsPerShard: Long = 16L,
                           maxRecordsPerFile: Long = 1000000L): DataFrame = {

@@ -234,7 +234,10 @@ object StreamOps {
     * from history text), and the per-doc verdicts (doc_id, n_dup_of,
     * kept) append to the verdict sink — so near-duplicates of the
     * corpus are flagged as data lands instead of in a terminal batch
-    * job. foreachBatch (the q80 maintenance pattern) because the probe
+    * job (the reference's only ingest is a driver-side REST poll —
+    * reference: app/ml_app.py:415-520 — with no landing-zone
+    * hygiene at all; this is what that path needs at corpus scale).
+    * foreachBatch (the q80 maintenance pattern) because the probe
     * is a join + aggregate per batch, not a running windowed state:
     * the only cross-batch state is the checkpoint's source offsets,
     * exactly-once via the sink's file log. Batch×history topology
