@@ -449,6 +449,59 @@ object TextOps {
       .orderBy(col("doc_i"), col("doc_j"))
   }
 
+  /** N-gram LM self-scoring — the CCNet-style statistical quality
+    * filter: train a word-bigram language model ON THE CORPUS and
+    * score each document by its mean bigram probability. Documents
+    * built from the corpus's common constructions score high;
+    * outliers — glitch text, wrong-language fragments, character
+    * noise — score low, which is exactly the tail a curation run
+    * wants to inspect or drop. LAPLACE-smoothed conditional
+    * p(w2|w1) = (c2 + 1) / (c1 + V): raw MLE is unusable for this
+    * purpose — a noise bigram whose left context appears exactly once
+    * gets p = 1/1, the top score (observed; pinned in the spec) —
+    * while smoothing over the V-word vocabulary pushes
+    * rare-context bigrams toward 2/V and lets repeated constructions
+    * dominate. All counting is word-count shaped (two keyed
+    * aggregates over the bigram stream + one probability join); V is
+    * one bounded count job at build. At 100 TB the model IS the
+    * bigram count table — corpus-bounded — and scoring is one
+    * equi-join on the bigram key. Determinism discipline:
+    * probabilities are correctly-rounded double divisions ROUND(·,9),
+    * the per-doc mean accumulates in exact DECIMAL ([[Exact.decAvg]])
+    * so the value is identical on 32 threads or 1000 executors, and
+    * the oracle replays the identical chain (q120). */
+  def ngramLmScore(documents: DataFrame): DataFrame = {
+    // the bigram stream feeds THREE consumers (bigram counts, left-
+    // context counts, the scoring join) — materialize it once (the
+    // sharedSpans lesson: without this, each consumer re-runs the
+    // tokenize+explode scan)
+    val occ = documents
+      .filter(lower(col("text")).rlike("[a-z0-9_]"))
+      .select(col("doc_id"),
+        expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), " +
+        "i -> struct(toks[i-1] AS w1, toks[i] AS w2)) ELSE array() END")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .localCheckpoint(false)
+    val bi = occ.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val uni = occ.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // vocabulary size for the smoothing denominator: distinct word
+    // types in the bigram stream — an exact integer both engines
+    // derive identically
+    val vocab = occ.select(explode(array(col("w1"), col("w2"))).as("w"))
+      .distinct().count()
+    val probs = bi.join(uni, "w1")
+      .select(col("w1"), col("w2"),
+        round((col("c2") + lit(1L)).cast("double") /
+              (col("c1") + lit(vocab)).cast("double"), 9).as("p"))
+    occ.join(probs, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           round(Exact.decAvg(col("p"), 9), 6).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus boilerplate report — the flip side of [[sharedSpans]]'
     * postings cap: the grams the cap EXCLUDES from pair generation
     * (headers, footers, templates — any passage stamped across the

@@ -883,6 +883,30 @@ object Catalog {
              |       verdict, verdict = 'keep' AS kept
              |FROM v ORDER BY doc_id""".stripMargin)),
 
+    // CCNet-style statistical quality: corpus-trained bigram MLE,
+    // per-doc mean probability in exact DECIMAL — outlier/glitch docs
+    // score low
+    QuerySpec(
+      "q120_ngram_lm_score",
+      (s, dir) => TextOps.ngramLmScore(Tables.documents(s, dir)),
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS toks
+             |  FROM documents),
+             |o AS (
+             |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+             |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+             |        FROM t WHERE len(toks) >= 2)),
+             |b AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM o GROUP BY 1, 2),
+             |u AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM o GROUP BY 1),
+             |v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vsz
+             |      FROM (SELECT w1 AS w FROM o UNION SELECT w2 FROM o)),
+             |pr AS (SELECT b.w1, b.w2, ROUND(CAST(c2 + 1 AS DOUBLE) / (c1 + vsz), 9) AS p
+             |       FROM b JOIN u USING (w1) CROSS JOIN v)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |       ROUND(${Exact.decAvgSql("p", 9)}, 6) AS lm_score
+             |FROM o JOIN pr USING (w1, w2)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // the postings cap's flip side: the corpus-wide template/footer
     // grams reported top-k — word-count shaped, total-order cut
     QuerySpec(

@@ -466,6 +466,35 @@ class TextDedupSpec extends SparkSpec {
       Seq((1L, "a", "b", 6L), (2L, "ab", "ab", 3L)))
   }
 
+  test("ngram LM score: hand-computed MLE means; common phrasing outscores outliers") {
+    import spark.implicits._
+    // corpus bigrams: (x,y)x2 from doc1, (y,x)x1 from doc1, (x,z)x1
+    // from doc2 -> c1(x)=3, c1(y)=1, V={x,y,z}=3; Laplace:
+    // p(x,y)=(2+1)/(3+3)=0.5, p(y,x)=(1+1)/(1+3)=0.5,
+    // p(x,z)=(1+1)/(3+3)=0.333333333
+    val corpus = Seq(
+      (1L, "x y x y", "en", "s"),  // mean(0.5, 0.5, 0.5) = 0.5
+      (2L, "x z", "en", "s")       // mean(1/3)           = 0.333333
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = graft.engine.TextOps.ngramLmScore(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) == (3L, 0.5), s"doc1: ${got(1L)}")
+    assert(got(2L) == (1L, 0.333333), s"doc2: ${got(2L)}")
+    // discriminative direction under smoothing: a corpus-dominant
+    // phrase outscores a one-off noise bigram (raw MLE inverts this —
+    // the noise bigram's singleton context scores p=1, the pre-fix
+    // failure mode)
+    val mixed = ((1L to 10L).map(i => (i, "good morning world", "en", "s")) ++
+      Seq((99L, "qq zz", "en", "s"))).toDF("doc_id", "text", "lang", "source")
+    // V={good,morning,world,qq,zz}=5; phrase bigrams (10+1)/(10+5)=
+    // 0.733333; noise (1+1)/(1+5)=0.333333
+    val scored = graft.engine.TextOps.ngramLmScore(mixed).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored(1L) == 0.733333 && scored(99L) == 0.333333,
+      s"smoothed scores off: ${scored(1L)}, ${scored(99L)}")
+    assert(scored(99L) < scored(1L))
+  }
+
   test("boilerplate report surfaces the stamped template at the top") {
     import spark.implicits._
     val footer = "contact support for help"  // 4 tokens -> 2 3-grams
