@@ -232,6 +232,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("mixed-corpus packing invariants hold for random corpora and weights") {
+    import spark.implicits._
+    val rnd = new Random(23)
+    (1 to 4).foreach { trial =>
+      // random weights exercising drop, down-sample, up-sample,
+      // fractional up-sample; random short texts (some empty — those
+      // carry nothing into any stream — and some punctuation-only,
+      // which DO carry pieceRe tokens)
+      val weights = Map(
+        "src0" -> Seq(0.0, 0.5, 1.5, 3.0)(rnd.nextInt(4)),
+        "src1" -> Seq(0.0, 0.25, 2.0, 2.75)(rnd.nextInt(4)))
+      val docs = (1L to 120L).map { i =>
+        val words = (0 until rnd.nextInt(12))
+          .map(_ => s"w${rnd.nextInt(9)}").mkString(" ")
+        (i, if (rnd.nextInt(10) == 0) "???" else words,
+         if (rnd.nextBoolean()) "en" else "fr", s"src${rnd.nextInt(2)}")
+      }.toDF("doc_id", "text", "lang", "source")
+      val seqLen = 1 + rnd.nextInt(16)
+      val packed = graft.engine.CorpusOps.packMixedSequences(docs, weights, seqLen)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                             r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      // invariant 1: per stream, occupants tile contiguously in
+      // (doc_id, epoch) order from offset 0 with no gaps/overlaps
+      packed.groupBy(_._1).foreach { case (lang, rows) =>
+        rows.sortBy(t => (t._2, t._3)).foldLeft(0L) {
+          case (cum, (_, id, ep, n, s0, e1, off, nseq)) =>
+            assert(n > 0, s"trial $trial: zero-token occupant leaked")
+            assert(s0 == cum / seqLen && off == cum % seqLen,
+              s"trial $trial $lang: doc $id epoch $ep misaligned")
+            assert(e1 == (cum + n - 1) / seqLen && nseq == e1 - s0 + 1)
+            cum + n
+        }
+      }
+      // invariant 2: occupant multiset = mix output × token-bearing
+      // docs (join semantics: token-less docs carry nothing)
+      val expect = graft.engine.CorpusOps.mixCorpus(docs, weights)
+        .join(docs.filter(col("text").rlike("[^ ]")).select(col("doc_id")), "doc_id")
+        .count()
+      assert(packed.length.toLong == expect, s"trial $trial: occupant count off")
+    }
+  }
+
   test("connectedComponents handles an empty node set") {
     import spark.implicits._
     val empty = DedupOps.connectedComponents(
