@@ -49,12 +49,13 @@ object Verify {
           }
       }
     }
-    // q67's oracle replays the probe from the PERSISTED index state:
-    // export (vec_id, list_id) + centroids as plain parquet at the
-    // stable path the oracle SQL embeds — the tmp warehouse holding
-    // the catalog tables dies with this JVM, the dump must not.
-    // (ivfIndexFor memo ⇒ zero extra quantizer fits after q67 ran.)
-    if (selected.contains("q67_ivf_topk"))
+    // The q67/q121 oracles replay probe + list stats from the
+    // PERSISTED index state: export (vec_id, list_id) + centroids as
+    // plain parquet at the stable path the oracle SQL embeds — the
+    // tmp warehouse holding the catalog tables dies with this JVM,
+    // the dump must not. (ivfIndexFor memo ⇒ zero extra quantizer
+    // fits after either query ran.)
+    if (selected.contains("q67_ivf_topk") || selected.contains("q121_ivf_list_stats"))
       graft.engine.SimilarityOps.dumpIvfOracle(
         graft.engine.Tables.embeddings(spark, sfDir), tag = sfDir)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -328,6 +328,26 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** IVF index health report — per-inverted-list population and
+    * corpus share, the balance view every vector store surfaces for
+    * its coarse quantizer: probe latency is bounded by the largest
+    * probed list, so a skewed assignment (one hot list holding half
+    * the corpus) silently turns "nProbe/nLists of the data" into a
+    * near-full scan. One keyed count over the PERSISTED assignment
+    * table (never the embeddings) + a whole-frame window over nLists
+    * rows. Oracle-checked against the same exported index state as
+    * the q67 probe (q121). */
+  def ivfListStats(index: IvfIndex): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    index.assigned
+      .groupBy(col("list_id").cast("long").as("list_id"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .withColumn("share", round(
+        col("n_vectors").cast("double") /
+          sum(col("n_vectors")).over(Window.partitionBy()), 6))
+      .orderBy(col("list_id"))
+  }
+
   /** One-shot IVF form: builds the index inline and probes it — for
     * ad-hoc exploration and the recall/score-parity tests. Production
     * and the catalog go through [[ivfIndexFor]] so the build is paid

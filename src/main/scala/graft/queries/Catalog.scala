@@ -1677,6 +1677,22 @@ object Catalog {
              |SELECT qid, vec_id, score, rn FROM r WHERE rn <= 10
              |ORDER BY qid, rn""".stripMargin)),
 
+    // index health: per-list population/share from the persisted
+    // assignments — the balance view that bounds probe cost; oracle
+    // reads the same exported index state as q67
+    QuerySpec(
+      "q121_ivf_list_stats",
+      (s, dir) => SimilarityOps.ivfListStats(
+        SimilarityOps.ivfIndexFor(Tables.embeddings(s, dir), tag = dir)),
+      Some("""WITH a AS (
+             |  SELECT list_id FROM read_parquet('/tmp/graft_ivf_oracle/assign/*.parquet')),
+             |c AS (
+             |  SELECT CAST(list_id AS BIGINT) AS list_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
+             |  FROM a GROUP BY list_id)
+             |SELECT list_id, n_vectors,
+             |       ROUND(CAST(n_vectors AS DOUBLE) / SUM(n_vectors) OVER (), 6) AS share
+             |FROM c ORDER BY list_id""".stripMargin)),
+
     // int8 scalar-quantized cosine: per-vector max-abs scales cancel
     // in cosine, so scoring is exact integer dot products — the one
     // ANN family member that hash-matches without fold-order care
