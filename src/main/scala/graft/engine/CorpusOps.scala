@@ -283,4 +283,35 @@ object CorpusOps {
               explode(expr("sequence(0L, n_copies - 1L)")).as("epoch"))
       .orderBy(col("doc_id"), col("epoch"))
   }
+
+  /** Temperature-scaled mixing weights — the standard up/down-weight
+    * design for heterogeneous corpora (weight ∝ tokensᵅ with α = 1/2:
+    * big sources damped, small sources boosted, the multilingual-
+    * sampling temperature trick). The per-source token mass is one
+    * scan + one tiny keyed aggregate; everything after runs on the
+    * source-dimension frame (catalog-scale). The α = 1/2 weight is
+    * quantized to ⌊√tokens⌋ as a BIGINT: IEEE sqrt is correctly
+    * rounded in every engine, so the integer weight — and therefore
+    * every share, which divides exact BIGINT sums — is deterministic
+    * cross-engine, with no order-sensitive float accumulation
+    * anywhere. `upweight` > 1 means temperature sampling repeats the
+    * source relative to raw proportion; its output feeds
+    * [[mixCorpus]] as the weight map. */
+  def temperatureMixWeights(documents: DataFrame): DataFrame = {
+    val per = documents
+      .select(col("source"),
+        size(expr(s"regexp_extract_all(text, '${TextOps.tokenRe}', 0)")).cast("long").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("w_sqrt", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"), sum(col("w_sqrt")).as("tot_w"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("raw_share", round(col("n_tokens").cast("double") / col("tot_tokens"), 6))
+      .withColumn("temp_share", round(col("w_sqrt").cast("double") / col("tot_w"), 6))
+      .withColumn("upweight", round((col("w_sqrt").cast("double") / col("tot_w")) /
+        (col("n_tokens").cast("double") / col("tot_tokens")), 6))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("w_sqrt"),
+        col("raw_share"), col("temp_share"), col("upweight"))
+      .orderBy(col("source"))
+  }
 }

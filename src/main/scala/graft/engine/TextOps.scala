@@ -14,7 +14,7 @@ import graft.functions.RollingHash
   */
 object TextOps {
 
-  private val tokenRe = "[A-Za-z0-9_]+"
+  private[engine] val tokenRe = "[A-Za-z0-9_]+"
 
   /** The BPE-ish subword-piece unit ([[tokenEstimate]]'s n_pieces):
     * letter runs, single digits, single non-space punctuation. ONE
@@ -151,6 +151,61 @@ object TextOps {
       .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
       .withColumn("flagged", col("n_shared") >= minShared)
       .orderBy(col("doc_id"))
+  }
+
+  /** Cross-split contamination matrix — the audit a train/val/test
+    * split ships with: for every ordered pair of splits, how many of
+    * split A's documents share at least one word n-gram with split B,
+    * and how many distinct grams the two splits have in common. The
+    * split assignment replays [[hashSplit]]'s xxhash64 bucketing so
+    * the matrix audits the EXACT split a pipeline would train on, not
+    * a re-randomized one. Topology: one shuffle keys the per-doc
+    * distinct grams by gram; the per-split gram dictionary joins back
+    * on that same key (co-partitioned, and AQE broadcasts it when
+    * genuinely small). Per-gram fanout is bounded by the number of
+    * splits (3), never by document count, so no gram-pair blowup
+    * exists at any corpus size. Zero rows are kept (left joins from
+    * the complete split×split frame) — "no leakage detected" is the
+    * result that matters. */
+  def crossSplitContamination(documents: DataFrame, n: Int = 5): DataFrame = {
+    val assigned = documents
+      .select(col("doc_id"), col("text"),
+        when(pmod(xxhash64(col("doc_id")), lit(10)) < 8, lit("train"))
+          .when(pmod(xxhash64(col("doc_id")), lit(10)) === 8, lit("val"))
+          .otherwise(lit("test")).as("split"))
+    val grams = assigned
+      .select(col("doc_id"), col("split"),
+        expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)").as("toks"))
+      .select(col("doc_id"), col("split"), explode(array_distinct(
+        expr(s"CASE WHEN size(toks) >= $n THEN " +
+          s"transform(sequence(1, size(toks) - ${n - 1}), i -> array_join(slice(toks, i, $n), ' ')) " +
+          "ELSE array() END"))).as("gram"))
+    val gramSplits = grams.select(col("split"), col("gram")).distinct()
+    val totals = assigned.groupBy(col("split")).agg(count(lit(1)).as("n_docs_a"))
+    val frame = totals.select(col("split").as("split_a"), col("n_docs_a"))
+      .crossJoin(totals.select(col("split").as("split_b")))
+      .filter(col("split_a") =!= col("split_b"))
+    val contaminated = grams
+      .join(gramSplits.select(col("split").as("split_b"), col("gram")), "gram")
+      .filter(col("split") =!= col("split_b"))
+      .select(col("split").as("split_a"), col("split_b"), col("doc_id"))
+      .distinct()
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_docs_contaminated"))
+    val sharedGrams = gramSplits.select(col("split").as("split_a"), col("gram"))
+      .join(gramSplits.select(col("split").as("split_b"), col("gram")), "gram")
+      .filter(col("split_a") =!= col("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+    frame
+      .join(contaminated, Seq("split_a", "split_b"), "left")
+      .join(sharedGrams, Seq("split_a", "split_b"), "left")
+      .select(col("split_a"), col("split_b"), col("n_docs_a"),
+        coalesce(col("n_docs_contaminated"), lit(0L)).as("n_docs_contaminated"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+      .withColumn("contam_frac",
+        round(col("n_docs_contaminated").cast("double") / col("n_docs_a"), 6))
+      .orderBy(col("split_a"), col("split_b"))
   }
 
   /** Decontamination with a BLOOM-FILTER held-out set — the 100 TB
@@ -526,6 +581,70 @@ object TextOps {
       .filter(col("n_postings") >= minPostings)
       .orderBy(col("n_postings").desc, col("gram"))
       .limit(k)
+
+  /** Zipf head report — the corpus token-frequency distribution a
+    * corpus card quotes: the top-k tokens with occurrence count,
+    * document frequency, corpus share, and cumulative share (how much
+    * of the token stream the head covers — the number that decides
+    * stopword lists and vocabulary budgets). The heavy work is one
+    * word-count-shaped shuffle (map-side combine carries distinct
+    * tokens per partition, never the stream); the top-k cut is
+    * TakeOrdered with a total order (count desc, token), and ONLY the
+    * k surviving rows enter the unpartitioned rank/cumsum window — a
+    * k-row frame, not a corpus-wide single-partition sort. Shares
+    * divide exact BIGINTs at the end, so the values are
+    * order-independent and oracle-exact. */
+  def zipfReport(documents: DataFrame, k: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents
+      .select(col("doc_id"),
+        explode(expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)")).as("tok"))
+    val counts = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    val order = Window.orderBy(col("n_occ").desc, col("tok"))
+    counts.orderBy(col("n_occ").desc, col("tok")).limit(k)
+      .crossJoin(broadcast(total))
+      .withColumn("tok_rank", row_number().over(order).cast("long"))
+      .withColumn("cum_occ",
+        sum(col("n_occ")).over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("tok_rank"), col("tok"), col("n_occ"), col("n_docs"),
+        round(col("n_occ").cast("double") / col("total"), 6).as("share"),
+        round(col("cum_occ").cast("double") / col("total"), 6).as("cum_share"))
+      .orderBy(col("tok_rank"))
+  }
+
+  /** Inter-source vocabulary overlap — the corpus redundancy map: for
+    * every pair of sources, the Jaccard similarity of their distinct
+    * token vocabularies. High-overlap pairs are mirror/scrape
+    * duplicates a mixing design should collapse; low-overlap pairs
+    * are the diversity the mix is buying. One shuffle builds the
+    * distinct (source, token) dictionary; the pair counts join that
+    * dictionary with itself ON TOKEN, so per-token fanout is bounded
+    * by the source dimension (catalog-scale, hundreds), never by
+    * document or token-stream size — the same bounded-self-join shape
+    * as the LSH band join. Pairs with zero shared vocabulary drop out
+    * (their Jaccard is 0 by definition); emitted pairs are the upper
+    * triangle, source_a < source_b. */
+  def sourceVocabOverlap(documents: DataFrame): DataFrame = {
+    val vocab = documents
+      .select(col("source"),
+        explode(expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)")).as("tok"))
+      .distinct()
+    val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("n_vocab"))
+    vocab.select(col("source").as("source_a"), col("tok"))
+      .join(vocab.select(col("source").as("source_b"), col("tok")), "tok")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("source").as("source_a"), col("n_vocab").as("n_vocab_a")), "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("n_vocab").as("n_vocab_b")), "source_b")
+      .withColumn("jaccard", round(col("n_common").cast("double") /
+        (col("n_vocab_a") + col("n_vocab_b") - col("n_common")), 6))
+      .select(col("source_a"), col("source_b"), col("n_vocab_a"),
+        col("n_vocab_b"), col("n_common"), col("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 
   /** Merge-candidate discovery — the distributed counting core of one
     * BPE/WordPiece merge round: frequency of ADJACENT unit pairs

@@ -971,6 +971,61 @@ object Catalog {
              |FROM documents
              |ORDER BY doc_id""".stripMargin)),
 
+    // Zipf head: corpus token-frequency distribution, top-30 with
+    // corpus share + cumulative coverage — TakeOrdered cuts to k rows
+    // BEFORE the rank/cumsum window, so the unpartitioned window only
+    // ever sees k rows.
+    QuerySpec(
+      "q123_zipf_head",
+      (s, dir) => TextOps.zipfReport(Tables.documents(s, dir)),
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS tok
+             |  FROM documents),
+             |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occ,
+             |             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+             |      FROM t GROUP BY tok),
+             |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM t),
+             |top AS (SELECT * FROM c ORDER BY n_occ DESC, tok LIMIT 30),
+             |r AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, tok) AS BIGINT) AS tok_rank,
+             |             tok, n_occ, n_docs,
+             |             SUM(n_occ) OVER (ORDER BY n_occ DESC, tok ROWS UNBOUNDED PRECEDING) AS cum_occ
+             |      FROM top)
+             |SELECT tok_rank, tok, n_occ, n_docs,
+             |       ROUND(CAST(n_occ AS DOUBLE) / total, 6) AS share,
+             |       ROUND(CAST(cum_occ AS DOUBLE) / total, 6) AS cum_share
+             |FROM r CROSS JOIN tot ORDER BY tok_rank""".stripMargin)),
+
+    // Inter-source vocabulary Jaccard: the corpus redundancy map.
+    // Dictionary self-join on TOKEN — per-token fanout bounded by the
+    // source dimension, never doc count.
+    QuerySpec(
+      "q125_source_vocab_overlap",
+      (s, dir) => TextOps.sourceVocabOverlap(Tables.documents(s, dir)),
+      Some("""WITH v AS (
+             |  SELECT DISTINCT source, tok FROM (
+             |    SELECT source, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS tok
+             |    FROM documents)),
+             |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_vocab FROM v GROUP BY source),
+             |p AS (SELECT a.source AS source_a, b.source AS source_b,
+             |             CAST(COUNT(*) AS BIGINT) AS n_common
+             |      FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+             |      GROUP BY 1, 2)
+             |SELECT p.source_a, p.source_b, sa.n_vocab AS n_vocab_a, sb.n_vocab AS n_vocab_b,
+             |       p.n_common,
+             |       ROUND(CAST(p.n_common AS DOUBLE) / (sa.n_vocab + sb.n_vocab - p.n_common), 6) AS jaccard
+             |FROM p JOIN sz sa ON p.source_a = sa.source
+             |       JOIN sz sb ON p.source_b = sb.source
+             |ORDER BY source_a, source_b""".stripMargin)),
+
+    // Cross-split contamination matrix over the EXACT q94 xxhash64
+    // split — ordered split pairs with leaked-doc counts, shared-gram
+    // counts and the zero rows kept (left joins from the complete
+    // split×split frame).
+    QuerySpec(
+      "q122_split_contamination",
+      (s, dir) => TextOps.crossSplitContamination(Tables.documents(s, dir)),
+      Some(q122OracleSql)),
+
     // The 100 TB decontamination shape: held-out grams folded into a
     // broadcast Bloom filter, corpus grams tested locally — no join
     // shuffle. The filter is deterministic (Murmur3 seed 0), so the
@@ -1413,6 +1468,28 @@ object Catalog {
       (s, dir) => CorpusOps.mixCorpus(Tables.documents(s, dir),
         Map("src0" -> 0.0, "src1" -> 0.5, "src2" -> 2.0, "src3" -> 2.25)),
       Some(q104OracleSql)),
+
+    // The mix-design INPUT: temperature-scaled (α = 1/2) per-source
+    // weights — ⌊√tokens⌋ quantized to BIGINT so every share divides
+    // exact integer sums (deterministic cross-engine; IEEE sqrt is
+    // correctly rounded in both). Feeds q104's weight map.
+    QuerySpec(
+      "q124_temperature_mix",
+      (s, dir) => CorpusOps.temperatureMixWeights(Tables.documents(s, dir)),
+      Some("""WITH per AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |         CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY source),
+             |w AS (SELECT source, n_docs, n_tokens,
+             |             CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_sqrt
+             |      FROM per),
+             |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+             |               CAST(SUM(w_sqrt) AS BIGINT) AS tot_w FROM w)
+             |SELECT source, n_docs, n_tokens, w_sqrt,
+             |       ROUND(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS raw_share,
+             |       ROUND(CAST(w_sqrt AS DOUBLE) / tot_w, 6) AS temp_share,
+             |       ROUND((CAST(w_sqrt AS DOUBLE) / tot_w) / (CAST(n_tokens AS DOUBLE) / tot_tokens), 6) AS upweight
+             |FROM w CROSS JOIN tot ORDER BY source""".stripMargin)),
 
     // mix → pack composition: the loader's sequence spans over the
     // MIXED corpus, epochs as separate stream occupants (ordered by
@@ -1857,6 +1934,43 @@ object Catalog {
        |              ELSE 'test' END AS split
        |       FROM buck)
        |SELECT split, COUNT(*) AS n_docs FROM sp GROUP BY split ORDER BY split""".stripMargin
+  }
+
+  /** q122 oracle: the same xxhash64 split as q94, then per-doc
+    * distinct word 5-grams, the per-split gram dictionary, and the
+    * ordered-pair leak/overlap counts with zero rows preserved. */
+  private val q122OracleSql: String = {
+    import Xxh64DocIdSql.{ctes, tos}
+    s"""WITH $ctes,
+       |sp AS (SELECT doc_id,
+       |         CASE WHEN ((${tos("h8")} % 10) + 10) % 10 < 8 THEN 'train'
+       |              WHEN ((${tos("h8")} % 10) + 10) % 10 = 8 THEN 'val'
+       |              ELSE 'test' END AS split
+       |       FROM s10),
+       |tok AS (SELECT d.doc_id, sp.split, regexp_extract_all(lower(d.text), '[A-Za-z0-9_]+') AS t
+       |        FROM documents d JOIN sp USING (doc_id)),
+       |g AS (SELECT DISTINCT doc_id, split, array_to_string(list_slice(t, gi, gi + 4), ' ') AS gram
+       |      FROM (SELECT doc_id, split, t, unnest(range(1, len(t) - 3)) AS gi
+       |            FROM tok WHERE len(t) >= 5)),
+       |gs AS (SELECT DISTINCT split, gram FROM g),
+       |tot AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs_a FROM sp GROUP BY split),
+       |frame AS (SELECT a.split AS split_a, a.n_docs_a, b.split AS split_b
+       |          FROM tot a CROSS JOIN tot b WHERE a.split <> b.split),
+       |cont AS (SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_docs_contaminated
+       |         FROM (SELECT DISTINCT g.split AS split_a, gs.split AS split_b, g.doc_id
+       |               FROM g JOIN gs ON g.gram = gs.gram AND g.split <> gs.split)
+       |         GROUP BY 1, 2),
+       |shg AS (SELECT a.split AS split_a, b.split AS split_b,
+       |               CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+       |        FROM gs a JOIN gs b ON a.gram = b.gram AND a.split <> b.split
+       |        GROUP BY 1, 2)
+       |SELECT f.split_a, f.split_b, f.n_docs_a,
+       |       COALESCE(c.n_docs_contaminated, 0) AS n_docs_contaminated,
+       |       COALESCE(s.n_shared_grams, 0) AS n_shared_grams,
+       |       ROUND(CAST(COALESCE(c.n_docs_contaminated, 0) AS DOUBLE) / f.n_docs_a, 6) AS contam_frac
+       |FROM frame f LEFT JOIN cont c ON f.split_a = c.split_a AND f.split_b = c.split_b
+       |             LEFT JOIN shg s ON f.split_a = s.split_a AND f.split_b = s.split_b
+       |ORDER BY f.split_a, f.split_b""".stripMargin
   }
 
   /** q104 oracle: mixing replays the same xxhash64 chain — u =

@@ -647,4 +647,94 @@ class TextDedupSpec extends SparkSpec {
       .count()
     assert(packed.length.toLong == expect)
   }
+
+  test("cross-split contamination: complete matrix, symmetric overlap, injected leak found") {
+    import spark.implicits._
+    // pick one doc_id per split by replaying the q94 bucketing
+    val buckets = spark.range(0, 100)
+      .select(col("id"), pmod(xxhash64(col("id")), lit(10)).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainId = buckets.collectFirst { case (id, b) if b < 8 => id }.get
+    val testId = buckets.collectFirst { case (id, b) if b == 9 => id }.get
+    val valId = buckets.collectFirst { case (id, b) if b == 8 => id }.get
+    // vocabulary disjoint across docs EXCEPT the planted train/test leak
+    val leak = "leaka leakb leakc leakd leake"
+    val corpus = Seq(
+      (trainId, leak, "en", "s"),
+      (testId, leak + " extraf extrag", "en", "s"),
+      (valId, "valq valw vale valr valt", "en", "s"),
+    ).toDF("doc_id", "text", "lang", "source").withColumn("n_chars", length(col("text")))
+    val m = TextOps.crossSplitContamination(corpus).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // all 6 ordered pairs present, zero rows included
+    assert(m.keySet == Set("train" -> "val", "train" -> "test", "val" -> "train",
+      "val" -> "test", "test" -> "train", "test" -> "val"))
+    // the planted 5-gram leaks train<->test in BOTH directions, once
+    assert(m(("train", "test")) == ((1L, 1L, 1L)))
+    assert(m(("test", "train")) == ((1L, 1L, 1L)))
+    // val shares nothing; shared-gram counts are symmetric everywhere
+    assert(m(("val", "train"))._2 == 0L && m(("val", "test"))._2 == 0L)
+    m.keys.foreach { case (a, b) => assert(m((a, b))._3 == m((b, a))._3) }
+  }
+
+  test("zipf head: contiguous ranks, monotone coverage, true top token") {
+    val rows = TextOps.zipfReport(docs).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length.toLong))
+    // shares ordered with rank; cumulative coverage monotone, <= 1
+    val shares = rows.map(_.getDouble(4))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a >= b })
+    val cum = rows.map(_.getDouble(5))
+    assert(cum.zip(cum.tail).forall { case (a, b) => b >= a } && cum.last <= 1.0)
+    // rank 1 is the corpus's true modal token
+    val top = docs
+      .select(explode(expr("regexp_extract_all(lower(text), '[A-Za-z0-9_]+', 0)")).as("tok"))
+      .groupBy(col("tok")).count().orderBy(col("count").desc, col("tok")).first()
+    assert(rows.head.getString(1) == top.getString(0))
+    assert(rows.head.getLong(2) == top.getLong(1))
+  }
+
+  test("temperature mixing: hand-computed α=1/2 shares on a two-source corpus") {
+    import spark.implicits._
+    // source A: 100 tokens (w=10); source B: 2500 tokens (w=50)
+    val docA = (1 to 10).map(i => (i.toLong, Seq.fill(10)("aa").mkString(" "), "en", "A"))
+    val docB = (11 to 35).map(i => (i.toLong, Seq.fill(100)("bb").mkString(" "), "en", "B"))
+    val corpus = (docA ++ docB).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val rows = CorpusOps.temperatureMixWeights(corpus).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = rows("A"); val b = rows("B")
+    assert(a.getLong(1) == 10L && a.getLong(2) == 100L && a.getLong(3) == 10L)
+    assert(b.getLong(1) == 25L && b.getLong(2) == 2500L && b.getLong(3) == 50L)
+    // raw 100/2600, temp 10/60 — the small source is boosted ~4.3×
+    assert(math.abs(a.getDouble(4) - 0.038462) < 1e-9)
+    assert(math.abs(a.getDouble(5) - 0.166667) < 1e-9)
+    assert(a.getDouble(6) > 4.3 && a.getDouble(6) < 4.34)
+    assert(b.getDouble(6) < 1.0) // the big source is damped
+    // quantization invariant holds on the fixture corpus too
+    CorpusOps.temperatureMixWeights(docs).collect().foreach { r =>
+      val (n, w) = (r.getLong(2), r.getLong(3))
+      assert(w * w <= n && n < (w + 1) * (w + 1), s"${r.getString(0)}: $w vs $n")
+    }
+  }
+
+  test("source vocab overlap: clones hit jaccard 1, disjoint pairs drop out") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma", "en", "s1"),
+      (2L, "beta alpha gamma alpha", "en", "s2"), // same vocab as s1
+      (3L, "delta epsilon", "en", "s3"), // disjoint
+    ).toDF("doc_id", "text", "lang", "source").withColumn("n_chars", length(col("text")))
+    val rows = TextOps.sourceVocabOverlap(corpus).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(rows.keySet == Set("s1" -> "s2")) // s3 pairs: zero overlap, absent
+    val r12 = rows(("s1", "s2"))
+    assert(r12.getLong(2) == 3L && r12.getLong(3) == 3L && r12.getLong(4) == 3L)
+    assert(r12.getDouble(5) == 1.0)
+    // fixture corpus: jaccard in (0, 1], upper triangle only
+    TextOps.sourceVocabOverlap(docs).collect().foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
 }
