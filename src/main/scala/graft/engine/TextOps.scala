@@ -646,6 +646,105 @@ object TextOps {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Sentence-level exact dedup — boilerplate removal at sentence
+    * granularity (the sub-document form of [[DedupOps.exactDedup]]):
+    * a sentence's FIRST occurrence in the corpus (min (doc_id,
+    * position)) is kept; every later occurrence — cross-document
+    * footer spam or within-document repetition — is dropped, and the
+    * doc is reassembled from its surviving sentences in original
+    * order. The keeper is a min-STRUCT aggregate keyed by sentence,
+    * not a window: partial aggregation combines map-side, so a
+    * boilerplate sentence stamped into millions of documents costs
+    * one record per upstream partition at the shuffle — no hot
+    * sentence-partition skew, the same reason exactDedup aggregates
+    * rather than windows. Join back is on the same sentence key
+    * (co-partitioned). Emits per doc the sentence tally and the
+    * fingerprint of the cleaned text. */
+  def sentenceDedup(documents: DataFrame): DataFrame = {
+    val sent = documents
+      .select(col("doc_id"), posexplode(split(col("text"), "\\. ")))
+      .toDF("doc_id", "pos0", "s")
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("s"))
+    val keeper = sent.groupBy(col("s"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+    sent.join(keeper, "s")
+      .withColumn("kept",
+        col("doc_id") === col("k.doc_id") && col("pos") === col("k.pos"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_sentences"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"), struct(col("pos"), col("s"))))),
+            x => x.getField("s")),
+          ". ")).as("clean_fp"))
+      .withColumn("n_dropped", (col("n_sentences") - col("n_kept")).cast("long"))
+      .select(col("doc_id"), col("n_sentences"), col("n_kept"),
+        col("n_dropped"), col("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Learned-stopword ratio — the language-agnostic quality signal
+    * CCNet-style filters use when no curated stopword list exists:
+    * the corpus's own Zipf head ([[zipfReport]]'s top-k tokens) IS
+    * the stopword list, and each document is scored by the share of
+    * its tokens drawn from that head. Natural prose sits in a mid
+    * band; keyword-stuffed or glitch documents score near 0, boiler-
+    * plate near 1. The stopword set is k rows by construction, so
+    * the explicit broadcast is bounded — the join adds no shuffle to
+    * the token stream. */
+  def stopwordRatio(documents: DataFrame, k: Int = 30): DataFrame = {
+    val stop = zipfReport(documents, k).select(col("tok")).withColumn("is_stop", lit(true))
+    val counts = documents
+      .select(col("doc_id"),
+        explode(expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)")).as("tok"))
+      .join(broadcast(stop), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("is_stop"), 1L).otherwise(0L)).as("n_stop"))
+    documents.select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_stop"), lit(0L)).as("n_stop"))
+      .withColumn("stop_ratio",
+        round(col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1L)), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-language length gate — outlier-length filtering with
+    * thresholds LEARNED per language (a fixed global bound is wrong
+    * when languages tokenize at different densities): per lang, the
+    * p10/p90 token-count quantiles via the GK sketch (exact here —
+    * accuracy exceeds the distinct count; the q90/quantile_disc
+    * contract), then one threshold join back (lang is a tiny
+    * dimension — AQE broadcasts it) classifying each doc short/keep/
+    * long. Reports the per-language gate tally; no global sort, no
+    * per-lang window — the quantile is a sketch aggregate, so the
+    * hot 'en' partition never materializes in one task. */
+  def langLengthGate(documents: DataFrame, lo: Double = 0.1, hi: Double = 0.9): DataFrame = {
+    val toks = documents.select(col("doc_id"), col("lang"),
+      size(expr(s"regexp_extract_all(text, '$tokenRe', 0)")).cast("long").as("n_tokens"))
+    val thresholds = toks.groupBy(col("lang"))
+      .agg(expr(s"percentile_approx(n_tokens, $lo, 100000)").as("p_lo"),
+           expr(s"percentile_approx(n_tokens, $hi, 100000)").as("p_hi"))
+    toks.join(thresholds, "lang")
+      .withColumn("cls",
+        when(col("n_tokens") < col("p_lo"), "short")
+          .when(col("n_tokens") > col("p_hi"), "long")
+          .otherwise("keep"))
+      .groupBy(col("lang"))
+      .agg(max(col("p_lo")).as("p_lo"), max(col("p_hi")).as("p_hi"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("cls") === "keep", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("cls") === "short", 1L).otherwise(0L)).as("n_short"),
+        sum(when(col("cls") === "long", 1L).otherwise(0L)).as("n_long"))
+      .withColumn("kept_frac",
+        round(col("n_kept").cast("double") / col("n_docs"), 6))
+      .orderBy(col("lang"))
+  }
+
   /** Merge-candidate discovery — the distributed counting core of one
     * BPE/WordPiece merge round: frequency of ADJACENT unit pairs
     * across the corpus, top-k by count. Run here at word level; the

@@ -1026,6 +1026,75 @@ object Catalog {
       (s, dir) => TextOps.crossSplitContamination(Tables.documents(s, dir)),
       Some(q122OracleSql)),
 
+    // Sentence-level exact dedup: first corpus occurrence (min
+    // (doc_id, pos)) of each sentence kept, docs reassembled from
+    // survivors. Spark keeps via a min-struct AGGREGATE (map-side
+    // combine kills boilerplate-sentence skew); the oracle's window
+    // expresses the same keeper rule.
+    QuerySpec(
+      "q126_sentence_dedup",
+      (s, dir) => TextOps.sentenceDedup(Tables.documents(s, dir)),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, '. ') AS ss FROM documents),
+             |s AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ss[i] AS s
+             |      FROM (SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS i FROM t)),
+             |k AS (SELECT doc_id, pos, s,
+             |             ROW_NUMBER() OVER (PARTITION BY s ORDER BY doc_id, pos) = 1 AS kept
+             |      FROM s)
+             |SELECT doc_id,
+             |       CAST(COUNT(*) AS BIGINT) AS n_sentences,
+             |       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |       CAST(COUNT(*) - SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             |       md5(COALESCE(array_to_string(list(s ORDER BY pos) FILTER (WHERE kept), '. '), '')) AS clean_fp
+             |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Learned-stopword ratio: the corpus's own Zipf head (q123's
+    // top-30) is the stopword list; per-doc share of head tokens.
+    QuerySpec(
+      "q127_stopword_ratio",
+      (s, dir) => TextOps.stopwordRatio(Tables.documents(s, dir)),
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS tok
+             |  FROM documents),
+             |c AS (SELECT tok, COUNT(*) AS n_occ FROM t GROUP BY tok),
+             |stop AS (SELECT tok FROM c ORDER BY n_occ DESC, tok LIMIT 30),
+             |agg AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |               CAST(SUM(CASE WHEN stop.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+             |        FROM t LEFT JOIN stop ON t.tok = stop.tok
+             |        GROUP BY t.doc_id)
+             |SELECT d.doc_id, COALESCE(agg.n_tokens, 0) AS n_tokens,
+             |       COALESCE(agg.n_stop, 0) AS n_stop,
+             |       ROUND(CAST(COALESCE(agg.n_stop, 0) AS DOUBLE)
+             |             / GREATEST(COALESCE(agg.n_tokens, 0), 1), 6) AS stop_ratio
+             |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Per-language length gate: p10/p90 token-count thresholds
+    // learned per lang (GK sketch ≡ quantile_disc at this distinct
+    // count — the q90 contract), then a broadcast threshold join.
+    QuerySpec(
+      "q128_lang_length_gate",
+      (s, dir) => TextOps.langLengthGate(Tables.documents(s, dir)),
+      Some("""WITH n AS (
+             |  SELECT doc_id, lang,
+             |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |th AS (SELECT lang, quantile_disc(n_tokens, 0.1) AS p_lo,
+             |              quantile_disc(n_tokens, 0.9) AS p_hi
+             |       FROM n GROUP BY lang),
+             |cls AS (SELECT n.lang, th.p_lo, th.p_hi,
+             |               CASE WHEN n_tokens < p_lo THEN 'short'
+             |                    WHEN n_tokens > p_hi THEN 'long'
+             |                    ELSE 'keep' END AS cls
+             |        FROM n JOIN th USING (lang))
+             |SELECT lang, MAX(p_lo) AS p_lo, MAX(p_hi) AS p_hi,
+             |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(CASE WHEN cls = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |       CAST(SUM(CASE WHEN cls = 'short' THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+             |       CAST(SUM(CASE WHEN cls = 'long' THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+             |       ROUND(CAST(SUM(CASE WHEN cls = 'keep' THEN 1 ELSE 0 END) AS DOUBLE)
+             |             / COUNT(*), 6) AS kept_frac
+             |FROM cls GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // The 100 TB decontamination shape: held-out grams folded into a
     // broadcast Bloom filter, corpus grams tested locally — no join
     // shuffle. The filter is deterministic (Murmur3 seed 0), so the

@@ -718,6 +718,68 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("sentence dedup: later copies drop, first occurrence survives, docs reassemble") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha one. beta two. alpha one", "en", "s"), // internal repeat of sentence 1
+      (2L, "beta two. gamma three", "en", "s"), // sentence 1 already seen in doc 1
+      (3L, "delta four. delta four. delta four", "en", "s"),
+    ).toDF("doc_id", "text", "lang", "source").withColumn("n_chars", length(col("text")))
+    val rows = TextOps.sentenceDedup(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // doc 1: 3 sentences, the internal repeat of "alpha one" dropped
+    assert(rows(1L)._1 == 3L && rows(1L)._2 == 2L && rows(1L)._3 == 1L)
+    assert(rows(1L)._4 == java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha one. beta two".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    // doc 2 loses "beta two" (first seen in doc 1), keeps its novel sentence
+    assert(rows(2L)._2 == 1L && rows(2L)._3 == 1L)
+    // doc 3 keeps exactly one of its three identical sentences
+    assert(rows(3L)._1 == 3L && rows(3L)._2 == 1L)
+    // corpus-wide: every distinct sentence survives exactly once
+    val keptTotal = rows.values.map(_._2).sum
+    assert(keptTotal == 4L) // alpha one, beta two, gamma three, delta four
+  }
+
+  test("stopword ratio: head-only docs score 1, tail-only docs score 0") {
+    import spark.implicits._
+    // 'the' dominates; r01..r40 are singletons — the learned top-30
+    // list is 'the' + the 29 alphabetically-first singletons, so a
+    // doc made of r31..r40 is pure tail
+    val rare = (1 to 40).map(i => f"r$i%02d")
+    val corpus = Seq(
+      (1L, Seq.fill(50)("the").mkString(" "), "en", "s"),
+      (2L, rare.take(30).mkString(" "), "en", "s"),
+      (3L, rare.drop(30).mkString(" "), "en", "s"),
+    ).toDF("doc_id", "text", "lang", "source").withColumn("n_chars", length(col("text")))
+    val rows = TextOps.stopwordRatio(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows(1L) == ((50L, 50L, 1.0))) // pure head
+    assert(rows(3L) == ((10L, 0L, 0.0))) // pure tail: r31..r40 miss the top-30 cut
+    assert(rows(2L)._2 == 29L) // r01..r29 made the list, r30 did not
+    // fixture corpus: ratios bounded
+    TextOps.stopwordRatio(docs).collect().foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("lang length gate: conserves docs, thresholds ordered, keep set matches bounds") {
+    val rows = TextOps.langLengthGate(docs).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(3)).sum
+    assert(total == docs.count())
+    rows.foreach { r =>
+      val (lang, pLo, pHi) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val (n, kept, short, long) = (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(pLo <= pHi, s"$lang thresholds inverted")
+      assert(kept + short + long == n, s"$lang gate lost docs")
+      // recompute the keep count straight from the returned thresholds
+      val expect = docs.filter(col("lang") === lang)
+        .select(size(expr("regexp_extract_all(text, '[A-Za-z0-9_]+', 0)")).cast("long").as("t"))
+        .filter(col("t") >= pLo && col("t") <= pHi).count()
+      assert(kept == expect, s"$lang kept $kept != $expect")
+    }
+  }
+
   test("source vocab overlap: clones hit jaccard 1, disjoint pairs drop out") {
     import spark.implicits._
     val corpus = Seq(
