@@ -298,12 +298,15 @@ object CorpusOps {
     * source relative to raw proportion; its output feeds
     * [[mixCorpus]] as the weight map. */
   def temperatureMixWeights(documents: DataFrame): DataFrame = {
+    // the source frame feeds both the totals and the final select;
+    // checkpoint the catalog-scale rows so the text scan runs once
     val per = documents
       .select(col("source"),
         size(expr(s"regexp_extract_all(text, '${TextOps.tokenRe}', 0)")).cast("long").as("n_toks"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
       .withColumn("w_sqrt", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      .localCheckpoint(false)
     val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"), sum(col("w_sqrt")).as("tot_w"))
     per.crossJoin(broadcast(tot))
       .withColumn("raw_share", round(col("n_tokens").cast("double") / col("tot_tokens"), 6))

@@ -250,6 +250,30 @@ object StreamOps {
     * kept sigs to the sketch table in the same foreachBatch — left to
     * the caller because it changes the semantics from q109's fixed
     * history to a monotone one. */
+  /** STREAMING quality gate — [[TextOps.repetitionRuleFilter]] moved
+    * to the landing zone: each arriving micro-batch is gated as it
+    * lands and the per-doc verdict rows append to the verdict sink,
+    * so gate accounting (q116's rollup) is maintainable continuously
+    * over the sink instead of by a terminal batch job over the
+    * corpus. The gate is stateless per document (every signal is a
+    * pure row projection), so foreachBatch carries no cross-batch
+    * state beyond the checkpoint's source offsets — the micro-batch
+    * split point cannot change any verdict, asserted stream≡batch in
+    * StreamingSpec. Exactly-once via the parquet sink's file log,
+    * like the other landing-zone maintenance forms. */
+  def streamingGate(docs: DataFrame, outPath: String,
+                    checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          TextOps.repetitionRuleFilter(batch)
+            .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+
   def streamingNearDedup(docs: DataFrame, storedSigs: DataFrame,
                          outPath: String, checkpointDir: String): StreamingQuery =
     docs.writeStream

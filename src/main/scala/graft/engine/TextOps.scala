@@ -173,6 +173,10 @@ object TextOps {
         when(pmod(xxhash64(col("doc_id")), lit(10)) < 8, lit("train"))
           .when(pmod(xxhash64(col("doc_id")), lit(10)) === 8, lit("val"))
           .otherwise(lit("test")).as("split"))
+    // the positioned-gram frame feeds two consumers and the per-split
+    // dictionary three (contamination join + both overlap sides) —
+    // checkpoint each once so the tokenize+gram scan runs once (the
+    // q113 lesson applied at design time)
     val grams = assigned
       .select(col("doc_id"), col("split"),
         expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)").as("toks"))
@@ -180,7 +184,8 @@ object TextOps {
         expr(s"CASE WHEN size(toks) >= $n THEN " +
           s"transform(sequence(1, size(toks) - ${n - 1}), i -> array_join(slice(toks, i, $n), ' ')) " +
           "ELSE array() END"))).as("gram"))
-    val gramSplits = grams.select(col("split"), col("gram")).distinct()
+      .localCheckpoint(false)
+    val gramSplits = grams.select(col("split"), col("gram")).distinct().localCheckpoint(false)
     val totals = assigned.groupBy(col("split")).agg(count(lit(1)).as("n_docs_a"))
     val frame = totals.select(col("split").as("split_a"), col("n_docs_a"))
       .crossJoin(totals.select(col("split").as("split_b")))
@@ -599,9 +604,13 @@ object TextOps {
     val toks = documents
       .select(col("doc_id"),
         explode(expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)")).as("tok"))
+    // counts feeds BOTH the top-k cut and the corpus total (Σ n_occ ==
+    // token-stream length, so the total needs no second text scan);
+    // checkpoint the vocabulary-scale frame once (the q113 lesson)
     val counts = toks.groupBy(col("tok"))
       .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
-    val total = toks.agg(count(lit(1)).as("total"))
+      .localCheckpoint(false)
+    val total = counts.agg(sum(col("n_occ")).as("total"))
     val order = Window.orderBy(col("n_occ").desc, col("tok"))
     counts.orderBy(col("n_occ").desc, col("tok")).limit(k)
       .crossJoin(broadcast(total))
@@ -627,10 +636,13 @@ object TextOps {
     * (their Jaccard is 0 by definition); emitted pairs are the upper
     * triangle, source_a < source_b. */
   def sourceVocabOverlap(documents: DataFrame): DataFrame = {
+    // the dictionary feeds three consumers (sizes + both join sides);
+    // checkpoint it once — dictionary-scale, far below the token stream
     val vocab = documents
       .select(col("source"),
         explode(expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)")).as("tok"))
       .distinct()
+      .localCheckpoint(false)
     val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("n_vocab"))
     vocab.select(col("source").as("source_a"), col("tok"))
       .join(vocab.select(col("source").as("source_b"), col("tok")), "tok")
@@ -724,8 +736,11 @@ object TextOps {
     * per-lang window — the quantile is a sketch aggregate, so the
     * hot 'en' partition never materializes in one task. */
   def langLengthGate(documents: DataFrame, lo: Double = 0.1, hi: Double = 0.9): DataFrame = {
+    // the per-doc length frame (3 narrow columns) feeds the sketch agg
+    // AND the classify join — checkpoint it so the text scan runs once
     val toks = documents.select(col("doc_id"), col("lang"),
       size(expr(s"regexp_extract_all(text, '$tokenRe', 0)")).cast("long").as("n_tokens"))
+      .localCheckpoint(false)
     val thresholds = toks.groupBy(col("lang"))
       .agg(expr(s"percentile_approx(n_tokens, $lo, 100000)").as("p_lo"),
            expr(s"percentile_approx(n_tokens, $hi, 100000)").as("p_hi"))

@@ -291,6 +291,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(!_._3), "fixture must contain at least one dropped near-dup")
   }
 
+  test("streaming gate verdicts equal the batch gate across a micro-batch boundary") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.engine.Tables.documents(spark, sf)
+    val feed = docs.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .as[(Long, String, String, String)].collect().sortBy(_._1)
+    val (feed1, feed2) = feed.splitAt(feed.length / 2)
+    val out = java.nio.file.Files.createTempDirectory("graft_sg_out_").toString + "/v"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sg_ckpt_").toString
+    val input = MemoryStream[(Long, String, String, String)]
+    val q = StreamOps.streamingGate(
+      input.toDS().toDF("doc_id", "text", "lang", "source"), out, ckpt)
+    try {
+      input.addData(feed1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(feed2.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(5), r.getBoolean(6))).sortBy(_._1)
+    val batch = graft.engine.TextOps.repetitionRuleFilter(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(5), r.getBoolean(6))).sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq,
+      s"streaming gate diverged from the batch gate (${streamed.length} vs ${batch.length})")
+    // the sink supports the q116 rollup: recompute accounting from it
+    val sinkAcct = spark.read.parquet(out).groupBy(col("verdict")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchAcct = graft.engine.TextOps.gateAccounting(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sinkAcct == batchAcct)
+  }
+
   test("streaming sequence packing equals the batch form over the same fed docs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
