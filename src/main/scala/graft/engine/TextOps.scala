@@ -623,6 +623,39 @@ object TextOps {
       .orderBy(col("tok_rank"))
   }
 
+  /** Vocabulary growth — Heaps-law saturation over ingest order: the
+    * doc-id space is cut into `buckets` equal ranges and each bucket
+    * reports how many NEVER-SEEN-BEFORE tokens it contributes plus
+    * the cumulative vocabulary size — the curve that says whether
+    * more of the same corpus still buys new vocabulary (plateau ⇒
+    * the source is mined out; a straight line ⇒ keep ingesting).
+    * "First seen" is a min aggregate per token (map-side combine, one
+    * word-count shuffle); the bucket cut is pure integer arithmetic
+    * on (doc_id, max_id) — no rank, no global sort — and the cumsum
+    * window runs over `buckets` rows only. */
+  def vocabGrowth(documents: DataFrame, buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxId = documents.agg(max(col("doc_id")).as("max_id"))
+    val firstSeen = documents
+      .select(col("doc_id"),
+        explode(expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)")).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+    val newPerBucket = firstSeen.crossJoin(broadcast(maxId))
+      .select(expr(s"(first_doc * $buckets) DIV (max_id + 1)").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_new_tokens"))
+    val docsPerBucket = documents.select(col("doc_id")).crossJoin(broadcast(maxId))
+      .select(expr(s"(doc_id * $buckets) DIV (max_id + 1)").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+    docsPerBucket.join(newPerBucket, Seq("bucket"), "left")
+      .select(col("bucket").cast("long").as("bucket"), col("n_docs"),
+        coalesce(col("n_new_tokens"), lit(0L)).as("n_new_tokens"))
+      .withColumn("vocab_size",
+        sum(col("n_new_tokens")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("bucket"))
+  }
+
   /** Inter-source vocabulary overlap — the corpus redundancy map: for
     * every pair of sources, the Jaccard similarity of their distinct
     * token vocabularies. High-overlap pairs are mirror/scrape

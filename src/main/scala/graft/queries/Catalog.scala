@@ -995,6 +995,30 @@ object Catalog {
              |       ROUND(CAST(cum_occ AS DOUBLE) / total, 6) AS cum_share
              |FROM r CROSS JOIN tot ORDER BY tok_rank""".stripMargin)),
 
+    // Vocabulary growth: never-seen-before tokens per doc-id decile +
+    // cumulative vocab — the Heaps-law saturation curve. First-seen is
+    // a min aggregate; the bucket cut is integer DIV on (doc_id,
+    // max_id), no rank or global sort.
+    QuerySpec(
+      "q129_vocab_growth",
+      (s, dir) => TextOps.vocabGrowth(Tables.documents(s, dir)),
+      Some("""WITH m AS (SELECT MAX(doc_id) AS max_id FROM documents),
+             |t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS tok
+             |      FROM documents),
+             |fs AS (SELECT tok, MIN(doc_id) AS first_doc FROM t GROUP BY tok),
+             |nb AS (SELECT (first_doc * 10) // (max_id + 1) AS bucket,
+             |              CAST(COUNT(*) AS BIGINT) AS n_new_tokens
+             |       FROM fs CROSS JOIN m GROUP BY 1),
+             |db AS (SELECT (doc_id * 10) // (max_id + 1) AS bucket,
+             |              CAST(COUNT(*) AS BIGINT) AS n_docs
+             |       FROM documents CROSS JOIN m GROUP BY 1)
+             |SELECT CAST(db.bucket AS BIGINT) AS bucket, db.n_docs,
+             |       COALESCE(nb.n_new_tokens, 0) AS n_new_tokens,
+             |       CAST(SUM(COALESCE(nb.n_new_tokens, 0))
+             |            OVER (ORDER BY db.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+             |FROM db LEFT JOIN nb ON db.bucket = nb.bucket
+             |ORDER BY bucket""".stripMargin)),
+
     // Inter-source vocabulary Jaccard: the corpus redundancy map.
     // Dictionary self-join on TOKEN — per-token fanout bounded by the
     // source dimension, never doc count.

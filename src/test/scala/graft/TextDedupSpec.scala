@@ -780,6 +780,30 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("vocab growth: first appearances bucket correctly, curve is cumulative") {
+    import spark.implicits._
+    // dense ids 0..9 → bucket == doc_id; tokens first appear at 0, 5, 9
+    val corpus = (0L to 9L).map { i =>
+      val text = if (i == 0L) "a" else if (i == 5L) "a b" else if (i == 9L) "a b c" else "a"
+      (i, text, "en", "s")
+    }.toDF("doc_id", "text", "lang", "source").withColumn("n_chars", length(col("text")))
+    val rows = TextOps.vocabGrowth(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == (0L to 9L).toSet)
+    assert(rows(0L) == ((1L, 1L, 1L))) // 'a' born in bucket 0
+    assert(rows(5L) == ((1L, 1L, 2L))) // 'b' born in bucket 5
+    assert(rows(9L) == ((1L, 1L, 3L))) // 'c' born in bucket 9
+    assert(rows(3L)._2 == 0L && rows(3L)._3 == 1L)
+    // fixture corpus: docs conserved, final vocab == corpus distinct count
+    val fix = TextOps.vocabGrowth(docs).collect()
+    assert(fix.map(_.getLong(1)).sum == docs.count())
+    val distinctVocab = docs
+      .select(explode(expr("regexp_extract_all(lower(text), '[A-Za-z0-9_]+', 0)")).as("t"))
+      .distinct().count()
+    assert(fix.last.getLong(3) == distinctVocab)
+    assert(fix.map(_.getLong(3)).toSeq == fix.map(_.getLong(3)).sorted.toSeq)
+  }
+
   test("source vocab overlap: clones hit jaccard 1, disjoint pairs drop out") {
     import spark.implicits._
     val corpus = Seq(
