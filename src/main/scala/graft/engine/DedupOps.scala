@@ -711,6 +711,23 @@ object DedupOps {
       .select(col("cluster_id").as("doc_id"), col("n_members"))
       .orderBy(col("doc_id"))
 
+  /** Cluster-size histogram — the dedup-health view over the near-dup
+    * closure (the q121 list-balance analogue for dedup): how many
+    * clusters exist at each size, and how many documents they hold.
+    * A healthy corpus is dominated by singletons with a thin tail; a
+    * fat tail (or one giant component) means the pair threshold is
+    * too loose or a template flood slipped the caps — THE number to
+    * check before trusting a dedup pass. Pure rollup over
+    * [[nearDedup]]'s cluster table; the histogram frame is
+    * distinct-sizes small. */
+  def clusterSizeHistogram(documents: DataFrame, edges: DataFrame): DataFrame =
+    nearDedup(documents, edges)
+      .groupBy(col("n_members"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("n_members"), col("n_clusters"),
+        (col("n_members") * col("n_clusters")).cast("long").as("n_docs"))
+      .orderBy(col("n_members"))
+
   /** The production near-dedup pipeline: sketch-based candidate edges
     * (MinHash-LSH estimated Jaccard ∪ SimHash hamming ball), clustered
     * and collapsed by [[nearDedup]].

@@ -1435,6 +1435,42 @@ object Catalog {
              |FROM cl GROUP BY cluster_id
              |ORDER BY doc_id""".stripMargin)),
 
+    // Dedup-health histogram over the same closure: clusters per size
+    // + docs they hold — singleton-dominated is healthy, a fat tail
+    // means the threshold is loose or a flood slipped the caps.
+    QuerySpec(
+      "q130_cluster_histogram",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val docs = Tables.documents(s, dir)
+        DedupOps.clusterSizeHistogram(docs,
+          DedupOps.jaccardPairs(docs).select(col("doc_i"), col("doc_j")))
+      },
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT DISTINCT doc_id, s FROM (
+             |    SELECT doc_id, substr(text, unnest(range(1, length(text) - 3)), 5) AS s
+             |    FROM documents WHERE doc_id < 60)),
+             |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+             |c AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS common
+             |      FROM sh a JOIN sh b USING (s)
+             |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+             |p AS (SELECT doc_i, doc_j FROM c
+             |      JOIN n ni ON doc_i = ni.doc_id JOIN n nj ON doc_j = nj.doc_id
+             |      WHERE ROUND(CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common), 6) >= 0.15),
+             |e AS (SELECT doc_i AS src, doc_j AS dst FROM p
+             |      UNION ALL SELECT doc_j, doc_i FROM p),
+             |reach(node, lbl) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node),
+             |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+             |sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+             |          FROM cl GROUP BY cluster_id)
+             |SELECT n_members, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             |       CAST(n_members * COUNT(*) AS BIGINT) AS n_docs
+             |FROM sizes GROUP BY n_members
+             |ORDER BY n_members""".stripMargin)),
+
     // incremental corpus build: new batch deduplicated against the
     // existing corpus's fingerprint set — one anti-join, no pairwise
     // work against history

@@ -780,6 +780,24 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("cluster histogram conserves docs; an injected triple lands at size 3") {
+    import spark.implicits._
+    val copied = "the same long passage of shared text repeated across documents"
+    val corpus = Seq(
+      (1L, copied, "en", "s"), (2L, copied, "en", "s"), (3L, copied, "en", "s"),
+      (4L, "a completely different document body zzz", "en", "s"),
+      (5L, "yet another unrelated qqq text entirely", "en", "s"),
+    ).toDF("doc_id", "text", "lang", "source").withColumn("n_chars", length(col("text")))
+    val edges = DedupOps.jaccardPairs(corpus).select(col("doc_i"), col("doc_j"))
+    val hist = DedupOps.clusterSizeHistogram(corpus, edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hist == Map(1L -> ((2L, 2L)), 3L -> ((1L, 3L))))
+    // fixture corpus: histogram conserves every document
+    val fixEdges = DedupOps.jaccardPairs(docs).select(col("doc_i"), col("doc_j"))
+    val fix = DedupOps.clusterSizeHistogram(docs, fixEdges).collect()
+    assert(fix.map(_.getLong(2)).sum == docs.count())
+  }
+
   test("vocab growth: first appearances bucket correctly, curve is cumulative") {
     import spark.implicits._
     // dense ids 0..9 → bucket == doc_id; tokens first appear at 0, 5, 9
