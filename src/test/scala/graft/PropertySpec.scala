@@ -274,6 +274,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sentence dedup invariants hold on random corpora against a reference fold") {
+    import spark.implicits._
+    val rnd = new Random(31)
+    // small sentence pool forces heavy cross-doc and within-doc repeats
+    val pool = Vector("alpha one", "beta two", "gamma three", "delta", "epsilon five x")
+    val corpus = (0 until 60).map { i =>
+      val n = 1 + rnd.nextInt(5)
+      (i.toLong, (0 until n).map(_ => pool(rnd.nextInt(pool.length))).mkString(". "),
+        "en", "s")
+    }
+    val df = corpus.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val got = graft.engine.TextOps.sentenceDedup(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    // reference: a driver-side first-occurrence fold in (doc_id, pos) order
+    val seen = scala.collection.mutable.Set[String]()
+    corpus.sortBy(_._1).foreach { case (id, text, _, _) =>
+      val sents = text.split("\\. ", -1)
+      val kept = sents.filter(s => seen.add(s))
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(kept.mkString(". ").getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val (nS, nK, nD, gotFp) = got(id)
+      assert(nS == sents.length && nK == kept.length && nD == sents.length - kept.length,
+        s"doc $id tallies diverge")
+      assert(gotFp == fp, s"doc $id reassembly fingerprint diverges")
+    }
+    // global: every distinct sentence survives exactly once
+    assert(got.values.map(_._2).sum == corpus.flatMap(_._2.split("\\. ", -1)).distinct.length)
+  }
+
   test("connectedComponents handles an empty node set") {
     import spark.implicits._
     val empty = DedupOps.connectedComponents(
