@@ -706,10 +706,13 @@ object TextOps {
     * (co-partitioned). Emits per doc the sentence tally and the
     * fingerprint of the cleaned text. */
   def sentenceDedup(documents: DataFrame): DataFrame = {
+    // the positioned-sentence frame feeds the keeper aggregate AND the
+    // join back — checkpoint it once (the q113 multi-consumer lesson)
     val sent = documents
       .select(col("doc_id"), posexplode(split(col("text"), "\\. ")))
       .toDF("doc_id", "pos0", "s")
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("s"))
+      .localCheckpoint(false)
     val keeper = sent.groupBy(col("s"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
     sent.join(keeper, "s")
