@@ -67,6 +67,31 @@ object SimilarityOps {
         "aggregate(zip_with(qvec, qvec, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
       .select(col("vec_id"), col("qvec"), col("qn"))
 
+  /** Quantization-error report — the index-quality view for the int8
+    * path (the q121 health analogue for q102): per vector, the max
+    * and mean absolute reconstruction error of the symmetric int8
+    * quantization (x̂ = q·amax/127). The theoretical per-lane bound
+    * is amax/254 (half a quantization step); vectors whose measured
+    * max approaches it with a HIGH mean are scale-dominated by one
+    * outlier lane — the standard reason to switch that column to
+    * per-block scales. Pure per-row array arithmetic in one scan, no
+    * shuffle; every op (abs/max, the floor+rescale round trip) is
+    * correctly-rounded IEEE, so the oracle replays it bit-for-bit. */
+  def quantizationErrorReport(embeddings: DataFrame): DataFrame =
+    embeddings
+      .filter(expr("exists(embedding, x -> CAST(x AS DOUBLE) <> 0.0)"))
+      .withColumn("amax", expr(
+        "aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"))
+      .withColumn("errs", expr(
+        "transform(embedding, x -> abs(CAST(x AS DOUBLE) - " +
+        "CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT) * amax / 127.0))"))
+      .select(col("vec_id"), round(col("amax"), 6).as("amax"),
+        round(expr("aggregate(errs, CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, x))"), 9)
+          .as("max_abs_err"),
+        round(expr("aggregate(errs, CAST(0 AS DOUBLE), (acc, x) -> acc + x) / size(errs)"), 9)
+          .as("mean_abs_err"))
+      .orderBy(col("vec_id"))
+
   /** Quantized cosine top-k: cosine over the int8 vectors. The
     * per-vector scales CANCEL in cosine (qa·qb / (|qa||qb|)), so the
     * whole score pipeline is integer dot products (exact, ≤ d·127² ≪

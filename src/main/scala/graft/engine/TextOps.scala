@@ -44,11 +44,18 @@ object TextOps {
     * but deterministic n-gram-family classifier — the engine pattern
     * (per-row scoring, no shuffle) is what scales; swap the marker
     * lists for real models without touching the plan. */
-  def langId(documents: DataFrame): DataFrame = {
+  def langId(documents: DataFrame): DataFrame =
+    langSignals(documents)
+      .select(col("doc_id"), col("n_en"), col("n_de"), col("n_fr"), col("n_es"), col("lang_guess"))
+      .orderBy(col("doc_id"))
+
+  /** The stopword-hit projection + argmax guess behind [[langId]] and
+    * [[langAgreementMatrix]] — one definition so the per-doc view and
+    * the audit matrix can never disagree on the classifier. */
+  private def langSignals(documents: DataFrame): DataFrame = {
     def hits(pat: String) =
       size(expr(s"regexp_extract_all(lower(text), '\\\\b($pat)\\\\b', 0)")).cast("long")
     documents
-      .select(col("doc_id"), col("text"))
       .withColumn("n_en", hits("the|and|of|to|in"))
       .withColumn("n_de", hits("der|die|und|das|ein"))
       .withColumn("n_fr", hits("le|la|les|et|un"))
@@ -58,8 +65,25 @@ object TextOps {
           .when(col("n_de") >= col("n_fr") && col("n_de") >= col("n_es"), "de")
           .when(col("n_fr") >= col("n_es"), "fr")
           .otherwise("es"))
-      .select(col("doc_id"), col("n_en"), col("n_de"), col("n_fr"), col("n_es"), col("lang_guess"))
-      .orderBy(col("doc_id"))
+  }
+
+  /** Language agreement matrix — the metadata-vs-content audit: how
+    * often the DECLARED language of a document agrees with the
+    * n-gram classifier's guess, as a (lang, lang_guess) contingency
+    * table with per-declared-language shares. Off-diagonal mass
+    * either flags mislabeled metadata (common in scraped corpora) or
+    * calibrates the classifier — both gate a mixing design keyed on
+    * `lang`. One scan (the signals projection aggregates directly,
+    * no join back to the per-doc view); the share window runs over
+    * the langs×langs matrix frame. */
+  def langAgreementMatrix(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    langSignals(documents)
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("lang_frac", round(col("n_docs").cast("double") /
+        sum(col("n_docs")).over(Window.partitionBy(col("lang"))), 6))
+      .orderBy(col("lang"), col("lang_guess"))
   }
 
   /** Composite quality score in [0,1]: length saturation, low-punct

@@ -776,6 +776,30 @@ object Catalog {
              |FROM documents
              |ORDER BY doc_id""".stripMargin)),
 
+    // Metadata-vs-content audit: declared lang × classifier guess
+    // contingency table with per-declared-language shares — one scan,
+    // the share window runs over the langs×langs matrix frame.
+    QuerySpec(
+      "q132_lang_agreement",
+      (s, dir) => TextOps.langAgreementMatrix(Tables.documents(s, dir)),
+      Some("""WITH sig AS (
+             |  SELECT lang,
+             |         CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS BIGINT) AS n_en,
+             |         CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ein)\b')) AS BIGINT) AS n_de,
+             |         CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|un)\b')) AS BIGINT) AS n_fr,
+             |         CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|y|una)\b')) AS BIGINT) AS n_es
+             |  FROM documents),
+             |g AS (SELECT lang,
+             |             CASE WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+             |                  WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+             |                  WHEN n_fr >= n_es THEN 'fr'
+             |                  ELSE 'es' END AS lang_guess
+             |      FROM sig)
+             |SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY lang), 6) AS lang_frac
+             |FROM g GROUP BY lang, lang_guess
+             |ORDER BY lang, lang_guess""".stripMargin)),
+
     QuerySpec(
       "q37_quality_score",
       (s, dir) => TextOps.qualityScore(Tables.documents(s, dir)),
@@ -1898,6 +1922,24 @@ object Catalog {
              |SELECT list_id, n_vectors,
              |       ROUND(CAST(n_vectors AS DOUBLE) / SUM(n_vectors) OVER (), 6) AS share
              |FROM c ORDER BY list_id""".stripMargin)),
+
+    // Index-quality view for the int8 path: per-vector max/mean
+    // reconstruction error of the symmetric quantization — every op
+    // is correctly-rounded IEEE, replayed bit-for-bit by the oracle.
+    QuerySpec(
+      "q131_quantization_error",
+      (s, dir) => SimilarityOps.quantizationErrorReport(Tables.embeddings(s, dir)),
+      Some("""WITH v AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+             |  WHERE len(list_filter(CAST(embedding AS DOUBLE[]), x -> x <> 0)) > 0),
+             |a AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS amax FROM v),
+             |er AS (SELECT vec_id, amax,
+             |              list_transform(e, x -> abs(x - CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT) * amax / 127.0)) AS errs
+             |       FROM a)
+             |SELECT vec_id, ROUND(amax, 6) AS amax,
+             |       ROUND(list_max(errs), 9) AS max_abs_err,
+             |       ROUND(list_sum(errs) / len(errs), 9) AS mean_abs_err
+             |FROM er ORDER BY vec_id""".stripMargin)),
 
     // int8 scalar-quantized cosine: per-vector max-abs scales cancel
     // in cosine, so scoring is exact integer dot products — the one

@@ -86,6 +86,19 @@ class SimilarityMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("quantization error stays under the half-step bound for every vector") {
+    val rows = SimilarityOps.quantizationErrorReport(emb).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (amax, maxErr, meanErr) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      // per-lane bound of symmetric round-to-nearest: half a step,
+      // amax/254 (plus rounding-of-the-report slop)
+      assert(maxErr <= amax / 254.0 + 1e-9, s"vec ${r.getLong(0)}: $maxErr vs ${amax / 254.0}")
+      assert(meanErr <= maxErr + 1e-12 && meanErr >= 0.0)
+    }
+  }
+
   test("IVF ANN: scores agree with brute force; recall@10 >= 0.8 at half-space probing") {
     val brute = SimilarityOps.cosineTopK(emb, nQueries = 5, k = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -798,6 +798,22 @@ class TextDedupSpec extends SparkSpec {
     assert(fix.map(_.getLong(2)).sum == docs.count())
   }
 
+  test("lang agreement matrix conserves docs and matches the per-doc classifier") {
+    val m = TextOps.langAgreementMatrix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(m.values.map(_._1).sum == docs.count())
+    // per declared lang, the shares sum to 1
+    m.keys.groupBy(_._1).foreach { case (lang, keys) =>
+      assert(math.abs(keys.map(k => m(k)._2).sum - 1.0) < 1e-4, s"$lang shares")
+    }
+    // the matrix is exactly the per-doc classifier, aggregated
+    val perDoc = TextOps.langId(docs).select(col("doc_id"), col("lang_guess"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("lang_guess")).count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m.view.mapValues(_._1).toMap == perDoc)
+  }
+
   test("vocab growth: first appearances bucket correctly, curve is cumulative") {
     import spark.implicits._
     // dense ids 0..9 → bucket == doc_id; tokens first appear at 0, 5, 9
