@@ -216,6 +216,36 @@ object AggregateOps {
       .orderBy(col("n_exact").desc, col("o_custkey"))
   }
 
+  /** Join-key skew diagnostic — the histogram you read BEFORE deciding
+    * to salt: per-key row counts bucketed by ⌊log₂(count)⌋, with each
+    * bucket's key population, row mass and row share, plus the global
+    * skew factor (max key count / mean key count). A healthy join key
+    * lives in the low buckets; mass concentrated in one high bucket is
+    * the plan that needs salting or AQE skew-join at 100 TB — this
+    * report turns that call from a guess into a number. One keyed
+    * count (word-count shaped, map-side partial) + a rollup on the
+    * distinct-key frame; the log₂ bucket is `length(bin(count)) − 1`,
+    * an EXACT integer in any engine — no floating log that could
+    * misbucket a power of two. */
+  def keySkewHistogram(df: DataFrame, key: String): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val tot = counts.agg(sum(col("cnt")).as("total_rows"),
+      count(lit(1)).as("total_keys"), max(col("cnt")).as("max_cnt"))
+    counts
+      .withColumn("bucket", (length(expr("bin(cnt)")) - 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"))
+      .crossJoin(broadcast(tot))
+      .withColumn("row_share",
+        round(col("n_rows").cast("double") / col("total_rows"), 6))
+      .withColumn("skew_factor",
+        round(col("max_cnt").cast("double") * col("total_keys") / col("total_rows"), 6))
+      .select(col("bucket"), col("n_keys"), col("n_rows"), col("row_share"),
+        col("skew_factor"))
+      .orderBy(col("bucket"))
+  }
+
   /** Stratified sample: per-stratum Bernoulli fractions via
     * `stat.sampleBy` — the training-pipeline rebalancing shape (e.g.
     * downsample boilerplate strata, keep rare ones). Emits the sampled

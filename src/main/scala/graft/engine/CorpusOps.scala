@@ -270,6 +270,75 @@ object CorpusOps {
     * catalog-form sort; output size = Σ ⌈w_s·n_s⌉. Deterministic
     * integers/exact binary fractions end to end → hash-match oracle
     * (q104). */
+  /** Token-budget planner — the allocation table a training run derives
+    * BEFORE sampling: given a total token budget, split it across
+    * sources by the same temperature weights as
+    * [[temperatureMixWeights]] (∝ ⌊√tokens⌋) and report, per source,
+    * the target token mass, the implied epoch count (target/available
+    * — >1 means the source repeats), and the sampling rate a
+    * single-pass sampler would apply. One text scan + one tiny keyed
+    * aggregate; everything after runs on the source-dimension frame.
+    *
+    * Determinism: the budget split is INTEGER floor division of exact
+    * BIGINT products — no float allocation anywhere — computed in
+    * DECIMAL(38,0) so the w·budget product cannot overflow even at
+    * 100 TB token masses (√(2.5e13)·1e13 ≫ 2⁶³); epochs/sample_rate
+    * are single correctly-rounded double divisions of exact integers. */
+  def tokenBudgetPlan(documents: DataFrame, totalBudget: Long = 200000L): DataFrame = {
+    val per = documents
+      .select(col("source"),
+        size(expr(s"regexp_extract_all(text, '${TextOps.tokenRe}', 0)")).cast("long").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("w_sqrt", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      .localCheckpoint(false)
+    val tot = per.agg(sum(col("w_sqrt")).as("tot_w"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("target_tokens", expr(
+        s"CAST((CAST(w_sqrt AS DECIMAL(38,0)) * CAST($totalBudget AS DECIMAL(38,0))) " +
+        "div CAST(tot_w AS DECIMAL(38,0)) AS BIGINT)"))
+      .withColumn("epochs",
+        round(col("target_tokens").cast("double") / col("n_tokens"), 6))
+      .withColumn("sample_rate",
+        round(least(lit(1.0), col("target_tokens").cast("double") / col("n_tokens")), 6))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("w_sqrt"),
+        col("target_tokens"), col("epochs"), col("sample_rate"))
+      .orderBy(col("source"))
+  }
+
+  /** Overlapping token-window chunker — the retrieval/embedding-side
+    * document splitter (fixed windows with overlap so no phrase is cut
+    * without also appearing whole in a neighbor). Chunk i covers token
+    * positions [i·stride + 1, i·stride + chunkLen]; the count of
+    * chunks is 1 + ⌈(n − chunkLen)/stride⌉ for n > chunkLen (exact
+    * integer ceiling division — no float), so the final chunk always
+    * ends at the last token and short docs yield exactly one chunk.
+    * Pure per-row projection work (tokenize once, explode the chunk
+    * index range, slice) — embarrassingly parallel, no shuffle, and
+    * the output is the (doc_id, chunk_id)-keyed table the embedding
+    * batch job and the ANN index build consume. */
+  def chunkTokenWindows(documents: DataFrame, chunkLen: Int = 64,
+                        stride: Int = 48): DataFrame = {
+    require(stride >= 1 && chunkLen >= stride,
+      s"need 1 <= stride <= chunkLen, got stride=$stride chunkLen=$chunkLen")
+    documents
+      .select(col("doc_id"),
+        expr(s"regexp_extract_all(lower(text), '${TextOps.tokenRe}', 0)").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") > 0)
+      .withColumn("n_chunks", expr(
+        s"1L + CASE WHEN n > $chunkLen THEN (n - $chunkLen + ${stride - 1}) div $stride ELSE 0L END"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(expr("sequence(0L, n_chunks - 1L)")).as("chunk_id"))
+      .withColumn("start_tok", (col("chunk_id") * stride + 1L).cast("long"))
+      .withColumn("n_toks", least(lit(chunkLen.toLong), col("n") - col("start_tok") + 1L))
+      .withColumn("chunk_text", expr(
+        "array_join(slice(toks, CAST(start_tok AS INT), CAST(n_toks AS INT)), ' ')"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("n_toks"),
+        col("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   def mixCorpus(documents: DataFrame, weights: Map[String, Double]): DataFrame = {
     val w = weights.foldLeft(lit(1.0)) { case (acc, (src, wt)) =>
       when(col("source") === src, lit(wt)).otherwise(acc) }

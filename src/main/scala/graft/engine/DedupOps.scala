@@ -728,6 +728,33 @@ object DedupOps {
         (col("n_members") * col("n_clusters")).cast("long").as("n_docs"))
       .orderBy(col("n_members"))
 
+  /** Quality-aware canonical selection — [[nearDedup]] keeps each
+    * cluster's MIN doc_id (stable, but arbitrary); this variant keeps
+    * the member a curation run actually wants: the LONGEST document
+    * (n_chars desc, doc_id asc tie-break — the usual "most complete
+    * variant wins" policy; swap the ordering column for a quality
+    * score to change policy, nothing else moves). Same distributed
+    * transitive closure; the representative pick is one per-cluster
+    * window (row_number over the cluster partition — scales with the
+    * largest cluster, which the candidate-pair caps already bound),
+    * and the metadata join on doc_id is AQE-broadcastable when the
+    * cluster table is small. */
+  def canonicalByQuality(documents: DataFrame, edges: DataFrame): DataFrame = {
+    val clusters = connectedComponents(documents.select(col("doc_id")), edges)
+    val sized = clusters
+      .join(documents.select(col("doc_id"), col("n_chars")), "doc_id")
+    val pick = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    sized
+      .withColumn("rk", row_number().over(pick))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("long"))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_doc_id"),
+        col("n_chars"), col("n_members"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** The production near-dedup pipeline: sketch-based candidate edges
     * (MinHash-LSH estimated Jaccard ∪ SimHash hamming ball), clustered
     * and collapsed by [[nearDedup]].

@@ -422,4 +422,39 @@ object SimilarityOps {
               (col("doc_id") =!= col("cluster_id")).as("is_dup"))
       .orderBy(col("vec_id"))
   }
+
+  /** Per-label centroid cosine matrix — the embedding-space view of
+    * source/domain proximity (which corpora overlap semantically;
+    * the signal behind mix design and cross-domain dedup scoping).
+    * Centroid components are per-(label, dimension) MEANS across the
+    * whole table — exactly the cross-row float accumulation that is
+    * order-dependent — so each component accumulates in exact DECIMAL
+    * ([[Exact.decAvg]] over ROUND(·,9) inputs) and only the finished
+    * centroid is float again; the pairwise cosine then runs on the
+    * label-dimension frame (k centroids — catalog-scale, the
+    * cross-join is trivial no matter the corpus size). Shape: one
+    * posexplode scan, ONE shuffle keyed (label, dim) with map-side
+    * partial aggregation — dimension count × label count cells. */
+  def labelCentroidSim(embeddings: DataFrame): DataFrame = {
+    val comp = embeddings
+      .select(col("label").cast("long").as("label"),
+        posexplode(expr("transform(embedding, x -> round(CAST(x AS DOUBLE), 9))"))
+          .as(Seq("pos", "v")))
+    val cent = comp.groupBy(col("label"), col("pos"))
+      .agg(round(Exact.decAvg(col("v"), 9), 9).as("c"))
+    val arrs = cent.groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cv"))
+    val a = arrs.select(col("label").as("label_a"), col("cv").as("ea"))
+    val b = arrs.select(col("label").as("label_b"), col("cv").as("eb"))
+    a.crossJoin(b).filter(col("label_a") < col("label_b"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("na",
+        sqrt(expr("aggregate(ea, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")))
+      .withColumn("nb",
+        sqrt(expr("aggregate(eb, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")))
+      .select(col("label_a"), col("label_b"),
+        round(col("dot") / (col("na") * col("nb")), 6).as("cos_sim"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
 }

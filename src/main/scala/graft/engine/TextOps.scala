@@ -533,6 +533,67 @@ object TextOps {
       .orderBy(col("doc_i"), col("doc_j"))
   }
 
+  /** Maximal duplicated-passage extraction — the excision side of
+    * exact-substring dedup (the "dedup by removing repeated spans"
+    * design, cf. reference `app/dedup.py`-style passage flagging; the
+    * suffix-array formulation in the literature computes the same
+    * spans, but positioned n-grams are the shuffle-friendly way to
+    * get them on Spark). Where [[sharedSpans]] reports PAIR evidence
+    * (who shares with whom), this reports the per-document CUT LIST:
+    * each maximal run of token positions whose n-gram also occurs in
+    * at least one OTHER document, merged gaps-and-islands style into
+    * `[span_start, span_start + span_tokens)` token ranges a writer
+    * can splice out.
+    *
+    * Scale shape: the positioned-gram frame is token-count sized and
+    * materializes once; the cross-doc gram set is a keyed count on
+    * `g` (word-count shaped) with the same 2..maxPostings cap as
+    * [[sharedSpans]] — the cap keeps boilerplate floods from turning
+    * the probe into a hot-key join, and the flooded grams are
+    * reported by [[boilerplateGrams]] instead. The island merge is a
+    * per-document window (row_number over pos) — partitioned by
+    * doc_id, so it scales with the longest document, never the
+    * corpus. No all-pairs work anywhere: a copied L-token passage in
+    * d docs costs d islands, not d² pairs.
+    *
+    * Determinism: positions are exact integers; `grp = pos − rn` is
+    * the classic gaps-and-islands key; output is totally ordered by
+    * (doc_id, span_start). The oracle replays the identical chain. */
+  def duplicateSpans(documents: DataFrame, n: Int = 10,
+                     maxPostings: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // same positioned-gram construction as sharedSpans; checkpointed
+    // because it feeds both the postings count and the probe
+    val ng = documents
+      .select(col("doc_id"),
+        expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"CASE WHEN size(toks) >= $n THEN transform(sequence(1, size(toks) - ${n - 1}), " +
+        s"i -> struct(i AS pos, array_join(slice(toks, i, $n), ' ') AS g)) " +
+        "ELSE array() END")).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+      .localCheckpoint(false)
+    // cross-doc duplication requires >= 2 DISTINCT docs (a gram
+    // repeated within one doc is repetitionSignals' business, not a
+    // dedup cut); total-postings cap as in sharedSpans. Semi-join, no
+    // broadcast hint — co-partitions with the count shuffle on `g`.
+    val dupGrams = ng.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("pn"))
+      .filter(col("nd") >= 2 && col("pn") <= maxPostings)
+      .select(col("g"))
+    val hit = ng.join(dupGrams, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hit
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+           count(lit(1)).cast("long").as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("n_grams"),
+              (col("n_grams") + lit(n.toLong - 1)).as("span_tokens"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   /** N-gram LM self-scoring — the CCNet-style statistical quality
     * filter: train a word-bigram language model ON THE CORPUS and
     * score each document by its mean bigram probability. Documents
@@ -583,6 +644,49 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
            round(Exact.decAvg(col("p"), 9), 6).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cross-trained LM scoring — [[ngramLmScore]]'s production form:
+    * the bigram model trains on a designated REFERENCE slice (here one
+    * source — in a real run, a vetted high-quality corpus) and scores
+    * EVERY document against it, the actual CCNet design (train on
+    * Wikipedia, score Common Crawl). Unseen bigrams back off through
+    * the same Laplace smoothing with zero counts — p = (0+1)/(0+V)
+    * for a wholly novel context — so out-of-domain text scores low
+    * instead of erroring, and `n_seen`/`seen_frac` report reference
+    * coverage directly (the domain-shift signal). Model tables are
+    * reference-bounded; scoring is two left equi-joins on the bigram
+    * stream that co-partition with the count shuffles, AQE
+    * broadcasting the model side when it is genuinely small.
+    * Determinism: probabilities ROUND(·,9) double divisions of exact
+    * integers, per-doc mean in exact DECIMAL ([[Exact.decAvg]]). */
+  def crossLmScore(documents: DataFrame, refSource: String = "src0"): DataFrame = {
+    val occ = documents
+      .filter(lower(col("text")).rlike("[a-z0-9_]"))
+      .select(col("doc_id"), col("source"),
+        expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)").as("toks"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), " +
+        "i -> struct(toks[i-1] AS w1, toks[i] AS w2)) ELSE array() END")).as("p"))
+      .select(col("doc_id"), col("source"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .localCheckpoint(false)
+    val ref = occ.filter(col("source") === refSource)
+    val bi = ref.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val uni = ref.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = ref.select(explode(array(col("w1"), col("w2"))).as("w"))
+      .distinct().count()
+    occ
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .withColumn("p", round(
+        (coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+        (coalesce(col("c1"), lit(0L)) + lit(vocab)).cast("double"), 9))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum(when(col("c2").isNotNull, 1L).otherwise(0L)).as("n_seen"),
+           round(Exact.decAvg(col("p"), 9), 6).as("xlm_score"))
+      .withColumn("seen_frac", round(col("n_seen").cast("double") / col("n_bigrams"), 6))
       .orderBy(col("doc_id"))
   }
 

@@ -466,6 +466,28 @@ object Catalog {
              |ORDER BY n DESC, c_mktsegment
              |LIMIT 5""".stripMargin)),
 
+    // join-key skew diagnostic: per-key counts bucketed by exact
+    // integer log2 (length(bin(cnt)) - 1 — no floating log), with the
+    // global max/mean skew factor. The histogram you read before
+    // deciding to salt a 100 TB join; run here on the order fact's
+    // customer key.
+    QuerySpec(
+      "q137_key_skew",
+      (s, dir) => AggregateOps.keySkewHistogram(Tables.orders(s, dir), "o_custkey"),
+      Some("""WITH c AS (
+             |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM orders GROUP BY o_custkey),
+             |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+             |             CAST(COUNT(*) AS BIGINT) AS total_keys,
+             |             CAST(MAX(cnt) AS BIGINT) AS max_cnt FROM c),
+             |h AS (SELECT CAST(length(bin(cnt)) - 1 AS BIGINT) AS bucket,
+             |             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             |             CAST(SUM(cnt) AS BIGINT) AS n_rows
+             |      FROM c GROUP BY 1)
+             |SELECT bucket, n_keys, n_rows,
+             |       ROUND(CAST(n_rows AS DOUBLE) / total_rows, 6) AS row_share,
+             |       ROUND(CAST(max_cnt AS DOUBLE) * total_keys / total_rows, 6) AS skew_factor
+             |FROM h CROSS JOIN t ORDER BY bucket""".stripMargin)),
+
     QuerySpec(
       "q23_rollup",
       (s, dir) => AggregateOps.rollupAgg(Tables.lineitem(s, dir)),
@@ -931,6 +953,35 @@ object Catalog {
              |FROM o JOIN pr USING (w1, w2)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // q120's production form: the bigram model trains on a REFERENCE
+    // slice and scores every doc against it (the actual CCNet
+    // design); unseen bigrams back off through zero counts, and
+    // n_seen/seen_frac report reference coverage (domain shift).
+    QuerySpec(
+      "q135_cross_lm_score",
+      (s, dir) => TextOps.crossLmScore(Tables.documents(s, dir)),
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, source, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS toks
+             |  FROM documents),
+             |o AS (
+             |  SELECT doc_id, source, toks[i] AS w1, toks[i + 1] AS w2
+             |  FROM (SELECT doc_id, source, toks, unnest(range(1, len(toks))) AS i
+             |        FROM t WHERE len(toks) >= 2)),
+             |r AS (SELECT w1, w2 FROM o WHERE source = 'src0'),
+             |b AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM r GROUP BY 1, 2),
+             |u AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM r GROUP BY 1),
+             |v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vsz
+             |      FROM (SELECT w1 AS w FROM r UNION SELECT w2 FROM r)),
+             |sc AS (
+             |  SELECT o.doc_id, b.c2,
+             |         ROUND(CAST(COALESCE(b.c2, 0) + 1 AS DOUBLE) / (COALESCE(u.c1, 0) + vsz), 9) AS p
+             |  FROM o LEFT JOIN b USING (w1, w2) LEFT JOIN u USING (w1) CROSS JOIN v)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |       CAST(SUM(CASE WHEN c2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+             |       ROUND(${Exact.decAvgSql("p", 9)}, 6) AS xlm_score,
+             |       ROUND(CAST(SUM(CASE WHEN c2 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS seen_frac
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // the postings cap's flip side: the corpus-wide template/footer
     // grams reported top-k — word-count shaped, total-order cut
     QuerySpec(
@@ -1243,6 +1294,32 @@ object Catalog {
              |HAVING SUM(diag_hits) >= 3
              |ORDER BY doc_i, doc_j""".stripMargin)),
 
+    // The excision side of exact-substring dedup: per-document
+    // maximal duplicated-passage ranges (gaps-and-islands over the
+    // positions whose gram occurs in >= 2 distinct docs) — the cut
+    // list a span-dedup writer splices out. Same postings cap as
+    // q113; the island merge is a per-doc window, never all-pairs.
+    QuerySpec(
+      "q133_duplicate_spans",
+      (s, dir) => TextOps.duplicateSpans(Tables.documents(s, dir)),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS t FROM documents),
+             |ng AS (
+             |  SELECT doc_id, gi AS pos, array_to_string(list_slice(t, gi, gi + 9), ' ') AS g
+             |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 8)) AS gi
+             |        FROM tok WHERE len(t) >= 10)),
+             |keep AS (SELECT g FROM ng GROUP BY g
+             |         HAVING COUNT(DISTINCT doc_id) >= 2 AND COUNT(*) <= 50),
+             |hit AS (SELECT doc_id, pos FROM ng JOIN keep USING (g)),
+             |isl AS (SELECT doc_id, pos,
+             |               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+             |        FROM hit)
+             |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+             |       CAST(COUNT(*) AS BIGINT) AS n_grams,
+             |       CAST(COUNT(*) + 9 AS BIGINT) AS span_tokens
+             |FROM isl GROUP BY doc_id, grp
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
     // The real tokenizer-training loop: 5 character-level BPE merge
     // rounds over the distinct-word frequency table; the oracle
     // replays every round unrolled (see q108OracleSql). Trained ONCE
@@ -1459,6 +1536,45 @@ object Catalog {
              |FROM cl GROUP BY cluster_id
              |ORDER BY doc_id""".stripMargin)),
 
+    // quality-aware canonical selection over the same closure: the
+    // LONGEST member represents each cluster (most-complete-variant
+    // policy) instead of q61's min-id — one per-cluster window after
+    // the transitive closure, nothing else moves.
+    QuerySpec(
+      "q139_canonical_by_quality",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val docs = Tables.documents(s, dir)
+        DedupOps.canonicalByQuality(docs,
+          DedupOps.jaccardPairs(docs).select(col("doc_i"), col("doc_j")))
+      },
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT DISTINCT doc_id, s FROM (
+             |    SELECT doc_id, substr(text, unnest(range(1, length(text) - 3)), 5) AS s
+             |    FROM documents WHERE doc_id < 60)),
+             |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+             |c AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS common
+             |      FROM sh a JOIN sh b USING (s)
+             |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+             |p AS (SELECT doc_i, doc_j FROM c
+             |      JOIN n ni ON doc_i = ni.doc_id JOIN n nj ON doc_j = nj.doc_id
+             |      WHERE ROUND(CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common), 6) >= 0.15),
+             |e AS (SELECT doc_i AS src, doc_j AS dst FROM p
+             |      UNION ALL SELECT doc_j, doc_i FROM p),
+             |reach(node, lbl) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node),
+             |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+             |j AS (SELECT cl.doc_id, cl.cluster_id, d.n_chars
+             |      FROM cl JOIN documents d USING (doc_id)),
+             |r AS (SELECT doc_id, cluster_id, n_chars,
+             |             row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rk,
+             |             CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+             |      FROM j)
+             |SELECT cluster_id, doc_id AS kept_doc_id, n_chars, n_members
+             |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin)),
+
     // Dedup-health histogram over the same closure: clusters per size
     // + docs they hold — singleton-dominated is healthy, a fat tail
     // means the threshold is loose or a flood slipped the caps.
@@ -1643,6 +1759,50 @@ object Catalog {
              |       ROUND(CAST(w_sqrt AS DOUBLE) / tot_w, 6) AS temp_share,
              |       ROUND((CAST(w_sqrt AS DOUBLE) / tot_w) / (CAST(n_tokens AS DOUBLE) / tot_tokens), 6) AS upweight
              |FROM w CROSS JOIN tot ORDER BY source""".stripMargin)),
+
+    // budget → allocation: the temperature split applied to a fixed
+    // token budget as exact integer floor division (DECIMAL(38,0)
+    // product — overflow-free at 100 TB masses), with implied epochs
+    // and single-pass sampling rates per source.
+    QuerySpec(
+      "q134_token_budget",
+      (s, dir) => CorpusOps.tokenBudgetPlan(Tables.documents(s, dir)),
+      Some("""WITH per AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |         CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY source),
+             |w AS (SELECT source, n_docs, n_tokens,
+             |             CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_sqrt
+             |      FROM per),
+             |tot AS (SELECT CAST(SUM(w_sqrt) AS BIGINT) AS tot_w FROM w),
+             |plan AS (
+             |  SELECT source, n_docs, n_tokens, w_sqrt,
+             |         CAST((CAST(w_sqrt AS HUGEINT) * 200000) // tot_w AS BIGINT) AS target_tokens
+             |  FROM w CROSS JOIN tot)
+             |SELECT source, n_docs, n_tokens, w_sqrt, target_tokens,
+             |       ROUND(CAST(target_tokens AS DOUBLE) / n_tokens, 6) AS epochs,
+             |       ROUND(LEAST(1.0, CAST(target_tokens AS DOUBLE) / n_tokens), 6) AS sample_rate
+             |FROM plan ORDER BY source""".stripMargin)),
+
+    // retrieval-side splitter: fixed token windows with overlap,
+    // exact integer ceiling division for the chunk count — per-row
+    // projection work, no shuffle.
+    QuerySpec(
+      "q136_token_chunks",
+      (s, dir) => CorpusOps.chunkTokenWindows(Tables.documents(s, dir)),
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS toks,
+             |         CAST(len(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS BIGINT) AS n
+             |  FROM documents),
+             |c AS (SELECT doc_id, toks, n,
+             |             1 + CASE WHEN n > 64 THEN (n - 64 + 47) // 48 ELSE 0 END AS n_chunks
+             |      FROM t WHERE n > 0),
+             |e AS (SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS chunk_id FROM c)
+             |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             |       CAST(chunk_id * 48 + 1 AS BIGINT) AS start_tok,
+             |       CAST(LEAST(64, n - chunk_id * 48) AS BIGINT) AS n_toks,
+             |       array_to_string(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + LEAST(64, n - chunk_id * 48)), ' ') AS chunk_text
+             |FROM e ORDER BY doc_id, chunk_id""".stripMargin)),
 
     // mix → pack composition: the loader's sequence spans over the
     // MIXED corpus, epochs as separate stream occupants (ordered by
@@ -1968,7 +2128,31 @@ object Catalog {
              |             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rn
              |      FROM s)
              |SELECT qid, vec_id, score, rn FROM r WHERE rn <= 10
-             |ORDER BY qid, rn""".stripMargin))
+             |ORDER BY qid, rn""".stripMargin)),
+
+    // domain-proximity matrix: per-label centroids with per-dimension
+    // DECIMAL-exact means (the one cross-row float accumulation in
+    // the similarity family), then pairwise cosine on the k-centroid
+    // frame — catalog-scale after one (label, dim)-keyed shuffle.
+    QuerySpec(
+      "q138_label_centroid_sim",
+      (s, dir) => SimilarityOps.labelCentroidSim(Tables.embeddings(s, dir)),
+      Some("""WITH t AS (
+             |  SELECT CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS e
+             |  FROM embeddings),
+             |comp AS (
+             |  SELECT label, i AS pos, ROUND(e[i], 9) AS v
+             |  FROM (SELECT label, e, unnest(range(1, len(e) + 1)) AS i FROM t)),
+             |cent AS (
+             |  SELECT label, pos,
+             |         ROUND(CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(v), 9) AS c
+             |  FROM comp GROUP BY label, pos),
+             |arr AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label)
+             |SELECT a.label AS label_a, b.label AS label_b,
+             |       ROUND(list_inner_product(a.cv, b.cv) /
+             |             (sqrt(list_inner_product(a.cv, a.cv)) * sqrt(list_inner_product(b.cv, b.cv))), 6) AS cos_sim
+             |FROM arr a JOIN arr b ON a.label < b.label
+             |ORDER BY label_a, label_b""".stripMargin))
   )
 
   // ---------------------------------------------------------------- //

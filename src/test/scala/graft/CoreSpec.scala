@@ -102,6 +102,24 @@ class CoreSpec extends SparkSpec {
     }
   }
 
+  test("key-skew histogram partitions keys exactly and flags an injected hot key") {
+    import spark.implicits._
+    val o = Tables.orders(spark, sf)
+    val rows = AggregateOps.keySkewHistogram(o, "o_custkey").collect()
+    assert(rows.map(_.getLong(1)).sum == o.select("o_custkey").distinct().count())
+    assert(rows.map(_.getLong(2)).sum == o.count())
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4, "row shares must sum to 1")
+    // injected skew: one key holding 1024 of 1124 rows lands alone in
+    // bucket 10 and the skew factor reads ~92x
+    val skewed = ((1 to 1024).map(_ => 0L) ++ (1L to 100L)).toDF("k")
+    val h = AggregateOps.keySkewHistogram(skewed, "k").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(h(10L).getLong(1) == 1L && h(10L).getLong(2) == 1024L)
+    assert(h(0L).getLong(1) == 100L)
+    val expected = 1024.0 * 101 / 1124
+    assert(math.abs(h(10L).getDouble(4) - expected) < 0.001)
+  }
+
   test("hash split is deterministic, disjoint, and growth-stable") {
     import graft.engine.TextOps
     val docs = Tables.documents(spark, sf)

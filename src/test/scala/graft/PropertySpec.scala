@@ -232,6 +232,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("token chunks tile and reassemble random corpora at random window sizes") {
+    import spark.implicits._
+    val rnd = new Random(31)
+    (1 to 4).foreach { trial =>
+      val stride = 2 + rnd.nextInt(6)
+      val chunkLen = stride + rnd.nextInt(5)
+      val docs = (1L to 80L).map { i =>
+        val words = (0 until rnd.nextInt(40)).map(_ => s"w${rnd.nextInt(9)}").mkString(" ")
+        (i, words, "en", "s")
+      }.toDF("doc_id", "text", "lang", "source")
+      val chunks = graft.engine.CorpusOps
+        .chunkTokenWindows(docs, chunkLen = chunkLen, stride = stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      val toks = docs.collect().map(r =>
+        r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq).toMap
+      chunks.groupBy(_._1).foreach { case (id, cs) =>
+        val orig = toks(id)
+        val sorted = cs.sortBy(_._2)
+        // starts advance by exactly stride; every chunk is non-empty,
+        // full-length except possibly the last, and the last ends at n
+        sorted.zipWithIndex.foreach { case ((_, cid, start, nt, txt), i) =>
+          assert(cid == i && start == i * stride + 1, s"trial $trial doc $id chunk $i")
+          assert(nt > 0 && (i == sorted.length - 1 || nt == chunkLen))
+          assert(txt == orig.slice(start.toInt - 1, (start + nt - 1).toInt).mkString(" "))
+        }
+        assert(sorted.last._3 + sorted.last._4 - 1 == orig.length,
+          s"trial $trial doc $id: final chunk must end at the last token")
+      }
+      // docs with tokens get chunks; token-less docs get none
+      assert(chunks.map(_._1).toSet == toks.filter(_._2.nonEmpty).keySet)
+    }
+  }
+
   test("mixed-corpus packing invariants hold for random corpora and weights") {
     import spark.implicits._
     val rnd = new Random(23)

@@ -144,6 +144,23 @@ class SimilarityMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("label centroid similarity: full matrix, bounded scores, identical labels at 1") {
+    import spark.implicits._
+    val real = SimilarityOps.labelCentroidSim(emb).collect()
+    val k = emb.select("label").distinct().count()
+    assert(real.length == k * (k - 1) / 2, "one row per unordered label pair")
+    real.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0))
+    // two labels with identical members -> cosine exactly 1; an
+    // orthogonal third -> exactly 0 against both
+    val synth = Seq(
+      (1L, Array(1.0f, 0.0f, 2.0f), 0), (2L, Array(1.0f, 0.0f, 2.0f), 1),
+      (3L, Array(0.0f, 5.0f, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.labelCentroidSim(synth).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((0L, 1L)) == 1.0 && got((0L, 2L)) == 0.0 && got((1L, 2L)) == 0.0)
+  }
+
   test("multimodal decode stub is deterministic and shape-correct") {
     val docs = Tables.documents(spark, sf)
     val a = MultimodalOps.decodeFeatures(docs).collect()

@@ -417,6 +417,42 @@ class TextDedupSpec extends SparkSpec {
     assert(got((1001L, 1002L)) == 21L)
   }
 
+  test("duplicate spans: the cut list covers exactly the copied passage") {
+    import spark.implicits._
+    val span = (1 to 30).map(i => s"tok$i").mkString(" ") // 30-token copied passage
+    val corpus = Seq(
+      (1L, s"alpha beta gamma $span delta epsilon", "en", "s"),
+      (2L, s"completely different words here $span and unrelated tail content", "en", "s"),
+      (3L, "no overlap with anything else at all in this one document body", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = TextOps.duplicateSpans(corpus, n = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: span occupies token positions 4..33 → gram starts 4..24,
+    // one island of 21 grams = exactly the 30 copied tokens; doc 2:
+    // the same span at positions 5..34. Doc 3 gets no cut at all.
+    assert(got.toSet == Set((1L, 4L, 21L, 30L), (2L, 5L, 21L, 30L)),
+      s"cut list should be exactly the two copied passages: ${got.mkString(", ")}")
+  }
+
+  test("duplicate spans: within-doc repetition alone is not a cut; flood grams are capped out") {
+    import spark.implicits._
+    val rep = (1 to 10).map(_ => "again").mkString(" ")
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
+    val flood = (1L to 200L).map(i => (i, s"$boiler unique$i filler words", "en", "s"))
+    val span = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val corpus = (flood ++ Seq(
+      (1001L, s"alpha beta gamma $span delta epsilon", "en", "s"),
+      (1002L, s"different intro words $span tail content here", "en", "s"),
+      // doc 1003 repeats a phrase internally but shares it with no
+      // other doc: countDistinct >= 2 must keep it off the cut list
+      (1003L, s"$rep $rep $rep padding words to extend this document body", "en", "s")
+    )).toDF("doc_id", "text", "lang", "source")
+    val got = TextOps.duplicateSpans(corpus, n = 10)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(got == Set(1001L, 1002L),
+      s"only the cross-doc copied passage should be cut: $got")
+  }
+
   test("incremental near-dedup drops near-copies of history, keeps novel docs") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
@@ -716,6 +752,87 @@ class TextDedupSpec extends SparkSpec {
       val (n, w) = (r.getLong(2), r.getLong(3))
       assert(w * w <= n && n < (w + 1) * (w + 1), s"${r.getString(0)}: $w vs $n")
     }
+  }
+
+  test("token budget: exact integer allocation, never over budget, epochs match") {
+    import spark.implicits._
+    // source A: 100 tokens (w=10); source B: 2500 tokens (w=50)
+    val docA = (1 to 10).map(i => (i.toLong, Seq.fill(10)("aa").mkString(" "), "en", "A"))
+    val docB = (11 to 35).map(i => (i.toLong, Seq.fill(100)("bb").mkString(" "), "en", "B"))
+    val corpus = (docA ++ docB).toDF("doc_id", "text", "lang", "source")
+    val rows = CorpusOps.tokenBudgetPlan(corpus, totalBudget = 200000L).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // tot_w = 60: A gets 10*200000 div 60 = 33333, B gets 166666
+    assert(rows("A").getLong(4) == 33333L && rows("B").getLong(4) == 166666L)
+    assert(rows.values.map(_.getLong(4)).sum <= 200000L, "floor split must never overshoot")
+    assert(math.abs(rows("A").getDouble(5) - 333.33) < 1e-9)   // epochs = 33333/100
+    assert(rows("A").getDouble(6) == 1.0 && rows("B").getDouble(6) == 1.0,
+      "a budget above the corpus size caps every rate at 1")
+    // a 60-token budget forces single-pass subsampling: A keeps 10%
+    val tight = CorpusOps.tokenBudgetPlan(corpus, totalBudget = 60L).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(tight("A").getLong(4) == 10L && math.abs(tight("A").getDouble(6) - 0.1) < 1e-9)
+    assert(tight("B").getLong(4) == 50L && math.abs(tight("B").getDouble(6) - 0.02) < 1e-9)
+  }
+
+  test("token chunks: windows tile every document and reassemble it exactly") {
+    import spark.implicits._
+    val mk = (n: Int) => (1 to n).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, mk(100), "en", "s"), // 2 chunks: [1,64], [49,100]
+      (2L, mk(64), "en", "s"),  // exactly one full chunk
+      (3L, mk(5), "en", "s"),   // short doc -> one short chunk
+      (4L, "!!! ...", "en", "s") // zero tokens -> no chunks
+    ).toDF("doc_id", "text", "lang", "source")
+    val rows = CorpusOps.chunkTokenWindows(corpus, chunkLen = 64, stride = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val byDoc = rows.groupBy(_._1)
+    assert(!byDoc.contains(4L))
+    assert(byDoc(2L).length == 1 && byDoc(2L).head._4 == 64L)
+    assert(byDoc(3L).length == 1 && byDoc(3L).head._4 == 5L)
+    val d1 = byDoc(1L).sortBy(_._2)
+    assert(d1.map(c => (c._3, c._4)).toSeq == Seq((1L, 64L), (49L, 52L)))
+    // stitching: chunk i overlaps its predecessor by chunkLen - stride
+    // = 16 leading tokens; dropping them must reassemble the original
+    val stitched = d1.zipWithIndex.flatMap { case ((_, _, _, _, txt), i) =>
+      val toks = txt.split(" ").toSeq
+      if (i == 0) toks else toks.drop(64 - 48)
+    }
+    assert(stitched.mkString(" ") == mk(100))
+  }
+
+  test("cross-LM score: in-domain text covers the reference, gibberish does not") {
+    import spark.implicits._
+    val refText = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val corpus = Seq(
+      (1L, refText, "en", "R"),
+      (2L, "the quick brown fox jumps over the lazy dog", "en", "X"), // pure ref bigrams
+      (3L, "zxq vbn mlk poi uyt rew qas dfg hjk", "en", "X")          // wholly novel
+    ).toDF("doc_id", "text", "lang", "source")
+    val rows = TextOps.crossLmScore(corpus, refSource = "R").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(2L).getDouble(4) == 1.0, "every bigram of doc 2 occurs in the reference")
+    assert(rows(3L).getDouble(4) == 0.0, "no bigram of doc 3 occurs in the reference")
+    assert(rows(2L).getDouble(3) > rows(3L).getDouble(3),
+      "in-domain text must outscore gibberish")
+    assert(rows(3L).getLong(2) == 0L && rows(2L).getLong(2) == rows(2L).getLong(1))
+  }
+
+  test("canonical by quality: the longest member represents the cluster") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "short", "en", "s"),
+      (2L, "the longest document of the three by a clear margin", "en", "s"),
+      (3L, "medium length text here", "en", "s"),
+      (9L, "an unrelated singleton", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("doc_i", "doc_j")
+    val rows = DedupOps.canonicalByQuality(corpus, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // cluster label is the min doc_id (1); representative is doc 2
+    assert(rows.toSet == Set((1L, 2L, 3L), (9L, 9L, 1L)),
+      s"longest-member policy violated: ${rows.mkString(", ")}")
   }
 
   test("sentence dedup: later copies drop, first occurrence survives, docs reassemble") {
