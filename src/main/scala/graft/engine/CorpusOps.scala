@@ -386,4 +386,59 @@ object CorpusOps {
         col("raw_share"), col("temp_share"), col("upweight"))
       .orderBy(col("source"))
   }
+
+  /** Deterministic training-order shuffle — the loader-facing global
+    * permutation: shuffle key = xxhash64(doc_id) (Spark's codegen'd
+    * XXH64, seed 42 — the same chain the q94 split and q104 mix fate
+    * already replay bit-exact), shard = key mod nShards, position =
+    * rank within shard by (key, doc_id). Epoch reshuffles change the
+    * key by hashing a different column set — nothing else moves.
+    *
+    * Scale shape: NO global sort anywhere. The permutation is
+    * expressed as (shard, pos_in_shard): one hash-partitioned shuffle
+    * on `shard` + an in-partition sort — `Window.partitionBy(shard)`
+    * is exactly `repartition(shard).sortWithinPartitions(key)` in
+    * plan terms, the shape a 1000-executor writer wants (each task
+    * streams one shard to disk in order). A training loader that
+    * reads shards in index order and rows in pos order observes a
+    * deterministic, seed-stable global permutation without any
+    * engine ever holding a total order. */
+  def seededShuffle(documents: DataFrame, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = documents
+      .select(col("doc_id"), xxhash64(col("doc_id")).as("shuffle_key"))
+      .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    keyed
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shuffle_key"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  /** Deterministic stratified sample — per-source k docs chosen by
+    * SMALLEST xxhash64(doc_id): reproducible across engines and runs
+    * (the oracle replays the hash), uniform within each stratum
+    * (XXH64 avalanche), and — unlike Bernoulli `sampleBy` (q82, which
+    * is seeded but rows-only by design) — EXACTLY k per stratum with
+    * a full hash-match oracle. This is the eval-slice / human-review
+    * draw: every re-run of the pipeline hands reviewers the same
+    * documents until the corpus itself changes.
+    *
+    * Scale: rank-within-stratum is a per-source window — the sort is
+    * per-partition after one hash shuffle on source; with a skewed
+    * stratum a TakeOrdered-per-key (groupBy + min_by(k)) variant
+    * bounds memory, but the window form keeps the plan declarative
+    * and AQE handles the observed sizes here. */
+  def hashStratifiedSample(documents: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("sample_key"), col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"), xxhash64(col("doc_id")).as("sample_key"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("rk"), col("doc_id"), col("sample_key"))
+      .orderBy(col("source"), col("rk"))
+  }
 }

@@ -457,4 +457,33 @@ object SimilarityOps {
         round(col("dot") / (col("na") * col("nb")), 6).as("cos_sim"))
       .orderBy(col("label_a"), col("label_b"))
   }
+
+  /** Embedding-hygiene gate — the vector-side quality filter an ANN
+    * index build runs FIRST: per label, how many vectors are unusable
+    * (zero-norm — cosine undefined; non-finite components — poisons
+    * every distance they touch) and the norm distribution of the rest
+    * (a collapsed or bimodal norm histogram is the classic symptom of
+    * a bad encoder batch). Per-row work is index-order array folds —
+    * the same row-local, order-fixed accumulation q138's dot products
+    * already rely on cross-engine — rounded to 9 before the one
+    * cross-row aggregate, whose mean runs in exact DECIMAL
+    * ([[graft.engine.Exact.decAvg]]). One scan, one catalog-scale
+    * keyed shuffle; nothing here ever pairs vectors. */
+  def embeddingHygiene(embeddings: DataFrame): DataFrame = {
+    val per = embeddings
+      .select(col("label").cast("long").as("label"),
+        expr("aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))").as("sq"),
+        expr("exists(embedding, x -> isnan(CAST(x AS DOUBLE)) OR CAST(x AS DOUBLE) IN (CAST('Infinity' AS DOUBLE), CAST('-Infinity' AS DOUBLE)))").as("bad"))
+      .withColumn("norm", round(sqrt(col("sq")), 9))
+    per
+      .groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+           sum(when(col("bad"), 1L).otherwise(0L)).as("n_nonfinite"),
+           sum(when(!col("bad") && col("norm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+           round(min(when(!col("bad") && col("norm") > 0.0, col("norm"))), 6).as("min_norm"),
+           round(max(when(!col("bad") && col("norm") > 0.0, col("norm"))), 6).as("max_norm"),
+           round(Exact.decAvg(when(!col("bad") && col("norm") > 0.0, col("norm")), 9), 6)
+             .as("mean_norm"))
+      .orderBy(col("label"))
+  }
 }

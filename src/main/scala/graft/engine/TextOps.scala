@@ -594,6 +594,54 @@ object TextOps {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** Duplicated-span EXCISION — the writer that applies
+    * [[duplicateSpans]]' cut list: every token position covered by a
+    * cross-doc duplicated n-gram is spliced out and the surviving
+    * tokens are re-joined, per document. Emits the before/after token
+    * accounting plus an md5 fingerprint of the cleaned text (the q71
+    * clean_fp convention — the fingerprint pins the full rewrite
+    * without shipping megabytes of text through the result set). The
+    * keep-one-canonical-copy policy is deliberately NOT baked in here:
+    * compose with [[graft.engine.DedupOps.canonicalByQuality]] to
+    * exempt a representative doc per cluster — this operator is the
+    * pure splice.
+    *
+    * Scale shape: covered positions come from exploding each hit
+    * gram's n-token range and DISTINCT-ing — bounded by n × hits, and
+    * hits are already capped by maxPostings. The splice itself is a
+    * (doc_id, tpos)-keyed left anti join that co-partitions with the
+    * token explode, then ONE per-doc sort_array(collect_list) —
+    * struct-sorted by position, so reassembly never depends on
+    * partition order. Every doc with ≥1 token gets a row (n_cut = 0
+    * for untouched docs — the accounting the corpus card needs). */
+  def exciseDuplicateSpans(documents: DataFrame, n: Int = 10,
+                           maxPostings: Int = 50): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"),
+        expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)").as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("tpos"), col("tok"))
+    val covered = duplicateSpans(documents, n, maxPostings)
+      .select(col("doc_id"),
+        explode(expr("sequence(span_start, span_start + span_tokens - 1)")).as("tpos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("doc_id", "tpos"), "left_anti")
+    kept
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+           expr("array_join(transform(array_sort(collect_list(struct(tpos, tok))), s -> s.tok), ' ')")
+             .as("clean_text"))
+      .join(toks.groupBy(col("doc_id"))
+              .agg(count(lit(1)).cast("long").as("n_tokens")),
+            Seq("doc_id"), "right")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_cut"),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** N-gram LM self-scoring — the CCNet-style statistical quality
     * filter: train a word-bigram language model ON THE CORPUS and
     * score each document by its mean bigram probability. Documents
@@ -688,6 +736,51 @@ object TextOps {
            round(Exact.decAvg(col("p"), 9), 6).as("xlm_score"))
       .withColumn("seen_frac", round(col("n_seen").cast("double") / col("n_bigrams"), 6))
       .orderBy(col("doc_id"))
+  }
+
+  /** Distinctive-terms report — per-source vocabulary that is
+    * OVER-represented relative to the whole corpus, scored by
+    * frequency lift: (tf_in_source / tokens_in_source) divided by
+    * (tf_global / tokens_global). The log-free cousin of TF-IDF
+    * (same ranking intent, no transcendental in the score — every
+    * division is a correctly-rounded IEEE op on exact BIGINT counts,
+    * so the rounded score is bit-stable in any engine; ln() is not
+    * correctly rounded and has no such guarantee). `minCount` floors
+    * the global frequency so one-off typos can't top the chart.
+    * Top-k per source by (lift desc, w) — word-count-shaped
+    * aggregates plus a per-source window over the (already tiny)
+    * qualifying-term frame. The output is the corpus card's "what is
+    * this source about" panel. */
+  def distinctiveTerms(documents: DataFrame, k: Int = 5,
+                       minCount: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = documents
+      .select(col("source"),
+        explode(expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)")).as("w"))
+    val tfSw = words.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("tf_sw"))
+      .localCheckpoint(false)
+    val perSource = tfSw.groupBy(col("source")).agg(sum(col("tf_sw")).as("toks_s"))
+    val perWord = tfSw.groupBy(col("w")).agg(sum(col("tf_sw")).as("tf_g"))
+      .filter(col("tf_g") >= minCount)
+    // global token mass over ALL words (the filter above prunes the
+    // candidate terms, not the denominator)
+    val tot = perSource.agg(sum(col("toks_s")).as("toks_g"))
+    val scored = tfSw
+      .join(perWord, "w") // inner: drops sub-minCount words
+      .join(perSource, "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift", round(
+        (col("tf_sw").cast("double") / col("toks_s")) /
+        (col("tf_g").cast("double") / col("toks_g")), 6))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("lift").desc, col("w"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("rk"), col("w"), col("tf_sw"), col("tf_g"),
+        col("lift"))
+      .orderBy(col("source"), col("rk"))
   }
 
   /** Corpus boilerplate report — the flip side of [[sharedSpans]]'

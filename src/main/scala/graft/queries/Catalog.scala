@@ -982,6 +982,32 @@ object Catalog {
              |       ROUND(CAST(SUM(CASE WHEN c2 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS seen_frac
              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // per-source distinctive vocabulary by frequency lift — TF-IDF's
+    // ranking intent with no transcendental in the score (ln is not
+    // correctly rounded; IEEE division of exact BIGINT counts is).
+    QuerySpec(
+      "q144_distinctive_terms",
+      (s, dir) => TextOps.distinctiveTerms(Tables.documents(s, dir)),
+      Some("""WITH words AS (
+             |  SELECT source, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS w
+             |  FROM documents),
+             |tf AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS tf_sw
+             |       FROM words GROUP BY source, w),
+             |ps AS (SELECT source, CAST(SUM(tf_sw) AS BIGINT) AS toks_s FROM tf GROUP BY source),
+             |pw AS (SELECT w, CAST(SUM(tf_sw) AS BIGINT) AS tf_g FROM tf GROUP BY w
+             |       HAVING SUM(tf_sw) >= 20),
+             |tot AS (SELECT CAST(SUM(toks_s) AS BIGINT) AS toks_g FROM ps),
+             |sc AS (SELECT tf.source, tf.w, tf.tf_sw, pw.tf_g,
+             |              ROUND((CAST(tf.tf_sw AS DOUBLE) / toks_s) /
+             |                    (CAST(pw.tf_g AS DOUBLE) / toks_g), 6) AS lift
+             |       FROM tf JOIN pw USING (w) JOIN ps USING (source) CROSS JOIN tot),
+             |r AS (SELECT source, w, tf_sw, tf_g, lift,
+             |             CAST(row_number() OVER (PARTITION BY source
+             |                                     ORDER BY lift DESC, w) AS BIGINT) AS rk
+             |      FROM sc)
+             |SELECT source, rk, w, tf_sw, tf_g, lift
+             |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin)),
+
     // the postings cap's flip side: the corpus-wide template/footer
     // grams reported top-k — word-count shaped, total-order cut
     QuerySpec(
@@ -1319,6 +1345,39 @@ object Catalog {
              |       CAST(COUNT(*) + 9 AS BIGINT) AS span_tokens
              |FROM isl GROUP BY doc_id, grp
              |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // the writer side of q133: splice out every token position
+    // covered by a cross-doc duplicated gram and fingerprint the
+    // cleaned text (q71's clean_fp convention); every tokenful doc
+    // keeps an accounting row, n_cut = 0 when untouched.
+    QuerySpec(
+      "q140_span_excision",
+      (s, dir) => TextOps.exciseDuplicateSpans(Tables.documents(s, dir)),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS t FROM documents),
+             |tp AS (SELECT doc_id, CAST(i AS BIGINT) AS tpos, t[i] AS tok
+             |       FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+             |             FROM tok WHERE len(t) >= 1)),
+             |ng AS (SELECT doc_id, gi AS pos, array_to_string(list_slice(t, gi, gi + 9), ' ') AS g
+             |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 8)) AS gi
+             |             FROM tok WHERE len(t) >= 10)),
+             |keep AS (SELECT g FROM ng GROUP BY g
+             |         HAVING COUNT(DISTINCT doc_id) >= 2 AND COUNT(*) <= 50),
+             |hit AS (SELECT doc_id, pos FROM ng JOIN keep USING (g)),
+             |cov AS (SELECT DISTINCT doc_id, CAST(pos + o AS BIGINT) AS tpos
+             |        FROM (SELECT doc_id, pos, unnest(range(0, 10)) AS o FROM hit)),
+             |kept AS (SELECT tp.doc_id, tp.tpos, tp.tok FROM tp
+             |         WHERE NOT EXISTS (SELECT 1 FROM cov
+             |                           WHERE cov.doc_id = tp.doc_id AND cov.tpos = tp.tpos)),
+             |ka AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             |              array_to_string(list(tok ORDER BY tpos), ' ') AS clean_text
+             |       FROM kept GROUP BY doc_id),
+             |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tp GROUP BY doc_id)
+             |SELECT t.doc_id, t.n_tokens,
+             |       CAST(t.n_tokens - COALESCE(k.n_kept, 0) AS BIGINT) AS n_cut,
+             |       md5(COALESCE(k.clean_text, '')) AS clean_fp
+             |FROM tot t LEFT JOIN ka k USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
 
     // The real tokenizer-training loop: 5 character-level BPE merge
     // rounds over the distinct-word frequency table; the oracle
@@ -1784,6 +1843,22 @@ object Catalog {
              |       ROUND(LEAST(1.0, CAST(target_tokens AS DOUBLE) / n_tokens), 6) AS sample_rate
              |FROM plan ORDER BY source""".stripMargin)),
 
+    // deterministic training-order shuffle: xxhash64(doc_id) as the
+    // permutation key, shard = key mod 8, pos = rank within shard —
+    // no global sort; the oracle replays the exact XXH64 chain.
+    QuerySpec(
+      "q141_seeded_shuffle",
+      (s, dir) => CorpusOps.seededShuffle(Tables.documents(s, dir)),
+      Some(q141OracleSql)),
+
+    // exactly-k-per-stratum deterministic sample by smallest
+    // xxhash64(doc_id) — q82's seeded Bernoulli is rows-only by
+    // design; this form is fully hash-match-able.
+    QuerySpec(
+      "q142_hash_stratified_sample",
+      (s, dir) => CorpusOps.hashStratifiedSample(Tables.documents(s, dir)),
+      Some(q142OracleSql)),
+
     // retrieval-side splitter: fixed token windows with overlap,
     // exact integer ceiling division for the chunk count — per-row
     // projection work, no shuffle.
@@ -2152,7 +2227,33 @@ object Catalog {
              |       ROUND(list_inner_product(a.cv, b.cv) /
              |             (sqrt(list_inner_product(a.cv, a.cv)) * sqrt(list_inner_product(b.cv, b.cv))), 6) AS cos_sim
              |FROM arr a JOIN arr b ON a.label < b.label
-             |ORDER BY label_a, label_b""".stripMargin))
+             |ORDER BY label_a, label_b""".stripMargin)),
+
+    // vector-side quality gate: per-label unusable-vector counts
+    // (zero-norm / non-finite) and the norm distribution of the rest;
+    // per-row norms are index-order folds (the q138 cross-engine
+    // contract), the one cross-row mean runs in exact DECIMAL.
+    QuerySpec(
+      "q143_embedding_hygiene",
+      (s, dir) => SimilarityOps.embeddingHygiene(Tables.embeddings(s, dir)),
+      Some(s"""WITH t AS (
+             |  SELECT CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS e
+             |  FROM embeddings),
+             |per AS (
+             |  SELECT label,
+             |         len(list_filter(e, x -> isnan(x) OR isinf(x))) > 0 AS bad,
+             |         ROUND(sqrt(list_inner_product(e, e)), 9) AS norm
+             |  FROM t),
+             |g AS (
+             |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             |         CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+             |         CAST(SUM(CASE WHEN NOT bad AND norm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+             |         ROUND(MIN(CASE WHEN NOT bad AND norm > 0 THEN norm END), 6) AS min_norm,
+             |         ROUND(MAX(CASE WHEN NOT bad AND norm > 0 THEN norm END), 6) AS max_norm,
+             |         ROUND(${Exact.decAvgSql("CASE WHEN NOT bad AND norm > 0 THEN norm END", 9)}, 6) AS mean_norm
+             |  FROM per GROUP BY label)
+             |SELECT label, n_vecs, n_nonfinite, n_zero, min_norm, max_norm, mean_norm
+             |FROM g ORDER BY label""".stripMargin))
   )
 
   // ---------------------------------------------------------------- //
@@ -2278,6 +2379,36 @@ object Catalog {
          |s8 AS (SELECT doc_id, ${xor64("h5", "h5//536870912")} AS h6 FROM s7),
          |s9 AS (SELECT doc_id, ${mul("h6", p3)} AS h7 FROM s8),
          |s10 AS (SELECT doc_id, ${xor64("h7", "h7//4294967296")} AS h8 FROM s9)""".stripMargin
+  }
+
+  /** q141 oracle: the full XXH64 chain → signed key, shard = mod 8,
+    * in-shard rank by (key, doc_id). */
+  private val q141OracleSql: String = {
+    import Xxh64DocIdSql.{ctes, tos}
+    s"""WITH $ctes,
+       |k AS (SELECT doc_id, ${tos("h8")} AS shuffle_key FROM s10),
+       |sh AS (SELECT doc_id, shuffle_key,
+       |              CAST(((shuffle_key % 8) + 8) % 8 AS BIGINT) AS shard
+       |       FROM k)
+       |SELECT doc_id, shuffle_key, shard,
+       |       CAST(row_number() OVER (PARTITION BY shard
+       |                               ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+       |FROM sh ORDER BY shard, pos""".stripMargin
+  }
+
+  /** q142 oracle: same hash, smallest-k rank per source stratum. */
+  private val q142OracleSql: String = {
+    import Xxh64DocIdSql.{ctes, tos}
+    s"""WITH $ctes,
+       |k AS (SELECT doc_id, ${tos("h8")} AS sample_key FROM s10),
+       |j AS (SELECT d.source, k.doc_id, k.sample_key
+       |      FROM k JOIN documents d USING (doc_id)),
+       |r AS (SELECT source, doc_id, sample_key,
+       |             CAST(row_number() OVER (PARTITION BY source
+       |                                     ORDER BY sample_key, doc_id) AS BIGINT) AS rk
+       |      FROM j)
+       |SELECT source, rk, doc_id, sample_key
+       |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin
   }
 
   private val q94OracleSql: String = {

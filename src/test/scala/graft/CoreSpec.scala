@@ -173,4 +173,44 @@ class CoreSpec extends SparkSpec {
     assert(AggregateOps.unpivotMetrics(li).count() == 3 * n,
       "unpivot must emit one row per (input row, metric)")
   }
+
+  test("seeded shuffle is a deterministic permutation with dense in-shard positions") {
+    val docs = Tables.documents(spark, sf)
+    val rows = CorpusOps.seededShuffle(docs).collect()
+    assert(rows.length.toLong == docs.count(), "shuffle is a permutation: no row gained or lost")
+    assert(rows.map(_.getLong(0)).toSet ==
+      docs.select(col("doc_id")).collect().map(_.getLong(0)).toSet)
+    rows.groupBy(_.getLong(2)).foreach { case (shard, rs) =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to rs.length).toSeq,
+        s"shard $shard positions must be dense 1..n")
+      val inOrder = rs.sortBy(_.getLong(3)).map(r => (r.getLong(1), r.getLong(0))).toSeq
+      assert(inOrder == inOrder.sorted, s"shard $shard order must follow (key, doc_id)")
+    }
+    // shard is a pure function of the key (mod 8, sign-corrected)
+    rows.foreach(r => assert(r.getLong(2) == ((r.getLong(1) % 8) + 8) % 8))
+    val again = CorpusOps.seededShuffle(docs).collect().map(_.toString).toSeq
+    assert(again == rows.map(_.toString).toSeq, "same corpus, same permutation")
+  }
+
+  test("hash-stratified sample draws exactly the k smallest-hash docs per stratum") {
+    val docs = Tables.documents(spark, sf)
+    val k = 10
+    val got = CorpusOps.hashStratifiedSample(docs, k).collect()
+    val bySource = got.groupBy(_.getString(0))
+    val totals = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (s, n) =>
+      assert(bySource(s).length.toLong == math.min(k.toLong, n), s"stratum $s must yield min(k, n)")
+    }
+    // membership: exactly the k smallest (xxhash64, doc_id) per source
+    val expected = docs
+      .select(col("source"), col("doc_id"), xxhash64(col("doc_id")).as("h")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (s, xs) =>
+        s -> xs.sortBy(x => (x._3, x._2)).take(k).map(_._2).toSet
+      }
+    bySource.foreach { case (s, rs) =>
+      assert(rs.map(_.getLong(2)).toSet == expected(s), s"stratum $s membership")
+    }
+  }
 }

@@ -208,4 +208,29 @@ class SimilarityMultimodalSpec extends SparkSpec {
       assert(r.getAs[Array[Byte]]("payload").length.toLong == r.getLong(2))
     }
   }
+
+  test("embedding hygiene counts injected zero-norm and non-finite vectors") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(0f, 0f, 0f)),            // zero-norm: cosine undefined
+      (0L, Array(Float.NaN, 1f, 0f)),     // non-finite
+      (0L, Array(3f, 4f, 0f)),            // healthy, norm 5
+      (1L, Array(Float.PositiveInfinity, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f)),
+    ).toDF("label", "embedding")
+    val got = SimilarityOps.embeddingHygiene(vecs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val l0 = got(0L)
+    assert(l0.getLong(1) == 3L && l0.getLong(2) == 1L && l0.getLong(3) == 1L)
+    // the only usable label-0 vector has norm 5 → min = max = mean
+    assert(l0.getDouble(4) == 5.0 && l0.getDouble(5) == 5.0 && l0.getDouble(6) == 5.0)
+    val l1 = got(1L)
+    assert(l1.getLong(1) == 2L && l1.getLong(2) == 1L && l1.getLong(3) == 0L)
+    assert(l1.getDouble(6) == 1.0)
+    // fixture table: every vector is accounted for under exactly one label
+    val emb = Tables.embeddings(spark, sf)
+    val fix = SimilarityOps.embeddingHygiene(emb).collect()
+    assert(fix.map(_.getLong(1)).sum == emb.count())
+    assert(fix.map(_.getLong(0)).distinct.length == fix.length)
+  }
 }

@@ -974,4 +974,58 @@ class TextDedupSpec extends SparkSpec {
       assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
     }
   }
+
+  test("span excision cuts exactly the shared passage and fingerprints the rest") {
+    import spark.implicits._
+    val passage = (1 to 12).map(i => s"shared$i").mkString(" ") // 12 tokens > n=10
+    val corpus = Seq(
+      (1L, s"alpha beta $passage gamma", "en", "s"),
+      (2L, s"$passage delta", "en", "s"),
+      (3L, "totally unrelated text only", "en", "s"),
+    ).toDF("doc_id", "text", "lang", "source").withColumn("n_chars", length(col("text")))
+    val rows = TextOps.exciseDuplicateSpans(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L), "every tokenful doc keeps an accounting row")
+    // doc 1: the 12 covered passage positions go, alpha/beta/gamma stay
+    assert(rows(1L)._1 == 15L && rows(1L)._2 == 12L)
+    assert(rows(1L)._3 == md5Hex("alpha beta gamma"))
+    // doc 2: passage at the head, only the tail token survives
+    assert(rows(2L)._1 == 13L && rows(2L)._2 == 12L)
+    assert(rows(2L)._3 == md5Hex("delta"))
+    // doc 3: untouched — n_cut 0, fingerprint of the full token join
+    assert(rows(3L)._2 == 0L)
+    assert(rows(3L)._3 == md5Hex("totally unrelated text only"))
+    // fixture corpus: accounting is conserved and never negative
+    val fix = TextOps.exciseDuplicateSpans(docs).collect()
+    assert(fix.length.toLong ==
+      docs.filter(expr("size(regexp_extract_all(lower(text), '[A-Za-z0-9_]+', 0)) > 0")).count())
+    fix.foreach(r => assert(r.getLong(2) >= 0L && r.getLong(2) <= r.getLong(1)))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("distinctive terms rank by frequency lift with exact hand-checked scores") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, (("zebra " * 30) + ("common " * 10)).trim, "en", "s1"),
+      (2L, ("common " * 40).trim, "en", "s2"),
+    ).toDF("doc_id", "text", "lang", "source").withColumn("n_chars", length(col("text")))
+    val rows = TextOps.distinctiveTerms(corpus).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    // s1: zebra lift = (30/40)/(30/80) = 2.0 beats common (10/40)/(50/80) = 0.4
+    assert(rows(("s1", 1L)) == (("zebra", 30L, 30L, 2.0)))
+    assert(rows(("s1", 2L)) == (("common", 10L, 50L, 0.4)))
+    // s2: only common qualifies — lift (40/40)/(50/80) = 1.6
+    assert(rows(("s2", 1L)) == (("common", 40L, 50L, 1.6)))
+    assert(!rows.contains(("s2", 2L)), "zebra never appears in s2 — no row")
+    // fixture corpus: at most k rows per source, ranks dense from 1, lifts positive
+    val fix = TextOps.distinctiveTerms(docs, k = 5).collect()
+    fix.groupBy(_.getString(0)).foreach { case (s, rs) =>
+      assert(rs.length <= 5 && rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length).toSeq, s)
+    }
+    fix.foreach(r => assert(r.getDouble(5) > 0.0))
+  }
 }
