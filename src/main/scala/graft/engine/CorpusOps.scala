@@ -430,6 +430,51 @@ object CorpusOps {
     * stratum a TakeOrdered-per-key (groupBy + min_by(k)) variant
     * bounds memory, but the window form keeps the plan declarative
     * and AQE handles the observed sizes here. */
+  /** Length-bucketed batch manifest — the dynamic-batching planner a
+    * training loader runs over variable-length documents: each doc
+    * lands in the smallest power-of-two length bucket that holds it
+    * (16..8192; longer docs clamp into the top bucket and truncate),
+    * docs within a bucket batch up `batchSize` at a time in doc_id
+    * order, and each (bucket, batch) reports its fill: tokens
+    * carried, tokens padded to the bucket boundary, and the fill
+    * fraction — the number that justifies length bucketing over
+    * fixed-shape batches in the first place.
+    *
+    * Token counts use the packing family's piece estimate
+    * ([[packSequences]]); the bucket pick is an integer array-min
+    * over a literal bucket list (no log2 — transcendental-free like
+    * the q144 lift). Scale: one scan + one hash shuffle on the
+    * bucket key; the per-bucket window sorts within partitions only
+    * (14 buckets × corpus/14 rows each; a skewed bucket is still one
+    * partition's sort, the same posture as [[seededShuffle]]'s
+    * shards). The only double op is the fill division, exact-BIGINT
+    * in, correctly rounded out. */
+  def lengthBucketBatches(documents: DataFrame, batchSize: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val buckets = (4 to 13).map(1 << _) // 16..8192
+    val bucketArr = buckets.mkString("array(", ", ", ")")
+    val toks = documents
+      .filter(col("text").rlike("[^ ]"))
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(text, '${TextOps.pieceRe}', 0)"))
+          .cast("long").as("n_tokens"))
+      .withColumn("bucket", coalesce(
+        expr(s"array_min(filter($bucketArr, x -> x >= n_tokens))").cast("long"),
+        lit(buckets.last.toLong)))
+      .withColumn("carried", least(col("n_tokens"), col("bucket")))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    toks
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("batch_id", expr(s"(rk - 1) DIV $batchSize"))
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).cast("long").as("n_seqs"),
+           sum(col("carried")).cast("long").as("n_tokens"),
+           sum(col("bucket") - col("carried")).cast("long").as("pad_tokens"))
+      .withColumn("fill_frac", round(
+        col("n_tokens").cast("double") / (col("n_seqs") * col("bucket")), 6))
+      .orderBy(col("bucket"), col("batch_id"))
+  }
+
   def hashStratifiedSample(documents: DataFrame, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source"))

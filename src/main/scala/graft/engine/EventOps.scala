@@ -1,0 +1,93 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the events stream: ordered funnels
+  * and retention cohorts — the product-analytics pair every event
+  * warehouse serves (cf. reference `app/stream_processing.py`-style
+  * event rollups; the reference aggregates per event type, these two
+  * add ORDER between types and RECURRENCE over weeks).
+  *
+  * Both are expressed as one keyed shuffle on `user_id` plus ordered
+  * in-partition work — the canonical Spark shape for per-entity
+  * sequence analysis: no self-joins on the event table, no driver
+  * loops, and the per-user frame is bounded by that user's events.
+  */
+object EventOps {
+
+  /** Ordered conversion funnel view → click → purchase: a user
+    * converts stage k only with an event AT OR AFTER their stage-k−1
+    * conversion (the strict product-funnel semantics — a purchase
+    * before ever viewing does not count). One pass: a per-user
+    * running flag per stage (max-over-prefix window; stage k's flag
+    * conditions on stage k−1's flag at the same row), then a per-user
+    * max and one tiny 3-row rollup. ROWS frames with an (ts,
+    * event_id) tiebreak make prefix membership deterministic — the
+    * oracle replays the identical window chain.
+    *
+    * Scale: ONE shuffle on user_id shared by all three window layers
+    * (same partitioning, one sort), then a user-count-sized
+    * aggregate. Never joins events to events. */
+  def funnel(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("s1", max(when(col("event_type") === "view", 1).otherwise(0)).over(w))
+      .withColumn("s2", max(when(col("event_type") === "click" && col("s1") === 1, 1)
+        .otherwise(0)).over(w))
+      .withColumn("s3", max(when(col("event_type") === "purchase" && col("s2") === 1, 1)
+        .otherwise(0)).over(w))
+    val perUser = flagged.groupBy(col("user_id"))
+      .agg(max(col("s1")).as("r1"), max(col("s2")).as("r2"), max(col("s3")).as("r3"))
+    val one = perUser.agg(
+      count(lit(1)).cast("long").as("total"),
+      sum(col("r1")).cast("long").as("n1"),
+      sum(col("r2")).cast("long").as("n2"),
+      sum(col("r3")).cast("long").as("n3"))
+    one.select(expr(
+        "stack(3, 1L, 'view', n1, total, " +
+        "2L, 'click', n2, n1, " +
+        "3L, 'purchase', n3, n2) AS (stage_idx, stage, n_users, prev)"),
+        col("total"))
+      .select(col("stage_idx"), col("stage"), col("n_users"),
+        round(col("n_users").cast("double") / col("total"), 6).as("frac_of_total"),
+        round(col("n_users").cast("double") / nullif(col("prev"), lit(0L)), 6)
+          .as("frac_of_prev"))
+      .orderBy(col("stage_idx"))
+  }
+
+  /** Weekly retention cohorts: cohort = ISO week of a user's FIRST
+    * event; a user counts as retained at offset k if they have any
+    * event in cohort week + k. Classic triangle matrix, here as rows
+    * (cohort_week, week_offset, n_active, retention).
+    *
+    * Scale: first-seen is a per-user min (one shuffle on user_id);
+    * the activity set is DISTINCT (user, week) — bounded by users ×
+    * observed weeks, orders of magnitude under the event count — and
+    * its join back to first-seen co-partitions on user_id. The final
+    * rollup is cohort-×-offset sized (tiny). Integer week arithmetic
+    * throughout; the only division is retention, exact BIGINT ÷
+    * BIGINT per row. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val firstSeen = events.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    val active = events
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val joined = active.join(firstSeen, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        expr("CAST(datediff(wk, cohort_week) DIV 7 AS BIGINT)").as("week_offset"))
+    val sizes = firstSeen.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).cast("long").as("cohort_size"))
+    joined
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).cast("long").as("n_active"))
+      .join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6).as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse-lexical retrieval over the documents table — the BM25
+  * ranker a data pipeline uses for eval-set retrieval checks and
+  * RAG-ish corpus probes, built word-count-shaped: postings for the
+  * query terms only, never a dense doc×term matrix.
+  *
+  * Determinism: the classic BM25 idf is ln((N−df+0.5)/(df+0.5)+1);
+  * ln() is not correctly rounded and drifts across engines at the
+  * last ulp, so this scorer uses the RATIONAL idf (N−df+0.5)/(df+0.5)
+  * — the same ranking signal (monotone in df for fixed N) built
+  * purely from correctly-rounded IEEE ops (+, ×, ÷) on exact BIGINT
+  * counts, the transcendental-free discipline q144's lift score
+  * established. Per-term scores round to 9 decimals, the per-doc sum
+  * runs in exact DECIMAL (order-independent on any partitioning), and
+  * the final score rounds to 6 — bit-identical in any engine that
+  * replays the same expression tree. */
+object RetrievalOps {
+
+  /** Default probe queries — drawn from the synthetic corpus's
+    * operator vocabulary; override per corpus. */
+  val defaultQueries: Seq[String] = Seq("hash join", "table scan", "stream filter")
+
+  /** BM25 top-k per query (k1 = 1.2, b = 0.75).
+    *
+    * Scale shape: tokenize once (word-count shuffle on the term for
+    * tf); the query-term table is a literal broadcast, so the
+    * postings join prunes every non-query term before anything else
+    * flows; df for the pruned terms is a keyed count over those
+    * postings' doc sets (correct global df — the prune selects terms,
+    * not documents); doc length joins co-partition on doc_id. Top-k
+    * is a per-query window over candidate docs only. DECIMAL(18,9)
+    * bounds the rational idf to N < ~1e8 docs per corpus slice — a
+    * 100 TB deploy widens the accumulator to DECIMAL(38,9), same
+    * plan. */
+  def bm25TopK(documents: DataFrame,
+               queries: Seq[String] = defaultQueries,
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val qterms = broadcast(
+      queries.zipWithIndex
+        .flatMap { case (q, i) => q.toLowerCase.split("\\s+").toSeq.distinct
+          .map(t => (i.toLong, t)) }
+        .toDF("qid", "w"))
+    val toks = documents
+      .select(col("doc_id"),
+        explode(expr(s"regexp_extract_all(lower(text), '${TextOps.tokenRe}', 0)")).as("w"))
+    val tf = toks.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      // postings for query terms only — everything downstream is
+      // candidate-sized, not corpus-vocabulary-sized
+      .join(qterms.select(col("w")).distinct(), Seq("w"), "left_semi")
+      .localCheckpoint(false)
+    val dfw = tf.groupBy(col("w")).agg(count(lit(1)).cast("long").as("df"))
+    val dl = documents
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(lower(text), '${TextOps.tokenRe}', 0)"))
+          .cast("long").as("dl"))
+    val corpus = dl.agg(count(lit(1)).cast("long").as("nn"),
+      sum(col("dl")).cast("long").as("sumdl"))
+    val scored = tf
+      .join(qterms, "w")
+      .join(dfw, "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("avgdl", col("sumdl").cast("double") / col("nn"))
+      .withColumn("score_t", round(
+        ((col("nn") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))),
+        9))
+    val perDoc = scored.groupBy(col("qid"), col("doc_id"))
+      .agg(round(Exact.decSum(col("score_t"), 9), 6).as("score"),
+           count(lit(1)).cast("long").as("n_terms"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    perDoc
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("doc_id"), col("score"), col("n_terms"))
+      .orderBy(col("qid"), col("rk"))
+  }
+}

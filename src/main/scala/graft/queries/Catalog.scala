@@ -744,7 +744,59 @@ object Catalog {
              |       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_get,
              |       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct
              |FROM events
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // ordered conversion funnel view→click→purchase: stage k counts
+    // only events at or after the user's stage-k−1 conversion; the
+    // oracle replays the identical chained-window prefix flags
+    // (ROWS frames, (ts, event_id) tiebreak).
+    QuerySpec(
+      "q146_event_funnel",
+      (s, dir) => EventOps.funnel(Tables.events(s, dir)),
+      Some("""WITH f AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER w AS s1
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+             |f2 AS (
+             |  SELECT *, MAX(CASE WHEN event_type = 'click' AND s1 = 1 THEN 1 ELSE 0 END) OVER w AS s2
+             |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+             |f3 AS (
+             |  SELECT *, MAX(CASE WHEN event_type = 'purchase' AND s2 = 1 THEN 1 ELSE 0 END) OVER w AS s3
+             |  FROM f2 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+             |pu AS (SELECT user_id, MAX(s1) AS r1, MAX(s2) AS r2, MAX(s3) AS r3 FROM f3 GROUP BY user_id),
+             |one AS (SELECT CAST(COUNT(*) AS BIGINT) AS total, CAST(SUM(r1) AS BIGINT) AS n1,
+             |               CAST(SUM(r2) AS BIGINT) AS n2, CAST(SUM(r3) AS BIGINT) AS n3 FROM pu),
+             |st AS (SELECT 1 AS stage_idx, 'view' AS stage, n1 AS n_users, total AS prev, total FROM one
+             |       UNION ALL
+             |       SELECT 2, 'click', n2, n1, total FROM one
+             |       UNION ALL
+             |       SELECT 3, 'purchase', n3, n2, total FROM one)
+             |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage, n_users,
+             |       ROUND(CAST(n_users AS DOUBLE) / total, 6) AS frac_of_total,
+             |       ROUND(CAST(n_users AS DOUBLE) / NULLIF(prev, 0), 6) AS frac_of_prev
+             |FROM st ORDER BY stage_idx""".stripMargin)),
+
+    // weekly retention cohorts: cohort = ISO week of first event,
+    // retained-at-offset-k = any event in cohort week + k; integer
+    // week arithmetic, one BIGINT÷BIGINT per output row.
+    QuerySpec(
+      "q147_retention_cohorts",
+      (s, dir) => EventOps.retentionCohorts(Tables.events(s, dir)),
+      Some("""WITH fs AS (
+             |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+             |  FROM events GROUP BY user_id),
+             |act AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+             |j AS (SELECT a.user_id, f.cohort_week,
+             |             CAST(date_diff('day', f.cohort_week, a.wk) // 7 AS BIGINT) AS week_offset
+             |      FROM act a JOIN fs f USING (user_id)),
+             |sz AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM fs GROUP BY cohort_week),
+             |g AS (SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+             |      FROM j GROUP BY cohort_week, week_offset)
+             |SELECT g.cohort_week, g.week_offset, g.n_active,
+             |       ROUND(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+             |FROM g JOIN sz USING (cohort_week)
+             |ORDER BY cohort_week, week_offset""".stripMargin))
   )
 
   // ---------------------------------------------------------------- //
@@ -1007,6 +1059,40 @@ object Catalog {
              |      FROM sc)
              |SELECT source, rk, w, tf_sw, tf_g, lift
              |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin)),
+
+    // BM25 top-k retrieval with the RATIONAL idf (N−df+0.5)/(df+0.5)
+    // — same ranking signal as the ln() form, but built only from
+    // correctly-rounded IEEE ops on exact counts (the q144
+    // transcendental-free discipline), so the rounded scores are
+    // bit-stable cross-engine. Query-term postings only ever flow.
+    QuerySpec(
+      "q145_bm25_topk",
+      (s, dir) => RetrievalOps.bm25TopK(Tables.documents(s, dir)),
+      Some(s"""WITH q(qid, w) AS (
+             |  VALUES (0, 'hash'), (0, 'join'), (1, 'table'), (1, 'scan'),
+             |         (2, 'stream'), (2, 'filter')),
+             |toks AS (
+             |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS w
+             |  FROM documents),
+             |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+             |       WHERE w IN (SELECT w FROM q) GROUP BY doc_id, w),
+             |dfw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+             |dl AS (SELECT doc_id,
+             |              CAST(len(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS BIGINT) AS dl
+             |       FROM documents),
+             |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
+             |s AS (SELECT q.qid, tf.doc_id,
+             |             ROUND(((nn - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
+             |                   (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / nn))), 9) AS score_t
+             |      FROM tf JOIN q USING (w) JOIN dfw USING (w) JOIN dl USING (doc_id) CROSS JOIN c),
+             |pd AS (SELECT qid, doc_id, ROUND(${Exact.decSumSql("score_t", 9)}, 6) AS score,
+             |              CAST(COUNT(*) AS BIGINT) AS n_terms
+             |       FROM s GROUP BY qid, doc_id),
+             |r AS (SELECT CAST(qid AS BIGINT) AS qid, doc_id, score, n_terms,
+             |             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+             |      FROM pd)
+             |SELECT qid, rk, doc_id, score, n_terms FROM r WHERE rk <= 10
+             |ORDER BY qid, rk""".stripMargin)),
 
     // the postings cap's flip side: the corpus-wide template/footer
     // grams reported top-k — word-count shaped, total-order cut
@@ -1858,6 +1944,31 @@ object Catalog {
       "q142_hash_stratified_sample",
       (s, dir) => CorpusOps.hashStratifiedSample(Tables.documents(s, dir)),
       Some(q142OracleSql)),
+
+    // dynamic-batching planner: smallest power-of-two length bucket
+    // per doc (integer array-min over a literal bucket list — no
+    // log2), batches of 8 in doc_id order, per-batch fill accounting.
+    QuerySpec(
+      "q148_length_batches",
+      (s, dir) => CorpusOps.lengthBucketBatches(Tables.documents(s, dir)),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+             |  FROM documents WHERE regexp_matches(text, '[^ ]')),
+             |b AS (SELECT doc_id, n_tokens,
+             |             COALESCE(CAST(list_min(list_filter([16,32,64,128,256,512,1024,2048,4096,8192],
+             |                                                x -> x >= n_tokens)) AS BIGINT), 8192) AS bucket
+             |      FROM t),
+             |c AS (SELECT *, LEAST(n_tokens, bucket) AS carried,
+             |             CAST(row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS BIGINT) AS rk
+             |      FROM b),
+             |g AS (SELECT bucket, (rk - 1) // 8 AS batch_id, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+             |             CAST(SUM(carried) AS BIGINT) AS n_tokens,
+             |             CAST(SUM(bucket - carried) AS BIGINT) AS pad_tokens
+             |      FROM c GROUP BY bucket, batch_id)
+             |SELECT bucket, batch_id, n_seqs, n_tokens, pad_tokens,
+             |       ROUND(CAST(n_tokens AS DOUBLE) / (n_seqs * bucket), 6) AS fill_frac
+             |FROM g ORDER BY bucket, batch_id""".stripMargin)),
 
     // retrieval-side splitter: fixed token windows with overlap,
     // exact integer ceiling division for the chunk count — per-row

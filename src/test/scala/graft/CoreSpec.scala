@@ -192,6 +192,52 @@ class CoreSpec extends SparkSpec {
     assert(again == rows.map(_.toString).toSeq, "same corpus, same permutation")
   }
 
+  test("funnel counts only in-order stage conversions") {
+    import spark.implicits._
+    def t(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, t(1), 1L, "view"), (1L, t(2), 2L, "click"), (1L, t(3), 3L, "purchase"),
+      // user 2: purchase BEFORE the chain — view→click still counts,
+      // the early purchase must not
+      (2L, t(1), 4L, "purchase"), (2L, t(2), 5L, "view"), (2L, t(3), 6L, "click"),
+      // user 3: never views — reaches no stage
+      (3L, t(1), 7L, "click"), (3L, t(2), 8L, "purchase"),
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventOps.funnel(ev).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got("view") == ((2L, 0.666667, 0.666667)))
+    assert(got("click")._1 == 2L && got("click")._3 == 1.0)
+    assert(got("purchase")._1 == 1L && got("purchase")._3 == 0.5)
+    // fixture events: stage counts monotone non-increasing, fracs in [0,1]
+    val fix = EventOps.funnel(Tables.events(spark, sf)).collect().sortBy(_.getLong(0))
+    val ns = fix.map(_.getLong(2))
+    assert(ns.length == 3 && ns(0) >= ns(1) && ns(1) >= ns(2))
+    fix.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
+  test("retention cohorts anchor at the first-seen week with exact offsets") {
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00") // Jan 1 2024 is a Monday
+    val ev = Seq(
+      (1L, ts(1), 1L, "view"),   // cohort Jan-1 week, also active Jan-8 week
+      (1L, ts(10), 2L, "click"),
+      (2L, ts(3), 3L, "view"),   // cohort Jan-1 week only
+      (3L, ts(9), 4L, "view"),   // cohort Jan-8 week
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventOps.retentionCohorts(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("2024-01-01", 0L)) == ((2L, 1.0)))
+    assert(got(("2024-01-01", 1L)) == ((1L, 0.5)))
+    assert(got(("2024-01-08", 0L)) == ((1L, 1.0)))
+    assert(got.size == 3)
+    // fixture events: offset 0 always exists at retention 1.0 (a user
+    // is active in their own cohort week by definition)
+    val fix = EventOps.retentionCohorts(Tables.events(spark, sf)).collect()
+    fix.filter(_.getLong(1) == 0L).foreach(r => assert(r.getDouble(3) == 1.0))
+    fix.foreach(r => assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
+  }
+
   test("hash-stratified sample draws exactly the k smallest-hash docs per stratum") {
     val docs = Tables.documents(spark, sf)
     val k = 10

@@ -1006,6 +1006,74 @@ class TextDedupSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("bm25 replays the rational-idf formula and ranks hand-built docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "hash join hash join hash", "en", "s"),
+      (2L, "hash table scan", "en", "s"),
+      (3L, "the quick brown fox", "en", "s"),
+    ).toDF("doc_id", "text", "lang", "source").withColumn("n_chars", length(col("text")))
+    // driver-side reference: identical op order to the engine formula
+    val (nn, sumdl) = (3L, 12L)
+    def scoreT(tf: Long, df: Long, dl: Long): Double = {
+      val raw = ((nn - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
+        (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl.toDouble / nn)))
+      BigDecimal(raw).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def score6(ts: Seq[Double]): Double =
+      ts.map(BigDecimal(_)).sum.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = RetrievalOps.bm25TopK(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(1), r.getDouble(3), r.getLong(4))).toMap
+    // q0 "hash join": d1 (hash tf3 df2, join tf2 df1) must outrank d2 (hash tf1)
+    assert(got((0L, 1L))._1 == 1L && got((0L, 2L))._1 == 2L)
+    assert(got((0L, 1L))._2 == score6(Seq(scoreT(3, 2, 5), scoreT(2, 1, 5))))
+    assert(got((0L, 1L))._3 == 2L, "d1 matches both query-0 terms")
+    assert(got((0L, 2L))._2 == score6(Seq(scoreT(1, 2, 3))))
+    // q1 "table scan": only d2 matches
+    assert(got((1L, 2L))._1 == 1L && got((1L, 2L))._3 == 2L)
+    assert(got.keys.count(_._1 == 1L) == 1)
+    // q2 "stream filter": no doc contains either term — no rows
+    assert(!got.keys.exists(_._1 == 2L))
+    // fixture corpus: dense ranks from 1, scores non-increasing per query
+    val fix = RetrievalOps.bm25TopK(docs).collect()
+    fix.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to rs.length).toSeq, s"qid $qid ranks dense")
+      val scores = sorted.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"qid $qid monotone")
+    }
+  }
+
+  test("length buckets pick the smallest power-of-two and batch in doc order") {
+    import spark.implicits._
+    def words(k: Int) = Seq.fill(k)("w").mkString(" ")
+    val corpus = Seq(
+      (1L, words(10), "en", "s"),   // bucket 16
+      (2L, words(16), "en", "s"),   // bucket 16 (exact fit)
+      (3L, words(17), "en", "s"),   // bucket 32
+      (4L, words(9000), "en", "s"), // over the top bucket: clamps to 8192
+    ).toDF("doc_id", "text", "lang", "source").withColumn("n_chars", length(col("text")))
+    val got = CorpusOps.lengthBucketBatches(corpus, batchSize = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(got((16L, 0L)) == ((2L, 26L, 6L, 0.8125)))   // docs 1+2: 10+16 carried, 6+0 pad
+    assert(got((32L, 0L)) == ((1L, 17L, 15L, 0.53125))) // doc 3
+    assert(got((8192L, 0L)) == ((1L, 8192L, 0L, 1.0)))  // doc 4 truncated to capacity
+    assert(got.size == 3)
+    // fixture corpus: buckets are powers of two, batches dense from 0,
+    // fill fractions in (0, 1], doc accounting conserved
+    val fix = CorpusOps.lengthBucketBatches(docs).collect()
+    assert(fix.map(_.getLong(2)).sum ==
+      docs.filter(col("text").rlike("[^ ]")).count())
+    fix.foreach { r =>
+      assert((r.getLong(0) & (r.getLong(0) - 1)) == 0L, "bucket is a power of two")
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+    fix.groupBy(_.getLong(0)).foreach { case (b, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (0L until rs.length).toSeq, s"bucket $b batches dense")
+    }
+  }
+
   test("distinctive terms rank by frequency lift with exact hand-checked scores") {
     import spark.implicits._
     val corpus = Seq(
