@@ -51,20 +51,18 @@ object StreamOps {
       .orderBy(col("user_id"), col("session_start"))
 
   /** Watermarked streaming source over the events parquet. Schema as
-    * stored (ts is LongType nanos under nanosAsLong); the nanos→micros
-    * conversion runs inside the stream, as it would on a real ingest
-    * pipeline. FileStreamSource wants a directory; scope it to the
-    * events file with a glob filter. */
+    * stored (LongType nanos under nanosAsLong, or TIMESTAMP_NTZ for
+    * the unadjusted-micros shape); `Tables.normalizeEventTs` runs
+    * inside the stream — same normalization as the batch path, so the
+    * watermark always sees event-time TimestampType. FileStreamSource
+    * wants a directory; scope it to the events file with a glob
+    * filter. */
   private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions.timestamp_micros
-    import org.apache.spark.sql.types.LongType
     val raw: StructType = spark.read.parquet(s"$sfDir/events.parquet").schema
     val source = spark.readStream.schema(raw)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-    if (raw("ts").dataType == LongType)
-      source.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else source
+    Tables.normalizeEventTs(source)
   }
 
   /** The streaming form of [[tumbling]]: watermark + append-mode

@@ -28,19 +28,26 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** The events parquet carries TIMESTAMP(NANOS) which Spark's reader
-    * rejects; with `spark.sql.legacy.parquet.nanosAsLong=true` (set in
-    * all engine sessions) it surfaces as LongType nanos, converted here
-    * to a proper TimestampType by flooring to micros — the same
-    * truncation DuckDB applies reading the same file. */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The events parquet has shipped in two physical shapes:
+    * TIMESTAMP(NANOS), which Spark's reader surfaces as LongType nanos
+    * under `spark.sql.legacy.parquet.nanosAsLong=true` (set in all
+    * engine sessions), and plain `timestamp[us]` with no UTC flag,
+    * which Spark 4 reads as TIMESTAMP_NTZ. Both are normalized here to
+    * event-time TimestampType (LTZ): nanos floor to micros — the same
+    * truncation DuckDB applies — and NTZ casts 1:1 under the pinned
+    * UTC session zone (identical instants, watermark-eligible). */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    import org.apache.spark.sql.types.LongType
-    val raw = load(spark, sfDir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeEventTs(load(spark, sfDir, "events"))
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 }
