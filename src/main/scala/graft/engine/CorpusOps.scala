@@ -443,13 +443,24 @@ object CorpusOps {
     * Token counts use the packing family's piece estimate
     * ([[packSequences]]); the bucket pick is an integer array-min
     * over a literal bucket list (no log2 — transcendental-free like
-    * the q144 lift). Scale: one scan + one hash shuffle on the
-    * bucket key; the per-bucket window sorts within partitions only
-    * (14 buckets × corpus/14 rows each; a skewed bucket is still one
-    * partition's sort, the same posture as [[seededShuffle]]'s
-    * shards). The only double op is the fill division, exact-BIGINT
-    * in, correctly rounded out. */
-  def lengthBucketBatches(documents: DataFrame, batchSize: Int = 8): DataFrame = {
+    * the q144 lift). The only double op is the fill division,
+    * exact-BIGINT in, correctly rounded out.
+    *
+    * Scale: there are only 10 FIXED bucket keys, so a plain
+    * per-bucket window would sort ~corpus/10 rows in ONE task each
+    * (the r8 verdict's scale-killer). The in-bucket doc_id rank is
+    * instead computed sub-sharded: doc_ids map to `subShards`
+    * contiguous ranges (monotone in doc_id, so (sub, doc_id) order
+    * IS doc_id order and the output is bit-identical to the naive
+    * window), each (bucket, sub) ranks independently, and the global
+    * in-bucket rank adds an exclusive prefix count of earlier
+    * subshards — a bucket×subShards-row broadcast frame. Parallelism
+    * is subShards-way per bucket and subShards scales with the
+    * deploy (shards ≈ bucket rows / target partition rows), unlike
+    * the bucket count. Range bounds come from a doc_id-only
+    * column-stats scan of the input, not the tokenized frame. */
+  def lengthBucketBatches(documents: DataFrame, batchSize: Int = 8,
+                          subShards: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val buckets = (4 to 13).map(1 << _) // 16..8192
     val bucketArr = buckets.mkString("array(", ", ", ")")
@@ -462,9 +473,29 @@ object CorpusOps {
         expr(s"array_min(filter($bucketArr, x -> x >= n_tokens))").cast("long"),
         lit(buckets.last.toLong)))
       .withColumn("carried", least(col("n_tokens"), col("bucket")))
-    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
-    toks
-      .withColumn("rk", row_number().over(w).cast("long"))
+    // doc_id-range sub-sharding: cheap min/max over the raw doc_id
+    // column only (parquet stats + pruning), broadcast as one row
+    val bounds = documents.agg(
+      min(col("doc_id")).as("id_lo"), max(col("doc_id")).as("id_hi"))
+    val sharded = toks
+      .crossJoin(broadcast(bounds))
+      .withColumn("sub", least(lit(subShards - 1).cast("long"),
+        ((col("doc_id") - col("id_lo")) * subShards /
+          (col("id_hi") - col("id_lo") + 1)).cast("long")))
+      .drop("id_lo", "id_hi")
+    val wSub = Window.partitionBy(col("bucket"), col("sub")).orderBy(col("doc_id"))
+    val ranked = sharded.withColumn("subrk", row_number().over(wSub).cast("long"))
+    // exclusive prefix counts: at most |buckets|×subShards rows, so
+    // the prefix window and the join back are driver-trivial
+    val offsets = sharded
+      .groupBy(col("bucket"), col("sub")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(
+        sum(col("cnt")).over(Window.partitionBy(col("bucket")).orderBy(col("sub"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("sub"), col("off"))
+    ranked
+      .join(broadcast(offsets), Seq("bucket", "sub"))
+      .withColumn("rk", col("off") + col("subrk"))
       .withColumn("batch_id", expr(s"(rk - 1) DIV $batchSize"))
       .groupBy(col("bucket"), col("batch_id"))
       .agg(count(lit(1)).cast("long").as("n_seqs"),

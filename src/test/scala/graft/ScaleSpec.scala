@@ -262,4 +262,59 @@ class ScaleSpec extends SparkSpec {
         s"quantize chain re-derived inside a pushed filter:\n$c")
     }
   }
+
+  test("q148 window is sub-sharded (>10 partition keys) and bit-identical to the naive rank") {
+    import spark.implicits._
+    import graft.engine.CorpusOps
+    // skewed corpus: 2000 docs, ALL landing in the 16-token bucket —
+    // the shape where a fixed-bucket-key window serializes into one
+    // task (the r8 verdict scale-killer)
+    val corpus = (1L to 2000L)
+      .map(i => (i, Seq.fill(10)("w").mkString(" "), "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val sharded = CorpusOps.lengthBucketBatches(corpus, batchSize = 8, subShards = 16)
+    // the rank window must partition by (bucket, sub), not bucket
+    // alone: 1 bucket × 16 subshards = 16-way parallel rank
+    val plan = sharded.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(bucket") && plan.contains("sub"),
+      s"expected the rank window keyed by (bucket, sub):\n$plan")
+    val windowKeys = "hashpartitioning\\(bucket[^)]*sub".r.findFirstIn(plan)
+    assert(windowKeys.isDefined, s"window exchange not sub-sharded:\n$plan")
+    // subShards=1 degenerates to the naive single-task rank; the
+    // sub-sharded output must be bit-identical (range sub-sharding is
+    // monotone in doc_id, so (sub, doc_id) order IS doc_id order)
+    val naive = CorpusOps.lengthBucketBatches(corpus, batchSize = 8, subShards = 1)
+      .collect().map(_.toString).toSeq
+    assert(sharded.collect().map(_.toString).toSeq == naive)
+    // and the fixture corpus agrees across shard counts too
+    val docs = Tables.documents(spark, sf)
+    val a = CorpusOps.lengthBucketBatches(docs, subShards = 1).collect().map(_.toString).toSeq
+    val b = CorpusOps.lengthBucketBatches(docs, subShards = 32).collect().map(_.toString).toSeq
+    assert(a == b, "subShards must not change the batch manifest")
+  }
+
+  test("seededShuffle permutation is invariant to nShards modulo (shard, pos) renumbering") {
+    import graft.engine.CorpusOps
+    // the permutation's canonical form is the global (shuffle_key,
+    // doc_id) order; (shard, pos) is a renumbering of it — for ANY
+    // nShards, reading one shard in pos order must observe exactly
+    // the canonical order restricted to that shard's docs. This is
+    // the sizing-freedom contract: shards ≈ corpus / target
+    // partition rows can be chosen per deploy without changing what
+    // a loader that merges shards by key order would see.
+    val docs = Tables.documents(spark, sf)
+    val canonical = CorpusOps.seededShuffle(docs, nShards = 1).collect()
+      .sortBy(r => (r.getLong(1), r.getLong(0))).map(_.getLong(0)).toSeq
+    for (n <- Seq(3, 8, 17)) {
+      val rows = CorpusOps.seededShuffle(docs, nShards = n).collect()
+      assert(rows.map(_.getLong(0)).toSet == canonical.toSet, s"nShards=$n drops docs")
+      rows.groupBy(_.getLong(2)).foreach { case (shard, rs) =>
+        val byPos = rs.sortBy(_.getLong(3)).map(_.getLong(0)).toSeq
+        val expected = canonical.filter(d => rs.exists(_.getLong(0) == d))
+        assert(byPos == expected, s"nShards=$n shard $shard breaks canonical order")
+        assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to rs.length).toSeq,
+          s"nShards=$n shard $shard pos not dense")
+      }
+    }
+  }
 }
