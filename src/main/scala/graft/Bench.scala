@@ -67,6 +67,7 @@ object Bench {
     val passes = Seq(onePass(), onePass(), onePass())
     graft.queries.MLShared.release()
     graft.queries.SketchShared.release()
+    graft.queries.RetrievalShared.release()
     graft.queries.BpeShared.release()
     graft.engine.SimilarityOps.release()
     val results = names.indices.map { i =>

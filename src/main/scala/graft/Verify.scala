@@ -75,6 +75,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.queries.MLShared.release()
     graft.queries.SketchShared.release()
+    graft.queries.RetrievalShared.release()
     graft.queries.BpeShared.release()
     graft.engine.SimilarityOps.release()
     spark.stop()

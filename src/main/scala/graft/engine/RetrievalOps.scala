@@ -25,48 +25,62 @@ object RetrievalOps {
     * operator vocabulary; override per corpus. */
   val defaultQueries: Seq[String] = Seq("hash join", "table scan", "stream filter")
 
-  /** BM25 top-k per query (k1 = 1.2, b = 0.75).
-    *
-    * Scale shape: tokenize once (word-count shuffle on the term for
-    * tf); the query-term table is a literal broadcast, so the
-    * postings join prunes every non-query term before anything else
-    * flows; df for the pruned terms is a keyed count over those
-    * postings' doc sets (correct global df — the prune selects terms,
-    * not documents); doc length joins co-partition on doc_id. Top-k
-    * is a per-query window over candidate docs only. DECIMAL(18,9)
-    * bounds the rational idf to N < ~1e8 docs per corpus slice — a
-    * 100 TB deploy widens the accumulator to DECIMAL(38,9), same
-    * plan. */
-  def bm25TopK(documents: DataFrame,
-               queries: Seq[String] = defaultQueries,
-               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    val qterms = broadcast(
-      queries.zipWithIndex
-        .flatMap { case (q, i) => q.toLowerCase.split("\\s+").toSeq.distinct
-          .map(t => (i.toLong, t)) }
-        .toDF("qid", "w"))
-    val toks = documents
+  /** The full inverted index: one (w, doc_id, tf) posting per
+    * distinct term per doc, over the WHOLE vocabulary — the
+    * materialized artifact a serving layer probes instead of ever
+    * re-reading the fact table (the reference serves every request
+    * from pre-aggregated tables the same way,
+    * reference: app/ml_app.py:99-139). One tokenize pass + one
+    * word-count shuffle, built once per corpus refresh. */
+  def bm25Postings(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"),
         explode(expr(s"regexp_extract_all(lower(text), '${TextOps.tokenRe}', 0)")).as("w"))
-    val tf = toks.groupBy(col("doc_id"), col("w"))
+      .groupBy(col("w"), col("doc_id"))
       .agg(count(lit(1)).cast("long").as("tf"))
-      // postings for query terms only — everything downstream is
-      // candidate-sized, not corpus-vocabulary-sized
-      .join(qterms.select(col("w")).distinct(), Seq("w"), "left_semi")
-      .localCheckpoint(false)
-    val dfw = tf.groupBy(col("w")).agg(count(lit(1)).cast("long").as("df"))
-    val dl = documents
+
+  /** Per-doc token counts (doc_id, dl) — the index's companion
+    * table; N and avgdl are a 2-column aggregate over it. */
+  def bm25DocLengths(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"),
         size(expr(s"regexp_extract_all(lower(text), '${TextOps.tokenRe}', 0)"))
           .cast("long").as("dl"))
-    val corpus = dl.agg(count(lit(1)).cast("long").as("nn"),
+
+  /** BM25 top-k per query (k1 = 1.2, b = 0.75), probing a stored
+    * index — no text pass at query time.
+    *
+    * Scale shape: the query-term prune is a LITERAL `isin` filter on
+    * the postings' term column, so it pushes down to the parquet scan
+    * (the stored table is sorted by w — row-group stats skip the
+    * non-query vocabulary); everything downstream is candidate-sized.
+    * df for the pruned terms is a keyed count over those postings'
+    * doc sets (correct global df — the prune selects terms, not
+    * documents); doc length joins co-partition on doc_id. Top-k is a
+    * per-query window over candidate docs only. DECIMAL(18,9) bounds
+    * the rational idf to N < ~1e8 docs per corpus slice — a 100 TB
+    * deploy widens the accumulator to DECIMAL(38,9), same plan. */
+  def bm25TopKFromIndex(postings: DataFrame, doclens: DataFrame,
+                        queries: Seq[String] = defaultQueries,
+                        k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val terms = queries.zipWithIndex
+      .flatMap { case (q, i) => q.toLowerCase.split("\\s+").toSeq.distinct
+        .map(t => (i.toLong, t)) }
+    val qterms = broadcast(terms.toDF("qid", "w"))
+    // candidate-sized after the prune; checkpointed so df and the
+    // score join read it once (for the inline path this also stops
+    // the tokenize subtree from running twice)
+    val tf = postings.filter(col("w").isin(terms.map(_._2).distinct: _*))
+      .localCheckpoint(false)
+    val dfw = tf.groupBy(col("w")).agg(count(lit(1)).cast("long").as("df"))
+    val corpus = doclens.agg(count(lit(1)).cast("long").as("nn"),
       sum(col("dl")).cast("long").as("sumdl"))
     val scored = tf
       .join(qterms, "w")
       .join(dfw, "w")
-      .join(dl, "doc_id")
+      .join(doclens, "doc_id")
       .crossJoin(broadcast(corpus))
       .withColumn("avgdl", col("sumdl").cast("double") / col("nn"))
       .withColumn("score_t", round(
@@ -85,4 +99,14 @@ object RetrievalOps {
       .select(col("qid"), col("rk"), col("doc_id"), col("score"), col("n_terms"))
       .orderBy(col("qid"), col("rk"))
   }
+
+  /** One-shot form: build the index frames inline and probe them —
+    * the ad-hoc path when no persisted index exists (see
+    * [[graft.queries.RetrievalShared]] for the stored-table path the
+    * catalog uses). */
+  def bm25TopK(documents: DataFrame,
+               queries: Seq[String] = defaultQueries,
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKFromIndex(
+      bm25Postings(documents), bm25DocLengths(documents), queries, k, k1, b)
 }

@@ -1067,7 +1067,11 @@ object Catalog {
     // bit-stable cross-engine. Query-term postings only ever flow.
     QuerySpec(
       "q145_bm25_topk",
-      (s, dir) => RetrievalOps.bm25TopK(Tables.documents(s, dir)),
+      // probes the persisted inverted index (RetrievalShared) — no
+      // text pass at query time; the oracle recomputes from scratch,
+      // so a hash match also certifies the stored index
+      (s, dir) => RetrievalOps.bm25TopKFromIndex(
+        RetrievalShared.postings(s, dir), RetrievalShared.docLengths(s, dir)),
       Some(s"""WITH q(qid, w) AS (
              |  VALUES (0, 'hash'), (0, 'join'), (1, 'table'), (1, 'scan'),
              |         (2, 'stream'), (2, 'filter')),

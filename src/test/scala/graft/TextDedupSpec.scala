@@ -1044,6 +1044,29 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("bm25 persisted-index probe matches the inline computation, prune pushes to the scan") {
+    import graft.queries.RetrievalShared
+    val inline = RetrievalOps.bm25TopK(docs).collect().map(_.toString).toSeq
+    val probe = RetrievalOps.bm25TopKFromIndex(
+      RetrievalShared.postings(spark, sf), RetrievalShared.docLengths(spark, sf))
+    assert(probe.collect().map(_.toString).toSeq == inline,
+      "stored-index probe must be bit-identical to the from-scratch scorer")
+    // the literal query-term prune must reach the postings scan as a
+    // pushed filter — at scale this is what keeps a probe from
+    // reading the whole index. (The probe's own executed plan hides
+    // the scan behind the candidate-set checkpoint, so assert on the
+    // pruned-postings subplan the checkpoint materializes.)
+    val pruned = RetrievalShared.postings(spark, sf)
+      .filter(col("w").isin("hash", "join", "table", "scan", "stream", "filter"))
+    val scanPlan = pruned.queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PushedFilters") && scanPlan.contains("In(w"),
+      s"expected the isin term prune pushed to the postings scan:\n$scanPlan")
+    // and the probe plan contains no text tokenization at all
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(!plan.contains("regexp_extract_all"),
+      "index probe must not re-tokenize the corpus")
+  }
+
   test("length buckets pick the smallest power-of-two and batch in doc order") {
     import spark.implicits._
     def words(k: Int) = Seq.fill(k)("w").mkString(" ")
