@@ -1,0 +1,105 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL/host-level corpus operators — the domain-granular half of a
+  * web-scale curation pipeline (extension surface; the reference has
+  * no web-corpus layer). A crawled corpus is dominated by a handful
+  * of hot registered domains; every curation decision (dedup budget,
+  * quality priors, mixing weights, per-domain caps) keys on the
+  * registered domain, not the raw host, so the primitives are: pull
+  * the host out of the URL, collapse it to its registered domain,
+  * profile each domain (volume, token mass, within-domain duplicate
+  * rate), and draw a deterministic per-domain-capped sample.
+  *
+  * All extraction is regexp over the url column — identical regex
+  * semantics in Spark (Java) and DuckDB (RE2) for these patterns, so
+  * every operator here is fully oracle-checkable.
+  */
+object WebOps {
+
+  /** Fixture adapter: the synthetic documents table has a `source`
+    * column but no URLs, so derive one deterministically per doc —
+    * three rotating subdomains per source under a per-source
+    * registered domain ("https://www.src3.example/en/123"). Purely
+    * column-arithmetic (SQL-replayable); real corpora skip this and
+    * feed their crawl url column straight to [[hostParts]]. */
+  def syntheticUrls(documents: DataFrame): DataFrame =
+    documents.withColumn("url", concat(
+      lit("https://"),
+      element_at(array(lit("www"), lit("cdn"), lit("blog")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")),
+      lit("."), col("source"), lit(".example/"), col("lang"),
+      lit("/"), col("doc_id")))
+
+  /** Host and registered-domain extraction from a url column. The
+    * registered domain here is the last two labels of the host — the
+    * public-suffix-list refinement swaps one regexp, same plan. Rows
+    * whose url yields no host are kept with empty host/domain (the
+    * profile surfaces them instead of silently dropping). */
+  def hostParts(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("host", regexp_extract(col("url"), "^https?://([^/]+)", 1))
+      .withColumn("domain", regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+
+  /** Per-registered-domain corpus profile: doc and distinct-host
+    * counts, token mass, within-domain exact-duplicate mass (docs
+    * whose md5(text) occurs more than once INSIDE the domain — the
+    * boilerplate/mirror signal that drives per-domain dedup budgets)
+    * and its rate.
+    *
+    * Scale: one tokenize pass; the duplicate tally aggregates on
+    * (domain, fingerprint) first — map-side partial combine absorbs
+    * the template-page skew — then rolls up to the domain; the
+    * distinct-host count rides the same domain shuffle. Domain
+    * cardinality is registry-bounded (~1e8 worst case), never
+    * corpus-sized. */
+  def domainProfile(documents: DataFrame): DataFrame = {
+    val base = hostParts(syntheticUrlsIfMissing(documents))
+      .select(col("doc_id"), col("host"), col("domain"),
+        md5(col("text")).as("fp"),
+        size(expr(s"regexp_extract_all(lower(text), '${TextOps.tokenRe}', 0)"))
+          .cast("long").as("ntok"))
+    val perFp = base.groupBy(col("domain"), col("fp"))
+      .agg(count(lit(1)).cast("long").as("c"),
+           sum(col("ntok")).cast("long").as("t"))
+    val rolled = perFp.groupBy(col("domain"))
+      .agg(sum(col("c")).cast("long").as("n_docs"),
+           sum(col("t")).cast("long").as("n_tokens"),
+           coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+             .cast("long").as("n_dup_docs"))
+    val hosts = base.groupBy(col("domain"))
+      .agg(countDistinct(col("host")).cast("long").as("n_hosts"))
+    rolled.join(hosts, Seq("domain"))
+      .withColumn("dup_rate", round(
+        col("n_dup_docs").cast("double") / col("n_docs"), 6))
+      .select(col("domain"), col("n_docs"), col("n_hosts"),
+        col("n_tokens"), col("n_dup_docs"), col("dup_rate"))
+      .orderBy(col("domain"))
+  }
+
+  /** Deterministic domain-capped sample: at most k docs per
+    * registered domain, chosen by smallest xxhash64(doc_id) — the
+    * hot-domain flattener (a crawl where one domain is 90% of the
+    * corpus must not be 90% of the training mix). Same contract as
+    * the exactly-k stratified draw (q142): reproducible across
+    * engines, uniform within a domain, and rank-bounded so Spark 4's
+    * WindowGroupLimit caps per-task state at k rows per domain
+    * rather than sorting whole domains. */
+  def domainCappedSample(documents: DataFrame, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("sample_key"), col("doc_id"))
+    hostParts(syntheticUrlsIfMissing(documents))
+      .select(col("doc_id"), col("host"), col("domain"),
+        xxhash64(col("doc_id")).as("sample_key"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("domain"), col("rk"), col("doc_id"), col("host"), col("sample_key"))
+      .orderBy(col("domain"), col("rk"))
+  }
+
+  private def syntheticUrlsIfMissing(documents: DataFrame): DataFrame =
+    if (documents.columns.contains("url")) documents else syntheticUrls(documents)
+}

@@ -1974,6 +1974,51 @@ object Catalog {
              |       ROUND(CAST(n_tokens AS DOUBLE) / (n_seqs * bucket), 6) AS fill_frac
              |FROM g ORDER BY bucket, batch_id""".stripMargin)),
 
+    // per-registered-domain corpus profile: volume, hosts, token
+    // mass, within-domain exact-dup mass + rate — the rollup that
+    // drives per-domain dedup budgets and mixing priors. The url is
+    // the deterministic fixture synthesis (WebOps.syntheticUrls);
+    // real corpora feed their crawl url column.
+    QuerySpec(
+      "q149_domain_profile",
+      (s, dir) => WebOps.domainProfile(Tables.documents(s, dir)),
+      Some("""WITH u AS (
+             |  SELECT doc_id, text,
+             |         'https://' || (['www','cdn','blog'])[CAST(doc_id % 3 AS INT) + 1]
+             |           || '.' || source || '.example/' || lang || '/' || doc_id AS url
+             |  FROM documents),
+             |h AS (
+             |  SELECT doc_id, text,
+             |         regexp_extract(url, '^https?://([^/]+)', 1) AS host
+             |  FROM u),
+             |b AS (
+             |  SELECT doc_id, host,
+             |         regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+             |         md5(text) AS fp,
+             |         CAST(len(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS BIGINT) AS ntok
+             |  FROM h),
+             |pf AS (SELECT domain, fp, CAST(COUNT(*) AS BIGINT) AS c,
+             |              CAST(SUM(ntok) AS BIGINT) AS t
+             |       FROM b GROUP BY domain, fp),
+             |r AS (SELECT domain, CAST(SUM(c) AS BIGINT) AS n_docs,
+             |             CAST(SUM(t) AS BIGINT) AS n_tokens,
+             |             CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS n_dup_docs
+             |      FROM pf GROUP BY domain),
+             |hh AS (SELECT domain, CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+             |       FROM b GROUP BY domain)
+             |SELECT r.domain, n_docs, n_hosts, n_tokens, n_dup_docs,
+             |       ROUND(CAST(n_dup_docs AS DOUBLE) / n_docs, 6) AS dup_rate
+             |FROM r JOIN hh USING (domain)
+             |ORDER BY domain""".stripMargin)),
+
+    // hot-domain flattener: at most k docs per registered domain by
+    // smallest xxhash64(doc_id) — q142's exactly-k contract keyed on
+    // the domain; the oracle replays the full XXH64 chain.
+    QuerySpec(
+      "q150_domain_capped_sample",
+      (s, dir) => WebOps.domainCappedSample(Tables.documents(s, dir)),
+      Some(q150OracleSql)),
+
     // retrieval-side splitter: fixed token windows with overlap,
     // exact integer ceiling division for the chunk count — per-row
     // projection work, no shuffle.
@@ -2509,6 +2554,29 @@ object Catalog {
        |       CAST(row_number() OVER (PARTITION BY shard
        |                               ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
        |FROM sh ORDER BY shard, pos""".stripMargin
+  }
+
+  /** q150 oracle: same hash, smallest-k rank per REGISTERED DOMAIN of
+    * the synthesized url (q149's derivation inlined). */
+  private val q150OracleSql: String = {
+    import Xxh64DocIdSql.{ctes, tos}
+    s"""WITH $ctes,
+       |k AS (SELECT doc_id, ${tos("h8")} AS sample_key FROM s10),
+       |u AS (SELECT d.doc_id, k.sample_key,
+       |             'https://' || (['www','cdn','blog'])[CAST(d.doc_id % 3 AS INT) + 1]
+       |               || '.' || d.source || '.example/' || d.lang || '/' || d.doc_id AS url
+       |      FROM documents d JOIN k ON d.doc_id = k.doc_id),
+       |h AS (SELECT doc_id, sample_key,
+       |             regexp_extract(url, '^https?://([^/]+)', 1) AS host
+       |      FROM u),
+       |r AS (SELECT regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain,
+       |             doc_id, host, sample_key,
+       |             CAST(row_number() OVER (
+       |               PARTITION BY regexp_extract(host, '([^.]+\\.[^.]+)$$', 1)
+       |               ORDER BY sample_key, doc_id) AS BIGINT) AS rk
+       |      FROM h)
+       |SELECT domain, rk, doc_id, host, sample_key
+       |FROM r WHERE rk <= 10 ORDER BY domain, rk""".stripMargin
   }
 
   /** q142 oracle: same hash, smallest-k rank per source stratum. */

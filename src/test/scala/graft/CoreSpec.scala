@@ -259,4 +259,47 @@ class CoreSpec extends SparkSpec {
       assert(rs.map(_.getLong(2)).toSet == expected(s), s"stratum $s membership")
     }
   }
+
+  test("domain profile counts within-domain duplicate mass, not cross-domain") {
+    import spark.implicits._
+    // hot: two identical docs (within-domain dup pair) + one unique;
+    // a + b: the SAME text as each other but in different domains —
+    // cross-domain repeats must NOT count as within-domain dup mass
+    val corpus = Seq(
+      (1L, "copy me twice", "en", "hot"),  // doc_id mod 3 = 1/2/0:
+      (5L, "copy me twice", "en", "hot"),  // three distinct
+      (9L, "one of a kind", "en", "hot"),  // subdomain hosts
+      (2L, "shared across domains", "en", "a"),
+      (3L, "shared across domains", "en", "b"),
+    ).toDF("doc_id", "text", "lang", "source").withColumn("n_chars", length(col("text")))
+    val got = WebOps.domainProfile(corpus).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5))).toMap
+    assert(got("hot.example") == ((3L, 3L, 2L, 0.666667)),
+      "hot: 3 docs over 3 subdomain hosts, dup pair = 2 docs of mass")
+    assert(got("a.example")._3 == 0L && got("b.example")._3 == 0L,
+      "cross-domain repeats are not within-domain dups")
+  }
+
+  test("domain-capped sample flattens a planted hot domain deterministically") {
+    import spark.implicits._
+    // one domain owns 90% of the corpus — the crawl shape the cap
+    // exists for; small domains keep everything
+    val hot = (1L to 180L).map(i => (i, s"hot doc $i", "en", "hot"))
+    val cold = (181L to 190L).map(i => (i, s"cold doc $i", "en", s"cold${i % 2}"))
+    val corpus = (hot ++ cold)
+      .toDF("doc_id", "text", "lang", "source").withColumn("n_chars", length(col("text")))
+    val k = 5
+    val got = WebOps.domainCappedSample(corpus, k).collect()
+    val byDomain = got.groupBy(_.getString(0))
+    assert(byDomain("hot.example").length == k, "hot domain capped at k")
+    assert(byDomain("cold0.example").length == k && byDomain("cold1.example").length == k)
+    // membership: the k smallest (xxhash64, doc_id) of the hot domain
+    val expectedHot = corpus.filter(col("source") === "hot")
+      .select(col("doc_id"), xxhash64(col("doc_id")).as("h")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(x => (x._2, x._1)).take(k).map(_._1).toSet
+    assert(byDomain("hot.example").map(_.getLong(2)).toSet == expectedHot)
+    // deterministic: a second run draws the identical sample
+    val again = WebOps.domainCappedSample(corpus, k).collect().map(_.toString).toSeq
+    assert(got.map(_.toString).toSeq == again)
+  }
 }
