@@ -138,6 +138,73 @@ object MultimodalOps {
     SimilarityOps.cosineTopK(emb, nQueries, k)
   }
 
+  /** PERCEPTUAL-HASH STUB — the pHash shape without codecs. A real
+    * pHash grayscales + DCTs the image and takes sign bits of the
+    * low-frequency coefficients against their median; the stand-in
+    * splits the payload into 64 contiguous byte windows and sets bit
+    * d iff window d's mean byte value exceeds the whole payload's
+    * mean — local energy vs global energy, which preserves the
+    * property that matters: a small payload edit perturbs few
+    * windows, so near-duplicate payloads land at small Hamming
+    * distance (asserted on injected near-dups in
+    * SimilarityMultimodalSpec). The comparison is exact integer
+    * cross-multiplication (sum_d × n > total × len_d) — no doubles,
+    * so any engine replays it bit-exactly; the products stay inside
+    * Long for payloads < ~190 MB (255·n² < 2⁶³). Same
+    * partition-batched typed contract as [[decodeStub]]: a codec
+    * swap-in replaces the window fold with DCT output and nothing
+    * downstream changes. Empty payloads drop (no signal, matching
+    * simhash's token-less-doc semantics). */
+  def phashStub(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { rec =>
+        val n = rec.payload.length
+        if (n == 0) None
+        else {
+          var total = 0L
+          var i = 0
+          while (i < n) { total += (rec.payload(i) & 0xff); i += 1 }
+          var h = 0L
+          var d = 0
+          while (d < 64) {
+            val lo = (d.toLong * n / 64).toInt
+            val hi = ((d + 1).toLong * n / 64).toInt
+            if (hi > lo) {
+              var s = 0L
+              var j = lo
+              while (j < hi) { s += (rec.payload(j) & 0xff); j += 1 }
+              if (s * n > total * (hi - lo)) h |= (1L << d)
+            }
+            d += 1
+          }
+          Some((rec.media_id, h))
+        }
+      }
+    }.toDF("media_id", "phash")
+  }
+
+  /** Media near-duplicate pairs: perceptual hashes → the SimHash
+    * prefix-band machinery ([[DedupOps.simhashPairsFromSigs]]) — the
+    * same pigeonhole guarantee (exact recall for
+    * maxHamming ≤ bands−1), the same equi-join-on-(band, chunk)
+    * scale posture, the same degenerate-bucket cap; only the
+    * signature source differs (payload windows instead of token
+    * votes). This is the image/audio near-dedup path at 100 TB:
+    * fingerprints computed once at decode, banded self-join over the
+    * stored signature table, never payload×payload. */
+  def mediaNearDupPairs(documents: DataFrame, bands: Int = 8, maxHamming: Int = 7,
+                        maxBucket: Int = 10000): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val sigs = phashStub(mediaTable(documents).as[MediaRecord])
+      .select(col("media_id").as("doc_id"), col("phash").as("simhash"))
+      .localCheckpoint(false)
+    DedupOps.simhashPairsFromSigs(sigs, bands, maxHamming, maxBucket)
+      .select(col("doc_i").as("media_i"), col("doc_j").as("media_j"), col("hamming"))
+      .orderBy(col("media_i"), col("media_j"))
+  }
+
   /** End-to-end media pipeline: table → typed records → batched
     * decode → flat feature columns. */
   def decodeFeatures(documents: DataFrame): DataFrame = {

@@ -2019,6 +2019,19 @@ object Catalog {
       (s, dir) => WebOps.domainCappedSample(Tables.documents(s, dir)),
       Some(q150OracleSql)),
 
+    // perceptual near-dup over media payloads: 64-bit window-energy
+    // pHash stub → the SimHash band machinery. radius 12 needs
+    // bands=16 for exact pigeonhole recall (see the scale note on
+    // MultimodalOps.mediaNearDupPairs); the oracle replays the
+    // integer phash per doc and brute-forces pairs — banding recall
+    // is exact at maxHamming <= bands-1 and the fixture triggers no
+    // bucket cap, so the two pair sets must match bit-for-bit.
+    QuerySpec(
+      "q151_media_near_dup",
+      (s, dir) => MultimodalOps.mediaNearDupPairs(Tables.documents(s, dir),
+        bands = 16, maxHamming = 12),
+      Some(q151OracleSql)),
+
     // retrieval-side splitter: fixed token windows with overlap,
     // exact integer ceiling division for the chunk count — per-row
     // projection work, no shuffle.
@@ -2554,6 +2567,40 @@ object Catalog {
        |       CAST(row_number() OVER (PARTITION BY shard
        |                               ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
        |FROM sh ORDER BY shard, pos""".stripMargin
+  }
+
+  /** q151 oracle: replay the payload-window pHash
+    * ([[graft.engine.MultimodalOps.phashStub]]) per doc in DuckDB —
+    * UTF-8 bytes via the q49 hex fold, window-vs-total comparison as
+    * exact integer cross-multiplication (no doubles anywhere) — then
+    * brute-force all pairs at hamming <= 12. Equivalent to the banded
+    * Spark plan because pigeonhole recall is exact for
+    * maxHamming <= bands-1 and no fixture bucket hits the cap. */
+  private val q151OracleSql: String = {
+    val pows = (0 until 64).map(d => BigInt(1) << d).mkString("[", ", ", "]")
+    s"""WITH b AS (
+       |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+       |         octet_length(encode(text)) AS n
+       |  FROM documents WHERE octet_length(encode(text)) > 0),
+       |byt AS (SELECT media_id, n, $hexBytesSql AS bytes FROM b),
+       |t AS (SELECT media_id, n, bytes,
+       |             CAST(list_sum(bytes) AS BIGINT) AS total FROM byt),
+       |p AS (
+       |  SELECT media_id,
+       |    CAST(list_sum(list_transform(range(0, 64), d ->
+       |      CASE WHEN (d+1)*n//64 > d*n//64
+       |            AND CAST(list_sum(list_slice(bytes, CAST(d*n//64 + 1 AS INT),
+       |                                         CAST((d+1)*n//64 AS INT))) AS BIGINT) * n
+       |                > total * ((d+1)*n//64 - d*n//64)
+       |           THEN ($pows)[CAST(d + 1 AS INT)] ELSE 0 END)) AS HUGEINT) AS uh
+       |  FROM t),
+       |s AS (SELECT media_id, $toSignedSql AS ph FROM p),
+       |pr AS (
+       |  SELECT a.media_id AS media_i, b.media_id AS media_j,
+       |         CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+       |  FROM s a JOIN s b ON a.media_id < b.media_id)
+       |SELECT media_i, media_j, hamming FROM pr
+       |WHERE hamming <= 12 ORDER BY media_i, media_j""".stripMargin
   }
 
   /** q150 oracle: same hash, smallest-k rank per REGISTERED DOMAIN of

@@ -233,4 +233,36 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(fix.map(_.getLong(1)).sum == emb.count())
     assert(fix.map(_.getLong(0)).distinct.length == fix.length)
   }
+
+  test("perceptual hash pairs injected near-duplicate payloads, not unrelated ones") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def randText(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val original = randText(4096)
+    // near-dup: same length, 8 bytes changed in one 64-byte window —
+    // at most a handful of the 64 energy windows move
+    val nearDup = original.substring(0, 2048) + "ZZZZZZZZ" + original.substring(2056)
+    val corpus = (Seq(
+      (1L, original, "en", "s"), (2L, nearDup, "en", "s")) ++
+      (3L to 12L).map(i => (i, randText(4096), "en", "s")))
+      .toDF("doc_id", "text", "lang", "source").withColumn("n_chars", length(col("text")))
+    val pairs = MultimodalOps.mediaNearDupPairs(corpus, bands = 8, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L),
+      s"injected near-dup pair (1,2) must surface, got ${pairs.toSeq}")
+    val injected = pairs.find(p => p._1 == 1L && p._2 == 2L).get
+    assert(injected._3 <= 7L, "near-dup hamming must be small")
+    assert(!pairs.exists(p => p._1 >= 3L && p._2 >= 3L),
+      s"independent random payloads must not pair at radius 7: ${pairs.toSeq}")
+    // determinism: phash is a pure function of the payload
+    val sigs = MultimodalOps.phashStub(
+      MultimodalOps.mediaTable(corpus).as[MultimodalOps.MediaRecord])
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val again = MultimodalOps.phashStub(
+      MultimodalOps.mediaTable(corpus).as[MultimodalOps.MediaRecord])
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs == again)
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) <= 7,
+      "edited payload flips few signature bits")
+  }
 }
