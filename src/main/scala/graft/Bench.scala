@@ -92,7 +92,16 @@ object Bench {
     // driver's warm PASS totals carried a 10 s machine-load spread
     // while per-query mins stayed stable — grade rounds on this
     // field, not on pass_totals).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$passTotals,"min_total_sec":$total,"warm_spread_sec":$warmSpread,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$passTotals,"min_total_sec":$total,"warm_spread_sec":$warmSpread,"sf":"$sfDir"}"""
+    println(line)
+    // also persist the full line to a file: the stdout capture path
+    // truncates long runs (150 queries of per-query timings overflow
+    // a bounded tail buffer), and the file keeps every number
+    // auditable round over round
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")),
+      line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
