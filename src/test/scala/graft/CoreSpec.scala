@@ -17,8 +17,11 @@ class CoreSpec extends SparkSpec {
   // q11 anti-join (every customer may have orders), q15 EXCEPT (every
   // customer may have a qualifying order), q43 strict-hamming
   // near-dups (the corpus may genuinely contain none).
+  // q151: the fixture's unrelated payloads correctly produce zero
+  // pairs at the scale-safe radius (min pairwise hamming is 8).
   private val mayBeEmpty =
-    Set("q11_join_left_anti", "q15_except", "q43_simhash_pairs")
+    Set("q11_join_left_anti", "q15_except", "q43_simhash_pairs",
+        "q151_media_near_dup")
 
   test("every catalog query runs and returns rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
