@@ -100,6 +100,48 @@ object RetrievalOps {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Hybrid retrieval: lexical recall, semantic precision — the
+    * two-stage ranker a curation/eval pipeline actually runs. Stage
+    * 1 pulls `kLex` BM25 candidates per query from the stored index
+    * ([[bm25TopKFromIndex]]); stage 2 reranks those candidates by
+    * embedding cosine against the query's SEMANTIC ANCHOR — its
+    * BM25 rank-1 document — surfacing docs that say the same thing
+    * as the best lexical hit in different words (k of them; the
+    * anchor itself is the seed, not a result).
+    *
+    * Scale shape: stage 2 never touches the corpus — candidates are
+    * queries×kLex rows, the anchor frame is queries rows
+    * (broadcast), and the embedding join hashes on the CANDIDATE
+    * ids only. The cosine is the q46-proven fold (sequential
+    * left-to-right double accumulation, round 6), so the whole
+    * two-stage output stays oracle-replayable. */
+  def hybridRerank(postings: DataFrame, doclens: DataFrame, embeddings: DataFrame,
+                   queries: Seq[String] = defaultQueries,
+                   kLex: Int = 20, k: Int = 10): DataFrame = {
+    val lex = bm25TopKFromIndex(postings, doclens, queries, kLex)
+      .localCheckpoint(false) // two consumers: anchor row + candidates
+    val v = SimilarityOps.withVec(embeddings)
+      .select(col("vec_id"), col("vec"), col("norm"))
+    val anchors = lex.filter(col("rk") === 1)
+      .select(col("qid"), col("doc_id").as("anchor_id"))
+      .join(v, col("anchor_id") === col("vec_id"))
+      .select(col("qid"), col("anchor_id"), col("vec").as("avec"), col("norm").as("anorm"))
+    val cands = lex.filter(col("rk") > 1)
+      .select(col("qid"), col("doc_id"), col("score").as("bm25"))
+      .join(v, col("doc_id") === col("vec_id"))
+      .join(broadcast(anchors), "qid")
+      .withColumn("cos", round(
+        expr("aggregate(zip_with(avec, vec, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+          / (col("anorm") * col("norm")), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("doc_id"))
+    cands
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("doc_id"), col("anchor_id"), col("bm25"), col("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** One-shot form: build the index frames inline and probe them —
     * the ad-hoc path when no persisted index exists (see
     * [[graft.queries.RetrievalShared]] for the stored-table path the

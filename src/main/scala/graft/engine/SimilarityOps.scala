@@ -21,7 +21,7 @@ object SimilarityOps {
   /** Cast float embedding to double and attach its L2 norm (computed
     * by a left-to-right fold, matching oracle engines' sequential
     * list_inner_product accumulation). */
-  private def withVec(embeddings: DataFrame): DataFrame =
+  private[engine] def withVec(embeddings: DataFrame): DataFrame =
     embeddings
       .withColumn("vec", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("norm", sqrt(expr("aggregate(vec, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")))

@@ -100,6 +100,97 @@ object WebOps {
       .orderBy(col("domain"), col("rk"))
   }
 
+  /** Domain-aware token-budget mix plan — the q134 sqrt-weighted
+    * per-source plan keyed on the registered domain, plus the HARD
+    * per-domain share cap sqrt-weighting alone doesn't give you: no
+    * domain may exceed `maxSharePct` of the total budget, however
+    * large its crawl footprint (the hot-domain guard at the
+    * token-budget level, complementing [[domainCappedSample]]'s
+    * doc-count cap). Integer-exact targets (DECIMAL division), one
+    * tokenize pass, domain-keyed aggregate — registry-bounded
+    * cardinality, never corpus-sized. */
+  def domainTokenBudget(documents: DataFrame, totalBudget: Long = 200000L,
+                        maxSharePct: Int = 20): DataFrame = {
+    val per = hostParts(syntheticUrlsIfMissing(documents))
+      .select(col("domain"),
+        size(expr(s"regexp_extract_all(text, '${TextOps.tokenRe}', 0)"))
+          .cast("long").as("n_toks"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("w_sqrt", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      .localCheckpoint(false)
+    val tot = per.agg(sum(col("w_sqrt")).as("tot_w"))
+    val cap = totalBudget * maxSharePct / 100
+    per.crossJoin(broadcast(tot))
+      .withColumn("target_tokens", expr(
+        s"CAST((CAST(w_sqrt AS DECIMAL(38,0)) * CAST($totalBudget AS DECIMAL(38,0))) " +
+        "div CAST(tot_w AS DECIMAL(38,0)) AS BIGINT)"))
+      .withColumn("capped_tokens", least(col("target_tokens"), lit(cap)))
+      .withColumn("sample_rate", round(
+        least(lit(1.0), col("capped_tokens").cast("double") / col("n_tokens")), 6))
+      .select(col("domain"), col("n_docs"), col("n_tokens"), col("w_sqrt"),
+        col("target_tokens"), col("capped_tokens"), col("sample_rate"))
+      .orderBy(col("domain"))
+  }
+
+  /** Fixture adapter for the canonicalization family: a messy crawl
+    * frontier where each CONTENT page (doc_id div 2) was reached by
+    * two differently-mangled URLs — upper-cased scheme+host, a
+    * utm tracking param, a fragment, or a trailing slash
+    * (doc_id mod 4 picks the mangle). Canonicalization must collapse
+    * each pair back to one URL. */
+  def syntheticCrawlUrls(documents: DataFrame): DataFrame = {
+    // every URL component derives from doc_id div 2 (the content-page
+    // id), so the two docs of a pair differ ONLY in the mangle — the
+    // collapse is what canonicalization must recover
+    val page = expr("doc_id div 2")
+    val site = pmod(page, lit(20))
+    val base = concat(lit("https://www.src"), site, lit(".example/page/"), page)
+    documents.withColumn("url",
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(lit("HTTPS://WWW.SRC"), site, lit(".EXAMPLE/page/"), page))
+      .when(pmod(col("doc_id"), lit(4)) === 1, concat(base, lit("?utm_source=feed")))
+      .when(pmod(col("doc_id"), lit(4)) === 2, concat(base, lit("#section-2")))
+      .otherwise(concat(base, lit("/"))))
+  }
+
+  /** URL canonicalization — the dedup key normalizer every crawl
+    * pipeline runs before URL-level dedup: drop the fragment, strip
+    * utm_* tracking params (cleaning up the separator they leave),
+    * lowercase the scheme+host (path stays case-sensitive), and trim
+    * a trailing slash off non-root paths. Every step is a
+    * backreference-free regexp or substring — identical semantics in
+    * Java regex and RE2, so the whole chain oracle-replays. Pure
+    * per-row projection, no shuffle. */
+  def urlCanonicalize(docs: DataFrame): DataFrame = {
+    val noFrag = regexp_replace(col("url"), "#.*$", "")
+    val noUtmMid = regexp_replace(noFrag, "utm_[A-Za-z]+=[^&#]*&", "")
+    val noUtm = regexp_replace(noUtmMid, "[?&]utm_[A-Za-z]+=[^&#]*", "")
+    docs
+      .withColumn("c1", noUtm)
+      .withColumn("sh", regexp_extract(col("c1"), "^([A-Za-z]+://[^/]*)", 1))
+      .withColumn("c2", concat(lower(col("sh")),
+        expr("substring(c1, length(sh) + 1)")))
+      .withColumn("canon_url",
+        when(col("c2").rlike("://[^/]+/.+/$"),
+          expr("substring(c2, 1, length(c2) - 1)"))
+        .otherwise(col("c2")))
+      .drop("c1", "sh", "c2")
+  }
+
+  /** URL-level dup groups after canonicalization: each canonical URL
+    * with the raw-variant spread it absorbed and the keeper doc
+    * (min doc_id) — the election URL-dedup feeds to the fetch
+    * scheduler (fetch once, not once per mangled alias). One shuffle
+    * on the canonical key. */
+  def canonicalDupGroups(documents: DataFrame): DataFrame =
+    urlCanonicalize(syntheticCrawlUrls(documents))
+      .groupBy(col("canon_url"))
+      .agg(count(lit(1)).cast("long").as("n_urls"),
+           countDistinct(col("url")).cast("long").as("n_raw_urls"),
+           min(col("doc_id")).as("keeper"))
+      .orderBy(col("canon_url"))
+
   private def syntheticUrlsIfMissing(documents: DataFrame): DataFrame =
     if (documents.columns.contains("url")) documents else syntheticUrls(documents)
 }

@@ -2035,6 +2035,87 @@ object Catalog {
       (s, dir) => MultimodalOps.mediaNearDupPairs(Tables.documents(s, dir)),
       Some(q151OracleSql)),
 
+    // two-stage hybrid retrieval: BM25 recall from the stored index,
+    // embedding-cosine rerank against each query's rank-1 anchor doc
+    // — stage 2 is candidate-sized (queries × kLex), never corpus-
+    // sized; the oracle replays BM25 + the q46 cosine end to end.
+    QuerySpec(
+      "q152_hybrid_rerank",
+      (s, dir) => RetrievalOps.hybridRerank(
+        RetrievalShared.postings(s, dir), RetrievalShared.docLengths(s, dir),
+        Tables.embeddings(s, dir)),
+      Some(q152OracleSql)),
+
+    // q134's sqrt-weighted token budget keyed on the registered
+    // domain + the hard per-domain share cap (20% of budget) —
+    // domain-aware mixing's hot-domain guard; integer-exact targets.
+    QuerySpec(
+      "q153_domain_token_budget",
+      (s, dir) => WebOps.domainTokenBudget(Tables.documents(s, dir)),
+      Some("""WITH u AS (
+             |  SELECT doc_id, text,
+             |         'https://' || (['www','cdn','blog'])[CAST(doc_id % 3 AS INT) + 1]
+             |           || '.' || source || '.example/' || lang || '/' || doc_id AS url
+             |  FROM documents),
+             |h AS (
+             |  SELECT doc_id, text,
+             |         regexp_extract(regexp_extract(url, '^https?://([^/]+)', 1),
+             |                        '([^.]+\.[^.]+)$', 1) AS domain
+             |  FROM u),
+             |t AS (SELECT domain,
+             |             CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_toks
+             |      FROM h),
+             |w AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |             CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+             |             CAST(FLOOR(SQRT(CAST(SUM(n_toks) AS DOUBLE))) AS BIGINT) AS w_sqrt
+             |      FROM t GROUP BY domain),
+             |tot AS (SELECT SUM(w_sqrt) AS tot_w FROM w),
+             |plan AS (SELECT domain, n_docs, n_tokens, w_sqrt,
+             |                CAST((CAST(w_sqrt AS HUGEINT) * 200000) // tot_w AS BIGINT) AS target_tokens
+             |         FROM w CROSS JOIN tot)
+             |SELECT domain, n_docs, n_tokens, w_sqrt, target_tokens,
+             |       LEAST(target_tokens, 40000) AS capped_tokens,
+             |       ROUND(LEAST(1.0, CAST(LEAST(target_tokens, 40000) AS DOUBLE) / n_tokens), 6) AS sample_rate
+             |FROM plan ORDER BY domain""".stripMargin)),
+
+    // URL canonicalization + URL-level dup-group election: the messy
+    // crawl-frontier fixture reaches each content page via two
+    // mangled aliases; the canonical chain (fragment/utm strip,
+    // scheme+host lowercase, non-root trailing-slash trim — all
+    // backreference-free, Java/RE2-identical) must collapse each
+    // pair. DuckDB replays with the 'g' flag to match Spark's
+    // replace-all regexp_replace.
+    QuerySpec(
+      "q154_url_canonical_groups",
+      (s, dir) => WebOps.canonicalDupGroups(Tables.documents(s, dir)),
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    CASE CAST(doc_id % 4 AS INT)
+             |      WHEN 0 THEN 'HTTPS://WWW.SRC' || ((doc_id // 2) % 20) || '.EXAMPLE/page/' || (doc_id // 2)
+             |      WHEN 1 THEN 'https://www.src' || ((doc_id // 2) % 20) || '.example/page/' || (doc_id // 2) || '?utm_source=feed'
+             |      WHEN 2 THEN 'https://www.src' || ((doc_id // 2) % 20) || '.example/page/' || (doc_id // 2) || '#section-2'
+             |      ELSE 'https://www.src' || ((doc_id // 2) % 20) || '.example/page/' || (doc_id // 2) || '/'
+             |    END AS url
+             |  FROM documents),
+             |c1 AS (SELECT doc_id, url,
+             |              regexp_replace(regexp_replace(regexp_replace(url,
+             |                '#.*$', '', 'g'),
+             |                'utm_[A-Za-z]+=[^&#]*&', '', 'g'),
+             |                '[?&]utm_[A-Za-z]+=[^&#]*', '', 'g') AS a
+             |       FROM u),
+             |c2 AS (SELECT doc_id, url,
+             |              lower(regexp_extract(a, '^([A-Za-z]+://[^/]*)', 1))
+             |                || substr(a, len(regexp_extract(a, '^([A-Za-z]+://[^/]*)', 1)) + 1) AS b
+             |       FROM c1),
+             |c3 AS (SELECT doc_id, url,
+             |              CASE WHEN regexp_matches(b, '://[^/]+/.+/$')
+             |                   THEN substr(b, 1, len(b) - 1) ELSE b END AS canon_url
+             |       FROM c2)
+             |SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_urls,
+             |       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_urls,
+             |       MIN(doc_id) AS keeper
+             |FROM c3 GROUP BY canon_url ORDER BY canon_url""".stripMargin)),
+
     // retrieval-side splitter: fixed token windows with overlap,
     // exact integer ceiling division for the chunk count — per-row
     // projection work, no shuffle.
@@ -2571,6 +2652,50 @@ object Catalog {
        |                               ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
        |FROM sh ORDER BY shard, pos""".stripMargin
   }
+
+  /** q152 oracle: the q145 BM25 chain at kLex=20 composed with the
+    * q46-proven cosine replay (list_inner_product == Spark's
+    * sequential zip_with/aggregate fold) against each query's rank-1
+    * anchor; rerank rows 2..20 by (cos DESC, doc_id), keep 10. */
+  private val q152OracleSql: String =
+    s"""WITH q(qid, w) AS (
+       |  VALUES (0, 'hash'), (0, 'join'), (1, 'table'), (1, 'scan'),
+       |         (2, 'stream'), (2, 'filter')),
+       |toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS w
+       |  FROM documents),
+       |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+       |       WHERE w IN (SELECT w FROM q) GROUP BY doc_id, w),
+       |dfw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+       |dl AS (SELECT doc_id,
+       |              CAST(len(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS BIGINT) AS dl
+       |       FROM documents),
+       |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
+       |sc AS (SELECT q.qid, tf.doc_id,
+       |              ROUND(((nn - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
+       |                    (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / nn))), 9) AS score_t
+       |       FROM tf JOIN q USING (w) JOIN dfw USING (w) JOIN dl USING (doc_id) CROSS JOIN c),
+       |pd AS (SELECT qid, doc_id, ROUND(${Exact.decSumSql("score_t", 9)}, 6) AS score
+       |       FROM sc GROUP BY qid, doc_id),
+       |lex AS (SELECT CAST(qid AS BIGINT) AS qid, doc_id, score,
+       |               CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS lrk
+       |        FROM pd),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |             sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+       |      FROM embeddings),
+       |anc AS (SELECT lex.qid, lex.doc_id AS anchor_id, v.e AS ae, v.norm AS anorm
+       |        FROM lex JOIN v ON lex.doc_id = v.vec_id WHERE lrk = 1),
+       |cand AS (SELECT lex.qid, lex.doc_id, lex.score AS bm25, v.e, v.norm
+       |         FROM lex JOIN v ON lex.doc_id = v.vec_id
+       |         WHERE lrk > 1 AND lrk <= 20),
+       |cos AS (SELECT cand.qid, cand.doc_id, anc.anchor_id, cand.bm25,
+       |               ROUND(list_inner_product(anc.ae, cand.e) / (anc.anorm * cand.norm), 6) AS cos
+       |        FROM cand JOIN anc ON cand.qid = anc.qid),
+       |rr AS (SELECT qid, doc_id, anchor_id, bm25, cos,
+       |              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS BIGINT) AS rk
+       |       FROM cos)
+       |SELECT qid, rk, doc_id, anchor_id, bm25, cos
+       |FROM rr WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
 
   /** q151 oracle: replay the payload-window pHash
     * ([[graft.engine.MultimodalOps.phashStub]]) per doc in DuckDB —

@@ -283,6 +283,36 @@ class CoreSpec extends SparkSpec {
       "cross-domain repeats are not within-domain dups")
   }
 
+  test("url canonicalization collapses every mangled alias pair to one fetch") {
+    import spark.implicits._
+    // unit: each mangle form canonicalizes to the same base
+    val messy = Seq(
+      (1L, "HTTPS://WWW.SRC3.EXAMPLE/page/9"),
+      (2L, "https://www.src3.example/page/9?utm_source=feed"),
+      (3L, "https://www.src3.example/page/9#section-2"),
+      (4L, "https://www.src3.example/page/9/"),
+      (5L, "https://www.src3.example/page/9?utm_source=feed&id=7"),
+      (6L, "https://www.src3.example/"), // root slash must survive
+    ).toDF("doc_id", "url")
+    val canon = WebOps.urlCanonicalize(messy).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    (1L to 4L).foreach { i =>
+      assert(canon(i) == "https://www.src3.example/page/9", s"doc $i: ${canon(i)}")
+    }
+    assert(canon(5L) == "https://www.src3.example/page/9?id=7",
+      "non-tracking params survive the utm strip")
+    assert(canon(6L) == "https://www.src3.example/", "root slash is not trimmed")
+    // fixture: the crawl-frontier pairs (2k, 2k+1) all collapse
+    val docs = Tables.documents(spark, sf)
+    val groups = WebOps.canonicalDupGroups(docs).collect()
+    assert(groups.length.toLong == docs.count() / 2)
+    groups.foreach { r =>
+      assert(r.getLong(1) == 2L && r.getLong(2) == 2L,
+        s"${r.getString(0)}: expected a collapsed pair of distinct raw urls")
+      assert(r.getLong(3) % 2 == 0, "keeper is the even (first) doc of the pair")
+    }
+  }
+
   test("domain-capped sample flattens a planted hot domain deterministically") {
     import spark.implicits._
     // one domain owns 90% of the corpus — the crawl shape the cap
