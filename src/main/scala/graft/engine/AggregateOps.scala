@@ -258,4 +258,28 @@ object AggregateOps {
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** Partition fingerprint manifest — the audit artifact a 100 TB
+    * incremental pipeline keeps per table version: for every
+    * (source, lang) partition, the row count, the byte mass, and an
+    * order-independent content checksum (SUM of the first 8 md5 hex
+    * digits of each row's content, parsed as an integer — commutative,
+    * so the checksum is stable under any row order or partition
+    * split, and bounded by rows × 2³² so a BIGINT holds it far past
+    * this corpus's size). Two manifests diff in O(partitions) to
+    * localize which partitions changed between snapshots — the
+    * partition-granular complement of [[CorpusOps.snapshotDiff]]'s
+    * row-granular work list. One map-side-combinable rollup; the
+    * checksum arithmetic replays exactly in any engine with md5. */
+  def partitionManifest(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"), col("lang"),
+        length(col("text")).cast("long").as("n_bytes"),
+        conv(substring(md5(col("text")), 1, 8), 16, 10)
+          .cast("long").as("row_sum"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+           sum(col("n_bytes")).cast("long").as("n_chars"),
+           sum(col("row_sum")).cast("long").as("content_checksum"))
+      .orderBy(col("source"), col("lang"))
 }

@@ -524,4 +524,91 @@ object CorpusOps {
       .select(col("source"), col("rk"), col("doc_id"), col("sample_key"))
       .orderBy(col("source"), col("rk"))
   }
+
+  /** Snapshot diff — the incremental-refresh work list: given the
+    * previous corpus snapshot and the current one, classify every
+    * doc_id as `added` / `removed` / `changed` (same id, different
+    * content) and emit only the rows downstream stages must touch —
+    * added+changed re-enter dedup/quality/packing, removed retire
+    * from the index. Unchanged docs (the overwhelming majority of a
+    * crawl refresh) never leave this plan.
+    *
+    * Content identity is the md5 fingerprint computed BEFORE the
+    * join, so the full-outer join ships (doc_id, fp, 2 dims) — never
+    * text. One co-partitioned shuffle on doc_id; at 100 TB both
+    * sides read id+fp from column-pruned parquet scans and the
+    * output is change-rate-sized, not corpus-sized.
+    *
+    * The catalog form synthesizes the previous snapshot
+    * deterministically from the current one (the q153/q154 fixture
+    * pattern): ids ≡ 3 (mod 7) are new this snapshot, ids ≡ 5 (mod 7)
+    * had a truncated prior body (changed), and a retired-id band
+    * (doc_id + 1e6) existed only before (removed). */
+  def snapshotDiff(current: DataFrame,
+                   previous: Option[DataFrame] = None): DataFrame = {
+    val cur = current.select(col("doc_id"), md5(col("text")).as("cur_fp"),
+      col("lang"), col("source"))
+    val prev = previous.getOrElse(syntheticPreviousSnapshot(current))
+      .select(col("doc_id"), md5(col("text")).as("prev_fp"))
+    cur.join(prev, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("prev_fp").isNull, lit("added"))
+          .when(col("cur_fp").isNull, lit("removed"))
+          .when(col("cur_fp") === col("prev_fp"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .filter(col("status") =!= "unchanged")
+      .select(col("doc_id"), col("status"), col("cur_fp"), col("prev_fp"),
+              col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic prior-snapshot fixture for [[snapshotDiff]]. */
+  private def syntheticPreviousSnapshot(documents: DataFrame): DataFrame = {
+    val kept = documents
+      .filter(pmod(col("doc_id"), lit(7L)) =!= 3L)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7L)) === 5L,
+          substring(col("text"), 1, 40)).otherwise(col("text")).as("text"))
+    val retired = documents
+      .filter(pmod(col("doc_id"), lit(97L)) === 0L)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(lit("retired-"), col("doc_id").cast("string")).as("text"))
+    kept.unionByName(retired)
+  }
+
+  /** Freshness-decay sampling plan — the recency-weighted corpus
+    * refresh: documents bucket by crawl age in 30-day months, each
+    * month's weight HALVES relative to the newer one (integer
+    * `1 << (11 - bucket)` — transcendental-free, replayable), and a
+    * global doc budget splits across buckets proportional to
+    * weight×docs with exact integer floor division. The emitted
+    * per-bucket sample_rate is what a Bernoulli pass (or the q142
+    * exact-k hash draw, keyed per bucket) executes.
+    *
+    * The plan is one rollup over ≤12 bucket keys plus a 1-row total
+    * broadcast — corpus-size-independent output. The catalog form
+    * synthesizes crawl_date deterministically from doc_id (the
+    * documents fixture carries no date); a production corpus feeds
+    * its real crawl timestamp. */
+  def freshnessSamplePlan(documents: DataFrame,
+                          docBudget: Long = 2000L): DataFrame = {
+    val aged = documents.select(col("doc_id"),
+      pmod(col("doc_id") * 131L + 17L, lit(360L)).as("age_days"))
+    val buckets = aged
+      .withColumn("age_bucket", (col("age_days") / lit(30L)).cast("long"))
+      .groupBy(col("age_bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .withColumn("weight",
+        expr("shiftleft(cast(1 as bigint), cast(11 - age_bucket as int))").cast("long"))
+      .withColumn("mass", col("weight") * col("n_docs"))
+    val total = buckets.agg(sum(col("mass")).cast("long").as("tot_mass"))
+    buckets.crossJoin(broadcast(total))
+      .withColumn("target_docs",
+        least(col("n_docs"), expr(s"(mass * ${docBudget}L) DIV tot_mass")))
+      .withColumn("sample_rate",
+        round(col("target_docs").cast("double") / col("n_docs"), 6))
+      .select(col("age_bucket"), col("n_docs"), col("weight"),
+              col("target_docs"), col("sample_rate"))
+      .orderBy(col("age_bucket"))
+  }
 }

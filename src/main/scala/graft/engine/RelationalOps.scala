@@ -190,6 +190,40 @@ object RelationalOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Skew-resilient salted JOIN — the companion to [[saltedRollup]]
+    * for the case where the SHUFFLE JOIN itself is the bottleneck: a
+    * hot fact key (q137's profiler finds them) lands an entire join
+    * partition on one reducer. Fact rows get a per-row salt
+    * (`xxhash64` of the row's unique key mod `salts`); the dim side
+    * is replicated once per salt value (`explode(sequence(...))` —
+    * dim×salts rows, fine for any dim that was already too big to
+    * broadcast but far smaller than the fact); the equi-join key
+    * becomes (join key, salt), so each hot key spreads over `salts`
+    * reducers. The `merge` hint forces the sort-merge path — with
+    * broadcast available Spark would void the demonstration (and at
+    * the real scale that motivates salting, broadcast is off the
+    * table anyway). Result is identical to the plain join: the salt
+    * is dropped before the rollup, and the oracle computes the plain
+    * GROUP BY. At 100 TB `salts` sizes to the observed hot-key row
+    * count / target partition rows. */
+  def saltedJoinRollup(lineitem: DataFrame, supplier: DataFrame,
+                       salts: Int = 8): DataFrame = {
+    val fact = lineitem
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("salt",
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts.toLong)))
+    val dim = supplier
+      .select(col("s_suppkey"), col("s_name"))
+      .withColumn("salt", explode(expr(s"sequence(0L, ${salts - 1}L)")))
+    fact
+      .join(dim.hint("merge"),
+        fact("l_suppkey") === dim("s_suppkey") && fact("salt") === dim("salt"))
+      .groupBy(col("s_name"))
+      .agg(decSum(col("l_extendedprice")).as("total_amount"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("s_name"))
+  }
+
   /** The dashboard's top-30 month slice (reference: app/ml_app.py:131-138
     * — the `awarding_sub_agency_by_month` table sorted by total,
     * limit 30). TakeOrderedAndProject over the month rollup. */

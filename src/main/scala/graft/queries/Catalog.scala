@@ -157,6 +157,21 @@ object Catalog {
               |GROUP BY l_returnflag
               |ORDER BY l_returnflag""".stripMargin)),
 
+    // skew-resilient salted JOIN (q44's companion for the join
+    // itself): fact rows salt on a row-unique hash, the dim
+    // replicates once per salt, the sort-merge join keys on
+    // (suppkey, salt) — each hot key spreads over 8 reducers; the
+    // salt drops before the rollup so the oracle is the PLAIN join.
+    QuerySpec(
+      "q156_salted_join",
+      (s, dir) => RelationalOps.saltedJoinRollup(
+        Tables.lineitem(s, dir), Tables.supplier(s, dir)),
+      Some(s"""SELECT s_name, ${decSumSql("l_extendedprice")} AS total_amount,
+              |       COUNT(*) AS n_items
+              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              |GROUP BY s_name
+              |ORDER BY s_name""".stripMargin)),
+
     QuerySpec(
       "q45_copartition_join",
       (s, dir) => RelationalOps.coPartitionedJoin(Tables.orders(s, dir), Tables.customer(s, dir), 32),
@@ -2115,6 +2130,72 @@ object Catalog {
              |       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_urls,
              |       MIN(doc_id) AS keeper
              |FROM c3 GROUP BY canon_url ORDER BY canon_url""".stripMargin)),
+
+    // incremental-refresh work list: full-outer fingerprint diff of
+    // the current snapshot vs a deterministic prior one — only the
+    // added/changed/removed rows survive (the rows a refresh must
+    // touch); fingerprints computed BEFORE the join so text never
+    // ships through the shuffle.
+    QuerySpec(
+      "q155_snapshot_diff",
+      (s, dir) => CorpusOps.snapshotDiff(Tables.documents(s, dir)),
+      Some("""WITH cur AS (
+             |  SELECT doc_id, md5(text) AS cur_fp, lang, source FROM documents),
+             |prev AS (
+             |  SELECT doc_id,
+             |         md5(CASE WHEN doc_id % 7 = 5 THEN substr(text, 1, 40)
+             |                  ELSE text END) AS prev_fp
+             |  FROM documents WHERE doc_id % 7 <> 3
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, md5('retired-' || doc_id)
+             |  FROM documents WHERE doc_id % 97 = 0),
+             |j AS (
+             |  SELECT COALESCE(c.doc_id, p.doc_id) AS doc_id, cur_fp, prev_fp,
+             |         lang, source,
+             |         CASE WHEN prev_fp IS NULL THEN 'added'
+             |              WHEN cur_fp IS NULL THEN 'removed'
+             |              WHEN cur_fp = prev_fp THEN 'unchanged'
+             |              ELSE 'changed' END AS status
+             |  FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id)
+             |SELECT doc_id, status, cur_fp, prev_fp, lang, source
+             |FROM j WHERE status <> 'unchanged'
+             |ORDER BY doc_id""".stripMargin)),
+
+    // recency-weighted refresh plan: 30-day age buckets, halving
+    // integer weights, exact integer budget split — ≤12-row output
+    // regardless of corpus size.
+    QuerySpec(
+      "q157_freshness_plan",
+      (s, dir) => CorpusOps.freshnessSamplePlan(Tables.documents(s, dir)),
+      Some("""WITH aged AS (
+             |  SELECT doc_id, (doc_id * 131 + 17) % 360 AS age_days FROM documents),
+             |b AS (SELECT age_days // 30 AS age_bucket,
+             |             CAST(COUNT(*) AS BIGINT) AS n_docs
+             |      FROM aged GROUP BY 1),
+             |w AS (SELECT age_bucket, n_docs,
+             |             CAST(CAST(1 AS BIGINT) << CAST(11 - age_bucket AS INT) AS BIGINT) AS weight
+             |      FROM b),
+             |m AS (SELECT age_bucket, n_docs, weight, weight * n_docs AS mass FROM w),
+             |tot AS (SELECT CAST(SUM(mass) AS BIGINT) AS tot_mass FROM m)
+             |SELECT age_bucket, n_docs, weight,
+             |       LEAST(n_docs, CAST((mass * 2000) // tot_mass AS BIGINT)) AS target_docs,
+             |       ROUND(CAST(LEAST(n_docs, CAST((mass * 2000) // tot_mass AS BIGINT)) AS DOUBLE)
+             |             / n_docs, 6) AS sample_rate
+             |FROM m CROSS JOIN tot ORDER BY age_bucket""".stripMargin)),
+
+    // partition fingerprint manifest: per-(source, lang) count, char
+    // mass, and an order-independent md5-prefix-sum checksum — the
+    // O(partitions) audit artifact two snapshots diff to localize
+    // change.
+    QuerySpec(
+      "q158_partition_manifest",
+      (s, dir) => AggregateOps.partitionManifest(Tables.documents(s, dir)),
+      Some("""SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+             |       CAST(SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+             |         AS content_checksum
+             |FROM documents GROUP BY source, lang
+             |ORDER BY source, lang""".stripMargin)),
 
     // retrieval-side splitter: fixed token windows with overlap,
     // exact integer ceiling division for the chunk count — per-row

@@ -335,4 +335,57 @@ class CoreSpec extends SparkSpec {
     val again = WebOps.domainCappedSample(corpus, k).collect().map(_.toString).toSeq
     assert(got.map(_.toString).toSeq == again)
   }
+
+  test("snapshot diff classifies added/changed/removed and drops the unchanged majority") {
+    import spark.implicits._
+    val cur = Seq(
+      (1L, "alpha", "en", "s0"), (2L, "beta", "en", "s0"),
+      (3L, "gamma CHANGED", "en", "s1"), (5L, "brand new", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val prev = Seq(
+      (1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "gone now"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.snapshotDiff(cur, Some(prev)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(3L -> "changed", 4L -> "removed", 5L -> "added"),
+      s"unchanged docs 1,2 must not appear; got $got")
+    // removed rows carry no current-side dims, added rows no prev fp
+    val rows = CorpusOps.snapshotDiff(cur, Some(prev)).collect()
+    assert(rows.filter(_.getString(1) == "removed").forall(r => r.isNullAt(2) && r.isNullAt(4)))
+    assert(rows.filter(_.getString(1) == "added").forall(_.isNullAt(3)))
+  }
+
+  test("freshness plan halves weights per month and never over-draws budget or bucket") {
+    val plan = CorpusOps.freshnessSamplePlan(Tables.documents(spark, sf), docBudget = 200L)
+      .collect()
+    assert(plan.length == 12)
+    // integer halving: weight(b) = 2 * weight(b+1)
+    val w = plan.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0L to 10L).foreach(b => assert(w(b) == 2 * w(b + 1), s"bucket $b weight"))
+    // floor division conserves: total target <= budget, per-bucket <= population
+    assert(plan.map(_.getLong(3)).sum <= 200L)
+    plan.foreach(r => assert(r.getLong(3) <= r.getLong(1)))
+  }
+
+  test("partition manifest checksum is row-order independent and change-sensitive") {
+    val docs = Tables.documents(spark, sf)
+    val base = AggregateOps.partitionManifest(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(4))).toMap
+    // any reshuffle/repartition of the input yields the identical manifest
+    val shuffled = AggregateOps.partitionManifest(docs.repartition(7, col("doc_id")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(base == shuffled)
+    // a single-row content edit moves exactly that partition's checksum
+    val oneId = docs.select(col("doc_id"), col("source"), col("lang"))
+      .orderBy(col("doc_id")).limit(1).collect()(0)
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === oneId.getLong(0), concat(col("text"), lit("!")))
+        .otherwise(col("text")))
+    val after = AggregateOps.partitionManifest(edited).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(4))).toMap
+    val touched = (oneId.getString(1), oneId.getString(2))
+    assert(after(touched)._2 != base(touched)._2, "edited partition checksum must move")
+    assert((after - touched) == (base - touched), "all other partitions unchanged")
+  }
 }

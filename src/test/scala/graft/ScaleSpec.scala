@@ -317,4 +317,27 @@ class ScaleSpec extends SparkSpec {
       }
     }
   }
+
+  test("salted join runs sort-merge on (key, salt) and matches the plain rollup") {
+    import graft.engine.RelationalOps
+    val li = Tables.lineitem(spark, sf)
+    val sup = Tables.supplier(spark, sf)
+    val salted = RelationalOps.saltedJoinRollup(li, sup, salts = 8)
+    // plan shape: the merge hint holds — the join is NOT broadcast
+    // (broadcast would defeat the skew spread the salt exists for)
+    // and the salt column is part of the join key
+    salted.collect() // run first so AQE's final plan is inspected
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected sort-merge join in:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"dim must not broadcast:\n$plan")
+    assert(plan.contains("salt"), s"salt must participate in the join key:\n$plan")
+    // semantics: identical to the unsalted broadcast join rollup
+    val got = salted.collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val direct = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(decSum(col("l_extendedprice")).as("t"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got == direct)
+  }
 }
