@@ -201,6 +201,72 @@ object DedupOps {
       .distinct()
   }
 
+  /** LSH banding calibration report — the measurement that picks
+    * `bands` for [[lshCandidates]] instead of guessing: for each
+    * candidate config (bands b, width 32/b over the same stored
+    * 32-lane signatures), the candidate-pair count, the hit count
+    * against exact-Jaccard ≥ `threshold` ground truth, and the
+    * recall/precision that trade off as bands widen. More bands →
+    * higher recall (more chances for one full band to agree) at the
+    * cost of coarser buckets → more false candidates to verify; this
+    * report turns that curve into numbers BEFORE committing a 100 TB
+    * pair-generation run.
+    *
+    * Bands bucket by CONTENT (the lane values joined as a string),
+    * not by hash — identical candidate sets to the hashed production
+    * path (the hash only compacts keys) and bit-replayable in any
+    * engine. Ground truth is the exact shingle-Jaccard pair set over
+    * a bounded doc_id sample (`maxDocId`) — calibration runs on a
+    * sample at scale, never the full corpus; the banded self-join is
+    * restricted to the same sample so recall/precision are
+    * like-for-like. Output is |configs| rows. */
+  def lshTuningReport(signatures: DataFrame, documents: DataFrame,
+                      bandCounts: Seq[Int] = Seq(4, 8, 16),
+                      threshold: Double = 0.5,
+                      maxDocId: Long = 500): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val sigs = signatures.filter(col("sig").isNotNull && col("doc_id") < maxDocId)
+      .select(col("doc_id"), col("sig"))
+    val truth = jaccardPairs(documents, maxDocId, threshold)
+      .select(col("doc_i"), col("doc_j"))
+      .localCheckpoint(false) // feeds the count AND every config's hit join
+    val cands = bandCounts.map { b =>
+      val w = 32 / b
+      val banded = sigs.select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0, ${b - 1}), bi -> struct(bi AS band,
+             |concat_ws(',', transform(slice(sig, bi*$w+1, $w),
+             |                         x -> cast(x AS string))) AS key))""".stripMargin))
+          .as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+        .distinct()
+        .withColumn("bands", lit(b.toLong))
+    }.reduce(_ unionByName _)
+      .localCheckpoint(false) // candidate counts + hit counts both read it
+    val cfg = bandCounts.map(b => (b.toLong, (32 / b).toLong)).toDF("bands", "width")
+    val nCand = cands.groupBy(col("bands")).agg(count(lit(1)).cast("long").as("n_candidates"))
+    val nHit = cands.join(truth, Seq("doc_i", "doc_j"))
+      .groupBy(col("bands")).agg(count(lit(1)).cast("long").as("n_hit"))
+    val nTruth = truth.agg(count(lit(1)).cast("long").as("n_truth"))
+    cfg.join(nCand, Seq("bands"), "left_outer")
+      .join(nHit, Seq("bands"), "left_outer")
+      .crossJoin(broadcast(nTruth))
+      .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall", when(col("n_truth") > 0,
+        round(col("n_hit").cast("double") / col("n_truth"), 6)))
+      .withColumn("precision", when(col("n_candidates") > 0,
+        round(col("n_hit").cast("double") / col("n_candidates"), 6)))
+      .select(col("bands"), col("width"), col("n_candidates"), col("n_truth"),
+              col("n_hit"), col("recall"), col("precision"))
+      .orderBy(col("bands"))
+  }
+
   private def bandBuckets(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))

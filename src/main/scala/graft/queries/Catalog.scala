@@ -1892,6 +1892,16 @@ object Catalog {
         SketchShared.sketches(s, dir), SketchShared.minhashPairs(s, dir)),
       Some(q73OracleSql)),
 
+    // banding calibration: candidates/recall/precision per (bands,
+    // width) config over the STORED 32-lane signatures vs exact
+    // shingle-Jaccard truth on the calibration sample — the report
+    // that sizes q42's banding before a full pair-generation run.
+    QuerySpec(
+      "q159_lsh_tuning",
+      (s, dir) => DedupOps.lshTuningReport(
+        SketchShared.sketches(s, dir), Tables.documents(s, dir)),
+      Some(q159OracleSql)),
+
     // Deterministic data mixing: per-source weights 0 / 0.5 / 2 / 2.25
     // exercise drop, down-sample, integer and fractional up-sample;
     // membership from xxhash64(doc_id), never rand() (see
@@ -3044,8 +3054,9 @@ object Catalog {
       cols.foldLeft(base) { case (q, (n, e)) => s"SELECT *, $e AS $n FROM ($q)" }
   }
 
-  private val (q42OracleSql, q43OracleSql, q70OracleSql, q73OracleSql, q109OracleSql)
-      : (String, String, String, String, String) = {
+  private val (q42OracleSql, q43OracleSql, q70OracleSql, q73OracleSql, q109OracleSql,
+               q159OracleSql)
+      : (String, String, String, String, String, String) = {
     import UbigintSql._
     def b2w8(off: Int) =
       (0 until 8).map(k => s"bytes[${off + k + 1}]*${BigInt(256).pow(k)}").mkString(" + ")
@@ -3290,7 +3301,45 @@ object Catalog {
        |LEFT JOIN m ON d.doc_id = m.new_id
        |ORDER BY d.doc_id""".stripMargin
 
-    (q42, q43, q70, q73, q109)
+    // q159: banding calibration over the SAME replayed sigs — bands
+    // bucket by lane CONTENT (identical candidate sets to the hashed
+    // path), truth is the q61-pattern exact shingle Jaccard at 0.5.
+    val q159 = s"""WITH $ctes,
+       |cfg AS (SELECT * FROM (VALUES (4, 8), (8, 4), (16, 2)) AS c(bands, width)),
+       |banded AS (
+       |  SELECT s.doc_id, c.bands, t.b AS band,
+       |         list_aggregate(list_transform(
+       |           list_slice(s.sig, CAST(t.b*c.width+1 AS INT), CAST((t.b+1)*c.width AS INT)),
+       |           x -> CAST(x AS VARCHAR)), 'string_agg', ',') AS key
+       |  FROM sigs s, cfg c, unnest(range(0, 16)) AS t(b)
+       |  WHERE t.b < c.bands AND s.doc_id < 500),
+       |cand AS (SELECT DISTINCT a.bands, a.doc_id AS doc_i, b2.doc_id AS doc_j
+       |         FROM banded a JOIN banded b2 ON a.bands = b2.bands
+       |           AND a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id),
+       |tsh AS (SELECT DISTINCT doc_id, s FROM (
+       |  SELECT doc_id, substr(text, unnest(range(1, length(text) - 3)), 5) AS s
+       |  FROM documents WHERE doc_id < 500)),
+       |tn AS (SELECT doc_id, COUNT(*) AS n_sh FROM tsh GROUP BY doc_id),
+       |tcm AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS common
+       |        FROM tsh a JOIN tsh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       |truth AS (SELECT doc_i, doc_j FROM tcm
+       |          JOIN tn ni ON doc_i = ni.doc_id JOIN tn nj ON doc_j = nj.doc_id
+       |          WHERE ROUND(CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common), 6) >= 0.5),
+       |tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+       |nc AS (SELECT bands, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand GROUP BY bands),
+       |nh AS (SELECT c.bands, CAST(COUNT(*) AS BIGINT) AS n_hit
+       |       FROM cand c JOIN truth USING (doc_i, doc_j) GROUP BY c.bands)
+       |SELECT CAST(c.bands AS BIGINT) AS bands, CAST(c.width AS BIGINT) AS width,
+       |       COALESCE(n_candidates, 0) AS n_candidates, tc.n_truth,
+       |       COALESCE(n_hit, 0) AS n_hit,
+       |       CASE WHEN tc.n_truth > 0
+       |            THEN ROUND(CAST(COALESCE(n_hit, 0) AS DOUBLE) / tc.n_truth, 6) END AS recall,
+       |       CASE WHEN COALESCE(n_candidates, 0) > 0
+       |            THEN ROUND(CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_candidates, 6) END AS precision
+       |FROM cfg c LEFT JOIN nc ON c.bands = nc.bands LEFT JOIN nh ON c.bands = nh.bands
+       |CROSS JOIN tc ORDER BY bands""".stripMargin
+
+    (q42, q43, q70, q73, q109, q159)
   }
 
   /** q63 oracle: the SemDeDup pipeline is deterministic end-to-end.

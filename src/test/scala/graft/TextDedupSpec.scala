@@ -1119,4 +1119,27 @@ class TextDedupSpec extends SparkSpec {
     }
     fix.foreach(r => assert(r.getDouble(5) > 0.0))
   }
+
+  test("LSH tuning report: nested band refinement gives monotone candidates and recall") {
+    val sigs = DedupOps.docSketches(docs)
+    val rows = DedupOps.lshTuningReport(sigs, docs).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((4L, 8L), (8L, 4L), (16L, 2L)))
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(2), "hits bounded by candidates")
+      assert(r.getLong(4) <= r.getLong(3), "hits bounded by truth")
+    }
+    // a width-2w band agreeing implies both width-w halves agree, so
+    // each config's candidate set contains the previous one's —
+    // candidates, hits, recall all monotone nondecreasing in bands
+    val byBands = rows.sortBy(_.getLong(0))
+    byBands.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(2) <= b.getLong(2), "candidates monotone")
+      assert(a.getLong(4) <= b.getLong(4), "hits monotone")
+    }
+    // the fixture has true near-dup pairs and the finest banding finds
+    // a strict superset of candidates vs the coarsest
+    assert(byBands.head.getLong(3) > 0, "truth pairs exist in the fixture")
+    assert(byBands.last.getLong(2) > byBands.head.getLong(2))
+  }
 }
