@@ -282,4 +282,39 @@ object AggregateOps {
            sum(col("n_bytes")).cast("long").as("n_chars"),
            sum(col("row_sum")).cast("long").as("content_checksum"))
       .orderBy(col("source"), col("lang"))
+
+  /** Per-group outlier report with EXACT arithmetic end to end: the
+    * |x − μ| > 2σ test is evaluated as the integer inequality
+    * (n·c − s)² > 4·(n·ss − s²) over cent-quantized prices (c), so
+    * no floating-point comparison ever decides membership — the
+    * count is bit-identical on any engine, any partitioning, any
+    * accumulation order (the fp-boundary flip a double z-score
+    * comparison risks at the 2σ edge simply cannot happen). μ and σ
+    * are emitted as display doubles (one exact-decimal→double cast
+    * each, round 6) AFTER the decision is made. One map-side-partial
+    * rollup for the moments + one broadcast join back — two passes,
+    * no window, no per-group sort. DECIMAL(38,0) holds the squares
+    * (≈10²⁶ at this schema's magnitudes) with 12 digits of headroom. */
+  def zOutlierReport(lineitem: DataFrame): DataFrame = {
+    val cents = lineitem.select(col("l_returnflag"),
+      round(col("l_extendedprice") * 100).cast("decimal(38,0)").as("c"))
+      .localCheckpoint(false) // moments rollup + outlier pass both read it
+    val moments = cents.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+           sum(col("c")).as("s"),
+           sum(col("c") * col("c")).as("ss"))
+    val outliers = cents.join(broadcast(moments), "l_returnflag")
+      .filter((col("n") * col("c") - col("s")) * (col("n") * col("c") - col("s")) >
+              (col("n") * col("ss") - col("s") * col("s")) * 4)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("long").as("n_outliers"))
+    moments.join(outliers, Seq("l_returnflag"), "left_outer")
+      .select(col("l_returnflag"),
+        col("n").cast("long").as("n_rows"),
+        round(col("s").cast("double") / (col("n").cast("double") * 100), 6).as("mean_price"),
+        round(sqrt((col("n") * col("ss") - col("s") * col("s")).cast("double")) /
+              (col("n").cast("double") * 100), 6).as("stddev_price"),
+        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+      .orderBy(col("l_returnflag"))
+  }
 }

@@ -90,4 +90,40 @@ object EventOps {
         round(col("n_active").cast("double") / col("cohort_size"), 6).as("retention"))
       .orderBy(col("cohort_week"), col("week_offset"))
   }
+
+  /** Batch sessionization — the gaps-and-islands assignment that
+    * turns a raw event log into per-user sessions: a new session
+    * starts at a user's first event or after a gap > `gapMinutes`;
+    * the session id is the user-anchored running count of those
+    * starts. Emits one row per session with its event count, bounds
+    * and exact microsecond duration (integer end − start — no fp
+    * anywhere in the chain).
+    *
+    * This is the SESSION-ID complement of the session-WINDOW
+    * aggregate (q33/StreamOps.session): the window form fuses
+    * per-key aggregation into the state machine; this form keeps the
+    * assignment, so downstream queries can join events back to their
+    * session. Same scale shape as [[funnel]]: ONE shuffle on
+    * user_id, two window layers over the same sort, then a
+    * session-count-sized rollup. (ts, event_id) tiebreak pins order
+    * for simultaneous events. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flagged = events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_sess",
+        (col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs).cast("long"))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+           min(col("ts")).as("session_start"),
+           max(col("ts")).as("session_end"),
+           (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
 }

@@ -151,4 +151,43 @@ object RetrievalOps {
                k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame =
     bm25TopKFromIndex(
       bm25Postings(documents), bm25DocLengths(documents), queries, k, k1, b)
+
+  /** Sparse-vector document similarity over the stored postings —
+    * the ALL-PAIRS companion to the embedding-cosine pairs (q47):
+    * documents as raw-tf term vectors, cosine via an inverted-index
+    * self-join on the term, with COMMON TERMS PRUNED (df > `dfCap`)
+    * before the join. The prune is the scale lever: a term with df
+    * docs contributes df² join rows, so Σdf² ≤ dfCap × |postings| —
+    * the classic all-pairs-similarity bound (common terms carry no
+    * discriminative mass anyway; they are this join's stopwords).
+    *
+    * Arithmetic is exact until the last step: dot and norms are
+    * BIGINT tf sums; ONE sqrt + ONE division produce the score
+    * (correctly-rounded IEEE in any engine), round(…,6) pins the
+    * hash. Norms are over the PRUNED vocabulary, consistently with
+    * the dot product — the score is the cosine in the pruned term
+    * space. */
+  def sparseCosinePairs(postings: DataFrame, dfCap: Long = 25,
+                        threshold: Double = 0.3): DataFrame = {
+    val rare = postings.join(
+      postings.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select(col("w")),
+      Seq("w"))
+      .localCheckpoint(false) // feeds the norms rollup AND both join sides
+    val norms = rare.groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("tf")).cast("long").as("n2"))
+    val dots = rare.as("a").join(rare.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .agg(sum(col("a.tf") * col("b.tf")).cast("long").as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_i"), col("n2").as("n2_i")), "doc_i")
+      .join(norms.select(col("doc_id").as("doc_j"), col("n2").as("n2_j")), "doc_j")
+      .withColumn("cosine", round(
+        col("dot").cast("double") /
+          sqrt(col("n2_i").cast("double") * col("n2_j").cast("double")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("doc_i"), col("doc_j"), col("dot"), col("cosine"))
+      .orderBy(col("doc_i"), col("doc_j"))
+  }
 }

@@ -503,6 +503,32 @@ object Catalog {
              |       ROUND(CAST(max_cnt AS DOUBLE) * total_keys / total_rows, 6) AS skew_factor
              |FROM h CROSS JOIN t ORDER BY bucket""".stripMargin)),
 
+    // exact-arithmetic outlier report: the |x−μ|>2σ test decided by
+    // the INTEGER inequality (n·c−s)² > 4(n·ss−s²) over cent-
+    // quantized prices — no fp comparison anywhere near the 2σ edge;
+    // μ/σ are display-only doubles cast from exact decimals.
+    QuerySpec(
+      "q162_z_outliers",
+      (s, dir) => AggregateOps.zOutlierReport(Tables.lineitem(s, dir)),
+      Some("""WITH cents AS (
+             |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS HUGEINT) AS c
+             |  FROM lineitem),
+             |m AS (SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n,
+             |             SUM(c) AS s, SUM(c * c) AS ss
+             |      FROM cents GROUP BY 1),
+             |o AS (SELECT cents.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_outliers
+             |      FROM cents JOIN m USING (l_returnflag)
+             |      WHERE (m.n * cents.c - m.s) * (m.n * cents.c - m.s)
+             |            > (m.n * m.ss - m.s * m.s) * 4
+             |      GROUP BY 1)
+             |SELECT m.l_returnflag, CAST(m.n AS BIGINT) AS n_rows,
+             |       ROUND(CAST(m.s AS DOUBLE) / (CAST(m.n AS DOUBLE) * 100), 6) AS mean_price,
+             |       ROUND(sqrt(CAST(m.n * m.ss - m.s * m.s AS DOUBLE))
+             |             / (CAST(m.n AS DOUBLE) * 100), 6) AS stddev_price,
+             |       COALESCE(n_outliers, 0) AS n_outliers
+             |FROM m LEFT JOIN o USING (l_returnflag)
+             |ORDER BY l_returnflag""".stripMargin)),
+
     QuerySpec(
       "q23_rollup",
       (s, dir) => AggregateOps.rollupAgg(Tables.lineitem(s, dir)),
@@ -811,7 +837,30 @@ object Catalog {
              |SELECT g.cohort_week, g.week_offset, g.n_active,
              |       ROUND(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
              |FROM g JOIN sz USING (cohort_week)
-             |ORDER BY cohort_week, week_offset""".stripMargin))
+             |ORDER BY cohort_week, week_offset""".stripMargin)),
+
+    // gaps-and-islands sessionization: per-user session ids from
+    // 30-minute inactivity gaps, exact integer microsecond
+    // durations; the session-ID complement of q33's session-WINDOW
+    // aggregate (this one keeps the assignment joinable).
+    QuerySpec(
+      "q161_sessionize",
+      (s, dir) => EventOps.sessionize(Tables.events(s, dir)),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us FROM events),
+             |f AS (SELECT *, lag(ts_us) OVER
+             |        (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
+             |g AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+             |                     THEN 1 ELSE 0 END AS new_sess FROM f),
+             |h AS (SELECT *, SUM(new_sess) OVER
+             |        (PARTITION BY user_id ORDER BY ts, event_id
+             |         ROWS UNBOUNDED PRECEDING) AS session_id FROM g)
+             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             |       CAST(COUNT(*) AS BIGINT) AS n_events,
+             |       MIN(ts) AS session_start, MAX(ts) AS session_end,
+             |       CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us
+             |FROM h GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin))
   )
 
   // ---------------------------------------------------------------- //
@@ -1901,6 +1950,33 @@ object Catalog {
       (s, dir) => DedupOps.lshTuningReport(
         SketchShared.sketches(s, dir), Tables.documents(s, dir)),
       Some(q159OracleSql)),
+
+    // sparse-vector all-pairs similarity over the STORED postings:
+    // inverted-index self-join with common terms pruned (df ≤ 25 —
+    // Σdf² ≤ cap·|postings| bounds the join), BIGINT dot/norms, one
+    // sqrt + one division at the end.
+    QuerySpec(
+      "q160_sparse_cosine_pairs",
+      (s, dir) => RetrievalOps.sparseCosinePairs(RetrievalShared.postings(s, dir)),
+      Some("""WITH p AS (
+             |  SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+             |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS w
+             |    FROM documents) GROUP BY w, doc_id),
+             |rare AS (SELECT p.* FROM p
+             |         JOIN (SELECT w FROM p GROUP BY w HAVING COUNT(*) <= 25) u USING (w)),
+             |norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2
+             |          FROM rare GROUP BY doc_id),
+             |dots AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+             |                CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+             |         FROM rare a JOIN rare b ON a.w = b.w AND a.doc_id < b.doc_id
+             |         GROUP BY 1, 2),
+             |sc AS (SELECT doc_i, doc_j, dot,
+             |              ROUND(CAST(dot AS DOUBLE)
+             |                    / sqrt(CAST(ni.n2 AS DOUBLE) * CAST(nj.n2 AS DOUBLE)), 6) AS cosine
+             |       FROM dots JOIN norms ni ON doc_i = ni.doc_id
+             |                 JOIN norms nj ON doc_j = nj.doc_id)
+             |SELECT doc_i, doc_j, dot, cosine FROM sc
+             |WHERE cosine >= 0.3 ORDER BY doc_i, doc_j""".stripMargin)),
 
     // Deterministic data mixing: per-source weights 0 / 0.5 / 2 / 2.25
     // exercise drop, down-sample, integer and fractional up-sample;

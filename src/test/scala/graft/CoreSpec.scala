@@ -336,6 +336,55 @@ class CoreSpec extends SparkSpec {
     assert(got.map(_.toString).toSeq == again)
   }
 
+  test("sessionize splits on the gap, anchors ids per user, and sums exact durations") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: two sessions — 3 events 10 min apart, then a 31-min gap
+      (1L, 1L, "2026-01-01 10:00:00"), (1L, 2L, "2026-01-01 10:10:00"),
+      (1L, 3L, "2026-01-01 10:20:00"), (1L, 4L, "2026-01-01 10:51:00"),
+      // user 2: one event exactly AT the 30-min gap boundary — same session
+      (2L, 5L, "2026-01-01 09:00:00"), (2L, 6L, "2026-01-01 09:30:00"))
+      .toDF("user_id", "event_id", "ts_s")
+      .select(col("user_id"), col("event_id"), to_timestamp(col("ts_s")).as("ts"))
+    val got = EventOps.sessionize(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(5))).toMap
+    assert(got == Map(
+      (1L, 1L) -> (3L, 1200000000L), // 20 min in micros
+      (1L, 2L) -> (1L, 0L),
+      (2L, 1L) -> (2L, 1800000000L))) // exactly 30 min: gap is NOT > 30min
+  }
+
+  test("sparse cosine: identical docs score 1.0 and the df cap prunes a planted common term") {
+    import spark.implicits._
+    import graft.engine.RetrievalOps
+    // docs 1,2 identical (rare terms); docs 3..9 share ONLY the term
+    // "common" (df=9 > cap) with everything
+    val docs = Seq(
+      (1L, "zebra quokka axolotl common"), (2L, "zebra quokka axolotl common")) ++
+      (3L to 9L).map(i => (i, s"word$i common"))
+    val postings = RetrievalOps.bm25Postings(
+      docs.toDF("doc_id", "text"))
+    val got = RetrievalOps.sparseCosinePairs(postings, dfCap = 5, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // only the identical pair survives; every common-term-only pair is pruned
+    assert(got == Map((1L, 2L) -> 1.0), s"got $got")
+  }
+
+  test("z-outlier report decides the 2-sigma test with exact integers, strict inequality") {
+    import spark.implicits._
+    // group A: nine 10.00s + one 20.00 — mean 11, sigma 3 => |20-11|=9 > 6: outlier
+    // group B: a symmetric pair — each point sits at exactly 1 sigma,
+    // inside the 2-sigma fence for any n=2 group
+    val li = ((1 to 9).map(_ => ("A", 10.0)) :+ ("A", 20.0)) ++
+      Seq(("B", 10.0), ("B", 20.0)) // mean 15, sigma 5; |x-15|=5 = 1 sigma
+      .toSeq
+    val got = AggregateOps.zOutlierReport(
+      li.toDF("l_returnflag", "l_extendedprice")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(4))).toMap
+    assert(got("A") == ((10L, 11.0, 1L)), s"got $got")
+    assert(got("B")._3 == 0L, "symmetric two-point group has no strict 2-sigma outlier")
+  }
+
   test("snapshot diff classifies added/changed/removed and drops the unchanged majority") {
     import spark.implicits._
     val cur = Seq(
