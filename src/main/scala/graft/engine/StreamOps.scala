@@ -188,6 +188,68 @@ object StreamOps {
       }
   }
 
+  /** Streaming sessionization with EVENT-TIME state expiry — the
+    * stateful shape the other custom-state ops don't exercise:
+    * `GroupStateTimeout.EventTimeTimeout`, where the WATERMARK (not
+    * processing time, not a new event) closes the open session. State
+    * per user is one (session counter, open start/end/count) tuple;
+    * each batch folds its events into the open session (a > gap jump
+    * closes it inline and opens the next), then re-arms a timeout at
+    * session end + gap — when the watermark passes that instant the
+    * timeout callback emits the completed session exactly once and
+    * drops the open-session state, leaving only the O(1) counter.
+    * That is the production contract for session feeds: sessions
+    * complete deterministically from event time, state is bounded,
+    * and a quiet user's session still closes without another event
+    * ever arriving.
+    *
+    * Output rows match batch [[EventOps.sessionize]]'s (user_id,
+    * session_id, n_events, start, duration) in epoch micros;
+    * equivalence over an in-order feed is asserted in StreamingSpec
+    * (cross-batch late data is bounded by the watermark delay, as in
+    * every watermarked op here). */
+  def streamingSessionize(events: DataFrame, gapMinutes: Int = 30,
+                          watermarkDelay: String = "10 minutes")
+      : Dataset[(Long, Long, Long, Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val gapUs = gapMinutes * 60L * 1000000L
+    val gapMs = gapMinutes * 60L * 1000L
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          var (seq, st, en, n) = state.getOption.getOrElse((0L, -1L, -1L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: the session is final
+            if (st >= 0) out += ((user, seq, n, st, en - st))
+            state.update((seq, -1L, -1L, 0L)) // counter survives, open session gone
+          } else {
+            // micro-batch arrival order is not event order — sort the
+            // (bounded, per-user-per-batch) slice on (ts, event_id)
+            rows.toSeq.map(r => (us(r._3), r._2)).sortBy(identity).foreach { case (t, _) =>
+              if (st < 0) { seq += 1; st = t; en = t; n = 1 }
+              else if (t - en > gapUs) {
+                out += ((user, seq, n, st, en - st))
+                seq += 1; st = t; en = t; n = 1
+              } else { if (t > en) en = t; n += 1 }
+            }
+            state.update((seq, st, en, n))
+            if (st >= 0)
+              state.setTimeoutTimestamp(
+                math.max(en / 1000 + gapMs + 1, state.getCurrentWatermarkMs() + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming sequence packing — [[graft.engine.CorpusOps.packSequences]]
     * as continuous data prep: documents arrive as (lang, doc_id,
     * n_tokens), per-lang state is ONE long (the stream's running token

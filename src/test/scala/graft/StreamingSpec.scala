@@ -192,6 +192,50 @@ class StreamingSpec extends SparkSpec {
     assert(alerts == Set((1L, 1L), (1L, 2L)), s"got $alerts")
   }
 
+  test("event-time timeout sessionization equals batch sessionize; the watermark closes sessions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val real = Seq(
+      (1L, 1L, t("2026-01-01 10:00:00")), (1L, 2L, t("2026-01-01 10:10:00")),
+      (1L, 3L, t("2026-01-01 10:20:00")), (1L, 4L, t("2026-01-01 10:51:00")),
+      (2L, 5L, t("2026-01-01 09:00:00")), (2L, 6L, t("2026-01-01 09:30:00")))
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = StreamOps.streamingSessionize(input.toDS().toDF("user_id", "event_id", "ts"))
+      .toDF("user_id", "session_id", "n_events", "start_us", "duration_us")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_state").start()
+    try {
+      input.addData(real.take(3) ++ real.drop(4): _*) // both users' opening events
+      q.processAllAvailable()
+      input.addData(real(3)) // the >30min jump closes user 1's first session inline
+      q.processAllAvailable()
+      // two sentinel batches: the first raises max event time, the
+      // second runs with the advanced watermark so timeouts fire —
+      // no real user ever sends another event, yet their sessions close
+      input.addData((99L, 100L, t("2026-01-01 13:00:00")))
+      q.processAllAvailable()
+      input.addData((99L, 101L, t("2026-01-01 13:00:01")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sessions_state").collect()
+      .filter(_.getLong(0) != 99L)
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val batch = graft.engine.EventOps.sessionize(
+      real.toDF("user_id", "event_id", "ts")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), unixMicros(r.getTimestamp(3)), r.getLong(5))).toMap
+    assert(got == batch, s"stream $got != batch $batch")
+    // every emission is unique: timeout + inline close never double-emit
+    assert(spark.table("sessions_state").count() ==
+      spark.table("sessions_state").distinct().count())
+  }
+
+  private def unixMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000 + (t.getNanos / 1000) % 1000
+
   test("watermarked stream-stream interval join matches the batch interval join") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
