@@ -82,4 +82,29 @@ object WindowOps {
       .select(col("o_orderpriority"), col("o_orderkey"), col("pr"), col("cd"), col("rn"))
       .orderBy(col("o_orderpriority"), col("rn"))
   }
+
+  /** Trailing time-RANGE aggregate — the frame kind the ROWS-based
+    * family (q29 running totals) cannot express: for every event,
+    * the count and exact-decimal sum of the same user's events in
+    * the trailing `windowMinutes` of EVENT TIME, however many rows
+    * that is. `rangeBetween` over epoch microseconds gives the
+    * physical-value frame ((t − 60min, t], inclusive of same-instant
+    * peers — RANGE frames include ties, which is the correct
+    * semantics for simultaneous events and is what the oracle
+    * replays). One shuffle on user_id, then a per-partition ordered
+    * scan with a sliding frame — linear work per partition, no
+    * events×events self-join, no per-row re-aggregation. */
+  def trailingTimeAgg(events: DataFrame, windowMinutes: Int = 60): DataFrame = {
+    val windowUs = windowMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-(windowUs - 1), 0)
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("n_trailing", count(lit(1)).over(w).cast("long"))
+      .withColumn("sum_trailing",
+        sum(col("value").cast("decimal(18,4)")).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("n_trailing"), col("sum_trailing"))
+      .orderBy(col("event_id"))
+  }
 }

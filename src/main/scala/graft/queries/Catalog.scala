@@ -668,6 +668,21 @@ object Catalog {
              |) WHERE rn <= 20
              |ORDER BY o_orderpriority, rn""".stripMargin)),
 
+    // time-RANGE frame (the kind ROWS frames can't express): per
+    // event, count + exact-decimal sum of the same user's events in
+    // the trailing 60 min of EVENT time; RANGE includes same-instant
+    // peers on both engines.
+    QuerySpec(
+      "q163_trailing_time_agg",
+      (s, dir) => WindowOps.trailingTimeAgg(Tables.events(s, dir)),
+      Some("""SELECT user_id, event_id,
+             |       CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_trailing
+             |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             |             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
     QuerySpec(
       "q28_window_rank",
       (s, dir) => WindowOps.topPerGroup(Tables.customer(s, dir), 3),

@@ -336,6 +336,25 @@ class CoreSpec extends SparkSpec {
     assert(got.map(_.toString).toSeq == again)
   }
 
+  test("trailing time-range frame: strict lower bound, same-instant peers included") {
+    import spark.implicits._
+    import graft.engine.WindowOps
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 1L, t("2026-01-01 09:00:00"), 1.0), // exactly 60 min before e3: OUTSIDE
+      (1L, 2L, t("2026-01-01 09:30:00"), 2.0), // inside e3's hour
+      (1L, 3L, t("2026-01-01 10:00:00"), 4.0),
+      (1L, 4L, t("2026-01-01 10:00:00"), 8.0)) // same instant as e3: RANGE peer
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = WindowOps.trailingTimeAgg(ev).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((1L, 1.0)))
+    assert(got(2L) == ((2L, 3.0)))
+    // e3 and e4 see each other (peers) and e2, but NOT e1 (exactly 60min)
+    assert(got(3L) == ((3L, 14.0)), s"got $got")
+    assert(got(4L) == ((3L, 14.0)))
+  }
+
   test("sessionize splits on the gap, anchors ids per user, and sums exact durations") {
     import spark.implicits._
     val ev = Seq(
