@@ -295,6 +295,42 @@ object AggregateOps {
     * rollup for the moments + one broadcast join back — two passes,
     * no window, no per-group sort. DECIMAL(38,0) holds the squares
     * (≈10²⁶ at this schema's magnitudes) with 12 digits of headroom. */
+  /** Winsorized robust mean per group via EXACT order statistics —
+    * the deterministic complement of the GK approx quantiles (q18/
+    * q19): the p5/p95 bounds are the k-th smallest cent-quantized
+    * values (k = (n−1)·p/100 + 1, integer arithmetic), read off a
+    * per-group rank window — the VALUE at rank k is invariant to how
+    * ties order, so the bounds replay bit-exact in any engine; the
+    * clamped mean accumulates in DECIMAL. Per-group sort is the
+    * honest cost of exactness (groups sort in parallel; the approx
+    * sketch is the one-pass alternative when 10⁻³ error is fine).
+    * Bounds are a |groups|-row broadcast back onto the fact. */
+  def winsorizedMean(lineitem: DataFrame, loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = lineitem.select(col("l_returnflag"),
+      round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .localCheckpoint(false) // rank window, counts, and clamp pass all read it
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("c"))
+    val counts = cents.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    val bounds = cents.withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(counts), "l_returnflag")
+      .withColumn("k_lo", expr(s"((n - 1) * $loPct) DIV 100 + 1"))
+      .withColumn("k_hi", expr(s"((n - 1) * $hiPct) DIV 100 + 1"))
+      .filter(col("rn") === col("k_lo") || col("rn") === col("k_hi"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(when(col("rn") === col("k_lo"), col("c"))).as("c_lo"),
+           min(when(col("rn") === col("k_hi"), col("c"))).as("c_hi"))
+    cents.join(broadcast(bounds), "l_returnflag")
+      .withColumn("cw", least(greatest(col("c"), col("c_lo")), col("c_hi")))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+           round(min(col("c_lo")).cast("double") / 100, 6).as("lo_price"),
+           round(min(col("c_hi")).cast("double") / 100, 6).as("hi_price"),
+           round(sum(col("cw").cast("decimal(38,0)")).cast("double")
+                 / (count(lit(1)).cast("double") * 100), 6).as("winsorized_mean"))
+      .orderBy(col("l_returnflag"))
+  }
+
   def zOutlierReport(lineitem: DataFrame): DataFrame = {
     val cents = lineitem.select(col("l_returnflag"),
       round(col("l_extendedprice") * 100).cast("decimal(38,0)").as("c"))

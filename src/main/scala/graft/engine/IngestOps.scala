@@ -360,4 +360,43 @@ object IngestOps {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** Declarative data-quality expectations over the star schema —
+    * the dbt/Great-Expectations-shaped audit a pipeline runs after
+    * every load (the batch complement of [[readWithQuarantine]]'s
+    * row-level gate): primary-key uniqueness, referential integrity,
+    * null contracts and value-range rules, each one rule = one
+    * violation count = one row. Every rule is a single aggregate or
+    * left-anti join — the FK check is the scale-relevant one: an
+    * anti-join on the join key, shuffle-pruned like any equi-join,
+    * never a driver-side existence loop. At 100 TB this report is
+    * the load-gate artifact: per-rule counts land next to the
+    * partition manifest (q158) and a nonzero count blocks publish. */
+  def expectationsReport(orders: DataFrame, customer: DataFrame,
+                         lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    def rule(name: String, checked: Column, violations: Column, from: DataFrame) =
+      from.agg(checked.cast("long").as("n_checked"),
+               violations.cast("long").as("n_violations"))
+        .select(lit(name).as("rule"), col("n_checked"), col("n_violations"),
+                (col("n_violations") === 0L).as("pass"))
+    val pkDup = rule("orders_pk_unique",
+      count(lit(1)), count(lit(1)) - countDistinct(col("o_orderkey")), orders)
+    val fkJoined = lineitem.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_outer")
+    val fk = rule("lineitem_fk_orders",
+      count(lit(1)), count(when(col("o_orderkey").isNull, 1)), fkJoined)
+    val nn = rule("customer_nationkey_not_null",
+      count(lit(1)), count(when(col("c_nationkey").isNull, 1)), customer)
+    val range = rule("lineitem_quantity_in_1_50",
+      count(lit(1)),
+      count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)), lineitem)
+    val pos = rule("orders_totalprice_positive",
+      count(lit(1)), count(when(col("o_totalprice") <= 0, 1)), orders)
+    pkDup.unionByName(fk).unionByName(nn).unionByName(range).unionByName(pos)
+      .select(col("rule"), col("n_checked"), col("n_violations"), col("pass"))
+      .orderBy(col("rule"))
+  }
 }

@@ -529,6 +529,35 @@ object Catalog {
              |FROM m LEFT JOIN o USING (l_returnflag)
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // exact-order-statistic winsorized mean: p5/p95 bounds are the
+    // k-th smallest cent values (k = (n−1)p/100 + 1 integer), the
+    // clamped mean accumulates in DECIMAL — rank-k VALUES are
+    // tie-order-invariant, so both engines agree bit-exactly.
+    QuerySpec(
+      "q165_winsorized_mean",
+      (s, dir) => AggregateOps.winsorizedMean(Tables.lineitem(s, dir)),
+      Some("""WITH cents AS (
+             |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+             |  FROM lineitem),
+             |r AS (SELECT l_returnflag, c,
+             |             CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY c) AS BIGINT) AS rn
+             |      FROM cents),
+             |n AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM cents GROUP BY 1),
+             |b AS (SELECT r.l_returnflag,
+             |             MIN(CASE WHEN rn = ((n - 1) * 5) // 100 + 1 THEN c END) AS c_lo,
+             |             MIN(CASE WHEN rn = ((n - 1) * 95) // 100 + 1 THEN c END) AS c_hi
+             |      FROM r JOIN n USING (l_returnflag)
+             |      WHERE rn = ((n - 1) * 5) // 100 + 1 OR rn = ((n - 1) * 95) // 100 + 1
+             |      GROUP BY 1)
+             |SELECT cents.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |       ROUND(CAST(MIN(c_lo) AS DOUBLE) / 100, 6) AS lo_price,
+             |       ROUND(CAST(MIN(c_hi) AS DOUBLE) / 100, 6) AS hi_price,
+             |       ROUND(CAST(SUM(CAST(LEAST(GREATEST(c, c_lo), c_hi) AS HUGEINT)) AS DOUBLE)
+             |             / (CAST(COUNT(*) AS DOUBLE) * 100), 6) AS winsorized_mean
+             |FROM cents JOIN b USING (l_returnflag)
+             |GROUP BY cents.l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     QuerySpec(
       "q23_rollup",
       (s, dir) => AggregateOps.rollupAgg(Tables.lineitem(s, dir)),
@@ -3914,6 +3943,38 @@ object Catalog {
         Some("""SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
                |FROM orders WHERE o_orderkey <= 6000
                |ORDER BY o_orderkey""".stripMargin)),
+
+      // declarative data-quality expectations: PK uniqueness, FK
+      // orphans (left-outer null count), null contract, value
+      // ranges — the post-load audit gate; every rule one aggregate
+      // or one anti-join-shaped count.
+      QuerySpec(
+        "q164_expectations",
+        (s, dir) => IngestOps.expectationsReport(
+          Tables.orders(s, dir), Tables.customer(s, dir), Tables.lineitem(s, dir)),
+        Some("""WITH rules AS (
+               |  SELECT 'orders_pk_unique' AS rule,
+               |         CAST(COUNT(*) AS BIGINT) AS n_checked,
+               |         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+               |  FROM orders
+               |  UNION ALL
+               |  SELECT 'lineitem_fk_orders', CAST(COUNT(*) AS BIGINT),
+               |         CAST(COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS BIGINT)
+               |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+               |  UNION ALL
+               |  SELECT 'customer_nationkey_not_null', CAST(COUNT(*) AS BIGINT),
+               |         CAST(COUNT(CASE WHEN c_nationkey IS NULL THEN 1 END) AS BIGINT)
+               |  FROM customer
+               |  UNION ALL
+               |  SELECT 'lineitem_quantity_in_1_50', CAST(COUNT(*) AS BIGINT),
+               |         CAST(COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) AS BIGINT)
+               |  FROM lineitem
+               |  UNION ALL
+               |  SELECT 'orders_totalprice_positive', CAST(COUNT(*) AS BIGINT),
+               |         CAST(COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT)
+               |  FROM orders)
+               |SELECT rule, n_checked, n_violations, n_violations = 0 AS pass
+               |FROM rules ORDER BY rule""".stripMargin)),
 
       QuerySpec(
         "q55_dash_pie_rollup",

@@ -336,6 +336,36 @@ class CoreSpec extends SparkSpec {
     assert(got.map(_.toString).toSeq == again)
   }
 
+  test("winsorized mean clamps at the exact k-th order statistics") {
+    import spark.implicits._
+    // values 1..100 dollars: k_lo = (99*5)//100+1 = 5 -> 5.00,
+    // k_hi = (99*95)//100+1 = 95 -> 95.00; clamped sum = 4*5 +
+    // (5+...+95) + 5*95 = 20 + 4550 + 475 = 5045 -> mean 50.45
+    val li = (1 to 100).map(i => ("A", i.toDouble)).toDF("l_returnflag", "l_extendedprice")
+    val r = AggregateOps.winsorizedMean(li).collect()(0)
+    assert(r.getLong(1) == 100L)
+    assert(r.getDouble(2) == 5.0 && r.getDouble(3) == 95.0)
+    assert(r.getDouble(4) == 50.45)
+  }
+
+  test("expectations report counts each planted violation exactly once") {
+    import spark.implicits._
+    val orders = Seq((1L, 10.0), (1L, 20.0), (2L, -5.0), (3L, 30.0)) // dup PK + nonpositive
+      .toDF("o_orderkey", "o_totalprice")
+    val customer = Seq((1L, Some(1L)), (2L, None)) // one null nationkey
+      .toDF("c_custkey", "c_nationkey")
+    val lineitem = Seq((1L, 5.0), (9L, 5.0), (2L, 0.0), (3L, 51.0)) // orphan 9 + 2 range
+      .toDF("l_orderkey", "l_quantity")
+    val got = IngestOps.expectationsReport(orders, customer, lineitem).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got == Map(
+      "orders_pk_unique" -> ((1L, false)),
+      "lineitem_fk_orders" -> ((1L, false)),
+      "customer_nationkey_not_null" -> ((1L, false)),
+      "lineitem_quantity_in_1_50" -> ((2L, false)),
+      "orders_totalprice_positive" -> ((1L, false))), s"got $got")
+  }
+
   test("trailing time-range frame: strict lower bound, same-instant peers included") {
     import spark.implicits._
     import graft.engine.WindowOps
