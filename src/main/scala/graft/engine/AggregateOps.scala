@@ -331,6 +331,51 @@ object AggregateOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Robust MAD outlier report per group — the heavy-tail-safe
+    * complement of [[zOutlierReport]] (a single fat outlier inflates
+    * μ/σ and masks its neighbors; the median/MAD pair does not).
+    * Median and MAD are EXACT lower-order statistics over
+    * cent-quantized prices: the value at rank (n+1) div 2 of c, then
+    * of |c − med| — the value AT a rank is invariant to how ties
+    * order, so both replay bit-exact in any engine — and the outlier
+    * test |c − med| > 3·MAD is a pure integer comparison (no fp
+    * boundary flips). Display doubles are cast after every decision.
+    *
+    * Scale: two per-group rank windows (the honest cost of exact
+    * order statistics — groups sort in parallel; the GK sketch q18/
+    * q19 is the one-pass approximate alternative), each followed by
+    * a groups-row broadcast back onto the fact. */
+  def madOutlierReport(lineitem: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = lineitem.select(col("l_returnflag"),
+      round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .localCheckpoint(false) // median rank, deviation pass, outlier pass
+    val counts = cents.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col(valueCol))
+      df.withColumn("rn", row_number().over(w).cast("long"))
+        .join(broadcast(counts), "l_returnflag")
+        .filter(col("rn") === expr("(n + 1) DIV 2"))
+        .groupBy(col("l_returnflag")).agg(min(col(valueCol)).as(out))
+    }
+    val med = lowerMedian(cents, "c", "med")
+    val dev = cents.join(broadcast(med), "l_returnflag")
+      .withColumn("d", abs(col("c") - col("med")))
+    val mad = lowerMedian(dev.select(col("l_returnflag"), col("d")), "d", "mad")
+    val outliers = dev.join(broadcast(mad), "l_returnflag")
+      .filter(col("d") > col("mad") * k)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("long").as("n_outliers"))
+    counts.join(med, "l_returnflag").join(mad, "l_returnflag")
+      .join(outliers, Seq("l_returnflag"), "left_outer")
+      .select(col("l_returnflag"),
+        col("n").cast("long").as("n_rows"),
+        round(col("med").cast("double") / 100, 6).as("median_price"),
+        round(col("mad").cast("double") / 100, 6).as("mad_price"),
+        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+      .orderBy(col("l_returnflag"))
+  }
+
   def zOutlierReport(lineitem: DataFrame): DataFrame = {
     val cents = lineitem.select(col("l_returnflag"),
       round(col("l_extendedprice") * 100).cast("decimal(38,0)").as("c"))

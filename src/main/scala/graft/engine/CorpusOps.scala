@@ -513,6 +513,56 @@ object CorpusOps {
       .orderBy(col("bucket"), col("batch_id"))
   }
 
+  /** Fixture adapter for [[compactionPlan]]: the small-file layout an
+    * incremental ingest leaves behind — every `docsPerFile` docs of a
+    * source (in doc_id order) form one "file" with its byte mass.
+    * Real deploys skip this and feed the storage layer's file listing
+    * (path, partition, bytes) straight in. */
+  def syntheticFileManifest(documents: DataFrame, docsPerFile: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    documents
+      .select(col("source"), col("doc_id"), length(col("text")).cast("long").as("nb"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("file_id", expr(s"(rn - 1) DIV $docsPerFile"))
+      .groupBy(col("source"), col("file_id"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+           sum(col("nb")).cast("long").as("n_bytes"))
+  }
+
+  /** Small-file compaction plan — the bin-packing pass every
+    * incremental 100 TB table needs on a schedule: streaming/ingest
+    * writers leave thousands of KB-scale files per partition, and
+    * scan throughput dies on per-file open cost until they are
+    * coalesced into ~targetBytes outputs. The plan assigns each file
+    * (in file_id order, files never split) to a compaction group by
+    * OFFSET packing: group = (running_byte_end − 1) div targetBytes —
+    * the same deterministic greedy as the sequence packer (q103), so
+    * groups fill to ≈targetBytes and the assignment replays exactly
+    * in any engine. Emits one row per planned output file with its
+    * input-file span and byte mass (a group can exceed targetBytes
+    * only when a single input file does).
+    *
+    * Scale: the input is a FILE MANIFEST — O(files), orders of
+    * magnitude under row count — so the per-partition running-sum
+    * window is cheap by construction; the executor doing the actual
+    * rewrite then reads only its group's span. */
+  def compactionPlan(manifest: DataFrame, targetBytes: Long = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("file_id"))
+    manifest
+      .withColumn("cum", sum(col("n_bytes"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("group_id", expr(s"(cum - 1) DIV $targetBytes"))
+      .groupBy(col("source"), col("group_id"))
+      .agg(count(lit(1)).cast("long").as("n_files"),
+           sum(col("n_docs")).cast("long").as("n_docs"),
+           sum(col("n_bytes")).cast("long").as("n_bytes"),
+           min(col("file_id")).cast("long").as("file_lo"),
+           max(col("file_id")).cast("long").as("file_hi"))
+      .orderBy(col("source"), col("group_id"))
+  }
+
   def hashStratifiedSample(documents: DataFrame, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source"))

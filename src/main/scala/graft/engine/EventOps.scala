@@ -91,6 +91,44 @@ object EventOps {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** SCD2-style state history — the slowly-changing-dimension build
+    * every CDC/warehouse pipeline runs: per user, consecutive runs of
+    * the same `event_type` compress into one versioned validity row
+    * (version, state, valid_from, valid_to, n_events, last_seen),
+    * with `valid_to` = the next run's `valid_from` (half-open
+    * intervals, NULL ⇒ current). Change-points are a lag compare,
+    * the version is the running count of change-points, the interval
+    * close is a lead over the compressed runs — three window layers,
+    * the first two sharing one (user_id) sort.
+    *
+    * Scale: ONE shuffle on user_id for the run detection (both
+    * windows reuse the sort), a (user, version)-keyed rollup, then a
+    * second per-user window over the COMPRESSED rows — bounded by
+    * state changes, not events. No event-to-event self-join. */
+  def scd2History(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val runs = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+             lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version",
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val hist = runs.groupBy(col("user_id"), col("version"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+           min(col("ts")).as("valid_from"),
+           max(col("ts")).as("last_seen"))
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    hist
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+      .withColumn("is_current", col("valid_to").isNull.cast("long"))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("n_events"), col("valid_from"), col("valid_to"),
+        col("last_seen"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   /** Batch sessionization — the gaps-and-islands assignment that
     * turns a raw event log into per-user sessions: a new session
     * starts at a user's first event or after a gap > `gapMinutes`;

@@ -783,6 +783,55 @@ object TextOps {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** Term co-occurrence PMI pairs — the collocation report a corpus
+    * card quotes ("deep learning", "new york"): among the top
+    * `vocabK` document-frequency terms, the pairs whose DOCUMENT
+    * co-occurrence most exceeds independence. The PMI exponential
+    * e^pmi = P(a,b)/(P(a)P(b)) is computed as the single-division
+    * rational (c_ab · n_docs) / (c_a · c_b) — exact BIGINT numerator
+    * and denominator, one IEEE division, no logs (the q144
+    * transcendental-free-lift discipline) — so ranking and values
+    * replay bit-exact in any engine.
+    *
+    * Scale: the VOCABULARY CAP is the whole design — per-doc term
+    * sets are intersected with a broadcast top-vocabK vocab before
+    * the pair self-join, so per-doc fanout is ≤ vocabK²/2 regardless
+    * of document length, and the candidate-pair space is
+    * vocab-bounded (vocabK choose 2), never corpus-sized. The final
+    * top-k cut is TakeOrdered over that bounded set with a total
+    * order (lift desc, wa, wb). */
+  def pmiPairs(documents: DataFrame, vocabK: Int = 100, minPair: Long = 5,
+               k: Int = 50): DataFrame = {
+    val docTerms = documents
+      .select(col("doc_id"), explode(array_distinct(
+        expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)"))).as("w"))
+      .localCheckpoint(false) // df rollup + both pair sides read it
+    val dfw = docTerms.groupBy(col("w")).agg(count(lit(1)).cast("long").as("df"))
+      .localCheckpoint(false) // vocab cut + marginal lookups
+    val vocab = dfw.orderBy(col("df").desc, col("w")).limit(vocabK)
+      .select(col("w"))
+    val inVocab = docTerms.join(broadcast(vocab), "w")
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val pairs = inVocab.select(col("doc_id"), col("w").as("wa"))
+      .join(inVocab.select(col("doc_id"), col("w").as("wb")), "doc_id")
+      .filter(col("wa") < col("wb"))
+      .groupBy(col("wa"), col("wb"))
+      .agg(count(lit(1)).cast("long").as("c_ab"))
+      .filter(col("c_ab") >= minPair)
+    pairs
+      .join(dfw.select(col("w").as("wa"), col("df").as("c_a")), "wa")
+      .join(dfw.select(col("w").as("wb"), col("df").as("c_b")), "wb")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("lift", round(
+        (col("c_ab") * col("n_docs")).cast("double") /
+        (col("c_a") * col("c_b")).cast("double"), 6))
+      .orderBy(col("lift").desc, col("wa"), col("wb"))
+      .limit(k)
+      .select(col("wa"), col("wb"), col("c_ab"), col("c_a"), col("c_b"),
+        col("lift"))
+      .orderBy(col("wa"), col("wb"))
+  }
+
   /** Corpus boilerplate report — the flip side of [[sharedSpans]]'
     * postings cap: the grams the cap EXCLUDES from pair generation
     * (headers, footers, templates — any passage stamped across the

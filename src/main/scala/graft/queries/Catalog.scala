@@ -50,7 +50,7 @@ object Catalog {
   def specs: Seq[QuerySpec] =
     relational ++ joinsAndSets ++ stats ++ scalars ++ windows ++ eventWindows ++
       textQueries ++ dedupQueries ++ similarityQueries ++ multimodalQueries ++
-      mlQueries ++ ingestAndServing
+      graphQueries ++ mlQueries ++ ingestAndServing
 
   // ---------------------------------------------------------------- //
   // §2.1-2.7 reference-parity relational operators
@@ -558,6 +558,42 @@ object Catalog {
              |GROUP BY cents.l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // robust MAD outlier report: median and MAD are exact lower-order
+    // statistics (value at rank (n+1) div 2 — tie-order-invariant),
+    // the |c−med| > 3·MAD test is a pure integer comparison. The
+    // heavy-tail-safe complement of q162's μ/σ gate.
+    QuerySpec(
+      "q167_mad_outliers",
+      (s, dir) => AggregateOps.madOutlierReport(Tables.lineitem(s, dir)),
+      Some("""WITH cents AS (
+             |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+             |  FROM lineitem),
+             |n AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM cents GROUP BY 1),
+             |mr AS (SELECT cents.l_returnflag, c,
+             |              CAST(row_number() OVER (PARTITION BY cents.l_returnflag ORDER BY c) AS BIGINT) AS rn,
+             |              n.n
+             |       FROM cents JOIN n USING (l_returnflag)),
+             |med AS (SELECT l_returnflag, MIN(c) AS med FROM mr
+             |        WHERE rn = (n + 1) // 2 GROUP BY 1),
+             |dev AS (SELECT cents.l_returnflag, abs(c - med) AS d
+             |        FROM cents JOIN med USING (l_returnflag)),
+             |dr AS (SELECT dev.l_returnflag, d,
+             |              CAST(row_number() OVER (PARTITION BY dev.l_returnflag ORDER BY d) AS BIGINT) AS rn,
+             |              n.n
+             |       FROM dev JOIN n USING (l_returnflag)),
+             |mad AS (SELECT l_returnflag, MIN(d) AS mad FROM dr
+             |        WHERE rn = (n + 1) // 2 GROUP BY 1),
+             |o AS (SELECT dev.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_outliers
+             |      FROM dev JOIN mad USING (l_returnflag)
+             |      WHERE d > mad * 3 GROUP BY 1)
+             |SELECT n.l_returnflag, n.n AS n_rows,
+             |       ROUND(CAST(med AS DOUBLE) / 100, 6) AS median_price,
+             |       ROUND(CAST(mad AS DOUBLE) / 100, 6) AS mad_price,
+             |       COALESCE(n_outliers, 0) AS n_outliers
+             |FROM n JOIN med USING (l_returnflag) JOIN mad USING (l_returnflag)
+             |LEFT JOIN o USING (l_returnflag)
+             |ORDER BY l_returnflag""".stripMargin)),
+
     QuerySpec(
       "q23_rollup",
       (s, dir) => AggregateOps.rollupAgg(Tables.lineitem(s, dir)),
@@ -904,7 +940,38 @@ object Catalog {
              |       MIN(ts) AS session_start, MAX(ts) AS session_end,
              |       CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us
              |FROM h GROUP BY user_id, session_id
-             |ORDER BY user_id, session_id""".stripMargin))
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    // SCD2 state history: consecutive same-state runs compress into
+    // versioned half-open validity intervals (valid_to = next run's
+    // valid_from, NULL ⇒ current) — the CDC/warehouse dimension
+    // build; run detection and versioning share one per-user sort.
+    QuerySpec(
+      "q166_scd2_history",
+      (s, dir) => EventOps.scd2History(Tables.events(s, dir)),
+      Some("""WITH runs AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |         CASE WHEN lag(event_type) OVER w IS NULL
+             |                OR lag(event_type) OVER w <> event_type
+             |              THEN 1 ELSE 0 END AS chg
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |ver AS (
+             |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS version
+             |  FROM runs),
+             |hist AS (
+             |  SELECT user_id, version, event_type,
+             |         CAST(COUNT(*) AS BIGINT) AS n_events,
+             |         MIN(ts) AS valid_from, MAX(ts) AS last_seen
+             |  FROM ver GROUP BY user_id, version, event_type)
+             |SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+             |       n_events, valid_from,
+             |       lead(valid_from) OVER wv AS valid_to, last_seen,
+             |       CAST(lead(valid_from) OVER wv IS NULL AS BIGINT) AS is_current
+             |FROM hist
+             |WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+             |ORDER BY user_id, version""".stripMargin))
   )
 
   // ---------------------------------------------------------------- //
@@ -1167,6 +1234,33 @@ object Catalog {
              |      FROM sc)
              |SELECT source, rk, w, tf_sw, tf_g, lift
              |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin)),
+
+    // term co-occurrence PMI collocations: document co-occurrence vs
+    // independence as the single-division rational (c_ab·n)/(c_a·c_b)
+    // over a broadcast top-df vocabulary — the vocab cap bounds the
+    // pair space at vocabK², independent of corpus size.
+    QuerySpec(
+      "q171_pmi_pairs",
+      (s, dir) => TextOps.pmiPairs(Tables.documents(s, dir)),
+      Some("""WITH dt AS (
+             |  SELECT DISTINCT doc_id, w FROM (
+             |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS w
+             |    FROM documents)),
+             |dfw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY w),
+             |vocab AS (SELECT w FROM dfw ORDER BY df DESC, w LIMIT 100),
+             |iv AS (SELECT dt.doc_id, dt.w FROM dt JOIN vocab USING (w)),
+             |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+             |p AS (SELECT a.w AS wa, b.w AS wb, CAST(COUNT(*) AS BIGINT) AS c_ab
+             |      FROM iv a JOIN iv b ON a.doc_id = b.doc_id AND a.w < b.w
+             |      GROUP BY a.w, b.w HAVING COUNT(*) >= 5),
+             |sc AS (SELECT p.wa, p.wb, p.c_ab, da.df AS c_a, db.df AS c_b,
+             |              ROUND(CAST(p.c_ab * n_docs AS DOUBLE) /
+             |                    CAST(da.df * db.df AS DOUBLE), 6) AS lift
+             |       FROM p JOIN dfw da ON da.w = p.wa JOIN dfw db ON db.w = p.wb
+             |       CROSS JOIN nd),
+             |top AS (SELECT * FROM sc ORDER BY lift DESC, wa, wb LIMIT 50)
+             |SELECT wa, wb, c_ab, c_a, c_b, lift FROM top
+             |ORDER BY wa, wb""".stripMargin)),
 
     // BM25 top-k retrieval with the RATIONAL idf (N−df+0.5)/(df+0.5)
     // — same ranking signal as the ln() form, but built only from
@@ -2326,6 +2420,35 @@ object Catalog {
              |         AS content_checksum
              |FROM documents GROUP BY source, lang
              |ORDER BY source, lang""".stripMargin)),
+
+    // small-file compaction plan: files (never split, file_id order)
+    // bin-pack into ≈target-byte output groups by offset packing over
+    // a per-partition running byte sum — the scheduled coalesce pass
+    // an incremental table needs; input is the O(files) manifest.
+    QuerySpec(
+      "q168_compaction_plan",
+      (s, dir) => CorpusOps.compactionPlan(
+        CorpusOps.syntheticFileManifest(Tables.documents(s, dir))),
+      Some("""WITH files AS (
+             |  SELECT source, file_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |         CAST(SUM(nb) AS BIGINT) AS n_bytes
+             |  FROM (SELECT source, doc_id, length(text) AS nb,
+             |               (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1) // 4
+             |                 AS file_id
+             |        FROM documents)
+             |  GROUP BY source, file_id),
+             |packed AS (
+             |  SELECT *, SUM(n_bytes) OVER (PARTITION BY source ORDER BY file_id
+             |                               ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM files)
+             |SELECT source, CAST((cum - 1) // 4096 AS BIGINT) AS group_id,
+             |       CAST(COUNT(*) AS BIGINT) AS n_files,
+             |       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+             |       CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+             |       CAST(MIN(file_id) AS BIGINT) AS file_lo,
+             |       CAST(MAX(file_id) AS BIGINT) AS file_hi
+             |FROM packed GROUP BY source, group_id
+             |ORDER BY source, group_id""".stripMargin)),
 
     // retrieval-side splitter: fixed token windows with overlap,
     // exact integer ceiling division for the chunk count — per-row
@@ -3854,6 +3977,106 @@ object Catalog {
        |$branches
        |ORDER BY feature_i, feature_j""".stripMargin
   }
+
+  // ---------------------------------------------------------------- //
+  // north-star: host-graph analytics (GraphOps)
+  // ---------------------------------------------------------------- //
+  /** Shared CTEs for the graph oracles: the synthetic host per doc
+    * (replaying [[graft.engine.WebOps.syntheticUrls]]' formula) and
+    * the host-link edge table (partner doc = pmod(xxh64(doc_id), n),
+    * via the bit-exact [[Xxh64DocIdSql]] chain). */
+  private val hostEdgesCteSql: String = {
+    import Xxh64DocIdSql.{ctes, tos}
+    s"""$ctes,
+       |hosts AS (
+       |  SELECT doc_id,
+       |         list_extract(['www', 'cdn', 'blog'], CAST(doc_id % 3 AS INT) + 1) ||
+       |         '.' || source || '.example' AS host
+       |  FROM documents),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+       |dstd AS (SELECT s10.doc_id, ((${tos("h8")} % n) + n) % n AS dst_doc
+       |         FROM s10 CROSS JOIN nn),
+       |edges AS (SELECT a.host AS src, b.host AS dst, CAST(COUNT(*) AS BIGINT) AS w
+       |          FROM hosts a JOIN dstd ON dstd.doc_id = a.doc_id
+       |          JOIN hosts b ON b.doc_id = dstd.dst_doc
+       |          GROUP BY a.host, b.host)""".stripMargin
+  }
+
+  /** q169 oracle: 3 unrolled fixed-point PageRank iterations — floor
+    * division everywhere, so each iteration is bit-identical to the
+    * Spark BIGINT chain. */
+  private val q169OracleSql: String = {
+    val S = "1000000000000"
+    val iters = (1 to 3).map { k =>
+      s"""c$k AS (SELECT e.dst AS host,
+         |              CAST(SUM((r.rank * e.w) // o.ow) AS BIGINT) AS inflow
+         |       FROM edges e JOIN r${k - 1} r ON r.host = e.src
+         |       JOIN outw o ON o.src = e.src GROUP BY e.dst),
+         |r$k AS (SELECT nodes.host,
+         |               (15 * ($S // m)) // 100
+         |                 + (85 * COALESCE(c$k.inflow, 0)) // 100 AS rank
+         |        FROM nodes CROSS JOIN m
+         |        LEFT JOIN c$k ON c$k.host = nodes.host)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $hostEdgesCteSql,
+       |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT host FROM hosts),
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM nodes),
+       |r0 AS (SELECT host, $S // m AS rank FROM nodes CROSS JOIN m),
+       |$iters
+       |SELECT r3.host, CAST(COALESCE(o.ow, 0) AS BIGINT) AS out_weight,
+       |       CAST(r3.rank AS BIGINT) AS rank_fp,
+       |       ROUND(CAST(r3.rank AS DOUBLE) / $S.0, 9) AS rank
+       |FROM r3 LEFT JOIN outw o ON o.src = r3.host
+       |ORDER BY host""".stripMargin
+  }
+
+  /** q170 oracle: degree-ordered oriented wedge join + closure probe
+    * (either residual orientation), triangles attributed to all three
+    * corners. */
+  private val q170OracleSql: String =
+    s"""WITH $hostEdgesCteSql,
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |        FROM edges WHERE src <> dst),
+       |deg AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS deg FROM
+       |        (SELECT u AS h FROM und UNION ALL SELECT v AS h FROM und)
+       |        GROUP BY h),
+       |ori AS (SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+       |                    THEN u ELSE v END AS a,
+       |               CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+       |                    THEN v ELSE u END AS b
+       |        FROM und JOIN deg d1 ON d1.h = und.u JOIN deg d2 ON d2.h = und.v),
+       |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |        FROM ori e1 JOIN ori e2 ON e2.a = e1.a AND e1.b < e2.b
+       |        JOIN ori e3 ON (e3.a = e1.b AND e3.b = e2.b)
+       |                    OR (e3.a = e2.b AND e3.b = e1.b)),
+       |cnt AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM
+       |        (SELECT x AS host FROM tri UNION ALL SELECT y FROM tri
+       |         UNION ALL SELECT z FROM tri) GROUP BY host)
+       |SELECT deg.h AS host, deg.deg AS degree,
+       |       COALESCE(cnt.n_triangles, 0) AS n_triangles
+       |FROM deg LEFT JOIN cnt ON cnt.host = deg.h
+       |ORDER BY host""".stripMargin
+
+  private def graphQueries: Seq[QuerySpec] = Seq(
+    // deterministic fixed-point PageRank (damping 0.85, 3 synchronous
+    // iterations): scaled-BIGINT rank mass with floor division, so
+    // the iteration replays bit-exact in any engine — the domain
+    // authority prior the web-curation family weights quality by.
+    QuerySpec(
+      "q169_host_pagerank",
+      (s, dir) => GraphOps.pagerank(GraphOps.hostLinks(Tables.documents(s, dir))),
+      Some(q169OracleSql)),
+
+    // per-host triangle participation with the degree-ordered
+    // orientation (every wedge enumerated once at its lowest-degree
+    // vertex — the O(m^1.5) bound that survives hub skew); the
+    // mirror-cluster density signal.
+    QuerySpec(
+      "q170_triangle_count",
+      (s, dir) => GraphOps.triangleCounts(GraphOps.hostLinks(Tables.documents(s, dir))),
+      Some(q170OracleSql))
+  )
 
   private def mlQueries: Seq[QuerySpec] = Seq(
     QuerySpec(

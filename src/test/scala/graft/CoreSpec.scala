@@ -486,4 +486,94 @@ class CoreSpec extends SparkSpec {
     assert(after(touched)._2 != base(touched)._2, "edited partition checksum must move")
     assert((after - touched) == (base - touched), "all other partitions unchanged")
   }
+
+  test("scd2 history compresses runs, chains intervals, flags one current row per user") {
+    import spark.implicits._
+    val ev = Seq( // user 1: view,view,click,view -> 3 versions
+      (1L, 1L, "2026-01-01 10:00:00", "view"), (1L, 2L, "2026-01-01 10:05:00", "view"),
+      (1L, 3L, "2026-01-01 10:10:00", "click"), (1L, 4L, "2026-01-01 10:20:00", "view"))
+      .toDF("user_id", "event_id", "ts_s", "event_type")
+      .select(col("user_id"), col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("event_type"))
+    val rows = EventOps.scd2History(ev).collect()
+    assert(rows.map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toSeq ==
+      Seq((1L, "view", 2L), (2L, "click", 1L), (3L, "view", 1L)))
+    // half-open chain: version k's valid_to == version k+1's valid_from
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getTimestamp(5) == b.getTimestamp(4)) }
+    assert(rows.map(_.getLong(7)).toSeq == Seq(0L, 0L, 1L), "only last row current")
+  }
+
+  test("MAD outliers: planted fat tail flips the robust gate, not the median") {
+    import spark.implicits._
+    // 1..9 dollars + one 1000-dollar outlier: lower median 5.00 (rank
+    // 5 of 10), deviations' lower median 2.00, only 995.00 > 3*MAD
+    val li = ((1 to 9).map(_.toDouble) :+ 1000.0).map(("A", _))
+      .toDF("l_returnflag", "l_extendedprice")
+    val r = AggregateOps.madOutlierReport(li).collect()(0)
+    assert(r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 5.0 && r.getDouble(3) == 2.0)
+    assert(r.getLong(4) == 1L, s"got $r")
+  }
+
+  test("compaction plan packs files whole, contiguous, to the byte-offset groups") {
+    import spark.implicits._
+    val manifest = Seq( // cum ends: 1000, 5000, 5100, 10100, 12100
+      ("x", 0L, 1L, 1000L), ("x", 1L, 1L, 4000L), ("x", 2L, 1L, 100L),
+      ("x", 3L, 1L, 5000L), ("x", 4L, 1L, 2000L))
+      .toDF("source", "file_id", "n_docs", "n_bytes")
+    val got = CorpusOps.compactionPlan(manifest, targetBytes = 4096).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      0L -> ((1L, 1000L, 0L, 0L)),   // file 0
+      1L -> ((2L, 4100L, 1L, 2L)),   // files 1-2 end inside group 1
+      2L -> ((2L, 7000L, 3L, 4L))))  // the 5000-byte file carries its group over
+    // conservation: every input byte lands in exactly one group
+    assert(got.map(_._2._2).sum == 12100L)
+  }
+
+  test("fixed-point pagerank: symmetric cycle stays uniform, values exact after 3 iters") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L))
+      .toDF("src_host", "dst_host", "w")
+    val r = GraphOps.pagerank(edges).collect()
+    assert(r.length == 3)
+    // hand-computed floor-div chain: r0 = 333333333333, then
+    // 333333333332 / 333333333331 / 333333333330
+    assert(r.map(_.getLong(2)).distinct.toSeq == Seq(333333333330L), s"got ${r.toSeq}")
+  }
+
+  test("pagerank moves mass to the planted sink host") {
+    import spark.implicits._
+    // b,c,d all link only to a; a links to b — a must out-rank b,c,d
+    val edges = Seq(("b", "a", 1L), ("c", "a", 1L), ("d", "a", 1L), ("a", "b", 1L))
+      .toDF("src_host", "dst_host", "w")
+    val got = GraphOps.pagerank(edges).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got("a") > got("b") && got("b") > got("c"), s"got $got")
+    assert(got("c") == got("d"))
+  }
+
+  test("triangle counts attribute the planted triangle to its three corners only") {
+    import spark.implicits._
+    val edges = Seq( // triangle a-b-c plus pendant c-d (one edge duplicated both ways)
+      ("a", "b", 1L), ("b", "c", 1L), ("a", "c", 1L), ("c", "d", 1L), ("d", "c", 2L))
+      .toDF("src_host", "dst_host", "w")
+    val got = GraphOps.triangleCounts(edges).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      "a" -> ((2L, 1L)), "b" -> ((2L, 1L)), "c" -> ((3L, 1L)), "d" -> ((1L, 0L))))
+  }
+
+  test("PMI pairs score perfect collocations at n/df and ignore never-co-occurring terms") {
+    import spark.implicits._
+    val docs = ((0 until 6).map(i => (i.toLong, "alpha beta")) ++
+                (6 until 12).map(i => (i.toLong, "gamma delta")))
+      .toDF("doc_id", "text")
+    val got = TextOps.pmiPairs(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    // each pair co-occurs in all its 6 docs: lift = 6*12/(6*6) = 2.0;
+    // cross-pairs never co-occur and are absent
+    assert(got == Map(("alpha", "beta") -> 2.0, ("delta", "gamma") -> 2.0))
+  }
 }
