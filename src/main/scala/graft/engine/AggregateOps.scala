@@ -331,6 +331,47 @@ object AggregateOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Benford first-digit law constants log10(1 + 1/d), d = 1..9 —
+    * shared LITERALS (never computed: log10 is transcendental and
+    * engine-dependent; a literal is bit-identical everywhere). */
+  val benfordShares: Seq[Double] = Seq(
+    0.301029995664, 0.176091259056, 0.124938736608, 0.096910013008,
+    0.079181246048, 0.066946789631, 0.057991946978, 0.051152522447,
+    0.045757490561)
+
+  /** Benford first-significant-digit audit per group — the
+    * fabricated-data / unit-mixup smell test a spend dataset gets:
+    * naturally-occurring amounts follow log10(1+1/d); hand-entered or
+    * wrongly-scaled ones don't. The digit is extracted INTEGER-side
+    * (first char of the cent-quantized BIGINT's decimal string —
+    * shifting by 100 preserves the leading significant digit, and
+    * BIGINT→string never goes scientific, unlike double→string), the
+    * expected share is a shared literal, and the only fp ops are two
+    * exact-BIGINT divisions and one subtraction per output row.
+    *
+    * Scale: one map-side-combinable rollup on (group, digit) — 9
+    * digits × groups output rows, one shuffle, corpus-size-free. */
+  def benfordReport(orders: DataFrame): DataFrame = {
+    val bArr = benfordShares.mkString("array(", ", ", ")")
+    val digits = orders
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .filter(col("cents") >= 1)
+      .withColumn("digit", substring(col("cents").cast("string"), 1, 1).cast("long"))
+    val counts = digits.groupBy(col("o_orderpriority"), col("digit"))
+      .agg(count(lit(1)).cast("long").as("n_obs"))
+    val totals = digits.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("long").as("n_tot"))
+    counts.join(broadcast(totals), "o_orderpriority")
+      .withColumn("benford_share", expr(s"element_at($bArr, CAST(digit AS INT))"))
+      .select(col("o_orderpriority"), col("digit"), col("n_obs"), col("n_tot"),
+        round(col("n_obs").cast("double") / col("n_tot"), 6).as("obs_share"),
+        col("benford_share"),
+        round(abs(col("n_obs").cast("double") / col("n_tot") - col("benford_share")), 6)
+          .as("abs_gap"))
+      .orderBy(col("o_orderpriority"), col("digit"))
+  }
+
   /** Robust MAD outlier report per group — the heavy-tail-safe
     * complement of [[zOutlierReport]] (a single fat outlier inflates
     * μ/σ and masks its neighbors; the median/MAD pair does not).

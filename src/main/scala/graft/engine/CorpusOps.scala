@@ -306,6 +306,34 @@ object CorpusOps {
       .orderBy(col("source"))
   }
 
+  /** EXECUTE the token-budget plan ([[tokenBudgetPlan]]) as a
+    * deterministic hash-Bernoulli draw: each source's integer
+    * parts-per-million keep rate comes from the plan's exact-DECIMAL
+    * targets (ppm = target·10⁶ div n_tokens, capped at 10⁶), and a
+    * doc survives iff pmod(xxhash64(doc_id), 10⁶) < ppm — the
+    * reproducible rate-based sampler that complements the exact-k
+    * draws (q142/q150): k-draws guarantee counts, rate-draws
+    * guarantee INDEPENDENCE (membership never changes when other
+    * docs arrive, so incremental corpus versions stay consistent).
+    *
+    * Scale: the plan is a source-count-sized broadcast; the draw is
+    * a stateless per-row filter — no shuffle, no window, and the
+    * same doc always gets the same verdict on any cluster. */
+  def executeTokenBudgetPlan(documents: DataFrame,
+                             totalBudget: Long = 200000L): DataFrame = {
+    val plan = tokenBudgetPlan(documents, totalBudget)
+      .withColumn("ppm", expr(
+        "CAST(least(CAST(1000000 AS BIGINT), " +
+        "(CAST(target_tokens AS DECIMAL(38,0)) * 1000000) div " +
+        "CAST(n_tokens AS DECIMAL(38,0))) AS BIGINT)"))
+      .select(col("source"), col("ppm"))
+    documents.join(broadcast(plan), "source")
+      .withColumn("sample_key", pmod(xxhash64(col("doc_id")), lit(1000000L)))
+      .filter(col("sample_key") < col("ppm"))
+      .select(col("doc_id"), col("source"), col("ppm"), col("sample_key"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Overlapping token-window chunker — the retrieval/embedding-side
     * document splitter (fixed windows with overlap so no phrase is cut
     * without also appearing whole in a neighbor). Chunk i covers token

@@ -91,6 +91,71 @@ object EventOps {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Last-touch attribution: every purchase credits the same user's
+    * most recent PRIOR marketing event (view or click) — the
+    * conversion-credit assignment behind ROI rollups. The carrier is
+    * `last(col, ignoreNulls).over(strictly-preceding rows)` on
+    * conditionally-nulled columns — the running "latest marketing
+    * event so far" — so no event-to-event self-join exists; purchases
+    * with no prior marketing stay NULL-attributed (reported, not
+    * dropped).
+    *
+    * Scale: ONE shuffle on user_id, one sorted window pass shared by
+    * the three carrier columns, then a purchases-only filter. */
+  def lastTouchAttribution(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val mkt = col("event_type") === "view" || col("event_type") === "click"
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("attr_event_id",
+        last(when(mkt, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("attr_type",
+        last(when(mkt, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("attr_us",
+        last(when(mkt, col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"),
+        col("attr_event_id"), col("attr_type"),
+        (col("ts_us") - col("attr_us")).as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** Per-user activity coverage: each event opens a [ts, ts+padSec)
+    * activity interval; overlapping/touching intervals merge
+    * (gaps-and-islands with a RUNNING-MAX end, which handles
+    * intervals that nest — a plain lag compare does not), and the
+    * report is per-user merged-interval count and total covered
+    * microseconds — the "union of intervals" measure (uptime,
+    * screen-on time, labeling effort) a plain SUM double-counts.
+    *
+    * Scale: ONE shuffle on user_id; both window layers reuse the
+    * sort; the rollup is island-keyed. All-integer µs arithmetic. */
+  def intervalCoverage(events: DataFrame, padSec: Int = 300): DataFrame = {
+    val padUs = padSec * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("start_us"), col("event_id"))
+    val runMaxEnd = max(col("end_us"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("start_us"),
+        (unix_micros(col("ts")) + padUs).as("end_us"))
+      .withColumn("new_island",
+        (runMaxEnd.isNull || col("start_us") > runMaxEnd).cast("long"))
+      .withColumn("island",
+        sum(col("new_island")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("start_us")).as("s"), max(col("end_us")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_intervals"),
+           sum(col("e") - col("s")).cast("long").as("covered_us"),
+           min(col("s")).as("first_start_us"),
+           max(col("e")).as("last_end_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** SCD2-style state history — the slowly-changing-dimension build
     * every CDC/warehouse pipeline runs: per user, consecutive runs of
     * the same `event_type` compress into one versioned validity row

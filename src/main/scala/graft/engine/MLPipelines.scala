@@ -117,6 +117,41 @@ object MLPipelines {
     (model, rmse)
   }
 
+  /** Hyperparameter sweep — the TrainValidationSplit shape made
+    * auditable: a FIXED (regParam × elasticNetParam) grid fit on the
+    * seeded 80/20 split, each candidate scored by validation RMSE,
+    * emitted as one report row per candidate with the winner flagged
+    * (deterministic tie-break: rmse, then the params). The grid loop
+    * lives on the driver but each fit/evaluate is a distributed job —
+    * exactly how TrainValidationSplit schedules it, with the per-
+    * candidate metrics kept instead of discarded (the report IS the
+    * point: a training pipeline logs the sweep, not just the winner).
+    * Seeded ⇒ rows-only + MLSpec (winner minimality, determinism). */
+  def paramSweep(features: DataFrame, enc0: FittedEncoders = null): DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    val enc = Option(enc0).getOrElse(fitEncoders(features))
+    val assembler = new VectorAssembler()
+      .setInputCols(enc.vecCols ++ NumericCols).setOutputCol("features")
+    val Array(train, valid) = features.randomSplit(Array(0.8, 0.2), seed = 42)
+    val eval = new RegressionEvaluator()
+      .setLabelCol("o_totalprice").setPredictionCol("prediction").setMetricName("rmse")
+    val grid = for { rp <- Seq(0.0, 0.5); en <- Seq(0.0, 0.5) } yield (rp, en)
+    val scored = grid.map { case (rp, en) =>
+      val lr = new LinearRegression()
+        .setFeaturesCol("features").setLabelCol("o_totalprice")
+        .setRegParam(rp).setElasticNetParam(en)
+      val model = new Pipeline()
+        .setStages(enc.stages ++ Array[PipelineStage](assembler, lr)).fit(train)
+      (rp, en, eval.evaluate(model.transform(valid)))
+    }
+    val best = scored.minBy { case (rp, en, rmse) => (rmse, rp, en) }
+    scored.toDF("reg_param", "elastic_net", "rmse")
+      .withColumn("is_best",
+        (col("reg_param") === best._1 && col("elastic_net") === best._2).cast("long"))
+      .orderBy(col("reg_param"), col("elastic_net"))
+  }
+
   /** M5: binary classification — label from the approx-median split
     * (relErr 0.001), LogisticRegression maxIter=20.
     * Returns (model, threshold, auc). */

@@ -142,6 +142,54 @@ object RetrievalOps {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Reciprocal-rank fusion over the hybrid candidate set — the
+    * OTHER standard two-signal ranker beside [[hybridRerank]]'s
+    * rerank: instead of replacing the lexical order with the
+    * semantic one, RRF BLENDS both ranks,
+    * score = 1/(c+lex_rank) + 1/(c+cos_rank), so a document strong
+    * in either signal surfaces and a document mid-pack in both beats
+    * one great-in-one/awful-in-the-other. Ranks are exact integers;
+    * the score is two correctly-rounded IEEE divisions summed in
+    * fixed textual order — no transcendentals, oracle-replayable.
+    *
+    * Scale: identical to [[hybridRerank]] — stage 2 never touches
+    * the corpus; everything after the index probe is queries×kLex
+    * rows. */
+  def rrfFusion(postings: DataFrame, doclens: DataFrame, embeddings: DataFrame,
+                queries: Seq[String] = defaultQueries,
+                kLex: Int = 20, k: Int = 10, c: Int = 60): DataFrame = {
+    val lex = bm25TopKFromIndex(postings, doclens, queries, kLex)
+      .localCheckpoint(false) // anchor row + candidates
+    val v = SimilarityOps.withVec(embeddings)
+      .select(col("vec_id"), col("vec"), col("norm"))
+    val anchors = lex.filter(col("rk") === 1)
+      .select(col("qid"), col("doc_id").as("anchor_id"))
+      .join(v, col("anchor_id") === col("vec_id"))
+      .select(col("qid"), col("anchor_id"), col("vec").as("avec"), col("norm").as("anorm"))
+    val cands = lex.filter(col("rk") > 1)
+      .select(col("qid"), col("doc_id"), col("rk").as("lex_rk"))
+      .join(v, col("doc_id") === col("vec_id"))
+      .join(broadcast(anchors), "qid")
+      .withColumn("cos", round(
+        expr("aggregate(zip_with(avec, vec, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+          / (col("anorm") * col("norm")), 6))
+    val wc = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("doc_id"))
+    val fused = cands
+      .withColumn("cos_rk", row_number().over(wc).cast("long"))
+      .withColumn("rrf", round(
+        lit(1.0) / (lit(c.toDouble) + col("lex_rk")) +
+        lit(1.0) / (lit(c.toDouble) + col("cos_rk")), 9))
+    val wf = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused
+      .withColumn("rk", row_number().over(wf).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("doc_id"), col("lex_rk"), col("cos_rk"),
+        col("rrf"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** One-shot form: build the index frames inline and probe them —
     * the ad-hoc path when no persisted index exists (see
     * [[graft.queries.RetrievalShared]] for the stored-table path the

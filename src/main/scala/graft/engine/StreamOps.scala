@@ -250,6 +250,47 @@ object StreamOps {
       }
   }
 
+  /** Streaming last-touch attribution — [[EventOps.lastTouchAttribution]]
+    * as the purchase lands: per-user state is ONE (ts_us, event_id,
+    * type) triple — the latest marketing event seen so far (a
+    * CARRY-LATEST state shape, unlike the count/sum states of the
+    * other custom-state ops) — marketing events update it, purchases
+    * read it and emit their credit immediately. Attribution latency
+    * drops from "next batch job" to one micro-batch, state is O(1)
+    * per user forever (overwritten, never grown), and the verdict for
+    * an in-order feed is identical to the batch window form —
+    * asserted stream≡batch in StreamingSpec (unattributed purchases
+    * emit attr_id −1, the test's null encoding). Within a batch the
+    * per-user slice sorts on (ts_us, event_id) — the same
+    * order-restoration contract as the other stateful forms. */
+  def streamingLastTouch(events: Dataset[(Long, Long, Long, String)])
+      : Dataset[(Long, Long, Long, Long, String)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[(Long, Long, String)]) =>
+          var mkt = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, String)]
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, id, tUs, typ) =>
+            typ match {
+              case "view" | "click" => mkt = Some((tUs, id, typ))
+              case "purchase" =>
+                out += (mkt match {
+                  case Some((mUs, mId, mTyp)) => (user, id, mId, tUs - mUs, mTyp)
+                  case None                   => (user, id, -1L, -1L, "")
+                })
+              case _ => ()
+            }
+          }
+          mkt.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Streaming sequence packing — [[graft.engine.CorpusOps.packSequences]]
     * as continuous data prep: documents arrive as (lang, doc_id,
     * n_tokens), per-lang state is ONE long (the stream's running token

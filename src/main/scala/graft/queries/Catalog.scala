@@ -594,6 +594,35 @@ object Catalog {
              |LEFT JOIN o USING (l_returnflag)
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // Benford first-digit audit: the digit comes off the cent-
+    // quantized BIGINT's decimal string (never double formatting),
+    // expected shares are shared literals (log10 is transcendental —
+    // a literal is bit-identical everywhere).
+    QuerySpec(
+      "q174_benford",
+      (s, dir) => AggregateOps.benfordReport(Tables.orders(s, dir)),
+      Some {
+        val bList = AggregateOps.benfordShares.mkString("[", ", ", "]")
+        s"""WITH d AS (
+           |  SELECT o_orderpriority,
+           |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           |  FROM orders),
+           |dg AS (SELECT o_orderpriority,
+           |              CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           |       FROM d WHERE cents >= 1),
+           |c AS (SELECT o_orderpriority, digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+           |      FROM dg GROUP BY o_orderpriority, digit),
+           |t AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_tot
+           |      FROM dg GROUP BY o_orderpriority)
+           |SELECT c.o_orderpriority, digit, n_obs, n_tot,
+           |       ROUND(CAST(n_obs AS DOUBLE) / n_tot, 6) AS obs_share,
+           |       list_extract($bList, CAST(digit AS INT)) AS benford_share,
+           |       ROUND(abs(CAST(n_obs AS DOUBLE) / n_tot
+           |                 - list_extract($bList, CAST(digit AS INT))), 6) AS abs_gap
+           |FROM c JOIN t USING (o_orderpriority)
+           |ORDER BY o_orderpriority, digit""".stripMargin
+      }),
+
     QuerySpec(
       "q23_rollup",
       (s, dir) => AggregateOps.rollupAgg(Tables.lineitem(s, dir)),
@@ -971,7 +1000,59 @@ object Catalog {
              |       CAST(lead(valid_from) OVER wv IS NULL AS BIGINT) AS is_current
              |FROM hist
              |WINDOW wv AS (PARTITION BY user_id ORDER BY version)
-             |ORDER BY user_id, version""".stripMargin))
+             |ORDER BY user_id, version""".stripMargin)),
+
+    // last-touch attribution: each purchase credits the user's most
+    // recent PRIOR view/click via last(_, ignoreNulls) over a
+    // strictly-preceding frame — no event×event self-join; unattri-
+    // buted purchases surface as NULLs.
+    QuerySpec(
+      "q172_last_touch",
+      (s, dir) => EventOps.lastTouchAttribution(Tables.events(s, dir)),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS ts_us
+             |  FROM events),
+             |a AS (SELECT user_id, event_id, ts, event_type, ts_us,
+             |        last_value(CASE WHEN event_type IN ('view', 'click')
+             |                        THEN event_id END IGNORE NULLS) OVER w AS attr_event_id,
+             |        last_value(CASE WHEN event_type IN ('view', 'click')
+             |                        THEN event_type END IGNORE NULLS) OVER w AS attr_type,
+             |        last_value(CASE WHEN event_type IN ('view', 'click')
+             |                        THEN ts_us END IGNORE NULLS) OVER w AS attr_us
+             |      FROM e
+             |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             |SELECT user_id, event_id AS purchase_id, ts, attr_event_id, attr_type,
+             |       CAST(ts_us - attr_us AS BIGINT) AS gap_us
+             |FROM a WHERE event_type = 'purchase'
+             |ORDER BY purchase_id""".stripMargin)),
+
+    // union-of-intervals activity coverage: running-max interval
+    // merge (handles nesting a lag compare misses), per-user merged
+    // count + exact covered microseconds.
+    QuerySpec(
+      "q176_interval_coverage",
+      (s, dir) => EventOps.intervalCoverage(Tables.events(s, dir)),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS start_us,
+             |         epoch_us(ts) + 300000000 AS end_us
+             |  FROM events),
+             |m AS (SELECT *, MAX(end_us) OVER (PARTITION BY user_id
+             |        ORDER BY start_us, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+             |      FROM e),
+             |g AS (SELECT *, CASE WHEN prev_max IS NULL OR start_us > prev_max
+             |                     THEN 1 ELSE 0 END AS new_island FROM m),
+             |i AS (SELECT *, SUM(new_island) OVER (PARTITION BY user_id
+             |        ORDER BY start_us, event_id ROWS UNBOUNDED PRECEDING) AS island
+             |      FROM g),
+             |s AS (SELECT user_id, island, MIN(start_us) AS s, MAX(end_us) AS e
+             |      FROM i GROUP BY user_id, island)
+             |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+             |       CAST(SUM(e - s) AS BIGINT) AS covered_us,
+             |       CAST(MIN(s) AS BIGINT) AS first_start_us,
+             |       CAST(MAX(e) AS BIGINT) AS last_end_us
+             |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 
   // ---------------------------------------------------------------- //
@@ -2172,6 +2253,42 @@ object Catalog {
              |       ROUND(LEAST(1.0, CAST(target_tokens AS DOUBLE) / n_tokens), 6) AS sample_rate
              |FROM plan ORDER BY source""".stripMargin)),
 
+    // the q134 plan EXECUTED as a deterministic hash-Bernoulli draw:
+    // integer ppm thresholds from the exact-DECIMAL targets,
+    // membership = pmod(xxh64(doc_id), 1e6) < ppm — rate-based (doc
+    // verdicts independent of the rest of the corpus), stateless,
+    // shuffle-free.
+    QuerySpec(
+      "q175_rate_sample_exec",
+      (s, dir) => CorpusOps.executeTokenBudgetPlan(Tables.documents(s, dir)),
+      Some {
+        import Xxh64DocIdSql.{ctes, tos}
+        s"""WITH $ctes,
+           |per AS (
+           |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |         CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY source),
+           |w AS (SELECT source, n_tokens,
+           |             CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_sqrt
+           |      FROM per),
+           |tot AS (SELECT CAST(SUM(w_sqrt) AS BIGINT) AS tot_w FROM w),
+           |plan AS (
+           |  SELECT source, n_tokens,
+           |         CAST((CAST(w_sqrt AS HUGEINT) * 200000) // tot_w AS BIGINT) AS target_tokens
+           |  FROM w CROSS JOIN tot),
+           |pp AS (SELECT source,
+           |              CAST(LEAST(1000000, (CAST(target_tokens AS HUGEINT) * 1000000)
+           |                   // n_tokens) AS BIGINT) AS ppm
+           |       FROM plan),
+           |k AS (SELECT doc_id,
+           |             ((${tos("h8")} % 1000000) + 1000000) % 1000000 AS sample_key
+           |      FROM s10)
+           |SELECT d.doc_id, d.source, pp.ppm, CAST(k.sample_key AS BIGINT) AS sample_key
+           |FROM documents d JOIN pp USING (source) JOIN k USING (doc_id)
+           |WHERE k.sample_key < pp.ppm
+           |ORDER BY d.doc_id""".stripMargin
+      }),
+
     // deterministic training-order shuffle: xxhash64(doc_id) as the
     // permutation key, shard = key mod 8, pos = rank within shard —
     // no global sort; the oracle replays the exact XXH64 chain.
@@ -2284,6 +2401,17 @@ object Catalog {
         RetrievalShared.postings(s, dir), RetrievalShared.docLengths(s, dir),
         Tables.embeddings(s, dir)),
       Some(q152OracleSql)),
+
+    // reciprocal-rank fusion over the same candidate set: blends the
+    // lexical and cosine RANKS (1/(60+r_lex) + 1/(60+r_cos)) instead
+    // of replacing one order with the other — integer ranks, two IEEE
+    // divisions in fixed order, no transcendentals.
+    QuerySpec(
+      "q173_rrf_fusion",
+      (s, dir) => RetrievalOps.rrfFusion(
+        RetrievalShared.postings(s, dir), RetrievalShared.docLengths(s, dir),
+        Tables.embeddings(s, dir)),
+      Some(q173OracleSql)),
 
     // q134's sqrt-weighted token budget keyed on the registered
     // domain + the hard per-domain share cap (20% of budget) —
@@ -2987,12 +3115,13 @@ object Catalog {
        |FROM sh ORDER BY shard, pos""".stripMargin
   }
 
-  /** q152 oracle: the q145 BM25 chain at kLex=20 composed with the
-    * q46-proven cosine replay (list_inner_product == Spark's
-    * sequential zip_with/aggregate fold) against each query's rank-1
-    * anchor; rerank rows 2..20 by (cos DESC, doc_id), keep 10. */
-  private val q152OracleSql: String =
-    s"""WITH q(qid, w) AS (
+  /** Shared CTE chain for the hybrid-retrieval oracles (q152/q173):
+    * the q145 BM25 chain at kLex=20 composed with the q46-proven
+    * cosine replay (list_inner_product == Spark's sequential
+    * zip_with/aggregate fold) against each query's rank-1 anchor;
+    * ends in `cos(qid, doc_id, anchor_id, bm25, lex_rk, cos)`. */
+  private val hybridCosCtes: String =
+    s"""q(qid, w) AS (
        |  VALUES (0, 'hash'), (0, 'join'), (1, 'table'), (1, 'scan'),
        |         (2, 'stream'), (2, 'filter')),
        |toks AS (
@@ -3019,17 +3148,38 @@ object Catalog {
        |      FROM embeddings),
        |anc AS (SELECT lex.qid, lex.doc_id AS anchor_id, v.e AS ae, v.norm AS anorm
        |        FROM lex JOIN v ON lex.doc_id = v.vec_id WHERE lrk = 1),
-       |cand AS (SELECT lex.qid, lex.doc_id, lex.score AS bm25, v.e, v.norm
+       |cand AS (SELECT lex.qid, lex.doc_id, lex.score AS bm25, lex.lrk AS lex_rk, v.e, v.norm
        |         FROM lex JOIN v ON lex.doc_id = v.vec_id
        |         WHERE lrk > 1 AND lrk <= 20),
-       |cos AS (SELECT cand.qid, cand.doc_id, anc.anchor_id, cand.bm25,
+       |cos AS (SELECT cand.qid, cand.doc_id, anc.anchor_id, cand.bm25, cand.lex_rk,
        |               ROUND(list_inner_product(anc.ae, cand.e) / (anc.anorm * cand.norm), 6) AS cos
-       |        FROM cand JOIN anc ON cand.qid = anc.qid),
+       |        FROM cand JOIN anc ON cand.qid = anc.qid)""".stripMargin
+
+  /** q152 oracle: rerank rows 2..20 by (cos DESC, doc_id), keep 10. */
+  private val q152OracleSql: String =
+    s"""WITH $hybridCosCtes,
        |rr AS (SELECT qid, doc_id, anchor_id, bm25, cos,
        |              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS BIGINT) AS rk
        |       FROM cos)
        |SELECT qid, rk, doc_id, anchor_id, bm25, cos
        |FROM rr WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
+  /** q173 oracle: reciprocal-rank fusion of the lexical rank and the
+    * in-candidate cosine rank — two IEEE divisions summed in fixed
+    * order, no transcendentals. */
+  private val q173OracleSql: String =
+    s"""WITH $hybridCosCtes,
+       |cr AS (SELECT qid, doc_id, lex_rk, cos,
+       |              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS BIGINT) AS cos_rk
+       |       FROM cos),
+       |f AS (SELECT qid, doc_id, lex_rk, cos_rk,
+       |             ROUND(1.0 / (60.0 + lex_rk) + 1.0 / (60.0 + cos_rk), 9) AS rrf
+       |      FROM cr),
+       |r AS (SELECT qid, doc_id, lex_rk, cos_rk, rrf,
+       |             CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
+       |      FROM f)
+       |SELECT qid, rk, doc_id, lex_rk, cos_rk, rrf
+       |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
 
   /** q151 oracle: replay the payload-window pHash
     * ([[graft.engine.MultimodalOps.phashStub]]) per doc in DuckDB —
@@ -4118,6 +4268,15 @@ object Catalog {
           .agg(count(lit(1)).as("n_rows"))
           .orderBy(col("prediction"))
       },
+      None),
+
+    // hyperparameter sweep report: the fixed (regParam × elasticNet)
+    // grid on the seeded split with per-candidate validation RMSE and
+    // the winner flagged — seeded fits ⇒ rows-only; MLSpec asserts
+    // winner minimality + determinism. Memoized like the other fits.
+    QuerySpec(
+      "q177_ml_param_sweep",
+      (s, dir) => MLShared.sweep(s, dir),
       None)
   )
 

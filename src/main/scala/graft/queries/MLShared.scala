@@ -83,11 +83,32 @@ object MLShared {
     }
   }
 
+  /** Memoized hyperparameter sweep report (4 seeded LR fits — far too
+    * expensive to redo per query call; the report itself is a 4-row
+    * grid, so the memo keeps the VALUES and rebuilds the tiny frame
+    * per call). */
+  def sweep(s: SparkSession, dir: String): DataFrame = synchronized {
+    val data = sw match {
+      case Some((d, v)) if d == dir => v
+      case _ =>
+        val (f, enc) = features(s, dir)
+        val v = MLPipelines.paramSweep(f, enc).collect() // 4-row grid report
+          .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSeq
+        sw = Some((dir, v))
+        v
+    }
+    import s.implicits._
+    data.toDF("reg_param", "elastic_net", "rmse", "is_best")
+      .orderBy("reg_param", "elastic_net")
+  }
+  private var sw: Option[(String, Seq[(Double, Double, Double, Long)])] = None
+
   def release(): Unit = synchronized {
     st.foreach(_.feats.unpersist())
     st = None
     cls = None
     reg = None
     km = None
+    sw = None
   }
 }

@@ -565,6 +565,82 @@ class CoreSpec extends SparkSpec {
       "a" -> ((2L, 1L)), "b" -> ((2L, 1L)), "c" -> ((3L, 1L)), "d" -> ((1L, 0L))))
   }
 
+  test("last-touch attribution credits the latest prior marketing event or stays null") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "2026-01-01 10:00:00", "view"),
+      (1L, 2L, "2026-01-01 10:05:00", "purchase"),  // credits view 1
+      (1L, 3L, "2026-01-01 10:10:00", "click"),
+      (1L, 4L, "2026-01-01 10:30:00", "purchase"),  // credits click 3, not view 1
+      (2L, 5L, "2026-01-01 09:00:00", "purchase"))  // no prior marketing -> null
+      .toDF("user_id", "event_id", "ts_s", "event_type")
+      .select(col("user_id"), col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("event_type"))
+    val got = EventOps.lastTouchAttribution(ev).collect()
+      .map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3), if (r.isNullAt(5)) -1L else r.getLong(5)))
+      .toMap
+    assert(got == Map(
+      2L -> ((1L, 300000000L)),   // 5 min after the view
+      4L -> ((3L, 1200000000L)),  // 20 min after the click
+      5L -> ((-1L, -1L))), s"got $got")
+  }
+
+  test("interval coverage merges overlapping and nested intervals, counts gaps once") {
+    import spark.implicits._
+    // pad 300 s: events at 0s, 100s (overlap), 150s (nested), 1000s (gap)
+    val ev = Seq((1L, 1L, 0L), (1L, 2L, 100L), (1L, 3L, 150L), (1L, 4L, 1000L))
+      .map { case (u, e, s) => (u, e, s * 1000000L) }
+      .toDF("user_id", "event_id", "us")
+      .select(col("user_id"), col("event_id"), timestamp_micros(col("us")).as("ts"))
+    val r = EventOps.intervalCoverage(ev).collect()(0)
+    // islands: [0,450s) and [1000s,1300s) -> 2 intervals, 750 s covered
+    assert(r.getLong(1) == 2L, s"got $r")
+    assert(r.getLong(2) == 750000000L)
+    assert(r.getLong(3) == 0L && r.getLong(4) == 1300000000L)
+  }
+
+  test("benford digit extraction survives sub-dollar and large amounts") {
+    import spark.implicits._
+    val o = Seq(("P", 0.57), ("P", 123.45), ("P", 9001.0), ("P", 0.001))
+      .toDF("o_orderpriority", "o_totalprice")
+    // 0.001 -> cents 0 -> excluded; leading digits: 5, 1, 9
+    val got = AggregateOps.benfordReport(o).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 1L, 5L -> 1L, 9L -> 1L))
+    assert(AggregateOps.benfordReport(o).collect().forall(_.getLong(3) == 3L))
+  }
+
+  test("rate-sample execution keeps exactly the sub-ppm hash keys, deterministically") {
+    val docs = Tables.documents(spark, sf)
+    val a = CorpusOps.executeTokenBudgetPlan(docs).collect()
+    val b = CorpusOps.executeTokenBudgetPlan(docs).collect()
+    assert(a.toSeq == b.toSeq, "verdicts must be reproducible")
+    assert(a.forall(r => r.getLong(3) < r.getLong(2)), "kept => sample_key < ppm")
+    // realized per-source rate tracks ppm within binomial noise
+    val bySource = a.groupBy(_.getString(1))
+    bySource.foreach { case (_, rows) =>
+      val ppm = rows.head.getLong(2).toDouble
+      assert(math.abs(rows.length / 25.0 - ppm / 1e6) < 0.35)
+    }
+  }
+
+  test("rrf fusion score is exactly the two-term reciprocal sum, ranked descending") {
+    import graft.queries.RetrievalShared
+    val fused = RetrievalOps.rrfFusion(
+      RetrievalShared.postings(spark, sf), RetrievalShared.docLengths(spark, sf),
+      Tables.embeddings(spark, sf)).collect()
+    assert(fused.nonEmpty)
+    fused.foreach { r =>
+      val want = 1.0 / (60.0 + r.getLong(3)) + 1.0 / (60.0 + r.getLong(4))
+      assert(math.abs(r.getDouble(5) - want) < 1e-9)
+    }
+    fused.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRk = rows.sortBy(_.getLong(1)).map(_.getDouble(5))
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a >= b }, "rrf desc in rank")
+    }
+  }
+
   test("PMI pairs score perfect collocations at n/df and ignore never-co-occurring terms") {
     import spark.implicits._
     val docs = ((0 until 6).map(i => (i.toLong, "alpha beta")) ++

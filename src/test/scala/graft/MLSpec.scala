@@ -112,4 +112,14 @@ class MLSpec extends SparkSpec {
       if (i == j) assert(math.abs(v - 1.0) < 1e-9)
     }
   }
+
+  test("param sweep reports the full grid and flags exactly the min-rmse candidate") {
+    val rows = graft.queries.MLShared.sweep(spark, sf).collect()
+    assert(rows.length == 4, "2x2 grid")
+    assert(rows.forall(r => r.getDouble(2) > 0 && !r.getDouble(2).isNaN))
+    val best = rows.filter(_.getLong(3) == 1L)
+    assert(best.length == 1, "exactly one winner")
+    val minRmse = rows.map(_.getDouble(2)).min
+    assert(best(0).getDouble(2) == minRmse, "winner carries the minimum validation rmse")
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.engine.{IngestOps, StreamOps, Tables}
+import graft.engine.{EventOps, IngestOps, StreamOps, Tables}
 
 /** Batch==stream equivalence for the windowed event aggregations
   * (SURVEY §7.5: streaming state has no DuckDB oracle; validated by
@@ -190,6 +190,42 @@ class StreamingSpec extends SparkSpec {
     val alerts = spark.table("alerts").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(alerts == Set((1L, 1L), (1L, 2L)), s"got $alerts")
+  }
+
+  test("streaming last-touch attribution equals the batch window form across a batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val minUs = 60L * 1000000L
+    // (user, event_id, ts_us, type); the marketing→purchase edge
+    // crosses the micro-batch boundary for user 1
+    val batch1 = Seq((1L, 1L, 0 * minUs, "view"), (1L, 2L, 5 * minUs, "purchase"),
+      (2L, 5L, 1 * minUs, "purchase"))
+    val batch2 = Seq((1L, 3L, 10 * minUs, "click"), (1L, 4L, 30 * minUs, "purchase"))
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val q = StreamOps.streamingLastTouch(input.toDS())
+      .toDF("user_id", "purchase_id", "attr_event_id", "gap_us", "attr_type")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("last_touch").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("last_touch").collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    val batch = EventOps.lastTouchAttribution(
+        (batch1 ++ batch2).toDF("user_id", "event_id", "us", "event_type")
+          .select(col("user_id"), col("event_id"),
+            timestamp_micros(col("us")).as("ts"), col("event_type")))
+      .collect()
+      .map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3), if (r.isNullAt(5)) -1L else r.getLong(5)))
+      .toMap
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(streamed(4L) == ((3L, 20 * minUs)), "cross-batch state must carry the click")
   }
 
   test("event-time timeout sessionization equals batch sessionize; the watermark closes sessions") {
