@@ -331,6 +331,49 @@ object AggregateOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance of each source's doc-
+    * length distribution from the corpus-wide one — the distribution-
+    * drift gate a mixing pipeline runs per source (a source whose
+    * length profile walks away from the corpus needs its weights or
+    * filters re-examined). KS = max |ecdf_s − ecdf_g|, evaluated on
+    * the DISTINCT-VALUE GRID with the comparison as the exact integer
+    * cross-multiplication |cum_s·N − cum_g·n_s| — the max is decided
+    * with no floating point anywhere; one display division at the
+    * end.
+    *
+    * Scale: the grid is distinct-values × sources — value-bounded
+    * (lengths, scores: thousands of distinct values), never
+    * corpus-sized — so the global-ecdf window over distinct values
+    * and the per-source cumsum windows all run over grid rows. The
+    * corpus-sized work is two map-side-combinable count rollups. */
+  def ksPerSource(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = documents.select(col("source"), length(col("text")).cast("long").as("v"))
+      .localCheckpoint(false) // global counts, per-source counts, sizes
+    val ns = vals.groupBy(col("source")).agg(count(lit(1)).cast("long").as("n_s"))
+    val nTot = vals.agg(count(lit(1)).cast("long").as("n"))
+    // distinct-value grid with the global running count (value-bounded
+    // single-partition window — the grid IS the reduction)
+    val gcum = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum_g", sum(col("c")).over(
+        Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("v"), col("cum_g"))
+    val sv = vals.groupBy(col("source"), col("v")).agg(count(lit(1)).as("cs"))
+    val scum = gcum.crossJoin(ns)
+      .join(sv, Seq("source", "v"), "left_outer")
+      .withColumn("cum_s", sum(coalesce(col("cs"), lit(0L))).over(
+        Window.partitionBy(col("source")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    scum.crossJoin(broadcast(nTot))
+      .withColumn("diff_num", abs(col("cum_s") * col("n") - col("cum_g") * col("n_s")))
+      .groupBy(col("source"), col("n_s"), col("n"))
+      .agg(max(col("diff_num")).cast("long").as("ks_num"))
+      .select(col("source"), col("n_s").as("n_source"), col("ks_num"),
+        round(col("ks_num").cast("double") /
+          (col("n_s") * col("n")).cast("double"), 6).as("ks"))
+      .orderBy(col("source"))
+  }
+
   /** Benford first-digit law constants log10(1 + 1/d), d = 1..9 —
     * shared LITERALS (never computed: log10 is transcendental and
     * engine-dependent; a literal is bit-identical everywhere). */

@@ -190,6 +190,53 @@ object RetrievalOps {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Retrieval quality metrics — the eval harness a retrieval stack
+    * ships with: per query, recall@k and the reciprocal rank of the
+    * first relevant hit (the MRR component), against a DETERMINISTIC
+    * relevance oracle — a doc is relevant iff it contains EVERY term
+    * of the query (boolean-AND ground truth derived from the same
+    * stored postings, so the metric needs no human labels and
+    * replays exactly). All counts are exact integers; recall and RR
+    * are one display division each.
+    *
+    * Scale: the relevance set derives from query-term postings only
+    * (the same isin pushdown as the scorer), grouped per (query,
+    * doc); the metric join is ranked-rows × relevant-rows, both
+    * query-bounded. */
+  def retrievalMetrics(postings: DataFrame, doclens: DataFrame,
+                       queries: Seq[String] = defaultQueries, k: Int = 10): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val terms = queries.zipWithIndex
+      .flatMap { case (q, i) => q.toLowerCase.split("\\s+").toSeq.distinct
+        .map(t => (i.toLong, t)) }
+    val qterms = broadcast(terms.toDF("qid", "w"))
+    val nTerms = broadcast(terms.groupBy(_._1).map { case (q, ts) => (q, ts.size.toLong) }
+      .toSeq.toDF("qid", "n_q"))
+    val rel = postings.filter(col("w").isin(terms.map(_._2).distinct: _*))
+      .join(qterms, "w")
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_match")) // postings are distinct per (w, doc)
+      .join(nTerms, "qid")
+      .filter(col("n_match") === col("n_q"))
+      .select(col("qid"), col("doc_id"))
+      .localCheckpoint(false) // relevance counts + hit join read it
+    val ranked = bm25TopKFromIndex(postings, doclens, queries, k)
+    val nRel = rel.groupBy(col("qid")).agg(count(lit(1)).cast("long").as("n_rel"))
+    val hits = ranked.join(rel, Seq("qid", "doc_id"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).cast("long").as("hits_at_k"),
+           min(col("rk")).cast("long").as("first_rel_rk"))
+    nRel.join(hits, Seq("qid"), "left_outer")
+      .select(col("qid"), col("n_rel"),
+        coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
+        round(coalesce(col("hits_at_k"), lit(0L)).cast("double") / col("n_rel"), 6)
+          .as("recall_at_k"),
+        round(coalesce(lit(1.0) / col("first_rel_rk"), lit(0.0)), 6)
+          .as("reciprocal_rank"))
+      .orderBy(col("qid"))
+  }
+
   /** One-shot form: build the index frames inline and probe them —
     * the ad-hoc path when no persisted index exists (see
     * [[graft.queries.RetrievalShared]] for the stored-table path the

@@ -54,4 +54,49 @@ object TemporalOps {
               col("asof_orderkey"), col("asof_totalprice"))
       .orderBy(col("event_id"))
   }
+
+  /** Time-series gap fill + smoothing — the resampling pass every
+    * monthly report needs before charting or forecasting: the
+    * (priority × month) rollup DENSIFIED onto the complete month grid
+    * (a month with no orders becomes an explicit zero row — absent
+    * rows silently break moving averages and period-over-period
+    * deltas), then a 3-month centered moving average over the filled
+    * series. The month key is the integer year·12+month−1, so grid
+    * generation is `sequence(lo, hi)` — no date iteration. The moving
+    * average re-accumulates each frame in exact DECIMAL: sliding-sum
+    * implementations that ADD AND SUBTRACT doubles incrementally
+    * drift; a 3-row decimal sum cannot.
+    *
+    * Scale: the rollup is map-side combinable; the grid is
+    * groups × months (report-sized); the window partitions by group
+    * over month-count-bounded rows. */
+  def monthGapFill(orders: DataFrame): DataFrame = {
+    val base = orders.select(col("o_orderpriority"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+        .cast("long").as("mi"),
+      col("o_totalprice"))
+      .localCheckpoint(false) // rollup, bounds, and priority list read it
+    val monthly = base.groupBy(col("o_orderpriority"), col("mi"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+           Exact.decSum(col("o_totalprice")).as("total_price"))
+    val bounds = base.agg(min(col("mi")).as("lo"), max(col("mi")).as("hi"))
+    val grid = base.select(col("o_orderpriority")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("o_orderpriority"),
+        explode(sequence(col("lo"), col("hi"))).as("mi"))
+    val filled = grid.join(monthly, Seq("o_orderpriority", "mi"), "left_outer")
+      .select(col("o_orderpriority"), col("mi"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("total_price"), lit(0.0)).as("total_price"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("mi"))
+      .rowsBetween(-1, 1)
+    filled
+      .withColumn("ma3", round(
+        sum(col("total_price").cast("decimal(18,4)")).over(w).cast("double") /
+          count(lit(1)).over(w), 6))
+      .select(col("o_orderpriority"),
+        expr("mi DIV 12").as("o_year"), (pmod(col("mi"), lit(12)) + 1).as("o_month"),
+        col("n_orders"), col("total_price"), col("ma3"))
+      .orderBy(col("o_orderpriority"), col("o_year"), col("o_month"))
+  }
 }

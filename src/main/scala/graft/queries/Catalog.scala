@@ -594,6 +594,34 @@ object Catalog {
              |LEFT JOIN o USING (l_returnflag)
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // two-sample KS distance of each source's length distribution
+    // from the corpus: evaluated on the distinct-value grid, max
+    // decided by exact integer cross-multiplication — the
+    // distribution-drift gate for mixing weights.
+    QuerySpec(
+      "q179_ks_drift",
+      (s, dir) => AggregateOps.ksPerSource(Tables.documents(s, dir)),
+      Some("""WITH vals AS (
+             |  SELECT source, CAST(length(text) AS BIGINT) AS v FROM documents),
+             |ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM vals GROUP BY source),
+             |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals),
+             |g AS (SELECT v, COUNT(*) AS c FROM vals GROUP BY v),
+             |gc AS (SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_g
+             |       FROM g),
+             |sv AS (SELECT source, v, COUNT(*) AS cs FROM vals GROUP BY source, v),
+             |sc AS (SELECT ns.source, gc.v, ns.n_s, gc.cum_g,
+             |              SUM(COALESCE(cs, 0)) OVER (PARTITION BY ns.source ORDER BY gc.v
+             |                                         ROWS UNBOUNDED PRECEDING) AS cum_s
+             |       FROM gc CROSS JOIN ns
+             |       LEFT JOIN sv ON sv.source = ns.source AND sv.v = gc.v)
+             |SELECT sc.source, sc.n_s AS n_source,
+             |       CAST(MAX(abs(cum_s * n - cum_g * n_s)) AS BIGINT) AS ks_num,
+             |       ROUND(CAST(MAX(abs(cum_s * n - cum_g * n_s)) AS DOUBLE)
+             |             / (n_s * n), 6) AS ks
+             |FROM sc CROSS JOIN nt
+             |GROUP BY sc.source, sc.n_s, nt.n
+             |ORDER BY source""".stripMargin)),
+
     // Benford first-digit audit: the digit comes off the cent-
     // quantized BIGINT's decimal string (never double formatting),
     // expected shares are shared literals (log10 is transcendental —
@@ -813,7 +841,41 @@ object Catalog {
               |       lag(total_price) OVER (ORDER BY o_year, o_month) AS prev_total,
               |       total_price - lag(total_price) OVER (ORDER BY o_year, o_month) AS delta
               |FROM monthly
-              |ORDER BY o_year, o_month""".stripMargin))
+              |ORDER BY o_year, o_month""".stripMargin)),
+
+    // time-series densification: the (priority × month) rollup onto
+    // the complete integer month grid with explicit zero rows, then a
+    // 3-month centered moving average whose frame re-accumulates in
+    // exact DECIMAL (sliding add-subtract double sums drift).
+    QuerySpec(
+      "q178_month_gap_fill",
+      (s, dir) => TemporalOps.monthGapFill(Tables.orders(s, dir)),
+      Some(s"""WITH base AS (
+              |  SELECT o_orderpriority,
+              |         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS mi,
+              |         o_totalprice
+              |  FROM orders),
+              |monthly AS (SELECT o_orderpriority, mi, CAST(COUNT(*) AS BIGINT) AS n_orders,
+              |                   ${decSumSql("o_totalprice")} AS total_price
+              |            FROM base GROUP BY o_orderpriority, mi),
+              |b AS (SELECT MIN(mi) AS lo, MAX(mi) AS hi FROM base),
+              |grid AS (SELECT p.o_orderpriority, g.mi
+              |         FROM (SELECT DISTINCT o_orderpriority FROM base) p
+              |         CROSS JOIN (SELECT unnest(range(lo, hi + 1)) AS mi FROM b) g),
+              |filled AS (SELECT grid.o_orderpriority, grid.mi,
+              |                  CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+              |                  COALESCE(total_price, 0.0) AS total_price
+              |           FROM grid LEFT JOIN monthly USING (o_orderpriority, mi)),
+              |ma AS (SELECT *,
+              |              ROUND(CAST(SUM(CAST(total_price AS DECIMAL(18,4))) OVER w AS DOUBLE)
+              |                    / (COUNT(*) OVER w), 6) AS ma3
+              |       FROM filled
+              |       WINDOW w AS (PARTITION BY o_orderpriority ORDER BY mi
+              |                    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING))
+              |SELECT o_orderpriority, CAST(mi // 12 AS BIGINT) AS o_year,
+              |       CAST(mi % 12 + 1 AS BIGINT) AS o_month,
+              |       n_orders, total_price, ma3
+              |FROM ma ORDER BY o_orderpriority, o_year, o_month""".stripMargin))
   )
 
   // ---------------------------------------------------------------- //
@@ -2413,6 +2475,16 @@ object Catalog {
         Tables.embeddings(s, dir)),
       Some(q173OracleSql)),
 
+    // retrieval eval harness: recall@10 + first-relevant reciprocal
+    // rank per query against the deterministic boolean-AND relevance
+    // oracle (doc relevant iff it contains every query term) — no
+    // labels needed, exact counts, replayable.
+    QuerySpec(
+      "q180_retrieval_metrics",
+      (s, dir) => RetrievalOps.retrievalMetrics(
+        RetrievalShared.postings(s, dir), RetrievalShared.docLengths(s, dir)),
+      Some(q180OracleSql)),
+
     // q134's sqrt-weighted token budget keyed on the registered
     // domain + the hard per-domain share cap (20% of budget) —
     // domain-aware mixing's hot-domain guard; integer-exact targets.
@@ -3120,7 +3192,10 @@ object Catalog {
     * cosine replay (list_inner_product == Spark's sequential
     * zip_with/aggregate fold) against each query's rank-1 anchor;
     * ends in `cos(qid, doc_id, anchor_id, bm25, lex_rk, cos)`. */
-  private val hybridCosCtes: String =
+  /** The BM25 ranking prefix alone (through `lex(qid, doc_id, score,
+    * lrk)`) — shared by the hybrid chain and the retrieval-metrics
+    * oracle (q180). */
+  private val bm25LexCtes: String =
     s"""q(qid, w) AS (
        |  VALUES (0, 'hash'), (0, 'join'), (1, 'table'), (1, 'scan'),
        |         (2, 'stream'), (2, 'filter')),
@@ -3142,7 +3217,10 @@ object Catalog {
        |       FROM sc GROUP BY qid, doc_id),
        |lex AS (SELECT CAST(qid AS BIGINT) AS qid, doc_id, score,
        |               CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS lrk
-       |        FROM pd),
+       |        FROM pd)""".stripMargin
+
+  private val hybridCosCtes: String =
+    s"""$bm25LexCtes,
        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
        |             sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
        |      FROM embeddings),
@@ -3180,6 +3258,30 @@ object Catalog {
        |      FROM f)
        |SELECT qid, rk, doc_id, lex_rk, cos_rk, rrf
        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
+  /** q180 oracle: boolean-AND relevance (a doc is relevant iff it
+    * contains every query term) joined against the BM25 top-10 —
+    * recall@10 and the first-relevant reciprocal rank, exact counts,
+    * one display division each. */
+  private val q180OracleSql: String =
+    s"""WITH $bm25LexCtes,
+       |nq AS (SELECT qid, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_q FROM q GROUP BY qid),
+       |rel AS (SELECT q.qid, tf.doc_id
+       |        FROM tf JOIN q USING (w) JOIN nq USING (qid)
+       |        GROUP BY q.qid, tf.doc_id, n_q
+       |        HAVING CAST(COUNT(*) AS BIGINT) = n_q),
+       |rk AS (SELECT qid, doc_id, lrk FROM lex WHERE lrk <= 10),
+       |nrel AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel FROM rel GROUP BY qid),
+       |hits AS (SELECT rk.qid, CAST(COUNT(*) AS BIGINT) AS hits_at_k,
+       |                CAST(MIN(lrk) AS BIGINT) AS frk
+       |         FROM rk JOIN rel ON rel.qid = rk.qid AND rel.doc_id = rk.doc_id
+       |         GROUP BY rk.qid)
+       |SELECT CAST(nrel.qid AS BIGINT) AS qid, n_rel,
+       |       COALESCE(hits_at_k, 0) AS hits_at_k,
+       |       ROUND(CAST(COALESCE(hits_at_k, 0) AS DOUBLE) / n_rel, 6) AS recall_at_k,
+       |       ROUND(COALESCE(1.0 / frk, 0.0), 6) AS reciprocal_rank
+       |FROM nrel LEFT JOIN hits ON hits.qid = nrel.qid
+       |ORDER BY qid""".stripMargin
 
   /** q151 oracle: replay the payload-window pHash
     * ([[graft.engine.MultimodalOps.phashStub]]) per doc in DuckDB —

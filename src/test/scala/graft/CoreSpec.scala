@@ -641,6 +641,46 @@ class CoreSpec extends SparkSpec {
     }
   }
 
+  test("month gap-fill inserts explicit zero months and averages the filled series") {
+    import spark.implicits._
+    val o = Seq( // priority A: Jan and Mar 2026, Feb missing
+      ("A", "2026-01-15", 100.0), ("A", "2026-03-15", 300.0))
+      .toDF("o_orderpriority", "d", "o_totalprice")
+      .select(col("o_orderpriority"), to_timestamp(col("d")).as("o_orderdate"),
+        col("o_totalprice"))
+    val rows = TemporalOps.monthGapFill(o).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> (r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(rows.size == 3, "grid must densify to 3 months")
+    assert(rows((2026L, 2L)) == ((0L, 0.0, 133.333333)), // round(400/3, 6)
+      s"gap month zero-filled, centered ma over the filled series: $rows")
+    assert(rows((2026L, 1L)) == ((1L, 100.0, 50.0))) // 2-row edge frame
+    assert(rows((2026L, 3L)) == ((1L, 300.0, 150.0)))
+  }
+
+  test("KS drift: disjoint-length sources sit at the hand-computed 0.5 distance") {
+    import spark.implicits._
+    val docs = Seq((0L, "a", "x"), (1L, "a", "x"), (2L, "b", "zzz"), (3L, "b", "zzz"))
+      .toDF("doc_id", "source", "text")
+    val got = AggregateOps.ksPerSource(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    // at v=1: cum_a=2 of 2, cum_g=2 of 4 -> |2*4 - 2*2| = 4; ks = 4/8
+    assert(got == Map("a" -> ((4L, 0.5)), "b" -> ((4L, 0.5))), s"got $got")
+  }
+
+  test("retrieval metrics use boolean-AND relevance and the first relevant rank") {
+    import spark.implicits._
+    val docs = Seq((1L, "hash join hash"), (2L, "hash hash hash"), (3L, "join"))
+      .toDF("doc_id", "text")
+    val r = RetrievalOps.retrievalMetrics(
+      RetrievalOps.bm25Postings(docs), RetrievalOps.bm25DocLengths(docs),
+      queries = Seq("hash join")).collect()
+    assert(r.length == 1)
+    // only doc 1 contains BOTH terms; it must be found and ranked
+    assert(r(0).getLong(1) == 1L && r(0).getLong(2) == 1L, s"got ${r(0)}")
+    assert(r(0).getDouble(3) == 1.0 && r(0).getDouble(4) == 1.0)
+  }
+
   test("PMI pairs score perfect collocations at n/df and ignore never-co-occurring terms") {
     import spark.implicits._
     val docs = ((0 until 6).map(i => (i.toLong, "alpha beta")) ++
