@@ -331,6 +331,26 @@ object AggregateOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Salting plan from the key histogram — the remediation step
+    * [[keySkewHistogram]] diagnoses for: every key whose row count
+    * exceeds `targetRows` (the rows-one-task-should-handle knob) gets
+    * an integer salt factor ⌈cnt / target⌉ — the number of subkeys
+    * the salted join (q156) should spread it over. Emitting the PLAN
+    * as data (instead of hard-coding one salt constant) is what lets
+    * a 100 TB join salt ONLY its hot keys: the fact side maps
+    * key→pmod(hash, factor), the dim side explodes factor rows, cold
+    * keys stay factor 1 and skip replication entirely.
+    *
+    * One map-side-combinable rollup + a per-row integer ceil — the
+    * plan is hot-key-sized. */
+  def saltPlan(lineitem: DataFrame, key: String = "l_suppkey",
+               targetRows: Long = 500): DataFrame =
+    lineitem.groupBy(col(key)).agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("salt_factor", expr(s"(cnt + $targetRows - 1) DIV $targetRows"))
+      .filter(col("salt_factor") > 1)
+      .select(col(key).cast("long").as(key), col("cnt"), col("salt_factor"))
+      .orderBy(col(key))
+
   /** Two-sample Kolmogorov–Smirnov distance of each source's doc-
     * length distribution from the corpus-wide one — the distribution-
     * drift gate a mixing pipeline runs per source (a source whose

@@ -334,6 +334,78 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-source quantile calibration table — the mapping a mixing
+    * pipeline ships when per-source score/length scales disagree
+    * (source A's "short" is source B's "median"): for each source and
+    * decile anchor d ∈ 0..9, the source's exact k-th order statistic
+    * (k = (n_s−1)·d div 9 + 1) next to the corpus-wide one — reading
+    * a source value across to the global column IS quantile
+    * normalization, discretized to rank arithmetic so every value is
+    * an actual data value and the whole table replays bit-exact.
+    *
+    * Scale: built entirely on VALUE GRIDS (distinct value × source
+    * cumulative counts — the q179 KS machinery), never a per-row
+    * global rank window; the decile lookup is a 10-row explode
+    * against grid rows with a min-over-threshold rollup. */
+  def quantileCalibration(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = documents.select(col("source"), length(col("text")).cast("long").as("v"))
+      .localCheckpoint(false) // source grids + global grid + sizes
+    val ns = vals.groupBy(col("source")).agg(count(lit(1)).cast("long").as("n_s"))
+    val nTot = vals.agg(count(lit(1)).cast("long").as("n"))
+    val scum = vals.groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("source")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val gcum = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val deciles = documents.sparkSession.range(0, 10).toDF("decile")
+    val srcVals = ns.crossJoin(broadcast(deciles))
+      .withColumn("k", expr("((n_s - 1) * decile) DIV 9 + 1"))
+      .join(scum, "source")
+      .filter(col("cum") >= col("k"))
+      .groupBy(col("source"), col("decile"), col("k"))
+      .agg(min(col("v")).as("src_value"))
+    val glbVals = nTot.crossJoin(deciles)
+      .withColumn("kg", expr("((n - 1) * decile) DIV 9 + 1"))
+      .crossJoin(gcum)
+      .filter(col("cum") >= col("kg"))
+      .groupBy(col("decile"))
+      .agg(min(col("v")).as("global_value"))
+    srcVals.join(broadcast(glbVals), "decile")
+      .select(col("source"), col("decile"), col("k").as("k_src"),
+        col("src_value"), col("global_value"))
+      .orderBy(col("source"), col("decile"))
+  }
+
+  /** Deterministic contrastive negative sampling — the per-anchor
+    * "k random non-matching docs" draw a contrastive/embedding
+    * training job needs, as pure hash arithmetic: negative j of
+    * anchor a is doc `pmod(xxhash64(a·1000003 + j), n)` (doc_ids are
+    * contiguous 0..n−1, TESTDATA.md) — reproducible across runs and
+    * engines, no shuffle, no RNG state, and uniform-ish over the
+    * corpus. Accidental self-pairs are dropped (the draw is a
+    * pseudo-negative, not a label); callers needing exactly k
+    * oversample and rank. On non-contiguous ids, compose with a
+    * dense-rank id map (the q141 shuffle's (shard, pos) pattern).
+    *
+    * Scale: a stateless per-row projection — anchors × k rows out,
+    * no join against the corpus until the consumer resolves payloads
+    * (an equi-join on neg_id). */
+  def negativeSamples(documents: DataFrame, k: Int = 4): DataFrame = {
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    documents.select(col("doc_id"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), explode(expr(s"sequence(0, ${k - 1})")).as("j"),
+        col("n_docs"))
+      .withColumn("neg_id",
+        pmod(xxhash64(col("doc_id") * 1000003L + col("j")), col("n_docs")))
+      .filter(col("neg_id") =!= col("doc_id"))
+      .select(col("doc_id"), col("j").cast("long").as("j"), col("neg_id"))
+      .orderBy(col("doc_id"), col("j"))
+  }
+
   /** Overlapping token-window chunker — the retrieval/embedding-side
     * document splitter (fixed windows with overlap so no phrase is cut
     * without also appearing whole in a neighbor). Chunk i covers token

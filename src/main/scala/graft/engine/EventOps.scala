@@ -156,6 +156,33 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
+  /** Rolling active-user counts — daily actives and the trailing
+    * 7-day distinct actives per day (the DAU/WAU pair). The rolling
+    * distinct is NOT a window aggregate (COUNT(DISTINCT) over a
+    * sliding frame re-scans the frame per row and most engines
+    * refuse it); instead each (user, day) activity row is EXPLODED to
+    * the 7 future days it covers and the count is one keyed
+    * distinct-rollup per day — linear in activity × 7, one shuffle,
+    * map-side partial on (day, user).
+    *
+    * Only days with their own activity are reported (dau > 0 rows —
+    * the grid-densified variant composes with q178's gap filler). */
+  def rollingActiveUsers(events: DataFrame): DataFrame = {
+    val active = events
+      .select(col("ts").cast("date").as("d"), col("user_id")).distinct()
+      .localCheckpoint(false) // dau rollup + coverage explode read it
+    val dau = active.groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).cast("long").as("dau"))
+    val wau = active
+      .select(explode(expr("sequence(0, 6)")).as("off"), col("d"), col("user_id"))
+      .select(date_add(col("d"), col("off")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).cast("long").as("wau7"))
+    dau.join(wau, dau("d") === wau("day"))
+      .select(col("d"), col("dau"), col("wau7"))
+      .orderBy(col("d"))
+  }
+
   /** SCD2-style state history — the slowly-changing-dimension build
     * every CDC/warehouse pipeline runs: per user, consecutive runs of
     * the same `event_type` compress into one versioned validity row

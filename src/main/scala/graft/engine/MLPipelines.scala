@@ -185,6 +185,29 @@ object MLPipelines {
     new Pipeline().setStages(enc.stages ++ Array[PipelineStage](assembler, km)).fit(features)
   }
 
+  /** PCA over the embedding table — the dimensionality probe an
+    * embedding pipeline runs before ANN indexing or whitening: fit
+    * k principal components over the corpus vectors and report each
+    * component's explained-variance ratio (how much of the space the
+    * head directions carry — the number that justifies an IVF/OPQ
+    * dimension budget). Deterministic up to eigensolver convergence,
+    * but not SQL-expressible ⇒ rows-only + MLSpec (ratios descend,
+    * sum ≤ 1). Fit is covariance-matrix-sized (dim², distributed
+    * Gram accumulation) — corpus size only affects the one pass. */
+  def pcaVarianceReport(embeddings: DataFrame, k: Int = 4): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = embeddings.select(
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new PCA().setInputCol("features").setOutputCol("pca").setK(k).fit(vecs)
+    model.explainedVariance.toArray.toSeq.zipWithIndex
+      .map { case (v, i) => (i.toLong, math.rint(v * 1e9) / 1e9) }
+      .toDF("component", "explained_variance")
+      .orderBy(col("component"))
+  }
+
   /** Single-row inference (the reference's Flask POST path, §3.3):
     * unseen categories → handleInvalid=skip drops the row → caller
     * must handle the empty frame. */

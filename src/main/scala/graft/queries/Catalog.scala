@@ -594,6 +594,19 @@ object Catalog {
              |LEFT JOIN o USING (l_returnflag)
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // salting plan from the key histogram: hot keys get integer
+    // ⌈cnt/target⌉ salt factors as DATA — only hot keys replicate in
+    // the salted join, cold keys stay factor 1.
+    QuerySpec(
+      "q183_salt_plan",
+      (s, dir) => AggregateOps.saltPlan(Tables.lineitem(s, dir)),
+      Some("""SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
+             |       CAST(COUNT(*) AS BIGINT) AS cnt,
+             |       CAST((COUNT(*) + 499) // 500 AS BIGINT) AS salt_factor
+             |FROM lineitem GROUP BY l_suppkey
+             |HAVING (COUNT(*) + 499) // 500 > 1
+             |ORDER BY l_suppkey""".stripMargin)),
+
     // two-sample KS distance of each source's length distribution
     // from the corpus: evaluated on the distinct-value grid, max
     // decided by exact integer cross-multiplication — the
@@ -1088,6 +1101,23 @@ object Catalog {
              |       CAST(ts_us - attr_us AS BIGINT) AS gap_us
              |FROM a WHERE event_type = 'purchase'
              |ORDER BY purchase_id""".stripMargin)),
+
+    // DAU + trailing-7-day distinct actives per day: the rolling
+    // distinct is an explode-to-covered-days + keyed distinct rollup
+    // (linear in activity×7), never a per-row frame re-scan.
+    QuerySpec(
+      "q182_rolling_actives",
+      (s, dir) => EventOps.rollingActiveUsers(Tables.events(s, dir)),
+      Some("""WITH active AS (
+             |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+             |dau AS (SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+             |        FROM active GROUP BY d),
+             |cov AS (SELECT d + CAST(off AS INT) AS day, user_id
+             |        FROM active CROSS JOIN (SELECT unnest(range(0, 7)) AS off)),
+             |wau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau7
+             |        FROM cov GROUP BY day)
+             |SELECT d, dau, wau7 FROM dau JOIN wau ON wau.day = dau.d
+             |ORDER BY d""".stripMargin)),
 
     // union-of-intervals activity coverage: running-max interval
     // merge (handles nesting a lag compare misses), per-user merged
@@ -2351,6 +2381,57 @@ object Catalog {
            |ORDER BY d.doc_id""".stripMargin
       }),
 
+    // cross-source quantile calibration table: per (source, decile),
+    // the exact k-th order statistic next to the corpus-wide one —
+    // built on value grids (the q179 machinery), no per-row global
+    // rank window.
+    QuerySpec(
+      "q181_quantile_calibration",
+      (s, dir) => CorpusOps.quantileCalibration(Tables.documents(s, dir)),
+      Some("""WITH vals AS (
+             |  SELECT source, CAST(length(text) AS BIGINT) AS v FROM documents),
+             |ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM vals GROUP BY source),
+             |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals),
+             |scum AS (SELECT source, v, SUM(c) OVER (PARTITION BY source ORDER BY v
+             |                                        ROWS UNBOUNDED PRECEDING) AS cum
+             |         FROM (SELECT source, v, COUNT(*) AS c FROM vals GROUP BY source, v)),
+             |gcum AS (SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+             |         FROM (SELECT v, COUNT(*) AS c FROM vals GROUP BY v)),
+             |dec AS (SELECT unnest(range(0, 10)) AS decile),
+             |sk AS (SELECT ns.source, dec.decile, ((n_s - 1) * decile) // 9 + 1 AS k
+             |       FROM ns CROSS JOIN dec),
+             |sval AS (SELECT sk.source, sk.decile, sk.k, MIN(scum.v) AS src_value
+             |         FROM sk JOIN scum ON scum.source = sk.source AND scum.cum >= sk.k
+             |         GROUP BY sk.source, sk.decile, sk.k),
+             |gk AS (SELECT dec.decile, ((n - 1) * decile) // 9 + 1 AS kg
+             |       FROM nt CROSS JOIN dec),
+             |gval AS (SELECT gk.decile, MIN(gcum.v) AS global_value
+             |         FROM gk JOIN gcum ON gcum.cum >= gk.kg GROUP BY gk.decile)
+             |SELECT sval.source, CAST(sval.decile AS BIGINT) AS decile,
+             |       CAST(sval.k AS BIGINT) AS k_src, src_value, global_value
+             |FROM sval JOIN gval USING (decile)
+             |ORDER BY source, decile""".stripMargin)),
+
+    // deterministic contrastive negatives: negative j of anchor a is
+    // pmod(xxh64(a·1000003 + j), n) — stateless, reproducible, no
+    // RNG; accidental self-pairs dropped.
+    QuerySpec(
+      "q184_negative_samples",
+      (s, dir) => CorpusOps.negativeSamples(Tables.documents(s, dir)),
+      Some {
+        import Xxh64DocIdSql.{chainFrom, tos}
+        s"""WITH ${chainFrom(
+             "SELECT doc_id, j, CAST(doc_id * 1000003 + j AS HUGEINT) AS k " +
+               "FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS j)",
+             "doc_id, j")},
+           |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+           |neg AS (SELECT doc_id, j, ((${tos("h8")} % n) + n) % n AS neg_id
+           |        FROM s10 CROSS JOIN nn)
+           |SELECT doc_id, CAST(j AS BIGINT) AS j, CAST(neg_id AS BIGINT) AS neg_id
+           |FROM neg WHERE neg_id <> doc_id
+           |ORDER BY doc_id, j""".stripMargin
+      }),
+
     // deterministic training-order shuffle: xxhash64(doc_id) as the
     // permutation key, shard = key mod 8, pos = rank within shard —
     // no global sort; the oracle replays the exact XXH64 chain.
@@ -3160,16 +3241,23 @@ object Catalog {
     private val p3 = s"CAST(1609587929392839161 AS HUGEINT)"
     private val p4 = "9650029242287828579"
     private val h0 = "CAST(2870177450012600311 AS HUGEINT)" // (seed 42 + PRIME64_5 + len 8) mod 2^64
+    /** The avalanche chain over an arbitrary keyed input: `dCte` must
+      * yield the carried id columns plus `k` (the BIGINT key as
+      * nonnegative HUGEINT); `carry` is the id column list threaded
+      * through every stage. Ends in `s10(carry…, h8)`. */
+    def chainFrom(dCte: String, carry: String): String =
+      s"""d AS ($dCte),
+         |s3 AS (SELECT $carry, ${mul(rotl(mul("k", p2), 31), p1)} AS k1c FROM d),
+         |s5 AS (SELECT $carry, (${mul(rotl(xor64(h0, "k1c"), 27), p1)} + $p4) % $M64 AS h3 FROM s3),
+         |s6 AS (SELECT $carry, ${xor64("h3", "h3//8589934592")} AS h4 FROM s5),
+         |s7 AS (SELECT $carry, ${mul("h4", p2)} AS h5 FROM s6),
+         |s8 AS (SELECT $carry, ${xor64("h5", "h5//536870912")} AS h6 FROM s7),
+         |s9 AS (SELECT $carry, ${mul("h6", p3)} AS h7 FROM s8),
+         |s10 AS (SELECT $carry, ${xor64("h7", "h7//4294967296")} AS h8 FROM s9)""".stripMargin
+
     /** CTEs computing h8 = xxhash64(doc_id, 42) as unsigned HUGEINT. */
     val ctes: String =
-      s"""d AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS k FROM documents),
-         |s3 AS (SELECT doc_id, ${mul(rotl(mul("k", p2), 31), p1)} AS k1c FROM d),
-         |s5 AS (SELECT doc_id, (${mul(rotl(xor64(h0, "k1c"), 27), p1)} + $p4) % $M64 AS h3 FROM s3),
-         |s6 AS (SELECT doc_id, ${xor64("h3", "h3//8589934592")} AS h4 FROM s5),
-         |s7 AS (SELECT doc_id, ${mul("h4", p2)} AS h5 FROM s6),
-         |s8 AS (SELECT doc_id, ${xor64("h5", "h5//536870912")} AS h6 FROM s7),
-         |s9 AS (SELECT doc_id, ${mul("h6", p3)} AS h7 FROM s8),
-         |s10 AS (SELECT doc_id, ${xor64("h7", "h7//4294967296")} AS h8 FROM s9)""".stripMargin
+      chainFrom("SELECT doc_id, CAST(doc_id AS HUGEINT) AS k FROM documents", "doc_id")
   }
 
   /** q141 oracle: the full XXH64 chain → signed key, shard = mod 8,
@@ -4370,6 +4458,14 @@ object Catalog {
           .agg(count(lit(1)).as("n_rows"))
           .orderBy(col("prediction"))
       },
+      None),
+
+    // PCA explained-variance report over the embedding corpus — the
+    // dimensionality probe before ANN/whitening; eigensolver output
+    // rounded to 9 ⇒ rows-only + MLSpec (descending ratios, sum ≤ 1).
+    QuerySpec(
+      "q185_pca_variance",
+      (s, dir) => MLPipelines.pcaVarianceReport(Tables.embeddings(s, dir)),
       None),
 
     // hyperparameter sweep report: the fixed (regParam × elasticNet)

@@ -681,6 +681,54 @@ class CoreSpec extends SparkSpec {
     assert(r(0).getDouble(3) == 1.0 && r(0).getDouble(4) == 1.0)
   }
 
+  test("quantile calibration maps decile anchors to exact order statistics") {
+    import spark.implicits._
+    // source a: lengths 1..9 ("x"*len); global = same 9 values twice
+    val docs = (1 to 9).flatMap(i => Seq((i.toLong, "a", "x" * i), (100L + i, "b", "x" * i)))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusOps.quantileCalibration(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(3), r.getLong(4))).toMap
+    // n_s=9: k(d) = (8*d)//9+1 -> values 1,1,2,3,4,5,6,7,9... check anchors
+    assert(got(("a", 0L)) == ((1L, 1L)), "decile 0 = min on both sides")
+    assert(got(("a", 9L)) == ((9L, 9L)), "decile 9 = max on both sides")
+    // identical distributions ⇒ src_value == global_value at every anchor
+    got.foreach { case (_, (s, g)) => assert(s == g) }
+  }
+
+  test("rolling actives: wau7 unions the trailing week, dau stays daily") {
+    import spark.implicits._
+    val ev = Seq( // user 1 on day 1, user 2 on day 5, user 3 on day 20
+      (1L, "2026-01-01"), (2L, "2026-01-05"), (3L, "2026-01-20"))
+      .toDF("user_id", "ds")
+      .select(col("user_id"), to_timestamp(col("ds")).as("ts"))
+    val got = EventOps.rollingActiveUsers(ev).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      "2026-01-01" -> ((1L, 1L)),
+      "2026-01-05" -> ((1L, 2L)), // day 1's user still inside the 7-day window
+      "2026-01-20" -> ((1L, 1L))), s"got $got")
+  }
+
+  test("salt plan gives hot keys ceil(cnt/target) subkeys and skips cold keys") {
+    import spark.implicits._
+    val li = (Seq.fill(1200)(7L) ++ Seq.fill(501)(8L) ++ Seq.fill(400)(9L))
+      .toDF("l_suppkey")
+    val got = AggregateOps.saltPlan(li).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(7L -> 3L, 8L -> 2L), s"cold key 9 must be absent: $got")
+  }
+
+  test("negative samples are self-free, in-range, and reproducible") {
+    val docs = Tables.documents(spark, sf)
+    val a = CorpusOps.negativeSamples(docs).collect()
+    val b = CorpusOps.negativeSamples(docs).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(r => r.getLong(2) != r.getLong(0)), "no self pairs")
+    assert(a.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 500), "ids in corpus range")
+    // near-complete draw: at most a handful of self-collisions dropped
+    assert(a.length > 500 * 4 - 20, s"got ${a.length}")
+  }
+
   test("PMI pairs score perfect collocations at n/df and ignore never-co-occurring terms") {
     import spark.implicits._
     val docs = ((0 until 6).map(i => (i.toLong, "alpha beta")) ++

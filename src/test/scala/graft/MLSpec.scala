@@ -113,6 +113,15 @@ class MLSpec extends SparkSpec {
     }
   }
 
+  test("pca variance report: descending ratios summing under one") {
+    val rows = MLPipelines.pcaVarianceReport(
+      graft.engine.Tables.embeddings(spark, sf)).collect()
+    assert(rows.length == 4)
+    val vs = rows.sortBy(_.getLong(0)).map(_.getDouble(1))
+    assert(vs.zip(vs.tail).forall { case (a, b) => a >= b }, s"descending: ${vs.toSeq}")
+    assert(vs.sum <= 1.0 + 1e-9 && vs.forall(_ >= 0))
+  }
+
   test("param sweep reports the full grid and flags exactly the min-rmse candidate") {
     val rows = graft.queries.MLShared.sweep(spark, sf).collect()
     assert(rows.length == 4, "2x2 grid")
