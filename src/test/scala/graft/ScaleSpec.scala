@@ -340,4 +340,40 @@ class ScaleSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
     assert(got == direct)
   }
+
+  test("fixed-point pagerank is bit-identical under any input partitioning") {
+    import graft.engine.GraphOps
+    val docs = Tables.documents(spark, sf)
+    // integer floor-div rank arithmetic must make the result independent
+    // of partition count and row order — the determinism claim a float
+    // PageRank cannot make (accumulation-order-dependent sums)
+    val base = GraphOps.pagerank(GraphOps.hostLinks(docs)).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val reparted = GraphOps.pagerank(
+      GraphOps.hostLinks(docs.repartition(13, col("source"))).repartition(7))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(base == reparted, "ranks drifted under repartitioning")
+    // total rank mass stays within the floor-division loss bound:
+    // each of the 3 iterations floors at most 1 unit per node per term
+    val total = base.values.sum
+    assert(total <= GraphOps.Scale && total > GraphOps.Scale * 97 / 100,
+      s"mass out of bounds: $total")
+  }
+
+  test("PMI pair join runs vocab-broadcast + doc-co-partitioned, never corpus×corpus") {
+    import graft.engine.TextOps
+    val q = TextOps.pmiPairs(Tables.documents(spark, sf))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // the top-df vocab prune reaches both pair sides as a broadcast
+    assert(plan.contains("BroadcastHashJoin"), s"vocab must broadcast:\n$plan")
+    // the pair self-join itself is an equi-join on doc_id (co-partitioned
+    // shuffle), not a nested-loop product; the ONE allowed nested-loop is
+    // the 1-row corpus-count broadcast (crossJoin(broadcast(nDocs)))
+    assert(!plan.contains("CartesianProduct"), s"no cartesian product:\n$plan")
+    // AQE prints the final plan then the initial plan — count only the final
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(finalPlan).size
+    assert(bnlj <= 1, s"only the 1-row count frame may nested-loop (saw $bnlj):\n$finalPlan")
+  }
 }
