@@ -143,6 +143,44 @@ object DedupOps {
       .orderBy(col("doc_i"), col("doc_j"))
   }
 
+  /** Asymmetric CONTAINMENT pairs — the sub-document duplication
+    * signal Jaccard misses: a short doc quoted whole inside a long
+    * one has low resemblance (|∩|/|∪| diluted by the long doc) but
+    * containment |∩|/|A| ≈ 1 from the short side. Emits both
+    * directions per pair; the gate is max(c_i, c_j), catching
+    * quote/excerpt relations in either direction.
+    *
+    * Scale lever: the DF CAP on shingles (the sparse-cosine/q160
+    * bound, applied to 5-gram postings) — a shingle with df docs
+    * contributes df² join rows, so pruning df > `dfCap` bounds the
+    * self-join at dfCap × |postings| with no doc-subset cap; sizes
+    * are computed over the SAME pruned space so both containments
+    * stay consistent ratios in it (boilerplate shingles carry no
+    * containment signal — they are everywhere by definition). */
+  def containmentPairs(documents: DataFrame, dfCap: Long = 30,
+                       threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(documents)
+    val rare = sh.join(
+        sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= dfCap).select(col("shingle")),
+        Seq("shingle"))
+      .localCheckpoint(false) // sizes rollup + both join sides
+    val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = rare.as("a").join(rare.as("b"), col("a.shingle") === col("b.shingle"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_i").withColumnRenamed("n_sh", "n_i"), "doc_i")
+      .join(sizes.withColumnRenamed("doc_id", "doc_j").withColumnRenamed("n_sh", "n_j"), "doc_j")
+      .withColumn("containment_i", round(col("common").cast("double") / col("n_i"), 6))
+      .withColumn("containment_j", round(col("common").cast("double") / col("n_j"), 6))
+      .filter(greatest(col("containment_i"), col("containment_j")) >= threshold)
+      .select(col("doc_i"), col("doc_j"), col("common").cast("long").as("common"),
+        col("containment_i"), col("containment_j"))
+      .orderBy(col("doc_i"), col("doc_j"))
+  }
+
   /** Diagnostic for sizing the [[boundBuckets]] cap: the bucket-size
     * histogram of the simhash banding — (bucket_n, n_buckets), largest
     * first. Any row with bucket_n above the configured cap is a bucket

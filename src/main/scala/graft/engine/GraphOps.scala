@@ -95,6 +95,51 @@ object GraphOps {
       .orderBy(col("host"))
   }
 
+  /** BFS hop distances from a deterministic seed (the host with the
+    * greatest total link weight, host-ascending tie-break) over the
+    * undirected host graph, `iters` synchronous relaxation rounds —
+    * the reachability probe for crawl-frontier and mirror-cluster
+    * questions ("how many hops from the hub is this host?"). Each
+    * round is one join frontier×edges + one min-rollup — the
+    * standard scalable BFS (no per-vertex driver loop); unreached
+    * hosts report distance −1.
+    *
+    * Rounds bound the answer at `iters` hops (dist > iters reads as
+    * unreached) — callers iterate to the diameter or fixpoint; the
+    * fixed unroll here keeps the op oracle-replayable. */
+  def bfsHops(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val und = edges.filter(col("src_host") =!= col("dst_host"))
+      .select(least(col("src_host"), col("dst_host")).as("u"),
+        greatest(col("src_host"), col("dst_host")).as("v"))
+      .distinct()
+      .localCheckpoint(false) // seed pick + every relaxation round
+    val bidir = und.select(col("u").as("a"), col("v").as("b"))
+      .union(und.select(col("v").as("a"), col("u").as("b")))
+    val nodes = bidir.select(col("a").as("host")).distinct()
+    val seed = edges.groupBy(col("src_host")).agg(sum(col("w")).as("tw"))
+      .orderBy(col("tw").desc, col("src_host")).limit(1)
+      .select(col("src_host").as("host"))
+    var dist = nodes.join(broadcast(seed.withColumn("d0", lit(0L))),
+        Seq("host"), "left_outer")
+      .select(col("host"), col("d0").as("dist")) // null = unreached
+    for (_ <- 1 to iters) {
+      val relaxed = bidir.join(dist.withColumnRenamed("host", "a"), "a")
+        .filter(col("dist").isNotNull)
+        .select(col("b").as("host"), (col("dist") + 1).as("cand"))
+        .groupBy(col("host")).agg(min(col("cand")).as("cand"))
+      // explicit null-handling CASE: Spark's least() skips NULLs but
+      // that behavior is not portable — the oracle replays this CASE
+      dist = dist.join(relaxed, Seq("host"), "left_outer")
+        .select(col("host"),
+          when(col("dist").isNull, col("cand"))
+            .when(col("cand").isNull, col("dist"))
+            .when(col("cand") < col("dist"), col("cand"))
+            .otherwise(col("dist")).as("dist"))
+    }
+    dist.select(col("host"), coalesce(col("dist"), lit(-1L)).as("dist"))
+      .orderBy(col("host"))
+  }
+
   /** Per-host triangle participation over the UNDIRECTED host graph
     * (self-loops dropped, edges canonicalized u<v, weights ignored).
     * Uses the degree-ordered orientation: each edge points from its

@@ -2008,6 +2008,32 @@ object Catalog {
              |WHERE ROUND(CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common), 6) >= 0.15
              |ORDER BY doc_i, doc_j""".stripMargin)),
 
+    // asymmetric CONTAINMENT |∩|/|A| per direction — the quote/
+    // excerpt signal resemblance dilutes; the df cap on shingle
+    // postings (Σdf² bound) replaces q41's doc-subset cap, so this
+    // one runs corpus-wide.
+    QuerySpec(
+      "q186_containment_pairs",
+      (s, dir) => DedupOps.containmentPairs(Tables.documents(s, dir)),
+      Some("""WITH sh AS (
+             |  SELECT DISTINCT doc_id, s FROM (
+             |    SELECT doc_id, substr(text, unnest(range(1, length(text) - 3)), 5) AS s
+             |    FROM documents)),
+             |rare AS (SELECT sh.doc_id, sh.s FROM sh
+             |         JOIN (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 30) d
+             |         USING (s)),
+             |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM rare GROUP BY doc_id),
+             |c AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS common
+             |      FROM rare a JOIN rare b USING (s)
+             |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT doc_i, doc_j, CAST(common AS BIGINT) AS common,
+             |       ROUND(CAST(common AS DOUBLE) / ni.n_sh, 6) AS containment_i,
+             |       ROUND(CAST(common AS DOUBLE) / nj.n_sh, 6) AS containment_j
+             |FROM c JOIN n ni ON doc_i = ni.doc_id JOIN n nj ON doc_j = nj.doc_id
+             |WHERE GREATEST(ROUND(CAST(common AS DOUBLE) / ni.n_sh, 6),
+             |               ROUND(CAST(common AS DOUBLE) / nj.n_sh, 6)) >= 0.5
+             |ORDER BY doc_i, doc_j""".stripMargin)),
+
     // q42/q43/q70/q73 all draw on ONE persisted sketch pass
     // (SketchShared): the (doc_id, sh, sig, simhash) column table plus
     // the two candidate-pair tables built from it — value-identical to
@@ -4398,6 +4424,37 @@ object Catalog {
        |FROM deg LEFT JOIN cnt ON cnt.host = deg.h
        |ORDER BY host""".stripMargin
 
+  /** q187 oracle: 3 unrolled BFS relaxation rounds over the
+    * undirected host graph with the same explicit null-handling CASE
+    * as the Spark loop. */
+  private val q187OracleSql: String = {
+    val iters = (1 to 3).map { k =>
+      s"""c$k AS (SELECT b.b AS host, MIN(d.dist + 1) AS cand
+         |       FROM bidir b JOIN d${k - 1} d ON d.host = b.a
+         |       WHERE d.dist IS NOT NULL GROUP BY b.b),
+         |d$k AS (SELECT d.host,
+         |               CASE WHEN d.dist IS NULL THEN c.cand
+         |                    WHEN c.cand IS NULL THEN d.dist
+         |                    WHEN c.cand < d.dist THEN c.cand ELSE d.dist END AS dist
+         |        FROM d${k - 1} d LEFT JOIN c$k c ON c.host = d.host)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $hostEdgesCteSql,
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |        FROM edges WHERE src <> dst),
+       |bidir AS (SELECT u AS a, v AS b FROM und
+       |          UNION ALL SELECT v AS a, u AS b FROM und),
+       |nodes AS (SELECT DISTINCT a AS host FROM bidir),
+       |seed AS (SELECT src AS host FROM
+       |         (SELECT src, SUM(w) AS tw FROM edges GROUP BY src)
+       |         ORDER BY tw DESC, src LIMIT 1),
+       |d0 AS (SELECT nodes.host,
+       |              CASE WHEN seed.host IS NOT NULL THEN 0 END AS dist
+       |       FROM nodes LEFT JOIN seed ON seed.host = nodes.host),
+       |$iters
+       |SELECT host, CAST(COALESCE(dist, -1) AS BIGINT) AS dist
+       |FROM d3 ORDER BY host""".stripMargin
+  }
+
   private def graphQueries: Seq[QuerySpec] = Seq(
     // deterministic fixed-point PageRank (damping 0.85, 3 synchronous
     // iterations): scaled-BIGINT rank mass with floor division, so
@@ -4415,7 +4472,16 @@ object Catalog {
     QuerySpec(
       "q170_triangle_count",
       (s, dir) => GraphOps.triangleCounts(GraphOps.hostLinks(Tables.documents(s, dir))),
-      Some(q170OracleSql))
+      Some(q170OracleSql)),
+
+    // BFS hop distances from the heaviest host, 3 synchronous
+    // relaxation rounds (frontier×edges join + min rollup per round —
+    // the scalable BFS shape, no per-vertex driver loop); −1 =
+    // unreached within the unroll.
+    QuerySpec(
+      "q187_bfs_hops",
+      (s, dir) => GraphOps.bfsHops(GraphOps.hostLinks(Tables.documents(s, dir))),
+      Some(q187OracleSql))
   )
 
   private def mlQueries: Seq[QuerySpec] = Seq(

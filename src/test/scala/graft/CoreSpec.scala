@@ -729,6 +729,33 @@ class CoreSpec extends SparkSpec {
     assert(a.length > 500 * 4 - 20, s"got ${a.length}")
   }
 
+  test("containment flags a full quote that resemblance dilutes below threshold") {
+    import spark.implicits._
+    val quote = "the quick brown fox jumps over the lazy dog"
+    val filler = (0 until 40).map(i => s"unrelated filler sentence number $i").mkString(" ")
+    val docs = Seq((1L, quote), (2L, s"$filler $quote"), (3L, "completely different text"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(3), r.getDouble(4))).toMap
+    // every 5-gram of doc 1 appears in doc 2 -> containment_i = 1.0
+    assert(pairs.contains((1L, 2L)), s"got $pairs")
+    val (ci, cj) = pairs((1L, 2L))
+    assert(ci == 1.0, s"short side fully contained: $ci")
+    assert(cj < 0.5, "long side dilution is exactly why Jaccard misses this")
+    assert(!pairs.keys.exists { case (i, j) => i == 3L || j == 3L })
+  }
+
+  test("bfs hops walk the planted path and report unreached as -1") {
+    import spark.implicits._
+    val edges = Seq( // path a-b-c-d (seed a by weight), island e-f
+      ("a", "b", 10L), ("b", "c", 1L), ("c", "d", 1L), ("e", "f", 1L))
+      .toDF("src_host", "dst_host", "w")
+    val got = GraphOps.bfsHops(edges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L,
+      "e" -> -1L, "f" -> -1L), s"got $got")
+  }
+
   test("PMI pairs score perfect collocations at n/df and ignore never-co-occurring terms") {
     import spark.implicits._
     val docs = ((0 until 6).map(i => (i.toLong, "alpha beta")) ++
