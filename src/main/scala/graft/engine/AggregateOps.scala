@@ -331,6 +331,37 @@ object AggregateOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Mergeable distinct-count sketches — the pre-aggregation pattern
+    * that makes COUNT(DISTINCT) maintainable at 100 TB: per
+    * (event_type, day) HLL sketches are the stored partial (built
+    * once per partition as data lands), and any rollup — weekly,
+    * monthly, all-time — is a SKETCH UNION, never a re-scan of raw
+    * events. The report emits, per type, the estimate from merging
+    * the daily sketches next to the estimate from sketching the raw
+    * stream directly and the exact distinct: merge ≡ direct is the
+    * lossless-union contract (HLL registers take pointwise max, so
+    * sketch(A∪B) = union(sketch(A), sketch(B)) EXACTLY), and
+    * |estimate − exact| / exact is the usual HLL error.
+    * DataSketches estimates have no DuckDB replay ⇒ rows-only + the
+    * CoreSpec merge-identity assert. */
+  def hllMergeableDistinct(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), col("ts").cast("date").as("d"), col("user_id"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .localCheckpoint(false) // the stored partial; merged + counted below
+    val merged = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_daily_sketches"),
+           hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_estimate"))
+    val direct = events.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("direct_estimate"),
+           countDistinct(col("user_id")).cast("long").as("exact_distinct"))
+    merged.join(direct, "event_type")
+      .select(col("event_type"), col("n_daily_sketches"),
+        col("merged_estimate"), col("direct_estimate"), col("exact_distinct"))
+      .orderBy(col("event_type"))
+  }
+
   /** Salting plan from the key histogram — the remediation step
     * [[keySkewHistogram]] diagnoses for: every key whose row count
     * exceeds `targetRows` (the rows-one-task-should-handle knob) gets

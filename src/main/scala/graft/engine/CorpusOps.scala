@@ -712,6 +712,35 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** CDC APPLY — the MERGE that turns [[snapshotDiff]]'s work list
+    * back into a table: upserts (added ∪ changed, payload fetched
+    * from the current store by id — a change-rate-sized join, the
+    * text of unchanged docs never moves) land over an anti-join that
+    * drops removed ∪ changed from the previous snapshot. Emits the
+    * reconstructed table's (doc_id, fingerprint) — and the oracle for
+    * this query is simply `md5(text)` of the CURRENT table, because
+    * apply(prev, diff(cur, prev)) ≡ cur is the algebraic contract a
+    * MERGE must satisfy; the hash match IS the proof the round trip
+    * loses nothing.
+    *
+    * Scale: one full-outer diff (q155, fingerprints only), one
+    * anti-join on ids, one change-rate-sized payload join — the
+    * incremental-maintenance shape that never rewrites untouched
+    * rows. */
+  def applySnapshotDiff(documents: DataFrame): DataFrame = {
+    val prev = syntheticPreviousSnapshot(documents)
+    val diff = snapshotDiff(documents).localCheckpoint(false) // upsert + drop lists
+    val upserts = diff.filter(col("status").isin("added", "changed"))
+      .select(col("doc_id"))
+      .join(documents.select(col("doc_id"), col("text")), "doc_id")
+    val dropped = diff.filter(col("status").isin("removed", "changed"))
+      .select(col("doc_id"))
+    prev.join(dropped, Seq("doc_id"), "left_anti")
+      .unionByName(upserts)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic prior-snapshot fixture for [[snapshotDiff]]. */
   private def syntheticPreviousSnapshot(documents: DataFrame): DataFrame = {
     val kept = documents

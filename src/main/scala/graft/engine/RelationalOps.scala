@@ -313,4 +313,40 @@ object RelationalOps {
       .agg(decSum(col("o_totalprice")).as("total_price"), count(lit(1)).as("n_orders"))
       .orderBy(col("band_id"))
   }
+
+  /** Share-of-parent hierarchy report — the contribution analysis
+    * every BI rollup ends in: revenue per (region, nation) with each
+    * nation's share of its region and of the world. All three totals
+    * accumulate in exact DECIMAL (a double region total would sum its
+    * nations in partition order — order-dependent); each share is ONE
+    * double division at the end. The region and global frames are
+    * dim-bounded broadcasts; the heavy work is the single fact rollup
+    * the dims hang off.
+    *
+    * (reference analogue: the per-agency share breakdowns its
+    * dashboards derive client-side from total_award_amount rollups —
+    * here the shares are part of the relation.) */
+  def shareOfParent(lineitem: DataFrame, supplier: DataFrame,
+                    nation: DataFrame, region: DataFrame): DataFrame = {
+    val joined = lineitem
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"), col("l_extendedprice"))
+    val byNation = joined.groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("np"),
+           count(lit(1)).cast("long").as("n_items"))
+      .localCheckpoint(false) // region rollup, global total, output all read it
+    val byRegion = byNation.groupBy(col("r_name")).agg(sum(col("np")).as("rp"))
+    val total = byNation.agg(sum(col("np")).as("gp"))
+    byNation.join(broadcast(byRegion), "r_name")
+      .crossJoin(broadcast(total))
+      .select(col("r_name"), col("n_name"), col("n_items"),
+        col("np").cast("double").as("total_price"),
+        round(col("np").cast("double") / col("rp").cast("double"), 6)
+          .as("share_of_region"),
+        round(col("np").cast("double") / col("gp").cast("double"), 6)
+          .as("share_of_total"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
 }

@@ -68,6 +68,32 @@ object Catalog {
               |GROUP BY s_name, n_name
               |ORDER BY s_name""".stripMargin)),
 
+    // share-of-parent contribution report: nation revenue with
+    // share-of-region and share-of-total — all three totals exact
+    // DECIMAL, one double division per share; dim frames broadcast.
+    QuerySpec(
+      "q190_share_of_parent",
+      (s, dir) => RelationalOps.shareOfParent(
+        Tables.lineitem(s, dir), Tables.supplier(s, dir),
+        Tables.nation(s, dir), Tables.region(s, dir)),
+      Some("""WITH j AS (
+             |  SELECT r_name, n_name, l_extendedprice FROM lineitem
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey),
+             |bn AS (SELECT r_name, n_name,
+             |              SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS np,
+             |              CAST(COUNT(*) AS BIGINT) AS n_items
+             |       FROM j GROUP BY r_name, n_name),
+             |br AS (SELECT r_name, SUM(np) AS rp FROM bn GROUP BY r_name),
+             |g AS (SELECT SUM(np) AS gp FROM bn)
+             |SELECT bn.r_name, n_name, n_items,
+             |       CAST(np AS DOUBLE) AS total_price,
+             |       ROUND(CAST(np AS DOUBLE) / CAST(rp AS DOUBLE), 6) AS share_of_region,
+             |       ROUND(CAST(np AS DOUBLE) / CAST(gp AS DOUBLE), 6) AS share_of_total
+             |FROM bn JOIN br USING (r_name) CROSS JOIN g
+             |ORDER BY r_name, n_name""".stripMargin)),
+
     QuerySpec(
       "q02_two_key_rollup",
       (s, dir) => RelationalOps.twoKeyRollup(Tables.lineitem(s, dir)),
@@ -593,6 +619,15 @@ object Catalog {
              |FROM n JOIN med USING (l_returnflag) JOIN mad USING (l_returnflag)
              |LEFT JOIN o USING (l_returnflag)
              |ORDER BY l_returnflag""".stripMargin)),
+
+    // mergeable HLL distinct sketches: per-(type, day) stored
+    // partials, rollup = sketch UNION (register-max, lossless) —
+    // COUNT(DISTINCT) as a maintainable MV; DataSketches estimates
+    // have no DuckDB replay ⇒ rows-only + CoreSpec merge identity.
+    QuerySpec(
+      "q188_hll_mergeable",
+      (s, dir) => AggregateOps.hllMergeableDistinct(Tables.events(s, dir)),
+      None),
 
     // salting plan from the key histogram: hot keys get integer
     // ⌈cnt/target⌉ salt factors as DATA — only hot keys replicate in
@@ -2690,6 +2725,16 @@ object Catalog {
              |  FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id)
              |SELECT doc_id, status, cur_fp, prev_fp, lang, source
              |FROM j WHERE status <> 'unchanged'
+             |ORDER BY doc_id""".stripMargin)),
+
+    // CDC APPLY: the MERGE of q155's work list onto the previous
+    // snapshot. The oracle is md5(text) of the CURRENT table — the
+    // identity apply(prev, diff(cur, prev)) ≡ cur IS the check: a
+    // hash match proves the merge reconstructs the table losslessly.
+    QuerySpec(
+      "q189_apply_diff",
+      (s, dir) => CorpusOps.applySnapshotDiff(Tables.documents(s, dir)),
+      Some("""SELECT doc_id, md5(text) AS fp FROM documents
              |ORDER BY doc_id""".stripMargin)),
 
     // recency-weighted refresh plan: 30-day age buckets, halving

@@ -756,6 +756,30 @@ class CoreSpec extends SparkSpec {
       "e" -> -1L, "f" -> -1L), s"got $got")
   }
 
+  test("HLL daily-sketch union equals the direct sketch exactly, near the exact count") {
+    val rows = AggregateOps.hllMergeableDistinct(Tables.events(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // register-max union is lossless: merged estimate == direct estimate
+      assert(r.getLong(2) == r.getLong(3),
+        s"merge must be lossless for ${r.getString(0)}: $r")
+      val exact = r.getLong(4).toDouble
+      assert(math.abs(r.getLong(3) - exact) / exact < 0.05,
+        s"HLL error out of band: $r")
+      assert(r.getLong(1) > 1L, "fixture must exercise a real multi-sketch merge")
+    }
+  }
+
+  test("apply-diff reconstructs the current snapshot byte-for-byte") {
+    import org.apache.spark.sql.functions.md5
+    val docs = Tables.documents(spark, sf)
+    val got = CorpusOps.applySnapshotDiff(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = docs.select(col("doc_id"), md5(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want, "merge of prev + diff must equal current")
+  }
+
   test("PMI pairs score perfect collocations at n/df and ignore never-co-occurring terms") {
     import spark.implicits._
     val docs = ((0 until 6).map(i => (i.toLong, "alpha beta")) ++
