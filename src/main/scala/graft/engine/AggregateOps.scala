@@ -425,6 +425,38 @@ object AggregateOps {
       .orderBy(col("source"))
   }
 
+  /** Total-variation drift of each source's CATEGORICAL distribution
+    * (language mix) from the corpus-wide one — the discrete
+    * complement of [[ksPerSource]]'s continuous KS: TV(s, g) =
+    * ½·Σ_lang |p_s(lang) − p_g(lang)|, computed as the exact integer
+    * Σ|o·N − g·n_s| over the (source × lang) grid (zero-count cells
+    * included — a language a source never emits still contributes its
+    * global mass), one display division at the end. TV is the
+    * fraction of the source's mass that would have to move to match
+    * the corpus — directly actionable for mixing weights.
+    *
+    * Scale: two map-side-combinable count rollups; the grid is
+    * sources × languages (registry-bounded), never corpus-sized. */
+  def tvDriftPerSource(documents: DataFrame): DataFrame = {
+    val cells = documents.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).cast("long").as("o"))
+      .localCheckpoint(false) // marginals + grid join read it
+    val ns = cells.groupBy(col("source")).agg(sum(col("o")).cast("long").as("n_s"))
+    val gl = cells.groupBy(col("lang")).agg(sum(col("o")).cast("long").as("g"))
+    val nTot = ns.agg(sum(col("n_s")).cast("long").as("n"))
+    ns.crossJoin(gl)
+      .join(cells, Seq("source", "lang"), "left_outer")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(nTot))
+      .withColumn("term", abs(col("o") * col("n") - col("g") * col("n_s")))
+      .groupBy(col("source"), col("n_s"), col("n"))
+      .agg(sum(col("term")).cast("long").as("tv_num"))
+      .select(col("source"), col("n_s").as("n_source"), col("tv_num"),
+        round(col("tv_num").cast("double") /
+          (lit(2.0) * col("n_s").cast("double") * col("n").cast("double")), 6).as("tv"))
+      .orderBy(col("source"))
+  }
+
   /** Benford first-digit law constants log10(1 + 1/d), d = 1..9 —
     * shared LITERALS (never computed: log10 is transcendental and
     * engine-dependent; a literal is bit-identical everywhere). */

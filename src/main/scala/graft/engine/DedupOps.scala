@@ -159,7 +159,9 @@ object DedupOps {
     * containment signal — they are everywhere by definition). */
   def containmentPairs(documents: DataFrame, dfCap: Long = 30,
                        threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(documents)
+    // checkpointed: the df rollup AND the prune join both read the
+    // shingle set — without the cut the per-char extraction runs twice
+    val sh = shingles(documents).localCheckpoint(false)
     val rare = sh.join(
         sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= dfCap).select(col("shingle")),

@@ -183,6 +183,37 @@ object EventOps {
       .orderBy(col("d"))
   }
 
+  /** Attribution-window sensitivity — how many conversions each
+    * candidate look-back window would credit: the last-touch gaps
+    * ([[lastTouchAttribution]]) rolled up against a literal ladder of
+    * windows (5 min / 30 min / 60 min / 24 h). The marketing question
+    * this answers — "does our 30-minute window under-credit?" — is a
+    * one-scan report here because the gap is computed once and each
+    * window is just a predicate over it (windows × purchases explode,
+    * window-count bounded).
+    *
+    * Integer µs comparisons throughout; rates are one division per
+    * output row. */
+  def attributionWindows(events: DataFrame): DataFrame = {
+    val winUs = Seq(300L, 1800L, 3600L, 86400L).map(_ * 1000000L) // seconds → µs
+    val winArr = winUs.mkString("array(", "L, ", "L)")
+    val gaps = lastTouchAttribution(events)
+      .select(col("purchase_id"), col("gap_us"))
+      .localCheckpoint(false) // totals + per-window rollup
+    val total = gaps.agg(count(lit(1)).cast("long").as("n_purchases"))
+    gaps
+      .crossJoin(broadcast(total))
+      .select(col("purchase_id"), col("gap_us"), col("n_purchases"),
+        explode(expr(winArr)).as("window_us"))
+      .groupBy(col("window_us"), col("n_purchases"))
+      .agg(count(when(col("gap_us").isNotNull &&
+        col("gap_us") <= col("window_us"), 1)).cast("long").as("n_credited"))
+      .select(col("window_us"), col("n_purchases"), col("n_credited"),
+        round(col("n_credited").cast("double") / col("n_purchases"), 6)
+          .as("credit_rate"))
+      .orderBy(col("window_us"))
+  }
+
   /** SCD2-style state history — the slowly-changing-dimension build
     * every CDC/warehouse pipeline runs: per user, consecutive runs of
     * the same `event_type` compress into one versioned validity row

@@ -165,4 +165,52 @@ object WriteOps {
       .write.mode("overwrite").orc(path)
     orders.sparkSession.read.orc(path).orderBy(col("o_orderkey"))
   }
+
+  /** 16-bit Morton (Z-order) interleave of two integer columns as an
+    * unrolled arithmetic expression — `>>`, `&`, `*`, `+` only, so
+    * the SAME string evaluates identically in Spark SQL and DuckDB
+    * (the oracle replays this text verbatim). */
+  def mortonSqlExpr(a: String, b: String): String =
+    (0 until 16).map { i =>
+      s"(((($a) >> $i) & 1) * ${1L << (2 * i)} + ((($b) >> $i) & 1) * ${1L << (2 * i + 1)})"
+    }.mkString(" + ")
+
+  /** Z-order layout report — the data-skipping layout decision a
+    * lakehouse table makes when TWO columns both carry selective
+    * filters: rows sort by the Morton interleave of (l_partkey,
+    * l_suppkey) and files are equal-width Z-RANGES (zval div
+    * 2^(32−fileBits) — no global sort needed for the report; the
+    * write path would repartitionByRange on zval). Each output row is
+    * one file's zone map: row count plus min/max of BOTH dims — the
+    * rectangle a scan with predicates on either (or both) columns
+    * prunes against. The rect_area column makes the clustering
+    * quality auditable: z-range files cover small rectangles in the
+    * (part, supp) plane, where a single-column sort would stripe the
+    * full height of the other dimension.
+    *
+    * Scale: one stateless projection + one file-count-sized rollup;
+    * the interleave is pure integer arithmetic (codegen-friendly,
+    * oracle-identical). */
+  def zorderLayout(lineitem: DataFrame, nFiles: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // equal-width z-ranges over the OBSERVED z interval (an absolute
+    // 2^32-wide split would put any small-key-domain table in one
+    // file); the bounds are a 1-row broadcast, the assignment pure
+    // integer arithmetic
+    val zed = lineitem
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr(mortonSqlExpr("l_partkey", "l_suppkey")).as("zval"))
+      .localCheckpoint(false) // bounds scan + bucket assignment
+    val bounds = zed.agg(min(col("zval")).as("zlo"), max(col("zval")).as("zhi"))
+    zed.crossJoin(broadcast(bounds))
+      .withColumn("file_id", expr(s"((zval - zlo) * $nFiles) DIV (zhi - zlo + 1)"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+           min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+           min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
+      .withColumn("rect_area",
+        ((col("max_part") - col("min_part") + 1) *
+         (col("max_supp") - col("min_supp") + 1)).cast("long"))
+      .orderBy(col("file_id"))
+  }
 }

@@ -670,6 +670,30 @@ object Catalog {
              |GROUP BY sc.source, sc.n_s, nt.n
              |ORDER BY source""".stripMargin)),
 
+    // categorical total-variation drift per source vs corpus (the
+    // discrete complement of q179's KS): exact integer Σ|o·N − g·n_s|
+    // over the full sources × langs grid, zero cells included.
+    QuerySpec(
+      "q191_tv_drift",
+      (s, dir) => AggregateOps.tvDriftPerSource(Tables.documents(s, dir)),
+      Some("""WITH cells AS (
+             |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+             |  FROM documents GROUP BY source, lang),
+             |ns AS (SELECT source, CAST(SUM(o) AS BIGINT) AS n_s FROM cells GROUP BY source),
+             |gl AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS g FROM cells GROUP BY lang),
+             |nt AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM ns),
+             |grid AS (SELECT ns.source, ns.n_s, gl.lang, gl.g,
+             |                COALESCE(cells.o, 0) AS o
+             |         FROM ns CROSS JOIN gl
+             |         LEFT JOIN cells ON cells.source = ns.source AND cells.lang = gl.lang)
+             |SELECT source, n_s AS n_source,
+             |       CAST(SUM(abs(o * n - g * n_s)) AS BIGINT) AS tv_num,
+             |       ROUND(CAST(SUM(abs(o * n - g * n_s)) AS DOUBLE)
+             |             / (2.0 * n_s * n), 6) AS tv
+             |FROM grid CROSS JOIN nt
+             |GROUP BY source, n_s, n
+             |ORDER BY source""".stripMargin)),
+
     // Benford first-digit audit: the digit comes off the cent-
     // quantized BIGINT's decimal string (never double formatting),
     // expected shares are shared literals (log10 is transcendental —
@@ -1136,6 +1160,37 @@ object Catalog {
              |       CAST(ts_us - attr_us AS BIGINT) AS gap_us
              |FROM a WHERE event_type = 'purchase'
              |ORDER BY purchase_id""".stripMargin)),
+
+    // attribution-window sensitivity: the last-touch gaps rolled up
+    // against a literal window ladder — one gap computation, each
+    // window a predicate; integer µs comparisons.
+    QuerySpec(
+      "q192_attribution_windows",
+      (s, dir) => EventOps.attributionWindows(Tables.events(s, dir)),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS ts_us
+             |  FROM events),
+             |a AS (SELECT user_id, event_id, event_type, ts_us,
+             |        last_value(CASE WHEN event_type IN ('view', 'click')
+             |                        THEN ts_us END IGNORE NULLS) OVER w AS attr_us
+             |      FROM e
+             |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             |p AS (SELECT event_id AS purchase_id,
+             |             CAST(ts_us - attr_us AS BIGINT) AS gap_us
+             |      FROM a WHERE event_type = 'purchase'),
+             |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases FROM p),
+             |w AS (SELECT unnest([300000000, 1800000000, 3600000000, 86400000000])
+             |        AS window_us)
+             |SELECT CAST(window_us AS BIGINT) AS window_us, n_purchases,
+             |       CAST(COUNT(CASE WHEN gap_us IS NOT NULL AND gap_us <= window_us
+             |                       THEN 1 END) AS BIGINT) AS n_credited,
+             |       ROUND(CAST(COUNT(CASE WHEN gap_us IS NOT NULL AND gap_us <= window_us
+             |                             THEN 1 END) AS DOUBLE) / n_purchases, 6)
+             |         AS credit_rate
+             |FROM p CROSS JOIN w CROSS JOIN t
+             |GROUP BY window_us, n_purchases
+             |ORDER BY window_us""".stripMargin)),
 
     // DAU + trailing-7-day distinct actives per day: the rolling
     // distinct is an explode-to-covered-days + keyed distinct rollup
@@ -2772,6 +2827,29 @@ object Catalog {
              |         AS content_checksum
              |FROM documents GROUP BY source, lang
              |ORDER BY source, lang""".stripMargin)),
+
+    // Z-order layout zone maps: rows bucket by equal-width ranges of
+    // the 16-bit Morton interleave (pure >>/&/*/+ arithmetic — the
+    // oracle evaluates the IDENTICAL expression text); per-file
+    // min/max of BOTH dims is the rectangle scans prune against.
+    QuerySpec(
+      "q193_zorder_layout",
+      (s, dir) => WriteOps.zorderLayout(Tables.lineitem(s, dir)),
+      Some(s"""WITH z AS (
+              |  SELECT l_partkey, l_suppkey,
+              |         ${WriteOps.mortonSqlExpr("l_partkey", "l_suppkey")} AS zval
+              |  FROM lineitem),
+              |b AS (SELECT MIN(zval) AS zlo, MAX(zval) AS zhi FROM z),
+              |f AS (SELECT z.*, ((zval - zlo) * 64) // (zhi - zlo + 1) AS file_id
+              |      FROM z CROSS JOIN b)
+              |SELECT CAST(file_id AS BIGINT) AS file_id,
+              |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+              |       MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+              |       CAST(MIN(l_suppkey) AS BIGINT) AS min_supp,
+              |       CAST(MAX(l_suppkey) AS BIGINT) AS max_supp,
+              |       CAST((MAX(l_partkey) - MIN(l_partkey) + 1)
+              |            * (MAX(l_suppkey) - MIN(l_suppkey) + 1) AS BIGINT) AS rect_area
+              |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin)),
 
     // small-file compaction plan: files (never split, file_id order)
     // bin-pack into ≈target-byte output groups by offset packing over

@@ -780,6 +780,51 @@ class CoreSpec extends SparkSpec {
     assert(got == want, "merge of prev + diff must equal current")
   }
 
+  test("TV drift: disjoint language mixes land at the hand-computed distance") {
+    import spark.implicits._
+    // source a: 2 docs all "en"; source b: 2 docs all "de"
+    val docs = Seq((0L, "a", "en"), (1L, "a", "en"), (2L, "b", "de"), (3L, "b", "de"))
+      .toDF("doc_id", "source", "lang").withColumn("text", lit("x"))
+    val got = AggregateOps.tvDriftPerSource(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    // per source: |2*4-2*2| + |0*4-2*2| = 4+4 = 8; tv = 8/(2*2*4) = 0.5
+    assert(got == Map("a" -> ((8L, 0.5)), "b" -> ((8L, 0.5))), s"got $got")
+  }
+
+  test("attribution windows credit monotonically and respect the gap boundary") {
+    import spark.implicits._
+    val ev = Seq( // purchase 10 min after the view; another with no marketing
+      (1L, 1L, "2026-01-01 10:00:00", "view"), (1L, 2L, "2026-01-01 10:10:00", "purchase"),
+      (2L, 3L, "2026-01-01 09:00:00", "purchase"))
+      .toDF("user_id", "event_id", "ts_s", "event_type")
+      .select(col("user_id"), col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("event_type"))
+    val got = EventOps.attributionWindows(ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // 5-min window misses the 10-min gap; all longer windows credit it;
+    // the unattributed purchase is never credited
+    assert(got == Map(300000000L -> 0L, 1800000000L -> 1L,
+      3600000000L -> 1L, 86400000000L -> 1L), s"got $got")
+    assert(EventOps.attributionWindows(ev).collect().forall(_.getLong(1) == 2L))
+  }
+
+  test("zorder files cover small rectangles; the interleave is the morton value") {
+    import spark.implicits._
+    // morton(3, 5): a bits 11, b bits 101 -> z = 1*1 + 1*2? hand: a=3 (bits 1,1),
+    // b=5 (bits 1,0,1): z = (1*1 + 1*2) + (1*4 + 0*8) + (0*16 + 1*32) = 39
+    val one = Seq((3L, 5L)).toDF("l_partkey", "l_suppkey")
+    val z = one.select(expr(WriteOps.mortonSqlExpr("l_partkey", "l_suppkey")).as("z"))
+      .collect()(0).getLong(0)
+    assert(z == 39L, s"morton(3,5) must be 39, got $z")
+    val report = WriteOps.zorderLayout(Tables.lineitem(spark, sf)).collect()
+    assert(report.map(_.getLong(1)).sum == Tables.lineitem(spark, sf).count())
+    // zone maps must actually localize: no file spans the full plane
+    val fullPart = report.map(_.getLong(3)).max - report.map(_.getLong(2)).min
+    report.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) < fullPart || report.length == 1)
+    }
+  }
+
   test("PMI pairs score perfect collocations at n/df and ignore never-co-occurring terms") {
     import spark.implicits._
     val docs = ((0 until 6).map(i => (i.toLong, "alpha beta")) ++
