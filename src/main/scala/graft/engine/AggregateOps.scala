@@ -331,6 +331,98 @@ object AggregateOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Chi-square-style categorical association audit — "does feature A
+    * predict feature B?" for two discrete columns, the feature-
+    * selection / leakage-detection primitive of a training pipeline
+    * (a source column that all but determines lang is a shortcut the
+    * model will exploit). Classic χ² = Σ (o−e)²/e over the FULL
+    * source×lang grid including zero cells; here every term is
+    * integer: e = (rowTotal·colTotal) DIV N and the per-cell score is
+    * ((o−e)²·10⁶) DIV (e+1) — a ppm-scaled floor-divided variant that
+    * trades the textbook constant for bit-identical results on any
+    * engine/partitioning (the +1 guards empty-expectation cells). The
+    * corpus is touched ONCE (one |grid|-sized rollup); everything
+    * after is arithmetic on the tiny marginal frames, and the squares
+    * ride DECIMAL(38,0) so 10¹²-row-scale counts stay exact. */
+  def chiSquareRelevance(documents: DataFrame): DataFrame = {
+    val cells = documents.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).cast("long").as("o"))
+      .localCheckpoint(false) // marginals + grid all derive from it
+    val rowTot = cells.groupBy(col("source")).agg(sum(col("o")).as("r"))
+    val colTot = cells.groupBy(col("lang")).agg(sum(col("o")).as("cc"))
+    val n = cells.agg(sum(col("o")).as("nn"))
+    val scored = rowTot.crossJoin(colTot).crossJoin(broadcast(n))
+      .join(cells, Seq("source", "lang"), "left_outer")
+      .na.fill(0L, Seq("o"))
+      .withColumn("e", expr("(r * cc) DIV nn"))
+      .withColumn("cell_ppm",
+        expr("(CAST(o - e AS DECIMAL(38,0)) * (o - e) * 1000000) DIV (e + 1)"))
+    val total = scored.agg(sum(col("cell_ppm")).cast("long").as("chi2_ppm"))
+    scored.crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("o").as("n_docs"),
+        col("e").cast("long").as("expected"),
+        col("cell_ppm").cast("long").as("cell_ppm"), col("chi2_ppm"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  /** Sketch-bracketed EXACT order statistics — the 100 TB execution
+    * plan for the exact-rank family (q165/q167 pay a full per-group
+    * rank sort; this query lands the SAME exact values in two linear
+    * scans). Pass 1: one hash aggregate computes per-group counts and
+    * a GK sketch bracket around each target rank — `approx_percentile`
+    * at p ± 4/accuracy guarantees (rank error ≤ n/accuracy) that the
+    * true k-th value lies inside [lo, hi]. Pass 2: one scan counts
+    * rows strictly below the bracket and ranks ONLY the in-bracket
+    * rows (≤ ~8n/accuracy of the data — at accuracy 10⁴ that is
+    * <0.1%, so the rank window sorts a sliver regardless of group
+    * count or skew); the k-th overall value is the (k − n_below)-th
+    * in-bracket value. The final answer is EXACT and independent of
+    * sketch jitter, so the oracle is plain rank selection — no sketch
+    * replay needed. Lower-median and the q165-convention p95. */
+  def bracketedOrderStats(lineitem: DataFrame, accuracy: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = lineitem.select(col("l_returnflag"),
+      round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .localCheckpoint(false) // sketch pass + refine pass both read it
+    val d = 4.0 / accuracy
+    val brackets = cents.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("long").as("n"),
+           expr(s"approx_percentile(c, array(${0.5 - d}, ${0.5 + d}, " +
+                s"${0.95 - d}, ${math.min(1.0, 0.95 + d)}), $accuracy)").as("br"))
+      .select(col("l_returnflag"), col("n"),
+        col("br")(0).as("lo50"), col("br")(1).as("hi50"),
+        col("br")(2).as("lo95"), col("br")(3).as("hi95"))
+      .withColumn("k50", expr("(n + 1) DIV 2"))
+      .withColumn("k95", expr("((n - 1) * 95) DIV 100 + 1"))
+    val j = cents.join(broadcast(brackets), "l_returnflag")
+    val below = j.groupBy(col("l_returnflag"))
+      .agg(sum(when(col("c") < col("lo50"), 1L).otherwise(0L)).as("below50"),
+           sum(when(col("c") < col("lo95"), 1L).otherwise(0L)).as("below95"))
+    // only in-bracket rows reach the rank window: tag 50/95 keeps the
+    // two refinements in one frame, one tiny sort
+    val inBracket =
+      j.filter(col("c") >= col("lo50") && col("c") <= col("hi50"))
+        .select(col("l_returnflag"), lit(50).as("tag"), col("c"), col("k50").as("k"))
+        .unionByName(
+          j.filter(col("c") >= col("lo95") && col("c") <= col("hi95"))
+            .select(col("l_returnflag"), lit(95).as("tag"), col("c"), col("k95").as("k")))
+    val w = Window.partitionBy(col("l_returnflag"), col("tag")).orderBy(col("c"))
+    val exact = inBracket
+      .join(broadcast(below), "l_returnflag")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter((col("tag") === 50 && col("rn") === col("k") - col("below50")) ||
+              (col("tag") === 95 && col("rn") === col("k") - col("below95")))
+      .groupBy(col("l_returnflag"))
+      .agg(min(when(col("tag") === 50, col("c"))).as("c50"),
+           min(when(col("tag") === 95, col("c"))).as("c95"))
+    brackets.select(col("l_returnflag"), col("n").as("n_rows"))
+      .join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("n_rows"),
+        round(col("c50").cast("double") / 100, 6).as("median_price"),
+        round(col("c95").cast("double") / 100, 6).as("p95_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Mergeable distinct-count sketches — the pre-aggregation pattern
     * that makes COUNT(DISTINCT) maintainable at 100 TB: per
     * (event_type, day) HLL sketches are the stored partial (built

@@ -675,6 +675,35 @@ object CorpusOps {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** Deterministic WEIGHTED priority sample — k docs per source drawn
+    * with inclusion odds rising with token mass (long docs carry more
+    * training signal per pick), reproducible with no RNG state: each
+    * doc gets priority = u DIV w where u = xxhash64(doc_id) folded
+    * uniform onto [0, 2⁶²) and w = max(n_chars, 1); the k smallest
+    * priorities per source win (the classic priority-sample rule
+    * "largest w/u", inverted to integer floor division so both
+    * engines compare identical BIGINTs — no pow/ln replay risk).
+    * Heavier docs divide u by more, landing smaller priorities more
+    * often; a doc's fate never depends on the rest of the corpus, so
+    * the draw is stable under corpus growth exactly like q94's split.
+    * One window bounded by rk ≤ k → Spark plans WindowGroupLimit:
+    * per-partition top-k heaps, never a full per-source sort. */
+  def weightedPrioritySample(documents: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority"), col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"),
+        greatest(col("n_chars"), lit(1L)).as("weight"),
+        pmod(xxhash64(col("doc_id")), lit(4611686018427387904L)).as("u"))
+      .withColumn("priority", expr("u DIV weight"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("rk"), col("doc_id"),
+        col("weight").cast("long").as("weight"), col("priority"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** Snapshot diff — the incremental-refresh work list: given the
     * previous corpus snapshot and the current one, classify every
     * doc_id as `added` / `removed` / `changed` (same id, different

@@ -287,4 +287,31 @@ object EventOps {
            (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
       .orderBy(col("user_id"), col("session_id"))
   }
+
+  /** First-order next-event transition matrix — the user-journey
+    * Markov table ("what follows a view?") behind funnel design and
+    * anomaly detection (a transition whose share shifts between
+    * releases is a regression signal; pair with the q191 TV gate to
+    * alert on it). Each user's event sequence contributes its
+    * adjacent pairs via one `lead` over the SAME (user, ts, event_id)
+    * sort every event operator here shares — one user-keyed shuffle,
+    * never an event×event join; the matrix is |types|² rows, so the
+    * totals join is dimension-scale. Probabilities are floor-divided
+    * ppm integers — bit-identical on any engine, no fp accumulation. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).cast("long").as("n_transitions"))
+    val totals = pairs.groupBy(col("event_type"))
+      .agg(sum(col("n_transitions")).cast("long").as("n_from"))
+    pairs.join(broadcast(totals), "event_type")
+      .withColumn("p_ppm", expr("(n_transitions * 1000000) DIV n_from"))
+      .select(col("event_type"), col("next_type"), col("n_transitions"),
+        col("n_from"), col("p_ppm"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
 }

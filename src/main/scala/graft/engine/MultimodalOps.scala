@@ -118,6 +118,25 @@ object MultimodalOps {
       .select(col("media_id"), col("frame_idx"), col("n_frames"), col("frame_fp"))
       .orderBy(col("media_id"), col("frame_idx"))
 
+  /** Cross-media duplicate frames — stock-footage / shared-intro
+    * detection: any frame fingerprint appearing in ≥2 distinct media
+    * is re-used material (the media-payload analogue of
+    * [[graft.engine.TextOps.sentenceDedup]]'s cross-doc sentences).
+    * Rides [[frameSample]]'s explode (per-row generate, no shuffle)
+    * into ONE fingerprint-keyed rollup; output is duplicate-rate-
+    * sized. With real codecs the fp becomes the q151 pHash and the
+    * rollup gains a Hamming band — the plan shape is unchanged. */
+  def crossMediaDupFrames(documents: DataFrame, frameLen: Int = 64,
+                          step: Int = 128): DataFrame =
+    frameSample(documents, frameLen, step)
+      .groupBy(col("frame_fp"))
+      .agg(countDistinct(col("media_id")).cast("long").as("n_media"),
+           count(lit(1)).cast("long").as("n_occurrences"),
+           min(col("media_id")).cast("long").as("first_media"),
+           max(col("media_id")).cast("long").as("last_media"))
+      .filter(col("n_media") >= 2)
+      .orderBy(col("frame_fp"))
+
   /** Media similarity — the SemDeDup-for-images composition: opaque
     * payloads → partition-batched (stub) feature extraction → exact
     * cosine top-k over the extracted vectors. The decode output is

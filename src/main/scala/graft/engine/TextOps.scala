@@ -961,6 +961,70 @@ object TextOps {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Token frequency-of-frequencies spectrum (count-of-counts) with
+    * integer Good-Turing adjusted counts — the table behind
+    * Good-Turing smoothing, vocabulary-size (Heaps/Zipf) modeling and
+    * hapax-rate QC: row r says "n_types words occur exactly r times,
+    * carrying n_tokens of corpus mass", and r*_ppm = (r+1)·n_{r+1}·10⁶
+    * DIV n_r is the classic adjusted count as an exact integer (the
+    * smoothed-LM companion of [[ngramLmScore]]'s +1 smoothing). Scale:
+    * one word-count shuffle (the q123 Zipf shuffle) then a
+    * SPECTRUM-sized rollup — the spectrum has at most max-freq rows,
+    * thousands at any corpus size, so the self-join for n_{r+1} is
+    * dimension-scale work. */
+  def tokenFrequencySpectrum(documents: DataFrame): DataFrame = {
+    val spec = documents
+      .select(explode(expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("freq")).agg(count(lit(1)).cast("long").as("n_types"))
+      .localCheckpoint(false) // both sides of the r+1 self-join
+    spec
+      .join(spec.select((col("freq") - 1).as("freq"), col("n_types").as("n_next")),
+        Seq("freq"), "left_outer")
+      .na.fill(0L, Seq("n_next"))
+      .withColumn("n_tokens", col("freq") * col("n_types"))
+      .withColumn("gt_rstar_ppm", expr("((freq + 1) * n_next * 1000000) DIV n_types"))
+      .select(col("freq").cast("long").as("freq"), col("n_types"),
+        col("n_tokens").cast("long").as("n_tokens"), col("gt_rstar_ppm"))
+      .orderBy(col("freq"))
+  }
+
+  /** Sketch-estimated source-pair vocabulary similarity — the scale
+    * path for [[sourceVocabOverlap]] (q125): instead of joining the
+    * full per-source vocabularies pairwise (Σ vocab² terms at many
+    * sources), each source compresses to a `lanes`-value MinHash
+    * signature over its DISTINCT word set — one rollup, signatures
+    * are |sources|·lanes rows and MERGEABLE (min is associative, so
+    * per-shard partials union losslessly, the q188 posture). The
+    * estimated Jaccard is the per-lane agreement rate; banding on the
+    * signature turns all-pairs into candidate generation exactly as
+    * doc-level MinHash does. Word identity travels as the 32-bit
+    * md5-prefix key, so lane keys (wh·128 + lane < 2³⁹) never
+    * overflow and the per-lane hash replays through the proven XXH64
+    * chain in the oracle. */
+  def sourceVocabMinhash(documents: DataFrame, lanes: Int = 64): DataFrame = {
+    require(lanes >= 1 && lanes <= 128, s"lane keys pack as wh*128+lane; got $lanes")
+    val vocab = documents
+      .select(col("source"),
+        explode(expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)")).as("tok"))
+      .distinct()
+      .select(col("source"),
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("wh"))
+    val sigs = vocab
+      .select(col("source"), col("wh"),
+        explode(expr(s"sequence(0, ${lanes - 1})")).as("lane"))
+      .withColumn("h", xxhash64(col("wh") * 128 + col("lane")))
+      .groupBy(col("source"), col("lane")).agg(min(col("h")).as("sig"))
+      .localCheckpoint(false) // both sides of the pair join
+    sigs.select(col("source").as("source_a"), col("lane"), col("sig").as("sig_a"))
+      .join(sigs.select(col("source").as("source_b"), col("lane"), col("sig").as("sig_b")), "lane")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(when(col("sig_a") === col("sig_b"), 1L).otherwise(0L)).as("n_agree"))
+      .withColumn("est_jaccard", round(col("n_agree").cast("double") / lanes, 6))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Sentence-level exact dedup — boilerplate removal at sentence
     * granularity (the sub-document form of [[DedupOps.exactDedup]]):
     * a sentence's FIRST occurrence in the corpus (min (doc_id,

@@ -620,6 +620,31 @@ object Catalog {
              |LEFT JOIN o USING (l_returnflag)
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // sketch-bracketed EXACT order statistics: GK brackets the target
+    // ranks, one refine pass ranks only the in-bracket sliver — the
+    // answer is exact, so the oracle is plain rank selection (no
+    // sketch replay); the 100 TB plan for the q165/q167 rank family.
+    QuerySpec(
+      "q194_bracketed_quantiles",
+      (s, dir) => AggregateOps.bracketedOrderStats(Tables.lineitem(s, dir)),
+      Some("""WITH cents AS (
+             |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+             |  FROM lineitem),
+             |n AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM cents GROUP BY 1),
+             |r AS (SELECT cents.l_returnflag, c,
+             |             CAST(row_number() OVER (PARTITION BY cents.l_returnflag ORDER BY c) AS BIGINT) AS rn,
+             |             n.n
+             |      FROM cents JOIN n USING (l_returnflag)),
+             |v AS (SELECT l_returnflag,
+             |             MIN(CASE WHEN rn = (n + 1) // 2 THEN c END) AS c50,
+             |             MIN(CASE WHEN rn = ((n - 1) * 95) // 100 + 1 THEN c END) AS c95
+             |      FROM r GROUP BY 1)
+             |SELECT n.l_returnflag, n.n AS n_rows,
+             |       ROUND(CAST(c50 AS DOUBLE) / 100, 6) AS median_price,
+             |       ROUND(CAST(c95 AS DOUBLE) / 100, 6) AS p95_price
+             |FROM n JOIN v USING (l_returnflag)
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // mergeable HLL distinct sketches: per-(type, day) stored
     // partials, rollup = sketch UNION (register-max, lossless) —
     // COUNT(DISTINCT) as a maintainable MV; DataSketches estimates
@@ -693,6 +718,33 @@ object Catalog {
              |FROM grid CROSS JOIN nt
              |GROUP BY source, n_s, n
              |ORDER BY source""".stripMargin)),
+
+    // chi-square-style categorical association (feature-selection /
+    // shortcut-leakage audit): integer-exact ppm scores over the full
+    // grid — e = (r·c) DIV N, cell = ((o−e)²·10⁶) DIV (e+1) — the
+    // chance-corrected companion of q191's marginal-drift view.
+    QuerySpec(
+      "q196_chi_square",
+      (s, dir) => AggregateOps.chiSquareRelevance(Tables.documents(s, dir)),
+      Some("""WITH c AS (
+             |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+             |  FROM documents GROUP BY source, lang),
+             |r AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r FROM c GROUP BY source),
+             |l AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS cc FROM c GROUP BY lang),
+             |nn AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM c),
+             |g AS (SELECT r.source, l.lang, r.r, l.cc, COALESCE(c.o, 0) AS o
+             |      FROM r CROSS JOIN l
+             |      LEFT JOIN c ON c.source = r.source AND c.lang = l.lang),
+             |s AS (SELECT source, lang, o, (r * cc) // nn AS e
+             |      FROM g CROSS JOIN nn),
+             |sc AS (SELECT source, lang, o, e,
+             |              (CAST(o - e AS HUGEINT) * (o - e) * 1000000) // (e + 1) AS cell_ppm
+             |       FROM s),
+             |t AS (SELECT CAST(SUM(cell_ppm) AS BIGINT) AS chi2_ppm FROM sc)
+             |SELECT source, lang, o AS n_docs, CAST(e AS BIGINT) AS expected,
+             |       CAST(cell_ppm AS BIGINT) AS cell_ppm, chi2_ppm
+             |FROM sc CROSS JOIN t
+             |ORDER BY source, lang""".stripMargin)),
 
     // Benford first-digit audit: the digit comes off the cent-
     // quantized BIGINT's decimal string (never double formatting),
@@ -1029,6 +1081,26 @@ object Catalog {
              |       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct
              |FROM events
              |ORDER BY event_id""".stripMargin)),
+
+    // first-order next-event transition matrix: adjacent pairs off
+    // the shared (user, ts, event_id) sort, |types|²-row totals join,
+    // floor-divided ppm probabilities — the user-journey Markov table.
+    QuerySpec(
+      "q199_event_transitions",
+      (s, dir) => EventOps.eventTransitions(Tables.events(s, dir)),
+      Some("""WITH p AS (
+             |  SELECT user_id, event_type,
+             |         lead(event_type) OVER (PARTITION BY user_id
+             |                                ORDER BY ts, event_id) AS next_type
+             |  FROM events),
+             |c AS (SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+             |      FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2),
+             |t AS (SELECT event_type, CAST(SUM(n_transitions) AS BIGINT) AS n_from
+             |      FROM c GROUP BY 1)
+             |SELECT c.event_type, c.next_type, c.n_transitions, t.n_from,
+             |       (c.n_transitions * 1000000) // t.n_from AS p_ppm
+             |FROM c JOIN t USING (event_type)
+             |ORDER BY event_type, next_type""".stripMargin)),
 
     // ordered conversion funnel view→click→purchase: stage k counts
     // only events at or after the user's stage-k−1 conversion; the
@@ -1627,6 +1699,23 @@ object Catalog {
              |FROM documents
              |ORDER BY doc_id""".stripMargin)),
 
+    // token frequency-of-frequencies spectrum with integer
+    // Good-Turing adjusted counts r* = (r+1)·n_{r+1}·10⁶ DIV n_r —
+    // one word-count shuffle, then spectrum-sized (max-freq rows)
+    // self-join work only.
+    QuerySpec(
+      "q198_freq_spectrum",
+      (s, dir) => TextOps.tokenFrequencySpectrum(Tables.documents(s, dir)),
+      Some("""WITH t AS (
+             |  SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS tok
+             |  FROM documents),
+             |f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM t GROUP BY tok),
+             |s AS (SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_types FROM f GROUP BY freq)
+             |SELECT s.freq, s.n_types, s.freq * s.n_types AS n_tokens,
+             |       ((s.freq + 1) * COALESCE(nx.n_types, 0) * 1000000) // s.n_types AS gt_rstar_ppm
+             |FROM s LEFT JOIN s nx ON nx.freq = s.freq + 1
+             |ORDER BY s.freq""".stripMargin)),
+
     // Zipf head: corpus token-frequency distribution, top-30 with
     // corpus share + cumulative coverage — TakeOrdered cuts to k rows
     // BEFORE the rank/cumsum window, so the unpartitioned window only
@@ -1696,6 +1785,15 @@ object Catalog {
              |FROM p JOIN sz sa ON p.source_a = sa.source
              |       JOIN sz sb ON p.source_b = sb.source
              |ORDER BY source_a, source_b""".stripMargin)),
+
+    // sketch-estimated source-pair vocab similarity — q125's scale
+    // path: per-source 64-lane MinHash over the distinct word set
+    // (mergeable min partials), agreement rate estimates Jaccard;
+    // the oracle replays md5-prefix word keys through the XXH64 chain.
+    QuerySpec(
+      "q197_vocab_minhash",
+      (s, dir) => TextOps.sourceVocabMinhash(Tables.documents(s, dir)),
+      Some(q197OracleSql)),
 
     // Cross-split contamination matrix over the EXACT q94 xxhash64
     // split — ordered split pairs with leaked-doc counts, shared-gram
@@ -2564,6 +2662,15 @@ object Catalog {
       (s, dir) => CorpusOps.hashStratifiedSample(Tables.documents(s, dir)),
       Some(q142OracleSql)),
 
+    // deterministic WEIGHTED priority sample: inclusion odds rise
+    // with token mass via priority = xxh64-uniform DIV weight, k
+    // smallest per source — weighted sampling with no RNG state and
+    // no pow/ln replay risk (pure BIGINT ops on both engines).
+    QuerySpec(
+      "q195_weighted_sample",
+      (s, dir) => CorpusOps.weightedPrioritySample(Tables.documents(s, dir)),
+      Some(q195OracleSql)),
+
     // dynamic-batching planner: smallest power-of-two length bucket
     // per doc (integer array-min over a literal bucket list — no
     // log2), batches of 8 in doc_id order, per-batch fill accounting.
@@ -3342,7 +3449,28 @@ object Catalog {
              |SELECT media_id, CAST(gi AS BIGINT) AS frame_idx, n_frames,
              |       md5(substr(text, CAST(gi * 128 + 1 AS INT), 64)) AS frame_fp
              |FROM (SELECT media_id, n_frames, text, unnest(range(0, n_frames)) AS gi FROM f)
-             |ORDER BY media_id, frame_idx""".stripMargin))
+             |ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // cross-media duplicate frames: any q68 frame fingerprint in ≥2
+    // distinct media is re-used material (stock footage / shared
+    // intros) — fingerprint-keyed rollup, duplicate-rate-sized output.
+    QuerySpec(
+      "q200_cross_media_frames",
+      (s, dir) => MultimodalOps.crossMediaDupFrames(Tables.documents(s, dir)),
+      Some("""WITH f AS (
+             |  SELECT doc_id AS media_id,
+             |         CAST((length(text) - 64) // 128 + 1 AS BIGINT) AS n_frames, text
+             |  FROM documents WHERE length(text) >= 64),
+             |fr AS (SELECT media_id,
+             |              md5(substr(text, CAST(gi * 128 + 1 AS INT), 64)) AS frame_fp
+             |       FROM (SELECT media_id, n_frames, text,
+             |                    unnest(range(0, n_frames)) AS gi FROM f))
+             |SELECT frame_fp, CAST(COUNT(DISTINCT media_id) AS BIGINT) AS n_media,
+             |       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             |       CAST(MIN(media_id) AS BIGINT) AS first_media,
+             |       CAST(MAX(media_id) AS BIGINT) AS last_media
+             |FROM fr GROUP BY frame_fp HAVING COUNT(DISTINCT media_id) >= 2
+             |ORDER BY frame_fp""".stripMargin))
   )
 
   // ---------------------------------------------------------------- //
@@ -3590,6 +3718,51 @@ object Catalog {
        |      FROM j)
        |SELECT source, rk, doc_id, sample_key
        |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+  }
+
+  /** q197 oracle: distinct (source, word) → 32-bit md5-prefix word
+    * key, lane keys wh·128+lane through the XXH64 chain, per-lane
+    * signed MIN is the signature, pair agreement rate / lanes. */
+  private val q197OracleSql: String = {
+    import Xxh64DocIdSql.{chainFrom, tos}
+    val dCte =
+      """SELECT w.source, lane.lane, CAST(w.wh * 128 + lane.lane AS HUGEINT) AS k
+        |       FROM (SELECT DISTINCT source,
+        |                    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS wh
+        |             FROM (SELECT source,
+        |                          unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS tok
+        |                   FROM documents)) w
+        |       CROSS JOIN (SELECT unnest(range(0, 64)) AS lane) lane""".stripMargin
+    s"""WITH ${chainFrom(dCte, "source, lane")},
+       |sig AS (SELECT source, lane, MIN(${tos("h8")}) AS sig FROM s10 GROUP BY 1, 2),
+       |p AS (SELECT a.source AS source_a, b.source AS source_b,
+       |             CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END AS m
+       |      FROM sig a JOIN sig b ON a.lane = b.lane AND a.source < b.source)
+       |SELECT source_a, source_b, CAST(SUM(m) AS BIGINT) AS n_agree,
+       |       ROUND(CAST(SUM(m) AS DOUBLE) / 64, 6) AS est_jaccard
+       |FROM p GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+  }
+
+  /** q195 oracle: XXH64 chain → u folded onto [0, 2⁶²), priority =
+    * u // max(n_chars, 1), k smallest per source. (2⁶²−1) + 2⁶² is
+    * exactly BIGINT max, so the sign-fold stays in 64-bit. */
+  private val q195OracleSql: String = {
+    import Xxh64DocIdSql.{ctes, tos}
+    s"""WITH $ctes,
+       |k AS (SELECT doc_id,
+       |             ((${tos("h8")} % 4611686018427387904) + 4611686018427387904)
+       |               % 4611686018427387904 AS u
+       |      FROM s10),
+       |p AS (SELECT d.source, k.doc_id, GREATEST(d.n_chars, 1) AS weight,
+       |             k.u // GREATEST(d.n_chars, 1) AS priority
+       |      FROM k JOIN documents d USING (doc_id)),
+       |r AS (SELECT source, doc_id, weight, priority,
+       |             CAST(row_number() OVER (PARTITION BY source
+       |                                     ORDER BY priority, doc_id) AS BIGINT) AS rk
+       |      FROM p)
+       |SELECT source, rk, doc_id, CAST(weight AS BIGINT) AS weight,
+       |       CAST(priority AS BIGINT) AS priority
+       |FROM r WHERE rk <= 8 ORDER BY source, rk""".stripMargin
   }
 
   private val q94OracleSql: String = {

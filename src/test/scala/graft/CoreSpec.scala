@@ -195,6 +195,47 @@ class CoreSpec extends SparkSpec {
     assert(again == rows.map(_.toString).toSeq, "same corpus, same permutation")
   }
 
+  test("event transitions: adjacent pairs only, ppm rows sum per from-type") {
+    import spark.implicits._
+    def t(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val ev = Seq(
+      (1L, t(1), 1L, "view"), (1L, t(2), 2L, "click"), (1L, t(3), 3L, "purchase"),
+      (2L, t(1), 4L, "view"), (2L, t(2), 5L, "view"), // view->view, cross-user pairs must NOT count
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventOps.eventTransitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.size == 3)
+    assert(got(("view", "click")) == ((1L, 2L, 500000L)))
+    assert(got(("view", "view")) == ((1L, 2L, 500000L)))
+    assert(got(("click", "purchase")) == ((1L, 1L, 1000000L)))
+    // fixture: transition count conserves (events - active users)
+    val fix = Tables.events(spark, sf)
+    val nTrans = EventOps.eventTransitions(fix).agg(sum(col("n_transitions"))).head.getLong(0)
+    val expect = fix.count() - fix.select(col("user_id")).distinct().count()
+    assert(nTrans == expect, s"$nTrans vs $expect")
+  }
+
+  test("token frequency spectrum: hand counts and Good-Turing adjusted ppm") {
+    import spark.implicits._
+    // tokens: a a a b b c -> spectrum (1,1),(2,1),(3,1);
+    // r*=1: 2*1e6, r*=2: 3*1e6, r*=3: no n_4 -> 0
+    val docs = Seq((1L, "a a a b", "en", "s", 7L), (2L, "b c", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.tokenFrequencySpectrum(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(1L -> ((1L, 1L, 2000000L)),
+                      2L -> ((1L, 2L, 3000000L)),
+                      3L -> ((1L, 3L, 0L))))
+    // fixture: spectrum mass conserves the corpus token count
+    val fix = Tables.documents(spark, sf)
+    val mass = TextOps.tokenFrequencySpectrum(fix).agg(sum(col("n_tokens"))).head.getLong(0)
+    val total = fix.select(size(expr(
+      "regexp_extract_all(lower(text), '[A-Za-z0-9_]+', 0)")).cast("long").as("n"))
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(mass == total, s"$mass vs $total")
+  }
+
   test("funnel counts only in-order stage conversions") {
     import spark.implicits._
     def t(m: Int) = new java.sql.Timestamp(m * 60000L)
@@ -502,6 +543,82 @@ class CoreSpec extends SparkSpec {
     rows.sliding(2).foreach { case Array(a, b) =>
       assert(a.getTimestamp(5) == b.getTimestamp(4)) }
     assert(rows.map(_.getLong(7)).toSeq == Seq(0L, 0L, 1L), "only last row current")
+  }
+
+  test("chi-square relevance: perfect association scores, integer cells are exact") {
+    import spark.implicits._
+    // A->en only (3 docs), B->fr only (2 docs): N=5, r_A=3, r_B=2,
+    // c_en=3, c_fr=2; e floor-divides, cells ppm:
+    // (A,en): e=1, ((3-1)^2*1e6)//2 = 2_000_000
+    // (A,fr): e=1, ((0-1)^2*1e6)//2 =   500_000
+    // (B,en): e=1, ((0-1)^2*1e6)//2 =   500_000
+    // (B,fr): e=0, ((2-0)^2*1e6)//1 = 4_000_000  -> chi2 7_000_000
+    val docs = (Seq.fill(3)(("en", "A")) ++ Seq.fill(2)(("fr", "B")))
+      .zipWithIndex.map { case ((l, s), i) => (i.toLong, "t", l, s, 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = AggregateOps.chiSquareRelevance(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.size == 4) // full grid, zero cells included
+    assert(got(("A", "en")) == ((3L, 1L, 2000000L, 7000000L)))
+    assert(got(("A", "fr")) == ((0L, 1L, 500000L, 7000000L)))
+    assert(got(("B", "en")) == ((0L, 1L, 500000L, 7000000L)))
+    assert(got(("B", "fr")) == ((2L, 0L, 4000000L, 7000000L)))
+  }
+
+  test("bracketed quantiles equal the full-sort exact order statistics") {
+    import spark.implicits._
+    // 1..100 dollars: lower median = rank (100+1) DIV 2 = 50 -> 50.00,
+    // p95 = rank (99*95)//100 + 1 = 95 -> 95.00
+    val li = (1 to 100).map(i => ("A", i.toDouble)).toDF("l_returnflag", "l_extendedprice")
+    val r = AggregateOps.bracketedOrderStats(li).collect()(0)
+    assert(r.getLong(1) == 100L)
+    assert(r.getDouble(2) == 50.0 && r.getDouble(3) == 95.0)
+    // fixture: the two-pass bracket refine must land the identical
+    // values a full per-group sort lands, for every group
+    val fix = Tables.lineitem(spark, sf)
+    val cents = fix.select(col("l_returnflag"),
+      round(col("l_extendedprice") * 100).cast("long").as("c")).collect()
+      .map(row => (row.getString(0), row.getLong(1))).groupBy(_._1)
+    val expect = cents.map { case (g, xs) =>
+      val sorted = xs.map(_._2).sorted
+      val n = sorted.length
+      val c50 = sorted((n + 1) / 2 - 1)
+      val c95 = sorted((n - 1) * 95 / 100) // k = ((n-1)*95)//100 + 1, 0-based
+      g -> (n.toLong, c50 / 100.0, c95 / 100.0)
+    }
+    val got = AggregateOps.bracketedOrderStats(fix).collect()
+      .map(row => row.getString(0) -> ((row.getLong(1), row.getDouble(2), row.getDouble(3))))
+      .toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (g, e) => assert(got(g) == e, s"group $g: got ${got(g)} want $e") }
+  }
+
+  test("weighted priority sample: heavy docs win, membership is the k smallest u DIV w") {
+    import spark.implicits._
+    // planted giant: weight 10^12 divides its uniform key to ~0 —
+    // always sampled; the zero-length doc still gets weight 1
+    val docs = ((1L to 40L).map(i => (i, "s", 100L)) :+ (999L, "s", 1000000000000L) :+ (998L, "s", 0L))
+      .toDF("doc_id", "source", "n_chars")
+    val got = CorpusOps.weightedPrioritySample(docs, k = 5).collect()
+    assert(got.length == 5)
+    assert(got.map(_.getLong(2)).contains(999L), "heavy doc must be sampled")
+    // weight 10^12 shrinks u < 2^62 to priority < 2^62/10^12 ~ 4.6e6 —
+    // orders of magnitude under weight-100 docs' ~4.6e16 -> rank 1
+    assert(got(0).getLong(2) == 999L && got(0).getLong(4) < 5000000L)
+    // membership on the fixture: exactly the k smallest (priority, doc_id)
+    val fix = Tables.documents(spark, sf)
+    val expect = fix.select(col("source"), col("doc_id"),
+        expr("pmod(xxhash64(doc_id), 4611686018427387904L) DIV greatest(n_chars, 1L)").as("p"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (s, xs) =>
+        s -> xs.sortBy(x => (x._3, x._2)).take(8).map(_._2).toSeq
+      }
+    val bySource = CorpusOps.weightedPrioritySample(fix).collect()
+      .groupBy(_.getString(0)).map { case (s, rows) =>
+        s -> rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+      }
+    assert(bySource == expect)
   }
 
   test("MAD outliers: planted fat tail flips the robust gate, not the median") {

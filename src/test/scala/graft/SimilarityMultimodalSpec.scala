@@ -265,4 +265,18 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) <= 7,
       "edited payload flips few signature bits")
   }
+
+  test("cross-media duplicate frames surface a shared aligned block only") {
+    import spark.implicits._
+    val shared = "S" * 64 // frame 0 of docs 1 and 2
+    val docs = Seq(
+      (1L, shared + ("x" * 80), "en", "s"),
+      (2L, shared + ("y" * 90), "en", "s"),
+      (3L, "z" * 200, "en", "s"), // no shared frames
+    ).toDF("doc_id", "text", "lang", "source").withColumn("n_chars", length(col("text")))
+    val got = MultimodalOps.crossMediaDupFrames(docs).collect()
+    assert(got.length == 1, s"exactly the shared frame: ${got.toSeq}")
+    assert(got(0).getLong(1) == 2L && got(0).getLong(2) == 2L)
+    assert(got(0).getLong(3) == 1L && got(0).getLong(4) == 2L)
+  }
 }

@@ -975,6 +975,29 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("vocab minhash: identical vocab estimates 1, disjoint vocab estimates 0") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma", "en", "s1"),
+      (2L, "beta alpha gamma alpha", "en", "s2"), // same vocab as s1
+      (3L, "delta epsilon zeta", "en", "s3"), // disjoint
+    ).toDF("doc_id", "text", "lang", "source").withColumn("n_chars", length(col("text")))
+    val rows = TextOps.sourceVocabMinhash(corpus).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(rows(("s1", "s2")) == 1.0)
+    assert(rows(("s1", "s3")) == 0.0)
+    assert(rows(("s2", "s3")) == 0.0)
+    // fixture: every pair's estimate lands within 0.25 of q125's exact
+    // jaccard (64 lanes -> se = sqrt(j(1-j)/64) <= 0.0625; 4 se)
+    val exact = TextOps.sourceVocabOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    TextOps.sourceVocabMinhash(docs).collect().foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(math.abs(r.getDouble(3) - exact.getOrElse(key, 0.0)) < 0.25,
+        s"$key est ${r.getDouble(3)} vs exact ${exact.getOrElse(key, 0.0)}")
+    }
+  }
+
   test("span excision cuts exactly the shared passage and fingerprints the rest") {
     import spark.implicits._
     val passage = (1 to 12).map(i => s"shared$i").mkString(" ") // 12 tokens > n=10
