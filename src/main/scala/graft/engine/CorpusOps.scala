@@ -675,6 +675,48 @@ object CorpusOps {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** Contrastive training triplets from the near-dup closure — the
+    * embedding-model data prep that turns dedup byproducts into
+    * supervision: every member of a multi-doc near-dup cluster is an
+    * ANCHOR, its POSITIVE is the smallest other member (deterministic
+    * — no RNG), and its NEGATIVES are the q184 stateless hash draws
+    * (pmod(xxh64(anchor·P + j), n)), kept only when the draw lands
+    * OUTSIDE the anchor's cluster (a near-dup drawn as a negative
+    * would be a false negative — the anti-membership check is the
+    * whole point of composing with the closure). Cluster work is
+    * dup-rate-sized; the membership check is one left join against
+    * the label table, co-keyed on the drawn id. */
+  def contrastiveTriplets(documents: DataFrame, edges: DataFrame,
+                          nNeg: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = DedupOps.connectedComponents(documents.select(col("doc_id")), edges)
+      .localCheckpoint(false) // sizes, anchors, and the neg check all read it
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("nm"))
+    val multi = labels.join(sizes.filter(col("nm") >= 2), "cluster_id")
+    val w = Window.partitionBy(col("cluster_id")).orderBy(col("doc_id"))
+    val firstTwo = multi.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .groupBy(col("cluster_id"))
+      .agg(min(when(col("rk") === 1, col("doc_id"))).as("m1"),
+           min(when(col("rk") === 2, col("doc_id"))).as("m2"))
+    val anchors = multi.join(firstTwo, "cluster_id")
+      .withColumn("positive",
+        when(col("doc_id") === col("m1"), col("m2")).otherwise(col("m1")))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    anchors.select(col("doc_id"), col("cluster_id"), col("positive"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("cluster_id"), col("positive"),
+        explode(expr(s"sequence(0, ${nNeg - 1})")).as("j"), col("n_docs"))
+      .withColumn("neg_id",
+        pmod(xxhash64(col("doc_id") * 1000003L + col("j")), col("n_docs")))
+      .join(labels.select(col("doc_id").as("neg_id"),
+        col("cluster_id").as("neg_cluster")), Seq("neg_id"), "left_outer")
+      .filter(col("neg_cluster").isNull || col("neg_cluster") =!= col("cluster_id"))
+      .select(col("doc_id").as("anchor_id"), col("positive").as("positive_id"),
+        col("j").cast("long").as("j"), col("neg_id"))
+      .orderBy(col("anchor_id"), col("j"))
+  }
+
   /** Deterministic WEIGHTED priority sample — k docs per source drawn
     * with inclusion odds rising with token mass (long docs carry more
     * training signal per pick), reproducible with no RNG state: each

@@ -291,6 +291,42 @@ object StreamOps {
       }
   }
 
+  /** Streaming ordered funnel — [[graft.engine.EventOps.funnel]]'s
+    * view→click→purchase stage flags maintained INCREMENTALLY: per
+    * user the state is three booleans ("reached stage k yet"), each
+    * arriving event can flip at most the next unreached flag, and the
+    * flip emits a first-reach record (user, stage, event_id, ts_us) —
+    * so the live funnel dashboard is a trivial rollup over the sink
+    * (COUNT(DISTINCT user) per stage ≡ the batch funnel's stage
+    * counts, asserted in StreamingSpec across a micro-batch split).
+    * State is O(1) per user forever and never grows with events;
+    * within a batch the per-user slice restores (ts_us, event_id)
+    * order, the same contract as the other stateful forms. */
+  def streamingFunnel(events: Dataset[(Long, Long, Long, String)])
+      : Dataset[(Long, Int, Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[(Boolean, Boolean, Boolean)]) =>
+          var (s1, s2, s3) = state.getOption.getOrElse((false, false, false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long)]
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, id, tUs, typ) =>
+            typ match {
+              case "view" if !s1                 => s1 = true; out += ((user, 1, id, tUs))
+              case "click" if s1 && !s2          => s2 = true; out += ((user, 2, id, tUs))
+              case "purchase" if s2 && !s3       => s3 = true; out += ((user, 3, id, tUs))
+              case _                             => ()
+            }
+          }
+          state.update((s1, s2, s3))
+          out.iterator
+      }
+  }
+
   /** Streaming sequence packing — [[graft.engine.CorpusOps.packSequences]]
     * as continuous data prep: documents arrive as (lang, doc_id,
     * n_tokens), per-lang state is ONE long (the stream's running token

@@ -472,6 +472,36 @@ object TextOps {
       .orderBy(col("verdict"))
   }
 
+  /** Quality-rule ABLATION report — which gate rule actually does the
+    * work: [[repetitionRuleFilter]] reports only the FIRST failing
+    * rule, so a rule shadowed by an earlier one looks free; this
+    * report evaluates every rule independently and emits, per rule,
+    * the docs failing it at all (n_fail), failing it ALONE (n_solo —
+    * the docs only this rule saves you from), first-attributed to it
+    * by the q114 verdict chain (n_first), and the token mass behind
+    * n_fail. n_solo ≈ 0 means the rule is redundant and can be
+    * retired; n_fail ≫ n_first means the verdict order hides its
+    * reach. Same one-scan signal computation as the gate, a 4-way
+    * stack explode (constant fanout), one ≤4-row rollup. */
+  def ruleAblationReport(documents: DataFrame): DataFrame =
+    repetitionRuleFilter(documents)
+      .withColumn("f_short", col("n_tokens") < 5)
+      .withColumn("f_dup", coalesce(col("dup_sentence_frac") > 0.30, lit(false)))
+      .withColumn("f_top", coalesce(col("top_tok_share") > 0.20, lit(false)))
+      .withColumn("f_div", coalesce(col("distinct_ratio") < 0.30, lit(false)))
+      .withColumn("n_fails",
+        col("f_short").cast("int") + col("f_dup").cast("int") +
+          col("f_top").cast("int") + col("f_div").cast("int"))
+      .selectExpr("doc_id", "n_tokens", "verdict", "n_fails",
+        "stack(4, 'too_short', f_short, 'dup_sentences', f_dup, " +
+          "'top_token', f_top, 'low_diversity', f_div) AS (rule, fails)")
+      .groupBy(col("rule"))
+      .agg(sum(when(col("fails"), 1L).otherwise(0L)).as("n_fail"),
+           sum(when(col("fails") && col("n_fails") === 1, 1L).otherwise(0L)).as("n_solo"),
+           sum(when(col("verdict") === col("rule"), 1L).otherwise(0L)).as("n_first"),
+           sum(when(col("fails"), col("n_tokens")).otherwise(0L)).as("tokens_fail"))
+      .orderBy(col("rule"))
+
   /** Cross-document repeated-SPAN detection — the boilerplate /
     * copied-passage finder that doc-level near-dedup cannot express:
     * positioned word n-grams join on the gram, and each shared
@@ -781,6 +811,39 @@ object TextOps {
       .select(col("source"), col("rk"), col("w"), col("tf_sw"), col("tf_g"),
         col("lift"))
       .orderBy(col("source"), col("rk"))
+  }
+
+  /** Per-DOCUMENT top-k keywords by frequency lift — the doc-tagging /
+    * retrieval-preview companion of [[distinctiveTerms]] (same
+    * transcendental-free TF-IDF-cousin score, per doc instead of per
+    * source): lift = (tf_dw / len_d) / (tf_g / toks_g), `minCount`
+    * floors the global frequency so hapax typos can't tag a doc.
+    * Word-count-shaped aggregates (all doc-keyed joins co-partition);
+    * the rank window is consumed ONLY under rk ≤ k, so Spark plans
+    * WindowGroupLimit — per-partition top-k heaps, no full per-doc
+    * sort materialization. */
+  def docKeywords(documents: DataFrame, k: Int = 3, minCount: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tfDw = documents
+      .select(col("doc_id"),
+        explode(expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf_dw"))
+      .localCheckpoint(false) // doc masses, word masses, and scoring read it
+    val perDoc = tfDw.groupBy(col("doc_id")).agg(sum(col("tf_dw")).as("toks_d"))
+    val perWord = tfDw.groupBy(col("w")).agg(sum(col("tf_dw")).as("tf_g"))
+      .filter(col("tf_g") >= minCount)
+    val tot = perDoc.agg(sum(col("toks_d")).as("toks_g"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("lift").desc, col("w"))
+    tfDw.join(perWord, "w")
+      .join(perDoc, "doc_id")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift", round(
+        (col("tf_dw").cast("double") / col("toks_d")) /
+          (col("tf_g").cast("double") / col("toks_g")), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("w"), col("tf_dw"), col("tf_g"), col("lift"))
+      .orderBy(col("doc_id"), col("rk"))
   }
 
   /** Term co-occurrence PMI pairs — the collocation report a corpus

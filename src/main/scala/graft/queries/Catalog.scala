@@ -1491,6 +1491,54 @@ object Catalog {
              |       verdict, verdict = 'keep' AS kept
              |FROM v ORDER BY doc_id""".stripMargin)),
 
+    // quality-rule ablation: every q114 rule evaluated independently —
+    // n_fail / n_solo / n_first per rule exposes shadowed and
+    // redundant rules the first-failing verdict chain hides.
+    QuerySpec(
+      "q202_rule_ablation",
+      (s, dir) => TextOps.ruleAblationReport(Tables.documents(s, dir)),
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS toks,
+             |         string_split(text, '. ') AS sentences
+             |  FROM documents),
+             |sig AS (
+             |  SELECT doc_id,
+             |    CAST(len(toks) AS BIGINT) AS n_tokens,
+             |    ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio,
+             |    ROUND(CAST(list_max(list_transform(list_distinct(toks), x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE) / len(toks), 6) AS top_tok_share,
+             |    ROUND(CAST(len(sentences) - len(list_distinct(sentences)) AS DOUBLE) / GREATEST(len(sentences), 1), 6) AS dup_sentence_frac
+             |  FROM t WHERE len(toks) > 0),
+             |v AS (
+             |  SELECT d.doc_id,
+             |         CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+             |         COALESCE(s.n_tokens, 0) < 5 AS f_short,
+             |         COALESCE(s.dup_sentence_frac > 0.30, FALSE) AS f_dup,
+             |         COALESCE(s.top_tok_share > 0.20, FALSE) AS f_top,
+             |         COALESCE(s.distinct_ratio < 0.30, FALSE) AS f_div,
+             |         CASE WHEN COALESCE(s.n_tokens, 0) < 5 THEN 'too_short'
+             |              WHEN s.dup_sentence_frac > 0.30 THEN 'dup_sentences'
+             |              WHEN s.top_tok_share > 0.20 THEN 'top_token'
+             |              WHEN s.distinct_ratio < 0.30 THEN 'low_diversity'
+             |              ELSE 'keep' END AS verdict
+             |  FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id),
+             |w AS (SELECT *, CAST(f_short AS INT) + CAST(f_dup AS INT)
+             |               + CAST(f_top AS INT) + CAST(f_div AS INT) AS n_fails
+             |      FROM v),
+             |m AS (
+             |  SELECT doc_id, n_tokens, verdict, n_fails, 'too_short' AS rule, f_short AS fails FROM w
+             |  UNION ALL
+             |  SELECT doc_id, n_tokens, verdict, n_fails, 'dup_sentences', f_dup FROM w
+             |  UNION ALL
+             |  SELECT doc_id, n_tokens, verdict, n_fails, 'top_token', f_top FROM w
+             |  UNION ALL
+             |  SELECT doc_id, n_tokens, verdict, n_fails, 'low_diversity', f_div FROM w)
+             |SELECT rule,
+             |  CAST(SUM(CASE WHEN fails THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+             |  CAST(SUM(CASE WHEN fails AND n_fails = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_solo,
+             |  CAST(SUM(CASE WHEN verdict = rule THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+             |  CAST(SUM(CASE WHEN fails THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_fail
+             |FROM m GROUP BY rule ORDER BY rule""".stripMargin)),
+
     // CCNet-style statistical quality: corpus-trained bigram MLE,
     // per-doc mean probability in exact DECIMAL — outlier/glitch docs
     // score low
@@ -1543,6 +1591,30 @@ object Catalog {
              |       ROUND(${Exact.decAvgSql("p", 9)}, 6) AS xlm_score,
              |       ROUND(CAST(SUM(CASE WHEN c2 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS seen_frac
              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // per-DOC top-k keywords by the same transcendental-free lift —
+    // doc tagging; rk-bounded window plans WindowGroupLimit.
+    QuerySpec(
+      "q203_doc_keywords",
+      (s, dir) => TextOps.docKeywords(Tables.documents(s, dir)),
+      Some("""WITH words AS (
+             |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS w
+             |  FROM documents),
+             |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf_dw
+             |       FROM words GROUP BY 1, 2),
+             |pd AS (SELECT doc_id, CAST(SUM(tf_dw) AS BIGINT) AS toks_d FROM tf GROUP BY 1),
+             |pw AS (SELECT w, CAST(SUM(tf_dw) AS BIGINT) AS tf_g FROM tf GROUP BY 1
+             |       HAVING SUM(tf_dw) >= 10),
+             |tot AS (SELECT CAST(SUM(toks_d) AS BIGINT) AS toks_g FROM pd),
+             |sc AS (SELECT tf.doc_id, tf.w, tf.tf_dw, pw.tf_g,
+             |              ROUND((CAST(tf.tf_dw AS DOUBLE) / toks_d)
+             |                    / (CAST(pw.tf_g AS DOUBLE) / toks_g), 6) AS lift
+             |       FROM tf JOIN pw USING (w) JOIN pd USING (doc_id) CROSS JOIN tot),
+             |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+             |                     ORDER BY lift DESC, w) AS BIGINT) AS rk
+             |      FROM sc)
+             |SELECT doc_id, rk, w, tf_dw, tf_g, lift
+             |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
 
     // per-source distinctive vocabulary by frequency lift — TF-IDF's
     // ranking intent with no transcendental in the score (ln is not
@@ -2273,6 +2345,20 @@ object Catalog {
              |SELECT cluster_id AS doc_id, COUNT(*) AS n_members
              |FROM cl GROUP BY cluster_id
              |ORDER BY doc_id""".stripMargin)),
+
+    // contrastive triplets off the same closure: anchors = multi-doc
+    // cluster members, positive = smallest other member, negatives =
+    // q184 hash draws anti-checked against the anchor's own cluster —
+    // dedup byproducts as embedding-model supervision.
+    QuerySpec(
+      "q201_contrastive_triplets",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val docs = Tables.documents(s, dir)
+        CorpusOps.contrastiveTriplets(docs,
+          DedupOps.jaccardPairs(docs).select(col("doc_i"), col("doc_j")))
+      },
+      Some(q201OracleSql)),
 
     // quality-aware canonical selection over the same closure: the
     // LONGEST member represents each cluster (most-complete-variant
@@ -3718,6 +3804,62 @@ object Catalog {
        |      FROM j)
        |SELECT source, rk, doc_id, sample_key
        |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+  }
+
+  /** q201 oracle: the q61 recursive-CTE closure (edges = the capped
+    * jaccard pairs at threshold 0.15) → multi-doc clusters → first-two
+    * members per cluster → anchors with positives, then the q184 XXH64
+    * chain over k = anchor·1000003 + j for the negatives, anti-checked
+    * against the closure's label table. */
+  private val q201OracleSql: String = {
+    import Xxh64DocIdSql.{chainFrom, tos}
+    val negChain = chainFrom(
+      """SELECT anc.doc_id, anc.cluster_id, anc.positive, jj.j,
+        |              CAST(anc.doc_id * 1000003 + jj.j AS HUGEINT) AS k
+        |       FROM anc CROSS JOIN (SELECT unnest(range(0, 2)) AS j) jj""".stripMargin,
+      "doc_id, cluster_id, positive, j")
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, substr(text, unnest(range(1, length(text) - 3)), 5) AS s
+       |    FROM documents WHERE doc_id < 60)),
+       |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |c AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS common
+       |      FROM sh a JOIN sh b USING (s)
+       |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       |p AS (SELECT doc_i, doc_j FROM c
+       |      JOIN n ni ON doc_i = ni.doc_id JOIN n nj ON doc_j = nj.doc_id
+       |      WHERE ROUND(CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common), 6) >= 0.15),
+       |e AS (SELECT doc_i AS src, doc_j AS dst FROM p
+       |      UNION ALL SELECT doc_j, doc_i FROM p),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node),
+       |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+       |sz AS (SELECT cluster_id, COUNT(*) AS nm FROM cl GROUP BY 1),
+       |multi AS (SELECT cl.doc_id, cl.cluster_id
+       |          FROM cl JOIN sz USING (cluster_id) WHERE nm >= 2),
+       |rk AS (SELECT cluster_id, doc_id,
+       |              row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) AS rk
+       |       FROM multi),
+       |f AS (SELECT cluster_id,
+       |             MIN(CASE WHEN rk = 1 THEN doc_id END) AS m1,
+       |             MIN(CASE WHEN rk = 2 THEN doc_id END) AS m2
+       |      FROM rk WHERE rk <= 2 GROUP BY 1),
+       |anc AS (SELECT multi.doc_id, multi.cluster_id,
+       |               CASE WHEN multi.doc_id = f.m1 THEN f.m2 ELSE f.m1 END AS positive
+       |        FROM multi JOIN f USING (cluster_id)),
+       |$negChain,
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+       |neg AS (SELECT doc_id, cluster_id, positive, j,
+       |               ((${tos("h8")} % n) + n) % n AS neg_id
+       |        FROM s10 CROSS JOIN nn),
+       |chk AS (SELECT neg.*, c2.cluster_id AS neg_cluster
+       |        FROM neg LEFT JOIN cl c2 ON c2.doc_id = neg.neg_id)
+       |SELECT doc_id AS anchor_id, positive AS positive_id,
+       |       CAST(j AS BIGINT) AS j, CAST(neg_id AS BIGINT) AS neg_id
+       |FROM chk WHERE neg_cluster IS NULL OR neg_cluster <> cluster_id
+       |ORDER BY anchor_id, j""".stripMargin
   }
 
   /** q197 oracle: distinct (source, word) → 32-bit md5-prefix word

@@ -228,6 +228,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(4L) == ((3L, 20 * minUs)), "cross-batch state must carry the click")
   }
 
+  test("streaming funnel first-reach counts equal the batch funnel across a batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, countDistinct, timestamp_micros}
+    val minUs = 60L * 1000000L
+    // user 1 converts across the batch boundary (view in batch 1,
+    // click+purchase in batch 2); user 2's early purchase must not
+    // count; user 3 never views
+    val batch1 = Seq((1L, 1L, 0 * minUs, "view"),
+      (2L, 4L, 1 * minUs, "purchase"), (2L, 5L, 2 * minUs, "view"),
+      (3L, 7L, 1 * minUs, "click"))
+    val batch2 = Seq((1L, 2L, 10 * minUs, "click"), (1L, 3L, 30 * minUs, "purchase"),
+      (2L, 6L, 3 * minUs, "click"), (3L, 8L, 2 * minUs, "purchase"))
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val q = StreamOps.streamingFunnel(input.toDS())
+      .toDF("user_id", "stage", "event_id", "ts_us")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_reach").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val reach = spark.table("funnel_reach")
+    // a user first-reaches each stage at most once, in stage order
+    val perUser = reach.collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(perUser.distinct.length == perUser.length, "one first-reach per (user, stage)")
+    val streamed = reach.groupBy(col("stage"))
+      .agg(countDistinct(col("user_id")).as("n_users")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val batch = EventOps.funnel(
+        (batch1 ++ batch2).toDF("user_id", "event_id", "us", "event_type")
+          .select(col("user_id"), col("event_id"),
+            timestamp_micros(col("us")).as("ts"), col("event_type")))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(streamed.getOrElse(1, 0L) == batch("view"), s"stream $streamed batch $batch")
+    assert(streamed.getOrElse(2, 0L) == batch("click"), s"stream $streamed batch $batch")
+    assert(streamed.getOrElse(3, 0L) == batch("purchase"), s"stream $streamed batch $batch")
+    // the cross-batch conversion and the ignored early purchase
+    assert(streamed == Map(1 -> 2L, 2 -> 2L, 3 -> 1L), s"got $streamed")
+  }
+
   test("event-time timeout sessionization equals batch sessionize; the watermark closes sessions") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -975,6 +975,59 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("doc keywords: lift promotes a doc's rare-globally word over the common one") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, ("zebra " * 10) + "common common", "en", "s"),
+      (2L, ("common " * 20).trim, "en", "s"),
+    ).toDF("doc_id", "text", "lang", "source").withColumn("n_chars", length(col("text")))
+    val got = TextOps.docKeywords(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getDouble(5)))).toMap
+    // lift(1, zebra) = (10/12)/(10/32) = 2.666667; common = (2/12)/(22/32)
+    assert(got((1L, 1L)) == (("zebra", 2.666667)))
+    assert(got((1L, 2L)) == (("common", 0.242424)))
+    assert(got((2L, 1L)) == (("common", 1.454545)))
+    assert(got.size == 3)
+  }
+
+  test("rule ablation separates solo, shadowed, and first-attributed failures") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "", "en", "s"), // token-less: too_short, solo
+      (2L, "a b c d x. a b c d x", "en", "s"), // dup sentences only (top share = 0.2, not >)
+      (3L, "a a a a a a. a a a a a a", "en", "s"), // dup + top + low_div; verdict dup
+      (4L, "alpha beta gamma delta epsilon zeta", "en", "s"), // keep
+    ).toDF("doc_id", "text", "lang", "source").withColumn("n_chars", length(col("text")))
+    val got = TextOps.ruleAblationReport(corpus).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("too_short") == ((1L, 1L, 1L, 0L)))
+    assert(got("dup_sentences") == ((2L, 1L, 2L, 22L)))
+    assert(got("top_token") == ((1L, 0L, 0L, 12L)), s"got ${got("top_token")}")
+    assert(got("low_diversity") == ((1L, 0L, 0L, 12L)))
+  }
+
+  test("contrastive triplets: cluster members anchor each other, negatives leave the cluster") {
+    import spark.implicits._
+    val corpus = (1L to 20L).map(i => (i, s"text $i", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source").withColumn("n_chars", length(col("text")))
+    // planted closure: {1,2,3} one cluster (1-2, 2-3), rest singletons
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("doc_i", "doc_j")
+    val got = CorpusOps.contrastiveTriplets(corpus, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L), "every cluster member anchors")
+    // positive = smallest OTHER member
+    assert(got.filter(_._1 == 1L).forall(_._2 == 2L))
+    assert(got.filter(_._1 == 2L).forall(_._2 == 1L))
+    assert(got.filter(_._1 == 3L).forall(_._2 == 1L))
+    // negatives never land inside the anchor's cluster
+    assert(got.forall(t => !Set(1L, 2L, 3L).contains(t._4)),
+      s"negative drawn from the cluster: ${got.toSeq}")
+    // at most nNeg draws per anchor, j in range
+    got.groupBy(_._1).foreach { case (_, ts) => assert(ts.length <= 2) }
+    assert(got.forall(t => t._3 == 0L || t._3 == 1L))
+  }
+
   test("vocab minhash: identical vocab estimates 1, disjoint vocab estimates 0") {
     import spark.implicits._
     val corpus = Seq(
