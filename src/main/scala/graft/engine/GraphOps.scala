@@ -186,4 +186,48 @@ object GraphOps {
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
       .orderBy(col("host"))
   }
+
+  /** Deterministic integer HITS — hub/authority scores over the same
+    * edge table ([[pagerank]]'s complement: PageRank rewards being
+    * linked FROM anywhere, HITS separates "links to good pages" (hub)
+    * from "linked by good hubs" (authority) — the mirror-farm signal:
+    * a link farm scores hub-high/authority-low). `iters` synchronous
+    * rounds of a ← Σ_in h·w then h ← Σ_out a·w, each followed by the
+    * L1 normalization (x·S) DIV Σx in scaled-BIGINT fixed point —
+    * sums of integers are accumulation-order-free and floor division
+    * is exact, so every round replays bit-identical in any engine
+    * (the numerator rides DECIMAL(38,0): score·S is ~10²⁸). Same
+    * scale shape as pagerank: per round two co-partitioned equi-joins
+    * + two keyed aggregates; the normalizer is a 1-row broadcast. */
+  def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
+    val e = edges.select(col("src_host").as("src"), col("dst_host").as("dst"), col("w"))
+      .localCheckpoint(false) // re-joined every round
+    val nodes = e.select(col("src").as("host"))
+      .unionByName(e.select(col("dst").as("host"))).distinct()
+      .localCheckpoint(false)
+    def normalize(raw: DataFrame, key: String, rawCol: String, out: String): DataFrame = {
+      val s = raw.agg(sum(col(rawCol)).as("s"))
+      nodes.join(raw.withColumnRenamed(key, "host"), Seq("host"), "left_outer")
+        .crossJoin(broadcast(s))
+        .select(col("host"),
+          expr(s"CAST(COALESCE($rawCol, 0) AS DECIMAL(38,0)) * $Scale DIV s").as(out))
+    }
+    var hub = nodes.select(col("host"), lit(Scale).as("h"))
+    var auth = nodes.select(col("host"), lit(0L).as("a"))
+    for (_ <- 1 to iters) {
+      auth = normalize(
+        e.join(hub.select(col("host").as("src"), col("h")), "src")
+          .groupBy(col("dst")).agg(sum(col("h") * col("w")).as("a_raw")),
+        "dst", "a_raw", "a")
+      hub = normalize(
+        e.join(auth.select(col("host").as("dst"), col("a")), "dst")
+          .groupBy(col("src")).agg(sum(col("a") * col("w")).as("h_raw")),
+        "src", "h_raw", "h")
+    }
+    hub.join(auth, "host")
+      .select(col("host"), col("h").as("hub_fp"), col("a").as("auth_fp"),
+        round(col("h").cast("double") / Scale, 9).as("hub"),
+        round(col("a").cast("double") / Scale, 9).as("authority"))
+      .orderBy(col("host"))
+  }
 }

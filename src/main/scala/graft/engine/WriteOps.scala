@@ -213,4 +213,43 @@ object WriteOps {
          (col("max_supp") - col("min_supp") + 1)).cast("long"))
       .orderBy(col("file_id"))
   }
+
+  /** Clustering-depth audit — "is this table worth re-sorting?": per
+    * file, how many OTHER files' [min, max] ranges of the candidate
+    * sort column overlap it. A date-clustered table has depth ~2 at
+    * file boundaries (a range scan opens only the files it must); an
+    * insertion-ordered table that ingests out of order approaches
+    * depth = n_files (every range scan opens everything) — exactly
+    * the situation [[zorderLayout]] / a sort rewrite fixes, and this
+    * report is the evidence that triggers it. Files stand in as
+    * deterministic o_orderkey spans (real lakehouses read their file
+    * statistics manifest directly). Scale: everything past the one
+    * rollup is MANIFEST-sized (O(files), not rows); the interval
+    * self-join is files², fine for any real file count — the sweep-
+    * line alternative (sort boundaries, running open-file counter)
+    * drops it to O(files log files) if ever needed. */
+  def clusteringDepthReport(orders: DataFrame, rowsPerFile: Long = 2000): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val m = orders
+      .select(expr(s"o_orderkey DIV $rowsPerFile").as("file_id"), col("o_orderdate"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+           min(col("o_orderdate")).as("d_lo"), max(col("o_orderdate")).as("d_hi"))
+      .localCheckpoint(false) // both sides of the interval self-join
+    val nf = m.agg(count(lit(1)).as("n_files"))
+    val other = m.select(col("file_id").as("file_b"),
+      col("d_lo").as("b_lo"), col("d_hi").as("b_hi"))
+    m.join(broadcast(other),
+        col("d_lo") <= col("b_hi") && col("b_lo") <= col("d_hi") &&
+          col("file_id") =!= col("file_b"), "left_outer")
+      .groupBy(col("file_id"), col("n_rows"), col("d_lo"), col("d_hi"))
+      .agg(sum(when(col("file_b").isNotNull, 1L).otherwise(0L)).as("overlap_files"))
+      .crossJoin(broadcast(nf))
+      .withColumn("overlap_frac", round(col("overlap_files").cast("double") /
+        greatest(col("n_files") - 1, lit(1L)), 6))
+      .select(col("file_id"), col("n_rows"), col("d_lo"), col("d_hi"),
+        col("overlap_files"), col("n_files").cast("long").as("n_files"),
+        col("overlap_frac"))
+      .orderBy(col("file_id"))
+  }
 }

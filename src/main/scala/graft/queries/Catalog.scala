@@ -3021,6 +3021,27 @@ object Catalog {
              |FROM documents GROUP BY source, lang
              |ORDER BY source, lang""".stripMargin)),
 
+    // clustering-depth audit: per file, how many other files' sort-
+    // column ranges overlap — the re-sort/Z-order trigger evidence;
+    // everything past one rollup is manifest-sized.
+    QuerySpec(
+      "q204_clustering_depth",
+      (s, dir) => WriteOps.clusteringDepthReport(Tables.orders(s, dir)),
+      Some("""WITH m AS (
+             |  SELECT o_orderkey // 2000 AS file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |         MIN(o_orderdate) AS d_lo, MAX(o_orderdate) AS d_hi
+             |  FROM orders GROUP BY 1),
+             |nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_files FROM m),
+             |ov AS (SELECT a.file_id, CAST(COUNT(b.file_id) AS BIGINT) AS overlap_files
+             |       FROM m a LEFT JOIN m b
+             |         ON a.d_lo <= b.d_hi AND b.d_lo <= a.d_hi AND a.file_id <> b.file_id
+             |       GROUP BY a.file_id)
+             |SELECT m.file_id, m.n_rows, m.d_lo, m.d_hi, ov.overlap_files, nf.n_files,
+             |       ROUND(CAST(ov.overlap_files AS DOUBLE)
+             |             / GREATEST(n_files - 1, 1), 6) AS overlap_frac
+             |FROM m JOIN ov USING (file_id) CROSS JOIN nf
+             |ORDER BY file_id""".stripMargin)),
+
     // Z-order layout zone maps: rows bucket by equal-width ranges of
     // the 16-bit Morton interleave (pure >>/&/*/+ arithmetic — the
     // oracle evaluates the IDENTICAL expression text); per-file
@@ -4893,6 +4914,37 @@ object Catalog {
        |FROM d3 ORDER BY host""".stripMargin
   }
 
+  /** q205 oracle: 2 unrolled HITS rounds — inflow/outflow sums in
+    * HUGEINT, L1 normalization (x·S) // Σx after each half-step,
+    * matching the Spark loop's DECIMAL(38,0) DIV exactly. */
+  private val q205OracleSql: String = {
+    val S = "1000000000000"
+    val rounds = (1 to 2).map { k =>
+      s"""ar$k AS (SELECT e.dst AS host, SUM(h${k - 1}.h * e.w) AS araw
+         |        FROM edges e JOIN h${k - 1} ON h${k - 1}.host = e.src GROUP BY e.dst),
+         |asum$k AS (SELECT SUM(araw) AS s FROM ar$k),
+         |a$k AS (SELECT nodes.host, (COALESCE(ar$k.araw, 0) * $S) // s AS a
+         |        FROM nodes CROSS JOIN asum$k
+         |        LEFT JOIN ar$k ON ar$k.host = nodes.host),
+         |hr$k AS (SELECT e.src AS host, SUM(a$k.a * e.w) AS hraw
+         |        FROM edges e JOIN a$k ON a$k.host = e.dst GROUP BY e.src),
+         |hsum$k AS (SELECT SUM(hraw) AS s FROM hr$k),
+         |h$k AS (SELECT nodes.host, (COALESCE(hr$k.hraw, 0) * $S) // s AS h
+         |        FROM nodes CROSS JOIN hsum$k
+         |        LEFT JOIN hr$k ON hr$k.host = nodes.host)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $hostEdgesCteSql,
+       |nodes AS (SELECT DISTINCT host FROM
+       |          (SELECT src AS host FROM edges UNION SELECT dst FROM edges)),
+       |h0 AS (SELECT host, CAST($S AS HUGEINT) AS h FROM nodes),
+       |$rounds
+       |SELECT h2.host, CAST(h2.h AS BIGINT) AS hub_fp, CAST(a2.a AS BIGINT) AS auth_fp,
+       |       ROUND(CAST(h2.h AS DOUBLE) / $S.0, 9) AS hub,
+       |       ROUND(CAST(a2.a AS DOUBLE) / $S.0, 9) AS authority
+       |FROM h2 JOIN a2 USING (host)
+       |ORDER BY host""".stripMargin
+  }
+
   private def graphQueries: Seq[QuerySpec] = Seq(
     // deterministic fixed-point PageRank (damping 0.85, 3 synchronous
     // iterations): scaled-BIGINT rank mass with floor division, so
@@ -4902,6 +4954,14 @@ object Catalog {
       "q169_host_pagerank",
       (s, dir) => GraphOps.pagerank(GraphOps.hostLinks(Tables.documents(s, dir))),
       Some(q169OracleSql)),
+
+    // deterministic integer HITS (2 rounds): hub/authority scores
+    // with exact L1 normalization per half-step — the link-farm /
+    // mirror-hub signal PageRank alone can't separate.
+    QuerySpec(
+      "q205_host_hits",
+      (s, dir) => GraphOps.hits(GraphOps.hostLinks(Tables.documents(s, dir))),
+      Some(q205OracleSql)),
 
     // per-host triangle participation with the degree-ordered
     // orientation (every wedge enumerated once at its lowest-degree

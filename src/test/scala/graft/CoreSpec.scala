@@ -545,6 +545,33 @@ class CoreSpec extends SparkSpec {
     assert(rows.map(_.getLong(7)).toSeq == Seq(0L, 0L, 1L), "only last row current")
   }
 
+  test("clustering depth counts exactly the overlapping file ranges") {
+    import spark.implicits._
+    // files by o_orderkey DIV 2000: f0 and f1 date-overlap, f2 disjoint
+    val orders = Seq(
+      (1L, "2024-01-01"), (1999L, "2024-03-01"), // file 0
+      (2000L, "2024-02-01"), (3999L, "2024-04-01"), // file 1 (overlaps f0)
+      (4000L, "2025-01-01"), (5000L, "2025-02-01"), // file 2 (disjoint)
+    ).toDF("o_orderkey", "d").select(col("o_orderkey"), to_date(col("d")).as("o_orderdate"))
+    val got = WriteOps.clusteringDepthReport(orders).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(got(0L) == ((1L, 3L, 0.5)))
+    assert(got(1L) == ((1L, 3L, 0.5)))
+    assert(got(2L) == ((0L, 3L, 0.0)))
+  }
+
+  test("HITS separates a pure hub from pure authorities with exact fixed-point scores") {
+    import spark.implicits._
+    val s = GraphOps.Scale
+    val edges = Seq(("hub", "a", 1L), ("hub", "b", 1L))
+      .toDF("src_host", "dst_host", "w")
+    val got = GraphOps.hits(edges).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("hub") == ((s, 0L)), s"pure hub: ${got("hub")}")
+    assert(got("a") == ((0L, s / 2)) && got("b") == ((0L, s / 2)),
+      s"authorities split the mass: $got")
+  }
+
   test("chi-square relevance: perfect association scores, integer cells are exact") {
     import spark.implicits._
     // A->en only (3 docs), B->fr only (2 docs): N=5, r_A=3, r_B=2,
