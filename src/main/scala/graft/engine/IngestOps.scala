@@ -399,4 +399,70 @@ object IngestOps {
       .select(col("rule"), col("n_checked"), col("n_violations"), col("pass"))
       .orderBy(col("rule"))
   }
+
+  /** Functional-dependency profiler — "does column A determine column
+    * B?" checked by data, not schema: a key (det value) violates the
+    * FD when it maps to >1 distinct dependent value. The schema-
+    * inference / normalization-audit companion of
+    * [[expectationsReport]]'s declared rules — a dependency that
+    * ALMOST holds (n_violating_keys ≪ n_keys) usually marks dirty
+    * rows, and one that holds exactly marks a join key or a derivable
+    * column that need not be stored. All audited pairs melt through
+    * ONE stack generator (constant fanout) into one (fd, det) shuffle
+    * + one fd-sized rollup. */
+  def functionalDependencyReport(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    orders.selectExpr(
+      "stack(3, " +
+        "'o_orderkey->o_custkey', CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING), " +
+        "'o_custkey->o_orderpriority', CAST(o_custkey AS STRING), o_orderpriority, " +
+        "'o_orderstatus->o_orderpriority', o_orderstatus, o_orderpriority" +
+        ") AS (fd, det, dep)")
+      .groupBy(col("fd"), col("det"))
+      .agg(countDistinct(col("dep")).as("n_dep"))
+      .groupBy(col("fd"))
+      .agg(count(lit(1)).cast("long").as("n_keys"),
+           sum(when(col("n_dep") > 1, 1L).otherwise(0L)).as("n_violating_keys"),
+           max(col("n_dep")).cast("long").as("max_dep_per_key"))
+      .withColumn("holds", col("n_violating_keys") === 0)
+      .orderBy(col("fd"))
+  }
+
+  /** Categorical column profile — the describe() companion for
+    * string/key columns (q20 covers numerics): per audited column,
+    * null count, distinct cardinality, and the MODE with its count
+    * (tie-break: count desc then value asc, so the row is
+    * deterministic in any engine). The first thing a data engineer
+    * asks of an unfamiliar table, and the input to encoder/partition
+    * decisions (a 2-value column one-hots; a million-value column
+    * hashes). One stack melt → one (column, value) rollup → a
+    * values-sized rank window per column. */
+  def columnProfile(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val melted = orders.selectExpr(
+      "stack(3, " +
+        "'o_orderpriority', o_orderpriority, " +
+        "'o_orderstatus', o_orderstatus, " +
+        "'o_custkey', CAST(o_custkey AS STRING)" +
+        ") AS (column_name, v)")
+    val counts = melted.groupBy(col("column_name"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // per-column stats + mode rank
+    val stats = counts.groupBy(col("column_name"))
+      .agg(sum(when(col("v").isNull, col("cnt")).otherwise(0L)).cast("long").as("n_nulls"),
+           sum(when(col("v").isNotNull, 1L).otherwise(0L)).cast("long").as("n_distinct"),
+           sum(col("cnt")).cast("long").as("n_rows"))
+    val w = Window.partitionBy(col("column_name"))
+      .orderBy(col("cnt").desc, col("v").asc)
+    val mode = counts.filter(col("v").isNotNull)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("column_name"), col("v").as("top_value"),
+        col("cnt").cast("long").as("top_count"))
+    stats.join(mode, "column_name")
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("top_value"), col("top_count"))
+      .orderBy(col("column_name"))
+  }
 }

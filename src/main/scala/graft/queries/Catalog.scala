@@ -5088,6 +5088,56 @@ object Catalog {
                |FROM orders WHERE o_orderkey <= 6000
                |ORDER BY o_orderkey""".stripMargin)),
 
+      // functional-dependency profiler: does A determine B, checked
+      // by data — one stack melt, one (fd, det) shuffle, one rollup;
+      // almost-holding FDs mark dirty rows, exact ones join keys.
+      QuerySpec(
+        "q206_fd_profile",
+        (s, dir) => IngestOps.functionalDependencyReport(Tables.orders(s, dir)),
+        Some("""WITH m AS (
+               |  SELECT 'o_orderkey->o_custkey' AS fd,
+               |         CAST(o_orderkey AS VARCHAR) AS det,
+               |         CAST(o_custkey AS VARCHAR) AS dep FROM orders
+               |  UNION ALL
+               |  SELECT 'o_custkey->o_orderpriority',
+               |         CAST(o_custkey AS VARCHAR), o_orderpriority FROM orders
+               |  UNION ALL
+               |  SELECT 'o_orderstatus->o_orderpriority',
+               |         o_orderstatus, o_orderpriority FROM orders),
+               |k AS (SELECT fd, det, CAST(COUNT(DISTINCT dep) AS BIGINT) AS n_dep
+               |      FROM m GROUP BY 1, 2)
+               |SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_keys,
+               |       CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               |         AS n_violating_keys,
+               |       CAST(MAX(n_dep) AS BIGINT) AS max_dep_per_key,
+               |       SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) = 0 AS holds
+               |FROM k GROUP BY fd ORDER BY fd""".stripMargin)),
+
+      // categorical column profile: nulls, cardinality, deterministic
+      // mode per audited column — describe() for string/key columns.
+      QuerySpec(
+        "q207_column_profile",
+        (s, dir) => IngestOps.columnProfile(Tables.orders(s, dir)),
+        Some("""WITH m AS (
+               |  SELECT 'o_orderpriority' AS column_name, o_orderpriority AS v FROM orders
+               |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+               |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders),
+               |c AS (SELECT column_name, v, CAST(COUNT(*) AS BIGINT) AS cnt
+               |      FROM m GROUP BY 1, 2),
+               |s AS (SELECT column_name,
+               |             CAST(SUM(CASE WHEN v IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_nulls,
+               |             CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct,
+               |             CAST(SUM(cnt) AS BIGINT) AS n_rows
+               |      FROM c GROUP BY 1),
+               |r AS (SELECT column_name, v AS top_value, cnt AS top_count,
+               |             row_number() OVER (PARTITION BY column_name
+               |                                ORDER BY cnt DESC, v ASC) AS rk
+               |      FROM c WHERE v IS NOT NULL)
+               |SELECT s.column_name, s.n_rows, s.n_nulls, s.n_distinct,
+               |       r.top_value, r.top_count
+               |FROM s JOIN r ON r.column_name = s.column_name AND r.rk = 1
+               |ORDER BY s.column_name""".stripMargin)),
+
       // declarative data-quality expectations: PK uniqueness, FK
       // orphans (left-outer null count), null contract, value
       // ranges — the post-load audit gate; every rule one aggregate

@@ -545,6 +545,34 @@ class CoreSpec extends SparkSpec {
     assert(rows.map(_.getLong(7)).toSeq == Seq(0L, 0L, 1L), "only last row current")
   }
 
+  test("FD profiler: holding, violated, and coincidental dependencies report exactly") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, 10L, "O", "HIGH"), (2L, 10L, "F", "LOW"), (3L, 11L, "O", "HIGH"),
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val got = IngestOps.functionalDependencyReport(orders).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got("o_orderkey->o_custkey") == ((3L, 0L, 1L, true)))
+    assert(got("o_custkey->o_orderpriority") == ((2L, 1L, 2L, false)))
+    assert(got("o_orderstatus->o_orderpriority") == ((2L, 0L, 1L, true)))
+  }
+
+  test("column profile: null counts, cardinality, and the deterministic tie-broken mode") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, Some("HIGH"), "O"), (2L, Some("HIGH"), "O"),
+      (2L, Some("LOW"), "F"), (3L, None, "F"),
+    ).toDF("o_custkey", "o_orderpriority", "o_orderstatus")
+    val got = IngestOps.columnProfile(orders).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getLong(5)))).toMap
+    assert(got("o_orderpriority") == ((4L, 1L, 2L, "HIGH", 2L)))
+    // O and F tie at 2 -> value-asc tie-break picks F
+    assert(got("o_orderstatus") == ((4L, 0L, 2L, "F", 2L)))
+    assert(got("o_custkey") == ((4L, 0L, 3L, "2", 2L)))
+  }
+
   test("clustering depth counts exactly the overlapping file ranges") {
     import spark.implicits._
     // files by o_orderkey DIV 2000: f0 and f1 date-overlap, f2 disjoint
