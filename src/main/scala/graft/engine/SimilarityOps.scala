@@ -486,4 +486,49 @@ object SimilarityOps {
              .as("mean_norm"))
       .orderBy(col("label"))
   }
+
+  /** Johnson-Lindenstrauss random-projection audit — "can the 64-d
+    * embeddings live in 16 dims?": each vector is projected through
+    * `outDims` deterministic ±1 hyperplanes (the q47 xxhash64(plane,
+    * pos) sign scheme — no stored matrix), and the report compares
+    * squared distances before/after on a fixed pair sample. For a ±1
+    * matrix E‖Rv‖² = outDims·‖v‖², so ratio = (d²_proj / outDims) /
+    * d²_orig concentrates near 1 when the projection is safe — the
+    * go/no-go number for running ANN / clustering at 4× less scan
+    * bandwidth (the dimensional analogue of q102's int8 audit).
+    * Everything is INTEGER-exact end to end: inputs quantize to
+    * round(v·1024) longs, projections and both squared distances are
+    * integer sums (order-free), and the single double division lands
+    * at the display edge — bit-identical on any engine/partitioning.
+    * One posexplode + one keyed rollup for the projection; the
+    * distance audit touches only the nSample² pair frame. */
+  def jlProjectionAudit(embeddings: DataFrame, outDims: Int = 16,
+                        nSample: Int = 30): DataFrame = {
+    val quant = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("q", round(col("v").cast("double") * 1024).cast("long"))
+      .localCheckpoint(false) // original-array build + projection rollup
+    val qv = quant.groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, q))), s -> s.q)").as("qv"))
+    val projCols = (0 until outDims).map { j =>
+      sum(col("q") * (pmod(xxhash64(lit(j), col("pos")), lit(2)) * 2 - 1)).as(s"y_$j")
+    }
+    val yv = quant.groupBy(col("vec_id")).agg(projCols.head, projCols.tail: _*)
+      .select(col("vec_id"),
+        array((0 until outDims).map(j => col(s"y_$j")): _*).as("yv"))
+    val both = qv.join(yv, "vec_id").filter(col("vec_id") < nSample)
+      .localCheckpoint(false) // both sides of the pair join
+    def sqDist(a: String, b: String) =
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+           s"CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+    both.select(col("vec_id").as("a"), col("qv").as("qa"), col("yv").as("ya"))
+      .join(broadcast(both.select(col("vec_id").as("b"),
+        col("qv").as("qb"), col("yv").as("yb"))), col("a") < col("b"))
+      .withColumn("d2_orig", sqDist("qa", "qb"))
+      .withColumn("d2_proj", sqDist("ya", "yb"))
+      .filter(col("d2_orig") > 0)
+      .select(col("a"), col("b"), col("d2_orig"), col("d2_proj"),
+        round((col("d2_proj").cast("double") / outDims) / col("d2_orig"), 6).as("ratio"))
+      .orderBy(col("a"), col("b"))
+  }
 }

@@ -3393,6 +3393,15 @@ object Catalog {
              |       ROUND(CAST(n_vectors AS DOUBLE) / SUM(n_vectors) OVER (), 6) AS share
              |FROM c ORDER BY list_id""".stripMargin)),
 
+    // JL random-projection audit: 64-d -> 16-d through the q47
+    // deterministic +/-1 planes, distance-distortion ratios on a pair
+    // sample — integer-exact end to end (quantized inputs, integer
+    // projections and squared distances, one display division).
+    QuerySpec(
+      "q208_jl_projection",
+      (s, dir) => SimilarityOps.jlProjectionAudit(Tables.embeddings(s, dir)),
+      Some(q208OracleSql)),
+
     // Index-quality view for the int8 path: per-vector max/mean
     // reconstruction error of the symmetric quantization — every op
     // is correctly-rounded IEEE, replayed bit-for-bit by the oracle.
@@ -4689,6 +4698,41 @@ object Catalog {
     * probes its own bucket and every bucket one bit-flip away
     * (xor with 0,1,2,4,8,16,32), then exact cosine top-10. Probe
     * values are distinct so no candidate is scored twice. */
+  /** q208 oracle: the q47 driver-side sign derivation (Spark's own
+    * XXH64.hashInt chain) emitted as 16 ±1 literal rows; projections
+    * and squared distances via exact-integer inner products (values
+    * < 2⁴¹, exact in DOUBLE), the polarization identity
+    * ‖a−b‖² = ‖a‖² − 2⟨a,b⟩ + ‖b‖² in place of a zip. */
+  private val q208OracleSql: String = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val signRows = (0 until 16).map { j =>
+      val h1 = XXH64.hashInt(j, 42L)
+      (0 until 64).map { d =>
+        val h = XXH64.hashInt(d, h1)
+        if (((h % 2) + 2) % 2 == 1) "1" else "-1"
+      }.mkString("[", ", ", "]")
+    }
+    val yList = signRows
+      .map(row => s"CAST(list_inner_product(q, $row) AS BIGINT)")
+      .mkString("[", ", ", "]")
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |                        x -> CAST(round(x * 1024) AS BIGINT)) AS q
+       |  FROM embeddings WHERE vec_id < 30),
+       |p AS MATERIALIZED (SELECT vec_id, q, $yList AS y FROM v),
+       |pr AS (SELECT a.vec_id AS a, b.vec_id AS b,
+       |              CAST(list_inner_product(a.q, a.q) - 2 * list_inner_product(a.q, b.q)
+       |                   + list_inner_product(b.q, b.q) AS BIGINT) AS d2_orig,
+       |              CAST(list_inner_product(a.y, a.y) - 2 * list_inner_product(a.y, b.y)
+       |                   + list_inner_product(b.y, b.y) AS BIGINT) AS d2_proj
+       |       FROM p a JOIN p b ON a.vec_id < b.vec_id)
+       |SELECT a, b, d2_orig, d2_proj,
+       |       ROUND((CAST(d2_proj AS DOUBLE) / 16) / d2_orig, 6) AS ratio
+       |FROM pr WHERE d2_orig > 0
+       |ORDER BY a, b""".stripMargin
+  }
+
   private val q47OracleSql: String = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val signs = (0 until 6).map { p =>

@@ -266,6 +266,23 @@ class SimilarityMultimodalSpec extends SparkSpec {
       "edited payload flips few signature bits")
   }
 
+  test("JL projection: distortion ratios concentrate near 1, exact integer distances") {
+    val rows = SimilarityOps.jlProjectionAudit(emb).collect()
+    assert(rows.length == 30 * 29 / 2, "all sampled pairs with d2_orig > 0")
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0 && r.getLong(3) >= 0)
+      val ratio = r.getDouble(4)
+      assert(ratio > 0.2 && ratio < 3.0,
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) distortion $ratio out of band")
+    }
+    // E[ratio] ~ 1: the mean over 435 pairs must land well inside (0.7, 1.3)
+    val mean = rows.map(_.getDouble(4)).sum / rows.length
+    assert(mean > 0.7 && mean < 1.3, s"mean distortion $mean")
+    // determinism: no stored matrix, same planes every call
+    val again = SimilarityOps.jlProjectionAudit(emb).collect().map(_.toString).toSeq
+    assert(again == rows.map(_.toString).toSeq)
+  }
+
   test("cross-media duplicate frames surface a shared aligned block only") {
     import spark.implicits._
     val shared = "S" * 64 // frame 0 of docs 1 and 2
