@@ -861,6 +861,26 @@ object DedupOps {
       .orderBy(col("cluster_id"))
   }
 
+  /** Duplication-aware training weights — the soft alternative to
+    * dropping near-dups: every doc is KEPT but its loss weight is
+    * 1/cluster_size (ppm-quantized integer), so a passage that
+    * appears five times contributes the same total gradient mass as
+    * one that appears once (the down-weighting used when dedup recall
+    * is imperfect or duplicates carry provenance worth keeping).
+    * Σ weight over a cluster ≤ 10⁶ with equality only when the
+    * cluster size divides 10⁶ — floor-division is the deterministic
+    * choice, asserted in the spec. One closure + one cluster-sized
+    * rollup broadcast back onto the membership table. */
+  def dupTrainingWeights(documents: DataFrame, edges: DataFrame): DataFrame = {
+    val clusters = connectedComponents(documents.select(col("doc_id")), edges)
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("n_members"))
+    clusters.join(sizes, "cluster_id")
+      .withColumn("weight_ppm", expr("1000000 DIV n_members"))
+      .select(col("doc_id"), col("cluster_id"), col("n_members"), col("weight_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The production near-dedup pipeline: sketch-based candidate edges
     * (MinHash-LSH estimated Jaccard ∪ SimHash hamming ball), clustered
     * and collapsed by [[nearDedup]].

@@ -291,6 +291,37 @@ object StreamOps {
       }
   }
 
+  /** Streaming next-event transitions —
+    * [[graft.engine.EventOps.eventTransitions]] as events land: per
+    * user the state is ONE string (the previous event type), each
+    * arriving event emits its (prev → cur) edge and becomes the new
+    * state, so the live transition matrix is a rollup over the sink
+    * that equals the batch lead-window form for an in-order feed
+    * (asserted across a micro-batch split in StreamingSpec — the
+    * cross-batch edge is exactly what the carried state preserves).
+    * Same order-restoration contract within a batch as the other
+    * stateful forms; state never grows. */
+  def streamingTransitions(events: Dataset[(Long, Long, Long, String)])
+      : Dataset[(String, String, Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[String]) =>
+          var prev = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, id, _, typ) =>
+            prev.foreach(p => out += ((p, typ, user, id)))
+            prev = Some(typ)
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Streaming ordered funnel — [[graft.engine.EventOps.funnel]]'s
     * view→click→purchase stage flags maintained INCREMENTALLY: per
     * user the state is three booleans ("reached stage k yet"), each

@@ -214,6 +214,33 @@ object WriteOps {
       .orderBy(col("file_id"))
   }
 
+  /** Lossless MV rollup chain — aggregates OF aggregates: the monthly
+    * report is computed from the stored DAILY partials (count + exact
+    * DECIMAL sum), never from raw events — the reference's
+    * materialized-aggregate architecture (serving reads rollup
+    * tables, reference: app/ml_app.py:99-139) extended one level up
+    * the time hierarchy. COUNT and DECIMAL SUM are the composable
+    * partials (decimal addition is associative and exact — a DOUBLE
+    * partial would NOT compose losslessly), so the oracle computes
+    * the monthly rollup DIRECTLY from raw events and hash-equality
+    * proves the chain loses nothing. At 100 TB this is the shape
+    * that makes every coarser granularity a partial-sized job: day →
+    * month → quarter reads partials, raw is scanned exactly once. */
+  def rollupChain(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val daily = events
+      .select(col("event_type"), col("ts").cast("date").as("d"),
+        col("value").cast("decimal(18,4)").as("v"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    daily
+      .groupBy(col("event_type"),
+        date_trunc("month", col("d")).cast("date").as("month"))
+      .agg(sum(col("n")).cast("long").as("n_events"),
+           sum(col("sv")).cast("double").as("total_value"))
+      .orderBy(col("event_type"), col("month"))
+  }
+
   /** Clustering-depth audit — "is this table worth re-sorting?": per
     * file, how many OTHER files' [min, max] ranges of the candidate
     * sort column overlap it. A date-clustered table has depth ~2 at

@@ -2360,6 +2360,42 @@ object Catalog {
       },
       Some(q201OracleSql)),
 
+    // duplication-aware training weights over the same closure: every
+    // doc kept at loss weight 1000000 DIV cluster_size ppm — the soft
+    // alternative to dropping near-dups.
+    QuerySpec(
+      "q209_dup_weights",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val docs = Tables.documents(s, dir)
+        DedupOps.dupTrainingWeights(docs,
+          DedupOps.jaccardPairs(docs).select(col("doc_i"), col("doc_j")))
+      },
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT DISTINCT doc_id, s FROM (
+             |    SELECT doc_id, substr(text, unnest(range(1, length(text) - 3)), 5) AS s
+             |    FROM documents WHERE doc_id < 60)),
+             |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+             |c AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS common
+             |      FROM sh a JOIN sh b USING (s)
+             |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+             |p AS (SELECT doc_i, doc_j FROM c
+             |      JOIN n ni ON doc_i = ni.doc_id JOIN n nj ON doc_j = nj.doc_id
+             |      WHERE ROUND(CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common), 6) >= 0.15),
+             |e AS (SELECT doc_i AS src, doc_j AS dst FROM p
+             |      UNION ALL SELECT doc_j, doc_i FROM p),
+             |reach(node, lbl) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node),
+             |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+             |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+             |       FROM cl GROUP BY 1)
+             |SELECT cl.doc_id, cl.cluster_id, sz.n_members,
+             |       1000000 // sz.n_members AS weight_ppm
+             |FROM cl JOIN sz USING (cluster_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // quality-aware canonical selection over the same closure: the
     // LONGEST member represents each cluster (most-complete-variant
     // policy) instead of q61's min-id — one per-cluster window after
@@ -5360,7 +5396,21 @@ object Catalog {
                 |JOIN supplier ON l_suppkey = s_suppkey
                 |JOIN nation   ON s_nationkey = n_nationkey
                 |GROUP BY s_name, n_name
-                |ORDER BY s_name""".stripMargin))
+                |ORDER BY s_name""".stripMargin)),
+
+      // lossless MV rollup chain: monthly report computed FROM the
+      // stored daily partials (count + exact DECIMAL sum compose);
+      // the oracle aggregates raw events directly — hash equality
+      // proves the day→month chain loses nothing.
+      QuerySpec(
+        "q210_rollup_chain",
+        (s, dir) => WriteOps.rollupChain(Tables.events(s, dir)),
+        Some("""SELECT event_type,
+               |       CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS month,
+               |       CAST(COUNT(*) AS BIGINT) AS n_events,
+               |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+               |FROM events GROUP BY 1, 2
+               |ORDER BY event_type, month""".stripMargin))
     )
   }
 }

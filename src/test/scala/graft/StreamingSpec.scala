@@ -228,6 +228,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(4L) == ((3L, 20 * minUs)), "cross-batch state must carry the click")
   }
 
+  test("streaming transitions equal the batch lead window across a batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val minUs = 60L * 1000000L
+    // user 1's view->click edge crosses the batch boundary
+    val batch1 = Seq((1L, 1L, 0 * minUs, "view"), (2L, 4L, 1 * minUs, "view"))
+    val batch2 = Seq((1L, 2L, 10 * minUs, "click"), (1L, 3L, 20 * minUs, "purchase"),
+      (2L, 5L, 2 * minUs, "view"))
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val q = StreamOps.streamingTransitions(input.toDS())
+      .toDF("prev_type", "next_type", "user_id", "event_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("transitions").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("transitions")
+      .groupBy(col("prev_type"), col("next_type")).count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = EventOps.eventTransitions(
+        (batch1 ++ batch2).toDF("user_id", "event_id", "us", "event_type")
+          .select(col("user_id"), col("event_id"),
+            timestamp_micros(col("us")).as("ts"), col("event_type")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(streamed(("view", "click")) == 1L, "cross-batch edge must carry")
+  }
+
   test("streaming funnel first-reach counts equal the batch funnel across a batch split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -1007,6 +1007,20 @@ class TextDedupSpec extends SparkSpec {
     assert(got("low_diversity") == ((1L, 0L, 0L, 12L)))
   }
 
+  test("dup training weights: cluster mass bounded by 1, singletons weigh full") {
+    import spark.implicits._
+    val corpus = (1L to 7L).map(i => (i, s"text $i", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source").withColumn("n_chars", length(col("text")))
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("doc_i", "doc_j") // {1,2,3} + 4 singletons
+    val got = DedupOps.dupTrainingWeights(corpus, edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == 7)
+    Seq(1L, 2L, 3L).foreach(d => assert(got(d) == ((3L, 333333L))))
+    Seq(4L, 5L, 6L, 7L).foreach(d => assert(got(d) == ((1L, 1000000L))))
+    // per-cluster mass never exceeds one document's worth
+    got.values.groupBy(identity).foreach { case ((n, w), _) => assert(n * w <= 1000000L) }
+  }
+
   test("contrastive triplets: cluster members anchor each other, negatives leave the cluster") {
     import spark.implicits._
     val corpus = (1L to 20L).map(i => (i, s"text $i", "en", "s"))
