@@ -55,7 +55,8 @@ object Verify {
     // tmp warehouse holding the catalog tables dies with this JVM,
     // the dump must not. (ivfIndexFor memo ⇒ zero extra quantizer
     // fits after either query ran.)
-    if (selected.contains("q67_ivf_topk") || selected.contains("q121_ivf_list_stats"))
+    if (selected.contains("q67_ivf_topk") || selected.contains("q121_ivf_list_stats") ||
+        selected.contains("q212_index_coverage"))
       graft.engine.SimilarityOps.dumpIvfOracle(
         graft.engine.Tables.embeddings(spark, sfDir), tag = sfDir)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -288,6 +288,36 @@ object EventOps {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Daily volume spike detector — the ops-monitoring rollup that
+    * watches a pipeline's own event stream: per (event_type, day),
+    * today's count against the trailing `window`-day sum (current day
+    * excluded), flagged when n · trailing_days > factor · Σtrailing
+    * (i.e. today exceeds factor × the trailing daily mean) — the
+    * comparison is INTEGER cross-multiplication, so no average is
+    * ever materialized in floating point and the flag cannot flip at
+    * the boundary (the q162 principle applied to time series). Days
+    * with no trailing history (cold start) are reported unflagged
+    * with trailing_days = 0. One (type, day) rollup — type-
+    * cardinality-bounded — then a per-type ROWS frame over the tiny
+    * daily table. */
+  def dailySpikes(events: DataFrame, window: Int = 7, factor: Int = 2): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(-window, -1)
+    daily
+      .withColumn("trailing_n", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("trailing_days", count(col("n")).over(w).cast("long"))
+      .withColumn("spike",
+        col("trailing_days") > 0 &&
+          col("n") * col("trailing_days") > col("trailing_n") * factor)
+      .select(col("event_type"), col("d"), col("n").cast("long").as("n"),
+        col("trailing_n").cast("long").as("trailing_n"), col("trailing_days"),
+        col("spike"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
   /** First-order next-event transition matrix — the user-journey
     * Markov table ("what follows a view?") behind funnel design and
     * anomaly detection (a transition whose share shifts between

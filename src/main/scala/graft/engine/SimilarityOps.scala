@@ -487,6 +487,27 @@ object SimilarityOps {
       .orderBy(col("label"))
   }
 
+  /** ANN index coverage audit — the freshness contract between the
+    * vector table and the persisted IVF assignment: vectors missing
+    * from the index silently vanish from every ANN answer, and
+    * orphaned assignments (vector deleted, posting kept) both waste
+    * probe work and can resurface retired content. One full-outer
+    * join on vec_id (co-partitioned, id+flag columns only — vectors
+    * never ship) folded into a single report row; `covered` is the
+    * go/no-go bit an index-refresh scheduler gates on. The integrity
+    * analogue of q164's FK orphan rule, pointed at the serving
+    * artifact instead of the warehouse. */
+  def ivfCoverageAudit(embeddings: DataFrame, index: IvfIndex): DataFrame = {
+    val vecs = embeddings.select(col("vec_id"), lit(1).as("in_table"))
+    val idx = index.assigned.select(col("vec_id"), lit(1).as("in_index"))
+    vecs.join(idx, Seq("vec_id"), "full_outer")
+      .agg(sum(coalesce(col("in_table"), lit(0))).cast("long").as("n_vectors"),
+           sum(coalesce(col("in_index"), lit(0))).cast("long").as("n_indexed"),
+           sum(when(col("in_index").isNull, 1L).otherwise(0L)).as("n_missing"),
+           sum(when(col("in_table").isNull, 1L).otherwise(0L)).as("n_orphaned"))
+      .withColumn("covered", col("n_missing") === 0L && col("n_orphaned") === 0L)
+  }
+
   /** Johnson-Lindenstrauss random-projection audit — "can the 64-d
     * embeddings live in 16 dims?": each vector is projected through
     * `outDims` deterministic ±1 hyperplanes (the q47 xxhash64(plane,

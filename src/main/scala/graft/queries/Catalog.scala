@@ -1082,6 +1082,25 @@ object Catalog {
              |FROM events
              |ORDER BY event_id""".stripMargin)),
 
+    // daily volume spike detector: today vs the trailing-7-day mean
+    // as pure integer cross-multiplication (n·days > 2·Σtrailing) —
+    // the pipeline-monitoring rollup; cold-start days unflagged.
+    QuerySpec(
+      "q211_daily_spikes",
+      (s, dir) => EventOps.dailySpikes(Tables.events(s, dir)),
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |t AS (SELECT event_type, d, n,
+             |             CAST(COALESCE(SUM(n) OVER w, 0) AS BIGINT) AS trailing_n,
+             |             CAST(COUNT(n) OVER w AS BIGINT) AS trailing_days
+             |      FROM daily
+             |      WINDOW w AS (PARTITION BY event_type ORDER BY d
+             |                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+             |SELECT event_type, d, n, trailing_n, trailing_days,
+             |       trailing_days > 0 AND n * trailing_days > trailing_n * 2 AS spike
+             |FROM t ORDER BY event_type, d""".stripMargin)),
+
     // first-order next-event transition matrix: adjacent pairs off
     // the shared (user, ts, event_id) sort, |types|²-row totals join,
     // floor-divided ppm probabilities — the user-journey Markov table.
@@ -3428,6 +3447,27 @@ object Catalog {
              |SELECT list_id, n_vectors,
              |       ROUND(CAST(n_vectors AS DOUBLE) / SUM(n_vectors) OVER (), 6) AS share
              |FROM c ORDER BY list_id""".stripMargin)),
+
+    // ANN index coverage audit: full-outer vec_id reconciliation of
+    // the vector table vs the persisted IVF assignment — missing
+    // vectors and orphaned postings as one go/no-go report row.
+    QuerySpec(
+      "q212_index_coverage",
+      (s, dir) => SimilarityOps.ivfCoverageAudit(
+        Tables.embeddings(s, dir),
+        SimilarityOps.ivfIndexFor(Tables.embeddings(s, dir), tag = dir)),
+      Some("""WITH a AS (
+             |  SELECT vec_id FROM read_parquet('/tmp/graft_ivf_oracle/assign/*.parquet')),
+             |v AS (SELECT vec_id FROM embeddings)
+             |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_vectors,
+             |       (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_indexed,
+             |       CAST((SELECT COUNT(*) FROM v
+             |             WHERE vec_id NOT IN (SELECT vec_id FROM a)) AS BIGINT) AS n_missing,
+             |       CAST((SELECT COUNT(*) FROM a
+             |             WHERE vec_id NOT IN (SELECT vec_id FROM v)) AS BIGINT) AS n_orphaned,
+             |       (SELECT COUNT(*) FROM v WHERE vec_id NOT IN (SELECT vec_id FROM a)) = 0
+             |         AND (SELECT COUNT(*) FROM a WHERE vec_id NOT IN (SELECT vec_id FROM v)) = 0
+             |         AS covered""".stripMargin)),
 
     // JL random-projection audit: 64-d -> 16-d through the q47
     // deterministic +/-1 planes, distance-distortion ratios on a pair

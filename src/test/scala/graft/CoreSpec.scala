@@ -195,6 +195,26 @@ class CoreSpec extends SparkSpec {
     assert(again == rows.map(_.toString).toSeq, "same corpus, same permutation")
   }
 
+  test("daily spikes: integer cross-multiplied gate flags the burst, not the cold start") {
+    import spark.implicits._
+    def t(day: Int, i: Int) =
+      new java.sql.Timestamp(86400000L * day + i * 1000L)
+    // type A: 2 events/day for 8 days, then a 10-event burst on day 9
+    val rows = (for (d <- 1 to 8; i <- 0 until 2) yield (d, i)) ++
+      (0 until 10).map(i => (9, i))
+    val ev = rows.zipWithIndex.map { case ((d, i), id) => (id.toLong, t(d, i), 1L, "A") }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventOps.dailySpikes(ev).collect()
+      .map(r => r.getDate(1).toString ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    val burst = got.maxBy(_._1)
+    assert(burst._2 == ((10L, 14L, 7L, true)), s"burst day: $burst")
+    // cold start (first day) unflagged; steady days unflagged
+    val first = got.minBy(_._1)
+    assert(first._2 == ((2L, 0L, 0L, false)))
+    assert(got.values.count(_._4) == 1, "only the burst day spikes")
+  }
+
   test("event transitions: adjacent pairs only, ppm rows sum per from-type") {
     import spark.implicits._
     def t(m: Int) = new java.sql.Timestamp(m * 60000L)

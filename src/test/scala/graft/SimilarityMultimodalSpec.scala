@@ -266,6 +266,20 @@ class SimilarityMultimodalSpec extends SparkSpec {
       "edited payload flips few signature bits")
   }
 
+  test("index coverage audit counts the planted missing vector and orphaned posting") {
+    import spark.implicits._
+    val vecs = (1L to 5L).map(i => (i, 0)).toDF("vec_id", "label")
+    val assigned = (2L to 6L).map(i => (i, 0L)).toDF("vec_id", "list_id") // 1 missing, 6 orphaned
+    val idx = SimilarityOps.IvfIndex(assigned, assigned.limit(0), 1)
+    val r = SimilarityOps.ivfCoverageAudit(vecs, idx).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+      == ((5L, 5L, 1L, 1L, false)))
+    // the real persisted index covers the fixture exactly
+    val fix = SimilarityOps.ivfCoverageAudit(emb,
+      SimilarityOps.ivfIndexFor(emb, tag = sf)).collect()(0)
+    assert(fix.getBoolean(4), s"fixture index must cover: $fix")
+  }
+
   test("JL projection: distortion ratios concentrate near 1, exact integer distances") {
     val rows = SimilarityOps.jlProjectionAudit(emb).collect()
     assert(rows.length == 30 * 29 / 2, "all sampled pairs with d2_orig > 0")
