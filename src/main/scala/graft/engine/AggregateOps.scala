@@ -331,6 +331,57 @@ object AggregateOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** k-anonymity / l-diversity audit — the privacy gate a dataset
+    * release runs before publishing: rows group into equivalence
+    * classes over the quasi-identifier columns (priority, status,
+    * order month — the attributes an adversary can link externally);
+    * a class smaller than k re-identifies its members, and a class
+    * whose sensitive attribute (customer key) shows < l distinct
+    * values leaks it even at size ≥ k. One hash rollup over the
+    * quasi-id key — the same shape as any group-by, so the audit
+    * costs one shuffle at any scale; suppression/generalization acts
+    * on the at-risk classes this report names. */
+  def kAnonymityAudit(orders: DataFrame, k: Int = 5): DataFrame =
+    orders
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"),
+        month(col("o_orderdate")).cast("long").as("order_month"))
+      .agg(count(lit(1)).cast("long").as("class_size"),
+           countDistinct(col("o_custkey")).cast("long").as("l_diversity"))
+      .withColumn("at_risk", col("class_size") < k)
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"), col("order_month"))
+
+  /** Exact WEIGHTED lower median — the order statistic where each row
+    * counts with its weight (here: price cents weighted by quantity,
+    * "the price at which half the shipped volume is cheaper"): the
+    * smallest value whose running weight reaches half the total,
+    * 2·cumw ≥ W in pure integers. Ties on the value are safe by
+    * construction — every row of a tie block shares the value and the
+    * block's LAST row carries the full block weight regardless of
+    * intra-block order, so the qualifying MIN(value) is deterministic
+    * under any partitioning. Same per-group rank-sort cost class as
+    * q165/q167 (and the same q194 bracket-refine escape at 100 TB). */
+  def weightedMedian(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = lineitem.select(col("l_returnflag"),
+      round(col("l_extendedprice") * 100).cast("long").as("c"),
+      col("l_quantity").cast("long").as("wt"))
+      .localCheckpoint(false) // totals + the cumulative pass
+    val totals = cents.groupBy(col("l_returnflag"))
+      .agg(sum(col("wt")).as("tw"), count(lit(1)).cast("long").as("n_rows"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cents
+      .withColumn("cumw", sum(col("wt")).over(w))
+      .join(broadcast(totals), "l_returnflag")
+      .filter(col("cumw") * 2 >= col("tw"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("c")).as("cmed"), min(col("tw")).cast("long").as("total_weight"),
+           min(col("n_rows")).as("n_rows"))
+      .select(col("l_returnflag"), col("n_rows"), col("total_weight"),
+        round(col("cmed").cast("double") / 100, 6).as("weighted_median_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Chi-square-style categorical association audit — "does feature A
     * predict feature B?" for two discrete columns, the feature-
     * selection / leakage-detection primitive of a training pipeline

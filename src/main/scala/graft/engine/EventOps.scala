@@ -288,6 +288,68 @@ object EventOps {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Linear multi-touch attribution — every marketing event within
+    * the lookback window shares a purchase's credit equally (the
+    * fairness complement of [[lastTouchAttribution]]'s winner-takes-
+    * all): share = 10⁶ DIV n ppm per touch, and the LAST touch
+    * absorbs the floor-division remainder so every purchase's credit
+    * sums to exactly 10⁶ — conservation is an invariant, not a
+    * rounding hope. The purchase×touch pair frame is a per-user
+    * range join (co-partitioned on user, window-bounded fanout),
+    * never an event×event cross. */
+  def linearAttribution(events: DataFrame, lookbackDays: Int = 7): DataFrame = {
+    val lookUs = lookbackDays * 86400L * 1000000L
+    val base = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"), col("event_type"))
+      .localCheckpoint(false) // both sides of the per-user range join
+    val mkt = base.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("us").as("touch_us"), col("event_type").as("touch_type"))
+    val pur = base.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("us").as("p_us"))
+    val j = pur.join(mkt, Seq("user_id"))
+      .filter(col("touch_us") < col("p_us") && col("touch_us") >= col("p_us") - lookUs)
+    val wN = Window.partitionBy(col("purchase_id"))
+    val wR = Window.partitionBy(col("purchase_id"))
+      .orderBy(col("touch_us").desc, col("touch_id").desc)
+    j.withColumn("n_touches", count(lit(1)).over(wN).cast("long"))
+      .withColumn("rk", row_number().over(wR).cast("long"))
+      .withColumn("share_ppm", when(col("rk") === 1,
+          lit(1000000L) - (col("n_touches") - 1) * expr("1000000 DIV n_touches"))
+        .otherwise(expr("1000000 DIV n_touches")))
+      .select(col("user_id"), col("purchase_id"), col("touch_id"),
+        col("touch_type"), col("n_touches"), col("share_ppm"))
+      .orderBy(col("purchase_id"), col("touch_id"))
+  }
+
+  /** Per-type daily-volume TREND slope — ordinary least squares over
+    * (day index, daily count) evaluated entirely in integers: with
+    * x = epoch day and y = count, slope = (n·Σxy − Σx·Σy) /
+    * (n·Σx² − (Σx)²), emitted ppm-scaled through one DECIMAL floor
+    * division — no fp accumulation anywhere, so "is this event type
+    * growing?" answers bit-identically on any engine. One
+    * (type, day) rollup then a type-sized aggregate; epoch-day x
+    * keeps Σx² within DECIMAL(38) for decades of data. */
+  def trendSlopes(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        expr("CAST(unix_micros(CAST(CAST(ts AS DATE) AS TIMESTAMP)) DIV 86400000000 AS LONG)").as("x"))
+      .agg(count(lit(1)).as("y"))
+    daily
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+           sum(col("x").cast("decimal(38,0)")).as("sx"),
+           sum(col("y").cast("decimal(38,0)")).as("sy"),
+           sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+           sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+      .withColumn("slope_ppm", // single-day series: undefined slope -> null
+        expr("(CAST(n_days AS DECIMAL(38,0)) * sxy - sx * sy) * 1000000 " +
+             "DIV NULLIF(CAST(n_days AS DECIMAL(38,0)) * sxx - sx * sx, 0)"))
+      .select(col("event_type"), col("n_days"), col("sy").cast("long").as("n_events"),
+        col("slope_ppm"))
+      .orderBy(col("event_type"))
+  }
+
   /** Daily volume spike detector — the ops-monitoring rollup that
     * watches a pipeline's own event stream: per (event_type, day),
     * today's count against the trailing `window`-day sum (current day

@@ -555,6 +555,44 @@ object Catalog {
              |FROM m LEFT JOIN o USING (l_returnflag)
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // k-anonymity / l-diversity audit over the quasi-identifier
+    // classes — the pre-release privacy gate; one hash rollup.
+    QuerySpec(
+      "q213_k_anonymity",
+      (s, dir) => AggregateOps.kAnonymityAudit(Tables.orders(s, dir)),
+      Some("""SELECT o_orderpriority, o_orderstatus,
+             |       CAST(month(o_orderdate) AS BIGINT) AS order_month,
+             |       CAST(COUNT(*) AS BIGINT) AS class_size,
+             |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS l_diversity,
+             |       COUNT(*) < 5 AS at_risk
+             |FROM orders GROUP BY 1, 2, 3
+             |ORDER BY o_orderpriority, o_orderstatus, order_month""".stripMargin)),
+
+    // exact weighted lower median: smallest value whose running
+    // weight reaches half the total (2·cumw >= W, pure integers);
+    // tie blocks are safe because their last row carries the full
+    // block weight under any intra-block order.
+    QuerySpec(
+      "q214_weighted_median",
+      (s, dir) => AggregateOps.weightedMedian(Tables.lineitem(s, dir)),
+      Some("""WITH cents AS (
+             |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+             |         CAST(l_quantity AS BIGINT) AS wt
+             |  FROM lineitem),
+             |t AS (SELECT l_returnflag, CAST(SUM(wt) AS BIGINT) AS tw,
+             |             CAST(COUNT(*) AS BIGINT) AS n_rows
+             |      FROM cents GROUP BY 1),
+             |r AS (SELECT cents.l_returnflag, c,
+             |             SUM(wt) OVER (PARTITION BY cents.l_returnflag ORDER BY c
+             |                           ROWS UNBOUNDED PRECEDING) AS cumw,
+             |             t.tw, t.n_rows
+             |      FROM cents JOIN t USING (l_returnflag))
+             |SELECT l_returnflag, MIN(n_rows) AS n_rows,
+             |       CAST(MIN(tw) AS BIGINT) AS total_weight,
+             |       ROUND(CAST(MIN(c) AS DOUBLE) / 100, 6) AS weighted_median_price
+             |FROM r WHERE cumw * 2 >= tw
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // exact-order-statistic winsorized mean: p5/p95 bounds are the
     // k-th smallest cent values (k = (n−1)p/100 + 1 integer), the
     // clamped mean accumulates in DECIMAL — rank-k VALUES are
@@ -1081,6 +1119,55 @@ object Catalog {
              |       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct
              |FROM events
              |ORDER BY event_id""".stripMargin)),
+
+    // linear multi-touch attribution: equal 10⁶ DIV n ppm shares over
+    // the lookback touches, remainder to the last touch — credit per
+    // purchase conserves to exactly one million ppm.
+    QuerySpec(
+      "q215_linear_attribution",
+      (s, dir) => EventOps.linearAttribution(Tables.events(s, dir)),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+             |mkt AS (SELECT user_id, event_id AS touch_id, us AS touch_us,
+             |               event_type AS touch_type
+             |        FROM e WHERE event_type IN ('view', 'click')),
+             |pur AS (SELECT user_id, event_id AS purchase_id, us AS p_us
+             |        FROM e WHERE event_type = 'purchase'),
+             |j AS (SELECT pur.user_id, purchase_id, touch_id, touch_type, touch_us
+             |      FROM pur JOIN mkt ON pur.user_id = mkt.user_id
+             |       AND touch_us < p_us AND touch_us >= p_us - 604800000000),
+             |c AS (SELECT *,
+             |             CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches,
+             |             row_number() OVER (PARTITION BY purchase_id
+             |                                ORDER BY touch_us DESC, touch_id DESC) AS rk
+             |      FROM j)
+             |SELECT user_id, purchase_id, touch_id, touch_type, n_touches,
+             |       CASE WHEN rk = 1
+             |            THEN 1000000 - (n_touches - 1) * (1000000 // n_touches)
+             |            ELSE 1000000 // n_touches END AS share_ppm
+             |FROM c ORDER BY purchase_id, touch_id""".stripMargin)),
+
+    // per-type daily-volume OLS trend slope, evaluated entirely in
+    // integers (n·Σxy − Σx·Σy over n·Σx² − (Σx)², ppm floor-div) —
+    // "is this event type growing" with zero fp accumulation.
+    QuerySpec(
+      "q216_trend_slopes",
+      (s, dir) => EventOps.trendSlopes(Tables.events(s, dir)),
+      Some("""WITH daily AS (
+             |  SELECT event_type,
+             |         epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)) // 86400000000 AS x,
+             |         CAST(COUNT(*) AS BIGINT) AS y
+             |  FROM events GROUP BY 1, 2),
+             |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             |             SUM(CAST(x AS HUGEINT)) AS sx,
+             |             SUM(CAST(y AS HUGEINT)) AS sy,
+             |             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             |             SUM(CAST(x AS HUGEINT) * x) AS sxx
+             |      FROM daily GROUP BY 1)
+             |SELECT event_type, n_days, CAST(sy AS BIGINT) AS n_events,
+             |       CAST((n_days * sxy - sx * sy) * 1000000
+             |            // NULLIF(n_days * sxx - sx * sx, 0) AS BIGINT) AS slope_ppm
+             |FROM a ORDER BY event_type""".stripMargin)),
 
     // daily volume spike detector: today vs the trailing-7-day mean
     // as pure integer cross-multiplication (n·days > 2·Σtrailing) —

@@ -195,6 +195,63 @@ class CoreSpec extends SparkSpec {
     assert(again == rows.map(_.toString).toSeq, "same corpus, same permutation")
   }
 
+  test("weighted median follows the volume, not the row count") {
+    import spark.implicits._
+    // weights pull the median to 1.00 (5 of 7 weight) though the
+    // unweighted row median is 2.00
+    val li = Seq((1.00, 5.0), (2.00, 1.0), (3.00, 1.0)).map { case (p, q) => ("A", p, q) }
+      .toDF("l_returnflag", "l_extendedprice", "l_quantity")
+    val r = AggregateOps.weightedMedian(li).collect()(0)
+    assert(r.getLong(1) == 3L && r.getLong(2) == 7L)
+    assert(r.getDouble(3) == 1.0)
+  }
+
+  test("linear attribution conserves exactly one million ppm per purchase") {
+    import spark.implicits._
+    def t(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val ev = Seq(
+      (1L, t(1), 1L, "view"), (1L, t(2), 2L, "click"), (1L, t(3), 3L, "view"),
+      (1L, t(4), 4L, "purchase"), // 3 touches: 333333+333333+333334
+      (2L, t(1), 5L, "purchase"), // no touches: absent from output
+      (3L, t(1), 6L, "click"), (3L, t(2), 7L, "purchase"), // 1 touch: 1000000
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventOps.linearAttribution(ev).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(5)).toMap
+    assert(got((4L, 1L)) == 333333L && got((4L, 2L)) == 333333L)
+    assert(got((4L, 3L)) == 333334L, "last touch absorbs the remainder")
+    assert(got((7L, 6L)) == 1000000L)
+    assert(!got.keySet.exists(_._1 == 5L))
+    // fixture: every purchase's credit sums to exactly 10^6
+    val fix = EventOps.linearAttribution(Tables.events(spark, sf))
+      .groupBy(col("purchase_id")).agg(sum(col("share_ppm")).as("s")).collect()
+    fix.foreach(r => assert(r.getLong(1) == 1000000L, s"non-conserving: $r"))
+  }
+
+  test("trend slope: a perfect unit ramp reports exactly one million ppm per day") {
+    import spark.implicits._
+    def t(day: Int, i: Int) = new java.sql.Timestamp(86400000L * day + i * 1000L)
+    val rows = (0 until 1).map(i => (0, i)) ++ (0 until 2).map(i => (1, i)) ++
+      (0 until 3).map(i => (2, i))
+    val ev = rows.zipWithIndex.map { case ((d, i), id) => (id.toLong, t(d, i), 1L, "A") }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val r = EventOps.trendSlopes(ev).collect()(0)
+    assert(r.getLong(1) == 3L && r.getLong(2) == 6L)
+    assert(r.getLong(3) == 1000000L, s"unit slope: $r")
+  }
+
+  test("k-anonymity flags exactly the small quasi-id classes") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Timestamp.valueOf(s"$s 00:00:00")
+    val orders = (Seq.fill(6)(("HIGH", "O", "2024-01-05", 1L)) :+
+      (("HIGH", "F", "2024-01-05", 2L))).zipWithIndex.map {
+      case ((p, st, dt, c), i) => (i.toLong, c, st, d(dt), p)
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority")
+    val got = AggregateOps.kAnonymityAudit(orders).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(3), r.getBoolean(5)))).toMap
+    assert(got(("HIGH", "O")) == ((6L, false)))
+    assert(got(("HIGH", "F")) == ((1L, true)))
+  }
+
   test("daily spikes: integer cross-multiplied gate flags the burst, not the cold start") {
     import spark.implicits._
     def t(day: Int, i: Int) =
