@@ -331,6 +331,31 @@ object AggregateOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Equi-width histogram with exact integer bin edges — the basic
+    * distribution view (q18/q19 give quantiles, q137 key counts; this
+    * is the value-axis picture): cent-quantized prices bucket by
+    * integer floor division, so every row lands in exactly one bin
+    * with no fp boundary ambiguity, and empty interior bins are
+    * restored from a sequence span so the shape reads correctly. One
+    * rollup + a bins-sized grid join; share is one display division. */
+  def priceHistogram(orders: DataFrame, binWidthCents: Long = 2500000): DataFrame = {
+    val binned = orders
+      .select(expr(
+        s"CAST(round(o_totalprice * 100) AS BIGINT) DIV $binWidthCents").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).cast("long").as("n"))
+      .localCheckpoint(false) // span bounds + the grid join
+    val span = binned.agg(min(col("bin")).as("lo"), max(col("bin")).as("hi"),
+      sum(col("n")).as("total"))
+    span.select(explode(expr("sequence(lo, hi)")).as("bin"), col("total"))
+      .join(binned, Seq("bin"), "left_outer")
+      .na.fill(0L, Seq("n"))
+      .select(col("bin"),
+        round(lit(binWidthCents / 100.0) * col("bin"), 2).as("bin_lo_price"),
+        col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("share"))
+      .orderBy(col("bin"))
+  }
+
   /** k-anonymity / l-diversity audit — the privacy gate a dataset
     * release runs before publishing: rows group into equivalence
     * classes over the quasi-identifier columns (priority, status,

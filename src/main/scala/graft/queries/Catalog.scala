@@ -555,6 +555,23 @@ object Catalog {
              |FROM m LEFT JOIN o USING (l_returnflag)
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // equi-width price histogram: integer floor-div bins, empty
+    // interior bins restored from a sequence span.
+    QuerySpec(
+      "q217_price_histogram",
+      (s, dir) => AggregateOps.priceHistogram(Tables.orders(s, dir)),
+      Some("""WITH b AS (
+             |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 2500000 AS bin,
+             |         CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM orders GROUP BY 1),
+             |s AS (SELECT MIN(bin) AS lo, MAX(bin) AS hi, SUM(n) AS total FROM b),
+             |g AS (SELECT unnest(range(lo, hi + 1)) AS bin, total FROM s)
+             |SELECT g.bin, ROUND(25000.0 * g.bin, 2) AS bin_lo_price,
+             |       COALESCE(b.n, 0) AS n,
+             |       ROUND(CAST(COALESCE(b.n, 0) AS DOUBLE) / g.total, 6) AS share
+             |FROM g LEFT JOIN b USING (bin)
+             |ORDER BY bin""".stripMargin)),
+
     // k-anonymity / l-diversity audit over the quasi-identifier
     // classes — the pre-release privacy gate; one hash rollup.
     QuerySpec(

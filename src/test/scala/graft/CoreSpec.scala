@@ -195,6 +195,21 @@ class CoreSpec extends SparkSpec {
     assert(again == rows.map(_.toString).toSeq, "same corpus, same permutation")
   }
 
+  test("price histogram restores empty interior bins and conserves the row count") {
+    import spark.implicits._
+    // $10, $30, $80: bins 0, 1, 3 at $25k width? use small width 1000 cents
+    val orders = Seq(10.0, 30.0, 80.0).map(("x", _))
+      .toDF("x", "o_totalprice")
+    val got = AggregateOps.priceHistogram(orders, binWidthCents = 1000).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((10.0, 1L)), 2L -> ((20.0, 0L)), 3L -> ((30.0, 1L)),
+      4L -> ((40.0, 0L)), 5L -> ((50.0, 0L)), 6L -> ((60.0, 0L)),
+      7L -> ((70.0, 0L)), 8L -> ((80.0, 1L))))
+    // fixture: bin counts conserve the table
+    val fix = AggregateOps.priceHistogram(Tables.orders(spark, sf))
+    assert(fix.agg(sum(col("n"))).head.getLong(0) == Tables.orders(spark, sf).count())
+  }
+
   test("weighted median follows the volume, not the row count") {
     import spark.implicits._
     // weights pull the median to 1.00 (5 of 7 weight) though the
