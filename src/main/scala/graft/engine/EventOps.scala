@@ -350,6 +350,40 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** Theil–Sen robust trend — the median of all pairwise daily-count
+    * slopes per type, the outlier-immune complement of [[trendSlopes]]
+    * (one spike day drags OLS; it is one vote among C(n,2) here).
+    * Slopes are ppm integers computed as sign · (|Δy|·10⁶ DIV Δx) —
+    * magnitude division on nonnegative integers, THEN the sign, so
+    * truncation direction agrees on every engine (floor vs
+    * trunc-toward-zero only diverge on negatives); the median is the
+    * exact lower order statistic by rank. The pair frame is per-type
+    * C(days,2) — days-bounded, never event-bounded — so the self-join
+    * and rank sort are dimension-scale work at any corpus size. */
+  def theilSenSlopes(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        expr("CAST(unix_micros(CAST(CAST(ts AS DATE) AS TIMESTAMP)) DIV 86400000000 AS LONG)").as("x"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint(false) // both sides of the pair join
+    val pairs = daily.select(col("event_type"), col("x").as("xa"), col("y").as("ya"))
+      .join(daily.select(col("event_type"), col("x").as("xb"), col("y").as("yb")),
+        "event_type")
+      .filter(col("xa") < col("xb"))
+      .withColumn("s_ppm", expr(
+        "CASE WHEN yb - ya >= 0 THEN ((yb - ya) * 1000000) DIV (xb - xa) " +
+          "ELSE -(((ya - yb) * 1000000) DIV (xb - xa)) END"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("s_ppm"))
+    val counts = pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+    pairs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(counts), "event_type")
+      .filter(col("rn") === expr("(n_pairs + 1) DIV 2"))
+      .select(col("event_type"), col("n_pairs"), col("s_ppm").as("theilsen_ppm"))
+      .orderBy(col("event_type"))
+  }
+
   /** Daily volume spike detector — the ops-monitoring rollup that
     * watches a pipeline's own event stream: per (event_type, day),
     * today's count against the trailing `window`-day sum (current day

@@ -191,6 +191,33 @@ object WebOps {
            min(col("doc_id")).as("keeper"))
       .orderBy(col("canon_url"))
 
+  /** Train/test leakage through URL mirrors — the split-integrity
+    * hole q122's content-gram matrix can miss when mirrors differ in
+    * boilerplate: two docs that canonicalize to the SAME URL are the
+    * same page, and if the q94 hash split (which keys on doc_id, not
+    * content) lands them in different splits, the test set contains
+    * training pages. Composes the q154 canonical election with the
+    * exact q94 split assignment; emits only the leaking groups (the
+    * fix list: move every member to the keeper's split, or drop).
+    * One canonical-key shuffle + a doc-keyed join — both sides are
+    * id+key columns, text never moves. */
+  def urlSplitLeakage(documents: DataFrame): DataFrame = {
+    val groups = urlCanonicalize(syntheticCrawlUrls(documents))
+      .select(col("doc_id"), col("canon_url"))
+    val splits = documents
+      .select(col("doc_id"), pmod(xxhash64(col("doc_id")), lit(10)).as("bucket"))
+      .withColumn("split", when(col("bucket") < 8, "train")
+        .when(col("bucket") === 8, "val").otherwise("test"))
+      .select(col("doc_id"), col("split"))
+    groups.join(splits, "doc_id")
+      .groupBy(col("canon_url"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+           countDistinct(col("split")).cast("long").as("n_splits"),
+           min(col("split")).as("split_lo"), max(col("split")).as("split_hi"))
+      .filter(col("n_splits") >= 2)
+      .orderBy(col("canon_url"))
+  }
+
   private def syntheticUrlsIfMissing(documents: DataFrame): DataFrame =
     if (documents.columns.contains("url")) documents else syntheticUrls(documents)
 }

@@ -1186,6 +1186,34 @@ object Catalog {
              |            // NULLIF(n_days * sxx - sx * sx, 0) AS BIGINT) AS slope_ppm
              |FROM a ORDER BY event_type""".stripMargin)),
 
+    // Theil–Sen robust trend: exact lower median of all pairwise
+    // daily slopes, sign·(|Δy|·10⁶ DIV Δx) so truncation direction
+    // agrees across engines; pair frame is C(days,2) per type.
+    QuerySpec(
+      "q219_theil_sen",
+      (s, dir) => EventOps.theilSenSlopes(Tables.events(s, dir)),
+      Some("""WITH daily AS (
+             |  SELECT event_type,
+             |         epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)) // 86400000000 AS x,
+             |         CAST(COUNT(*) AS BIGINT) AS y
+             |  FROM events GROUP BY 1, 2),
+             |p AS (SELECT a.event_type,
+             |             CASE WHEN b.y - a.y >= 0
+             |                  THEN ((b.y - a.y) * 1000000) // (b.x - a.x)
+             |                  ELSE -(((a.y - b.y) * 1000000) // (b.x - a.x)) END AS s_ppm
+             |      FROM daily a JOIN daily b
+             |        ON a.event_type = b.event_type AND a.x < b.x),
+             |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs
+             |      FROM p GROUP BY 1),
+             |r AS (SELECT p.event_type, s_ppm,
+             |             CAST(row_number() OVER (PARTITION BY p.event_type
+             |                                     ORDER BY s_ppm) AS BIGINT) AS rn,
+             |             n.n_pairs
+             |      FROM p JOIN n USING (event_type))
+             |SELECT event_type, n_pairs, CAST(s_ppm AS BIGINT) AS theilsen_ppm
+             |FROM r WHERE rn = (n_pairs + 1) // 2
+             |ORDER BY event_type""".stripMargin)),
+
     // daily volume spike detector: today vs the trailing-7-day mean
     // as pure integer cross-multiplication (n·days > 2·Σtrailing) —
     // the pipeline-monitoring rollup; cold-start days unflagged.
@@ -3104,6 +3132,13 @@ object Catalog {
              |       MIN(doc_id) AS keeper
              |FROM c3 GROUP BY canon_url ORDER BY canon_url""".stripMargin)),
 
+    // train/test leakage through URL mirrors: q154 canonical groups ×
+    // the exact q94 split — leaking groups only, the fix list.
+    QuerySpec(
+      "q218_url_split_leakage",
+      (s, dir) => WebOps.urlSplitLeakage(Tables.documents(s, dir)),
+      Some(q218OracleSql)),
+
     // incremental-refresh work list: full-outer fingerprint diff of
     // the current snapshot vs a deterministic prior one — only the
     // added/changed/removed rows survive (the rows a refresh must
@@ -4093,6 +4128,47 @@ object Catalog {
        |SELECT source_a, source_b, CAST(SUM(m) AS BIGINT) AS n_agree,
        |       ROUND(CAST(SUM(m) AS DOUBLE) / 64, 6) AS est_jaccard
        |FROM p GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+  }
+
+  /** q218 oracle: the q154 url synthesis + canonicalization CTEs
+    * joined to the q94 XXH64 split buckets; HAVING keeps only groups
+    * spanning ≥2 splits. */
+  private val q218OracleSql: String = {
+    import Xxh64DocIdSql.{ctes, tos}
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    CASE CAST(doc_id % 4 AS INT)
+       |      WHEN 0 THEN 'HTTPS://WWW.SRC' || ((doc_id // 2) % 20) || '.EXAMPLE/page/' || (doc_id // 2)
+       |      WHEN 1 THEN 'https://www.src' || ((doc_id // 2) % 20) || '.example/page/' || (doc_id // 2) || '?utm_source=feed'
+       |      WHEN 2 THEN 'https://www.src' || ((doc_id // 2) % 20) || '.example/page/' || (doc_id // 2) || '#section-2'
+       |      ELSE 'https://www.src' || ((doc_id // 2) % 20) || '.example/page/' || (doc_id // 2) || '/'
+       |    END AS url
+       |  FROM documents),
+       |c1 AS (SELECT doc_id,
+       |              regexp_replace(regexp_replace(regexp_replace(url,
+       |                '#.*$$', '', 'g'),
+       |                'utm_[A-Za-z]+=[^&#]*&', '', 'g'),
+       |                '[?&]utm_[A-Za-z]+=[^&#]*', '', 'g') AS a
+       |       FROM u),
+       |c2 AS (SELECT doc_id,
+       |              lower(regexp_extract(a, '^([A-Za-z]+://[^/]*)', 1))
+       |                || substr(a, len(regexp_extract(a, '^([A-Za-z]+://[^/]*)', 1)) + 1) AS b
+       |       FROM c1),
+       |c3 AS (SELECT doc_id,
+       |              CASE WHEN regexp_matches(b, '://[^/]+/.+/$$')
+       |                   THEN substr(b, 1, len(b) - 1) ELSE b END AS canon_url
+       |       FROM c2),
+       |$ctes,
+       |sp AS (SELECT doc_id,
+       |              CASE WHEN bk < 8 THEN 'train' WHEN bk = 8 THEN 'val'
+       |                   ELSE 'test' END AS split
+       |       FROM (SELECT doc_id, ((${tos("h8")} % 10) + 10) % 10 AS bk FROM s10))
+       |SELECT c3.canon_url, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+       |       MIN(split) AS split_lo, MAX(split) AS split_hi
+       |FROM c3 JOIN sp USING (doc_id)
+       |GROUP BY canon_url HAVING COUNT(DISTINCT split) >= 2
+       |ORDER BY canon_url""".stripMargin
   }
 
   /** q195 oracle: XXH64 chain → u folded onto [0, 2⁶²), priority =

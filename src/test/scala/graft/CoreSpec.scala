@@ -242,6 +242,44 @@ class CoreSpec extends SparkSpec {
     fix.foreach(r => assert(r.getLong(1) == 1000000L, s"non-conserving: $r"))
   }
 
+  test("Theil-Sen ignores the spike day that drags OLS off the ramp") {
+    import spark.implicits._
+    def t(day: Int, i: Int) = new java.sql.Timestamp(86400000L * day + i * 1000L)
+    // unit ramp 1..7 events/day with day 1 spiked to 50 (off-center,
+    // so OLS moves): 15 of 21 pairwise slopes are exactly 1e6 ->
+    // the rank-11 median is 1e6
+    val counts = Seq(1, 50, 3, 4, 5, 6, 7)
+    val rows = counts.zipWithIndex.flatMap { case (c, d) => (0 until c).map(i => (d, i)) }
+    val ev = rows.zipWithIndex.map { case ((d, i), id) => (id.toLong, t(d, i), 1L, "A") }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val ts = EventOps.theilSenSlopes(ev).collect()(0)
+    assert(ts.getLong(1) == 21L && ts.getLong(2) == 1000000L, s"robust: $ts")
+    val ols = EventOps.trendSlopes(ev).collect()(0)
+    assert(ols.getLong(3) != 1000000L, s"OLS must be dragged by the spike: $ols")
+  }
+
+  test("url split leakage reports exactly the canonical groups spanning splits") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val got = WebOps.urlSplitLeakage(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got.values.foreach { case (n, s) => assert(n >= 2 && s >= 2) }
+    // recompute independently: canonical groups x per-doc hash split
+    val splits = docs.select(col("doc_id"),
+        pmod(xxhash64(col("doc_id")), lit(10)).as("b")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.getLong(1) < 8) "train" else if (r.getLong(1) == 8) "val" else "test")).toMap
+    val groups = WebOps.urlCanonicalize(WebOps.syntheticCrawlUrls(docs))
+      .select(col("doc_id"), col("canon_url")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).groupBy(_._2)
+    val expect = groups.collect { case (cu, ms) if ms.map(m => splits(m._1)).distinct.size >= 2 =>
+      cu -> ms.length.toLong
+    }.toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (cu, n) => assert(got(cu)._1 == n) }
+    assert(got.nonEmpty, "the fixture's mirror pairs must produce leaks")
+  }
+
   test("trend slope: a perfect unit ramp reports exactly one million ppm per day") {
     import spark.implicits._
     def t(day: Int, i: Int) = new java.sql.Timestamp(86400000L * day + i * 1000L)
