@@ -45,6 +45,55 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Curation attrition funnel — the per-stage accounting every
+    * curation run should ship with its output: how many documents and
+    * how much token mass survive each stage of the q91 pipeline
+    * (exact dedup → near-dedup canonical election → repetition gate →
+    * decontamination vs the held-out set), with the per-stage drop.
+    * This is the observability view that catches a mis-tuned stage
+    * (a gate suddenly eating 40% of tokens) before a training run
+    * does. Stage semantics are the EXACT production operators (q40
+    * keeper, q61 closure label, q114 verdict, q62 flag), so every
+    * number here reconciles with those queries' own outputs. Each
+    * stage is one id-semijoin + one rollup; the 5-row report window
+    * is free. Held-out docs (< 50) are the decontamination REFERENCE
+    * and are not themselves dropped by that stage. */
+  def curationFunnel(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents.select(col("doc_id"),
+      size(expr(s"regexp_extract_all(text, '${TextOps.pieceRe}', 0)"))
+        .cast("long").as("n_toks"))
+      .localCheckpoint(false) // every stage rollup reads it
+    val exactKeep = DedupOps.exactDedup(documents).select(col("doc_id"))
+    val edges = DedupOps.jaccardPairs(documents).select(col("doc_i"), col("doc_j"))
+    val clusters = DedupOps.connectedComponents(documents.select(col("doc_id")), edges)
+    val nearKeep = exactKeep
+      .join(clusters.filter(col("doc_id") === col("cluster_id"))
+        .select(col("doc_id")), "doc_id")
+    val gateKeep = nearKeep
+      .join(TextOps.repetitionRuleFilter(documents)
+        .filter(col("kept")).select(col("doc_id")), "doc_id")
+    val flagged = TextOps.contaminationCheck(
+        documents.filter(col("doc_id") >= 50), documents.filter(col("doc_id") < 50))
+      .filter(col("flagged")).select(col("doc_id"))
+    val decontamKeep = gateKeep.join(flagged, Seq("doc_id"), "left_anti")
+    def stage(i: Int, name: String, ids: DataFrame): DataFrame =
+      ids.join(toks, "doc_id")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+             sum(col("n_toks")).cast("long").as("n_tokens"))
+        .select(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("n_tokens"))
+    val w = Window.orderBy(col("stage")) // 5 rows — a free window
+    stage(0, "input", documents.select(col("doc_id")))
+      .unionByName(stage(1, "exact_dedup", exactKeep))
+      .unionByName(stage(2, "near_dedup", nearKeep))
+      .unionByName(stage(3, "quality_gate", gateKeep))
+      .unionByName(stage(4, "decontam", decontamKeep))
+      .withColumn("n_dropped",
+        coalesce(lag(col("n_docs"), 1).over(w) - col("n_docs"), lit(0L)))
+      .orderBy(col("stage"))
+  }
+
   /** Sequence packing — the concat-and-chunk step that turns a
     * curated corpus into fixed-length training sequences: documents
     * are concatenated in stream order and cut into `seqLen`-token

@@ -3139,6 +3139,14 @@ object Catalog {
       (s, dir) => WebOps.urlSplitLeakage(Tables.documents(s, dir)),
       Some(q218OracleSql)),
 
+    // curation attrition funnel: docs/token mass surviving each q91
+    // stage (q40 keeper → q61 closure → q114 gate → q62 decontam)
+    // with the per-stage drop — the run's own datasheet.
+    QuerySpec(
+      "q220_curation_funnel",
+      (s, dir) => CorpusOps.curationFunnel(Tables.documents(s, dir)),
+      Some(q220OracleSql)),
+
     // incremental-refresh work list: full-outer fingerprint diff of
     // the current snapshot vs a deterministic prior one — only the
     // added/changed/removed rows survive (the rows a refresh must
@@ -4129,6 +4137,83 @@ object Catalog {
        |       ROUND(CAST(SUM(m) AS DOUBLE) / 64, 6) AS est_jaccard
        |FROM p GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
   }
+
+  /** q220 oracle: the q40 keeper, q61 closure, q114 verdict and q62
+    * contamination fragments composed into 5 stage rollups + a 5-row
+    * attrition window. */
+  private val q220OracleSql: String =
+    s"""WITH RECURSIVE pieces AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |ek AS (SELECT doc_id FROM (
+       |         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+       |         FROM documents)
+       |       WHERE doc_id = keeper),
+       |sh AS (SELECT DISTINCT doc_id, s FROM (
+       |         SELECT doc_id, substr(text, unnest(range(1, length(text) - 3)), 5) AS s
+       |         FROM documents WHERE doc_id < 60)),
+       |nsh AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |cp AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS common
+       |       FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pp AS (SELECT doc_i, doc_j FROM cp
+       |       JOIN nsh ni ON doc_i = ni.doc_id JOIN nsh nj ON doc_j = nj.doc_id
+       |       WHERE ROUND(CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common), 6) >= 0.15),
+       |ee AS (SELECT doc_i AS src, doc_j AS dst FROM pp
+       |       UNION ALL SELECT doc_j, doc_i FROM pp),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT ee.dst, r.lbl FROM reach r JOIN ee ON ee.src = r.node),
+       |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+       |nk AS (SELECT ek.doc_id FROM ek JOIN cl ON cl.doc_id = ek.doc_id
+       |       WHERE cl.cluster_id = ek.doc_id),
+       |t114 AS (SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS tt,
+       |                string_split(text, '. ') AS sentences
+       |         FROM documents),
+       |sig AS (SELECT doc_id,
+       |          CAST(len(tt) AS BIGINT) AS n_tokens,
+       |          ROUND(CAST(len(list_distinct(tt)) AS DOUBLE) / len(tt), 6) AS distinct_ratio,
+       |          ROUND(CAST(list_max(list_transform(list_distinct(tt), x -> len(list_filter(tt, y -> y = x)))) AS DOUBLE) / len(tt), 6) AS top_tok_share,
+       |          ROUND(CAST(len(sentences) - len(list_distinct(sentences)) AS DOUBLE) / GREATEST(len(sentences), 1), 6) AS dup_sentence_frac
+       |        FROM t114 WHERE len(tt) > 0),
+       |vv AS (SELECT d.doc_id,
+       |         CASE WHEN COALESCE(s.n_tokens, 0) < 5 THEN 'too_short'
+       |              WHEN s.dup_sentence_frac > 0.30 THEN 'dup_sentences'
+       |              WHEN s.top_tok_share > 0.20 THEN 'top_token'
+       |              WHEN s.distinct_ratio < 0.30 THEN 'low_diversity'
+       |              ELSE 'keep' END AS verdict
+       |       FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id),
+       |gk AS (SELECT nk.doc_id FROM nk JOIN vv ON vv.doc_id = nk.doc_id
+       |       WHERE vv.verdict = 'keep'),
+       |ngr AS (SELECT DISTINCT doc_id, array_to_string(list_slice(tt, gi, gi + 4), ' ') AS g
+       |        FROM (SELECT doc_id, tt, unnest(range(1, len(tt) - 3)) AS gi
+       |              FROM t114 WHERE len(tt) >= 5)),
+       |hg AS (SELECT DISTINCT g FROM ngr WHERE doc_id < 50),
+       |flg AS (SELECT doc_id FROM (
+       |          SELECT doc_id, COUNT(*) AS n_shared FROM ngr JOIN hg USING (g)
+       |          WHERE doc_id >= 50 GROUP BY doc_id)
+       |        WHERE n_shared >= 5),
+       |dk AS (SELECT doc_id FROM gk WHERE doc_id NOT IN (SELECT doc_id FROM flg)),
+       |st AS (
+       |  SELECT 0 AS stage, 'input' AS stage_name,
+       |         CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+       |  FROM documents JOIN pieces USING (doc_id)
+       |  UNION ALL
+       |  SELECT 1, 'exact_dedup', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_toks) AS BIGINT)
+       |  FROM ek JOIN pieces USING (doc_id)
+       |  UNION ALL
+       |  SELECT 2, 'near_dedup', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_toks) AS BIGINT)
+       |  FROM nk JOIN pieces USING (doc_id)
+       |  UNION ALL
+       |  SELECT 3, 'quality_gate', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_toks) AS BIGINT)
+       |  FROM gk JOIN pieces USING (doc_id)
+       |  UNION ALL
+       |  SELECT 4, 'decontam', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_toks) AS BIGINT)
+       |  FROM dk JOIN pieces USING (doc_id))
+       |SELECT CAST(stage AS BIGINT) AS stage, stage_name, n_docs, n_tokens,
+       |       CAST(COALESCE(lag(n_docs) OVER (ORDER BY stage) - n_docs, 0) AS BIGINT) AS n_dropped
+       |FROM st ORDER BY stage""".stripMargin
 
   /** q218 oracle: the q154 url synthesis + canonicalization CTEs
     * joined to the q94 XXH64 split buckets; HAVING keeps only groups

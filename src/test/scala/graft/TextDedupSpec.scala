@@ -1007,6 +1007,20 @@ class TextDedupSpec extends SparkSpec {
     assert(got("low_diversity") == ((1L, 0L, 0L, 12L)))
   }
 
+  test("curation funnel reconciles stage by stage with the standalone operators") {
+    val funnel = CorpusOps.curationFunnel(docs).collect()
+    assert(funnel.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    // monotone attrition and exact drop accounting
+    funnel.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) <= a.getLong(2) && b.getLong(3) <= a.getLong(3))
+      assert(b.getLong(4) == a.getLong(2) - b.getLong(2), s"drop accounting: $a -> $b")
+    }
+    assert(funnel(0).getLong(4) == 0L)
+    // stage counts reconcile with the standalone operators
+    assert(funnel(0).getLong(2) == docs.count())
+    assert(funnel(1).getLong(2) == DedupOps.exactDedup(docs).count())
+  }
+
   test("dup training weights: cluster mass bounded by 1, singletons weigh full") {
     import spark.implicits._
     val corpus = (1L to 7L).map(i => (i, s"text $i", "en", "s"))
