@@ -861,6 +861,31 @@ object DedupOps {
       .orderBy(col("cluster_id"))
   }
 
+  /** Entity resolution groups — master-data management over the part
+    * dimension: the q83 blocked-Levenshtein pairs become EDGES, the
+    * CC machinery closes them transitively (A≈B and B≈C group even
+    * when A and C differ by 4 edits — exactly what pairwise matching
+    * alone misses), and every record maps to its entity: smallest
+    * member key as the stable entity id, that member's name as the
+    * canonical form. The output IS the alias-resolution table a
+    * pipeline joins through. Same scale posture as the text closure:
+    * edges are block-bounded, clusters shallow, the canonical lookup
+    * one dim-sized join. */
+  def entityGroups(part: DataFrame): DataFrame = {
+    val edges = TextOps.fuzzyNameMatch(part)
+      .select(col("key_i").as("doc_i"), col("key_j").as("doc_j"))
+    val labels = connectedComponents(
+      part.select(col("p_partkey").as("doc_id")), edges)
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("n_members"))
+    labels.join(sizes, "cluster_id")
+      .join(part.select(col("p_partkey").as("cluster_id"),
+        col("p_name").as("canonical_name")), "cluster_id")
+      .select(col("doc_id").as("p_partkey"), col("cluster_id").as("entity_id"),
+        col("n_members"), col("canonical_name"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** Duplication-aware training weights — the soft alternative to
     * dropping near-dups: every doc is KEPT but its loss weight is
     * 1/cluster_size (ppm-quantized integer), so a passage that

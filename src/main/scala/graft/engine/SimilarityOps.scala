@@ -487,6 +487,39 @@ object SimilarityOps {
       .orderBy(col("label"))
   }
 
+  /** IVF list label-purity — the semantic-quality view over the
+    * persisted coarse quantizer (q121 reports list BALANCE; this
+    * reports list MEANING): per inverted list, the majority label and
+    * its integer ppm share. High purity means the quantizer respects
+    * class structure — nProbe can stay small for labeled workloads;
+    * purity near the label prior means the lists are semantically
+    * random and probing must widen. Contingency rollup over the
+    * stored assignment joined to labels (id-keyed, vectors never
+    * move), majority via a per-list rank over the tiny (lists ×
+    * labels) frame. */
+  def ivfLabelPurity(embeddings: DataFrame, index: IvfIndex): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = index.assigned
+      .select(col("vec_id"), col("list_id").cast("long").as("list_id"))
+      .join(embeddings.select(col("vec_id"), col("label").cast("long").as("label")),
+        "vec_id")
+      .groupBy(col("list_id"), col("label"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(false) // majority rank + totals
+    val w = Window.partitionBy(col("list_id")).orderBy(col("o").desc, col("label"))
+    val majority = cells.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("list_id"), col("label").as("majority_label"),
+        col("o").as("n_majority"))
+    cells.groupBy(col("list_id")).agg(sum(col("o")).as("n_vectors"))
+      .join(majority, "list_id")
+      .withColumn("purity_ppm", expr("(n_majority * 1000000) DIV n_vectors"))
+      .select(col("list_id"), col("n_vectors").cast("long").as("n_vectors"),
+        col("majority_label"), col("n_majority").cast("long").as("n_majority"),
+        col("purity_ppm"))
+      .orderBy(col("list_id"))
+  }
+
   /** ANN index coverage audit — the freshness contract between the
     * vector table and the persisted IVF assignment: vectors missing
     * from the index silently vanish from every ANN answer, and

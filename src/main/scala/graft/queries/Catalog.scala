@@ -2125,6 +2125,33 @@ object Catalog {
              |WHERE levenshtein(a.p_name, b.p_name) <= 2
              |ORDER BY key_i, key_j""".stripMargin)),
 
+    // entity resolution: the q83 pairs closed transitively into alias
+    // groups — stable min-key entity ids + the canonical name; the
+    // lookup table a pipeline joins through.
+    QuerySpec(
+      "q222_entity_groups",
+      (s, dir) => DedupOps.entityGroups(Tables.part(s, dir)),
+      Some("""WITH RECURSIVE pr AS (
+             |  SELECT a.p_partkey AS doc_i, b.p_partkey AS doc_j
+             |  FROM part a JOIN part b
+             |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+             |  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+             |e AS (SELECT doc_i AS src, doc_j AS dst FROM pr
+             |      UNION ALL SELECT doc_j, doc_i FROM pr),
+             |reach(node, lbl) AS (
+             |  SELECT p_partkey, p_partkey FROM part
+             |  UNION
+             |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node),
+             |cl AS (SELECT node AS p_partkey, MIN(lbl) AS entity_id
+             |       FROM reach GROUP BY node),
+             |sz AS (SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_members
+             |       FROM cl GROUP BY 1)
+             |SELECT cl.p_partkey, cl.entity_id, sz.n_members,
+             |       cn.p_name AS canonical_name
+             |FROM cl JOIN sz USING (entity_id)
+             |JOIN part cn ON cn.p_partkey = cl.entity_id
+             |ORDER BY cl.p_partkey""".stripMargin)),
+
     // Decontamination: corpus docs (doc_id >= 50) sharing word 5-grams
     // with the held-out slice (doc_id < 50).
     QuerySpec(
@@ -3594,6 +3621,29 @@ object Catalog {
              |SELECT list_id, n_vectors,
              |       ROUND(CAST(n_vectors AS DOUBLE) / SUM(n_vectors) OVER (), 6) AS share
              |FROM c ORDER BY list_id""".stripMargin)),
+
+    // IVF list label-purity: per-list majority label + ppm share off
+    // the persisted assignment — list MEANING next to q121's balance.
+    QuerySpec(
+      "q221_ivf_purity",
+      (s, dir) => SimilarityOps.ivfLabelPurity(
+        Tables.embeddings(s, dir),
+        SimilarityOps.ivfIndexFor(Tables.embeddings(s, dir), tag = dir)),
+      Some("""WITH a AS (
+             |  SELECT vec_id, CAST(list_id AS BIGINT) AS list_id
+             |  FROM read_parquet('/tmp/graft_ivf_oracle/assign/*.parquet')),
+             |c AS (SELECT list_id, CAST(e.label AS BIGINT) AS label,
+             |             CAST(COUNT(*) AS BIGINT) AS o
+             |      FROM a JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+             |m AS (SELECT list_id, label AS majority_label, o AS n_majority,
+             |             row_number() OVER (PARTITION BY list_id
+             |                                ORDER BY o DESC, label) AS rk
+             |      FROM c),
+             |t AS (SELECT list_id, CAST(SUM(o) AS BIGINT) AS n_vectors FROM c GROUP BY 1)
+             |SELECT t.list_id, t.n_vectors, m.majority_label, m.n_majority,
+             |       (m.n_majority * 1000000) // t.n_vectors AS purity_ppm
+             |FROM t JOIN m ON m.list_id = t.list_id AND m.rk = 1
+             |ORDER BY t.list_id""".stripMargin)),
 
     // ANN index coverage audit: full-outer vec_id reconciliation of
     // the vector table vs the persisted IVF assignment — missing

@@ -266,6 +266,26 @@ class SimilarityMultimodalSpec extends SparkSpec {
       "edited payload flips few signature bits")
   }
 
+  test("IVF label purity: hand contingency and fixture conservation") {
+    import spark.implicits._
+    val vecs = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1)).toDF("vec_id", "label")
+    val assigned = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)).toDF("vec_id", "list_id")
+    val idx = SimilarityOps.IvfIndex(assigned, assigned.limit(0), 2)
+    val got = SimilarityOps.ivfLabelPurity(vecs, idx).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(0L) == ((2L, 0L, 2L, 1000000L)), "pure list")
+    assert(got(1L) == ((2L, 0L, 1L, 500000L)), "tie breaks to the smaller label")
+    // fixture: lists conserve the table, purity within (0, 1]
+    val fix = SimilarityOps.ivfLabelPurity(emb,
+      SimilarityOps.ivfIndexFor(emb, tag = sf)).collect()
+    assert(fix.map(_.getLong(1)).sum == emb.count())
+    fix.foreach { r =>
+      assert(r.getLong(4) > 0L && r.getLong(4) <= 1000000L)
+      assert(r.getLong(3) <= r.getLong(1))
+    }
+  }
+
   test("index coverage audit counts the planted missing vector and orphaned posting") {
     import spark.implicits._
     val vecs = (1L to 5L).map(i => (i, 0)).toDF("vec_id", "label")

@@ -1007,6 +1007,20 @@ class TextDedupSpec extends SparkSpec {
     assert(got("low_diversity") == ((1L, 0L, 0L, 12L)))
   }
 
+  test("entity groups close transitively past the pairwise edit-distance radius") {
+    import spark.implicits._
+    // chain aaaa-aaab-aabb-abbb: ends differ by 3 edits (no pairwise
+    // edge) yet the closure must group all four; 'zzzz' stays alone
+    val part = Seq(
+      (1L, "aaaa", "B1"), (2L, "aaab", "B1"), (3L, "aabb", "B1"), (4L, "abbb", "B1"),
+      (5L, "zzzz", "B2"),
+    ).toDF("p_partkey", "p_name", "p_brand")
+    val got = DedupOps.entityGroups(part).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    (1L to 4L).foreach(k => assert(got(k) == ((1L, 4L, "aaaa")), s"key $k: ${got(k)}"))
+    assert(got(5L) == ((5L, 1L, "zzzz")))
+  }
+
   test("curation funnel reconciles stage by stage with the standalone operators") {
     val funnel = CorpusOps.curationFunnel(docs).collect()
     assert(funnel.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
