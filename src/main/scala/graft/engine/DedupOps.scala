@@ -886,6 +886,27 @@ object DedupOps {
       .orderBy(col("p_partkey"))
   }
 
+  /** Revenue THROUGH the alias table — [[entityGroups]] in action:
+    * facts keyed by raw part ids roll up to resolved entities, so a
+    * product whose records split across alias spellings reports ONE
+    * revenue line (the under-counting alias fragmentation causes is
+    * exactly what MDM exists to fix). Fact ⋈ alias map is an id-keyed
+    * join (map is dim-sized → broadcast); the rollup shuffles on
+    * entity_id. Exact DECIMAL money. */
+  def entityRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val aliases = entityGroups(part)
+      .select(col("p_partkey").as("l_partkey"), col("entity_id"),
+        col("n_members"), col("canonical_name"))
+    lineitem.select(col("l_partkey"), col("l_extendedprice"))
+      .join(broadcast(aliases), "l_partkey")
+      .groupBy(col("entity_id"), col("canonical_name"), col("n_members"))
+      .agg(count(lit(1)).cast("long").as("n_items"),
+           Exact.decSum(col("l_extendedprice")).as("total_amount"))
+      .select(col("entity_id"), col("canonical_name"),
+        col("n_members"), col("n_items"), col("total_amount"))
+      .orderBy(col("entity_id"))
+  }
+
   /** Duplication-aware training weights — the soft alternative to
     * dropping near-dups: every doc is KEPT but its loss weight is
     * 1/cluster_size (ppm-quantized integer), so a passage that

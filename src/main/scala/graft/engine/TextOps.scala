@@ -472,6 +472,29 @@ object TextOps {
       .orderBy(col("verdict"))
   }
 
+  /** Ingest-order novelty score — how much of each document the
+    * corpus had NOT seen before it arrived: a word 5-gram's first
+    * sighting is the minimum doc_id carrying it (ingest order), and a
+    * doc's novelty is the share of its distinct grams it first
+    * introduced. Crawl-frontier prioritization and dedup-aware
+    * curriculum both key on this ("boilerplate-late" docs score near
+    * 0; genuinely new pages near 1). One gram rollup for first-seen
+    * (map-side combinable MIN — boilerplate grams collapse early) +
+    * one co-keyed join back; ppm integers, one display division. */
+  def gramNovelty(documents: DataFrame, n: Int = 5): DataFrame = {
+    val grams = wordNgrams(documents, n)
+      .select(col("doc_id"), col("gram")).distinct()
+      .localCheckpoint(false) // first-seen rollup + the join back
+    val firstSeen = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firstSeen, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("(n_novel * 1000000) DIV n_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"), col("novelty_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Quality-rule ABLATION report — which gate rule actually does the
     * work: [[repetitionRuleFilter]] reports only the FIRST failing
     * rule, so a rule shadowed by an earlier one looks free; this

@@ -2125,6 +2125,36 @@ object Catalog {
              |WHERE levenshtein(a.p_name, b.p_name) <= 2
              |ORDER BY key_i, key_j""".stripMargin)),
 
+    // the alias table in action: lineitem revenue rolled up through
+    // entity ids — alias fragmentation stops splitting revenue lines.
+    QuerySpec(
+      "q223_entity_revenue",
+      (s, dir) => DedupOps.entityRevenue(Tables.lineitem(s, dir), Tables.part(s, dir)),
+      Some(s"""WITH RECURSIVE pr AS (
+              |  SELECT a.p_partkey AS doc_i, b.p_partkey AS doc_j
+              |  FROM part a JOIN part b
+              |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+              |  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+              |e AS (SELECT doc_i AS src, doc_j AS dst FROM pr
+              |      UNION ALL SELECT doc_j, doc_i FROM pr),
+              |reach(node, lbl) AS (
+              |  SELECT p_partkey, p_partkey FROM part
+              |  UNION
+              |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node),
+              |cl AS (SELECT node AS p_partkey, MIN(lbl) AS entity_id
+              |       FROM reach GROUP BY node),
+              |sz AS (SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_members
+              |       FROM cl GROUP BY 1),
+              |al AS (SELECT cl.p_partkey, cl.entity_id, sz.n_members,
+              |              cn.p_name AS canonical_name
+              |       FROM cl JOIN sz USING (entity_id)
+              |       JOIN part cn ON cn.p_partkey = cl.entity_id)
+              |SELECT al.entity_id, al.canonical_name, al.n_members,
+              |       CAST(COUNT(*) AS BIGINT) AS n_items,
+              |       ${decSumSql("l_extendedprice")} AS total_amount
+              |FROM lineitem JOIN al ON l_partkey = al.p_partkey
+              |GROUP BY 1, 2, 3 ORDER BY entity_id""".stripMargin)),
+
     // entity resolution: the q83 pairs closed transitively into alias
     // groups — stable min-key entity ids + the canonical name; the
     // lookup table a pipeline joins through.
@@ -2151,6 +2181,26 @@ object Catalog {
              |FROM cl JOIN sz USING (entity_id)
              |JOIN part cn ON cn.p_partkey = cl.entity_id
              |ORDER BY cl.p_partkey""".stripMargin)),
+
+    // ingest-order novelty: share of a doc's distinct 5-grams it
+    // introduced (first-seen = min doc_id) — crawl-frontier and
+    // curriculum signal; one map-combinable MIN rollup + join back.
+    QuerySpec(
+      "q224_gram_novelty",
+      (s, dir) => TextOps.gramNovelty(Tables.documents(s, dir)),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS t
+             |  FROM documents),
+             |ng AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, gi, gi + 4), ' ') AS g
+             |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS gi
+             |             FROM tok WHERE len(t) >= 5)),
+             |fs AS (SELECT g, MIN(doc_id) AS first_doc FROM ng GROUP BY g)
+             |SELECT ng.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             |       CAST(SUM(CASE WHEN fs.first_doc = ng.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             |       (SUM(CASE WHEN fs.first_doc = ng.doc_id THEN 1 ELSE 0 END) * 1000000)
+             |         // COUNT(*) AS novelty_ppm
+             |FROM ng JOIN fs USING (g)
+             |GROUP BY ng.doc_id ORDER BY doc_id""".stripMargin)),
 
     // Decontamination: corpus docs (doc_id >= 50) sharing word 5-grams
     // with the held-out slice (doc_id < 50).

@@ -1007,6 +1007,33 @@ class TextDedupSpec extends SparkSpec {
     assert(got("low_diversity") == ((1L, 0L, 0L, 12L)))
   }
 
+  test("gram novelty: first sighting scores, repeats score zero, splits are exact") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f", "en", "s"), // both grams first-seen here -> 1e6
+      (2L, "a b c d e f", "en", "s"), // full repeat -> 0
+      (3L, "a b c d e x", "en", "s"), // one seen, one new -> 500000
+    ).toDF("doc_id", "text", "lang", "source").withColumn("n_chars", length(col("text")))
+    val got = TextOps.gramNovelty(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((2L, 2L, 1000000L)))
+    assert(got(2L) == ((2L, 0L, 0L)))
+    assert(got(3L) == ((2L, 1L, 500000L)))
+  }
+
+  test("entity revenue conserves the part-joined fact total") {
+    val li = Tables.lineitem(spark, sf)
+    val part = Tables.part(spark, sf)
+    val viaEntities = DedupOps.entityRevenue(li, part)
+      .agg(sum(col("total_amount")), sum(col("n_items"))).head
+    val direct = li.join(part, col("l_partkey") === col("p_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double"),
+        count(lit(1))).head
+    assert(viaEntities.getLong(1) == direct.getLong(1), "item counts conserve")
+    assert(math.abs(viaEntities.getDouble(0) - direct.getDouble(0)) < 1e-6,
+      s"revenue conserves: $viaEntities vs $direct")
+  }
+
   test("entity groups close transitively past the pairwise edit-distance radius") {
     import spark.implicits._
     // chain aaaa-aaab-aabb-abbb: ends differ by 3 edits (no pairwise
