@@ -70,6 +70,7 @@ object Bench {
     graft.queries.RetrievalShared.release()
     graft.queries.BpeShared.release()
     graft.engine.SimilarityOps.release()
+    graft.engine.DedupOps.release()
     val results = names.indices.map { i =>
       val name = passes.head(i)._1
       val oks = passes.map(_(i)).filter(_._3).map(_._2)

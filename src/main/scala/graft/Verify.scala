@@ -79,6 +79,7 @@ object Verify {
     graft.queries.RetrievalShared.release()
     graft.queries.BpeShared.release()
     graft.engine.SimilarityOps.release()
+    graft.engine.DedupOps.release()
     spark.stop()
   }
 }

@@ -2129,7 +2129,8 @@ object Catalog {
     // entity ids — alias fragmentation stops splitting revenue lines.
     QuerySpec(
       "q223_entity_revenue",
-      (s, dir) => DedupOps.entityRevenue(Tables.lineitem(s, dir), Tables.part(s, dir)),
+      (s, dir) => DedupOps.entityRevenue(Tables.lineitem(s, dir),
+        DedupOps.entityGroupsFor(Tables.part(s, dir), tag = dir)),
       Some(s"""WITH RECURSIVE pr AS (
               |  SELECT a.p_partkey AS doc_i, b.p_partkey AS doc_j
               |  FROM part a JOIN part b
@@ -2160,7 +2161,7 @@ object Catalog {
     // lookup table a pipeline joins through.
     QuerySpec(
       "q222_entity_groups",
-      (s, dir) => DedupOps.entityGroups(Tables.part(s, dir)),
+      (s, dir) => DedupOps.entityGroupsFor(Tables.part(s, dir), tag = dir),
       Some("""WITH RECURSIVE pr AS (
              |  SELECT a.p_partkey AS doc_i, b.p_partkey AS doc_j
              |  FROM part a JOIN part b

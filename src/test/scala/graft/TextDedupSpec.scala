@@ -1024,7 +1024,7 @@ class TextDedupSpec extends SparkSpec {
   test("entity revenue conserves the part-joined fact total") {
     val li = Tables.lineitem(spark, sf)
     val part = Tables.part(spark, sf)
-    val viaEntities = DedupOps.entityRevenue(li, part)
+    val viaEntities = DedupOps.entityRevenue(li, DedupOps.entityGroups(part))
       .agg(sum(col("total_amount")), sum(col("n_items"))).head
     val direct = li.join(part, col("l_partkey") === col("p_partkey"))
       .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double"),
