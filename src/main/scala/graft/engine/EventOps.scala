@@ -350,6 +350,45 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** Watermark-setting lateness audit — the out-of-order profile you
+    * pick `withWatermark` bounds FROM: per event, disorder = how far
+    * behind the max event-time of all strictly-earlier arrivals
+    * (arrival order = the monotone ingest id) its own timestamp is;
+    * the per-type rollup reports late counts beyond the candidate
+    * bound and the worst disorder seen. The prefix running max is
+    * computed SUB-SHARDED (the q148 pattern): a per-shard running max
+    * in parallel, plus an exclusive prefix max over the tiny
+    * shard-maxima frame — same values as one global ordered window,
+    * without serializing the stream through a single task; the
+    * combine uses COALESCE(·, own ts) so the first event ever scores
+    * disorder 0 with no sentinel arithmetic. */
+  def latenessAudit(events: DataFrame, shardSize: Long = 256,
+                    lateUs: Long = 600000000L): DataFrame = {
+    val base = events
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("shard", expr(s"event_id DIV $shardSize"))
+      .localCheckpoint(false) // per-shard pass + the shard-maxima frame
+    val wIn = Window.partitionBy(col("shard")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val shardMax = base.groupBy(col("shard")).agg(max(col("us")).as("m"))
+    val wPrev = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1) // shard-count-sized frame
+    val prevMax = shardMax
+      .withColumn("prev_max", max(col("m")).over(wPrev))
+      .select(col("shard"), col("prev_max"))
+    base
+      .withColumn("run_in", max(col("us")).over(wIn))
+      .join(broadcast(prevMax), "shard")
+      .withColumn("disorder_us",
+        greatest(greatest(coalesce(col("run_in"), col("us")),
+          coalesce(col("prev_max"), col("us"))) - col("us"), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+           sum(when(col("disorder_us") > lateUs, 1L).otherwise(0L)).as("n_late"),
+           max(col("disorder_us")).cast("long").as("max_disorder_us"))
+      .orderBy(col("event_type"))
+  }
+
   /** Theil–Sen robust trend — the median of all pairwise daily-count
     * slopes per type, the outlier-immune complement of [[trendSlopes]]
     * (one spike day drags OLS; it is one vote among C(n,2) here).

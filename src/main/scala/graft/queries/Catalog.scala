@@ -1186,6 +1186,28 @@ object Catalog {
              |            // NULLIF(n_days * sxx - sx * sx, 0) AS BIGINT) AS slope_ppm
              |FROM a ORDER BY event_type""".stripMargin)),
 
+    // watermark-setting lateness audit: per-event disorder vs the
+    // strictly-earlier arrival max, computed with a SUB-SHARDED
+    // running max (q148 pattern) — the oracle is the single global
+    // ordered window, proving the parallel form exact.
+    QuerySpec(
+      "q225_lateness_audit",
+      (s, dir) => EventOps.latenessAudit(Tables.events(s, dir)),
+      Some("""WITH e AS (
+             |  SELECT event_id, event_type, epoch_us(ts) AS us FROM events),
+             |r AS (SELECT event_type, us,
+             |             MAX(us) OVER (ORDER BY event_id
+             |                           ROWS BETWEEN UNBOUNDED PRECEDING
+             |                           AND 1 PRECEDING) AS pm
+             |      FROM e),
+             |d AS (SELECT event_type,
+             |             GREATEST(COALESCE(pm, us) - us, 0) AS disorder_us
+             |      FROM r)
+             |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |       CAST(SUM(CASE WHEN disorder_us > 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+             |       CAST(MAX(disorder_us) AS BIGINT) AS max_disorder_us
+             |FROM d GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     // Theil–Sen robust trend: exact lower median of all pairwise
     // daily slopes, sign·(|Δy|·10⁶ DIV Δx) so truncation direction
     // agrees across engines; pair frame is C(days,2) per type.

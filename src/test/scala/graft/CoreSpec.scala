@@ -305,6 +305,24 @@ class CoreSpec extends SparkSpec {
     assert(got(("HIGH", "F")) == ((1L, true)))
   }
 
+  test("lateness audit: planted late arrival scores its disorder; shard-size invariant") {
+    import spark.implicits._
+    def t(m: Int) = new java.sql.Timestamp(m * 60000L)
+    // arrival order 1..5; event 3 arrives 15 min behind the running max
+    val ev = Seq((1L, t(10)), (2L, t(20)), (3L, t(5)), (4L, t(30)), (5L, t(29)))
+      .map { case (id, ts) => (id, ts, 1L, "A") }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val r = EventOps.latenessAudit(ev).collect()(0)
+    assert(r.getLong(1) == 5L && r.getLong(2) == 1L, s"one late event: $r")
+    assert(r.getLong(3) == 15L * 60000000L, s"max disorder 15 min: $r")
+    // the sub-sharded prefix max equals the global window at ANY shard size
+    val fix = Tables.events(spark, sf)
+    val a = EventOps.latenessAudit(fix, shardSize = 1).collect().map(_.toString).toSeq
+    val b = EventOps.latenessAudit(fix, shardSize = 64).collect().map(_.toString).toSeq
+    val c = EventOps.latenessAudit(fix, shardSize = 1000000).collect().map(_.toString).toSeq
+    assert(a == b && b == c, "shard size must not change the audit")
+  }
+
   test("daily spikes: integer cross-multiplied gate flags the burst, not the cold start") {
     import spark.implicits._
     def t(day: Int, i: Int) =
