@@ -377,6 +377,17 @@ class ScaleSpec extends SparkSpec {
     assert(bnlj <= 1, s"only the 1-row count frame may nested-loop (saw $bnlj):\n$finalPlan")
   }
 
+  test("lateness audit's event-sized window exchanges on shard, never a single task") {
+    import graft.engine.{EventOps, Tables}
+    val plan = EventOps.latenessAudit(Tables.events(spark, sf))
+      .queryExecution.executedPlan.toString
+    // the per-event running max must partition by the sub-shard key;
+    // only the shard-maxima frame (shard-count rows) may use the
+    // unpartitioned ordered window
+    assert(plan.contains("hashpartitioning(shard"),
+      s"expected the event-sized window keyed by shard:\n$plan")
+  }
+
   test("rk-bounded sample/keyword windows plan WindowGroupLimit; the GK bracket is a sliver") {
     import org.apache.spark.sql.functions._
     import graft.engine.{CorpusOps, Tables, TextOps}
