@@ -362,17 +362,18 @@ object AggregateOps {
     * order month — the attributes an adversary can link externally);
     * a class smaller than k re-identifies its members, and a class
     * whose sensitive attribute (customer key) shows < l distinct
-    * values leaks it even at size ≥ k. One hash rollup over the
+    * values leaks it even at size ≥ k — BOTH gates feed `at_risk`
+    * (class_size < k OR l_diversity < l). One hash rollup over the
     * quasi-id key — the same shape as any group-by, so the audit
     * costs one shuffle at any scale; suppression/generalization acts
     * on the at-risk classes this report names. */
-  def kAnonymityAudit(orders: DataFrame, k: Int = 5): DataFrame =
+  def kAnonymityAudit(orders: DataFrame, k: Int = 5, l: Int = 3): DataFrame =
     orders
       .groupBy(col("o_orderpriority"), col("o_orderstatus"),
         month(col("o_orderdate")).cast("long").as("order_month"))
       .agg(count(lit(1)).cast("long").as("class_size"),
            countDistinct(col("o_custkey")).cast("long").as("l_diversity"))
-      .withColumn("at_risk", col("class_size") < k)
+      .withColumn("at_risk", col("class_size") < k || col("l_diversity") < l)
       .orderBy(col("o_orderpriority"), col("o_orderstatus"), col("order_month"))
 
   /** Exact WEIGHTED lower median — the order statistic where each row
@@ -430,7 +431,7 @@ object AggregateOps {
     val scored = rowTot.crossJoin(colTot).crossJoin(broadcast(n))
       .join(cells, Seq("source", "lang"), "left_outer")
       .na.fill(0L, Seq("o"))
-      .withColumn("e", expr("(r * cc) DIV nn"))
+      .withColumn("e", expr("(CAST(r AS DECIMAL(38,0)) * cc) DIV nn"))
       .withColumn("cell_ppm",
         expr("(CAST(o - e AS DECIMAL(38,0)) * (o - e) * 1000000) DIV (e + 1)"))
     val total = scored.agg(sum(col("cell_ppm")).cast("long").as("chi2_ppm"))

@@ -57,15 +57,27 @@ object CorpusOps {
     * number here reconciles with those queries' own outputs. Each
     * stage is one id-semijoin + one rollup; the 5-row report window
     * is free. Held-out docs (< 50) are the decontamination REFERENCE
-    * and are not themselves dropped by that stage. */
-  def curationFunnel(documents: DataFrame): DataFrame = {
+    * and are not themselves dropped by that stage.
+    *
+    * The near-dup stage's EDGE SOURCE is a parameter: the default
+    * (None) takes the capped exact-Jaccard demonstrator
+    * ([[DedupOps.jaccardPairs]], maxDocId-bounded — the q220 oracle
+    * form); the production funnel at corpus scale passes
+    * [[DedupOps.sketchEdges]] (banded bucket joins, never all-pairs)
+    * — same (doc_i, doc_j) shape, no other change to the plan.
+    * ScaleSpec asserts the two compositions reconcile stage-for-stage
+    * on the fixture. */
+  def curationFunnel(documents: DataFrame,
+                     nearDupEdges: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = documents.select(col("doc_id"),
       size(expr(s"regexp_extract_all(text, '${TextOps.pieceRe}', 0)"))
         .cast("long").as("n_toks"))
       .localCheckpoint(false) // every stage rollup reads it
     val exactKeep = DedupOps.exactDedup(documents).select(col("doc_id"))
-    val edges = DedupOps.jaccardPairs(documents).select(col("doc_i"), col("doc_j"))
+    val edges = nearDupEdges
+      .getOrElse(DedupOps.jaccardPairs(documents))
+      .select(col("doc_i"), col("doc_j"))
     val clusters = DedupOps.connectedComponents(documents.select(col("doc_id")), edges)
     val nearKeep = exactKeep
       .join(clusters.filter(col("doc_id") === col("cluster_id"))

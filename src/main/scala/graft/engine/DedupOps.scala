@@ -987,7 +987,24 @@ object DedupOps {
     * join — zero text passes in the query itself. */
   def nearDedupSketchFromSketches(documents: DataFrame, sketches: DataFrame,
                                   minEstJaccard: Double = 0.5,
-                                  maxHamming: Int = 3, numHashes: Int = 32): DataFrame = {
+                                  maxHamming: Int = 3, numHashes: Int = 32): DataFrame =
+    nearDedup(documents,
+      sketchEdgesFromSketches(sketches, minEstJaccard, maxHamming, numHashes))
+
+  /** The PRODUCTION near-dup edge generator on its own — the banded
+    * merged-bucket join of [[nearDedupSketch]] without the closure,
+    * for consumers that compose edges differently (the
+    * [[CorpusOps.curationFunnel]] production path takes this frame
+    * where the oracle demonstrator takes [[jaccardPairs]]). */
+  def sketchEdges(documents: DataFrame, minEstJaccard: Double = 0.5,
+                  maxHamming: Int = 3, numHashes: Int = 32): DataFrame =
+    sketchEdgesFromSketches(docSketches(documents, numHashes).localCheckpoint(false),
+      minEstJaccard, maxHamming, numHashes)
+
+  /** [[sketchEdges]] over a PREBUILT sketch frame. */
+  def sketchEdgesFromSketches(sketches: DataFrame,
+                              minEstJaccard: Double = 0.5,
+                              maxHamming: Int = 3, numHashes: Int = 32): DataFrame = {
     require(maxHamming <= 3, "4 simhash bands guarantee exact recall only for maxHamming <= 3")
     // ONE self-join for BOTH sketches: the two bucket spaces are
     // disjoint band ranges (minhash bands 0..7, simhash bands 100+),
@@ -1012,7 +1029,7 @@ object DedupOps {
                                col("sig").as("sig_a"), col("simhash").as("sim_a"))
     val bSide = bounded.select(col("doc_id").as("doc_j"), col("band"), col("bh"),
                                col("sig").as("sig_b"), col("simhash").as("sim_b"))
-    val edges = aSide.join(bSide, Seq("band", "bh"))
+    aSide.join(bSide, Seq("band", "bh"))
       .filter(col("doc_i") < col("doc_j"))
       .filter(when(col("band") < 100,
           expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
@@ -1021,6 +1038,5 @@ object DedupOps {
           bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= maxHamming))
       .select(col("doc_i"), col("doc_j"))
       .distinct()
-    nearDedup(documents, edges)
   }
 }

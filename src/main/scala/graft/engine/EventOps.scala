@@ -356,14 +356,22 @@ object EventOps {
     * (arrival order = the monotone ingest id) its own timestamp is;
     * the per-type rollup reports late counts beyond the candidate
     * bound and the worst disorder seen. The prefix running max is
-    * computed SUB-SHARDED (the q148 pattern): a per-shard running max
-    * in parallel, plus an exclusive prefix max over the tiny
-    * shard-maxima frame — same values as one global ordered window,
-    * without serializing the stream through a single task; the
-    * combine uses COALESCE(·, own ts) so the first event ever scores
-    * disorder 0 with no sentinel arithmetic. */
+    * computed SUB-SHARDED at TWO levels (the q148 pattern, recursed):
+    * a per-shard running max in parallel; a per-super-shard exclusive
+    * running max over shard maxima (also parallel, partitioned by
+    * super-shard); and one exclusive prefix max over the super-shard
+    * maxima — the ONLY single-task frame, n/(shardSize·superSize)
+    * rows (~2.4e5 at 10^12 events with the defaults), vs n/256 with
+    * one level. Same values as one global ordered window; the combine
+    * uses COALESCE(·, own ts) so the first event ever scores disorder
+    * 0 with no sentinel arithmetic, and `greatest` skips nulls, so
+    * first-shard-in-super / first-super rows need no sentinels
+    * either. The base↔prevMax join is a plain co-keyed join (NOT a
+    * forced broadcast — the shard-maxima frame is n/shardSize rows,
+    * which at 10^12 events would be a 4e9-row broadcast); AQE
+    * broadcasts it when it is actually small. */
   def latenessAudit(events: DataFrame, shardSize: Long = 256,
-                    lateUs: Long = 600000000L): DataFrame = {
+                    superSize: Long = 4096, lateUs: Long = 600000000L): DataFrame = {
     val base = events
       .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
       .withColumn("shard", expr(s"event_id DIV $shardSize"))
@@ -371,14 +379,23 @@ object EventOps {
     val wIn = Window.partitionBy(col("shard")).orderBy(col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val shardMax = base.groupBy(col("shard")).agg(max(col("us")).as("m"))
-    val wPrev = Window.orderBy(col("shard"))
-      .rowsBetween(Window.unboundedPreceding, -1) // shard-count-sized frame
+      .withColumn("sup", expr(s"shard DIV $superSize"))
+      .localCheckpoint(false) // within-super pass + the super-maxima frame
+    val wInSup = Window.partitionBy(col("sup")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPrevSup = Window.orderBy(col("sup"))
+      .rowsBetween(Window.unboundedPreceding, -1) // super-count-sized frame
+    val prevSup = shardMax.groupBy(col("sup")).agg(max(col("m")).as("sm"))
+      .withColumn("prev_sup", max(col("sm")).over(wPrevSup))
+      .select(col("sup"), col("prev_sup"))
     val prevMax = shardMax
-      .withColumn("prev_max", max(col("m")).over(wPrev))
+      .withColumn("run_sup", max(col("m")).over(wInSup))
+      .join(broadcast(prevSup), "sup") // super-count rows: genuinely tiny
+      .withColumn("prev_max", greatest(col("run_sup"), col("prev_sup")))
       .select(col("shard"), col("prev_max"))
     base
       .withColumn("run_in", max(col("us")).over(wIn))
-      .join(broadcast(prevMax), "shard")
+      .join(prevMax, "shard")
       .withColumn("disorder_us",
         greatest(greatest(coalesce(col("run_in"), col("us")),
           coalesce(col("prev_max"), col("us"))) - col("us"), lit(0L)))

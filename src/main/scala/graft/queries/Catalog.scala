@@ -138,7 +138,7 @@ object Catalog {
     QuerySpec(
       "q06_conditional_label",
       (s, dir) => RelationalOps.conditionalLabel(Tables.orders(s, dir), 100000.0),
-      Some(s"""SELECT CASE WHEN o_totalprice > 100000 THEN 1.0 ELSE 0.0 END AS label,
+      Some(s"""SELECT CAST(CASE WHEN o_totalprice > 100000 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS label,
               |       COUNT(*) AS n_rows,
               |       ${decSumSql("o_totalprice")} AS sum_price
               |FROM orders
@@ -566,7 +566,7 @@ object Catalog {
              |  FROM orders GROUP BY 1),
              |s AS (SELECT MIN(bin) AS lo, MAX(bin) AS hi, SUM(n) AS total FROM b),
              |g AS (SELECT unnest(range(lo, hi + 1)) AS bin, total FROM s)
-             |SELECT g.bin, ROUND(25000.0 * g.bin, 2) AS bin_lo_price,
+             |SELECT g.bin, CAST(ROUND(25000.0 * g.bin, 2) AS DOUBLE) AS bin_lo_price,
              |       COALESCE(b.n, 0) AS n,
              |       ROUND(CAST(COALESCE(b.n, 0) AS DOUBLE) / g.total, 6) AS share
              |FROM g LEFT JOIN b USING (bin)
@@ -581,7 +581,7 @@ object Catalog {
              |       CAST(month(o_orderdate) AS BIGINT) AS order_month,
              |       CAST(COUNT(*) AS BIGINT) AS class_size,
              |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS l_diversity,
-             |       COUNT(*) < 5 AS at_risk
+             |       (COUNT(*) < 5 OR COUNT(DISTINCT o_custkey) < 3) AS at_risk
              |FROM orders GROUP BY 1, 2, 3
              |ORDER BY o_orderpriority, o_orderstatus, order_month""".stripMargin)),
 
@@ -823,9 +823,9 @@ object Catalog {
            |      FROM dg GROUP BY o_orderpriority)
            |SELECT c.o_orderpriority, digit, n_obs, n_tot,
            |       ROUND(CAST(n_obs AS DOUBLE) / n_tot, 6) AS obs_share,
-           |       list_extract($bList, CAST(digit AS INT)) AS benford_share,
+           |       CAST(list_extract($bList, CAST(digit AS INT)) AS DOUBLE) AS benford_share,
            |       ROUND(abs(CAST(n_obs AS DOUBLE) / n_tot
-           |                 - list_extract($bList, CAST(digit AS INT))), 6) AS abs_gap
+           |                 - CAST(list_extract($bList, CAST(digit AS INT)) AS DOUBLE)), 6) AS abs_gap
            |FROM c JOIN t USING (o_orderpriority)
            |ORDER BY o_orderpriority, digit""".stripMargin
       }),
@@ -2220,8 +2220,8 @@ object Catalog {
              |fs AS (SELECT g, MIN(doc_id) AS first_doc FROM ng GROUP BY g)
              |SELECT ng.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
              |       CAST(SUM(CASE WHEN fs.first_doc = ng.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-             |       (SUM(CASE WHEN fs.first_doc = ng.doc_id THEN 1 ELSE 0 END) * 1000000)
-             |         // COUNT(*) AS novelty_ppm
+             |       CAST((SUM(CASE WHEN fs.first_doc = ng.doc_id THEN 1 ELSE 0 END) * 1000000)
+             |         // COUNT(*) AS BIGINT) AS novelty_ppm
              |FROM ng JOIN fs USING (g)
              |GROUP BY ng.doc_id ORDER BY doc_id""".stripMargin)),
 

@@ -292,17 +292,24 @@ class CoreSpec extends SparkSpec {
     assert(r.getLong(3) == 1000000L, s"unit slope: $r")
   }
 
-  test("k-anonymity flags exactly the small quasi-id classes") {
+  test("k-anonymity flags small classes AND low-diversity large classes") {
     import spark.implicits._
     def d(s: String) = java.sql.Timestamp.valueOf(s"$s 00:00:00")
-    val orders = (Seq.fill(6)(("HIGH", "O", "2024-01-05", 1L)) :+
+    // "O": 6 rows over 3 custkeys -> safe on both gates.
+    // "P": 6 rows, ONE custkey -> k-safe but l-leaks (the class names
+    //      its customer even though it is big).
+    // "F": 1 row -> k-risk.
+    val orders = ((0 until 6).map(i => ("HIGH", "O", "2024-01-05", (i % 3).toLong)) ++
+      Seq.fill(6)(("HIGH", "P", "2024-01-05", 9L)) :+
       (("HIGH", "F", "2024-01-05", 2L))).zipWithIndex.map {
       case ((p, st, dt, c), i) => (i.toLong, c, st, d(dt), p)
     }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority")
     val got = AggregateOps.kAnonymityAudit(orders).collect()
-      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(3), r.getBoolean(5)))).toMap
-    assert(got(("HIGH", "O")) == ((6L, false)))
-    assert(got(("HIGH", "F")) == ((1L, true)))
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got(("HIGH", "O")) == ((6L, 3L, false)))
+    assert(got(("HIGH", "P")) == ((6L, 1L, true)), "l-diversity leak must flag")
+    assert(got(("HIGH", "F")) == ((1L, 1L, true)))
   }
 
   test("lateness audit: planted late arrival scores its disorder; shard-size invariant") {
@@ -317,10 +324,12 @@ class CoreSpec extends SparkSpec {
     assert(r.getLong(3) == 15L * 60000000L, s"max disorder 15 min: $r")
     // the sub-sharded prefix max equals the global window at ANY shard size
     val fix = Tables.events(spark, sf)
-    val a = EventOps.latenessAudit(fix, shardSize = 1).collect().map(_.toString).toSeq
-    val b = EventOps.latenessAudit(fix, shardSize = 64).collect().map(_.toString).toSeq
+    val a = EventOps.latenessAudit(fix, shardSize = 1, superSize = 2)
+      .collect().map(_.toString).toSeq
+    val b = EventOps.latenessAudit(fix, shardSize = 64, superSize = 3)
+      .collect().map(_.toString).toSeq
     val c = EventOps.latenessAudit(fix, shardSize = 1000000).collect().map(_.toString).toSeq
-    assert(a == b && b == c, "shard size must not change the audit")
+    assert(a == b && b == c, "shard/super-shard size must not change the audit")
   }
 
   test("daily spikes: integer cross-multiplied gate flags the burst, not the cold start") {

@@ -381,11 +381,14 @@ class ScaleSpec extends SparkSpec {
     import graft.engine.{EventOps, Tables}
     val plan = EventOps.latenessAudit(Tables.events(spark, sf))
       .queryExecution.executedPlan.toString
-    // the per-event running max must partition by the sub-shard key;
-    // only the shard-maxima frame (shard-count rows) may use the
-    // unpartitioned ordered window
+    // the per-event running max must partition by the sub-shard key,
+    // AND the shard-maxima pass must itself partition by the super-
+    // shard key; only the super-maxima frame (n/(shardSize·superSize)
+    // rows) may use the unpartitioned ordered window
     assert(plan.contains("hashpartitioning(shard"),
       s"expected the event-sized window keyed by shard:\n$plan")
+    assert(plan.contains("hashpartitioning(sup"),
+      s"expected the shard-maxima window keyed by super-shard:\n$plan")
   }
 
   test("rk-bounded sample/keyword windows plan WindowGroupLimit; the GK bracket is a sliver") {

@@ -1062,6 +1062,46 @@ class TextDedupSpec extends SparkSpec {
     assert(funnel(1).getLong(2) == DedupOps.exactDedup(docs).count())
   }
 
+  test("production funnel over sketch edges: reconciles per stage and sees past the demonstrator cap") {
+    // inject a near-dup of doc 70 — ABOVE jaccardPairs' maxDocId=60
+    // demonstrator cap, so only the production (sketchEdges) path can
+    // catch it
+    val nearDup = docs.filter(col("doc_id") === 70)
+      .withColumn("doc_id", lit(1000000L))
+      .withColumn("text", concat(col("text"), lit(" tail")))
+    val corpus = docs.unionByName(nearDup).localCheckpoint(false)
+    val demo = CorpusOps.curationFunnel(corpus).collect()
+    val prod = CorpusOps.curationFunnel(corpus,
+      Some(DedupOps.sketchEdges(corpus))).collect()
+    // edge-independent stages agree between the two compositions
+    Seq(0, 1).foreach { i =>
+      assert(demo(i).getLong(2) == prod(i).getLong(2) &&
+             demo(i).getLong(3) == prod(i).getLong(3),
+        s"stage $i must not depend on the edge source")
+    }
+    // the production near-dup stage reconciles with the standalone
+    // operators composed the same way
+    val exactKeep = DedupOps.exactDedup(corpus).select(col("doc_id"))
+    val roots = DedupOps.connectedComponents(
+        corpus.select(col("doc_id")), DedupOps.sketchEdges(corpus))
+      .filter(col("doc_id") === col("cluster_id")).select(col("doc_id"))
+    assert(prod(2).getLong(2) == exactKeep.join(roots, "doc_id").count())
+    // ...and it absorbs the injected dup the capped demonstrator CAN'T
+    // see (doc 70 and its copy both sit above maxDocId=60): the copy
+    // is a cluster member, not a root, on the sketch path only
+    assert(roots.filter(col("doc_id") === 1000000L).count() == 0L,
+      "sketch path must absorb the injected near-dup past the cap")
+    val demoRoots = DedupOps.connectedComponents(
+        corpus.select(col("doc_id")), DedupOps.jaccardPairs(corpus))
+      .filter(col("doc_id") === col("cluster_id")).select(col("doc_id"))
+    assert(demoRoots.filter(col("doc_id") === 1000000L).count() == 1L,
+      "the capped demonstrator is blind above maxDocId — the copy survives it")
+    // monotone attrition holds on the production path too
+    prod.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) <= a.getLong(2) && b.getLong(3) <= a.getLong(3))
+    }
+  }
+
   test("dup training weights: cluster mass bounded by 1, singletons weigh full") {
     import spark.implicits._
     val corpus = (1L to 7L).map(i => (i, s"text $i", "en", "s"))

@@ -9,16 +9,37 @@ tables, then compare row count, schema (column names sorted), and exact
 values (columns sorted by name, rows in emitted order).
 
 This is a strictly-harder check than any plausible driver comparison:
-exact value equality in emitted row order.
+exact value equality in emitted row order, PLUS an oracle type-parity
+gate: every oracle output column must land in the portable set
+{BIGINT, DOUBLE, VARCHAR, DATE, TIMESTAMP, BOOLEAN} (BASELINE.md
+"oracle contract"). DuckDB-native wide types (HUGEINT from bare
+SUM(...)//n, DECIMAL from numeric-literal lists) hash differently from
+Spark's BIGINT/DOUBLE under the driver's stricter value-typed compare
+even when values are numerically identical — the r9 q174/q224 failure
+class. canon() floats Decimals, so without this gate the divergence is
+invisible locally.
 """
 import json
 import math
+import re
 import sys
 
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# Oracle output columns must DESCRIBE to one of these (BASELINE.md
+# "oracle contract"). TIMESTAMP covers WITH TIME ZONE variants.
+PORTABLE_TYPES = re.compile(
+    r"^(BIGINT|DOUBLE|VARCHAR|DATE|BOOLEAN|TIMESTAMP( WITH TIME ZONE)?)$")
+
+
+def type_parity_errors(con, sql):
+    """DESCRIBE the oracle SQL; return column/type pairs outside the
+    portable set. Catches HUGEINT/DECIMAL before the value compare."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [(r[0], r[1]) for r in rows if not PORTABLE_TYPES.match(r[1])]
 
 
 def canon(v):
@@ -52,8 +73,15 @@ def main():
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
             exp = con.execute(sql).fetchdf()
+            bad_types = type_parity_errors(con, sql)
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            continue
+        if bad_types:
+            print(f"FAIL {name}: oracle type-parity: non-portable "
+                  f"output types {bad_types} (cast to BIGINT/DOUBLE/"
+                  f"VARCHAR/DATE/TIMESTAMP/BOOLEAN in the oracle SQL)")
             n_fail += 1
             continue
         gcols, ecols = sorted(got.columns), sorted(exp.columns)
