@@ -901,6 +901,78 @@ object DedupOps {
   }
   def release(): Unit = synchronized { entityMemo = Map.empty }
 
+  /** INCREMENTAL entity resolution — the q92/q109 batch-vs-stored
+    * pattern over the [[entityGroups]] alias store: a new batch of
+    * dim records resolves against the STORED groups without ever
+    * re-running stored×stored matching. Edge work is
+    * batch×stored-block ([[TextOps.fuzzyNameMatchAcross]]) plus
+    * batch-internal pairs; the stored grouping re-enters as STAR
+    * edges (entity_id → member), which already carry its transitive
+    * closure. Only groups a cross edge actually touches re-resolve —
+    * every other stored row passes through verbatim with status
+    * `unchanged` — so per-batch cost is ∝ batch + affected members,
+    * never the history (q109 bounded the work at batch×history-block;
+    * this bounds it at batch + touched-groups).
+    *
+    * Per record: its (possibly merged) entity, the group's member
+    * count, how many STORED groups fused into it (`n_stored_groups`
+    * ≥ 2 ⇒ a new alias bridged previously-separate entities — the
+    * case pairwise matching alone can never close), how many batch
+    * records joined, and the group status: `merged` / `new`
+    * (batch-only) / `extended` (one stored group gained members) /
+    * `unchanged`. Canonical form = min member key's name, exactly as
+    * in the full rebuild, so output is bit-identical to re-running
+    * [[entityGroups]] on stored ∪ batch with history-internal edges
+    * frozen to the stored closure. */
+  def incrementalEntityGroups(storedAliases: DataFrame, storedDim: DataFrame,
+                              batch: DataFrame, maxDist: Int = 2): DataFrame = {
+    val cross = TextOps.fuzzyNameMatchAcross(batch, storedDim, maxDist)
+      .select(col("key_i").as("doc_i"), col("key_j").as("doc_j"))
+      .localCheckpoint(false) // touched-group derivation + closure edges
+    val inBatch = TextOps.fuzzyNameMatch(batch, maxDist)
+      .select(col("key_i").as("doc_i"), col("key_j").as("doc_j"))
+    val storedEnt = storedAliases.select(col("p_partkey").as("doc_id"),
+      col("entity_id").as("old_entity_id"))
+    val touched = storedEnt
+      .join(cross.select(col("doc_i").as("doc_id"))
+        .unionByName(cross.select(col("doc_j").as("doc_id"))).distinct(), "doc_id")
+      .select(col("old_entity_id").as("entity_id")).distinct()
+    val affected = storedAliases.join(touched, Seq("entity_id"), "left_semi")
+      .localCheckpoint(false) // star edges + closure nodes + membership agg
+    val star = affected
+      .select(col("entity_id").as("doc_i"), col("p_partkey").as("doc_j"))
+      .filter(col("doc_i") =!= col("doc_j"))
+    val nodes = affected.select(col("p_partkey").as("doc_id"))
+      .unionByName(batch.select(col("p_partkey").as("doc_id")))
+    val labels = connectedComponents(
+      nodes, star.unionByName(cross).unionByName(inBatch))
+    val names = storedDim.select(col("p_partkey"), col("p_name"))
+      .unionByName(batch.select(col("p_partkey"), col("p_name")))
+    val byCluster = labels
+      .join(affected.select(col("p_partkey").as("doc_id"),
+        col("entity_id").as("old_entity_id")), Seq("doc_id"), "left_outer")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("n_members"),
+           countDistinct(col("old_entity_id")).cast("long").as("n_stored_groups"),
+           sum(when(col("old_entity_id").isNull, 1L).otherwise(0L))
+             .cast("long").as("n_batch_members"))
+      .withColumn("group_status",
+        when(col("n_stored_groups") >= 2, "merged")
+          .when(col("n_stored_groups") === 0, "new")
+          .otherwise("extended")) // touched ⇒ a batch record joined
+    val resolved = labels.join(byCluster, "cluster_id")
+      .join(names.select(col("p_partkey").as("cluster_id"),
+        col("p_name").as("canonical_name")), "cluster_id")
+      .select(col("doc_id").as("p_partkey"), col("cluster_id").as("entity_id"),
+        col("n_members"), col("n_stored_groups"), col("n_batch_members"),
+        col("group_status"), col("canonical_name"))
+    val untouched = storedAliases.join(touched, Seq("entity_id"), "left_anti")
+      .select(col("p_partkey"), col("entity_id"), col("n_members"),
+        lit(1L).as("n_stored_groups"), lit(0L).as("n_batch_members"),
+        lit("unchanged").as("group_status"), col("canonical_name"))
+    resolved.unionByName(untouched).orderBy(col("p_partkey"))
+  }
+
   /** Revenue THROUGH the alias table — [[entityGroups]] in action:
     * facts keyed by raw part ids roll up to resolved entities, so a
     * product whose records split across alias spellings reports ONE

@@ -358,6 +358,57 @@ object StreamOps {
       }
   }
 
+  /** Streaming daily-spike detector —
+    * [[graft.engine.EventOps.dailySpikes]] maintained as events land:
+    * per event TYPE the state is the accumulating current day's count
+    * plus a ring of the last `window` CLOSED days' counts, so a day's
+    * verdict (count · trailing_days > factor · Σtrailing — the same
+    * integer cross-multiplication, no fp mean anywhere) is emitted
+    * the moment a newer day's first event closes it. A day spanning
+    * micro-batches accumulates across them — only day TRANSITIONS
+    * emit, which is why the sink equals the batch rollup on every
+    * CLOSED day regardless of where the feed was split (asserted in
+    * StreamingSpec; the still-open last day per type is exactly the
+    * batch-minus-stream difference, as with any monitoring view that
+    * only alerts on complete days). State is O(window) per type
+    * forever; the in-order feed contract and within-batch
+    * (ts_us, event_id) order restoration match the other stateful
+    * forms — a day older than the open one is dropped, the
+    * watermark-analogue lateness policy. */
+  def streamingSpikes(events: Dataset[(Long, Long, Long, String)],
+                      window: Int = 7, factor: Int = 2)
+      : Dataset[(String, Long, Long, Long, Long, Boolean)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val dayUs = 86400000000L
+    events
+      .groupByKey(_._4)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (typ: String, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[(Long, Long, List[(Long, Long)])]) =>
+          var (curDay, curN, hist) =
+            state.getOption.getOrElse((Long.MinValue, 0L, List.empty[(Long, Long)]))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, Long, Long, Boolean)]
+          def close(): Unit = if (curDay != Long.MinValue) {
+            val trailingN = hist.map(_._2).sum
+            val trailingDays = hist.size.toLong
+            out += ((typ, curDay, curN, trailingN, trailingDays,
+              trailingDays > 0 && curN * trailingDays > trailingN * factor))
+            hist = (hist :+ (curDay, curN)).takeRight(window)
+          }
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, _, tUs, _) =>
+            val d = tUs / dayUs
+            if (d == curDay) curN += 1
+            else if (d > curDay) { close(); curDay = d; curN = 1 }
+            // d < curDay: late beyond the open day — dropped
+          }
+          state.update((curDay, curN, hist))
+          out.iterator
+      }
+  }
+
   /** Streaming sequence packing — [[graft.engine.CorpusOps.packSequences]]
     * as continuous data prep: documents arrive as (lang, doc_id,
     * n_tokens), per-lang state is ONE long (the stream's running token

@@ -310,6 +310,33 @@ object TextOps {
       .orderBy(col("key_i"), col("key_j"))
   }
 
+  /** Two-frame [[fuzzyNameMatch]] — a PROBE batch matched against a
+    * REFERENCE dim (the incremental entity-resolution edge generator:
+    * new names vs stored members, never reference×reference). Same
+    * blocking (brand equi-join + length band — a necessary condition
+    * for dist ≤ maxDist) and the same thresholded Levenshtein; emits
+    * each qualifying pair once as an ordered (key_i < key_j) edge.
+    * Cost is Σ_block |probe_block|·|reference_block| — scales with
+    * the batch, not the reference's square. */
+  def fuzzyNameMatchAcross(probe: DataFrame, reference: DataFrame,
+                           maxDist: Int = 2): DataFrame = {
+    val probeParts = probe.sparkSession.sparkContext.defaultParallelism
+    val a = probe.select(col("p_partkey").as("key_a"), col("p_brand"),
+                         col("p_name").as("name_a"))
+      .repartition(probeParts)
+    val b = reference.select(col("p_partkey").as("key_b"), col("p_brand"),
+                             col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand"))
+      .filter(col("key_a") =!= col("key_b"))
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(least(col("key_a"), col("key_b")).as("key_i"),
+              greatest(col("key_a"), col("key_b")).as("key_j"), col("dist"))
+      .distinct()
+  }
+
   /** Quality deciles — data-mixing's bucketing step: rank every
     * document by its quality score into ntile(10) bands (doc_id
     * breaks ties, so the assignment is total and deterministic) and

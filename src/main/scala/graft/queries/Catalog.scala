@@ -1208,6 +1208,74 @@ object Catalog {
              |       CAST(MAX(disorder_us) AS BIGINT) AS max_disorder_us
              |FROM d GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
+    // INCREMENTAL entity resolution: a modular key split plays the
+    // stored dim (80%) vs the arriving batch (20%); the stored alias
+    // table comes from the memoized closure, the batch resolves
+    // against it via cross-block edges + star edges, and only touched
+    // groups re-close. The oracle replays the stored closure, the
+    // delta edge set (batch×stored + batch×batch — NEVER
+    // stored×stored beyond the frozen star edges), and the combined
+    // closure as recursive CTEs — proving the touched-groups-only
+    // engine path equals the global recomputation.
+    QuerySpec(
+      "q226_incremental_entities",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{lit, pmod}
+        val part = Tables.part(s, dir)
+        val storedDim = part.filter(pmod(col("p_partkey"), lit(10)) < 8)
+        val batch = part.filter(pmod(col("p_partkey"), lit(10)) >= 8)
+        DedupOps.incrementalEntityGroups(
+          DedupOps.entityGroupsFor(storedDim, tag = s"$dir:stored"),
+          storedDim, batch)
+      },
+      Some("""WITH RECURSIVE
+             |st AS (SELECT * FROM part WHERE p_partkey % 10 < 8),
+             |ba AS (SELECT * FROM part WHERE p_partkey % 10 >= 8),
+             |spr AS (SELECT a.p_partkey AS i, b.p_partkey AS j
+             |        FROM st a JOIN st b
+             |          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+             |        WHERE levenshtein(a.p_name, b.p_name) <= 2),
+             |se AS (SELECT i AS src, j AS dst FROM spr UNION ALL SELECT j, i FROM spr),
+             |sreach(node, lbl) AS (
+             |  SELECT p_partkey, p_partkey FROM st
+             |  UNION
+             |  SELECT se.dst, r.lbl FROM sreach r JOIN se ON se.src = r.node),
+             |scl AS (SELECT node AS pk, MIN(lbl) AS old_entity FROM sreach GROUP BY node),
+             |dpr AS (SELECT LEAST(a.p_partkey, b.p_partkey) AS i,
+             |               GREATEST(a.p_partkey, b.p_partkey) AS j
+             |        FROM ba a JOIN st b ON a.p_brand = b.p_brand
+             |        WHERE levenshtein(a.p_name, b.p_name) <= 2
+             |        UNION
+             |        SELECT a.p_partkey, b.p_partkey
+             |        FROM ba a JOIN ba b
+             |          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+             |        WHERE levenshtein(a.p_name, b.p_name) <= 2),
+             |star AS (SELECT old_entity AS i, pk AS j FROM scl WHERE old_entity <> pk),
+             |al AS (SELECT i, j FROM dpr UNION SELECT i, j FROM star),
+             |e AS (SELECT i AS src, j AS dst FROM al UNION ALL SELECT j, i FROM al),
+             |reach(node, lbl) AS (
+             |  SELECT p_partkey, p_partkey FROM part
+             |  UNION
+             |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node),
+             |cl AS (SELECT node AS pk, MIN(lbl) AS entity_id FROM reach GROUP BY node),
+             |agg AS (SELECT cl.entity_id,
+             |               CAST(COUNT(*) AS BIGINT) AS n_members,
+             |               CAST(COUNT(DISTINCT scl.old_entity) AS BIGINT) AS n_stored_groups,
+             |               CAST(SUM(CASE WHEN scl.old_entity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |                 AS n_batch_members
+             |        FROM cl LEFT JOIN scl USING (pk)
+             |        GROUP BY cl.entity_id)
+             |SELECT cl.pk AS p_partkey, cl.entity_id, agg.n_members,
+             |       agg.n_stored_groups, agg.n_batch_members,
+             |       CASE WHEN agg.n_stored_groups >= 2 THEN 'merged'
+             |            WHEN agg.n_stored_groups = 0 THEN 'new'
+             |            WHEN agg.n_batch_members > 0 THEN 'extended'
+             |            ELSE 'unchanged' END AS group_status,
+             |       cn.p_name AS canonical_name
+             |FROM cl JOIN agg USING (entity_id)
+             |JOIN part cn ON cn.p_partkey = cl.entity_id
+             |ORDER BY p_partkey""".stripMargin)),
+
     // Theil–Sen robust trend: exact lower median of all pairwise
     // daily slopes, sign·(|Δy|·10⁶ DIV Δx) so truncation direction
     // agrees across engines; pair frame is C(days,2) per type.

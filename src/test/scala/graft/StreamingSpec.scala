@@ -261,6 +261,53 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(("view", "click")) == 1L, "cross-batch edge must carry")
   }
 
+  test("streaming spikes equal the batch detector on closed days across a batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val dayUs = 86400000000L
+    def ev(id: Long, day: Long, i: Long, typ: String) =
+      (1L, id, day * dayUs + i * 1000000L, typ)
+    // type A: 2, 2, then a 10-event spike day, then day 3 opens (and
+    // stays open — unreported); day 1 SPANS the batch boundary.
+    // type B: cold-start day 0 (3 events, unflagged), day 1 opens.
+    val batch1 = Seq(ev(1, 0, 1, "A"), ev(2, 0, 2, "A"), ev(3, 1, 1, "A"),
+      ev(20, 0, 1, "B"), ev(21, 0, 2, "B"), ev(22, 0, 3, "B"))
+    val batch2 = Seq(ev(4, 1, 2, "A")) ++
+      (5L to 14L).map(i => ev(i, 2, i - 4, "A")) ++
+      Seq(ev(15, 3, 1, "A"), ev(23, 1, 1, "B"))
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val q = StreamOps.streamingSpikes(input.toDS())
+      .toDF("event_type", "d", "n", "trailing_n", "trailing_days", "spike")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("spikes").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("spikes").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    val batchAll = EventOps.dailySpikes(
+        (batch1 ++ batch2).toDF("user_id", "event_id", "us", "event_type")
+          .select(col("user_id"), col("event_id"),
+            timestamp_micros(col("us")).as("ts"), col("event_type")))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // stream emits exactly the CLOSED days = batch minus each type's
+    // still-open max day
+    val lastDay = batchAll.keys.groupBy(_._1).map { case (t, ks) => t -> ks.map(_._2).max }
+    val closed = batchAll.filter { case ((t, d), _) => d < lastDay(t) }
+    assert(streamed == closed, s"stream $streamed != batch-closed $closed")
+    // the planted spike day flags, with the exact trailing accounting
+    assert(streamed(("A", 2L)) == ((10L, 4L, 2L, true)))
+    assert(streamed(("B", 0L)) == ((3L, 0L, 0L, false)), "cold start never flags")
+  }
+
   test("streaming funnel first-reach counts equal the batch funnel across a batch split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -1048,6 +1048,41 @@ class TextDedupSpec extends SparkSpec {
     assert(got(5L) == ((5L, 1L, "zzzz")))
   }
 
+  test("incremental entities: a batch alias bridges two stored groups into one merged entity") {
+    import spark.implicits._
+    // stored: "aaaa"(1) and "abbb"(3) are 3 edits apart — two separate
+    // groups; "zzzz"(5)+"zzzy"(6) one group; "mmmm"(7) a singleton
+    val storedDim = Seq(
+      (1L, "aaaa", "B1"), (3L, "abbb", "B1"),
+      (5L, "zzzz", "B2"), (6L, "zzzy", "B2"),
+      (7L, "mmmm", "B3"),
+    ).toDF("p_partkey", "p_name", "p_brand")
+    val stored = DedupOps.entityGroups(storedDim)
+    // batch: "aabb"(10) is ≤2 edits from BOTH stored "a" groups — it
+    // must bridge them; "mmmn"(12) extends 7; "qqqq"(11) is new
+    val batch = Seq(
+      (10L, "aabb", "B1"), (11L, "qqqq", "B4"), (12L, "mmmn", "B3"),
+    ).toDF("p_partkey", "p_name", "p_brand")
+    val got = DedupOps.incrementalEntityGroups(stored, storedDim, batch).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getString(6)))).toMap
+    // the bridge: {1, 3, 10} fuse under entity 1 — 2 stored groups, 1
+    // batch member, canonical name from the min key
+    Seq(1L, 3L, 10L).foreach { k =>
+      assert(got(k) == ((1L, 3L, 2L, 1L, "merged", "aaaa")), s"key $k: ${got(k)}")
+    }
+    // untouched stored group passes through verbatim
+    Seq(5L, 6L).foreach { k =>
+      assert(got(k) == ((5L, 2L, 1L, 0L, "unchanged", "zzzz")), s"key $k: ${got(k)}")
+    }
+    // extension and a batch-only entity
+    Seq(7L, 12L).foreach { k =>
+      assert(got(k) == ((7L, 2L, 1L, 1L, "extended", "mmmm")), s"key $k: ${got(k)}")
+    }
+    assert(got(11L) == ((11L, 1L, 0L, 1L, "new", "qqqq")))
+    assert(got.size == 8)
+  }
+
   test("curation funnel reconciles stage by stage with the standalone operators") {
     val funnel = CorpusOps.curationFunnel(docs).collect()
     assert(funnel.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
