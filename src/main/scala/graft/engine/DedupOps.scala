@@ -263,12 +263,25 @@ object DedupOps {
   def lshTuningReport(signatures: DataFrame, documents: DataFrame,
                       bandCounts: Seq[Int] = Seq(4, 8, 16),
                       threshold: Double = 0.5,
-                      maxDocId: Long = 500): DataFrame = {
-    val spark = documents.sparkSession
+                      maxDocId: Long = 500): DataFrame =
+    lshTuningReportFromTruth(signatures,
+      jaccardPairs(documents, maxDocId, threshold).select(col("doc_i"), col("doc_j")),
+      bandCounts, maxDocId)
+
+  /** [[lshTuningReport]] over a PREBUILT exact-Jaccard truth table
+    * (the SketchShared calibration artifact): the truth is a property
+    * of the calibration SAMPLE, not of any banding config, so a
+    * production tuning sweep computes it once per corpus refresh and
+    * every re-tune reads the stored pairs — only the banded self-joins
+    * (cheap, sample-bounded) re-run per candidate config. */
+  def lshTuningReportFromTruth(signatures: DataFrame, truthPairs: DataFrame,
+                               bandCounts: Seq[Int] = Seq(4, 8, 16),
+                               maxDocId: Long = 500): DataFrame = {
+    val spark = signatures.sparkSession
     import spark.implicits._
     val sigs = signatures.filter(col("sig").isNotNull && col("doc_id") < maxDocId)
       .select(col("doc_id"), col("sig"))
-    val truth = jaccardPairs(documents, maxDocId, threshold)
+    val truth = truthPairs
       .select(col("doc_i"), col("doc_j"))
       .localCheckpoint(false) // feeds the count AND every config's hit join
     val cands = bandCounts.map { b =>
@@ -859,6 +872,30 @@ object DedupOps {
       .select(col("cluster_id"), col("doc_id").as("kept_doc_id"),
         col("n_chars"), col("n_members"))
       .orderBy(col("cluster_id"))
+  }
+
+  /** Leakage-safe CLUSTER-AWARE train/val/test split — the q94 hash
+    * split composed with the near-dup closure so duplicates can never
+    * straddle splits: every member of a cluster takes the split of
+    * xxhash64(cluster_id) (0-7 train, 8 val, 9 test — the same
+    * growth-stable rule as the doc-hash split), which is exactly the
+    * leakage q218/q122 DETECT, prevented at assignment time. `moved`
+    * reports the migration accounting — docs whose cluster pinned
+    * them to a different split than their own hash would have chosen
+    * (the price of leakage safety, and the number to watch: a huge
+    * moved share means the split is dominated by a few giant
+    * clusters). Cost: the closure the dedup pass already built plus
+    * two codegen'd hashes — no extra shuffle beyond the cluster
+    * join. */
+  def clusterAwareSplit(documents: DataFrame, edges: DataFrame): DataFrame = {
+    def splitOf(bucket: org.apache.spark.sql.Column) =
+      when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
+    connectedComponents(documents.select(col("doc_id")), edges)
+      .withColumn("split", splitOf(pmod(xxhash64(col("cluster_id")), lit(10))))
+      .withColumn("moved",
+        col("split") =!= splitOf(pmod(xxhash64(col("doc_id")), lit(10))))
+      .select(col("doc_id"), col("cluster_id"), col("split"), col("moved"))
+      .orderBy(col("doc_id"))
   }
 
   /** Entity resolution groups — master-data management over the part

@@ -1276,6 +1276,22 @@ object Catalog {
              |JOIN part cn ON cn.p_partkey = cl.entity_id
              |ORDER BY p_partkey""".stripMargin)),
 
+    // leakage-safe split: near-dup clusters (the q61 demonstrator
+    // closure) assign train/val/test as a UNIT via
+    // xxhash64(cluster_id) — preventing at assignment time the
+    // cross-split duplicate leakage q122/q218 detect; `moved` counts
+    // the docs cluster-pinning relocated vs their own doc-hash
+    // split. Oracle: the recursive closure + TWO bit-exact XXH64
+    // avalanche chains (cluster key and doc key).
+    QuerySpec(
+      "q227_cluster_split",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        DedupOps.clusterAwareSplit(docs,
+          DedupOps.jaccardPairs(docs).select(col("doc_i"), col("doc_j")))
+      },
+      Some(q227OracleSql)),
+
     // Theil–Sen robust trend: exact lower median of all pairwise
     // daily slopes, sign·(|Δy|·10⁶ DIV Δx) so truncation direction
     // agrees across engines; pair frame is C(days,2) per type.
@@ -2913,8 +2929,8 @@ object Catalog {
     // that sizes q42's banding before a full pair-generation run.
     QuerySpec(
       "q159_lsh_tuning",
-      (s, dir) => DedupOps.lshTuningReport(
-        SketchShared.sketches(s, dir), Tables.documents(s, dir)),
+      (s, dir) => DedupOps.lshTuningReportFromTruth(
+        SketchShared.sketches(s, dir), SketchShared.calibrationTruth(s, dir)),
       Some(q159OracleSql)),
 
     // sparse-vector all-pairs similarity over the STORED postings:
@@ -4051,20 +4067,61 @@ object Catalog {
     /** The avalanche chain over an arbitrary keyed input: `dCte` must
       * yield the carried id columns plus `k` (the BIGINT key as
       * nonnegative HUGEINT); `carry` is the id column list threaded
-      * through every stage. Ends in `s10(carry…, h8)`. */
-    def chainFrom(dCte: String, carry: String): String =
-      s"""d AS ($dCte),
-         |s3 AS (SELECT $carry, ${mul(rotl(mul("k", p2), 31), p1)} AS k1c FROM d),
-         |s5 AS (SELECT $carry, (${mul(rotl(xor64(h0, "k1c"), 27), p1)} + $p4) % $M64 AS h3 FROM s3),
-         |s6 AS (SELECT $carry, ${xor64("h3", "h3//8589934592")} AS h4 FROM s5),
-         |s7 AS (SELECT $carry, ${mul("h4", p2)} AS h5 FROM s6),
-         |s8 AS (SELECT $carry, ${xor64("h5", "h5//536870912")} AS h6 FROM s7),
-         |s9 AS (SELECT $carry, ${mul("h6", p3)} AS h7 FROM s8),
-         |s10 AS (SELECT $carry, ${xor64("h7", "h7//4294967296")} AS h8 FROM s9)""".stripMargin
+      * through every stage. Ends in `s10$sfx(carry…, h8)`; pass a
+      * suffix to run two chains in one statement (q227 hashes BOTH
+      * cluster_id and doc_id). */
+    def chainFrom(dCte: String, carry: String, sfx: String = ""): String =
+      s"""d$sfx AS ($dCte),
+         |s3$sfx AS (SELECT $carry, ${mul(rotl(mul("k", p2), 31), p1)} AS k1c FROM d$sfx),
+         |s5$sfx AS (SELECT $carry, (${mul(rotl(xor64(h0, "k1c"), 27), p1)} + $p4) % $M64 AS h3 FROM s3$sfx),
+         |s6$sfx AS (SELECT $carry, ${xor64("h3", "h3//8589934592")} AS h4 FROM s5$sfx),
+         |s7$sfx AS (SELECT $carry, ${mul("h4", p2)} AS h5 FROM s6$sfx),
+         |s8$sfx AS (SELECT $carry, ${xor64("h5", "h5//536870912")} AS h6 FROM s7$sfx),
+         |s9$sfx AS (SELECT $carry, ${mul("h6", p3)} AS h7 FROM s8$sfx),
+         |s10$sfx AS (SELECT $carry, ${xor64("h7", "h7//4294967296")} AS h8 FROM s9$sfx)""".stripMargin
 
     /** CTEs computing h8 = xxhash64(doc_id, 42) as unsigned HUGEINT. */
     val ctes: String =
       chainFrom("SELECT doc_id, CAST(doc_id AS HUGEINT) AS k FROM documents", "doc_id")
+  }
+
+  /** q227 oracle: the q61 demonstrator closure labels every doc with
+    * its near-dup cluster, then TWO XXH64 avalanche chains — one over
+    * cluster_id (suffix "c", the unit-split key) and the standard
+    * doc_id chain — derive the cluster-pinned and naive splits; moved
+    * = the two disagree. */
+  private val q227OracleSql: String = {
+    import Xxh64DocIdSql.{chainFrom, ctes, tos}
+    val bucket = s"((${tos("h8")} % 10) + 10) % 10"
+    def splitCase(b: String) =
+      s"CASE WHEN $b < 8 THEN 'train' WHEN $b = 8 THEN 'val' ELSE 'test' END"
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, substr(text, unnest(range(1, length(text) - 3)), 5) AS s
+       |    FROM documents WHERE doc_id < 60)),
+       |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |c AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS common
+       |      FROM sh a JOIN sh b USING (s)
+       |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       |p AS (SELECT doc_i, doc_j FROM c
+       |      JOIN n ni ON doc_i = ni.doc_id JOIN n nj ON doc_j = nj.doc_id
+       |      WHERE ROUND(CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common), 6) >= 0.15),
+       |e AS (SELECT doc_i AS src, doc_j AS dst FROM p
+       |      UNION ALL SELECT doc_j, doc_i FROM p),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node),
+       |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+       |${chainFrom("SELECT doc_id, cluster_id, CAST(cluster_id AS HUGEINT) AS k FROM cl",
+                    "doc_id, cluster_id", "c")},
+       |$ctes,
+       |cb AS (SELECT doc_id, cluster_id, ${splitCase(bucket)} AS split FROM s10c),
+       |nb AS (SELECT doc_id, ${splitCase(bucket)} AS naive_split FROM s10)
+       |SELECT cb.doc_id, cb.cluster_id, cb.split,
+       |       (cb.split <> nb.naive_split) AS moved
+       |FROM cb JOIN nb USING (doc_id)
+       |ORDER BY cb.doc_id""".stripMargin
   }
 
   /** q141 oracle: the full XXH64 chain → signed key, shard = mod 8,

@@ -45,6 +45,16 @@ object SketchShared {
         sketches(s, dir).filter(col("sig").isNotNull)
           .select(col("doc_id"), col("sig"))))
 
+  /** Exact-Jaccard truth pairs on the 500-doc calibration sample —
+    * the ground-truth half of q159's banding sweep, persisted because
+    * it depends only on the sample (never on a banding config): a
+    * re-tune re-runs just the sample-bounded banded self-joins against
+    * these stored pairs. */
+  def calibrationTruth(s: SparkSession, dir: String): DataFrame =
+    tableFor(s, dir, "doc_cal_truth",
+      () => DedupOps.jaccardPairs(Tables.documents(s, dir),
+        maxDocId = 500, threshold = 0.5).select(col("doc_i"), col("doc_j")))
+
   /** SimHash prefix-band pairs with hamming distance — q43's output,
     * persisted for q70's edge union. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =

@@ -1048,6 +1048,33 @@ class TextDedupSpec extends SparkSpec {
     assert(got(5L) == ((5L, 1L, "zzzz")))
   }
 
+  test("cluster-aware split: no cluster straddles splits; moved is exactly the hash disagreement") {
+    import org.apache.spark.sql.functions.{countDistinct, pmod, xxhash64}
+    val edges = DedupOps.jaccardPairs(docs).select(col("doc_i"), col("doc_j"))
+    val split = DedupOps.clusterAwareSplit(docs, edges).localCheckpoint(false)
+    // the leakage-safety invariant: one split per cluster, always
+    val straddlers = split.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1).count()
+    assert(straddlers == 0L, "a near-dup cluster must never straddle splits")
+    // every near-dup EDGE lands inside one split (the q122 leak, prevented)
+    val crossEdges = edges
+      .join(split.select(col("doc_id").as("doc_i"), col("split").as("split_i")), "doc_i")
+      .join(split.select(col("doc_id").as("doc_j"), col("split").as("split_j")), "doc_j")
+      .filter(col("split_i") =!= col("split_j")).count()
+    assert(crossEdges == 0L)
+    // moved accounting: true iff the doc's own hash disagrees — and
+    // singletons (cluster_id == doc_id) never move
+    val bad = split
+      .withColumn("own_bucket", pmod(xxhash64(col("doc_id")), lit(10)))
+      .withColumn("own_split", when(col("own_bucket") < 8, "train")
+        .when(col("own_bucket") === 8, "val").otherwise("test"))
+      .filter(col("moved") =!= (col("split") =!= col("own_split"))).count()
+    assert(bad == 0L)
+    assert(split.filter(col("cluster_id") === col("doc_id") && col("moved")).count() == 0L,
+      "a singleton's cluster hash IS its doc hash — it cannot move")
+  }
+
   test("incremental entities: a batch alias bridges two stored groups into one merged entity") {
     import spark.implicits._
     // stored: "aaaa"(1) and "abbb"(3) are 3 edits apart — two separate
