@@ -960,7 +960,15 @@ object DedupOps {
     * `unchanged`. Canonical form = min member key's name, exactly as
     * in the full rebuild, so output is bit-identical to re-running
     * [[entityGroups]] on stored ∪ batch with history-internal edges
-    * frozen to the stored closure. */
+    * frozen to the stored closure.
+    *
+    * The closure runs on the CONDENSED graph: each touched stored
+    * group enters as ONE node (its entity id — already the group's
+    * min member key, so min-label closure over condensed nodes yields
+    * the same entity ids as member-level closure), cross edges map
+    * their stored endpoint member → entity. CC input is therefore
+    * batch + touched GROUPS — independent of group sizes; member-
+    * level rows only reappear in the final label join. */
   def incrementalEntityGroups(storedAliases: DataFrame, storedDim: DataFrame,
                               batch: DataFrame, maxDist: Int = 2): DataFrame = {
     val cross = TextOps.fuzzyNameMatchAcross(batch, storedDim, maxDist)
@@ -975,32 +983,51 @@ object DedupOps {
         .unionByName(cross.select(col("doc_j").as("doc_id"))).distinct(), "doc_id")
       .select(col("old_entity_id").as("entity_id")).distinct()
     val affected = storedAliases.join(touched, Seq("entity_id"), "left_semi")
-      .localCheckpoint(false) // star edges + closure nodes + membership agg
-    val star = affected
-      .select(col("entity_id").as("doc_i"), col("p_partkey").as("doc_j"))
-      .filter(col("doc_i") =!= col("doc_j"))
-    val nodes = affected.select(col("p_partkey").as("doc_id"))
+      .localCheckpoint(false) // member→entity map + membership agg + label join
+    // condense: a cross edge's stored endpoint becomes its entity id
+    // (exactly one endpoint is stored — the key spaces are disjoint)
+    val memEnt = affected.select(col("p_partkey"), col("entity_id"))
+    val crossCond = cross
+      .join(memEnt.select(col("p_partkey").as("doc_i"),
+        col("entity_id").as("ent_i")), Seq("doc_i"), "left_outer")
+      .join(memEnt.select(col("p_partkey").as("doc_j"),
+        col("entity_id").as("ent_j")), Seq("doc_j"), "left_outer")
+      .select(coalesce(col("ent_i"), col("doc_i")).as("doc_i"),
+              coalesce(col("ent_j"), col("doc_j")).as("doc_j"))
+    val nodes = touched.select(col("entity_id").as("doc_id"))
       .unionByName(batch.select(col("p_partkey").as("doc_id")))
-    val labels = connectedComponents(
-      nodes, star.unionByName(cross).unionByName(inBatch))
+    val labels = connectedComponents(nodes, crossCond.unionByName(inBatch))
     val names = storedDim.select(col("p_partkey"), col("p_name"))
       .unionByName(batch.select(col("p_partkey"), col("p_name")))
+    // per-cluster accounting off the condensed nodes: an entity node
+    // carries its whole group's size, a batch node counts itself
+    val entSizes = affected.groupBy(col("entity_id"))
+      .agg(count(lit(1)).cast("long").as("grp_n"))
     val byCluster = labels
-      .join(affected.select(col("p_partkey").as("doc_id"),
-        col("entity_id").as("old_entity_id")), Seq("doc_id"), "left_outer")
+      .join(entSizes.withColumnRenamed("entity_id", "doc_id"),
+        Seq("doc_id"), "left_outer")
       .groupBy(col("cluster_id"))
-      .agg(count(lit(1)).cast("long").as("n_members"),
-           countDistinct(col("old_entity_id")).cast("long").as("n_stored_groups"),
-           sum(when(col("old_entity_id").isNull, 1L).otherwise(0L))
+      .agg(sum(coalesce(col("grp_n"), lit(1L))).cast("long").as("n_members"),
+           sum(when(col("grp_n").isNotNull, 1L).otherwise(0L))
+             .cast("long").as("n_stored_groups"),
+           sum(when(col("grp_n").isNull, 1L).otherwise(0L))
              .cast("long").as("n_batch_members"))
       .withColumn("group_status",
         when(col("n_stored_groups") >= 2, "merged")
           .when(col("n_stored_groups") === 0, "new")
           .otherwise("extended")) // touched ⇒ a batch record joined
-    val resolved = labels.join(byCluster, "cluster_id")
+    // expand back to member-level rows: batch keys label directly,
+    // affected stored members label through their old entity's node
+    val memberLabels = labels
+      .join(batch.select(col("p_partkey").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("p_partkey"), col("cluster_id"))
+      .unionByName(memEnt
+        .join(labels.withColumnRenamed("doc_id", "entity_id"), "entity_id")
+        .select(col("p_partkey"), col("cluster_id")))
+    val resolved = memberLabels.join(byCluster, "cluster_id")
       .join(names.select(col("p_partkey").as("cluster_id"),
         col("p_name").as("canonical_name")), "cluster_id")
-      .select(col("doc_id").as("p_partkey"), col("cluster_id").as("entity_id"),
+      .select(col("p_partkey"), col("cluster_id").as("entity_id"),
         col("n_members"), col("n_stored_groups"), col("n_batch_members"),
         col("group_status"), col("canonical_name"))
     val untouched = storedAliases.join(touched, Seq("entity_id"), "left_anti")
