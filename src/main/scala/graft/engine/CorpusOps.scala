@@ -548,6 +548,63 @@ object CorpusOps {
       .orderBy(col("source"))
   }
 
+  /** Water-filling token-budget allocation — the exact fixed point
+    * q153's proportional-cap approximates: given a total token budget
+    * B and per-source demand d_i, find the water level λ with
+    * Σ min(d_i, λ) = B, so sources under the level keep their FULL
+    * demand and the rest are leveled — no capped surplus is ever
+    * lost (q153 drops it; here it redistributes by construction).
+    * Closed form, no iteration: sort sources by demand ascending with
+    * exclusive prefix sums; the level row r* is the first rank where
+    * prefix + (n−r+1)·d_r ≥ B, λ = (B − prefix_{r*}) DIV (n−r*+1),
+    * and the division remainder hands +1 token to the next `res`
+    * ranks — every allocation an integer, Σ alloc = min(B, Σ demand)
+    * EXACTLY (asserted in CoreSpec), bit-identical on any engine.
+    * When B ≥ Σ demand the level row is absent and everyone keeps
+    * their demand. Cost: one corpus scan + one keyed rollup; the
+    * sort/window/level algebra all run on the source-DIMENSION frame
+    * (catalog-scale at 100 TB — the unpartitioned window is
+    * |sources| rows by construction). */
+  def tokenWaterFill(documents: DataFrame, totalBudget: Long = 26000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val demand = documents
+      .select(col("source"),
+        size(expr(s"regexp_extract_all(text, '${TextOps.tokenRe}', 0)"))
+          .cast("long").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+           sum(col("n_toks")).cast("long").as("demand"))
+      .localCheckpoint(false) // ranked frame + totals + level row all read it
+    val w = Window.orderBy(col("demand"), col("source")) // |sources| rows
+    val ranked = demand
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("prefix", coalesce(
+        sum(col("demand")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .crossJoin(broadcast(
+        demand.agg(count(lit(1)).cast("long").as("n_src"))))
+      .localCheckpoint(false) // level-row probe + the final allocation
+    val lvl = ranked
+      .filter(col("prefix") + (col("n_src") - col("r") + 1) * col("demand")
+        >= totalBudget)
+      .agg(min(col("r")).as("r_star")) // one row; null when B >= Σ demand
+    val lvlRow = lvl
+      .join(ranked, col("r") === col("r_star"), "left_outer")
+      .select(col("r_star"),
+        expr(s"($totalBudget - prefix) DIV (n_src - r_star + 1)").as("level"),
+        expr(s"($totalBudget - prefix) % (n_src - r_star + 1)").as("res"))
+    ranked.crossJoin(broadcast(lvlRow))
+      .withColumn("alloc_tokens",
+        when(col("r_star").isNull || col("r") < col("r_star"), col("demand"))
+          .otherwise(col("level") +
+            when(col("r") < col("r_star") + col("res"), 1L).otherwise(0L))
+          .cast("long"))
+      .withColumn("filled", col("alloc_tokens") === col("demand"))
+      .select(col("source"), col("n_docs"), col("demand"),
+        col("alloc_tokens"), col("filled"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic training-order shuffle — the loader-facing global
     * permutation: shuffle key = xxhash64(doc_id) (Spark's codegen'd
     * XXH64, seed 42 — the same chain the q94 split and q104 mix fate

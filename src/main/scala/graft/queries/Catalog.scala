@@ -1276,6 +1276,38 @@ object Catalog {
              |JOIN part cn ON cn.p_partkey = cl.entity_id
              |ORDER BY p_partkey""".stripMargin)),
 
+    // water-filling token-budget allocation: exact integer water
+    // level over per-source demand — sources under the level keep
+    // full demand, the rest are leveled, remainder tokens dealt to
+    // the next ranks; Σ alloc = min(B, Σ demand) exactly.
+    QuerySpec(
+      "q228_token_waterfill",
+      (s, dir) => CorpusOps.tokenWaterFill(Tables.documents(s, dir)),
+      Some("""WITH dem AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |         CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))) AS BIGINT) AS demand
+             |  FROM documents GROUP BY 1),
+             |rk AS (SELECT source, n_docs, demand,
+             |         CAST(row_number() OVER (ORDER BY demand, source) AS BIGINT) AS r,
+             |         CAST(COALESCE(SUM(demand) OVER (ORDER BY demand, source
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix,
+             |         CAST(COUNT(*) OVER () AS BIGINT) AS n_src
+             |       FROM dem),
+             |lv AS (SELECT MIN(r) AS r_star FROM rk
+             |       WHERE prefix + (n_src - r + 1) * demand >= 26000),
+             |lr AS (SELECT lv.r_star,
+             |         CAST((26000 - rk.prefix) // (rk.n_src - lv.r_star + 1) AS BIGINT) AS level,
+             |         CAST((26000 - rk.prefix) % (rk.n_src - lv.r_star + 1) AS BIGINT) AS res
+             |       FROM lv LEFT JOIN rk ON rk.r = lv.r_star),
+             |a AS (SELECT rk.source, rk.n_docs, rk.demand,
+             |        CAST(CASE WHEN lr.r_star IS NULL OR rk.r < lr.r_star THEN rk.demand
+             |             ELSE lr.level + CASE WHEN rk.r < lr.r_star + lr.res THEN 1 ELSE 0 END
+             |             END AS BIGINT) AS alloc_tokens
+             |      FROM rk CROSS JOIN lr)
+             |SELECT source, n_docs, demand, alloc_tokens,
+             |       (alloc_tokens = demand) AS filled
+             |FROM a ORDER BY source""".stripMargin)),
+
     // leakage-safe split: near-dup clusters (the q61 demonstrator
     // closure) assign train/val/test as a UNIT via
     // xxhash64(cluster_id) — preventing at assignment time the

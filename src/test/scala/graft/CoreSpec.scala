@@ -1165,4 +1165,28 @@ class CoreSpec extends SparkSpec {
     // cross-pairs never co-occur and are absent
     assert(got == Map(("alpha", "beta") -> 2.0, ("delta", "gamma") -> 2.0))
   }
+
+  test("water-filling allocation: exact conservation, level semantics, remainder order") {
+    import spark.implicits._
+    // one word = one token: demands a=2, b=5, c=9, d=16 (Σ=32)
+    def doc(id: Long, src: String, n: Int) = (id, ("tok " * n).trim, "en", src)
+    val docs = (Seq(doc(1, "a", 2), doc(2, "b", 5), doc(3, "c", 4), doc(4, "c", 5)) ++
+      Seq(doc(5, "d", 16))).toDF("doc_id", "text", "lang", "source")
+    // B=20: a(2) and b(5) fit under the level; remaining 13 over {c,d}
+    // -> level 6 rem 1, the +1 going to c (lower rank) => c=7, d=6
+    val got = CorpusOps.tokenWaterFill(docs, totalBudget = 20L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got("a") == ((2L, 2L, true)) && got("b") == ((5L, 5L, true)), s"$got")
+    assert(got("c") == ((9L, 7L, false)) && got("d") == ((16L, 6L, false)), s"$got")
+    assert(got.values.map(_._2).sum == 20L, "sum alloc == budget, exactly")
+    // B >= Σ demand: everyone keeps full demand
+    val full = CorpusOps.tokenWaterFill(docs, totalBudget = 100L).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(full.forall { case (d, al, f) => al == d && f })
+    // B below the smallest (n_src * d_1): pure level split, still conserved
+    val tight = CorpusOps.tokenWaterFill(docs, totalBudget = 7L).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(tight.values.sum == 7L && tight.values.forall(a => a == 1L || a == 2L),
+      s"near-equal split: $tight")
+  }
 }
