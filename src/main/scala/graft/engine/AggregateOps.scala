@@ -376,6 +376,65 @@ object AggregateOps {
       .withColumn("at_risk", col("class_size") < k || col("l_diversity") < l)
       .orderBy(col("o_orderpriority"), col("o_orderstatus"), col("order_month"))
 
+  /** k-anonymization APPLIER — the enforcement half of
+    * [[kAnonymityAudit]]: rows whose full quasi-identifier class
+    * (priority, status, month) fails either gate (size < k or
+    * sensitive diversity < l) are GENERALIZED level by level — drop
+    * the month, then the status, then everything — until the class
+    * they land in passes both gates; the terminal level releases
+    * whatever remains as one fully-suppressed class (reported, never
+    * silently dropped, so Σ n_rows reconciles with the input
+    * exactly — CoreSpec asserts it). This is textbook local recoding
+    * with a fixed generalization hierarchy, made deterministic:
+    * every level is one hash rollup + one semi-join over only the
+    * rows the previous level rejected, so the cascade costs ≤ 4
+    * shuffles of strictly shrinking residuals at any scale. Output:
+    * one row per RELEASED class with its level (0 = full detail,
+    * 3 = fully suppressed), NULLed-out generalized columns, and the
+    * class's size and sensitive diversity (every level < 3 class
+    * provably satisfies both gates by construction). */
+  def kAnonymize(orders: DataFrame, k: Int = 5, l: Int = 3): DataFrame = {
+    val base = orders.select(col("o_orderpriority"), col("o_orderstatus"),
+        month(col("o_orderdate")).cast("long").as("order_month"), col("o_custkey"))
+      .localCheckpoint(false) // the four level passes read the residual chain
+    def pass(rows: DataFrame, keys: Seq[String], level: Int)
+        : (DataFrame, DataFrame) = {
+      val cls = rows.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+             countDistinct(col("o_custkey")).cast("long").as("n_custkeys"))
+        .withColumn("ok", col("n_rows") >= k && col("n_custkeys") >= l)
+      val released = cls.filter(col("ok"))
+        .withColumn("level", lit(level.toLong))
+        .withColumn("o_orderpriority",
+          if (keys.contains("o_orderpriority")) col("o_orderpriority")
+          else lit(null).cast("string"))
+        .withColumn("o_orderstatus",
+          if (keys.contains("o_orderstatus")) col("o_orderstatus")
+          else lit(null).cast("string"))
+        .withColumn("order_month",
+          if (keys.contains("order_month")) col("order_month")
+          else lit(null).cast("long"))
+        .select(col("level"), col("o_orderpriority"), col("o_orderstatus"),
+          col("order_month"), col("n_rows"), col("n_custkeys"))
+      val residual = rows.join(
+        cls.filter(!col("ok")).select(keys.map(col): _*), keys)
+      (released, residual)
+    }
+    val (r0, rem0) = pass(base, Seq("o_orderpriority", "o_orderstatus", "order_month"), 0)
+    val (r1, rem1) = pass(rem0, Seq("o_orderpriority", "o_orderstatus"), 1)
+    val (r2, rem2) = pass(rem1, Seq("o_orderpriority"), 2)
+    val r3 = rem2
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+           countDistinct(col("o_custkey")).cast("long").as("n_custkeys"))
+      .filter(col("n_rows") > 0) // emit the terminal class only if non-empty
+      .select(lit(3L).as("level"), lit(null).cast("string").as("o_orderpriority"),
+        lit(null).cast("string").as("o_orderstatus"),
+        lit(null).cast("long").as("order_month"), col("n_rows"), col("n_custkeys"))
+    r0.unionByName(r1).unionByName(r2).unionByName(r3)
+      .orderBy(col("level"), col("o_orderpriority"), col("o_orderstatus"),
+        col("order_month"))
+  }
+
   /** Exact WEIGHTED lower median — the order statistic where each row
     * counts with its weight (here: price cents weighted by quantity,
     * "the price at which half the shipped volume is cheaper"): the

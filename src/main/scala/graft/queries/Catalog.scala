@@ -585,6 +585,50 @@ object Catalog {
              |FROM orders GROUP BY 1, 2, 3
              |ORDER BY o_orderpriority, o_orderstatus, order_month""".stripMargin)),
 
+    // k-anonymization applier: the q213 audit ENFORCED — rows in
+    // failing classes generalize level by level (drop month, then
+    // status, then all) until their class passes both gates; the
+    // terminal remainder releases as one suppressed class so row
+    // counts reconcile exactly.
+    QuerySpec(
+      "q229_k_anonymize",
+      (s, dir) => AggregateOps.kAnonymize(Tables.orders(s, dir)),
+      Some("""WITH b AS (
+             |  SELECT o_orderpriority AS pr, o_orderstatus AS st,
+             |         CAST(month(o_orderdate) AS BIGINT) AS mo, o_custkey AS ck
+             |  FROM orders),
+             |c0 AS (SELECT pr, st, mo, COUNT(*) AS n, COUNT(DISTINCT ck) AS d
+             |       FROM b GROUP BY 1, 2, 3),
+             |rem0 AS (SELECT b.* FROM b JOIN c0 USING (pr, st, mo)
+             |         WHERE NOT (c0.n >= 5 AND c0.d >= 3)),
+             |c1 AS (SELECT pr, st, COUNT(*) AS n, COUNT(DISTINCT ck) AS d
+             |       FROM rem0 GROUP BY 1, 2),
+             |rem1 AS (SELECT rem0.* FROM rem0 JOIN c1 USING (pr, st)
+             |         WHERE NOT (c1.n >= 5 AND c1.d >= 3)),
+             |c2 AS (SELECT pr, COUNT(*) AS n, COUNT(DISTINCT ck) AS d
+             |       FROM rem1 GROUP BY 1),
+             |rem2 AS (SELECT rem1.* FROM rem1 JOIN c2 USING (pr)
+             |         WHERE NOT (c2.n >= 5 AND c2.d >= 3)),
+             |c3 AS (SELECT COUNT(*) AS n, COUNT(DISTINCT ck) AS d FROM rem2)
+             |SELECT * FROM (
+             |  SELECT CAST(0 AS BIGINT) AS level, pr AS o_orderpriority,
+             |         st AS o_orderstatus, mo AS order_month,
+             |         CAST(n AS BIGINT) AS n_rows, CAST(d AS BIGINT) AS n_custkeys
+             |  FROM c0 WHERE n >= 5 AND d >= 3
+             |  UNION ALL
+             |  SELECT CAST(1 AS BIGINT), pr, st, CAST(NULL AS BIGINT),
+             |         CAST(n AS BIGINT), CAST(d AS BIGINT)
+             |  FROM c1 WHERE n >= 5 AND d >= 3
+             |  UNION ALL
+             |  SELECT CAST(2 AS BIGINT), pr, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+             |         CAST(n AS BIGINT), CAST(d AS BIGINT)
+             |  FROM c2 WHERE n >= 5 AND d >= 3
+             |  UNION ALL
+             |  SELECT CAST(3 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+             |         CAST(NULL AS BIGINT), CAST(n AS BIGINT), CAST(d AS BIGINT)
+             |  FROM c3 WHERE n > 0)
+             |ORDER BY level, o_orderpriority, o_orderstatus, order_month""".stripMargin)),
+
     // exact weighted lower median: smallest value whose running
     // weight reaches half the total (2·cumw >= W, pure integers);
     // tie blocks are safe because their last row carries the full

@@ -312,6 +312,32 @@ class CoreSpec extends SparkSpec {
     assert(got(("HIGH", "F")) == ((1L, 1L, true)))
   }
 
+  test("k-anonymize cascade: classes generalize exactly until both gates pass; rows reconcile") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Timestamp.valueOf(s"$s 00:00:00")
+    // (HIGH,O,Jan): 6 rows / 3 custkeys -> releases at level 0.
+    // (HIGH,F,Jan) 2 rows + (HIGH,F,Feb) 4 rows both fail level 0 but
+    // their union (HIGH,F) has 6 rows / 6 custkeys -> level 1.
+    // (LOW,O,Jan): 3 rows / 1 custkey fails every level -> terminal.
+    val rows =
+      (0 until 6).map(i => ("HIGH", "O", "2024-01-05", (i % 3).toLong)) ++
+      (0 until 2).map(i => ("HIGH", "F", "2024-01-05", (10 + i).toLong)) ++
+      (0 until 4).map(i => ("HIGH", "F", "2024-02-05", (12 + i).toLong)) ++
+      (0 until 3).map(_ => ("LOW", "O", "2024-01-05", 99L))
+    val orders = rows.zipWithIndex.map { case ((p, st, dt, c), i) =>
+      (i.toLong, c, st, d(dt), p)
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority")
+    val got = AggregateOps.kAnonymize(orders).collect()
+      .map(r => (r.getLong(0),
+        Option(r.getString(1)).getOrElse("-"), Option(r.getString(2)).getOrElse("-"),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSet == Set(
+      (0L, "HIGH", "O", 1L, 6L, 3L),
+      (1L, "HIGH", "F", -1L, 6L, 6L),
+      (3L, "-", "-", -1L, 3L, 1L)), s"cascade: ${got.toSeq}")
+    assert(got.map(_._5).sum == rows.size.toLong, "every input row is released exactly once")
+  }
+
   test("lateness audit: planted late arrival scores its disorder; shard-size invariant") {
     import spark.implicits._
     def t(m: Int) = new java.sql.Timestamp(m * 60000L)
