@@ -409,6 +409,45 @@ object StreamOps {
       }
   }
 
+  /** Streaming lateness tracker —
+    * [[graft.engine.EventOps.latenessAudit]]'s per-event disorder
+    * maintained as events LAND: the state is ONE long (the running
+    * max event-time over all prior arrivals — the thing a watermark
+    * is), each arriving event emits (type, id, disorder_us) and
+    * bumps the max, so the live audit is a rollup over the sink that
+    * equals the batch audit exactly (asserted across a micro-batch
+    * split in StreamingSpec, including a late arrival whose running
+    * max carried over the boundary). The group key is GLOBAL by
+    * q225's semantics — disorder is measured against all strictly
+    * earlier arrivals of ANY type, and arrival order is inherently
+    * serial at the ingest point, so the single O(1)-state group IS
+    * the live form; the sub-sharded batch audit is the parallel
+    * REPROCESSING form over a landed log. Within a batch the slice
+    * restores arrival (event_id) order, matching the batch form's
+    * prefix frame. */
+  def streamingLateness(events: Dataset[(Long, Long, Long, String)])
+      : Dataset[(String, Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Int, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[Long]) =>
+          var runMax = state.getOption.getOrElse(Long.MinValue)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, tUs, typ) =>
+            val disorder =
+              if (runMax == Long.MinValue) 0L else math.max(0L, runMax - tUs)
+            out += ((typ, id, disorder))
+            runMax = math.max(runMax, tUs)
+          }
+          state.update(runMax)
+          out.iterator
+      }
+  }
+
   /** Streaming sequence packing — [[graft.engine.CorpusOps.packSequences]]
     * as continuous data prep: documents arrive as (lang, doc_id,
     * n_tokens), per-lang state is ONE long (the stream's running token

@@ -261,6 +261,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(("view", "click")) == 1L, "cross-batch edge must carry")
   }
 
+  test("streaming lateness rollup equals the batch audit across a batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max => smax, sum => ssum, timestamp_micros, when => swhen, lit => slit, count => scount}
+    val minUs = 60L * 1000000L
+    // arrival order 1..6; event 3 lands 15 min behind the running max
+    // (> the 10 min bound -> late), and event 6 lands 11 min behind a
+    // max that CARRIED across the batch boundary
+    val batch1 = Seq((1L, 1L, 10 * minUs, "A"), (2L, 2L, 20 * minUs, "B"),
+      (3L, 3L, 5 * minUs, "A"))
+    val batch2 = Seq((4L, 4L, 30 * minUs, "B"), (5L, 5L, 29 * minUs, "A"),
+      (6L, 6L, 19 * minUs, "B"))
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val q = StreamOps.streamingLateness(input.toDS())
+      .toDF("event_type", "event_id", "disorder_us")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lateness").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("lateness")
+      .groupBy(col("event_type"))
+      .agg(scount(slit(1)).cast("long").as("n_events"),
+        ssum(swhen(col("disorder_us") > 600000000L, 1L).otherwise(0L)).as("n_late"),
+        smax(col("disorder_us")).as("max_disorder_us"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val batch = EventOps.latenessAudit(
+        (batch1 ++ batch2).toDF("user_id", "event_id", "us", "event_type")
+          .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+            col("user_id"), col("event_type")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(streamed("A") == ((3L, 1L, 15L * minUs)), "the 15-min late event flags")
+    assert(streamed("B") == ((3L, 1L, 11L * minUs)),
+      "the cross-batch carried max must score event 6's 11-min disorder")
+  }
+
   test("streaming spikes equal the batch detector on closed days across a batch split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
