@@ -605,6 +605,36 @@ object CorpusOps {
       .orderBy(col("source"))
   }
 
+  /** Budget-gated ingest admission — [[tokenWaterFill]] ENFORCED in
+    * ingest order: per source, documents admit (whole docs only)
+    * while the running token count stays within the source's
+    * water-fill allocation; the first doc that would overflow — and
+    * everything after it in the stream — is rejected, so admitted
+    * token mass per source is ≤ its allocation by construction and
+    * the report shows exactly where each source's budget ran out.
+    * One per-source cumsum window (parallel across sources, the
+    * packing pattern — no global order anywhere) + a source-dim-sized
+    * broadcast join against the allocation table. The streaming twin
+    * ([[StreamOps.streamingAdmission]]) carries the same running
+    * count as per-source state. */
+  def budgetAdmission(documents: DataFrame, totalBudget: Long = 26000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alloc = tokenWaterFill(documents, totalBudget)
+      .select(col("source"), col("alloc_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"), col("source"),
+        size(expr(s"regexp_extract_all(text, '${TextOps.tokenRe}', 0)"))
+          .cast("long").as("n_toks"))
+      .withColumn("cum_tokens", sum(col("n_toks")).over(w))
+      .join(broadcast(alloc), "source")
+      .withColumn("admitted", col("cum_tokens") <= col("alloc_tokens"))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("cum_tokens"),
+        col("admitted"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic training-order shuffle — the loader-facing global
     * permutation: shuffle key = xxhash64(doc_id) (Spark's codegen'd
     * XXH64, seed 42 — the same chain the q94 split and q104 mix fate

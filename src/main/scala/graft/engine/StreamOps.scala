@@ -409,6 +409,42 @@ object StreamOps {
       }
   }
 
+  /** Streaming budget-gated admission —
+    * [[graft.engine.CorpusOps.budgetAdmission]] as data lands: the
+    * allocation table (source-dimension, driver-held — the q228
+    * water-fill output) rides into the state function as a plain map,
+    * per-source state is ONE long (tokens consumed so far), and each
+    * arriving doc emits its verdict and advances the count — so a
+    * source's feed shuts off mid-stream exactly where the batch form
+    * says it should (stream≡batch asserted across a micro-batch split
+    * in StreamingSpec, including an allocation exhausted ACROSS the
+    * boundary). Unknown sources get budget 0 — reject-by-default.
+    * Within a batch the per-source slice restores doc_id order, the
+    * family's usual contract; state never grows. */
+  def streamingAdmission(docs: Dataset[(String, Long, Long)],
+                         alloc: Map[String, Long])
+      : Dataset[(String, Long, Long, Long, Boolean)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    docs
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (src: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val budget = alloc.getOrElse(src, 0L)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, Long, Boolean)]
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, n) =>
+            cum += n
+            out += ((src, id, n, cum, cum <= budget))
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
+
   /** Streaming lateness tracker —
     * [[graft.engine.EventOps.latenessAudit]]'s per-event disorder
     * maintained as events LAND: the state is ONE long (the running

@@ -1327,30 +1327,30 @@ object Catalog {
     QuerySpec(
       "q228_token_waterfill",
       (s, dir) => CorpusOps.tokenWaterFill(Tables.documents(s, dir)),
-      Some("""WITH dem AS (
-             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-             |         CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))) AS BIGINT) AS demand
-             |  FROM documents GROUP BY 1),
-             |rk AS (SELECT source, n_docs, demand,
-             |         CAST(row_number() OVER (ORDER BY demand, source) AS BIGINT) AS r,
-             |         CAST(COALESCE(SUM(demand) OVER (ORDER BY demand, source
-             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix,
-             |         CAST(COUNT(*) OVER () AS BIGINT) AS n_src
-             |       FROM dem),
-             |lv AS (SELECT MIN(r) AS r_star FROM rk
-             |       WHERE prefix + (n_src - r + 1) * demand >= 26000),
-             |lr AS (SELECT lv.r_star,
-             |         CAST((26000 - rk.prefix) // (rk.n_src - lv.r_star + 1) AS BIGINT) AS level,
-             |         CAST((26000 - rk.prefix) % (rk.n_src - lv.r_star + 1) AS BIGINT) AS res
-             |       FROM lv LEFT JOIN rk ON rk.r = lv.r_star),
-             |a AS (SELECT rk.source, rk.n_docs, rk.demand,
-             |        CAST(CASE WHEN lr.r_star IS NULL OR rk.r < lr.r_star THEN rk.demand
-             |             ELSE lr.level + CASE WHEN rk.r < lr.r_star + lr.res THEN 1 ELSE 0 END
-             |             END AS BIGINT) AS alloc_tokens
-             |      FROM rk CROSS JOIN lr)
-             |SELECT source, n_docs, demand, alloc_tokens,
-             |       (alloc_tokens = demand) AS filled
-             |FROM a ORDER BY source""".stripMargin)),
+      Some(s"""WITH $waterFillCtes
+              |SELECT source, n_docs, demand, alloc_tokens,
+              |       (alloc_tokens = demand) AS filled
+              |FROM a ORDER BY source""".stripMargin)),
+
+    // budget-gated admission: the q228 allocation ENFORCED in ingest
+    // order — per source, docs admit while the running token count
+    // stays within the source's water-fill allocation (whole docs
+    // only). One per-source cumsum window + a dim-sized join.
+    QuerySpec(
+      "q230_budget_admission",
+      (s, dir) => CorpusOps.budgetAdmission(Tables.documents(s, dir)),
+      Some(s"""WITH $waterFillCtes,
+              |pd AS (SELECT doc_id, source,
+              |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_toks
+              |       FROM documents),
+              |cm AS (SELECT doc_id, source, n_toks,
+              |         CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+              |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              |       FROM pd)
+              |SELECT cm.doc_id, cm.source, cm.n_toks, cm.cum_tokens,
+              |       (cm.cum_tokens <= a.alloc_tokens) AS admitted
+              |FROM cm JOIN a USING (source)
+              |ORDER BY cm.doc_id""".stripMargin)),
 
     // leakage-safe split: near-dup clusters (the q61 demonstrator
     // closure) assign train/val/test as a UNIT via
@@ -4160,6 +4160,33 @@ object Catalog {
     val ctes: String =
       chainFrom("SELECT doc_id, CAST(doc_id AS HUGEINT) AS k FROM documents", "doc_id")
   }
+
+  /** Shared by q228 (the allocation table itself) and q230 (admission
+    * gated by it): the integer water-fill CTE chain ending in
+    * `a(source, n_docs, demand, alloc_tokens)`. One SQL text keeps
+    * the two queries' allocations provably identical. */
+  private val waterFillCtes: String =
+    """dem AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))) AS BIGINT) AS demand
+      |  FROM documents GROUP BY 1),
+      |rk AS (SELECT source, n_docs, demand,
+      |         CAST(row_number() OVER (ORDER BY demand, source) AS BIGINT) AS r,
+      |         CAST(COALESCE(SUM(demand) OVER (ORDER BY demand, source
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix,
+      |         CAST(COUNT(*) OVER () AS BIGINT) AS n_src
+      |       FROM dem),
+      |lv AS (SELECT MIN(r) AS r_star FROM rk
+      |       WHERE prefix + (n_src - r + 1) * demand >= 26000),
+      |lr AS (SELECT lv.r_star,
+      |         CAST((26000 - rk.prefix) // (rk.n_src - lv.r_star + 1) AS BIGINT) AS level,
+      |         CAST((26000 - rk.prefix) % (rk.n_src - lv.r_star + 1) AS BIGINT) AS res
+      |       FROM lv LEFT JOIN rk ON rk.r = lv.r_star),
+      |a AS (SELECT rk.source, rk.n_docs, rk.demand,
+      |        CAST(CASE WHEN lr.r_star IS NULL OR rk.r < lr.r_star THEN rk.demand
+      |             ELSE lr.level + CASE WHEN rk.r < lr.r_star + lr.res THEN 1 ELSE 0 END
+      |             END AS BIGINT) AS alloc_tokens
+      |      FROM rk CROSS JOIN lr)""".stripMargin
 
   /** q227 oracle: the q61 demonstrator closure labels every doc with
     * its near-dup cluster, then TWO XXH64 avalanche chains — one over

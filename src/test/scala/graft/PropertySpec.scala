@@ -367,4 +367,40 @@ class PropertySpec extends SparkSpec {
     assert(ckptFiles.nonEmpty,
       s"expected RDD checkpoint part files under $ckptDir")
   }
+
+  test("water-filling matches a sequential reference on random demands and budgets") {
+    import spark.implicits._
+    import graft.engine.CorpusOps
+    // independent reference: raise the level one token at a time
+    def reference(demands: Map[String, Long], budget: Long): Map[String, Long] = {
+      if (demands.values.sum <= budget) return demands
+      val alloc = scala.collection.mutable.Map(demands.view.mapValues(_ => 0L).toSeq: _*)
+      var left = budget
+      // deal tokens round-robin in (demand, source) order — the exact
+      // fairness rule: unfilled sources never differ by more than one
+      val order = demands.toSeq.sortBy { case (s, d) => (d, s) }.map(_._1)
+      while (left > 0) {
+        val open = order.filter(s => alloc(s) < demands(s))
+        val take = open.take(math.min(left, open.size.toLong).toInt)
+        take.foreach(s => alloc(s) += 1)
+        left -= take.size
+      }
+      alloc.toMap
+    }
+    val rnd = new Random(23)
+    (0 until 12).foreach { trial =>
+      val nSrc = 2 + rnd.nextInt(6)
+      val demands = (0 until nSrc)
+        .map(i => f"s$i%02d" -> (1L + rnd.nextInt(12))).toMap
+      val budget = 1L + rnd.nextInt(1 + (demands.values.sum * 3 / 2).toInt)
+      val docs = demands.toSeq.flatMap { case (src, d) =>
+        // one doc per source carrying exactly d single-char tokens
+        Seq((src.hashCode.toLong, ("x " * d.toInt).trim, "en", src))
+      }.toDF("doc_id", "text", "lang", "source")
+      val got = CorpusOps.tokenWaterFill(docs, totalBudget = budget).collect()
+        .map(r => r.getString(0) -> r.getLong(3)).toMap
+      val want = reference(demands, budget)
+      assert(got == want, s"trial $trial demands=$demands budget=$budget")
+    }
+  }
 }
