@@ -416,8 +416,13 @@ object AggregateOps {
           else lit(null).cast("long"))
         .select(col("level"), col("o_orderpriority"), col("o_orderstatus"),
           col("order_month"), col("n_rows"), col("n_custkeys"))
+      // the residual feeds the next level's rollup AND its own
+      // residual join — cut it so level n+1 never re-derives levels
+      // 0..n (the chain is strictly shrinking, bounded by the
+      // at-risk row count)
       val residual = rows.join(
         cls.filter(!col("ok")).select(keys.map(col): _*), keys)
+        .localCheckpoint(false)
       (released, residual)
     }
     val (r0, rem0) = pass(base, Seq("o_orderpriority", "o_orderstatus", "order_month"), 0)

@@ -183,6 +183,37 @@ object DedupOps {
       .orderBy(col("doc_i"), col("doc_j"))
   }
 
+  /** DF-capped exact-Jaccard pairs over the WHOLE corpus — the
+    * id-uncapped complement of [[jaccardPairs]]: instead of bounding
+    * the demonstrator by doc id, bound the self-join by shingle
+    * document frequency (the [[containmentPairs]] lever — a shingle
+    * with df docs contributes df² join rows, so df ≤ `dfCap` bounds
+    * the join at dfCap·|postings| with no doc subset). Sizes are
+    * computed over the SAME pruned shingle space, so the Jaccard is
+    * exact IN that space (boilerplate shingles carry no resemblance
+    * signal). Feeds q231's cross-boundary and batch-internal edge
+    * sets. */
+  def jaccardPairsDfCapped(documents: DataFrame, dfCap: Long = 30,
+                           threshold: Double = 0.15): DataFrame = {
+    val sh = shingles(documents).localCheckpoint(false)
+    val rare = sh.join(
+        sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= dfCap).select(col("shingle")),
+        Seq("shingle"))
+      .localCheckpoint(false) // sizes rollup + both join sides
+    val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    rare.as("a").join(rare.as("b"), col("a.shingle") === col("b.shingle"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_i").withColumnRenamed("n_sh", "n_i"), "doc_i")
+      .join(sizes.withColumnRenamed("doc_id", "doc_j").withColumnRenamed("n_sh", "n_j"), "doc_j")
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("n_i") + col("n_j") - col("common")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_i"), col("doc_j"), col("jaccard"))
+  }
+
   /** Diagnostic for sizing the [[boundBuckets]] cap: the bucket-size
     * histogram of the simhash banding — (bucket_n, n_buckets), largest
     * first. Any row with bucket_n above the configured cap is a bucket
@@ -898,6 +929,84 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Memoized [[clusterAwareSplit]] over a STORED slice — the split
+    * assignment is a catalog artifact (frozen once assigned — that is
+    * the whole point of the incremental form), so consumers share one
+    * closure+hash build per corpus per run. */
+  @transient private var splitMemo: Map[String, DataFrame] = Map.empty
+  def clusterSplitFor(documents: DataFrame, tag: String): DataFrame = synchronized {
+    splitMemo.getOrElse(tag, {
+      val df = clusterAwareSplit(documents,
+        jaccardPairs(documents).select(col("doc_i"), col("doc_j")))
+        .localCheckpoint(false)
+      splitMemo += (tag -> df)
+      df
+    })
+  }
+
+  /** INCREMENTAL cluster-aware split — the growth-stability fix for
+    * [[clusterAwareSplit]]: rerunning the full split after new docs
+    * arrive can MOVE stored documents between train and test (a new
+    * doc with a smaller id joining a cluster changes the cluster's
+    * min-id, hence its hash, hence every member's split — silent
+    * train/test churn as the corpus grows). Here the stored
+    * assignment is FROZEN: a batch doc near-dup-connected
+    * (transitively, through batch-internal edges too) to stored
+    * content ADOPTS the stored cluster's split; batch-only components
+    * hash fresh off their own min id, exactly the q227 rule. When one
+    * batch component bridges stored clusters that were assigned
+    * DIFFERENT splits, the doc adopts the minimum-id cluster's split
+    * and flags `conflict` — the irreducible leakage a frozen history
+    * cannot repair (the report names it instead of hiding it; the
+    * remediation is dropping those docs, not reshuffling history).
+    *
+    * Same condensed-closure shape as [[incrementalEntityGroups]]:
+    * stored clusters enter as ONE node each (their min-id label,
+    * mapped from the cross edges' stored endpoints), so CC input is
+    * batch + touched clusters — stored members never enter a shuffle.
+    * Output is the BATCH assignment only; stored rows are immutable
+    * by construction. */
+  def incrementalClusterSplit(storedAssign: DataFrame, crossEdges: DataFrame,
+                              batchEdges: DataFrame, batch: DataFrame): DataFrame = {
+    def splitOf(bucket: org.apache.spark.sql.Column) =
+      when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
+    val memCl = storedAssign.select(col("doc_id"), col("cluster_id"))
+    val condensed = crossEdges.select(col("doc_i"), col("doc_j"))
+      .join(memCl.select(col("doc_id").as("doc_i"),
+        col("cluster_id").as("cl_i")), Seq("doc_i"), "left_outer")
+      .join(memCl.select(col("doc_id").as("doc_j"),
+        col("cluster_id").as("cl_j")), Seq("doc_j"), "left_outer")
+      .select(coalesce(col("cl_i"), col("doc_i")).as("doc_i"),
+              coalesce(col("cl_j"), col("doc_j")).as("doc_j"))
+    val clSplit = storedAssign.select(col("cluster_id"), col("split")).distinct()
+      .localCheckpoint(false) // closure nodes + per-comp agg + anchor join
+    val nodes = clSplit.select(col("cluster_id").as("doc_id"))
+      .unionByName(batch.select(col("doc_id")))
+    val comps = connectedComponents(
+        nodes, condensed.unionByName(batchEdges.select(col("doc_i"), col("doc_j"))))
+      .withColumnRenamed("cluster_id", "comp_id")
+      .localCheckpoint(false) // per-comp agg + the batch-row emit both read it
+    val agg = comps
+      .join(clSplit.withColumnRenamed("cluster_id", "doc_id"), Seq("doc_id"), "left_outer")
+      .groupBy(col("comp_id"))
+      .agg(min(when(col("split").isNotNull, col("doc_id"))).as("anchor_cluster"),
+           countDistinct(col("split")).cast("long").as("n_splits"))
+    val enriched = agg
+      .join(clSplit.select(col("cluster_id").as("anchor_cluster"),
+        col("split").as("stored_split")), Seq("anchor_cluster"), "left_outer")
+      .withColumn("origin",
+        when(col("anchor_cluster").isNotNull, "adopted").otherwise("hashed"))
+      .withColumn("split", coalesce(col("stored_split"),
+        splitOf(pmod(xxhash64(col("comp_id")), lit(10)))))
+      .withColumn("conflict", col("n_splits") >= 2)
+    comps.join(batch.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .join(enriched, "comp_id")
+      .select(col("doc_id"),
+        coalesce(col("anchor_cluster"), col("comp_id")).as("assigned_cluster"),
+        col("split"), col("origin"), col("conflict"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Entity resolution groups — master-data management over the part
     * dimension: the q83 blocked-Levenshtein pairs become EDGES, the
     * CC machinery closes them transitively (A≈B and B≈C group even
@@ -936,7 +1045,10 @@ object DedupOps {
       df
     })
   }
-  def release(): Unit = synchronized { entityMemo = Map.empty }
+  def release(): Unit = synchronized {
+    entityMemo = Map.empty
+    splitMemo = Map.empty
+  }
 
   /** INCREMENTAL entity resolution — the q92/q109 batch-vs-stored
     * pattern over the [[entityGroups]] alias store: a new batch of

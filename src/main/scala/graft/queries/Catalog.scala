@@ -1320,6 +1320,29 @@ object Catalog {
              |JOIN part cn ON cn.p_partkey = cl.entity_id
              |ORDER BY p_partkey""".stripMargin)),
 
+    // INCREMENTAL cluster-aware split: stored assignments FROZEN
+    // (rerunning q227 after growth can silently move stored docs
+    // between train and test when a new doc changes a cluster's min
+    // id); batch docs adopt the stored cluster's split through
+    // condensed closure over df-capped cross + batch edges, new
+    // components hash fresh, and bridges between differently-split
+    // stored clusters flag `conflict` instead of reshuffling history.
+    QuerySpec(
+      "q231_incremental_split",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val storedAssign = DedupOps.clusterSplitFor(
+          docs.filter(col("doc_id") < 400), tag = s"$dir:storedSplit")
+        val pairs = DedupOps.jaccardPairsDfCapped(docs)
+          .localCheckpoint(false) // cross + batch-internal slices
+        DedupOps.incrementalClusterSplit(
+          storedAssign,
+          pairs.filter(col("doc_i") < 400 && col("doc_j") >= 400),
+          pairs.filter(col("doc_i") >= 400),
+          docs.filter(col("doc_id") >= 400).select(col("doc_id")))
+      },
+      Some(q231OracleSql)),
+
     // water-filling token-budget allocation: exact integer water
     // level over per-source demand — sources under the level keep
     // full demand, the rest are leveled, remainder tokens dealt to
@@ -4225,6 +4248,86 @@ object Catalog {
        |       (cb.split <> nb.naive_split) AS moved
        |FROM cb JOIN nb USING (doc_id)
        |ORDER BY cb.doc_id""".stripMargin
+  }
+
+  /** q231 oracle: (1) the stored-slice q227 closure + XXH64 split
+    * (suffix "c" chain over stored cluster ids); (2) the df-capped
+    * exact-Jaccard pair set over ALL docs; (3) the condensed combined
+    * closure over batch ids + stored cluster ids; (4) per-component
+    * anchor/conflict algebra with a fresh-hash chain (suffix "n")
+    * for batch-only components. Stored nodes are recognizable as
+    * node < 400 (cluster ids are stored doc ids). */
+  private val q231OracleSql: String = {
+    import Xxh64DocIdSql.{chainFrom, tos}
+    val bucket = s"((${tos("h8")} % 10) + 10) % 10"
+    def splitCase(b: String) =
+      s"CASE WHEN $b < 8 THEN 'train' WHEN $b = 8 THEN 'val' ELSE 'test' END"
+    s"""WITH RECURSIVE ssh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, substr(text, unnest(range(1, length(text) - 3)), 5) AS s
+       |    FROM documents WHERE doc_id < 60)),
+       |sn AS (SELECT doc_id, COUNT(*) AS n_sh FROM ssh GROUP BY doc_id),
+       |sc AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS common
+       |       FROM ssh a JOIN ssh b USING (s)
+       |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       |sp AS (SELECT doc_i, doc_j FROM sc
+       |       JOIN sn ni ON doc_i = ni.doc_id JOIN sn nj ON doc_j = nj.doc_id
+       |       WHERE ROUND(CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common), 6) >= 0.15),
+       |se AS (SELECT doc_i AS src, doc_j AS dst FROM sp
+       |       UNION ALL SELECT doc_j, doc_i FROM sp),
+       |sreach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 400
+       |  UNION
+       |  SELECT se.dst, r.lbl FROM sreach r JOIN se ON se.src = r.node),
+       |scl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM sreach GROUP BY node),
+       |sclu AS (SELECT DISTINCT cluster_id FROM scl),
+       |${chainFrom("SELECT cluster_id, CAST(cluster_id AS HUGEINT) AS k FROM sclu",
+                    "cluster_id", "c")},
+       |csplit AS (SELECT cluster_id, ${splitCase(bucket)} AS split FROM s10c),
+       |gsh AS (SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, substr(text, unnest(range(1, length(text) - 3)), 5) AS s
+       |    FROM documents)),
+       |gdf AS (SELECT s FROM gsh GROUP BY s HAVING COUNT(*) <= 30),
+       |gshf AS (SELECT gsh.doc_id, gsh.s FROM gsh JOIN gdf USING (s)),
+       |gn AS (SELECT doc_id, COUNT(*) AS n_sh FROM gshf GROUP BY 1),
+       |gc AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS common
+       |       FROM gshf a JOIN gshf b USING (s)
+       |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       |gp AS (SELECT i, j FROM gc
+       |       JOIN gn ni ON i = ni.doc_id JOIN gn nj ON j = nj.doc_id
+       |       WHERE ROUND(CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common), 6) >= 0.15),
+       |xe AS (SELECT scl.cluster_id AS i, gp.j FROM gp
+       |       JOIN scl ON gp.i = scl.doc_id WHERE gp.i < 400 AND gp.j >= 400),
+       |be AS (SELECT i, j FROM gp WHERE i >= 400),
+       |al AS (SELECT i, j FROM xe UNION SELECT i, j FROM be),
+       |ee AS (SELECT i AS src, j AS dst FROM al UNION ALL SELECT j, i FROM al),
+       |creach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents WHERE doc_id >= 400
+       |  UNION
+       |  SELECT cluster_id, cluster_id FROM sclu
+       |  UNION
+       |  SELECT ee.dst, r.lbl FROM creach r JOIN ee ON ee.src = r.node),
+       |ccl AS (SELECT node, MIN(lbl) AS comp_id FROM creach GROUP BY node),
+       |agg AS (SELECT ccl.comp_id,
+       |               MIN(CASE WHEN ccl.node < 400 THEN ccl.node END) AS anchor_cluster,
+       |               CAST(COUNT(DISTINCT CASE WHEN ccl.node < 400 THEN cs.split END) AS BIGINT) AS n_splits
+       |        FROM ccl LEFT JOIN csplit cs ON ccl.node = cs.cluster_id
+       |        GROUP BY ccl.comp_id),
+       |${chainFrom("SELECT comp_id, CAST(comp_id AS HUGEINT) AS k FROM (SELECT DISTINCT comp_id FROM ccl)",
+                    "comp_id", "n")},
+       |nsplit AS (SELECT comp_id, ${splitCase(bucket)} AS hsplit FROM s10n)
+       |SELECT ccl.node AS doc_id,
+       |       COALESCE(agg.anchor_cluster, ccl.comp_id) AS assigned_cluster,
+       |       CASE WHEN agg.anchor_cluster IS NOT NULL THEN cs.split
+       |            ELSE ns.hsplit END AS split,
+       |       CASE WHEN agg.anchor_cluster IS NOT NULL THEN 'adopted'
+       |            ELSE 'hashed' END AS origin,
+       |       (agg.n_splits >= 2) AS conflict
+       |FROM ccl JOIN agg USING (comp_id)
+       |LEFT JOIN csplit cs ON cs.cluster_id = agg.anchor_cluster
+       |JOIN nsplit ns ON ns.comp_id = ccl.comp_id
+       |WHERE ccl.node >= 400
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** q141 oracle: the full XXH64 chain → signed key, shard = mod 8,

@@ -1075,6 +1075,50 @@ class TextDedupSpec extends SparkSpec {
       "a singleton's cluster hash IS its doc hash — it cannot move")
   }
 
+  test("incremental split freezes history: adoption, fresh hashing, conflicts, no churn") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{pmod, xxhash64}
+    // stored: cluster {100,101} (label 100), singletons 200 and 300
+    val storedDocs = Seq(100L, 101L, 200L, 300L).toDF("doc_id")
+    val sEdges = Seq((100L, 101L)).toDF("doc_i", "doc_j")
+    val stored = DedupOps.clusterAwareSplit(storedDocs, sEdges).localCheckpoint(false)
+    val sMap = stored.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // batch: 10 bridges stored clusters 100 and 200; 11 attaches to
+    // 300; {12,13} a batch-only pair; 14 isolated
+    val cross = Seq((100L, 10L), (200L, 10L), (300L, 11L)).toDF("doc_i", "doc_j")
+    val bEdges = Seq((12L, 13L)).toDF("doc_i", "doc_j")
+    val batch = Seq(10L, 11L, 12L, 13L, 14L).toDF("doc_id")
+    val got = DedupOps.incrementalClusterSplit(stored, cross, bEdges, batch).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3), r.getBoolean(4)))).toMap
+    // the bridge adopts the MIN stored cluster's split; conflict iff
+    // the two stored clusters hashed to different splits
+    assert(got(10L)._1 == 100L && got(10L)._2 == sMap(100L)._2 &&
+      got(10L)._3 == "adopted", s"${got(10L)}")
+    assert(got(10L)._4 == (sMap(100L)._2 != sMap(200L)._2))
+    assert(got(11L) == ((300L, sMap(300L)._2, "adopted", false)))
+    // batch-only components hash fresh off their own min id — the
+    // exact q227 rule — and members share the split
+    def hashSplitOf(id: Long): String = Seq(id).toDF("x")
+      .select(pmod(xxhash64(col("x")), lit(10)).as("b"))
+      .select(when(col("b") < 8, "train").when(col("b") === 8, "val")
+        .otherwise("test")).collect()(0).getString(0)
+    assert(got(12L) == ((12L, hashSplitOf(12L), "hashed", false)))
+    assert(got(13L) == ((12L, hashSplitOf(12L), "hashed", false)))
+    assert(got(14L) == ((14L, hashSplitOf(14L), "hashed", false)))
+    // WHY freezing matters: the full rerun relabels the merged
+    // cluster to the new smaller batch id (10), rehashing — and
+    // potentially moving — every stored member; the incremental form
+    // cannot touch stored rows by construction
+    val rerun = DedupOps.clusterAwareSplit(
+        storedDocs.unionByName(batch),
+        sEdges.unionByName(cross.select(col("doc_i"), col("doc_j"))).unionByName(bEdges))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rerun(100L) == 10L && rerun(200L) == 10L,
+      "the rerun relabels stored docs' cluster (the churn the incremental form prevents)")
+  }
+
   test("incremental entities: a batch alias bridges two stored groups into one merged entity") {
     import spark.implicits._
     // stored: "aaaa"(1) and "abbb"(3) are 3 edits apart — two separate
