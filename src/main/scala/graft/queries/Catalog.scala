@@ -1333,8 +1333,7 @@ object Catalog {
         val docs = Tables.documents(s, dir)
         val storedAssign = DedupOps.clusterSplitFor(
           docs.filter(col("doc_id") < 400), tag = s"$dir:storedSplit")
-        val pairs = DedupOps.jaccardPairsDfCapped(docs)
-          .localCheckpoint(false) // cross + batch-internal slices
+        val pairs = SketchShared.dfCappedJaccardPairs(s, dir)
         DedupOps.incrementalClusterSplit(
           storedAssign,
           pairs.filter(col("doc_i") < 400 && col("doc_j") >= 400),

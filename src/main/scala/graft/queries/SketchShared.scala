@@ -55,6 +55,15 @@ object SketchShared {
       () => DedupOps.jaccardPairs(Tables.documents(s, dir),
         maxDocId = 500, threshold = 0.5).select(col("doc_i"), col("doc_j")))
 
+  /** DF-capped exact-Jaccard pairs over the whole corpus — q231's
+    * edge source, persisted because the pair set is a corpus
+    * artifact (it changes when the corpus does, not per query): the
+    * incremental-split run reads stored pairs and pays only the
+    * condensed closure + algebra. */
+  def dfCappedJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    tableFor(s, dir, "doc_dfcap_pairs",
+      () => DedupOps.jaccardPairsDfCapped(Tables.documents(s, dir)))
+
   /** SimHash prefix-band pairs with hamming distance — q43's output,
     * persisted for q70's edge union. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
