@@ -929,6 +929,22 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Memoized full-corpus near-dup cluster labels (the q61
+    * demonstrator closure) — a corpus artifact like the sketch pair
+    * tables; consumers that only need the (doc_id, cluster_id) map
+    * (q232's positive-exclusion set) share one closure per corpus
+    * per run. */
+  @transient private var clustersMemo: Map[String, DataFrame] = Map.empty
+  def clustersFor(documents: DataFrame, tag: String): DataFrame = synchronized {
+    clustersMemo.getOrElse(tag, {
+      val df = connectedComponents(documents.select(col("doc_id")),
+        jaccardPairs(documents).select(col("doc_i"), col("doc_j")))
+        .localCheckpoint(false)
+      clustersMemo += (tag -> df)
+      df
+    })
+  }
+
   /** Memoized [[clusterAwareSplit]] over a STORED slice — the split
     * assignment is a catalog artifact (frozen once assigned — that is
     * the whole point of the incremental form), so consumers share one
@@ -1048,6 +1064,7 @@ object DedupOps {
   def release(): Unit = synchronized {
     entityMemo = Map.empty
     splitMemo = Map.empty
+    clustersMemo = Map.empty
   }
 
   /** INCREMENTAL entity resolution — the q92/q109 batch-vs-stored

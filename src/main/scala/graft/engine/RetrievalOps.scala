@@ -247,6 +247,72 @@ object RetrievalOps {
     bm25TopKFromIndex(
       bm25Postings(documents), bm25DocLengths(documents), queries, k, k1, b)
 
+  /** BM25 HARD-NEGATIVE mining — the contrastive-training data step
+    * q201's cluster triplets approximate with random negatives: for
+    * each anchor document, the top-k documents that score HIGH on
+    * the anchor's own salient terms (top-tf, w-tiebroken — drawn
+    * from the STORED postings, no text pass) yet are NOT the
+    * anchor's near-duplicates (its closure cluster, the positives —
+    * excluded and counted per anchor, never silently dropped).
+    * Lexically-close-but-different docs are exactly the negatives a
+    * retriever/embedding model learns the most from.
+    *
+    * Scale shape: the anchor-term frame is anchors×termsPerAnchor
+    * rows (broadcast); candidate postings prune by a broadcast term
+    * semi-join (the dynamic-frame analogue of q145's literal isin
+    * prune — at 100 TB the runtime filter reaches the clustered
+    * postings scan); scoring is the q145 expression tree verbatim
+    * (rational idf, DECIMAL-exact per-doc sum), so the oracle
+    * replays it; the rank window is candidate-bounded per anchor.
+    * The positive set rides the memoized corpus closure
+    * ([[DedupOps.clustersFor]]). */
+  def hardNegatives(postings: DataFrame, doclens: DataFrame, clusters: DataFrame,
+                    anchors: Seq[Long] = Seq(0L, 20L, 40L, 80L, 120L),
+                    termsPerAnchor: Int = 3, k: Int = 10,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val wT = Window.partitionBy(col("doc_id")).orderBy(col("tf").desc, col("w"))
+    val qterms = postings.filter(col("doc_id").isin(anchors: _*))
+      .withColumn("trk", row_number().over(wT))
+      .filter(col("trk") <= termsPerAnchor)
+      .select(col("doc_id").as("qid"), col("w"))
+      .localCheckpoint(false) // term prune + the score join
+    val tf = postings
+      .join(broadcast(qterms.select(col("w")).distinct()), "w")
+      .localCheckpoint(false) // df rollup + score join
+    val dfw = tf.groupBy(col("w")).agg(count(lit(1)).cast("long").as("df"))
+    val corpus = doclens.agg(count(lit(1)).cast("long").as("nn"),
+      sum(col("dl")).cast("long").as("sumdl"))
+    val scored = tf
+      .join(broadcast(qterms), "w")
+      .join(dfw, "w")
+      .join(doclens, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("avgdl", col("sumdl").cast("double") / col("nn"))
+      .withColumn("score_t", round(
+        ((col("nn") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))),
+        9))
+    val perDoc = scored.groupBy(col("qid"), col("doc_id"))
+      .agg(round(Exact.decSum(col("score_t"), 9), 6).as("score"))
+    val anchorCl = clusters.filter(col("doc_id").isin(anchors: _*))
+      .select(col("doc_id").as("qid"), col("cluster_id").as("qcl"))
+    val withCl = perDoc
+      .join(broadcast(anchorCl), "qid")
+      .join(clusters, "doc_id")
+      .withColumn("is_pos", col("cluster_id") === col("qcl"))
+    val wQ = Window.partitionBy(col("qid"))
+    val wR = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    withCl
+      .withColumn("n_excluded",
+        sum(when(col("is_pos"), 1L).otherwise(0L)).over(wQ).cast("long"))
+      .filter(!col("is_pos"))
+      .withColumn("rk", row_number().over(wR).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("doc_id"), col("score"), col("n_excluded"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** Sparse-vector document similarity over the stored postings —
     * the ALL-PAIRS companion to the embedding-cosine pairs (q47):
     * documents as raw-tf term vectors, cosine via an inverted-index

@@ -2062,6 +2062,18 @@ object Catalog {
              |SELECT qid, rk, doc_id, score, n_terms FROM r WHERE rk <= 10
              |ORDER BY qid, rk""".stripMargin)),
 
+    // BM25 hard-negative mining: per anchor doc, top-k docs scoring
+    // high on the anchor's own salient terms but OUTSIDE its near-dup
+    // cluster (the positives — excluded and counted). Probes the
+    // stored postings + the memoized closure; the oracle recomputes
+    // both from scratch, certifying the stored artifacts again.
+    QuerySpec(
+      "q232_hard_negatives",
+      (s, dir) => RetrievalOps.hardNegatives(
+        RetrievalShared.postings(s, dir), RetrievalShared.docLengths(s, dir),
+        DedupOps.clustersFor(Tables.documents(s, dir), tag = dir)),
+      Some(q232OracleSql)),
+
     // the postings cap's flip side: the corpus-wide template/footer
     // grams reported top-k — word-count shaped, total-order cut
     QuerySpec(
@@ -4328,6 +4340,67 @@ object Catalog {
        |WHERE ccl.node >= 400
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** q232 oracle: the q61 demonstrator closure (positives), anchor
+    * top-tf term selection, and the q145 BM25 expression tree
+    * replayed from the raw text — a hash match certifies both stored
+    * artifacts (postings AND closure memo) on top of the mining
+    * algebra. */
+  private val q232OracleSql: String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, substr(text, unnest(range(1, length(text) - 3)), 5) AS s
+       |    FROM documents WHERE doc_id < 60)),
+       |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |c AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS common
+       |      FROM sh a JOIN sh b USING (s)
+       |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       |p AS (SELECT doc_i, doc_j FROM c
+       |      JOIN n ni ON doc_i = ni.doc_id JOIN n nj ON doc_j = nj.doc_id
+       |      WHERE ROUND(CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common), 6) >= 0.15),
+       |e AS (SELECT doc_i AS src, doc_j AS dst FROM p
+       |      UNION ALL SELECT doc_j, doc_i FROM p),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node),
+       |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+       |anch(qid) AS (VALUES (0), (20), (40), (80), (120)),
+       |toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS w
+       |  FROM documents),
+       |atf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+       |        WHERE doc_id IN (SELECT qid FROM anch) GROUP BY 1, 2),
+       |qt AS (SELECT doc_id AS qid, w FROM (
+       |         SELECT doc_id, w,
+       |                row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, w) AS trk
+       |         FROM atf) WHERE trk <= 3),
+       |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+       |       WHERE w IN (SELECT w FROM qt) GROUP BY 1, 2),
+       |dfw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+       |dl AS (SELECT doc_id,
+       |              CAST(len(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS BIGINT) AS dl
+       |       FROM documents),
+       |cc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
+       |s AS (SELECT qt.qid, tf.doc_id,
+       |             ROUND(((nn - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
+       |                   (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / nn))), 9) AS score_t
+       |      FROM tf JOIN qt USING (w) JOIN dfw USING (w) JOIN dl USING (doc_id) CROSS JOIN cc),
+       |pd AS (SELECT qid, doc_id, ROUND(${Exact.decSumSql("score_t", 9)}, 6) AS score
+       |       FROM s GROUP BY qid, doc_id),
+       |px AS (SELECT pd.qid, pd.doc_id, pd.score,
+       |              dc.cluster_id AS dcl, ac.cluster_id AS qcl
+       |       FROM pd JOIN cl dc ON pd.doc_id = dc.doc_id
+       |       JOIN cl ac ON pd.qid = ac.doc_id),
+       |ex AS (SELECT qid, CAST(SUM(CASE WHEN dcl = qcl THEN 1 ELSE 0 END) AS BIGINT) AS n_excluded
+       |       FROM px GROUP BY qid),
+       |r AS (SELECT qid, doc_id, score,
+       |             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+       |      FROM px WHERE dcl <> qcl)
+       |SELECT CAST(r.qid AS BIGINT) AS qid, r.rk, r.doc_id, r.score, ex.n_excluded
+       |FROM r JOIN ex USING (qid)
+       |WHERE r.rk <= 10
+       |ORDER BY qid, rk""".stripMargin
 
   /** q141 oracle: the full XXH64 chain → signed key, shard = mod 8,
     * in-shard rank by (key, doc_id). */

@@ -1335,6 +1335,42 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("hard negatives exclude the anchor's near-dup cluster even when it scores highest") {
+    import graft.engine.RetrievalOps
+    // inject a near-copy of doc 0 at id -1 (inside the demonstrator's
+    // doc_id < 60 edge window): it shares doc 0's exact vocabulary, so
+    // it would top the anchor's own term ranking — the cluster
+    // exclusion must drop it anyway
+    val copy = docs.filter(col("doc_id") === 0)
+      .withColumn("doc_id", lit(-1L))
+      .withColumn("text", concat(col("text"), lit(" tail")))
+    val corpus = docs.unionByName(copy).localCheckpoint(false)
+    val clusters = DedupOps.connectedComponents(
+      corpus.select(col("doc_id")),
+      DedupOps.jaccardPairs(corpus).select(col("doc_i"), col("doc_j")))
+    val got = RetrievalOps.hardNegatives(
+        RetrievalOps.bm25Postings(corpus), RetrievalOps.bm25DocLengths(corpus),
+        clusters, anchors = Seq(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(got.length == 10, s"k=10 negatives: ${got.length}")
+    assert(!got.exists(_._3 == -1L), "the planted near-copy is a positive, never a negative")
+    assert(!got.exists(_._3 == 0L), "the anchor itself is excluded")
+    // the whole cluster of doc 0 is out, and counted
+    val clusterOf0 = clusters.filter(col("cluster_id") ===
+        clusters.filter(col("doc_id") === 0).collect()(0).getLong(1))
+      .collect().map(_.getLong(0)).toSet
+    assert(got.forall(g => !clusterOf0.contains(g._3)))
+    // n_excluded counts the SCORING positives: at least the anchor
+    // (its own terms) and the planted copy (same vocabulary), at most
+    // the whole cluster
+    assert(got.head._5 >= 2L && got.head._5 <= clusterOf0.size.toLong,
+      s"n_excluded ${got.head._5} vs cluster ${clusterOf0.size}")
+    // ranks dense, scores non-increasing
+    assert(got.map(_._2).toSeq == (1L to 10L))
+    assert(got.map(_._4).sliding(2).forall(p => p.head >= p.last))
+  }
+
   test("bm25 persisted-index probe matches the inline computation, prune pushes to the scan") {
     import graft.queries.RetrievalShared
     val inline = RetrievalOps.bm25TopK(docs).collect().map(_.toString).toSeq
