@@ -835,10 +835,18 @@ object CorpusOps {
     * dup-rate-sized; the membership check is one left join against
     * the label table, co-keyed on the drawn id. */
   def contrastiveTriplets(documents: DataFrame, edges: DataFrame,
-                          nNeg: Int = 2): DataFrame = {
+                          nNeg: Int = 2): DataFrame =
+    contrastiveTripletsFromClusters(
+      DedupOps.connectedComponents(documents.select(col("doc_id")), edges)
+        .localCheckpoint(false), nNeg)
+
+  /** [[contrastiveTriplets]] over the prebuilt label table (every doc
+    * appears in it, so the hash-draw modulus comes off the labels —
+    * no separate corpus count scan). */
+  def contrastiveTripletsFromClusters(clusters: DataFrame,
+                                      nNeg: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val labels = DedupOps.connectedComponents(documents.select(col("doc_id")), edges)
-      .localCheckpoint(false) // sizes, anchors, and the neg check all read it
+    val labels = clusters // sizes, anchors, and the neg check all read it
     val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("nm"))
     val multi = labels.join(sizes.filter(col("nm") >= 2), "cluster_id")
     val w = Window.partitionBy(col("cluster_id")).orderBy(col("doc_id"))
@@ -850,7 +858,7 @@ object CorpusOps {
     val anchors = multi.join(firstTwo, "cluster_id")
       .withColumn("positive",
         when(col("doc_id") === col("m1"), col("m2")).otherwise(col("m1")))
-    val n = documents.agg(count(lit(1)).as("n_docs"))
+    val n = labels.agg(count(lit(1)).as("n_docs"))
     anchors.select(col("doc_id"), col("cluster_id"), col("positive"))
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("cluster_id"), col("positive"),

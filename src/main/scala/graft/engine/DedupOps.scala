@@ -855,7 +855,16 @@ object DedupOps {
     * the edge set is SQL-expressible (q61 feeds [[jaccardPairs]];
     * DuckDB reproduces the transitive closure with a recursive CTE). */
   def nearDedup(documents: DataFrame, edges: DataFrame): DataFrame =
-    connectedComponents(documents.select(col("doc_id")), edges)
+    nearDedupFromClusters(
+      connectedComponents(documents.select(col("doc_id")), edges))
+
+  /** [[nearDedup]] over a PREBUILT cluster-label table (the
+    * [[clustersFor]] catalog artifact): the closure is a corpus
+    * artifact like the sketch pair sets, so every consumer that only
+    * needs the labels reads ONE build per corpus — the SketchShared
+    * lever applied to the closure itself. */
+  def nearDedupFromClusters(clusters: DataFrame): DataFrame =
+    clusters
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_members"))
       .select(col("cluster_id").as("doc_id"), col("n_members"))
@@ -871,7 +880,12 @@ object DedupOps {
     * [[nearDedup]]'s cluster table; the histogram frame is
     * distinct-sizes small. */
   def clusterSizeHistogram(documents: DataFrame, edges: DataFrame): DataFrame =
-    nearDedup(documents, edges)
+    clusterSizeHistogramFromClusters(
+      connectedComponents(documents.select(col("doc_id")), edges))
+
+  /** [[clusterSizeHistogram]] over the prebuilt label table. */
+  def clusterSizeHistogramFromClusters(clusters: DataFrame): DataFrame =
+    nearDedupFromClusters(clusters)
       .groupBy(col("n_members"))
       .agg(count(lit(1)).as("n_clusters"))
       .select(col("n_members"), col("n_clusters"),
@@ -889,8 +903,13 @@ object DedupOps {
     * largest cluster, which the candidate-pair caps already bound),
     * and the metadata join on doc_id is AQE-broadcastable when the
     * cluster table is small. */
-  def canonicalByQuality(documents: DataFrame, edges: DataFrame): DataFrame = {
-    val clusters = connectedComponents(documents.select(col("doc_id")), edges)
+  def canonicalByQuality(documents: DataFrame, edges: DataFrame): DataFrame =
+    canonicalByQualityFromClusters(documents,
+      connectedComponents(documents.select(col("doc_id")), edges))
+
+  /** [[canonicalByQuality]] over the prebuilt label table. */
+  def canonicalByQualityFromClusters(documents: DataFrame,
+                                     clusters: DataFrame): DataFrame = {
     val sized = clusters
       .join(documents.select(col("doc_id"), col("n_chars")), "doc_id")
     val pick = Window.partitionBy(col("cluster_id"))
@@ -918,10 +937,15 @@ object DedupOps {
     * clusters). Cost: the closure the dedup pass already built plus
     * two codegen'd hashes — no extra shuffle beyond the cluster
     * join. */
-  def clusterAwareSplit(documents: DataFrame, edges: DataFrame): DataFrame = {
+  def clusterAwareSplit(documents: DataFrame, edges: DataFrame): DataFrame =
+    clusterAwareSplitFromClusters(
+      connectedComponents(documents.select(col("doc_id")), edges))
+
+  /** [[clusterAwareSplit]] over the prebuilt label table. */
+  def clusterAwareSplitFromClusters(clusters: DataFrame): DataFrame = {
     def splitOf(bucket: org.apache.spark.sql.Column) =
       when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
-    connectedComponents(documents.select(col("doc_id")), edges)
+    clusters
       .withColumn("split", splitOf(pmod(xxhash64(col("cluster_id")), lit(10))))
       .withColumn("moved",
         col("split") =!= splitOf(pmod(xxhash64(col("doc_id")), lit(10))))
@@ -1197,8 +1221,12 @@ object DedupOps {
     * cluster size divides 10⁶ — floor-division is the deterministic
     * choice, asserted in the spec. One closure + one cluster-sized
     * rollup broadcast back onto the membership table. */
-  def dupTrainingWeights(documents: DataFrame, edges: DataFrame): DataFrame = {
-    val clusters = connectedComponents(documents.select(col("doc_id")), edges)
+  def dupTrainingWeights(documents: DataFrame, edges: DataFrame): DataFrame =
+    dupTrainingWeightsFromClusters(
+      connectedComponents(documents.select(col("doc_id")), edges))
+
+  /** [[dupTrainingWeights]] over the prebuilt label table. */
+  def dupTrainingWeightsFromClusters(clusters: DataFrame): DataFrame = {
     val sizes = clusters.groupBy(col("cluster_id"))
       .agg(count(lit(1)).cast("long").as("n_members"))
     clusters.join(sizes, "cluster_id")

@@ -1383,11 +1383,8 @@ object Catalog {
     // avalanche chains (cluster key and doc key).
     QuerySpec(
       "q227_cluster_split",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        DedupOps.clusterAwareSplit(docs,
-          DedupOps.jaccardPairs(docs).select(col("doc_i"), col("doc_j")))
-      },
+      (s, dir) => DedupOps.clusterAwareSplitFromClusters(
+        DedupOps.clustersFor(Tables.documents(s, dir), tag = dir)),
       Some(q227OracleSql)),
 
     // Theil–Sen robust trend: exact lower median of all pairwise
@@ -2763,12 +2760,12 @@ object Catalog {
     // TextDedupSpec.
     QuerySpec(
       "q61_near_dedup",
-      (s, dir) => {
-        import org.apache.spark.sql.functions.col
-        val docs = Tables.documents(s, dir)
-        DedupOps.nearDedup(docs,
-          DedupOps.jaccardPairs(docs).select(col("doc_i"), col("doc_j")))
-      },
+      // reads the memoized corpus closure (DedupOps.clustersFor) —
+      // the oracle still replays edges + closure from scratch, so a
+      // hash match certifies the shared label table for every
+      // consumer behind it
+      (s, dir) => DedupOps.nearDedupFromClusters(
+        DedupOps.clustersFor(Tables.documents(s, dir), tag = dir)),
       Some("""WITH RECURSIVE sh AS (
              |  SELECT DISTINCT doc_id, s FROM (
              |    SELECT doc_id, substr(text, unnest(range(1, length(text) - 3)), 5) AS s
@@ -2797,12 +2794,8 @@ object Catalog {
     // dedup byproducts as embedding-model supervision.
     QuerySpec(
       "q201_contrastive_triplets",
-      (s, dir) => {
-        import org.apache.spark.sql.functions.col
-        val docs = Tables.documents(s, dir)
-        CorpusOps.contrastiveTriplets(docs,
-          DedupOps.jaccardPairs(docs).select(col("doc_i"), col("doc_j")))
-      },
+      (s, dir) => CorpusOps.contrastiveTripletsFromClusters(
+        DedupOps.clustersFor(Tables.documents(s, dir), tag = dir)),
       Some(q201OracleSql)),
 
     // duplication-aware training weights over the same closure: every
@@ -2810,12 +2803,8 @@ object Catalog {
     // alternative to dropping near-dups.
     QuerySpec(
       "q209_dup_weights",
-      (s, dir) => {
-        import org.apache.spark.sql.functions.col
-        val docs = Tables.documents(s, dir)
-        DedupOps.dupTrainingWeights(docs,
-          DedupOps.jaccardPairs(docs).select(col("doc_i"), col("doc_j")))
-      },
+      (s, dir) => DedupOps.dupTrainingWeightsFromClusters(
+        DedupOps.clustersFor(Tables.documents(s, dir), tag = dir)),
       Some("""WITH RECURSIVE sh AS (
              |  SELECT DISTINCT doc_id, s FROM (
              |    SELECT doc_id, substr(text, unnest(range(1, length(text) - 3)), 5) AS s
@@ -2847,12 +2836,9 @@ object Catalog {
     // the transitive closure, nothing else moves.
     QuerySpec(
       "q139_canonical_by_quality",
-      (s, dir) => {
-        import org.apache.spark.sql.functions.col
-        val docs = Tables.documents(s, dir)
-        DedupOps.canonicalByQuality(docs,
-          DedupOps.jaccardPairs(docs).select(col("doc_i"), col("doc_j")))
-      },
+      (s, dir) => DedupOps.canonicalByQualityFromClusters(
+        Tables.documents(s, dir),
+        DedupOps.clustersFor(Tables.documents(s, dir), tag = dir)),
       Some("""WITH RECURSIVE sh AS (
              |  SELECT DISTINCT doc_id, s FROM (
              |    SELECT doc_id, substr(text, unnest(range(1, length(text) - 3)), 5) AS s
@@ -2885,12 +2871,8 @@ object Catalog {
     // means the threshold is loose or a flood slipped the caps.
     QuerySpec(
       "q130_cluster_histogram",
-      (s, dir) => {
-        import org.apache.spark.sql.functions.col
-        val docs = Tables.documents(s, dir)
-        DedupOps.clusterSizeHistogram(docs,
-          DedupOps.jaccardPairs(docs).select(col("doc_i"), col("doc_j")))
-      },
+      (s, dir) => DedupOps.clusterSizeHistogramFromClusters(
+        DedupOps.clustersFor(Tables.documents(s, dir), tag = dir)),
       Some("""WITH RECURSIVE sh AS (
              |  SELECT DISTINCT doc_id, s FROM (
              |    SELECT doc_id, substr(text, unnest(range(1, length(text) - 3)), 5) AS s
