@@ -377,6 +377,31 @@ class ScaleSpec extends SparkSpec {
     assert(bnlj <= 1, s"only the 1-row count frame may nested-loop (saw $bnlj):\n$finalPlan")
   }
 
+  test("r10 windows: admission cumsum keys on source; hard-negative ranks key on anchor") {
+    import graft.engine.{CorpusOps, RetrievalOps, Tables}
+    // q230: the only corpus-scale window is the per-source cumsum —
+    // it must exchange on source (parallel across sources), never run
+    // unpartitioned
+    val adm = CorpusOps.budgetAdmission(Tables.documents(spark, sf))
+    adm.collect()
+    val admPlan = adm.queryExecution.executedPlan.toString
+    assert(admPlan.contains("hashpartitioning(source"),
+      s"admission cumsum must key on source:\n${admPlan.take(2000)}")
+    // q232: the rank window partitions by the anchor id — candidate-
+    // bounded per anchor, never a global order
+    val hn = RetrievalOps.hardNegatives(
+      RetrievalOps.bm25Postings(Tables.documents(spark, sf)),
+      RetrievalOps.bm25DocLengths(Tables.documents(spark, sf)),
+      graft.engine.DedupOps.connectedComponents(
+        Tables.documents(spark, sf).select(col("doc_id")),
+        graft.engine.DedupOps.jaccardPairs(Tables.documents(spark, sf))
+          .select(col("doc_i"), col("doc_j"))))
+    hn.collect()
+    val hnPlan = hn.queryExecution.executedPlan.toString
+    assert(hnPlan.contains("hashpartitioning(qid"),
+      s"hard-negative rank window must key on the anchor:\n${hnPlan.take(2000)}")
+  }
+
   test("lateness audit's event-sized window exchanges on shard, never a single task") {
     import graft.engine.{EventOps, Tables}
     val plan = EventOps.latenessAudit(Tables.events(spark, sf))
