@@ -371,7 +371,20 @@ object EventOps {
     * which at 10^12 events would be a 4e9-row broadcast); AQE
     * broadcasts it when it is actually small. */
   def latenessAudit(events: DataFrame, shardSize: Long = 256,
-                    superSize: Long = 4096, lateUs: Long = 600000000L): DataFrame = {
+                    superSize: Long = 4096, lateUs: Long = 600000000L): DataFrame =
+    disorderPerEvent(events, shardSize, superSize)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+           sum(when(col("disorder_us") > lateUs, 1L).otherwise(0L)).as("n_late"),
+           max(col("disorder_us")).cast("long").as("max_disorder_us"))
+      .orderBy(col("event_type"))
+
+  /** Per-event disorder — [[latenessAudit]]'s two-level sub-sharded
+    * prefix running max exposed as a row-level frame (event_id,
+    * event_type, disorder_us), so the audit rollup and the
+    * [[watermarkAdvice]] percentile pass share one machinery. */
+  def disorderPerEvent(events: DataFrame, shardSize: Long = 256,
+                       superSize: Long = 4096): DataFrame = {
     val base = events
       .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
       .withColumn("shard", expr(s"event_id DIV $shardSize"))
@@ -399,10 +412,51 @@ object EventOps {
       .withColumn("disorder_us",
         greatest(greatest(coalesce(col("run_in"), col("us")),
           coalesce(col("prev_max"), col("us"))) - col("us"), lit(0L)))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).cast("long").as("n_events"),
-           sum(when(col("disorder_us") > lateUs, 1L).otherwise(0L)).as("n_late"),
+      .select(col("event_id"), col("event_type"), col("disorder_us"))
+  }
+
+  /** Watermark ADVICE — the number `withWatermark` should actually
+    * be set to, derived from data instead of guessed: per event type,
+    * the EXACT p50/p95/p99 lower order statistics of the per-event
+    * disorder (pN = smallest d with count(disorder ≤ d) ≥ ⌈N·n/100⌉,
+    * pure integers — 100·cum ≥ N·n avoids ever materializing the
+    * ceiling) plus the max, and the ppm share of events a p99 bound
+    * would cover. A watermark at p99_us loses at most 1% of events
+    * to lateness; the gap between p99 and max is the tail you either
+    * absorb with state retention or consciously drop.
+    *
+    * Cost shape: the percentile pass runs on per-(type, disorder)
+    * VALUE counts — the cumulative window is distinct-value-sized
+    * per type (in-order streams collapse to disorder 0), never
+    * event-sized; the disorder frame itself reuses the audit's
+    * sub-sharded machinery. */
+  def watermarkAdvice(events: DataFrame, shardSize: Long = 256,
+                      superSize: Long = 4096): DataFrame = {
+    val d = disorderPerEvent(events, shardSize, superSize)
+    val vc = d.groupBy(col("event_type"), col("disorder_us"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("disorder_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = vc.groupBy(col("event_type")).agg(sum(col("c")).cast("long").as("n"))
+    val cum = vc
+      .withColumn("cum", sum(col("c")).over(w))
+      .join(broadcast(tot), "event_type")
+    def pN(n: Int) = min(when(col("cum") * 100 >= lit(n.toLong) * col("n"),
+      col("disorder_us"))).cast("long")
+    cum.groupBy(col("event_type"))
+      .agg(min(col("n")).as("n_events"),
+           pN(50).as("p50_disorder_us"),
+           pN(95).as("p95_disorder_us"),
+           pN(99).as("p99_disorder_us"),
            max(col("disorder_us")).cast("long").as("max_disorder_us"))
+      .join(broadcast(cum.select(col("event_type"),
+          col("disorder_us").as("p99d"), col("cum").as("p99cum"), col("n"))),
+        Seq("event_type"))
+      .filter(col("p99d") === col("p99_disorder_us"))
+      .withColumn("covered_ppm", expr("(p99cum * 1000000) DIV n"))
+      .select(col("event_type"), col("n_events"),
+        col("p50_disorder_us"), col("p95_disorder_us"), col("p99_disorder_us"),
+        col("max_disorder_us"), col("covered_ppm"))
       .orderBy(col("event_type"))
   }
 

@@ -1387,6 +1387,44 @@ object Catalog {
         DedupOps.clustersFor(Tables.documents(s, dir), tag = dir)),
       Some(q227OracleSql)),
 
+    // watermark advice: exact p50/p95/p99 per-event disorder per type
+    // — the number withWatermark should be SET to, from data. The
+    // oracle's disorder comes from one global ordered window (proving
+    // the sub-sharded engine path again) and the same integer rank
+    // algebra (100·cum ≥ N·n).
+    QuerySpec(
+      "q233_watermark_advice",
+      (s, dir) => EventOps.watermarkAdvice(Tables.events(s, dir)),
+      Some("""WITH e AS (
+             |  SELECT event_id, event_type, epoch_us(ts) AS us FROM events),
+             |r AS (SELECT event_type, us,
+             |             MAX(us) OVER (ORDER BY event_id
+             |                           ROWS BETWEEN UNBOUNDED PRECEDING
+             |                           AND 1 PRECEDING) AS pm
+             |      FROM e),
+             |d AS (SELECT event_type,
+             |             GREATEST(COALESCE(pm, us) - us, 0) AS dus
+             |      FROM r),
+             |vc AS (SELECT event_type, dus, CAST(COUNT(*) AS BIGINT) AS c
+             |       FROM d GROUP BY 1, 2),
+             |cm AS (SELECT event_type, dus, c,
+             |              CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY dus
+             |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             |              CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+             |       FROM vc),
+             |agg AS (SELECT event_type, MIN(n) AS n_events,
+             |          CAST(MIN(CASE WHEN cum * 100 >= 50 * n THEN dus END) AS BIGINT) AS p50_disorder_us,
+             |          CAST(MIN(CASE WHEN cum * 100 >= 95 * n THEN dus END) AS BIGINT) AS p95_disorder_us,
+             |          CAST(MIN(CASE WHEN cum * 100 >= 99 * n THEN dus END) AS BIGINT) AS p99_disorder_us,
+             |          CAST(MAX(dus) AS BIGINT) AS max_disorder_us
+             |        FROM cm GROUP BY event_type)
+             |SELECT agg.event_type, agg.n_events, agg.p50_disorder_us,
+             |       agg.p95_disorder_us, agg.p99_disorder_us, agg.max_disorder_us,
+             |       CAST((cm.cum * 1000000) // cm.n AS BIGINT) AS covered_ppm
+             |FROM agg JOIN cm ON agg.event_type = cm.event_type
+             |                AND agg.p99_disorder_us = cm.dus
+             |ORDER BY agg.event_type""".stripMargin)),
+
     // Theil–Sen robust trend: exact lower median of all pairwise
     // daily slopes, sign·(|Δy|·10⁶ DIV Δx) so truncation direction
     // agrees across engines; pair frame is C(days,2) per type.

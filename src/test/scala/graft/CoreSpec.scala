@@ -338,6 +338,35 @@ class CoreSpec extends SparkSpec {
     assert(got.map(_._5).sum == rows.size.toLong, "every input row is released exactly once")
   }
 
+  test("watermark advice: exact percentile ranks on a planted disorder distribution") {
+    import spark.implicits._
+    val minUs = 60L * 1000000L
+    val late10 = Set(20, 30, 40, 50, 60, 70) // disorder 10 min
+    val late50 = Set(80, 85, 90)             // disorder 50 min
+    val late90 = Set(95)                     // disorder 90 min (the tail)
+    // normal events tick one minute apart and always raise the running
+    // max, so each late event's disorder is exactly its delta
+    val ev = (1 to 100).map { i =>
+      val ts =
+        if (late10(i)) (i - 1) * minUs - 10 * minUs
+        else if (late50(i)) (i - 1) * minUs - 50 * minUs
+        else if (late90(i)) (i - 1) * minUs - 90 * minUs
+        else i * minUs
+      (i.toLong, new java.sql.Timestamp(ts / 1000), 1L, "A")
+    }.toDF("event_id", "ts", "user_id", "event_type")
+    val r = EventOps.watermarkAdvice(ev).collect()(0)
+    // 90 zeros, 6 at 10 min, 3 at 50 min, 1 at 90 min:
+    // p50 -> 0, p95 -> rank 95 in [91..96] -> 10 min,
+    // p99 -> rank 99 in [97..99] -> 50 min, max -> 90 min,
+    // covered at p99 = 99/100 = 990000 ppm
+    assert(r.getLong(1) == 100L)
+    assert(r.getLong(2) == 0L, s"p50: $r")
+    assert(r.getLong(3) == 10L * minUs, s"p95: $r")
+    assert(r.getLong(4) == 50L * minUs, s"p99: $r")
+    assert(r.getLong(5) == 90L * minUs, s"max: $r")
+    assert(r.getLong(6) == 990000L, s"covered_ppm: $r")
+  }
+
   test("lateness audit: planted late arrival scores its disorder; shard-size invariant") {
     import spark.implicits._
     def t(m: Int) = new java.sql.Timestamp(m * 60000L)
