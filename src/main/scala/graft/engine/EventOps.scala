@@ -431,29 +431,44 @@ object EventOps {
     * event-sized; the disorder frame itself reuses the audit's
     * sub-sharded machinery. */
   def watermarkAdvice(events: DataFrame, shardSize: Long = 256,
-                      superSize: Long = 4096): DataFrame = {
-    val d = disorderPerEvent(events, shardSize, superSize)
+                      superSize: Long = 4096): DataFrame =
+    watermarkAdviceFromDisorder(disorderPerEvent(events, shardSize, superSize))
+
+  /** [[watermarkAdvice]] over a PREBUILT (event_type, disorder_us)
+    * frame — e.g. the [[StreamOps.streamingLateness]] sink, so the
+    * live tracker and the batch advice share one percentile pass
+    * (sink-rollup ≡ batch asserted in StreamingSpec). */
+  def watermarkAdviceFromDisorder(d: DataFrame): DataFrame = {
     val vc = d.groupBy(col("event_type"), col("disorder_us"))
       .agg(count(lit(1)).cast("long").as("c"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("disorder_us"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // totals carry ALIASED columns (fresh attribute ids): both join
+    // sides share the vc lineage, and over a streaming-sink relation
+    // the analyzer cannot dedup identical references itself
     val tot = vc.groupBy(col("event_type")).agg(sum(col("c")).cast("long").as("n"))
+      .select(col("event_type").as("tot_type"), col("n"))
     val cum = vc
       .withColumn("cum", sum(col("c")).over(w))
-      .join(broadcast(tot), "event_type")
+      .join(broadcast(tot), col("event_type") === col("tot_type"))
+      .drop("tot_type")
+      .localCheckpoint(false) // percentile agg + the coverage self-join
     def pN(n: Int) = min(when(col("cum") * 100 >= lit(n.toLong) * col("n"),
       col("disorder_us"))).cast("long")
+    // the coverage lookup aliases every column — fresh attribute ids,
+    // so the self-join resolves even over a streaming-sink lineage
+    val cov = cum.select(col("event_type").as("cov_type"),
+      col("disorder_us").as("p99d"), col("cum").as("p99cum"), col("n").as("cov_n"))
     cum.groupBy(col("event_type"))
       .agg(min(col("n")).as("n_events"),
            pN(50).as("p50_disorder_us"),
            pN(95).as("p95_disorder_us"),
            pN(99).as("p99_disorder_us"),
            max(col("disorder_us")).cast("long").as("max_disorder_us"))
-      .join(broadcast(cum.select(col("event_type"),
-          col("disorder_us").as("p99d"), col("cum").as("p99cum"), col("n"))),
-        Seq("event_type"))
-      .filter(col("p99d") === col("p99_disorder_us"))
-      .withColumn("covered_ppm", expr("(p99cum * 1000000) DIV n"))
+      .join(broadcast(cov),
+        col("event_type") === col("cov_type") &&
+          col("p99_disorder_us") === col("p99d"))
+      .withColumn("covered_ppm", expr("(p99cum * 1000000) DIV cov_n"))
       .select(col("event_type"), col("n_events"),
         col("p50_disorder_us"), col("p95_disorder_us"), col("p99_disorder_us"),
         col("max_disorder_us"), col("covered_ppm"))

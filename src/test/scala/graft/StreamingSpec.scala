@@ -345,6 +345,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed("A") == ((3L, 1L, 15L * minUs)), "the 15-min late event flags")
     assert(streamed("B") == ((3L, 1L, 11L * minUs)),
       "the cross-batch carried max must score event 6's 11-min disorder")
+    // the live sink also feeds the watermark-advice percentile pass:
+    // sink-rollup advice must equal the batch advice over the same feed
+    val sinkAdvice = EventOps.watermarkAdviceFromDisorder(
+        spark.table("lateness").select(col("event_type"), col("disorder_us")))
+      .collect().map(_.toString).toSeq
+    val batchAdvice = EventOps.watermarkAdvice(
+        (batch1 ++ batch2).toDF("user_id", "event_id", "us", "event_type")
+          .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+            col("user_id"), col("event_type")))
+      .collect().map(_.toString).toSeq
+    assert(sinkAdvice == batchAdvice, s"sink $sinkAdvice != batch $batchAdvice")
   }
 
   test("streaming spikes equal the batch detector on closed days across a batch split") {
