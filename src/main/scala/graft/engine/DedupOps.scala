@@ -1020,10 +1020,20 @@ object DedupOps {
               coalesce(col("cl_j"), col("doc_j")).as("doc_j"))
     val clSplit = storedAssign.select(col("cluster_id"), col("split")).distinct()
       .localCheckpoint(false) // closure nodes + per-comp agg + anchor join
-    val nodes = clSplit.select(col("cluster_id").as("doc_id"))
+    // only clusters a cross edge actually touches enter the closure —
+    // an untouched cluster would be an isolated node that emits no
+    // batch rows, so keeping it out makes CC input batch + TOUCHED
+    // clusters (never history-sized even when history is all
+    // singletons); condensed endpoints < any batch id iff stored
+    val condensedM = condensed.localCheckpoint(false) // touched derivation + edges
+    val touchedCl = clSplit.select(col("cluster_id"))
+      .join(condensedM.select(col("doc_i").as("cluster_id"))
+        .unionByName(condensedM.select(col("doc_j").as("cluster_id"))).distinct(),
+        Seq("cluster_id"), "left_semi")
+    val nodes = touchedCl.select(col("cluster_id").as("doc_id"))
       .unionByName(batch.select(col("doc_id")))
     val comps = connectedComponents(
-        nodes, condensed.unionByName(batchEdges.select(col("doc_i"), col("doc_j"))))
+        nodes, condensedM.unionByName(batchEdges.select(col("doc_i"), col("doc_j"))))
       .withColumnRenamed("cluster_id", "comp_id")
       .localCheckpoint(false) // per-comp agg + the batch-row emit both read it
     val agg = comps
