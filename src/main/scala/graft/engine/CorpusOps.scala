@@ -124,8 +124,24 @@ object CorpusOps {
     * BPE-ish piece estimate; zero-token documents carry nothing into
     * the stream and are dropped. Deterministic integer arithmetic
     * throughout → full hash-match oracle (q103). */
-  def packSequences(documents: DataFrame, seqLen: Int = 2048): DataFrame = {
+  def packSequences(documents: DataFrame, seqLen: Int = 2048): DataFrame =
+    packSequencesBy(documents, Seq("lang"), seqLen)
+
+  /** [[packSequences]] with a CONFIGURABLE stream key — the form that
+    * matters once a corpus carries a train/val/test split: packing
+    * keyed on lang alone concatenates train and test documents into
+    * the SAME training sequences (test tokens leak into train
+    * examples through the packing step itself, after every
+    * document-level split precaution held). Key the stream on
+    * (split, lang) — q234 — and the leak is impossible by
+    * construction; TextDedupSpec proves the naive keying does mix
+    * splits on the fixture while the split keying never does. Same
+    * per-stream posture: every stream packs independently in
+    * parallel, no global order or cumsum anywhere. */
+  def packSequencesBy(documents: DataFrame, streamCols: Seq[String],
+                      seqLen: Int = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val keys = streamCols.map(col)
     // zero-token guard on the RAW text, not on n_tokens: the pushed
     // `n_tokens > 0` re-derives the full regexp_extract_all in the
     // filter below the projection (the q102 pushdown lesson —
@@ -134,19 +150,19 @@ object CorpusOps {
     // contribute nothing, so `has a non-space char` is the same set.
     val toks = documents
       .filter(col("text").rlike("[^ ]"))
-      .select(col("lang"), col("doc_id"),
+      .select(keys ++ Seq(col("doc_id"),
         size(expr(s"regexp_extract_all(text, '${TextOps.pieceRe}', 0)"))
-          .cast("long").as("n_tokens"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .cast("long").as("n_tokens")): _*)
+    val w = Window.partitionBy(keys: _*).orderBy(col("doc_id"))
     toks
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .withColumn("start_seq", expr(s"(cum - n_tokens) DIV $seqLen"))
       .withColumn("end_seq", expr(s"(cum - 1) DIV $seqLen"))
       .withColumn("tok_offset", expr(s"(cum - n_tokens) % $seqLen"))
       .withColumn("n_seqs", col("end_seq") - col("start_seq") + lit(1L))
-      .select(col("lang"), col("doc_id"), col("n_tokens"), col("start_seq"),
-              col("end_seq"), col("tok_offset"), col("n_seqs"))
-      .orderBy(col("lang"), col("doc_id"))
+      .select(keys ++ Seq(col("doc_id"), col("n_tokens"), col("start_seq"),
+              col("end_seq"), col("tok_offset"), col("n_seqs")): _*)
+      .orderBy(keys :+ col("doc_id"): _*)
   }
 
   /** Sequence manifest — the inverse of [[packSequences]]: for every

@@ -3661,6 +3661,24 @@ object Catalog {
              |       CAST((cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1 AS BIGINT) AS n_seqs
              |FROM c ORDER BY lang, doc_id""".stripMargin)),
 
+    // split-isolated packing: the q103 stream key extended to
+    // (split, lang) so test tokens can never leak into train
+    // sequences through concatenation — the document-level split
+    // survives the packing step by construction. Split = the q94
+    // doc-hash rule (production feeds q227/q231 cluster-aware
+    // assignments instead — same column, nothing else moves).
+    QuerySpec(
+      "q234_split_packing",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{lit, pmod, when, xxhash64}
+        val docs = Tables.documents(s, dir).withColumn("bucket",
+          pmod(xxhash64(col("doc_id")), lit(10)))
+          .withColumn("split", when(col("bucket") < 8, "train")
+            .when(col("bucket") === 8, "val").otherwise("test"))
+        CorpusOps.packSequencesBy(docs, Seq("split", "lang"))
+      },
+      Some(q234OracleSql)),
+
     // The per-stream corpus card: volume, token mass, DECIMAL-exact
     // quality mean, exact-dup rate — the report mix weights are set
     // from. Composition of proven stages, one rollup.
@@ -4421,6 +4439,32 @@ object Catalog {
        |FROM r JOIN ex USING (qid)
        |WHERE r.rk <= 10
        |ORDER BY qid, rk""".stripMargin
+
+  /** q234 oracle: the bit-exact XXH64 doc split + q103's per-stream
+    * packing algebra over the (split, lang) key. */
+  private val q234OracleSql: String = {
+    import Xxh64DocIdSql.{ctes, tos}
+    s"""WITH $ctes,
+       |sp AS (SELECT doc_id,
+       |         CASE WHEN ((${tos("h8")} % 10) + 10) % 10 < 8 THEN 'train'
+       |              WHEN ((${tos("h8")} % 10) + 10) % 10 = 8 THEN 'val'
+       |              ELSE 'test' END AS split
+       |       FROM s10),
+       |t AS (
+       |  SELECT sp.split, d.lang, d.doc_id,
+       |         CAST(len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+       |  FROM documents d JOIN sp USING (doc_id)),
+       |c AS (
+       |  SELECT split, lang, doc_id, n_tokens,
+       |         SUM(n_tokens) OVER (PARTITION BY split, lang ORDER BY doc_id) AS cum
+       |  FROM t WHERE n_tokens > 0)
+       |SELECT split, lang, doc_id, n_tokens,
+       |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS start_seq,
+       |       CAST((cum - 1) // 2048 AS BIGINT) AS end_seq,
+       |       CAST((cum - n_tokens) % 2048 AS BIGINT) AS tok_offset,
+       |       CAST((cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1 AS BIGINT) AS n_seqs
+       |FROM c ORDER BY split, lang, doc_id""".stripMargin
+  }
 
   /** q141 oracle: the full XXH64 chain → signed key, shard = mod 8,
     * in-shard rank by (key, doc_id). */

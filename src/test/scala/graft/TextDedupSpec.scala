@@ -1075,6 +1075,47 @@ class TextDedupSpec extends SparkSpec {
       "a singleton's cluster hash IS its doc hash — it cannot move")
   }
 
+  test("split-keyed packing never mixes splits in a sequence; lang-only packing does") {
+    import org.apache.spark.sql.functions.{countDistinct, explode, pmod, xxhash64}
+    val docs2 = docs.withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(10)))
+      .withColumn("split", when(col("bucket") < 8, "train")
+        .when(col("bucket") === 8, "val").otherwise("test"))
+      .localCheckpoint(false)
+    def mixedSeqs(streamCols: Seq[String]): Long =
+      CorpusOps.packSequencesBy(docs2, streamCols)
+        .join(docs2.select(col("doc_id"), col("split").as("doc_split")), "doc_id")
+        .withColumn("seq_id", explode(expr("sequence(start_seq, end_seq)")))
+        .groupBy(streamCols.filterNot(_ == "split").map(col) :+ col("seq_id"): _*)
+        .agg(countDistinct(col("doc_split")).as("n_splits"))
+        .filter(col("n_splits") > 1).count()
+    // the leak: lang-only streams concatenate train and test docs into
+    // the same sequences on the real fixture
+    assert(mixedSeqs(Seq("lang")) > 0L,
+      "fixture must demonstrate the naive-packing leak")
+    // the fix: keying the stream on (split, lang) makes a mixed
+    // sequence impossible by construction
+    val spl = CorpusOps.packSequencesBy(docs2, Seq("split", "lang"))
+      .withColumn("seq_id", explode(expr("sequence(start_seq, end_seq)")))
+      .groupBy(col("split"), col("lang"), col("seq_id"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1).count()
+    assert(spl == 0L)
+    // and each (split, lang) stream still tiles its token mass exactly
+    // like q103: per-stream totals conserve
+    val a = CorpusOps.packSequencesBy(docs2, Seq("split", "lang"))
+      .groupBy(col("split"), col("lang"))
+      .agg(org.apache.spark.sql.functions.sum(col("n_tokens")).as("tok"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val b = CorpusOps.packSequences(docs2.drop("split", "bucket"))
+      .groupBy(col("lang"))
+      .agg(org.apache.spark.sql.functions.sum(col("n_tokens")).as("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    b.foreach { case (lang, tok) =>
+      assert(a.collect { case ((_, l), t) if l == lang => t }.sum == tok,
+        s"token mass conserves across the re-keying for $lang")
+    }
+  }
+
   test("incremental split freezes history: adoption, fresh hashing, conflicts, no churn") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{pmod, xxhash64}
