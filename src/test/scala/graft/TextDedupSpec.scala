@@ -1195,6 +1195,25 @@ class TextDedupSpec extends SparkSpec {
     assert(got.size == 8)
   }
 
+  test("incremental entities: a no-match batch leaves every stored group untouched") {
+    import spark.implicits._
+    val storedDim = Seq(
+      (1L, "aaaa", "B1"), (2L, "aaab", "B1"), (5L, "zzzz", "B2"),
+    ).toDF("p_partkey", "p_name", "p_brand")
+    val stored = DedupOps.entityGroups(storedDim)
+    // the batch shares no brand block with history — zero cross edges,
+    // so NO stored group re-resolves and every batch row is new
+    val batch = Seq((10L, "qqqq", "B9"), (11L, "qqqr", "B9"))
+      .toDF("p_partkey", "p_name", "p_brand")
+    val got = DedupOps.incrementalEntityGroups(stored, storedDim, batch).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(5)))).toMap
+    assert(got(1L) == ((1L, "unchanged")) && got(2L) == ((1L, "unchanged")) &&
+      got(5L) == ((5L, "unchanged")), s"$got")
+    // the batch pair groups among itself and is 'new'
+    assert(got(10L) == ((10L, "new")) && got(11L) == ((10L, "new")))
+    assert(got.size == 5)
+  }
+
   test("curation funnel reconciles stage by stage with the standalone operators") {
     val funnel = CorpusOps.curationFunnel(docs).collect()
     assert(funnel.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
