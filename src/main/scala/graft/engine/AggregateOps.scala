@@ -238,9 +238,9 @@ object AggregateOps {
       .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"))
       .crossJoin(broadcast(tot))
       .withColumn("row_share",
-        round(col("n_rows").cast("double") / col("total_rows"), 6))
+        (col("n_rows").cast("double") / col("total_rows")))
       .withColumn("skew_factor",
-        round(col("max_cnt").cast("double") * col("total_keys") / col("total_rows"), 6))
+        (col("max_cnt").cast("double") * col("total_keys") / col("total_rows")))
       .select(col("bucket"), col("n_keys"), col("n_rows"), col("row_share"),
         col("skew_factor"))
       .orderBy(col("bucket"))
@@ -324,10 +324,10 @@ object AggregateOps {
       .withColumn("cw", least(greatest(col("c"), col("c_lo")), col("c_hi")))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).cast("long").as("n_rows"),
-           round(min(col("c_lo")).cast("double") / 100, 6).as("lo_price"),
-           round(min(col("c_hi")).cast("double") / 100, 6).as("hi_price"),
-           round(sum(col("cw").cast("decimal(38,0)")).cast("double")
-                 / (count(lit(1)).cast("double") * 100), 6).as("winsorized_mean"))
+           (min(col("c_lo")).cast("double") / 100).as("lo_price"),
+           (min(col("c_hi")).cast("double") / 100).as("hi_price"),
+           (sum(col("cw").cast("decimal(38,0)")).cast("double")
+                 / (count(lit(1)).cast("double") * 100)).as("winsorized_mean"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -350,9 +350,9 @@ object AggregateOps {
       .join(binned, Seq("bin"), "left_outer")
       .na.fill(0L, Seq("n"))
       .select(col("bin"),
-        round(lit(binWidthCents / 100.0) * col("bin"), 2).as("bin_lo_price"),
+        (lit(binWidthCents / 100.0) * col("bin")).as("bin_lo_price"),
         col("n"),
-        round(col("n").cast("double") / col("total"), 6).as("share"))
+        (col("n").cast("double") / col("total")).as("share"))
       .orderBy(col("bin"))
   }
 
@@ -468,7 +468,7 @@ object AggregateOps {
       .agg(min(col("c")).as("cmed"), min(col("tw")).cast("long").as("total_weight"),
            min(col("n_rows")).as("n_rows"))
       .select(col("l_returnflag"), col("n_rows"), col("total_weight"),
-        round(col("cmed").cast("double") / 100, 6).as("weighted_median_price"))
+        (col("cmed").cast("double") / 100).as("weighted_median_price"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -567,8 +567,8 @@ object AggregateOps {
     brackets.select(col("l_returnflag"), col("n").as("n_rows"))
       .join(exact, "l_returnflag")
       .select(col("l_returnflag"), col("n_rows"),
-        round(col("c50").cast("double") / 100, 6).as("median_price"),
-        round(col("c95").cast("double") / 100, 6).as("p95_price"))
+        (col("c50").cast("double") / 100).as("median_price"),
+        (col("c95").cast("double") / 100).as("p95_price"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -661,8 +661,8 @@ object AggregateOps {
       .groupBy(col("source"), col("n_s"), col("n"))
       .agg(max(col("diff_num")).cast("long").as("ks_num"))
       .select(col("source"), col("n_s").as("n_source"), col("ks_num"),
-        round(col("ks_num").cast("double") /
-          (col("n_s") * col("n")).cast("double"), 6).as("ks"))
+        (col("ks_num").cast("double") /
+          (col("n_s") * col("n")).cast("double")).as("ks"))
       .orderBy(col("source"))
   }
 
@@ -693,8 +693,8 @@ object AggregateOps {
       .groupBy(col("source"), col("n_s"), col("n"))
       .agg(sum(col("term")).cast("long").as("tv_num"))
       .select(col("source"), col("n_s").as("n_source"), col("tv_num"),
-        round(col("tv_num").cast("double") /
-          (lit(2.0) * col("n_s").cast("double") * col("n").cast("double")), 6).as("tv"))
+        (col("tv_num").cast("double") /
+          (lit(2.0) * col("n_s").cast("double") * col("n").cast("double"))).as("tv"))
       .orderBy(col("source"))
   }
 
@@ -706,6 +706,15 @@ object AggregateOps {
     0.079181246048, 0.066946789631, 0.057991946978, 0.051152522447,
     0.045757490561)
 
+  /** The same law as integer parts-per-million (round(share·1e6)) —
+    * the house style for every cross-engine share column: integer
+    * arithmetic replays bit-identically under any DuckDB/Spark build,
+    * where ROUND over DOUBLE does not (it is rounding-path- and
+    * version-dependent at representation boundaries). */
+  val benfordPpm: Seq[Long] = Seq(
+    301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L, 51153L,
+    45757L)
+
   /** Benford first-significant-digit audit per group — the
     * fabricated-data / unit-mixup smell test a spend dataset gets:
     * naturally-occurring amounts follow log10(1+1/d); hand-entered or
@@ -713,13 +722,15 @@ object AggregateOps {
     * (first char of the cent-quantized BIGINT's decimal string —
     * shifting by 100 preserves the leading significant digit, and
     * BIGINT→string never goes scientific, unlike double→string), the
-    * expected share is a shared literal, and the only fp ops are two
-    * exact-BIGINT divisions and one subtraction per output row.
+    * expected share is a shared integer-ppm literal, and every
+    * arithmetic op is pure BIGINT (truncating `div`, subtraction,
+    * abs) — bit-identical in any engine, no ROUND-over-DOUBLE
+    * boundary cells (the r10 q174 driver-mismatch class).
     *
     * Scale: one map-side-combinable rollup on (group, digit) — 9
     * digits × groups output rows, one shuffle, corpus-size-free. */
   def benfordReport(orders: DataFrame): DataFrame = {
-    val bArr = benfordShares.mkString("array(", ", ", ")")
+    val pArr = benfordPpm.mkString("array(", "L, ", "L)")
     val digits = orders
       .select(col("o_orderpriority"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
@@ -730,12 +741,11 @@ object AggregateOps {
     val totals = digits.groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).cast("long").as("n_tot"))
     counts.join(broadcast(totals), "o_orderpriority")
-      .withColumn("benford_share", expr(s"element_at($bArr, CAST(digit AS INT))"))
+      .withColumn("benford_ppm", expr(s"element_at($pArr, CAST(digit AS INT))"))
+      .withColumn("obs_share_ppm", expr("n_obs * 1000000L div n_tot"))
       .select(col("o_orderpriority"), col("digit"), col("n_obs"), col("n_tot"),
-        round(col("n_obs").cast("double") / col("n_tot"), 6).as("obs_share"),
-        col("benford_share"),
-        round(abs(col("n_obs").cast("double") / col("n_tot") - col("benford_share")), 6)
-          .as("abs_gap"))
+        col("obs_share_ppm"), col("benford_ppm"),
+        abs(col("obs_share_ppm") - col("benford_ppm")).as("gap_ppm"))
       .orderBy(col("o_orderpriority"), col("digit"))
   }
 
@@ -778,8 +788,8 @@ object AggregateOps {
       .join(outliers, Seq("l_returnflag"), "left_outer")
       .select(col("l_returnflag"),
         col("n").cast("long").as("n_rows"),
-        round(col("med").cast("double") / 100, 6).as("median_price"),
-        round(col("mad").cast("double") / 100, 6).as("mad_price"),
+        (col("med").cast("double") / 100).as("median_price"),
+        (col("mad").cast("double") / 100).as("mad_price"),
         coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
       .orderBy(col("l_returnflag"))
   }
@@ -800,9 +810,9 @@ object AggregateOps {
     moments.join(outliers, Seq("l_returnflag"), "left_outer")
       .select(col("l_returnflag"),
         col("n").cast("long").as("n_rows"),
-        round(col("s").cast("double") / (col("n").cast("double") * 100), 6).as("mean_price"),
-        round(sqrt((col("n") * col("ss") - col("s") * col("s")).cast("double")) /
-              (col("n").cast("double") * 100), 6).as("stddev_price"),
+        (col("s").cast("double") / (col("n").cast("double") * 100)).as("mean_price"),
+        (sqrt((col("n") * col("ss") - col("s") * col("s")).cast("double")) /
+              (col("n").cast("double") * 100)).as("stddev_price"),
         coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
       .orderBy(col("l_returnflag"))
   }

@@ -246,11 +246,12 @@ object CorpusOps {
   /** Corpus card — the per-(lang, source) report that drives mix
     * weights and curation thresholds: volume, token mass, quality,
     * and exact-duplicate rate for every stream in one rollup. The
-    * quality mean accumulates in exact DECIMAL ([[Exact.decAvg]]) so
-    * the value is identical on 32 threads or 1000 executors; the dup
-    * flag reuses the q40 min-id-keeper identity. One fact-sized
-    * shuffle for the dup window, one for the rollup — both on keys
-    * the later mix (q104) and split (q94) operators also use. */
+    * quality mean floor-quantizes each score to integer ppm and
+    * accumulates in exact BIGINT (sum + truncating div) so the value
+    * is identical on 32 threads or 1000 executors; the dup flag
+    * reuses the q40 min-id-keeper identity. One fact-sized shuffle
+    * for the dup window, one for the rollup — both on keys the later
+    * mix (q104) and split (q94) operators also use. */
   def corpusCard(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qual = TextOps.qualityScore(documents)
@@ -265,10 +266,13 @@ object CorpusOps {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
-        round(Exact.decAvg(col("quality"), 6), 6).as("avg_quality"),
+        sum(floor(col("quality") * lit(1.0e6))).as("q_ppm_sum"),
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_exact_dups"))
+      .withColumn("avg_quality_ppm", expr("q_ppm_sum div n_docs"))
       .withColumn("dup_rate",
-        round(col("n_exact_dups").cast("double") / col("n_docs"), 6))
+        col("n_exact_dups").cast("double") / col("n_docs"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        col("avg_quality_ppm"), col("n_exact_dups"), col("dup_rate"))
       .orderBy(col("lang"), col("source"))
   }
 
@@ -375,9 +379,9 @@ object CorpusOps {
         s"CAST((CAST(w_sqrt AS DECIMAL(38,0)) * CAST($totalBudget AS DECIMAL(38,0))) " +
         "div CAST(tot_w AS DECIMAL(38,0)) AS BIGINT)"))
       .withColumn("epochs",
-        round(col("target_tokens").cast("double") / col("n_tokens"), 6))
+        (col("target_tokens").cast("double") / col("n_tokens")))
       .withColumn("sample_rate",
-        round(least(lit(1.0), col("target_tokens").cast("double") / col("n_tokens")), 6))
+        (least(lit(1.0), col("target_tokens").cast("double") / col("n_tokens"))))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("w_sqrt"),
         col("target_tokens"), col("epochs"), col("sample_rate"))
       .orderBy(col("source"))
@@ -555,10 +559,10 @@ object CorpusOps {
       .localCheckpoint(false)
     val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"), sum(col("w_sqrt")).as("tot_w"))
     per.crossJoin(broadcast(tot))
-      .withColumn("raw_share", round(col("n_tokens").cast("double") / col("tot_tokens"), 6))
-      .withColumn("temp_share", round(col("w_sqrt").cast("double") / col("tot_w"), 6))
-      .withColumn("upweight", round((col("w_sqrt").cast("double") / col("tot_w")) /
-        (col("n_tokens").cast("double") / col("tot_tokens")), 6))
+      .withColumn("raw_share", (col("n_tokens").cast("double") / col("tot_tokens")))
+      .withColumn("temp_share", (col("w_sqrt").cast("double") / col("tot_w")))
+      .withColumn("upweight", ((col("w_sqrt").cast("double") / col("tot_w")) /
+        (col("n_tokens").cast("double") / col("tot_tokens"))))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("w_sqrt"),
         col("raw_share"), col("temp_share"), col("upweight"))
       .orderBy(col("source"))
@@ -772,8 +776,8 @@ object CorpusOps {
       .agg(count(lit(1)).cast("long").as("n_seqs"),
            sum(col("carried")).cast("long").as("n_tokens"),
            sum(col("bucket") - col("carried")).cast("long").as("pad_tokens"))
-      .withColumn("fill_frac", round(
-        col("n_tokens").cast("double") / (col("n_seqs") * col("bucket")), 6))
+      .withColumn("fill_frac", (
+        col("n_tokens").cast("double") / (col("n_seqs") * col("bucket"))))
       .orderBy(col("bucket"), col("batch_id"))
   }
 
@@ -1028,7 +1032,7 @@ object CorpusOps {
       .withColumn("target_docs",
         least(col("n_docs"), expr(s"(mass * ${docBudget}L) DIV tot_mass")))
       .withColumn("sample_rate",
-        round(col("target_docs").cast("double") / col("n_docs"), 6))
+        (col("target_docs").cast("double") / col("n_docs")))
       .select(col("age_bucket"), col("n_docs"), col("weight"),
               col("target_docs"), col("sample_rate"))
       .orderBy(col("age_bucket"))

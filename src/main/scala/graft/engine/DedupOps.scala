@@ -136,8 +136,8 @@ object DedupOps {
       .join(sizes.withColumnRenamed("doc_id", "doc_i").withColumnRenamed("n_sh", "n_i"), "doc_i")
       .join(sizes.withColumnRenamed("doc_id", "doc_j").withColumnRenamed("n_sh", "n_j"), "doc_j")
       .withColumn("jaccard",
-        round(col("common").cast("double") /
-              (col("n_i") + col("n_j") - col("common")).cast("double"), 6))
+        col("common").cast("double") /
+          (col("n_i") + col("n_j") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_i"), col("doc_j"), col("common"), col("jaccard"))
       .orderBy(col("doc_i"), col("doc_j"))
@@ -175,8 +175,8 @@ object DedupOps {
     common
       .join(sizes.withColumnRenamed("doc_id", "doc_i").withColumnRenamed("n_sh", "n_i"), "doc_i")
       .join(sizes.withColumnRenamed("doc_id", "doc_j").withColumnRenamed("n_sh", "n_j"), "doc_j")
-      .withColumn("containment_i", round(col("common").cast("double") / col("n_i"), 6))
-      .withColumn("containment_j", round(col("common").cast("double") / col("n_j"), 6))
+      .withColumn("containment_i", col("common").cast("double") / col("n_i"))
+      .withColumn("containment_j", col("common").cast("double") / col("n_j"))
       .filter(greatest(col("containment_i"), col("containment_j")) >= threshold)
       .select(col("doc_i"), col("doc_j"), col("common").cast("long").as("common"),
         col("containment_i"), col("containment_j"))
@@ -208,8 +208,8 @@ object DedupOps {
       .agg(count(lit(1)).as("common"))
       .join(sizes.withColumnRenamed("doc_id", "doc_i").withColumnRenamed("n_sh", "n_i"), "doc_i")
       .join(sizes.withColumnRenamed("doc_id", "doc_j").withColumnRenamed("n_sh", "n_j"), "doc_j")
-      .withColumn("jaccard", round(col("common").cast("double") /
-        (col("n_i") + col("n_j") - col("common")).cast("double"), 6))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("n_i") + col("n_j") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_i"), col("doc_j"), col("jaccard"))
   }
@@ -343,9 +343,9 @@ object DedupOps {
       .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
       .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
       .withColumn("recall", when(col("n_truth") > 0,
-        round(col("n_hit").cast("double") / col("n_truth"), 6)))
+        col("n_hit").cast("double") / col("n_truth")))
       .withColumn("precision", when(col("n_candidates") > 0,
-        round(col("n_hit").cast("double") / col("n_candidates"), 6)))
+        col("n_hit").cast("double") / col("n_candidates")))
       .select(col("bands"), col("width"), col("n_candidates"), col("n_truth"),
               col("n_hit"), col("recall"), col("precision"))
       .orderBy(col("bands"))
@@ -415,7 +415,7 @@ object DedupOps {
       .dropDuplicates("doc_i", "doc_j")
       .withColumn("n_eq",
         expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
-      .withColumn("est_jaccard", round(col("n_eq").cast("double") / numHashes, 6))
+      .withColumn("est_jaccard", col("n_eq").cast("double") / numHashes)
       .select(col("doc_i"), col("doc_j"), col("est_jaccard"))
       .orderBy(col("doc_i"), col("doc_j"))
   }
@@ -500,7 +500,7 @@ object DedupOps {
       .dropDuplicates("new_id", "old_id")
       .withColumn("n_eq",
         expr("aggregate(zip_with(sig_n, sig_o, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
-      .withColumn("est", round(col("n_eq").cast("double") / numHashes, 6))
+      .withColumn("est", col("n_eq").cast("double") / numHashes)
       .filter(col("est") >= threshold)
       .groupBy(col("new_id"))
       .agg(countDistinct(col("old_id")).as("n_dup_of"))
@@ -544,11 +544,10 @@ object DedupOps {
     * SketchShared candidate table, i.e. q42's output): the query is
     * the estimate prefilter plus the exact verification joins — no
     * signature banding, no self-join. The stored `est_jaccard` is
-    * round(m/numHashes, 6); for the power-of-two lane counts used
-    * here m/numHashes is a dyadic rational with ≤6 decimal digits, so
-    * filtering the rounded column is EXACTLY the unrounded filter and
-    * results are value-identical to the standalone form
-    * (TextDedupSpec). */
+    * the raw m/numHashes — a dyadic rational for the power-of-two
+    * lane counts used here, exactly representable in binary, so the
+    * prefilter comparison is bit-exact and results are
+    * value-identical to the standalone form (TextDedupSpec). */
   def verifiedJaccardPairsFromShared(sketches: DataFrame, estPairs: DataFrame,
                                      threshold: Double = 0.5): DataFrame = {
     val estPrefilter = math.max(0.0, threshold - 0.25)
@@ -585,7 +584,7 @@ object DedupOps {
       .withColumn("inter", size(array_intersect(col("sh_i"), col("sh_j"))).cast("long"))
       .withColumn("uni",
         (size(col("sh_i")) + size(col("sh_j"))).cast("long") - col("inter"))
-      .withColumn("jaccard", round(col("inter").cast("double") / col("uni").cast("double"), 6))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_i"), col("doc_j"), col("jaccard"))
       .orderBy(col("doc_i"), col("doc_j"))
@@ -707,6 +706,54 @@ object DedupOps {
     val (labels, _, _, sym) = ccRun(nodes, edges, maxIter, checkpoint)
     sym.unpersist(blocking = false)
     labels
+  }
+
+  /** [[connectedComponents]] with a SMALL-GRAPH fast path: when the
+    * node and edge counts fit comfortably on the driver, run
+    * union-find locally (min-id root, path compression — labels
+    * bit-identical to min-label propagation) instead of paying the
+    * RDD loop's fixed per-round machinery (~2 s of cache/shuffle
+    * floor at any size). This is the right tool exactly where the
+    * incremental operators (q226/q231) land by construction: their
+    * CONDENSED graphs are batch + touched-groups sized — thousands
+    * of nodes — while the corpus-scale closures stay on the
+    * distributed path automatically (two cheap counts decide; above
+    * either threshold nothing is ever collected). Edges with an
+    * endpoint outside `nodes` are ignored, matching the RDD path's
+    * join semantics. PropertySpec asserts equivalence against the
+    * RDD path on random graphs. */
+  def connectedComponentsAuto(nodes: DataFrame, edges: DataFrame,
+                              smallNodes: Long = 100000, smallEdges: Long = 1000000,
+                              maxIter: Int = 100,
+                              checkpoint: CcCheckpoint = CcCheckpoint.Local): DataFrame = {
+    val session = nodes.sparkSession
+    import session.implicits._
+    val nodesM = nodes.select(col("doc_id").cast("long").as("doc_id"))
+      .localCheckpoint(false) // counted, then either collected or looped
+    if (nodesM.count() > smallNodes)
+      return connectedComponents(nodesM, edges, maxIter, checkpoint)
+    val edgesM = edges.select(col("doc_i").cast("long"), col("doc_j").cast("long"))
+      .localCheckpoint(false)
+    if (edgesM.count() > smallEdges)
+      return connectedComponents(nodesM, edges, maxIter, checkpoint)
+    val ids = nodesM.collect().map(_.getLong(0))
+    val parent = new java.util.HashMap[Long, Long](ids.length * 2)
+    ids.foreach(id => parent.put(id, id))
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.get(c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+      r
+    }
+    edgesM.collect().foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      if (parent.containsKey(a) && parent.containsKey(b)) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+    }
+    ids.toSeq.map(id => (id, find(id))).toDF("doc_id", "cluster_id")
   }
 
   /** Convergence diagnostics for one [[connectedComponents]] run —
@@ -957,14 +1004,20 @@ object DedupOps {
     * demonstrator closure) — a corpus artifact like the sketch pair
     * tables; consumers that only need the (doc_id, cluster_id) map
     * (q232's positive-exclusion set) share one closure per corpus
-    * per run. */
-  @transient private var clustersMemo: Map[String, DataFrame] = Map.empty
+    * per run. Keyed on (session, tag) — a tag surviving a
+    * SparkSession restart must not resurrect a dead plan, and the
+    * SAME tag over a different corpus is a caller bug this key at
+    * least scopes to one session; [[release]] between sessions stays
+    * the hygiene rule (Verify/Bench call it). */
+  @transient private var clustersMemo
+    : Map[(org.apache.spark.sql.SparkSession, String), DataFrame] = Map.empty
   def clustersFor(documents: DataFrame, tag: String): DataFrame = synchronized {
-    clustersMemo.getOrElse(tag, {
+    val key = (documents.sparkSession, tag)
+    clustersMemo.getOrElse(key, {
       val df = connectedComponents(documents.select(col("doc_id")),
         jaccardPairs(documents).select(col("doc_i"), col("doc_j")))
         .localCheckpoint(false)
-      clustersMemo += (tag -> df)
+      clustersMemo += (key -> df)
       df
     })
   }
@@ -972,14 +1025,17 @@ object DedupOps {
   /** Memoized [[clusterAwareSplit]] over a STORED slice — the split
     * assignment is a catalog artifact (frozen once assigned — that is
     * the whole point of the incremental form), so consumers share one
-    * closure+hash build per corpus per run. */
-  @transient private var splitMemo: Map[String, DataFrame] = Map.empty
+    * closure+hash build per corpus per run. (session, tag)-keyed like
+    * [[clustersFor]]. */
+  @transient private var splitMemo
+    : Map[(org.apache.spark.sql.SparkSession, String), DataFrame] = Map.empty
   def clusterSplitFor(documents: DataFrame, tag: String): DataFrame = synchronized {
-    splitMemo.getOrElse(tag, {
+    val key = (documents.sparkSession, tag)
+    splitMemo.getOrElse(key, {
       val df = clusterAwareSplit(documents,
         jaccardPairs(documents).select(col("doc_i"), col("doc_j")))
         .localCheckpoint(false)
-      splitMemo += (tag -> df)
+      splitMemo += (key -> df)
       df
     })
   }
@@ -1005,9 +1061,28 @@ object DedupOps {
     * mapped from the cross edges' stored endpoints), so CC input is
     * batch + touched clusters — stored members never enter a shuffle.
     * Output is the BATCH assignment only; stored rows are immutable
-    * by construction. */
+    * by construction.
+    *
+    * CONTRACT: batch doc_ids must be disjoint from stored doc_ids and
+    * cluster ids — the condensation coalesces a stored endpoint to its
+    * cluster id by key lookup, so a colliding batch key would silently
+    * mislabel its component. Pass `validateKeys = true` to pay one
+    * eager batch-sized semi-join that fails loudly on a violation
+    * (ingest assigns monotonically increasing ids, so production
+    * batches satisfy the contract by construction and skip the
+    * check). */
   def incrementalClusterSplit(storedAssign: DataFrame, crossEdges: DataFrame,
-                              batchEdges: DataFrame, batch: DataFrame): DataFrame = {
+                              batchEdges: DataFrame, batch: DataFrame,
+                              validateKeys: Boolean = false): DataFrame = {
+    if (validateKeys) {
+      val clash = batch.select(col("doc_id"))
+        .join(storedAssign.select(col("doc_id"))
+          .unionByName(storedAssign.select(col("cluster_id").as("doc_id"))).distinct(),
+          Seq("doc_id"), "left_semi")
+      require(clash.isEmpty,
+        s"incrementalClusterSplit: batch doc_ids collide with stored " +
+          s"doc/cluster ids (e.g. ${clash.limit(5).collect().mkString(", ")})")
+    }
     def splitOf(bucket: org.apache.spark.sql.Column) =
       when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
     val memCl = storedAssign.select(col("doc_id"), col("cluster_id"))
@@ -1032,7 +1107,7 @@ object DedupOps {
         Seq("cluster_id"), "left_semi")
     val nodes = touchedCl.select(col("cluster_id").as("doc_id"))
       .unionByName(batch.select(col("doc_id")))
-    val comps = connectedComponents(
+    val comps = connectedComponentsAuto(
         nodes, condensedM.unionByName(batchEdges.select(col("doc_i"), col("doc_j"))))
       .withColumnRenamed("cluster_id", "comp_id")
       .localCheckpoint(false) // per-comp agg + the batch-row emit both read it
@@ -1131,9 +1206,23 @@ object DedupOps {
     * the same entity ids as member-level closure), cross edges map
     * their stored endpoint member → entity. CC input is therefore
     * batch + touched GROUPS — independent of group sizes; member-
-    * level rows only reappear in the final label join. */
+    * level rows only reappear in the final label join.
+    *
+    * CONTRACT: batch p_partkeys must be disjoint from stored keys
+    * (entity ids are min member keys, so stored-key disjointness
+    * covers them) — the condensation coalesces by key lookup and a
+    * collision silently mislabels. `validateKeys = true` pays one
+    * eager batch-sized semi-join to fail loudly instead. */
   def incrementalEntityGroups(storedAliases: DataFrame, storedDim: DataFrame,
-                              batch: DataFrame, maxDist: Int = 2): DataFrame = {
+                              batch: DataFrame, maxDist: Int = 2,
+                              validateKeys: Boolean = false): DataFrame = {
+    if (validateKeys) {
+      val clash = batch.select(col("p_partkey"))
+        .join(storedAliases.select(col("p_partkey")), Seq("p_partkey"), "left_semi")
+      require(clash.isEmpty,
+        s"incrementalEntityGroups: batch keys collide with stored keys " +
+          s"(e.g. ${clash.limit(5).collect().mkString(", ")})")
+    }
     val cross = TextOps.fuzzyNameMatchAcross(batch, storedDim, maxDist)
       .select(col("key_i").as("doc_i"), col("key_j").as("doc_j"))
       .localCheckpoint(false) // touched-group derivation + closure edges
@@ -1159,7 +1248,7 @@ object DedupOps {
               coalesce(col("ent_j"), col("doc_j")).as("doc_j"))
     val nodes = touched.select(col("entity_id").as("doc_id"))
       .unionByName(batch.select(col("p_partkey").as("doc_id")))
-    val labels = connectedComponents(nodes, crossCond.unionByName(inBatch))
+    val labels = connectedComponentsAuto(nodes, crossCond.unionByName(inBatch))
     val names = storedDim.select(col("p_partkey"), col("p_name"))
       .unionByName(batch.select(col("p_partkey"), col("p_name")))
     // per-cluster accounting off the condensed nodes: an entity node

@@ -53,8 +53,8 @@ object EventOps {
         "3L, 'purchase', n3, n2) AS (stage_idx, stage, n_users, prev)"),
         col("total"))
       .select(col("stage_idx"), col("stage"), col("n_users"),
-        round(col("n_users").cast("double") / col("total"), 6).as("frac_of_total"),
-        round(col("n_users").cast("double") / nullif(col("prev"), lit(0L)), 6)
+        (col("n_users").cast("double") / col("total")).as("frac_of_total"),
+        (col("n_users").cast("double") / nullif(col("prev"), lit(0L)))
           .as("frac_of_prev"))
       .orderBy(col("stage_idx"))
   }
@@ -87,7 +87,7 @@ object EventOps {
       .agg(count(lit(1)).cast("long").as("n_active"))
       .join(sizes, "cohort_week")
       .select(col("cohort_week"), col("week_offset"), col("n_active"),
-        round(col("n_active").cast("double") / col("cohort_size"), 6).as("retention"))
+        (col("n_active").cast("double") / col("cohort_size")).as("retention"))
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
@@ -209,7 +209,7 @@ object EventOps {
       .agg(count(when(col("gap_us").isNotNull &&
         col("gap_us") <= col("window_us"), 1)).cast("long").as("n_credited"))
       .select(col("window_us"), col("n_purchases"), col("n_credited"),
-        round(col("n_credited").cast("double") / col("n_purchases"), 6)
+        (col("n_credited").cast("double") / col("n_purchases"))
           .as("credit_rate"))
       .orderBy(col("window_us"))
   }
@@ -370,8 +370,12 @@ object EventOps {
     * forced broadcast — the shard-maxima frame is n/shardSize rows,
     * which at 10^12 events would be a 4e9-row broadcast); AQE
     * broadcasts it when it is actually small. */
+  // `superSize` sits AFTER `lateUs` so a positional caller from the
+  // pre-superSize signature (events, shardSize, lateUs) keeps its
+  // meaning — inserting it mid-list would silently rebind that third
+  // argument to superSize and change the late threshold.
   def latenessAudit(events: DataFrame, shardSize: Long = 256,
-                    superSize: Long = 4096, lateUs: Long = 600000000L): DataFrame =
+                    lateUs: Long = 600000000L, superSize: Long = 4096): DataFrame =
     disorderPerEvent(events, shardSize, superSize)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("n_events"),

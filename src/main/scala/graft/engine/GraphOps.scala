@@ -91,7 +91,7 @@ object GraphOps {
       .select(col("host"),
         coalesce(col("out_w"), lit(0L)).cast("long").as("out_weight"),
         col("rank").cast("long").as("rank_fp"),
-        round(col("rank").cast("double") / Scale.toDouble, 9).as("rank"))
+        (col("rank").cast("double") / Scale.toDouble).as("rank"))
       .orderBy(col("host"))
   }
 
@@ -226,8 +226,8 @@ object GraphOps {
     }
     hub.join(auth, "host")
       .select(col("host"), col("h").as("hub_fp"), col("a").as("auth_fp"),
-        round(col("h").cast("double") / Scale, 9).as("hub"),
-        round(col("a").cast("double") / Scale, 9).as("authority"))
+        (col("h").cast("double") / Scale).as("hub"),
+        (col("a").cast("double") / Scale).as("authority"))
       .orderBy(col("host"))
   }
 }

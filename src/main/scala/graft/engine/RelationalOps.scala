@@ -343,9 +343,9 @@ object RelationalOps {
       .crossJoin(broadcast(total))
       .select(col("r_name"), col("n_name"), col("n_items"),
         col("np").cast("double").as("total_price"),
-        round(col("np").cast("double") / col("rp").cast("double"), 6)
+        (col("np").cast("double") / col("rp").cast("double"))
           .as("share_of_region"),
-        round(col("np").cast("double") / col("gp").cast("double"), 6)
+        (col("np").cast("double") / col("gp").cast("double"))
           .as("share_of_total"))
       .orderBy(col("r_name"), col("n_name"))
   }

@@ -15,10 +15,14 @@ import org.apache.spark.sql.functions._
   * — the same ranking signal (monotone in df for fixed N) built
   * purely from correctly-rounded IEEE ops (+, ×, ÷) on exact BIGINT
   * counts, the transcendental-free discipline q144's lift score
-  * established. Per-term scores round to 9 decimals, the per-doc sum
-  * runs in exact DECIMAL (order-independent on any partitioning), and
-  * the final score rounds to 6 — bit-identical in any engine that
-  * replays the same expression tree. */
+  * established. Per-term scores quantize to integer parts-per-billion
+  * (floor(x·1e9) — floor of a double is exact in every engine, where
+  * ROUND(double, n) is rounding-path-dependent), and the per-doc sum
+  * runs in exact BIGINT (order-independent on any partitioning) —
+  * bit-identical in any engine that replays the same expression tree.
+  * The ppb scale bounds the rational idf to N/df < ~4e9 per corpus
+  * slice before the per-term long overflows — beyond that, drop to
+  * ppm or split the corpus. */
 object RetrievalOps {
 
   /** Default probe queries — drawn from the synthetic corpus's
@@ -57,9 +61,8 @@ object RetrievalOps {
     * df for the pruned terms is a keyed count over those postings'
     * doc sets (correct global df — the prune selects terms, not
     * documents); doc length joins co-partition on doc_id. Top-k is a
-    * per-query window over candidate docs only. DECIMAL(18,9) bounds
-    * the rational idf to N < ~1e8 docs per corpus slice — a 100 TB
-    * deploy widens the accumulator to DECIMAL(38,9), same plan. */
+    * per-query window over candidate docs only. Scores are integer
+    * ppb BIGINTs (see object doc) — exact map-side-combinable sums. */
   def bm25TopKFromIndex(postings: DataFrame, doclens: DataFrame,
                         queries: Seq[String] = defaultQueries,
                         k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -83,20 +86,20 @@ object RetrievalOps {
       .join(doclens, "doc_id")
       .crossJoin(broadcast(corpus))
       .withColumn("avgdl", col("sumdl").cast("double") / col("nn"))
-      .withColumn("score_t", round(
-        ((col("nn") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      .withColumn("score_t_ppb", floor(
+        (((col("nn") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
           (col("tf") * lit(k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))),
-        9))
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+        * lit(1.0e9)))
     val perDoc = scored.groupBy(col("qid"), col("doc_id"))
-      .agg(round(Exact.decSum(col("score_t"), 9), 6).as("score"),
+      .agg(sum(col("score_t_ppb")).cast("long").as("score_ppb"),
            count(lit(1)).cast("long").as("n_terms"))
     val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("doc_id"))
+      .orderBy(col("score_ppb").desc, col("doc_id"))
     perDoc
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
-      .select(col("qid"), col("rk"), col("doc_id"), col("score"), col("n_terms"))
+      .select(col("qid"), col("rk"), col("doc_id"), col("score_ppb"), col("n_terms"))
       .orderBy(col("qid"), col("rk"))
   }
 
@@ -113,7 +116,7 @@ object RetrievalOps {
     * queries×kLex rows, the anchor frame is queries rows
     * (broadcast), and the embedding join hashes on the CANDIDATE
     * ids only. The cosine is the q46-proven fold (sequential
-    * left-to-right double accumulation, round 6), so the whole
+    * left-to-right double accumulation), so the whole
     * two-stage output stays oracle-replayable. */
   def hybridRerank(postings: DataFrame, doclens: DataFrame, embeddings: DataFrame,
                    queries: Seq[String] = defaultQueries,
@@ -127,18 +130,18 @@ object RetrievalOps {
       .join(v, col("anchor_id") === col("vec_id"))
       .select(col("qid"), col("anchor_id"), col("vec").as("avec"), col("norm").as("anorm"))
     val cands = lex.filter(col("rk") > 1)
-      .select(col("qid"), col("doc_id"), col("score").as("bm25"))
+      .select(col("qid"), col("doc_id"), col("score_ppb").as("bm25_ppb"))
       .join(v, col("doc_id") === col("vec_id"))
       .join(broadcast(anchors), "qid")
-      .withColumn("cos", round(
+      .withColumn("cos",
         expr("aggregate(zip_with(avec, vec, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
-          / (col("anorm") * col("norm")), 6))
+          / (col("anorm") * col("norm")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("doc_id"))
     cands
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
-      .select(col("qid"), col("rk"), col("doc_id"), col("anchor_id"), col("bm25"), col("cos"))
+      .select(col("qid"), col("rk"), col("doc_id"), col("anchor_id"), col("bm25_ppb"), col("cos"))
       .orderBy(col("qid"), col("rk"))
   }
 
@@ -170,16 +173,16 @@ object RetrievalOps {
       .select(col("qid"), col("doc_id"), col("rk").as("lex_rk"))
       .join(v, col("doc_id") === col("vec_id"))
       .join(broadcast(anchors), "qid")
-      .withColumn("cos", round(
+      .withColumn("cos",
         expr("aggregate(zip_with(avec, vec, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
-          / (col("anorm") * col("norm")), 6))
+          / (col("anorm") * col("norm")))
     val wc = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("doc_id"))
     val fused = cands
       .withColumn("cos_rk", row_number().over(wc).cast("long"))
-      .withColumn("rrf", round(
+      .withColumn("rrf",
         lit(1.0) / (lit(c.toDouble) + col("lex_rk")) +
-        lit(1.0) / (lit(c.toDouble) + col("cos_rk")), 9))
+        lit(1.0) / (lit(c.toDouble) + col("cos_rk")))
     val wf = Window.partitionBy(col("qid"))
       .orderBy(col("rrf").desc, col("doc_id"))
     fused
@@ -230,9 +233,9 @@ object RetrievalOps {
     nRel.join(hits, Seq("qid"), "left_outer")
       .select(col("qid"), col("n_rel"),
         coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
-        round(coalesce(col("hits_at_k"), lit(0L)).cast("double") / col("n_rel"), 6)
+        (coalesce(col("hits_at_k"), lit(0L)).cast("double") / col("n_rel"))
           .as("recall_at_k"),
-        round(coalesce(lit(1.0) / col("first_rel_rk"), lit(0.0)), 6)
+        coalesce(lit(1.0) / col("first_rel_rk"), lit(0.0))
           .as("reciprocal_rank"))
       .orderBy(col("qid"))
   }
@@ -288,13 +291,13 @@ object RetrievalOps {
       .join(doclens, "doc_id")
       .crossJoin(broadcast(corpus))
       .withColumn("avgdl", col("sumdl").cast("double") / col("nn"))
-      .withColumn("score_t", round(
-        ((col("nn") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      .withColumn("score_t_ppb", floor(
+        (((col("nn") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
           (col("tf") * lit(k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))),
-        9))
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+        * lit(1.0e9)))
     val perDoc = scored.groupBy(col("qid"), col("doc_id"))
-      .agg(round(Exact.decSum(col("score_t"), 9), 6).as("score"))
+      .agg(sum(col("score_t_ppb")).cast("long").as("score_ppb"))
     val anchorCl = clusters.filter(col("doc_id").isin(anchors: _*))
       .select(col("doc_id").as("qid"), col("cluster_id").as("qcl"))
     val withCl = perDoc
@@ -302,14 +305,14 @@ object RetrievalOps {
       .join(clusters, "doc_id")
       .withColumn("is_pos", col("cluster_id") === col("qcl"))
     val wQ = Window.partitionBy(col("qid"))
-    val wR = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    val wR = Window.partitionBy(col("qid")).orderBy(col("score_ppb").desc, col("doc_id"))
     withCl
       .withColumn("n_excluded",
         sum(when(col("is_pos"), 1L).otherwise(0L)).over(wQ).cast("long"))
       .filter(!col("is_pos"))
       .withColumn("rk", row_number().over(wR).cast("long"))
       .filter(col("rk") <= k)
-      .select(col("qid"), col("rk"), col("doc_id"), col("score"), col("n_excluded"))
+      .select(col("qid"), col("rk"), col("doc_id"), col("score_ppb"), col("n_excluded"))
       .orderBy(col("qid"), col("rk"))
   }
 
@@ -324,8 +327,8 @@ object RetrievalOps {
     *
     * Arithmetic is exact until the last step: dot and norms are
     * BIGINT tf sums; ONE sqrt + ONE division produce the score
-    * (correctly-rounded IEEE in any engine), round(…,6) pins the
-    * hash. Norms are over the PRUNED vocabulary, consistently with
+    * (correctly-rounded IEEE in any engine) — bit-stable with no
+    * rounding step. Norms are over the PRUNED vocabulary, consistently with
     * the dot product — the score is the cosine in the pruned term
     * space. */
   def sparseCosinePairs(postings: DataFrame, dfCap: Long = 25,
@@ -344,9 +347,9 @@ object RetrievalOps {
     dots
       .join(norms.select(col("doc_id").as("doc_i"), col("n2").as("n2_i")), "doc_i")
       .join(norms.select(col("doc_id").as("doc_j"), col("n2").as("n2_j")), "doc_j")
-      .withColumn("cosine", round(
+      .withColumn("cosine",
         col("dot").cast("double") /
-          sqrt(col("n2_i").cast("double") * col("n2_j").cast("double")), 6))
+          sqrt(col("n2_i").cast("double") * col("n2_j").cast("double")))
       .filter(col("cosine") >= threshold)
       .select(col("doc_i"), col("doc_j"), col("dot"), col("cosine"))
       .orderBy(col("doc_i"), col("doc_j"))

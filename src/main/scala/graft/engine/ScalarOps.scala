@@ -58,30 +58,38 @@ object ScalarOps {
     * engine-side so the serving layer never re-formats in JS. One
     * deliberate divergence: the reference's else-branch returns raw
     * `num.toString`; we pin two decimals there too so the output is
-    * byte-stable across engines (double-to-string formatting is not). */
+    * byte-stable across engines (double-to-string formatting is not).
+    *
+    * The two-decimal value is computed in pure BIGINT from exact
+    * cents: d2 = round_half_up(cents / divD) = (2·cents + divD) div
+    * (2·divD) hundredths-of-display-units, then rendered as
+    * `d2 div 100 "." lpad(d2 % 100)` — no ROUND over DOUBLE anywhere
+    * (that path is rounding-path-dependent across engines; integer
+    * arithmetic is not). The branch predicates compare the raw
+    * double aggregates, identical on both sides. The avg divisor
+    * folds the count in: round(avg_cents/divD) =
+    * (2·cents + n·divD) div (2·n·divD). */
   def displayFormat(orders: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    def two(c: org.apache.spark.sql.Column) =
-      round(c, 2).cast(DecimalType(18, 2)).cast("string")
-    def part(c: org.apache.spark.sql.Column, div: Double, suffix: String) =
-      concat(two(c / div), lit(suffix))
-    val c = col("total_price")
-    val fmt = when(c >= 1e12, part(c, 1e12, " Trillion"))
-      .when(c >= 1e9, part(c, 1e9, " Billion"))
-      .when(c >= 1e6, part(c, 1e6, " Million"))
-      .when(c >= 1e3, part(c, 1e3, " Thousand"))
-      .otherwise(two(c))
+    def d2Total(divD: Long) = s"(2*ct + $divD) div ${2 * divD}"
+    def d2Avg(divD: Long) = s"(2*ct + n*$divD) div (2*n*$divD)"
+    def render(d2: String, suffix: String) =
+      s"concat(CAST(($d2) div 100 AS STRING), '.', " +
+        s"lpad(CAST(($d2) % 100 AS STRING), 2, '0')$suffix)"
+    def fmt(c: String, d2: Long => String) =
+      s"""CASE WHEN $c >= 1.0e12 THEN ${render(d2(1000000000000L), ", ' Trillion'")}
+         |     WHEN $c >= 1.0e9  THEN ${render(d2(1000000000L), ", ' Billion'")}
+         |     WHEN $c >= 1.0e6  THEN ${render(d2(1000000L), ", ' Million'")}
+         |     WHEN $c >= 1.0e3  THEN ${render(d2(1000L), ", ' Thousand'")}
+         |     ELSE ${render(d2(1L), "")} END""".stripMargin
     orders
       .groupBy(col("o_orderpriority"))
       .agg(decSum(col("o_totalprice")).as("total_price"),
-           decAvg(col("o_totalprice")).as("avg_price"))
+           decAvg(col("o_totalprice")).as("avg_price"),
+           count(lit(1)).cast("long").as("n"))
+      .withColumn("ct", round(col("total_price") * 100).cast("long"))
       .select(col("o_orderpriority"), col("total_price"),
-              fmt.as("display_total"),
-              when(col("avg_price") >= 1e12, part(col("avg_price"), 1e12, " Trillion"))
-                .when(col("avg_price") >= 1e9, part(col("avg_price"), 1e9, " Billion"))
-                .when(col("avg_price") >= 1e6, part(col("avg_price"), 1e6, " Million"))
-                .when(col("avg_price") >= 1e3, part(col("avg_price"), 1e3, " Thousand"))
-                .otherwise(two(col("avg_price"))).as("display_avg"))
+              expr(fmt("total_price", d2Total)).as("display_total"),
+              expr(fmt("avg_price", d2Avg)).as("display_avg"))
       .orderBy(col("o_orderpriority"))
   }
 

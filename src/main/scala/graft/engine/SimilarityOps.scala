@@ -35,7 +35,7 @@ object SimilarityOps {
     val joined = v.join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("dot",
         expr("aggregate(zip_with(qvec, vec, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
-      .withColumn("score", round(col("dot") / (col("qnorm") * col("norm")), 6))
+      .withColumn("score", col("dot") / (col("qnorm") * col("norm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
     joined
       .withColumn("rn", row_number().over(w).cast("long"))
@@ -85,11 +85,11 @@ object SimilarityOps {
       .withColumn("errs", expr(
         "transform(embedding, x -> abs(CAST(x AS DOUBLE) - " +
         "CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT) * amax / 127.0))"))
-      .select(col("vec_id"), round(col("amax"), 6).as("amax"),
-        round(expr("aggregate(errs, CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, x))"), 9)
+      .select(col("vec_id"), col("amax"),
+        expr("aggregate(errs, CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, x))")
           .as("max_abs_err"),
-        round(expr("aggregate(errs, CAST(0 AS DOUBLE), (acc, x) -> acc + x) / size(errs)"), 9)
-          .as("mean_abs_err"))
+        expr("aggregate(errs, CAST(0 AS BIGINT), (acc, x) -> acc + floor(x * 1000000000.0)) div size(errs)")
+          .as("mean_abs_err_ppb"))
       .orderBy(col("vec_id"))
 
   /** Quantized cosine top-k: cosine over the int8 vectors. The
@@ -119,7 +119,7 @@ object SimilarityOps {
       .withColumn("dot",
         expr("aggregate(zip_with(qq, qvec, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
       .withColumn("score",
-        round(col("dot").cast("double") / (sqrt(col("qqn").cast("double")) * sqrt(col("qn").cast("double"))), 6))
+        col("dot").cast("double") / (sqrt(col("qqn").cast("double")) * sqrt(col("qn").cast("double"))))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
     joined
       .withColumn("rn", row_number().over(w).cast("long"))
@@ -181,7 +181,7 @@ object SimilarityOps {
         col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
       .withColumn("dot",
         expr("aggregate(zip_with(qvec, vec, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
-      .withColumn("score", round(col("dot") / (col("qnorm") * col("norm")), 6))
+      .withColumn("score", col("dot") / (col("qnorm") * col("norm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
     joined
       .withColumn("rn", row_number().over(w).cast("long"))
@@ -344,7 +344,7 @@ object SimilarityOps {
         Seq("list_id")).filter(col("vec_id") =!= col("qid"))
       .withColumn("dot",
         expr("aggregate(zip_with(qvec, vec, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
-      .withColumn("score", round(col("dot") / (col("qnorm") * col("norm")), 6))
+      .withColumn("score", col("dot") / (col("qnorm") * col("norm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
     joined
       .withColumn("rn", row_number().over(w).cast("long"))
@@ -367,9 +367,9 @@ object SimilarityOps {
     index.assigned
       .groupBy(col("list_id").cast("long").as("list_id"))
       .agg(count(lit(1)).as("n_vectors"))
-      .withColumn("share", round(
+      .withColumn("share",
         col("n_vectors").cast("double") /
-          sum(col("n_vectors")).over(Window.partitionBy()), 6))
+          sum(col("n_vectors")).over(Window.partitionBy()))
       .orderBy(col("list_id"))
   }
 
@@ -398,7 +398,7 @@ object SimilarityOps {
       .filter(col("vec_i") < col("vec_j"))
       .withColumn("dot",
         expr("aggregate(zip_with(vec_a, vec_b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
-      .withColumn("score", round(col("dot") / (col("norm_a") * col("norm_b")), 6))
+      .withColumn("score", col("dot") / (col("norm_a") * col("norm_b")))
       .filter(col("score") >= threshold)
       .select(col("vec_i"), col("vec_j"), col("score"))
   }
@@ -438,10 +438,10 @@ object SimilarityOps {
   def labelCentroidSim(embeddings: DataFrame): DataFrame = {
     val comp = embeddings
       .select(col("label").cast("long").as("label"),
-        posexplode(expr("transform(embedding, x -> round(CAST(x AS DOUBLE), 9))"))
-          .as(Seq("pos", "v")))
+        posexplode(expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000000.0))"))
+          .as(Seq("pos", "v_ppb")))
     val cent = comp.groupBy(col("label"), col("pos"))
-      .agg(round(Exact.decAvg(col("v"), 9), 9).as("c"))
+      .agg((sum(col("v_ppb")).cast("double") / count(lit(1))).as("c"))
     val arrs = cent.groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cv"))
     val a = arrs.select(col("label").as("label_a"), col("cv").as("ea"))
@@ -454,7 +454,7 @@ object SimilarityOps {
       .withColumn("nb",
         sqrt(expr("aggregate(eb, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")))
       .select(col("label_a"), col("label_b"),
-        round(col("dot") / (col("na") * col("nb")), 6).as("cos_sim"))
+        (col("dot") / (col("na") * col("nb"))).as("cos_sim"))
       .orderBy(col("label_a"), col("label_b"))
   }
 
@@ -474,16 +474,19 @@ object SimilarityOps {
       .select(col("label").cast("long").as("label"),
         expr("aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))").as("sq"),
         expr("exists(embedding, x -> isnan(CAST(x AS DOUBLE)) OR CAST(x AS DOUBLE) IN (CAST('Infinity' AS DOUBLE), CAST('-Infinity' AS DOUBLE)))").as("bad"))
-      .withColumn("norm", round(sqrt(col("sq")), 9))
+      .withColumn("norm", sqrt(col("sq")))
     per
       .groupBy(col("label"))
       .agg(count(lit(1)).cast("long").as("n_vecs"),
            sum(when(col("bad"), 1L).otherwise(0L)).as("n_nonfinite"),
            sum(when(!col("bad") && col("norm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
-           round(min(when(!col("bad") && col("norm") > 0.0, col("norm"))), 6).as("min_norm"),
-           round(max(when(!col("bad") && col("norm") > 0.0, col("norm"))), 6).as("max_norm"),
-           round(Exact.decAvg(when(!col("bad") && col("norm") > 0.0, col("norm")), 9), 6)
-             .as("mean_norm"))
+           min(when(!col("bad") && col("norm") > 0.0, col("norm"))).as("min_norm"),
+           max(when(!col("bad") && col("norm") > 0.0, col("norm"))).as("max_norm"),
+           sum(when(!col("bad") && col("norm") > 0.0,
+             floor(col("norm") * lit(1.0e9)))).as("s_ppb"),
+           count(when(!col("bad") && col("norm") > 0.0, lit(1))).cast("long").as("n_pos"))
+      .withColumn("mean_norm_ppb", expr("CASE WHEN n_pos > 0 THEN s_ppb div n_pos END"))
+      .drop("s_ppb", "n_pos")
       .orderBy(col("label"))
   }
 
@@ -582,7 +585,7 @@ object SimilarityOps {
       .withColumn("d2_proj", sqDist("ya", "yb"))
       .filter(col("d2_orig") > 0)
       .select(col("a"), col("b"), col("d2_orig"), col("d2_proj"),
-        round((col("d2_proj").cast("double") / outDims) / col("d2_orig"), 6).as("ratio"))
+        ((col("d2_proj").cast("double") / outDims) / col("d2_orig")).as("ratio"))
       .orderBy(col("a"), col("b"))
   }
 }

@@ -91,9 +91,9 @@ object TemporalOps {
     val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("mi"))
       .rowsBetween(-1, 1)
     filled
-      .withColumn("ma3", round(
+      .withColumn("ma3", (
         sum(col("total_price").cast("decimal(18,4)")).over(w).cast("double") /
-          count(lit(1)).over(w), 6))
+          count(lit(1)).over(w)))
       .select(col("o_orderpriority"),
         expr("mi DIV 12").as("o_year"), (pmod(col("mi"), lit(12)) + 1).as("o_month"),
         col("n_orders"), col("total_price"), col("ma3"))

@@ -81,15 +81,18 @@ object TextOps {
     langSignals(documents)
       .groupBy(col("lang"), col("lang_guess"))
       .agg(count(lit(1)).as("n_docs"))
-      .withColumn("lang_frac", round(col("n_docs").cast("double") /
-        sum(col("n_docs")).over(Window.partitionBy(col("lang"))), 6))
+      .withColumn("lang_frac", (col("n_docs").cast("double") /
+        sum(col("n_docs")).over(Window.partitionBy(col("lang")))))
       .orderBy(col("lang"), col("lang_guess"))
   }
 
   /** Composite quality score in [0,1]: length saturation, low-punct
     * bonus, stopword density. Pure double arithmetic over exact integer
-    * counts — identical expression tree on the oracle side, so the
-    * 64-bit result matches; rounded to 6 decimals for safety. */
+    * counts — every op (÷, ×, +, least/greatest) is correctly-rounded
+    * IEEE in fixed textual order, so the identical expression tree on
+    * the oracle side reproduces the exact 64-bit value with no
+    * rounding step (ROUND over DOUBLE is engine-dependent; the raw
+    * value is not). */
   def qualityScore(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), col("text"))
@@ -103,7 +106,7 @@ object TextOps {
       .withColumn("stop_component",
         least(col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1L)).cast("double") * 5.0, lit(1.0)))
       .withColumn("quality",
-        round(col("len_component") * 0.4 + col("punct_component") * 0.3 + col("stop_component") * 0.3, 6))
+        col("len_component") * 0.4 + col("punct_component") * 0.3 + col("stop_component") * 0.3)
       .select(col("doc_id"), col("n_tokens"), col("n_punct"), col("n_stop"), col("quality"))
       .orderBy(col("doc_id"))
 
@@ -130,8 +133,8 @@ object TextOps {
         size(expr("regexp_extract_all(text, '[^ ]+', 0)"))
           .cast("long").as("n_ws_tokens"))
       .withColumn("pieces_per_token",
-        round(col("n_pieces").cast("double") /
-              greatest(col("n_ws_tokens"), lit(1L)).cast("double"), 6))
+        (col("n_pieces").cast("double") /
+              greatest(col("n_ws_tokens"), lit(1L)).cast("double")))
       .orderBy(col("doc_id"))
 
   /** Distinct word n-grams per document (lowercased token windows,
@@ -233,7 +236,7 @@ object TextOps {
         coalesce(col("n_docs_contaminated"), lit(0L)).as("n_docs_contaminated"),
         coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
       .withColumn("contam_frac",
-        round(col("n_docs_contaminated").cast("double") / col("n_docs_a"), 6))
+        (col("n_docs_contaminated").cast("double") / col("n_docs_a")))
       .orderBy(col("split_a"), col("split_b"))
   }
 
@@ -413,11 +416,11 @@ object TextOps {
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
       .withColumn("distinct_ratio",
-        round(col("n_distinct").cast("double") / col("n_tokens"), 6))
+        (col("n_distinct").cast("double") / col("n_tokens")))
       // max token frequency = longest equal-run in the sorted array:
       // O(n log n) per row (the distinct×filter formulation is
       // O(distinct·n) — quadratic on real-corpus documents)
-      .withColumn("top_tok_share", round(
+      .withColumn("top_tok_share", (
         expr("""aggregate(array_sort(toks),
                named_struct('prev', '', 'run', 0, 'best', 0),
                (acc, x) -> named_struct(
@@ -425,12 +428,12 @@ object TextOps {
                  'run', IF(x = acc.prev, acc.run + 1, 1),
                  'best', GREATEST(acc.best, IF(x = acc.prev, acc.run + 1, 1))),
                acc -> acc.best)""")
-          .cast("double") / col("n_tokens"), 6))
+          .cast("double") / col("n_tokens")))
       .withColumn("n_sentences", size(col("sentences")).cast("long"))
       .withColumn("n_distinct_sentences", size(array_distinct(col("sentences"))).cast("long"))
-      .withColumn("dup_sentence_frac", round(
+      .withColumn("dup_sentence_frac", (
         (col("n_sentences") - col("n_distinct_sentences")).cast("double") /
-          greatest(col("n_sentences"), lit(1L)).cast("double"), 6))
+          greatest(col("n_sentences"), lit(1L)).cast("double")))
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("distinct_ratio"),
               col("top_tok_share"), col("dup_sentence_frac"))
       .orderBy(col("doc_id"))
@@ -492,9 +495,9 @@ object TextOps {
     repetitionRuleFilter(documents)
       .groupBy(col("verdict"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
-      .withColumn("doc_frac", round(
+      .withColumn("doc_frac", (
         col("n_docs").cast("double") /
-          sum(col("n_docs")).over(Window.partitionBy()), 6))
+          sum(col("n_docs")).over(Window.partitionBy())))
       .select(col("verdict"), col("n_docs"), col("n_tokens"), col("doc_frac"))
       .orderBy(col("verdict"))
   }
@@ -764,14 +767,19 @@ object TextOps {
     // derive identically
     val vocab = occ.select(explode(array(col("w1"), col("w2"))).as("w"))
       .distinct().count()
+    // probability → integer ppb via floor (exact in every engine —
+    // ROUND over DOUBLE is rounding-path-dependent); the per-doc mean
+    // is then a pure-BIGINT sum + truncating div, order-independent
     val probs = bi.join(uni, "w1")
       .select(col("w1"), col("w2"),
-        round((col("c2") + lit(1L)).cast("double") /
-              (col("c1") + lit(vocab)).cast("double"), 9).as("p"))
+        floor((col("c2") + lit(1L)).cast("double") /
+              (col("c1") + lit(vocab)).cast("double") * lit(1.0e9)).as("p_ppb"))
     occ.join(probs, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-           round(Exact.decAvg(col("p"), 9), 6).as("lm_score"))
+           sum(col("p_ppb")).as("s_ppb"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("s_ppb div n_bigrams").as("lm_score_ppb"))
       .orderBy(col("doc_id"))
   }
 
@@ -787,8 +795,9 @@ object TextOps {
     * reference-bounded; scoring is two left equi-joins on the bigram
     * stream that co-partition with the count shuffles, AQE
     * broadcasting the model side when it is genuinely small.
-    * Determinism: probabilities ROUND(·,9) double divisions of exact
-    * integers, per-doc mean in exact DECIMAL ([[Exact.decAvg]]). */
+    * Determinism: probabilities floor-quantize to integer ppb (one
+    * IEEE division + multiply, then exact floor), per-doc mean is a
+    * pure-BIGINT sum + truncating div — order-independent. */
   def crossLmScore(documents: DataFrame, refSource: String = "src0"): DataFrame = {
     val occ = documents
       .filter(lower(col("text")).rlike("[a-z0-9_]"))
@@ -807,14 +816,16 @@ object TextOps {
     occ
       .join(bi, Seq("w1", "w2"), "left")
       .join(uni, Seq("w1"), "left")
-      .withColumn("p", round(
+      .withColumn("p_ppb", floor(
         (coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
-        (coalesce(col("c1"), lit(0L)) + lit(vocab)).cast("double"), 9))
+        (coalesce(col("c1"), lit(0L)) + lit(vocab)).cast("double") * lit(1.0e9)))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
            sum(when(col("c2").isNotNull, 1L).otherwise(0L)).as("n_seen"),
-           round(Exact.decAvg(col("p"), 9), 6).as("xlm_score"))
-      .withColumn("seen_frac", round(col("n_seen").cast("double") / col("n_bigrams"), 6))
+           sum(col("p_ppb")).as("s_ppb"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_seen"),
+        expr("s_ppb div n_bigrams").as("xlm_score_ppb"),
+        (col("n_seen").cast("double") / col("n_bigrams")).as("seen_frac"))
       .orderBy(col("doc_id"))
   }
 
@@ -850,9 +861,9 @@ object TextOps {
       .join(perWord, "w") // inner: drops sub-minCount words
       .join(perSource, "source")
       .crossJoin(broadcast(tot))
-      .withColumn("lift", round(
+      .withColumn("lift", (
         (col("tf_sw").cast("double") / col("toks_s")) /
-        (col("tf_g").cast("double") / col("toks_g")), 6))
+        (col("tf_g").cast("double") / col("toks_g"))))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("lift").desc, col("w"))
     scored
@@ -887,9 +898,9 @@ object TextOps {
     tfDw.join(perWord, "w")
       .join(perDoc, "doc_id")
       .crossJoin(broadcast(tot))
-      .withColumn("lift", round(
+      .withColumn("lift", (
         (col("tf_dw").cast("double") / col("toks_d")) /
-          (col("tf_g").cast("double") / col("toks_g")), 6))
+          (col("tf_g").cast("double") / col("toks_g"))))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("doc_id"), col("rk"), col("w"), col("tf_dw"), col("tf_g"), col("lift"))
@@ -935,9 +946,9 @@ object TextOps {
       .join(dfw.select(col("w").as("wa"), col("df").as("c_a")), "wa")
       .join(dfw.select(col("w").as("wb"), col("df").as("c_b")), "wb")
       .crossJoin(broadcast(nDocs))
-      .withColumn("lift", round(
+      .withColumn("lift", (
         (col("c_ab") * col("n_docs")).cast("double") /
-        (col("c_a") * col("c_b")).cast("double"), 6))
+        (col("c_a") * col("c_b")).cast("double")))
       .orderBy(col("lift").desc, col("wa"), col("wb"))
       .limit(k)
       .select(col("wa"), col("wb"), col("c_ab"), col("c_a"), col("c_b"),
@@ -1001,8 +1012,8 @@ object TextOps {
       .withColumn("cum_occ",
         sum(col("n_occ")).over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("tok_rank"), col("tok"), col("n_occ"), col("n_docs"),
-        round(col("n_occ").cast("double") / col("total"), 6).as("share"),
-        round(col("cum_occ").cast("double") / col("total"), 6).as("cum_share"))
+        (col("n_occ").cast("double") / col("total")).as("share"),
+        (col("cum_occ").cast("double") / col("total")).as("cum_share"))
       .orderBy(col("tok_rank"))
   }
 
@@ -1067,8 +1078,8 @@ object TextOps {
       .agg(count(lit(1)).as("n_common"))
       .join(sizes.select(col("source").as("source_a"), col("n_vocab").as("n_vocab_a")), "source_a")
       .join(sizes.select(col("source").as("source_b"), col("n_vocab").as("n_vocab_b")), "source_b")
-      .withColumn("jaccard", round(col("n_common").cast("double") /
-        (col("n_vocab_a") + col("n_vocab_b") - col("n_common")), 6))
+      .withColumn("jaccard", (col("n_common").cast("double") /
+        (col("n_vocab_a") + col("n_vocab_b") - col("n_common"))))
       .select(col("source_a"), col("source_b"), col("n_vocab_a"),
         col("n_vocab_b"), col("n_common"), col("jaccard"))
       .orderBy(col("source_a"), col("source_b"))
@@ -1134,7 +1145,7 @@ object TextOps {
       .filter(col("source_a") < col("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(sum(when(col("sig_a") === col("sig_b"), 1L).otherwise(0L)).as("n_agree"))
-      .withColumn("est_jaccard", round(col("n_agree").cast("double") / lanes, 6))
+      .withColumn("est_jaccard", (col("n_agree").cast("double") / lanes))
       .orderBy(col("source_a"), col("source_b"))
   }
 
@@ -1204,7 +1215,7 @@ object TextOps {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_stop"), lit(0L)).as("n_stop"))
       .withColumn("stop_ratio",
-        round(col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1L)), 6))
+        (col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1L))))
       .orderBy(col("doc_id"))
   }
 
@@ -1239,7 +1250,7 @@ object TextOps {
         sum(when(col("cls") === "short", 1L).otherwise(0L)).as("n_short"),
         sum(when(col("cls") === "long", 1L).otherwise(0L)).as("n_long"))
       .withColumn("kept_frac",
-        round(col("n_kept").cast("double") / col("n_docs"), 6))
+        (col("n_kept").cast("double") / col("n_docs")))
       .orderBy(col("lang"))
   }
 
@@ -1381,7 +1392,7 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("n_units_w")).as("n_units"))
       .withColumn("units_per_token",
-        round(col("n_units").cast("double") / col("n_tokens"), 6))
+        (col("n_units").cast("double") / col("n_tokens")))
       .orderBy(col("doc_id"))
   }
 
@@ -1411,7 +1422,7 @@ object TextOps {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("n_units_w")).as("n_units"))
       .withColumn("units_per_token",
-        round(col("n_units").cast("double") / col("n_tokens"), 6))
+        (col("n_units").cast("double") / col("n_tokens")))
       .orderBy(col("lang"))
   }
 }

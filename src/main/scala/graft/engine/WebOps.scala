@@ -73,8 +73,8 @@ object WebOps {
     val hosts = base.groupBy(col("domain"))
       .agg(countDistinct(col("host")).cast("long").as("n_hosts"))
     rolled.join(hosts, Seq("domain"))
-      .withColumn("dup_rate", round(
-        col("n_dup_docs").cast("double") / col("n_docs"), 6))
+      .withColumn("dup_rate", (
+        col("n_dup_docs").cast("double") / col("n_docs")))
       .select(col("domain"), col("n_docs"), col("n_hosts"),
         col("n_tokens"), col("n_dup_docs"), col("dup_rate"))
       .orderBy(col("domain"))
@@ -126,8 +126,8 @@ object WebOps {
         s"CAST((CAST(w_sqrt AS DECIMAL(38,0)) * CAST($totalBudget AS DECIMAL(38,0))) " +
         "div CAST(tot_w AS DECIMAL(38,0)) AS BIGINT)"))
       .withColumn("capped_tokens", least(col("target_tokens"), lit(cap)))
-      .withColumn("sample_rate", round(
-        least(lit(1.0), col("capped_tokens").cast("double") / col("n_tokens")), 6))
+      .withColumn("sample_rate", (
+        least(lit(1.0), col("capped_tokens").cast("double") / col("n_tokens"))))
       .select(col("domain"), col("n_docs"), col("n_tokens"), col("w_sqrt"),
         col("target_tokens"), col("capped_tokens"), col("sample_rate"))
       .orderBy(col("domain"))

@@ -75,8 +75,8 @@ object WindowOps {
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
     orders
-      .withColumn("pr", round(percent_rank().over(w), 6))
-      .withColumn("cd", round(cume_dist().over(w), 6))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= perGroup)
       .select(col("o_orderpriority"), col("o_orderkey"), col("pr"), col("cd"), col("rn"))

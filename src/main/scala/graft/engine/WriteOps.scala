@@ -272,8 +272,8 @@ object WriteOps {
       .groupBy(col("file_id"), col("n_rows"), col("d_lo"), col("d_hi"))
       .agg(sum(when(col("file_b").isNotNull, 1L).otherwise(0L)).as("overlap_files"))
       .crossJoin(broadcast(nf))
-      .withColumn("overlap_frac", round(col("overlap_files").cast("double") /
-        greatest(col("n_files") - 1, lit(1L)), 6))
+      .withColumn("overlap_frac", (col("overlap_files").cast("double") /
+        greatest(col("n_files") - 1, lit(1L))))
       .select(col("file_id"), col("n_rows"), col("d_lo"), col("d_hi"),
         col("overlap_files"), col("n_files").cast("long").as("n_files"),
         col("overlap_frac"))

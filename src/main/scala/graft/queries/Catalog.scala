@@ -89,8 +89,8 @@ object Catalog {
              |g AS (SELECT SUM(np) AS gp FROM bn)
              |SELECT bn.r_name, n_name, n_items,
              |       CAST(np AS DOUBLE) AS total_price,
-             |       ROUND(CAST(np AS DOUBLE) / CAST(rp AS DOUBLE), 6) AS share_of_region,
-             |       ROUND(CAST(np AS DOUBLE) / CAST(gp AS DOUBLE), 6) AS share_of_total
+             |       (CAST(np AS DOUBLE) / CAST(rp AS DOUBLE)) AS share_of_region,
+             |       (CAST(np AS DOUBLE) / CAST(gp AS DOUBLE)) AS share_of_total
              |FROM bn JOIN br USING (r_name) CROSS JOIN g
              |ORDER BY r_name, n_name""".stripMargin)),
 
@@ -525,8 +525,8 @@ object Catalog {
              |             CAST(SUM(cnt) AS BIGINT) AS n_rows
              |      FROM c GROUP BY 1)
              |SELECT bucket, n_keys, n_rows,
-             |       ROUND(CAST(n_rows AS DOUBLE) / total_rows, 6) AS row_share,
-             |       ROUND(CAST(max_cnt AS DOUBLE) * total_keys / total_rows, 6) AS skew_factor
+             |       (CAST(n_rows AS DOUBLE) / total_rows) AS row_share,
+             |       (CAST(max_cnt AS DOUBLE) * total_keys / total_rows) AS skew_factor
              |FROM h CROSS JOIN t ORDER BY bucket""".stripMargin)),
 
     // exact-arithmetic outlier report: the |x−μ|>2σ test decided by
@@ -548,9 +548,9 @@ object Catalog {
              |            > (m.n * m.ss - m.s * m.s) * 4
              |      GROUP BY 1)
              |SELECT m.l_returnflag, CAST(m.n AS BIGINT) AS n_rows,
-             |       ROUND(CAST(m.s AS DOUBLE) / (CAST(m.n AS DOUBLE) * 100), 6) AS mean_price,
-             |       ROUND(sqrt(CAST(m.n * m.ss - m.s * m.s AS DOUBLE))
-             |             / (CAST(m.n AS DOUBLE) * 100), 6) AS stddev_price,
+             |       (CAST(m.s AS DOUBLE) / (CAST(m.n AS DOUBLE) * 100)) AS mean_price,
+             |       (sqrt(CAST(m.n * m.ss - m.s * m.s AS DOUBLE))
+             |             / (CAST(m.n AS DOUBLE) * 100)) AS stddev_price,
              |       COALESCE(n_outliers, 0) AS n_outliers
              |FROM m LEFT JOIN o USING (l_returnflag)
              |ORDER BY l_returnflag""".stripMargin)),
@@ -566,9 +566,9 @@ object Catalog {
              |  FROM orders GROUP BY 1),
              |s AS (SELECT MIN(bin) AS lo, MAX(bin) AS hi, SUM(n) AS total FROM b),
              |g AS (SELECT unnest(range(lo, hi + 1)) AS bin, total FROM s)
-             |SELECT g.bin, CAST(ROUND(25000.0 * g.bin, 2) AS DOUBLE) AS bin_lo_price,
+             |SELECT g.bin, CAST((25000.0 * g.bin) AS DOUBLE) AS bin_lo_price,
              |       COALESCE(b.n, 0) AS n,
-             |       ROUND(CAST(COALESCE(b.n, 0) AS DOUBLE) / g.total, 6) AS share
+             |       (CAST(COALESCE(b.n, 0) AS DOUBLE) / g.total) AS share
              |FROM g LEFT JOIN b USING (bin)
              |ORDER BY bin""".stripMargin)),
 
@@ -650,7 +650,7 @@ object Catalog {
              |      FROM cents JOIN t USING (l_returnflag))
              |SELECT l_returnflag, MIN(n_rows) AS n_rows,
              |       CAST(MIN(tw) AS BIGINT) AS total_weight,
-             |       ROUND(CAST(MIN(c) AS DOUBLE) / 100, 6) AS weighted_median_price
+             |       (CAST(MIN(c) AS DOUBLE) / 100) AS weighted_median_price
              |FROM r WHERE cumw * 2 >= tw
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
@@ -675,10 +675,10 @@ object Catalog {
              |      WHERE rn = ((n - 1) * 5) // 100 + 1 OR rn = ((n - 1) * 95) // 100 + 1
              |      GROUP BY 1)
              |SELECT cents.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
-             |       ROUND(CAST(MIN(c_lo) AS DOUBLE) / 100, 6) AS lo_price,
-             |       ROUND(CAST(MIN(c_hi) AS DOUBLE) / 100, 6) AS hi_price,
-             |       ROUND(CAST(SUM(CAST(LEAST(GREATEST(c, c_lo), c_hi) AS HUGEINT)) AS DOUBLE)
-             |             / (CAST(COUNT(*) AS DOUBLE) * 100), 6) AS winsorized_mean
+             |       (CAST(MIN(c_lo) AS DOUBLE) / 100) AS lo_price,
+             |       (CAST(MIN(c_hi) AS DOUBLE) / 100) AS hi_price,
+             |       (CAST(SUM(CAST(LEAST(GREATEST(c, c_lo), c_hi) AS HUGEINT)) AS DOUBLE)
+             |             / (CAST(COUNT(*) AS DOUBLE) * 100)) AS winsorized_mean
              |FROM cents JOIN b USING (l_returnflag)
              |GROUP BY cents.l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
@@ -712,8 +712,8 @@ object Catalog {
              |      FROM dev JOIN mad USING (l_returnflag)
              |      WHERE d > mad * 3 GROUP BY 1)
              |SELECT n.l_returnflag, n.n AS n_rows,
-             |       ROUND(CAST(med AS DOUBLE) / 100, 6) AS median_price,
-             |       ROUND(CAST(mad AS DOUBLE) / 100, 6) AS mad_price,
+             |       (CAST(med AS DOUBLE) / 100) AS median_price,
+             |       (CAST(mad AS DOUBLE) / 100) AS mad_price,
              |       COALESCE(n_outliers, 0) AS n_outliers
              |FROM n JOIN med USING (l_returnflag) JOIN mad USING (l_returnflag)
              |LEFT JOIN o USING (l_returnflag)
@@ -739,8 +739,8 @@ object Catalog {
              |             MIN(CASE WHEN rn = ((n - 1) * 95) // 100 + 1 THEN c END) AS c95
              |      FROM r GROUP BY 1)
              |SELECT n.l_returnflag, n.n AS n_rows,
-             |       ROUND(CAST(c50 AS DOUBLE) / 100, 6) AS median_price,
-             |       ROUND(CAST(c95 AS DOUBLE) / 100, 6) AS p95_price
+             |       (CAST(c50 AS DOUBLE) / 100) AS median_price,
+             |       (CAST(c95 AS DOUBLE) / 100) AS p95_price
              |FROM n JOIN v USING (l_returnflag)
              |ORDER BY l_returnflag""".stripMargin)),
 
@@ -788,8 +788,8 @@ object Catalog {
              |       LEFT JOIN sv ON sv.source = ns.source AND sv.v = gc.v)
              |SELECT sc.source, sc.n_s AS n_source,
              |       CAST(MAX(abs(cum_s * n - cum_g * n_s)) AS BIGINT) AS ks_num,
-             |       ROUND(CAST(MAX(abs(cum_s * n - cum_g * n_s)) AS DOUBLE)
-             |             / (n_s * n), 6) AS ks
+             |       (CAST(MAX(abs(cum_s * n - cum_g * n_s)) AS DOUBLE)
+             |             / (n_s * n)) AS ks
              |FROM sc CROSS JOIN nt
              |GROUP BY sc.source, sc.n_s, nt.n
              |ORDER BY source""".stripMargin)),
@@ -812,8 +812,8 @@ object Catalog {
              |         LEFT JOIN cells ON cells.source = ns.source AND cells.lang = gl.lang)
              |SELECT source, n_s AS n_source,
              |       CAST(SUM(abs(o * n - g * n_s)) AS BIGINT) AS tv_num,
-             |       ROUND(CAST(SUM(abs(o * n - g * n_s)) AS DOUBLE)
-             |             / (2.0 * n_s * n), 6) AS tv
+             |       (CAST(SUM(abs(o * n - g * n_s)) AS DOUBLE)
+             |             / (2.0 * n_s * n)) AS tv
              |FROM grid CROSS JOIN nt
              |GROUP BY source, n_s, n
              |ORDER BY source""".stripMargin)),
@@ -847,13 +847,15 @@ object Catalog {
 
     // Benford first-digit audit: the digit comes off the cent-
     // quantized BIGINT's decimal string (never double formatting),
-    // expected shares are shared literals (log10 is transcendental —
-    // a literal is bit-identical everywhere).
+    // expected shares are shared INTEGER-PPM literals, and every
+    // derived column is pure BIGINT arithmetic (truncating integer
+    // division, subtraction, abs) — no ROUND over DOUBLE anywhere,
+    // so the result replays bit-identically under any DuckDB build.
     QuerySpec(
       "q174_benford",
       (s, dir) => AggregateOps.benfordReport(Tables.orders(s, dir)),
       Some {
-        val bList = AggregateOps.benfordShares.mkString("[", ", ", "]")
+        val pList = AggregateOps.benfordPpm.mkString("[", ", ", "]")
         s"""WITH d AS (
            |  SELECT o_orderpriority,
            |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
@@ -864,13 +866,14 @@ object Catalog {
            |c AS (SELECT o_orderpriority, digit, CAST(COUNT(*) AS BIGINT) AS n_obs
            |      FROM dg GROUP BY o_orderpriority, digit),
            |t AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_tot
-           |      FROM dg GROUP BY o_orderpriority)
-           |SELECT c.o_orderpriority, digit, n_obs, n_tot,
-           |       ROUND(CAST(n_obs AS DOUBLE) / n_tot, 6) AS obs_share,
-           |       CAST(list_extract($bList, CAST(digit AS INT)) AS DOUBLE) AS benford_share,
-           |       ROUND(abs(CAST(n_obs AS DOUBLE) / n_tot
-           |                 - CAST(list_extract($bList, CAST(digit AS INT)) AS DOUBLE)), 6) AS abs_gap
-           |FROM c JOIN t USING (o_orderpriority)
+           |      FROM dg GROUP BY o_orderpriority),
+           |j AS (SELECT c.o_orderpriority, digit, n_obs, n_tot,
+           |             CAST((n_obs * 1000000) // n_tot AS BIGINT) AS obs_share_ppm,
+           |             CAST(list_extract($pList, CAST(digit AS INT)) AS BIGINT) AS benford_ppm
+           |      FROM c JOIN t USING (o_orderpriority))
+           |SELECT o_orderpriority, digit, n_obs, n_tot, obs_share_ppm, benford_ppm,
+           |       CAST(abs(obs_share_ppm - benford_ppm) AS BIGINT) AS gap_ppm
+           |FROM j
            |ORDER BY o_orderpriority, digit""".stripMargin
       }),
 
@@ -971,26 +974,35 @@ object Catalog {
       Some("""SELECT o_orderkey, o_orderpriority, o_totalprice
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // two-decimal display values computed in pure BIGINT from exact
+    // cents (round_half_up(cents/divD) = (2·cents + divD) // (2·divD))
+    // — no ROUND over DOUBLE, bit-stable under any DuckDB build
     QuerySpec(
       "q60_display_format",
       (s, dir) => ScalarOps.displayFormat(Tables.orders(s, dir)),
       Some {
-        def two(e: String) = s"CAST(CAST(ROUND($e, 2) AS DECIMAL(18,2)) AS VARCHAR)"
-        def fmt(c: String) =
-          s"""CASE WHEN $c >= 1e12 THEN ${two(s"$c/1e12")} || ' Trillion'
-             |     WHEN $c >= 1e9  THEN ${two(s"$c/1e9")} || ' Billion'
-             |     WHEN $c >= 1e6  THEN ${two(s"$c/1e6")} || ' Million'
-             |     WHEN $c >= 1e3  THEN ${two(s"$c/1e3")} || ' Thousand'
-             |     ELSE ${two(c)} END""".stripMargin
+        def d2Total(divD: Long) = s"(2*ct + $divD) // ${2 * divD}"
+        def d2Avg(divD: Long) = s"(2*ct + n*$divD) // (2*n*$divD)"
+        def render(d2: String, suffix: String) =
+          s"CAST(($d2) // 100 AS VARCHAR) || '.' || " +
+            s"lpad(CAST(($d2) % 100 AS VARCHAR), 2, '0')$suffix"
+        def fmt(c: String, d2: Long => String) =
+          s"""CASE WHEN $c >= 1.0e12 THEN ${render(d2(1000000000000L), " || ' Trillion'")}
+             |     WHEN $c >= 1.0e9  THEN ${render(d2(1000000000L), " || ' Billion'")}
+             |     WHEN $c >= 1.0e6  THEN ${render(d2(1000000L), " || ' Million'")}
+             |     WHEN $c >= 1.0e3  THEN ${render(d2(1000L), " || ' Thousand'")}
+             |     ELSE ${render(d2(1L), "")} END""".stripMargin
         s"""WITH t AS (
            |  SELECT o_orderpriority,
            |         ${decSumSql("o_totalprice")} AS total_price,
-           |         ${decAvgSql("o_totalprice")} AS avg_price
-           |  FROM orders GROUP BY o_orderpriority)
+           |         ${decAvgSql("o_totalprice")} AS avg_price,
+           |         CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM orders GROUP BY o_orderpriority),
+           |tc AS (SELECT *, CAST(round(total_price * 100) AS BIGINT) AS ct FROM t)
            |SELECT o_orderpriority, total_price,
-           |       ${fmt("total_price")} AS display_total,
-           |       ${fmt("avg_price")} AS display_avg
-           |FROM t ORDER BY o_orderpriority""".stripMargin
+           |       ${fmt("total_price", d2Total)} AS display_total,
+           |       ${fmt("avg_price", d2Avg)} AS display_avg
+           |FROM tc ORDER BY o_orderpriority""".stripMargin
       })
   )
 
@@ -1005,8 +1017,8 @@ object Catalog {
       (s, dir) => WindowOps.distributionPosition(Tables.orders(s, dir)),
       Some("""SELECT * FROM (
              |  SELECT o_orderpriority, o_orderkey,
-             |         ROUND(percent_rank() OVER w, 6) AS pr,
-             |         ROUND(cume_dist() OVER w, 6) AS cd,
+             |         percent_rank() OVER w AS pr,
+             |         cume_dist() OVER w AS cd,
              |         CAST(row_number() OVER w AS BIGINT) AS rn
              |  FROM orders
              |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
@@ -1090,8 +1102,8 @@ object Catalog {
               |                  COALESCE(total_price, 0.0) AS total_price
               |           FROM grid LEFT JOIN monthly USING (o_orderpriority, mi)),
               |ma AS (SELECT *,
-              |              ROUND(CAST(SUM(CAST(total_price AS DECIMAL(18,4))) OVER w AS DOUBLE)
-              |                    / (COUNT(*) OVER w), 6) AS ma3
+              |              (CAST(SUM(CAST(total_price AS DECIMAL(18,4))) OVER w AS DOUBLE)
+              |                    / (COUNT(*) OVER w)) AS ma3
               |       FROM filled
               |       WINDOW w AS (PARTITION BY o_orderpriority ORDER BY mi
               |                    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING))
@@ -1519,8 +1531,8 @@ object Catalog {
              |       UNION ALL
              |       SELECT 3, 'purchase', n3, n2, total FROM one)
              |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage, n_users,
-             |       ROUND(CAST(n_users AS DOUBLE) / total, 6) AS frac_of_total,
-             |       ROUND(CAST(n_users AS DOUBLE) / NULLIF(prev, 0), 6) AS frac_of_prev
+             |       (CAST(n_users AS DOUBLE) / total) AS frac_of_total,
+             |       (CAST(n_users AS DOUBLE) / NULLIF(prev, 0)) AS frac_of_prev
              |FROM st ORDER BY stage_idx""".stripMargin)),
 
     // weekly retention cohorts: cohort = ISO week of first event,
@@ -1540,7 +1552,7 @@ object Catalog {
              |g AS (SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active
              |      FROM j GROUP BY cohort_week, week_offset)
              |SELECT g.cohort_week, g.week_offset, g.n_active,
-             |       ROUND(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+             |       (CAST(n_active AS DOUBLE) / cohort_size) AS retention
              |FROM g JOIN sz USING (cohort_week)
              |ORDER BY cohort_week, week_offset""".stripMargin)),
 
@@ -1647,8 +1659,8 @@ object Catalog {
              |SELECT CAST(window_us AS BIGINT) AS window_us, n_purchases,
              |       CAST(COUNT(CASE WHEN gap_us IS NOT NULL AND gap_us <= window_us
              |                       THEN 1 END) AS BIGINT) AS n_credited,
-             |       ROUND(CAST(COUNT(CASE WHEN gap_us IS NOT NULL AND gap_us <= window_us
-             |                             THEN 1 END) AS DOUBLE) / n_purchases, 6)
+             |       (CAST(COUNT(CASE WHEN gap_us IS NOT NULL AND gap_us <= window_us
+             |                             THEN 1 END) AS DOUBLE) / n_purchases)
              |         AS credit_rate
              |FROM p CROSS JOIN w CROSS JOIN t
              |GROUP BY window_us, n_purchases
@@ -1709,9 +1721,9 @@ object Catalog {
     * Emits (doc_id, n_chars, n_tokens, n_punct, n_stop, quality). */
   private val qualityPerDocSql: String =
     """SELECT doc_id, n_chars, n_tokens, n_punct, n_stop,
-      |       ROUND(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+      |       least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
       |           + (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) * 10.0, 1.0)) * 0.3
-      |           + least(CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) * 5.0, 1.0) * 0.3, 6) AS quality
+      |           + least(CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) * 5.0, 1.0) * 0.3 AS quality
       |FROM (
       |  SELECT doc_id,
       |         CAST(length(text) AS BIGINT) AS n_chars,
@@ -1770,7 +1782,7 @@ object Catalog {
              |                  ELSE 'es' END AS lang_guess
              |      FROM sig)
              |SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n_docs,
-             |       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY lang), 6) AS lang_frac
+             |       (CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY lang)) AS lang_frac
              |FROM g GROUP BY lang, lang_guess
              |ORDER BY lang, lang_guess""".stripMargin)),
 
@@ -1843,9 +1855,9 @@ object Catalog {
              |SELECT doc_id,
              |  CAST(len(toks) AS BIGINT) AS n_tokens,
              |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-             |  ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio,
-             |  ROUND(CAST(list_max(list_transform(list_distinct(toks), x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE) / len(toks), 6) AS top_tok_share,
-             |  ROUND(CAST(len(sentences) - len(list_distinct(sentences)) AS DOUBLE) / GREATEST(len(sentences), 1), 6) AS dup_sentence_frac
+             |  (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) AS distinct_ratio,
+             |  (CAST(list_max(list_transform(list_distinct(toks), x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE) / len(toks)) AS top_tok_share,
+             |  (CAST(len(sentences) - len(list_distinct(sentences)) AS DOUBLE) / GREATEST(len(sentences), 1)) AS dup_sentence_frac
              |FROM t WHERE len(toks) > 0 ORDER BY doc_id""".stripMargin)),
 
     // Published-rule repetition gate: the q72 signals composed into a
@@ -1863,9 +1875,9 @@ object Catalog {
              |sig AS (
              |  SELECT doc_id,
              |    CAST(len(toks) AS BIGINT) AS n_tokens,
-             |    ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio,
-             |    ROUND(CAST(list_max(list_transform(list_distinct(toks), x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE) / len(toks), 6) AS top_tok_share,
-             |    ROUND(CAST(len(sentences) - len(list_distinct(sentences)) AS DOUBLE) / GREATEST(len(sentences), 1), 6) AS dup_sentence_frac
+             |    (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) AS distinct_ratio,
+             |    (CAST(list_max(list_transform(list_distinct(toks), x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE) / len(toks)) AS top_tok_share,
+             |    (CAST(len(sentences) - len(list_distinct(sentences)) AS DOUBLE) / GREATEST(len(sentences), 1)) AS dup_sentence_frac
              |  FROM t WHERE len(toks) > 0),
              |v AS (
              |  SELECT d.doc_id,
@@ -1894,9 +1906,9 @@ object Catalog {
              |sig AS (
              |  SELECT doc_id,
              |    CAST(len(toks) AS BIGINT) AS n_tokens,
-             |    ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio,
-             |    ROUND(CAST(list_max(list_transform(list_distinct(toks), x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE) / len(toks), 6) AS top_tok_share,
-             |    ROUND(CAST(len(sentences) - len(list_distinct(sentences)) AS DOUBLE) / GREATEST(len(sentences), 1), 6) AS dup_sentence_frac
+             |    (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) AS distinct_ratio,
+             |    (CAST(list_max(list_transform(list_distinct(toks), x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE) / len(toks)) AS top_tok_share,
+             |    (CAST(len(sentences) - len(list_distinct(sentences)) AS DOUBLE) / GREATEST(len(sentences), 1)) AS dup_sentence_frac
              |  FROM t WHERE len(toks) > 0),
              |v AS (
              |  SELECT d.doc_id,
@@ -1930,8 +1942,8 @@ object Catalog {
              |FROM m GROUP BY rule ORDER BY rule""".stripMargin)),
 
     // CCNet-style statistical quality: corpus-trained bigram MLE,
-    // per-doc mean probability in exact DECIMAL — outlier/glitch docs
-    // score low
+    // probabilities floor-quantized to integer ppb, per-doc mean a
+    // pure-BIGINT sum + truncating div — outlier/glitch docs score low
     QuerySpec(
       "q120_ngram_lm_score",
       (s, dir) => TextOps.ngramLmScore(Tables.documents(s, dir)),
@@ -1946,10 +1958,11 @@ object Catalog {
              |u AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM o GROUP BY 1),
              |v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vsz
              |      FROM (SELECT w1 AS w FROM o UNION SELECT w2 FROM o)),
-             |pr AS (SELECT b.w1, b.w2, ROUND(CAST(c2 + 1 AS DOUBLE) / (c1 + vsz), 9) AS p
+             |pr AS (SELECT b.w1, b.w2,
+             |              CAST(floor(CAST(c2 + 1 AS DOUBLE) / (c1 + vsz) * 1000000000.0) AS BIGINT) AS p_ppb
              |       FROM b JOIN u USING (w1) CROSS JOIN v)
              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-             |       ROUND(${Exact.decAvgSql("p", 9)}, 6) AS lm_score
+             |       CAST(CAST(SUM(p_ppb) AS BIGINT) // COUNT(*) AS BIGINT) AS lm_score_ppb
              |FROM o JOIN pr USING (w1, w2)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
@@ -1974,12 +1987,13 @@ object Catalog {
              |      FROM (SELECT w1 AS w FROM r UNION SELECT w2 FROM r)),
              |sc AS (
              |  SELECT o.doc_id, b.c2,
-             |         ROUND(CAST(COALESCE(b.c2, 0) + 1 AS DOUBLE) / (COALESCE(u.c1, 0) + vsz), 9) AS p
+             |         CAST(floor(CAST(COALESCE(b.c2, 0) + 1 AS DOUBLE) / (COALESCE(u.c1, 0) + vsz)
+             |                    * 1000000000.0) AS BIGINT) AS p_ppb
              |  FROM o LEFT JOIN b USING (w1, w2) LEFT JOIN u USING (w1) CROSS JOIN v)
              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
              |       CAST(SUM(CASE WHEN c2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
-             |       ROUND(${Exact.decAvgSql("p", 9)}, 6) AS xlm_score,
-             |       ROUND(CAST(SUM(CASE WHEN c2 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS seen_frac
+             |       CAST(CAST(SUM(p_ppb) AS BIGINT) // COUNT(*) AS BIGINT) AS xlm_score_ppb,
+             |       CAST(SUM(CASE WHEN c2 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS seen_frac
              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // per-DOC top-k keywords by the same transcendental-free lift —
@@ -1997,8 +2011,8 @@ object Catalog {
              |       HAVING SUM(tf_dw) >= 10),
              |tot AS (SELECT CAST(SUM(toks_d) AS BIGINT) AS toks_g FROM pd),
              |sc AS (SELECT tf.doc_id, tf.w, tf.tf_dw, pw.tf_g,
-             |              ROUND((CAST(tf.tf_dw AS DOUBLE) / toks_d)
-             |                    / (CAST(pw.tf_g AS DOUBLE) / toks_g), 6) AS lift
+             |              ((CAST(tf.tf_dw AS DOUBLE) / toks_d)
+             |                    / (CAST(pw.tf_g AS DOUBLE) / toks_g)) AS lift
              |       FROM tf JOIN pw USING (w) JOIN pd USING (doc_id) CROSS JOIN tot),
              |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
              |                     ORDER BY lift DESC, w) AS BIGINT) AS rk
@@ -2022,8 +2036,8 @@ object Catalog {
              |       HAVING SUM(tf_sw) >= 20),
              |tot AS (SELECT CAST(SUM(toks_s) AS BIGINT) AS toks_g FROM ps),
              |sc AS (SELECT tf.source, tf.w, tf.tf_sw, pw.tf_g,
-             |              ROUND((CAST(tf.tf_sw AS DOUBLE) / toks_s) /
-             |                    (CAST(pw.tf_g AS DOUBLE) / toks_g), 6) AS lift
+             |              ((CAST(tf.tf_sw AS DOUBLE) / toks_s) /
+             |                    (CAST(pw.tf_g AS DOUBLE) / toks_g)) AS lift
              |       FROM tf JOIN pw USING (w) JOIN ps USING (source) CROSS JOIN tot),
              |r AS (SELECT source, w, tf_sw, tf_g, lift,
              |             CAST(row_number() OVER (PARTITION BY source
@@ -2051,8 +2065,8 @@ object Catalog {
              |      FROM iv a JOIN iv b ON a.doc_id = b.doc_id AND a.w < b.w
              |      GROUP BY a.w, b.w HAVING COUNT(*) >= 5),
              |sc AS (SELECT p.wa, p.wb, p.c_ab, da.df AS c_a, db.df AS c_b,
-             |              ROUND(CAST(p.c_ab * n_docs AS DOUBLE) /
-             |                    CAST(da.df * db.df AS DOUBLE), 6) AS lift
+             |              (CAST(p.c_ab * n_docs AS DOUBLE) /
+             |                    CAST(da.df * db.df AS DOUBLE)) AS lift
              |       FROM p JOIN dfw da ON da.w = p.wa JOIN dfw db ON db.w = p.wb
              |       CROSS JOIN nd),
              |top AS (SELECT * FROM sc ORDER BY lift DESC, wa, wb LIMIT 50)
@@ -2062,8 +2076,10 @@ object Catalog {
     // BM25 top-k retrieval with the RATIONAL idf (N−df+0.5)/(df+0.5)
     // — same ranking signal as the ln() form, but built only from
     // correctly-rounded IEEE ops on exact counts (the q144
-    // transcendental-free discipline), so the rounded scores are
-    // bit-stable cross-engine. Query-term postings only ever flow.
+    // transcendental-free discipline). Per-term scores quantize to
+    // integer ppb via floor (exact in every engine — ROUND over
+    // DOUBLE is not), per-doc sums are exact BIGINTs. Query-term
+    // postings only ever flow.
     QuerySpec(
       "q145_bm25_topk",
       // probes the persisted inverted index (RetrievalShared) — no
@@ -2085,16 +2101,17 @@ object Catalog {
              |       FROM documents),
              |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
              |s AS (SELECT q.qid, tf.doc_id,
-             |             ROUND(((nn - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
-             |                   (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / nn))), 9) AS score_t
+             |             CAST(floor((((nn - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
+             |                   (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / nn))))
+             |                  * 1000000000.0) AS BIGINT) AS score_t_ppb
              |      FROM tf JOIN q USING (w) JOIN dfw USING (w) JOIN dl USING (doc_id) CROSS JOIN c),
-             |pd AS (SELECT qid, doc_id, ROUND(${Exact.decSumSql("score_t", 9)}, 6) AS score,
+             |pd AS (SELECT qid, doc_id, CAST(SUM(score_t_ppb) AS BIGINT) AS score_ppb,
              |              CAST(COUNT(*) AS BIGINT) AS n_terms
              |       FROM s GROUP BY qid, doc_id),
-             |r AS (SELECT CAST(qid AS BIGINT) AS qid, doc_id, score, n_terms,
-             |             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+             |r AS (SELECT CAST(qid AS BIGINT) AS qid, doc_id, score_ppb, n_terms,
+             |             CAST(row_number() OVER (PARTITION BY qid ORDER BY score_ppb DESC, doc_id) AS BIGINT) AS rk
              |      FROM pd)
-             |SELECT qid, rk, doc_id, score, n_terms FROM r WHERE rk <= 10
+             |SELECT qid, rk, doc_id, score_ppb, n_terms FROM r WHERE rk <= 10
              |ORDER BY qid, rk""".stripMargin)),
 
     // BM25 hard-negative mining: per anchor doc, top-k docs scoring
@@ -2142,9 +2159,9 @@ object Catalog {
              |sig AS (
              |  SELECT doc_id,
              |    CAST(len(toks) AS BIGINT) AS n_tokens,
-             |    ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio,
-             |    ROUND(CAST(list_max(list_transform(list_distinct(toks), x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE) / len(toks), 6) AS top_tok_share,
-             |    ROUND(CAST(len(sentences) - len(list_distinct(sentences)) AS DOUBLE) / GREATEST(len(sentences), 1), 6) AS dup_sentence_frac
+             |    (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) AS distinct_ratio,
+             |    (CAST(list_max(list_transform(list_distinct(toks), x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE) / len(toks)) AS top_tok_share,
+             |    (CAST(len(sentences) - len(list_distinct(sentences)) AS DOUBLE) / GREATEST(len(sentences), 1)) AS dup_sentence_frac
              |  FROM t WHERE len(toks) > 0),
              |v AS (
              |  SELECT d.doc_id,
@@ -2158,7 +2175,7 @@ object Catalog {
              |SELECT verdict,
              |       CAST(COUNT(*) AS BIGINT) AS n_docs,
              |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-             |       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS doc_frac
+             |       (CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER ()) AS doc_frac
              |FROM v GROUP BY verdict
              |ORDER BY verdict""".stripMargin)),
 
@@ -2168,8 +2185,8 @@ object Catalog {
       Some("""SELECT doc_id,
              |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_pieces,
              |       CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_ws_tokens,
-             |       ROUND(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS DOUBLE)
-             |             / GREATEST(len(regexp_extract_all(text, '[^ ]+')), 1), 6) AS pieces_per_token
+             |       (CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS DOUBLE)
+             |             / GREATEST(len(regexp_extract_all(text, '[^ ]+')), 1)) AS pieces_per_token
              |FROM documents
              |ORDER BY doc_id""".stripMargin)),
 
@@ -2210,8 +2227,8 @@ object Catalog {
              |             SUM(n_occ) OVER (ORDER BY n_occ DESC, tok ROWS UNBOUNDED PRECEDING) AS cum_occ
              |      FROM top)
              |SELECT tok_rank, tok, n_occ, n_docs,
-             |       ROUND(CAST(n_occ AS DOUBLE) / total, 6) AS share,
-             |       ROUND(CAST(cum_occ AS DOUBLE) / total, 6) AS cum_share
+             |       (CAST(n_occ AS DOUBLE) / total) AS share,
+             |       (CAST(cum_occ AS DOUBLE) / total) AS cum_share
              |FROM r CROSS JOIN tot ORDER BY tok_rank""".stripMargin)),
 
     // Vocabulary growth: never-seen-before tokens per doc-id decile +
@@ -2255,7 +2272,7 @@ object Catalog {
              |      GROUP BY 1, 2)
              |SELECT p.source_a, p.source_b, sa.n_vocab AS n_vocab_a, sb.n_vocab AS n_vocab_b,
              |       p.n_common,
-             |       ROUND(CAST(p.n_common AS DOUBLE) / (sa.n_vocab + sb.n_vocab - p.n_common), 6) AS jaccard
+             |       (CAST(p.n_common AS DOUBLE) / (sa.n_vocab + sb.n_vocab - p.n_common)) AS jaccard
              |FROM p JOIN sz sa ON p.source_a = sa.source
              |       JOIN sz sb ON p.source_b = sb.source
              |ORDER BY source_a, source_b""".stripMargin)),
@@ -2315,8 +2332,8 @@ object Catalog {
              |        GROUP BY t.doc_id)
              |SELECT d.doc_id, COALESCE(agg.n_tokens, 0) AS n_tokens,
              |       COALESCE(agg.n_stop, 0) AS n_stop,
-             |       ROUND(CAST(COALESCE(agg.n_stop, 0) AS DOUBLE)
-             |             / GREATEST(COALESCE(agg.n_tokens, 0), 1), 6) AS stop_ratio
+             |       (CAST(COALESCE(agg.n_stop, 0) AS DOUBLE)
+             |             / GREATEST(COALESCE(agg.n_tokens, 0), 1)) AS stop_ratio
              |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
              |ORDER BY d.doc_id""".stripMargin)),
 
@@ -2343,8 +2360,8 @@ object Catalog {
              |       CAST(SUM(CASE WHEN cls = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
              |       CAST(SUM(CASE WHEN cls = 'short' THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
              |       CAST(SUM(CASE WHEN cls = 'long' THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
-             |       ROUND(CAST(SUM(CASE WHEN cls = 'keep' THEN 1 ELSE 0 END) AS DOUBLE)
-             |             / COUNT(*), 6) AS kept_frac
+             |       (CAST(SUM(CASE WHEN cls = 'keep' THEN 1 ELSE 0 END) AS DOUBLE)
+             |             / COUNT(*)) AS kept_frac
              |FROM cls GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // The 100 TB decontamination shape: held-out grams folded into a
@@ -2682,7 +2699,7 @@ object Catalog {
        |SELECT o.lang,
        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
        |       CAST(SUM(v.nu) AS BIGINT) AS n_units,
-       |       ROUND(CAST(SUM(v.nu) AS DOUBLE) / COUNT(*), 6) AS units_per_token
+       |       (CAST(SUM(v.nu) AS DOUBLE) / COUNT(*)) AS units_per_token
        |FROM occ o JOIN voc v USING (w)
        |GROUP BY o.lang
        |ORDER BY o.lang""".stripMargin
@@ -2698,7 +2715,7 @@ object Catalog {
        |SELECT o.doc_id,
        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
        |       CAST(SUM(v.nu) AS BIGINT) AS n_units,
-       |       ROUND(CAST(SUM(v.nu) AS DOUBLE) / COUNT(*), 6) AS units_per_token
+       |       (CAST(SUM(v.nu) AS DOUBLE) / COUNT(*)) AS units_per_token
        |FROM occ o JOIN voc v USING (w)
        |GROUP BY o.doc_id
        |ORDER BY o.doc_id""".stripMargin
@@ -2743,9 +2760,9 @@ object Catalog {
              |      FROM sh a JOIN sh b USING (s)
              |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
              |SELECT doc_i, doc_j, common,
-             |       ROUND(CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common), 6) AS jaccard
+             |       (CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common)) AS jaccard
              |FROM c JOIN n ni ON doc_i = ni.doc_id JOIN n nj ON doc_j = nj.doc_id
-             |WHERE ROUND(CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common), 6) >= 0.15
+             |WHERE (CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common)) >= 0.15
              |ORDER BY doc_i, doc_j""".stripMargin)),
 
     // asymmetric CONTAINMENT |∩|/|A| per direction — the quote/
@@ -2767,11 +2784,11 @@ object Catalog {
              |      FROM rare a JOIN rare b USING (s)
              |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
              |SELECT doc_i, doc_j, CAST(common AS BIGINT) AS common,
-             |       ROUND(CAST(common AS DOUBLE) / ni.n_sh, 6) AS containment_i,
-             |       ROUND(CAST(common AS DOUBLE) / nj.n_sh, 6) AS containment_j
+             |       (CAST(common AS DOUBLE) / ni.n_sh) AS containment_i,
+             |       (CAST(common AS DOUBLE) / nj.n_sh) AS containment_j
              |FROM c JOIN n ni ON doc_i = ni.doc_id JOIN n nj ON doc_j = nj.doc_id
-             |WHERE GREATEST(ROUND(CAST(common AS DOUBLE) / ni.n_sh, 6),
-             |               ROUND(CAST(common AS DOUBLE) / nj.n_sh, 6)) >= 0.5
+             |WHERE GREATEST((CAST(common AS DOUBLE) / ni.n_sh),
+             |               (CAST(common AS DOUBLE) / nj.n_sh)) >= 0.5
              |ORDER BY doc_i, doc_j""".stripMargin)),
 
     // q42/q43/q70/q73 all draw on ONE persisted sketch pass
@@ -2814,7 +2831,7 @@ object Catalog {
              |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
              |p AS (SELECT doc_i, doc_j FROM c
              |      JOIN n ni ON doc_i = ni.doc_id JOIN n nj ON doc_j = nj.doc_id
-             |      WHERE ROUND(CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common), 6) >= 0.15),
+             |      WHERE (CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common)) >= 0.15),
              |e AS (SELECT doc_i AS src, doc_j AS dst FROM p
              |      UNION ALL SELECT doc_j, doc_i FROM p),
              |reach(node, lbl) AS (
@@ -2853,7 +2870,7 @@ object Catalog {
              |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
              |p AS (SELECT doc_i, doc_j FROM c
              |      JOIN n ni ON doc_i = ni.doc_id JOIN n nj ON doc_j = nj.doc_id
-             |      WHERE ROUND(CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common), 6) >= 0.15),
+             |      WHERE (CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common)) >= 0.15),
              |e AS (SELECT doc_i AS src, doc_j AS dst FROM p
              |      UNION ALL SELECT doc_j, doc_i FROM p),
              |reach(node, lbl) AS (
@@ -2887,7 +2904,7 @@ object Catalog {
              |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
              |p AS (SELECT doc_i, doc_j FROM c
              |      JOIN n ni ON doc_i = ni.doc_id JOIN n nj ON doc_j = nj.doc_id
-             |      WHERE ROUND(CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common), 6) >= 0.15),
+             |      WHERE (CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common)) >= 0.15),
              |e AS (SELECT doc_i AS src, doc_j AS dst FROM p
              |      UNION ALL SELECT doc_j, doc_i FROM p),
              |reach(node, lbl) AS (
@@ -2921,7 +2938,7 @@ object Catalog {
              |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
              |p AS (SELECT doc_i, doc_j FROM c
              |      JOIN n ni ON doc_i = ni.doc_id JOIN n nj ON doc_j = nj.doc_id
-             |      WHERE ROUND(CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common), 6) >= 0.15),
+             |      WHERE (CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common)) >= 0.15),
              |e AS (SELECT doc_i AS src, doc_j AS dst FROM p
              |      UNION ALL SELECT doc_j, doc_i FROM p),
              |reach(node, lbl) AS (
@@ -3012,7 +3029,7 @@ object Catalog {
              |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
              |p AS (SELECT doc_i, doc_j FROM c
              |      JOIN n ni ON doc_i = ni.doc_id JOIN n nj ON doc_j = nj.doc_id
-             |      WHERE ROUND(CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common), 6) >= 0.15),
+             |      WHERE (CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common)) >= 0.15),
              |e AS (SELECT doc_i AS src, doc_j AS dst FROM p
              |      UNION ALL SELECT doc_j, doc_i FROM p),
              |reach(node, lbl) AS (
@@ -3083,8 +3100,8 @@ object Catalog {
              |         FROM rare a JOIN rare b ON a.w = b.w AND a.doc_id < b.doc_id
              |         GROUP BY 1, 2),
              |sc AS (SELECT doc_i, doc_j, dot,
-             |              ROUND(CAST(dot AS DOUBLE)
-             |                    / sqrt(CAST(ni.n2 AS DOUBLE) * CAST(nj.n2 AS DOUBLE)), 6) AS cosine
+             |              (CAST(dot AS DOUBLE)
+             |                    / sqrt(CAST(ni.n2 AS DOUBLE) * CAST(nj.n2 AS DOUBLE))) AS cosine
              |       FROM dots JOIN norms ni ON doc_i = ni.doc_id
              |                 JOIN norms nj ON doc_j = nj.doc_id)
              |SELECT doc_i, doc_j, dot, cosine FROM sc
@@ -3117,9 +3134,9 @@ object Catalog {
              |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
              |               CAST(SUM(w_sqrt) AS BIGINT) AS tot_w FROM w)
              |SELECT source, n_docs, n_tokens, w_sqrt,
-             |       ROUND(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS raw_share,
-             |       ROUND(CAST(w_sqrt AS DOUBLE) / tot_w, 6) AS temp_share,
-             |       ROUND((CAST(w_sqrt AS DOUBLE) / tot_w) / (CAST(n_tokens AS DOUBLE) / tot_tokens), 6) AS upweight
+             |       (CAST(n_tokens AS DOUBLE) / tot_tokens) AS raw_share,
+             |       (CAST(w_sqrt AS DOUBLE) / tot_w) AS temp_share,
+             |       ((CAST(w_sqrt AS DOUBLE) / tot_w) / (CAST(n_tokens AS DOUBLE) / tot_tokens)) AS upweight
              |FROM w CROSS JOIN tot ORDER BY source""".stripMargin)),
 
     // budget → allocation: the temperature split applied to a fixed
@@ -3142,8 +3159,8 @@ object Catalog {
              |         CAST((CAST(w_sqrt AS HUGEINT) * 200000) // tot_w AS BIGINT) AS target_tokens
              |  FROM w CROSS JOIN tot)
              |SELECT source, n_docs, n_tokens, w_sqrt, target_tokens,
-             |       ROUND(CAST(target_tokens AS DOUBLE) / n_tokens, 6) AS epochs,
-             |       ROUND(LEAST(1.0, CAST(target_tokens AS DOUBLE) / n_tokens), 6) AS sample_rate
+             |       (CAST(target_tokens AS DOUBLE) / n_tokens) AS epochs,
+             |       (LEAST(1.0, CAST(target_tokens AS DOUBLE) / n_tokens)) AS sample_rate
              |FROM plan ORDER BY source""".stripMargin)),
 
     // the q134 plan EXECUTED as a deterministic hash-Bernoulli draw:
@@ -3280,7 +3297,7 @@ object Catalog {
              |             CAST(SUM(bucket - carried) AS BIGINT) AS pad_tokens
              |      FROM c GROUP BY bucket, batch_id)
              |SELECT bucket, batch_id, n_seqs, n_tokens, pad_tokens,
-             |       ROUND(CAST(n_tokens AS DOUBLE) / (n_seqs * bucket), 6) AS fill_frac
+             |       (CAST(n_tokens AS DOUBLE) / (n_seqs * bucket)) AS fill_frac
              |FROM g ORDER BY bucket, batch_id""".stripMargin)),
 
     // per-registered-domain corpus profile: volume, hosts, token
@@ -3316,7 +3333,7 @@ object Catalog {
              |hh AS (SELECT domain, CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
              |       FROM b GROUP BY domain)
              |SELECT r.domain, n_docs, n_hosts, n_tokens, n_dup_docs,
-             |       ROUND(CAST(n_dup_docs AS DOUBLE) / n_docs, 6) AS dup_rate
+             |       (CAST(n_dup_docs AS DOUBLE) / n_docs) AS dup_rate
              |FROM r JOIN hh USING (domain)
              |ORDER BY domain""".stripMargin)),
 
@@ -3405,7 +3422,7 @@ object Catalog {
              |         FROM w CROSS JOIN tot)
              |SELECT domain, n_docs, n_tokens, w_sqrt, target_tokens,
              |       LEAST(target_tokens, 40000) AS capped_tokens,
-             |       ROUND(LEAST(1.0, CAST(LEAST(target_tokens, 40000) AS DOUBLE) / n_tokens), 6) AS sample_rate
+             |       (LEAST(1.0, CAST(LEAST(target_tokens, 40000) AS DOUBLE) / n_tokens)) AS sample_rate
              |FROM plan ORDER BY domain""".stripMargin)),
 
     // URL canonicalization + URL-level dup-group election: the messy
@@ -3519,8 +3536,8 @@ object Catalog {
              |tot AS (SELECT CAST(SUM(mass) AS BIGINT) AS tot_mass FROM m)
              |SELECT age_bucket, n_docs, weight,
              |       LEAST(n_docs, CAST((mass * 2000) // tot_mass AS BIGINT)) AS target_docs,
-             |       ROUND(CAST(LEAST(n_docs, CAST((mass * 2000) // tot_mass AS BIGINT)) AS DOUBLE)
-             |             / n_docs, 6) AS sample_rate
+             |       (CAST(LEAST(n_docs, CAST((mass * 2000) // tot_mass AS BIGINT)) AS DOUBLE)
+             |             / n_docs) AS sample_rate
              |FROM m CROSS JOIN tot ORDER BY age_bucket""".stripMargin)),
 
     // partition fingerprint manifest: per-(source, lang) count, char
@@ -3553,8 +3570,8 @@ object Catalog {
              |         ON a.d_lo <= b.d_hi AND b.d_lo <= a.d_hi AND a.file_id <> b.file_id
              |       GROUP BY a.file_id)
              |SELECT m.file_id, m.n_rows, m.d_lo, m.d_hi, ov.overlap_files, nf.n_files,
-             |       ROUND(CAST(ov.overlap_files AS DOUBLE)
-             |             / GREATEST(n_files - 1, 1), 6) AS overlap_frac
+             |       (CAST(ov.overlap_files AS DOUBLE)
+             |             / GREATEST(n_files - 1, 1)) AS overlap_frac
              |FROM m JOIN ov USING (file_id) CROSS JOIN nf
              |ORDER BY file_id""".stripMargin)),
 
@@ -3679,9 +3696,10 @@ object Catalog {
       },
       Some(q234OracleSql)),
 
-    // The per-stream corpus card: volume, token mass, DECIMAL-exact
-    // quality mean, exact-dup rate — the report mix weights are set
-    // from. Composition of proven stages, one rollup.
+    // The per-stream corpus card: volume, token mass, ppm-integer
+    // quality mean (floor-quantized per doc, exact BIGINT sum +
+    // truncating div), exact-dup rate — the report mix weights are
+    // set from. Composition of proven stages, one rollup.
     QuerySpec(
       "q110_corpus_card",
       (s, dir) => CorpusOps.corpusCard(Tables.documents(s, dir)),
@@ -3693,9 +3711,10 @@ object Catalog {
              |SELECT d.lang, d.source,
              |       CAST(COUNT(*) AS BIGINT) AS n_docs,
              |       CAST(SUM(q.n_tokens) AS BIGINT) AS n_tokens,
-             |       ROUND(${graft.engine.Exact.decAvgSql("q.quality", 6)}, 6) AS avg_quality,
+             |       CAST(CAST(SUM(CAST(floor(q.quality * 1000000.0) AS BIGINT)) AS BIGINT)
+             |            // COUNT(*) AS BIGINT) AS avg_quality_ppm,
              |       CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
-             |       ROUND(CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+             |       CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_rate
              |FROM d JOIN q USING (doc_id)
              |GROUP BY d.lang, d.source
              |ORDER BY d.lang, d.source""".stripMargin)),
@@ -3849,8 +3868,8 @@ object Catalog {
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
              |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
              |s AS (SELECT qid, vec_id,
-             |             ROUND(list_inner_product(qe, e) /
-             |                   (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 6) AS score
+             |             list_inner_product(qe, e) /
+             |               (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))) AS score
              |      FROM v CROSS JOIN q WHERE vec_id <> qid),
              |r AS (SELECT qid, vec_id, score,
              |             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rn
@@ -3903,7 +3922,7 @@ object Catalog {
              |  FROM probes p JOIN assign a ON p.list_id = a.list_id JOIN v ON v.vec_id = a.vec_id
              |  WHERE v.vec_id <> p.qid),
              |s AS (
-             |  SELECT qid, vec_id, ROUND(list_inner_product(qe, e) / (qnorm * nrm), 6) AS score
+             |  SELECT qid, vec_id, list_inner_product(qe, e) / (qnorm * nrm) AS score
              |  FROM cand),
              |r AS (SELECT qid, vec_id, score,
              |             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rn
@@ -3924,7 +3943,7 @@ object Catalog {
              |  SELECT CAST(list_id AS BIGINT) AS list_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
              |  FROM a GROUP BY list_id)
              |SELECT list_id, n_vectors,
-             |       ROUND(CAST(n_vectors AS DOUBLE) / SUM(n_vectors) OVER (), 6) AS share
+             |       CAST(n_vectors AS DOUBLE) / SUM(n_vectors) OVER () AS share
              |FROM c ORDER BY list_id""".stripMargin)),
 
     // IVF list label-purity: per-list majority label + ppm share off
@@ -3993,9 +4012,10 @@ object Catalog {
              |er AS (SELECT vec_id, amax,
              |              list_transform(e, x -> abs(x - CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT) * amax / 127.0)) AS errs
              |       FROM a)
-             |SELECT vec_id, ROUND(amax, 6) AS amax,
-             |       ROUND(list_max(errs), 9) AS max_abs_err,
-             |       ROUND(list_sum(errs) / len(errs), 9) AS mean_abs_err
+             |SELECT vec_id, amax,
+             |       list_max(errs) AS max_abs_err,
+             |       CAST(CAST(list_sum(list_transform(errs, x -> CAST(floor(x * 1000000000.0) AS BIGINT))) AS BIGINT)
+             |            // len(errs) AS BIGINT) AS mean_abs_err_ppb
              |FROM er ORDER BY vec_id""".stripMargin)),
 
     // int8 scalar-quantized cosine: per-vector max-abs scales cancel
@@ -4019,7 +4039,7 @@ object Catalog {
              |  FROM v),
              |q AS (SELECT vec_id AS qid, qv AS qq, qn AS qqn FROM nn WHERE vec_id < 5),
              |s AS (SELECT qid, vec_id,
-             |             ROUND(list_inner_product(qq, qv) / (sqrt(CAST(qqn AS DOUBLE)) * sqrt(CAST(qn AS DOUBLE))), 6) AS score
+             |             list_inner_product(qq, qv) / (sqrt(CAST(qqn AS DOUBLE)) * sqrt(CAST(qn AS DOUBLE))) AS score
              |      FROM nn CROSS JOIN q WHERE vec_id <> qid),
              |r AS (SELECT qid, vec_id, score,
              |             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rn
@@ -4028,9 +4048,11 @@ object Catalog {
              |ORDER BY qid, rn""".stripMargin)),
 
     // domain-proximity matrix: per-label centroids with per-dimension
-    // DECIMAL-exact means (the one cross-row float accumulation in
-    // the similarity family), then pairwise cosine on the k-centroid
-    // frame — catalog-scale after one (label, dim)-keyed shuffle.
+    // ppb-integer means (components floor-quantized, exact BIGINT
+    // sums — the one cross-row float accumulation in the similarity
+    // family, made order-independent), then pairwise cosine on the
+    // k-centroid frame — catalog-scale after one (label, dim)-keyed
+    // shuffle. The 1e9 scale cancels in cosine.
     QuerySpec(
       "q138_label_centroid_sim",
       (s, dir) => SimilarityOps.labelCentroidSim(Tables.embeddings(s, dir)),
@@ -4038,23 +4060,23 @@ object Catalog {
              |  SELECT CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS e
              |  FROM embeddings),
              |comp AS (
-             |  SELECT label, i AS pos, ROUND(e[i], 9) AS v
+             |  SELECT label, i AS pos, CAST(floor(e[i] * 1000000000.0) AS BIGINT) AS v_ppb
              |  FROM (SELECT label, e, unnest(range(1, len(e) + 1)) AS i FROM t)),
              |cent AS (
              |  SELECT label, pos,
-             |         ROUND(CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(v), 9) AS c
+             |         CAST(CAST(SUM(v_ppb) AS BIGINT) AS DOUBLE) / COUNT(*) AS c
              |  FROM comp GROUP BY label, pos),
              |arr AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label)
              |SELECT a.label AS label_a, b.label AS label_b,
-             |       ROUND(list_inner_product(a.cv, b.cv) /
-             |             (sqrt(list_inner_product(a.cv, a.cv)) * sqrt(list_inner_product(b.cv, b.cv))), 6) AS cos_sim
+             |       list_inner_product(a.cv, b.cv) /
+             |         (sqrt(list_inner_product(a.cv, a.cv)) * sqrt(list_inner_product(b.cv, b.cv))) AS cos_sim
              |FROM arr a JOIN arr b ON a.label < b.label
              |ORDER BY label_a, label_b""".stripMargin)),
 
     // vector-side quality gate: per-label unusable-vector counts
     // (zero-norm / non-finite) and the norm distribution of the rest;
     // per-row norms are index-order folds (the q138 cross-engine
-    // contract), the one cross-row mean runs in exact DECIMAL.
+    // contract), the one cross-row mean is a ppb-integer sum + div.
     QuerySpec(
       "q143_embedding_hygiene",
       (s, dir) => SimilarityOps.embeddingHygiene(Tables.embeddings(s, dir)),
@@ -4064,17 +4086,21 @@ object Catalog {
              |per AS (
              |  SELECT label,
              |         len(list_filter(e, x -> isnan(x) OR isinf(x))) > 0 AS bad,
-             |         ROUND(sqrt(list_inner_product(e, e)), 9) AS norm
+             |         sqrt(list_inner_product(e, e)) AS norm
              |  FROM t),
              |g AS (
              |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
              |         CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
              |         CAST(SUM(CASE WHEN NOT bad AND norm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
-             |         ROUND(MIN(CASE WHEN NOT bad AND norm > 0 THEN norm END), 6) AS min_norm,
-             |         ROUND(MAX(CASE WHEN NOT bad AND norm > 0 THEN norm END), 6) AS max_norm,
-             |         ROUND(${Exact.decAvgSql("CASE WHEN NOT bad AND norm > 0 THEN norm END", 9)}, 6) AS mean_norm
+             |         MIN(CASE WHEN NOT bad AND norm > 0 THEN norm END) AS min_norm,
+             |         MAX(CASE WHEN NOT bad AND norm > 0 THEN norm END) AS max_norm,
+             |         CASE WHEN COUNT(CASE WHEN NOT bad AND norm > 0 THEN 1 END) > 0
+             |              THEN CAST(CAST(SUM(CASE WHEN NOT bad AND norm > 0
+             |                                  THEN CAST(floor(norm * 1000000000.0) AS BIGINT) END) AS BIGINT)
+             |                   // COUNT(CASE WHEN NOT bad AND norm > 0 THEN 1 END) AS BIGINT)
+             |         END AS mean_norm_ppb
              |  FROM per GROUP BY label)
-             |SELECT label, n_vecs, n_nonfinite, n_zero, min_norm, max_norm, mean_norm
+             |SELECT label, n_vecs, n_nonfinite, n_zero, min_norm, max_norm, mean_norm_ppb
              |FROM g ORDER BY label""".stripMargin))
   )
 
@@ -4280,7 +4306,7 @@ object Catalog {
        |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
        |p AS (SELECT doc_i, doc_j FROM c
        |      JOIN n ni ON doc_i = ni.doc_id JOIN n nj ON doc_j = nj.doc_id
-       |      WHERE ROUND(CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common), 6) >= 0.15),
+       |      WHERE (CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common)) >= 0.15),
        |e AS (SELECT doc_i AS src, doc_j AS dst FROM p
        |      UNION ALL SELECT doc_j, doc_i FROM p),
        |reach(node, lbl) AS (
@@ -4321,7 +4347,7 @@ object Catalog {
        |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
        |sp AS (SELECT doc_i, doc_j FROM sc
        |       JOIN sn ni ON doc_i = ni.doc_id JOIN sn nj ON doc_j = nj.doc_id
-       |       WHERE ROUND(CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common), 6) >= 0.15),
+       |       WHERE (CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common)) >= 0.15),
        |se AS (SELECT doc_i AS src, doc_j AS dst FROM sp
        |       UNION ALL SELECT doc_j, doc_i FROM sp),
        |sreach(node, lbl) AS (
@@ -4344,7 +4370,7 @@ object Catalog {
        |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
        |gp AS (SELECT i, j FROM gc
        |       JOIN gn ni ON i = ni.doc_id JOIN gn nj ON j = nj.doc_id
-       |       WHERE ROUND(CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common), 6) >= 0.15),
+       |       WHERE (CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common)) >= 0.15),
        |xe AS (SELECT scl.cluster_id AS i, gp.j FROM gp
        |       JOIN scl ON gp.i = scl.doc_id WHERE gp.i < 400 AND gp.j >= 400),
        |be AS (SELECT i, j FROM gp WHERE i >= 400),
@@ -4395,7 +4421,7 @@ object Catalog {
        |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
        |p AS (SELECT doc_i, doc_j FROM c
        |      JOIN n ni ON doc_i = ni.doc_id JOIN n nj ON doc_j = nj.doc_id
-       |      WHERE ROUND(CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common), 6) >= 0.15),
+       |      WHERE (CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common)) >= 0.15),
        |e AS (SELECT doc_i AS src, doc_j AS dst FROM p
        |      UNION ALL SELECT doc_j, doc_i FROM p),
        |reach(node, lbl) AS (
@@ -4421,21 +4447,22 @@ object Catalog {
        |       FROM documents),
        |cc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
        |s AS (SELECT qt.qid, tf.doc_id,
-       |             ROUND(((nn - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
-       |                   (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / nn))), 9) AS score_t
+       |             CAST(floor((((nn - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
+       |                   (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / nn))))
+       |                  * 1000000000.0) AS BIGINT) AS score_t_ppb
        |      FROM tf JOIN qt USING (w) JOIN dfw USING (w) JOIN dl USING (doc_id) CROSS JOIN cc),
-       |pd AS (SELECT qid, doc_id, ROUND(${Exact.decSumSql("score_t", 9)}, 6) AS score
+       |pd AS (SELECT qid, doc_id, CAST(SUM(score_t_ppb) AS BIGINT) AS score_ppb
        |       FROM s GROUP BY qid, doc_id),
-       |px AS (SELECT pd.qid, pd.doc_id, pd.score,
+       |px AS (SELECT pd.qid, pd.doc_id, pd.score_ppb,
        |              dc.cluster_id AS dcl, ac.cluster_id AS qcl
        |       FROM pd JOIN cl dc ON pd.doc_id = dc.doc_id
        |       JOIN cl ac ON pd.qid = ac.doc_id),
        |ex AS (SELECT qid, CAST(SUM(CASE WHEN dcl = qcl THEN 1 ELSE 0 END) AS BIGINT) AS n_excluded
        |       FROM px GROUP BY qid),
-       |r AS (SELECT qid, doc_id, score,
-       |             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+       |r AS (SELECT qid, doc_id, score_ppb,
+       |             CAST(row_number() OVER (PARTITION BY qid ORDER BY score_ppb DESC, doc_id) AS BIGINT) AS rk
        |      FROM px WHERE dcl <> qcl)
-       |SELECT CAST(r.qid AS BIGINT) AS qid, r.rk, r.doc_id, r.score, ex.n_excluded
+       |SELECT CAST(r.qid AS BIGINT) AS qid, r.rk, r.doc_id, r.score_ppb, ex.n_excluded
        |FROM r JOIN ex USING (qid)
        |WHERE r.rk <= 10
        |ORDER BY qid, rk""".stripMargin
@@ -4485,10 +4512,10 @@ object Catalog {
     * the q145 BM25 chain at kLex=20 composed with the q46-proven
     * cosine replay (list_inner_product == Spark's sequential
     * zip_with/aggregate fold) against each query's rank-1 anchor;
-    * ends in `cos(qid, doc_id, anchor_id, bm25, lex_rk, cos)`. */
-  /** The BM25 ranking prefix alone (through `lex(qid, doc_id, score,
-    * lrk)`) — shared by the hybrid chain and the retrieval-metrics
-    * oracle (q180). */
+    * ends in `cos(qid, doc_id, anchor_id, bm25_ppb, lex_rk, cos)`. */
+  /** The BM25 ranking prefix alone (through `lex(qid, doc_id,
+    * score_ppb, lrk)`) — shared by the hybrid chain and the
+    * retrieval-metrics oracle (q180). */
   private val bm25LexCtes: String =
     s"""q(qid, w) AS (
        |  VALUES (0, 'hash'), (0, 'join'), (1, 'table'), (1, 'scan'),
@@ -4504,13 +4531,14 @@ object Catalog {
        |       FROM documents),
        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
        |sc AS (SELECT q.qid, tf.doc_id,
-       |              ROUND(((nn - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
-       |                    (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / nn))), 9) AS score_t
+       |              CAST(floor((((nn - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
+       |                    (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / nn))))
+       |                   * 1000000000.0) AS BIGINT) AS score_t_ppb
        |       FROM tf JOIN q USING (w) JOIN dfw USING (w) JOIN dl USING (doc_id) CROSS JOIN c),
-       |pd AS (SELECT qid, doc_id, ROUND(${Exact.decSumSql("score_t", 9)}, 6) AS score
+       |pd AS (SELECT qid, doc_id, CAST(SUM(score_t_ppb) AS BIGINT) AS score_ppb
        |       FROM sc GROUP BY qid, doc_id),
-       |lex AS (SELECT CAST(qid AS BIGINT) AS qid, doc_id, score,
-       |               CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS lrk
+       |lex AS (SELECT CAST(qid AS BIGINT) AS qid, doc_id, score_ppb,
+       |               CAST(row_number() OVER (PARTITION BY qid ORDER BY score_ppb DESC, doc_id) AS BIGINT) AS lrk
        |        FROM pd)""".stripMargin
 
   private val hybridCosCtes: String =
@@ -4520,20 +4548,20 @@ object Catalog {
        |      FROM embeddings),
        |anc AS (SELECT lex.qid, lex.doc_id AS anchor_id, v.e AS ae, v.norm AS anorm
        |        FROM lex JOIN v ON lex.doc_id = v.vec_id WHERE lrk = 1),
-       |cand AS (SELECT lex.qid, lex.doc_id, lex.score AS bm25, lex.lrk AS lex_rk, v.e, v.norm
+       |cand AS (SELECT lex.qid, lex.doc_id, lex.score_ppb AS bm25_ppb, lex.lrk AS lex_rk, v.e, v.norm
        |         FROM lex JOIN v ON lex.doc_id = v.vec_id
        |         WHERE lrk > 1 AND lrk <= 20),
-       |cos AS (SELECT cand.qid, cand.doc_id, anc.anchor_id, cand.bm25, cand.lex_rk,
-       |               ROUND(list_inner_product(anc.ae, cand.e) / (anc.anorm * cand.norm), 6) AS cos
+       |cos AS (SELECT cand.qid, cand.doc_id, anc.anchor_id, cand.bm25_ppb, cand.lex_rk,
+       |               list_inner_product(anc.ae, cand.e) / (anc.anorm * cand.norm) AS cos
        |        FROM cand JOIN anc ON cand.qid = anc.qid)""".stripMargin
 
   /** q152 oracle: rerank rows 2..20 by (cos DESC, doc_id), keep 10. */
   private val q152OracleSql: String =
     s"""WITH $hybridCosCtes,
-       |rr AS (SELECT qid, doc_id, anchor_id, bm25, cos,
+       |rr AS (SELECT qid, doc_id, anchor_id, bm25_ppb, cos,
        |              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS BIGINT) AS rk
        |       FROM cos)
-       |SELECT qid, rk, doc_id, anchor_id, bm25, cos
+       |SELECT qid, rk, doc_id, anchor_id, bm25_ppb, cos
        |FROM rr WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
 
   /** q173 oracle: reciprocal-rank fusion of the lexical rank and the
@@ -4545,7 +4573,7 @@ object Catalog {
        |              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS BIGINT) AS cos_rk
        |       FROM cos),
        |f AS (SELECT qid, doc_id, lex_rk, cos_rk,
-       |             ROUND(1.0 / (60.0 + lex_rk) + 1.0 / (60.0 + cos_rk), 9) AS rrf
+       |             1.0 / (60.0 + lex_rk) + 1.0 / (60.0 + cos_rk) AS rrf
        |      FROM cr),
        |r AS (SELECT qid, doc_id, lex_rk, cos_rk, rrf,
        |             CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
@@ -4572,8 +4600,8 @@ object Catalog {
        |         GROUP BY rk.qid)
        |SELECT CAST(nrel.qid AS BIGINT) AS qid, n_rel,
        |       COALESCE(hits_at_k, 0) AS hits_at_k,
-       |       ROUND(CAST(COALESCE(hits_at_k, 0) AS DOUBLE) / n_rel, 6) AS recall_at_k,
-       |       ROUND(COALESCE(1.0 / frk, 0.0), 6) AS reciprocal_rank
+       |       CAST(COALESCE(hits_at_k, 0) AS DOUBLE) / n_rel AS recall_at_k,
+       |       COALESCE(1.0 / frk, 0.0) AS reciprocal_rank
        |FROM nrel LEFT JOIN hits ON hits.qid = nrel.qid
        |ORDER BY qid""".stripMargin
 
@@ -4671,7 +4699,7 @@ object Catalog {
        |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
        |p AS (SELECT doc_i, doc_j FROM c
        |      JOIN n ni ON doc_i = ni.doc_id JOIN n nj ON doc_j = nj.doc_id
-       |      WHERE ROUND(CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common), 6) >= 0.15),
+       |      WHERE (CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common)) >= 0.15),
        |e AS (SELECT doc_i AS src, doc_j AS dst FROM p
        |      UNION ALL SELECT doc_j, doc_i FROM p),
        |reach(node, lbl) AS (
@@ -4724,7 +4752,7 @@ object Catalog {
        |             CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END AS m
        |      FROM sig a JOIN sig b ON a.lane = b.lane AND a.source < b.source)
        |SELECT source_a, source_b, CAST(SUM(m) AS BIGINT) AS n_agree,
-       |       ROUND(CAST(SUM(m) AS DOUBLE) / 64, 6) AS est_jaccard
+       |       (CAST(SUM(m) AS DOUBLE) / 64) AS est_jaccard
        |FROM p GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
   }
 
@@ -4748,7 +4776,7 @@ object Catalog {
        |       FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
        |pp AS (SELECT doc_i, doc_j FROM cp
        |       JOIN nsh ni ON doc_i = ni.doc_id JOIN nsh nj ON doc_j = nj.doc_id
-       |       WHERE ROUND(CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common), 6) >= 0.15),
+       |       WHERE (CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common)) >= 0.15),
        |ee AS (SELECT doc_i AS src, doc_j AS dst FROM pp
        |       UNION ALL SELECT doc_j, doc_i FROM pp),
        |reach(node, lbl) AS (
@@ -4763,9 +4791,9 @@ object Catalog {
        |         FROM documents),
        |sig AS (SELECT doc_id,
        |          CAST(len(tt) AS BIGINT) AS n_tokens,
-       |          ROUND(CAST(len(list_distinct(tt)) AS DOUBLE) / len(tt), 6) AS distinct_ratio,
-       |          ROUND(CAST(list_max(list_transform(list_distinct(tt), x -> len(list_filter(tt, y -> y = x)))) AS DOUBLE) / len(tt), 6) AS top_tok_share,
-       |          ROUND(CAST(len(sentences) - len(list_distinct(sentences)) AS DOUBLE) / GREATEST(len(sentences), 1), 6) AS dup_sentence_frac
+       |          (CAST(len(list_distinct(tt)) AS DOUBLE) / len(tt)) AS distinct_ratio,
+       |          (CAST(list_max(list_transform(list_distinct(tt), x -> len(list_filter(tt, y -> y = x)))) AS DOUBLE) / len(tt)) AS top_tok_share,
+       |          (CAST(len(sentences) - len(list_distinct(sentences)) AS DOUBLE) / GREATEST(len(sentences), 1)) AS dup_sentence_frac
        |        FROM t114 WHERE len(tt) > 0),
        |vv AS (SELECT d.doc_id,
        |         CASE WHEN COALESCE(s.n_tokens, 0) < 5 THEN 'too_short'
@@ -4910,7 +4938,7 @@ object Catalog {
        |SELECT f.split_a, f.split_b, f.n_docs_a,
        |       COALESCE(c.n_docs_contaminated, 0) AS n_docs_contaminated,
        |       COALESCE(s.n_shared_grams, 0) AS n_shared_grams,
-       |       ROUND(CAST(COALESCE(c.n_docs_contaminated, 0) AS DOUBLE) / f.n_docs_a, 6) AS contam_frac
+       |       (CAST(COALESCE(c.n_docs_contaminated, 0) AS DOUBLE) / f.n_docs_a) AS contam_frac
        |FROM frame f LEFT JOIN cont c ON f.split_a = c.split_a AND f.split_b = c.split_b
        |             LEFT JOIN shg s ON f.split_a = s.split_a AND f.split_b = s.split_b
        |ORDER BY f.split_a, f.split_b""".stripMargin
@@ -5173,7 +5201,7 @@ object Catalog {
        |),
        |est AS (
        |  SELECT p.doc_i, p.doc_j,
-       |    ROUND(CAST(length(list_filter(range(1, 33), i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / 32, 6) AS est_jaccard
+       |    (CAST(length(list_filter(range(1, 33), i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / 32) AS est_jaccard
        |  FROM pairs p
        |  JOIN sigs sa ON p.doc_i = sa.doc_id
        |  JOIN sigs sb ON p.doc_j = sb.doc_id
@@ -5190,10 +5218,10 @@ object Catalog {
        |                   JOIN shh b ON b.doc_id = c.doc_j AND b.h = a.h
        |       GROUP BY 1, 2)
        |SELECT it.doc_i, it.doc_j,
-       |  ROUND(CAST(inter AS DOUBLE) / (ni.n_sh + nj.n_sh - inter), 6) AS jaccard
+       |  (CAST(inter AS DOUBLE) / (ni.n_sh + nj.n_sh - inter)) AS jaccard
        |FROM it JOIN nsh ni ON it.doc_i = ni.doc_id
        |        JOIN nsh nj ON it.doc_j = nj.doc_id
-       |WHERE ROUND(CAST(inter AS DOUBLE) / (ni.n_sh + nj.n_sh - inter), 6) >= 0.5
+       |WHERE (CAST(inter AS DOUBLE) / (ni.n_sh + nj.n_sh - inter)) >= 0.5
        |ORDER BY it.doc_i, it.doc_j""".stripMargin
 
     // SimHash CTE block, name-prefixed so q70 can splice it next to
@@ -5299,7 +5327,7 @@ object Catalog {
        |m AS (
        |  SELECT new_id, CAST(COUNT(DISTINCT old_id) AS BIGINT) AS n_dup_of
        |  FROM (SELECT c.new_id, c.old_id,
-       |          ROUND(CAST(length(list_filter(range(1, 33), i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / 32, 6) AS est
+       |          (CAST(length(list_filter(range(1, 33), i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / 32) AS est
        |        FROM cnd c JOIN sigs sa ON c.new_id = sa.doc_id
        |                   JOIN sigs sb ON c.old_id = sb.doc_id)
        |  WHERE est >= 0.5 GROUP BY new_id)
@@ -5332,7 +5360,7 @@ object Catalog {
        |        FROM tsh a JOIN tsh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
        |truth AS (SELECT doc_i, doc_j FROM tcm
        |          JOIN tn ni ON doc_i = ni.doc_id JOIN tn nj ON doc_j = nj.doc_id
-       |          WHERE ROUND(CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common), 6) >= 0.5),
+       |          WHERE (CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common)) >= 0.5),
        |tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
        |nc AS (SELECT bands, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand GROUP BY bands),
        |nh AS (SELECT c.bands, CAST(COUNT(*) AS BIGINT) AS n_hit
@@ -5341,9 +5369,9 @@ object Catalog {
        |       COALESCE(n_candidates, 0) AS n_candidates, tc.n_truth,
        |       COALESCE(n_hit, 0) AS n_hit,
        |       CASE WHEN tc.n_truth > 0
-       |            THEN ROUND(CAST(COALESCE(n_hit, 0) AS DOUBLE) / tc.n_truth, 6) END AS recall,
+       |            THEN (CAST(COALESCE(n_hit, 0) AS DOUBLE) / tc.n_truth) END AS recall,
        |       CASE WHEN COALESCE(n_candidates, 0) > 0
-       |            THEN ROUND(CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_candidates, 6) END AS precision
+       |            THEN (CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_candidates) END AS precision
        |FROM cfg c LEFT JOIN nc ON c.bands = nc.bands LEFT JOIN nh ON c.bands = nh.bands
        |CROSS JOIN tc ORDER BY bands""".stripMargin
 
@@ -5382,7 +5410,7 @@ object Catalog {
        |),
        |pr AS (
        |  SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
-       |         ROUND(list_inner_product(a.e, b.e) / (a.norm * b.norm), 6) AS score
+       |         (list_inner_product(a.e, b.e) / (a.norm * b.norm)) AS score
        |  FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |),
        |ed AS (SELECT vec_i, vec_j FROM pr WHERE score >= 0.95),
@@ -5659,7 +5687,7 @@ object Catalog {
        |                   + list_inner_product(b.y, b.y) AS BIGINT) AS d2_proj
        |       FROM p a JOIN p b ON a.vec_id < b.vec_id)
        |SELECT a, b, d2_orig, d2_proj,
-       |       ROUND((CAST(d2_proj AS DOUBLE) / 16) / d2_orig, 6) AS ratio
+       |       ((CAST(d2_proj AS DOUBLE) / 16) / d2_orig) AS ratio
        |FROM pr WHERE d2_orig > 0
        |ORDER BY a, b""".stripMargin
   }
@@ -5692,7 +5720,7 @@ object Catalog {
        |),
        |s AS (
        |  SELECT q.qid, vb.vec_id,
-       |         ROUND(list_inner_product(q.qe, vb.e) / (q.qnorm * vb.norm), 6) AS score
+       |         (list_inner_product(q.qe, vb.e) / (q.qnorm * vb.norm)) AS score
        |  FROM vb JOIN q ON vb.bucket = q.qbucket AND vb.vec_id <> q.qid
        |),
        |r AS (SELECT qid, vec_id, score,
@@ -5731,8 +5759,8 @@ object Catalog {
        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM emb),
        |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
        |s AS (SELECT qid, vec_id,
-       |             ROUND(list_inner_product(qe, e) /
-       |                   (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 6) AS score
+       |             (list_inner_product(qe, e) /
+       |                   (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e)))) AS score
        |      FROM v CROSS JOIN q WHERE vec_id <> qid),
        |r AS (SELECT qid, vec_id, score,
        |             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rn
@@ -5826,7 +5854,7 @@ object Catalog {
        |$iters
        |SELECT r3.host, CAST(COALESCE(o.ow, 0) AS BIGINT) AS out_weight,
        |       CAST(r3.rank AS BIGINT) AS rank_fp,
-       |       ROUND(CAST(r3.rank AS DOUBLE) / $S.0, 9) AS rank
+       |       (CAST(r3.rank AS DOUBLE) / $S.0) AS rank
        |FROM r3 LEFT JOIN outw o ON o.src = r3.host
        |ORDER BY host""".stripMargin
   }
@@ -5914,8 +5942,8 @@ object Catalog {
        |h0 AS (SELECT host, CAST($S AS HUGEINT) AS h FROM nodes),
        |$rounds
        |SELECT h2.host, CAST(h2.h AS BIGINT) AS hub_fp, CAST(a2.a AS BIGINT) AS auth_fp,
-       |       ROUND(CAST(h2.h AS DOUBLE) / $S.0, 9) AS hub,
-       |       ROUND(CAST(a2.a AS DOUBLE) / $S.0, 9) AS authority
+       |       (CAST(h2.h AS DOUBLE) / $S.0) AS hub,
+       |       (CAST(a2.a AS DOUBLE) / $S.0) AS authority
        |FROM h2 JOIN a2 USING (host)
        |ORDER BY host""".stripMargin
   }

@@ -462,7 +462,7 @@ class CoreSpec extends SparkSpec {
     ).toDF("user_id", "ts", "event_id", "event_type")
     val got = EventOps.funnel(ev).collect()
       .map(r => r.getString(1) -> (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
-    assert(got("view") == ((2L, 0.666667, 0.666667)))
+    assert(got("view") == ((2L, 2.0 / 3, 2.0 / 3))) // raw IEEE share, no rounding
     assert(got("click")._1 == 2L && got("click")._3 == 1.0)
     assert(got("purchase")._1 == 1L && got("purchase")._3 == 0.5)
     // fixture events: stage counts monotone non-increasing, fracs in [0,1]
@@ -530,7 +530,7 @@ class CoreSpec extends SparkSpec {
     ).toDF("doc_id", "text", "lang", "source").withColumn("n_chars", length(col("text")))
     val got = WebOps.domainProfile(corpus).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5))).toMap
-    assert(got("hot.example") == ((3L, 3L, 2L, 0.666667)),
+    assert(got("hot.example") == ((3L, 3L, 2L, 2.0 / 3)),
       "hot: 3 docs over 3 subdomain hosts, dup pair = 2 docs of mass")
     assert(got("a.example")._3 == 0L && got("b.example")._3 == 0L,
       "cross-domain repeats are not within-domain dups")
@@ -1036,7 +1036,7 @@ class CoreSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2)) -> (r.getLong(3), r.getDouble(4), r.getDouble(5)))
       .toMap
     assert(rows.size == 3, "grid must densify to 3 months")
-    assert(rows((2026L, 2L)) == ((0L, 0.0, 133.333333)), // round(400/3, 6)
+    assert(rows((2026L, 2L)) == ((0L, 0.0, 400.0 / 3)), // raw IEEE mean of the filled frame
       s"gap month zero-filled, centered ma over the filled series: $rows")
     assert(rows((2026L, 1L)) == ((1L, 100.0, 50.0))) // 2-row edge frame
     assert(rows((2026L, 3L)) == ((1L, 300.0, 150.0)))

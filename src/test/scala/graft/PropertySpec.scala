@@ -108,7 +108,30 @@ class PropertySpec extends SparkSpec {
           edges.toDF("doc_i", "doc_j"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == unionFind(n, edges), s"seed $seed, n=$n, edges=$edges")
+      // the auto fast path (driver union-find under the size
+      // thresholds) must label identically to the RDD loop — both on
+      // its small-graph branch and when forced onto the RDD branch
+      val auto = DedupOps.connectedComponentsAuto(
+          (0 until n).map(_.toLong).toDF("doc_id"),
+          edges.toDF("doc_i", "doc_j"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(auto == got, s"auto path diverged: seed $seed")
+      val forcedRdd = DedupOps.connectedComponentsAuto(
+          (0 until n).map(_.toLong).toDF("doc_id"),
+          edges.toDF("doc_i", "doc_j"), smallNodes = 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(forcedRdd == got, s"auto RDD branch diverged: seed $seed")
     }
+    // stray edges (an endpoint outside the node set) are ignored on
+    // both paths — the RDD join semantics the fast path must mirror
+    import spark.implicits._
+    val strayNodes = Seq(0L, 1L, 2L).toDF("doc_id")
+    val strayEdges = Seq((0L, 1L), (2L, 99L)).toDF("doc_i", "doc_j")
+    val a = DedupOps.connectedComponentsAuto(strayNodes, strayEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = DedupOps.connectedComponents(strayNodes, strayEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == Map(0L -> 0L, 1L -> 0L, 2L -> 2L) && a == b)
   }
 
   test("sequence packing + manifest invariants hold on random corpora") {

@@ -90,12 +90,12 @@ class SimilarityMultimodalSpec extends SparkSpec {
     val rows = SimilarityOps.quantizationErrorReport(emb).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val (amax, maxErr, meanErr) =
-        (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      val (amax, maxErr, meanErrPpb) =
+        (r.getDouble(1), r.getDouble(2), r.getLong(3))
       // per-lane bound of symmetric round-to-nearest: half a step,
-      // amax/254 (plus rounding-of-the-report slop)
-      assert(maxErr <= amax / 254.0 + 1e-9, s"vec ${r.getLong(0)}: $maxErr vs ${amax / 254.0}")
-      assert(meanErr <= maxErr + 1e-12 && meanErr >= 0.0)
+      // amax/254 (maxErr is the raw fold; the mean is integer ppb)
+      assert(maxErr <= amax / 254.0, s"vec ${r.getLong(0)}: $maxErr vs ${amax / 254.0}")
+      assert(meanErrPpb <= math.floor(maxErr * 1e9).toLong && meanErrPpb >= 0L)
     }
   }
 
@@ -223,10 +223,11 @@ class SimilarityMultimodalSpec extends SparkSpec {
     val l0 = got(0L)
     assert(l0.getLong(1) == 3L && l0.getLong(2) == 1L && l0.getLong(3) == 1L)
     // the only usable label-0 vector has norm 5 → min = max = mean
-    assert(l0.getDouble(4) == 5.0 && l0.getDouble(5) == 5.0 && l0.getDouble(6) == 5.0)
+    assert(l0.getDouble(4) == 5.0 && l0.getDouble(5) == 5.0)
+    assert(l0.getLong(6) == 5000000000L) // mean_norm_ppb = floor(5·1e9)
     val l1 = got(1L)
     assert(l1.getLong(1) == 2L && l1.getLong(2) == 1L && l1.getLong(3) == 0L)
-    assert(l1.getDouble(6) == 1.0)
+    assert(l1.getLong(6) == 1000000000L)
     // fixture table: every vector is accounted for under exactly one label
     val emb = Tables.embeddings(spark, sf)
     val fix = SimilarityOps.embeddingHygiene(emb).collect()

@@ -513,20 +513,21 @@ class TextDedupSpec extends SparkSpec {
       (2L, "x z", "en", "s")       // mean(1/3)           = 0.333333
     ).toDF("doc_id", "text", "lang", "source")
     val got = graft.engine.TextOps.ngramLmScore(corpus).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    assert(got(1L) == (3L, 0.5), s"doc1: ${got(1L)}")
-    assert(got(2L) == (1L, 0.333333), s"doc2: ${got(2L)}")
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // scores are integer ppb: floor(p·1e9) per bigram, long-sum div n
+    assert(got(1L) == (3L, 500000000L), s"doc1: ${got(1L)}")
+    assert(got(2L) == (1L, 333333333L), s"doc2: ${got(2L)}")
     // discriminative direction under smoothing: a corpus-dominant
     // phrase outscores a one-off noise bigram (raw MLE inverts this —
     // the noise bigram's singleton context scores p=1, the pre-fix
     // failure mode)
     val mixed = ((1L to 10L).map(i => (i, "good morning world", "en", "s")) ++
       Seq((99L, "qq zz", "en", "s"))).toDF("doc_id", "text", "lang", "source")
-    // V={good,morning,world,qq,zz}=5; phrase bigrams (10+1)/(10+5)=
-    // 0.733333; noise (1+1)/(1+5)=0.333333
+    // V={good,morning,world,qq,zz}=5; phrase bigrams (10+1)/(10+5) =
+    // 11/15 → floor ppb 733333333; noise (1+1)/(1+5) → 333333333
     val scored = graft.engine.TextOps.ngramLmScore(mixed).collect()
-      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
-    assert(scored(1L) == 0.733333 && scored(99L) == 0.333333,
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scored(1L) == 733333333L && scored(99L) == 333333333L,
       s"smoothed scores off: ${scored(1L)}, ${scored(99L)}")
     assert(scored(99L) < scored(1L))
   }
@@ -743,8 +744,8 @@ class TextDedupSpec extends SparkSpec {
     assert(a.getLong(1) == 10L && a.getLong(2) == 100L && a.getLong(3) == 10L)
     assert(b.getLong(1) == 25L && b.getLong(2) == 2500L && b.getLong(3) == 50L)
     // raw 100/2600, temp 10/60 — the small source is boosted ~4.3×
-    assert(math.abs(a.getDouble(4) - 0.038462) < 1e-9)
-    assert(math.abs(a.getDouble(5) - 0.166667) < 1e-9)
+    assert(math.abs(a.getDouble(4) - 100.0 / 2600) < 1e-12)
+    assert(math.abs(a.getDouble(5) - 10.0 / 60) < 1e-12)
     assert(a.getDouble(6) > 4.3 && a.getDouble(6) < 4.34)
     assert(b.getDouble(6) < 1.0) // the big source is damped
     // quantization invariant holds on the fixture corpus too
@@ -813,8 +814,8 @@ class TextDedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r).toMap
     assert(rows(2L).getDouble(4) == 1.0, "every bigram of doc 2 occurs in the reference")
     assert(rows(3L).getDouble(4) == 0.0, "no bigram of doc 3 occurs in the reference")
-    assert(rows(2L).getDouble(3) > rows(3L).getDouble(3),
-      "in-domain text must outscore gibberish")
+    assert(rows(2L).getLong(3) > rows(3L).getLong(3),
+      "in-domain text must outscore gibberish (ppb-integer scores)")
     assert(rows(3L).getLong(2) == 0L && rows(2L).getLong(2) == rows(2L).getLong(1))
   }
 
@@ -983,10 +984,10 @@ class TextDedupSpec extends SparkSpec {
     ).toDF("doc_id", "text", "lang", "source").withColumn("n_chars", length(col("text")))
     val got = TextOps.docKeywords(corpus).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getDouble(5)))).toMap
-    // lift(1, zebra) = (10/12)/(10/32) = 2.666667; common = (2/12)/(22/32)
-    assert(got((1L, 1L)) == (("zebra", 2.666667)))
-    assert(got((1L, 2L)) == (("common", 0.242424)))
-    assert(got((2L, 1L)) == (("common", 1.454545)))
+    // lift(1, zebra) = (10/12)/(10/32); common = (2/12)/(22/32) — raw IEEE
+    assert(got((1L, 1L)) == (("zebra", (10.0 / 12) / (10.0 / 32))))
+    assert(got((1L, 2L)) == (("common", (2.0 / 12) / (22.0 / 32))))
+    assert(got((2L, 1L)) == (("common", (20.0 / 20) / (22.0 / 32))))
     assert(got.size == 3)
   }
 
@@ -1365,21 +1366,20 @@ class TextDedupSpec extends SparkSpec {
       (3L, "the quick brown fox", "en", "s"),
     ).toDF("doc_id", "text", "lang", "source").withColumn("n_chars", length(col("text")))
     // driver-side reference: identical op order to the engine formula
+    // (per-term floor(raw·1e9) ppb, exact long sum per doc)
     val (nn, sumdl) = (3L, 12L)
-    def scoreT(tf: Long, df: Long, dl: Long): Double = {
+    def scoreT(tf: Long, df: Long, dl: Long): Long = {
       val raw = ((nn - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
         (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl.toDouble / nn)))
-      BigDecimal(raw).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.floor(raw * 1.0e9).toLong
     }
-    def score6(ts: Seq[Double]): Double =
-      ts.map(BigDecimal(_)).sum.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val got = RetrievalOps.bm25TopK(corpus).collect()
-      .map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(1), r.getDouble(3), r.getLong(4))).toMap
+      .map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
     // q0 "hash join": d1 (hash tf3 df2, join tf2 df1) must outrank d2 (hash tf1)
     assert(got((0L, 1L))._1 == 1L && got((0L, 2L))._1 == 2L)
-    assert(got((0L, 1L))._2 == score6(Seq(scoreT(3, 2, 5), scoreT(2, 1, 5))))
+    assert(got((0L, 1L))._2 == scoreT(3, 2, 5) + scoreT(2, 1, 5))
     assert(got((0L, 1L))._3 == 2L, "d1 matches both query-0 terms")
-    assert(got((0L, 2L))._2 == score6(Seq(scoreT(1, 2, 3))))
+    assert(got((0L, 2L))._2 == scoreT(1, 2, 3))
     // q1 "table scan": only d2 matches
     assert(got((1L, 2L))._1 == 1L && got((1L, 2L))._3 == 2L)
     assert(got.keys.count(_._1 == 1L) == 1)
@@ -1390,7 +1390,7 @@ class TextDedupSpec extends SparkSpec {
     fix.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
       val sorted = rs.sortBy(_.getLong(1))
       assert(sorted.map(_.getLong(1)).toSeq == (1L to rs.length).toSeq, s"qid $qid ranks dense")
-      val scores = sorted.map(_.getDouble(3))
+      val scores = sorted.map(_.getLong(3))
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"qid $qid monotone")
     }
   }
@@ -1412,7 +1412,7 @@ class TextDedupSpec extends SparkSpec {
         RetrievalOps.bm25Postings(corpus), RetrievalOps.bm25DocLengths(corpus),
         clusters, anchors = Seq(0L))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getDouble(3), r.getLong(4)))
+        r.getLong(3), r.getLong(4)))
     assert(got.length == 10, s"k=10 negatives: ${got.length}")
     assert(!got.exists(_._3 == -1L), "the planted near-copy is a positive, never a negative")
     assert(!got.exists(_._3 == 0L), "the anchor itself is excluded")

@@ -42,6 +42,53 @@ def type_parity_errors(con, sql):
     return [(r[0], r[1]) for r in rows if not PORTABLE_TYPES.match(r[1])]
 
 
+# Signs the FIRST argument of ROUND() is a genuine floating-point
+# value: a true division (not DuckDB's integer `//`), an explicit
+# DOUBLE/FLOAT cast, or a transcendental/irrational function. ROUND
+# over such a value is engine- and version-dependent at representation
+# boundaries (Spark rounds the exact binary value via BigDecimal
+# HALF_UP; DuckDB rounds float-side, and its path has changed across
+# builds) — the r10 q174 driver-mismatch class. ROUND over an
+# exact-decimal product (e.g. price*100 cent quantization) is fine.
+DOUBLE_SIGNS = re.compile(
+    r"(?<!/)/(?!/)"                    # true division, not //
+    r"|AS\s+(DOUBLE|FLOAT|REAL)\b"     # explicit float cast
+    r"|::\s*(DOUBLE|FLOAT|REAL)\b"
+    r"|\b(LOG|LOG2|LOG10|LN|EXP|SQRT|CBRT|POW|POWER|SIN|COS|TAN|ATAN2?"
+    r"|ASIN|ACOS|RADIANS|DEGREES|PI)\s*(\(|\b)",
+    re.I)
+
+
+def round_on_double_errors(sql):
+    """Return the first argument of every ROUND(...) call whose
+    argument text shows it is a true DOUBLE (division / float cast /
+    transcendental). Oracles must express such shares as integer ppm
+    (`(x * 1000000) // y`) or emit the raw IEEE value un-rounded —
+    both replay bit-identically; ROUND(double, n) does not."""
+    errs = []
+    for m in re.finditer(r"\bROUND\s*\(", sql, re.I):
+        i, depth = m.end(), 1
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        arg_all = sql[m.end():i - 1]
+        first, depth = arg_all, 0
+        for j, c in enumerate(arg_all):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 0:
+                first = arg_all[:j]
+                break
+        if DOUBLE_SIGNS.search(first):
+            errs.append(" ".join(first.split())[:90])
+    return errs
+
+
 def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -82,6 +129,14 @@ def main():
             print(f"FAIL {name}: oracle type-parity: non-portable "
                   f"output types {bad_types} (cast to BIGINT/DOUBLE/"
                   f"VARCHAR/DATE/TIMESTAMP/BOOLEAN in the oracle SQL)")
+            n_fail += 1
+            continue
+        bad_rounds = round_on_double_errors(sql)
+        if bad_rounds:
+            print(f"FAIL {name}: ROUND over a DOUBLE-typed expression "
+                  f"(engine/version-dependent at representation "
+                  f"boundaries): {bad_rounds} — use integer ppm "
+                  f"((x * 1000000) // y) or emit the raw value")
             n_fail += 1
             continue
         gcols, ecols = sorted(got.columns), sorted(exp.columns)
