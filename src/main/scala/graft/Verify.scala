@@ -56,7 +56,8 @@ object Verify {
     // the dump must not. (ivfIndexFor memo ⇒ zero extra quantizer
     // fits after either query ran.)
     if (selected.contains("q67_ivf_topk") || selected.contains("q121_ivf_list_stats") ||
-        selected.contains("q212_index_coverage") || selected.contains("q221_ivf_purity"))
+        selected.contains("q212_index_coverage") || selected.contains("q221_ivf_purity") ||
+        selected.contains("q235_ivf_incremental"))
       graft.engine.SimilarityOps.dumpIvfOracle(
         graft.engine.Tables.embeddings(spark, sfDir), tag = sfDir)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

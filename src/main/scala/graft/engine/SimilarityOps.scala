@@ -316,6 +316,66 @@ object SimilarityOps {
     idx.centers.coalesce(1).write.mode("overwrite").parquet(s"$path/centers")
   }
 
+  /** INCREMENTAL IVF assignment — the new-batch path for the stored
+    * index (the q92/q109/q226/q231 batch-vs-stored pattern applied to
+    * the last stored artifact that lacked it): each batch vector is
+    * assigned to its nearest STORED centroid (argmin of the quantizer
+    * metric, d2 ties broken by list id) — the corpus is NEVER
+    * re-clustered. The centroid frame is nLists rows (broadcast); the
+    * batch is touched once; no stored vector enters any shuffle.
+    * Returns (vec_id, list_id) — the rows a maintenance job appends
+    * to the persisted assignment table. The d2 fold is the exact
+    * expression q67's probe ranking uses, so the oracle replays the
+    * assignment as an argmin CTE over the dumped centroid table. */
+  def ivfIncrementalAssign(index: IvfIndex, batch: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_list_id"))
+    withVec(batch)
+      .select(col("vec_id"), col("vec"))
+      .crossJoin(broadcast(index.centers))
+      .withColumn("d2",
+        expr("aggregate(zip_with(vec, centroid, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("c_list_id").cast("long").as("list_id"))
+  }
+
+  /** INCREMENTAL IVF maintenance report (q235) — assign the batch to
+    * the stored centroids ([[ivfIncrementalAssign]]) and reconcile
+    * list populations before/after the append, with the re-balance
+    * trigger: a list is `imbalanced` when its post-append population
+    * exceeds `imbalanceFactor` times its fair share
+    * (n_after · nLists > imbalanceFactor · total_after — pure integer
+    * comparison, no fp boundary). A flagged list means the batch
+    * distribution has drifted from the fitted quantizer and an
+    * offline re-fit (never part of the query path) should be
+    * scheduled. Report frame is nLists rows — the one unpartitioned
+    * window is free at any corpus size. */
+  def ivfIncrementalAppend(index: IvfIndex, batch: DataFrame,
+                           imbalanceFactor: Long = 2L): DataFrame = {
+    val assignedNew = ivfIncrementalAssign(index, batch)
+    val before = index.assigned
+      .groupBy(col("list_id").cast("long").as("list_id"))
+      .agg(count(lit(1)).as("n_before"))
+    val added = assignedNew.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_new"))
+    index.centers.select(col("c_list_id").cast("long").as("list_id"))
+      .join(before, Seq("list_id"), "left_outer")
+      .join(added, Seq("list_id"), "left_outer")
+      .na.fill(0L, Seq("n_before", "n_new"))
+      .withColumn("n_after", col("n_before") + col("n_new"))
+      .withColumn("total_after",
+        sum(col("n_after")).over(Window.partitionBy()).cast("long"))
+      .withColumn("share_after",
+        col("n_after").cast("double") / col("total_after"))
+      .withColumn("imbalanced",
+        col("n_after") * lit(index.nLists.toLong) >
+          lit(imbalanceFactor) * col("total_after"))
+      .select(col("list_id"), col("n_before").cast("long").as("n_before"),
+        col("n_new").cast("long").as("n_new"), col("n_after").cast("long").as("n_after"),
+        col("share_after"), col("imbalanced"))
+      .orderBy(col("list_id"))
+  }
+
   /** IVF (inverted-file) ANN — the second scale path beside LSH: the
     * coarse quantizer assigns every vector to one of nLists inverted
     * lists; each query probes only its `nProbe` nearest centroids and

@@ -4101,7 +4101,60 @@ object Catalog {
              |         END AS mean_norm_ppb
              |  FROM per GROUP BY label)
              |SELECT label, n_vecs, n_nonfinite, n_zero, min_norm, max_norm, mean_norm_ppb
-             |FROM g ORDER BY label""".stripMargin))
+             |FROM g ORDER BY label""".stripMargin)),
+
+    // INCREMENTAL index maintenance: a deterministic synthetic batch
+    // (reversed embeddings, shifted ids) assigns to the STORED
+    // centroids — never a re-fit — and the report reconciles list
+    // populations before/after with the integer-exact re-balance
+    // trigger. The oracle replays assignment as an argmin CTE over
+    // the dumped centroid/assignment state (the q67/q121 machinery),
+    // so a hash match certifies the stored artifacts AND the append.
+    QuerySpec(
+      "q235_ivf_incremental",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit, pmod, reverse}
+        val emb = Tables.embeddings(s, dir)
+        val batch = emb.filter(pmod(col("vec_id"), lit(7)) === 3)
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+            reverse(col("embedding")).as("embedding"))
+        SimilarityOps.ivfIncrementalAppend(
+          SimilarityOps.ivfIndexFor(emb, tag = dir), batch)
+      },
+      Some("""WITH centers AS (
+             |  SELECT c_list_id, CAST(centroid AS DOUBLE[]) AS c
+             |  FROM read_parquet('/tmp/graft_ivf_oracle/centers/*.parquet')),
+             |assign AS (
+             |  SELECT list_id FROM read_parquet('/tmp/graft_ivf_oracle/assign/*.parquet')),
+             |nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lists FROM centers),
+             |b AS (
+             |  SELECT vec_id + 1000000 AS vec_id,
+             |         list_reverse(CAST(embedding AS DOUBLE[])) AS e
+             |  FROM embeddings WHERE vec_id % 7 = 3),
+             |d AS (
+             |  SELECT vec_id, c_list_id,
+             |         list_sum(list_transform(list_zip(e, c), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM b CROSS JOIN centers),
+             |a AS (
+             |  SELECT vec_id, c_list_id AS list_id
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_list_id) AS rk
+             |        FROM d) WHERE rk = 1),
+             |nb AS (SELECT CAST(list_id AS BIGINT) AS list_id, CAST(COUNT(*) AS BIGINT) AS n_before
+             |       FROM assign GROUP BY 1),
+             |nn AS (SELECT CAST(list_id AS BIGINT) AS list_id, CAST(COUNT(*) AS BIGINT) AS n_new
+             |       FROM a GROUP BY 1),
+             |r AS (
+             |  SELECT CAST(c_list_id AS BIGINT) AS list_id,
+             |         COALESCE(n_before, 0) AS n_before, COALESCE(n_new, 0) AS n_new,
+             |         COALESCE(n_before, 0) + COALESCE(n_new, 0) AS n_after
+             |  FROM centers LEFT JOIN nb ON nb.list_id = c_list_id
+             |               LEFT JOIN nn ON nn.list_id = c_list_id),
+             |t AS (SELECT CAST(SUM(n_after) AS BIGINT) AS total_after FROM r)
+             |SELECT list_id, n_before, n_new, n_after,
+             |       CAST(n_after AS DOUBLE) / total_after AS share_after,
+             |       n_after * n_lists > 2 * total_after AS imbalanced
+             |FROM r CROSS JOIN t CROSS JOIN nl
+             |ORDER BY list_id""".stripMargin))
   )
 
   // ---------------------------------------------------------------- //

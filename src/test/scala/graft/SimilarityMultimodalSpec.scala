@@ -287,6 +287,39 @@ class SimilarityMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("incremental IVF append assigns to stored centroids and flags a far-cluster flood") {
+    import spark.implicits._
+    // 4 stored lists with axis centroids, one stored vector each
+    val centers = Seq(
+      (0, Array(10.0, 0.0)), (1, Array(0.0, 10.0)),
+      (2, Array(-10.0, 0.0)), (3, Array(0.0, -10.0))).toDF("c_list_id", "centroid")
+    val assigned = Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L)).toDF("vec_id", "list_id")
+    val idx = SimilarityOps.IvfIndex(assigned, centers, 4)
+    // planted drift: every batch vector sits near centroid 1
+    val batch = (10L to 15L).map(i => (i, Array(0.1f, 9.5f))).toDF("vec_id", "embedding")
+    val asg = SimilarityOps.ivfIncrementalAssign(idx, batch).collect()
+    assert(asg.length == 6 && asg.forall(_.getLong(1) == 1L),
+      "every planted vector assigns to the nearest stored centroid")
+    val rows = SimilarityOps.ivfIncrementalAppend(idx, batch).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    // flooded list: 1 before + 6 new = 7 of 10 → 7·4 > 2·10 → flagged
+    assert(rows(1L) == ((1L, 6L, 7L, 0.7, true)), s"flooded list: ${rows(1L)}")
+    assert(!rows(0L)._5 && !rows(2L)._5 && !rows(3L)._5, "quiet lists unflagged")
+    assert(rows.values.map(_._3).sum == 10L, "population conserved")
+    // fixture: the q235 derived batch appends to the PERSISTED index
+    // with zero quantizer refits and conserves populations
+    val index = SimilarityOps.ivfIndexFor(emb, tag = sf)
+    val builds0 = SimilarityOps.indexBuilds
+    val batchFix = emb.filter(pmod(col("vec_id"), lit(7)) === 3)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+    val fix = SimilarityOps.ivfIncrementalAppend(index, batchFix).collect()
+    assert(SimilarityOps.indexBuilds == builds0, "append must never re-fit")
+    assert(fix.map(_.getLong(3)).sum == emb.count() + batchFix.count())
+    assert(fix.map(_.getLong(1)).sum == emb.count(), "before = stored corpus")
+  }
+
   test("index coverage audit counts the planted missing vector and orphaned posting") {
     import spark.implicits._
     val vecs = (1L to 5L).map(i => (i, 0)).toDF("vec_id", "label")
