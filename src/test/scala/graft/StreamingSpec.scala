@@ -592,6 +592,61 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(!_._3), "fixture must contain at least one dropped near-dup")
   }
 
+  test("streaming entity resolution equals one-shot incremental across a bridging boundary") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{DedupOps, StreamOps, Tables}
+    val part = Tables.part(spark, sf)
+    val storedDim = part.select(col("p_partkey"), col("p_name"), col("p_brand"))
+      .localCheckpoint(false)
+    val storedAliases = DedupOps.entityGroups(part).localCheckpoint(false)
+    val anchor = storedDim.orderBy(col("p_partkey")).limit(1).collect()(0)
+    val (k0, n0, br0) = (anchor.getLong(0), anchor.getString(1), anchor.getString(2))
+    // b1: one record extending k0's stored group, one half of a bridge
+    // pair; b2: the OTHER half (edit distance 1 from the b1 record —
+    // neither is near any stored name) plus an unrelated singleton.
+    // The b2 record can only group with the b1 record through the
+    // UPDATED store — the cross-micro-batch case under test.
+    val b1 = Seq((9000001L, n0 + "x", br0), (9000003L, "bridgename one", br0))
+    val b2 = Seq((9000004L, "bridgename onex", br0), (9000005L, "solo unmatched", br0))
+    val out = java.nio.file.Files.createTempDirectory("graft_ser_out_").toString + "/er"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ser_ckpt_").toString
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamOps.streamingEntityResolution(
+      input.toDS().toDF("p_partkey", "p_name", "p_brand"),
+      storedAliases, storedDim, out, ckpt)
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def proj(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val streamedStore = proj(spark.read.parquet(s"$out/store")
+      .select(col("p_partkey"), col("entity_id"), col("n_members"), col("canonical_name"))
+      .collect())
+    val oneShot = proj(DedupOps.incrementalEntityGroups(
+        storedAliases, storedDim, (b1 ++ b2).toDF("p_partkey", "p_name", "p_brand"))
+      .select(col("p_partkey"), col("entity_id"), col("n_members"), col("canonical_name"))
+      .collect())
+    assert(streamedStore == oneShot,
+      s"final store diverged from one-shot (${streamedStore.size} vs ${oneShot.size} rows)")
+    // the planted cases actually exercised their paths
+    assert(streamedStore(9000001L)._1 == storedAliases
+      .filter(col("p_partkey") === k0).collect()(0).getLong(1),
+      "extension record adopts the stored group's entity")
+    assert(streamedStore(9000004L)._1 == 9000003L && streamedStore(9000004L)._2 == 2L,
+      "bridge closes across the micro-batch boundary through the updated store")
+    assert(streamedStore(9000005L)._1 == 9000005L && streamedStore(9000005L)._2 == 1L)
+    // per-round verdicts: the bridge half arrived before its partner
+    // and was NEW then; its partner's round groups them
+    val verdicts = spark.read.parquet(s"$out/verdicts").collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(verdicts(9000003L) == "new" && verdicts(9000005L) == "new")
+  }
+
   test("streaming gate verdicts equal the batch gate across a micro-batch boundary") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
