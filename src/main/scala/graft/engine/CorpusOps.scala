@@ -1037,4 +1037,57 @@ object CorpusOps {
               col("target_docs"), col("sample_rate"))
       .orderBy(col("age_bucket"))
   }
+
+  /** CERTIFIED leakage-safe pipeline (q236) — the "it all works
+    * together" artifact for the split family: take the split that
+    * actually shipped (cluster-aware q227 / incremental q231 — any
+    * (doc_id, cluster_id, split) table), run split-isolated packing
+    * (q234's stream key) over it, and emit the cross-split audit
+    * matrix over the COMPOSED output: per ordered split pair,
+    * document and training-sequence volume, the near-dup CLUSTER
+    * leak count (docs whose cluster spans both splits — zero by
+    * construction under cluster pinning; the planted-leak TextDedupSpec
+    * case shows a document-level split failing exactly here), and the
+    * honest residual gram-level contamination (shared n-grams exist
+    * below the near-dup threshold even in a perfectly pinned split —
+    * reported, not hidden).
+    *
+    * Scale: the packing rollup is the q234 per-stream window; the
+    * gram matrix is the q122 machinery (per-gram fanout bounded by
+    * split count); the leak join runs on the DISTINCT (cluster,
+    * split) frame — ≤ splits rows per cluster, never members². */
+  def leakageSafePipelineReport(documents: DataFrame, split: DataFrame,
+                                seqLen: Int = 2048, n: Int = 5): DataFrame = {
+    val cb = split.select(col("doc_id"), col("cluster_id"), col("split"))
+      .localCheckpoint(false) // packing join + doc totals + leak expansion
+    val assigned = documents.join(cb, "doc_id").localCheckpoint(false)
+    val seqs = packSequencesBy(assigned, Seq("split", "lang"), seqLen)
+      .groupBy(col("split"), col("lang"))
+      .agg((max(col("end_seq")) + lit(1L)).as("mx"))
+      .groupBy(col("split")).agg(sum(col("mx")).cast("long").as("n_seqs_a"))
+    val gram = TextOps.crossSplitContaminationAssigned(
+      assigned.select(col("doc_id"), col("text"), col("split")), n)
+    val cs = cb.select(col("cluster_id"), col("split")).distinct()
+      .localCheckpoint(false) // both sides of the span join
+    val leaked = cs.as("a")
+      .join(cs.as("b"), col("a.cluster_id") === col("b.cluster_id") &&
+        col("a.split") =!= col("b.split"))
+      .select(col("a.cluster_id").as("cluster_id"),
+        col("a.split").as("split_a"), col("b.split").as("split_b"))
+      .join(cb.select(col("cluster_id"), col("split").as("split_a"), col("doc_id")),
+        Seq("cluster_id", "split_a"))
+      .select(col("split_a"), col("split_b"), col("doc_id")).distinct()
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).cast("long").as("n_leaked_docs"))
+    gram
+      .select(col("split_a"), col("split_b"), col("n_docs_a"),
+        col("n_docs_contaminated"), col("n_shared_grams"))
+      .join(seqs.withColumnRenamed("split", "split_a"), Seq("split_a"), "left_outer")
+      .join(leaked, Seq("split_a", "split_b"), "left_outer")
+      .na.fill(0L, Seq("n_seqs_a", "n_leaked_docs"))
+      .select(col("split_a"), col("split_b"), col("n_docs_a"),
+        col("n_seqs_a").cast("long").as("n_seqs_a"),
+        col("n_leaked_docs"), col("n_docs_contaminated"), col("n_shared_grams"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
 }

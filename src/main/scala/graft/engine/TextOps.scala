@@ -194,12 +194,20 @@ object TextOps {
     * exists at any corpus size. Zero rows are kept (left joins from
     * the complete split×split frame) — "no leakage detected" is the
     * result that matters. */
-  def crossSplitContamination(documents: DataFrame, n: Int = 5): DataFrame = {
-    val assigned = documents
-      .select(col("doc_id"), col("text"),
+  def crossSplitContamination(documents: DataFrame, n: Int = 5): DataFrame =
+    crossSplitContaminationAssigned(
+      documents.select(col("doc_id"), col("text"),
         when(pmod(xxhash64(col("doc_id")), lit(10)) < 8, lit("train"))
           .when(pmod(xxhash64(col("doc_id")), lit(10)) === 8, lit("val"))
-          .otherwise(lit("test")).as("split"))
+          .otherwise(lit("test")).as("split")),
+      n)
+
+  /** [[crossSplitContamination]] over a CALLER-ASSIGNED split column
+    * — the form the composed pipeline audit (q236) needs: the matrix
+    * then audits whatever split actually shipped (cluster-aware,
+    * incremental-frozen, …), not a re-derived hash split. `assigned`
+    * carries (doc_id, text, split). */
+  def crossSplitContaminationAssigned(assigned: DataFrame, n: Int = 5): DataFrame = {
     // the positioned-gram frame feeds two consumers and the per-split
     // dictionary three (contamination join + both overlap sides) —
     // checkpoint each once so the tokenize+gram scan runs once (the

@@ -1399,6 +1399,22 @@ object Catalog {
         DedupOps.clustersFor(Tables.documents(s, dir), tag = dir)),
       Some(q227OracleSql)),
 
+    // the certified end-to-end chain: cluster-aware split (q227) →
+    // split-isolated packing (q234) → cross-split audit (q122
+    // machinery) over the COMPOSED output — cluster leakage is zero
+    // by construction (and the matrix proves it on the shipped
+    // artifact), residual gram-level contamination is reported
+    // honestly. One oracle replays all three stages.
+    QuerySpec(
+      "q236_leakage_safe_pipeline",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        CorpusOps.leakageSafePipelineReport(docs,
+          DedupOps.clusterAwareSplitFromClusters(
+            DedupOps.clustersFor(docs, tag = dir)))
+      },
+      Some(q236OracleSql)),
+
     // watermark advice: exact p50/p95/p99 per-event disorder per type
     // — the number withWatermark should be SET to, from data. The
     // oracle's disorder comes from one global ordered window (proving
@@ -4376,6 +4392,81 @@ object Catalog {
        |       (cb.split <> nb.naive_split) AS moved
        |FROM cb JOIN nb USING (doc_id)
        |ORDER BY cb.doc_id""".stripMargin
+  }
+
+  /** q236 oracle: the q227 closure + cluster-hash split chain, the
+    * q234 per-(split, lang) packing algebra, the q122 gram matrix and
+    * the cluster-span leak count — all over the SAME cb assignment,
+    * certifying the composed pipeline in one statement. */
+  private val q236OracleSql: String = {
+    import Xxh64DocIdSql.{chainFrom, tos}
+    val bucket = s"((${tos("h8")} % 10) + 10) % 10"
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, substr(text, unnest(range(1, length(text) - 3)), 5) AS s
+       |    FROM documents WHERE doc_id < 60)),
+       |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |c AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS common
+       |      FROM sh a JOIN sh b USING (s)
+       |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       |p AS (SELECT doc_i, doc_j FROM c
+       |      JOIN n ni ON doc_i = ni.doc_id JOIN n nj ON doc_j = nj.doc_id
+       |      WHERE (CAST(common AS DOUBLE) / (ni.n_sh + nj.n_sh - common)) >= 0.15),
+       |e AS (SELECT doc_i AS src, doc_j AS dst FROM p
+       |      UNION ALL SELECT doc_j, doc_i FROM p),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node),
+       |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+       |${chainFrom("SELECT doc_id, cluster_id, CAST(cluster_id AS HUGEINT) AS k FROM cl",
+                    "doc_id, cluster_id", "c")},
+       |cb AS (SELECT doc_id, cluster_id,
+       |              CASE WHEN $bucket < 8 THEN 'train' WHEN $bucket = 8 THEN 'val'
+       |                   ELSE 'test' END AS split
+       |       FROM s10c),
+       |pk0 AS (SELECT cb.split, d.lang, d.doc_id,
+       |          CAST(len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+       |        FROM documents d JOIN cb USING (doc_id)),
+       |pk AS (SELECT split, lang, doc_id, n_tokens,
+       |         SUM(n_tokens) OVER (PARTITION BY split, lang ORDER BY doc_id) AS cum
+       |       FROM pk0 WHERE n_tokens > 0),
+       |ns AS (SELECT split, CAST(SUM(mx) AS BIGINT) AS n_seqs_a
+       |       FROM (SELECT split, lang, MAX((cum - 1) // 2048) + 1 AS mx
+       |             FROM pk GROUP BY split, lang) GROUP BY split),
+       |tokg AS (SELECT d.doc_id, cb.split, regexp_extract_all(lower(d.text), '[A-Za-z0-9_]+') AS t
+       |         FROM documents d JOIN cb USING (doc_id)),
+       |g AS (SELECT DISTINCT doc_id, split, array_to_string(list_slice(t, gi, gi + 4), ' ') AS gram
+       |      FROM (SELECT doc_id, split, t, unnest(range(1, len(t) - 3)) AS gi
+       |            FROM tokg WHERE len(t) >= 5)),
+       |gs AS (SELECT DISTINCT split, gram FROM g),
+       |tot AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs_a FROM cb GROUP BY split),
+       |frame AS (SELECT a.split AS split_a, a.n_docs_a, b.split AS split_b
+       |          FROM tot a CROSS JOIN tot b WHERE a.split <> b.split),
+       |cont AS (SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_docs_contaminated
+       |         FROM (SELECT DISTINCT g.split AS split_a, gs.split AS split_b, g.doc_id
+       |               FROM g JOIN gs ON g.gram = gs.gram AND g.split <> gs.split)
+       |         GROUP BY 1, 2),
+       |shg AS (SELECT a.split AS split_a, b.split AS split_b,
+       |               CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+       |        FROM gs a JOIN gs b ON a.gram = b.gram AND a.split <> b.split
+       |        GROUP BY 1, 2),
+       |csd AS (SELECT DISTINCT cluster_id, split FROM cb),
+       |lk AS (SELECT sa.split AS split_a, sb.split AS split_b,
+       |              CAST(COUNT(DISTINCT cb.doc_id) AS BIGINT) AS n_leaked_docs
+       |       FROM csd sa JOIN csd sb ON sa.cluster_id = sb.cluster_id AND sa.split <> sb.split
+       |       JOIN cb ON cb.cluster_id = sa.cluster_id AND cb.split = sa.split
+       |       GROUP BY 1, 2)
+       |SELECT f.split_a, f.split_b, f.n_docs_a,
+       |       COALESCE(ns.n_seqs_a, 0) AS n_seqs_a,
+       |       COALESCE(lk.n_leaked_docs, 0) AS n_leaked_docs,
+       |       COALESCE(ct.n_docs_contaminated, 0) AS n_docs_contaminated,
+       |       COALESCE(sg.n_shared_grams, 0) AS n_shared_grams
+       |FROM frame f LEFT JOIN ns ON ns.split = f.split_a
+       |             LEFT JOIN lk ON lk.split_a = f.split_a AND lk.split_b = f.split_b
+       |             LEFT JOIN cont ct ON ct.split_a = f.split_a AND ct.split_b = f.split_b
+       |             LEFT JOIN shg sg ON sg.split_a = f.split_a AND sg.split_b = f.split_b
+       |ORDER BY f.split_a, f.split_b""".stripMargin
   }
 
   /** q231 oracle: (1) the stored-slice q227 closure + XXH64 split

@@ -1358,6 +1358,44 @@ class TextDedupSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("leakage-safe pipeline blocks the planted cross-split near-dup a doc-level split leaks") {
+    import spark.implicits._
+    import graft.engine.CorpusOps
+    val base = "the training corpus deduplication pipeline must stay leak free always and forever"
+    val corpus = Seq(
+      (1L, base, "en", "s"),
+      (2L, base + " indeed", "en", "s"), // near-dup of doc 1
+      (3L, "completely different subject matter about orbital mechanics and fuel", "en", "s"),
+      (4L, "yet another unrelated document concerning medieval bread prices", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source").withColumn("n_chars", length(col("text")))
+      .localCheckpoint(false)
+    val clusters = DedupOps.connectedComponents(
+      corpus.select(col("doc_id")),
+      DedupOps.jaccardPairs(corpus).select(col("doc_i"), col("doc_j")))
+      .localCheckpoint(false)
+    assert(clusters.filter(col("doc_id") =!= col("cluster_id")).count() == 1L,
+      "fixture must contain exactly the planted near-dup pair")
+    // NAIVE document-level split: parity puts doc 1 and doc 2 on
+    // opposite sides of the train/test boundary — the leak
+    val naive = clusters.withColumn("split",
+      when(pmod(col("doc_id"), lit(2)) === 0, "train").otherwise("test"))
+    val naiveRows = CorpusOps.leakageSafePipelineReport(corpus, naive).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(6)))).toMap
+    assert(naiveRows(("test", "train"))._2 == 1L && naiveRows(("train", "test"))._2 == 1L,
+      s"doc-level split must leak the planted pair: $naiveRows")
+    // CLUSTER-AWARE split over the same closure: the pair moves as a
+    // unit, so the matrix certifies zero cluster leakage — while the
+    // same near-dup structure still exists in the corpus
+    val safe = DedupOps.clusterAwareSplitFromClusters(clusters)
+    val safeRows = CorpusOps.leakageSafePipelineReport(corpus, safe).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(6)))).toMap
+    assert(safeRows.values.forall(_._2 == 0L),
+      s"cluster pinning must block every cross-split near-dup: $safeRows")
+    assert(safeRows.values.exists(_._1 > 0L), "packing produced sequences")
+  }
+
   test("bm25 replays the rational-idf formula and ranks hand-built docs") {
     import spark.implicits._
     val corpus = Seq(
