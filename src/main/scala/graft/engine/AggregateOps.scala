@@ -291,7 +291,7 @@ object AggregateOps {
     * accumulation order (the fp-boundary flip a double z-score
     * comparison risks at the 2σ edge simply cannot happen). μ and σ
     * are emitted as display doubles (one exact-decimal→double cast
-    * each, round 6) AFTER the decision is made. One map-side-partial
+    * each) AFTER the decision is made. One map-side-partial
     * rollup for the moments + one broadcast join back — two passes,
     * no window, no per-group sort. DECIMAL(38,0) holds the squares
     * (≈10²⁶ at this schema's magnitudes) with 12 digits of headroom. */

@@ -723,20 +723,24 @@ object DedupOps {
     * join semantics. PropertySpec asserts equivalence against the
     * RDD path on random graphs. */
   def connectedComponentsAuto(nodes: DataFrame, edges: DataFrame,
-                              smallNodes: Long = 100000, smallEdges: Long = 1000000,
+                              smallNodes: Int = 100000, smallEdges: Int = 1000000,
                               maxIter: Int = 100,
                               checkpoint: CcCheckpoint = CcCheckpoint.Local): DataFrame = {
     val session = nodes.sparkSession
     import session.implicits._
+    // size probes are limit(k+1)+collect, NOT count-then-collect: one
+    // job each instead of two, and the collected rows ARE the fast
+    // path's working set when the graph is small (≤ ~1.6 MB of ids)
     val nodesM = nodes.select(col("doc_id").cast("long").as("doc_id"))
-      .localCheckpoint(false) // counted, then either collected or looped
-    if (nodesM.count() > smallNodes)
+      .localCheckpoint(false) // probed, then either used locally or looped
+    val nodeRows = nodesM.limit(smallNodes + 1).collect()
+    if (nodeRows.length > smallNodes)
       return connectedComponents(nodesM, edges, maxIter, checkpoint)
     val edgesM = edges.select(col("doc_i").cast("long"), col("doc_j").cast("long"))
-      .localCheckpoint(false)
-    if (edgesM.count() > smallEdges)
+    val edgeRows = edgesM.limit(smallEdges + 1).collect()
+    if (edgeRows.length > smallEdges)
       return connectedComponents(nodesM, edges, maxIter, checkpoint)
-    val ids = nodesM.collect().map(_.getLong(0))
+    val ids = nodeRows.map(_.getLong(0))
     val parent = new java.util.HashMap[Long, Long](ids.length * 2)
     ids.foreach(id => parent.put(id, id))
     def find(x: Long): Long = {
@@ -746,7 +750,7 @@ object DedupOps {
       while (parent.get(c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
       r
     }
-    edgesM.collect().foreach { row =>
+    edgeRows.foreach { row =>
       val (a, b) = (row.getLong(0), row.getLong(1))
       if (parent.containsKey(a) && parent.containsKey(b)) {
         val (ra, rb) = (find(a), find(b))
@@ -1234,16 +1238,20 @@ object DedupOps {
       .join(cross.select(col("doc_i").as("doc_id"))
         .unionByName(cross.select(col("doc_j").as("doc_id"))).distinct(), "doc_id")
       .select(col("old_entity_id").as("entity_id")).distinct()
+      .localCheckpoint(false) // closure nodes + affected semi-join + untouched anti-join
     val affected = storedAliases.join(touched, Seq("entity_id"), "left_semi")
       .localCheckpoint(false) // member→entity map + membership agg + label join
     // condense: a cross edge's stored endpoint becomes its entity id
-    // (exactly one endpoint is stored — the key spaces are disjoint)
+    // (exactly one endpoint is stored — the key spaces are disjoint).
+    // The member→entity map is TOUCHED-members-bounded (∝ batch ×
+    // group size, never history) — broadcast it so the condensation
+    // is two map-side lookups instead of two shuffles of the edge set
     val memEnt = affected.select(col("p_partkey"), col("entity_id"))
     val crossCond = cross
-      .join(memEnt.select(col("p_partkey").as("doc_i"),
-        col("entity_id").as("ent_i")), Seq("doc_i"), "left_outer")
-      .join(memEnt.select(col("p_partkey").as("doc_j"),
-        col("entity_id").as("ent_j")), Seq("doc_j"), "left_outer")
+      .join(broadcast(memEnt.select(col("p_partkey").as("doc_i"),
+        col("entity_id").as("ent_i"))), Seq("doc_i"), "left_outer")
+      .join(broadcast(memEnt.select(col("p_partkey").as("doc_j"),
+        col("entity_id").as("ent_j"))), Seq("doc_j"), "left_outer")
       .select(coalesce(col("ent_i"), col("doc_i")).as("doc_i"),
               coalesce(col("ent_j"), col("doc_j")).as("doc_j"))
     val nodes = touched.select(col("entity_id").as("doc_id"))

@@ -488,9 +488,9 @@ object SimilarityOps {
     * the signal behind mix design and cross-domain dedup scoping).
     * Centroid components are per-(label, dimension) MEANS across the
     * whole table — exactly the cross-row float accumulation that is
-    * order-dependent — so each component accumulates in exact DECIMAL
-    * ([[Exact.decAvg]] over ROUND(·,9) inputs) and only the finished
-    * centroid is float again; the pairwise cosine then runs on the
+    * order-dependent — so components floor-quantize to integer ppb
+    * and accumulate in exact BIGINT (the 1e9 scale cancels in the
+    * cosine); the pairwise cosine then runs on the
     * label-dimension frame (k centroids — catalog-scale, the
     * cross-join is trivial no matter the corpus size). Shape: one
     * posexplode scan, ONE shuffle keyed (label, dim) with map-side

@@ -750,10 +750,10 @@ object TextOps {
     * one bounded count job at build. At 100 TB the model IS the
     * bigram count table — corpus-bounded — and scoring is one
     * equi-join on the bigram key. Determinism discipline:
-    * probabilities are correctly-rounded double divisions ROUND(·,9),
-    * the per-doc mean accumulates in exact DECIMAL ([[Exact.decAvg]])
-    * so the value is identical on 32 threads or 1000 executors, and
-    * the oracle replays the identical chain (q120). */
+    * probabilities floor-quantize to integer ppb (one IEEE division
+    * + multiply, then exact floor), the per-doc mean is a pure-BIGINT
+    * sum + truncating div — identical on 32 threads or 1000
+    * executors — and the oracle replays the identical chain (q120). */
   def ngramLmScore(documents: DataFrame): DataFrame = {
     // the bigram stream feeds THREE consumers (bigram counts, left-
     // context counts, the scoring join) — materialize it once (the

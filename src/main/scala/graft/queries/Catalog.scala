@@ -5530,7 +5530,7 @@ object Catalog {
     * embedding the ±1 sign rows as list literals (the seedValues
     * pattern). Spark's per-plane projection is a fold over posexploded
     * elements in array order, which is exactly DuckDB's sequential
-    * `list_inner_product`; cosine + round(…,6) is the q46-proven
+    * `list_inner_product`; the raw IEEE cosine is the q46-proven
     * pattern; the cluster closure is the q61 recursive CTE. */
   private val q63OracleSql: String = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
