@@ -316,6 +316,48 @@ object RetrievalOps {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** INCREMENTAL postings maintenance (q237) — the q235 pattern
+    * applied to the lexical index: a batch of new documents produces
+    * its postings delta (batch-only tokenize — the stored corpus is
+    * never re-scanned for term extraction), and the report reconciles
+    * document frequency per TOUCHED term (df before/after, batch tf
+    * mass) plus the corpus-stat shift (N, Σdl) every BM25 score
+    * depends on. A maintenance job appends [[bm25Postings]] of the
+    * batch to the stored table and refreshes (nn, sumdl); this query
+    * IS that job's audit row set.
+    *
+    * Scale: the stored postings are probed with a BROADCAST term
+    * semi-join (batch-vocabulary-bounded — the q232 dynamic-prune
+    * shape, reaching the term-sorted stored table's row-group stats
+    * at 100 TB); everything else is batch-sized. Output is one row
+    * per batch-touched term. */
+  def bm25IncrementalAppend(postings: DataFrame, doclens: DataFrame,
+                            batch: DataFrame): DataFrame = {
+    val newPostings = bm25Postings(batch).localCheckpoint(false) // df rollup + term prune
+    val dfNew = newPostings.groupBy(col("w"))
+      .agg(count(lit(1)).cast("long").as("df_new"),
+           sum(col("tf")).cast("long").as("tf_new"))
+      .localCheckpoint(false) // prune side + report side
+    val dfOld = postings
+      .join(broadcast(dfNew.select(col("w"))), Seq("w"), "left_semi")
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("df_before"))
+    val stats = doclens
+      .agg(count(lit(1)).cast("long").as("n_docs_before"),
+           sum(col("dl")).cast("long").as("sumdl_before"))
+      .crossJoin(bm25DocLengths(batch)
+        .agg(count(lit(1)).cast("long").as("n_docs_new"),
+             sum(col("dl")).cast("long").as("sumdl_new")))
+      .select((col("n_docs_before") + col("n_docs_new")).as("n_docs_after"),
+              (col("sumdl_before") + col("sumdl_new")).as("sumdl_after"))
+    dfNew.join(dfOld, Seq("w"), "left_outer")
+      .na.fill(0L, Seq("df_before"))
+      .withColumn("df_after", col("df_before") + col("df_new"))
+      .crossJoin(broadcast(stats))
+      .select(col("w"), col("df_before"), col("df_new"), col("df_after"),
+        col("tf_new"), col("n_docs_after"), col("sumdl_after"))
+      .orderBy(col("w"))
+  }
+
   /** Sparse-vector document similarity over the stored postings —
     * the ALL-PAIRS companion to the embedding-cosine pairs (q47):
     * documents as raw-tf term vectors, cosine via an inverted-index

@@ -584,6 +584,28 @@ object StreamOps {
       }
       .start()
 
+  /** STREAMING IVF assignment — q235's append path as a landing-zone
+    * stream: each micro-batch of new vectors assigns to the STORED
+    * coarse-quantizer centroids (argmin against the broadcast
+    * centroid frame — never a re-fit) and appends (vec_id, list_id)
+    * rows to the assignment sink. Assignment is per-row pure
+    * (vector × fixed centroids), so the micro-batch split point
+    * cannot change any row — stream ≡ the one-shot batch assignment,
+    * asserted in StreamingSpec. State: none (the centroids are the
+    * frozen model); exactly-once via the parquet sink's file log. */
+  def streamingIvfAssign(vectors: DataFrame, index: SimilarityOps.IvfIndex,
+                         outPath: String, checkpointDir: String): StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          SimilarityOps.ivfIncrementalAssign(index, batch)
+            .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+
   /** STREAMING incremental entity resolution — q226's alias-store
     * maintenance as a landing-zone stream: each micro-batch of new
     * dim records (p_partkey, p_name, p_brand) resolves against the

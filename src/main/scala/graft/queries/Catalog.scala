@@ -2142,6 +2142,45 @@ object Catalog {
         DedupOps.clustersFor(Tables.documents(s, dir), tag = dir)),
       Some(q232OracleSql)),
 
+    // INCREMENTAL postings maintenance: a synthetic new-doc batch
+    // (shifted ids, every 13th doc) produces its postings delta and
+    // the per-touched-term df reconciliation + corpus-stat shift.
+    // The oracle recomputes stored df from raw text, certifying the
+    // persisted postings/doclens tables once more.
+    QuerySpec(
+      "q237_postings_incremental",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit, pmod}
+        val batch = Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(13)) === 5)
+          .withColumn("doc_id", col("doc_id") + lit(2000000L))
+        RetrievalOps.bm25IncrementalAppend(
+          RetrievalShared.postings(s, dir), RetrievalShared.docLengths(s, dir), batch)
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 5),
+             |btoks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS w
+             |          FROM b),
+             |btf AS (SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM btoks GROUP BY 1, 2),
+             |dn AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df_new,
+             |              CAST(SUM(tf) AS BIGINT) AS tf_new
+             |       FROM btf GROUP BY w),
+             |stoks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS w
+             |          FROM documents),
+             |stf AS (SELECT w, doc_id FROM stoks WHERE w IN (SELECT w FROM dn) GROUP BY 1, 2),
+             |dold AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df_before FROM stf GROUP BY w),
+             |sdl AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+             |               CAST(SUM(len(regexp_extract_all(lower(text), '[A-Za-z0-9_]+'))) AS BIGINT) AS sb
+             |        FROM documents),
+             |bdl AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn2,
+             |               CAST(SUM(len(regexp_extract_all(lower(text), '[A-Za-z0-9_]+'))) AS BIGINT) AS s2
+             |        FROM b)
+             |SELECT dn.w, COALESCE(dold.df_before, 0) AS df_before, dn.df_new,
+             |       COALESCE(dold.df_before, 0) + dn.df_new AS df_after, dn.tf_new,
+             |       sdl.nb + bdl.nn2 AS n_docs_after, sdl.sb + bdl.s2 AS sumdl_after
+             |FROM dn LEFT JOIN dold USING (w) CROSS JOIN sdl CROSS JOIN bdl
+             |ORDER BY dn.w""".stripMargin)),
+
     // the postings cap's flip side: the corpus-wide template/footer
     // grams reported top-k — word-count shaped, total-order cut
     QuerySpec(

@@ -592,6 +592,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(!_._3), "fixture must contain at least one dropped near-dup")
   }
 
+  test("streaming IVF assignment equals the batch assignment across a micro-batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{SimilarityOps, StreamOps, Tables}
+    val emb = Tables.embeddings(spark, sf)
+    val index = SimilarityOps.ivfIndexFor(emb, tag = sf)
+    val feed = emb.filter(col("vec_id") % 5 === 2)
+      .select(col("vec_id") + lit(3000000L), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val (f1, f2) = feed.splitAt(feed.length / 2)
+    val out = java.nio.file.Files.createTempDirectory("graft_siv_out_").toString + "/a"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_siv_ckpt_").toString
+    val input = MemoryStream[(Long, Array[Float])]
+    val builds0 = SimilarityOps.indexBuilds
+    val q = StreamOps.streamingIvfAssign(
+      input.toDS().toDF("vec_id", "embedding"), index, out, ckpt)
+    try {
+      input.addData(f1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(f2.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(SimilarityOps.indexBuilds == builds0, "streaming assignment must never re-fit")
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val batch = SimilarityOps.ivfIncrementalAssign(index,
+        emb.filter(col("vec_id") % 5 === 2)
+          .select((col("vec_id") + lit(3000000L)).as("vec_id"), col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    assert(streamed == batch,
+      s"streamed assignments diverged (${streamed.length} vs ${batch.length} rows)")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming entity resolution equals one-shot incremental across a bridging boundary") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -1469,6 +1469,38 @@ class TextDedupSpec extends SparkSpec {
     assert(got.map(_._4).sliding(2).forall(p => p.head >= p.last))
   }
 
+  test("incremental postings append reconciles df and composes into an equivalent index") {
+    import spark.implicits._
+    val stored = Seq(
+      (1L, "hash join hash", "en", "s"),
+      (2L, "table scan", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    val batch = Seq(
+      (11L, "hash probe", "en", "s"),     // touches existing 'hash'
+      (12L, "bloom bloom filter", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    val p = RetrievalOps.bm25Postings(stored).localCheckpoint(false)
+    val dl = RetrievalOps.bm25DocLengths(stored).localCheckpoint(false)
+    val got = RetrievalOps.bm25IncrementalAppend(p, dl, batch).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // hash: df 1 before (doc1), 1 new; bloom: brand new, tf mass 2;
+    // corpus shift: 2+2 docs, 5+5 tokens
+    assert(got("hash") == ((1L, 1L, 2L, 1L, 4L, 10L)), s"hash: ${got("hash")}")
+    assert(got("bloom") == ((0L, 1L, 1L, 2L, 4L, 10L)), s"bloom: ${got("bloom")}")
+    assert(got("probe") == ((0L, 1L, 1L, 1L, 4L, 10L)))
+    assert(got("filter") == ((0L, 1L, 1L, 1L, 4L, 10L)))
+    assert(!got.contains("join") && !got.contains("scan"),
+      "untouched stored terms stay out of the batch-bounded report")
+    // composition: stored index + batch delta == index built from the
+    // union — the append path produces an EQUIVALENT probe surface
+    val composedP = p.unionByName(RetrievalOps.bm25Postings(batch))
+    val composedDl = dl.unionByName(RetrievalOps.bm25DocLengths(batch))
+    val union = stored.unionByName(batch)
+    val a = RetrievalOps.bm25TopKFromIndex(composedP, composedDl).collect().map(_.toString).toSeq
+    val b = RetrievalOps.bm25TopK(union).collect().map(_.toString).toSeq
+    assert(a == b, "appended index must probe identically to a from-scratch build")
+  }
+
   test("bm25 persisted-index probe matches the inline computation, prune pushes to the scan") {
     import graft.queries.RetrievalShared
     val inline = RetrievalOps.bm25TopK(docs).collect().map(_.toString).toSeq
