@@ -165,6 +165,48 @@ object CorpusOps {
       .orderBy(keys :+ col("doc_id"): _*)
   }
 
+  /** INCREMENTAL sequence packing (q238) — append a new batch to
+    * already-packed streams WITHOUT repacking them: each stream's
+    * stored token mass is its packing offset (the cumsum is a plain
+    * prefix sum, so the continuation state is ONE long per stream),
+    * and the batch packs against `base + cumsum(batch)`. Under the
+    * ingest-order contract (batch doc_ids sort after every stored id
+    * in their stream — the same monotone-id contract the q231
+    * incremental split rests on), the output is bit-identical to
+    * re-packing stored ∪ batch and keeping the batch rows — asserted
+    * in CoreSpec, including a batch that OPENS a new stream (base 0).
+    *
+    * Scale: the stored corpus is touched once for a stream-dim
+    * rollup (production keeps the per-stream counter as a stored
+    * artifact and skips even that — the join shape is identical);
+    * the only window runs on the batch, partitioned by stream. */
+  def packSequencesIncremental(stored: DataFrame, batch: DataFrame,
+                               streamCols: Seq[String] = Seq("lang"),
+                               seqLen: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = streamCols.map(col)
+    def toks(df: DataFrame) = df
+      .filter(col("text").rlike("[^ ]"))
+      .select(keys ++ Seq(col("doc_id"),
+        size(expr(s"regexp_extract_all(text, '${TextOps.pieceRe}', 0)"))
+          .cast("long").as("n_tokens")): _*)
+    val base = toks(stored).groupBy(keys: _*)
+      .agg(sum(col("n_tokens")).cast("long").as("base_tokens"))
+    val w = Window.partitionBy(keys: _*).orderBy(col("doc_id"))
+    toks(batch)
+      .withColumn("cum_b", sum(col("n_tokens")).over(w))
+      .join(broadcast(base), streamCols, "left_outer")
+      .na.fill(0L, Seq("base_tokens")) // a batch-opened stream starts at 0
+      .withColumn("cum", col("cum_b") + col("base_tokens"))
+      .withColumn("start_seq", expr(s"(cum - n_tokens) DIV $seqLen"))
+      .withColumn("end_seq", expr(s"(cum - 1) DIV $seqLen"))
+      .withColumn("tok_offset", expr(s"(cum - n_tokens) % $seqLen"))
+      .withColumn("n_seqs", col("end_seq") - col("start_seq") + lit(1L))
+      .select(keys ++ Seq(col("doc_id"), col("n_tokens"), col("start_seq"),
+              col("end_seq"), col("tok_offset"), col("n_seqs")): _*)
+      .orderBy(keys :+ col("doc_id"): _*)
+  }
+
   /** Sequence manifest — the inverse of [[packSequences]]: for every
     * training sequence, which documents compose it and where. One row
     * per (sequence, contributing doc) with the in-sequence offset, the

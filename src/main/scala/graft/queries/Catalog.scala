@@ -3751,6 +3751,37 @@ object Catalog {
       },
       Some(q234OracleSql)),
 
+    // INCREMENTAL packing: a new-doc batch (shifted ids — the
+    // monotone ingest-order contract) continues each stream from its
+    // stored token mass instead of repacking the corpus; the oracle
+    // repacks stored ∪ batch from scratch and keeps the batch rows,
+    // proving the continuation exact.
+    QuerySpec(
+      "q238_incremental_pack",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit, pmod}
+        val docs = Tables.documents(s, dir)
+        val batch = docs.filter(pmod(col("doc_id"), lit(11)) === 7)
+          .withColumn("doc_id", col("doc_id") + lit(3000000L))
+        CorpusOps.packSequencesIncremental(docs, batch)
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id + 3000000 AS doc_id, lang, text FROM documents WHERE doc_id % 11 = 7),
+             |u AS (SELECT doc_id, lang, text FROM documents
+             |      UNION ALL SELECT doc_id, lang, text FROM b),
+             |t AS (SELECT lang, doc_id,
+             |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+             |      FROM u),
+             |c AS (SELECT lang, doc_id, n_tokens,
+             |         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+             |      FROM t WHERE n_tokens > 0)
+             |SELECT lang, doc_id, n_tokens,
+             |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS start_seq,
+             |       CAST((cum - 1) // 2048 AS BIGINT) AS end_seq,
+             |       CAST((cum - n_tokens) % 2048 AS BIGINT) AS tok_offset,
+             |       CAST((cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1 AS BIGINT) AS n_seqs
+             |FROM c WHERE doc_id >= 3000000 ORDER BY lang, doc_id""".stripMargin)),
+
     // The per-stream corpus card: volume, token mass, ppm-integer
     // quality mean (floor-quantized per doc, exact BIGINT sum +
     // truncating div), exact-dup rate — the report mix weights are

@@ -298,6 +298,34 @@ class TextDedupSpec extends SparkSpec {
            DedupOps.verifiedJaccardPairs(docs).collect().toSeq)
   }
 
+  test("incremental packing continues streams exactly and opens new ones at zero") {
+    import spark.implicits._
+    import graft.engine.CorpusOps
+    val stored = Seq(
+      (1L, "alpha beta gamma delta", "en", "s"),
+      (2L, "epsilon zeta", "en", "s"),
+      (3L, "uno dos tres", "es", "s")).toDF("doc_id", "text", "lang", "source")
+    val batch = Seq(
+      (10L, "eta theta iota", "en", "s"),   // continues en mid-stream
+      (11L, "kappa", "en", "s"),
+      (12L, "ein zwei", "de", "s")          // OPENS de — base 0
+    ).toDF("doc_id", "text", "lang", "source")
+    val inc = CorpusOps.packSequencesIncremental(stored, batch, Seq("lang"), seqLen = 4)
+      .collect().map(_.toString).toSeq
+    val full = CorpusOps.packSequencesBy(stored.unionByName(batch), Seq("lang"), seqLen = 4)
+      .filter(col("doc_id") >= 10L).collect().map(_.toString).toSeq
+    assert(inc == full, s"incremental $inc != full-repack tail $full")
+    // the en stream really continued mid-sequence: stored en mass = 6
+    // tokens → doc 10 starts at offset 6 % 4 = 2 inside seq 1
+    val d10 = CorpusOps.packSequencesIncremental(stored, batch, Seq("lang"), seqLen = 4)
+      .filter(col("doc_id") === 10L).collect()(0)
+    assert(d10.getLong(3) == 1L && d10.getLong(5) == 2L, s"doc 10 span: $d10")
+    // the new stream starts at zero
+    val d12 = CorpusOps.packSequencesIncremental(stored, batch, Seq("lang"), seqLen = 4)
+      .filter(col("doc_id") === 12L).collect()(0)
+    assert(d12.getLong(3) == 0L && d12.getLong(5) == 0L, s"doc 12 span: $d12")
+  }
+
   test("sequence packing: contiguous spans per stream, offsets bounded, chunk count exact") {
     val seqLen = 2048
     val packed = CorpusOps.packSequences(Tables.documents(spark, sf), seqLen).collect()
