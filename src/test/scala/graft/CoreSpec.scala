@@ -105,6 +105,45 @@ class CoreSpec extends SparkSpec {
     }
   }
 
+  test("stored sketches maintain incrementally by MERGE: bloom and CMS batch-vs-union parity") {
+    // the incremental story for the two decontamination/heavy-hitter
+    // artifacts: both sketches are mergeable, so a new held-out batch
+    // or fact slice folds into the STORED sketch without rebuilding —
+    // merge(sketch(A), sketch(B)) behaves exactly like sketch(A ∪ B)
+    // when built at the same fixed capacity/eps/seed (the production
+    // contract for a persisted sketch).
+    val o = Tables.orders(spark, sf)
+    val a = o.filter(col("o_orderkey") % 2 === 0)
+    val b = o.filter(col("o_orderkey") % 2 === 1)
+    // CMS: cellwise-additive — merged estimates are IDENTICAL
+    val (eps, conf, seed) = (0.001, 0.99, 42)
+    val cmsA = a.stat.countMinSketch(col("o_custkey"), eps, conf, seed)
+    val cmsB = b.stat.countMinSketch(col("o_custkey"), eps, conf, seed)
+    val cmsU = o.stat.countMinSketch(col("o_custkey"), eps, conf, seed)
+    cmsA.mergeInPlace(cmsB)
+    val probes = o.select(col("o_custkey")).distinct().limit(200).collect().map(_.getLong(0))
+    probes.foreach { k =>
+      assert(cmsA.estimateCount(java.lang.Long.valueOf(k)) ==
+             cmsU.estimateCount(java.lang.Long.valueOf(k)),
+        s"merged CMS diverged from union-built at key $k")
+    }
+    // Bloom: bitwise-OR merge — membership verdicts identical to the
+    // union-built filter at the same capacity
+    val cap = 100000L
+    val bfA = a.stat.bloomFilter(col("o_custkey"), cap, 0.001)
+    val bfB = b.stat.bloomFilter(col("o_custkey"), cap, 0.001)
+    val bfU = o.stat.bloomFilter(col("o_custkey"), cap, 0.001)
+    bfA.mergeInPlace(bfB)
+    probes.foreach { k =>
+      assert(bfA.mightContain(k) == bfU.mightContain(k),
+        s"merged bloom diverged from union-built at key $k")
+    }
+    (1000001L to 1000200L).foreach { k =>
+      assert(bfA.mightContain(k) == bfU.mightContain(k),
+        s"merged bloom diverged on a non-member probe $k")
+    }
+  }
+
   test("key-skew histogram partitions keys exactly and flags an injected hot key") {
     import spark.implicits._
     val o = Tables.orders(spark, sf)

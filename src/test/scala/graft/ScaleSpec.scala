@@ -452,4 +452,44 @@ class ScaleSpec extends SparkSpec {
     assert(sliver.toDouble / total < 0.05,
       s"median bracket holds $sliver of $total rows — not a sliver")
   }
+
+  test("r11 incremental ops: broadcast-bounded probes, batch-keyed windows, no refit/repack") {
+    import graft.engine.{CorpusOps, RetrievalOps, SimilarityOps, Tables}
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    // q235: assignment joins the batch against the BROADCAST centroid
+    // frame and ranks per vec_id — never a shuffle of stored vectors
+    val idx = SimilarityOps.ivfIndexFor(emb, tag = sf)
+    val builds0 = SimilarityOps.indexBuilds
+    val asg = SimilarityOps.ivfIncrementalAssign(idx,
+      emb.select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding")))
+    asg.collect()
+    val asgPlan = asg.queryExecution.executedPlan.toString
+    assert(asgPlan.contains("BroadcastNestedLoopJoin") || asgPlan.contains("BroadcastExchange"),
+      s"centroids must broadcast:\n${asgPlan.take(1500)}")
+    assert(asgPlan.contains("hashpartitioning(vec_id"),
+      s"argmin window must key on the batch vector id:\n${asgPlan.take(1500)}")
+    assert(SimilarityOps.indexBuilds == builds0, "incremental assign must never re-fit")
+    // q237: the stored-postings probe is a broadcast semi join on the
+    // batch vocabulary — the stored side never hashes on w for this
+    val batch = docs.filter(pmod(col("doc_id"), lit(13)) === 5)
+      .withColumn("doc_id", col("doc_id") + lit(2000000L))
+    val inc = RetrievalOps.bm25IncrementalAppend(
+      RetrievalOps.bm25Postings(docs), RetrievalOps.bm25DocLengths(docs), batch)
+    inc.collect()
+    val incPlan = inc.queryExecution.executedPlan.toString
+    assert(incPlan.contains("LeftSemi, BuildRight") || incPlan.contains("LeftSemi BuildRight"),
+      s"stored postings must probe via broadcast semi join:\n${incPlan.take(1500)}")
+    // q238: the only window keys on the stream column and runs over
+    // the BATCH; the stored side contributes one broadcast rollup
+    val pk = CorpusOps.packSequencesIncremental(docs,
+      docs.filter(pmod(col("doc_id"), lit(11)) === 7)
+        .withColumn("doc_id", col("doc_id") + lit(3000000L)))
+    pk.collect()
+    val pkPlan = pk.queryExecution.executedPlan.toString
+    assert(pkPlan.contains("hashpartitioning(lang"),
+      s"incremental packing window must key on the stream:\n${pkPlan.take(1500)}")
+    assert(pkPlan.contains("BroadcastExchange"),
+      s"stream base offsets must broadcast:\n${pkPlan.take(1500)}")
+  }
 }
