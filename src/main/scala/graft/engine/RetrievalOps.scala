@@ -358,6 +358,32 @@ object RetrievalOps {
       .orderBy(col("w"))
   }
 
+  /** Stored-index coverage audit (q239) — the q212 reconciliation
+    * applied to the lexical artifacts: does the persisted index pair
+    * (postings, doclens) still cover the corpus? One row: corpus
+    * size, doclens rows, documents with at least one posting,
+    * token-less documents (legitimately absent from postings), and
+    * the go/no-go flag `covered` — doclens must match the corpus
+    * 1:1 and postings must cover exactly the tokenized documents.
+    * The engine reads the STORED tables while the oracle re-derives
+    * the expected values from raw text, so a stale or partial index
+    * hash-mismatches instead of silently serving. All counts are
+    * id-distinct rollups; nothing pairs rows. */
+  def postingsCoverageAudit(documents: DataFrame, postings: DataFrame,
+                            doclens: DataFrame): DataFrame = {
+    val nDocs = documents.agg(count(lit(1)).cast("long").as("n_docs"))
+    val nDl = doclens.agg(count(lit(1)).cast("long").as("n_doclens"),
+      sum(when(col("dl") === 0, 1L).otherwise(0L)).cast("long").as("n_tokenless"))
+    val nPost = postings.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).cast("long").as("n_docs_with_postings"))
+    nDocs.crossJoin(broadcast(nDl)).crossJoin(broadcast(nPost))
+      .withColumn("covered",
+        col("n_doclens") === col("n_docs") &&
+          col("n_docs_with_postings") === col("n_docs") - col("n_tokenless"))
+      .select(col("n_docs"), col("n_doclens"), col("n_docs_with_postings"),
+        col("n_tokenless"), col("covered"))
+  }
+
   /** Sparse-vector document similarity over the stored postings —
     * the ALL-PAIRS companion to the embedding-cosine pairs (q47):
     * documents as raw-tf term vectors, cosine via an inverted-index

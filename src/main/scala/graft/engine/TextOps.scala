@@ -1404,6 +1404,50 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer DRIFT report (q240) — the stored vocabulary scored
+    * against a NEW batch, per source: token volume, unit cost under
+    * the FROZEN merge schedule (batch words segment through the
+    * stored merges — unseen words fall back toward characters, so
+    * cost is defined for any input), the resulting units-per-token,
+    * and the novel-word occurrence share as integer ppm (words the
+    * training corpus never saw). Rising units-per-token or novel_ppm
+    * against the stored baseline (q111) is the re-train signal a
+    * tokenizer owner watches. Batch-only work: the merge fold runs
+    * on the batch's DISTINCT words, occurrences join that word-sized
+    * frame, the training vocabulary enters as one distinct-word
+    * column for the novelty flag. */
+  def bpeDriftReport(batch: DataFrame, merges: Seq[(String, String)],
+                     trainedWords: DataFrame): DataFrame = {
+    val words = batch
+      .filter(lower(col("text")).rlike("[a-z0-9_]"))
+      .select(explode(expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)")).as("w"))
+      .distinct()
+      .withColumn("units",
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+    val applied = merges.foldLeft(words) { case (df, (l, rr)) =>
+      df.withColumn("units", expr(mergeRewriteExpr(l, rr)))
+    }
+    val voc = applied.select(col("w"), size(col("units")).cast("long").as("n_units_w"))
+    val known = trainedWords.select(col("w")).distinct()
+      .withColumn("known", lit(true))
+    batch
+      .filter(lower(col("text")).rlike("[a-z0-9_]"))
+      .select(col("source"),
+        explode(expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)")).as("w"))
+      .join(voc, "w")
+      .join(known, Seq("w"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(col("n_units_w")).as("n_units"),
+           sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("units_per_token",
+        col("n_units").cast("double") / col("n_tokens"))
+      .withColumn("novel_ppm", expr("n_novel * 1000000L div n_tokens"))
+      .select(col("source"), col("n_tokens"), col("n_units"),
+        col("units_per_token"), col("n_novel"), col("novel_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** Apply the learned vocabulary back to the corpus — the other half
     * of tokenizer training: per `lang`, how many token occurrences
     * the stream has, how many UNITS they cost under the k-merge

@@ -2142,6 +2142,29 @@ object Catalog {
         DedupOps.clustersFor(Tables.documents(s, dir), tag = dir)),
       Some(q232OracleSql)),
 
+    // Stored-index coverage audit: the engine reads the PERSISTED
+    // postings/doclens tables, the oracle re-derives the expected
+    // values from raw text — a stale or partial index hash-mismatches
+    // instead of silently serving (the q212 pattern for the lexical
+    // artifacts).
+    QuerySpec(
+      "q239_postings_coverage",
+      (s, dir) => RetrievalOps.postingsCoverageAudit(
+        Tables.documents(s, dir),
+        RetrievalShared.postings(s, dir), RetrievalShared.docLengths(s, dir)),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         CAST(len(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS BIGINT) AS dl
+             |  FROM documents),
+             |c AS (
+             |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+             |         (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_doclens,
+             |         (SELECT CAST(COUNT(*) AS BIGINT) FROM d WHERE dl > 0) AS n_docs_with_postings,
+             |         (SELECT CAST(COUNT(*) AS BIGINT) FROM d WHERE dl = 0) AS n_tokenless)
+             |SELECT n_docs, n_doclens, n_docs_with_postings, n_tokenless,
+             |       (n_doclens = n_docs AND n_docs_with_postings = n_docs - n_tokenless) AS covered
+             |FROM c""".stripMargin)),
+
     // INCREMENTAL postings maintenance: a synthetic new-doc batch
     // (shifted ids, every 13th doc) produces its postings delta and
     // the per-touched-term df reconciliation + corpus-stat shift.
@@ -2689,7 +2712,24 @@ object Catalog {
           .map(r => (r.getString(1), r.getString(2))).toSeq
         TextOps.bpeSegmentCost(Tables.documents(s, dir), m)
       },
-      Some(q118OracleSql))
+      Some(q118OracleSql)),
+
+    // tokenizer drift: the STORED merge schedule scored against a
+    // batch with a planted novel token — per-source unit cost + the
+    // novel-word ppm, the re-train signal a tokenizer owner watches.
+    // Unseen words segment through the same frozen merges both sides.
+    QuerySpec(
+      "q240_bpe_drift",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, concat, lit, pmod}
+        val m = BpeShared.merges(s, dir).collect() // bounded: <= rounds rows
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val batch = Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(17)) === 3)
+          .withColumn("text", concat(col("text"), lit(" zzdrift zzdrift")))
+        TextOps.bpeDriftReport(batch, m, BpeShared.words(s, dir))
+      },
+      Some(q240OracleSql))
   )
 
   /** q108 oracle: BPE learning is deterministic — the corpus only
@@ -2705,7 +2745,8 @@ object Catalog {
     * exactly like Spark's aggregate(slice(...,2,...), units[0], …)).
     * Assumes ≥ rounds mergeable pairs exist (true for any real text
     * corpus; the Spark side stops early on exhaustion). */
-  private val (q108OracleSql, q111OracleSql, q118OracleSql): (String, String, String) = {
+  private val (q108OracleSql, q111OracleSql, q118OracleSql, q240OracleSql)
+      : (String, String, String, String) = {
     val rounds = 5
     def pairsCte(u: String, p: String) =
       s"""$p AS (
@@ -2774,7 +2815,40 @@ object Catalog {
        |FROM occ o JOIN voc v USING (w)
        |GROUP BY o.doc_id
        |ORDER BY o.doc_id""".stripMargin
-    (q108, q111, q118)
+    // q240: the FROZEN schedule (the b$r best rows learned on the
+    // training corpus) applied to a DRIFTED batch's own word list —
+    // unseen words segment toward characters — plus the novel-word
+    // occurrence share (ppm, integer) against the training
+    // vocabulary (u0's word set).
+    val batchCtes = (1 to rounds)
+      .map(r => mergeCte(s"bu${r - 1}", s"b$r", s"bu$r")).mkString(",\n")
+    val q240 = s"""WITH $u0,
+       |${ctes.mkString(",\n")},
+       |bdocs AS (SELECT source, text || ' zzdrift zzdrift' AS text
+       |          FROM documents WHERE doc_id % 17 = 3),
+       |bw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |         SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS w
+       |         FROM bdocs) GROUP BY w),
+       |bu0 AS (SELECT w, freq,
+       |          list_transform(range(1, length(w) + 1), i -> substr(w, CAST(i AS INT), 1)) AS units
+       |        FROM bw),
+       |$batchCtes,
+       |bvoc AS (SELECT w, CAST(len(units) AS BIGINT) AS nu FROM bu$rounds),
+       |known AS (SELECT DISTINCT w FROM u0),
+       |bocc AS (SELECT source, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS w
+       |         FROM bdocs),
+       |agg AS (
+       |  SELECT o.source,
+       |         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |         CAST(SUM(v.nu) AS BIGINT) AS n_units,
+       |         CAST(SUM(CASE WHEN k.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+       |  FROM bocc o JOIN bvoc v USING (w) LEFT JOIN known k USING (w)
+       |  GROUP BY o.source)
+       |SELECT source, n_tokens, n_units,
+       |       CAST(n_units AS DOUBLE) / n_tokens AS units_per_token,
+       |       n_novel, CAST((n_novel * 1000000) // n_tokens AS BIGINT) AS novel_ppm
+       |FROM agg ORDER BY source""".stripMargin
+    (q108, q111, q118, q240)
   }
 
   // ---------------------------------------------------------------- //

@@ -1497,6 +1497,41 @@ class TextDedupSpec extends SparkSpec {
     assert(got.map(_._4).sliding(2).forall(p => p.head >= p.last))
   }
 
+  test("bpe drift report prices novel words by character fallback and counts them in ppm") {
+    import spark.implicits._
+    // stored tokenizer: one merge (a,b) -> 'ab'
+    val merges = Seq(("a", "b"))
+    val trained = Seq(("abab", 5L)).toDF("w", "freq")
+      .withColumn("units", array(lit("ab"), lit("ab")))
+    val batch = Seq(
+      (1L, "abab abab zzzz", "en", "sA"), // 2 known (2 units each), 1 novel (4 chars)
+      (2L, "abab", "en", "sB")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = TextOps.bpeDriftReport(batch, merges, trained).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+    // sA: 3 tokens, units 2+2+4 = 8; novel 1 of 3 -> 333333 ppm
+    assert(got("sA") == ((3L, 8L, 8.0 / 3, 1L, 333333L)), s"sA: ${got("sA")}")
+    assert(got("sB") == ((1L, 2L, 2.0, 0L, 0L)), s"sB: ${got("sB")}")
+  }
+
+  test("postings coverage audit flags a partial index and passes a complete one") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta", "en", "s"),
+      (2L, "gamma", "en", "s"),
+      (3L, "   ", "en", "s")).toDF("doc_id", "text", "lang", "source") // doc 3 token-less
+    val p = RetrievalOps.bm25Postings(corpus)
+    val dl = RetrievalOps.bm25DocLengths(corpus)
+    val ok = RetrievalOps.postingsCoverageAudit(corpus, p, dl).collect()(0)
+    assert((ok.getLong(0), ok.getLong(1), ok.getLong(2), ok.getLong(3), ok.getBoolean(4))
+      == ((3L, 3L, 2L, 1L, true)), s"complete index: $ok")
+    // a stale index missing doc 2's postings must flag, loudly
+    val partial = RetrievalOps.postingsCoverageAudit(
+      corpus, p.filter(col("doc_id") =!= 2L), dl).collect()(0)
+    assert(!partial.getBoolean(4) && partial.getLong(2) == 1L, s"partial index: $partial")
+  }
+
   test("incremental postings append reconciles df and composes into an equivalent index") {
     import spark.implicits._
     val stored = Seq(
