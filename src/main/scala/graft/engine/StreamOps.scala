@@ -628,9 +628,11 @@ object StreamOps {
     *
     * Scale: per micro-batch cost is the q226 bound (batch + touched
     * groups); the store snapshot write is dim-sized, the same
-    * overwrite cadence as the q80 streaming MV maintain. State lives
-    * in the store table, not executor memory — a restart resumes
-    * from the last snapshot. */
+    * overwrite cadence as the q80 streaming MV maintain. Durable
+    * state is the store SNAPSHOT, not executor memory — after a
+    * restart, reconstruct the query passing the last snapshot
+    * (`outPath/store`) as `storedAliases` (the in-JVM vars are a
+    * session-lifetime cache of exactly that table). */
   def streamingEntityResolution(batchRecords: DataFrame, storedAliases: DataFrame,
                                 storedDim: DataFrame, outPath: String,
                                 checkpointDir: String): StreamingQuery = {
