@@ -728,11 +728,15 @@ object DedupOps {
                               checkpoint: CcCheckpoint = CcCheckpoint.Local): DataFrame = {
     val session = nodes.sparkSession
     import session.implicits._
-    // size probes are limit(k+1)+collect, NOT count-then-collect: one
-    // job each instead of two, and the collected rows ARE the fast
-    // path's working set when the graph is small (≤ ~1.6 MB of ids)
+    // size probes are limit(k+1)+collect, NOT count-then-collect OR
+    // checkpoint-then-collect: one job each instead of two, the limit
+    // short-circuits the scan on the large side, and the collected
+    // rows ARE the fast path's working set when the graph is small
+    // (≤ ~1.6 MB of ids). The fallback recomputes each frame exactly
+    // once — ccRun persists its RDDs immediately — which is cheaper
+    // than paying an unconditional materialization job here on the
+    // (by-construction common) small path.
     val nodesM = nodes.select(col("doc_id").cast("long").as("doc_id"))
-      .localCheckpoint(false) // probed, then either used locally or looped
     val nodeRows = nodesM.limit(smallNodes + 1).collect()
     if (nodeRows.length > smallNodes)
       return connectedComponents(nodesM, edges, maxIter, checkpoint)
@@ -1234,13 +1238,19 @@ object DedupOps {
       .select(col("key_i").as("doc_i"), col("key_j").as("doc_j"))
     val storedEnt = storedAliases.select(col("p_partkey").as("doc_id"),
       col("entity_id").as("old_entity_id"))
-    val touched = storedEnt
+    // ONE materialization for the touched machinery: the touched-group
+    // derivation runs lazily inside `affected`'s checkpoint job, and
+    // `touched` (closure nodes + the untouched anti-join's probe) is
+    // re-derived as a distinct over the checkpointed member rows —
+    // touched-members-sized input, so the re-derivation is free while
+    // a separate touched checkpoint would cost a whole extra job
+    val touchedLazy = storedEnt
       .join(cross.select(col("doc_i").as("doc_id"))
         .unionByName(cross.select(col("doc_j").as("doc_id"))).distinct(), "doc_id")
       .select(col("old_entity_id").as("entity_id")).distinct()
-      .localCheckpoint(false) // closure nodes + affected semi-join + untouched anti-join
-    val affected = storedAliases.join(touched, Seq("entity_id"), "left_semi")
+    val affected = storedAliases.join(touchedLazy, Seq("entity_id"), "left_semi")
       .localCheckpoint(false) // member→entity map + membership agg + label join
+    val touched = affected.select(col("entity_id")).distinct()
     // condense: a cross edge's stored endpoint becomes its entity id
     // (exactly one endpoint is stored — the key spaces are disjoint).
     // The member→entity map is TOUCHED-members-bounded (∝ batch ×
