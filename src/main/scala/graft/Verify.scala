@@ -60,6 +60,11 @@ object Verify {
         selected.contains("q235_ivf_incremental"))
       graft.engine.SimilarityOps.dumpIvfOracle(
         graft.engine.Tables.embeddings(spark, sfDir), tag = sfDir)
+    // Same contract for the PQ codebook: the q241/q242 oracles replay
+    // encode + ADC from the exported sub-centroid table.
+    if (selected.contains("q241_pq_codes") || selected.contains("q242_pq_adc_recall"))
+      graft.engine.SimilarityOps.dumpPqOracle(
+        graft.engine.Tables.embeddings(spark, sfDir), tag = sfDir)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -288,7 +288,7 @@ object SimilarityOps {
       })
     }
 
-  def release(): Unit = synchronized { ivfMemo = Map.empty }
+  def release(): Unit = synchronized { ivfMemo = Map.empty; pqMemo = Map.empty }
 
   /** Stable location of the oracle-facing IVF index dump (see
     * [[dumpIvfOracle]]). A constant because the q67 oracle SQL embeds
@@ -440,6 +440,186 @@ object SimilarityOps {
   def ivfTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
               nLists: Int = 16, nProbe: Int = 4): DataFrame =
     ivfTopK(buildIvfIndex(embeddings, nLists), nQueries, k, nProbe)
+
+  /** Product-quantization codebook — the rung of the ANN memory
+    * ladder after int8 ([[quantizeInt8]]): each vector's m subvectors
+    * are vector-quantized independently against k centroids, so a
+    * d-dim float32 vector stores as m small codes (d·4 bytes →
+    * m bytes at k ≤ 256 — 64× here at d=64, m=4). `centers` holds
+    * m·k rows (subspace, code, centroid: array<double>) — index
+    * METADATA like the IVF centroid frame, never corpus-sized, at
+    * any scale (m and k are index parameters). */
+  final case class PqCodebook(centers: DataFrame, m: Int, k: Int, subDim: Int)
+
+  /** Build-count test hook, like [[indexBuilds]]: ScaleSpec asserts a
+    * persisted-codebook load performs ZERO sub-quantizer fits. */
+  private[graft] var pqBuilds: Int = 0
+
+  /** Fit the PQ codebook: one seeded k-means per subspace over the
+    * corpus' subvector slice (m fits of k centroids each — the
+    * offline, amortizable step, exactly [[buildIvfIndex]]'s position
+    * in the lifecycle). The cast-to-double frame is checkpointed once
+    * so the m fits share a scan instead of re-reading parquet. */
+  def buildPqCodebook(embeddings: DataFrame, m: Int = 4, k: Int = 16): PqCodebook = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    synchronized { pqBuilds += 1 }
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"buildPqCodebook: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val base = embeddings
+      .withColumn("vec", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select(col("vec_id"), col("vec"))
+      .localCheckpoint(false)
+    val rows = (0 until m).flatMap { s =>
+      val sub = base.select(col("vec_id"),
+        array_to_vector(slice(col("vec"), s * subDim + 1, subDim)).as("fv"))
+      val model = new KMeans().setK(k).setSeed(42L + s)
+        .setFeaturesCol("fv").setPredictionCol("code").fit(sub)
+      model.clusterCenters.zipWithIndex.map { case (c, code) => (s, code, c.toArray) }
+    }
+    PqCodebook(rows.toDF("subspace", "code", "centroid"), m, k, subDim)
+  }
+
+  private[graft] def pqTableName(tag: String, m: Int, k: Int): String =
+    s"pq_centers_${Integer.toHexString(tag.hashCode)}_${m}_$k"
+
+  private var pqMemo: Map[(String, Int, Int), PqCodebook] = Map.empty
+
+  /** Materialize the codebook as a catalog table if absent — the
+    * cross-session persistence contract ([[ensureIvfTables]]): a new
+    * session loads it with no quantizer refit (ScaleSpec). */
+  def ensurePqTable(embeddings: DataFrame, tag: String,
+                    m: Int = 4, k: Int = 16): String = {
+    val spark = embeddings.sparkSession
+    val t = pqTableName(tag, m, k)
+    synchronized {
+      if (!spark.catalog.tableExists(t))
+        buildPqCodebook(embeddings, m, k).centers
+          .write.mode("overwrite").saveAsTable(t)
+    }
+    t
+  }
+
+  /** Session-lifetime codebook memo over the catalog table — the
+    * [[ivfIndexFor]] pattern. [[release]] drops it end-of-run. */
+  def pqCodebookFor(embeddings: DataFrame, tag: String,
+                    m: Int = 4, k: Int = 16): PqCodebook = synchronized {
+    pqMemo.getOrElse((tag, m, k), {
+      val t = ensurePqTable(embeddings, tag, m, k)
+      val centers = embeddings.sparkSession.read.table(t)
+      val subDim = centers.select(size(col("centroid"))).head().getInt(0)
+      val cb = PqCodebook(centers, m, k, subDim)
+      pqMemo += ((tag, m, k) -> cb)
+      cb
+    })
+  }
+
+  /** Stable oracle-facing codebook dump location (the
+    * [[IvfOracleDumpPath]] contract: /tmp because it must outlive the
+    * scratch warehouse; constant because the q241/q242 oracle SQL
+    * embeds it literally). Verify-only side channel. */
+  val PqOracleDumpPath = "/tmp/graft_pq_oracle"
+
+  def dumpPqOracle(embeddings: DataFrame, tag: String,
+                   m: Int = 4, k: Int = 16,
+                   path: String = PqOracleDumpPath): Unit =
+    pqCodebookFor(embeddings, tag, m, k).centers
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centers")
+
+  /** PQ ENCODE — each vector's m nearest sub-centroids (d2 argmin,
+    * code breaks ties) plus the reconstruction error Σ_s d2_s.
+    *
+    * Plan shape: the codebook is m·k metadata rows BY CONSTRUCTION
+    * (index parameters, never corpus-sized), so it inlines as
+    * LITERALS and the encode is a pure per-row map — no fanout join,
+    * no aggregation, no exchange before the output ordering; the
+    * per-row cost O(d·k) is PQ's inherent encode arithmetic. (The
+    * broadcast-crossJoin + argmin-aggregate alternative pays a 64×
+    * row fanout through two sort aggregates for the same values.)
+    * The d2 fold and the struct-array-min tie-break replay verbatim
+    * in the oracle (list_zip fold + row_number over (d2, code) — the
+    * q235 parity pair); the error sum is the m per-subspace doubles
+    * added in pinned subspace order, not a fold over an unordered
+    * agg. */
+  def pqEncode(cb: PqCodebook, embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    val sd = cb.subDim
+    val cents: Map[(Int, Int), Array[Double]] = cb.centers
+      .select(col("subspace").cast("int"), col("code").cast("int"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+    require(cents.size == cb.m * cb.k,
+      s"pqEncode: codebook has ${cents.size} entries, expected ${cb.m * cb.k}")
+    def d2Col(vec: Column, s: Int, c: Int): Column =
+      aggregate(
+        zip_with(slice(vec, s * sd + 1, sd),
+          array(cents((s, c)).toIndexedSeq.map(lit): _*),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    def bestCol(vec: Column, s: Int): Column =
+      array_min(array((0 until cb.k).map { c =>
+        struct(d2Col(vec, s, c).as("d2"), lit(c).as("code")) }: _*))
+    val vec = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    val withBest = embeddings.select(
+      col("vec_id") +: (0 until cb.m).map(s => bestCol(vec, s).as(s"b$s")): _*)
+    val codeCols = (0 until cb.m).map(s => col(s"b$s.code").cast("long").as(s"code_$s"))
+    val err = (0 until cb.m).map(s => col(s"b$s.d2")).reduceLeft(_ + _)
+    withBest.select(col("vec_id") +: codeCols :+ err.as("recon_err"): _*)
+      .orderBy(col("vec_id"))
+  }
+
+  /** ADC (asymmetric-distance) top-k recall vs the exact euclidean
+    * top-k, per query — the fidelity report that decides whether a
+    * fitted codebook is servable. Per query the codebook prices into
+    * a LUT (m·k distances, broadcast); every corpus vector scores as
+    * m LUT lookups on its codes — the PQ win: the scan reads m codes
+    * per vector, not d floats. The scored fanout collapses in the
+    * same single partial-aggregated hash agg as [[pqEncode]];
+    * output is pure integers (hits out of k), no fp in the result. */
+  def pqAdcRecall(cb: PqCodebook, embeddings: DataFrame,
+                  nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val sd = cb.subDim
+    val m = cb.m
+    val v = embeddings
+      .withColumn("vec", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select(col("vec_id"), col("vec"))
+    val codesLong = pqEncode(cb, embeddings).selectExpr("vec_id",
+      s"stack($m, ${(0 until m).map(s => s"$s, code_$s").mkString(", ")}) " +
+        "as (subspace, code)")
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val lut = q.crossJoin(broadcast(cb.centers))
+      .withColumn("qd2", expr(
+        s"aggregate(zip_with(slice(qvec, subspace * $sd + 1, $sd), centroid, " +
+          "(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .select(col("qid"), col("subspace"), col("code").cast("long").as("code"),
+        col("qd2"))
+    val eAggs = (0 until m).map { s =>
+      min(when(col("subspace") === s, col("qd2"))).as(s"e$s") }
+    val adc = codesLong.join(broadcast(lut), Seq("subspace", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id")).agg(eAggs.head, eAggs.tail: _*)
+      .withColumn("adc_d2",
+        (0 until m).map(s => col(s"e$s")).reduceLeft(_ + _))
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc_d2"), col("vec_id"))
+    val adcTop = adc.withColumn("rn", row_number().over(wAdc)).filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"))
+    val exact = v.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(vec, qvec, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+    val wEx = Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))
+    val exactTop = exact.withColumn("rn", row_number().over(wEx)).filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"))
+    exactTop.join(adcTop.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"),
+           count(lit(1)).cast("long").as("k"))
+      .orderBy(col("qid"))
+  }
 
   /** High-cosine pair candidates restricted to same-LSH-bucket vectors
     * — the edge set for [[semanticDedup]]. Bucketing keeps the

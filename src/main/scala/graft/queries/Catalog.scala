@@ -4314,7 +4314,118 @@ object Catalog {
              |       CAST(n_after AS DOUBLE) / total_after AS share_after,
              |       n_after * n_lists > 2 * total_after AS imbalanced
              |FROM r CROSS JOIN t CROSS JOIN nl
-             |ORDER BY list_id""".stripMargin))
+             |ORDER BY list_id""".stripMargin)),
+
+    // Product quantization ENCODE off the persisted codebook: each
+    // vector's 4 sub-codes (d2 argmin, code breaks ties) + the exact
+    // reconstruction error, summed in pinned subspace order. The
+    // oracle replays argmin + error from the dumped codebook table
+    // (the q235 argmin-CTE pattern), so a hash match certifies the
+    // stored codebook AND the encode. Sub-slices are literal 16s on
+    // both sides — the testdata embedding dim is 64 at every SF.
+    QuerySpec(
+      "q241_pq_codes",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        SimilarityOps.pqEncode(SimilarityOps.pqCodebookFor(emb, tag = dir), emb)
+      },
+      Some("""WITH cb AS (
+             |  SELECT CAST(subspace AS BIGINT) AS subspace,
+             |         CAST(code AS BIGINT) AS code,
+             |         CAST(centroid AS DOUBLE[]) AS c
+             |  FROM read_parquet('/tmp/graft_pq_oracle/centers/*.parquet')),
+             |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |d AS (
+             |  SELECT vec_id, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(e, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM v CROSS JOIN cb),
+             |b AS (
+             |  SELECT vec_id, subspace, code, d2
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+             |                                     ORDER BY d2, code) AS rk FROM d)
+             |  WHERE rk = 1),
+             |p AS (
+             |  SELECT vec_id,
+             |         MAX(CASE WHEN subspace = 0 THEN code END) AS code_0,
+             |         MAX(CASE WHEN subspace = 1 THEN code END) AS code_1,
+             |         MAX(CASE WHEN subspace = 2 THEN code END) AS code_2,
+             |         MAX(CASE WHEN subspace = 3 THEN code END) AS code_3,
+             |         MAX(CASE WHEN subspace = 0 THEN d2 END) AS e0,
+             |         MAX(CASE WHEN subspace = 1 THEN d2 END) AS e1,
+             |         MAX(CASE WHEN subspace = 2 THEN d2 END) AS e2,
+             |         MAX(CASE WHEN subspace = 3 THEN d2 END) AS e3
+             |  FROM b GROUP BY vec_id)
+             |SELECT vec_id, code_0, code_1, code_2, code_3,
+             |       e0 + e1 + e2 + e3 AS recon_err
+             |FROM p ORDER BY vec_id""".stripMargin)),
+
+    // ADC top-k fidelity: hits of the code-lookup ranking inside the
+    // exact euclidean top-k, per query — pure-integer output. The
+    // oracle replays the whole chain (encode + per-query LUT + both
+    // rankings + the intersection) from the dumped codebook, making
+    // this the end-to-end certificate for the PQ family the way q220
+    // is for curation.
+    QuerySpec(
+      "q242_pq_adc_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        SimilarityOps.pqAdcRecall(SimilarityOps.pqCodebookFor(emb, tag = dir), emb)
+      },
+      Some("""WITH cb AS (
+             |  SELECT CAST(subspace AS BIGINT) AS subspace,
+             |         CAST(code AS BIGINT) AS code,
+             |         CAST(centroid AS DOUBLE[]) AS c
+             |  FROM read_parquet('/tmp/graft_pq_oracle/centers/*.parquet')),
+             |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |d AS (
+             |  SELECT vec_id, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(e, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM v CROSS JOIN cb),
+             |codes AS (
+             |  SELECT vec_id, subspace, code
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+             |                                     ORDER BY d2, code) AS rk FROM d)
+             |  WHERE rk = 1),
+             |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+             |lut AS (
+             |  SELECT qid, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(qe, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qd2
+             |  FROM q CROSS JOIN cb),
+             |adc0 AS (
+             |  SELECT qid, vec_id,
+             |         MAX(CASE WHEN s.subspace = 0 THEN qd2 END) AS e0,
+             |         MAX(CASE WHEN s.subspace = 1 THEN qd2 END) AS e1,
+             |         MAX(CASE WHEN s.subspace = 2 THEN qd2 END) AS e2,
+             |         MAX(CASE WHEN s.subspace = 3 THEN qd2 END) AS e3
+             |  FROM codes s JOIN lut USING (subspace, code)
+             |  WHERE vec_id <> qid GROUP BY qid, vec_id),
+             |adct AS (
+             |  SELECT qid, vec_id
+             |  FROM (SELECT qid, vec_id,
+             |               row_number() OVER (PARTITION BY qid
+             |                 ORDER BY e0 + e1 + e2 + e3, vec_id) AS rn
+             |        FROM adc0) WHERE rn <= 10),
+             |ex AS (
+             |  SELECT qid, vec_id,
+             |         list_sum(list_transform(list_zip(e, qe),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM v CROSS JOIN q WHERE vec_id <> qid),
+             |ext AS (
+             |  SELECT qid, vec_id
+             |  FROM (SELECT qid, vec_id,
+             |               row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rn
+             |        FROM ex) WHERE rn <= 10)
+             |SELECT ext.qid,
+             |       CAST(SUM(CASE WHEN adct.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+             |       CAST(COUNT(*) AS BIGINT) AS k
+             |FROM ext LEFT JOIN adct ON ext.qid = adct.qid AND ext.vec_id = adct.vec_id
+             |GROUP BY ext.qid ORDER BY ext.qid""".stripMargin))
   )
 
   // ---------------------------------------------------------------- //

@@ -351,6 +351,79 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(again == rows.map(_.toString).toSeq)
   }
 
+  test("PQ encode: hand codebook reproduces argmin, tie-break, and exact reconstruction") {
+    import spark.implicits._
+    // dim 4, m=2 subspaces of 2 dims, k=2 codes each
+    val centers = Seq(
+      (0, 0, Array(0.0, 0.0)), (0, 1, Array(10.0, 10.0)),
+      (1, 0, Array(0.0, 0.0)), (1, 1, Array(-10.0, -10.0)))
+      .toDF("subspace", "code", "centroid")
+    val cb = SimilarityOps.PqCodebook(centers, m = 2, k = 2, subDim = 2)
+    val vecs = Seq(
+      (1L, Array(10.0, 10.0, 0.0, 0.0)),   // exact centroid concat → err 0
+      (2L, Array(1.0, 1.0, -9.0, -9.0)),   // codes (0,1), err 2+2
+      (3L, Array(5.0, 5.0, -5.0, -5.0)))   // equidistant both subspaces → code 0 wins ties
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.pqEncode(cb, vecs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((1L, 0L, 0.0)), s"exact reconstruction: ${got(1L)}")
+    assert(got(2L)._1 == 0L && got(2L)._2 == 1L &&
+      math.abs(got(2L)._3 - 4.0) < 1e-12, s"near codes + err: ${got(2L)}")
+    assert(got(3L)._1 == 0L && got(3L)._2 == 0L,
+      s"d2 tie must break to the lower code: ${got(3L)}")
+  }
+
+  test("PQ fixture: persisted codebook, zero refits, full-corpus encode in range") {
+    val builds0 = SimilarityOps.pqBuilds
+    val cb = SimilarityOps.pqCodebookFor(emb, tag = sf)
+    val cb2 = SimilarityOps.pqCodebookFor(emb, tag = sf)
+    assert(SimilarityOps.pqBuilds <= builds0 + 1, "at most one fit per corpus")
+    assert(cb2.subDim == cb.subDim && cb.subDim * cb.m == 64)
+    assert(cb.centers.count() == cb.m.toLong * cb.k)
+    val codes = SimilarityOps.pqEncode(cb, emb).collect()
+    assert(codes.length == emb.count().toInt, "every vector encodes")
+    codes.foreach { r =>
+      (1 to 4).foreach(i => assert(r.getLong(i) >= 0 && r.getLong(i) < cb.k,
+        s"code out of range: $r"))
+      assert(r.getDouble(5) >= 0.0, s"negative reconstruction error: $r")
+    }
+  }
+
+  test("PQ ADC recall is exact on well-separated planted clusters") {
+    import spark.implicits._
+    // 4 groups x 11 vectors; group prototypes far apart, per-vector
+    // noise tiny, so each query's exact top-10 is exactly its 10
+    // group-mates — and with the prototypes AS the codebook, every
+    // group-mate shares the query group's codes, so ADC ranks all 10
+    // first (any intra-group ADC ties land inside the same set).
+    val protos = Seq(
+      (Array(0.0, 0.0), Array(0.0, 0.0)),
+      (Array(100.0, 0.0), Array(0.0, 100.0)),
+      (Array(-100.0, 0.0), Array(0.0, -100.0)),
+      (Array(0.0, 100.0), Array(100.0, 0.0)))
+    val vecs = (for {
+      g <- 0 until 4; j <- 0 until 11
+    } yield {
+      val (a, b) = protos(g)
+      val eps = 0.01 * (j + 1)
+      ((g * 11 + j).toLong,
+        Array(a(0) + eps, a(1) - eps, b(0) + eps, b(1) + eps))
+    }).toDF("vec_id", "embedding")
+    val centers = protos.zipWithIndex.flatMap { case ((a, b), g) =>
+      Seq((0, g, a), (1, g, b)) }.toDF("subspace", "code", "centroid")
+    val cb = SimilarityOps.PqCodebook(centers, m = 2, k = 4, subDim = 2)
+    val rows = SimilarityOps.pqAdcRecall(cb, vecs, nQueries = 3, k = 10).collect()
+    assert(rows.length == 3)
+    rows.foreach(r => assert(r.getLong(1) == 10L && r.getLong(2) == 10L,
+      s"planted-cluster recall must be perfect: $r"))
+    // fixture: report covers every query, hits bounded by k
+    val fixCb = SimilarityOps.pqCodebookFor(emb, tag = sf)
+    val fix = SimilarityOps.pqAdcRecall(fixCb, emb).collect()
+    assert(fix.length == 5)
+    fix.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) <= r.getLong(2)))
+  }
+
   test("cross-media duplicate frames surface a shared aligned block only") {
     import spark.implicits._
     val shared = "S" * 64 // frame 0 of docs 1 and 2
