@@ -294,7 +294,15 @@ object CorpusOps {
     * reuses the q40 min-id-keeper identity. One fact-sized shuffle
     * for the dup window, one for the rollup — both on keys the later
     * mix (q104) and split (q94) operators also use. */
-  def corpusCard(documents: DataFrame): DataFrame = {
+  def corpusCard(documents: DataFrame): DataFrame =
+    cardFromState(corpusCardState(documents))
+
+  /** The card's MERGEABLE state: raw per-(lang, source) sums only —
+    * counts, token mass, the ppm quality sum, dup count. Everything
+    * the displayed card derives (means, rates) is recomputed from
+    * these after any merge, which is what makes the state additive
+    * and [[corpusCardIncremental]] possible. */
+  def corpusCardState(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qual = TextOps.qualityScore(documents)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
@@ -310,11 +318,85 @@ object CorpusOps {
         sum(col("n_tokens")).as("n_tokens"),
         sum(floor(col("quality") * lit(1.0e6))).as("q_ppm_sum"),
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_exact_dups"))
+  }
+
+  private def cardFromState(state: DataFrame): DataFrame =
+    state
       .withColumn("avg_quality_ppm", expr("q_ppm_sum div n_docs"))
       .withColumn("dup_rate",
         col("n_exact_dups").cast("double") / col("n_docs"))
       .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
         col("avg_quality_ppm"), col("n_exact_dups"), col("dup_rate"))
+      .orderBy(col("lang"), col("source"))
+
+  /** INCREMENTAL corpus card — the q92/q109/q238 batch-vs-stored
+    * pattern applied to the reporting artifact: a new batch folds
+    * into the STORED card state without ever re-scanning the stored
+    * corpus. Batch-side work is one scan (quality metrics + md5) plus
+    * one probe of the stored fingerprint set (the q92 dedup identity)
+    * for cross-batch duplicate accounting; the merge itself is pure
+    * sum addition on the (lang, source) dimension frame.
+    *
+    * Duplicate semantics match a full rebuild EXACTLY under the
+    * monotone ingest-order contract (batch doc_ids > all stored
+    * doc_ids — the q238 contract): the min-id keeper of any text seen
+    * in the store stays the stored one, so a batch doc is a dup iff
+    * its fingerprint is stored OR it is not the min-id holder of a
+    * batch-only fingerprint. `validateIds = true` pays one bounded
+    * probe (max stored id vs min batch id) to fail loudly on a
+    * violated contract instead of under-counting dups.
+    *
+    * Output is the q110 card over stored ∪ batch plus `n_batch_docs`
+    * — the oracle recomputes it from scratch, so a hash match proves
+    * merge ≡ rebuild, keeper stability included. */
+  def corpusCardIncremental(storedState: DataFrame, storedFprints: DataFrame,
+                            batch: DataFrame,
+                            validateIds: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    if (validateIds) {
+      val maxStored = storedFprints.agg(max(col("keeper_id"))).head().getLong(0)
+      val minBatch = batch.agg(min(col("doc_id"))).head().getLong(0)
+      require(minBatch > maxStored,
+        s"corpusCardIncremental: batch ids must exceed stored ids " +
+          s"(min batch $minBatch <= max stored keeper $maxStored)")
+    }
+    val qual = TextOps.qualityScore(batch)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val flagged = batch
+      .withColumn("fp_md5", md5(col("text")))
+      .join(storedFprints.select(col("fp_md5"), lit(true).as("seen")),
+        Seq("fp_md5"), "left_outer")
+      .withColumn("keeper",
+        min(col("doc_id")).over(Window.partitionBy(col("fp_md5"))))
+      .select(col("doc_id"), col("lang"), col("source"),
+        (coalesce(col("seen"), lit(false)) ||
+          col("doc_id") =!= col("keeper")).as("is_dup"))
+    val delta = flagged.join(qual, "doc_id")
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("b_docs"),
+        sum(col("n_tokens")).as("b_tokens"),
+        sum(floor(col("quality") * lit(1.0e6))).as("b_q_ppm"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("b_dups"))
+    val merged = storedState
+      .join(delta, Seq("lang", "source"), "full_outer")
+      .select(col("lang"), col("source"),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("b_docs"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("n_tokens"), lit(0L)) + coalesce(col("b_tokens"), lit(0L)))
+          .as("n_tokens"),
+        (coalesce(col("q_ppm_sum"), lit(0L)) + coalesce(col("b_q_ppm"), lit(0L)))
+          .as("q_ppm_sum"),
+        (coalesce(col("n_exact_dups"), lit(0L)) + coalesce(col("b_dups"), lit(0L)))
+          .as("n_exact_dups"),
+        coalesce(col("b_docs"), lit(0L)).as("n_batch_docs"))
+    merged
+      .withColumn("avg_quality_ppm", expr("q_ppm_sum div n_docs"))
+      .withColumn("dup_rate",
+        col("n_exact_dups").cast("double") / col("n_docs"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        col("avg_quality_ppm"), col("n_exact_dups"), col("dup_rate"),
+        col("n_batch_docs"))
       .orderBy(col("lang"), col("source"))
   }
 

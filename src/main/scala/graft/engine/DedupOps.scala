@@ -107,6 +107,18 @@ object DedupOps {
     * stored fingerprint column (hash-bucketed, so the anti-join is
     * shuffle-free against the layout), never the text. Returns the
     * batch rows that survive. */
+  /** The stored exact-dedup identity as a TABLE: one row per distinct
+    * content fingerprint with its min-id keeper — the probe side for
+    * [[incrementalExactDedup]]-style batch checks and the
+    * cross-batch dup accounting in
+    * [[CorpusOps.corpusCardIncremental]]. Corpus-distinct-sized; at
+    * scale it persists bucketed on fp_md5 so batch probes are
+    * co-located joins. */
+  def fingerprintStore(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("fp_md5"))
+      .agg(min(col("doc_id")).as("keeper_id"))
+
   def incrementalExactDedup(existing: DataFrame, batch: DataFrame): DataFrame = {
     val seen = existing.select(md5(col("text")).as("fp_md5")).distinct()
     batch

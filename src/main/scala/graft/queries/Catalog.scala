@@ -1730,13 +1730,15 @@ object Catalog {
   // ---------------------------------------------------------------- //
   // north-star: text analysis over `documents`
   // ---------------------------------------------------------------- //
-  /** Per-doc quality-score subquery shared by the q37/q91/q93/q110
-    * oracles — the hash-match is sensitive to the exact FP
+  /** Per-doc quality-score subquery shared by the q37/q91/q93/q110/
+    * q243 oracles — the hash-match is sensitive to the exact FP
     * association order of the component sum, so the formula exists
     * ONCE here, mirroring `TextOps.qualityScore` term for term.
-    * Emits (doc_id, n_chars, n_tokens, n_punct, n_stop, quality). */
-  private val qualityPerDocSql: String =
-    """SELECT doc_id, n_chars, n_tokens, n_punct, n_stop,
+    * Emits (doc_id, n_chars, n_tokens, n_punct, n_stop, quality).
+    * Parameterized on the source relation so the q243 rebuild oracle
+    * can score the stored ∪ batch union with the same text. */
+  private def qualityPerDocSqlOver(rel: String): String =
+    s"""SELECT doc_id, n_chars, n_tokens, n_punct, n_stop,
       |       least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
       |           + (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) * 10.0, 1.0)) * 0.3
       |           + least(CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) * 5.0, 1.0) * 0.3 AS quality
@@ -1745,8 +1747,10 @@ object Catalog {
       |         CAST(length(text) AS BIGINT) AS n_chars,
       |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens,
       |         CAST(length(regexp_replace(text, '[A-Za-z0-9_ ]', '', 'g')) AS BIGINT) AS n_punct,
-      |         CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a)\b')) AS BIGINT) AS n_stop
-      |  FROM documents)""".stripMargin
+      |         CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a)\\b')) AS BIGINT) AS n_stop
+      |  FROM $rel)""".stripMargin
+
+  private val qualityPerDocSql: String = qualityPerDocSqlOver("documents")
 
   private def textQueries: Seq[QuerySpec] = Seq(
     QuerySpec(
@@ -3875,6 +3879,50 @@ object Catalog {
              |            // COUNT(*) AS BIGINT) AS avg_quality_ppm,
              |       CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
              |       CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_rate
+             |FROM d JOIN q USING (doc_id)
+             |GROUP BY d.lang, d.source
+             |ORDER BY d.lang, d.source""".stripMargin)),
+
+    // INCREMENTAL corpus card: the batch (shifted ids, every other
+    // text perturbed so both the seen-fingerprint and the
+    // batch-internal-keeper dup branches are live) folds into the
+    // stored card state + fingerprint store; the oracle REBUILDS the
+    // card from stored ∪ batch, so the hash match proves the merge
+    // algebra and the monotone-id keeper stability.
+    QuerySpec(
+      "q243_incremental_card",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit, pmod, concat, when}
+        val docs = Tables.documents(s, dir)
+        val batch = docs.filter(pmod(col("doc_id"), lit(13)) === 5)
+          .select((col("doc_id") + lit(3000000L)).as("doc_id"),
+            col("lang"), col("source"),
+            when(pmod(col("doc_id"), lit(2)) === 0,
+              concat(col("text"), lit(" r11"))).otherwise(col("text")).as("text"))
+        CorpusOps.corpusCardIncremental(
+          CorpusOps.corpusCardState(docs),
+          DedupOps.fingerprintStore(docs), batch)
+      },
+      Some(s"""WITH b AS (
+             |  SELECT doc_id + 3000000 AS doc_id, lang, source,
+             |         CASE WHEN doc_id % 2 = 0 THEN text || ' r11' ELSE text END AS text
+             |  FROM documents WHERE doc_id % 13 = 5),
+             |u AS (SELECT doc_id, lang, source, text FROM documents
+             |      UNION ALL SELECT doc_id, lang, source, text FROM b),
+             |q AS (SELECT doc_id, n_tokens, quality FROM (${qualityPerDocSqlOver("u")})),
+             |d AS (
+             |  SELECT doc_id, lang, source,
+             |         doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup,
+             |         doc_id >= 3000000 AS is_batch
+             |  FROM u)
+             |SELECT d.lang, d.source,
+             |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(q.n_tokens) AS BIGINT) AS n_tokens,
+             |       CAST(CAST(SUM(CAST(floor(q.quality * 1000000.0) AS BIGINT)) AS BIGINT)
+             |            // COUNT(*) AS BIGINT) AS avg_quality_ppm,
+             |       CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+             |       CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_rate,
+             |       CAST(SUM(CASE WHEN d.is_batch THEN 1 ELSE 0 END) AS BIGINT) AS n_batch_docs
              |FROM d JOIN q USING (doc_id)
              |GROUP BY d.lang, d.source
              |ORDER BY d.lang, d.source""".stripMargin)),

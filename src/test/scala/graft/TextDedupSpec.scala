@@ -1662,4 +1662,36 @@ class TextDedupSpec extends SparkSpec {
     assert(byBands.head.getLong(3) > 0, "truth pairs exist in the fixture")
     assert(byBands.last.getLong(2) > byBands.head.getLong(2))
   }
+
+  test("incremental corpus card merges to the full rebuild with both dup branches live") {
+    import spark.implicits._
+    val stored = Seq(
+      (1L, "the quick brown fox", "en", "s"),
+      (2L, "the quick brown fox", "en", "s"), // stored-internal dup of 1
+      (3L, "ein ganz anderer text", "de", "s")).toDF("doc_id", "text", "lang", "source")
+    val batch = Seq(
+      (10L, "the quick brown fox", "en", "s"),  // dup via the stored fingerprint
+      (11L, "fresh batch content here", "en", "s"),
+      (12L, "fresh batch content here", "en", "s"), // batch-internal dup (keeper 11)
+      (13L, "neues deutsches material", "de", "s")).toDF("doc_id", "text", "lang", "source")
+    val got = CorpusOps.corpusCardIncremental(
+      CorpusOps.corpusCardState(stored), DedupOps.fingerprintStore(stored),
+      batch, validateIds = true).collect()
+    val full = CorpusOps.corpusCard(stored.unionByName(batch)).collect()
+    assert(got.length == full.length)
+    got.zip(full).foreach { case (g, f) =>
+      assert((0 until 7).forall(i => g.get(i) == f.get(i)),
+        s"merged row must equal the rebuild: $g vs $f") }
+    val en = got.find(_.getString(0) == "en").get
+    assert(en.getLong(5) == 3L, s"1 stored-internal + seen + batch-internal dups: $en")
+    assert(en.getLong(7) == 3L && got.find(_.getString(0) == "de").get.getLong(7) == 1L,
+      "n_batch_docs counts only the batch")
+    // violated monotone-id contract fails loudly under the guard
+    val bad = batch.withColumn("doc_id", col("doc_id") - lit(10L))
+    intercept[IllegalArgumentException] {
+      CorpusOps.corpusCardIncremental(
+        CorpusOps.corpusCardState(stored), DedupOps.fingerprintStore(stored),
+        bad, validateIds = true).collect()
+    }
+  }
 }
