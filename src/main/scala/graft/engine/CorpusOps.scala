@@ -320,7 +320,7 @@ object CorpusOps {
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_exact_dups"))
   }
 
-  private def cardFromState(state: DataFrame): DataFrame =
+  private[engine] def cardFromState(state: DataFrame): DataFrame =
     state
       .withColumn("avg_quality_ppm", expr("q_ppm_sum div n_docs"))
       .withColumn("dup_rate",
@@ -351,7 +351,23 @@ object CorpusOps {
     * merge ≡ rebuild, keeper stability included. */
   def corpusCardIncremental(storedState: DataFrame, storedFprints: DataFrame,
                             batch: DataFrame,
-                            validateIds: Boolean = false): DataFrame = {
+                            validateIds: Boolean = false): DataFrame =
+    corpusCardIncrementalState(storedState, storedFprints, batch, validateIds)
+      .withColumn("avg_quality_ppm", expr("q_ppm_sum div n_docs"))
+      .withColumn("dup_rate",
+        col("n_exact_dups").cast("double") / col("n_docs"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        col("avg_quality_ppm"), col("n_exact_dups"), col("dup_rate"),
+        col("n_batch_docs"))
+      .orderBy(col("lang"), col("source"))
+
+  /** The merged RAW state behind [[corpusCardIncremental]] — kept
+    * additive (sums + the per-round `n_batch_docs`) so a maintenance
+    * loop ([[StreamOps.streamingCorpusCard]]) can carry it across
+    * batches and re-derive the display card at any point. */
+  def corpusCardIncrementalState(storedState: DataFrame, storedFprints: DataFrame,
+                                 batch: DataFrame,
+                                 validateIds: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     if (validateIds) {
       val maxStored = storedFprints.agg(max(col("keeper_id"))).head().getLong(0)
@@ -391,13 +407,6 @@ object CorpusOps {
           .as("n_exact_dups"),
         coalesce(col("b_docs"), lit(0L)).as("n_batch_docs"))
     merged
-      .withColumn("avg_quality_ppm", expr("q_ppm_sum div n_docs"))
-      .withColumn("dup_rate",
-        col("n_exact_dups").cast("double") / col("n_docs"))
-      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
-        col("avg_quality_ppm"), col("n_exact_dups"), col("dup_rate"),
-        col("n_batch_docs"))
-      .orderBy(col("lang"), col("source"))
   }
 
   /** Sequence-level decontamination — the check that matters AFTER

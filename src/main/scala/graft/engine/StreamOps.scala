@@ -633,6 +633,50 @@ object StreamOps {
     * restart, reconstruct the query passing the last snapshot
     * (`outPath/store`) as `storedAliases` (the in-JVM vars are a
     * session-lifetime cache of exactly that table). */
+  /** STREAMING corpus-card maintenance — the live twin of
+    * [[CorpusOps.corpusCardIncremental]] (q243), in the
+    * [[streamingEntityResolution]] shape: each micro-batch of
+    * documents folds into the carried ADDITIVE state
+    * ([[CorpusOps.corpusCardIncrementalState]]) and the display card
+    * snapshot is rewritten at `outPath/card`. The fingerprint store
+    * grows by a distinct-sized merge (stored ∪ batch grouped to the
+    * min keeper — no corpus re-scan), so a later batch's copy of an
+    * earlier batch's text IS counted a duplicate: the final card
+    * equals the one-shot rebuild over everything ever streamed
+    * (StreamingSpec, across a cross-batch dup boundary).
+    *
+    * Scale: per micro-batch cost is one batch scan + a batch×fp-store
+    * probe; the card snapshot is dimension-sized. Durable state is
+    * the card + fingerprint snapshots, not executor memory — after a
+    * restart, reconstruct from `outPath/state` and `outPath/fprints`
+    * (the in-JVM vars cache exactly those tables). */
+  def streamingCorpusCard(batchDocs: DataFrame, storedState: DataFrame,
+                          storedFprints: DataFrame, outPath: String,
+                          checkpointDir: String): StreamingQuery = {
+    var state = storedState.localCheckpoint(false)
+    var fps = storedFprints.localCheckpoint(false)
+    batchDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint(false) // state fold + fp growth
+          state = CorpusOps.corpusCardIncrementalState(state, fps, b)
+            .drop("n_batch_docs")
+            .localCheckpoint(false) // next fold + both snapshot writes
+          state.write.mode("overwrite").parquet(s"$outPath/state")
+          CorpusOps.cardFromState(state)
+            .write.mode("overwrite").parquet(s"$outPath/card")
+          fps = fps.unionByName(DedupOps.fingerprintStore(b))
+            .groupBy(col("fp_md5")).agg(min(col("keeper_id")).as("keeper_id"))
+            .localCheckpoint(false)
+          fps.write.mode("overwrite").parquet(s"$outPath/fprints")
+        }
+        ()
+      }
+      .start()
+  }
+
   def streamingEntityResolution(batchRecords: DataFrame, storedAliases: DataFrame,
                                 storedDim: DataFrame, outPath: String,
                                 checkpointDir: String): StreamingQuery = {

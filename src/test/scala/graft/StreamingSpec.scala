@@ -682,6 +682,57 @@ class StreamingSpec extends SparkSpec {
     assert(verdicts(9000003L) == "new" && verdicts(9000005L) == "new")
   }
 
+  test("streaming corpus card equals the one-shot rebuild across a cross-batch dup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{CorpusOps, DedupOps, Tables}
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val copied = docs.orderBy(col("doc_id")).limit(1).collect()(0)
+    // b1: an exact copy of a stored doc + a fresh text; b2: a copy of
+    // b1's FRESH text — a duplicate only countable through the grown
+    // fingerprint store (the cross-micro-batch case under test)
+    val b1 = Seq(
+      (8000001L, copied.getString(1), copied.getString(2), copied.getString(3)),
+      (8000002L, "fresh streamed content", "en", "src0"))
+    val b2 = Seq(
+      (8000003L, "fresh streamed content", "en", "src0"),
+      (8000004L, "another new stream doc", "de", "src1"))
+    val out = java.nio.file.Files.createTempDirectory("graft_scc_out_").toString + "/cc"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scc_ckpt_").toString
+    val input = MemoryStream[(Long, String, String, String)]
+    val q = graft.engine.StreamOps.streamingCorpusCard(
+      input.toDS().toDF("doc_id", "text", "lang", "source"),
+      CorpusOps.corpusCardState(docs), DedupOps.fingerprintStore(docs), out, ckpt)
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def proj(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    val streamed = proj(spark.read.parquet(s"$out/card")
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        col("avg_quality_ppm"), col("n_exact_dups"), col("dup_rate")).collect())
+    val rebuilt = proj(CorpusOps.corpusCard(docs.unionByName(
+        (b1 ++ b2).toDF("doc_id", "text", "lang", "source"))).collect())
+    assert(streamed == rebuilt,
+      s"streamed card diverged (${streamed.size} vs ${rebuilt.size} groups)")
+    // both planted dups actually counted: vs the base corpus the
+    // copied doc's group and the fresh pair's group each gained one
+    val base = proj(CorpusOps.corpusCard(docs).collect())
+    val copyKey = (copied.getString(2), copied.getString(3))
+    assert(streamed(copyKey)._4 == base(copyKey)._4 + 1L,
+      "stored-text copy counted through the fingerprint store")
+    assert(streamed(("en", "src0"))._4 ==
+      base.getOrElse(("en", "src0"), (0L, 0L, 0L, 0L, 0.0))._4 +
+        (if (copyKey == ("en", "src0")) 2L else 1L),
+      "cross-batch dup counted through the GROWN fingerprint store")
+  }
+
   test("streaming gate verdicts equal the batch gate across a micro-batch boundary") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
