@@ -62,7 +62,8 @@ object Verify {
         graft.engine.Tables.embeddings(spark, sfDir), tag = sfDir)
     // Same contract for the PQ codebook: the q241/q242 oracles replay
     // encode + ADC from the exported sub-centroid table.
-    if (selected.contains("q241_pq_codes") || selected.contains("q242_pq_adc_recall"))
+    if (selected.contains("q241_pq_codes") || selected.contains("q242_pq_adc_recall") ||
+        selected.contains("q244_pq_drift"))
       graft.engine.SimilarityOps.dumpPqOracle(
         graft.engine.Tables.embeddings(spark, sfDir), tag = sfDir)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -545,6 +545,17 @@ object SimilarityOps {
     * added in pinned subspace order, not a fold over an unordered
     * agg. */
   def pqEncode(cb: PqCodebook, embeddings: DataFrame): DataFrame = {
+    val withBest = pqBestFrame(cb, embeddings)
+    val codeCols = (0 until cb.m).map(s => col(s"b$s.code").cast("long").as(s"code_$s"))
+    val err = (0 until cb.m).map(s => col(s"b$s.d2")).reduceLeft(_ + _)
+    withBest.select(col("vec_id") +: codeCols :+ err.as("recon_err"): _*)
+      .orderBy(col("vec_id"))
+  }
+
+  /** The shared encode kernel behind [[pqEncode]] and [[pqErrStats]]:
+    * one struct column per subspace holding the argmin sub-centroid's
+    * (d2, code). Codebook inlined as literals — pure per-row map. */
+  private def pqBestFrame(cb: PqCodebook, embeddings: DataFrame): DataFrame = {
     import org.apache.spark.sql.Column
     val sd = cb.subDim
     val cents: Map[(Int, Int), Array[Double]] = cb.centers
@@ -563,12 +574,77 @@ object SimilarityOps {
       array_min(array((0 until cb.k).map { c =>
         struct(d2Col(vec, s, c).as("d2"), lit(c).as("code")) }: _*))
     val vec = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-    val withBest = embeddings.select(
+    embeddings.select(
       col("vec_id") +: (0 until cb.m).map(s => bestCol(vec, s).as(s"b$s")): _*)
-    val codeCols = (0 until cb.m).map(s => col(s"b$s.code").cast("long").as(s"code_$s"))
-    val err = (0 until cb.m).map(s => col(s"b$s.d2")).reduceLeft(_ + _)
-    withBest.select(col("vec_id") +: codeCols :+ err.as("recon_err"): _*)
-      .orderBy(col("vec_id"))
+  }
+
+  /** Per-subspace squared-error stats of `embeddings` encoded against
+    * `cb` — the kernel shared by the stored drift BASELINE and the
+    * per-batch probe ([[pqDrift]]). Plan: the map-only encode
+    * ([[pqBestFrame]]) collapses through ONE partial-aggregated
+    * global row (m decimal sums + a count), exploded to m metadata
+    * rows. Decimal accumulation keeps the sums order-independent, so
+    * the value is identical on 32 threads or 1000 executors — and in
+    * the oracle's single-threaded replay. */
+  def pqErrStats(cb: PqCodebook, embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val withBest = pqBestFrame(cb, embeddings)
+    val aggs = count(lit(1)).cast("long").as("n_vec") +:
+      (0 until cb.m).map(s =>
+        sum(col(s"b$s.d2").cast(DecimalType(30, 10))).cast(DoubleType).as(s"e$s"))
+    withBest.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_vec",
+        s"stack(${cb.m}, ${(0 until cb.m)
+          .map(s => s"CAST($s AS BIGINT), e$s").mkString(", ")}) " +
+          "as (subspace, err_sum)")
+      .select(col("subspace"), col("n_vec"), col("err_sum"))
+  }
+
+  private[graft] def pqBaselineTableName(tag: String, m: Int, k: Int): String =
+    s"pq_baseline_${Integer.toHexString(tag.hashCode)}_${m}_$k"
+
+  /** Materialize the codebook's TRAINING-ERROR baseline as a catalog
+    * table if absent — the second stored PQ artifact. Built once at
+    * fit time (one corpus scan); after that, drift probes
+    * ([[pqDrift]]) touch only the new batch, never the stored
+    * corpus — the q235/q243 incremental contract applied to codebook
+    * staleness. */
+  def ensurePqBaseline(embeddings: DataFrame, tag: String,
+                       m: Int = 4, k: Int = 16): String = {
+    val spark = embeddings.sparkSession
+    val t = pqBaselineTableName(tag, m, k)
+    synchronized {
+      if (!spark.catalog.tableExists(t))
+        pqErrStats(pqCodebookFor(embeddings, tag, m, k), embeddings)
+          .write.mode("overwrite").saveAsTable(t)
+    }
+    t
+  }
+
+  /** PQ codebook DRIFT audit — the refit trigger for the stored
+    * codebook: encode ONLY the new batch (map-only, batch-sized scan)
+    * and compare its per-subspace mean quantization error against the
+    * STORED training baseline. A batch whose distribution moved away
+    * from the training corpus quantizes worse; `refit` fires per
+    * subspace when the batch MSE exceeds `refitRatio` × the baseline
+    * MSE. Both inputs are m metadata rows, so everything after the
+    * batch agg is free; the stored corpus is never re-scanned. All
+    * divisions/comparisons run on doubles derived from exact decimal
+    * sums — bit-identical in any engine. */
+  def pqDrift(cb: PqCodebook, baseline: DataFrame, batch: DataFrame,
+              refitRatio: Double = 2.0): DataFrame = {
+    val base = baseline.select(col("subspace"),
+      col("n_vec").as("n_base"), col("err_sum").as("base_err_sum"))
+    val probe = pqErrStats(cb, batch).select(col("subspace"),
+      col("n_vec").as("n_batch"), col("err_sum").as("batch_err_sum"))
+    base.join(probe, Seq("subspace"))
+      .withColumn("base_mse", col("base_err_sum") / col("n_base"))
+      .withColumn("batch_mse", col("batch_err_sum") / col("n_batch"))
+      .select(col("subspace"), col("n_base"), col("n_batch"),
+        col("base_mse"), col("batch_mse"),
+        (col("batch_mse") / col("base_mse")).as("drift_ratio"),
+        (col("batch_mse") > lit(refitRatio) * col("base_mse")).as("refit"))
+      .orderBy(col("subspace"))
   }
 
   /** ADC (asymmetric-distance) top-k recall vs the exact euclidean

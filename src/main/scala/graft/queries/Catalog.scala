@@ -4473,7 +4473,85 @@ object Catalog {
              |       CAST(SUM(CASE WHEN adct.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
              |       CAST(COUNT(*) AS BIGINT) AS k
              |FROM ext LEFT JOIN adct ON ext.qid = adct.qid AND ext.vec_id = adct.vec_id
-             |GROUP BY ext.qid ORDER BY ext.qid""".stripMargin))
+             |GROUP BY ext.qid ORDER BY ext.qid""".stripMargin)),
+
+    // PQ codebook DRIFT: the new batch encodes map-only against the
+    // stored codebook; its per-subspace mean quantization error
+    // compares against the STORED training baseline and `refit` fires
+    // past 2×. The planted shift is LOCALIZED — the batch's first 16
+    // dims (subspace 0) scale ×3, the rest pass through — so the
+    // output exercises both branches: subspace 0 fires, 1–3 certify
+    // the no-fire path. The oracle replays BOTH sides from the dumped
+    // codebook — baseline rebuild hash-matching the stored table is
+    // the merge≡rebuild certificate (q243's pattern) for the second
+    // PQ artifact.
+    QuerySpec(
+      "q244_pq_drift",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, expr, lit, pmod}
+        val emb = Tables.embeddings(s, dir)
+        val batch = emb.filter(pmod(col("vec_id"), lit(7)) === 3)
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+            expr("concat(transform(slice(embedding, 1, 16), " +
+              "x -> CAST(x AS DOUBLE) * 3.0D), " +
+              "transform(slice(embedding, 17, 48), x -> CAST(x AS DOUBLE)))")
+              .as("embedding"))
+        SimilarityOps.pqDrift(
+          SimilarityOps.pqCodebookFor(emb, tag = dir),
+          s.read.table(SimilarityOps.ensurePqBaseline(emb, tag = dir)),
+          batch)
+      },
+      Some("""WITH cb AS (
+             |  SELECT CAST(subspace AS BIGINT) AS subspace,
+             |         CAST(code AS BIGINT) AS code,
+             |         CAST(centroid AS DOUBLE[]) AS c
+             |  FROM read_parquet('/tmp/graft_pq_oracle/centers/*.parquet')),
+             |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |bt AS (
+             |  SELECT vec_id + 1000000 AS vec_id,
+             |         list_concat(
+             |           list_transform(
+             |             list_slice(CAST(embedding AS DOUBLE[]), 1, 16),
+             |             x -> x * 3.0),
+             |           list_slice(CAST(embedding AS DOUBLE[]), 17, 64)) AS e
+             |  FROM embeddings WHERE vec_id % 7 = 3),
+             |dv AS (
+             |  SELECT vec_id, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(e, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM v CROSS JOIN cb),
+             |db AS (
+             |  SELECT vec_id, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(e, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM bt CROSS JOIN cb),
+             |bestv AS (
+             |  SELECT subspace, d2
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+             |                                     ORDER BY d2, code) AS rk FROM dv)
+             |  WHERE rk = 1),
+             |bestb AS (
+             |  SELECT subspace, d2
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+             |                                     ORDER BY d2, code) AS rk FROM db)
+             |  WHERE rk = 1),
+             |base AS (
+             |  SELECT subspace, CAST(COUNT(*) AS BIGINT) AS n_base,
+             |         CAST(SUM(CAST(d2 AS DECIMAL(30,10))) AS DOUBLE) AS base_err_sum
+             |  FROM bestv GROUP BY subspace),
+             |probe AS (
+             |  SELECT subspace, CAST(COUNT(*) AS BIGINT) AS n_batch,
+             |         CAST(SUM(CAST(d2 AS DECIMAL(30,10))) AS DOUBLE) AS batch_err_sum
+             |  FROM bestb GROUP BY subspace)
+             |SELECT subspace, n_base, n_batch,
+             |       base_err_sum / n_base AS base_mse,
+             |       batch_err_sum / n_batch AS batch_mse,
+             |       (batch_err_sum / n_batch) / (base_err_sum / n_base) AS drift_ratio,
+             |       batch_err_sum / n_batch > 2.0 * (base_err_sum / n_base) AS refit
+             |FROM base JOIN probe USING (subspace)
+             |ORDER BY subspace""".stripMargin))
   )
 
   // ---------------------------------------------------------------- //

@@ -424,6 +424,52 @@ class SimilarityMultimodalSpec extends SparkSpec {
     fix.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) <= r.getLong(2)))
   }
 
+  test("PQ drift: identical batch holds, a localized shift fires refit on its subspace only") {
+    import spark.implicits._
+    val centers = Seq(
+      (0, 0, Array(0.0, 0.0)), (0, 1, Array(10.0, 10.0)),
+      (1, 0, Array(0.0, 0.0)), (1, 1, Array(-10.0, -10.0)))
+      .toDF("subspace", "code", "centroid")
+    val cb = SimilarityOps.PqCodebook(centers, m = 2, k = 2, subDim = 2)
+    val train = Seq(
+      (1L, Array(1.0, 0.0, 0.5, 0.0)),
+      (2L, Array(9.0, 10.0, -9.5, -10.0)),
+      (3L, Array(0.0, 1.0, 0.0, 0.5)))
+      .toDF("vec_id", "embedding")
+    val baseline = SimilarityOps.pqErrStats(cb, train)
+    // identical batch: per-subspace mse equals the baseline exactly
+    val same = SimilarityOps.pqDrift(cb, baseline, train).collect()
+    assert(same.length == 2)
+    same.foreach { r =>
+      assert(math.abs(r.getDouble(5) - 1.0) < 1e-9, s"identity drift: $r")
+      assert(!r.getBoolean(6), s"no refit on an identical batch: $r")
+    }
+    // batch shifted ONLY in subspace 0 (first 2 dims +50)
+    val shifted = train.withColumn("embedding",
+      expr("concat(transform(slice(embedding, 1, 2), x -> x + 50.0D), " +
+        "slice(embedding, 3, 2))"))
+    val drift = SimilarityOps.pqDrift(cb, baseline, shifted).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(5), r.getBoolean(6)))).toMap
+    assert(drift(0L)._2, s"shifted subspace must fire refit: $drift")
+    assert(!drift(1L)._2 && math.abs(drift(1L)._1 - 1.0) < 1e-9,
+      s"untouched subspace must hold: $drift")
+  }
+
+  test("PQ drift fixture: stored baseline loads with zero refits and equals a recompute") {
+    val cb = SimilarityOps.pqCodebookFor(emb, tag = sf)
+    val t = SimilarityOps.ensurePqBaseline(emb, tag = sf)
+    val builds0 = SimilarityOps.pqBuilds
+    val t2 = SimilarityOps.ensurePqBaseline(emb, tag = sf)
+    assert(t == t2 && SimilarityOps.pqBuilds == builds0,
+      "baseline reuse must not refit the quantizers")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val stored = spark.read.table(t).collect().map(key).toSet
+    val re = SimilarityOps.pqErrStats(cb, emb).collect().map(key).toSet
+    assert(stored == re,
+      "stored baseline must equal a rebuild (decimal sums are order-independent)")
+  }
+
   test("cross-media duplicate frames surface a shared aligned block only") {
     import spark.implicits._
     val shared = "S" * 64 // frame 0 of docs 1 and 2
