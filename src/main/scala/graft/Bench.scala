@@ -71,6 +71,7 @@ object Bench {
     graft.queries.BpeShared.release()
     graft.engine.SimilarityOps.release()
     graft.engine.DedupOps.release()
+    graft.engine.TextOps.release()
     val results = names.indices.map { i =>
       val name = passes.head(i)._1
       val oks = passes.map(_(i)).filter(_._3).map(_._2)

@@ -87,6 +87,7 @@ object Verify {
     graft.queries.BpeShared.release()
     graft.engine.SimilarityOps.release()
     graft.engine.DedupOps.release()
+    graft.engine.TextOps.release()
     spark.stop()
   }
 }

@@ -759,15 +759,7 @@ object TextOps {
     // context counts, the scoring join) — materialize it once (the
     // sharedSpans lesson: without this, each consumer re-runs the
     // tokenize+explode scan)
-    val occ = documents
-      .filter(lower(col("text")).rlike("[a-z0-9_]"))
-      .select(col("doc_id"),
-        expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)").as("toks"))
-      .select(col("doc_id"), explode(expr(
-        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), " +
-        "i -> struct(toks[i-1] AS w1, toks[i] AS w2)) ELSE array() END")).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .localCheckpoint(false)
+    val occ = bigramStream(documents).localCheckpoint(false)
     val bi = occ.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val uni = occ.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     // vocabulary size for the smoothing denominator: distinct word
@@ -836,6 +828,117 @@ object TextOps {
         (col("n_seen").cast("double") / col("n_bigrams")).as("seen_frac"))
       .orderBy(col("doc_id"))
   }
+
+  /** The stored n-gram LM — [[ngramLmScore]]'s model half as a
+    * PERSISTED artifact: three corpus-bounded count tables (bigram
+    * counts, left-context counts, distinct word types). All three are
+    * ADDITIVE/mergeable, which is what makes the incremental
+    * maintenance path ([[lmModelMerge]], q245) exact: counts merge by
+    * keyed sum, vocab by distinct union — merge ≡ full retrain,
+    * bit-for-bit. */
+  final case class LmModel(bigrams: DataFrame, contexts: DataFrame,
+                           vocab: DataFrame)
+
+  /** The tokenize→bigram explode shared by the LM family. Callers
+    * materialize it once per consumer set (the sharedSpans lesson). */
+  private def bigramStream(documents: DataFrame): DataFrame =
+    documents
+      .filter(lower(col("text")).rlike("[a-z0-9_]"))
+      .select(col("doc_id"),
+        expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), " +
+        "i -> struct(toks[i-1] AS w1, toks[i] AS w2)) ELSE array() END")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+
+  /** Fit-count test hook (the pqBuilds pattern): a persisted-model
+    * load must perform ZERO retokenize fits. */
+  private[graft] var lmFits: Int = 0
+
+  /** Fit the LM count tables over a corpus — one tokenize scan
+    * (checkpointed, shared by the three aggregates). */
+  def lmModel(documents: DataFrame): LmModel = {
+    synchronized { lmFits += 1 }
+    val occ = bigramStream(documents).localCheckpoint(false)
+    LmModel(
+      occ.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")),
+      occ.groupBy(col("w1")).agg(count(lit(1)).as("c1")),
+      occ.select(explode(array(col("w1"), col("w2"))).as("w")).distinct())
+  }
+
+  /** INCREMENTAL LM maintenance — fold a new batch of reference text
+    * into the STORED model without re-scanning the stored corpus: the
+    * batch's own counts merge by keyed sum (existing bigrams
+    * accumulate, novel ones insert), vocab grows by distinct union.
+    * Because every table is additive, the merged model is EXACTLY the
+    * model a full retrain over stored ∪ batch would fit — the q243
+    * merge≡rebuild contract, certified through scoring in the q245
+    * oracle. Per-batch cost: one batch tokenize scan + model-bounded
+    * merges. */
+  def lmModelMerge(stored: LmModel, batch: DataFrame): LmModel = {
+    val occ = bigramStream(batch).localCheckpoint(false)
+    LmModel(
+      stored.bigrams
+        .unionByName(occ.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")))
+        .groupBy(col("w1"), col("w2")).agg(sum(col("c2")).as("c2")),
+      stored.contexts
+        .unionByName(occ.groupBy(col("w1")).agg(count(lit(1)).as("c1")))
+        .groupBy(col("w1")).agg(sum(col("c1")).as("c1")),
+      stored.vocab
+        .unionByName(occ.select(explode(array(col("w1"), col("w2"))).as("w")))
+        .distinct())
+  }
+
+  /** Score documents under a (possibly merged) model — exactly
+    * [[ngramLmScore]]'s smoothing and determinism discipline
+    * (Laplace p=(c2+1)/(c1+V), floor-quantized ppb, pure-BIGINT
+    * per-doc mean), with the model EXTERNAL: scoring a batch touches
+    * only the batch's bigram stream plus model-bounded joins. The
+    * inner probability join is lossless whenever the model covers the
+    * scored text (true by construction after [[lmModelMerge]]). */
+  def lmScoreWith(model: LmModel, documents: DataFrame): DataFrame = {
+    val occ = bigramStream(documents).localCheckpoint(false)
+    val vocab = model.vocab.count()
+    val probs = model.bigrams.join(model.contexts, "w1")
+      .select(col("w1"), col("w2"),
+        floor((col("c2") + lit(1L)).cast("double") /
+              (col("c1") + lit(vocab)).cast("double") * lit(1.0e9)).as("p_ppb"))
+    occ.join(probs, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum(col("p_ppb")).as("s_ppb"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("s_ppb div n_bigrams").as("lm_score_ppb"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[graft] def lmTableName(part: String, tag: String): String =
+    s"lm_${part}_${Integer.toHexString(tag.hashCode)}"
+
+  private var lmMemo: Map[String, LmModel] = Map.empty
+
+  /** Session-lifetime handle to the persisted LM model — the
+    * pqCodebookFor pattern: materialize the three count tables in the
+    * catalog if absent (one corpus scan, ever), then serve readers
+    * with zero refits. [[release]] drops the memo end-of-run. */
+  def lmModelFor(documents: DataFrame, tag: String): LmModel = synchronized {
+    lmMemo.getOrElse(tag, {
+      val spark = documents.sparkSession
+      val names = Seq("bi", "ctx", "vocab").map(lmTableName(_, tag))
+      if (!names.forall(spark.catalog.tableExists)) {
+        val m = lmModel(documents)
+        m.bigrams.write.mode("overwrite").saveAsTable(names(0))
+        m.contexts.write.mode("overwrite").saveAsTable(names(1))
+        m.vocab.write.mode("overwrite").saveAsTable(names(2))
+      }
+      val loaded = LmModel(spark.read.table(names(0)),
+        spark.read.table(names(1)), spark.read.table(names(2)))
+      lmMemo += (tag -> loaded)
+      loaded
+    })
+  }
+
+  def release(): Unit = synchronized { lmMemo = Map.empty }
 
   /** Distinctive-terms report — per-source vocabulary that is
     * OVER-represented relative to the whole corpus, scored by

@@ -2016,6 +2016,54 @@ object Catalog {
              |       CAST(SUM(CASE WHEN c2 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS seen_frac
              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // INCREMENTAL LM maintenance: the STORED count tables (persisted
+    // at fit time) fold a new batch in additively — keyed count sums
+    // + vocab distinct-union, batch-only scan — and the batch scores
+    // under the merged model. The batch carries NOVEL tokens
+    // (' zqxN' markers) so both merge branches are live: existing
+    // bigrams accumulate, novel bigrams/vocab insert and move the
+    // smoothing denominator. The oracle retrains from RAW TEXT over
+    // stored ∪ batch and scores the batch — a hash match proves the
+    // incremental model ≡ a full retrain (the q243 merge≡rebuild
+    // certificate, certified THROUGH the scoring arithmetic).
+    QuerySpec(
+      "q245_incremental_lm",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, concat, lit, pmod}
+        val docs = Tables.documents(s, dir)
+        val batch = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            concat(col("text"), lit(" zqx"),
+              pmod(col("doc_id"), lit(5)).cast("string")).as("text"))
+        val stored = TextOps.lmModelFor(docs, tag = dir)
+        TextOps.lmScoreWith(TextOps.lmModelMerge(stored, batch), batch)
+      },
+      Some(s"""WITH alltx AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000,
+             |         text || ' zqx' || CAST(doc_id % 5 AS VARCHAR)
+             |  FROM documents WHERE doc_id % 7 = 3),
+             |t AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS toks
+             |  FROM alltx),
+             |o AS (
+             |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+             |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+             |        FROM t WHERE len(toks) >= 2)),
+             |b AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM o GROUP BY 1, 2),
+             |u AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM o GROUP BY 1),
+             |v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vsz
+             |      FROM (SELECT w1 AS w FROM o UNION SELECT w2 FROM o)),
+             |pr AS (SELECT b.w1, b.w2,
+             |              CAST(floor(CAST(c2 + 1 AS DOUBLE) / (c1 + vsz) * 1000000000.0) AS BIGINT) AS p_ppb
+             |       FROM b JOIN u USING (w1) CROSS JOIN v)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |       CAST(CAST(SUM(p_ppb) AS BIGINT) // COUNT(*) AS BIGINT) AS lm_score_ppb
+             |FROM o JOIN pr USING (w1, w2)
+             |WHERE doc_id >= 1000000
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // per-DOC top-k keywords by the same transcendental-free lift —
     // doc tagging; rk-bounded window plans WindowGroupLimit.
     QuerySpec(

@@ -560,6 +560,48 @@ class TextDedupSpec extends SparkSpec {
     assert(scored(99L) < scored(1L))
   }
 
+  test("incremental LM merge equals a full retrain and scores by the updated smoothing") {
+    import spark.implicits._
+    val stored = Seq(
+      (1L, "x y x y", "en", "s"),
+      (2L, "x z", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    val batch = Seq(
+      (11L, "x y qq", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    val merged = TextOps.lmModelMerge(TextOps.lmModel(stored), batch)
+    val retrain = TextOps.lmModel(stored.unionByName(batch))
+    def biSet(m: TextOps.LmModel) = m.bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    def ctxSet(m: TextOps.LmModel) = m.contexts.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    def vSet(m: TextOps.LmModel) = m.vocab.collect().map(_.getString(0)).toSet
+    assert(biSet(merged) == biSet(retrain), "bigram counts: merge ≡ retrain")
+    assert(ctxSet(merged) == ctxSet(retrain), "context counts: merge ≡ retrain")
+    assert(vSet(merged) == vSet(retrain), "vocab: merge ≡ retrain")
+    // both merge branches live: (x,y) accumulated 2+1, (y,qq) inserted,
+    // qq entered the vocab (and therefore the smoothing denominator)
+    assert(biSet(merged).contains(("x", "y", 3L)))
+    assert(biSet(merged).contains(("y", "qq", 1L)))
+    assert(vSet(merged).contains("qq") && vSet(merged).size == 4)
+    // scoring doc 11 ("x y qq") under the merged model, by hand:
+    // c1(x)=4, c1(y)=2, V=4 → p(x,y)=(3+1)/(4+4)=.5, p(y,qq)=(1+1)/(2+4)=1/3;
+    // ppb floor-sum 500000000+333333333, truncating div 2
+    val got = TextOps.lmScoreWith(merged, batch).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(11L) == ((2L, 416666666L)), s"batch score: ${got(11L)}")
+  }
+
+  test("persisted LM model loads with zero refits") {
+    val t0 = TextOps.lmModelFor(docs, tag = sf)
+    val fits0 = TextOps.lmFits
+    val t1 = TextOps.lmModelFor(docs, tag = sf)
+    assert(TextOps.lmFits == fits0, "memoized model must not refit")
+    assert(t1.bigrams.count() == t0.bigrams.count() && t1.vocab.count() > 0)
+    // the persisted model scores identically to the inline q120 build
+    val viaModel = TextOps.lmScoreWith(t1, docs).collect().map(_.toString).toSeq
+    val inline = TextOps.ngramLmScore(docs).collect().map(_.toString).toSeq
+    assert(viaModel == inline, "stored-model scoring ≡ inline corpus scoring")
+  }
+
   test("boilerplate report surfaces the stamped template at the top") {
     import spark.implicits._
     val footer = "contact support for help"  // 4 tokens -> 2 3-grams
