@@ -606,33 +606,6 @@ object StreamOps {
       }
       .start()
 
-  /** STREAMING incremental entity resolution — q226's alias-store
-    * maintenance as a landing-zone stream: each micro-batch of new
-    * dim records (p_partkey, p_name, p_brand) resolves against the
-    * CURRENT alias store via
-    * [[graft.engine.DedupOps.incrementalEntityGroups]] (condensed
-    * closure, stored×stored never re-matched), appends the batch
-    * rows' verdicts to `outPath/verdicts`, and REPLACES the store
-    * snapshot at `outPath/store` — so the next micro-batch resolves
-    * against history ∪ every earlier batch. A later record within
-    * match distance of an EARLIER batch's record therefore bridges
-    * through the updated store (the cross-boundary case the
-    * StreamingSpec fixture plants), and the final store equals the
-    * one-shot incremental resolution of the concatenated batches:
-    * the sequential cross-edges (batch₂ × dim∪batch₁) are exactly
-    * the one-shot batch-internal b₁×b₂ pairs plus its cross edges,
-    * and min-key closure labels are composition-invariant. Group
-    * STATUS is per-round bookkeeping by design (a group extended in
-    * two rounds reports `extended` twice, where the one-shot sees it
-    * once) — equivalence is on membership, ids, and canonical names.
-    *
-    * Scale: per micro-batch cost is the q226 bound (batch + touched
-    * groups); the store snapshot write is dim-sized, the same
-    * overwrite cadence as the q80 streaming MV maintain. Durable
-    * state is the store SNAPSHOT, not executor memory — after a
-    * restart, reconstruct the query passing the last snapshot
-    * (`outPath/store`) as `storedAliases` (the in-JVM vars are a
-    * session-lifetime cache of exactly that table). */
   /** STREAMING corpus-card maintenance — the live twin of
     * [[CorpusOps.corpusCardIncremental]] (q243), in the
     * [[streamingEntityResolution]] shape: each micro-batch of
@@ -677,6 +650,74 @@ object StreamOps {
       .start()
   }
 
+  /** STREAMING LM maintenance — the live twin of q245
+    * ([[TextOps.lmModelMerge]]): each micro-batch of reference text
+    * folds into the carried count tables (keyed sums + vocab
+    * distinct-union — every table additive, so the carried model is
+    * at all times EXACTLY the full retrain over stored ∪ streamed),
+    * the batch's docs score under the just-merged model (append-only
+    * sink), and the three model snapshots rewrite. A later batch
+    * reusing an earlier batch's novel phrasing scores it as SEEN —
+    * countable only through the grown state, the cross-boundary case
+    * StreamingSpec plants.
+    *
+    * Scale: per micro-batch cost is one batch tokenize scan +
+    * model-bounded merges; snapshots are model-sized. Durable state
+    * is the snapshot triple, not executor memory — after a restart,
+    * reconstruct the query from `outPath/bigrams|contexts|vocab`
+    * (the in-JVM var caches exactly those tables). */
+  def streamingLmMaintain(batchDocs: DataFrame, stored: TextOps.LmModel,
+                          outPath: String, checkpointDir: String): StreamingQuery = {
+    def pin(m: TextOps.LmModel): TextOps.LmModel = TextOps.LmModel(
+      m.bigrams.localCheckpoint(false),
+      m.contexts.localCheckpoint(false),
+      m.vocab.localCheckpoint(false))
+    var model = pin(stored)
+    batchDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint(false) // count fold + scoring
+          model = pin(TextOps.lmModelMerge(model, b))
+          TextOps.lmScoreWith(model, b)
+            .write.mode("append").parquet(s"$outPath/scores")
+          model.bigrams.write.mode("overwrite").parquet(s"$outPath/bigrams")
+          model.contexts.write.mode("overwrite").parquet(s"$outPath/contexts")
+          model.vocab.write.mode("overwrite").parquet(s"$outPath/vocab")
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** STREAMING incremental entity resolution — q226's alias-store
+    * maintenance as a landing-zone stream: each micro-batch of new
+    * dim records (p_partkey, p_name, p_brand) resolves against the
+    * CURRENT alias store via
+    * [[graft.engine.DedupOps.incrementalEntityGroups]] (condensed
+    * closure, stored×stored never re-matched), appends the batch
+    * rows' verdicts to `outPath/verdicts`, and REPLACES the store
+    * snapshot at `outPath/store` — so the next micro-batch resolves
+    * against history ∪ every earlier batch. A later record within
+    * match distance of an EARLIER batch's record therefore bridges
+    * through the updated store (the cross-boundary case the
+    * StreamingSpec fixture plants), and the final store equals the
+    * one-shot incremental resolution of the concatenated batches:
+    * the sequential cross-edges (batch₂ × dim∪batch₁) are exactly
+    * the one-shot batch-internal b₁×b₂ pairs plus its cross edges,
+    * and min-key closure labels are composition-invariant. Group
+    * STATUS is per-round bookkeeping by design (a group extended in
+    * two rounds reports `extended` twice, where the one-shot sees it
+    * once) — equivalence is on membership, ids, and canonical names.
+    *
+    * Scale: per micro-batch cost is the q226 bound (batch + touched
+    * groups); the store snapshot write is dim-sized, the same
+    * overwrite cadence as the q80 streaming MV maintain. Durable
+    * state is the store SNAPSHOT, not executor memory — after a
+    * restart, reconstruct the query passing the last snapshot
+    * (`outPath/store`) as `storedAliases` (the in-JVM vars are a
+    * session-lifetime cache of exactly that table). */
   def streamingEntityResolution(batchRecords: DataFrame, storedAliases: DataFrame,
                                 storedDim: DataFrame, outPath: String,
                                 checkpointDir: String): StreamingQuery = {

@@ -733,6 +733,53 @@ class StreamingSpec extends SparkSpec {
       "cross-batch dup counted through the GROWN fingerprint store")
   }
 
+  test("streaming LM maintenance tracks the sequential merge across a novel-phrase boundary") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{StreamOps, Tables, TextOps}
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // b1 introduces a novel phrase; b2 REUSES it — its bigrams are
+    // seen only through the state b1 folded in (the cross-boundary
+    // case), and must score by b1-era counts + 1
+    val b1 = Seq((9100001L, "zzqp alpha beta"), (9100002L, "plain older text"))
+    val b2 = Seq((9100003L, "zzqp alpha beta"))
+    val out = java.nio.file.Files.createTempDirectory("graft_slm_out_").toString + "/lm"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_slm_ckpt_").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingLmMaintain(
+      input.toDS().toDF("doc_id", "text"), TextOps.lmModel(docs), out, ckpt)
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // expected: the batch API's sequential merge, scored per arrival
+    val m1 = TextOps.lmModelMerge(TextOps.lmModel(docs), b1.toDF("doc_id", "text"))
+    val m2 = TextOps.lmModelMerge(m1, b2.toDF("doc_id", "text"))
+    val expected =
+      TextOps.lmScoreWith(m1, b1.toDF("doc_id", "text")).collect() ++
+      TextOps.lmScoreWith(m2, b2.toDF("doc_id", "text")).collect()
+    val got = spark.read.parquet(s"$out/scores").collect()
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(key(got) == key(expected), s"streamed scores diverged: ${key(got)}")
+    // the reuse actually bridged: b2's doc scores strictly higher than
+    // b1's identical text did (its bigrams now carry b1's counts)
+    assert(key(got)(9100003L)._2 > key(got)(9100001L)._2,
+      "cross-batch phrase reuse must score as seen")
+    // final snapshot ≡ full retrain over everything ever streamed
+    val retrain = TextOps.lmModel(
+      docs.unionByName((b1 ++ b2).toDF("doc_id", "text")))
+    def biSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(biSet(spark.read.parquet(s"$out/bigrams")) == biSet(retrain.bigrams),
+      "final bigram snapshot must equal the full retrain")
+    assert(spark.read.parquet(s"$out/vocab").collect().map(_.getString(0)).toSet ==
+      retrain.vocab.collect().map(_.getString(0)).toSet)
+  }
+
   test("streaming gate verdicts equal the batch gate across a micro-batch boundary") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
