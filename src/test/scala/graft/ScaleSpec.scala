@@ -492,4 +492,40 @@ class ScaleSpec extends SparkSpec {
     assert(pkPlan.contains("BroadcastExchange"),
       s"stream base offsets must broadcast:\n${pkPlan.take(1500)}")
   }
+
+  test("r11 PQ/LM maintenance: literal-inlined encode, stored-table reads, metadata joins") {
+    import graft.engine.{SimilarityOps, Tables, TextOps}
+    val emb = Tables.embeddings(spark, sf)
+    val cb = SimilarityOps.pqCodebookFor(emb, tag = sf)
+    // q244 probe: the encode inlines the codebook as literals, so the
+    // error-stats plan is a pure map + ONE global agg — no join node
+    // of any kind (a fanout join here would be the 64x-row regression
+    // the pqEncode scaladoc warns about)
+    val stats = SimilarityOps.pqErrStats(cb, emb)
+    stats.collect()
+    val sp = stats.queryExecution.executedPlan.toString
+    assert(!sp.contains("Join"), s"encode must not join:\n${sp.take(1200)}")
+    // the drift report's baseline x probe join is m-row metadata on
+    // both sides: anything but a broadcast is a plan bug
+    val dr = SimilarityOps.pqDrift(cb,
+      spark.read.table(SimilarityOps.ensurePqBaseline(emb, tag = sf)), emb)
+    dr.collect()
+    val dp = dr.queryExecution.executedPlan.toString
+    assert(!dp.contains("SortMergeJoin"),
+      s"metadata join must never sort-merge:\n${dp.take(1200)}")
+    // q245: with the model served from the persisted tables, a merge +
+    // score touches the BATCH text and the lm_* catalog tables only —
+    // zero refits (lmFits flat) and the scan set says so
+    val stored = TextOps.lmModelFor(Tables.documents(spark, sf), tag = sf)
+    val fits0 = TextOps.lmFits
+    val batch = Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(17)) === 3)
+      .select((col("doc_id") + lit(5000000L)).as("doc_id"), col("text"))
+    val scored = TextOps.lmScoreWith(TextOps.lmModelMerge(stored, batch), batch)
+    scored.collect()
+    assert(TextOps.lmFits == fits0, "incremental merge+score must not refit the model")
+    val mp = scored.queryExecution.executedPlan.toString
+    assert(mp.contains(TextOps.lmTableName("bi", sf)),
+      s"merge must read the persisted bigram table:\n${mp.take(1200)}")
+  }
 }
