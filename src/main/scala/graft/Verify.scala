@@ -57,7 +57,8 @@ object Verify {
     // fits after either query ran.)
     if (selected.contains("q67_ivf_topk") || selected.contains("q121_ivf_list_stats") ||
         selected.contains("q212_index_coverage") || selected.contains("q221_ivf_purity") ||
-        selected.contains("q235_ivf_incremental"))
+        selected.contains("q235_ivf_incremental") ||
+        selected.contains("q246_semantic_probe"))
       graft.engine.SimilarityOps.dumpIvfOracle(
         graft.engine.Tables.embeddings(spark, sfDir), tag = sfDir)
     // Same contract for the PQ codebook: the q241/q242 oracles replay

@@ -376,6 +376,60 @@ object SimilarityOps {
       .orderBy(col("list_id"))
   }
 
+  /** INCREMENTAL semantic dedup — q109's batch-vs-stored contract
+    * applied to the EMBEDDING artifact: each new vector probes the
+    * STORED IVF index for its nearest stored neighbors and gets a
+    * dup verdict (best cosine ≥ threshold), without the corpus ever
+    * re-clustering, re-scanning, or pairing batch×batch. An ingest
+    * tick runs this BEFORE [[ivfIncrementalAppend]]: verdict first,
+    * then only keepers join the index.
+    *
+    * Plan/scale shape: the batch ranks the BROADCAST centroid frame
+    * (nLists rows) and probes its top `nProbe` lists; candidates come
+    * from one join of the probe frame against the bucketed assignment
+    * table — with the catalog-backed index the literal list_id set
+    * prunes the scan to nProbe/nLists of the corpus, and no stored
+    * vector enters a shuffle (the batch side broadcasts — it is an
+    * ingest tick, bounded by construction; for a backfill-sized batch
+    * run the q63 full semantic dedup instead). Exact cosine verifies
+    * every candidate, so precision is exact; recall is the IVF
+    * bound — a dup hiding in an unprobed list is the nProbe knob's
+    * standard trade, measured corpus-wide by q242/q67 recall reports.
+    * Raw IEEE scores, (score desc, vec_id) tie-break — the oracle
+    * replays the whole probe from the dumped index state (the q67
+    * CTE chain). */
+  def ivfSemanticProbe(index: IvfIndex, batch: DataFrame,
+                       nProbe: Int = 4, threshold: Double = 0.95): DataFrame = {
+    val b = withVec(batch)
+      .select(col("vec_id").as("b_id"), col("vec").as("b_vec"),
+        col("norm").as("b_norm"))
+    val qd = b.crossJoin(broadcast(index.centers))
+      .withColumn("d2",
+        expr("aggregate(zip_with(b_vec, centroid, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+    val wProbe = Window.partitionBy(col("b_id")).orderBy(col("d2"), col("c_list_id"))
+    val probes = qd.withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("b_id"), col("b_vec"), col("b_norm"),
+        col("c_list_id").as("list_id"))
+    val cand = index.assigned.join(broadcast(probes), Seq("list_id"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(b_vec, vec, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("score", col("dot") / (col("b_norm") * col("norm")))
+    val wBest = Window.partitionBy(col("b_id")).orderBy(col("score").desc, col("vec_id"))
+    val summary = cand.withColumn("rn", row_number().over(wBest))
+      .groupBy(col("b_id"))
+      .agg(count(lit(1)).as("n_cand"),
+        max(when(col("rn") === 1, col("vec_id"))).as("best_match"),
+        max(when(col("rn") === 1, col("score"))).as("best_score"))
+    b.select(col("b_id"))
+      .join(summary, Seq("b_id"), "left_outer")
+      .select(col("b_id").as("vec_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("best_match"), col("best_score"),
+        coalesce(col("best_score") >= lit(threshold), lit(false)).as("is_dup"))
+      .orderBy(col("vec_id"))
+  }
+
   /** IVF (inverted-file) ANN — the second scale path beside LSH: the
     * coarse quantizer assigns every vector to one of nLists inverted
     * lists; each query probes only its `nProbe` nearest centroids and

@@ -4412,6 +4412,67 @@ object Catalog {
              |FROM r CROSS JOIN t CROSS JOIN nl
              |ORDER BY list_id""".stripMargin)),
 
+    // INCREMENTAL semantic dedup: new vectors probe the STORED IVF
+    // index (broadcast centroid ranking → nProbe list pruning → exact
+    // in-list cosine) for a dup verdict — never re-clustering or
+    // re-scanning the corpus, never pairing batch×batch. The batch
+    // keeps both branches live: %14==3 vectors are EXACT COPIES of
+    // stored vectors (dup, best_score ~1 against their original),
+    // %14==10 are reversed (novel). Oracle replays the whole probe
+    // from the dumped index state — the q67 CTE chain with the batch
+    // as the query side.
+    QuerySpec(
+      "q246_semantic_probe",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit, pmod, reverse, when}
+        val emb = Tables.embeddings(s, dir)
+        val batch = emb.filter(pmod(col("vec_id"), lit(14)).isin(3, 10))
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+            when(pmod(col("vec_id"), lit(14)) === 3, col("embedding"))
+              .otherwise(reverse(col("embedding"))).as("embedding"))
+        SimilarityOps.ivfSemanticProbe(
+          SimilarityOps.ivfIndexFor(emb, tag = dir), batch)
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+             |  FROM embeddings),
+             |assign AS (
+             |  SELECT vec_id, list_id FROM read_parquet('/tmp/graft_ivf_oracle/assign/*.parquet')),
+             |centers AS (
+             |  SELECT c_list_id, CAST(centroid AS DOUBLE[]) AS c FROM read_parquet('/tmp/graft_ivf_oracle/centers/*.parquet')),
+             |b AS (
+             |  SELECT vec_id + 1000000 AS bid,
+             |         CASE WHEN vec_id % 14 = 3 THEN CAST(embedding AS DOUBLE[])
+             |              ELSE list_reverse(CAST(embedding AS DOUBLE[])) END AS be
+             |  FROM embeddings WHERE vec_id % 14 IN (3, 10)),
+             |bn AS (SELECT bid, be, sqrt(list_inner_product(be, be)) AS bnorm FROM b),
+             |qd AS (
+             |  SELECT bid, be, bnorm, c_list_id,
+             |         list_sum(list_transform(list_zip(be, c), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM bn CROSS JOIN centers),
+             |probes AS (
+             |  SELECT bid, be, bnorm, c_list_id AS list_id
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY bid ORDER BY d2, c_list_id) AS pr FROM qd)
+             |  WHERE pr <= 4),
+             |cand AS (
+             |  SELECT p.bid, v.vec_id,
+             |         list_inner_product(p.be, v.e) / (p.bnorm * v.nrm) AS score
+             |  FROM probes p JOIN assign a ON p.list_id = a.list_id
+             |                JOIN v ON v.vec_id = a.vec_id),
+             |r AS (SELECT bid, vec_id, score,
+             |             row_number() OVER (PARTITION BY bid ORDER BY score DESC, vec_id) AS rn
+             |      FROM cand),
+             |sm AS (SELECT bid, CAST(COUNT(*) AS BIGINT) AS n_cand,
+             |              MAX(CASE WHEN rn = 1 THEN vec_id END) AS best_match,
+             |              MAX(CASE WHEN rn = 1 THEN score END) AS best_score
+             |       FROM r GROUP BY bid)
+             |SELECT bn.bid AS vec_id, COALESCE(n_cand, 0) AS n_cand,
+             |       best_match, best_score,
+             |       COALESCE(best_score >= 0.95, FALSE) AS is_dup
+             |FROM bn LEFT JOIN sm ON sm.bid = bn.bid
+             |ORDER BY vec_id""".stripMargin)),
+
     // Product quantization ENCODE off the persisted codebook: each
     // vector's 4 sub-codes (d2 argmin, code breaks ties) + the exact
     // reconstruction error, summed in pinned subspace order. The

@@ -424,6 +424,37 @@ class SimilarityMultimodalSpec extends SparkSpec {
     fix.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) <= r.getLong(2)))
   }
 
+  test("incremental semantic probe: a stored copy flags dup to its original, a novel vector does not") {
+    import spark.implicits._
+    val idx = SimilarityOps.ivfIndexFor(emb, tag = sf)
+    val builds0 = SimilarityOps.indexBuilds
+    val proto = emb.filter(col("vec_id") === 7).collect()(0)
+      .getSeq[Float](1).toArray
+    val batch = Seq(
+      (7000001L, proto),            // exact copy of stored vec 7
+      (7000002L, proto.reverse))    // novel direction
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.ivfSemanticProbe(idx, batch).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.get(2), Option(r.get(3)).map(_ => r.getDouble(3)),
+          r.getBoolean(4)))).toMap
+    assert(SimilarityOps.indexBuilds == builds0, "probe must never refit the index")
+    val (nCand, bestMatch, bestScore, isDup) = got(7000001L)
+    assert(isDup && bestMatch == 7L && bestScore.get > 0.999,
+      s"stored copy must flag dup to its original: ${got(7000001L)}")
+    assert(nCand > 0L && nCand < emb.count(),
+      "candidates must come from probed lists only, not the whole corpus")
+    assert(!got(7000002L)._4 && got(7000002L)._3.get < 0.95,
+      s"novel vector must pass: ${got(7000002L)}")
+    // verdict-first composition: only the keeper joins the index
+    val keepers = batch.join(
+      SimilarityOps.ivfSemanticProbe(idx, batch).filter(!col("is_dup"))
+        .select(col("vec_id")), Seq("vec_id"), "left_semi")
+    val report = SimilarityOps.ivfIncrementalAppend(idx, keepers).collect()
+    assert(report.map(_.getLong(2)).sum == 1L,
+      "exactly the non-dup keeper appends to the index")
+  }
+
   test("PQ drift: identical batch holds, a localized shift fires refit on its subspace only") {
     import spark.implicits._
     val centers = Seq(
