@@ -606,6 +606,55 @@ object StreamOps {
       }
       .start()
 
+  /** STREAMING semantic dedup — the live verdict-first ingest loop
+    * over the stored IVF index (q246 + q235 composed per tick): each
+    * micro-batch of new vectors probes the CURRENT index for a dup
+    * verdict ([[SimilarityOps.ivfSemanticProbe]], append-only verdict
+    * sink), and only the KEEPERS assign to their stored list and join
+    * the carried index — so a later batch's copy of an earlier
+    * batch's keeper IS flagged, countable only through the grown
+    * state (the cross-boundary case StreamingSpec plants). Dups never
+    * enter the index; the quantizer is never re-fit.
+    *
+    * Scale: per micro-batch cost is the q246 probe bound (batch ×
+    * probed lists) + a batch-sized assignment append; the (vec_id,
+    * list_id) snapshot rewrite is assignment-sized — the same cadence
+    * as the persisted table a maintenance job would append to.
+    * Durable state is the snapshot, not executor memory: after a
+    * restart, rebuild the index frame from `outPath/assign` joined to
+    * the vector store. */
+  def streamingSemanticDedup(vectors: DataFrame, stored: SimilarityOps.IvfIndex,
+                             outPath: String, checkpointDir: String): StreamingQuery = {
+    val cols = Seq(col("vec_id"), col("vec"), col("norm"), col("list_id"))
+    var index = SimilarityOps.IvfIndex(
+      stored.assigned.select(cols: _*).localCheckpoint(false),
+      stored.centers, stored.nLists)
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint(false) // probe + keeper assign
+          val verdicts = SimilarityOps.ivfSemanticProbe(index, b)
+            .localCheckpoint(false) // verdict write + keeper semi-join
+          verdicts.write.mode("append").parquet(s"$outPath/verdicts")
+          val keepers = b.join(
+            verdicts.filter(!col("is_dup")).select(col("vec_id")),
+            Seq("vec_id"), "left_semi")
+          val grown = index.assigned.unionByName(
+            SimilarityOps.withVec(keepers)
+              .join(SimilarityOps.ivfIncrementalAssign(index, keepers), "vec_id")
+              .select(cols: _*))
+            .localCheckpoint(false) // next probe + snapshot write
+          index = SimilarityOps.IvfIndex(grown, index.centers, index.nLists)
+          grown.select(col("vec_id"), col("list_id"))
+            .write.mode("overwrite").parquet(s"$outPath/assign")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** STREAMING corpus-card maintenance — the live twin of
     * [[CorpusOps.corpusCardIncremental]] (q243), in the
     * [[streamingEntityResolution]] shape: each micro-batch of

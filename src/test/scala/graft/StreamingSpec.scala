@@ -733,6 +733,49 @@ class StreamingSpec extends SparkSpec {
       "cross-batch dup counted through the GROWN fingerprint store")
   }
 
+  test("streaming semantic dedup flags a copy of an earlier batch's keeper through the grown index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{SimilarityOps, StreamOps, Tables}
+    val emb = Tables.embeddings(spark, sf)
+    def vecOf(id: Long): Array[Float] = emb.filter(col("vec_id") === id)
+      .collect()(0).getSeq[Float](1).toArray
+    val novelA = vecOf(3L).reverse   // novel vs the corpus (low cosine)
+    val novelB = vecOf(10L).reverse  // novel vs corpus AND vs novelA
+    // b1: one novel keeper + one copy of a STORED vector; b2: a copy
+    // of b1's keeper — a dup only through the grown index — + a novel
+    val b1 = Seq((9200001L, novelA), (9200002L, vecOf(5L)))
+    val b2 = Seq((9200003L, novelA), (9200004L, novelB))
+    val out = java.nio.file.Files.createTempDirectory("graft_ssd_out_").toString + "/sd"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssd_ckpt_").toString
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.streamingSemanticDedup(
+      input.toDS().toDF("vec_id", "embedding"),
+      SimilarityOps.ivfIndexFor(emb, tag = sf), out, ckpt)
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val v = spark.read.parquet(s"$out/verdicts").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(4),
+        Option(r.get(2)).map(_ => r.getLong(2))))).toMap
+    assert(!v(9200001L)._1, s"novel keeper must pass: ${v(9200001L)}")
+    assert(v(9200002L) == ((true, Some(5L))),
+      s"stored copy must flag dup to its original: ${v(9200002L)}")
+    assert(v(9200003L) == ((true, Some(9200001L))),
+      s"cross-batch copy must flag dup to the earlier KEEPER: ${v(9200003L)}")
+    assert(!v(9200004L)._1, s"second novel must pass: ${v(9200004L)}")
+    // index grew by exactly the two keepers; dups never entered
+    val assignedIds = spark.read.parquet(s"$out/assign")
+      .collect().map(_.getLong(0)).toSet
+    assert(assignedIds.contains(9200001L) && assignedIds.contains(9200004L))
+    assert(!assignedIds.contains(9200002L) && !assignedIds.contains(9200003L))
+    assert(assignedIds.size == emb.count().toInt + 2)
+  }
+
   test("streaming LM maintenance tracks the sequential merge across a novel-phrase boundary") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
