@@ -106,6 +106,57 @@ object CorpusOps {
       .orderBy(col("stage"))
   }
 
+  /** INCREMENTAL ingest funnel (q247) — [[curationFunnel]]'s per-tick
+    * form: a new batch flows through the incremental curation stages,
+    * each probing a STORED artifact instead of re-scanning the
+    * corpus, and the report prices what the tick admitted:
+    *
+    *   0 input → 1 exact (batch-internal keeper + anti-join against
+    *   the stored fingerprint space — [[DedupOps.incrementalExactDedup]])
+    *   → 2 quality gate ([[TextOps.repetitionRuleFilter]], per-doc
+    *   pure) → 3 near-dup against the STORED sketch table
+    *   ([[DedupOps.incrementalNearDedupFromSigs]] — q109's probe).
+    *
+    * Per-tick cost: batch-sized scans + one fp anti-join + the banded
+    * sketch probe; the stored corpus text is never read. The verdict
+    * set is computed for the FULL batch (bucket caps must see the
+    * batch q109 sees, keeping the replayed oracle bit-exact) and
+    * intersected per stage; a throughput-tuned production variant
+    * would semi-join the probe input down to gate survivors first.
+    * Token pricing uses the q66 piece estimate, the same relation
+    * every stage rollup reads (one checkpointed scan). */
+  def ingestFunnel(stored: DataFrame, storedSigs: DataFrame,
+                   batch: DataFrame, batchSigs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = batch.select(col("doc_id"),
+      size(expr(s"regexp_extract_all(text, '${TextOps.pieceRe}', 0)"))
+        .cast("long").as("n_toks"))
+      .localCheckpoint(false) // every stage rollup reads it
+    val exactKeep = DedupOps.incrementalExactDedup(stored, batch)
+      .select(col("doc_id"))
+    val gateKeep = exactKeep
+      .join(TextOps.repetitionRuleFilter(batch)
+        .filter(col("kept")).select(col("doc_id")), "doc_id")
+    val ndKeep = gateKeep
+      .join(DedupOps.incrementalNearDedupFromSigs(
+          batch.select(col("doc_id")), batchSigs, storedSigs)
+        .filter(col("kept")).select(col("doc_id")), "doc_id")
+    def stage(i: Int, name: String, ids: DataFrame): DataFrame =
+      ids.join(toks, "doc_id")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+             coalesce(sum(col("n_toks")), lit(0L)).cast("long").as("n_tokens"))
+        .select(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("n_tokens"))
+    val w = Window.orderBy(col("stage")) // 4 rows — a free window
+    stage(0, "input", batch.select(col("doc_id")))
+      .unionByName(stage(1, "exact_vs_stored", exactKeep))
+      .unionByName(stage(2, "quality_gate", gateKeep))
+      .unionByName(stage(3, "near_dup_vs_stored", ndKeep))
+      .withColumn("n_dropped",
+        coalesce(lag(col("n_docs"), 1).over(w) - col("n_docs"), lit(0L)))
+      .orderBy(col("stage"))
+  }
+
   /** Sequence packing — the concat-and-chunk step that turns a
     * curated corpus into fixed-length training sequences: documents
     * are concatenated in stream order and cut into `seqLen`-token

@@ -3659,6 +3659,25 @@ object Catalog {
       (s, dir) => CorpusOps.curationFunnel(Tables.documents(s, dir)),
       Some(q220OracleSql)),
 
+    // q220's per-tick form: the batch flows through the INCREMENTAL
+    // curation stages — exact vs the stored fingerprint space, the
+    // per-doc quality gate, and the q109 near-dup probe of the stored
+    // sketch table — and the report prices what the tick admitted.
+    // The stored corpus text is never read; the oracle replays every
+    // stage including the full embedded q109 minhash chain.
+    QuerySpec(
+      "q247_ingest_funnel",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val docs = Tables.documents(s, dir)
+        val sk = SketchShared.sketches(s, dir)
+          .filter(col("sig").isNotNull).select(col("doc_id"), col("sig"))
+        CorpusOps.ingestFunnel(
+          docs.filter(col("doc_id") < 450), sk.filter(col("doc_id") < 450),
+          docs.filter(col("doc_id") >= 450), sk.filter(col("doc_id") >= 450))
+      },
+      Some(q247OracleSql)),
+
     // incremental-refresh work list: full-outer fingerprint diff of
     // the current snapshot vs a deterministic prior one — only the
     // added/changed/removed rows survive (the rows a refresh must
@@ -5463,6 +5482,65 @@ object Catalog {
        |  UNION ALL
        |  SELECT 4, 'decontam', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_toks) AS BIGINT)
        |  FROM dk JOIN pieces USING (doc_id))
+       |SELECT CAST(stage AS BIGINT) AS stage, stage_name, n_docs, n_tokens,
+       |       CAST(COALESCE(lag(n_docs) OVER (ORDER BY stage) - n_docs, 0) AS BIGINT) AS n_dropped
+       |FROM st ORDER BY stage""".stripMargin
+
+  /** q247 oracle — the incremental ingest funnel replayed stage by
+    * stage: batch-internal exact keeper + stored-fingerprint
+    * anti-membership, the q114 gate verdict over the batch, and the
+    * FULL q109 near-dup probe embedded as a subquery (its own WITH
+    * chain replays the minhash/band arithmetic bit-exact, bucket caps
+    * included — which is why the engine computes verdicts for the
+    * full batch before intersecting). */
+  private def q247OracleSql: String =
+    s"""WITH pieces AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_toks
+       |  FROM documents WHERE doc_id >= 450),
+       |bek AS (SELECT doc_id FROM (
+       |          SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
+       |                 md5(text) AS fp
+       |          FROM documents WHERE doc_id >= 450)
+       |        WHERE doc_id = keeper
+       |          AND fp NOT IN (SELECT md5(text) FROM documents WHERE doc_id < 450)),
+       |t114 AS (SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS tt,
+       |                string_split(text, '. ') AS sentences
+       |         FROM documents WHERE doc_id >= 450),
+       |sig AS (SELECT doc_id, CAST(len(tt) AS BIGINT) AS n_tokens,
+       |          (CAST(len(list_distinct(tt)) AS DOUBLE) / len(tt)) AS distinct_ratio,
+       |          (CAST(list_max(list_transform(list_distinct(tt), x -> len(list_filter(tt, y -> y = x)))) AS DOUBLE) / len(tt)) AS top_tok_share,
+       |          (CAST(len(sentences) - len(list_distinct(sentences)) AS DOUBLE) / GREATEST(len(sentences), 1)) AS dup_sentence_frac
+       |        FROM t114 WHERE len(tt) > 0),
+       |vv AS (SELECT d.doc_id,
+       |         CASE WHEN COALESCE(s.n_tokens, 0) < 5 THEN 'too_short'
+       |              WHEN s.dup_sentence_frac > 0.30 THEN 'dup_sentences'
+       |              WHEN s.top_tok_share > 0.20 THEN 'top_token'
+       |              WHEN s.distinct_ratio < 0.30 THEN 'low_diversity'
+       |              ELSE 'keep' END AS verdict
+       |       FROM (SELECT doc_id FROM documents WHERE doc_id >= 450) d
+       |       LEFT JOIN sig s ON d.doc_id = s.doc_id),
+       |gk AS (SELECT bek.doc_id FROM bek JOIN vv ON vv.doc_id = bek.doc_id
+       |       WHERE vv.verdict = 'keep'),
+       |nd AS (SELECT doc_id FROM ($q109OracleSql) WHERE kept),
+       |ndk AS (SELECT gk.doc_id FROM gk JOIN nd ON nd.doc_id = gk.doc_id),
+       |st AS (
+       |  SELECT 0 AS stage, 'input' AS stage_name,
+       |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS n_tokens
+       |  FROM pieces
+       |  UNION ALL
+       |  SELECT 1, 'exact_vs_stored', CAST(COUNT(*) AS BIGINT),
+       |         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT)
+       |  FROM bek JOIN pieces USING (doc_id)
+       |  UNION ALL
+       |  SELECT 2, 'quality_gate', CAST(COUNT(*) AS BIGINT),
+       |         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT)
+       |  FROM gk JOIN pieces USING (doc_id)
+       |  UNION ALL
+       |  SELECT 3, 'near_dup_vs_stored', CAST(COUNT(*) AS BIGINT),
+       |         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT)
+       |  FROM ndk JOIN pieces USING (doc_id))
        |SELECT CAST(stage AS BIGINT) AS stage, stage_name, n_docs, n_tokens,
        |       CAST(COALESCE(lag(n_docs) OVER (ORDER BY stage) - n_docs, 0) AS BIGINT) AS n_dropped
        |FROM st ORDER BY stage""".stripMargin

@@ -602,6 +602,34 @@ class TextDedupSpec extends SparkSpec {
     assert(viaModel == inline, "stored-model scoring ≡ inline corpus scoring")
   }
 
+  test("ingest funnel: every incremental stage drops its planted offender") {
+    import spark.implicits._
+    val stored = docs.filter(col("doc_id") < 450)
+    val storedText = stored.orderBy(col("doc_id")).limit(1)
+      .collect()(0).getString(1)
+    val near = docs.filter(col("doc_id") === 10L)
+      .collect()(0).getString(1) + " tail"
+    val batch = Seq(
+      (9000001L, storedText),                 // exact copy of STORED → stage 1
+      (9000002L, "unique solid document with plenty of distinct words here"),
+      (9000003L, "unique solid document with plenty of distinct words here"), // batch-internal dup → stage 1
+      (9000004L, "spam spam spam spam spam spam"), // top-token gate → stage 2
+      (9000005L, near))                       // near-dup of stored doc 10 → stage 3
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val got = CorpusOps.ingestFunnel(
+        stored, DedupOps.minhashSignatures(stored),
+        batch, DedupOps.minhashSignatures(batch)).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(got(0L) == (("input", 5L, 0L)))
+    assert(got(1L) == (("exact_vs_stored", 3L, 2L)),
+      s"stored copy AND batch-internal dup must drop: ${got(1L)}")
+    assert(got(2L) == (("quality_gate", 2L, 1L)),
+      s"the repetition doc must drop: ${got(2L)}")
+    assert(got(3L) == (("near_dup_vs_stored", 1L, 1L)),
+      s"the stored near-dup must drop: ${got(3L)}")
+  }
+
   test("boilerplate report surfaces the stamped template at the top") {
     import spark.implicits._
     val footer = "contact support for help"  // 4 tokens -> 2 3-grams
