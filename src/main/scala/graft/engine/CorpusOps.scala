@@ -112,7 +112,8 @@ object CorpusOps {
     * corpus, and the report prices what the tick admitted:
     *
     *   0 input → 1 exact (batch-internal keeper + anti-join against
-    *   the stored fingerprint space — [[DedupOps.incrementalExactDedup]])
+    *   the stored FINGERPRINT STORE — [[DedupOps.fingerprintStore]]'s
+    *   shape, so stored text is never re-hashed)
     *   → 2 quality gate ([[TextOps.repetitionRuleFilter]], per-doc
     *   pure) → 3 near-dup against the STORED sketch table
     *   ([[DedupOps.incrementalNearDedupFromSigs]] — q109's probe).
@@ -125,22 +126,21 @@ object CorpusOps {
     * would semi-join the probe input down to gate survivors first.
     * Token pricing uses the q66 piece estimate, the same relation
     * every stage rollup reads (one checkpointed scan). */
-  def ingestFunnel(stored: DataFrame, storedSigs: DataFrame,
-                   batch: DataFrame, batchSigs: DataFrame): DataFrame = {
+  def ingestFunnel(storedFps: DataFrame, storedSigs: DataFrame,
+                   batch: DataFrame, batchSigs: DataFrame): DataFrame =
+    ingestReport(batch, ingestStages(storedFps, storedSigs, batch, batchSigs))
+
+  /** The q220-shaped attrition rollup over a stage triple — split
+    * from [[ingestFunnel]] so [[StreamOps.streamingIngestTick]] can
+    * report AND grow its stores from one stage computation. */
+  private[engine] def ingestReport(batch: DataFrame,
+      stages: (DataFrame, DataFrame, DataFrame)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = batch.select(col("doc_id"),
       size(expr(s"regexp_extract_all(text, '${TextOps.pieceRe}', 0)"))
         .cast("long").as("n_toks"))
       .localCheckpoint(false) // every stage rollup reads it
-    val exactKeep = DedupOps.incrementalExactDedup(stored, batch)
-      .select(col("doc_id"))
-    val gateKeep = exactKeep
-      .join(TextOps.repetitionRuleFilter(batch)
-        .filter(col("kept")).select(col("doc_id")), "doc_id")
-    val ndKeep = gateKeep
-      .join(DedupOps.incrementalNearDedupFromSigs(
-          batch.select(col("doc_id")), batchSigs, storedSigs)
-        .filter(col("kept")).select(col("doc_id")), "doc_id")
+    val (exactKeep, gateKeep, ndKeep) = stages
     def stage(i: Int, name: String, ids: DataFrame): DataFrame =
       ids.join(toks, "doc_id")
         .agg(count(lit(1)).cast("long").as("n_docs"),
@@ -155,6 +155,34 @@ object CorpusOps {
       .withColumn("n_dropped",
         coalesce(lag(col("n_docs"), 1).over(w) - col("n_docs"), lit(0L)))
       .orderBy(col("stage"))
+  }
+
+  /** The funnel's keeper sets, one frame per stage — shared by the
+    * report rollup above and by [[StreamOps.streamingIngestTick]],
+    * which needs the final stage's IDS to grow the carried stores.
+    * `storedFps` is any frame with an `fp_md5` column
+    * ([[DedupOps.fingerprintStore]]'s shape): probing the store
+    * instead of re-hashing stored text is what makes the exact stage
+    * batch-bounded. */
+  private[engine] def ingestStages(storedFps: DataFrame, storedSigs: DataFrame,
+                                   batch: DataFrame, batchSigs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val exactKeep = batch
+      .withColumn("fp_md5", md5(col("text")))
+      .withColumn("keeper",
+        min(col("doc_id")).over(Window.partitionBy(col("fp_md5"))))
+      .filter(col("doc_id") === col("keeper"))
+      .join(storedFps.select(col("fp_md5")), Seq("fp_md5"), "left_anti")
+      .select(col("doc_id"))
+    val gateKeep = exactKeep
+      .join(TextOps.repetitionRuleFilter(batch)
+        .filter(col("kept")).select(col("doc_id")), "doc_id")
+    val ndKeep = gateKeep
+      .join(DedupOps.incrementalNearDedupFromSigs(
+          batch.select(col("doc_id")), batchSigs, storedSigs)
+        .filter(col("kept")).select(col("doc_id")), "doc_id")
+    (exactKeep, gateKeep, ndKeep)
   }
 
   /** Sequence packing — the concat-and-chunk step that turns a

@@ -606,6 +606,53 @@ object StreamOps {
       }
       .start()
 
+  /** STREAMING ingest tick — q247 live: each micro-batch of documents
+    * flows through the incremental funnel (exact vs the carried
+    * fingerprint store → quality gate → near-dup vs the carried
+    * sketch store), the per-tick attrition report appends to
+    * `outPath/funnel` (tick-stamped), and ONLY the admitted docs grow
+    * both stores — so a later batch's copy or near-dup of an earlier
+    * batch's keeper is dropped through the grown state (the
+    * cross-boundary cases StreamingSpec plants), while rejected docs
+    * never pollute the stores. One stage computation per tick serves
+    * both the report and the growth ([[CorpusOps.ingestStages]] /
+    * [[CorpusOps.ingestReport]]).
+    *
+    * Scale: per-tick cost is the q247 bound — batch-sized scans, one
+    * fp anti-join, the banded sketch probe; snapshots are store-sized.
+    * Durable state is the two snapshots, not executor memory: after a
+    * restart, reconstruct from `outPath/fps` and `outPath/sigs`. */
+  def streamingIngestTick(batchDocs: DataFrame, storedFps: DataFrame,
+                          storedSigs: DataFrame, outPath: String,
+                          checkpointDir: String): StreamingQuery = {
+    var fps = storedFps.select(col("fp_md5")).localCheckpoint(false)
+    var sigs = storedSigs.localCheckpoint(false)
+    batchDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, tick: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint(false) // stages + report + fp growth
+          val bSigs = DedupOps.minhashSignatures(b).localCheckpoint(false)
+          val (exactKeep, gateKeep, ndKeep0) =
+            CorpusOps.ingestStages(fps, sigs, b, bSigs)
+          val admitted = ndKeep0.localCheckpoint(false) // report + both growths
+          CorpusOps.ingestReport(b, (exactKeep, gateKeep, admitted))
+            .withColumn("tick", lit(tick))
+            .write.mode("append").parquet(s"$outPath/funnel")
+          fps = fps.unionByName(
+              b.join(admitted, "doc_id").select(md5(col("text")).as("fp_md5")))
+            .distinct().localCheckpoint(false)
+          sigs = sigs.unionByName(bSigs.join(admitted, "doc_id"))
+            .localCheckpoint(false)
+          fps.write.mode("overwrite").parquet(s"$outPath/fps")
+          sigs.write.mode("overwrite").parquet(s"$outPath/sigs")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** STREAMING semantic dedup — the live verdict-first ingest loop
     * over the stored IVF index (q246 + q235 composed per tick): each
     * micro-batch of new vectors probes the CURRENT index for a dup

@@ -3673,7 +3673,8 @@ object Catalog {
         val sk = SketchShared.sketches(s, dir)
           .filter(col("sig").isNotNull).select(col("doc_id"), col("sig"))
         CorpusOps.ingestFunnel(
-          docs.filter(col("doc_id") < 450), sk.filter(col("doc_id") < 450),
+          DedupOps.fingerprintStore(docs.filter(col("doc_id") < 450)),
+          sk.filter(col("doc_id") < 450),
           docs.filter(col("doc_id") >= 450), sk.filter(col("doc_id") >= 450))
       },
       Some(q247OracleSql)),

@@ -733,6 +733,64 @@ class StreamingSpec extends SparkSpec {
       "cross-batch dup counted through the GROWN fingerprint store")
   }
 
+  test("streaming ingest tick drops copies and near-dups of earlier keepers through the grown stores") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{CorpusOps, DedupOps, StreamOps, Tables}
+    val docs = Tables.documents(spark, sf)
+    val k = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "wandering minstrels play quiet evening songs near the river"
+    val b1 = Seq(
+      (9300001L, k),
+      (9300002L, "completely different second document with many varied " +
+        "interesting words about mountains and weather patterns"))
+    val b2 = Seq(
+      (9300003L, k),            // exact copy of b1's keeper → exact stage
+      (9300004L, k + " tail"),  // near-dup of b1's keeper → sketch stage
+      (9300005L, "yet another entirely distinct text mentioning oceans " +
+        "satellites and ancient library archives"))
+    val out = java.nio.file.Files.createTempDirectory("graft_sit_out_").toString + "/it"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sit_ckpt_").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingIngestTick(
+      input.toDS().toDF("doc_id", "text"),
+      DedupOps.fingerprintStore(docs), DedupOps.minhashSignatures(docs),
+      out, ckpt)
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val f = spark.read.parquet(s"$out/funnel").collect()
+      .map(r => (r.getAs[Long]("tick"), r.getAs[Long]("stage")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_dropped")))).toMap
+    assert(f((0L, 0L)) == ((2L, 0L)) && f((0L, 3L)) == ((2L, 0L)),
+      s"tick 0 admits both fresh docs: $f")
+    assert(f((1L, 0L)) == ((3L, 0L)))
+    assert(f((1L, 1L)) == ((2L, 1L)),
+      s"the copy of tick 0's keeper must drop at the EXACT stage: $f")
+    assert(f((1L, 3L)) == ((1L, 1L)),
+      s"the near-dup of tick 0's keeper must drop at the SKETCH stage: $f")
+    // stores grew by exactly the three admitted docs
+    val baseFps = DedupOps.fingerprintStore(docs).count()
+    assert(spark.read.parquet(s"$out/fps").count() == baseFps + 3)
+    assert(spark.read.parquet(s"$out/sigs").count() ==
+      DedupOps.minhashSignatures(docs).count() + 3)
+    // and the per-tick reports equal the batch API run sequentially
+    val fps1 = DedupOps.fingerprintStore(docs)
+      .unionByName(DedupOps.fingerprintStore(b1.toDF("doc_id", "text")))
+      .groupBy(col("fp_md5")).agg(min(col("keeper_id")).as("keeper_id"))
+    val sigs1 = DedupOps.minhashSignatures(docs)
+      .unionByName(DedupOps.minhashSignatures(b1.toDF("doc_id", "text")))
+    val expected2 = CorpusOps.ingestFunnel(fps1, sigs1,
+        b2.toDF("doc_id", "text"), DedupOps.minhashSignatures(b2.toDF("doc_id", "text")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    (0L to 3L).foreach(st => assert(f((1L, st)) == expected2(st),
+      s"tick 1 stage $st diverged from the batch API: ${f((1L, st))} vs ${expected2(st)}"))
+  }
+
   test("streaming semantic dedup flags a copy of an earlier batch's keeper through the grown index") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -618,7 +618,7 @@ class TextDedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
     val got = CorpusOps.ingestFunnel(
-        stored, DedupOps.minhashSignatures(stored),
+        DedupOps.fingerprintStore(stored), DedupOps.minhashSignatures(stored),
         batch, DedupOps.minhashSignatures(batch)).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(4)))).toMap
     assert(got(0L) == (("input", 5L, 0L)))
