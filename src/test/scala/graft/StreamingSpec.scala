@@ -791,6 +791,49 @@ class StreamingSpec extends SparkSpec {
       s"tick 1 stage $st diverged from the batch API: ${f((1L, st))} vs ${expected2(st)}"))
   }
 
+  test("ingest tick restart: a query rebuilt from the snapshots continues the same stores") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{DedupOps, StreamOps, Tables}
+    val docs = Tables.documents(spark, sf)
+    val k = "a perfectly ordinary keeper document about winter gardening " +
+      "techniques and greenhouse ventilation schedules for cold climates"
+    val out = java.nio.file.Files.createTempDirectory("graft_rst_out_").toString + "/it"
+    val ck1 = java.nio.file.Files.createTempDirectory("graft_rst_ck1_").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_rst_ck2_").toString
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = StreamOps.streamingIngestTick(in1.toDS().toDF("doc_id", "text"),
+      DedupOps.fingerprintStore(docs), DedupOps.minhashSignatures(docs), out, ck1)
+    try { in1.addData((9400001L, k)); q1.processAllAvailable() } finally q1.stop()
+    // RESTART: a brand-new query reconstructed from the durable
+    // snapshots — the in-JVM vars are gone with q1
+    val fps = spark.read.parquet(s"$out/fps").localCheckpoint(true)
+    val sigs = spark.read.parquet(s"$out/sigs").localCheckpoint(true)
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = StreamOps.streamingIngestTick(in2.toDS().toDF("doc_id", "text"),
+      fps, sigs, out, ck2)
+    try {
+      in2.addData((9400002L, k + " extras"), (9400003L, k))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // the pre-restart keeper still guards: its exact copy drops at the
+    // exact stage, its near-dup at the sketch stage — across the
+    // restart. Both queries stamp their own tick 0, so assert on the
+    // row set (stage, counts) rather than a tick-keyed map.
+    val rows = spark.read.parquet(s"$out/funnel")
+      .select(col("stage"), col("n_docs"), col("n_dropped")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.contains((3L, 1L, 0L)),
+      s"pre-restart tick admits its keeper end-to-end: $rows")
+    assert(rows.contains((0L, 2L, 0L)) && rows.contains((1L, 1L, 1L)),
+      s"post-restart: the reloaded fp store drops the exact copy: $rows")
+    assert(rows.contains((3L, 0L, 1L)),
+      s"post-restart: the reloaded sketch store drops the near-dup: $rows")
+    assert(spark.read.parquet(s"$out/fps").count() == fps.count(),
+      "no new fingerprints: both post-restart docs were rejected")
+  }
+
   test("streaming semantic dedup flags a copy of an earlier batch's keeper through the grown index") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
