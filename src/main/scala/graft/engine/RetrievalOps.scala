@@ -65,12 +65,24 @@ object RetrievalOps {
     * ppb BIGINTs (see object doc) — exact map-side-combinable sums. */
   def bm25TopKFromIndex(postings: DataFrame, doclens: DataFrame,
                         queries: Seq[String] = defaultQueries,
-                        k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                        k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25ScorePairs(postings, doclens, queryTermPairs(queries), k, k1, b)
+
+  /** (qid, term) pairs from query strings — lowercased, per-query
+    * distinct. */
+  private def queryTermPairs(queries: Seq[String]): Seq[(Long, String)] =
+    queries.zipWithIndex.flatMap { case (q, i) =>
+      q.toLowerCase.split("\\s+").toSeq.distinct.map(t => (i.toLong, t)) }
+
+  /** The scoring half of [[bm25TopKFromIndex]] over an explicit
+    * (qid, term) pair list — split out so [[queryExpansion]] can
+    * re-retrieve with data-derived expansion terms through the same
+    * literal-pruned, ppb-exact plan. */
+  private def bm25ScorePairs(postings: DataFrame, doclens: DataFrame,
+                             terms: Seq[(Long, String)],
+                             k: Int, k1: Double, b: Double): DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
-    val terms = queries.zipWithIndex
-      .flatMap { case (q, i) => q.toLowerCase.split("\\s+").toSeq.distinct
-        .map(t => (i.toLong, t)) }
     val qterms = broadcast(terms.toDF("qid", "w"))
     // candidate-sized after the prune; checkpointed so df and the
     // score join read it once (for the inline path this also stops
@@ -101,6 +113,59 @@ object RetrievalOps {
       .filter(col("rk") <= k)
       .select(col("qid"), col("rk"), col("doc_id"), col("score_ppb"), col("n_terms"))
       .orderBy(col("qid"), col("rk"))
+  }
+
+  /** Pseudo-relevance-feedback query expansion (RM3's shape, kept
+    * transcendental-free): retrieve `fbDocs` feedback docs per query
+    * from the stored index, mine their vocabulary for the `fbTerms`
+    * most DISTINCTIVE terms — frequency lift (fb_tf/fb_len)/(df/N) as
+    * integer ppm, the q144 scoring idea — excluding the original
+    * query terms, and re-retrieve with the expanded term set. Output
+    * is the expanded ranking in the q145 shape; because the expansion
+    * choice feeds the ranking, a hash match certifies the term
+    * selection AND the re-retrieval (and, via the recompute oracle,
+    * the stored index — again).
+    *
+    * Scale shape: stage 1 is the q145 plan; the mining stage probes
+    * postings by the BROADCAST feedback doc set (queries×fbDocs rows
+    * — no postings shuffle) and df-counts only the feedback
+    * vocabulary; the expansion set is queries×fbTerms pairs — BOUNDED
+    * BY CONSTRUCTION, so collecting it into scan-pushable literals is
+    * the IVF-probe pattern, not a driver-side loop. Stage 2 is the
+    * q145 plan again with more literals. Every score is exact
+    * integer ppm/ppb. */
+  def queryExpansion(postings: DataFrame, doclens: DataFrame,
+                     queries: Seq[String] = defaultQueries,
+                     fbDocs: Int = 5, fbTerms: Int = 3, k: Int = 10,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val baseTerms = queryTermPairs(queries)
+    val fb = bm25TopKFromIndex(postings, doclens, queries, fbDocs, k1, b)
+      .select(col("qid"), col("doc_id"))
+    val fbPost = postings.join(broadcast(fb), "doc_id")
+      .groupBy(col("qid"), col("w"))
+      .agg(sum(col("tf")).cast("long").as("fb_tf"))
+      .localCheckpoint(false) // three consumers: len, candidate df, rank
+    val fbLen = fbPost.groupBy(col("qid"))
+      .agg(sum(col("fb_tf")).cast("long").as("fb_len"))
+    val dfc = postings.join(broadcast(fbPost.select(col("w")).distinct()), "w")
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("df"))
+    val corpus = doclens.agg(count(lit(1)).cast("long").as("nn"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("lift_ppm").desc, col("w"))
+    val exp = fbPost
+      .join(broadcast(baseTerms.toDF("qid", "w")), Seq("qid", "w"), "left_anti")
+      .join(fbLen, "qid").join(dfc, "w").crossJoin(broadcast(corpus))
+      .withColumn("lift_ppm",
+        floor((col("fb_tf") * col("nn")).cast("double") /
+              (col("fb_len") * col("df")).cast("double") * lit(1.0e6))
+          .cast("long"))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= fbTerms)
+      .select(col("qid"), col("w"))
+    val expTerms = exp.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    bm25ScorePairs(postings, doclens, (baseTerms ++ expTerms).distinct, k, k1, b)
   }
 
   /** Hybrid retrieval: lexical recall, semantic precision — the

@@ -2182,6 +2182,70 @@ object Catalog {
              |SELECT qid, rk, doc_id, score_ppb, n_terms FROM r WHERE rk <= 10
              |ORDER BY qid, rk""".stripMargin)),
 
+    // Pseudo-relevance-feedback query expansion: feedback docs from
+    // the stored index, distinctive-term mining (integer-ppm lift,
+    // original terms excluded), re-retrieval with the expanded set.
+    // The ranking depends on the chosen terms, so one hash match
+    // certifies selection + re-retrieval + the stored index.
+    QuerySpec(
+      "q248_query_expansion",
+      (s, dir) => RetrievalOps.queryExpansion(
+        RetrievalShared.postings(s, dir), RetrievalShared.docLengths(s, dir)),
+      Some(s"""WITH q(qid, w) AS (
+             |  VALUES (0, 'hash'), (0, 'join'), (1, 'table'), (1, 'scan'),
+             |         (2, 'stream'), (2, 'filter')),
+             |toks AS (
+             |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS w
+             |  FROM documents),
+             |tall AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+             |dl AS (SELECT doc_id,
+             |              CAST(len(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS BIGINT) AS dl
+             |       FROM documents),
+             |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
+             |tf1 AS (SELECT doc_id, w, tf FROM tall WHERE w IN (SELECT w FROM q)),
+             |dfw1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf1 GROUP BY w),
+             |s1 AS (SELECT q.qid, tf1.doc_id,
+             |              CAST(floor((((nn - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
+             |                    (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / nn))))
+             |                   * 1000000000.0) AS BIGINT) AS score_t_ppb
+             |       FROM tf1 JOIN q USING (w) JOIN dfw1 USING (w) JOIN dl USING (doc_id) CROSS JOIN c),
+             |pd1 AS (SELECT qid, doc_id, CAST(SUM(score_t_ppb) AS BIGINT) AS score_ppb
+             |        FROM s1 GROUP BY qid, doc_id),
+             |fb AS (SELECT qid, doc_id FROM (
+             |         SELECT qid, doc_id,
+             |                row_number() OVER (PARTITION BY qid ORDER BY score_ppb DESC, doc_id) AS rk
+             |         FROM pd1) WHERE rk <= 5),
+             |fbp AS (SELECT fb.qid, tall.w, CAST(SUM(tf) AS BIGINT) AS fb_tf
+             |        FROM tall JOIN fb USING (doc_id) GROUP BY 1, 2),
+             |fblen AS (SELECT qid, CAST(SUM(fb_tf) AS BIGINT) AS fb_len FROM fbp GROUP BY qid),
+             |dfc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tall
+             |        WHERE w IN (SELECT DISTINCT w FROM fbp) GROUP BY w),
+             |ex0 AS (SELECT f.qid, f.w,
+             |               CAST(floor(CAST(fb_tf * nn AS DOUBLE) / CAST(fb_len * df AS DOUBLE)
+             |                    * 1000000.0) AS BIGINT) AS lift_ppm
+             |        FROM fbp f JOIN fblen USING (qid) JOIN dfc USING (w) CROSS JOIN c
+             |        WHERE NOT EXISTS (SELECT 1 FROM q WHERE q.qid = f.qid AND q.w = f.w)),
+             |expt AS (SELECT qid, w FROM (
+             |           SELECT qid, w,
+             |                  row_number() OVER (PARTITION BY qid ORDER BY lift_ppm DESC, w) AS rk
+             |           FROM ex0) WHERE rk <= 3),
+             |q2 AS (SELECT qid, w FROM q UNION SELECT qid, w FROM expt),
+             |tf2 AS (SELECT doc_id, w, tf FROM tall WHERE w IN (SELECT w FROM q2)),
+             |dfw2 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf2 GROUP BY w),
+             |s2 AS (SELECT q2.qid, tf2.doc_id,
+             |              CAST(floor((((nn - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
+             |                    (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / nn))))
+             |                   * 1000000000.0) AS BIGINT) AS score_t_ppb
+             |       FROM tf2 JOIN q2 USING (w) JOIN dfw2 USING (w) JOIN dl USING (doc_id) CROSS JOIN c),
+             |pd2 AS (SELECT qid, doc_id, CAST(SUM(score_t_ppb) AS BIGINT) AS score_ppb,
+             |               CAST(COUNT(*) AS BIGINT) AS n_terms
+             |        FROM s2 GROUP BY qid, doc_id),
+             |r2 AS (SELECT CAST(qid AS BIGINT) AS qid, doc_id, score_ppb, n_terms,
+             |              CAST(row_number() OVER (PARTITION BY qid ORDER BY score_ppb DESC, doc_id) AS BIGINT) AS rk
+             |       FROM pd2)
+             |SELECT qid, rk, doc_id, score_ppb, n_terms FROM r2 WHERE rk <= 10
+             |ORDER BY qid, rk""".stripMargin)),
+
     // BM25 hard-negative mining: per anchor doc, top-k docs scoring
     // high on the anchor's own salient terms but OUTSIDE its near-dup
     // cluster (the positives — excluded and counted). Probes the

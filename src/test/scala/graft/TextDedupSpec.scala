@@ -1531,6 +1531,38 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("query expansion recalls a doc invisible to the base query through mined feedback terms") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "hash join hash join partition partition partition", "en", "s"),
+      (2L, "hash join partition shuffle", "en", "s"),
+      (3L, "partition partition partition rebalance", "en", "s"),
+      (4L, "the quick brown fox jumps again", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val p = RetrievalOps.bm25Postings(corpus)
+    val dl = RetrievalOps.bm25DocLengths(corpus)
+    val base = RetrievalOps.bm25TopKFromIndex(p, dl, Seq("hash join")).collect()
+    assert(!base.exists(r => r.getLong(0) == 0L && r.getLong(2) == 3L),
+      "the partition-only doc shares no term with the base query")
+    // feedback docs are d1/d2; 'partition' (fb_tf 4, df 3) out-lifts
+    // 'shuffle' (fb_tf 1, df 1): 4N/(11*3) > N/11
+    val exp = RetrievalOps.queryExpansion(p, dl, Seq("hash join"),
+        fbDocs = 2, fbTerms = 1).collect()
+      .map(r => r.getLong(2) -> ((r.getLong(1), r.getLong(4)))).toMap
+    assert(exp.contains(3L), s"expansion must recall the partition doc: $exp")
+    assert(exp(3L)._2 == 1L, "recalled via exactly the one mined term")
+    assert(exp(1L)._2 == 3L, "the feedback doc matches all three expanded terms")
+    // fixture corpus through the stored-index path: dense, monotone
+    val fix = RetrievalOps.queryExpansion(
+      RetrievalOps.bm25Postings(docs), RetrievalOps.bm25DocLengths(docs)).collect()
+    fix.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to rs.length).toSeq, s"qid $qid dense")
+      val scores = sorted.map(_.getLong(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"qid $qid monotone")
+    }
+  }
+
   test("hard negatives exclude the anchor's near-dup cluster even when it scores highest") {
     import graft.engine.RetrievalOps
     // inject a near-copy of doc 0 at id -1 (inside the demonstrator's
