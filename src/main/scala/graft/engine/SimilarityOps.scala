@@ -376,6 +376,51 @@ object SimilarityOps {
       .orderBy(col("list_id"))
   }
 
+  /** Dimension-truncation fidelity report — the matryoshka serving
+    * decision: for each candidate prefix length, rank every query's
+    * top-k by cosine over ONLY the first `d` dims and count hits
+    * inside the full-dimension exact top-k. A high-overlap prefix
+    * means the store can serve d/64ths of the vector bytes (and the
+    * scan d/64ths of the arithmetic) at known recall — the same
+    * memory ladder as int8 (q102) and PQ (q242), traded along dims
+    * instead of precision. Pure-integer output; prefix slices and
+    * pinned-order folds replay verbatim in the oracle. Audit-time
+    * cost is `dims.size + 1` bounded brute-force passes (nQueries ×
+    * corpus each) — an index-build-time job, not a query. */
+  def truncationFidelity(embeddings: DataFrame, dims: Seq[Int] = Seq(16, 32),
+                         nQueries: Int = 5, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.Column
+    val v = withVec(embeddings).select(col("vec_id"), col("vec"))
+    def topkAt(d: Option[Int]): DataFrame = {
+      val sl: Column => Column =
+        c => d.map(n => slice(c, 1, n)).getOrElse(c)
+      val q = v.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), sl(col("vec")).as("qvec"))
+        .withColumn("qnorm",
+          sqrt(expr("aggregate(qvec, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")))
+      val scored = v.select(col("vec_id"), sl(col("vec")).as("tvec"))
+        .withColumn("tnorm",
+          sqrt(expr("aggregate(tvec, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")))
+        .join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("score",
+          expr("aggregate(zip_with(qvec, tvec, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)") /
+            (col("qnorm") * col("tnorm")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select(col("qid"), col("vec_id"))
+    }
+    val exact = topkAt(None).localCheckpoint(false) // one join per dim reads it
+    dims.map { d =>
+      exact.join(topkAt(Some(d)).withColumn("hit", lit(1L)),
+          Seq("qid", "vec_id"), "left_outer")
+        .groupBy(col("qid"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"),
+             count(lit(1)).cast("long").as("k"))
+        .select(lit(d.toLong).as("dim"), col("qid"), col("n_hits"), col("k"))
+    }.reduceLeft(_.unionByName(_))
+      .orderBy(col("dim"), col("qid"))
+  }
+
   /** INCREMENTAL semantic dedup — q109's batch-vs-stored contract
     * applied to the EMBEDDING artifact: each new vector probes the
     * STORED IVF index for its nearest stored neighbors and gets a

@@ -4496,6 +4496,44 @@ object Catalog {
              |FROM r CROSS JOIN t CROSS JOIN nl
              |ORDER BY list_id""".stripMargin)),
 
+    // Matryoshka truncation fidelity: per prefix length, the top-k by
+    // prefix-dim cosine is scored against the full-dim exact top-k —
+    // the serve-fewer-bytes decision, pure integers out. Prefix
+    // slices + the q67-proven fold parity make the whole report
+    // SQL-replayable.
+    QuerySpec(
+      "q249_truncation_fidelity",
+      (s, dir) => SimilarityOps.truncationFidelity(Tables.embeddings(s, dir)),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+             |dims(d) AS (VALUES (16), (32)),
+             |ex0 AS (
+             |  SELECT qid, v.vec_id,
+             |         list_inner_product(qe, e) /
+             |         (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))) AS score
+             |  FROM v CROSS JOIN q WHERE v.vec_id <> qid),
+             |ext AS (SELECT qid, vec_id FROM (
+             |          SELECT qid, vec_id,
+             |                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+             |          FROM ex0) WHERE rn <= 10),
+             |tr0 AS (
+             |  SELECT d, qid, v.vec_id,
+             |         list_inner_product(list_slice(qe, 1, d), list_slice(e, 1, d)) /
+             |         (sqrt(list_inner_product(list_slice(qe, 1, d), list_slice(qe, 1, d))) *
+             |          sqrt(list_inner_product(list_slice(e, 1, d), list_slice(e, 1, d)))) AS score
+             |  FROM v CROSS JOIN q CROSS JOIN dims WHERE v.vec_id <> qid),
+             |trt AS (SELECT d, qid, vec_id FROM (
+             |          SELECT d, qid, vec_id,
+             |                 row_number() OVER (PARTITION BY d, qid ORDER BY score DESC, vec_id) AS rn
+             |          FROM tr0) WHERE rn <= 10)
+             |SELECT CAST(dims.d AS BIGINT) AS dim, ext.qid AS qid,
+             |       CAST(SUM(CASE WHEN trt.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+             |       CAST(COUNT(*) AS BIGINT) AS k
+             |FROM ext CROSS JOIN dims
+             |LEFT JOIN trt ON trt.d = dims.d AND trt.qid = ext.qid AND trt.vec_id = ext.vec_id
+             |GROUP BY dims.d, ext.qid
+             |ORDER BY dim, ext.qid""".stripMargin)),
+
     // INCREMENTAL semantic dedup: new vectors probe the STORED IVF
     // index (broadcast centroid ranking → nProbe list pruning → exact
     // in-list cosine) for a dup verdict — never re-clustering or

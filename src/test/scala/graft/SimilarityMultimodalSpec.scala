@@ -424,6 +424,30 @@ class SimilarityMultimodalSpec extends SparkSpec {
     fix.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) <= r.getLong(2)))
   }
 
+  test("truncation fidelity counts exactly the neighbors the prefix ranking preserves") {
+    import spark.implicits._
+    // q0=(1,0,0,0); a matches in full and prefix; b matches in full,
+    // survives the prefix; d has a PERFECT 2-dim prefix but a hostile
+    // tail — the truncated ranking admits it and evicts b
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f, 0.1f)),   // a
+      (2L, Array(0.9f, 0.1f, 0f, 0f)), // b
+      (3L, Array(0f, 1f, 5f, 5f)),     // c: far in both
+      (4L, Array(1f, 0f, -5f, 5f)))    // d: prefix-perfect, full-hostile
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.truncationFidelity(vecs, dims = Seq(2),
+        nQueries = 1, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // exact top-2 = {a, b}; prefix-2 top-2 = {a, d} (d ties a at cos 1,
+    // b is evicted) → exactly one preserved neighbor
+    assert(got((2L, 0L)) == ((1L, 2L)), s"prefix-2 must preserve exactly a: $got")
+    // fixture: full dims×queries coverage, hits bounded by k
+    val fix = SimilarityOps.truncationFidelity(emb).collect()
+    assert(fix.length == 10)
+    fix.foreach(r => assert(r.getLong(2) >= 0L && r.getLong(2) <= r.getLong(3)))
+  }
+
   test("incremental semantic probe: a stored copy flags dup to its original, a novel vector does not") {
     import spark.implicits._
     val idx = SimilarityOps.ivfIndexFor(emb, tag = sf)
