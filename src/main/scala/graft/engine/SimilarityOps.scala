@@ -445,9 +445,13 @@ object SimilarityOps {
     * CTE chain). */
   def ivfSemanticProbe(index: IvfIndex, batch: DataFrame,
                        nProbe: Int = 4, threshold: Double = 0.95): DataFrame = {
+    // three consumers (centroid ranking, candidate cosine, the final
+    // verdict join) — pin the batch-sized frame once so the plan
+    // scans the batch once, not per consumer
     val b = withVec(batch)
       .select(col("vec_id").as("b_id"), col("vec").as("b_vec"),
         col("norm").as("b_norm"))
+      .localCheckpoint(false)
     val qd = b.crossJoin(broadcast(index.centers))
       .withColumn("d2",
         expr("aggregate(zip_with(b_vec, centroid, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))

@@ -528,4 +528,31 @@ class ScaleSpec extends SparkSpec {
     assert(mp.contains(TextOps.lmTableName("bi", sf)),
       s"merge must read the persisted bigram table:\n${mp.take(1200)}")
   }
+
+  test("r11 retrieval/probe ops never re-tokenize the corpus") {
+    import graft.engine.{RetrievalOps, SimilarityOps, Tables}
+    import graft.queries.RetrievalShared
+    // q248: both retrieval stages and the mining stage run off the
+    // stored postings — the executed plan has no tokenize anywhere
+    val exp = RetrievalOps.queryExpansion(
+      RetrievalShared.postings(spark, sf), RetrievalShared.docLengths(spark, sf))
+    exp.collect()
+    val ep = exp.queryExecution.executedPlan.toString
+    assert(!ep.contains("regexp_extract_all"),
+      "query expansion must serve entirely from the stored index")
+    // q246: the probe reads the stored assignment table and the batch
+    // — stored embeddings parquet is scanned zero times
+    val probe = SimilarityOps.ivfSemanticProbe(
+      SimilarityOps.ivfIndexFor(Tables.embeddings(spark, sf), tag = sf),
+      Tables.embeddings(spark, sf)
+        .select((col("vec_id") + lit(7000000L)).as("vec_id"), col("embedding")))
+    probe.collect()
+    val pp = probe.queryExecution.executedPlan.toString
+    val embScans = "embeddings\\.parquet".r.findAllIn(pp).length
+    assert(embScans == 0,
+      s"probe plan must read the pinned batch + the stored assignment table, " +
+        s"never raw embeddings ($embScans scans):\n${pp.take(1200)}")
+    assert(pp.contains("ivf_assign"),
+      s"stored side must come from the persisted assignment table:\n${pp.take(1200)}")
+  }
 }
