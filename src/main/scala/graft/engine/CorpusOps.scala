@@ -244,6 +244,53 @@ object CorpusOps {
       .orderBy(keys :+ col("doc_id"): _*)
   }
 
+  /** Packing provenance (q250) — the governance rollup over
+    * [[packSequences]]: per (lang, source), how many documents and
+    * tokens the source contributed, how many DISTINCT training
+    * sequences its text lands in, and how many of those sequences it
+    * SHARES with another source — the boundary-mixing signal
+    * (a packed sequence that concatenates two sources is invisible at
+    * the doc level but real at training time). Exact integers + one
+    * long/long share division.
+    *
+    * Scale: the span explode emits ~n_tokens/seqLen + n_docs rows per
+    * stream (each doc spans end−start+1 sequence slots), distinct-ed
+    * per (lang, source, seq) — sequence-count-sized, far below token
+    * count; every aggregate keys on (lang[, source]), co-partitioned
+    * with the packing window's own shuffle. */
+  def packingProvenance(documents: DataFrame, seqLen: Int = 2048): DataFrame = {
+    val packed = packSequencesBy(documents, Seq("lang"), seqLen)
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+      .localCheckpoint(false) // doc rollup + span explode read it
+    val spans = packed.select(col("lang"), col("source"),
+        explode(expr("sequence(start_seq, end_seq)")).as("seq"))
+      .distinct()
+      .localCheckpoint(false) // seq counts + mixing join read it
+    val perSeq = spans.groupBy(col("lang"), col("seq"))
+      .agg(countDistinct(col("source")).as("n_sources"))
+    val shared = spans
+      .join(perSeq.filter(col("n_sources") >= 2).select(col("lang"), col("seq")),
+        Seq("lang", "seq"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).cast("long").as("n_shared_seqs"))
+    val base = packed.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+           sum(col("n_tokens")).cast("long").as("n_tokens"))
+    val nseqs = spans.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).cast("long").as("n_seqs"))
+    val langTot = base.groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).cast("long").as("lang_tokens"))
+    base
+      .join(nseqs, Seq("lang", "source"))
+      .join(shared, Seq("lang", "source"), "left_outer")
+      .join(langTot, "lang")
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        col("n_seqs"),
+        coalesce(col("n_shared_seqs"), lit(0L)).as("n_shared_seqs"),
+        (col("n_tokens").cast("double") / col("lang_tokens")).as("tok_share"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** INCREMENTAL sequence packing (q238) — append a new batch to
     * already-packed streams WITHOUT repacking them: each stream's
     * stored token mass is its packing offset (the cumsum is a plain

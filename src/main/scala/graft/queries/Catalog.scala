@@ -3943,6 +3943,57 @@ object Catalog {
              |       CAST((cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1 AS BIGINT) AS n_seqs
              |FROM c ORDER BY lang, doc_id""".stripMargin)),
 
+    // packing provenance: per (lang, source) token/sequence footprint
+    // through the q103 packing, plus the boundary-mixing count —
+    // sequences a source SHARES with another source (invisible at doc
+    // level, real at training time). Exact integers + one long/long
+    // share division.
+    QuerySpec(
+      "q250_packing_provenance",
+      (s, dir) => CorpusOps.packingProvenance(Tables.documents(s, dir)),
+      Some("""WITH t AS (
+             |  SELECT lang, source, doc_id,
+             |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT lang, source, doc_id, n_tokens,
+             |         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+             |  FROM t WHERE n_tokens > 0),
+             |p AS (
+             |  SELECT lang, source, doc_id, n_tokens,
+             |         CAST((cum - n_tokens) // 2048 AS BIGINT) AS start_seq,
+             |         CAST((cum - 1) // 2048 AS BIGINT) AS end_seq
+             |  FROM c),
+             |spans AS (
+             |  SELECT DISTINCT lang, source, CAST(sq AS BIGINT) AS seq
+             |  FROM p, unnest(range(start_seq, end_seq + 1)) AS u(sq)),
+             |mixed AS (
+             |  SELECT lang, seq FROM (
+             |    SELECT lang, seq, COUNT(DISTINCT source) AS n_sources
+             |    FROM spans GROUP BY lang, seq)
+             |  WHERE n_sources >= 2),
+             |base AS (
+             |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+             |  FROM p GROUP BY lang, source),
+             |nsq AS (
+             |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_seqs
+             |  FROM spans GROUP BY lang, source),
+             |shr AS (
+             |  SELECT spans.lang, spans.source, CAST(COUNT(*) AS BIGINT) AS n_shared_seqs
+             |  FROM spans JOIN mixed ON mixed.lang = spans.lang AND mixed.seq = spans.seq
+             |  GROUP BY spans.lang, spans.source),
+             |lt AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens
+             |       FROM base GROUP BY lang)
+             |SELECT base.lang, base.source, n_docs, base.n_tokens, n_seqs,
+             |       COALESCE(n_shared_seqs, 0) AS n_shared_seqs,
+             |       CAST(base.n_tokens AS DOUBLE) / lang_tokens AS tok_share
+             |FROM base
+             |JOIN nsq ON nsq.lang = base.lang AND nsq.source = base.source
+             |LEFT JOIN shr ON shr.lang = base.lang AND shr.source = base.source
+             |JOIN lt ON lt.lang = base.lang
+             |ORDER BY base.lang, base.source""".stripMargin)),
+
     // split-isolated packing: the q103 stream key extended to
     // (split, lang) so test tokens can never leak into train
     // sequences through concatenation — the document-level split

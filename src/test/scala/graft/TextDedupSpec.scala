@@ -630,6 +630,25 @@ class TextDedupSpec extends SparkSpec {
       s"the stored near-dup must drop: ${got(3L)}")
   }
 
+  test("packing provenance counts the boundary-shared sequence for both sources") {
+    import spark.implicits._
+    // seqLen 4: d1 (A, 4 toks) fills seq 0; d2 (B, 2 toks) starts
+    // seq 1; d3 (A, 4 toks) finishes seq 1 and spills into seq 2 —
+    // seq 1 mixes A and B across a packing boundary
+    val corpus = Seq(
+      (1L, "a b c d", "en", "A"),
+      (2L, "e f", "en", "B"),
+      (3L, "g h i j", "en", "A"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = CorpusOps.packingProvenance(corpus, seqLen = 4).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getDouble(6)))).toMap
+    assert(got("A") == ((2L, 8L, 3L, 1L, 0.8)),
+      s"A: 2 docs, 8 tokens, seqs {0,1,2}, shares seq 1: ${got("A")}")
+    assert(got("B") == ((1L, 2L, 1L, 1L, 0.2)),
+      s"B: 1 doc, only seq 1, shared: ${got("B")}")
+  }
+
   test("boilerplate report surfaces the stamped template at the top") {
     import spark.implicits._
     val footer = "contact support for help"  // 4 tokens -> 2 3-grams
