@@ -426,4 +426,43 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"trial $trial demands=$demands budget=$budget")
     }
   }
+
+  test("additive-state merges equal full rebuilds on random corpora") {
+    import spark.implicits._
+    import graft.engine.{CorpusOps, TextOps}
+    // the q243/q245 contract, driven past the hand fixtures: random
+    // split points, cross-boundary duplicate texts (the pool), random
+    // (lang, source) cells — fold/merge must equal the one-shot
+    // rebuild bit-for-bit every time, because every table is additive
+    val rnd = new Random(41)
+    val pool = Vector("alpha beta gamma", "delta epsilon zeta",
+      "eta theta iota kappa", "lambda mu nu", "xi omicron pi rho sigma")
+    def text(): String =
+      if (rnd.nextBoolean()) pool(rnd.nextInt(pool.size))
+      else (0 until 3 + rnd.nextInt(5)).map(_ => s"w${rnd.nextInt(40)}").mkString(" ")
+    (0 until 6).foreach { trial =>
+      val n = 6 + rnd.nextInt(10)
+      val cut = 1 + rnd.nextInt(n - 1)
+      val rows = (0 until n).map(i => (i.toLong, text(),
+        if (rnd.nextBoolean()) "en" else "de", s"s${rnd.nextInt(2)}"))
+      val stored = rows.take(cut).toDF("doc_id", "text", "lang", "source")
+      val batch = rows.drop(cut).toDF("doc_id", "text", "lang", "source")
+      val all = rows.toDF("doc_id", "text", "lang", "source")
+      val inc = CorpusOps.corpusCardIncremental(
+          CorpusOps.corpusCardState(stored), DedupOps.fingerprintStore(stored),
+          batch)
+        .drop("n_batch_docs").collect().map(_.toString).toSeq
+      val reb = CorpusOps.corpusCard(all).collect().map(_.toString).toSeq
+      assert(inc == reb, s"trial $trial: card fold diverged from rebuild")
+      val m = TextOps.lmModelMerge(TextOps.lmModel(stored), batch)
+      val r = TextOps.lmModel(all)
+      def bi(x: TextOps.LmModel) = x.bigrams.collect()
+        .map(q => (q.getString(0), q.getString(1), q.getLong(2))).toSet
+      def cx(x: TextOps.LmModel) = x.contexts.collect()
+        .map(q => (q.getString(0), q.getLong(1))).toSet
+      def vb(x: TextOps.LmModel) = x.vocab.collect().map(_.getString(0)).toSet
+      assert(bi(m) == bi(r) && cx(m) == cx(r) && vb(m) == vb(r),
+        s"trial $trial: LM merge diverged from retrain")
+    }
+  }
 }
