@@ -239,7 +239,10 @@ object SimilarityOps {
     * the assignments with NO quantizer refit (asserted in ScaleSpec).
     * That is the cross-session persistence SCALE.md claims: the build
     * is an offline job, probes are table scans. */
-  private var ivfMemo: Map[(String, Int), IvfIndex] = Map.empty
+  // (session, tag, nLists)-keyed like DedupOps.clustersFor: a tag
+  // surviving a SparkSession restart must not resurrect dead plans
+  @transient private var ivfMemo
+    : Map[(org.apache.spark.sql.SparkSession, String, Int), IvfIndex] = Map.empty
 
   /** Catalog table names for a persisted IVF index: assignments
     * (bucketed by list_id) + centroids. Tag-hashed like
@@ -276,14 +279,14 @@ object SimilarityOps {
 
   def ivfIndexFor(embeddings: DataFrame, tag: String, nLists: Int = 16): IvfIndex =
     synchronized {
-      ivfMemo.getOrElse((tag, nLists), {
+      ivfMemo.getOrElse((embeddings.sparkSession, tag, nLists), {
         val (at, ct) = ensureIvfTables(embeddings, tag, nLists)
         val spark = embeddings.sparkSession
         val idx = IvfIndex(
           spark.read.table(at).select(col("vec_id"), col("vec"), col("norm"), col("list_id")),
           spark.read.table(ct),
           nLists)
-        ivfMemo += ((tag, nLists) -> idx)
+        ivfMemo += ((embeddings.sparkSession, tag, nLists) -> idx)
         idx
       })
     }
@@ -589,7 +592,8 @@ object SimilarityOps {
   private[graft] def pqTableName(tag: String, m: Int, k: Int): String =
     s"pq_centers_${Integer.toHexString(tag.hashCode)}_${m}_$k"
 
-  private var pqMemo: Map[(String, Int, Int), PqCodebook] = Map.empty
+  @transient private var pqMemo
+    : Map[(org.apache.spark.sql.SparkSession, String, Int, Int), PqCodebook] = Map.empty
 
   /** Materialize the codebook as a catalog table if absent — the
     * cross-session persistence contract ([[ensureIvfTables]]): a new
@@ -610,12 +614,12 @@ object SimilarityOps {
     * [[ivfIndexFor]] pattern. [[release]] drops it end-of-run. */
   def pqCodebookFor(embeddings: DataFrame, tag: String,
                     m: Int = 4, k: Int = 16): PqCodebook = synchronized {
-    pqMemo.getOrElse((tag, m, k), {
+    pqMemo.getOrElse((embeddings.sparkSession, tag, m, k), {
       val t = ensurePqTable(embeddings, tag, m, k)
       val centers = embeddings.sparkSession.read.table(t)
       val subDim = centers.select(size(col("centroid"))).head().getInt(0)
       val cb = PqCodebook(centers, m, k, subDim)
-      pqMemo += ((tag, m, k) -> cb)
+      pqMemo += ((embeddings.sparkSession, tag, m, k) -> cb)
       cb
     })
   }

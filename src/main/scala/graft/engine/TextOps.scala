@@ -915,14 +915,19 @@ object TextOps {
   private[graft] def lmTableName(part: String, tag: String): String =
     s"lm_${part}_${Integer.toHexString(tag.hashCode)}"
 
-  private var lmMemo: Map[String, LmModel] = Map.empty
+  @transient private var lmMemo
+    : Map[(org.apache.spark.sql.SparkSession, String), LmModel] = Map.empty
 
   /** Session-lifetime handle to the persisted LM model — the
     * pqCodebookFor pattern: materialize the three count tables in the
     * catalog if absent (one corpus scan, ever), then serve readers
-    * with zero refits. [[release]] drops the memo end-of-run. */
+    * with zero refits. (session, tag)-keyed like
+    * [[DedupOps.clustersFor]] — a tag surviving a SparkSession
+    * restart must not resurrect dead plans; [[release]] end-of-run
+    * stays the hygiene rule. */
   def lmModelFor(documents: DataFrame, tag: String): LmModel = synchronized {
-    lmMemo.getOrElse(tag, {
+    val key = (documents.sparkSession, tag)
+    lmMemo.getOrElse(key, {
       val spark = documents.sparkSession
       val names = Seq("bi", "ctx", "vocab").map(lmTableName(_, tag))
       if (!names.forall(spark.catalog.tableExists)) {
@@ -933,7 +938,7 @@ object TextOps {
       }
       val loaded = LmModel(spark.read.table(names(0)),
         spark.read.table(names(1)), spark.read.table(names(2)))
-      lmMemo += (tag -> loaded)
+      lmMemo += (key -> loaded)
       loaded
     })
   }
