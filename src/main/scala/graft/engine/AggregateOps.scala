@@ -440,6 +440,47 @@ object AggregateOps {
         col("order_month"))
   }
 
+  /** t-closeness audit — the privacy rung ABOVE [[kAnonymityAudit]]'s
+    * k/l gates: a class can be large (k-safe) and diverse (l-safe) and
+    * still leak, if its sensitive-attribute DISTRIBUTION differs
+    * sharply from the table-wide one (an adversary who links a victim
+    * to the class learns the skew). Per quasi-identifier class
+    * (priority, status) this measures the L1 distance between the
+    * class's distribution over cent-quantized price bands and the
+    * global distribution, in pure integer ppm (per-band shares via
+    * truncating BIGINT division — no ROUND-over-DOUBLE), and flags
+    * classes whose L1 exceeds 2·t (L1 = 2 · total-variation, so the
+    * flag is the textbook TV > t test kept integer-side).
+    *
+    * Scale: one shared scan feeds three hash rollups (global bands,
+    * class sizes, class×band counts); the audit frame is
+    * classes × bands — both DIMENSION-sized — assembled via broadcast
+    * cross/left joins, so no step is corpus-sized after the rollups
+    * and the whole audit costs one data shuffle at any corpus size. */
+  def tClosenessAudit(orders: DataFrame, tPpm: Long = 150000): DataFrame = {
+    val base = orders.select(col("o_orderpriority"), col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT) div 5000000").as("band"))
+      .localCheckpoint(false) // three rollups share the scan
+    val globalBands = base.groupBy(col("band"))
+      .agg(count(lit(1)).cast("long").as("g_n"))
+    val globalTot = globalBands.agg(sum(col("g_n")).cast("long").as("g_tot"))
+    val classes = base.groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).cast("long").as("class_size"))
+    val classBands = base.groupBy(col("o_orderpriority"), col("o_orderstatus"), col("band"))
+      .agg(count(lit(1)).cast("long").as("c_n"))
+    classes.crossJoin(broadcast(globalBands))
+      .join(classBands, Seq("o_orderpriority", "o_orderstatus", "band"), "left")
+      .withColumn("c_n", coalesce(col("c_n"), lit(0L)))
+      .crossJoin(broadcast(globalTot))
+      .withColumn("gap", abs(expr("c_n * 1000000 div class_size") -
+                             expr("g_n * 1000000 div g_tot")))
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(min(col("class_size")).as("class_size"),
+           sum(col("gap")).cast("long").as("dist_l1_ppm"))
+      .withColumn("at_risk", col("dist_l1_ppm") > 2 * tPpm)
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+  }
+
   /** Exact WEIGHTED lower median — the order statistic where each row
     * counts with its weight (here: price cents weighted by quantity,
     * "the price at which half the shipped volume is cheaper"): the

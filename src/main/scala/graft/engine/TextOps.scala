@@ -829,6 +829,78 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR-style importance resampling — the data-SELECTION step that
+    * sits on top of [[crossLmScore]]: train a bigram LM on the TARGET
+    * slice (the domain to upsample — DSIR's p_target) and one on the
+    * whole raw pool (the proposal p_raw), weight every document by
+    * the capped integer ratio of its mean per-bigram probability
+    * under the two models, and accept it iff a deterministic hash
+    * draw lands under the weight — so target-like text survives at
+    * ~full rate while off-domain text thins in proportion to how
+    * unlike the target it reads. Determinism end to end: both
+    * probabilities floor-quantize to integer ppb (the q135
+    * discipline), the weight is a pure-BIGINT capped ratio in ppm,
+    * and the acceptance draw is xxhash64(doc_id) mod 1e6 — the same
+    * avalanche chain the q94/q227 oracles replay bit-exact — so
+    * resampling is reproducible row-for-row and ingest-order-free.
+    *
+    * Scale: both prob tables are DISTINCT-POOL-BIGRAM-bounded and
+    * assembled model-side (pool bigrams left-join the target counts),
+    * so the corpus-sized bigram stream pays exactly ONE (w1,w2) join
+    * against a combined table AQE broadcasts when small; the per-doc
+    * rollup and source rollup are ordinary map-side-combinable
+    * shuffles. No all-pairs, no driver loop — the only `count()`s are
+    * the two vocab scalars (model-bounded). */
+  def importanceResample(documents: DataFrame,
+                         targetSource: String = "src0"): DataFrame = {
+    val occ = documents
+      .filter(lower(col("text")).rlike("[a-z0-9_]"))
+      .select(col("doc_id"), col("source"),
+        expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)").as("toks"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), " +
+        "i -> struct(toks[i-1] AS w1, toks[i] AS w2)) ELSE array() END")).as("p"))
+      .select(col("doc_id"), col("source"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .localCheckpoint(false) // model fits + the scoring join share one tokenize
+    val tgt = occ.filter(col("source") === targetSource)
+    val tBi = tgt.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("tc2"))
+    val tUni = tgt.groupBy(col("w1")).agg(count(lit(1)).as("tc1"))
+    val tV = tgt.select(explode(array(col("w1"), col("w2"))).as("w")).distinct().count()
+    val pUni = occ.groupBy(col("w1")).agg(count(lit(1)).as("pc1"))
+    val pV = occ.select(explode(array(col("w1"), col("w2"))).as("w")).distinct().count()
+    // ONE combined prob table over the pool's distinct bigrams: the
+    // proposal covers every scored bigram by construction (it trained
+    // on the pool), the target side backs off through Laplace zeros.
+    val probs = occ.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pc2"))
+      .join(tBi, Seq("w1", "w2"), "left")
+      .join(pUni, Seq("w1"))
+      .join(tUni, Seq("w1"), "left")
+      .select(col("w1"), col("w2"),
+        floor((coalesce(col("tc2"), lit(0L)) + lit(1L)).cast("double") /
+              (coalesce(col("tc1"), lit(0L)) + lit(tV)).cast("double") * lit(1.0e9))
+          .as("t_ppb"),
+        floor((col("pc2") + lit(1L)).cast("double") /
+              (col("pc1") + lit(pV)).cast("double") * lit(1.0e9)).as("p_ppb"))
+    occ.join(probs, Seq("w1", "w2"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum(col("t_ppb")).as("st"), sum(col("p_ppb")).as("sp"))
+      .withColumn("ratio_ppm", least(lit(1000000L),
+        expr("(st div n_bigrams) * 1000000 div greatest(sp div n_bigrams, CAST(1 AS BIGINT))")))
+      .withColumn("accepted",
+        pmod(xxhash64(col("doc_id")), lit(1000000L)) < col("ratio_ppm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_scored"),
+           sum(col("ratio_ppm")).as("s_ratio"),
+           sum(when(col("accepted"), 1L).otherwise(0L)).cast("long").as("n_accepted"),
+           sum(when(col("accepted"), col("n_bigrams")).otherwise(0L)).cast("long")
+             .as("accepted_bigrams"))
+      .select(col("source"), col("n_scored"),
+        expr("s_ratio div n_scored").as("mean_ratio_ppm"),
+        col("n_accepted"), col("accepted_bigrams"))
+      .orderBy(col("source"))
+  }
+
   /** The stored n-gram LM — [[ngramLmScore]]'s model half as a
     * PERSISTED artifact: three corpus-bounded count tables (bigram
     * counts, left-context counts, distinct word types). All three are

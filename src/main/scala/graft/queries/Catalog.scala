@@ -585,6 +585,36 @@ object Catalog {
              |FROM orders GROUP BY 1, 2, 3
              |ORDER BY o_orderpriority, o_orderstatus, order_month""".stripMargin)),
 
+    // t-closeness audit: per quasi-id class, L1 distance (integer
+    // ppm) between the class's sensitive price-band distribution and
+    // the global one; flags L1 > 2t — the distribution-skew leak the
+    // q213 k/l gates cannot see.
+    QuerySpec(
+      "q252_t_closeness",
+      (s, dir) => AggregateOps.tClosenessAudit(Tables.orders(s, dir)),
+      Some("""WITH b AS (
+             |  SELECT o_orderpriority, o_orderstatus,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) // 5000000 AS band
+             |  FROM orders),
+             |g AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS g_n FROM b GROUP BY 1),
+             |gt AS (SELECT CAST(SUM(g_n) AS BIGINT) AS g_tot FROM g),
+             |cl AS (SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS class_size
+             |       FROM b GROUP BY 1, 2),
+             |cb AS (SELECT o_orderpriority, o_orderstatus, band, CAST(COUNT(*) AS BIGINT) AS c_n
+             |       FROM b GROUP BY 1, 2, 3),
+             |f AS (SELECT cl.o_orderpriority, cl.o_orderstatus, cl.class_size, g.band, g.g_n,
+             |             COALESCE(cb.c_n, 0) AS c_n
+             |      FROM cl CROSS JOIN g
+             |      LEFT JOIN cb ON cb.o_orderpriority = cl.o_orderpriority
+             |                  AND cb.o_orderstatus = cl.o_orderstatus AND cb.band = g.band)
+             |SELECT o_orderpriority, o_orderstatus,
+             |       CAST(MIN(class_size) AS BIGINT) AS class_size,
+             |       CAST(SUM(abs((c_n * 1000000) // class_size - (g_n * 1000000) // g_tot)) AS BIGINT) AS dist_l1_ppm,
+             |       CAST(SUM(abs((c_n * 1000000) // class_size - (g_n * 1000000) // g_tot)) AS BIGINT) > 300000 AS at_risk
+             |FROM f CROSS JOIN gt
+             |GROUP BY 1, 2
+             |ORDER BY o_orderpriority, o_orderstatus""".stripMargin)),
+
     // k-anonymization applier: the q213 audit ENFORCED — rows in
     // failing classes generalize level by level (drop month, then
     // status, then all) until their class passes both gates; the
@@ -2015,6 +2045,60 @@ object Catalog {
              |       CAST(CAST(SUM(p_ppb) AS BIGINT) // COUNT(*) AS BIGINT) AS xlm_score_ppb,
              |       CAST(SUM(CASE WHEN c2 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS seen_frac
              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // DSIR-style importance resampling: target-LM / pool-LM weight in
+    // capped integer ppm, acceptance by the bit-exact XXH64 chain the
+    // q94/q227 oracles replay — one hash match certifies both model
+    // fits, the weight arithmetic, and every accept/reject draw.
+    QuerySpec(
+      "q251_importance_resample",
+      (s, dir) => TextOps.importanceResample(Tables.documents(s, dir)),
+      Some {
+        import Xxh64DocIdSql.{ctes, tos}
+        s"""WITH $ctes,
+           |t0 AS (
+           |  SELECT doc_id, source, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS toks
+           |  FROM documents),
+           |o AS (
+           |  SELECT doc_id, source, toks[i] AS w1, toks[i + 1] AS w2
+           |  FROM (SELECT doc_id, source, toks, unnest(range(1, len(toks))) AS i
+           |        FROM t0 WHERE len(toks) >= 2)),
+           |tr AS (SELECT w1, w2 FROM o WHERE source = 'src0'),
+           |tb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS tc2 FROM tr GROUP BY 1, 2),
+           |tu AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS tc1 FROM tr GROUP BY 1),
+           |tv AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+           |       FROM (SELECT w1 AS w FROM tr UNION SELECT w2 FROM tr)),
+           |pb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pc2 FROM o GROUP BY 1, 2),
+           |pu AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS pc1 FROM o GROUP BY 1),
+           |pv AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+           |       FROM (SELECT w1 AS w FROM o UNION SELECT w2 FROM o)),
+           |pr AS (
+           |  SELECT pb.w1, pb.w2,
+           |         CAST(floor(CAST(COALESCE(tb.tc2, 0) + 1 AS DOUBLE)
+           |                    / (COALESCE(tu.tc1, 0) + tv.v) * 1000000000.0) AS BIGINT) AS t_ppb,
+           |         CAST(floor(CAST(pb.pc2 + 1 AS DOUBLE)
+           |                    / (pu.pc1 + pv.v) * 1000000000.0) AS BIGINT) AS p_ppb
+           |  FROM pb LEFT JOIN tb USING (w1, w2) JOIN pu USING (w1)
+           |          LEFT JOIN tu USING (w1) CROSS JOIN tv CROSS JOIN pv),
+           |dc AS (
+           |  SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           |         CAST(SUM(t_ppb) AS BIGINT) AS st, CAST(SUM(p_ppb) AS BIGINT) AS sp
+           |  FROM o JOIN pr USING (w1, w2) GROUP BY 1, 2),
+           |dr AS (
+           |  SELECT doc_id, source, n_bigrams,
+           |         CAST(least(1000000, ((st // n_bigrams) * 1000000)
+           |                             // greatest(sp // n_bigrams, 1)) AS BIGINT) AS ratio_ppm
+           |  FROM dc),
+           |ac AS (
+           |  SELECT dr.source, dr.n_bigrams, dr.ratio_ppm,
+           |         (((${tos("h8")} % 1000000) + 1000000) % 1000000) < dr.ratio_ppm AS accepted
+           |  FROM dr JOIN s10 USING (doc_id))
+           |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_scored,
+           |       CAST(CAST(SUM(ratio_ppm) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_ratio_ppm,
+           |       CAST(SUM(CASE WHEN accepted THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+           |       CAST(SUM(CASE WHEN accepted THEN n_bigrams ELSE 0 END) AS BIGINT) AS accepted_bigrams
+           |FROM ac GROUP BY 1 ORDER BY source""".stripMargin
+      }),
 
     // INCREMENTAL LM maintenance: the STORED count tables (persisted
     // at fit time) fold a new batch in additively — keyed count sums

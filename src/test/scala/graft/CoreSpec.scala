@@ -377,6 +377,25 @@ class CoreSpec extends SparkSpec {
     assert(got.map(_._5).sum == rows.size.toLong, "every input row is released exactly once")
   }
 
+  test("t-closeness flags the distribution-skewed class the k/l gates miss") {
+    import spark.implicits._
+    // bands: 100.00 -> band 0, 60000.00 -> band 1. Global: 6×b0 + 4×b1
+    // (shares 600000/400000 ppm). URGENT sits ENTIRELY in the rare
+    // band (L1 = 1200000 > 2t) while the other two classes mirror the
+    // global mix to within exactly 2·150000 = the flag boundary,
+    // which must NOT flag (strict >).
+    val rows =
+      Seq.fill(2)(("1-URGENT", "O", 60000.00)) ++
+      (Seq.fill(3)(("2-HIGH", "F", 100.00)) :+ (("2-HIGH", "F", 60000.00))) ++
+      (Seq.fill(3)(("3-MEDIUM", "P", 100.00)) :+ (("3-MEDIUM", "P", 60000.00)))
+    val orders = rows.toDF("o_orderpriority", "o_orderstatus", "o_totalprice")
+    val got = AggregateOps.tClosenessAudit(orders).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got("1-URGENT") == ((2L, 1200000L, true)), s"skewed class: $got")
+    assert(got("2-HIGH") == ((4L, 300000L, false)), s"boundary class: $got")
+    assert(got("3-MEDIUM") == ((4L, 300000L, false)))
+  }
+
   test("watermark advice: exact percentile ranks on a planted disorder distribution") {
     import spark.implicits._
     val minUs = 60L * 1000000L

@@ -1815,4 +1815,32 @@ class TextDedupSpec extends SparkSpec {
         bad, validateIds = true).collect()
     }
   }
+
+  test("importance resampling keeps target-domain docs whole and thins off-domain text") {
+    import spark.implicits._
+    // 40 target docs and 40 off-domain docs with disjoint vocabulary:
+    // target text scores ABOVE the pool model (ratio caps at 1e6 ->
+    // every hash draw accepts); off-domain bigrams back off to the
+    // Laplace floor under the target model, so their ratio — hence
+    // their deterministic acceptance rate — drops proportionally.
+    val target = (0L until 40L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta", "en", "src0"))
+    val ood = (100L until 140L).map(i =>
+      (i, "zulu yankee xray whisky victor uniform", "en", "srcX"))
+    val pool = (target ++ ood).toDF("doc_id", "text", "lang", "source")
+    val out = TextOps.importanceResample(pool, "src0").collect()
+    val bySrc = out.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // target slice: capped ratio, full acceptance, 5 bigrams/doc
+    assert(bySrc("src0") == ((40L, 1000000L, 40L, 200L)), s"target: $bySrc")
+    val (nScored, ratio, nAcc, _) = bySrc("srcX")
+    assert(nScored == 40L)
+    // hand arithmetic: t_ppb = floor(1e9/6), p_ppb = floor(41/52*1e9)
+    // -> ratio = 166666666*1e6 div 788461538
+    assert(ratio == 211382L, s"off-domain ratio: $ratio")
+    assert(nAcc > 0L && nAcc < 40L, s"off-domain thinning: $nAcc")
+    // resampling is deterministic row-for-row
+    val again = TextOps.importanceResample(pool, "src0").collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
