@@ -787,6 +787,54 @@ object StreamOps {
       .start()
   }
 
+  /** STREAMING importance resampling — q251 live with an ADAPTIVE
+    * proposal: the target LM is a STORED artifact (the frozen domain
+    * definition), while the pool LM is carried state that grows by
+    * the additive count fold as raw batches land
+    * ([[graft.engine.TextOps.lmModelMerge]] — merge ≡ retrain, the
+    * q245 contract). Each micro-batch merges FIRST, then scores under
+    * stored-target + just-merged-pool via
+    * [[graft.engine.TextOps.importanceVerdicts]], so the pool always
+    * covers the batch it prices and the acceptance policy adapts: as
+    * off-domain phrasing accumulates in the pool, identical text's
+    * p_raw rises and its weight — hence its deterministic acceptance
+    * rate — falls, which is precisely DSIR's behavior when the raw
+    * distribution drifts. Verdicts append; the pool snapshot
+    * rewrites per batch.
+    *
+    * Scale: per micro-batch one batch tokenize + model-bounded
+    * merges/joins; durable state is the pool snapshot triple, not
+    * executor memory — after restart, rebuild the query from
+    * `outPath/pool_*` (the in-JVM var caches exactly those tables). */
+  def streamingImportanceResample(batchDocs: DataFrame,
+                                  targetModel: TextOps.LmModel,
+                                  storedPool: TextOps.LmModel,
+                                  outPath: String,
+                                  checkpointDir: String): StreamingQuery = {
+    def pin(m: TextOps.LmModel): TextOps.LmModel = TextOps.LmModel(
+      m.bigrams.localCheckpoint(false),
+      m.contexts.localCheckpoint(false),
+      m.vocab.localCheckpoint(false))
+    val target = pin(targetModel)
+    var pool = pin(storedPool)
+    batchDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint(false) // count fold + scoring
+          pool = pin(TextOps.lmModelMerge(pool, b))
+          TextOps.importanceVerdicts(target, pool, b)
+            .write.mode("append").parquet(s"$outPath/verdicts")
+          pool.bigrams.write.mode("overwrite").parquet(s"$outPath/pool_bigrams")
+          pool.contexts.write.mode("overwrite").parquet(s"$outPath/pool_contexts")
+          pool.vocab.write.mode("overwrite").parquet(s"$outPath/pool_vocab")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** STREAMING incremental entity resolution — q226's alias-store
     * maintenance as a landing-zone stream: each micro-batch of new
     * dim records (p_partkey, p_name, p_brand) resolves against the

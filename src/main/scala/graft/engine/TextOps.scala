@@ -984,6 +984,44 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document importance verdicts under EXTERNAL models —
+    * [[importanceResample]]'s scoring half with the two LMs passed in
+    * (stored artifacts or carried streaming state) instead of fit
+    * inline: capped integer-ppm target/pool probability ratio and the
+    * deterministic xxhash64 acceptance draw per document. Both sides
+    * back off through Laplace zeros (left joins + coalesce), so docs
+    * with bigrams outside either model score instead of dropping.
+    * Identical arithmetic to the q251 rollup — TextDedupSpec asserts
+    * the two forms agree doc-for-doc on the same corpus.
+    *
+    * Scale: batch-sized bigram stream, four model-bounded joins (the
+    * two (w1,w2) joins share one shuffle key, AQE broadcasts small
+    * models), one map-side-combinable per-doc rollup. */
+  def importanceVerdicts(target: LmModel, pool: LmModel,
+                         documents: DataFrame): DataFrame = {
+    val occ = bigramStream(documents).localCheckpoint(false)
+    val tV = target.vocab.count()
+    val pV = pool.vocab.count()
+    occ
+      .join(target.bigrams.withColumnRenamed("c2", "tc2"), Seq("w1", "w2"), "left")
+      .join(target.contexts.withColumnRenamed("c1", "tc1"), Seq("w1"), "left")
+      .join(pool.bigrams.withColumnRenamed("c2", "pc2"), Seq("w1", "w2"), "left")
+      .join(pool.contexts.withColumnRenamed("c1", "pc1"), Seq("w1"), "left")
+      .withColumn("t_ppb", floor(
+        (coalesce(col("tc2"), lit(0L)) + lit(1L)).cast("double") /
+        (coalesce(col("tc1"), lit(0L)) + lit(tV)).cast("double") * lit(1.0e9)))
+      .withColumn("p_ppb", floor(
+        (coalesce(col("pc2"), lit(0L)) + lit(1L)).cast("double") /
+        (coalesce(col("pc1"), lit(0L)) + lit(pV)).cast("double") * lit(1.0e9)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum(col("t_ppb")).as("st"), sum(col("p_ppb")).as("sp"))
+      .withColumn("ratio_ppm", least(lit(1000000L),
+        expr("(st div n_bigrams) * 1000000 div greatest(sp div n_bigrams, CAST(1 AS BIGINT))")))
+      .select(col("doc_id"), col("n_bigrams"), col("ratio_ppm"),
+        (pmod(xxhash64(col("doc_id")), lit(1000000L)) < col("ratio_ppm")).as("accepted"))
+  }
+
   private[graft] def lmTableName(part: String, tag: String): String =
     s"lm_${part}_${Integer.toHexString(tag.hashCode)}"
 

@@ -877,6 +877,56 @@ class StreamingSpec extends SparkSpec {
     assert(assignedIds.size == emb.count().toInt + 2)
   }
 
+  test("streaming importance resampling adapts the pool and matches the sequential batch API") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{StreamOps, TextOps}
+    // frozen target domain (12-word vocabulary keeps the Laplace
+    // floor low enough that off-domain ratios stay under the cap);
+    // the streamed phrase is vocabulary-disjoint from both seeds
+    val targetModel = TextOps.lmModel((0L until 10L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+      .toDF("doc_id", "text"))
+    val pool0Docs = (100L until 110L)
+      .map(i => (i, "plain older filler text")).toDF("doc_id", "text")
+    val pool0 = TextOps.lmModel(pool0Docs)
+    val b1 = Seq((9200001L, "zulu yankee xray whisky"))
+    val b2 = Seq((9200002L, "zulu yankee xray whisky"))
+    val out = java.nio.file.Files.createTempDirectory("graft_sir_out_").toString + "/ir"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sir_ckpt_").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingImportanceResample(
+      input.toDS().toDF("doc_id", "text"), targetModel, pool0, out, ckpt)
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // sequential batch reference: merge first, then verdicts
+    val m1 = TextOps.lmModelMerge(pool0, b1.toDF("doc_id", "text"))
+    val m2 = TextOps.lmModelMerge(m1, b2.toDF("doc_id", "text"))
+    val expected =
+      TextOps.importanceVerdicts(targetModel, m1, b1.toDF("doc_id", "text")).collect() ++
+      TextOps.importanceVerdicts(targetModel, m2, b2.toDF("doc_id", "text")).collect()
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val got = key(spark.read.parquet(s"$out/verdicts").collect())
+    assert(got == key(expected), s"streamed verdicts diverged: $got")
+    // adaptation is live: identical off-domain text weighs LESS once
+    // its phrasing has accumulated in the carried pool
+    assert(got(9200002L)._2 < got(9200001L)._2, s"pool adaptation: $got")
+    assert(got.values.forall(_._2 < 1000000L), "off-domain ratios stay under the cap")
+    // final pool snapshot ≡ full retrain over everything ever pooled
+    val retrain = TextOps.lmModel(
+      pool0Docs.unionByName((b1 ++ b2).toDF("doc_id", "text")))
+    def biSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(biSet(spark.read.parquet(s"$out/pool_bigrams")) == biSet(retrain.bigrams),
+      "final pool snapshot must equal the full retrain")
+  }
+
   test("streaming LM maintenance tracks the sequential merge across a novel-phrase boundary") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

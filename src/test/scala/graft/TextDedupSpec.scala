@@ -1843,4 +1843,26 @@ class TextDedupSpec extends SparkSpec {
     val again = TextOps.importanceResample(pool, "src0").collect()
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("importance verdicts under external models reproduce the q251 rollup") {
+    import spark.implicits._
+    val target = TextOps.lmModel(
+      docs.filter(col("source") === "src0").select(col("doc_id"), col("text")))
+    val poolM = TextOps.lmModel(docs.select(col("doc_id"), col("text")))
+    val rolled = TextOps.importanceVerdicts(target, poolM, docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_scored"), sum(col("ratio_ppm")).as("s_ratio"),
+           sum(when(col("accepted"), 1L).otherwise(0L)).as("n_accepted"),
+           sum(when(col("accepted"), col("n_bigrams")).otherwise(0L)).as("accepted_bigrams"))
+      .select(col("source"), col("n_scored"),
+        expr("s_ratio div n_scored").as("mean_ratio_ppm"),
+        col("n_accepted"), col("accepted_bigrams"))
+      .collect()
+    val direct = TextOps.importanceResample(docs).collect()
+    def k(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(k(rolled) == k(direct),
+      "external-model verdicts must agree with the inline q251 form")
+  }
 }
