@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.RollingHash
+import graft.functions.{AhoCorasick, RollingHash}
 
 /** Text-analysis operators over the `documents` table (north-star:
   * language-ID, quality scoring, token counting, fingerprinting).
@@ -280,6 +280,51 @@ object TextOps {
       .join(shared, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
       .withColumn("flagged", col("n_shared") >= minShared)
+      .orderBy(col("doc_id"))
+  }
+
+  /** SUBSTRING-level decontamination — exact eval strings found
+    * verbatim inside corpus text via a broadcast Aho–Corasick
+    * automaton ([[graft.functions.AhoCorasick]]). Complements the
+    * gram joins (q62/q85): those see only matches that survive
+    * tokenization and pay a shuffle that scales with the CORPUS gram
+    * count; this one compiles the needles (distinct lowercased
+    * held-out sentences ≥ `minLen` chars) into one automaton, ships
+    * it to every executor, and decides every document in a single
+    * O(chars + matches) scan — no shuffle, no hot-gram candidate
+    * blowup, catches contamination that crosses token boundaries.
+    *
+    * CONTRACT (the broadcast bound): `heldOut` is an EVAL set — a
+    * bounded artifact (thousands of strings, MBs of automaton) even
+    * under a 100 TB corpus, same boundedness the Bloom filter in
+    * [[bloomContaminationCheck]] relies on. The driver-side collect
+    * here is needle-sized, never corpus-sized.
+    *
+    * Output: one row per corpus doc — how many DISTINCT needles it
+    * contains and the flag. Matching is exact substring equality on
+    * lowercased text, so the DuckDB oracle replays it as a
+    * contains() join (bounded: docs × needles only at oracle SF). */
+  def substringContamination(corpus: DataFrame, heldOut: DataFrame,
+                             minLen: Int = 20): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val needles: Array[String] = heldOut
+      .select(explode(split(col("text"), "\\. ")).as("s"))
+      .select(lower(trim(col("s"))).as("nd"))
+      .filter(length(col("nd")) >= minLen)
+      .distinct()
+      .as[String].collect()
+    val ac = spark.sparkContext.broadcast(AhoCorasick.build(needles))
+    corpus
+      .select(col("doc_id").cast("long").as("doc_id"),
+        lower(col("text")).as("lt"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val a = ac.value
+        it.map { case (id, t) => (id, a.countDistinct(t).toLong) }
+      }
+      .toDF("doc_id", "n_needles_hit")
+      .withColumn("flagged", col("n_needles_hit") >= 1)
       .orderBy(col("doc_id"))
   }
 

@@ -2776,6 +2776,34 @@ object Catalog {
              |LEFT JOIN shr USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // SUBSTRING-level decontamination: held-out sentences compiled
+    // into ONE broadcast Aho–Corasick automaton, the corpus decided in
+    // a single scan — the shape gram joins can't reach (no shuffle,
+    // token-boundary-crossing matches). The oracle replays the exact
+    // semantics as a contains() join, bounded at oracle SF.
+    QuerySpec(
+      "q253_substring_contamination",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val docs = Tables.documents(s, dir)
+        TextOps.substringContamination(
+          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50))
+      },
+      Some("""WITH t AS (SELECT string_split(text, '. ') AS ss
+             |          FROM documents WHERE doc_id < 50),
+             |s AS (SELECT lower(trim(ss[i])) AS nd
+             |      FROM (SELECT ss, unnest(range(1, len(ss) + 1)) AS i FROM t)),
+             |nd AS (SELECT DISTINCT nd FROM s WHERE length(nd) >= 20),
+             |d AS (SELECT doc_id, lower(text) AS lt
+             |      FROM documents WHERE doc_id >= 50),
+             |h AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+             |      FROM d JOIN nd ON contains(d.lt, nd.nd)
+             |      GROUP BY doc_id)
+             |SELECT d.doc_id, COALESCE(h.n, 0) AS n_needles_hit,
+             |       COALESCE(h.n, 0) >= 1 AS flagged
+             |FROM d LEFT JOIN h USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // One BPE/WordPiece merge round's counting core: adjacent-pair
     // frequencies, top-k with a total-order tie-break. Word-count
     // shaped — one shuffle with map-side combine.

@@ -1844,6 +1844,44 @@ class TextDedupSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("aho-corasick counts distinct needles, overlaps included, near-misses excluded") {
+    import graft.functions.AhoCorasick
+    val ac = AhoCorasick.build(Array("ab", "abc", "bc", "bc", "zzz", ""))
+    assert(ac.nNeedles == 4) // dupes share an id, empties dropped
+    assert(ac.countDistinct("xabcx") == 3) // ab, abc, bc all end inside
+    assert(ac.countDistinct("abab") == 1) // repeated hits count once
+    assert(ac.countDistinct("a-b-c") == 0) // near-miss: no substring match
+    assert(ac.countDistinct("") == 0 && ac.countDistinct(null) == 0)
+    assert(AhoCorasick.build(Array.empty[String]).countDistinct("anything") == 0)
+  }
+
+  test("substring contamination flags a planted verbatim needle and matches brute force") {
+    import spark.implicits._
+    val heldOut = docs.filter(col("doc_id") < 50)
+    // plant: a corpus doc that embeds one held-out sentence verbatim
+    // mid-text (crossing case), and a near-miss with one char changed
+    val needle = heldOut.select(explode(split(col("text"), "\\. ")).as("s"))
+      .select(lower(trim(col("s"))).as("nd")).filter(length(col("nd")) >= 20)
+      .limit(1).as[String].collect().head
+    val planted = Seq(
+      (9000001L, s"prefix words ${needle.toUpperCase} suffix words", "en", "src0", 1L),
+      (9000002L, s"prefix ${needle.dropRight(1)}X suffix", "en", "src0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = docs.filter(col("doc_id") >= 50).unionByName(planted)
+    val got = TextOps.substringContamination(corpus, heldOut).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(9000001L)._2 && got(9000001L)._1 >= 1L, s"planted: ${got(9000001L)}")
+    assert(!got(9000002L)._2, s"near-miss must not flag: ${got(9000002L)}")
+    // brute force agreement over the whole fixture
+    val needles = heldOut.select(explode(split(col("text"), "\\. ")).as("s"))
+      .select(lower(trim(col("s"))).as("nd")).filter(length(col("nd")) >= 20)
+      .distinct().as[String].collect()
+    val texts = corpus.select(col("doc_id"), lower(col("text"))).as[(Long, String)].collect()
+    val brute = texts.map { case (id, t) =>
+      id -> needles.count(t.contains(_)).toLong }.toMap
+    assert(got.view.mapValues(_._1).toMap == brute, "automaton must equal brute-force contains")
+  }
+
   test("importance verdicts under external models reproduce the q251 rollup") {
     import spark.implicits._
     val target = TextOps.lmModel(
