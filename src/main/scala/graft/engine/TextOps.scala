@@ -86,6 +86,53 @@ object TextOps {
       .orderBy(col("lang"), col("lang_guess"))
   }
 
+  /** Cohen's kappa per source between the DECLARED language and the
+    * classifier's guess — [[langAgreementMatrix]] summarized into the
+    * chance-corrected agreement statistic label-quality work actually
+    * reports: raw agreement po = D/N flatters any skewed label
+    * distribution (guess "en" everywhere and po is already the en
+    * share); kappa subtracts the agreement the marginals produce by
+    * chance, pe = Σ_k row_k·col_k / N². Kept fully rational so both
+    * engines replay it bit-exactly:
+    * kappa = (po−pe)/(1−pe) = (D·N − S) / (N² − S) with
+    * S = Σ_k row_k·col_k — integer numerator and denominator, emitted
+    * as truncating-division ppm (Spark `div` and DuckDB `//` both
+    * truncate toward zero, negatives included, so a worse-than-chance
+    * rater ports too). Degenerate marginals (N² = S, pe = 1) emit
+    * NULL — kappa is undefined there by definition.
+    *
+    * Scale: ONE corpus scan into a (source, lang, guess) rollup;
+    * everything after runs on that sources×langs² frame (marginal
+    * products via a full outer join so a label missing on either side
+    * contributes zero). */
+  def raterKappa(documents: DataFrame): DataFrame = {
+    val cells = langSignals(documents)
+      .groupBy(col("source"), col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // four consumers of a matrix-sized frame
+    val n = cells.groupBy(col("source")).agg(sum(col("n")).as("n_docs"))
+    val d = cells.filter(col("lang") === col("lang_guess"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n_agree"))
+    val rowsM = cells.groupBy(col("source"), col("lang"))
+      .agg(sum(col("n")).as("rk"))
+    val colsM = cells.groupBy(col("source"), col("lang_guess").as("lang"))
+      .agg(sum(col("n")).as("ck"))
+    val s = rowsM.join(colsM, Seq("source", "lang"), "full")
+      .select(col("source"),
+        (coalesce(col("rk"), lit(0L)) * coalesce(col("ck"), lit(0L))).as("p"))
+      .groupBy(col("source")).agg(sum(col("p")).as("s_marg"))
+    n.join(d, Seq("source"), "left")
+      .withColumn("n_agree", coalesce(col("n_agree"), lit(0L)))
+      .join(s, "source")
+      .withColumn("kappa_ppm", expr(
+        """CASE WHEN n_docs * n_docs = s_marg THEN CAST(NULL AS BIGINT)
+          |     ELSE (n_agree * n_docs - s_marg) * 1000000L
+          |          div (n_docs * n_docs - s_marg) END""".stripMargin))
+      .select(col("source"), col("n_docs"), col("n_agree"), col("s_marg"),
+        col("kappa_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** Composite quality score in [0,1]: length saturation, low-punct
     * bonus, stopword density. Pure double arithmetic over exact integer
     * counts — every op (÷, ×, +, least/greatest) is correctly-rounded

@@ -1836,6 +1836,45 @@ object Catalog {
              |FROM g GROUP BY lang, lang_guess
              |ORDER BY lang, lang_guess""".stripMargin)),
 
+    // Chance-corrected rater agreement: Cohen's kappa per source
+    // between declared lang and the classifier guess — fully rational
+    // ((D·N − S)/(N² − S) as truncating ppm; both engines truncate
+    // toward zero), degenerate marginals (pe = 1) are NULL.
+    QuerySpec(
+      "q254_rater_kappa",
+      (s, dir) => TextOps.raterKappa(Tables.documents(s, dir)),
+      Some("""WITH sig AS (
+             |  SELECT source, lang,
+             |         CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS BIGINT) AS n_en,
+             |         CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ein)\b')) AS BIGINT) AS n_de,
+             |         CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|un)\b')) AS BIGINT) AS n_fr,
+             |         CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|y|una)\b')) AS BIGINT) AS n_es
+             |  FROM documents),
+             |g AS (SELECT source, lang,
+             |             CASE WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+             |                  WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+             |                  WHEN n_fr >= n_es THEN 'fr'
+             |                  ELSE 'es' END AS lang_guess
+             |      FROM sig),
+             |cells AS (SELECT source, lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n
+             |          FROM g GROUP BY source, lang, lang_guess),
+             |nn AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs FROM cells GROUP BY source),
+             |dd AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_agree
+             |       FROM cells WHERE lang = lang_guess GROUP BY source),
+             |rm AS (SELECT source, lang, CAST(SUM(n) AS BIGINT) AS rk FROM cells GROUP BY source, lang),
+             |cm AS (SELECT source, lang_guess AS lang, CAST(SUM(n) AS BIGINT) AS ck
+             |       FROM cells GROUP BY source, lang_guess),
+             |ss AS (SELECT COALESCE(rm.source, cm.source) AS source,
+             |              CAST(SUM(COALESCE(rk, 0) * COALESCE(ck, 0)) AS BIGINT) AS s_marg
+             |       FROM rm FULL JOIN cm ON rm.source = cm.source AND rm.lang = cm.lang
+             |       GROUP BY 1)
+             |SELECT nn.source, n_docs, COALESCE(n_agree, 0) AS n_agree, s_marg,
+             |       CASE WHEN n_docs * n_docs = s_marg THEN CAST(NULL AS BIGINT)
+             |            ELSE CAST((COALESCE(n_agree, 0) * n_docs - s_marg) * 1000000
+             |                      // (n_docs * n_docs - s_marg) AS BIGINT) END AS kappa_ppm
+             |FROM nn LEFT JOIN dd USING (source) JOIN ss USING (source)
+             |ORDER BY source""".stripMargin)),
+
     QuerySpec(
       "q37_quality_score",
       (s, dir) => TextOps.qualityScore(Tables.documents(s, dir)),

@@ -1302,4 +1302,30 @@ class CoreSpec extends SparkSpec {
     assert(tight.values.sum == 7L && tight.values.forall(a => a == 1L || a == 2L),
       s"near-equal split: $tight")
   }
+
+  test("rater kappa: perfect = 1e6, inverted = -1e6, degenerate marginals = NULL") {
+    import spark.implicits._
+    val en = "the and of to in"   // classifier guesses en
+    val de = "der die und das ein" // classifier guesses de
+    val docs = Seq(
+      // source A: perfect agreement on a 2x2 balanced matrix
+      (1L, en, "en", "A", 1L), (2L, en, "en", "A", 1L),
+      (3L, de, "de", "A", 1L), (4L, de, "de", "A", 1L),
+      // source B: systematically inverted labels (worse than chance)
+      (5L, de, "en", "B", 1L), (6L, de, "en", "B", 1L),
+      (7L, en, "de", "B", 1L), (8L, en, "de", "B", 1L),
+      // source C: one label on both sides -> pe = 1, kappa undefined
+      (9L, en, "en", "C", 1L), (10L, en, "en", "C", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.raterKappa(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    // A: D=4 N=4 S=8 -> (16-8)*1e6/(16-8) = 1e6
+    assert(got("A") == ((4L, 4L, 8L, Some(1000000L))), s"A: ${got("A")}")
+    // B: D=0 N=4 S=8 -> (0-8)*1e6/(16-8) = -1e6 (truncation sign-safe)
+    assert(got("B") == ((4L, 0L, 8L, Some(-1000000L))), s"B: ${got("B")}")
+    // C: N=2 D=2 S=4 = N^2 -> NULL
+    assert(got("C") == ((2L, 2L, 4L, None)), s"C: ${got("C")}")
+  }
 }
