@@ -804,6 +804,116 @@ object SimilarityOps {
       .orderBy(col("qid"))
   }
 
+  /** Per-vector IVF RESIDUALS — each stored vector minus its list's
+    * coarse centroid, the frame the residual codebook fits and
+    * encodes over. Shape: assignments ⋈ broadcast(nLists centroids),
+    * a map-side join; residual arithmetic is one zip_with per row. */
+  private[graft] def residualFrame(index: IvfIndex): DataFrame =
+    index.assigned
+      .join(broadcast(index.centers), col("list_id") === col("c_list_id"))
+      .select(col("vec_id"), col("list_id").cast("long").as("list_id"),
+        expr("zip_with(vec, centroid, (x, y) -> x - y)").as("embedding"))
+
+  /** Residual PQ codebook for a stored IVF index — the `IVFx,PQy`
+    * composition every production ANN service runs: PQ fits the
+    * RESIDUAL distribution (tighter than raw vectors, since the
+    * coarse quantizer has already removed the list mean), and the
+    * persisted artifact rides [[pqCodebookFor]]'s catalog-table +
+    * session-memo machinery under a derived tag. Build is offline and
+    * amortized like every index fit here; loads refit nothing. */
+  def ivfPqCodebookFor(index: IvfIndex, tag: String,
+                       m: Int = 4, k: Int = 16): PqCodebook =
+    pqCodebookFor(residualFrame(index), s"$tag#ivfres", m, k)
+
+  /** Stable oracle-facing dump of the residual codebook (the
+    * [[PqOracleDumpPath]] contract, separate path because the q255
+    * oracle reads both this AND the IVF dump). Verify-only. */
+  val IvfPqOracleDumpPath = "/tmp/graft_ivfpq_oracle"
+
+  def dumpIvfPqOracle(index: IvfIndex, tag: String,
+                      m: Int = 4, k: Int = 16,
+                      path: String = IvfPqOracleDumpPath): Unit =
+    ivfPqCodebookFor(index, tag, m, k).centers
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centers")
+
+  /** IVF-PQ end-to-end search fidelity (q255) — the full FAISS-style
+    * `IVF{nLists},PQ{m}` read path measured against the exact
+    * euclidean top-k: coarse stage ranks the broadcast centroids and
+    * keeps `nProbe` lists per query; fine stage prices ONLY the
+    * probed lists' vectors by ADC over their RESIDUAL codes, with a
+    * per-(query, list) LUT built from the query's residual against
+    * that list's centroid (the asymmetric-distance trick: the query
+    * stays exact, the corpus is m code lookups). Output per query is
+    * pure integers: candidates actually scanned (the scan saving —
+    * ≈ nProbe/nLists of the corpus), hits inside the exact top-k,
+    * and k.
+    *
+    * Scale: the LUT is nQueries·nProbe·m·k rows (broadcast); corpus
+    * vectors are touched once through the codes table; the ONLY
+    * corpus-sized shuffle is the (qid, vec_id) rollup of m LUT hits —
+    * bounded by candidates·m, i.e. nProbe/nLists of a full scan. The
+    * codes⋈assignment join here exists only because [[pqEncode]]
+    * returns codes without list ids; a maintenance job stores codes
+    * WITH list_id and skips it. Recall losses decompose into coarse
+    * misses (true neighbor outside probed lists) + ADC misrank —
+    * compare against [[pqAdcRecall]] (no coarse stage) to attribute. */
+  def ivfPqRecall(index: IvfIndex, cb: PqCodebook, embeddings: DataFrame,
+                  nQueries: Int = 5, k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val sd = cb.subDim
+    val m = cb.m
+    val codes = pqEncode(cb, residualFrame(index))
+      .join(index.assigned.select(col("vec_id"),
+        col("list_id").cast("long").as("list_id")), "vec_id")
+      .selectExpr("vec_id", "list_id",
+        s"stack($m, ${(0 until m).map(s => s"$s, code_$s").mkString(", ")}) " +
+          "as (subspace, code)")
+    val v = withVec(embeddings).select(col("vec_id"), col("vec"))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val wCoarse = Window.partitionBy(col("qid")).orderBy(col("cd2"), col("c_list_id"))
+    val coarse = q.crossJoin(broadcast(index.centers))
+      .withColumn("cd2", expr(
+        "aggregate(zip_with(qvec, centroid, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("rk", row_number().over(wCoarse))
+      .filter(col("rk") <= nProbe)
+      .select(col("qid"), col("c_list_id").cast("long").as("list_id"),
+        expr("zip_with(qvec, centroid, (x, y) -> x - y)").as("qres"))
+    val lut = coarse.crossJoin(broadcast(
+        cb.centers.withColumnRenamed("centroid", "sub_centroid")))
+      .withColumn("qd2", expr(
+        s"aggregate(zip_with(slice(qres, subspace * $sd + 1, $sd), sub_centroid, " +
+          "(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .select(col("qid"), col("list_id"), col("subspace").cast("long").as("subspace"),
+        col("code").cast("long").as("code"), col("qd2"))
+    val eAggs = (0 until m).map { s =>
+      min(when(col("subspace") === s, col("qd2"))).as(s"e$s") }
+    val adc = codes.join(broadcast(lut), Seq("list_id", "subspace", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id")).agg(eAggs.head, eAggs.tail: _*)
+      .withColumn("adc_d2", (0 until m).map(s => col(s"e$s")).reduceLeft(_ + _))
+      .localCheckpoint(false) // candidates + top-k read it; it is candidate-sized
+    val nCand = adc.groupBy(col("qid")).agg(count(lit(1)).as("n_candidates"))
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc_d2"), col("vec_id"))
+    val adcTop = adc.withColumn("rn", row_number().over(wAdc)).filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"))
+    val exact = v.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(vec, qvec, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+    val wEx = Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))
+    val exactTop = exact.withColumn("rn", row_number().over(wEx)).filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"))
+    exactTop.join(adcTop.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"),
+           count(lit(1)).cast("long").as("k"))
+      .join(nCand, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("n_hits"), col("k"))
+      .orderBy(col("qid"))
+  }
+
   /** High-cosine pair candidates restricted to same-LSH-bucket vectors
     * — the edge set for [[semanticDedup]]. Bucketing keeps the
     * self-join equi on `bucket` (no all-pairs cross product); exact

@@ -4984,7 +4984,104 @@ object Catalog {
              |       (batch_err_sum / n_batch) / (base_err_sum / n_base) AS drift_ratio,
              |       batch_err_sum / n_batch > 2.0 * (base_err_sum / n_base) AS refit
              |FROM base JOIN probe USING (subspace)
-             |ORDER BY subspace""".stripMargin))
+             |ORDER BY subspace""".stripMargin)),
+
+    // IVF-PQ end-to-end read path (the FAISS `IVF16,PQ4` composition):
+    // coarse probe over the stored IVF centroids, ADC over RESIDUAL
+    // codes with a per-(query, list) LUT; per query the report is pure
+    // integers — candidates scanned (≈ nProbe/nLists of the corpus),
+    // hits inside the exact euclidean top-k, and k. The oracle replays
+    // the ENTIRE chain (residuals → code argmin → coarse ranking →
+    // LUT → ADC rollup → both top-ks → intersection) from the two
+    // dumped artifacts, certifying the stored IVF index AND the stored
+    // residual codebook together.
+    QuerySpec(
+      "q255_ivfpq_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val idx = SimilarityOps.ivfIndexFor(emb, tag = dir)
+        SimilarityOps.ivfPqRecall(
+          idx, SimilarityOps.ivfPqCodebookFor(idx, tag = dir), emb)
+      },
+      Some("""WITH a AS (
+             |  SELECT vec_id, CAST(list_id AS BIGINT) AS list_id
+             |  FROM read_parquet('/tmp/graft_ivf_oracle/assign/*.parquet')),
+             |ic AS (
+             |  SELECT CAST(c_list_id AS BIGINT) AS list_id,
+             |         CAST(centroid AS DOUBLE[]) AS icent
+             |  FROM read_parquet('/tmp/graft_ivf_oracle/centers/*.parquet')),
+             |cb AS (
+             |  SELECT CAST(subspace AS BIGINT) AS subspace,
+             |         CAST(code AS BIGINT) AS code,
+             |         CAST(centroid AS DOUBLE[]) AS c
+             |  FROM read_parquet('/tmp/graft_ivfpq_oracle/centers/*.parquet')),
+             |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |r AS (
+             |  SELECT v.vec_id, a.list_id,
+             |         list_transform(list_zip(e, icent), p -> p[1] - p[2]) AS res
+             |  FROM v JOIN a USING (vec_id) JOIN ic USING (list_id)),
+             |d AS (
+             |  SELECT vec_id, list_id, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(res, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM r CROSS JOIN cb),
+             |codes AS (
+             |  SELECT vec_id, list_id, subspace, code
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+             |                                     ORDER BY d2, code) AS rk FROM d)
+             |  WHERE rk = 1),
+             |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+             |co0 AS (
+             |  SELECT qid, list_id, icent, qe,
+             |         list_sum(list_transform(list_zip(qe, icent),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS cd2
+             |  FROM q CROSS JOIN ic),
+             |coarse AS (
+             |  SELECT qid, list_id,
+             |         list_transform(list_zip(qe, icent), p -> p[1] - p[2]) AS qres
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+             |                                     ORDER BY cd2, list_id) AS rk FROM co0)
+             |  WHERE rk <= 4),
+             |lut AS (
+             |  SELECT qid, list_id, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(qres, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qd2
+             |  FROM coarse CROSS JOIN cb),
+             |adc0 AS (
+             |  SELECT qid, vec_id,
+             |         MAX(CASE WHEN s.subspace = 0 THEN qd2 END) AS e0,
+             |         MAX(CASE WHEN s.subspace = 1 THEN qd2 END) AS e1,
+             |         MAX(CASE WHEN s.subspace = 2 THEN qd2 END) AS e2,
+             |         MAX(CASE WHEN s.subspace = 3 THEN qd2 END) AS e3
+             |  FROM codes s JOIN lut USING (list_id, subspace, code)
+             |  WHERE vec_id <> qid GROUP BY qid, vec_id),
+             |cand AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_candidates
+             |         FROM adc0 GROUP BY qid),
+             |adct AS (
+             |  SELECT qid, vec_id
+             |  FROM (SELECT qid, vec_id,
+             |               row_number() OVER (PARTITION BY qid
+             |                 ORDER BY e0 + e1 + e2 + e3, vec_id) AS rn
+             |        FROM adc0) WHERE rn <= 10),
+             |ex AS (
+             |  SELECT qid, vec_id,
+             |         list_sum(list_transform(list_zip(e, qe),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM v CROSS JOIN q WHERE vec_id <> qid),
+             |ext AS (
+             |  SELECT qid, vec_id
+             |  FROM (SELECT qid, vec_id,
+             |               row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rn
+             |        FROM ex) WHERE rn <= 10)
+             |SELECT ext.qid, COALESCE(cand.n_candidates, 0) AS n_candidates,
+             |       CAST(SUM(CASE WHEN adct.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+             |       CAST(COUNT(*) AS BIGINT) AS k
+             |FROM ext
+             |LEFT JOIN adct ON ext.qid = adct.qid AND ext.vec_id = adct.vec_id
+             |LEFT JOIN cand ON ext.qid = cand.qid
+             |GROUP BY ext.qid, cand.n_candidates ORDER BY ext.qid""".stripMargin))
   )
 
   // ---------------------------------------------------------------- //
