@@ -64,7 +64,17 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val passes = Seq(onePass(), onePass(), onePass())
+    // Machine-load annotation (VERDICT r11 #4): the 1-min loadavg
+    // sampled immediately before each pass, so a co-tenancy-skewed
+    // window (r11: pass 2 ran 1.76× pass 3 on identical code) is
+    // machine-attributable from the artifact itself.
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def timedPass(): Seq[(String, Double, Boolean)] = { loads += loadavg(); onePass() }
+    val passes = Seq(timedPass(), timedPass(), timedPass())
     graft.queries.MLShared.release()
     graft.queries.SketchShared.release()
     graft.queries.RetrievalShared.release()
@@ -100,7 +110,16 @@ object Bench {
     // driver's warm PASS totals carried a 10 s machine-load spread
     // while per-query mins stayed stable — grade rounds on this
     // field, not on pass_totals).
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"failed":$failed,"pass_totals":$passTotals,"min_total_sec":$total,"warm_spread_sec":$warmSpread,"sf":"$sfDir"}"""
+    // Baseline-parity subtotal (VERDICT r11 #3): the 2× gate's honest
+    // like-for-like number — per-query mins summed over the ORIGINAL
+    // 53 baseline queries only (names q01_… through q53_…; BASELINE.md
+    // "baseline53" row). The raw total grows with every added
+    // operator; this field does not.
+    val baseline53 = results.filter { case (k, _, ok) =>
+      ok && k.takeWhile(_ != '_').drop(1).toIntOption.exists(_ <= 53) }
+      .map(_._2).sum
+    val passLoads = loads.mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"failed":$failed,"pass_totals":$passTotals,"min_total_sec":$total,"baseline53_total_sec":$baseline53,"pass_loadavg":$passLoads,"warm_spread_sec":$warmSpread,"sf":"$sfDir"}"""
     println(line)
     // also persist the full line to a file: the stdout capture path
     // truncates long runs (150 queries of per-query timings overflow

@@ -26,12 +26,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // CLEAN-/tmp sweep BEFORE anything runs (VERDICT r11 #2): delete
+    // every graft_*_oracle dump so a stale artifact from an earlier
+    // local run can never mask a missing registration — if a selected
+    // query's oracle reads a dump, the dump it reads was written by
+    // THIS invocation or the oracle fails loudly.
+    java.nio.file.Files.list(java.nio.file.Paths.get("/tmp")).iterator()
+      .forEachRemaining { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("graft_") && n.endsWith("_oracle")) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
     // Dev-loop filter: SPARK_GRAFT_ONLY=q50,q67 runs just the named
     // queries (prefix match). Unset → full run (the driver's mode).
     val only: Option[Seq[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSeq)
-    val selected = SparkEntry.queries.filter { case (name, _) =>
-      only.forall(_.exists(name.startsWith)) }
+    val selectedSpecs = graft.queries.Catalog.specs.filter(sp =>
+      only.forall(_.exists(sp.name.startsWith)))
+    val selected = selectedSpecs.map(sp => sp.name -> sp.run)
     selected.foreach { case (name, fn) =>
       def attempt(): Unit =
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -49,24 +64,21 @@ object Verify {
           }
       }
     }
-    // The q67/q121 oracles replay probe + list stats from the
-    // PERSISTED index state: export (vec_id, list_id) + centroids as
-    // plain parquet at the stable path the oracle SQL embeds — the
-    // tmp warehouse holding the catalog tables dies with this JVM,
-    // the dump must not. (ivfIndexFor memo ⇒ zero extra quantizer
-    // fits after either query ran.)
-    if (selected.contains("q67_ivf_topk") || selected.contains("q121_ivf_list_stats") ||
-        selected.contains("q212_index_coverage") || selected.contains("q221_ivf_purity") ||
-        selected.contains("q235_ivf_incremental") ||
-        selected.contains("q246_semantic_probe"))
-      graft.engine.SimilarityOps.dumpIvfOracle(
-        graft.engine.Tables.embeddings(spark, sfDir), tag = sfDir)
-    // Same contract for the PQ codebook: the q241/q242 oracles replay
-    // encode + ADC from the exported sub-centroid table.
-    if (selected.contains("q241_pq_codes") || selected.contains("q242_pq_adc_recall") ||
-        selected.contains("q244_pq_drift"))
-      graft.engine.SimilarityOps.dumpPqOracle(
-        graft.engine.Tables.embeddings(spark, sfDir), tag = sfDir)
+    // Oracle side-artifact dumps, DERIVED from QuerySpec registration
+    // (VERDICT r11 #1/#2 — the q255 class of miss is now structural):
+    // some oracles replay fitted index state (IVF assignments/centroids,
+    // PQ codebooks) from stable /tmp parquet the oracle SQL embeds — the
+    // tmp warehouse holding the catalog tables dies with this JVM, the
+    // dump must not. Execute the union of selected queries' registered
+    // dumps, deduped by path (each is memoized upstream ⇒ zero extra
+    // quantizer fits after the queries ran).
+    selectedSpecs.flatMap(_.dumps).groupBy(_.path).values.map(_.head)
+      .toSeq.sortBy(_.path).foreach { d =>
+        try d.run(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] dump ${d.path} failed: ${e.getMessage}")
+        }
+      }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -82,6 +94,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Dump manifest for tools/selfcheck.py's registration lint: every
+    // query → the /tmp artifact paths it registered. An oracle SQL
+    // reading a /tmp path absent from its own manifest row fails the
+    // lint — the artifact would only exist by luck of co-selection.
+    val dumpsJson = selectedSpecs
+      .map(sp => s"${q(sp.name)}: ${sp.dumps.map(d => q(d.path)).mkString("[", ",", "]")}")
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/dumps.json"), dumpsJson)
     graft.queries.MLShared.release()
     graft.queries.SketchShared.release()
     graft.queries.RetrievalShared.release()

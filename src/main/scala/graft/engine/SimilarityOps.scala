@@ -354,13 +354,23 @@ object SimilarityOps {
     * scheduled. Report frame is nLists rows — the one unpartitioned
     * window is free at any corpus size. */
   def ivfIncrementalAppend(index: IvfIndex, batch: DataFrame,
-                           imbalanceFactor: Long = 2L): DataFrame = {
-    val assignedNew = ivfIncrementalAssign(index, batch)
+                           imbalanceFactor: Long = 2L): DataFrame =
+    ivfAppendReport(index,
+      ivfIncrementalAssign(index, batch).groupBy(col("list_id"))
+        .agg(count(lit(1)).as("n_new")),
+      imbalanceFactor)
+
+  /** Report kernel shared by [[ivfIncrementalAppend]] (one batch) and
+    * [[graft.engine.StreamOps.streamingIvfMaintain]] (cumulative
+    * per-tick counts): `added` is a (list_id, n_new) frame — since the
+    * report is pure arithmetic over per-list COUNTS and counts are
+    * additive, folding micro-batch counts and reporting once equals
+    * the one-shot batch report (stream ≡ batch, StreamingSpec). */
+  private[engine] def ivfAppendReport(index: IvfIndex, added: DataFrame,
+                                      imbalanceFactor: Long): DataFrame = {
     val before = index.assigned
       .groupBy(col("list_id").cast("long").as("list_id"))
       .agg(count(lit(1)).as("n_before"))
-    val added = assignedNew.groupBy(col("list_id"))
-      .agg(count(lit(1)).as("n_new"))
     index.centers.select(col("c_list_id").cast("long").as("list_id"))
       .join(before, Seq("list_id"), "left_outer")
       .join(added, Seq("list_id"), "left_outer")
@@ -661,8 +671,11 @@ object SimilarityOps {
 
   /** The shared encode kernel behind [[pqEncode]] and [[pqErrStats]]:
     * one struct column per subspace holding the argmin sub-centroid's
-    * (d2, code). Codebook inlined as literals — pure per-row map. */
-  private def pqBestFrame(cb: PqCodebook, embeddings: DataFrame): DataFrame = {
+    * (d2, code). Codebook inlined as literals — pure per-row map.
+    * `keep` passes extra input columns through (the codes-table build
+    * carries `list_id` so the persisted row needs no later join). */
+  private def pqBestFrame(cb: PqCodebook, embeddings: DataFrame,
+                          keep: Seq[String] = Seq("vec_id")): DataFrame = {
     import org.apache.spark.sql.Column
     val sd = cb.subDim
     val cents: Map[(Int, Int), Array[Double]] = cb.centers
@@ -682,7 +695,7 @@ object SimilarityOps {
         struct(d2Col(vec, s, c).as("d2"), lit(c).as("code")) }: _*))
     val vec = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     embeddings.select(
-      col("vec_id") +: (0 until cb.m).map(s => bestCol(vec, s).as(s"b$s")): _*)
+      keep.map(col) ++ (0 until cb.m).map(s => bestCol(vec, s).as(s"b$s")): _*)
   }
 
   /** Per-subspace squared-error stats of `embeddings` encoded against
@@ -836,6 +849,99 @@ object SimilarityOps {
     ivfPqCodebookFor(index, tag, m, k).centers
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centers")
 
+  /** Residual-PQ encode KEEPING the coarse list id — the row shape the
+    * persisted codes table stores: (vec_id, list_id, code_0..code_{m-1}).
+    * `residuals` must carry (vec_id, list_id, embedding) —
+    * [[residualFrame]]'s contract. Map-only like [[pqEncode]]. */
+  def pqEncodeWithList(cb: PqCodebook, residuals: DataFrame): DataFrame = {
+    val withBest = pqBestFrame(cb, residuals, keep = Seq("vec_id", "list_id"))
+    val codeCols = (0 until cb.m).map(s => col(s"b$s.code").cast("long").as(s"code_$s"))
+    withBest.select(
+      Seq(col("vec_id"), col("list_id").cast("long").as("list_id")) ++ codeCols: _*)
+  }
+
+  private[graft] def ivfPqCodesTableName(tag: String, m: Int, k: Int): String =
+    s"ivfpq_codes_${Integer.toHexString(tag.hashCode)}_${m}_$k"
+
+  /** Materialize the persisted CODES table if absent — the third
+    * stored ANN artifact (index assignments, residual codebook, now
+    * the codes themselves), closing the gap q255's round-11 docstring
+    * named: with codes stored WITH their list_id, the IVF-PQ read
+    * path probes one table and never re-encodes or re-joins the
+    * corpus. Bucketed by `list_id` like the assignment table, so a
+    * probe with a literal `list_id IN (…)` prunes to nProbe/nLists of
+    * the codes at the scan. Build is offline/amortized: one corpus
+    * encode (map-only) + one assignment join, paid once. */
+  def ensureIvfPqCodesTable(index: IvfIndex, tag: String,
+                            m: Int = 4, k: Int = 16): String = {
+    val spark = index.assigned.sparkSession
+    val t = ivfPqCodesTableName(tag, m, k)
+    synchronized {
+      if (!spark.catalog.tableExists(t))
+        pqEncodeWithList(ivfPqCodebookFor(index, tag, m, k), residualFrame(index))
+          .write.mode("overwrite")
+          .bucketBy(index.nLists, "list_id").sortBy("vec_id").saveAsTable(t)
+    }
+    t
+  }
+
+  /** Load the persisted codes table (building it if absent) — zero
+    * sub-quantizer or coarse-quantizer fits on a warm catalog
+    * (ScaleSpec). */
+  def ivfPqCodesFor(index: IvfIndex, tag: String,
+                    m: Int = 4, k: Int = 16): DataFrame = {
+    val spark = index.assigned.sparkSession
+    spark.read.table(ensureIvfPqCodesTable(index, tag, m, k))
+  }
+
+  /** INCREMENTAL codes for a NEW batch (q256) — the maintenance path
+    * for the stored codes table, composing the two stored models the
+    * way q235 does for assignments: each batch vector (1) assigns to
+    * its nearest STORED coarse centroid ([[ivfIncrementalAssign]] —
+    * broadcast nLists rows, never a re-fit), (2) takes its residual
+    * against that centroid (map-side join against the same broadcast
+    * centroid frame), and (3) encodes against the STORED residual
+    * codebook (codebook inlined as literals — pure per-row map). The
+    * batch is touched once; no stored vector or code enters any
+    * shuffle; output rows append verbatim to the persisted table. */
+  def ivfPqIncrementalCodes(index: IvfIndex, cb: PqCodebook,
+                            batch: DataFrame): DataFrame = {
+    val assigned = ivfIncrementalAssign(index, batch)
+    val residuals = withVec(batch).select(col("vec_id"), col("vec"))
+      .join(assigned, "vec_id")
+      .join(broadcast(index.centers), col("list_id") === col("c_list_id"))
+      .select(col("vec_id"), col("list_id"),
+        expr("zip_with(vec, centroid, (x, y) -> x - y)").as("embedding"))
+    pqEncodeWithList(cb, residuals)
+  }
+
+  /** CODE-VOLUME maintenance report (q256) — reconcile the stored
+    * codes table with a new batch's codes at the (list_id, subspace,
+    * code) cell level: n_before from the PERSISTED table, n_new from
+    * the batch encode, n_after their sum. Reporting per CELL (not
+    * just per list) makes the oracle certify the stored codes
+    * themselves: n_before only matches if every stored code equals
+    * the oracle's independent residual-argmin replay. The frame is
+    * bounded by nLists·m·k cells (≤1024 here) — dimension-sized at
+    * any corpus scale; both inputs collapse through partial-aggregated
+    * counts before the cell join. */
+  def ivfPqCodeMaintain(storedCodes: DataFrame, newCodes: DataFrame,
+                        m: Int = 4): DataFrame = {
+    def cells(codes: DataFrame, cnt: String): DataFrame =
+      codes.selectExpr("list_id",
+        s"stack($m, ${(0 until m).map(s => s"CAST($s AS BIGINT), code_$s").mkString(", ")}) " +
+          "as (subspace, code)")
+        .groupBy(col("list_id"), col("subspace"), col("code"))
+        .agg(count(lit(1)).cast("long").as(cnt))
+    cells(storedCodes, "n_before")
+      .join(cells(newCodes, "n_new"), Seq("list_id", "subspace", "code"), "full_outer")
+      .na.fill(0L, Seq("n_before", "n_new"))
+      .select(col("list_id"), col("subspace"), col("code"),
+        col("n_before"), col("n_new"),
+        (col("n_before") + col("n_new")).as("n_after"))
+      .orderBy(col("list_id"), col("subspace"), col("code"))
+  }
+
   /** IVF-PQ end-to-end search fidelity (q255) — the full FAISS-style
     * `IVF{nLists},PQ{m}` read path measured against the exact
     * euclidean top-k: coarse stage ranks the broadcast centroids and
@@ -849,22 +955,22 @@ object SimilarityOps {
     * and k.
     *
     * Scale: the LUT is nQueries·nProbe·m·k rows (broadcast); corpus
-    * vectors are touched once through the codes table; the ONLY
+    * vectors are touched once through the STORED codes table
+    * (`storedCodes` = [[ivfPqCodesFor]] — codes persisted WITH their
+    * list_id, so the read path re-encodes and re-joins nothing; the
+    * round-11 compensating codes⋈assignment join is gone); the ONLY
     * corpus-sized shuffle is the (qid, vec_id) rollup of m LUT hits —
-    * bounded by candidates·m, i.e. nProbe/nLists of a full scan. The
-    * codes⋈assignment join here exists only because [[pqEncode]]
-    * returns codes without list ids; a maintenance job stores codes
-    * WITH list_id and skips it. Recall losses decompose into coarse
-    * misses (true neighbor outside probed lists) + ADC misrank —
-    * compare against [[pqAdcRecall]] (no coarse stage) to attribute. */
+    * bounded by candidates·m, i.e. nProbe/nLists of a full scan.
+    * Recall losses decompose into coarse misses (true neighbor
+    * outside probed lists) + ADC misrank — compare against
+    * [[pqAdcRecall]] (no coarse stage) to attribute. */
   def ivfPqRecall(index: IvfIndex, cb: PqCodebook, embeddings: DataFrame,
+                  storedCodes: DataFrame,
                   nQueries: Int = 5, k: Int = 10, nProbe: Int = 4): DataFrame = {
     val sd = cb.subDim
     val m = cb.m
-    val codes = pqEncode(cb, residualFrame(index))
-      .join(index.assigned.select(col("vec_id"),
-        col("list_id").cast("long").as("list_id")), "vec_id")
-      .selectExpr("vec_id", "list_id",
+    val codes = storedCodes
+      .selectExpr("vec_id", "CAST(list_id AS BIGINT) AS list_id",
         s"stack($m, ${(0 until m).map(s => s"$s, code_$s").mkString(", ")}) " +
           "as (subspace, code)")
     val v = withVec(embeddings).select(col("vec_id"), col("vec"))

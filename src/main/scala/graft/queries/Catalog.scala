@@ -17,12 +17,35 @@ import graft.engine.Exact._
   * over a unique key; fp-order-sensitive aggregates go through
   * [[graft.engine.Exact]]; derived integers are BIGINT on both sides.
   */
+/** Oracle side-artifact declaration: `path` is the stable /tmp
+  * location the oracle SQL embeds (e.g.
+  * [[graft.engine.SimilarityOps.IvfOracleDumpPath]]), `run` writes it.
+  * Registration lives ON the query so the dump set is derived, never
+  * hand-maintained — the round-11 q255 failure mode (an oracle reading
+  * an artifact nobody writes) is structurally impossible: Verify
+  * executes the union of selected queries' dumps after a clean-/tmp
+  * sweep, and CoreSpec asserts every `read_parquet('/tmp/…` in every
+  * oracle is covered by a registered dump path (and vice versa). */
+final case class OracleDump(path: String, run: (SparkSession, String) => Unit)
+
 final case class QuerySpec(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    dumps: Seq[OracleDump] = Nil)
 
 object Catalog {
+
+  /** The three oracle side-artifacts, shared across every query whose
+    * SQL replays fitted index state (dedupe key = path; each dump is
+    * memoized upstream so repeated registration costs one write). */
+  private val ivfDump = OracleDump(SimilarityOps.IvfOracleDumpPath,
+    (s, dir) => SimilarityOps.dumpIvfOracle(Tables.embeddings(s, dir), tag = dir))
+  private val pqDump = OracleDump(SimilarityOps.PqOracleDumpPath,
+    (s, dir) => SimilarityOps.dumpPqOracle(Tables.embeddings(s, dir), tag = dir))
+  private val ivfPqDump = OracleDump(SimilarityOps.IvfPqOracleDumpPath,
+    (s, dir) => SimilarityOps.dumpIvfPqOracle(
+      SimilarityOps.ivfIndexFor(Tables.embeddings(s, dir), tag = dir), tag = dir))
 
   /** Shared by q45 (runtime co-partitioning) and q69 (persisted
     * bucketing): the two queries MUST stay result-identical — one SQL
@@ -4470,7 +4493,8 @@ object Catalog {
              |             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rn
              |      FROM s)
              |SELECT qid, vec_id, score, rn FROM r WHERE rn <= 10
-             |ORDER BY qid, rn""".stripMargin)),
+             |ORDER BY qid, rn""".stripMargin),
+      dumps = Seq(ivfDump)),
 
     // index health: per-list population/share from the persisted
     // assignments — the balance view that bounds probe cost; oracle
@@ -4486,7 +4510,8 @@ object Catalog {
              |  FROM a GROUP BY list_id)
              |SELECT list_id, n_vectors,
              |       CAST(n_vectors AS DOUBLE) / SUM(n_vectors) OVER () AS share
-             |FROM c ORDER BY list_id""".stripMargin)),
+             |FROM c ORDER BY list_id""".stripMargin),
+      dumps = Seq(ivfDump)),
 
     // IVF list label-purity: per-list majority label + ppm share off
     // the persisted assignment — list MEANING next to q121's balance.
@@ -4509,7 +4534,8 @@ object Catalog {
              |SELECT t.list_id, t.n_vectors, m.majority_label, m.n_majority,
              |       (m.n_majority * 1000000) // t.n_vectors AS purity_ppm
              |FROM t JOIN m ON m.list_id = t.list_id AND m.rk = 1
-             |ORDER BY t.list_id""".stripMargin)),
+             |ORDER BY t.list_id""".stripMargin),
+      dumps = Seq(ivfDump)),
 
     // ANN index coverage audit: full-outer vec_id reconciliation of
     // the vector table vs the persisted IVF assignment — missing
@@ -4530,7 +4556,8 @@ object Catalog {
              |             WHERE vec_id NOT IN (SELECT vec_id FROM v)) AS BIGINT) AS n_orphaned,
              |       (SELECT COUNT(*) FROM v WHERE vec_id NOT IN (SELECT vec_id FROM a)) = 0
              |         AND (SELECT COUNT(*) FROM a WHERE vec_id NOT IN (SELECT vec_id FROM v)) = 0
-             |         AS covered""".stripMargin)),
+             |         AS covered""".stripMargin),
+      dumps = Seq(ivfDump)),
 
     // JL random-projection audit: 64-d -> 16-d through the q47
     // deterministic +/-1 planes, distance-distortion ratios on a pair
@@ -4696,7 +4723,8 @@ object Catalog {
              |       CAST(n_after AS DOUBLE) / total_after AS share_after,
              |       n_after * n_lists > 2 * total_after AS imbalanced
              |FROM r CROSS JOIN t CROSS JOIN nl
-             |ORDER BY list_id""".stripMargin)),
+             |ORDER BY list_id""".stripMargin),
+      dumps = Seq(ivfDump)),
 
     // Matryoshka truncation fidelity: per prefix length, the top-k by
     // prefix-dim cosine is scored against the full-dim exact top-k —
@@ -4795,7 +4823,8 @@ object Catalog {
              |       best_match, best_score,
              |       COALESCE(best_score >= 0.95, FALSE) AS is_dup
              |FROM bn LEFT JOIN sm ON sm.bid = bn.bid
-             |ORDER BY vec_id""".stripMargin)),
+             |ORDER BY vec_id""".stripMargin),
+      dumps = Seq(ivfDump)),
 
     // Product quantization ENCODE off the persisted codebook: each
     // vector's 4 sub-codes (d2 argmin, code breaks ties) + the exact
@@ -4840,7 +4869,8 @@ object Catalog {
              |  FROM b GROUP BY vec_id)
              |SELECT vec_id, code_0, code_1, code_2, code_3,
              |       e0 + e1 + e2 + e3 AS recon_err
-             |FROM p ORDER BY vec_id""".stripMargin)),
+             |FROM p ORDER BY vec_id""".stripMargin),
+      dumps = Seq(pqDump)),
 
     // ADC top-k fidelity: hits of the code-lookup ranking inside the
     // exact euclidean top-k, per query — pure-integer output. The
@@ -4906,7 +4936,8 @@ object Catalog {
              |       CAST(SUM(CASE WHEN adct.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
              |       CAST(COUNT(*) AS BIGINT) AS k
              |FROM ext LEFT JOIN adct ON ext.qid = adct.qid AND ext.vec_id = adct.vec_id
-             |GROUP BY ext.qid ORDER BY ext.qid""".stripMargin)),
+             |GROUP BY ext.qid ORDER BY ext.qid""".stripMargin),
+      dumps = Seq(pqDump)),
 
     // PQ codebook DRIFT: the new batch encodes map-only against the
     // stored codebook; its per-subspace mean quantization error
@@ -4984,7 +5015,8 @@ object Catalog {
              |       (batch_err_sum / n_batch) / (base_err_sum / n_base) AS drift_ratio,
              |       batch_err_sum / n_batch > 2.0 * (base_err_sum / n_base) AS refit
              |FROM base JOIN probe USING (subspace)
-             |ORDER BY subspace""".stripMargin)),
+             |ORDER BY subspace""".stripMargin),
+      dumps = Seq(pqDump)),
 
     // IVF-PQ end-to-end read path (the FAISS `IVF16,PQ4` composition):
     // coarse probe over the stored IVF centroids, ADC over RESIDUAL
@@ -5001,7 +5033,8 @@ object Catalog {
         val emb = Tables.embeddings(s, dir)
         val idx = SimilarityOps.ivfIndexFor(emb, tag = dir)
         SimilarityOps.ivfPqRecall(
-          idx, SimilarityOps.ivfPqCodebookFor(idx, tag = dir), emb)
+          idx, SimilarityOps.ivfPqCodebookFor(idx, tag = dir), emb,
+          SimilarityOps.ivfPqCodesFor(idx, tag = dir))
       },
       Some("""WITH a AS (
              |  SELECT vec_id, CAST(list_id AS BIGINT) AS list_id
@@ -5081,7 +5114,102 @@ object Catalog {
              |FROM ext
              |LEFT JOIN adct ON ext.qid = adct.qid AND ext.vec_id = adct.vec_id
              |LEFT JOIN cand ON ext.qid = cand.qid
-             |GROUP BY ext.qid, cand.n_candidates ORDER BY ext.qid""".stripMargin))
+             |GROUP BY ext.qid, cand.n_candidates ORDER BY ext.qid""".stripMargin),
+      dumps = Seq(ivfDump, ivfPqDump)),
+
+    // Incremental PQ code maintenance (q256) — the write path the q255
+    // read path now depends on: a NEW batch assigns to the stored
+    // coarse centroids, takes residuals, encodes against the stored
+    // residual codebook, and the report reconciles code volume with
+    // the PERSISTED codes table at (list_id, subspace, code) cell
+    // granularity. The oracle replays BOTH sides independently from
+    // the two dumped artifacts — full-corpus residual-argmin for
+    // n_before (certifying every stored code) and the batch's
+    // assign→residual→encode chain for n_new — so the persisted codes
+    // table itself is oracle-certified, not just the report over it.
+    QuerySpec(
+      "q256_ivfpq_code_maintain",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit, pmod, reverse}
+        val emb = Tables.embeddings(s, dir)
+        val idx = SimilarityOps.ivfIndexFor(emb, tag = dir)
+        val cb = SimilarityOps.ivfPqCodebookFor(idx, tag = dir)
+        val batch = emb.filter(pmod(col("vec_id"), lit(7)) === 3)
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+            reverse(col("embedding")).as("embedding"))
+        SimilarityOps.ivfPqCodeMaintain(
+          SimilarityOps.ivfPqCodesFor(idx, tag = dir),
+          SimilarityOps.ivfPqIncrementalCodes(idx, cb, batch))
+      },
+      Some("""WITH a AS (
+             |  SELECT vec_id, CAST(list_id AS BIGINT) AS list_id
+             |  FROM read_parquet('/tmp/graft_ivf_oracle/assign/*.parquet')),
+             |ic AS (
+             |  SELECT CAST(c_list_id AS BIGINT) AS list_id,
+             |         CAST(centroid AS DOUBLE[]) AS icent
+             |  FROM read_parquet('/tmp/graft_ivf_oracle/centers/*.parquet')),
+             |cb AS (
+             |  SELECT CAST(subspace AS BIGINT) AS subspace,
+             |         CAST(code AS BIGINT) AS code,
+             |         CAST(centroid AS DOUBLE[]) AS c
+             |  FROM read_parquet('/tmp/graft_ivfpq_oracle/centers/*.parquet')),
+             |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |r AS (
+             |  SELECT v.vec_id, a.list_id,
+             |         list_transform(list_zip(e, icent), p -> p[1] - p[2]) AS res
+             |  FROM v JOIN a USING (vec_id) JOIN ic USING (list_id)),
+             |d AS (
+             |  SELECT vec_id, list_id, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(res, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM r CROSS JOIN cb),
+             |stored AS (
+             |  SELECT list_id, subspace, code
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+             |                                     ORDER BY d2, code) AS rk FROM d)
+             |  WHERE rk = 1),
+             |b AS (
+             |  SELECT vec_id + 1000000 AS vec_id,
+             |         list_reverse(CAST(embedding AS DOUBLE[])) AS e
+             |  FROM embeddings WHERE vec_id % 7 = 3),
+             |bd AS (
+             |  SELECT vec_id, ic.list_id, icent, e,
+             |         list_sum(list_transform(list_zip(e, icent),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM b CROSS JOIN ic),
+             |ba AS (
+             |  SELECT vec_id, list_id,
+             |         list_transform(list_zip(e, icent), p -> p[1] - p[2]) AS res
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+             |                                     ORDER BY d2, list_id) AS rk FROM bd)
+             |  WHERE rk = 1),
+             |bdc AS (
+             |  SELECT vec_id, list_id, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(res, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM ba CROSS JOIN cb),
+             |newc AS (
+             |  SELECT list_id, subspace, code
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+             |                                     ORDER BY d2, code) AS rk FROM bdc)
+             |  WHERE rk = 1),
+             |nb AS (SELECT list_id, subspace, code, CAST(COUNT(*) AS BIGINT) AS n_before
+             |       FROM stored GROUP BY 1, 2, 3),
+             |nn AS (SELECT list_id, subspace, code, CAST(COUNT(*) AS BIGINT) AS n_new
+             |       FROM newc GROUP BY 1, 2, 3)
+             |SELECT COALESCE(nb.list_id, nn.list_id) AS list_id,
+             |       COALESCE(nb.subspace, nn.subspace) AS subspace,
+             |       COALESCE(nb.code, nn.code) AS code,
+             |       COALESCE(n_before, 0) AS n_before,
+             |       COALESCE(n_new, 0) AS n_new,
+             |       COALESCE(n_before, 0) + COALESCE(n_new, 0) AS n_after
+             |FROM nb FULL OUTER JOIN nn
+             |  ON nb.list_id = nn.list_id AND nb.subspace = nn.subspace
+             | AND nb.code = nn.code
+             |ORDER BY list_id, subspace, code""".stripMargin),
+      dumps = Seq(ivfDump, ivfPqDump))
   )
 
   // ---------------------------------------------------------------- //

@@ -1328,4 +1328,20 @@ class CoreSpec extends SparkSpec {
     // C: N=2 D=2 S=4 = N^2 -> NULL
     assert(got("C") == ((2L, 2L, 4L, None)), s"C: ${got("C")}")
   }
+
+  test("every oracle /tmp artifact read is dump-registered on its spec, and vice versa") {
+    // The round-11 q255 failure class, closed structurally: an oracle
+    // SQL reading /tmp state must DECLARE the dump on its QuerySpec
+    // (Verify derives the dump set from registration after a clean-/tmp
+    // sweep). Exact two-way equality also flags dead registrations.
+    val readRe = "read_parquet\\('(/tmp/[^/']+)".r
+    graft.queries.Catalog.specs.foreach { sp =>
+      val reads = readRe.findAllMatchIn(sp.oracle.getOrElse(""))
+        .map(_.group(1)).toSet
+      val registered = sp.dumps.map(_.path).toSet
+      assert(reads == registered,
+        s"${sp.name}: oracle reads $reads but registers $registered — " +
+          "declare matching OracleDump(s) on the QuerySpec")
+    }
+  }
 }

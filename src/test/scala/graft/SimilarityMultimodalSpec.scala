@@ -525,6 +525,44 @@ class SimilarityMultimodalSpec extends SparkSpec {
       "stored baseline must equal a rebuild (decimal sums are order-independent)")
   }
 
+  test("IVF-PQ codes table: persisted with list_id, zero refits on reload, incremental ≡ build") {
+    val idx = SimilarityOps.ivfIndexFor(emb, tag = sf)
+    val cb = SimilarityOps.ivfPqCodebookFor(idx, tag = sf)
+    val t = SimilarityOps.ensureIvfPqCodesTable(idx, tag = sf)
+    val pq0 = SimilarityOps.pqBuilds
+    val iv0 = SimilarityOps.indexBuilds
+    val codes = SimilarityOps.ivfPqCodesFor(idx, tag = sf)
+    assert(SimilarityOps.pqBuilds == pq0 && SimilarityOps.indexBuilds == iv0,
+      "loading the persisted codes table must fit nothing")
+    val desc = spark.sql(s"DESCRIBE EXTENDED $t")
+      .collect().map(_.mkString(" ")).mkString("\n")
+    assert(desc.contains("Num Buckets") && desc.contains("list_id"),
+      s"codes table must carry the list_id bucket spec:\n$desc")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    val stored = codes.collect().map(key).toSet
+    val rebuilt = SimilarityOps.pqEncodeWithList(cb, SimilarityOps.residualFrame(idx))
+      .collect().map(key).toSet
+    assert(stored == rebuilt, "stored codes must equal a fresh encode")
+    // incremental path ≡ build path: exact copies of stored vectors
+    // under new ids must reproduce their originals' (list_id, codes)
+    val batch = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + lit(5000000L)).as("vec_id"), col("embedding"))
+    val inc = SimilarityOps.ivfPqIncrementalCodes(idx, cb, batch)
+      .collect().map(r => (r.getLong(0) - 5000000L,
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val orig = codes.filter(col("vec_id") < 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(inc == orig, "incremental encode must reproduce the stored codes")
+    // cell-level maintenance report conserves volume: Σ n_new = batch·m
+    val rep = SimilarityOps.ivfPqCodeMaintain(codes,
+      SimilarityOps.ivfPqIncrementalCodes(idx, cb, batch)).collect()
+    assert(rep.map(_.getLong(4)).sum == 20L * 4,
+      "every batch (vector, subspace) lands in exactly one cell")
+    assert(rep.forall(r => r.getLong(5) == r.getLong(3) + r.getLong(4)))
+  }
+
   test("cross-media duplicate frames surface a shared aligned block only") {
     import spark.implicits._
     val shared = "S" * 64 // frame 0 of docs 1 and 2

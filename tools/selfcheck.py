@@ -111,8 +111,31 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Dump-registration lint (VERDICT r11 #2, the q255 failure class):
+    # every read_parquet('/tmp/... in an oracle SQL must be covered by
+    # a dump path the SAME query registered on its QuerySpec (manifest
+    # written by Verify as dumps.json). An unregistered read means the
+    # artifact exists only if a co-selected query happens to dump it —
+    # i.e. a fresh driver sandbox fails where a stale local /tmp passes.
+    # Verify additionally deletes /tmp/graft_*_oracle at startup, so a
+    # stale dump can't mask a missing registration here either.
+    import os
+    dumps = {}
+    if os.path.exists(f"{out_dir}/dumps.json"):
+        dumps = json.load(open(f"{out_dir}/dumps.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        tmp_reads = set(re.findall(r"read_parquet\('(/tmp/[^/']+)", sql))
+        # name absent from dumps.json ⇒ query not selected in this
+        # Verify invocation (SPARK_GRAFT_ONLY dev run) — nothing to lint
+        registered = set(dumps[name]) if name in dumps else tmp_reads
+        missing = tmp_reads - registered
+        if missing:
+            print(f"FAIL {name}: oracle reads unregistered /tmp artifact(s) "
+                  f"{sorted(missing)} — register an OracleDump on the "
+                  f"QuerySpec (registered: {sorted(registered)})")
+            n_fail += 1
+            continue
         import os
         if not os.path.isdir(f"{out_dir}/{name}"):
             # not dumped (SPARK_GRAFT_ONLY-filtered Verify run) — skip
