@@ -606,6 +606,53 @@ object StreamOps {
       }
       .start()
 
+  /** STREAMING IVF maintenance — q235 live (VERDICT r11 #6): the
+    * assignment-append stream of [[streamingIvfAssign]] PLUS the
+    * carried per-list count state that makes the imbalance report a
+    * standing artifact instead of a batch probe. Each micro-batch of
+    * new vectors assigns to the STORED centroids (argmin against the
+    * broadcast nLists-row frame — the quantizer is never re-fit),
+    * appends (vec_id, list_id) to `outPath/assign`, folds its
+    * per-list counts into the carried cumulative-count state, and
+    * rewrites the q235-shaped report at `outPath/report` — so a
+    * far-cluster batch flags `imbalanced` IN-STREAM, at the tick it
+    * lands, not at the next offline audit.
+    *
+    * Stream ≡ batch by construction: the report is pure arithmetic
+    * over per-list COUNTS ([[SimilarityOps.ivfAppendReport]], the
+    * exact kernel q235 calls) and counts are additive, so any
+    * micro-batch split folds to the one-shot report (StreamingSpec,
+    * across a planted far-cluster boundary). State is nLists longs —
+    * executor-memory-free at any corpus scale; durable state is the
+    * report + assign sinks (restart: rebuild counts from
+    * `outPath/assign` in one scan). */
+  def streamingIvfMaintain(vectors: DataFrame, index: SimilarityOps.IvfIndex,
+                           outPath: String, checkpointDir: String,
+                           imbalanceFactor: Long = 2L): StreamingQuery = {
+    var counts = index.centers
+      .select(col("c_list_id").cast("long").as("list_id"), lit(0L).as("n_new"))
+      .localCheckpoint(false)
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val assigned = SimilarityOps.ivfIncrementalAssign(index, batch)
+            .localCheckpoint(false) // sink append + count fold
+          assigned.write.mode("append").parquet(s"$outPath/assign")
+          counts = counts.unionByName(
+              assigned.groupBy(col("list_id")).agg(count(lit(1)).as("n_new")))
+            .groupBy(col("list_id"))
+            .agg(sum(col("n_new")).cast("long").as("n_new"))
+            .localCheckpoint(false) // next fold + report
+          SimilarityOps.ivfAppendReport(index, counts, imbalanceFactor)
+            .write.mode("overwrite").parquet(s"$outPath/report")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** STREAMING ingest tick — q247 live: each micro-batch of documents
     * flows through the incremental funnel (exact vs the carried
     * fingerprint store → quality gate → near-dup vs the carried

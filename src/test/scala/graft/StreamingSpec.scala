@@ -627,6 +627,61 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming IVF maintenance equals q235 batch report; far-cluster batch flags in-stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{SimilarityOps, StreamOps, Tables}
+    val emb = Tables.embeddings(spark, sf)
+    val index = SimilarityOps.ivfIndexFor(emb, tag = sf)
+    // tick 1: ordinary vectors (shifted copies of stored ones); tick 2:
+    // a planted far cluster — one far-away point repeated, so every row
+    // argmins into the SAME list and pushes it past 2× its fair share
+    val f1 = emb.filter(col("vec_id") % 5 === 1)
+      .select(col("vec_id") + lit(4000000L), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val far = Array.fill(dim)(100.0f)
+    // 150 rows: the landing list ends > 2× its fair share of the
+    // ~500-vector stored corpus, so the integer gate fires
+    val f2 = (0 until 150).map(i => (4100000L + i, far.map(x => x + i * 1e-4f)))
+    val out = java.nio.file.Files.createTempDirectory("graft_sim_out_").toString + "/m"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sim_ckpt_").toString
+    val input = MemoryStream[(Long, Array[Float])]
+    val builds0 = SimilarityOps.indexBuilds
+    val q = StreamOps.streamingIvfMaintain(
+      input.toDS().toDF("vec_id", "embedding"), index, out, ckpt)
+    def report() = spark.read.parquet(s"$out/report").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5))).sortBy(_._1).toSeq
+    try {
+      input.addData(f1.toSeq: _*)
+      q.processAllAvailable()
+      val mid = report()
+      assert(!mid.exists(_._6),
+        s"ordinary tick must not flag imbalance: $mid")
+      input.addData(f2: _*)
+      q.processAllAvailable()
+      val fin = report()
+      assert(fin.exists(_._6), s"far-cluster tick must flag in-stream: $fin")
+      val allRows = (f1 ++ f2).toSeq.toDF("vec_id", "embedding")
+      val batch = SimilarityOps.ivfIncrementalAppend(index, allRows).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getBoolean(5))).sortBy(_._1).toSeq
+      assert(fin == batch,
+        s"streamed report diverged from the one-shot q235 report")
+      // every streamed assignment row matches the batch assign too
+      val streamedAssign = spark.read.parquet(s"$out/assign").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+      val batchAssign = SimilarityOps.ivfIncrementalAssign(index, allRows)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+      assert(streamedAssign == batchAssign)
+    } finally q.stop()
+    assert(SimilarityOps.indexBuilds == builds0,
+      "streaming maintenance must never re-fit the quantizer")
+  }
+
   test("streaming entity resolution equals one-shot incremental across a bridging boundary") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
