@@ -69,7 +69,16 @@ object CorpusOps {
     * on the fixture. */
   def curationFunnel(documents: DataFrame,
                      nearDupEdges: Option[DataFrame] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val (toks, stages) = curationStageIds(documents, nearDupEdges)
+    funnelReport(toks, stages)
+  }
+
+  /** The q91 pipeline's per-stage survivor id-frames — shared by the
+    * q220 funnel and its license-gated extension (q257), so the two
+    * reports can never drift stage-for-stage. */
+  private def curationStageIds(documents: DataFrame,
+                               nearDupEdges: Option[DataFrame])
+      : (DataFrame, Seq[(String, DataFrame)]) = {
     val toks = documents.select(col("doc_id"),
       size(expr(s"regexp_extract_all(text, '${TextOps.pieceRe}', 0)"))
         .cast("long").as("n_toks"))
@@ -89,22 +98,85 @@ object CorpusOps {
         documents.filter(col("doc_id") >= 50), documents.filter(col("doc_id") < 50))
       .filter(col("flagged")).select(col("doc_id"))
     val decontamKeep = gateKeep.join(flagged, Seq("doc_id"), "left_anti")
+    (toks, Seq(
+      "input" -> documents.select(col("doc_id")),
+      "exact_dedup" -> exactKeep,
+      "near_dedup" -> nearKeep,
+      "quality_gate" -> gateKeep,
+      "decontam" -> decontamKeep))
+  }
+
+  /** Stage-report builder shared by the funnel variants: price each
+    * survivor id-frame in docs + token mass, lag the drop. The report
+    * window is stage-count rows — free at any corpus size. */
+  private def funnelReport(toks: DataFrame,
+                           stages: Seq[(String, DataFrame)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     def stage(i: Int, name: String, ids: DataFrame): DataFrame =
       ids.join(toks, "doc_id")
         .agg(count(lit(1)).cast("long").as("n_docs"),
              sum(col("n_toks")).cast("long").as("n_tokens"))
         .select(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
           col("n_docs"), col("n_tokens"))
-    val w = Window.orderBy(col("stage")) // 5 rows — a free window
-    stage(0, "input", documents.select(col("doc_id")))
-      .unionByName(stage(1, "exact_dedup", exactKeep))
-      .unionByName(stage(2, "near_dedup", nearKeep))
-      .unionByName(stage(3, "quality_gate", gateKeep))
-      .unionByName(stage(4, "decontam", decontamKeep))
+    val w = Window.orderBy(col("stage"))
+    stages.zipWithIndex.map { case ((name, ids), i) => stage(i, name, ids) }
+      .reduceLeft(_.unionByName(_))
       .withColumn("n_dropped",
         coalesce(lag(col("n_docs"), 1).over(w) - col("n_docs"), lit(0L)))
       .orderBy(col("stage"))
   }
+
+  /** Deterministic source→(license, verdict) dim — the offline
+    * compliance registry analogue (the [[graft.engine.GeoOps]]
+    * offline-dim pattern): license class derived from the source
+    * name's trailing digits, verdict from the class. allow admits,
+    * deny drops, review parks for a human. Distinct-source-sized by
+    * contract (a corpus has bounded source domains), so it
+    * broadcasts; at production scale this frame is replaced by the
+    * real registry table with the same (source, license, verdict)
+    * schema and nothing else changes. */
+  def sourceLicenseDim(documents: DataFrame): DataFrame =
+    documents.select(col("source")).distinct()
+      .withColumn("license", expr(
+        """CASE CAST(coalesce(nullif(regexp_extract(source, '([0-9]+)$', 1), ''), '0') AS BIGINT) % 4
+          |  WHEN 0 THEN 'cc-by' WHEN 1 THEN 'public-domain'
+          |  WHEN 2 THEN 'proprietary' ELSE 'unknown' END""".stripMargin))
+      .withColumn("verdict", expr(
+        """CASE license WHEN 'proprietary' THEN 'deny'
+          |  WHEN 'unknown' THEN 'review' ELSE 'allow' END""".stripMargin))
+
+  /** LICENSE-GATED curation funnel (q257) — the q220 funnel composed
+    * with the per-source-domain compliance gate as its final stage:
+    * only decontam survivors whose source's registry verdict is
+    * `allow` reach the training corpus. The gate is a broadcast
+    * semi-join against the dim — no corpus shuffle; stages 0–4 are
+    * the EXACT q220 id-frames ([[curationStageIds]]), so the two
+    * reports reconcile row-for-row and the composition is certified
+    * by one oracle. */
+  def licensedCurationFunnel(documents: DataFrame,
+                             nearDupEdges: Option[DataFrame] = None): DataFrame = {
+    val (toks, stages) = curationStageIds(documents, nearDupEdges)
+    val allowedDocs = documents
+      .join(broadcast(sourceLicenseDim(documents)
+        .filter(col("verdict") === "allow").select(col("source"))), "source")
+      .select(col("doc_id"))
+    val licensed = stages.last._2.join(allowedDocs, Seq("doc_id"), "left_semi")
+    funnelReport(toks, stages :+ ("license_gate" -> licensed))
+  }
+
+  /** Per-source-domain license ACCOUNTING (q258, the q116 gate-
+    * accounting pattern on the compliance dimension): every document
+    * lands in exactly one (source, license, verdict) row — Σ n_docs
+    * over the report equals the corpus count, the conservation
+    * property the funnel composition depends on. One corpus scan,
+    * one broadcast dim join, one rollup; char mass comes from the
+    * stored n_chars column (no tokenizer replay). */
+  def licenseAccounting(documents: DataFrame): DataFrame =
+    documents.join(broadcast(sourceLicenseDim(documents)), "source")
+      .groupBy(col("source"), col("license"), col("verdict"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+           sum(col("n_chars")).cast("long").as("n_chars"))
+      .orderBy(col("source"))
 
   /** INCREMENTAL ingest funnel (q247) — [[curationFunnel]]'s per-tick
     * form: a new batch flows through the incremental curation stages,

