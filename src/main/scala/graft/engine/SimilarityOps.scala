@@ -926,21 +926,34 @@ object SimilarityOps {
     * any corpus scale; both inputs collapse through partial-aggregated
     * counts before the cell join. */
   def ivfPqCodeMaintain(storedCodes: DataFrame, newCodes: DataFrame,
-                        m: Int = 4): DataFrame = {
-    def cells(codes: DataFrame, cnt: String): DataFrame =
-      codes.selectExpr("list_id",
-        s"stack($m, ${(0 until m).map(s => s"CAST($s AS BIGINT), code_$s").mkString(", ")}) " +
-          "as (subspace, code)")
-        .groupBy(col("list_id"), col("subspace"), col("code"))
-        .agg(count(lit(1)).cast("long").as(cnt))
-    cells(storedCodes, "n_before")
-      .join(cells(newCodes, "n_new"), Seq("list_id", "subspace", "code"), "full_outer")
+                        m: Int = 4): DataFrame =
+    ivfPqCellReport(pqCodeCells(storedCodes, m, "n_before"),
+      pqCodeCells(newCodes, m, "n_new"))
+
+  /** (list_id, subspace, code) cell counts of a codes frame — the
+    * aggregation [[ivfPqCodeMaintain]] runs on both sides, factored
+    * out so the STREAMING twin can fold per-tick cells instead of
+    * re-scanning codes (counts are additive — the q235 argument). */
+  private[engine] def pqCodeCells(codes: DataFrame, m: Int,
+                                  cnt: String): DataFrame =
+    codes.selectExpr("list_id",
+      s"stack($m, ${(0 until m).map(s => s"CAST($s AS BIGINT), code_$s").mkString(", ")}) " +
+        "as (subspace, code)")
+      .groupBy(col("list_id"), col("subspace"), col("code"))
+      .agg(count(lit(1)).cast("long").as(cnt))
+
+  /** Report kernel shared by [[ivfPqCodeMaintain]] (one batch) and
+    * [[graft.engine.StreamOps.streamingIvfPqCodeMaintain]] (cumulative
+    * per-tick cells): both inputs are ≤ nLists·m·k cell rows. */
+  private[engine] def ivfPqCellReport(before: DataFrame,
+                                      added: DataFrame): DataFrame =
+    before
+      .join(added, Seq("list_id", "subspace", "code"), "full_outer")
       .na.fill(0L, Seq("n_before", "n_new"))
       .select(col("list_id"), col("subspace"), col("code"),
         col("n_before"), col("n_new"),
         (col("n_before") + col("n_new")).as("n_after"))
       .orderBy(col("list_id"), col("subspace"), col("code"))
-  }
 
   /** IVF-PQ end-to-end search fidelity (q255) — the full FAISS-style
     * `IVF{nLists},PQ{m}` read path measured against the exact
