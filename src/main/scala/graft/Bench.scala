@@ -74,7 +74,24 @@ object Bench {
       catch { case _: Throwable => -1.0 }
     val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
     def timedPass(): Seq[(String, Double, Boolean)] = { loads += loadavg(); onePass() }
-    val passes = Seq(timedPass(), timedPass(), timedPass())
+    // ADAPTIVE warm passes (VERDICT r12 #1): with a fixed cold+2-warm
+    // schedule, one co-tenant-loaded warm pass contaminates even the
+    // per-query mins (r12: +11% on untouched code at loadavg 19). Keep
+    // running warm passes until the TWO LOWEST warm-pass totals agree
+    // within 5% (cap 6 passes total) — then the min column is backed by
+    // two independent near-agreeing measurements and the converged
+    // total is trustworthy regardless of what the other passes hit.
+    val maxPasses = 6
+    val passBuf = scala.collection.mutable.ArrayBuffer(
+      timedPass(), timedPass(), timedPass())
+    def passTotal(p: Seq[(String, Double, Boolean)]): Double =
+      p.filter(_._3).map(_._2).sum
+    def warmConverged: Boolean = {
+      val warm = passBuf.drop(1).map(passTotal).sorted
+      warm.size >= 2 && warm(1) - warm(0) <= 0.05 * warm(0)
+    }
+    while (!warmConverged && passBuf.size < maxPasses) passBuf += timedPass()
+    val passes = passBuf.toSeq
     graft.queries.MLShared.release()
     graft.queries.SketchShared.release()
     graft.queries.RetrievalShared.release()
@@ -101,10 +118,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.filter(!_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    val passTotalSeq = passes.map(p => p.filter(_._3).map(_._2).sum)
+    val passTotalSeq = passes.map(passTotal)
     val passTotals = passTotalSeq.mkString("[", ",", "]")
     val warmTotals = passTotalSeq.drop(1)
     val warmSpread = warmTotals.max - warmTotals.min
+    // gap between the two best warm totals — ≤5% of the best means the
+    // adaptive loop converged; at the 6-pass cap it records how far off
+    // the window still was (the artifact's own credibility annotation)
+    val warmSorted = warmTotals.sorted
+    val warmBestGap = warmSorted(1) - warmSorted(0)
     // min_total_sec repeats "value" under its semantic name: the
     // per-query-MIN sum is the load-robust headline (VERDICT r7: the
     // driver's warm PASS totals carried a 10 s machine-load spread
@@ -119,7 +141,7 @@ object Bench {
       ok && k.takeWhile(_ != '_').drop(1).toIntOption.exists(_ <= 53) }
       .map(_._2).sum
     val passLoads = loads.mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"failed":$failed,"pass_totals":$passTotals,"min_total_sec":$total,"baseline53_total_sec":$baseline53,"pass_loadavg":$passLoads,"warm_spread_sec":$warmSpread,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"failed":$failed,"pass_totals":$passTotals,"min_total_sec":$total,"baseline53_total_sec":$baseline53,"pass_loadavg":$passLoads,"warm_spread_sec":$warmSpread,"n_passes":${passes.size},"warm_best_gap_sec":$warmBestGap,"warm_converged":$warmConverged,"sf":"$sfDir"}"""
     println(line)
     // also persist the full line to a file: the stdout capture path
     // truncates long runs (150 queries of per-query timings overflow

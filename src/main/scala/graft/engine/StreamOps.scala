@@ -653,6 +653,59 @@ object StreamOps {
       .start()
   }
 
+  /** STREAMING IVF-PQ code maintenance — q256 live (VERDICT r12 #2):
+    * the codes-table write path as a standing stream. Each micro-batch
+    * of new vectors runs the q256 chain against the two STORED models
+    * ([[SimilarityOps.ivfPqIncrementalCodes]]: assign to the stored
+    * coarse centroids → residual → encode against the stored residual
+    * codebook — broadcast/map-only, never a re-fit), appends the code
+    * rows to `outPath/codes`, folds the tick's (list_id, subspace,
+    * code) cell counts into the carried cumulative-cell state
+    * ([[SimilarityOps.pqCodeCells]] — factored for exactly this), and
+    * rewrites the q256-shaped reconciliation report at
+    * `outPath/report` via [[SimilarityOps.ivfPqCellReport]].
+    *
+    * Stream ≡ batch by construction: the report is pure arithmetic
+    * over per-cell COUNTS and counts are additive, so any micro-batch
+    * split folds to the one-shot [[SimilarityOps.ivfPqCodeMaintain]]
+    * report (StreamingSpec, across a split of the q256 batch). State
+    * is ≤ nLists·m·k cell rows (≤1024 here) — index-metadata-sized at
+    * any corpus scale; the stored-codes side aggregates ONCE at start
+    * (the persisted table is never re-scanned per tick). Durable
+    * state is the codes + report sinks (restart: rebuild cells from
+    * `outPath/codes` in one scan). */
+  def streamingIvfPqCodeMaintain(vectors: DataFrame,
+                                 index: SimilarityOps.IvfIndex,
+                                 cb: SimilarityOps.PqCodebook,
+                                 storedCodes: DataFrame, outPath: String,
+                                 checkpointDir: String): StreamingQuery = {
+    val before = SimilarityOps.pqCodeCells(storedCodes, cb.m, "n_before")
+      .localCheckpoint(false) // every tick's report reads it
+    var cells = before.select(col("list_id"), col("subspace"), col("code"),
+        lit(0L).as("n_new"))
+      .filter(lit(false)) // start empty; cells appear as ticks land
+      .localCheckpoint(false)
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val newCodes = SimilarityOps.ivfPqIncrementalCodes(index, cb, batch)
+            .localCheckpoint(false) // sink append + cell fold
+          newCodes.write.mode("append").parquet(s"$outPath/codes")
+          cells = cells.unionByName(
+              SimilarityOps.pqCodeCells(newCodes, cb.m, "n_new"))
+            .groupBy(col("list_id"), col("subspace"), col("code"))
+            .agg(sum(col("n_new")).cast("long").as("n_new"))
+            .localCheckpoint(false) // next fold + report
+          SimilarityOps.ivfPqCellReport(before, cells)
+            .write.mode("overwrite").parquet(s"$outPath/report")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** STREAMING ingest tick — q247 live: each micro-batch of documents
     * flows through the incremental funnel (exact vs the carried
     * fingerprint store → quality gate → near-dup vs the carried

@@ -682,6 +682,56 @@ class StreamingSpec extends SparkSpec {
       "streaming maintenance must never re-fit the quantizer")
   }
 
+  test("streaming IVF-PQ code maintenance equals the q256 batch report across a micro-batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{SimilarityOps, StreamOps, Tables}
+    val emb = Tables.embeddings(spark, sf)
+    val index = SimilarityOps.ivfIndexFor(emb, tag = sf)
+    val cb = SimilarityOps.ivfPqCodebookFor(index, tag = sf)
+    val storedCodes = SimilarityOps.ivfPqCodesFor(index, tag = sf)
+    // the exact q256 batch, split across two ticks
+    val batch = emb.filter(col("vec_id") % 7 === 3)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        org.apache.spark.sql.functions.reverse(col("embedding")).as("embedding"))
+    val feed = batch.as[(Long, Array[Float])].collect().sortBy(_._1)
+    val (f1, f2) = feed.splitAt(feed.length / 2)
+    val out = java.nio.file.Files.createTempDirectory("graft_spq_out_").toString + "/pq"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_spq_ckpt_").toString
+    val input = MemoryStream[(Long, Array[Float])]
+    val (ib0, pb0) = (SimilarityOps.indexBuilds, SimilarityOps.pqBuilds)
+    val q = StreamOps.streamingIvfPqCodeMaintain(
+      input.toDS().toDF("vec_id", "embedding"), index, cb, storedCodes, out, ckpt)
+    try {
+      input.addData(f1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(f2.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(SimilarityOps.indexBuilds == ib0 && SimilarityOps.pqBuilds == pb0,
+      "streaming code maintenance must never re-fit either quantizer")
+    def proj(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val streamed = proj(spark.read.parquet(s"$out/report").collect())
+    val oneShot = proj(SimilarityOps.ivfPqCodeMaintain(storedCodes,
+      SimilarityOps.ivfPqIncrementalCodes(index, cb, batch)).collect())
+    assert(streamed == oneShot,
+      s"streamed cell report diverged from the one-shot q256 report " +
+        s"(${streamed.size} vs ${oneShot.size} cells)")
+    assert(streamed.values.exists(_._2 > 0L), "some cell must carry new codes")
+    // every appended code row matches the batch incremental encode
+    def codesProj(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val streamedCodes = codesProj(spark.read.parquet(s"$out/codes"))
+    val batchCodes = codesProj(
+      SimilarityOps.ivfPqIncrementalCodes(index, cb, batch))
+    assert(streamedCodes == batchCodes,
+      s"streamed code rows diverged (${streamedCodes.size} vs ${batchCodes.size})")
+  }
+
   test("streaming entity resolution equals one-shot incremental across a bridging boundary") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
