@@ -206,27 +206,68 @@ object CorpusOps {
     * from [[ingestFunnel]] so [[StreamOps.streamingIngestTick]] can
     * report AND grow its stores from one stage computation. */
   private[engine] def ingestReport(batch: DataFrame,
-      stages: (DataFrame, DataFrame, DataFrame)): DataFrame = {
+      stages: (DataFrame, DataFrame, DataFrame)): DataFrame =
+    ingestReportStages(batch, Seq(
+      "exact_vs_stored" -> stages._1,
+      "quality_gate" -> stages._2,
+      "near_dup_vs_stored" -> stages._3))
+
+  /** Generalized rollup: `stages` are the survivor id-frames AFTER
+    * the implicit stage-0 input row — shared by the 4-stage q247
+    * funnel and its license-gated 5-stage extension (q262). */
+  private[engine] def ingestReportStages(batch: DataFrame,
+      stages: Seq[(String, DataFrame)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = batch.select(col("doc_id"),
       size(expr(s"regexp_extract_all(text, '${TextOps.pieceRe}', 0)"))
         .cast("long").as("n_toks"))
       .localCheckpoint(false) // every stage rollup reads it
-    val (exactKeep, gateKeep, ndKeep) = stages
     def stage(i: Int, name: String, ids: DataFrame): DataFrame =
       ids.join(toks, "doc_id")
         .agg(count(lit(1)).cast("long").as("n_docs"),
              coalesce(sum(col("n_toks")), lit(0L)).cast("long").as("n_tokens"))
         .select(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
           col("n_docs"), col("n_tokens"))
-    val w = Window.orderBy(col("stage")) // 4 rows — a free window
-    stage(0, "input", batch.select(col("doc_id")))
-      .unionByName(stage(1, "exact_vs_stored", exactKeep))
-      .unionByName(stage(2, "quality_gate", gateKeep))
-      .unionByName(stage(3, "near_dup_vs_stored", ndKeep))
+    val w = Window.orderBy(col("stage")) // stage-count rows — a free window
+    (("input", batch.select(col("doc_id"))) +: stages).zipWithIndex
+      .map { case ((name, ids), i) => stage(i, name, ids) }
+      .reduceLeft(_.unionByName(_))
       .withColumn("n_dropped",
         coalesce(lag(col("n_docs"), 1).over(w) - col("n_docs"), lit(0L)))
       .orderBy(col("stage"))
+  }
+
+  /** LICENSE-GATED incremental ingest funnel (q262) — [[ingestFunnel]]
+    * with the q257 compliance stage appended: stage 4 admits only
+    * near-dup survivors whose source-domain registry verdict is
+    * `allow`. Stages 0–3 are the EXACT q247 id-frames
+    * ([[ingestStages]]), so the two reports reconcile row-for-row;
+    * the gate is one broadcast semi-join against the
+    * distinct-source-sized dim — no batch re-scan, no corpus touch.
+    * This is the stage set [[StreamOps.streamingLicensedIngestTick]]
+    * runs per tick, where the final frame also decides store growth —
+    * a deny-source doc never enters the fingerprint or sketch store. */
+  def licensedIngestFunnel(storedFps: DataFrame, storedSigs: DataFrame,
+                           batch: DataFrame, batchSigs: DataFrame,
+                           licenseDim: DataFrame): DataFrame =
+    ingestReportStages(batch,
+      licensedIngestStages(storedFps, storedSigs, batch, batchSigs, licenseDim))
+
+  /** The q247 stage frames plus the license gate — `batch` must carry
+    * a `source` column; `licenseDim` is the (source, license, verdict)
+    * registry ([[sourceLicenseDim]]'s shape). */
+  private[engine] def licensedIngestStages(storedFps: DataFrame,
+      storedSigs: DataFrame, batch: DataFrame, batchSigs: DataFrame,
+      licenseDim: DataFrame): Seq[(String, DataFrame)] = {
+    val (exactKeep, gateKeep, ndKeep) =
+      ingestStages(storedFps, storedSigs, batch, batchSigs)
+    val allowedDocs = batch
+      .join(broadcast(licenseDim.filter(col("verdict") === "allow")
+        .select(col("source"))), "source")
+      .select(col("doc_id"))
+    val licKeep = ndKeep.join(allowedDocs, Seq("doc_id"), "left_semi")
+    Seq("exact_vs_stored" -> exactKeep, "quality_gate" -> gateKeep,
+      "near_dup_vs_stored" -> ndKeep, "license_gate" -> licKeep)
   }
 
   /** The funnel's keeper sets, one frame per stage — shared by the

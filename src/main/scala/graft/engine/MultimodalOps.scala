@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (north-star): media as opaque binary
@@ -155,6 +156,101 @@ object MultimodalOps {
       .select(col("media_id").as("vec_id"),
         expr("transform(features, x -> CAST(x AS FLOAT))").as("embedding"))
     SimilarityOps.cosineTopK(emb, nQueries, k)
+  }
+
+  /** CROSS-MODAL alignment scores (q261) — the CLIP-score filter
+    * shape every multimodal training pipeline runs before training:
+    * each document's CAPTION embedding (here: the decode stub over
+    * the first `captionChars` characters — the caption stand-in; a
+    * real pipeline swaps in the text-tower encoder) is paired with
+    * its MEDIA embedding (the q95 contract: the decode stub over the
+    * full payload; a real pipeline swaps in the image tower), and the
+    * pair's cosine decides whether caption and media actually
+    * describe the same thing. Per-row map-only work joined on
+    * media_id — one batch-sized equi-join, no fanout; with real
+    * towers the plan is unchanged (two encode passes + one join).
+    * Documents no longer than the caption prefix embed identically on
+    * both sides (cosine exactly 1 — always aligned), keeping both
+    * branches of the gate live on any corpus. Deterministic stub ⇒
+    * the whole chain (both FNV folds, both feature vectors, the
+    * cosine and the gate) replays in the oracle (q49/q95 machinery). */
+  def crossModalScores(documents: DataFrame, captionChars: Int = 64,
+                       threshold: Double = 0.9): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val mediaF = decodeStub(mediaTable(documents).as[MediaRecord])
+      .select(col("media_id"), col("features").as("mf"))
+    val capF = decodeStub(mediaTable(
+        documents.withColumn("text", expr(s"substr(text, 1, $captionChars)")))
+      .as[MediaRecord])
+      .select(col("media_id"), col("features").as("cf"))
+    def dot(a: String, b: String) = expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    documents.select(col("doc_id").as("media_id"), col("source"))
+      .join(mediaF, "media_id").join(capF, "media_id")
+      .withColumn("d_mc", dot("mf", "cf"))
+      .withColumn("n_m", sqrt(dot("mf", "mf")))
+      .withColumn("n_c", sqrt(dot("cf", "cf")))
+      // multiplicative gate: no division, so a (theoretical)
+      // zero-norm feature vector drops instead of NaN-ing
+      .withColumn("aligned",
+        col("d_mc") > lit(threshold) * col("n_m") * col("n_c"))
+      .select(col("media_id"), col("source"), col("aligned"))
+  }
+
+  /** CROSS-MODAL alignment GATE accounting (q261) — the q116/q258
+    * conservation pattern over [[crossModalScores]]: every document
+    * lands in exactly one source row as aligned or dropped, so
+    * Σ n_docs equals the corpus count (asserted in
+    * SimilarityMultimodalSpec). One scan of each feature frame, one
+    * rollup — source-count-sized output at any corpus scale. */
+  def crossModalAlignmentGate(documents: DataFrame, captionChars: Int = 64,
+                              threshold: Double = 0.9): DataFrame =
+    crossModalScores(documents, captionChars, threshold)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+           sum(when(col("aligned"), 1L).otherwise(0L)).cast("long").as("n_aligned"),
+           sum(when(col("aligned"), 0L).otherwise(1L)).cast("long").as("n_dropped"))
+      .orderBy(col("source"))
+
+  /** CROSS-MODAL retrieval eval (q263) — the text→media search
+    * fidelity report paired data buys for free: each query document's
+    * CAPTION embedding searches the MEDIA embedding space, and the
+    * rank of its OWN media (the ground-truth pair) among all
+    * candidates is the retrieval quality per query — recall@k is
+    * `pair_rank <= k` read straight off the report. Plan: the caption
+    * side is nQueries rows (broadcast), media features are one
+    * map-only encode pass, the fanout is candidates × nQueries
+    * collapsed by a per-query window — [[SimilarityOps.cosineTopK]]'s
+    * audited shape with the query set swapped for the other modality.
+    * Scores use the fold/division forms the q95 oracle proved
+    * bit-identical to DuckDB's list_inner_product. Pure-integer
+    * output: (qid, pair_rank, n_candidates). */
+  def crossModalRetrieval(documents: DataFrame, nQueries: Int = 5,
+                          captionChars: Int = 64): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    def dot(a: String, b: String) = expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    val mediaF = decodeStub(mediaTable(documents).as[MediaRecord])
+      .select(col("media_id"), col("features").as("mf"))
+      .withColumn("n_m", sqrt(dot("mf", "mf")))
+    val capF = decodeStub(mediaTable(
+        documents.filter(col("doc_id") < nQueries)
+          .withColumn("text", expr(s"substr(text, 1, $captionChars)")))
+      .as[MediaRecord])
+      .select(col("media_id").as("qid"), col("features").as("cf"))
+      .withColumn("n_c", sqrt(dot("cf", "cf")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("media_id"))
+    mediaF.crossJoin(broadcast(capF))
+      .withColumn("score", dot("cf", "mf") / (col("n_c") * col("n_m")))
+      .withColumn("pair_rank", row_number().over(w).cast("long"))
+      .withColumn("n_candidates",
+        count(lit(1)).over(Window.partitionBy(col("qid"))).cast("long"))
+      .filter(col("media_id") === col("qid"))
+      .select(col("qid"), col("pair_rank"), col("n_candidates"))
+      .orderBy(col("qid"))
   }
 
   /** PERCEPTUAL-HASH STUB — the pHash shape without codecs. A real

@@ -291,7 +291,8 @@ object SimilarityOps {
       })
     }
 
-  def release(): Unit = synchronized { ivfMemo = Map.empty; pqMemo = Map.empty }
+  def release(): Unit =
+    synchronized { ivfMemo = Map.empty; pqMemo = Map.empty; rebMemo = Map.empty }
 
   /** Stable location of the oracle-facing IVF index dump (see
     * [[dumpIvfOracle]]). A constant because the q67 oracle SQL embeds
@@ -817,6 +818,74 @@ object SimilarityOps {
       .orderBy(col("qid"))
   }
 
+  /** Versioned tag for the refit codebook (q260): the v2 artifact
+    * rides the whole [[pqCodebookFor]] catalog-table + session-memo
+    * machinery under this derived tag, so it lands in a NEW catalog
+    * table (tag-hashed name) and the v1 table is never overwritten —
+    * old encodes stay reproducible against v1 forever. */
+  private[graft] def pqV2Tag(tag: String): String = s"$tag#pqv2"
+
+  /** The stored∪batch frame the v2 codebook fits and both recall
+    * passes score over — vec pinned to double so the union is
+    * type-stable whether the batch carries float or double arrays. */
+  private def unionCorpus(embeddings: DataFrame, batch: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+      .unionByName(batch.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding")))
+
+  /** PQ REFIT applier (q260) — acting on the q244 drift flag instead
+    * of just raising it (VERDICT r12 #4). Probe the batch against the
+    * STORED training baseline ([[pqDrift]] — m metadata rows, batch
+    * touched once); if ANY subspace fires the refit trigger, fit
+    * codebook v2 over stored∪batch as a NEW versioned catalog table
+    * ([[pqV2Tag]] — v1 is never overwritten) and report ADC top-k
+    * recall v1 vs v2 over the grown corpus ([[pqAdcRecall]] twice —
+    * the serve/retire decision for the stored artifact). If no
+    * subspace fires, the applier is a NO-OP on artifacts: no v2 fit,
+    * no new table, v1 untouched (asserted in
+    * SimilarityMultimodalSpec), and the report carries v1's recall in
+    * both columns with `refit_fired` false.
+    *
+    * Scale: drift is the q244 bound (batch-sized encode, m-row
+    * compare); the v2 fit is the offline amortizable step every
+    * codebook build is; each recall pass is the q242 plan (LUT
+    * broadcast, corpus scanned once). Output is nQueries rows of
+    * pure integers + the trigger boolean. */
+  def pqRefitApply(embeddings: DataFrame, batch: DataFrame, tag: String,
+                   m: Int = 4, k: Int = 16, refitRatio: Double = 2.0,
+                   nQueries: Int = 5, topK: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cb1 = pqCodebookFor(embeddings, tag, m, k)
+    val baseline = spark.read.table(ensurePqBaseline(embeddings, tag, m, k))
+    // m rows by construction — bounded driver decision
+    val fired = pqDrift(cb1, baseline, batch, refitRatio)
+      .filter(col("refit")).limit(1).count() > 0
+    val corpus = unionCorpus(embeddings, batch).localCheckpoint(false)
+    val r1 = pqAdcRecall(cb1, corpus, nQueries, topK)
+      .select(col("qid"), col("n_hits").as("n_hits_v1"), col("k"))
+    val r2 =
+      if (!fired) r1.select(col("qid"), col("n_hits_v1").as("n_hits_v2"))
+      else pqAdcRecall(pqCodebookFor(corpus, pqV2Tag(tag), m, k),
+          corpus, nQueries, topK)
+        .select(col("qid"), col("n_hits").as("n_hits_v2"))
+    r1.join(r2, "qid")
+      .select(col("qid"), lit(fired).as("refit_fired"),
+        col("n_hits_v1"), col("n_hits_v2"), col("k"))
+      .orderBy(col("qid"))
+  }
+
+  /** Stable oracle-facing dump of the v2 codebook — with both
+    * codebooks exported ([[PqOracleDumpPath]] for v1, this for v2),
+    * the q260 oracle replays BOTH recall passes plus the drift
+    * trigger from first principles. Verify-only. */
+  val PqV2OracleDumpPath = "/tmp/graft_pqv2_oracle"
+
+  def dumpPqV2Oracle(embeddings: DataFrame, batch: DataFrame, tag: String,
+                     m: Int = 4, k: Int = 16,
+                     path: String = PqV2OracleDumpPath): Unit =
+    dumpPqOracle(unionCorpus(embeddings, batch), pqV2Tag(tag), m, k, path)
+
   /** Per-vector IVF RESIDUALS — each stored vector minus its list's
     * coarse centroid, the frame the residual codebook fits and
     * encodes over. Shape: assignments ⋈ broadcast(nLists centroids),
@@ -944,7 +1013,12 @@ object SimilarityOps {
 
   /** Report kernel shared by [[ivfPqCodeMaintain]] (one batch) and
     * [[graft.engine.StreamOps.streamingIvfPqCodeMaintain]] (cumulative
-    * per-tick cells): both inputs are ≤ nLists·m·k cell rows. */
+    * per-tick cells): both inputs are ≤ nLists·m·k cell rows.
+    * Required schemas (the [[pqCodeCells]] output contract): `before`
+    * = (list_id, subspace, code, n_before), `added` = (list_id,
+    * subspace, code, n_new) — the count column NAMES are load-bearing
+    * (na.fill + select below); pass cnt="n_before"/"n_new" to
+    * [[pqCodeCells]]. */
   private[engine] def ivfPqCellReport(before: DataFrame,
                                       added: DataFrame): DataFrame =
     before
@@ -1032,6 +1106,138 @@ object SimilarityOps {
         col("n_hits"), col("k"))
       .orderBy(col("qid"))
   }
+
+  /** IVF RE-BALANCE applier (q259) — acting on the q235 imbalance
+    * flag instead of just raising it (VERDICT r12 #3). One repair
+    * round: append the batch ([[ivfIncrementalAssign]] — stored
+    * centroids, never a corpus re-fit), compute the q235 report, and
+    * for every FLAGGED list re-fit k=2 sub-centroids over ONLY that
+    * list's members (stored + batch — localized: the fit input is one
+    * list, never the corpus), replace the parent centroid with the
+    * two children, and reassign only that list's members between them
+    * (argmin, ties by child id — the q235-replayable expression).
+    * Unflagged lists are untouched byte-for-byte (their members never
+    * enter any job here — asserted in SimilarityMultimodalSpec).
+    *
+    * Child id scheme: child 0 keeps the parent id, child 1 takes
+    * `nLists + parent` — deterministic, collision-free, and stable
+    * for every untouched list. One round may leave a degenerate
+    * flood-child still over the gate (the report says so via its
+    * `imbalanced` column, recomputed against the grown list count);
+    * convergence is the maintenance loop's job — re-run on the new
+    * index until no flags, exactly like FAISS re-training cadences.
+    *
+    * Scale: the flag set is ≤ nLists ids (driver-collectable by
+    * construction); each 2-means fit reads one list — at 100 TB with
+    * the assignments bucketed by list_id that is a pruned scan of
+    * 1/nLists of the corpus, and fits for different lists are
+    * independent jobs. The reassignment is a broadcast join against
+    * ≤ 2·nLists child rows + a per-member argmin. Report is
+    * (nLists + #flagged) rows.
+    *
+    * The k=2 fits are seeded (42 + parent list id) and replayed by
+    * the oracle from the dumped child-centroid table
+    * ([[dumpIvfRebalanceOracle]]) — the build-vs-probe split every
+    * fitted artifact here uses (q67 pattern). */
+  final case class IvfRebalance(report: DataFrame, children: DataFrame)
+
+  /** The fitted child centroids for the flagged lists of
+    * (index ⊕ batch): (parent_list_id, child_list_id, centroid) —
+    * ≤ 2·nLists rows. Memoized per (session, tag) so the q259 query
+    * and its oracle dump share one set of fits. */
+  @transient private var rebMemo
+    : Map[(org.apache.spark.sql.SparkSession, String), IvfRebalance] = Map.empty
+
+  def ivfRebalanceFor(index: IvfIndex, batch: DataFrame, tag: String,
+                      imbalanceFactor: Long = 2L): IvfRebalance = synchronized {
+    val spark = index.assigned.sparkSession
+    rebMemo.getOrElse((spark, tag), {
+      val r = ivfRebalanceApply(index, batch, imbalanceFactor)
+      rebMemo += ((spark, tag) -> r)
+      r
+    })
+  }
+
+  def ivfRebalanceApply(index: IvfIndex, batch: DataFrame,
+                        imbalanceFactor: Long = 2L): IvfRebalance = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val batchAssigned = ivfIncrementalAssign(index, batch)
+    val batchVecs = withVec(batch).select(col("vec_id"), col("vec"))
+      .join(batchAssigned, "vec_id")
+      .localCheckpoint(false) // count rollup + flagged-member scans
+    val report0 = ivfAppendReport(index,
+      batchVecs.groupBy(col("list_id")).agg(count(lit(1)).as("n_new")),
+      imbalanceFactor).localCheckpoint(false) // flag collect + final report
+    // ≤ nLists ids by construction — bounded driver collect
+    val flagged = report0.filter(col("imbalanced"))
+      .select(col("list_id")).collect().map(_.getLong(0)).sorted
+    def membersOf(l: Long): DataFrame =
+      index.assigned.filter(col("list_id") === l).select(col("vec_id"), col("vec"))
+        .unionByName(batchVecs.filter(col("list_id") === l)
+          .select(col("vec_id"), col("vec")))
+    // one localized k=2 fit per flagged list — the fit input is that
+    // list's members only, never the corpus
+    val childRows: Seq[(Long, Long, Array[Double])] = flagged.toSeq.flatMap { l =>
+      val m = new KMeans().setK(2).setSeed(42L + l)
+        .setFeaturesCol("fv").setPredictionCol("child")
+        .fit(membersOf(l).withColumn("fv", array_to_vector(col("vec"))))
+      m.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (l, if (i == 0) l else index.nLists.toLong + l, c.toArray)
+      }
+    }
+    val children = childRows
+      .toDF("parent_list_id", "child_list_id", "centroid")
+    val nListsNew = index.nLists.toLong + flagged.length
+    val untouched = report0.filter(!col("imbalanced"))
+      .select(col("list_id"), col("list_id").as("parent_list_id"),
+        lit(false).as("split"), col("n_after").as("n_members"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("child_list_id"))
+    val splitCounts =
+      if (flagged.isEmpty) untouched.filter(lit(false))
+      else {
+        val flaggedMembers = flagged.toSeq
+          .map(l => membersOf(l).withColumn("parent_list_id", lit(l)))
+          .reduceLeft(_.unionByName(_))
+        flaggedMembers
+          .join(broadcast(children), Seq("parent_list_id"))
+          .withColumn("d2",
+            expr("aggregate(zip_with(vec, centroid, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .groupBy(col("child_list_id"), col("parent_list_id"))
+          .agg(count(lit(1)).cast("long").as("n_members"))
+          .select(col("child_list_id").as("list_id"), col("parent_list_id"),
+            lit(true).as("split"), col("n_members"))
+      }
+    val totalAfter = sum(col("n_members")).over(Window.partitionBy()).cast("long")
+    val report = untouched.unionByName(splitCounts)
+      .withColumn("total_after", totalAfter)
+      .withColumn("share_after",
+        col("n_members").cast("double") / col("total_after"))
+      .withColumn("imbalanced",
+        col("n_members") * lit(nListsNew) >
+          lit(imbalanceFactor) * col("total_after"))
+      .select(col("list_id"), col("parent_list_id"), col("split"),
+        col("n_members").cast("long").as("n_members"),
+        col("share_after"), col("imbalanced"))
+      .orderBy(col("list_id"))
+    IvfRebalance(report, children)
+  }
+
+  /** Stable oracle-facing dump of the fitted child centroids — the
+    * [[IvfOracleDumpPath]] contract for the q259 applier: with the
+    * children exported, the flag computation, member reassignment
+    * argmin and post-split counts replay verbatim in SQL (the fit
+    * itself is iterative/seeded, certified the q67 way). */
+  val IvfRebOracleDumpPath = "/tmp/graft_ivfreb_oracle"
+
+  def dumpIvfRebalanceOracle(index: IvfIndex, batch: DataFrame, tag: String,
+                             path: String = IvfRebOracleDumpPath): Unit =
+    ivfRebalanceFor(index, batch, tag).children
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/children")
 
   /** High-cosine pair candidates restricted to same-LSH-bucket vectors
     * — the edge set for [[semanticDedup]]. Bucketing keeps the

@@ -753,6 +753,54 @@ object StreamOps {
       .start()
   }
 
+  /** STREAMING licensed ingest tick — q262 live (VERDICT r12 #6):
+    * [[streamingIngestTick]] with the q257 compliance stage composed
+    * in. The license dim is STATIC (the offline registry — pinned
+    * once, broadcast into every tick's semi-join); each micro-batch
+    * flows through the license-gated incremental funnel
+    * ([[CorpusOps.licensedIngestStages]] — stages 0–3 are exactly the
+    * q247 frames), the 6-row per-tick report appends tick-stamped to
+    * `outPath/funnel`, and ONLY license-allowed admitted docs grow the
+    * carried stores — a deny-source doc never enters the fingerprint
+    * or sketch store, so it can never become a keeper a later copy
+    * dedups against (asserted in StreamingSpec).
+    *
+    * Per-tick cost = q247's bound + one broadcast semi-join; durable
+    * state is the two snapshots, same restart contract as
+    * [[streamingIngestTick]]. `batchDocs` must carry (doc_id, text,
+    * source). */
+  def streamingLicensedIngestTick(batchDocs: DataFrame, storedFps: DataFrame,
+                                  storedSigs: DataFrame, licenseDim: DataFrame,
+                                  outPath: String,
+                                  checkpointDir: String): StreamingQuery = {
+    var fps = storedFps.select(col("fp_md5")).localCheckpoint(false)
+    var sigs = storedSigs.localCheckpoint(false)
+    val dim = licenseDim.localCheckpoint(false) // static registry, pinned once
+    batchDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, tick: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint(false) // stages + report + fp growth
+          val bSigs = DedupOps.minhashSignatures(b).localCheckpoint(false)
+          val stages = CorpusOps.licensedIngestStages(fps, sigs, b, bSigs, dim)
+          val admitted = stages.last._2.localCheckpoint(false) // report + growths
+          CorpusOps.ingestReportStages(b, stages.init :+ (stages.last._1 -> admitted))
+            .withColumn("tick", lit(tick))
+            .write.mode("append").parquet(s"$outPath/funnel")
+          fps = fps.unionByName(
+              b.join(admitted, "doc_id").select(md5(col("text")).as("fp_md5")))
+            .distinct().localCheckpoint(false)
+          sigs = sigs.unionByName(bSigs.join(admitted, "doc_id"))
+            .localCheckpoint(false)
+          fps.write.mode("overwrite").parquet(s"$outPath/fps")
+          sigs.write.mode("overwrite").parquet(s"$outPath/sigs")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** STREAMING semantic dedup — the live verdict-first ingest loop
     * over the stored IVF index (q246 + q235 composed per tick): each
     * micro-batch of new vectors probes the CURRENT index for a dup

@@ -47,6 +47,47 @@ object Catalog {
     (s, dir) => SimilarityOps.dumpIvfPqOracle(
       SimilarityOps.ivfIndexFor(Tables.embeddings(s, dir), tag = dir), tag = dir))
 
+  /** The q259 flood batch: 1/7 of the corpus mapped to a far cluster
+    * near (100, …, 100) with per-vector jitter — every row argmins
+    * into the same stored list and pushes it past the q235 gate, so
+    * the applier's split branch is exercised at any SF. Shared by the
+    * query and the child-centroid dump so both see one batch. */
+  private def rebalanceBatch(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit, pmod}
+    emb.filter(pmod(col("vec_id"), lit(7)) === 3)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        expr("transform(embedding, x -> 100.0D + CAST(x AS DOUBLE) * 0.01D)")
+          .as("embedding"))
+  }
+
+  /** The q244/q260 drift batch: subspace 0 (first 16 dims) scaled ×3,
+    * the rest passed through — localized drift so subspace 0 fires
+    * the refit trigger while 1–3 certify the no-fire path. One
+    * builder keeps q244's trigger and q260's applier on the SAME
+    * batch (and the v2-codebook dump on the same union corpus). */
+  private def driftBatch(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit, pmod}
+    emb.filter(pmod(col("vec_id"), lit(7)) === 3)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        expr("concat(transform(slice(embedding, 1, 16), " +
+          "x -> CAST(x AS DOUBLE) * 3.0D), " +
+          "transform(slice(embedding, 17, 48), x -> CAST(x AS DOUBLE)))")
+          .as("embedding"))
+  }
+
+  private val rebDump = OracleDump(SimilarityOps.IvfRebOracleDumpPath,
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.dumpIvfRebalanceOracle(
+        SimilarityOps.ivfIndexFor(emb, tag = dir), rebalanceBatch(emb), tag = dir)
+    })
+
+  private val pqV2Dump = OracleDump(SimilarityOps.PqV2OracleDumpPath,
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.dumpPqV2Oracle(emb, driftBatch(emb), tag = dir)
+    })
+
   /** Shared by q45 (runtime co-partitioning) and q69 (persisted
     * bucketing): the two queries MUST stay result-identical — one SQL
     * text keeps the equivalence claim from drifting. */
@@ -3944,6 +3985,27 @@ object Catalog {
       },
       Some(q247OracleSql)),
 
+    // q247 + the q257 compliance stage (q262): the incremental ingest
+    // funnel with license_gate appended as stage 4 — the registry dim
+    // broadcast-semi-joins the near-dup survivors; stages 0-3 share
+    // q247's CTE text verbatim, so the composition cannot drift. The
+    // streaming form (StreamOps.streamingLicensedIngestTick) runs this
+    // per tick, with store growth gated on the final stage.
+    QuerySpec(
+      "q262_licensed_ingest_funnel",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val docs = Tables.documents(s, dir)
+        val sk = SketchShared.sketches(s, dir)
+          .filter(col("sig").isNotNull).select(col("doc_id"), col("sig"))
+        CorpusOps.licensedIngestFunnel(
+          DedupOps.fingerprintStore(docs.filter(col("doc_id") < 450)),
+          sk.filter(col("doc_id") < 450),
+          docs.filter(col("doc_id") >= 450), sk.filter(col("doc_id") >= 450),
+          CorpusOps.sourceLicenseDim(docs))
+      },
+      Some(q262OracleSql)),
+
     // incremental-refresh work list: full-outer fingerprint diff of
     // the current snapshot vs a deterministic prior one — only the
     // added/changed/removed rows survive (the rows a refresh must
@@ -4979,18 +5041,11 @@ object Catalog {
     QuerySpec(
       "q244_pq_drift",
       (s, dir) => {
-        import org.apache.spark.sql.functions.{col, expr, lit, pmod}
         val emb = Tables.embeddings(s, dir)
-        val batch = emb.filter(pmod(col("vec_id"), lit(7)) === 3)
-          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
-            expr("concat(transform(slice(embedding, 1, 16), " +
-              "x -> CAST(x AS DOUBLE) * 3.0D), " +
-              "transform(slice(embedding, 17, 48), x -> CAST(x AS DOUBLE)))")
-              .as("embedding"))
         SimilarityOps.pqDrift(
           SimilarityOps.pqCodebookFor(emb, tag = dir),
           s.read.table(SimilarityOps.ensurePqBaseline(emb, tag = dir)),
-          batch)
+          driftBatch(emb))
       },
       Some("""WITH cb AS (
              |  SELECT CAST(subspace AS BIGINT) AS subspace,
@@ -5236,7 +5291,248 @@ object Catalog {
              |  ON nb.list_id = nn.list_id AND nb.subspace = nn.subspace
              | AND nb.code = nn.code
              |ORDER BY list_id, subspace, code""".stripMargin),
-      dumps = Seq(ivfDump, ivfPqDump))
+      dumps = Seq(ivfDump, ivfPqDump)),
+
+    // IVF RE-BALANCE applier (q259): act on the q235 flag — the flood
+    // batch pushes one list past the gate; the applier re-fits k=2
+    // sub-centroids over ONLY that list's members, replaces the
+    // parent centroid with the children, and reassigns only those
+    // members. The oracle replays everything EXCEPT the seeded 2-means
+    // fit (certified via the dumped child-centroid table, the q67
+    // build-vs-probe split): batch assignment argmin, the integer
+    // flag gate, the member reassignment argmin against the dumped
+    // children, and the post-split balance report. One round may
+    // leave a degenerate flood child still over the gate (reported
+    // honestly via `imbalanced`); the clearing case is asserted on a
+    // crafted fixture in SimilarityMultimodalSpec.
+    QuerySpec(
+      "q259_ivf_rebalance",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        SimilarityOps.ivfRebalanceFor(
+          SimilarityOps.ivfIndexFor(emb, tag = dir),
+          rebalanceBatch(emb), tag = dir).report
+      },
+      Some("""WITH centers AS (
+             |  SELECT CAST(c_list_id AS BIGINT) AS list_id, CAST(centroid AS DOUBLE[]) AS c
+             |  FROM read_parquet('/tmp/graft_ivf_oracle/centers/*.parquet')),
+             |assign AS (
+             |  SELECT vec_id, CAST(list_id AS BIGINT) AS list_id
+             |  FROM read_parquet('/tmp/graft_ivf_oracle/assign/*.parquet')),
+             |ch AS (
+             |  SELECT CAST(parent_list_id AS BIGINT) AS parent_list_id,
+             |         CAST(child_list_id AS BIGINT) AS child_list_id,
+             |         CAST(centroid AS DOUBLE[]) AS cc
+             |  FROM read_parquet('/tmp/graft_ivfreb_oracle/children/*.parquet')),
+             |nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lists FROM centers),
+             |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |b AS (
+             |  SELECT vec_id + 1000000 AS vec_id,
+             |         list_transform(CAST(embedding AS DOUBLE[]), x -> 100.0 + x * 0.01) AS e
+             |  FROM embeddings WHERE vec_id % 7 = 3),
+             |bd AS (
+             |  SELECT b.vec_id, centers.list_id,
+             |         list_sum(list_transform(list_zip(e, c), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM b CROSS JOIN centers),
+             |ba AS (
+             |  SELECT vec_id, list_id
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rk
+             |        FROM bd) WHERE rk = 1),
+             |nb AS (SELECT list_id, CAST(COUNT(*) AS BIGINT) AS n_before FROM assign GROUP BY 1),
+             |nn AS (SELECT list_id, CAST(COUNT(*) AS BIGINT) AS n_new FROM ba GROUP BY 1),
+             |r AS (
+             |  SELECT centers.list_id,
+             |         COALESCE(n_before, 0) + COALESCE(n_new, 0) AS n_after
+             |  FROM centers LEFT JOIN nb USING (list_id) LEFT JOIN nn USING (list_id)),
+             |t AS (SELECT CAST(SUM(n_after) AS BIGINT) AS total_after FROM r),
+             |flags AS (SELECT r.list_id FROM r CROSS JOIN t CROSS JOIN nl
+             |          WHERE n_after * n_lists > 2 * total_after),
+             |mem AS (
+             |  SELECT a.vec_id, a.list_id AS parent_list_id, v.e
+             |  FROM assign a JOIN v USING (vec_id)
+             |  WHERE a.list_id IN (SELECT list_id FROM flags)
+             |  UNION ALL
+             |  SELECT ba.vec_id, ba.list_id, b.e
+             |  FROM ba JOIN b USING (vec_id)
+             |  WHERE ba.list_id IN (SELECT list_id FROM flags)),
+             |md AS (
+             |  SELECT mem.vec_id, ch.parent_list_id, ch.child_list_id,
+             |         list_sum(list_transform(list_zip(e, cc), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM mem JOIN ch ON mem.parent_list_id = ch.parent_list_id),
+             |re AS (
+             |  SELECT vec_id, parent_list_id, child_list_id
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, child_list_id) AS rk
+             |        FROM md) WHERE rk = 1),
+             |sc AS (
+             |  SELECT child_list_id AS list_id, parent_list_id, TRUE AS split,
+             |         CAST(COUNT(*) AS BIGINT) AS n_members
+             |  FROM re GROUP BY 1, 2),
+             |unt AS (
+             |  SELECT r.list_id, r.list_id AS parent_list_id, FALSE AS split,
+             |         CAST(r.n_after AS BIGINT) AS n_members
+             |  FROM r WHERE r.list_id NOT IN (SELECT list_id FROM flags)),
+             |allr AS (SELECT * FROM unt UNION ALL SELECT * FROM sc),
+             |nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_flagged FROM flags)
+             |SELECT list_id, parent_list_id, split, n_members,
+             |       CAST(n_members AS DOUBLE) / total_after AS share_after,
+             |       n_members * (n_lists + n_flagged) > 2 * total_after AS imbalanced
+             |FROM allr CROSS JOIN t CROSS JOIN nl CROSS JOIN nf
+             |ORDER BY list_id""".stripMargin),
+      dumps = Seq(ivfDump, rebDump)),
+
+    // PQ REFIT applier (q260): act on the q244 flag — the drift batch
+    // fires the trigger, codebook v2 fits over stored∪batch as a NEW
+    // versioned catalog table (v1 untouched — old encodes stay
+    // reproducible), and the report prices the swap: ADC top-k recall
+    // v1 vs v2 over the grown corpus, per query. The oracle replays
+    // the trigger (the q244 drift chain) and BOTH recall passes (the
+    // q242 chain, once per dumped codebook) plus the exact top-k —
+    // certifying the stored v1, the fitted v2, and the decision in one
+    // hash. The no-op path (in-distribution batch → no fit, no table)
+    // is asserted in SimilarityMultimodalSpec.
+    QuerySpec(
+      "q260_pq_refit",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        SimilarityOps.pqRefitApply(emb, driftBatch(emb), tag = dir)
+      },
+      Some("""WITH cb1 AS (
+             |  SELECT CAST(subspace AS BIGINT) AS subspace,
+             |         CAST(code AS BIGINT) AS code,
+             |         CAST(centroid AS DOUBLE[]) AS c
+             |  FROM read_parquet('/tmp/graft_pq_oracle/centers/*.parquet')),
+             |cb2 AS (
+             |  SELECT CAST(subspace AS BIGINT) AS subspace,
+             |         CAST(code AS BIGINT) AS code,
+             |         CAST(centroid AS DOUBLE[]) AS c
+             |  FROM read_parquet('/tmp/graft_pqv2_oracle/centers/*.parquet')),
+             |v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |bt AS (
+             |  SELECT vec_id + 1000000 AS vec_id,
+             |         list_concat(
+             |           list_transform(
+             |             list_slice(CAST(embedding AS DOUBLE[]), 1, 16),
+             |             x -> x * 3.0),
+             |           list_slice(CAST(embedding AS DOUBLE[]), 17, 64)) AS e
+             |  FROM embeddings WHERE vec_id % 7 = 3),
+             |v AS (SELECT vec_id, e FROM v0 UNION ALL SELECT vec_id, e FROM bt),
+             |dv AS (
+             |  SELECT vec_id, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(e, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM v0 CROSS JOIN cb1),
+             |db AS (
+             |  SELECT vec_id, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(e, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM bt CROSS JOIN cb1),
+             |bestv AS (
+             |  SELECT subspace, d2
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+             |                                     ORDER BY d2, code) AS rk FROM dv)
+             |  WHERE rk = 1),
+             |bestb AS (
+             |  SELECT subspace, d2
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+             |                                     ORDER BY d2, code) AS rk FROM db)
+             |  WHERE rk = 1),
+             |base AS (
+             |  SELECT subspace, CAST(COUNT(*) AS BIGINT) AS n_base,
+             |         CAST(SUM(CAST(d2 AS DECIMAL(30,10))) AS DOUBLE) AS base_err_sum
+             |  FROM bestv GROUP BY subspace),
+             |probe AS (
+             |  SELECT subspace, CAST(COUNT(*) AS BIGINT) AS n_batch,
+             |         CAST(SUM(CAST(d2 AS DECIMAL(30,10))) AS DOUBLE) AS batch_err_sum
+             |  FROM bestb GROUP BY subspace),
+             |fired AS (
+             |  SELECT COUNT(*) > 0 AS refit_fired
+             |  FROM base JOIN probe USING (subspace)
+             |  WHERE batch_err_sum / n_batch > 2.0 * (base_err_sum / n_base)),
+             |d1 AS (
+             |  SELECT vec_id, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(e, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM v CROSS JOIN cb1),
+             |codes1 AS (
+             |  SELECT vec_id, subspace, code
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+             |                                     ORDER BY d2, code) AS rk FROM d1)
+             |  WHERE rk = 1),
+             |d2c AS (
+             |  SELECT vec_id, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(e, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM v CROSS JOIN cb2),
+             |codes2 AS (
+             |  SELECT vec_id, subspace, code
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+             |                                     ORDER BY d2, code) AS rk FROM d2c)
+             |  WHERE rk = 1),
+             |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+             |lut1 AS (
+             |  SELECT qid, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(qe, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qd2
+             |  FROM q CROSS JOIN cb1),
+             |lut2 AS (
+             |  SELECT qid, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(qe, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qd2
+             |  FROM q CROSS JOIN cb2),
+             |adc1 AS (
+             |  SELECT qid, vec_id,
+             |         MAX(CASE WHEN s.subspace = 0 THEN qd2 END) AS e0,
+             |         MAX(CASE WHEN s.subspace = 1 THEN qd2 END) AS e1,
+             |         MAX(CASE WHEN s.subspace = 2 THEN qd2 END) AS e2,
+             |         MAX(CASE WHEN s.subspace = 3 THEN qd2 END) AS e3
+             |  FROM codes1 s JOIN lut1 USING (subspace, code)
+             |  WHERE vec_id <> qid GROUP BY qid, vec_id),
+             |adct1 AS (
+             |  SELECT qid, vec_id
+             |  FROM (SELECT qid, vec_id,
+             |               row_number() OVER (PARTITION BY qid
+             |                 ORDER BY e0 + e1 + e2 + e3, vec_id) AS rn
+             |        FROM adc1) WHERE rn <= 10),
+             |adc2 AS (
+             |  SELECT qid, vec_id,
+             |         MAX(CASE WHEN s.subspace = 0 THEN qd2 END) AS e0,
+             |         MAX(CASE WHEN s.subspace = 1 THEN qd2 END) AS e1,
+             |         MAX(CASE WHEN s.subspace = 2 THEN qd2 END) AS e2,
+             |         MAX(CASE WHEN s.subspace = 3 THEN qd2 END) AS e3
+             |  FROM codes2 s JOIN lut2 USING (subspace, code)
+             |  WHERE vec_id <> qid GROUP BY qid, vec_id),
+             |adct2 AS (
+             |  SELECT qid, vec_id
+             |  FROM (SELECT qid, vec_id,
+             |               row_number() OVER (PARTITION BY qid
+             |                 ORDER BY e0 + e1 + e2 + e3, vec_id) AS rn
+             |        FROM adc2) WHERE rn <= 10),
+             |ex AS (
+             |  SELECT qid, vec_id,
+             |         list_sum(list_transform(list_zip(e, qe),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM v CROSS JOIN q WHERE vec_id <> qid),
+             |ext AS (
+             |  SELECT qid, vec_id
+             |  FROM (SELECT qid, vec_id,
+             |               row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rn
+             |        FROM ex) WHERE rn <= 10)
+             |SELECT ext.qid, refit_fired,
+             |       CAST(SUM(CASE WHEN adct1.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_v1,
+             |       CAST(SUM(CASE WHEN adct2.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_v2,
+             |       CAST(COUNT(*) AS BIGINT) AS k
+             |FROM ext
+             |CROSS JOIN fired
+             |LEFT JOIN adct1 ON ext.qid = adct1.qid AND ext.vec_id = adct1.vec_id
+             |LEFT JOIN adct2 ON ext.qid = adct2.qid AND ext.vec_id = adct2.vec_id
+             |GROUP BY ext.qid, refit_fired ORDER BY ext.qid""".stripMargin),
+      dumps = Seq(pqDump, pqV2Dump))
   )
 
   // ---------------------------------------------------------------- //
@@ -5250,6 +5546,124 @@ object Catalog {
       "q95_media_ann",
       (s, dir) => MultimodalOps.mediaAnnTopK(Tables.documents(s, dir)),
       Some(q95OracleSql)),
+
+    // CROSS-MODAL alignment gate (q261): the CLIP-score filter shape —
+    // caption embedding (decode stub over the 64-char caption
+    // stand-in) vs media embedding (the q95 contract), per-pair
+    // cosine, threshold gate, per-source conservation accounting
+    // (q116/q258 pattern: Σ n_docs = corpus count). Deterministic
+    // stub ⇒ the oracle replays BOTH FNV folds, both feature vectors,
+    // the cosine and the gate end-to-end (q49/q95 machinery); real
+    // towers swap into the two encode passes and nothing downstream
+    // changes.
+    QuerySpec(
+      "q261_crossmodal_gate",
+      (s, dir) => MultimodalOps.crossModalAlignmentGate(Tables.documents(s, dir)),
+      Some(s"""WITH bm AS (
+              |  SELECT doc_id AS media_id, source, hex(encode(text)) AS hx,
+              |         octet_length(encode(text)) AS n
+              |  FROM documents),
+              |bc AS (
+              |  SELECT doc_id AS media_id, hex(encode(substr(text, 1, 64))) AS hx,
+              |         octet_length(encode(substr(text, 1, 64))) AS n
+              |  FROM documents),
+              |bym AS (SELECT media_id, source, $hexBytesSql AS bytes FROM bm),
+              |byc AS (SELECT media_id, $hexBytesSql AS bytes FROM bc),
+              |hm AS (
+              |  SELECT media_id, source,
+              |    list_reduce(list_prepend(CAST(1469598103934665603 AS HUGEINT), bytes),
+              |      (acc, x) -> ((acc - (acc % 256) + xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)))
+              |                   * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS uh
+              |  FROM bym),
+              |hc AS (
+              |  SELECT media_id,
+              |    list_reduce(list_prepend(CAST(1469598103934665603 AS HUGEINT), bytes),
+              |      (acc, x) -> ((acc - (acc % 256) + xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)))
+              |                   * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS uh
+              |  FROM byc),
+              |fm AS (
+              |  SELECT media_id, source,
+              |    [CAST((uh // 1) % 65536 AS DOUBLE) / 65535.0,
+              |     CAST((uh // 65536) % 65536 AS DOUBLE) / 65535.0,
+              |     CAST((uh // 4294967296) % 65536 AS DOUBLE) / 65535.0,
+              |     CAST((uh // 281474976710656) % 65536 AS DOUBLE) / 65535.0] AS f
+              |  FROM hm),
+              |fc AS (
+              |  SELECT media_id,
+              |    [CAST((uh // 1) % 65536 AS DOUBLE) / 65535.0,
+              |     CAST((uh // 65536) % 65536 AS DOUBLE) / 65535.0,
+              |     CAST((uh // 4294967296) % 65536 AS DOUBLE) / 65535.0,
+              |     CAST((uh // 281474976710656) % 65536 AS DOUBLE) / 65535.0] AS f
+              |  FROM hc),
+              |g AS (
+              |  SELECT fm.media_id, source,
+              |         list_inner_product(fm.f, fc.f) >
+              |           CAST(0.9 AS DOUBLE) * sqrt(list_inner_product(fm.f, fm.f))
+              |                               * sqrt(list_inner_product(fc.f, fc.f)) AS aligned
+              |  FROM fm JOIN fc USING (media_id))
+              |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |       CAST(SUM(CASE WHEN aligned THEN 1 ELSE 0 END) AS BIGINT) AS n_aligned,
+              |       CAST(SUM(CASE WHEN aligned THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+              |FROM g GROUP BY source ORDER BY source""".stripMargin)),
+
+    // CROSS-MODAL retrieval eval (q263): each query doc's caption
+    // embedding searches the media embedding space; the rank of its
+    // OWN media among all candidates is the per-query retrieval
+    // fidelity (recall@k = pair_rank <= k). The q95-proven cosine
+    // forms make ranks engine-identical; pure-integer output.
+    QuerySpec(
+      "q263_crossmodal_retrieval",
+      (s, dir) => MultimodalOps.crossModalRetrieval(Tables.documents(s, dir)),
+      Some(s"""WITH bm AS (
+              |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+              |         octet_length(encode(text)) AS n
+              |  FROM documents),
+              |bc AS (
+              |  SELECT doc_id AS media_id, hex(encode(substr(text, 1, 64))) AS hx,
+              |         octet_length(encode(substr(text, 1, 64))) AS n
+              |  FROM documents WHERE doc_id < 5),
+              |bym AS (SELECT media_id, $hexBytesSql AS bytes FROM bm),
+              |byc AS (SELECT media_id, $hexBytesSql AS bytes FROM bc),
+              |hm AS (
+              |  SELECT media_id,
+              |    list_reduce(list_prepend(CAST(1469598103934665603 AS HUGEINT), bytes),
+              |      (acc, x) -> ((acc - (acc % 256) + xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)))
+              |                   * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS uh
+              |  FROM bym),
+              |hc AS (
+              |  SELECT media_id,
+              |    list_reduce(list_prepend(CAST(1469598103934665603 AS HUGEINT), bytes),
+              |      (acc, x) -> ((acc - (acc % 256) + xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)))
+              |                   * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS uh
+              |  FROM byc),
+              |fm AS (
+              |  SELECT media_id,
+              |    [CAST((uh // 1) % 65536 AS DOUBLE) / 65535.0,
+              |     CAST((uh // 65536) % 65536 AS DOUBLE) / 65535.0,
+              |     CAST((uh // 4294967296) % 65536 AS DOUBLE) / 65535.0,
+              |     CAST((uh // 281474976710656) % 65536 AS DOUBLE) / 65535.0] AS mf
+              |  FROM hm),
+              |fc AS (
+              |  SELECT media_id AS qid,
+              |    [CAST((uh // 1) % 65536 AS DOUBLE) / 65535.0,
+              |     CAST((uh // 65536) % 65536 AS DOUBLE) / 65535.0,
+              |     CAST((uh // 4294967296) % 65536 AS DOUBLE) / 65535.0,
+              |     CAST((uh // 281474976710656) % 65536 AS DOUBLE) / 65535.0] AS cf
+              |  FROM hc),
+              |s AS (
+              |  SELECT qid, media_id,
+              |         list_inner_product(cf, mf) /
+              |           (sqrt(list_inner_product(cf, cf)) * sqrt(list_inner_product(mf, mf))) AS score
+              |  FROM fm CROSS JOIN fc),
+              |r AS (
+              |  SELECT qid, media_id,
+              |         CAST(row_number() OVER (PARTITION BY qid
+              |           ORDER BY score DESC, media_id) AS BIGINT) AS pair_rank,
+              |         CAST(COUNT(*) OVER (PARTITION BY qid) AS BIGINT) AS n_candidates
+              |  FROM s)
+              |SELECT qid, pair_rank, n_candidates
+              |FROM r WHERE media_id = qid
+              |ORDER BY qid""".stripMargin)),
 
     QuerySpec(
       "q48_multimodal_meta",
@@ -6093,7 +6507,31 @@ object Catalog {
     * included — which is why the engine computes verdicts for the
     * full batch before intersecting). */
   private def q247OracleSql: String =
-    s"""WITH pieces AS (
+    s"""WITH $q247FunnelCtes,
+       |st AS (
+       |$q247StageRows)
+       |$q247FunnelSelect""".stripMargin
+
+  /** q262 oracle — the q247 chain verbatim plus the license stage:
+    * near-dup survivors semi-joined to allow-verdict sources (the
+    * q257/q258 registry CTE). Sharing the CTE text keeps the q247 ≡
+    * q262-stages-0-3 claim from drifting. */
+  private def q262OracleSql: String =
+    s"""WITH $q247FunnelCtes,
+       |$licenseDimCte,
+       |lik AS (
+       |  SELECT ndk.doc_id FROM ndk JOIN documents USING (doc_id)
+       |  JOIN ldv USING (source) WHERE verdict = 'allow'),
+       |st AS (
+       |$q247StageRows
+       |  UNION ALL
+       |  SELECT 4, 'license_gate', CAST(COUNT(*) AS BIGINT),
+       |         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT)
+       |  FROM lik JOIN pieces USING (doc_id))
+       |$q247FunnelSelect""".stripMargin
+
+  private def q247FunnelCtes: String =
+    s"""pieces AS (
        |  SELECT doc_id,
        |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_toks
        |  FROM documents WHERE doc_id >= 450),
@@ -6122,27 +6560,30 @@ object Catalog {
        |gk AS (SELECT bek.doc_id FROM bek JOIN vv ON vv.doc_id = bek.doc_id
        |       WHERE vv.verdict = 'keep'),
        |nd AS (SELECT doc_id FROM ($q109OracleSql) WHERE kept),
-       |ndk AS (SELECT gk.doc_id FROM gk JOIN nd ON nd.doc_id = gk.doc_id),
-       |st AS (
-       |  SELECT 0 AS stage, 'input' AS stage_name,
-       |         CAST(COUNT(*) AS BIGINT) AS n_docs,
-       |         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS n_tokens
-       |  FROM pieces
-       |  UNION ALL
-       |  SELECT 1, 'exact_vs_stored', CAST(COUNT(*) AS BIGINT),
-       |         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT)
-       |  FROM bek JOIN pieces USING (doc_id)
-       |  UNION ALL
-       |  SELECT 2, 'quality_gate', CAST(COUNT(*) AS BIGINT),
-       |         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT)
-       |  FROM gk JOIN pieces USING (doc_id)
-       |  UNION ALL
-       |  SELECT 3, 'near_dup_vs_stored', CAST(COUNT(*) AS BIGINT),
-       |         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT)
-       |  FROM ndk JOIN pieces USING (doc_id))
-       |SELECT CAST(stage AS BIGINT) AS stage, stage_name, n_docs, n_tokens,
-       |       CAST(COALESCE(lag(n_docs) OVER (ORDER BY stage) - n_docs, 0) AS BIGINT) AS n_dropped
-       |FROM st ORDER BY stage""".stripMargin
+       |ndk AS (SELECT gk.doc_id FROM gk JOIN nd ON nd.doc_id = gk.doc_id)""".stripMargin
+
+  private val q247StageRows: String =
+    """  SELECT 0 AS stage, 'input' AS stage_name,
+      |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS n_tokens
+      |  FROM pieces
+      |  UNION ALL
+      |  SELECT 1, 'exact_vs_stored', CAST(COUNT(*) AS BIGINT),
+      |         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT)
+      |  FROM bek JOIN pieces USING (doc_id)
+      |  UNION ALL
+      |  SELECT 2, 'quality_gate', CAST(COUNT(*) AS BIGINT),
+      |         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT)
+      |  FROM gk JOIN pieces USING (doc_id)
+      |  UNION ALL
+      |  SELECT 3, 'near_dup_vs_stored', CAST(COUNT(*) AS BIGINT),
+      |         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT)
+      |  FROM ndk JOIN pieces USING (doc_id)""".stripMargin
+
+  private val q247FunnelSelect: String =
+    """SELECT CAST(stage AS BIGINT) AS stage, stage_name, n_docs, n_tokens,
+      |       CAST(COALESCE(lag(n_docs) OVER (ORDER BY stage) - n_docs, 0) AS BIGINT) AS n_dropped
+      |FROM st ORDER BY stage""".stripMargin
 
   /** q218 oracle: the q154 url synthesis + canonicalization CTEs
     * joined to the q94 XXH64 split buckets; HAVING keeps only groups

@@ -563,6 +563,166 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(rep.forall(r => r.getLong(5) == r.getLong(3) + r.getLong(4)))
   }
 
+  test("IVF rebalance applier: crafted flood flags, split clears, untouched lists reconcile") {
+    import spark.implicits._
+    val index = SimilarityOps.ivfIndexFor(emb, tag = sf)
+    val n = emb.count()
+    val sizes = index.assigned
+      .selectExpr("CAST(list_id AS BIGINT) AS list_id").groupBy("list_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // target the list nearest its fair share; flood size N solves the
+    // integer gates: pre-split (s + 2N)·16 > 2(n + 2N) AND post-split
+    // worst child (N + s)·17 < 2(n + 2N) — so the flag MUST fire and
+    // the split MUST clear, by arithmetic, not luck
+    val (lid, s) = sizes.minBy { case (_, c) => math.abs(c - n / 16) }
+    val nLow = (2 * n - 16 * s) / 28 + 1
+    val nHigh = (2 * n - 17 * s) / 13 - 1
+    assert(nLow < nHigh, s"fixture degenerate: list $lid s=$s n=$n")
+    val nf = ((nLow + nHigh) / 2).toInt
+    // two lobes: exact copies of the two farthest-apart members of the
+    // target list — copies argmin back into the same list, and 2-means
+    // separates the lobes (stored members join their nearer lobe)
+    // lobe candidates: members whose FOLD-argmin (the incremental
+    // assignment arithmetic the copies will go through) provably lands
+    // back on the target list — excludes knife-edge boundary members
+    // where KMeans.transform and the zip_with fold could disagree
+    val asBatch = index.assigned.filter(col("list_id") === lid)
+      .select(col("vec_id"),
+        expr("transform(vec, x -> CAST(x AS FLOAT))").as("embedding"))
+    val foldHome = SimilarityOps.ivfIncrementalAssign(index, asBatch)
+      .filter(col("list_id") === lid).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    val members = index.assigned.filter(col("list_id") === lid)
+      .select(col("vec_id"), col("vec")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .filter(m => foldHome(m._1))
+    assert(members.length >= 2, "fixture needs two interior members")
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val (m1, m2) = (for { a <- members; b <- members if a._1 < b._1 } yield (a, b))
+      .maxBy { case (a, b) => d2(a._2, b._2) }
+    val batch = ((0 until nf).map(i => (9600000L + i, m1._2.map(_.toFloat))) ++
+        (0 until nf).map(i => (9700000L + i, m2._2.map(_.toFloat))))
+      .toDF("vec_id", "embedding")
+    val reb = SimilarityOps.ivfRebalanceApply(index, batch)
+    val rep = reb.report.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getBoolean(2), r.getLong(3), r.getBoolean(5)))).toMap
+    val children = rep.filter { case (_, (parent, split, _, _)) => split && parent == lid }
+    assert(children.size == 2, s"target list $lid must split into two children: $rep")
+    assert(children.forall { case (_, (_, _, _, imb)) => !imb },
+      s"post-split children of $lid must clear the gate: $children")
+    // conservation: every member lands exactly once
+    assert(rep.values.map(_._3).sum == n + 2 * nf)
+    // untouched lists reconcile exactly with stored + batch-assigned counts
+    val batchPerList = SimilarityOps.ivfIncrementalAssign(index, batch)
+      .groupBy("list_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rep.foreach { case (l, (parent, split, nm, _)) =>
+      if (!split) {
+        assert(parent == l)
+        assert(nm == sizes(l) + batchPerList.getOrElse(l, 0L),
+          s"untouched list $l must carry exactly its stored + assigned members")
+      }
+    }
+    // exactly two fitted children carry the target parent
+    assert(reb.children.filter(col("parent_list_id") === lid).count() == 2L)
+  }
+
+  test("PQ refit applier: in-distribution batch is a no-op on artifacts") {
+    import spark.implicits._
+    // a PRIVATE tag: other suites legitimately run q260 (which fires
+    // and persists a v2 for the shared sf tag) in the same session —
+    // the no-op claim must be tested on artifacts only this test owns
+    val tag = s"$sf#refit-noop"
+    SimilarityOps.pqCodebookFor(emb, tag) // v1 for this tag (one fit)
+    SimilarityOps.ensurePqBaseline(emb, tag)
+    val v1Table = SimilarityOps.pqTableName(tag, 4, 16)
+    val v1Before = spark.table(v1Table).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val batch = emb.filter(col("vec_id") % 5 === 2)
+      .select((col("vec_id") + lit(9800000L)).as("vec_id"), col("embedding"))
+    val builds0 = SimilarityOps.pqBuilds
+    val rep = SimilarityOps.pqRefitApply(emb, batch, tag).collect()
+    assert(rep.nonEmpty && rep.forall(!_.getBoolean(1)),
+      "in-distribution batch must not fire the refit trigger")
+    assert(rep.forall(r => r.getLong(2) == r.getLong(3)),
+      "no-op report mirrors v1 recall in the v2 column")
+    assert(SimilarityOps.pqBuilds == builds0, "no-op path must fit nothing")
+    assert(!spark.catalog.tableExists(
+        SimilarityOps.pqTableName(SimilarityOps.pqV2Tag(tag), 4, 16)),
+      "no-op path must not create the v2 table")
+    val v1After = spark.table(v1Table).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    assert(v1After == v1Before, "v1 codebook bytes untouched")
+  }
+
+  test("PQ refit applier: drifting batch fires, v2 is a new versioned table, v1 untouched") {
+    import spark.implicits._
+    SimilarityOps.pqCodebookFor(emb, tag = sf)
+    val v1Table = SimilarityOps.pqTableName(sf, 4, 16)
+    val v1Before = spark.table(v1Table).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val batch = emb.filter(col("vec_id") % 5 === 2)
+      .select((col("vec_id") + lit(9900000L)).as("vec_id"),
+        expr("concat(transform(slice(embedding, 1, 16), " +
+          "x -> CAST(x AS DOUBLE) * 3.0D), " +
+          "transform(slice(embedding, 17, 48), x -> CAST(x AS DOUBLE)))")
+          .as("embedding"))
+    val rep = SimilarityOps.pqRefitApply(emb, batch, tag = sf).collect()
+    assert(rep.nonEmpty && rep.forall(_.getBoolean(1)), "drift batch must fire")
+    assert(spark.catalog.tableExists(
+        SimilarityOps.pqTableName(SimilarityOps.pqV2Tag(sf), 4, 16)),
+      "fired path persists the v2 codebook as its own catalog table")
+    val v1After = spark.table(v1Table).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    assert(v1After == v1Before,
+      "v2 fit must never overwrite v1 — old encodes stay reproducible")
+  }
+
+  test("cross-modal gate: identical caption aligns, planted mismatch drops, mass conserves") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    // crafted pair: caption == payload (≤ 64 chars) must align with
+    // cosine exactly 1; the long doc's FNV features diverge from its
+    // caption prefix's below the 0.9 gate (deterministic stub — the
+    // pair is pinned, not lucky)
+    val crafted = Seq(
+      (9100001L, "short caption only", "srcA"),
+      (9100002L, "a proper caption describing a sunset over mountains " + "x" * 200,
+        "srcA"))
+      .toDF("doc_id", "text", "source")
+    val cs = MultimodalOps.crossModalScores(crafted).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(cs(9100001L), "caption == payload must align")
+    assert(!cs(9100002L), "planted mismatched caption/media pair must drop")
+    // on the real corpus: both branches live, and per-source mass conserves
+    val gate = MultimodalOps.crossModalAlignmentGate(docs).collect()
+    assert(gate.forall(r => r.getLong(1) == r.getLong(2) + r.getLong(3)),
+      "every doc is exactly aligned or dropped")
+    assert(gate.map(_.getLong(1)).sum == docs.count(), "gate loses no documents")
+    assert(gate.map(_.getLong(2)).sum > 0 && gate.map(_.getLong(3)).sum > 0,
+      "both gate branches must be live on the corpus")
+  }
+
+  test("cross-modal retrieval: caption==payload queries rank their own media first") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "tiny caption doc", "s"),
+      (1L, "another document with a long tail " + "y" * 150, "s"),
+      (2L, "third text body " + "z" * 90, "s"),
+      (3L, "fourth " + "w" * 300, "s"),
+      (4L, "fifth short one", "s"),
+      (5L, "candidate only " + "q" * 120, "s"))
+      .toDF("doc_id", "text", "source")
+    val r = MultimodalOps.crossModalRetrieval(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r.keySet == Set(0L, 1L, 2L, 3L, 4L), "one report row per query")
+    assert(r.values.forall(_._2 == 6L), "all media are candidates")
+    assert(r(0L)._1 == 1L && r(4L)._1 == 1L,
+      "a caption identical to its payload embeds identically → rank 1")
+    assert(r.values.forall(v => v._1 >= 1L && v._1 <= 6L))
+  }
+
   test("cross-media duplicate frames surface a shared aligned block only") {
     import spark.implicits._
     val shared = "S" * 64 // frame 0 of docs 1 and 2

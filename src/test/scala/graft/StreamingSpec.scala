@@ -939,6 +939,76 @@ class StreamingSpec extends SparkSpec {
       "no new fingerprints: both post-restart docs were rejected")
   }
 
+  test("streaming licensed ingest tick: deny-source docs never grow the stores") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{CorpusOps, DedupOps, StreamOps, Tables}
+    val docs = Tables.documents(spark, sf)
+    // src0 → cc-by/allow; src2 → proprietary/deny (trailing-digit rule)
+    val dim = CorpusOps.sourceLicenseDim(
+        docs.select(col("source"))
+          .unionByName(Seq("src0", "src2").toDF("source")))
+      .localCheckpoint(true)
+    val k = "the licensed keeper document describes permissive reuse terms " +
+      "and long form attribution requirements for derivative corpora"
+    val denyText = "a proprietary body of text that must never seed the stores " +
+      "even though its content is perfectly ordinary prose about harbors"
+    val b1 = Seq((9500001L, k, "src0"), (9500002L, denyText, "src2"))
+    val b2 = Seq(
+      (9500003L, k, "src0"),           // exact copy of the allowed keeper → exact stage
+      (9500004L, k + " tail", "src0"), // near-dup of the allowed keeper → sketch stage
+      (9500005L, denyText, "src0"))    // copy of the DENIED doc from an allowed source:
+                                       // admissible ONLY if the deny doc never grew the store
+    val out = java.nio.file.Files.createTempDirectory("graft_slt_out_").toString + "/lt"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_slt_ckpt_").toString
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamOps.streamingLicensedIngestTick(
+      input.toDS().toDF("doc_id", "text", "source"),
+      DedupOps.fingerprintStore(docs), DedupOps.minhashSignatures(docs),
+      dim, out, ckpt)
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val f = spark.read.parquet(s"$out/funnel").collect()
+      .map(r => (r.getAs[Long]("tick"), r.getAs[Long]("stage")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_dropped")))).toMap
+    assert(f((0L, 0L)) == ((2L, 0L)) && f((0L, 3L)) == ((2L, 0L)),
+      s"tick 0: both docs survive to near-dup: $f")
+    assert(f((0L, 4L)) == ((1L, 1L)),
+      s"tick 0: the deny-source doc must drop at the LICENSE stage: $f")
+    assert(f((1L, 1L)) == ((2L, 1L)),
+      s"tick 1: the copy of the admitted keeper drops at the EXACT stage: $f")
+    assert(f((1L, 3L)) == ((1L, 1L)),
+      s"tick 1: the near-dup of the admitted keeper drops at the SKETCH stage: $f")
+    assert(f((1L, 4L)) == ((1L, 0L)),
+      s"tick 1: the allowed-source copy of the DENIED text is admitted — " +
+        s"the deny doc never seeded the store: $f")
+    // stores grew by exactly the two admitted docs (tick 0 keeper +
+    // tick 1 deny-text copy), never by any rejected doc
+    assert(spark.read.parquet(s"$out/fps").count() ==
+      DedupOps.fingerprintStore(docs).count() + 2)
+    assert(spark.read.parquet(s"$out/sigs").count() ==
+      DedupOps.minhashSignatures(docs).count() + 2)
+    // per-tick reports equal the batch API run sequentially
+    val fps1 = DedupOps.fingerprintStore(docs)
+      .unionByName(DedupOps.fingerprintStore(
+        Seq((9500001L, k)).toDF("doc_id", "text")))
+      .groupBy(col("fp_md5")).agg(min(col("keeper_id")).as("keeper_id"))
+    val sigs1 = DedupOps.minhashSignatures(docs)
+      .unionByName(DedupOps.minhashSignatures(
+        Seq((9500001L, k)).toDF("doc_id", "text")))
+    val expected2 = CorpusOps.licensedIngestFunnel(fps1, sigs1,
+        b2.toDF("doc_id", "text", "source"),
+        DedupOps.minhashSignatures(b2.toDF("doc_id", "text", "source")), dim)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    (0L to 4L).foreach(st => assert(f((1L, st)) == expected2(st),
+      s"tick 1 stage $st diverged from the batch API: ${f((1L, st))} vs ${expected2(st)}"))
+  }
+
   test("streaming semantic dedup flags a copy of an earlier batch's keeper through the grown index") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -1942,4 +1942,27 @@ class TextDedupSpec extends SparkSpec {
     assert(denyDocs.nonEmpty, "fixture must exercise the deny path")
     assert(st5._3 <= n4 && st5._5 == n4 - st5._3, "gate drop accounting")
   }
+
+  test("license gate composes onto the INCREMENTAL funnel: q262 stages 0-3 = q247, stage 4 = allow ∩ admitted") {
+    val docs = Tables.documents(spark, sf)
+    val sk = graft.queries.SketchShared.sketches(spark, sf)
+      .filter(col("sig").isNotNull).select(col("doc_id"), col("sig"))
+    val storedFps = DedupOps.fingerprintStore(docs.filter(col("doc_id") < 450))
+    val storedSigs = sk.filter(col("doc_id") < 450)
+    val batch = docs.filter(col("doc_id") >= 450)
+    val batchSigs = sk.filter(col("doc_id") >= 450)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val base = rows(CorpusOps.ingestFunnel(storedFps, storedSigs, batch, batchSigs))
+    val dim = CorpusOps.sourceLicenseDim(docs)
+    val gated = rows(CorpusOps.licensedIngestFunnel(
+      storedFps, storedSigs, batch, batchSigs, dim))
+    assert(gated.length == base.length + 1 && gated.take(base.length) == base,
+      "license gating must not perturb the q247 stages")
+    val st4 = gated.last
+    assert(st4._1 == 4L && st4._2 == "license_gate")
+    val n3 = base.last._3
+    assert(st4._3 <= n3 && st4._5 == n3 - st4._3, "gate drop accounting")
+    assert(st4._5 > 0, "fixture must exercise the deny path at the gate")
+  }
 }
