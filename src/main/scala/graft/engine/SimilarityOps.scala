@@ -1124,8 +1124,9 @@ object SimilarityOps {
     * for every untouched list. One round may leave a degenerate
     * flood-child still over the gate (the report says so via its
     * `imbalanced` column, recomputed against the grown list count);
-    * convergence is the maintenance loop's job — re-run on the new
-    * index until no flags, exactly like FAISS re-training cadences.
+    * convergence is the maintenance loop's job — re-run on the
+    * returned `updated` index until no flags, exactly like FAISS
+    * re-training cadences.
     *
     * Scale: the flag set is ≤ nLists ids (driver-collectable by
     * construction); each 2-means fit reads one list — at 100 TB with
@@ -1139,7 +1140,15 @@ object SimilarityOps {
     * the oracle from the dumped child-centroid table
     * ([[dumpIvfRebalanceOracle]]) — the build-vs-probe split every
     * fitted artifact here uses (q67 pattern). */
-  final case class IvfRebalance(report: DataFrame, children: DataFrame)
+  /** `report` is the before/after balance frame (the oracle-checked
+    * q259 output); `children` the fitted (parent_list_id,
+    * child_list_id, centroid) rows for the dump; `updated` the
+    * REPAIRED index — unflagged lists verbatim, flagged lists replaced
+    * by their children with members reassigned — ready for the next
+    * probe or the next repair round (the convergence loop is: apply,
+    * check `report.imbalanced`, re-apply on `updated`). */
+  final case class IvfRebalance(report: DataFrame, children: DataFrame,
+                                updated: IvfIndex)
 
   /** The fitted child centroids for the flagged lists of
     * (index ⊕ batch): (parent_list_id, child_list_id, centroid) —
@@ -1165,9 +1174,9 @@ object SimilarityOps {
     val spark = index.assigned.sparkSession
     import spark.implicits._
     val batchAssigned = ivfIncrementalAssign(index, batch)
-    val batchVecs = withVec(batch).select(col("vec_id"), col("vec"))
+    val batchVecs = withVec(batch).select(col("vec_id"), col("vec"), col("norm"))
       .join(batchAssigned, "vec_id")
-      .localCheckpoint(false) // count rollup + flagged-member scans
+      .localCheckpoint(false) // count rollup + flagged-member scans + updated index
     val report0 = ivfAppendReport(index,
       batchVecs.groupBy(col("list_id")).agg(count(lit(1)).as("n_new")),
       imbalanceFactor).localCheckpoint(false) // flag collect + final report
@@ -1175,9 +1184,10 @@ object SimilarityOps {
     val flagged = report0.filter(col("imbalanced"))
       .select(col("list_id")).collect().map(_.getLong(0)).sorted
     def membersOf(l: Long): DataFrame =
-      index.assigned.filter(col("list_id") === l).select(col("vec_id"), col("vec"))
+      index.assigned.filter(col("list_id") === l)
+        .select(col("vec_id"), col("vec"), col("norm"))
         .unionByName(batchVecs.filter(col("list_id") === l)
-          .select(col("vec_id"), col("vec")))
+          .select(col("vec_id"), col("vec"), col("norm")))
     // one localized k=2 fit per flagged list — the fit input is that
     // list's members only, never the corpus
     val childRows: Seq[(Long, Long, Array[Double])] = flagged.toSeq.flatMap { l =>
@@ -1195,8 +1205,13 @@ object SimilarityOps {
       .select(col("list_id"), col("list_id").as("parent_list_id"),
         lit(false).as("split"), col("n_after").as("n_members"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("child_list_id"))
-    val splitCounts =
-      if (flagged.isEmpty) untouched.filter(lit(false))
+    // per-member reassignment of flagged lists (empty when nothing
+    // flagged) — feeds both the split counts and the repaired index
+    val reassigned =
+      if (flagged.isEmpty)
+        index.assigned.select(col("vec_id"), col("vec"), col("norm"),
+          col("list_id").cast("long").as("list_id"),
+          col("list_id").cast("long").as("parent_list_id")).filter(lit(false))
       else {
         val flaggedMembers = flagged.toSeq
           .map(l => membersOf(l).withColumn("parent_list_id", lit(l)))
@@ -1207,11 +1222,16 @@ object SimilarityOps {
             expr("aggregate(zip_with(vec, centroid, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") === 1)
-          .groupBy(col("child_list_id"), col("parent_list_id"))
-          .agg(count(lit(1)).cast("long").as("n_members"))
-          .select(col("child_list_id").as("list_id"), col("parent_list_id"),
-            lit(true).as("split"), col("n_members"))
+          .select(col("vec_id"), col("vec"), col("norm"),
+            col("child_list_id").as("list_id"),
+            col("parent_list_id"))
+          .localCheckpoint(false) // split counts + updated index
       }
+    val splitCounts = reassigned
+      .groupBy(col("list_id"), col("parent_list_id"))
+      .agg(count(lit(1)).cast("long").as("n_members"))
+      .select(col("list_id"), col("parent_list_id"),
+        lit(true).as("split"), col("n_members"))
     val totalAfter = sum(col("n_members")).over(Window.partitionBy()).cast("long")
     val report = untouched.unionByName(splitCounts)
       .withColumn("total_after", totalAfter)
@@ -1224,7 +1244,25 @@ object SimilarityOps {
         col("n_members").cast("long").as("n_members"),
         col("share_after"), col("imbalanced"))
       .orderBy(col("list_id"))
-    IvfRebalance(report, children)
+    // the REPAIRED index: unflagged lists verbatim (stored + batch
+    // members), flagged lists replaced by their children
+    val flaggedSet = flagged.toSet
+    val keepCols = Seq(col("vec_id"), col("vec"), col("norm"),
+      col("list_id").cast("long").as("list_id"))
+    val untouchedAssigned = index.assigned.select(keepCols: _*)
+      .unionByName(batchVecs.select(keepCols: _*))
+      .filter(!col("list_id").isin(flaggedSet.toSeq: _*) || lit(flaggedSet.isEmpty))
+    val newCenters = index.centers
+      .filter(!col("c_list_id").cast("long").isin(flaggedSet.toSeq: _*) ||
+        lit(flaggedSet.isEmpty))
+      .select(col("c_list_id").cast("long").as("c_list_id"), col("centroid"))
+      .unionByName(children.select(col("child_list_id").as("c_list_id"),
+        col("centroid")))
+    val updated = IvfIndex(
+      untouchedAssigned.unionByName(
+        reassigned.select(col("vec_id"), col("vec"), col("norm"), col("list_id"))),
+      newCenters, index.nLists + flagged.length)
+    IvfRebalance(report, children, updated)
   }
 
   /** Stable oracle-facing dump of the fitted child centroids — the

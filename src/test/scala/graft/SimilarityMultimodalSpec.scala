@@ -626,6 +626,17 @@ class SimilarityMultimodalSpec extends SparkSpec {
     }
     // exactly two fitted children carry the target parent
     assert(reb.children.filter(col("parent_list_id") === lid).count() == 2L)
+    // the REPAIRED index reconciles with the report list-for-list and
+    // is immediately probe-able — the convergence loop's input
+    val upd = reb.updated
+    val updCounts = upd.assigned.groupBy(col("list_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(updCounts == rep.map { case (l, (_, _, nm, _)) => l -> nm },
+      "updated index members must equal the report, list for list")
+    assert(upd.centers.count() == upd.nLists.toLong,
+      "updated centroid relation carries one row per surviving list")
+    assert(SimilarityOps.ivfTopK(upd, nQueries = 2, k = 5, nProbe = 4).count() > 0,
+      "the repaired index serves probes")
   }
 
   test("PQ refit applier: in-distribution batch is a no-op on artifacts") {
