@@ -1120,11 +1120,14 @@ object SimilarityOps {
     * enter any job here — asserted in SimilarityMultimodalSpec).
     *
     * Child id scheme: child 0 keeps the parent id, child 1 takes
-    * `nLists + parent` — deterministic, collision-free, and stable
-    * for every untouched list. One round may leave a degenerate
+    * `max(existing id) + 1 + rank(parent among flagged)` — fresh ids
+    * strictly above every live id, so the scheme stays collision-free
+    * under ITERATION (a `nLists + parent` scheme would collide with a
+    * round-1 child once list counts and max ids diverge); untouched
+    * list ids are stable forever. One round may leave a degenerate
     * flood-child still over the gate (the report says so via its
     * `imbalanced` column, recomputed against the grown list count);
-    * convergence is the maintenance loop's job — re-run on the
+    * [[ivfRebalanceUntilBalanced]] is that loop — re-apply on the
     * returned `updated` index until no flags, exactly like FAISS
     * re-training cadences.
     *
@@ -1189,15 +1192,20 @@ object SimilarityOps {
         .unionByName(batchVecs.filter(col("list_id") === l)
           .select(col("vec_id"), col("vec"), col("norm")))
     // one localized k=2 fit per flagged list — the fit input is that
-    // list's members only, never the corpus
-    val childRows: Seq[(Long, Long, Array[Double])] = flagged.toSeq.flatMap { l =>
-      val m = new KMeans().setK(2).setSeed(42L + l)
-        .setFeaturesCol("fv").setPredictionCol("child")
-        .fit(membersOf(l).withColumn("fv", array_to_vector(col("vec"))))
-      m.clusterCenters.zipWithIndex.map { case (c, i) =>
-        (l, if (i == 0) l else index.nLists.toLong + l, c.toArray)
+    // list's members only, never the corpus. Fresh child ids allocate
+    // above the current max id (collision-free under iteration).
+    val maxId: Long =
+      if (flagged.isEmpty) -1L
+      else index.centers.agg(max(col("c_list_id").cast("long"))).head().getLong(0)
+    val childRows: Seq[(Long, Long, Array[Double])] =
+      flagged.toSeq.zipWithIndex.flatMap { case (l, rank) =>
+        val m = new KMeans().setK(2).setSeed(42L + l)
+          .setFeaturesCol("fv").setPredictionCol("child")
+          .fit(membersOf(l).withColumn("fv", array_to_vector(col("vec"))))
+        m.clusterCenters.zipWithIndex.map { case (c, i) =>
+          (l, if (i == 0) l else maxId + 1L + rank, c.toArray)
+        }
       }
-    }
     val children = childRows
       .toDF("parent_list_id", "child_list_id", "centroid")
     val nListsNew = index.nLists.toLong + flagged.length
@@ -1263,6 +1271,38 @@ object SimilarityOps {
         reassigned.select(col("vec_id"), col("vec"), col("norm"), col("list_id"))),
       newCenters, index.nLists + flagged.length)
     IvfRebalance(report, children, updated)
+  }
+
+  /** The applier's CONVERGENCE loop: append the batch and keep
+    * splitting over-full lists (each round = [[ivfRebalanceApply]] on
+    * the previous round's repaired index with an empty batch) until
+    * no list exceeds the gate or `maxRounds` is hit — the complete
+    * repair story for a degenerate flood that one split can't clear
+    * (round 1 separates flood from stored; round 2 halves the flood;
+    * …). Per round the work is bounded exactly like one applier call
+    * (flagged-list member scans + ≤2·flags k=2 fits); round count is
+    * logarithmic in how far the worst list is over its fair share,
+    * and `maxRounds` caps a pathological all-identical-vector flood
+    * (which no geometry can separate — the report says so honestly).
+    * `rounds` = applier calls made; `report` = the final round's. */
+  final case class IvfRebalanceLoop(index: IvfIndex, report: DataFrame,
+                                    rounds: Int)
+
+  def ivfRebalanceUntilBalanced(index: IvfIndex, batch: DataFrame,
+                                imbalanceFactor: Long = 2L,
+                                maxRounds: Int = 4): IvfRebalanceLoop = {
+    def emptyBatch(of: IvfIndex): DataFrame =
+      of.assigned.select(col("vec_id"),
+        expr("transform(vec, x -> CAST(x AS FLOAT))").as("embedding"))
+        .filter(lit(false))
+    var cur = ivfRebalanceApply(index, batch, imbalanceFactor)
+    var rounds = 1
+    // the report is (lists + flags) rows — a bounded per-round check
+    while (rounds < maxRounds && cur.report.filter(col("imbalanced")).count() > 0) {
+      cur = ivfRebalanceApply(cur.updated, emptyBatch(cur.updated), imbalanceFactor)
+      rounds += 1
+    }
+    IvfRebalanceLoop(cur.updated, cur.report, rounds)
   }
 
   /** Stable oracle-facing dump of the fitted child centroids — the

@@ -639,6 +639,30 @@ class SimilarityMultimodalSpec extends SparkSpec {
       "the repaired index serves probes")
   }
 
+  test("IVF rebalance convergence loop: a one-split-resistant flood clears in a later round") {
+    import spark.implicits._
+    val index = SimilarityOps.ivfIndexFor(emb, tag = sf)
+    // the q259 catalog flood: 1/7 of the corpus near (100, …) — round
+    // 1 separates flood from stored but the flood child stays over
+    // the gate; round 2 halves the flood along its jitter
+    val batch = emb.filter(col("vec_id") % 7 === 3)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        expr("transform(embedding, x -> 100.0D + CAST(x AS DOUBLE) * 0.01D)")
+          .as("embedding"))
+    val r1 = SimilarityOps.ivfRebalanceApply(index, batch)
+    assert(r1.report.filter(col("imbalanced")).count() > 0,
+      "round 1 must leave the flood child flagged (the one-split-resistant case)")
+    val loop = SimilarityOps.ivfRebalanceUntilBalanced(index, batch)
+    assert(loop.rounds >= 2, "convergence must take the later-round path")
+    assert(loop.report.filter(col("imbalanced")).count() == 0,
+      s"loop must end balanced (rounds=${loop.rounds})")
+    // conservation through every round, and a coherent final relation
+    assert(loop.index.assigned.count() == emb.count() + batch.count())
+    assert(loop.index.centers.count() == loop.index.nLists.toLong)
+    assert(SimilarityOps.ivfTopK(loop.index, nQueries = 2, k = 5, nProbe = 4)
+      .count() > 0, "the converged index serves probes")
+  }
+
   test("PQ refit applier: in-distribution batch is a no-op on artifacts") {
     import spark.implicits._
     // a PRIVATE tag: other suites legitimately run q260 (which fires
