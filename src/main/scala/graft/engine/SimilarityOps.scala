@@ -128,6 +128,71 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** BINARY (sign-bit) quantization — the 32× rung of the ANN memory
+    * ladder below int8: bit d of the 64-bit signature is set iff
+    * vec[d] > 0, so a d=64 float32 vector stores as ONE long (256 →
+    * 8 bytes). Signature arithmetic is exact integer (distinct powers
+    * of two summed — addition ≡ bitwise OR here), so the fold replays
+    * bit-identically in any engine; bit 63 lands on the sign bit and
+    * two's complement carries it (the q39/q49 signed/unsigned
+    * contract). Map-only, no shuffle. */
+  def binarySignatures(embeddings: DataFrame): DataFrame =
+    withVec(embeddings).select(col("vec_id"), col("vec"), col("norm"))
+      .withColumn("sig", expr(
+        "aggregate(zip_with(vec, sequence(0, size(vec) - 1), " +
+          "(x, i) -> IF(x > 0.0D, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
+          "CAST(0 AS BIGINT), (acc, b) -> acc + b)"))
+
+  /** Binary-quantized search fidelity (q264) — the read path the 32×
+    * rung buys: candidates rank by HAMMING distance on the 8-byte
+    * signatures (popcount of xor — the scan reads one long per
+    * vector, not d floats), the top `nCandidates` re-rank by exact
+    * cosine, and the report counts hits inside the exact top-k per
+    * query (the q242/q255 integer shape: n_candidates, n_hits, k).
+    * The Hamming stage is where the memory ladder pays: at 100 TB the
+    * signature column is 1/32 of the vector bytes and the xor+popcount
+    * is branch-free SIMD work; the exact re-rank touches only
+    * nCandidates vectors per query. Queries broadcast (nQueries
+    * rows); the only corpus-sized work is the signature scan. */
+  def binaryHammingRecall(embeddings: DataFrame, nQueries: Int = 5,
+                          k: Int = 10, nCandidates: Int = 50): DataFrame = {
+    val v = binarySignatures(embeddings)
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"),
+        col("norm").as("qnorm"), col("sig").as("qsig"))
+    val wH = Window.partitionBy(col("qid")).orderBy(col("hd"), col("vec_id"))
+    val cand = v.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("hd", bit_count(col("sig").bitwiseXOR(col("qsig"))))
+      .withColumn("cr", row_number().over(wH))
+      .filter(col("cr") <= nCandidates)
+      .localCheckpoint(false) // candidate count + re-rank read it
+    val nCand = cand.groupBy(col("qid"))
+      .agg(count(lit(1)).cast("long").as("n_candidates"))
+    val wS = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val binTop = cand
+      .withColumn("dot",
+        expr("aggregate(zip_with(qvec, vec, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("score", col("dot") / (col("qnorm") * col("norm")))
+      .withColumn("rn", row_number().over(wS))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"))
+    val exact = v.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qvec, vec, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("score", col("dot") / (col("qnorm") * col("norm")))
+    val exactTop = exact.withColumn("rn", row_number().over(wS))
+      .filter(col("rn") <= k).select(col("qid"), col("vec_id"))
+    exactTop.join(binTop.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"),
+           count(lit(1)).cast("long").as("k"))
+      .join(nCand, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("n_hits"), col("k"))
+      .orderBy(col("qid"))
+  }
+
   /** Random-hyperplane signatures: bit p = sign(Σ_d v[d]·s(p,d)) with
     * s(p,d) ∈ {−1,+1} derived from xxhash64(p,d) — deterministic
     * pseudo-random hyperplanes with no stored projection matrix.

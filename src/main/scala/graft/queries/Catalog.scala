@@ -5532,7 +5532,66 @@ object Catalog {
              |LEFT JOIN adct1 ON ext.qid = adct1.qid AND ext.vec_id = adct1.vec_id
              |LEFT JOIN adct2 ON ext.qid = adct2.qid AND ext.vec_id = adct2.vec_id
              |GROUP BY ext.qid, refit_fired ORDER BY ext.qid""".stripMargin),
-      dumps = Seq(pqDump, pqV2Dump))
+      dumps = Seq(pqDump, pqV2Dump)),
+
+    // BINARY (sign-bit) quantization + Hamming re-rank (q264): the
+    // 32× rung of the ANN memory ladder — 8-byte signatures, popcount
+    // candidate ranking, exact re-rank of the top candidates, hits
+    // vs the exact top-k. Signature arithmetic is exact integer
+    // (distinct powers of two; bit 63 through the q39/q49 signed/
+    // unsigned two's-complement contract), so the ENTIRE chain —
+    // fold, xor, popcount, both rankings — replays in SQL with no
+    // fitted state and no dump.
+    QuerySpec(
+      "q264_binary_ann",
+      (s, dir) => SimilarityOps.binaryHammingRecall(Tables.embeddings(s, dir)),
+      Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              |sg0 AS (
+              |  SELECT vec_id, e,
+              |         list_sum(list_transform(list_zip(e, range(0, 64)),
+              |           p -> CASE WHEN p[1] > 0 THEN CAST(2.0 ** p[2] AS HUGEINT)
+              |                ELSE CAST(0 AS HUGEINT) END)) AS uh
+              |  FROM v),
+              |sg AS (SELECT vec_id, e, $toSignedSql AS sig FROM sg0),
+              |q AS (SELECT vec_id AS qid, e AS qe, sig AS qsig FROM sg WHERE vec_id < 5),
+              |h AS (
+              |  SELECT qid, sg.vec_id, e, qe,
+              |         bit_count(xor(sig, qsig)) AS hd
+              |  FROM sg CROSS JOIN q WHERE sg.vec_id <> qid),
+              |cand AS (
+              |  SELECT qid, vec_id, e, qe
+              |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+              |                                     ORDER BY hd, vec_id) AS cr FROM h)
+              |  WHERE cr <= 50),
+              |nc AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_candidates
+              |       FROM cand GROUP BY qid),
+              |sb AS (
+              |  SELECT qid, vec_id,
+              |         list_inner_product(qe, e) /
+              |           (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))) AS score
+              |  FROM cand),
+              |bt AS (SELECT qid, vec_id FROM (
+              |         SELECT qid, vec_id,
+              |                row_number() OVER (PARTITION BY qid
+              |                  ORDER BY score DESC, vec_id) AS rn FROM sb)
+              |       WHERE rn <= 10),
+              |ex AS (
+              |  SELECT qid, v.vec_id,
+              |         list_inner_product(qe, e) /
+              |           (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))) AS score
+              |  FROM v CROSS JOIN q WHERE v.vec_id <> qid),
+              |ext AS (SELECT qid, vec_id FROM (
+              |          SELECT qid, vec_id,
+              |                 row_number() OVER (PARTITION BY qid
+              |                   ORDER BY score DESC, vec_id) AS rn FROM ex)
+              |        WHERE rn <= 10)
+              |SELECT ext.qid, COALESCE(nc.n_candidates, 0) AS n_candidates,
+              |       CAST(SUM(CASE WHEN bt.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+              |       CAST(COUNT(*) AS BIGINT) AS k
+              |FROM ext
+              |LEFT JOIN bt ON ext.qid = bt.qid AND ext.vec_id = bt.vec_id
+              |LEFT JOIN nc ON ext.qid = nc.qid
+              |GROUP BY ext.qid, nc.n_candidates ORDER BY ext.qid""".stripMargin))
   )
 
   // ---------------------------------------------------------------- //

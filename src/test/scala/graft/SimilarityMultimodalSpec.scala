@@ -639,6 +639,28 @@ class SimilarityMultimodalSpec extends SparkSpec {
       "the repaired index serves probes")
   }
 
+  test("binary signatures set exactly the positive dims; recall report is sane integers") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array.tabulate(64)(d => if (d % 3 == 0) 1.0f else -1.0f)),
+      (1L, Array.tabulate(64)(d => if (d % 3 == 0) 1.0f else -1.0f)), // dup of 0
+      (2L, Array.fill(64)(-1.0f)))
+      .toDF("vec_id", "embedding")
+    val sigs = SimilarityOps.binarySignatures(vecs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("sig")).toMap
+    // distinct powers of two summed — addition ≡ OR, bit 63 included
+    val expected = (0 until 64).filter(_ % 3 == 0).map(1L << _).sum
+    assert(sigs(0L) == expected && sigs(1L) == expected,
+      "identical vectors must share the signature (hamming 0)")
+    assert(sigs(2L) == 0L, "an all-negative vector sets no bits")
+    val rep = SimilarityOps.binaryHammingRecall(emb).collect()
+    assert(rep.length == 5)
+    rep.foreach { r =>
+      assert(r.getLong(1) == 50L, "candidate budget honored")
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= r.getLong(3) && r.getLong(3) == 10L)
+    }
+  }
+
   test("IVF rebalance convergence loop: a one-split-resistant flood clears in a later round") {
     import spark.implicits._
     val index = SimilarityOps.ivfIndexFor(emb, tag = sf)
