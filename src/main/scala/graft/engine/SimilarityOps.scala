@@ -143,41 +143,78 @@ object SimilarityOps {
           "(x, i) -> IF(x > 0.0D, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
           "CAST(0 AS BIGINT), (acc, b) -> acc + b)"))
 
+  private[graft] def binarySigsTableName(tag: String): String =
+    s"bin_sigs_${Integer.toHexString(tag.hashCode)}"
+
+  /** Persist the signature column as its own catalog table
+    * (vec_id, sig) — the serving artifact the 32× rung reads instead
+    * of the float vectors. Not a fitted model (no quantizer), so this
+    * is a cache of exact deterministic integers; a re-derivation is
+    * bit-identical, which is exactly what lets the oracle certify the
+    * stored table by recomputing it. */
+  def ensureBinarySigsTable(embeddings: DataFrame, tag: String): String = {
+    val spark = embeddings.sparkSession
+    val t = binarySigsTableName(tag)
+    synchronized {
+      if (!spark.catalog.tableExists(t))
+        binarySignatures(embeddings).select(col("vec_id"), col("sig"))
+          .write.mode("overwrite").saveAsTable(t)
+    }
+    t
+  }
+
+  def binarySigsFor(embeddings: DataFrame, tag: String): DataFrame =
+    embeddings.sparkSession.read.table(ensureBinarySigsTable(embeddings, tag))
+
   /** Binary-quantized search fidelity (q264) — the read path the 32×
     * rung buys: candidates rank by HAMMING distance on the 8-byte
-    * signatures (popcount of xor — the scan reads one long per
-    * vector, not d floats), the top `nCandidates` re-rank by exact
-    * cosine, and the report counts hits inside the exact top-k per
-    * query (the q242/q255 integer shape: n_candidates, n_hits, k).
-    * The Hamming stage is where the memory ladder pays: at 100 TB the
-    * signature column is 1/32 of the vector bytes and the xor+popcount
-    * is branch-free SIMD work; the exact re-rank touches only
-    * nCandidates vectors per query. Queries broadcast (nQueries
-    * rows); the only corpus-sized work is the signature scan. */
+    * signatures (popcount of xor — the corpus-sized stage carries
+    * (vec_id, sig), 16 bytes/row, not d floats), the top `nCandidates`
+    * per query join BACK to the float vectors (candidate-bounded) for
+    * the exact cosine re-rank, and the report counts hits inside the
+    * exact top-k (the q242/q255 integer shape: n_candidates, n_hits,
+    * k). `storedSigs` is the persisted signature table
+    * ([[binarySigsFor]]) — the catalog query probes the stored
+    * artifact, q255-style; None recomputes inline (same values by
+    * exact-integer determinism). Queries broadcast (nQueries rows);
+    * the only corpus-sized work is the signature scan and the exact
+    * baseline it is measured against. */
   def binaryHammingRecall(embeddings: DataFrame, nQueries: Int = 5,
-                          k: Int = 10, nCandidates: Int = 50): DataFrame = {
-    val v = binarySignatures(embeddings)
+                          k: Int = 10, nCandidates: Int = 50,
+                          storedSigs: Option[DataFrame] = None): DataFrame = {
+    val v = withVec(embeddings).select(col("vec_id"), col("vec"), col("norm"))
+    val sigs = storedSigs.getOrElse(
+        binarySignatures(embeddings).select(col("vec_id"), col("sig")))
+      .select(col("vec_id"), col("sig"))
     val q = v.filter(col("vec_id") < nQueries)
+      .join(sigs, "vec_id")
       .select(col("vec_id").as("qid"), col("vec").as("qvec"),
         col("norm").as("qnorm"), col("sig").as("qsig"))
     val wH = Window.partitionBy(col("qid")).orderBy(col("hd"), col("vec_id"))
-    val cand = v.join(broadcast(q), col("vec_id") =!= col("qid"))
+    // corpus-sized stage: (vec_id, sig) only — the 32× scan saving
+    val cand = sigs.join(broadcast(q.select(col("qid"), col("qsig"))),
+        col("vec_id") =!= col("qid"))
       .withColumn("hd", bit_count(col("sig").bitwiseXOR(col("qsig"))))
       .withColumn("cr", row_number().over(wH))
       .filter(col("cr") <= nCandidates)
+      .select(col("qid"), col("vec_id"))
       .localCheckpoint(false) // candidate count + re-rank read it
     val nCand = cand.groupBy(col("qid"))
       .agg(count(lit(1)).cast("long").as("n_candidates"))
     val wS = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("vec_id"))
-    val binTop = cand
+    // candidate-bounded vector join: only nQueries·nCandidates rows
+    // read their floats back
+    val binTop = cand.join(v, "vec_id")
+      .join(broadcast(q.select(col("qid"), col("qvec"), col("qnorm"))), "qid")
       .withColumn("dot",
         expr("aggregate(zip_with(qvec, vec, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
       .withColumn("score", col("dot") / (col("qnorm") * col("norm")))
       .withColumn("rn", row_number().over(wS))
       .filter(col("rn") <= k)
       .select(col("qid"), col("vec_id"))
-    val exact = v.join(broadcast(q), col("vec_id") =!= col("qid"))
+    val exact = v.join(broadcast(q.select(col("qid"), col("qvec"), col("qnorm"))),
+        col("vec_id") =!= col("qid"))
       .withColumn("dot",
         expr("aggregate(zip_with(qvec, vec, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
       .withColumn("score", col("dot") / (col("qnorm") * col("norm")))

@@ -5544,7 +5544,11 @@ object Catalog {
     // fitted state and no dump.
     QuerySpec(
       "q264_binary_ann",
-      (s, dir) => SimilarityOps.binaryHammingRecall(Tables.embeddings(s, dir)),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        SimilarityOps.binaryHammingRecall(emb,
+          storedSigs = Some(SimilarityOps.binarySigsFor(emb, tag = dir)))
+      },
       Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
               |sg0 AS (
               |  SELECT vec_id, e,

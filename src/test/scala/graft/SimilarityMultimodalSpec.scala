@@ -659,6 +659,13 @@ class SimilarityMultimodalSpec extends SparkSpec {
       assert(r.getLong(1) == 50L, "candidate budget honored")
       assert(r.getLong(2) >= 0L && r.getLong(2) <= r.getLong(3) && r.getLong(3) == 10L)
     }
+    // the persisted-signature probe is row-identical to the inline
+    // recompute (exact-integer determinism is the persistence contract)
+    def proj(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val stored = SimilarityOps.binaryHammingRecall(emb,
+      storedSigs = Some(SimilarityOps.binarySigsFor(emb, tag = sf)))
+    assert(proj(stored.collect()) == proj(rep), "stored sigs ≡ inline sigs")
   }
 
   test("IVF rebalance convergence loop: a one-split-resistant flood clears in a later round") {
