@@ -230,6 +230,40 @@ object SimilarityOps {
       .orderBy(col("qid"))
   }
 
+  /** CONTRASTIVE hard-negative mining (q265) — the training-pair
+    * selection step every embedding-model pipeline runs: per anchor,
+    * the top-k candidates whose cosine falls in the HARD BAND
+    * [lo, hi) — similar enough to teach the margin, below the
+    * duplicate threshold so no positive leaks in as a negative
+    * (`hi` should sit at or under the q63 semantic-dedup threshold;
+    * mining negatives ABOVE it would train against near-duplicates).
+    * Hardest-first (score DESC) inside the band.
+    *
+    * This is the exact-scoring baseline ([[cosineTopK]]'s shape:
+    * anchors broadcast, corpus scanned once, per-anchor window); at
+    * 100 TB the candidate source composes with the pruned paths — an
+    * [[ivfTopK]]/[[annTopK]] candidate set band-filtered by the same
+    * predicate gives the identical row shape at nProbe/nLists of the
+    * scan. Output: (anchor_id, neg_id, score, rn). */
+  def hardNegatives(embeddings: DataFrame, nAnchors: Int = 5, k: Int = 5,
+                    lo: Double = 0.10, hi: Double = 0.95): DataFrame = {
+    val v = withVec(embeddings)
+    val a = v.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("anchor_id"), col("vec").as("avec"),
+        col("norm").as("anorm"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    v.join(broadcast(a), col("vec_id") =!= col("anchor_id"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(avec, vec, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("score", col("dot") / (col("anorm") * col("norm")))
+      .filter(col("score") >= lo && col("score") < hi)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("anchor_id"), col("vec_id").as("neg_id"), col("score"), col("rn"))
+      .orderBy(col("anchor_id"), col("rn"))
+  }
+
   /** Random-hyperplane signatures: bit p = sign(Σ_d v[d]·s(p,d)) with
     * s(p,d) ∈ {−1,+1} derived from xxhash64(p,d) — deterministic
     * pseudo-random hyperplanes with no stored projection matrix.

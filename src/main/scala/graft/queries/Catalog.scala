@@ -5534,6 +5534,32 @@ object Catalog {
              |GROUP BY ext.qid, refit_fired ORDER BY ext.qid""".stripMargin),
       dumps = Seq(pqDump, pqV2Dump)),
 
+    // CONTRASTIVE hard-negative mining (q265): per anchor, the top-k
+    // candidates with cosine in the hard band [0.10, 0.95) — similar
+    // enough to teach the margin, below the dup threshold so no
+    // positive leaks in as a negative; hardest first. The q46-proven
+    // cosine forms make scores and ranks engine-identical.
+    QuerySpec(
+      "q265_hard_negatives",
+      (s, dir) => SimilarityOps.hardNegatives(Tables.embeddings(s, dir)),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |a AS (SELECT vec_id AS anchor_id, e AS ae FROM v WHERE vec_id < 5),
+             |s AS (
+             |  SELECT anchor_id, vec_id,
+             |         list_inner_product(ae, e) /
+             |           (sqrt(list_inner_product(ae, ae)) * sqrt(list_inner_product(e, e))) AS score
+             |  FROM v CROSS JOIN a WHERE vec_id <> anchor_id),
+             |b AS (SELECT anchor_id, vec_id, score FROM s
+             |      WHERE score >= 0.10 AND score < 0.95),
+             |r AS (
+             |  SELECT anchor_id, vec_id AS neg_id, score,
+             |         CAST(row_number() OVER (PARTITION BY anchor_id
+             |           ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+             |  FROM b)
+             |SELECT anchor_id, neg_id, score, rn
+             |FROM r WHERE rn <= 5
+             |ORDER BY anchor_id, rn""".stripMargin)),
+
     // BINARY (sign-bit) quantization + Hamming re-rank (q264): the
     // 32× rung of the ANN memory ladder — 8-byte signatures, popcount
     // candidate ranking, exact re-rank of the top candidates, hits

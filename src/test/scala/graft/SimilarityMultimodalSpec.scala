@@ -668,6 +668,25 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(proj(stored.collect()) == proj(rep), "stored sigs ≡ inline sigs")
   }
 
+  test("hard negatives: band excludes a planted duplicate, hardest ranked first") {
+    import spark.implicits._
+    // plant an exact copy of anchor 0 — a positive/duplicate, which
+    // the band's upper edge must keep OUT of the negative set
+    val dup = emb.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(9990000L))
+    val negs = SimilarityOps.hardNegatives(emb.unionByName(dup)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(negs.nonEmpty)
+    assert(!negs.exists(n => n._1 == 0L && n._2 == 9990000L),
+      "an exact duplicate (cosine 1) must never mine as a negative")
+    assert(negs.forall(n => n._3 >= 0.10 && n._3 < 0.95), "band honored")
+    negs.groupBy(_._1).values.foreach { g =>
+      val byRank = g.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        "hardest (highest-cosine) negatives rank first")
+    }
+  }
+
   test("IVF rebalance convergence loop: a one-split-resistant flood clears in a later round") {
     import spark.implicits._
     val index = SimilarityOps.ivfIndexFor(emb, tag = sf)
