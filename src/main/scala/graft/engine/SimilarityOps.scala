@@ -230,6 +230,49 @@ object SimilarityOps {
       .orderBy(col("qid"))
   }
 
+  /** ANN LADDER decision table (q266) — the serving-policy capstone
+    * over the quantization family: one row per rung with its storage
+    * cost and measured fidelity, so "which index do we ship" reads
+    * straight off the report. Rungs: binary sign-bit (8 B/vec,
+    * [[binaryHammingRecall]] over the persisted signature table),
+    * PQ ADC (4 B codes, [[pqAdcRecall]]), IVF-PQ (codes + list id,
+    * [[ivfPqRecall]] over the persisted codes table), and matryoshka
+    * truncation at 16/32 dims ([[truncationFidelity]]). Recall is
+    * Σhits·10⁶ div Σk — integer-exact, engine-identical. Every input
+    * report is itself oracle-certified (q264/q242/q255/q249), and the
+    * ladder's own oracle aggregates the SAME SQL those rungs replay,
+    * so this row set cannot drift from its constituents. Cost: the
+    * four underlying reports (each already audited); output is
+    * 5 rows. */
+  def annLadder(embeddings: DataFrame, tag: String,
+                nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val idx = ivfIndexFor(embeddings, tag)
+    def rung(method: String, bytes: Long, rep: DataFrame): DataFrame =
+      rep.agg(sum(col("n_hits")).cast("long").as("sum_hits"),
+              sum(col("k")).cast("long").as("sum_k"))
+        .select(lit(method).as("method"), lit(bytes).as("bytes_per_vec"),
+          col("sum_hits"), col("sum_k"),
+          expr("CAST(sum_hits * 1000000 DIV sum_k AS BIGINT)").as("recall_ppm"))
+    val mat = truncationFidelity(embeddings)
+      .groupBy(col("dim"))
+      .agg(sum(col("n_hits")).cast("long").as("sum_hits"),
+           sum(col("k")).cast("long").as("sum_k"))
+      .select(concat(lit("trunc_"), col("dim")).as("method"),
+        (col("dim") * lit(4L)).cast("long").as("bytes_per_vec"),
+        col("sum_hits"), col("sum_k"),
+        expr("CAST(sum_hits * 1000000 DIV sum_k AS BIGINT)").as("recall_ppm"))
+    rung("binary_sign64", 8L,
+        binaryHammingRecall(embeddings, nQueries, k,
+          storedSigs = Some(binarySigsFor(embeddings, tag))))
+      .unionByName(rung("pq4x16", 4L,
+        pqAdcRecall(pqCodebookFor(embeddings, tag), embeddings, nQueries, k)))
+      .unionByName(rung("ivf16_pq4", 12L,
+        ivfPqRecall(idx, ivfPqCodebookFor(idx, tag), embeddings,
+          ivfPqCodesFor(idx, tag), nQueries, k)))
+      .unionByName(mat)
+      .orderBy(col("method"))
+  }
+
   /** CONTRASTIVE hard-negative mining (q265) — the training-pair
     * selection step every embedding-model pipeline runs: per anchor,
     * the top-k candidates whose cosine falls in the HARD BAND
@@ -244,7 +287,12 @@ object SimilarityOps {
     * 100 TB the candidate source composes with the pruned paths — an
     * [[ivfTopK]]/[[annTopK]] candidate set band-filtered by the same
     * predicate gives the identical row shape at nProbe/nLists of the
-    * scan. Output: (anchor_id, neg_id, score, rn). */
+    * scan. Complements q201's cluster-derived triplets
+    * ([[graft.engine.CorpusOps.contrastiveTripletsFromClusters]]),
+    * whose negatives are random draws outside the anchor's dedup
+    * cluster: that supervision is cheap and text-derived, this one is
+    * HARD (margin-adjacent) and embedding-derived — production
+    * pipelines mix both. Output: (anchor_id, neg_id, score, rn). */
   def hardNegatives(embeddings: DataFrame, nAnchors: Int = 5, k: Int = 5,
                     lo: Double = 0.10, hi: Double = 0.95): DataFrame = {
     val v = withVec(embeddings)

@@ -4823,35 +4823,7 @@ object Catalog {
     QuerySpec(
       "q249_truncation_fidelity",
       (s, dir) => SimilarityOps.truncationFidelity(Tables.embeddings(s, dir)),
-      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-             |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
-             |dims(d) AS (VALUES (16), (32)),
-             |ex0 AS (
-             |  SELECT qid, v.vec_id,
-             |         list_inner_product(qe, e) /
-             |         (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))) AS score
-             |  FROM v CROSS JOIN q WHERE v.vec_id <> qid),
-             |ext AS (SELECT qid, vec_id FROM (
-             |          SELECT qid, vec_id,
-             |                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
-             |          FROM ex0) WHERE rn <= 10),
-             |tr0 AS (
-             |  SELECT d, qid, v.vec_id,
-             |         list_inner_product(list_slice(qe, 1, d), list_slice(e, 1, d)) /
-             |         (sqrt(list_inner_product(list_slice(qe, 1, d), list_slice(qe, 1, d))) *
-             |          sqrt(list_inner_product(list_slice(e, 1, d), list_slice(e, 1, d)))) AS score
-             |  FROM v CROSS JOIN q CROSS JOIN dims WHERE v.vec_id <> qid),
-             |trt AS (SELECT d, qid, vec_id FROM (
-             |          SELECT d, qid, vec_id,
-             |                 row_number() OVER (PARTITION BY d, qid ORDER BY score DESC, vec_id) AS rn
-             |          FROM tr0) WHERE rn <= 10)
-             |SELECT CAST(dims.d AS BIGINT) AS dim, ext.qid AS qid,
-             |       CAST(SUM(CASE WHEN trt.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-             |       CAST(COUNT(*) AS BIGINT) AS k
-             |FROM ext CROSS JOIN dims
-             |LEFT JOIN trt ON trt.d = dims.d AND trt.qid = ext.qid AND trt.vec_id = ext.vec_id
-             |GROUP BY dims.d, ext.qid
-             |ORDER BY dim, ext.qid""".stripMargin)),
+      Some(q249OracleSql)),
 
     // INCREMENTAL semantic dedup: new vectors probe the STORED IVF
     // index (broadcast centroid ranking → nProbe list pruning → exact
@@ -4973,59 +4945,7 @@ object Catalog {
         val emb = Tables.embeddings(s, dir)
         SimilarityOps.pqAdcRecall(SimilarityOps.pqCodebookFor(emb, tag = dir), emb)
       },
-      Some("""WITH cb AS (
-             |  SELECT CAST(subspace AS BIGINT) AS subspace,
-             |         CAST(code AS BIGINT) AS code,
-             |         CAST(centroid AS DOUBLE[]) AS c
-             |  FROM read_parquet('/tmp/graft_pq_oracle/centers/*.parquet')),
-             |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-             |d AS (
-             |  SELECT vec_id, subspace, code,
-             |         list_sum(list_transform(
-             |           list_zip(list_slice(e, subspace * 16 + 1, subspace * 16 + 16), c),
-             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
-             |  FROM v CROSS JOIN cb),
-             |codes AS (
-             |  SELECT vec_id, subspace, code
-             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
-             |                                     ORDER BY d2, code) AS rk FROM d)
-             |  WHERE rk = 1),
-             |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
-             |lut AS (
-             |  SELECT qid, subspace, code,
-             |         list_sum(list_transform(
-             |           list_zip(list_slice(qe, subspace * 16 + 1, subspace * 16 + 16), c),
-             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qd2
-             |  FROM q CROSS JOIN cb),
-             |adc0 AS (
-             |  SELECT qid, vec_id,
-             |         MAX(CASE WHEN s.subspace = 0 THEN qd2 END) AS e0,
-             |         MAX(CASE WHEN s.subspace = 1 THEN qd2 END) AS e1,
-             |         MAX(CASE WHEN s.subspace = 2 THEN qd2 END) AS e2,
-             |         MAX(CASE WHEN s.subspace = 3 THEN qd2 END) AS e3
-             |  FROM codes s JOIN lut USING (subspace, code)
-             |  WHERE vec_id <> qid GROUP BY qid, vec_id),
-             |adct AS (
-             |  SELECT qid, vec_id
-             |  FROM (SELECT qid, vec_id,
-             |               row_number() OVER (PARTITION BY qid
-             |                 ORDER BY e0 + e1 + e2 + e3, vec_id) AS rn
-             |        FROM adc0) WHERE rn <= 10),
-             |ex AS (
-             |  SELECT qid, vec_id,
-             |         list_sum(list_transform(list_zip(e, qe),
-             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
-             |  FROM v CROSS JOIN q WHERE vec_id <> qid),
-             |ext AS (
-             |  SELECT qid, vec_id
-             |  FROM (SELECT qid, vec_id,
-             |               row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rn
-             |        FROM ex) WHERE rn <= 10)
-             |SELECT ext.qid,
-             |       CAST(SUM(CASE WHEN adct.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-             |       CAST(COUNT(*) AS BIGINT) AS k
-             |FROM ext LEFT JOIN adct ON ext.qid = adct.qid AND ext.vec_id = adct.vec_id
-             |GROUP BY ext.qid ORDER BY ext.qid""".stripMargin),
+      Some(q242OracleSql),
       dumps = Seq(pqDump)),
 
     // PQ codebook DRIFT: the new batch encodes map-only against the
@@ -5118,85 +5038,7 @@ object Catalog {
           idx, SimilarityOps.ivfPqCodebookFor(idx, tag = dir), emb,
           SimilarityOps.ivfPqCodesFor(idx, tag = dir))
       },
-      Some("""WITH a AS (
-             |  SELECT vec_id, CAST(list_id AS BIGINT) AS list_id
-             |  FROM read_parquet('/tmp/graft_ivf_oracle/assign/*.parquet')),
-             |ic AS (
-             |  SELECT CAST(c_list_id AS BIGINT) AS list_id,
-             |         CAST(centroid AS DOUBLE[]) AS icent
-             |  FROM read_parquet('/tmp/graft_ivf_oracle/centers/*.parquet')),
-             |cb AS (
-             |  SELECT CAST(subspace AS BIGINT) AS subspace,
-             |         CAST(code AS BIGINT) AS code,
-             |         CAST(centroid AS DOUBLE[]) AS c
-             |  FROM read_parquet('/tmp/graft_ivfpq_oracle/centers/*.parquet')),
-             |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-             |r AS (
-             |  SELECT v.vec_id, a.list_id,
-             |         list_transform(list_zip(e, icent), p -> p[1] - p[2]) AS res
-             |  FROM v JOIN a USING (vec_id) JOIN ic USING (list_id)),
-             |d AS (
-             |  SELECT vec_id, list_id, subspace, code,
-             |         list_sum(list_transform(
-             |           list_zip(list_slice(res, subspace * 16 + 1, subspace * 16 + 16), c),
-             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
-             |  FROM r CROSS JOIN cb),
-             |codes AS (
-             |  SELECT vec_id, list_id, subspace, code
-             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
-             |                                     ORDER BY d2, code) AS rk FROM d)
-             |  WHERE rk = 1),
-             |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
-             |co0 AS (
-             |  SELECT qid, list_id, icent, qe,
-             |         list_sum(list_transform(list_zip(qe, icent),
-             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS cd2
-             |  FROM q CROSS JOIN ic),
-             |coarse AS (
-             |  SELECT qid, list_id,
-             |         list_transform(list_zip(qe, icent), p -> p[1] - p[2]) AS qres
-             |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
-             |                                     ORDER BY cd2, list_id) AS rk FROM co0)
-             |  WHERE rk <= 4),
-             |lut AS (
-             |  SELECT qid, list_id, subspace, code,
-             |         list_sum(list_transform(
-             |           list_zip(list_slice(qres, subspace * 16 + 1, subspace * 16 + 16), c),
-             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qd2
-             |  FROM coarse CROSS JOIN cb),
-             |adc0 AS (
-             |  SELECT qid, vec_id,
-             |         MAX(CASE WHEN s.subspace = 0 THEN qd2 END) AS e0,
-             |         MAX(CASE WHEN s.subspace = 1 THEN qd2 END) AS e1,
-             |         MAX(CASE WHEN s.subspace = 2 THEN qd2 END) AS e2,
-             |         MAX(CASE WHEN s.subspace = 3 THEN qd2 END) AS e3
-             |  FROM codes s JOIN lut USING (list_id, subspace, code)
-             |  WHERE vec_id <> qid GROUP BY qid, vec_id),
-             |cand AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_candidates
-             |         FROM adc0 GROUP BY qid),
-             |adct AS (
-             |  SELECT qid, vec_id
-             |  FROM (SELECT qid, vec_id,
-             |               row_number() OVER (PARTITION BY qid
-             |                 ORDER BY e0 + e1 + e2 + e3, vec_id) AS rn
-             |        FROM adc0) WHERE rn <= 10),
-             |ex AS (
-             |  SELECT qid, vec_id,
-             |         list_sum(list_transform(list_zip(e, qe),
-             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
-             |  FROM v CROSS JOIN q WHERE vec_id <> qid),
-             |ext AS (
-             |  SELECT qid, vec_id
-             |  FROM (SELECT qid, vec_id,
-             |               row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rn
-             |        FROM ex) WHERE rn <= 10)
-             |SELECT ext.qid, COALESCE(cand.n_candidates, 0) AS n_candidates,
-             |       CAST(SUM(CASE WHEN adct.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-             |       CAST(COUNT(*) AS BIGINT) AS k
-             |FROM ext
-             |LEFT JOIN adct ON ext.qid = adct.qid AND ext.vec_id = adct.vec_id
-             |LEFT JOIN cand ON ext.qid = cand.qid
-             |GROUP BY ext.qid, cand.n_candidates ORDER BY ext.qid""".stripMargin),
+      Some(q255OracleSql),
       dumps = Seq(ivfDump, ivfPqDump)),
 
     // Incremental PQ code maintenance (q256) — the write path the q255
@@ -5575,7 +5417,211 @@ object Catalog {
         SimilarityOps.binaryHammingRecall(emb,
           storedSigs = Some(SimilarityOps.binarySigsFor(emb, tag = dir)))
       },
-      Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      Some(q264OracleSql)),
+
+    // ANN LADDER decision table (q266): one row per quantization rung
+    // (binary sign-bit / PQ ADC / IVF-PQ / matryoshka 16 & 32) with
+    // bytes-per-vector and integer-exact recall_ppm vs the exact
+    // top-k — the "which index do we ship" report. The oracle
+    // aggregates the SAME factored SQL each rung's own query
+    // certifies, so the capstone cannot drift from its constituents.
+    QuerySpec(
+      "q266_ann_ladder",
+      (s, dir) => SimilarityOps.annLadder(Tables.embeddings(s, dir), tag = dir),
+      Some(s"""SELECT method, bytes_per_vec, sum_hits, sum_k,
+              |       CAST(sum_hits * 1000000 // sum_k AS BIGINT) AS recall_ppm
+              |FROM (
+              |  SELECT 'binary_sign64' AS method, CAST(8 AS BIGINT) AS bytes_per_vec,
+              |         CAST(SUM(n_hits) AS BIGINT) AS sum_hits, CAST(SUM(k) AS BIGINT) AS sum_k
+              |  FROM ($q264OracleSql)
+              |  UNION ALL
+              |  SELECT 'pq4x16', CAST(4 AS BIGINT), CAST(SUM(n_hits) AS BIGINT), CAST(SUM(k) AS BIGINT)
+              |  FROM ($q242OracleSql)
+              |  UNION ALL
+              |  SELECT 'ivf16_pq4', CAST(12 AS BIGINT), CAST(SUM(n_hits) AS BIGINT), CAST(SUM(k) AS BIGINT)
+              |  FROM ($q255OracleSql)
+              |  UNION ALL
+              |  SELECT 'trunc_' || CAST(dim AS VARCHAR), CAST(dim * 4 AS BIGINT),
+              |         CAST(SUM(n_hits) AS BIGINT), CAST(SUM(k) AS BIGINT)
+              |  FROM ($q249OracleSql) GROUP BY dim
+              |) ORDER BY method""".stripMargin),
+      dumps = Seq(pqDump, ivfDump, ivfPqDump))
+  )
+
+
+  /** The four ANN-rung recall oracles, factored so the q266 ladder
+    * aggregates the EXACT SQL its constituent queries certify —
+    * shared text keeps the capstone from drifting against the rungs
+    * (the q45/q69 and q220/q257 pattern). */
+  private def q249OracleSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+       |dims(d) AS (VALUES (16), (32)),
+       |ex0 AS (
+       |  SELECT qid, v.vec_id,
+       |         list_inner_product(qe, e) /
+       |         (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))) AS score
+       |  FROM v CROSS JOIN q WHERE v.vec_id <> qid),
+       |ext AS (SELECT qid, vec_id FROM (
+       |          SELECT qid, vec_id,
+       |                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+       |          FROM ex0) WHERE rn <= 10),
+       |tr0 AS (
+       |  SELECT d, qid, v.vec_id,
+       |         list_inner_product(list_slice(qe, 1, d), list_slice(e, 1, d)) /
+       |         (sqrt(list_inner_product(list_slice(qe, 1, d), list_slice(qe, 1, d))) *
+       |          sqrt(list_inner_product(list_slice(e, 1, d), list_slice(e, 1, d)))) AS score
+       |  FROM v CROSS JOIN q CROSS JOIN dims WHERE v.vec_id <> qid),
+       |trt AS (SELECT d, qid, vec_id FROM (
+       |          SELECT d, qid, vec_id,
+       |                 row_number() OVER (PARTITION BY d, qid ORDER BY score DESC, vec_id) AS rn
+       |          FROM tr0) WHERE rn <= 10)
+       |SELECT CAST(dims.d AS BIGINT) AS dim, ext.qid AS qid,
+       |       CAST(SUM(CASE WHEN trt.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       CAST(COUNT(*) AS BIGINT) AS k
+       |FROM ext CROSS JOIN dims
+       |LEFT JOIN trt ON trt.d = dims.d AND trt.qid = ext.qid AND trt.vec_id = ext.vec_id
+       |GROUP BY dims.d, ext.qid
+       |ORDER BY dim, ext.qid""".stripMargin
+
+  private def q242OracleSql: String =
+    """WITH cb AS (
+       |  SELECT CAST(subspace AS BIGINT) AS subspace,
+       |         CAST(code AS BIGINT) AS code,
+       |         CAST(centroid AS DOUBLE[]) AS c
+       |  FROM read_parquet('/tmp/graft_pq_oracle/centers/*.parquet')),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |d AS (
+       |  SELECT vec_id, subspace, code,
+       |         list_sum(list_transform(
+       |           list_zip(list_slice(e, subspace * 16 + 1, subspace * 16 + 16), c),
+       |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+       |  FROM v CROSS JOIN cb),
+       |codes AS (
+       |  SELECT vec_id, subspace, code
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+       |                                     ORDER BY d2, code) AS rk FROM d)
+       |  WHERE rk = 1),
+       |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+       |lut AS (
+       |  SELECT qid, subspace, code,
+       |         list_sum(list_transform(
+       |           list_zip(list_slice(qe, subspace * 16 + 1, subspace * 16 + 16), c),
+       |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qd2
+       |  FROM q CROSS JOIN cb),
+       |adc0 AS (
+       |  SELECT qid, vec_id,
+       |         MAX(CASE WHEN s.subspace = 0 THEN qd2 END) AS e0,
+       |         MAX(CASE WHEN s.subspace = 1 THEN qd2 END) AS e1,
+       |         MAX(CASE WHEN s.subspace = 2 THEN qd2 END) AS e2,
+       |         MAX(CASE WHEN s.subspace = 3 THEN qd2 END) AS e3
+       |  FROM codes s JOIN lut USING (subspace, code)
+       |  WHERE vec_id <> qid GROUP BY qid, vec_id),
+       |adct AS (
+       |  SELECT qid, vec_id
+       |  FROM (SELECT qid, vec_id,
+       |               row_number() OVER (PARTITION BY qid
+       |                 ORDER BY e0 + e1 + e2 + e3, vec_id) AS rn
+       |        FROM adc0) WHERE rn <= 10),
+       |ex AS (
+       |  SELECT qid, vec_id,
+       |         list_sum(list_transform(list_zip(e, qe),
+       |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+       |  FROM v CROSS JOIN q WHERE vec_id <> qid),
+       |ext AS (
+       |  SELECT qid, vec_id
+       |  FROM (SELECT qid, vec_id,
+       |               row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rn
+       |        FROM ex) WHERE rn <= 10)
+       |SELECT ext.qid,
+       |       CAST(SUM(CASE WHEN adct.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       CAST(COUNT(*) AS BIGINT) AS k
+       |FROM ext LEFT JOIN adct ON ext.qid = adct.qid AND ext.vec_id = adct.vec_id
+       |GROUP BY ext.qid ORDER BY ext.qid""".stripMargin
+
+  private def q255OracleSql: String =
+    """WITH a AS (
+             |  SELECT vec_id, CAST(list_id AS BIGINT) AS list_id
+             |  FROM read_parquet('/tmp/graft_ivf_oracle/assign/*.parquet')),
+             |ic AS (
+             |  SELECT CAST(c_list_id AS BIGINT) AS list_id,
+             |         CAST(centroid AS DOUBLE[]) AS icent
+             |  FROM read_parquet('/tmp/graft_ivf_oracle/centers/*.parquet')),
+             |cb AS (
+             |  SELECT CAST(subspace AS BIGINT) AS subspace,
+             |         CAST(code AS BIGINT) AS code,
+             |         CAST(centroid AS DOUBLE[]) AS c
+             |  FROM read_parquet('/tmp/graft_ivfpq_oracle/centers/*.parquet')),
+             |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |r AS (
+             |  SELECT v.vec_id, a.list_id,
+             |         list_transform(list_zip(e, icent), p -> p[1] - p[2]) AS res
+             |  FROM v JOIN a USING (vec_id) JOIN ic USING (list_id)),
+             |d AS (
+             |  SELECT vec_id, list_id, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(res, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM r CROSS JOIN cb),
+             |codes AS (
+             |  SELECT vec_id, list_id, subspace, code
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+             |                                     ORDER BY d2, code) AS rk FROM d)
+             |  WHERE rk = 1),
+             |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+             |co0 AS (
+             |  SELECT qid, list_id, icent, qe,
+             |         list_sum(list_transform(list_zip(qe, icent),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS cd2
+             |  FROM q CROSS JOIN ic),
+             |coarse AS (
+             |  SELECT qid, list_id,
+             |         list_transform(list_zip(qe, icent), p -> p[1] - p[2]) AS qres
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+             |                                     ORDER BY cd2, list_id) AS rk FROM co0)
+             |  WHERE rk <= 4),
+             |lut AS (
+             |  SELECT qid, list_id, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(qres, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qd2
+             |  FROM coarse CROSS JOIN cb),
+             |adc0 AS (
+             |  SELECT qid, vec_id,
+             |         MAX(CASE WHEN s.subspace = 0 THEN qd2 END) AS e0,
+             |         MAX(CASE WHEN s.subspace = 1 THEN qd2 END) AS e1,
+             |         MAX(CASE WHEN s.subspace = 2 THEN qd2 END) AS e2,
+             |         MAX(CASE WHEN s.subspace = 3 THEN qd2 END) AS e3
+             |  FROM codes s JOIN lut USING (list_id, subspace, code)
+             |  WHERE vec_id <> qid GROUP BY qid, vec_id),
+             |cand AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_candidates
+             |         FROM adc0 GROUP BY qid),
+             |adct AS (
+             |  SELECT qid, vec_id
+             |  FROM (SELECT qid, vec_id,
+             |               row_number() OVER (PARTITION BY qid
+             |                 ORDER BY e0 + e1 + e2 + e3, vec_id) AS rn
+             |        FROM adc0) WHERE rn <= 10),
+             |ex AS (
+             |  SELECT qid, vec_id,
+             |         list_sum(list_transform(list_zip(e, qe),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM v CROSS JOIN q WHERE vec_id <> qid),
+             |ext AS (
+             |  SELECT qid, vec_id
+             |  FROM (SELECT qid, vec_id,
+             |               row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rn
+             |        FROM ex) WHERE rn <= 10)
+             |SELECT ext.qid, COALESCE(cand.n_candidates, 0) AS n_candidates,
+             |       CAST(SUM(CASE WHEN adct.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+             |       CAST(COUNT(*) AS BIGINT) AS k
+             |FROM ext
+             |LEFT JOIN adct ON ext.qid = adct.qid AND ext.vec_id = adct.vec_id
+             |LEFT JOIN cand ON ext.qid = cand.qid
+             |GROUP BY ext.qid, cand.n_candidates ORDER BY ext.qid""".stripMargin
+
+  private def q264OracleSql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
               |sg0 AS (
               |  SELECT vec_id, e,
               |         list_sum(list_transform(list_zip(e, range(0, 64)),
@@ -5621,8 +5667,7 @@ object Catalog {
               |FROM ext
               |LEFT JOIN bt ON ext.qid = bt.qid AND ext.vec_id = bt.vec_id
               |LEFT JOIN nc ON ext.qid = nc.qid
-              |GROUP BY ext.qid, nc.n_candidates ORDER BY ext.qid""".stripMargin))
-  )
+              |GROUP BY ext.qid, nc.n_candidates ORDER BY ext.qid""".stripMargin
 
   // ---------------------------------------------------------------- //
   // north-star: multimodal binary columns

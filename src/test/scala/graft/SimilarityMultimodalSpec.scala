@@ -668,6 +668,31 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(proj(stored.collect()) == proj(rep), "stored sigs ≡ inline sigs")
   }
 
+  test("ANN ladder aggregates exactly its constituent rung reports") {
+    val lad = SimilarityOps.annLadder(emb, tag = sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(lad.keySet ==
+      Set("binary_sign64", "ivf16_pq4", "pq4x16", "trunc_16", "trunc_32"))
+    // every rung scored the same query set: Σk = nQueries·k
+    assert(lad.values.forall(_._3 == 50L), s"Σk must be 5·10 per rung: $lad")
+    // recall_ppm is the integer quotient of its own row
+    lad.values.foreach { case (_, hits, k, ppm) =>
+      assert(ppm == hits * 1000000L / k)
+    }
+    // cross-check two rungs against the certified per-query reports
+    val pq = SimilarityOps.pqAdcRecall(
+        SimilarityOps.pqCodebookFor(emb, tag = sf), emb).collect()
+    assert(lad("pq4x16")._2 == pq.map(_.getLong(1)).sum)
+    val bin = SimilarityOps.binaryHammingRecall(emb,
+      storedSigs = Some(SimilarityOps.binarySigsFor(emb, tag = sf))).collect()
+    assert(lad("binary_sign64")._2 == bin.map(_.getLong(2)).sum)
+    // storage-cost column carries the documented constants
+    assert(lad("binary_sign64")._1 == 8L && lad("pq4x16")._1 == 4L &&
+      lad("ivf16_pq4")._1 == 12L && lad("trunc_16")._1 == 64L &&
+      lad("trunc_32")._1 == 128L)
+  }
+
   test("hard negatives: band excludes a planted duplicate, hardest ranked first") {
     import spark.implicits._
     // plant an exact copy of anchor 0 — a positive/duplicate, which
