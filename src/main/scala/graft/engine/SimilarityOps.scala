@@ -128,6 +128,34 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** int8 RECALL rung (q267) — the q102 quantized ranking measured
+    * against the exact cosine top-k, per query: the fidelity report
+    * that prices the 4× rung in the q266 ladder (q102 itself is the
+    * serving listing). Quantized candidates come from
+    * [[quantizedCosineTopK]] (exact-integer dots); the baseline is
+    * [[cosineTopK]]'s audited exact chain. Output (qid, n_hits, k). */
+  def int8Recall(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val qt = quantizedCosineTopK(embeddings, nQueries, k)
+      .select(col("qid"), col("vec_id"))
+    val v = withVec(embeddings)
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"),
+        col("norm").as("qnorm"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    val exactTop = v.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qvec, vec, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("score", col("dot") / (col("qnorm") * col("norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"))
+    exactTop.join(qt.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"),
+           count(lit(1)).cast("long").as("k"))
+      .orderBy(col("qid"))
+  }
+
   /** BINARY (sign-bit) quantization — the 32× rung of the ANN memory
     * ladder below int8: bit d of the 64-bit signature is set iff
     * vec[d] > 0, so a d=64 float32 vector stores as ONE long (256 →
@@ -264,6 +292,8 @@ object SimilarityOps {
     rung("binary_sign64", 8L,
         binaryHammingRecall(embeddings, nQueries, k,
           storedSigs = Some(binarySigsFor(embeddings, tag))))
+      // int8 codes (d bytes) + the stored integer norm (8 B)
+      .unionByName(rung("int8_sym127", 72L, int8Recall(embeddings, nQueries, k)))
       .unionByName(rung("pq4x16", 4L,
         pqAdcRecall(pqCodebookFor(embeddings, tag), embeddings, nQueries, k)))
       .unionByName(rung("ivf16_pq4", 12L,

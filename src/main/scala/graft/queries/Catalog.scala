@@ -4684,26 +4684,17 @@ object Catalog {
     QuerySpec(
       "q102_quantized_ann",
       (s, dir) => SimilarityOps.quantizedCosineTopK(Tables.embeddings(s, dir)),
-      Some("""WITH v0 AS (
-             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-             |v1 AS (
-             |  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS amax FROM v0),
-             |v AS (
-             |  SELECT vec_id,
-             |         list_transform(e, x -> CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT)) AS qv
-             |  FROM v1 WHERE amax > 0),
-             |nn AS (
-             |  SELECT vec_id, qv, CAST(list_inner_product(qv, qv) AS BIGINT) AS qn
-             |  FROM v),
-             |q AS (SELECT vec_id AS qid, qv AS qq, qn AS qqn FROM nn WHERE vec_id < 5),
-             |s AS (SELECT qid, vec_id,
-             |             list_inner_product(qq, qv) / (sqrt(CAST(qqn AS DOUBLE)) * sqrt(CAST(qn AS DOUBLE))) AS score
-             |      FROM nn CROSS JOIN q WHERE vec_id <> qid),
-             |r AS (SELECT qid, vec_id, score,
-             |             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rn
-             |      FROM s)
-             |SELECT qid, vec_id, score, rn FROM r WHERE rn <= 10
-             |ORDER BY qid, rn""".stripMargin)),
+      Some(s"""WITH $q102QuantChainCtes
+              |SELECT qid, vec_id, score, rn FROM r WHERE rn <= 10
+              |ORDER BY qid, rn""".stripMargin)),
+
+    // int8 recall rung (q267): the q102 quantized ranking measured
+    // against the exact top-k — the fidelity report that prices the
+    // 4× rung for the q266 ladder. Shares q102's CTE text verbatim.
+    QuerySpec(
+      "q267_int8_recall",
+      (s, dir) => SimilarityOps.int8Recall(Tables.embeddings(s, dir)),
+      Some(q267OracleSql)),
 
     // domain-proximity matrix: per-label centroids with per-dimension
     // ppb-integer means (components floor-quantized, exact BIGINT
@@ -5435,6 +5426,9 @@ object Catalog {
               |         CAST(SUM(n_hits) AS BIGINT) AS sum_hits, CAST(SUM(k) AS BIGINT) AS sum_k
               |  FROM ($q264OracleSql)
               |  UNION ALL
+              |  SELECT 'int8_sym127', CAST(72 AS BIGINT), CAST(SUM(n_hits) AS BIGINT), CAST(SUM(k) AS BIGINT)
+              |  FROM ($q267OracleSql)
+              |  UNION ALL
               |  SELECT 'pq4x16', CAST(4 AS BIGINT), CAST(SUM(n_hits) AS BIGINT), CAST(SUM(k) AS BIGINT)
               |  FROM ($q242OracleSql)
               |  UNION ALL
@@ -5449,7 +5443,50 @@ object Catalog {
   )
 
 
-  /** The four ANN-rung recall oracles, factored so the q266 ladder
+  /** The q102 int8 chain (quantize → exact-integer dot → score →
+    * rank), factored so the q102 listing, the q267 recall report and
+    * the q266 ladder all replay ONE text. */
+  private val q102QuantChainCtes: String =
+    """v0 AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |v1 AS (
+      |  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS amax FROM v0),
+      |v AS (
+      |  SELECT vec_id,
+      |         list_transform(e, x -> CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT)) AS qv
+      |  FROM v1 WHERE amax > 0),
+      |nn AS (
+      |  SELECT vec_id, qv, CAST(list_inner_product(qv, qv) AS BIGINT) AS qn
+      |  FROM v),
+      |q AS (SELECT vec_id AS qid, qv AS qq, qn AS qqn FROM nn WHERE vec_id < 5),
+      |s AS (SELECT qid, vec_id,
+      |             list_inner_product(qq, qv) / (sqrt(CAST(qqn AS DOUBLE)) * sqrt(CAST(qn AS DOUBLE))) AS score
+      |      FROM nn CROSS JOIN q WHERE vec_id <> qid),
+      |r AS (SELECT qid, vec_id, score,
+      |             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+      |      FROM s)""".stripMargin
+
+  private def q267OracleSql: String =
+    s"""WITH $q102QuantChainCtes,
+       |qt AS (SELECT qid, vec_id FROM r WHERE rn <= 10),
+       |ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |qe AS (SELECT vec_id AS qid, e AS fqe FROM ve WHERE vec_id < 5),
+       |ex AS (
+       |  SELECT qid, ve.vec_id,
+       |         list_inner_product(fqe, e) /
+       |           (sqrt(list_inner_product(fqe, fqe)) * sqrt(list_inner_product(e, e))) AS score
+       |  FROM ve CROSS JOIN qe WHERE ve.vec_id <> qid),
+       |ext AS (SELECT qid, vec_id FROM (
+       |          SELECT qid, vec_id,
+       |                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+       |          FROM ex) WHERE rn <= 10)
+       |SELECT ext.qid,
+       |       CAST(SUM(CASE WHEN qt.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       CAST(COUNT(*) AS BIGINT) AS k
+       |FROM ext LEFT JOIN qt ON ext.qid = qt.qid AND ext.vec_id = qt.vec_id
+       |GROUP BY ext.qid ORDER BY ext.qid""".stripMargin
+
+  /** The ANN-rung recall oracles, factored so the q266 ladder
     * aggregates the EXACT SQL its constituent queries certify —
     * shared text keeps the capstone from drifting against the rungs
     * (the q45/q69 and q220/q257 pattern). */

@@ -672,8 +672,8 @@ class SimilarityMultimodalSpec extends SparkSpec {
     val lad = SimilarityOps.annLadder(emb, tag = sf).collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
-    assert(lad.keySet ==
-      Set("binary_sign64", "ivf16_pq4", "pq4x16", "trunc_16", "trunc_32"))
+    assert(lad.keySet == Set("binary_sign64", "int8_sym127", "ivf16_pq4",
+      "pq4x16", "trunc_16", "trunc_32"))
     // every rung scored the same query set: Σk = nQueries·k
     assert(lad.values.forall(_._3 == 50L), s"Σk must be 5·10 per rung: $lad")
     // recall_ppm is the integer quotient of its own row
@@ -688,9 +688,9 @@ class SimilarityMultimodalSpec extends SparkSpec {
       storedSigs = Some(SimilarityOps.binarySigsFor(emb, tag = sf))).collect()
     assert(lad("binary_sign64")._2 == bin.map(_.getLong(2)).sum)
     // storage-cost column carries the documented constants
-    assert(lad("binary_sign64")._1 == 8L && lad("pq4x16")._1 == 4L &&
-      lad("ivf16_pq4")._1 == 12L && lad("trunc_16")._1 == 64L &&
-      lad("trunc_32")._1 == 128L)
+    assert(lad("binary_sign64")._1 == 8L && lad("int8_sym127")._1 == 72L &&
+      lad("pq4x16")._1 == 4L && lad("ivf16_pq4")._1 == 12L &&
+      lad("trunc_16")._1 == 64L && lad("trunc_32")._1 == 128L)
   }
 
   test("hard negatives: band excludes a planted duplicate, hardest ranked first") {
