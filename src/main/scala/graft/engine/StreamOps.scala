@@ -801,6 +801,52 @@ object StreamOps {
       .start()
   }
 
+  /** STREAMING cross-modal gate — q261 live: each micro-batch of
+    * documents scores caption↔media alignment
+    * ([[MultimodalOps.crossModalScores]] — two map-only encodes + one
+    * equi-join, per-row pure, so the micro-batch split cannot change
+    * any verdict), appends tick-stamped per-doc verdicts to
+    * `outPath/verdicts`, folds the tick's per-source counts into the
+    * carried accounting state (additive — the q235 argument), and
+    * rewrites the q261-shaped conservation report at
+    * `outPath/accounting`. Stream ≡ batch by construction
+    * (StreamingSpec, across a split with the pinned mismatch pair on
+    * the boundary). State is source-count-sized; durable state is the
+    * two sinks (restart: rebuild counts from the verdict sink in one
+    * scan). */
+  def streamingCrossModalGate(docs: DataFrame, outPath: String,
+                              checkpointDir: String, captionChars: Int = 64,
+                              threshold: Double = 0.9): StreamingQuery = {
+    var counts: DataFrame = null
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, tick: Long) =>
+        if (!batch.isEmpty) {
+          val scores = MultimodalOps
+            .crossModalScores(batch, captionChars, threshold)
+            .localCheckpoint(false) // verdict sink + count fold
+          scores.withColumn("tick", lit(tick))
+            .write.mode("append").parquet(s"$outPath/verdicts")
+          val tickCounts = scores.groupBy(col("source"))
+            .agg(count(lit(1)).cast("long").as("n_docs"),
+              sum(when(col("aligned"), 1L).otherwise(0L)).cast("long").as("n_aligned"),
+              sum(when(col("aligned"), 0L).otherwise(1L)).cast("long").as("n_dropped"))
+          counts = (if (counts == null) tickCounts
+            else counts.unionByName(tickCounts)
+              .groupBy(col("source"))
+              .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+                sum(col("n_aligned")).cast("long").as("n_aligned"),
+                sum(col("n_dropped")).cast("long").as("n_dropped")))
+            .localCheckpoint(false) // next fold + report
+          counts.orderBy(col("source"))
+            .write.mode("overwrite").parquet(s"$outPath/accounting")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** STREAMING semantic dedup — the live verdict-first ingest loop
     * over the stored IVF index (q246 + q235 composed per tick): each
     * micro-batch of new vectors probes the CURRENT index for a dup

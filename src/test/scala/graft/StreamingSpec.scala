@@ -1009,6 +1009,50 @@ class StreamingSpec extends SparkSpec {
       s"tick 1 stage $st diverged from the batch API: ${f((1L, st))} vs ${expected2(st)}"))
   }
 
+  test("streaming cross-modal gate equals the q261 batch accounting across a micro-batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{MultimodalOps, StreamOps, Tables}
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    // the pinned q261 mismatch pair lands on the SECOND tick, so the
+    // drop branch crosses the micro-batch boundary
+    val planted = Seq(
+      (9800001L, "short caption only", "srcA"),
+      (9800002L, "a proper caption describing a sunset over mountains " + "x" * 200,
+        "srcA"))
+    val (f1, f2) = docs.splitAt(docs.length / 2)
+    val out = java.nio.file.Files.createTempDirectory("graft_scm_out_").toString + "/cm"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scm_ckpt_").toString
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamOps.streamingCrossModalGate(
+      input.toDS().toDF("doc_id", "text", "source"), out, ckpt)
+    try {
+      input.addData(f1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(f2.toSeq ++ planted: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def proj(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val streamed = proj(spark.read.parquet(s"$out/accounting")
+      .select(col("source"), col("n_docs"), col("n_aligned"), col("n_dropped"))
+      .collect())
+    val batch = proj(MultimodalOps.crossModalAlignmentGate(
+        (docs.toSeq ++ planted).toDF("doc_id", "text", "source")).collect())
+    assert(streamed == batch,
+      s"streamed accounting diverged from the one-shot q261 rollup " +
+        s"(${streamed.size} vs ${batch.size} sources)")
+    // the pinned pair exercised both branches in-stream
+    val verdicts = spark.read.parquet(s"$out/verdicts").collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Boolean]("aligned")).toMap
+    assert(verdicts(9800001L) && !verdicts(9800002L),
+      "pinned aligned/mismatched pair must verdict in-stream")
+    assert(streamed.values.forall(v => v._1 == v._2 + v._3), "conservation per source")
+  }
+
   test("streaming semantic dedup flags a copy of an earlier batch's keeper through the grown index") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
