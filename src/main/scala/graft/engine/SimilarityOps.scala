@@ -128,28 +128,61 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rn"))
   }
 
-  /** int8 RECALL rung (q267) — the q102 quantized ranking measured
-    * against the exact cosine top-k, per query: the fidelity report
-    * that prices the 4× rung in the q266 ladder (q102 itself is the
-    * serving listing). Quantized candidates come from
-    * [[quantizedCosineTopK]] (exact-integer dots); the baseline is
-    * [[cosineTopK]]'s audited exact chain. Output (qid, n_hits, k). */
-  def int8Recall(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
-    val qt = quantizedCosineTopK(embeddings, nQueries, k)
-      .select(col("qid"), col("vec_id"))
+  /** The EXACT top-k baselines every fidelity rung measures against,
+    * factored so multi-rung reports ([[annLadder]], [[pqRefitApply]])
+    * compute each metric's baseline ONCE instead of once per rung —
+    * at 100 TB the exact chain is the dominant corpus scan, so
+    * sharing it is the difference between one baseline pass and six.
+    * Expression trees are verbatim the ones the rungs inlined before
+    * (and their oracles replay), so values are bit-identical.
+    * Cosine: score DESC, vec_id ties. Euclidean: d2 ASC, vec_id
+    * ties (the PQ family's quantizer metric). Both return
+    * (qid, vec_id). */
+  private[engine] def exactCosineTop(embeddings: DataFrame,
+                                     nQueries: Int, k: Int): DataFrame = {
     val v = withVec(embeddings)
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("vec").as("qvec"),
         col("norm").as("qnorm"))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
-    val exactTop = v.join(broadcast(q), col("vec_id") =!= col("qid"))
+    v.join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("dot",
         expr("aggregate(zip_with(qvec, vec, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
       .withColumn("score", col("dot") / (col("qnorm") * col("norm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("vec_id"))
-    exactTop.join(qt.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
+  }
+
+  private[engine] def exactEuclideanTop(embeddings: DataFrame,
+                                        nQueries: Int, k: Int): DataFrame = {
+    val v = embeddings
+      .withColumn("vec", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select(col("vec_id"), col("vec"))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))
+    v.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(vec, qvec, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"))
+  }
+
+  /** int8 RECALL rung (q267) — the q102 quantized ranking measured
+    * against the exact cosine top-k, per query: the fidelity report
+    * that prices the 4× rung in the q266 ladder (q102 itself is the
+    * serving listing). Quantized candidates come from
+    * [[quantizedCosineTopK]] (exact-integer dots); the baseline is
+    * [[cosineTopK]]'s audited exact chain. Output (qid, n_hits, k). */
+  def int8Recall(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
+                 exactTop: Option[DataFrame] = None): DataFrame = {
+    val qt = quantizedCosineTopK(embeddings, nQueries, k)
+      .select(col("qid"), col("vec_id"))
+    val exactTopDf = exactTop.getOrElse(exactCosineTop(embeddings, nQueries, k))
+    exactTopDf.join(qt.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
       .groupBy(col("qid"))
       .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"),
            count(lit(1)).cast("long").as("k"))
@@ -209,7 +242,8 @@ object SimilarityOps {
     * baseline it is measured against. */
   def binaryHammingRecall(embeddings: DataFrame, nQueries: Int = 5,
                           k: Int = 10, nCandidates: Int = 50,
-                          storedSigs: Option[DataFrame] = None): DataFrame = {
+                          storedSigs: Option[DataFrame] = None,
+                          exactTop: Option[DataFrame] = None): DataFrame = {
     val v = withVec(embeddings).select(col("vec_id"), col("vec"), col("norm"))
     val sigs = storedSigs.getOrElse(
         binarySignatures(embeddings).select(col("vec_id"), col("sig")))
@@ -241,14 +275,8 @@ object SimilarityOps {
       .withColumn("rn", row_number().over(wS))
       .filter(col("rn") <= k)
       .select(col("qid"), col("vec_id"))
-    val exact = v.join(broadcast(q.select(col("qid"), col("qvec"), col("qnorm"))),
-        col("vec_id") =!= col("qid"))
-      .withColumn("dot",
-        expr("aggregate(zip_with(qvec, vec, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
-      .withColumn("score", col("dot") / (col("qnorm") * col("norm")))
-    val exactTop = exact.withColumn("rn", row_number().over(wS))
-      .filter(col("rn") <= k).select(col("qid"), col("vec_id"))
-    exactTop.join(binTop.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
+    val exactTopDf = exactTop.getOrElse(exactCosineTop(embeddings, nQueries, k))
+    exactTopDf.join(binTop.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
       .groupBy(col("qid"))
       .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"),
            count(lit(1)).cast("long").as("k"))
@@ -275,6 +303,10 @@ object SimilarityOps {
   def annLadder(embeddings: DataFrame, tag: String,
                 nQueries: Int = 5, k: Int = 10): DataFrame = {
     val idx = ivfIndexFor(embeddings, tag)
+    // each exact baseline computed ONCE and shared by its rungs — the
+    // dominant corpus scan runs twice (one per metric), not six times
+    val exCos = exactCosineTop(embeddings, nQueries, k).localCheckpoint(false)
+    val exEuc = exactEuclideanTop(embeddings, nQueries, k).localCheckpoint(false)
     def rung(method: String, bytes: Long, rep: DataFrame): DataFrame =
       rep.agg(sum(col("n_hits")).cast("long").as("sum_hits"),
               sum(col("k")).cast("long").as("sum_k"))
@@ -291,14 +323,17 @@ object SimilarityOps {
         expr("CAST(sum_hits * 1000000 DIV sum_k AS BIGINT)").as("recall_ppm"))
     rung("binary_sign64", 8L,
         binaryHammingRecall(embeddings, nQueries, k,
-          storedSigs = Some(binarySigsFor(embeddings, tag))))
+          storedSigs = Some(binarySigsFor(embeddings, tag)),
+          exactTop = Some(exCos)))
       // int8 codes (d bytes) + the stored integer norm (8 B)
-      .unionByName(rung("int8_sym127", 72L, int8Recall(embeddings, nQueries, k)))
+      .unionByName(rung("int8_sym127", 72L,
+        int8Recall(embeddings, nQueries, k, exactTop = Some(exCos))))
       .unionByName(rung("pq4x16", 4L,
-        pqAdcRecall(pqCodebookFor(embeddings, tag), embeddings, nQueries, k)))
+        pqAdcRecall(pqCodebookFor(embeddings, tag), embeddings, nQueries, k,
+          exactTop = Some(exEuc))))
       .unionByName(rung("ivf16_pq4", 12L,
         ivfPqRecall(idx, ivfPqCodebookFor(idx, tag), embeddings,
-          ivfPqCodesFor(idx, tag), nQueries, k)))
+          ivfPqCodesFor(idx, tag), nQueries, k, exactTop = Some(exEuc))))
       .unionByName(mat)
       .orderBy(col("method"))
   }
@@ -991,7 +1026,8 @@ object SimilarityOps {
     * same single partial-aggregated hash agg as [[pqEncode]];
     * output is pure integers (hits out of k), no fp in the result. */
   def pqAdcRecall(cb: PqCodebook, embeddings: DataFrame,
-                  nQueries: Int = 5, k: Int = 10): DataFrame = {
+                  nQueries: Int = 5, k: Int = 10,
+                  exactTop: Option[DataFrame] = None): DataFrame = {
     val sd = cb.subDim
     val m = cb.m
     val v = embeddings
@@ -1018,14 +1054,8 @@ object SimilarityOps {
     val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc_d2"), col("vec_id"))
     val adcTop = adc.withColumn("rn", row_number().over(wAdc)).filter(col("rn") <= k)
       .select(col("qid"), col("vec_id"))
-    val exact = v.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("d2", expr(
-        "aggregate(zip_with(vec, qvec, (x, y) -> (x - y) * (x - y)), " +
-          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
-    val wEx = Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))
-    val exactTop = exact.withColumn("rn", row_number().over(wEx)).filter(col("rn") <= k)
-      .select(col("qid"), col("vec_id"))
-    exactTop.join(adcTop.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
+    val exactTopDf = exactTop.getOrElse(exactEuclideanTop(embeddings, nQueries, k))
+    exactTopDf.join(adcTop.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
       .groupBy(col("qid"))
       .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"),
            count(lit(1)).cast("long").as("k"))
@@ -1076,12 +1106,14 @@ object SimilarityOps {
     val fired = pqDrift(cb1, baseline, batch, refitRatio)
       .filter(col("refit")).limit(1).count() > 0
     val corpus = unionCorpus(embeddings, batch).localCheckpoint(false)
-    val r1 = pqAdcRecall(cb1, corpus, nQueries, topK)
+    // one exact baseline shared by both recall passes
+    val exEuc = exactEuclideanTop(corpus, nQueries, topK).localCheckpoint(false)
+    val r1 = pqAdcRecall(cb1, corpus, nQueries, topK, exactTop = Some(exEuc))
       .select(col("qid"), col("n_hits").as("n_hits_v1"), col("k"))
     val r2 =
       if (!fired) r1.select(col("qid"), col("n_hits_v1").as("n_hits_v2"))
       else pqAdcRecall(pqCodebookFor(corpus, pqV2Tag(tag), m, k),
-          corpus, nQueries, topK)
+          corpus, nQueries, topK, exactTop = Some(exEuc))
         .select(col("qid"), col("n_hits").as("n_hits_v2"))
     r1.join(r2, "qid")
       .select(col("qid"), lit(fired).as("refit_fired"),
@@ -1267,7 +1299,8 @@ object SimilarityOps {
     * [[pqAdcRecall]] (no coarse stage) to attribute. */
   def ivfPqRecall(index: IvfIndex, cb: PqCodebook, embeddings: DataFrame,
                   storedCodes: DataFrame,
-                  nQueries: Int = 5, k: Int = 10, nProbe: Int = 4): DataFrame = {
+                  nQueries: Int = 5, k: Int = 10, nProbe: Int = 4,
+                  exactTop: Option[DataFrame] = None): DataFrame = {
     val sd = cb.subDim
     val m = cb.m
     val codes = storedCodes
@@ -1304,14 +1337,8 @@ object SimilarityOps {
     val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc_d2"), col("vec_id"))
     val adcTop = adc.withColumn("rn", row_number().over(wAdc)).filter(col("rn") <= k)
       .select(col("qid"), col("vec_id"))
-    val exact = v.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("d2", expr(
-        "aggregate(zip_with(vec, qvec, (x, y) -> (x - y) * (x - y)), " +
-          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
-    val wEx = Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))
-    val exactTop = exact.withColumn("rn", row_number().over(wEx)).filter(col("rn") <= k)
-      .select(col("qid"), col("vec_id"))
-    exactTop.join(adcTop.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
+    val exactTopDf = exactTop.getOrElse(exactEuclideanTop(embeddings, nQueries, k))
+    exactTopDf.join(adcTop.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
       .groupBy(col("qid"))
       .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"),
            count(lit(1)).cast("long").as("k"))
