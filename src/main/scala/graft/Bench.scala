@@ -82,15 +82,41 @@ object Bench {
     // two independent near-agreeing measurements and the converged
     // total is trustworthy regardless of what the other passes hit.
     val maxPasses = 6
+    // WALL-CLOCK cap (VERDICT r13 #1a): the adaptive loop ran to its
+    // 6-pass cap on a loadavg-15 window and the 33-min bench starved
+    // the driver's correctness step (CORRECTNESS_r13.json arrived
+    // empty). The three mandatory passes (cold + 2 warm) always run;
+    // EXTRA passes are only added while total bench wall time is under
+    // the cap, and bench_wall_capped in the artifact records when the
+    // window was too slow to earn convergence.
+    val benchT0 = System.nanoTime()
+    val wallCapSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL_CAP_SEC", "900").toDouble
+    def benchElapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
     val passBuf = scala.collection.mutable.ArrayBuffer(
       timedPass(), timedPass(), timedPass())
     def passTotal(p: Seq[(String, Double, Boolean)]): Double =
       p.filter(_._3).map(_._2).sum
+    // Convergence totals are computed over the INTERSECTION of queries
+    // that succeeded in every warm pass (ADVICE r13: a query that
+    // flakes in exactly one pass shifts that pass's total and can
+    // falsely satisfy or block the 5% gate on unequal query sets).
+    def commonOkTotals: Seq[Double] = {
+      val warmPasses = passBuf.drop(1).toSeq
+      val common = warmPasses
+        .map(p => p.filter(_._3).map(_._1).toSet)
+        .reduce(_ intersect _)
+      warmPasses.map(_.filter(r => r._3 && common(r._1)).map(_._2).sum)
+    }
     def warmConverged: Boolean = {
-      val warm = passBuf.drop(1).map(passTotal).sorted
+      val warm = commonOkTotals.sorted
       warm.size >= 2 && warm(1) - warm(0) <= 0.05 * warm(0)
     }
-    while (!warmConverged && passBuf.size < maxPasses) passBuf += timedPass()
+    var wallCapped = false
+    while (!warmConverged && passBuf.size < maxPasses && !wallCapped) {
+      if (benchElapsedSec > wallCapSec) wallCapped = true
+      else passBuf += timedPass()
+    }
     val passes = passBuf.toSeq
     graft.queries.MLShared.release()
     graft.queries.SketchShared.release()
@@ -122,10 +148,11 @@ object Bench {
     val passTotals = passTotalSeq.mkString("[", ",", "]")
     val warmTotals = passTotalSeq.drop(1)
     val warmSpread = warmTotals.max - warmTotals.min
-    // gap between the two best warm totals — ≤5% of the best means the
-    // adaptive loop converged; at the 6-pass cap it records how far off
-    // the window still was (the artifact's own credibility annotation)
-    val warmSorted = warmTotals.sorted
+    // gap between the two best warm totals (common-ok-set basis, same
+    // as the convergence gate) — ≤5% of the best means the adaptive
+    // loop converged; at the pass/wall cap it records how far off the
+    // window still was (the artifact's own credibility annotation)
+    val warmSorted = commonOkTotals.sorted
     val warmBestGap = warmSorted(1) - warmSorted(0)
     // min_total_sec repeats "value" under its semantic name: the
     // per-query-MIN sum is the load-robust headline (VERDICT r7: the
@@ -141,7 +168,7 @@ object Bench {
       ok && k.takeWhile(_ != '_').drop(1).toIntOption.exists(_ <= 53) }
       .map(_._2).sum
     val passLoads = loads.mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"failed":$failed,"pass_totals":$passTotals,"min_total_sec":$total,"baseline53_total_sec":$baseline53,"pass_loadavg":$passLoads,"warm_spread_sec":$warmSpread,"n_passes":${passes.size},"warm_best_gap_sec":$warmBestGap,"warm_converged":$warmConverged,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"failed":$failed,"pass_totals":$passTotals,"min_total_sec":$total,"baseline53_total_sec":$baseline53,"pass_loadavg":$passLoads,"warm_spread_sec":$warmSpread,"n_passes":${passes.size},"warm_best_gap_sec":$warmBestGap,"warm_converged":$warmConverged,"bench_wall_capped":$wallCapped,"bench_wall_sec":$benchElapsedSec,"sf":"$sfDir"}"""
     println(line)
     // also persist the full line to a file: the stdout capture path
     // truncates long runs (150 queries of per-query timings overflow

@@ -196,13 +196,25 @@ object SimilarityOps {
     * of two summed — addition ≡ bitwise OR here), so the fold replays
     * bit-identically in any engine; bit 63 lands on the sign bit and
     * two's complement carries it (the q39/q49 signed/unsigned
-    * contract). Map-only, no shuffle. */
+    * contract). Map-only, no shuffle.
+    *
+    * HARD d ≤ 64 PRECONDITION (ADVICE r13): shiftleft masks its shift
+    * count mod 64, so bit i ≥ 64 would wrap onto bit i−64 and the
+    * `acc + b` fold would then CARRY — silently corrupting signatures
+    * (the "addition ≡ OR" invariant needs distinct powers of two).
+    * Enforced per row with raise_error rather than assumed from the
+    * current 64-dim corpus; wider vectors need a long-array signature
+    * (m = ⌈d/64⌉ words), a deliberate follow-on, not a silent wrap. */
   def binarySignatures(embeddings: DataFrame): DataFrame =
     withVec(embeddings).select(col("vec_id"), col("vec"), col("norm"))
-      .withColumn("sig", expr(
-        "aggregate(zip_with(vec, sequence(0, size(vec) - 1), " +
-          "(x, i) -> IF(x > 0.0D, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
-          "CAST(0 AS BIGINT), (acc, b) -> acc + b)"))
+      .withColumn("sig",
+        when(size(col("vec")) <= 64, expr(
+          "aggregate(zip_with(vec, sequence(0, size(vec) - 1), " +
+            "(x, i) -> IF(x > 0.0D, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
+            "CAST(0 AS BIGINT), (acc, b) -> acc + b)"))
+        .otherwise(raise_error(concat(
+          lit("binarySignatures requires dimension <= 64 (one long); got "),
+          size(col("vec")).cast("string")))))
 
   private[graft] def binarySigsTableName(tag: String): String =
     s"bin_sigs_${Integer.toHexString(tag.hashCode)}"
@@ -313,7 +325,10 @@ object SimilarityOps {
         .select(lit(method).as("method"), lit(bytes).as("bytes_per_vec"),
           col("sum_hits"), col("sum_k"),
           expr("CAST(sum_hits * 1000000 DIV sum_k AS BIGINT)").as("recall_ppm"))
-    val mat = truncationFidelity(embeddings)
+    // nQueries/k forwarded (ADVICE r13): defaults here would silently
+    // score the trunc rungs on a different query set / k than the rest
+    // of the ladder whenever the caller overrides them
+    val mat = truncationFidelity(embeddings, nQueries = nQueries, k = k)
       .groupBy(col("dim"))
       .agg(sum(col("n_hits")).cast("long").as("sum_hits"),
            sum(col("k")).cast("long").as("sum_k"))
@@ -806,6 +821,79 @@ object SimilarityOps {
   def ivfTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
               nLists: Int = 16, nProbe: Int = 4): DataFrame =
     ivfTopK(buildIvfIndex(embeddings, nLists), nQueries, k, nProbe)
+
+  /** nProbe SWEEP report (q269) — the SECOND axis of the ANN serving
+    * policy beside q266's bytes-per-vector ladder: recall@k and
+    * candidates-scanned per nProbe rung, the curve that picks the
+    * operating point (q67 fixes nProbe=4 and measures once; this
+    * prices the whole dial). One row per rung:
+    * (n_probe, n_candidates, sum_hits, sum_k, recall_ppm) with
+    * recall_ppm integer-exact (Σhits·10⁶ div Σk, the q266 form).
+    *
+    * Cost discipline: the in-list cosine is computed ONCE at the
+    * LARGEST rung, with every candidate row carrying the centroid
+    * rank `pr` of its list for that query — each smaller rung is then
+    * a FILTER (pr ≤ nProbe) over the checkpointed candidate frame,
+    * never a re-scan; the exact baseline is one brute-force pass
+    * shared by all rungs. So the sweep costs one max-rung probe + one
+    * exact pass regardless of how many rungs it prices. At 100 TB the
+    * candidate frame is nQueries × (probed share of the corpus) rows
+    * — query-bounded, and the audit is an index-build-time job, not a
+    * serving query. */
+  def ivfProbeSweep(index: IvfIndex, nProbes: Seq[Int] = Seq(1, 2, 4, 8, 16),
+                    nQueries: Int = 5, k: Int = 10): DataFrame = {
+    require(nProbes.nonEmpty)
+    val v = index.assigned.select(col("vec_id"), col("vec"), col("norm"))
+    // per-(query, centroid) rank — nQueries × nLists rows, broadcast
+    val qDist = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"),
+        col("norm").as("qnorm"))
+      .crossJoin(broadcast(index.centers))
+      .withColumn("d2",
+        expr("aggregate(zip_with(qvec, centroid, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("d2"), col("c_list_id"))
+    val ranked = qDist.withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbes.max)
+      .select(col("qid"), col("qvec"), col("qnorm"),
+        col("c_list_id").as("list_id"), col("pr"))
+    // ONE scoring pass at the max rung; pr tags each candidate with
+    // the smallest rung that would have scanned it
+    val cand = index.assigned.join(broadcast(ranked), Seq("list_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qvec, vec, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("score", col("dot") / (col("qnorm") * col("norm")))
+      .select(col("qid"), col("vec_id"), col("score"), col("pr"))
+      .localCheckpoint(false) // every rung filters it
+    // the shared exact baseline (same expression trees as
+    // [[exactCosineTop]], sourced from the index's own vectors)
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"),
+        col("norm").as("qnorm"))
+    val wEx = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    val exact = v.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qvec, vec, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("score", col("dot") / (col("qnorm") * col("norm")))
+      .withColumn("rn", row_number().over(wEx))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"))
+      .localCheckpoint(false) // every rung joins it
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    nProbes.sorted.map { p =>
+      val c = cand.filter(col("pr") <= p)
+      val nCand = c.agg(count(lit(1)).cast("long").as("n_candidates"))
+      val top = c.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= k).select(col("qid"), col("vec_id"))
+      exact.join(top.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
+        .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("sum_hits"),
+             count(lit(1)).cast("long").as("sum_k"))
+        .crossJoin(nCand)
+        .select(lit(p.toLong).as("n_probe"), col("n_candidates"),
+          col("sum_hits"), col("sum_k"),
+          expr("CAST(sum_hits * 1000000 DIV sum_k AS BIGINT)").as("recall_ppm"))
+    }.reduceLeft(_.unionByName(_)).orderBy(col("n_probe"))
+  }
 
   /** Product-quantization codebook — the rung of the ANN memory
     * ladder after int8 ([[quantizeInt8]]): each vector's m subvectors
@@ -1355,8 +1443,12 @@ object SimilarityOps {
     * for every FLAGGED list re-fit k=2 sub-centroids over ONLY that
     * list's members (stored + batch — localized: the fit input is one
     * list, never the corpus), replace the parent centroid with the
-    * two children, and reassign only that list's members between them
+    * children, and reassign only that list's members between them
     * (argmin, ties by child id — the q235-replayable expression).
+    * A child that wins ZERO members (duplicate k=2 centers on an
+    * all-identical list — ADVICE r13) is dropped from the centroid
+    * relation and the list count, so fair-share math never divides by
+    * dead lists; dropping a child nobody chose changes no argmin.
     * Unflagged lists are untouched byte-for-byte (their members never
     * enter any job here — asserted in SimilarityMultimodalSpec).
     *
@@ -1411,6 +1503,11 @@ object SimilarityOps {
     })
   }
 
+  /** Fit-count test hook like [[indexBuilds]]/[[pqBuilds]]: one tick
+    * per FLAGGED-list k=2 fit — StreamingSpec asserts the streaming
+    * composition never re-fits an unflagged list. */
+  private[graft] var rebFits: Int = 0
+
   def ivfRebalanceApply(index: IvfIndex, batch: DataFrame,
                         imbalanceFactor: Long = 2L): IvfRebalance = {
     import org.apache.spark.ml.clustering.KMeans
@@ -1440,6 +1537,7 @@ object SimilarityOps {
       else index.centers.agg(max(col("c_list_id").cast("long"))).head().getLong(0)
     val childRows: Seq[(Long, Long, Array[Double])] =
       flagged.toSeq.zipWithIndex.flatMap { case (l, rank) =>
+        synchronized { rebFits += 1 }
         val m = new KMeans().setK(2).setSeed(42L + l)
           .setFeaturesCol("fv").setPredictionCol("child")
           .fit(membersOf(l).withColumn("fv", array_to_vector(col("vec"))))
@@ -1447,9 +1545,8 @@ object SimilarityOps {
           (l, if (i == 0) l else maxId + 1L + rank, c.toArray)
         }
       }
-    val children = childRows
+    val childrenAll = childRows
       .toDF("parent_list_id", "child_list_id", "centroid")
-    val nListsNew = index.nLists.toLong + flagged.length
     val untouched = report0.filter(!col("imbalanced"))
       .select(col("list_id"), col("list_id").as("parent_list_id"),
         lit(false).as("split"), col("n_after").as("n_members"))
@@ -1466,7 +1563,7 @@ object SimilarityOps {
           .map(l => membersOf(l).withColumn("parent_list_id", lit(l)))
           .reduceLeft(_.unionByName(_))
         flaggedMembers
-          .join(broadcast(children), Seq("parent_list_id"))
+          .join(broadcast(childrenAll), Seq("parent_list_id"))
           .withColumn("d2",
             expr("aggregate(zip_with(vec, centroid, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
           .withColumn("rk", row_number().over(w))
@@ -1476,6 +1573,23 @@ object SimilarityOps {
             col("parent_list_id"))
           .localCheckpoint(false) // split counts + updated index
       }
+    // EMPTY-CHILD DROP (ADVICE r13): a degenerate flagged list (e.g.
+    // all-identical vectors) can make the seeded k=2 fit return
+    // duplicate centers, and the argmin tie-break then sends every
+    // member to the lower child id — leaving the other child
+    // permanently empty. Keep only children that won ≥1 member, so the
+    // centroid relation never carries dead lists and later rounds
+    // compute fair share against the TRUE list count. Removing a
+    // zero-member child never changes any member's argmin (its chosen
+    // child is live by definition), so assignments are unaffected.
+    // Bounded collect: ≤ 2·flags distinct child ids.
+    val liveChildIds: Set[Long] =
+      if (flagged.isEmpty) Set.empty
+      else reassigned.select(col("list_id")).distinct()
+        .collect().map(_.getLong(0)).toSet
+    val children = childRows.filter(r => liveChildIds(r._2))
+      .toDF("parent_list_id", "child_list_id", "centroid")
+    val nListsNew = index.nLists.toLong - flagged.length + liveChildIds.size
     val splitCounts = reassigned
       .groupBy(col("list_id"), col("parent_list_id"))
       .agg(count(lit(1)).cast("long").as("n_members"))
@@ -1510,7 +1624,7 @@ object SimilarityOps {
     val updated = IvfIndex(
       untouchedAssigned.unionByName(
         reassigned.select(col("vec_id"), col("vec"), col("norm"), col("list_id"))),
-      newCenters, index.nLists + flagged.length)
+      newCenters, nListsNew.toInt)
     IvfRebalance(report, children, updated)
   }
 

@@ -653,6 +653,60 @@ object StreamOps {
       .start()
   }
 
+  /** STREAMING IVF re-balance — the q259 applier composed into the
+    * maintenance stream (VERDICT r13 #3): [[streamingIvfMaintain]]
+    * watches the gate; THIS closes the loop live. Each micro-batch
+    * runs [[SimilarityOps.ivfRebalanceApply]] against the CARRIED
+    * index: the batch assigns to the current centroids (never a
+    * corpus re-fit), any list the tick pushes past the gate is split
+    * at the tick boundary (k=2 over ONLY that list's members — zero
+    * fits when nothing flags, counted by [[SimilarityOps.rebFits]]),
+    * the tick-stamped balance report appends to `outPath/report`, the
+    * split events (tick, parent, child) append to `outPath/splits`,
+    * and the REPAIRED index is carried into the next tick — so a
+    * far-cluster flood is flagged AND healed at its arrival tick, not
+    * at the next offline audit.
+    *
+    * Stream ≡ batch: the applier is index-in/index-out and each tick
+    * applies it to the previous tick's output, so the carried index
+    * after the ticks equals the batch applier's chain over the same
+    * prefix (StreamingSpec, planted flood at a tick boundary).
+    *
+    * Scale posture: per-tick work is the applier's bound — batch
+    * assignment vs nLists broadcast centroids, flagged-member scans
+    * pruned to flagged lists, ≤2·flags fitted children. The carried
+    * assigned frame is localCheckpointed per tick HERE (local-mode
+    * stand-in); at 100 TB the assignment relation is the persisted
+    * list_id-bucketed table ([[SimilarityOps.ensureIvfTables]]) and a
+    * tick's durable write is append(batch rows) + rewrite(flagged
+    * lists' partitions) — batch-sized plus split-sized, never a
+    * corpus rewrite. */
+  def streamingIvfRebalance(vectors: DataFrame, index: SimilarityOps.IvfIndex,
+                            outPath: String, checkpointDir: String,
+                            imbalanceFactor: Long = 2L): StreamingQuery = {
+    var cur = index
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, tick: Long) =>
+        if (!batch.isEmpty) {
+          val reb = SimilarityOps.ivfRebalanceApply(cur, batch, imbalanceFactor)
+          reb.report.withColumn("tick", lit(tick))
+            .write.mode("append").parquet(s"$outPath/report")
+          reb.children
+            .select(col("parent_list_id"), col("child_list_id"))
+            .withColumn("tick", lit(tick))
+            .write.mode("append").parquet(s"$outPath/splits")
+          cur = SimilarityOps.IvfIndex(
+            reb.updated.assigned.localCheckpoint(false),
+            reb.updated.centers.localCheckpoint(false),
+            reb.updated.nLists)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** STREAMING IVF-PQ code maintenance — q256 live (VERDICT r12 #2):
     * the codes-table write path as a standing stream. Each micro-batch
     * of new vectors runs the q256 chain against the two STORED models

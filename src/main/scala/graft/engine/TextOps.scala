@@ -14,7 +14,7 @@ import graft.functions.{AhoCorasick, RollingHash}
   */
 object TextOps {
 
-  private[engine] val tokenRe = "[A-Za-z0-9_]+"
+  private[graft] val tokenRe = "[A-Za-z0-9_]+"
 
   /** The BPE-ish subword-piece unit ([[tokenEstimate]]'s n_pieces):
     * letter runs, single digits, single non-space punctuation. ONE

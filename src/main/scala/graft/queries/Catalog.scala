@@ -5205,11 +5205,12 @@ object Catalog {
              |         CAST(r.n_after AS BIGINT) AS n_members
              |  FROM r WHERE r.list_id NOT IN (SELECT list_id FROM flags)),
              |allr AS (SELECT * FROM unt UNION ALL SELECT * FROM sc),
-             |nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_flagged FROM flags)
+             |nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_flagged FROM flags),
+             |nch AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ch FROM ch)
              |SELECT list_id, parent_list_id, split, n_members,
              |       CAST(n_members AS DOUBLE) / total_after AS share_after,
-             |       n_members * (n_lists + n_flagged) > 2 * total_after AS imbalanced
-             |FROM allr CROSS JOIN t CROSS JOIN nl CROSS JOIN nf
+             |       n_members * (n_lists - n_flagged + n_ch) > 2 * total_after AS imbalanced
+             |FROM allr CROSS JOIN t CROSS JOIN nl CROSS JOIN nf CROSS JOIN nch
              |ORDER BY list_id""".stripMargin),
       dumps = Seq(ivfDump, rebDump)),
 
@@ -5439,7 +5440,199 @@ object Catalog {
               |         CAST(SUM(n_hits) AS BIGINT), CAST(SUM(k) AS BIGINT)
               |  FROM ($q249OracleSql) GROUP BY dim
               |) ORDER BY method""".stripMargin),
-      dumps = Seq(pqDump, ivfDump, ivfPqDump))
+      dumps = Seq(pqDump, ivfDump, ivfPqDump)),
+
+    // nProbe SWEEP (q269): recall@k vs candidates-scanned per
+    // nProbe ∈ {1,2,4,8,16} — the second serving-policy axis beside
+    // q266's bytes ladder (q67 measures ONE fixed operating point;
+    // this prices the dial that picks it). The oracle is the q67 CTE
+    // chain parameterized by a literal rung table and aggregated in
+    // one SQL, replaying centroid ranking, per-rung pruning, in-list
+    // cosine, and the shared exact baseline from the SAME dumped
+    // index state.
+    QuerySpec(
+      "q269_nprobe_sweep",
+      (s, dir) => SimilarityOps.ivfProbeSweep(
+        SimilarityOps.ivfIndexFor(Tables.embeddings(s, dir), tag = dir)),
+      Some("""WITH v AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+             |  FROM embeddings),
+             |assign AS (
+             |  SELECT vec_id, list_id FROM read_parquet('/tmp/graft_ivf_oracle/assign/*.parquet')),
+             |centers AS (
+             |  SELECT c_list_id, CAST(centroid AS DOUBLE[]) AS c FROM read_parquet('/tmp/graft_ivf_oracle/centers/*.parquet')),
+             |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnorm FROM v WHERE vec_id < 5),
+             |qd AS (
+             |  SELECT qid, qe, qnorm, c_list_id,
+             |         list_sum(list_transform(list_zip(qe, c), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM q CROSS JOIN centers),
+             |ranked AS (
+             |  SELECT qid, qe, qnorm, c_list_id AS list_id,
+             |         row_number() OVER (PARTITION BY qid ORDER BY d2, c_list_id) AS pr
+             |  FROM qd),
+             |cand AS (
+             |  SELECT r.qid, v.vec_id,
+             |         list_inner_product(r.qe, v.e) / (r.qnorm * v.nrm) AS score, r.pr
+             |  FROM ranked r JOIN assign a ON r.list_id = a.list_id JOIN v ON v.vec_id = a.vec_id
+             |  WHERE v.vec_id <> r.qid),
+             |ex AS (
+             |  SELECT qid, vec_id
+             |  FROM (SELECT q.qid, v.vec_id,
+             |               row_number() OVER (PARTITION BY q.qid
+             |                 ORDER BY list_inner_product(q.qe, v.e) / (q.qnorm * v.nrm) DESC, v.vec_id) AS rn
+             |        FROM q CROSS JOIN v WHERE v.vec_id <> q.qid) WHERE rn <= 10),
+             |rungs AS (SELECT n_probe FROM (VALUES (1), (2), (4), (8), (16)) AS t(n_probe)),
+             |rt AS (
+             |  SELECT rungs.n_probe, cand.qid, cand.vec_id, cand.score
+             |  FROM rungs JOIN cand ON cand.pr <= rungs.n_probe),
+             |nc AS (SELECT n_probe, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM rt GROUP BY 1),
+             |top AS (
+             |  SELECT n_probe, qid, vec_id
+             |  FROM (SELECT n_probe, qid, vec_id,
+             |               row_number() OVER (PARTITION BY n_probe, qid ORDER BY score DESC, vec_id) AS rn
+             |        FROM rt) WHERE rn <= 10),
+             |h AS (
+             |  SELECT rungs.n_probe,
+             |         CAST(SUM(CASE WHEN top.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS sum_hits,
+             |         CAST(COUNT(*) AS BIGINT) AS sum_k
+             |  FROM rungs CROSS JOIN ex
+             |  LEFT JOIN top ON top.n_probe = rungs.n_probe AND top.qid = ex.qid AND top.vec_id = ex.vec_id
+             |  GROUP BY rungs.n_probe)
+             |SELECT CAST(h.n_probe AS BIGINT) AS n_probe, nc.n_candidates,
+             |       sum_hits, sum_k,
+             |       CAST(sum_hits * 1000000 // sum_k AS BIGINT) AS recall_ppm
+             |FROM h JOIN nc USING (n_probe)
+             |ORDER BY n_probe""".stripMargin),
+      dumps = Seq(ivfDump)),
+
+    // TAKEDOWN propagation (q268): a removal list (doc_id % 17 = 4)
+    // fans out into ONE conservation-checked purge work list across
+    // every persisted derived artifact — fingerprints, sketches,
+    // postings (with the per-term df correction), corpus stats, IVF
+    // assignments, IVF-PQ codes (certified 1:1 with assignments),
+    // affected packed sequences (via the q105 manifest) and the q115
+    // shards needing rebuild. The Spark side reads the STORED
+    // artifacts (RetrievalShared / SketchShared / ivf catalog tables);
+    // the oracle recomputes every membership from raw text minus the
+    // removal set — the stored-artifact certification pattern — so a
+    // hash match proves both the stores and the accounting
+    // (n_after = n_before - n_remove on every row).
+    QuerySpec(
+      "q268_takedown_propagation",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{lit, pmod}
+        val docs = Tables.documents(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val idx = SimilarityOps.ivfIndexFor(emb, tag = dir)
+        CorpusOps.takedownPropagation(
+          docs,
+          docs.filter(pmod(col("doc_id"), lit(17)) === 4).select(col("doc_id")),
+          RetrievalShared.postings(s, dir),
+          RetrievalShared.docLengths(s, dir),
+          SketchShared.sketches(s, dir),
+          idx.assigned,
+          SimilarityOps.ivfPqCodesFor(idx, tag = dir))
+      },
+      Some("""WITH rm AS (
+             |  SELECT DISTINCT doc_id FROM documents WHERE doc_id % 17 = 4),
+             |fp AS (SELECT doc_id, md5(text) AS fp_md5 FROM documents),
+             |fprm AS (
+             |  SELECT fp_md5, CAST(COUNT(*) AS BIGINT) AS n_remove
+             |  FROM fp JOIN rm USING (doc_id) GROUP BY 1),
+             |fpsec AS (
+             |  SELECT 'fingerprints' AS artifact, fp.fp_md5 AS "key",
+             |         fprm.n_remove, CAST(COUNT(*) AS BIGINT) AS n_before
+             |  FROM fp JOIN fprm USING (fp_md5) GROUP BY fp.fp_md5, fprm.n_remove),
+             |post AS (
+             |  SELECT w, doc_id
+             |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS w
+             |        FROM documents) GROUP BY 1, 2),
+             |trm AS (
+             |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_remove
+             |  FROM post JOIN rm USING (doc_id) GROUP BY w),
+             |postsec AS (
+             |  SELECT 'postings', post.w, trm.n_remove, CAST(COUNT(*) AS BIGINT)
+             |  FROM post JOIN trm USING (w) GROUP BY post.w, trm.n_remove),
+             |dl AS (
+             |  SELECT doc_id,
+             |         CAST(len(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS BIGINT) AS dl
+             |  FROM documents),
+             |statsec AS (
+             |  SELECT 'corpus_stats', 'n_docs',
+             |         CAST((SELECT COUNT(*) FROM dl JOIN rm USING (doc_id)) AS BIGINT),
+             |         CAST((SELECT COUNT(*) FROM dl) AS BIGINT)
+             |  UNION ALL
+             |  SELECT 'corpus_stats', 'sum_dl',
+             |         CAST(COALESCE((SELECT SUM(dl) FROM dl JOIN rm USING (doc_id)), 0) AS BIGINT),
+             |         CAST((SELECT SUM(dl) FROM dl) AS BIGINT)),
+             |sksec AS (
+             |  SELECT 'sketches', CAST(doc_id AS VARCHAR),
+             |         CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+             |  FROM rm),
+             |assign AS (
+             |  SELECT vec_id, CAST(list_id AS BIGINT) AS list_id
+             |  FROM read_parquet('/tmp/graft_ivf_oracle/assign/*.parquet')),
+             |arm AS (
+             |  SELECT list_id, CAST(COUNT(*) AS BIGINT) AS n_remove
+             |  FROM assign JOIN rm ON assign.vec_id = rm.doc_id GROUP BY 1),
+             |acnt AS (
+             |  SELECT assign.list_id, arm.n_remove, CAST(COUNT(*) AS BIGINT) AS n_before
+             |  FROM assign JOIN arm USING (list_id) GROUP BY assign.list_id, arm.n_remove),
+             |asec AS (
+             |  SELECT 'ivf_assign', CAST(list_id AS VARCHAR), n_remove, n_before FROM acnt),
+             |psec AS (
+             |  SELECT 'pq_codes', CAST(list_id AS VARCHAR), n_remove, n_before FROM acnt),
+             |mt AS (
+             |  SELECT lang, doc_id,
+             |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |mc AS (
+             |  SELECT lang, doc_id, n_tokens,
+             |         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+             |  FROM mt WHERE n_tokens > 0),
+             |msp AS (
+             |  SELECT lang, doc_id,
+             |         CAST((cum - n_tokens) // 2048 AS BIGINT) AS start_seq,
+             |         CAST((cum - 1) // 2048 AS BIGINT) AS end_seq
+             |  FROM mc),
+             |mani AS (
+             |  SELECT lang, doc_id, CAST(unnest(range(start_seq, end_seq + 1)) AS BIGINT) AS seq_id
+             |  FROM msp),
+             |srm AS (
+             |  SELECT lang, seq_id, CAST(COUNT(*) AS BIGINT) AS n_remove
+             |  FROM mani JOIN rm USING (doc_id) GROUP BY 1, 2),
+             |ssec AS (
+             |  SELECT 'sequences', mani.lang || ':' || CAST(mani.seq_id AS VARCHAR),
+             |         srm.n_remove, CAST(COUNT(*) AS BIGINT)
+             |  FROM mani JOIN srm USING (lang, seq_id)
+             |  GROUP BY mani.lang, mani.seq_id, srm.n_remove),
+             |shrm AS (
+             |  SELECT lang, CAST(seq_id // 16 AS BIGINT) AS shard_id,
+             |         CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_remove
+             |  FROM srm GROUP BY 1, 2),
+             |shall AS (
+             |  SELECT lang, CAST(seq_id // 16 AS BIGINT) AS shard_id,
+             |         CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_before
+             |  FROM (SELECT DISTINCT lang, seq_id FROM mani) GROUP BY 1, 2),
+             |shsec AS (
+             |  SELECT 'shards', shall.lang || ':' || CAST(shall.shard_id AS VARCHAR),
+             |         shrm.n_remove, shall.n_before
+             |  FROM shall JOIN shrm USING (lang, shard_id)),
+             |anchor AS (
+             |  SELECT 'removal' AS artifact, 'n_docs' AS "key",
+             |         CAST((SELECT COUNT(*) FROM rm) AS BIGINT) AS n_remove,
+             |         CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_before),
+             |allr AS (
+             |  SELECT * FROM anchor  UNION ALL SELECT * FROM fpsec
+             |  UNION ALL SELECT * FROM sksec  UNION ALL SELECT * FROM postsec
+             |  UNION ALL SELECT * FROM statsec UNION ALL SELECT * FROM asec
+             |  UNION ALL SELECT * FROM psec  UNION ALL SELECT * FROM ssec
+             |  UNION ALL SELECT * FROM shsec)
+             |SELECT artifact, "key", n_remove, n_before,
+             |       n_before - n_remove AS n_after
+             |FROM allr ORDER BY artifact, "key"""".stripMargin),
+      dumps = Seq(ivfDump))
   )
 
 

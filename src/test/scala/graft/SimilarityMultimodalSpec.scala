@@ -844,4 +844,138 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(got(0).getLong(1) == 2L && got(0).getLong(2) == 2L)
     assert(got(0).getLong(3) == 1L && got(0).getLong(4) == 2L)
   }
+
+  test("rebalance drops a zero-member child: an all-identical flood leaves no dead list") {
+    import spark.implicits._
+    // 4 well-separated clusters; cluster A is ONE point repeated, so
+    // the flagged list's k=2 fit returns duplicate centers and the
+    // argmin tie-break sends every member to the lower child id —
+    // the ADVICE r13 degenerate case: child 1 must be DROPPED, not
+    // persisted as a dead list inflating the fair-share denominator
+    val dim = 8
+    def pt(axis: Int, v: Float) = Array.tabulate(dim)(d => if (d == axis) v else 0f)
+    val corpus = ((0 until 20).map(i => (i.toLong, pt(0, 10f))) ++          // A: identical
+      (20 until 40).map(i => (i.toLong, pt(1, 10f + (i % 5) * 0.1f))) ++     // B
+      (40 until 60).map(i => (i.toLong, pt(2, -10f - (i % 5) * 0.1f))) ++    // C
+      (60 until 80).map(i => (i.toLong, pt(3, 10f + (i % 7) * 0.1f))))       // D
+      .toDF("vec_id", "embedding")
+    val idx = SimilarityOps.buildIvfIndex(corpus, nLists = 4)
+    val flood = (0 until 100).map(i => (500000L + i, pt(0, 10f)))
+      .toDF("vec_id", "embedding")
+    val fits0 = SimilarityOps.rebFits
+    val reb = SimilarityOps.ivfRebalanceApply(idx, flood)
+    assert(SimilarityOps.rebFits == fits0 + 1, "exactly the flagged list re-fits")
+    val rep = reb.report.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getLong(3))))
+    val splits = rep.filter(_._2._2)
+    assert(splits.length == 1, s"one live child, the empty one dropped: ${rep.toSeq}")
+    val (childId, (parentId, _, nMembers)) = splits.head
+    assert(childId == parentId, "tie-break keeps the lower (parent) child id")
+    assert(nMembers == 120L, "every flood + stored member lands on the live child")
+    assert(reb.children.count() == 1L, "dumped children carry only the live child")
+    assert(reb.updated.nLists == 4, "net list count unchanged: parent out, one child in")
+    assert(reb.updated.centers.count() == 4L,
+      "centroid relation carries no dead list")
+    assert(rep.map(_._2._3).sum == 180L, "conservation across the degenerate split")
+    assert(SimilarityOps.ivfTopK(reb.updated, nQueries = 2, k = 5, nProbe = 2)
+      .count() > 0, "the repaired index serves probes")
+  }
+
+  test("binary signatures fail fast beyond 64 dims instead of silently wrapping") {
+    import spark.implicits._
+    val tooWide = Seq((0L, Array.fill(65)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      SimilarityOps.binarySignatures(tooWide).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("dimension <= 64")),
+      s"the d>64 guard must surface its own error, got: $e")
+  }
+
+  test("nProbe sweep: candidates and recall ladder up; full probe is exact") {
+    val idx = SimilarityOps.ivfIndexFor(emb, tag = sf)
+    val sweep = SimilarityOps.ivfProbeSweep(idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(sweep.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L, 16L))
+    assert(sweep.forall(_._4 == 50L), "every rung scores the same 5x10 query set")
+    // more probed lists never shrink the candidate set or the recall
+    sweep.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2, s"candidates monotone: $a vs $b")
+      assert(a._5 <= b._5, s"recall monotone: $a vs $b")
+    }
+    val full = sweep.last
+    assert(full._2 == 5L * (emb.count() - 1),
+      "nProbe = nLists scans everything except self")
+    assert(full._5 == 1000000L, "a full probe IS the exact top-k")
+    // each row's ppm is the integer quotient of its own hits
+    sweep.foreach { case (_, _, hits, k, ppm) => assert(ppm == hits * 1000000L / k) }
+    // the fixed q67 operating point agrees with its rung
+    val q67 = SimilarityOps.ivfTopK(idx, nQueries = 5, k = 10, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SimilarityOps.cosineTopK(emb, nQueries = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sweep.find(_._1 == 4L).get._3 == q67.intersect(exact).size.toLong,
+      "the sweep's nProbe=4 hits equal the audited q67 overlap")
+  }
+
+  test("takedown propagation: one removed doc flags exactly its artifact rows, df reconciles") {
+    import graft.queries.{RetrievalShared, SketchShared}
+    val docs = Tables.documents(spark, sf)
+    val removedId = 10L
+    val removal = docs.filter(col("doc_id") === removedId).select(col("doc_id"))
+    val idx = SimilarityOps.ivfIndexFor(emb, tag = sf)
+    val res = CorpusOps.takedownPropagation(
+      docs, removal,
+      RetrievalShared.postings(spark, sf.toString),
+      RetrievalShared.docLengths(spark, sf.toString),
+      SketchShared.sketches(spark, sf.toString),
+      idx.assigned,
+      SimilarityOps.ivfPqCodesFor(idx, tag = sf)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    def sec(a: String) = res.filter(_._1 == a).toSeq
+    // conservation on EVERY row, by recount not by construction trust
+    res.foreach { case (a, k, nr, nb, na) =>
+      assert(na == nb - nr, s"conservation broken at $a/$k")
+      assert(nr >= 1L, s"only affected keys may appear: $a/$k")
+    }
+    val anchor = sec("removal")
+    assert(anchor == Seq(("removal", "n_docs", 1L, docs.count(), docs.count() - 1)))
+    assert(sec("sketches") == Seq(("sketches", "10", 1L, 1L, 0L)),
+      "exactly the removed doc's sketch row")
+    assert(sec("fingerprints").map(_._3).sum == 1L, "one fingerprint to drop")
+    // postings keys == the removed doc's distinct tokens; every df
+    // correction is exactly -1 (a single removed doc)
+    val rmTerms = docs.filter(col("doc_id") === removedId)
+      .select(explode(expr(s"array_distinct(regexp_extract_all(lower(text), '${TextOps.tokenRe}', 0))")))
+      .collect().map(_.getString(0)).toSet
+    val post = sec("postings")
+    assert(post.map(_._2).toSet == rmTerms, "df ledger covers exactly the doc's vocabulary")
+    assert(post.forall(_._3 == 1L), "single-doc removal corrects each df by 1")
+    val stats = sec("corpus_stats").map(t => t._2 -> ((t._3, t._4))).toMap
+    assert(stats("n_docs")._1 == 1L && stats("n_docs")._2 == docs.count())
+    val rmDl = docs.filter(col("doc_id") === removedId)
+      .select(size(expr(s"regexp_extract_all(lower(text), '${TextOps.tokenRe}', 0)")).cast("long"))
+      .head().getLong(0)
+    assert(stats("sum_dl")._1 == rmDl, "token-mass correction equals the doc's length")
+    // index artifacts: exactly the removed vector's one list, in BOTH
+    // the assignment table and the codes table
+    val rmList = idx.assigned.filter(col("vec_id") === removedId)
+      .select(col("list_id").cast("long")).head().getLong(0)
+    assert(sec("ivf_assign").map(t => (t._2, t._3)) == Seq((rmList.toString, 1L)))
+    assert(sec("pq_codes").map(t => (t._2, t._3)) == Seq((rmList.toString, 1L)))
+    // sequences: exactly the manifest rows the removed doc composes
+    val rmSeqs = CorpusOps.sequenceManifest(docs)
+      .filter(col("doc_id") === removedId)
+      .select(concat(col("lang"), lit(":"), col("seq_id")))
+      .collect().map(_.getString(0)).toSet
+    val seqs = sec("sequences")
+    assert(seqs.map(_._2).toSet == rmSeqs, "rebuild set = the doc's own sequences")
+    assert(seqs.forall(_._3 == 1L), "a doc appears once per sequence")
+    // shards: the distinct shards of those sequences
+    val rmShards = rmSeqs.map { s =>
+      val Array(lang, seq) = s.split(":"); s"$lang:${seq.toLong / 16}"
+    }
+    assert(sec("shards").map(_._2).toSet == rmShards)
+  }
 }

@@ -682,6 +682,133 @@ class StreamingSpec extends SparkSpec {
       "streaming maintenance must never re-fit the quantizer")
   }
 
+  test("streaming IVF rebalance: flood flags and splits at its arrival tick, repair carries forward") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{SimilarityOps, StreamOps, Tables}
+    val emb = Tables.embeddings(spark, sf)
+    val index = SimilarityOps.ivfIndexFor(emb, tag = sf)
+    val nStored = emb.count()
+    // tick 0: ordinary vectors — no list crosses the gate, ZERO fits;
+    // tick 1: the q259-style jittered far-cluster flood — its landing
+    // list crosses the gate AT THE TICK and is split there; tick 2:
+    // one more ordinary row proves the REPAIRED index is what later
+    // ticks run against (the split children are regular lists now)
+    val f0 = emb.filter(col("vec_id") % 5 === 1)
+      .select(col("vec_id") + lit(5000000L), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    // 150 evenly-jittered rows: the landing list crosses the gate at
+    // its arrival tick; the flood CHILD of that split is still over
+    // the gate, so the NEXT tick's applier splits it again — the
+    // convergence loop running live, tick by tick — and the halved
+    // grandchildren (~75 each) finally clear it.
+    val f1 = (0 until 150).map(i =>
+      (5100000L + i, Array.tabulate(dim)(d => 100.0f + (i * dim + d) * 1e-4f)))
+    def oneRow(v: Long, id: Long) = emb.filter(col("vec_id") === v)
+      .select(col("vec_id") + lit(id), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val f2 = oneRow(0, 5200000L)
+    val f3 = oneRow(1, 5300000L)
+    val out = java.nio.file.Files.createTempDirectory("graft_srb_out_").toString + "/rb"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_srb_ckpt_").toString
+    val input = MemoryStream[(Long, Array[Float])]
+    val (builds0, fits0) = (SimilarityOps.indexBuilds, SimilarityOps.rebFits)
+    val q = StreamOps.streamingIvfRebalance(
+      input.toDS().toDF("vec_id", "embedding"), index, out, ckpt)
+    def report(tick: Long) = spark.read.parquet(s"$out/report")
+      .filter(col("tick") === tick).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3),
+        r.getBoolean(5)))
+      .sortBy(_._1).toSeq
+    try {
+      input.addData(f0.toSeq: _*)
+      q.processAllAvailable()
+      assert(SimilarityOps.rebFits == fits0,
+        "an ordinary tick must fit NOTHING (zero re-fits of unflagged lists)")
+      assert(report(0).forall(!_._3), "ordinary tick: no splits")
+      assert(report(0).map(_._4).sum == nStored + f0.length,
+        "tick-0 conservation: stored + tick members")
+      input.addData(f1: _*)
+      q.processAllAvailable()
+      val fitsFlood = SimilarityOps.rebFits - fits0
+      assert(fitsFlood == 1, s"exactly the flooded list re-fits, got $fitsFlood")
+      val rep1 = report(1)
+      val splits = rep1.filter(_._3)
+      assert(splits.nonEmpty, "the flood tick must split its landing list IN-STREAM")
+      assert(splits.map(_._2).distinct.size == 1, "one parent list split")
+      assert(rep1.map(_._4).sum == nStored + f0.length + f1.length,
+        "tick-1 conservation: nothing lost through the split")
+      // the flood lobe separated from the stored members but is still
+      // over the gate — the report says so honestly at its tick
+      val stillFlagged = splits.filter(_._5)
+      assert(stillFlagged.size == 1 && stillFlagged.head._4 >= f1.length,
+        s"the flood child stays flagged after round 1: $splits")
+      // the splits sink records the event at the tick it happened
+      def events() = spark.read.parquet(s"$out/splits").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val ev1 = events()
+      assert(ev1.nonEmpty && ev1.forall(_._3 == 1L),
+        s"split events land tick-stamped at the flood tick: ${ev1.toSeq}")
+      assert(ev1.map(_._1).toSet == splits.map(_._2).toSet,
+        "event parents match the report's split parents")
+      assert(ev1.map(_._2).toSet == splits.map(_._1).toSet,
+        "event children match the report's split children")
+      // untouched lists carry exactly their batch-chain populations:
+      // stream ≡ the q259 applier applied tick-by-tick on the same
+      // prefix (fitted-child counts certified structurally above; the
+      // k=2 fit itself is seeded but partitioning-sensitive, so
+      // count-equality is asserted on the fit-independent rows)
+      val chain1 = SimilarityOps.ivfRebalanceApply(index,
+        f0.toSeq.toDF("vec_id", "embedding"))
+      val chain2 = SimilarityOps.ivfRebalanceApply(chain1.updated,
+        f1.toDF("vec_id", "embedding"))
+      val chainUntouched = chain2.report.filter(!col("split")).collect()
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val streamUntouched = rep1.filter(!_._3).map(t => t._1 -> t._4).toMap
+      assert(streamUntouched == chainUntouched,
+        "stream ≡ batch applier chain on every fit-independent row")
+      // the chain comparison above itself paid one fit (chain2's
+      // flood split) — snapshot before counting the stream's own
+      val fitsAfterChain = SimilarityOps.rebFits
+      // tick 2: LIVE CONVERGENCE — the carried repair flags the
+      // still-over-full flood child and splits IT (and only it)
+      input.addData(f2: _*)
+      q.processAllAvailable()
+      assert(SimilarityOps.rebFits - fitsAfterChain == 1,
+        "round 2 fits exactly the still-flagged flood child")
+      val rep2 = report(2)
+      val splits2 = rep2.filter(_._3)
+      assert(splits2.map(_._2).toSet == Set(stillFlagged.head._1),
+        s"tick 2 splits exactly tick 1's flagged child: $splits2")
+      assert(splits2.forall(!_._5),
+        "the halved grandchildren clear the gate — convergence reached live")
+      assert(rep2.map(_._1).toSet == (rep1.map(_._1).toSet -- Set(
+          stillFlagged.head._1)) ++ splits2.map(_._1).toSet,
+        "tick 2 runs against the tick-1 repaired list set")
+      assert(rep2.map(_._4).sum == nStored + f0.length + f1.length + 1,
+        "tick-2 conservation over the carried repaired index")
+      val ev2 = events().filter(_._3 == 2L)
+      assert(ev2.map(_._1).toSet == Set(stillFlagged.head._1),
+        "the round-2 split event is tick-stamped at ITS tick")
+      // tick 3: genuinely ordinary — the converged index carries
+      input.addData(f3: _*)
+      q.processAllAvailable()
+      assert(SimilarityOps.rebFits - fitsAfterChain == 1,
+        "no fits after convergence")
+      val rep3 = report(3)
+      assert(rep3.forall(!_._3), "no further splits on the converged index")
+      assert(rep3.map(_._1).toSet == rep2.map(_._1).toSet,
+        "the converged list set carries forward")
+      assert(rep3.map(_._4).sum == nStored + f0.length + f1.length + 2,
+        "tick-3 conservation")
+    } finally q.stop()
+    assert(SimilarityOps.indexBuilds == builds0,
+      "the coarse quantizer is never re-fit in-stream")
+  }
+
   test("streaming IVF-PQ code maintenance equals the q256 batch report across a micro-batch split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -124,6 +124,7 @@ def main():
     if os.path.exists(f"{out_dir}/dumps.json"):
         dumps = json.load(open(f"{out_dir}/dumps.json"))
     n_pass = n_fail = 0
+    results = {}
     for name, sql in sorted(oracle.items()):
         tmp_reads = set(re.findall(r"read_parquet\('(/tmp/[^/']+)", sql))
         # name absent from dumps.json ⇒ query not selected in this
@@ -135,6 +136,7 @@ def main():
                   f"{sorted(missing)} — register an OracleDump on the "
                   f"QuerySpec (registered: {sorted(registered)})")
             n_fail += 1
+            results[name] = "fail"
             continue
         import os
         if not os.path.isdir(f"{out_dir}/{name}"):
@@ -148,12 +150,14 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
+            results[name] = "fail"
             continue
         if bad_types:
             print(f"FAIL {name}: oracle type-parity: non-portable "
                   f"output types {bad_types} (cast to BIGINT/DOUBLE/"
                   f"VARCHAR/DATE/TIMESTAMP/BOOLEAN in the oracle SQL)")
             n_fail += 1
+            results[name] = "fail"
             continue
         bad_rounds = round_on_double_errors(sql)
         if bad_rounds:
@@ -162,15 +166,18 @@ def main():
                   f"boundaries): {bad_rounds} — use integer ppm "
                   f"((x * 1000000) // y) or emit the raw value")
             n_fail += 1
+            results[name] = "fail"
             continue
         gcols, ecols = sorted(got.columns), sorted(exp.columns)
         if gcols != ecols:
             print(f"FAIL {name}: schema {gcols} != {ecols}")
             n_fail += 1
+            results[name] = "fail"
             continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
             n_fail += 1
+            results[name] = "fail"
             continue
         g = got[gcols].values.tolist()
         e = exp[ecols].values.tolist()
@@ -182,10 +189,26 @@ def main():
         if bad:
             print(f"FAIL {name}: row {bad[0]}: got {bad[1]} != exp {bad[2]}")
             n_fail += 1
+            results[name] = "fail"
         else:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
+            results[name] = "pass"
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    # Committable artifact (VERDICT r13 #1b): an empty driver
+    # CORRECTNESS file must never again leave a round without a
+    # correctness record — every full selfcheck can persist its own.
+    if len(sys.argv) > 3:
+        import datetime
+        json.dump({
+            "n_pass": n_pass, "n_fail": n_fail,
+            "n_oracle": len(oracle),
+            "sf_dir": sf_dir,
+            "utc": datetime.datetime.now(datetime.timezone.utc)
+                .isoformat(timespec="seconds"),
+            "queries": results,
+        }, open(sys.argv[3], "w"), indent=1, sort_keys=True)
+        print(f"wrote {sys.argv[3]}")
     sys.exit(1 if n_fail else 0)
 
 
