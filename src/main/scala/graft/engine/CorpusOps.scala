@@ -1503,6 +1503,88 @@ object CorpusOps {
     * keyed count — affected keys only, never a full-artifact rewrite
     * plan. The postings/manifest scans group on already-stored
     * artifacts; nothing corpus-sized shuffles twice. */
+  /** TAKEDOWN APPLY (q270) — execute the q268 plan and prove it: the
+    * flag→action pattern (q235→q259, q244→q260) applied to the purge
+    * planner. Each persisted artifact is anti-joined against the
+    * removal set into its PURGED successor, and the audit row is
+    * computed FROM THE PURGED FRAME ITSELF — `n_after` is a recount,
+    * `clean` is a semi-join probe proving zero removed keys survive —
+    * so the report certifies what the purge produced, not what it
+    * intended. Packed sequences cannot be row-deleted (a removed
+    * doc's tokens sit inside shared sequences and shift every later
+    * boundary in its lang): they REBUILD over documents-minus-removal,
+    * audited three ways per lang — exact token-mass conservation
+    * (`seq_tokens`: after = before − removed docs' tokens), sequence
+    * count, and shard count.
+    *
+    * One row per (artifact, key): n_before, n_after,
+    * n_removed = n_before − n_after, clean. Scale shape: the removal
+    * set broadcasts into every anti-join; each artifact is scanned
+    * once to write its successor (the write a real purge pays anyway)
+    * and the audit reuses that frame; the manifest rebuild is
+    * per-affected-lang, the one genuinely corpus-shaped cost — which
+    * is why q268 plans it as a REBUILD SET instead of pretending to
+    * edit in place. */
+  def takedownApply(documents: DataFrame, removal: DataFrame,
+                    postings: DataFrame, docLengths: DataFrame,
+                    sketches: DataFrame, ivfAssigned: DataFrame,
+                    pqCodes: DataFrame, seqLen: Int = 2048,
+                    seqsPerShard: Int = 16): DataFrame = {
+    val rm = broadcast(removal.select(col("doc_id")).distinct()
+      .localCheckpoint(false))
+    val rmVec = broadcast(rm.select(col("doc_id").as("vec_id")))
+    def audit(name: String, stored: DataFrame, keyCol: String,
+              rmKeys: DataFrame): DataFrame = {
+      val purged = stored.join(rmKeys, Seq(keyCol), "left_anti")
+        .localCheckpoint(false) // recount + clean probe (at 100 TB:
+                                // the successor-table write, reused)
+      stored.agg(count(lit(1)).cast("long").as("n_before"))
+        .crossJoin(purged.agg(count(lit(1)).cast("long").as("n_after")))
+        .crossJoin(purged.join(rmKeys, Seq(keyCol), "left_semi")
+          .agg(count(lit(1)).as("n_dirty")))
+        .select(lit(name).as("artifact"), lit("all").as("key"),
+          col("n_before"), col("n_after"),
+          (col("n_before") - col("n_after")).cast("long").as("n_removed"),
+          (col("n_dirty") === 0).as("clean"))
+    }
+    val fpStore = documents.select(col("doc_id"), md5(col("text")).as("fp_md5"))
+    val maniOld = sequenceManifest(documents, seqLen)
+      .select(col("lang"), col("seq_id"), col("doc_id"), col("n_from_doc"))
+      .localCheckpoint(false) // three per-lang rollups read it
+    val maniNew = sequenceManifest(
+        documents.join(rm, Seq("doc_id"), "left_anti"), seqLen)
+      .select(col("lang"), col("seq_id"), col("doc_id"), col("n_from_doc"))
+      .localCheckpoint(false) // three rollups + the clean probe
+    val dirtyLang = maniNew.join(rm, Seq("doc_id"), "left_semi")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_dirty"))
+    def perLang(name: String, of: DataFrame => DataFrame): DataFrame =
+      of(maniOld).withColumnRenamed("n", "n_before")
+        .join(of(maniNew).withColumnRenamed("n", "n_after"),
+          Seq("lang"), "left_outer")
+        .join(dirtyLang, Seq("lang"), "left_outer")
+        .na.fill(0L, Seq("n_after", "n_dirty"))
+        .select(lit(name).as("artifact"), col("lang").as("key"),
+          col("n_before").cast("long").as("n_before"),
+          col("n_after").cast("long").as("n_after"),
+          (col("n_before") - col("n_after")).cast("long").as("n_removed"),
+          (col("n_dirty") === 0).as("clean"))
+    audit("fingerprints", fpStore, "doc_id", rm)
+      .unionByName(audit("sketches", sketches, "doc_id", rm))
+      .unionByName(audit("postings", postings, "doc_id", rm))
+      .unionByName(audit("doc_lengths", docLengths, "doc_id", rm))
+      .unionByName(audit("ivf_assign", ivfAssigned, "vec_id", rmVec))
+      .unionByName(audit("pq_codes", pqCodes, "vec_id", rmVec))
+      .unionByName(perLang("seq_tokens",
+        _.groupBy(col("lang")).agg(sum(col("n_from_doc")).as("n"))))
+      .unionByName(perLang("sequences",
+        _.groupBy(col("lang")).agg(countDistinct(col("seq_id")).as("n"))))
+      .unionByName(perLang("shards",
+        _.select(col("lang"),
+            expr(s"CAST(seq_id DIV $seqsPerShard AS BIGINT)").as("shard_id"))
+          .groupBy(col("lang")).agg(countDistinct(col("shard_id")).as("n"))))
+      .orderBy(col("artifact"), col("key"))
+  }
+
   def takedownPropagation(documents: DataFrame, removal: DataFrame,
                           postings: DataFrame, docLengths: DataFrame,
                           sketches: DataFrame, ivfAssigned: DataFrame,

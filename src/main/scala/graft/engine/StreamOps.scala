@@ -760,6 +760,64 @@ object StreamOps {
       .start()
   }
 
+  /** STREAMING takedown — q268/q270 live: right-to-be-forgotten
+    * requests arrive as a STREAM of doc ids (the shape a compliance
+    * queue actually has), and each tick purges them from the carried
+    * artifact stores. Per tick: the tick's removal set broadcasts
+    * into one anti-join per store (postings / doc-length / sketch —
+    * the q270 purge executed incrementally), a tick-stamped ledger
+    * row per artifact appends to `outPath/ledger` (n_removed
+    * RECOUNTED as a semi-join against the pre-purge store, so
+    * re-submitting an already-purged id is an honest no-op, not a
+    * double-count), and the purged snapshots rewrite.
+    *
+    * Stream ≡ batch: anti-joins against disjoint-or-repeated removal
+    * sets compose (purging in ticks ≡ one purge of the union), so the
+    * final stores equal the one-shot q270 purge over everything
+    * streamed — asserted in StreamingSpec, including an
+    * already-removed id re-arriving. Durable state is the store
+    * snapshots (the [[streamingIngestTick]] restart contract); the
+    * per-tick cost is removal-bounded probes + the successor-store
+    * writes a real purge pays anyway. */
+  def streamingTakedown(removals: DataFrame, postings: DataFrame,
+                        docLengths: DataFrame, sketches: DataFrame,
+                        outPath: String, checkpointDir: String): StreamingQuery = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    var post = postings.localCheckpoint(false)
+    var dl = docLengths.localCheckpoint(false)
+    var sk = sketches.localCheckpoint(false)
+    removals.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, tick: Long) =>
+        if (!batch.isEmpty) {
+          val rm = broadcast(batch.select(col("doc_id")).distinct()
+            .localCheckpoint(false)) // 3 semi-probes + 3 anti-joins
+          def purge(store: DataFrame): (DataFrame, Long, Long) = {
+            val removed = store.join(rm, Seq("doc_id"), "left_semi").count()
+            val next = store.join(rm, Seq("doc_id"), "left_anti")
+              .localCheckpoint(false) // ledger count + snapshot + next tick
+            (next, removed, next.count())
+          }
+          val (p2, pRm, pN) = purge(post)
+          val (d2, dRm, dN) = purge(dl)
+          val (s2, sRm, sN) = purge(sk)
+          Seq(("postings", pRm, pN), ("doc_lengths", dRm, dN),
+              ("sketches", sRm, sN))
+            .toDF("artifact", "n_removed", "n_after")
+            .withColumn("tick", lit(tick))
+            .write.mode("append").parquet(s"$outPath/ledger")
+          post = p2; dl = d2; sk = s2
+          post.write.mode("overwrite").parquet(s"$outPath/postings")
+          dl.write.mode("overwrite").parquet(s"$outPath/doclens")
+          sk.write.mode("overwrite").parquet(s"$outPath/sketches")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** STREAMING ingest tick — q247 live: each micro-batch of documents
     * flows through the incremental funnel (exact vs the carried
     * fingerprint store → quality gate → near-dup vs the carried

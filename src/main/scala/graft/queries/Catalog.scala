@@ -5632,6 +5632,112 @@ object Catalog {
              |SELECT artifact, "key", n_remove, n_before,
              |       n_before - n_remove AS n_after
              |FROM allr ORDER BY artifact, "key"""".stripMargin),
+      dumps = Seq(ivfDump)),
+
+    // TAKEDOWN APPLY (q270): execute the q268 plan — every artifact
+    // anti-joined into its purged successor, the audit RECOUNTED from
+    // the purged frame itself (`clean` = a semi-join probe proving no
+    // removed key survives; the oracle expects TRUE, so a hash match
+    // certifies the executed purge, not the intention), and the
+    // packed sequences REBUILT over documents-minus-removal with
+    // exact token-mass conservation per lang. The flag→action pattern
+    // (q235→q259, q244→q260) applied to q268.
+    QuerySpec(
+      "q270_takedown_apply",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{lit, pmod}
+        val docs = Tables.documents(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val idx = SimilarityOps.ivfIndexFor(emb, tag = dir)
+        CorpusOps.takedownApply(
+          docs,
+          docs.filter(pmod(col("doc_id"), lit(17)) === 4).select(col("doc_id")),
+          RetrievalShared.postings(s, dir),
+          RetrievalShared.docLengths(s, dir),
+          SketchShared.sketches(s, dir),
+          idx.assigned,
+          SimilarityOps.ivfPqCodesFor(idx, tag = dir))
+      },
+      Some("""WITH rm AS (
+             |  SELECT DISTINCT doc_id FROM documents WHERE doc_id % 17 = 4),
+             |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+             |nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rm),
+             |docsec AS (
+             |  SELECT a AS artifact, 'all' AS "key", nd.n AS n_before,
+             |         nd.n - nr.n AS n_after, nr.n AS n_removed, TRUE AS clean
+             |  FROM (VALUES ('fingerprints'), ('sketches'), ('doc_lengths')) AS t(a)
+             |  CROSS JOIN nd CROSS JOIN nr),
+             |post AS (
+             |  SELECT doc_id, w
+             |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS w
+             |        FROM documents) GROUP BY 1, 2),
+             |postsec AS (
+             |  SELECT 'postings', 'all', CAST(COUNT(*) AS BIGINT),
+             |         CAST(SUM(CASE WHEN doc_id NOT IN (SELECT doc_id FROM rm) THEN 1 ELSE 0 END) AS BIGINT),
+             |         CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM rm) THEN 1 ELSE 0 END) AS BIGINT),
+             |         TRUE
+             |  FROM post),
+             |assign AS (
+             |  SELECT vec_id FROM read_parquet('/tmp/graft_ivf_oracle/assign/*.parquet')),
+             |vecsec AS (
+             |  SELECT a, 'all', CAST(COUNT(*) AS BIGINT),
+             |         CAST(SUM(CASE WHEN vec_id NOT IN (SELECT doc_id FROM rm) THEN 1 ELSE 0 END) AS BIGINT),
+             |         CAST(SUM(CASE WHEN vec_id IN (SELECT doc_id FROM rm) THEN 1 ELSE 0 END) AS BIGINT),
+             |         TRUE
+             |  FROM (VALUES ('ivf_assign'), ('pq_codes')) AS t(a) CROSS JOIN assign
+             |  GROUP BY a),
+             |srcs AS (
+             |  SELECT 'old' AS which, lang, doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT 'new', lang, doc_id, text FROM documents
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM rm)),
+             |mt AS (
+             |  SELECT which, lang, doc_id,
+             |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+             |  FROM srcs),
+             |mc AS (
+             |  SELECT which, lang, doc_id, n_tokens,
+             |         SUM(n_tokens) OVER (PARTITION BY which, lang ORDER BY doc_id) AS cum
+             |  FROM mt WHERE n_tokens > 0),
+             |sp AS (
+             |  SELECT which, lang, doc_id, n_tokens,
+             |         CAST((cum - n_tokens) // 2048 AS BIGINT) AS start_seq,
+             |         CAST((cum - 1) // 2048 AS BIGINT) AS end_seq,
+             |         CAST((cum - n_tokens) % 2048 AS BIGINT) AS tok_offset
+             |  FROM mc),
+             |e AS (
+             |  SELECT which, lang, n_tokens, tok_offset, start_seq,
+             |         CAST(unnest(range(start_seq, end_seq + 1)) AS BIGINT) AS seq_id
+             |  FROM sp),
+             |m AS (
+             |  SELECT which, lang, seq_id,
+             |         CAST(LEAST(start_seq * 2048 + tok_offset + n_tokens, seq_id * 2048 + 2048)
+             |              - GREATEST(start_seq * 2048 + tok_offset, seq_id * 2048) AS BIGINT) AS n_from_doc
+             |  FROM e),
+             |tok AS (SELECT which, lang, CAST(SUM(n_from_doc) AS BIGINT) AS n FROM m GROUP BY 1, 2),
+             |seqs AS (SELECT which, lang, CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n FROM m GROUP BY 1, 2),
+             |shds AS (SELECT which, lang, CAST(COUNT(DISTINCT seq_id // 16) AS BIGINT) AS n FROM m GROUP BY 1, 2),
+             |langsec AS (
+             |  SELECT 'seq_tokens' AS artifact, o.lang, o.n AS n_before,
+             |         CAST(COALESCE(w.n, 0) AS BIGINT) AS n_after
+             |  FROM tok o LEFT JOIN tok w ON o.lang = w.lang AND w.which = 'new'
+             |  WHERE o.which = 'old'
+             |  UNION ALL
+             |  SELECT 'sequences', o.lang, o.n, CAST(COALESCE(w.n, 0) AS BIGINT)
+             |  FROM seqs o LEFT JOIN seqs w ON o.lang = w.lang AND w.which = 'new'
+             |  WHERE o.which = 'old'
+             |  UNION ALL
+             |  SELECT 'shards', o.lang, o.n, CAST(COALESCE(w.n, 0) AS BIGINT)
+             |  FROM shds o LEFT JOIN shds w ON o.lang = w.lang AND w.which = 'new'
+             |  WHERE o.which = 'old'),
+             |allr AS (
+             |  SELECT * FROM docsec UNION ALL SELECT * FROM postsec
+             |  UNION ALL SELECT * FROM vecsec
+             |  UNION ALL SELECT artifact, lang, n_before, n_after,
+             |                   n_before - n_after, TRUE
+             |            FROM langsec)
+             |SELECT artifact, "key", n_before, n_after, n_removed, clean
+             |FROM allr ORDER BY artifact, "key"""".stripMargin),
       dumps = Seq(ivfDump))
   )
 

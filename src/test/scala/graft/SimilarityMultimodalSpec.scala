@@ -978,4 +978,47 @@ class SimilarityMultimodalSpec extends SparkSpec {
     }
     assert(sec("shards").map(_._2).toSet == rmShards)
   }
+
+  test("takedown apply: purge executes clean, token mass conserves, plan and apply reconcile") {
+    import graft.queries.{RetrievalShared, SketchShared}
+    val docs = Tables.documents(spark, sf)
+    val removedId = 10L
+    val removal = docs.filter(col("doc_id") === removedId).select(col("doc_id"))
+    val idx = SimilarityOps.ivfIndexFor(emb, tag = sf)
+    val postings = RetrievalShared.postings(spark, sf)
+    val args = (docs, removal, postings,
+      RetrievalShared.docLengths(spark, sf),
+      SketchShared.sketches(spark, sf),
+      idx.assigned,
+      SimilarityOps.ivfPqCodesFor(idx, tag = sf))
+    val res = CorpusOps.takedownApply(args._1, args._2, args._3, args._4,
+        args._5, args._6, args._7).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // the executed purge is CLEAN everywhere, recounted not assumed
+    assert(res.values.forall(_._4), s"no removed key may survive any artifact: $res")
+    res.foreach { case (k, (nb, na, nr, _)) =>
+      assert(nr == nb - na, s"delta accounting at $k")
+    }
+    // doc-keyed stores each lose exactly the one removed row
+    Seq("fingerprints", "sketches", "doc_lengths", "ivf_assign", "pq_codes")
+      .foreach { a => assert(res((a, "all"))._3 == 1L, s"$a removes one row") }
+    // postings: apply's executed delta == the q268 PLAN's df ledger sum
+    val plan = CorpusOps.takedownPropagation(args._1, args._2, args._3,
+        args._4, args._5, args._6, args._7).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    assert(res(("postings", "all"))._3 ==
+      plan.filter(_._1 == "postings").map(_._2).sum,
+      "the apply removes exactly the rows the plan flagged")
+    // token-mass conservation: the removed doc's lang loses exactly
+    // its token count; every other lang's packed mass is untouched
+    val (rmLang, rmToks) = docs.filter(col("doc_id") === removedId)
+      .select(col("lang"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0)")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).head
+    res.collect { case (("seq_tokens", lang), (_, _, nr, _)) =>
+      assert(nr == (if (lang == rmLang) rmToks else 0L),
+        s"token mass: lang $lang removed $nr, expected ${if (lang == rmLang) rmToks else 0L}")
+    }
+  }
 }

@@ -859,6 +859,54 @@ class StreamingSpec extends SparkSpec {
       s"streamed code rows diverged (${streamedCodes.size} vs ${batchCodes.size})")
   }
 
+  test("streaming takedown: ticked purges equal the one-shot purge; re-removal is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{StreamOps, Tables}
+    import graft.queries.{RetrievalShared, SketchShared}
+    val postings = RetrievalShared.postings(spark, sf).localCheckpoint(false)
+    val doclens = RetrievalShared.docLengths(spark, sf).localCheckpoint(false)
+    val sketches = SketchShared.sketches(spark, sf).localCheckpoint(false)
+    val out = java.nio.file.Files.createTempDirectory("graft_std_out_").toString + "/td"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_std_ckpt_").toString
+    val input = MemoryStream[Long]
+    val q = StreamOps.streamingTakedown(
+      input.toDS().toDF("doc_id"), postings, doclens, sketches, out, ckpt)
+    try {
+      input.addData(3L, 20L)
+      q.processAllAvailable()
+      // tick 2 re-submits an already-purged id alongside a new one —
+      // the ledger must count only live rows (honest no-op)
+      input.addData(3L, 41L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val ledger = spark.read.parquet(s"$out/ledger").collect()
+      .map(r => (r.getLong(3), r.getString(0)) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val rmAll = Seq(3L, 20L, 41L).toDF("doc_id")
+    def oneShot(store: org.apache.spark.sql.DataFrame) =
+      store.join(rmAll, Seq("doc_id"), "left_anti")
+    // final snapshots ≡ the one-shot purge over everything streamed
+    assert(spark.read.parquet(s"$out/doclens").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      oneShot(doclens).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+      "streamed doc-length store ≡ one-shot purge")
+    assert(spark.read.parquet(s"$out/postings").count() == oneShot(postings).count())
+    assert(spark.read.parquet(s"$out/sketches").count() == oneShot(sketches).count())
+    // ledger reconciliation: per-tick removals sum to the one-shot
+    // delta, and the re-submitted id contributed NOTHING at tick 1
+    def dlRows(id: Long) = doclens.filter(col("doc_id") === id).count()
+    assert(ledger((0L, "doc_lengths"))._1 == dlRows(3L) + dlRows(20L))
+    assert(ledger((1L, "doc_lengths"))._1 == dlRows(41L),
+      "re-removing doc 3 must be a no-op in the ledger")
+    assert(ledger((1L, "doc_lengths"))._2 == oneShot(doclens).count(),
+      "ledger n_after tracks the carried store")
+    val pRm = postings.join(rmAll, Seq("doc_id"), "left_semi").count()
+    assert(ledger((0L, "postings"))._1 + ledger((1L, "postings"))._1 == pRm,
+      "ticked postings removals sum to the one-shot delta")
+  }
+
   test("streaming entity resolution equals one-shot incremental across a bridging boundary") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
