@@ -885,7 +885,12 @@ object SimilarityOps {
       val nCand = c.agg(count(lit(1)).cast("long").as("n_candidates"))
       val top = c.withColumn("rn", row_number().over(wTop))
         .filter(col("rn") <= k).select(col("qid"), col("vec_id"))
-      exact.join(top.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
+      // explicit broadcast: both sides are nQueries·k rows, but they
+      // descend from checkpointed RDDs whose sizes Catalyst cannot
+      // estimate — without the hint this 50-row join planned as a
+      // SortMergeJoin (plan-audited r14)
+      exact.join(broadcast(top.withColumn("hit", lit(1L))),
+          Seq("qid", "vec_id"), "left_outer")
         .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("sum_hits"),
              count(lit(1)).cast("long").as("sum_k"))
         .crossJoin(nCand)
@@ -1507,6 +1512,89 @@ object SimilarityOps {
     * per FLAGGED-list k=2 fit — StreamingSpec asserts the streaming
     * composition never re-fits an unflagged list. */
   private[graft] var rebFits: Int = 0
+
+  /** IVF MERGE applier (q271) — the FIT-FREE inverse of the q259
+    * split, and the q268/q270 takedown's index-side follow-up:
+    * deletion-heavy workloads leave UNDERFULL inverted lists (a list
+    * is flagged when n·nLists·factor < total — the integer mirror of
+    * the q235 over-full gate), whose probe cost no longer pays for
+    * their centroid. Each flagged list's members reassign PER MEMBER
+    * to the nearest SURVIVING centroid (argmin over the non-flagged
+    * centroid set — more faithful than shipping the whole list to one
+    * neighbor), the flagged centroids are removed, and the report
+    * carries per-list conservation (Σ n_after = Σ n_before; merged
+    * lists end at 0, survivors at n_before + n_absorbed).
+    *
+    * Unlike the split there is NO fit anywhere — the entire operator
+    * (gate, survivor set, per-member argmin, absorption counts) is
+    * deterministic relational algebra over the stored index, so the
+    * oracle replays the ACTION end-to-end from the dumped index
+    * state, not just its inputs. The largest list always has
+    * n ≥ total/nLists, so with factor ≥ 1 at least one list survives
+    * and the survivor broadcast is never empty.
+    *
+    * Scale: flag set ≤ nLists ids (bounded collect); only flagged
+    * lists' members move (pruned scan on the bucketed list_id);
+    * the reassignment is a broadcast of ≤ nLists surviving centroids;
+    * untouched lists never enter a shuffle. Report is nLists rows. */
+  final case class IvfMerge(report: DataFrame, updated: IvfIndex)
+
+  def ivfMergeApply(index: IvfIndex, underfullFactor: Long = 4L): IvfMerge = {
+    require(underfullFactor >= 1L,
+      "underfullFactor >= 1 guarantees a surviving list")
+    val counts = index.centers
+      .select(col("c_list_id").cast("long").as("list_id"))
+      .join(index.assigned
+          .groupBy(col("list_id").cast("long").as("list_id"))
+          .agg(count(lit(1)).as("n_before")),
+        Seq("list_id"), "left_outer")
+      .na.fill(0L, Seq("n_before"))
+      .withColumn("total",
+        sum(col("n_before")).over(Window.partitionBy()).cast("long"))
+      .withColumn("underfull",
+        col("n_before") * lit(index.nLists.toLong) * lit(underfullFactor) <
+          col("total"))
+      .localCheckpoint(false) // flag collect + report
+    // ≤ nLists ids — bounded driver collect, like the split's flag set
+    val merged = counts.filter(col("underfull"))
+      .select(col("list_id")).collect().map(_.getLong(0)).toSet
+    val survivors = index.centers
+      .select(col("c_list_id").cast("long").as("c_list_id"), col("centroid"))
+      .filter(!col("c_list_id").isin(merged.toSeq: _*) || lit(merged.isEmpty))
+    val keep = Seq(col("vec_id"), col("vec"), col("norm"),
+      col("list_id").cast("long").as("list_id"))
+    val untouched = index.assigned.select(keep: _*)
+      .filter(!col("list_id").isin(merged.toSeq: _*) || lit(merged.isEmpty))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_list_id"))
+    val moved = index.assigned.select(keep: _*)
+      .filter(col("list_id").isin(merged.toSeq: _*) && lit(merged.nonEmpty))
+      .select(col("vec_id"), col("vec"), col("norm"))
+      .crossJoin(broadcast(survivors))
+      .withColumn("d2",
+        expr("aggregate(zip_with(vec, centroid, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("vec"), col("norm"),
+        col("c_list_id").as("list_id"))
+      .localCheckpoint(false) // absorption counts + updated index
+    val absorbed = moved.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_absorbed"))
+    val report = counts
+      .join(absorbed, Seq("list_id"), "left_outer")
+      .na.fill(0L, Seq("n_absorbed"))
+      .withColumn("n_after",
+        when(col("underfull"), lit(0L))
+          .otherwise(col("n_before") + col("n_absorbed")))
+      .select(col("list_id"), col("underfull").as("merged"),
+        col("n_before").cast("long").as("n_before"),
+        col("n_absorbed").cast("long").as("n_absorbed"),
+        col("n_after").cast("long").as("n_after"),
+        (col("n_after").cast("double") / col("total")).as("share_after"))
+      .orderBy(col("list_id"))
+    IvfMerge(report,
+      IvfIndex(untouched.unionByName(moved), survivors,
+        index.nLists - merged.size))
+  }
 
   def ivfRebalanceApply(index: IvfIndex, batch: DataFrame,
                         imbalanceFactor: Long = 2L): IvfRebalance = {

@@ -5738,6 +5738,78 @@ object Catalog {
              |            FROM langsec)
              |SELECT artifact, "key", n_before, n_after, n_removed, clean
              |FROM allr ORDER BY artifact, "key"""".stripMargin),
+      dumps = Seq(ivfDump)),
+
+    // IVF MERGE applier (q271): the fit-free inverse of the q259
+    // split and the takedown's index-side follow-up — a deletion-heavy
+    // purge (here: lists 0-2 keep only every 7th vector) leaves
+    // underfull lists; the gate (n·nLists·factor < total, the integer
+    // mirror of q235) flags them, their members reassign per-member to
+    // the nearest SURVIVING centroid, and the flagged centroids are
+    // removed. No fit anywhere, so the oracle replays the ENTIRE
+    // action — gate, survivor set, per-member argmin, absorption,
+    // conservation — from the dumped index state.
+    QuerySpec(
+      "q271_ivf_merge",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{lit, pmod, not}
+        val emb = Tables.embeddings(s, dir)
+        val idx = SimilarityOps.ivfIndexFor(emb, tag = dir)
+        val purged = SimilarityOps.IvfIndex(
+          idx.assigned.filter(not(
+            col("list_id").cast("long") < 3 &&
+              pmod(col("vec_id"), lit(7)) =!= 0)),
+          idx.centers, idx.nLists)
+        SimilarityOps.ivfMergeApply(purged).report
+      },
+      Some("""WITH assign0 AS (
+             |  SELECT vec_id, CAST(list_id AS BIGINT) AS list_id
+             |  FROM read_parquet('/tmp/graft_ivf_oracle/assign/*.parquet')),
+             |centers AS (
+             |  SELECT CAST(c_list_id AS BIGINT) AS c_list_id, CAST(centroid AS DOUBLE[]) AS c
+             |  FROM read_parquet('/tmp/graft_ivf_oracle/centers/*.parquet')),
+             |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |assign AS (
+             |  SELECT * FROM assign0 WHERE NOT (list_id < 3 AND vec_id % 7 <> 0)),
+             |cnt AS (
+             |  SELECT centers.c_list_id AS list_id,
+             |         CAST(COALESCE(a.n, 0) AS BIGINT) AS n_before
+             |  FROM centers LEFT JOIN
+             |    (SELECT list_id, COUNT(*) AS n FROM assign GROUP BY 1) a
+             |    ON centers.c_list_id = a.list_id),
+             |t AS (SELECT CAST(SUM(n_before) AS BIGINT) AS total,
+             |             CAST(COUNT(*) AS BIGINT) AS n_lists FROM cnt),
+             |fl AS (
+             |  SELECT list_id, n_before,
+             |         n_before * n_lists * 4 < total AS underfull
+             |  FROM cnt CROSS JOIN t),
+             |surv AS (
+             |  SELECT c_list_id, c FROM centers
+             |  JOIN fl ON centers.c_list_id = fl.list_id WHERE NOT underfull),
+             |mov AS (
+             |  SELECT a.vec_id, v.e
+             |  FROM assign a JOIN fl ON a.list_id = fl.list_id
+             |  JOIN v ON a.vec_id = v.vec_id
+             |  WHERE fl.underfull),
+             |md AS (
+             |  SELECT mov.vec_id, surv.c_list_id,
+             |         list_sum(list_transform(list_zip(e, c), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM mov CROSS JOIN surv),
+             |re AS (
+             |  SELECT vec_id, c_list_id
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_list_id) AS rk
+             |        FROM md) WHERE rk = 1),
+             |ab AS (
+             |  SELECT c_list_id AS list_id, CAST(COUNT(*) AS BIGINT) AS n_absorbed
+             |  FROM re GROUP BY 1)
+             |SELECT fl.list_id, underfull AS merged, n_before,
+             |       CAST(COALESCE(ab.n_absorbed, 0) AS BIGINT) AS n_absorbed,
+             |       CAST(CASE WHEN underfull THEN 0
+             |            ELSE n_before + COALESCE(ab.n_absorbed, 0) END AS BIGINT) AS n_after,
+             |       CAST(CASE WHEN underfull THEN 0
+             |            ELSE n_before + COALESCE(ab.n_absorbed, 0) END AS DOUBLE) / total AS share_after
+             |FROM fl LEFT JOIN ab USING (list_id) CROSS JOIN t
+             |ORDER BY fl.list_id""".stripMargin),
       dumps = Seq(ivfDump))
   )
 

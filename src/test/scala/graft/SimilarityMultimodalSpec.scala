@@ -979,6 +979,52 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(sec("shards").map(_._2).toSet == rmShards)
   }
 
+  test("IVF merge applier: underfull lists dissolve to their true nearest survivors") {
+    val idx = SimilarityOps.ivfIndexFor(emb, tag = sf)
+    // the q271 fixture: a deletion-heavy purge leaves lists 0-2 at
+    // ~14% of their population — the underfull gate must fire
+    val purged = SimilarityOps.IvfIndex(
+      idx.assigned.filter(not(col("list_id").cast("long") < 3 &&
+        pmod(col("vec_id"), lit(7)) =!= 0)),
+      idx.centers, idx.nLists)
+    val m = SimilarityOps.ivfMergeApply(purged)
+    val rep = m.report.collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // the gate, recomputed independently from the purged assignments
+    val counts = purged.assigned
+      .groupBy(col("list_id").cast("long").as("l")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val expectedMerged = (0L until idx.nLists.toLong)
+      .filter(l => counts.getOrElse(l, 0L) * idx.nLists * 4 < total).toSet
+    assert(expectedMerged.nonEmpty, s"fixture must exercise the merge branch: $counts")
+    assert(rep.filter(_._2).map(_._1).toSet == expectedMerged,
+      "flagged set = the integer gate, list for list")
+    assert(rep.map(_._5).sum == total, "conservation: every member lands once")
+    assert(rep.filter(_._2).forall(_._5 == 0L), "merged lists end empty")
+    assert(rep.filter(!_._2).forall(t => t._5 == t._3 + t._4),
+      "survivors carry their own members plus the absorbed")
+    assert(m.updated.nLists == idx.nLists - expectedMerged.size)
+    assert(m.updated.centers.count() == m.updated.nLists.toLong,
+      "no dead centroid survives the merge")
+    assert(m.updated.assigned.count() == total)
+    // the per-member reassignment IS the incremental-assign argmin
+    // against the survivor-only centroid set — bit-identical fold
+    val movers = purged.assigned
+      .filter(col("list_id").cast("long").isin(expectedMerged.toSeq: _*))
+      .select(col("vec_id"),
+        expr("transform(vec, x -> CAST(x AS FLOAT))").as("embedding"))
+    val expect = SimilarityOps.ivfIncrementalAssign(m.updated, movers)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = m.updated.assigned
+      .join(movers.select(col("vec_id")), "vec_id")
+      .select(col("vec_id"), col("list_id").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, "moved members sit at their true nearest survivor")
+    assert(SimilarityOps.ivfTopK(m.updated, nQueries = 2, k = 5, nProbe = 2)
+      .count() > 0, "the merged index serves probes")
+  }
+
   test("takedown apply: purge executes clean, token mass conserves, plan and apply reconcile") {
     import graft.queries.{RetrievalShared, SketchShared}
     val docs = Tables.documents(spark, sf)
