@@ -1441,6 +1441,82 @@ object SimilarityOps {
       .orderBy(col("qid"))
   }
 
+  /** IVF-PQ nProbe SWEEP (q272) — q269's dial priced on the
+    * PRODUCTION read path: recall@k and candidates-scanned per nProbe
+    * rung for the compressed IVF-PQ chain (stored codes + ADC), not
+    * the exact in-list cosine. Together with q266 (bytes axis) and
+    * q269 (exact-scan nProbe axis) this completes the serving-policy
+    * surface: pick the rung, then pick its dial, with every number
+    * integer-exact against the exact euclidean top-k.
+    *
+    * Same cost discipline as q269: the coarse ranking, LUT and ADC
+    * rollup run ONCE at the LARGEST rung with every candidate row
+    * carrying the centroid rank `pr` of its list for that query;
+    * smaller rungs FILTER the checkpointed ADC frame. Note the
+    * honest caveat q269 does not need: ADC scores are quantized, so
+    * recall is NOT provably monotone in nProbe (a new candidate can
+    * misrank above a true hit) — the report may legitimately dip, and
+    * the spec cross-checks rungs against the audited [[ivfPqRecall]]
+    * rather than asserting monotonicity. */
+  def ivfPqProbeSweep(index: IvfIndex, cb: PqCodebook, embeddings: DataFrame,
+                      storedCodes: DataFrame,
+                      nProbes: Seq[Int] = Seq(1, 2, 4, 8, 16),
+                      nQueries: Int = 5, k: Int = 10): DataFrame = {
+    require(nProbes.nonEmpty)
+    val sd = cb.subDim
+    val m = cb.m
+    val codes = storedCodes
+      .selectExpr("vec_id", "CAST(list_id AS BIGINT) AS list_id",
+        s"stack($m, ${(0 until m).map(s => s"$s, code_$s").mkString(", ")}) " +
+          "as (subspace, code)")
+    val v = withVec(embeddings).select(col("vec_id"), col("vec"))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val wCoarse = Window.partitionBy(col("qid")).orderBy(col("cd2"), col("c_list_id"))
+    val coarse = q.crossJoin(broadcast(index.centers))
+      .withColumn("cd2", expr(
+        "aggregate(zip_with(qvec, centroid, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("pr", row_number().over(wCoarse).cast("long"))
+      .filter(col("pr") <= nProbes.max)
+      .select(col("qid"), col("c_list_id").cast("long").as("list_id"), col("pr"),
+        expr("zip_with(qvec, centroid, (x, y) -> x - y)").as("qres"))
+    val lut = coarse.crossJoin(broadcast(
+        cb.centers.withColumnRenamed("centroid", "sub_centroid")))
+      .withColumn("qd2", expr(
+        s"aggregate(zip_with(slice(qres, subspace * $sd + 1, $sd), sub_centroid, " +
+          "(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .select(col("qid"), col("list_id"), col("pr"),
+        col("subspace").cast("long").as("subspace"),
+        col("code").cast("long").as("code"), col("qd2"))
+    val eAggs = (0 until m).map { s =>
+      min(when(col("subspace") === s, col("qd2"))).as(s"e$s") }
+    // pr is constant per (qid, vec_id) — a vector lives in ONE list,
+    // whose rank for that query tags every one of its m code hits
+    val adc = codes.join(broadcast(lut), Seq("list_id", "subspace", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"), col("pr")).agg(eAggs.head, eAggs.tail: _*)
+      .withColumn("adc_d2", (0 until m).map(s => col(s"e$s")).reduceLeft(_ + _))
+      .localCheckpoint(false) // every rung filters it
+    val exact = exactEuclideanTop(embeddings, nQueries, k)
+      .localCheckpoint(false) // every rung joins it
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("adc_d2"), col("vec_id"))
+    nProbes.sorted.map { p =>
+      val c = adc.filter(col("pr") <= p)
+      val nCand = c.agg(count(lit(1)).cast("long").as("n_candidates"))
+      val top = c.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= k).select(col("qid"), col("vec_id"))
+      exact.join(broadcast(top.withColumn("hit", lit(1L))),
+          Seq("qid", "vec_id"), "left_outer")
+        .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("sum_hits"),
+             count(lit(1)).cast("long").as("sum_k"))
+        .crossJoin(nCand)
+        .select(lit(p.toLong).as("n_probe"), col("n_candidates"),
+          col("sum_hits"), col("sum_k"),
+          expr("CAST(sum_hits * 1000000 DIV sum_k AS BIGINT)").as("recall_ppm"))
+    }.reduceLeft(_.unionByName(_)).orderBy(col("n_probe"))
+  }
+
   /** IVF RE-BALANCE applier (q259) — acting on the q235 imbalance
     * flag instead of just raising it (VERDICT r12 #3). One repair
     * round: append the batch ([[ivfIncrementalAssign]] — stored

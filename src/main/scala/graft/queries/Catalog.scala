@@ -5810,7 +5810,113 @@ object Catalog {
              |            ELSE n_before + COALESCE(ab.n_absorbed, 0) END AS DOUBLE) / total AS share_after
              |FROM fl LEFT JOIN ab USING (list_id) CROSS JOIN t
              |ORDER BY fl.list_id""".stripMargin),
-      dumps = Seq(ivfDump))
+      dumps = Seq(ivfDump)),
+
+    // IVF-PQ nProbe SWEEP (q272): q269's dial priced on the PRODUCTION
+    // read path — the q255 compressed chain (stored residual codes +
+    // ADC) per nProbe ∈ {1,2,4,8,16}. Completes the serving-policy
+    // surface: q266 picks the rung (bytes), q269/q272 pick its dial
+    // (probes) for the exact and compressed scan respectively. The
+    // oracle is the q255 chain with the coarse stage parameterized by
+    // a literal rung table — codes replayed from the dumped
+    // quantizers, aggregated in one SQL like q266/q269.
+    QuerySpec(
+      "q272_ivfpq_nprobe_sweep",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val idx = SimilarityOps.ivfIndexFor(emb, tag = dir)
+        SimilarityOps.ivfPqProbeSweep(idx,
+          SimilarityOps.ivfPqCodebookFor(idx, tag = dir), emb,
+          SimilarityOps.ivfPqCodesFor(idx, tag = dir))
+      },
+      Some("""WITH a AS (
+             |  SELECT vec_id, CAST(list_id AS BIGINT) AS list_id
+             |  FROM read_parquet('/tmp/graft_ivf_oracle/assign/*.parquet')),
+             |ic AS (
+             |  SELECT CAST(c_list_id AS BIGINT) AS list_id,
+             |         CAST(centroid AS DOUBLE[]) AS icent
+             |  FROM read_parquet('/tmp/graft_ivf_oracle/centers/*.parquet')),
+             |cb AS (
+             |  SELECT CAST(subspace AS BIGINT) AS subspace,
+             |         CAST(code AS BIGINT) AS code,
+             |         CAST(centroid AS DOUBLE[]) AS c
+             |  FROM read_parquet('/tmp/graft_ivfpq_oracle/centers/*.parquet')),
+             |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |r AS (
+             |  SELECT v.vec_id, a.list_id,
+             |         list_transform(list_zip(e, icent), p -> p[1] - p[2]) AS res
+             |  FROM v JOIN a USING (vec_id) JOIN ic USING (list_id)),
+             |d AS (
+             |  SELECT vec_id, list_id, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(res, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM r CROSS JOIN cb),
+             |codes AS (
+             |  SELECT vec_id, list_id, subspace, code
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+             |                                     ORDER BY d2, code) AS rk FROM d)
+             |  WHERE rk = 1),
+             |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+             |co0 AS (
+             |  SELECT qid, list_id, icent, qe,
+             |         list_sum(list_transform(list_zip(qe, icent),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS cd2
+             |  FROM q CROSS JOIN ic),
+             |coarse AS (
+             |  SELECT qid, list_id, CAST(rk AS BIGINT) AS pr,
+             |         list_transform(list_zip(qe, icent), p -> p[1] - p[2]) AS qres
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+             |                                     ORDER BY cd2, list_id) AS rk FROM co0)
+             |  WHERE rk <= 16),
+             |lut AS (
+             |  SELECT qid, list_id, pr, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(qres, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qd2
+             |  FROM coarse CROSS JOIN cb),
+             |adc0 AS (
+             |  SELECT qid, vec_id, pr,
+             |         MAX(CASE WHEN s.subspace = 0 THEN qd2 END) AS e0,
+             |         MAX(CASE WHEN s.subspace = 1 THEN qd2 END) AS e1,
+             |         MAX(CASE WHEN s.subspace = 2 THEN qd2 END) AS e2,
+             |         MAX(CASE WHEN s.subspace = 3 THEN qd2 END) AS e3
+             |  FROM codes s JOIN lut USING (list_id, subspace, code)
+             |  WHERE vec_id <> qid GROUP BY qid, vec_id, pr),
+             |rungs AS (SELECT n_probe FROM (VALUES (1), (2), (4), (8), (16)) AS t(n_probe)),
+             |rt AS (
+             |  SELECT rungs.n_probe, adc0.qid, adc0.vec_id,
+             |         e0 + e1 + e2 + e3 AS adc_d2
+             |  FROM rungs JOIN adc0 ON adc0.pr <= rungs.n_probe),
+             |nc AS (SELECT n_probe, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM rt GROUP BY 1),
+             |top AS (
+             |  SELECT n_probe, qid, vec_id
+             |  FROM (SELECT n_probe, qid, vec_id,
+             |               row_number() OVER (PARTITION BY n_probe, qid ORDER BY adc_d2, vec_id) AS rn
+             |        FROM rt) WHERE rn <= 10),
+             |ex AS (
+             |  SELECT qid, vec_id,
+             |         list_sum(list_transform(list_zip(e, qe),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM v CROSS JOIN q WHERE vec_id <> qid),
+             |ext AS (
+             |  SELECT qid, vec_id
+             |  FROM (SELECT qid, vec_id,
+             |               row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rn
+             |        FROM ex) WHERE rn <= 10),
+             |h AS (
+             |  SELECT rungs.n_probe,
+             |         CAST(SUM(CASE WHEN top.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS sum_hits,
+             |         CAST(COUNT(*) AS BIGINT) AS sum_k
+             |  FROM rungs CROSS JOIN ext
+             |  LEFT JOIN top ON top.n_probe = rungs.n_probe AND top.qid = ext.qid AND top.vec_id = ext.vec_id
+             |  GROUP BY rungs.n_probe)
+             |SELECT CAST(h.n_probe AS BIGINT) AS n_probe, nc.n_candidates,
+             |       sum_hits, sum_k,
+             |       CAST(sum_hits * 1000000 // sum_k AS BIGINT) AS recall_ppm
+             |FROM h JOIN nc USING (n_probe)
+             |ORDER BY n_probe""".stripMargin),
+      dumps = Seq(ivfDump, ivfPqDump))
   )
 
 

@@ -1025,6 +1025,32 @@ class SimilarityMultimodalSpec extends SparkSpec {
       .count() > 0, "the merged index serves probes")
   }
 
+  test("IVF-PQ nProbe sweep: candidates ladder up, every rung equals the audited q255 chain") {
+    val idx = SimilarityOps.ivfIndexFor(emb, tag = sf)
+    val cb = SimilarityOps.ivfPqCodebookFor(idx, tag = sf)
+    val codes = SimilarityOps.ivfPqCodesFor(idx, tag = sf)
+    val sweep = SimilarityOps.ivfPqProbeSweep(idx, cb, emb, codes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(sweep.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L, 16L))
+    assert(sweep.forall(_._4 == 50L), "every rung scores the same 5x10 query set")
+    // more probed lists never shrink the candidate set (recall may
+    // legitimately dip — ADC is quantized — so it is NOT asserted
+    // monotone; fidelity is pinned to the audited q255 chain instead)
+    sweep.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2, s"candidates monotone: $a vs $b")
+    }
+    assert(sweep.last._2 == 5L * (emb.count() - 1),
+      "nProbe = nLists prices every stored code except self")
+    sweep.foreach { case (_, _, hits, k, ppm) => assert(ppm == hits * 1000000L / k) }
+    // each rung ≡ the q255 report run at that nProbe, number for number
+    for (p <- Seq(1, 4, 16)) {
+      val rep = SimilarityOps.ivfPqRecall(idx, cb, emb, codes, nProbe = p).collect()
+      val row = sweep.find(_._1 == p.toLong).get
+      assert(row._2 == rep.map(_.getLong(1)).sum, s"candidates at nProbe=$p")
+      assert(row._3 == rep.map(_.getLong(2)).sum, s"hits at nProbe=$p")
+    }
+  }
+
   test("takedown apply: purge executes clean, token mass conserves, plan and apply reconcile") {
     import graft.queries.{RetrievalShared, SketchShared}
     val docs = Tables.documents(spark, sf)
