@@ -760,6 +760,72 @@ object StreamOps {
       .start()
   }
 
+  /** STREAMING CDC vector-store maintenance — the whole index
+    * lifecycle on one change stream: each micro-batch carries
+    * (vec_id, embedding, op ∈ add|del), the CDC shape a production
+    * vector store actually ingests. Per tick, in order:
+    *   1. DELETES purge the carried index (anti-join — fit-free; the
+    *      q270 purge applied to the index artifact);
+    *   2. ADDS assign + any list the tick pushed past the over-full
+    *      gate splits ([[SimilarityOps.ivfRebalanceApply]] — k=2 over
+    *      only that list's members; deletions shrink `total`, so a
+    *      del-heavy tick can legitimately fire this too);
+    *   3. lists left UNDER the low-water gate merge
+    *      ([[SimilarityOps.ivfMergeApply]] — fit-free);
+    * and the repaired index carries into the next tick. Sinks:
+    * `outPath/ticks` (per-tick n_add/n_del/n_splits/n_merges — the
+    * maintenance ledger), `outPath/report` (the post-maintenance
+    * balance relation, tick-stamped). Zero fits on any tick where
+    * nothing crosses the over-full gate ([[SimilarityOps.rebFits]]);
+    * the merge never fits.
+    *
+    * Scale posture: per-tick cost = one batch-sized anti-join + the
+    * two appliers' bounds (flagged-member scans pruned on list_id,
+    * broadcast centroid sets); the carried relation is localCheckpoint
+    * locally and the list_id-bucketed table at 100 TB, where a tick's
+    * durable write is append(adds) + delete(dels) + rewrite(flagged
+    * lists' partitions). */
+  def streamingIvfCdc(events: DataFrame, index: SimilarityOps.IvfIndex,
+                      outPath: String, checkpointDir: String,
+                      imbalanceFactor: Long = 2L,
+                      underfullFactor: Long = 4L): StreamingQuery = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    var cur = index
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, tick: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint(false) // dels + adds + counts
+          val dels = b.filter(col("op") === "del")
+            .select(col("vec_id")).distinct()
+          val adds = b.filter(col("op") === "add")
+            .select(col("vec_id"), col("embedding"))
+          val afterDel = SimilarityOps.IvfIndex(
+            cur.assigned.join(broadcast(dels), Seq("vec_id"), "left_anti"),
+            cur.centers, cur.nLists)
+          val reb = SimilarityOps.ivfRebalanceApply(
+            afterDel, adds, imbalanceFactor)
+          val m = SimilarityOps.ivfMergeApply(reb.updated, underfullFactor)
+          m.report.withColumn("tick", lit(tick))
+            .write.mode("append").parquet(s"$outPath/report")
+          Seq((adds.count(), dels.count(),
+              reb.children.select(col("parent_list_id")).distinct().count(),
+              m.report.filter(col("merged")).count()))
+            .toDF("n_add", "n_del", "n_splits", "n_merges")
+            .withColumn("tick", lit(tick))
+            .write.mode("append").parquet(s"$outPath/ticks")
+          cur = SimilarityOps.IvfIndex(
+            m.updated.assigned.localCheckpoint(false),
+            m.updated.centers.localCheckpoint(false),
+            m.updated.nLists)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** STREAMING takedown — q268/q270 live: right-to-be-forgotten
     * requests arrive as a STREAM of doc ids (the shape a compliance
     * queue actually has), and each tick purges them from the carried

@@ -859,6 +859,103 @@ class StreamingSpec extends SparkSpec {
       s"streamed code rows diverged (${streamedCodes.size} vs ${batchCodes.size})")
   }
 
+  test("streaming CDC vector-store maintenance: deletes merge, adds split, index carries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{SimilarityOps, StreamOps, Tables}
+    val emb = Tables.embeddings(spark, sf)
+    val index = SimilarityOps.ivfIndexFor(emb, tag = sf)
+    val nStored = emb.count()
+    val counts0 = index.assigned
+      .groupBy(col("list_id").cast("long").as("l")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    // tick 0: ordinary adds (the NATURAL index is skewed — a 1-member
+    // list exists at sf0.001 — so tick 0 may legitimately merge
+    // naturally-underfull lists; assertions below replay the gate from
+    // the report instead of assuming a no-op); tick 1: a deletion
+    // flood gutting ONE near-fair-share list to ~1/14 (CDC deletes —
+    // the merge gate must catch IT at that tick); tick 2: a 150-row
+    // far-cluster addition flood (the split gate fires at its tick)
+    val f0 = emb.filter(col("vec_id") % 5 === 1)
+      .select(col("vec_id") + lit(6000000L), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map(t => (t._1, t._2, "add"))
+    val (targetList, _) = counts0.minBy { case (_, c) => math.abs(c - nStored / 16) }
+    // gut the list COMPLETELY of its own members and their tick-0
+    // copies — whatever remains is a handful of strays absorbed from
+    // tick-0 merges, safely under the low-water gate
+    val origVictims = index.assigned
+      .filter(col("list_id").cast("long") === targetList)
+      .select(col("vec_id")).collect().map(_.getLong(0)).sorted
+    val victims = origVictims ++
+      origVictims.filter(_ % 5 == 1).map(_ + 6000000L)
+    val f1 = victims.map(id => (id, Array.empty[Float], "del"))
+    val f2 = (0 until 150).map(i =>
+      (6100000L + i, Array.tabulate(dim)(d => 100.0f + (i * dim + d) * 1e-4f), "add"))
+    val out = java.nio.file.Files.createTempDirectory("graft_cdc_out_").toString + "/cdc"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt_").toString
+    val input = MemoryStream[(Long, Array[Float], String)]
+    val (builds0, fits0) = (SimilarityOps.indexBuilds, SimilarityOps.rebFits)
+    val q = StreamOps.streamingIvfCdc(
+      input.toDS().toDF("vec_id", "embedding", "op"), index, out, ckpt)
+    def report(tick: Long) = spark.read.parquet(s"$out/report")
+      .filter(col("tick") === tick).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    def ticks(tick: Long) = spark.read.parquet(s"$out/ticks")
+      .filter(col("tick") === tick).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).head
+    // every tick's report must be SELF-CONSISTENT with the gate it
+    // claims to have applied: merged rows are exactly those whose
+    // pre-merge population sits under total/(nLists·factor)
+    def gateConsistent(rep: Seq[(Long, Boolean, Long, Long)]): Unit = {
+      val total = rep.map(_._3).sum
+      val nLists = rep.length.toLong
+      rep.foreach { case (l, merged, nb, _) =>
+        assert(merged == (nb * nLists * 4 < total),
+          s"list $l: merged=$merged contradicts the gate (n=$nb, total=$total, lists=$nLists)")
+      }
+      assert(rep.map(_._4).sum == total, "merge conserves members")
+    }
+    try {
+      input.addData(f0.toSeq: _*)
+      q.processAllAvailable()
+      assert(SimilarityOps.rebFits == fits0,
+        "ordinary adds: zero fits (merges are fit-free)")
+      val t0 = ticks(0)
+      assert(t0._1 == f0.length && t0._2 == 0L && t0._3 == 0L,
+        "ordinary tick: adds counted, no deletes, no splits")
+      gateConsistent(report(0))
+      assert(report(0).map(_._4).sum == nStored + f0.length,
+        "tick-0 conservation")
+      input.addData(f1.toSeq: _*)
+      q.processAllAvailable()
+      val t1 = ticks(1)
+      assert(t1._2 == victims.length, "every CDC delete lands")
+      val rep1 = report(1)
+      gateConsistent(rep1)
+      assert(rep1.filter(_._2).map(_._1).contains(targetList),
+        s"the gutted list $targetList merges AT its deletion tick: $rep1")
+      assert(rep1.map(_._4).sum == nStored + f0.length - victims.length,
+        "tick-1 conservation: deletes leave, survivors absorb the rest")
+      input.addData(f2.toSeq: _*)
+      q.processAllAvailable()
+      val t2 = ticks(2)
+      assert(SimilarityOps.rebFits - fits0 >= 1 && t2._3 >= 1,
+        "the addition flood splits its landing list at its tick")
+      val rep2 = report(2)
+      gateConsistent(rep2)
+      assert(rep2.map(_._4).sum ==
+        nStored + f0.length - victims.length + f2.length,
+        "tick-2 conservation over the carried, maintained index")
+    } finally q.stop()
+    assert(SimilarityOps.indexBuilds == builds0,
+      "the coarse quantizer is never re-fit by CDC maintenance")
+  }
+
   test("streaming takedown: ticked purges equal the one-shot purge; re-removal is a no-op") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
