@@ -29,5 +29,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 48g default (was 8g): the bench/verify JVM accumulates the
+  // memoized localCheckpoints of 270+ queries (IVF index, sketches,
+  // postings, exact baselines) in ONE session; at 8g on this 125 GiB
+  // box those MEMORY_AND_DISK blocks evict to disk and the
+  // checkpoint-heavy PQ/IVF-PQ family pays disk reads per pass
+  // (r14 forensics: that family inflated 1.35-1.6x in an IO-slow
+  // window while pure-relational queries held 1.0x). Measured: ~10%
+  // faster on the PQ family even in an isolated subset run.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
