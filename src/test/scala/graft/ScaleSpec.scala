@@ -555,4 +555,74 @@ class ScaleSpec extends SparkSpec {
     assert(pp.contains("ivf_assign"),
       s"stored side must come from the persisted assignment table:\n${pp.take(1200)}")
   }
+
+  test("r15 exact-order-stat family: rank windows are bracket- or bin-bounded, never full-fact") {
+    import graft.engine.AggregateOps
+    val li = Tables.lineitem(spark, sf)
+    // q165/q167: every row_number rank window must partition by
+    // (l_returnflag, tag) — the refine window over the in-bracket
+    // sliver — never by the 3-value group key alone (the r14 verdict
+    // scale-killer: three reducers each sorting a third of the corpus)
+    for ((name, df) <- Seq(
+        "q165" -> AggregateOps.winsorizedMean(li),
+        "q167" -> AggregateOps.madOutlierReport(li))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val rankSpecs = "row_number\\(\\) windowspecdefinition\\(([^)]*)\\)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(rankSpecs.nonEmpty, s"$name expected rank windows in:\n${plan.take(1500)}")
+      rankSpecs.foreach { spec =>
+        assert(spec.contains("tag"),
+          s"$name rank window must include the bracket tag key, got: $spec")
+      }
+    }
+    // empirical sliver: reproduce the p5/p95 brackets independently and
+    // measure how much of the fact they admit to the rank window —
+    // guarantee is ~8/accuracy = 2% at accuracy 400; 5% leaves jitter room
+    val cents = li.select(col("l_returnflag"),
+      round(col("l_extendedprice") * 100).cast("long").as("c"))
+    val d = 4.0 / 400
+    val br = cents.groupBy(col("l_returnflag"))
+      .agg(expr(s"approx_percentile(c, array(${0.05 - d}, ${0.05 + d}, " +
+                s"${0.95 - d}, ${0.95 + d}), 400)").as("b"))
+      .select(col("l_returnflag"), col("b")(0).as("lo5"), col("b")(1).as("hi5"),
+        col("b")(2).as("lo95"), col("b")(3).as("hi95"))
+    val total = li.count()
+    val sliver = cents.join(broadcast(br), "l_returnflag")
+      .filter((col("c") >= col("lo5") && col("c") <= col("hi5")) ||
+              (col("c") >= col("lo95") && col("c") <= col("hi95")))
+      .count()
+    assert(sliver.toDouble / total < 0.05,
+      s"p5/p95 brackets hold $sliver of $total rows — not a sliver")
+    // q214: GK carries no weights, so the weighted median two-levels
+    // through the bin grid — the in-bin refine pass must admit only the
+    // median bin's rows (one of ~value-range/2^14 bins per group)
+    val wm = AggregateOps.weightedMedian(li)
+    val wmPlan = wm.queryExecution.executedPlan.toString
+    // no rank window at all — both windows are keyed cumulative sums
+    assert(!wmPlan.contains("row_number()"),
+      s"q214 must not rank-window:\n${wmPlan.take(1500)}")
+    val binW = 1L << 14
+    val inBin = {
+      // reproduce the median bin per group straight from the operator's
+      // own intermediate (the bin rollup is tiny — safe to collect)
+      val binCounts = li.select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("c"),
+          col("l_quantity").cast("long").as("wt"))
+        .withColumn("bin", expr(s"c DIV $binW"))
+        .groupBy(col("l_returnflag"), col("bin")).agg(sum(col("wt")).as("bw"))
+        .collect()
+      val byGrp = binCounts.groupBy(_.getString(0))
+      val mbins = byGrp.map { case (g, rows) =>
+        val sorted = rows.sortBy(_.getLong(1))
+        val tw = sorted.map(_.getLong(2)).sum
+        var cum = 0L
+        g -> sorted.find { r => cum += r.getLong(2); cum * 2 >= tw }.get.getLong(1)
+      }
+      cents.filter(mbins.map { case (g, b) =>
+        col("l_returnflag") === g && expr(s"c DIV $binW") === b
+      }.reduce(_ || _)).count()
+    }
+    assert(inBin.toDouble / total < 0.05,
+      s"median bin holds $inBin of $total rows — the in-bin pass is not bounded")
+  }
 }
