@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 
 import graft.engine._
 import graft.engine.Exact._
@@ -5411,6 +5411,25 @@ object Catalog {
       },
       Some(q264OracleSql)),
 
+    // MULTI-WORD binary signatures (q275, r15): the d > 64 production
+    // form of q264 — real embedding dims are 256-4096, where the
+    // single-long form refuses (its ADVICE-r13 guard). A 128-d
+    // fixture derives deterministically from the 64-d corpus (second
+    // half 0.5 − x: one exact IEEE double subtraction both engines
+    // evaluate identically), signatures are m = ⌈d/64⌉ = 2 long words
+    // read from the PERSISTED wide-sig table, Hamming is the summed
+    // per-word popcount of the xor, and the exact cosine re-rank runs
+    // on the full 128-d vectors. The oracle replays the entire chain
+    // per word — fold, signed cast, xor, popcount sum, both rankings.
+    QuerySpec(
+      "q275_binary_ann_wide",
+      (s, dir) => {
+        val emb = wideEmbeddings(s, dir)
+        SimilarityOps.binaryHammingRecallWide(emb,
+          storedSigs = Some(SimilarityOps.binarySigsWideFor(emb, tag = "w" + dir)))
+      },
+      Some(q275OracleSql)),
+
     // ANN LADDER decision table (q266): one row per quantization rung
     // (binary sign-bit / PQ ADC / IVF-PQ / matryoshka 16 & 32) with
     // bytes-per-vector and integer-exact recall_ppm vs the exact
@@ -6133,6 +6152,78 @@ object Catalog {
              |LEFT JOIN adct ON ext.qid = adct.qid AND ext.vec_id = adct.vec_id
              |LEFT JOIN cand ON ext.qid = cand.qid
              |GROUP BY ext.qid, cand.n_candidates ORDER BY ext.qid""".stripMargin
+
+  /** 128-d fixture for the multi-word signature path (q275): the 64-d
+    * corpus concatenated with (0.5 − x) per component — exact IEEE
+    * double arithmetic both engines replicate bit-identically, giving
+    * the second signature word a non-trivial sign pattern. */
+  private def wideEmbeddings(s: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame =
+    Tables.embeddings(s, dir).select(col("vec_id"),
+      expr("concat(transform(embedding, x -> CAST(x AS DOUBLE)), " +
+           "transform(embedding, x -> 0.5D - CAST(x AS DOUBLE)))").as("embedding"))
+
+  /** The q264 chain generalized to two signature words over the 128-d
+    * fixture: per-word sign-bit folds, per-word signed casts, Hamming
+    * as the summed per-word popcount; candidate cap, re-rank, exact
+    * baseline and the report shape are q264's verbatim. */
+  private def q275OracleSql: String = {
+    def signed(c: String) = toSignedSql.replace("uh", c)
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |         list_concat(CAST(embedding AS DOUBLE[]),
+       |                     list_transform(CAST(embedding AS DOUBLE[]), x -> 0.5 - x)) AS e
+       |  FROM embeddings),
+       |sg0 AS (
+       |  SELECT vec_id, e,
+       |         list_sum(list_transform(list_zip(e[1:64], range(0, 64)),
+       |           p -> CASE WHEN p[1] > 0 THEN CAST(2.0 ** p[2] AS HUGEINT)
+       |                ELSE CAST(0 AS HUGEINT) END)) AS uh0,
+       |         list_sum(list_transform(list_zip(e[65:128], range(0, 64)),
+       |           p -> CASE WHEN p[1] > 0 THEN CAST(2.0 ** p[2] AS HUGEINT)
+       |                ELSE CAST(0 AS HUGEINT) END)) AS uh1
+       |  FROM v),
+       |sg AS (SELECT vec_id, e, ${signed("uh0")} AS s0, ${signed("uh1")} AS s1 FROM sg0),
+       |q AS (SELECT vec_id AS qid, e AS qe, s0 AS q0, s1 AS q1 FROM sg WHERE vec_id < 5),
+       |h AS (
+       |  SELECT qid, sg.vec_id, e, qe,
+       |         bit_count(xor(s0, q0)) + bit_count(xor(s1, q1)) AS hd
+       |  FROM sg CROSS JOIN q WHERE sg.vec_id <> qid),
+       |cand AS (
+       |  SELECT qid, vec_id, e, qe
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |                                     ORDER BY hd, vec_id) AS cr FROM h)
+       |  WHERE cr <= 50),
+       |nc AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_candidates
+       |       FROM cand GROUP BY qid),
+       |sb AS (
+       |  SELECT qid, vec_id,
+       |         list_inner_product(qe, e) /
+       |           (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))) AS score
+       |  FROM cand),
+       |bt AS (SELECT qid, vec_id FROM (
+       |         SELECT qid, vec_id,
+       |                row_number() OVER (PARTITION BY qid
+       |                  ORDER BY score DESC, vec_id) AS rn FROM sb)
+       |       WHERE rn <= 10),
+       |ex AS (
+       |  SELECT qid, v.vec_id,
+       |         list_inner_product(qe, e) /
+       |           (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))) AS score
+       |  FROM v CROSS JOIN q WHERE v.vec_id <> qid),
+       |ext AS (SELECT qid, vec_id FROM (
+       |          SELECT qid, vec_id,
+       |                 row_number() OVER (PARTITION BY qid
+       |                   ORDER BY score DESC, vec_id) AS rn FROM ex)
+       |        WHERE rn <= 10)
+       |SELECT ext.qid, COALESCE(nc.n_candidates, 0) AS n_candidates,
+       |       CAST(SUM(CASE WHEN bt.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       CAST(COUNT(*) AS BIGINT) AS k
+       |FROM ext
+       |LEFT JOIN bt ON ext.qid = bt.qid AND ext.vec_id = bt.vec_id
+       |LEFT JOIN nc ON ext.qid = nc.qid
+       |GROUP BY ext.qid, nc.n_candidates ORDER BY ext.qid""".stripMargin
+  }
 
   private def q264OracleSql: String =
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -668,6 +668,43 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(proj(stored.collect()) == proj(rep), "stored sigs ≡ inline sigs")
   }
 
+  test("wide binary signatures: word 0 equals the single-long form; d > 64 chain is exact") {
+    import spark.implicits._
+    // 64-d corpus: m = 1, and word 0 must equal binarySignatures' long
+    val s64 = SimilarityOps.binarySignatures(emb).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("sig")).toMap
+    val w64 = SimilarityOps.binarySignaturesWide(emb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](r.fieldIndex("sig"))).toMap
+    assert(w64.values.forall(_.length == 1), "64-d must pack into one word")
+    assert(w64.forall { case (id, s) => s.head == s64(id) },
+      "wide word 0 must equal the single-long signature")
+    // 150-d (m = 3, ragged last word): hand vector sets known bits;
+    // the zip_with null padding must leave the tail bits clear
+    val vecs = Seq(
+      (0L, Array.tabulate(150)(d => if (d == 0 || d == 64 || d == 149) 1.0f else -1.0f)),
+      (1L, Array.fill(150)(-1.0f))).toDF("vec_id", "embedding")
+    val ws = SimilarityOps.binarySignaturesWide(vecs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](r.fieldIndex("sig"))).toMap
+    assert(ws(0L) == Seq(1L, 1L, 1L << (149 - 128)), s"got ${ws(0L)}")
+    assert(ws(1L) == Seq(0L, 0L, 0L))
+    // the q275 128-d fixture: candidate budget honored, hits bounded,
+    // and the persisted-wide-sig probe is row-identical to inline
+    val wideEmb = emb.select(col("vec_id"),
+      expr("concat(transform(embedding, x -> CAST(x AS DOUBLE)), " +
+           "transform(embedding, x -> 0.5D - CAST(x AS DOUBLE)))").as("embedding"))
+    val rep = SimilarityOps.binaryHammingRecallWide(wideEmb).collect()
+    assert(rep.length == 5)
+    rep.foreach { r =>
+      assert(r.getLong(1) == 50L, "candidate budget honored")
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= r.getLong(3) && r.getLong(3) == 10L)
+    }
+    def proj(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val stored = SimilarityOps.binaryHammingRecallWide(wideEmb,
+      storedSigs = Some(SimilarityOps.binarySigsWideFor(wideEmb, tag = "w" + sf)))
+    assert(proj(stored.collect()) == proj(rep), "stored wide sigs ≡ inline sigs")
+  }
+
   test("ANN ladder aggregates exactly its constituent rung reports") {
     val lad = SimilarityOps.annLadder(emb, tag = sf).collect()
       .map(r => r.getString(0) ->
