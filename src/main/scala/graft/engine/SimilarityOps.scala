@@ -418,6 +418,68 @@ object SimilarityOps {
       .orderBy(col("method"))
   }
 
+  /** SERVING-POLICY SELECTOR (q274) — the one-row-per-tier decision
+    * the three policy reports exist to feed (VERDICT r14 missing #4):
+    * q266's bytes ladder, q269's exact-path nProbe curve and q272's
+    * compressed-path nProbe curve join into a CONFIG table, and for
+    * each target recall tier the selector emits the CHEAPEST
+    * configuration meeting it.
+    *
+    * Config space: every full-scan ladder rung (binary/int8/pq/trunc;
+    * candidates = nQueries·(N−1), the brute-force cost the pruned
+    * paths avoid) ∪ every q269 rung as `ivf_exact_np{p}` (bytes =
+    * 8·d + 8: floats + list id) ∪ every q272 rung as
+    * `ivf16_pq4_np{p}` (bytes = m + 8). The ladder's own fixed
+    * `ivf16_pq4` row is EXCLUDED — q272's np rungs are that operating
+    * point with honest candidate counts. Tier t is met iff
+    * recall_ppm ≥ t; the winner minimizes (bytes_per_vec,
+    * n_candidates, config) — storage first (the ladder axis), then
+    * scanned work (the dial axis), then the name as a total-order
+    * tiebreak. Pure integer comparisons; the winner row carries the
+    * underlying report's numbers verbatim, so the spec equates them
+    * row-for-row.
+    *
+    * Scale: the constituent reports are index-build-time audits
+    * (each already plan-audited); the selector itself is a
+    * tiers × configs (≤ 6 × ~15 rows) theta-join + a per-tier
+    * row_number — dimension-sized, corpus-free. */
+  def servingPolicySelector(embeddings: DataFrame, tag: String,
+      tiers: Seq[Long] = Seq(500000L, 700000L, 800000L, 900000L,
+        950000L, 1000000L),
+      nQueries: Int = 5, k: Int = 10): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val idx = ivfIndexFor(embeddings, tag)
+    val n = embeddings.count()
+    val dim = embeddings.select(size(col("embedding")).as("d")).limit(1).head.getInt(0)
+    val fullScan = lit(nQueries.toLong * (n - 1))
+    val ladder = annLadder(embeddings, tag, nQueries, k)
+      .filter(col("method") =!= "ivf16_pq4")
+      .select(col("method").as("config"), col("bytes_per_vec"),
+        fullScan.as("n_candidates"), col("sum_hits"), col("sum_k"),
+        col("recall_ppm"))
+    val exactDial = ivfProbeSweep(idx, nQueries = nQueries, k = k)
+      .select(concat(lit("ivf_exact_np"), col("n_probe")).as("config"),
+        lit(8L * dim + 8L).as("bytes_per_vec"),
+        col("n_candidates"), col("sum_hits"), col("sum_k"), col("recall_ppm"))
+    val compressedDial = ivfPqProbeSweep(idx, ivfPqCodebookFor(idx, tag),
+        embeddings, ivfPqCodesFor(idx, tag), nQueries = nQueries, k = k)
+      .select(concat(lit("ivf16_pq4_np"), col("n_probe")).as("config"),
+        lit(12L).as("bytes_per_vec"),
+        col("n_candidates"), col("sum_hits"), col("sum_k"), col("recall_ppm"))
+    val configs = ladder.unionByName(exactDial).unionByName(compressedDial)
+      .localCheckpoint(false) // the tier join reads it once per plan, not per tier
+    val w = Window.partitionBy(col("target_recall_ppm"))
+      .orderBy(col("bytes_per_vec"), col("n_candidates"), col("config"))
+    configs
+      .join(broadcast(tiers.toDF("target_recall_ppm")),
+        col("recall_ppm") >= col("target_recall_ppm"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("target_recall_ppm"), col("config"), col("bytes_per_vec"),
+        col("n_candidates"), col("sum_hits"), col("sum_k"), col("recall_ppm"))
+      .orderBy(col("target_recall_ppm"))
+  }
+
   /** CONTRASTIVE hard-negative mining (q265) — the training-pair
     * selection step every embedding-model pipeline runs: per anchor,
     * the top-k candidates whose cosine falls in the HARD BAND

@@ -5473,56 +5473,7 @@ object Catalog {
       "q269_nprobe_sweep",
       (s, dir) => SimilarityOps.ivfProbeSweep(
         SimilarityOps.ivfIndexFor(Tables.embeddings(s, dir), tag = dir)),
-      Some("""WITH v AS (
-             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-             |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-             |  FROM embeddings),
-             |assign AS (
-             |  SELECT vec_id, list_id FROM read_parquet('/tmp/graft_ivf_oracle/assign/*.parquet')),
-             |centers AS (
-             |  SELECT c_list_id, CAST(centroid AS DOUBLE[]) AS c FROM read_parquet('/tmp/graft_ivf_oracle/centers/*.parquet')),
-             |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnorm FROM v WHERE vec_id < 5),
-             |qd AS (
-             |  SELECT qid, qe, qnorm, c_list_id,
-             |         list_sum(list_transform(list_zip(qe, c), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
-             |  FROM q CROSS JOIN centers),
-             |ranked AS (
-             |  SELECT qid, qe, qnorm, c_list_id AS list_id,
-             |         row_number() OVER (PARTITION BY qid ORDER BY d2, c_list_id) AS pr
-             |  FROM qd),
-             |cand AS (
-             |  SELECT r.qid, v.vec_id,
-             |         list_inner_product(r.qe, v.e) / (r.qnorm * v.nrm) AS score, r.pr
-             |  FROM ranked r JOIN assign a ON r.list_id = a.list_id JOIN v ON v.vec_id = a.vec_id
-             |  WHERE v.vec_id <> r.qid),
-             |ex AS (
-             |  SELECT qid, vec_id
-             |  FROM (SELECT q.qid, v.vec_id,
-             |               row_number() OVER (PARTITION BY q.qid
-             |                 ORDER BY list_inner_product(q.qe, v.e) / (q.qnorm * v.nrm) DESC, v.vec_id) AS rn
-             |        FROM q CROSS JOIN v WHERE v.vec_id <> q.qid) WHERE rn <= 10),
-             |rungs AS (SELECT n_probe FROM (VALUES (1), (2), (4), (8), (16)) AS t(n_probe)),
-             |rt AS (
-             |  SELECT rungs.n_probe, cand.qid, cand.vec_id, cand.score
-             |  FROM rungs JOIN cand ON cand.pr <= rungs.n_probe),
-             |nc AS (SELECT n_probe, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM rt GROUP BY 1),
-             |top AS (
-             |  SELECT n_probe, qid, vec_id
-             |  FROM (SELECT n_probe, qid, vec_id,
-             |               row_number() OVER (PARTITION BY n_probe, qid ORDER BY score DESC, vec_id) AS rn
-             |        FROM rt) WHERE rn <= 10),
-             |h AS (
-             |  SELECT rungs.n_probe,
-             |         CAST(SUM(CASE WHEN top.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS sum_hits,
-             |         CAST(COUNT(*) AS BIGINT) AS sum_k
-             |  FROM rungs CROSS JOIN ex
-             |  LEFT JOIN top ON top.n_probe = rungs.n_probe AND top.qid = ex.qid AND top.vec_id = ex.vec_id
-             |  GROUP BY rungs.n_probe)
-             |SELECT CAST(h.n_probe AS BIGINT) AS n_probe, nc.n_candidates,
-             |       sum_hits, sum_k,
-             |       CAST(sum_hits * 1000000 // sum_k AS BIGINT) AS recall_ppm
-             |FROM h JOIN nc USING (n_probe)
-             |ORDER BY n_probe""".stripMargin),
+      Some(q269OracleSql),
       dumps = Seq(ivfDump)),
 
     // TAKEDOWN propagation (q268): a removal list (doc_id % 17 = 4)
@@ -5848,94 +5799,68 @@ object Catalog {
           SimilarityOps.ivfPqCodebookFor(idx, tag = dir), emb,
           SimilarityOps.ivfPqCodesFor(idx, tag = dir))
       },
-      Some("""WITH a AS (
-             |  SELECT vec_id, CAST(list_id AS BIGINT) AS list_id
-             |  FROM read_parquet('/tmp/graft_ivf_oracle/assign/*.parquet')),
-             |ic AS (
-             |  SELECT CAST(c_list_id AS BIGINT) AS list_id,
-             |         CAST(centroid AS DOUBLE[]) AS icent
-             |  FROM read_parquet('/tmp/graft_ivf_oracle/centers/*.parquet')),
-             |cb AS (
-             |  SELECT CAST(subspace AS BIGINT) AS subspace,
-             |         CAST(code AS BIGINT) AS code,
-             |         CAST(centroid AS DOUBLE[]) AS c
-             |  FROM read_parquet('/tmp/graft_ivfpq_oracle/centers/*.parquet')),
-             |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-             |r AS (
-             |  SELECT v.vec_id, a.list_id,
-             |         list_transform(list_zip(e, icent), p -> p[1] - p[2]) AS res
-             |  FROM v JOIN a USING (vec_id) JOIN ic USING (list_id)),
-             |d AS (
-             |  SELECT vec_id, list_id, subspace, code,
-             |         list_sum(list_transform(
-             |           list_zip(list_slice(res, subspace * 16 + 1, subspace * 16 + 16), c),
-             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
-             |  FROM r CROSS JOIN cb),
-             |codes AS (
-             |  SELECT vec_id, list_id, subspace, code
-             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
-             |                                     ORDER BY d2, code) AS rk FROM d)
-             |  WHERE rk = 1),
-             |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
-             |co0 AS (
-             |  SELECT qid, list_id, icent, qe,
-             |         list_sum(list_transform(list_zip(qe, icent),
-             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS cd2
-             |  FROM q CROSS JOIN ic),
-             |coarse AS (
-             |  SELECT qid, list_id, CAST(rk AS BIGINT) AS pr,
-             |         list_transform(list_zip(qe, icent), p -> p[1] - p[2]) AS qres
-             |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
-             |                                     ORDER BY cd2, list_id) AS rk FROM co0)
-             |  WHERE rk <= 16),
-             |lut AS (
-             |  SELECT qid, list_id, pr, subspace, code,
-             |         list_sum(list_transform(
-             |           list_zip(list_slice(qres, subspace * 16 + 1, subspace * 16 + 16), c),
-             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qd2
-             |  FROM coarse CROSS JOIN cb),
-             |adc0 AS (
-             |  SELECT qid, vec_id, pr,
-             |         MAX(CASE WHEN s.subspace = 0 THEN qd2 END) AS e0,
-             |         MAX(CASE WHEN s.subspace = 1 THEN qd2 END) AS e1,
-             |         MAX(CASE WHEN s.subspace = 2 THEN qd2 END) AS e2,
-             |         MAX(CASE WHEN s.subspace = 3 THEN qd2 END) AS e3
-             |  FROM codes s JOIN lut USING (list_id, subspace, code)
-             |  WHERE vec_id <> qid GROUP BY qid, vec_id, pr),
-             |rungs AS (SELECT n_probe FROM (VALUES (1), (2), (4), (8), (16)) AS t(n_probe)),
-             |rt AS (
-             |  SELECT rungs.n_probe, adc0.qid, adc0.vec_id,
-             |         e0 + e1 + e2 + e3 AS adc_d2
-             |  FROM rungs JOIN adc0 ON adc0.pr <= rungs.n_probe),
-             |nc AS (SELECT n_probe, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM rt GROUP BY 1),
-             |top AS (
-             |  SELECT n_probe, qid, vec_id
-             |  FROM (SELECT n_probe, qid, vec_id,
-             |               row_number() OVER (PARTITION BY n_probe, qid ORDER BY adc_d2, vec_id) AS rn
-             |        FROM rt) WHERE rn <= 10),
-             |ex AS (
-             |  SELECT qid, vec_id,
-             |         list_sum(list_transform(list_zip(e, qe),
-             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
-             |  FROM v CROSS JOIN q WHERE vec_id <> qid),
-             |ext AS (
-             |  SELECT qid, vec_id
-             |  FROM (SELECT qid, vec_id,
-             |               row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rn
-             |        FROM ex) WHERE rn <= 10),
-             |h AS (
-             |  SELECT rungs.n_probe,
-             |         CAST(SUM(CASE WHEN top.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS sum_hits,
-             |         CAST(COUNT(*) AS BIGINT) AS sum_k
-             |  FROM rungs CROSS JOIN ext
-             |  LEFT JOIN top ON top.n_probe = rungs.n_probe AND top.qid = ext.qid AND top.vec_id = ext.vec_id
-             |  GROUP BY rungs.n_probe)
-             |SELECT CAST(h.n_probe AS BIGINT) AS n_probe, nc.n_candidates,
-             |       sum_hits, sum_k,
-             |       CAST(sum_hits * 1000000 // sum_k AS BIGINT) AS recall_ppm
-             |FROM h JOIN nc USING (n_probe)
-             |ORDER BY n_probe""".stripMargin),
-      dumps = Seq(ivfDump, ivfPqDump))
+      Some(q272OracleSql),
+      dumps = Seq(ivfDump, ivfPqDump)),
+
+    // SERVING-POLICY SELECTOR (q274, r15): q266's bytes ladder ×
+    // q269's exact nProbe curve × q272's compressed nProbe curve
+    // joined into the decision those three reports exist to feed —
+    // per target recall tier, the CHEAPEST (rung, nProbe) config
+    // meeting it, ordered (bytes_per_vec, candidates, name). The
+    // oracle unions the constituents' already-certified SQL (the
+    // q266 aggregation pattern) and replays the argmin, so the
+    // selector cannot drift from the reports it summarizes. The
+    // ladder's fixed ivf16_pq4 row is excluded — q272's rungs are
+    // that operating point with honest candidate counts.
+    QuerySpec(
+      "q274_serving_policy",
+      (s, dir) => SimilarityOps.servingPolicySelector(
+        Tables.embeddings(s, dir), tag = dir),
+      Some(s"""WITH cfg AS (
+              |  SELECT 'binary_sign64' AS config, CAST(8 AS BIGINT) AS bytes_per_vec,
+              |         CAST(5 * ((SELECT COUNT(*) FROM embeddings) - 1) AS BIGINT) AS n_candidates,
+              |         CAST(SUM(n_hits) AS BIGINT) AS sum_hits, CAST(SUM(k) AS BIGINT) AS sum_k
+              |  FROM ($q264OracleSql)
+              |  UNION ALL
+              |  SELECT 'int8_sym127', CAST(72 AS BIGINT),
+              |         CAST(5 * ((SELECT COUNT(*) FROM embeddings) - 1) AS BIGINT),
+              |         CAST(SUM(n_hits) AS BIGINT), CAST(SUM(k) AS BIGINT)
+              |  FROM ($q267OracleSql)
+              |  UNION ALL
+              |  SELECT 'pq4x16', CAST(4 AS BIGINT),
+              |         CAST(5 * ((SELECT COUNT(*) FROM embeddings) - 1) AS BIGINT),
+              |         CAST(SUM(n_hits) AS BIGINT), CAST(SUM(k) AS BIGINT)
+              |  FROM ($q242OracleSql)
+              |  UNION ALL
+              |  SELECT 'trunc_' || CAST(dim AS VARCHAR), CAST(dim * 4 AS BIGINT),
+              |         CAST(5 * ((SELECT COUNT(*) FROM embeddings) - 1) AS BIGINT),
+              |         CAST(SUM(n_hits) AS BIGINT), CAST(SUM(k) AS BIGINT)
+              |  FROM ($q249OracleSql) GROUP BY dim
+              |  UNION ALL
+              |  SELECT 'ivf_exact_np' || CAST(n_probe AS VARCHAR), CAST(520 AS BIGINT),
+              |         n_candidates, sum_hits, sum_k
+              |  FROM ($q269OracleSql)
+              |  UNION ALL
+              |  SELECT 'ivf16_pq4_np' || CAST(n_probe AS VARCHAR), CAST(12 AS BIGINT),
+              |         n_candidates, sum_hits, sum_k
+              |  FROM ($q272OracleSql)),
+              |cfgr AS (
+              |  SELECT *, CAST(sum_hits * 1000000 // sum_k AS BIGINT) AS recall_ppm
+              |  FROM cfg),
+              |tiers AS (
+              |  SELECT CAST(t AS BIGINT) AS target_recall_ppm
+              |  FROM (VALUES (500000), (700000), (800000), (900000),
+              |               (950000), (1000000)) AS v(t)),
+              |ranked AS (
+              |  SELECT tiers.target_recall_ppm, cfgr.*,
+              |         row_number() OVER (PARTITION BY tiers.target_recall_ppm
+              |           ORDER BY bytes_per_vec, n_candidates, config) AS rn
+              |  FROM tiers JOIN cfgr ON cfgr.recall_ppm >= tiers.target_recall_ppm)
+              |SELECT target_recall_ppm, config, bytes_per_vec, n_candidates,
+              |       sum_hits, sum_k, recall_ppm
+              |FROM ranked WHERE rn = 1
+              |ORDER BY target_recall_ppm""".stripMargin),
+      dumps = Seq(pqDump, ivfDump, ivfPqDump))
   )
 
 
@@ -6224,6 +6149,153 @@ object Catalog {
        |LEFT JOIN nc ON ext.qid = nc.qid
        |GROUP BY ext.qid, nc.n_candidates ORDER BY ext.qid""".stripMargin
   }
+
+  /** q269's full replay (factored in r15 so q274 can aggregate it):
+    * centroid ranking, per-rung pruning, in-list cosine, shared exact
+    * baseline from the dumped index state. */
+  private def q269OracleSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings),
+      |assign AS (
+      |  SELECT vec_id, list_id FROM read_parquet('/tmp/graft_ivf_oracle/assign/*.parquet')),
+      |centers AS (
+      |  SELECT c_list_id, CAST(centroid AS DOUBLE[]) AS c FROM read_parquet('/tmp/graft_ivf_oracle/centers/*.parquet')),
+      |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnorm FROM v WHERE vec_id < 5),
+      |qd AS (
+      |  SELECT qid, qe, qnorm, c_list_id,
+      |         list_sum(list_transform(list_zip(qe, c), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+      |  FROM q CROSS JOIN centers),
+      |ranked AS (
+      |  SELECT qid, qe, qnorm, c_list_id AS list_id,
+      |         row_number() OVER (PARTITION BY qid ORDER BY d2, c_list_id) AS pr
+      |  FROM qd),
+      |cand AS (
+      |  SELECT r.qid, v.vec_id,
+      |         list_inner_product(r.qe, v.e) / (r.qnorm * v.nrm) AS score, r.pr
+      |  FROM ranked r JOIN assign a ON r.list_id = a.list_id JOIN v ON v.vec_id = a.vec_id
+      |  WHERE v.vec_id <> r.qid),
+      |ex AS (
+      |  SELECT qid, vec_id
+      |  FROM (SELECT q.qid, v.vec_id,
+      |               row_number() OVER (PARTITION BY q.qid
+      |                 ORDER BY list_inner_product(q.qe, v.e) / (q.qnorm * v.nrm) DESC, v.vec_id) AS rn
+      |        FROM q CROSS JOIN v WHERE v.vec_id <> q.qid) WHERE rn <= 10),
+      |rungs AS (SELECT n_probe FROM (VALUES (1), (2), (4), (8), (16)) AS t(n_probe)),
+      |rt AS (
+      |  SELECT rungs.n_probe, cand.qid, cand.vec_id, cand.score
+      |  FROM rungs JOIN cand ON cand.pr <= rungs.n_probe),
+      |nc AS (SELECT n_probe, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM rt GROUP BY 1),
+      |top AS (
+      |  SELECT n_probe, qid, vec_id
+      |  FROM (SELECT n_probe, qid, vec_id,
+      |               row_number() OVER (PARTITION BY n_probe, qid ORDER BY score DESC, vec_id) AS rn
+      |        FROM rt) WHERE rn <= 10),
+      |h AS (
+      |  SELECT rungs.n_probe,
+      |         CAST(SUM(CASE WHEN top.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS sum_hits,
+      |         CAST(COUNT(*) AS BIGINT) AS sum_k
+      |  FROM rungs CROSS JOIN ex
+      |  LEFT JOIN top ON top.n_probe = rungs.n_probe AND top.qid = ex.qid AND top.vec_id = ex.vec_id
+      |  GROUP BY rungs.n_probe)
+      |SELECT CAST(h.n_probe AS BIGINT) AS n_probe, nc.n_candidates,
+      |       sum_hits, sum_k,
+      |       CAST(sum_hits * 1000000 // sum_k AS BIGINT) AS recall_ppm
+      |FROM h JOIN nc USING (n_probe)
+      |ORDER BY n_probe""".stripMargin
+
+  /** q272's full replay (factored in r15 so q274 can aggregate it):
+    * the q255 compressed chain — stored residual codes + ADC — with
+    * the coarse stage parameterized by the rung table. */
+  private def q272OracleSql: String =
+    """WITH a AS (
+      |  SELECT vec_id, CAST(list_id AS BIGINT) AS list_id
+      |  FROM read_parquet('/tmp/graft_ivf_oracle/assign/*.parquet')),
+      |ic AS (
+      |  SELECT CAST(c_list_id AS BIGINT) AS list_id,
+      |         CAST(centroid AS DOUBLE[]) AS icent
+      |  FROM read_parquet('/tmp/graft_ivf_oracle/centers/*.parquet')),
+      |cb AS (
+      |  SELECT CAST(subspace AS BIGINT) AS subspace,
+      |         CAST(code AS BIGINT) AS code,
+      |         CAST(centroid AS DOUBLE[]) AS c
+      |  FROM read_parquet('/tmp/graft_ivfpq_oracle/centers/*.parquet')),
+      |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |r AS (
+      |  SELECT v.vec_id, a.list_id,
+      |         list_transform(list_zip(e, icent), p -> p[1] - p[2]) AS res
+      |  FROM v JOIN a USING (vec_id) JOIN ic USING (list_id)),
+      |d AS (
+      |  SELECT vec_id, list_id, subspace, code,
+      |         list_sum(list_transform(
+      |           list_zip(list_slice(res, subspace * 16 + 1, subspace * 16 + 16), c),
+      |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+      |  FROM r CROSS JOIN cb),
+      |codes AS (
+      |  SELECT vec_id, list_id, subspace, code
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+      |                                     ORDER BY d2, code) AS rk FROM d)
+      |  WHERE rk = 1),
+      |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+      |co0 AS (
+      |  SELECT qid, list_id, icent, qe,
+      |         list_sum(list_transform(list_zip(qe, icent),
+      |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS cd2
+      |  FROM q CROSS JOIN ic),
+      |coarse AS (
+      |  SELECT qid, list_id, CAST(rk AS BIGINT) AS pr,
+      |         list_transform(list_zip(qe, icent), p -> p[1] - p[2]) AS qres
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+      |                                     ORDER BY cd2, list_id) AS rk FROM co0)
+      |  WHERE rk <= 16),
+      |lut AS (
+      |  SELECT qid, list_id, pr, subspace, code,
+      |         list_sum(list_transform(
+      |           list_zip(list_slice(qres, subspace * 16 + 1, subspace * 16 + 16), c),
+      |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qd2
+      |  FROM coarse CROSS JOIN cb),
+      |adc0 AS (
+      |  SELECT qid, vec_id, pr,
+      |         MAX(CASE WHEN s.subspace = 0 THEN qd2 END) AS e0,
+      |         MAX(CASE WHEN s.subspace = 1 THEN qd2 END) AS e1,
+      |         MAX(CASE WHEN s.subspace = 2 THEN qd2 END) AS e2,
+      |         MAX(CASE WHEN s.subspace = 3 THEN qd2 END) AS e3
+      |  FROM codes s JOIN lut USING (list_id, subspace, code)
+      |  WHERE vec_id <> qid GROUP BY qid, vec_id, pr),
+      |rungs AS (SELECT n_probe FROM (VALUES (1), (2), (4), (8), (16)) AS t(n_probe)),
+      |rt AS (
+      |  SELECT rungs.n_probe, adc0.qid, adc0.vec_id,
+      |         e0 + e1 + e2 + e3 AS adc_d2
+      |  FROM rungs JOIN adc0 ON adc0.pr <= rungs.n_probe),
+      |nc AS (SELECT n_probe, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM rt GROUP BY 1),
+      |top AS (
+      |  SELECT n_probe, qid, vec_id
+      |  FROM (SELECT n_probe, qid, vec_id,
+      |               row_number() OVER (PARTITION BY n_probe, qid ORDER BY adc_d2, vec_id) AS rn
+      |        FROM rt) WHERE rn <= 10),
+      |ex AS (
+      |  SELECT qid, vec_id,
+      |         list_sum(list_transform(list_zip(e, qe),
+      |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+      |  FROM v CROSS JOIN q WHERE vec_id <> qid),
+      |ext AS (
+      |  SELECT qid, vec_id
+      |  FROM (SELECT qid, vec_id,
+      |               row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rn
+      |        FROM ex) WHERE rn <= 10),
+      |h AS (
+      |  SELECT rungs.n_probe,
+      |         CAST(SUM(CASE WHEN top.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS sum_hits,
+      |         CAST(COUNT(*) AS BIGINT) AS sum_k
+      |  FROM rungs CROSS JOIN ext
+      |  LEFT JOIN top ON top.n_probe = rungs.n_probe AND top.qid = ext.qid AND top.vec_id = ext.vec_id
+      |  GROUP BY rungs.n_probe)
+      |SELECT CAST(h.n_probe AS BIGINT) AS n_probe, nc.n_candidates,
+      |       sum_hits, sum_k,
+      |       CAST(sum_hits * 1000000 // sum_k AS BIGINT) AS recall_ppm
+      |FROM h JOIN nc USING (n_probe)
+      |ORDER BY n_probe""".stripMargin
 
   private def q264OracleSql: String =
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

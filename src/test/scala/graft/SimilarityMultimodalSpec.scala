@@ -730,6 +730,39 @@ class SimilarityMultimodalSpec extends SparkSpec {
       lad("trunc_16")._1 == 64L && lad("trunc_32")._1 == 128L)
   }
 
+  test("serving-policy selector picks the provably cheapest qualifying config per tier") {
+    val sel = SimilarityOps.servingPolicySelector(emb, tag = sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // rebuild the config table straight from the constituent PUBLIC
+    // reports — the selector's winner must equal an independent argmin
+    // over those rows, so its numbers ARE the reports' verbatim
+    val idx = SimilarityOps.ivfIndexFor(emb, tag = sf)
+    val n = emb.count()
+    val lad = SimilarityOps.annLadder(emb, tag = sf).collect()
+      .filter(_.getString(0) != "ivf16_pq4")
+      .map(r => (r.getString(0), r.getLong(1), 5L * (n - 1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    val ex = SimilarityOps.ivfProbeSweep(idx).collect()
+      .map(r => (s"ivf_exact_np${r.getLong(0)}", 8L * 64 + 8,
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val cp = SimilarityOps.ivfPqProbeSweep(idx,
+        SimilarityOps.ivfPqCodebookFor(idx, sf), emb,
+        SimilarityOps.ivfPqCodesFor(idx, sf)).collect()
+      .map(r => (s"ivf16_pq4_np${r.getLong(0)}", 12L,
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val cfgs = lad ++ ex ++ cp
+    val tiers = Seq(500000L, 700000L, 800000L, 900000L, 950000L, 1000000L)
+    assert(sel.keySet == tiers.toSet, s"one row per tier: ${sel.keySet}")
+    for (tier <- tiers) {
+      val winner = cfgs.filter(_._6 >= tier)
+        .sortBy(c => (c._2, c._3, c._1)).headOption
+      assert(winner.isDefined, s"tier $tier must have a qualifying config " +
+        "(the full probe is exact, so recall 10^6 always exists)")
+      assert(sel(tier) == winner.get, s"tier $tier: got ${sel(tier)}, expected ${winner.get}")
+    }
+  }
+
   test("hard negatives: band excludes a planted duplicate, hardest ranked first") {
     import spark.implicits._
     // plant an exact copy of anchor 0 — a positive/duplicate, which
