@@ -1585,6 +1585,187 @@ object CorpusOps {
       .orderBy(col("artifact"), col("key"))
   }
 
+  /** Corpus-card takedown fold-OUT (r15, VERDICT r14 missing #1): the
+    * [[corpusCardIncrementalState]] addition run backwards — the
+    * stored additive state minus the removed documents' contributions,
+    * equal by construction to a full [[corpusCardState]] retrain over
+    * documents-minus-removal. The three pure sums (docs, tokens,
+    * quality-ppm) subtract the removal batch's own rollup
+    * (removal-bounded scan). The dup count is NOT purely additive —
+    * keepers are min-id per fingerprint group, and removing a keeper
+    * promotes the next survivor — so ONLY the fingerprint groups the
+    * removal touches re-evaluate their flags (before vs after keeper,
+    * per member cell); untouched groups contribute zero delta and are
+    * never read. A cell whose last doc is removed folds out entirely
+    * (retrain parity: an empty cell has no row). */
+  def corpusCardTakedownState(storedState: DataFrame, fpStore: DataFrame,
+                              documents: DataFrame, removal: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rm = broadcast(removal.select(col("doc_id")).distinct()
+      .localCheckpoint(false)) // contribution rollup + flag passes
+    val rmDocs = documents.join(rm, Seq("doc_id"), "left_semi")
+    val qual = TextOps.qualityScore(rmDocs)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val rmContrib = rmDocs.select(col("doc_id"), col("lang"), col("source"))
+      .join(qual, "doc_id")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("r_docs"),
+           sum(col("n_tokens")).as("r_tokens"),
+           sum(floor(col("quality") * lit(1.0e6))).as("r_q_ppm"))
+    // removal-bounded keeper re-evaluation: members of touched groups
+    val touchedFps = fpStore.join(rm, Seq("doc_id"), "left_semi")
+      .select(col("fp_md5")).distinct()
+    val members = fpStore.join(broadcast(touchedFps), "fp_md5")
+      .join(documents.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+      .join(rm.select(col("doc_id"), lit(true).as("removed")),
+        Seq("doc_id"), "left_outer")
+      .withColumn("removed", coalesce(col("removed"), lit(false)))
+    val wFp = Window.partitionBy(col("fp_md5"))
+    val dupDelta = members
+      .withColumn("keeper_before", min(col("doc_id")).over(wFp))
+      .withColumn("keeper_after",
+        min(when(!col("removed"), col("doc_id"))).over(wFp))
+      .withColumn("dup_before", col("doc_id") =!= col("keeper_before"))
+      .withColumn("dup_after",
+        !col("removed") && col("doc_id") =!= col("keeper_after"))
+      .groupBy(col("lang"), col("source"))
+      .agg((sum(when(col("dup_before"), 1L).otherwise(0L)) -
+            sum(when(col("dup_after"), 1L).otherwise(0L))).as("r_dups"))
+    storedState
+      .join(rmContrib, Seq("lang", "source"), "left_outer")
+      .join(dupDelta, Seq("lang", "source"), "left_outer")
+      .select(col("lang"), col("source"),
+        (col("n_docs") - coalesce(col("r_docs"), lit(0L)))
+          .cast("long").as("n_docs"),
+        (col("n_tokens") - coalesce(col("r_tokens"), lit(0L)))
+          .cast("long").as("n_tokens"),
+        (col("q_ppm_sum") - coalesce(col("r_q_ppm"), lit(0L)))
+          .cast("long").as("q_ppm_sum"),
+        (col("n_exact_dups") - coalesce(col("r_dups"), lit(0L)))
+          .cast("long").as("n_exact_dups"))
+      .filter(col("n_docs") > 0)
+  }
+
+  /** TAKEDOWN of the REMAINING persisted stores (q273, r15 — VERDICT
+    * r14 missing #1): q268/q270 reach fingerprints, sketches,
+    * postings, corpus stats, the vector indexes, sequences and
+    * shards; this ledger extends the purge to the stores that would
+    * otherwise still serve a deleted document's content, each by the
+    * mechanism its structure allows:
+    *   - `lm_bigrams` / `lm_contexts` — the stored LM count tables
+    *     DECREMENT ([[TextOps.lmModelSubtract]], the q245 merge run
+    *     backwards); clean = exact occurrence-mass conservation
+    *     (after ≡ before − the removal batch's own count) with no
+    *     non-positive row surviving.
+    *   - `lm_vocab` — rebuilt as the corrected bigram table's word
+    *     set; clean = no word ABSENT from the stored vocab appears
+    *     (subtraction can only shrink).
+    *   - `card_state/<lang:source:measure>` — the additive card state
+    *     folds OUT per measure ([[corpusCardTakedownState]], keeper
+    *     re-evaluation included); one ledger row per (cell, measure)
+    *     so the hash certifies every corrected sum, not just row
+    *     counts.
+    *   - `binary_sigs` — plain anti-join (the q270 audit shape);
+    *     clean = semi-join probe, zero removed ids survive.
+    *   - `bloom_rebuild` — the held-out-gram Bloom filter is NOT
+    *     decrementable (bits are shared); the honest output is
+    *     clean = FALSE with the rebuild's key-set cardinality as
+    *     n_after — the row a compliance run must act on, never a
+    *     silent skip. (The engine's CMS sketch is over the orders
+    *     fact, not document content, so no CMS row belongs here.)
+    * Schema matches q270: (artifact, key, n_before, n_after,
+    * n_removed = n_before − n_after, clean). Scale: the removal list
+    * broadcasts; every correction is removal-bounded (batch tokenize,
+    * touched fingerprint groups, model-/dimension-bounded joins) —
+    * no store is ever rewritten whole except the Bloom the ledger
+    * explicitly flags for rebuild. */
+  def takedownStores(documents: DataFrame, removal: DataFrame,
+                     lm: TextOps.LmModel, cardState: DataFrame,
+                     fpStore: DataFrame, binarySigs: DataFrame,
+                     heldoutMaxId: Long = 50): DataFrame = {
+    val rm = broadcast(removal.select(col("doc_id")).distinct()
+      .localCheckpoint(false)) // every section probes it
+    val rmDocs = documents.join(rm, Seq("doc_id"), "left_semi")
+      .localCheckpoint(false) // LM subtract + occurrence mass probe
+    val sub = TextOps.lmModelSubtract(lm, rmDocs)
+    val rmOcc = TextOps.bigramStream(rmDocs)
+      .agg(count(lit(1)).cast("long").as("r_occ"))
+    def one(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).cast("long").as(name))
+    def massRow(artifact: String, before: DataFrame, after: DataFrame,
+                cnt: org.apache.spark.sql.Column): DataFrame = {
+      val mb = before.agg(count(lit(1)).cast("long").as("n_before"),
+        sum(cnt).cast("long").as("m_before"))
+      val ma = after.agg(count(lit(1)).cast("long").as("n_after"),
+        coalesce(sum(cnt), lit(0L)).cast("long").as("m_after"),
+        coalesce(sum(when(cnt <= 0, 1L).otherwise(0L)), lit(0L)).as("n_nonpos"))
+      mb.crossJoin(ma).crossJoin(rmOcc)
+        .select(lit(artifact).as("artifact"), lit("all").as("key"),
+          col("n_before"), col("n_after"),
+          (col("n_before") - col("n_after")).cast("long").as("n_removed"),
+          (col("m_after") === col("m_before") - col("r_occ") &&
+            col("n_nonpos") === 0).as("clean"))
+    }
+    val bigRow = massRow("lm_bigrams", lm.bigrams, sub.bigrams, col("c2"))
+    val ctxRow = massRow("lm_contexts", lm.contexts, sub.contexts, col("c1"))
+    val vocRow = one(lm.vocab, "n_before")
+      .crossJoin(one(sub.vocab, "n_after"))
+      .crossJoin(one(sub.vocab.join(lm.vocab, Seq("w"), "left_anti"), "n_new"))
+      .select(lit("lm_vocab").as("artifact"), lit("all").as("key"),
+        col("n_before"), col("n_after"),
+        (col("n_before") - col("n_after")).cast("long").as("n_removed"),
+        (col("n_new") === 0).as("clean"))
+    // card state: one row per (cell, measure) — every corrected sum
+    // enters the ledger hash
+    val corrected = corpusCardTakedownState(cardState, fpStore, documents, removal)
+    def melt(st: DataFrame, out: String): DataFrame =
+      st.select(col("lang"), col("source"), explode(array(
+          struct(lit("n_docs").as("m"), col("n_docs").cast("long").as("v")),
+          struct(lit("n_tokens").as("m"), col("n_tokens").cast("long").as("v")),
+          struct(lit("q_ppm_sum").as("m"), col("q_ppm_sum").cast("long").as("v")),
+          struct(lit("n_exact_dups").as("m"),
+            col("n_exact_dups").cast("long").as("v")))).as("s"))
+        .select(col("lang"), col("source"), col("s.m").as("measure"),
+          col("s.v").as(out))
+    val cardRows = melt(cardState, "n_before")
+      .join(melt(corrected, "n_after"), Seq("lang", "source", "measure"),
+        "left_outer")
+      .na.fill(0L, Seq("n_after"))
+      .select(lit("card_state").as("artifact"),
+        concat(col("lang"), lit(":"), col("source"), lit(":"),
+          col("measure")).as("key"),
+        col("n_before"), col("n_after"),
+        (col("n_before") - col("n_after")).cast("long").as("n_removed"),
+        (col("n_after") >= 0).as("clean"))
+    // binary signatures: the q270 anti-join + semi-probe audit shape
+    val rmVec = broadcast(rm.select(col("doc_id").as("vec_id")))
+    val sigPurged = binarySigs.join(rmVec, Seq("vec_id"), "left_anti")
+      .localCheckpoint(false) // recount + clean probe
+    val sigRow = one(binarySigs, "n_before")
+      .crossJoin(one(sigPurged, "n_after"))
+      .crossJoin(sigPurged.join(rmVec, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_dirty")))
+      .select(lit("binary_sigs").as("artifact"), lit("all").as("key"),
+        col("n_before"), col("n_after"),
+        (col("n_before") - col("n_after")).cast("long").as("n_removed"),
+        (col("n_dirty") === 0).as("clean"))
+    // the non-decrementable Bloom: report the rebuild, flag clean=false
+    val heldout = documents.filter(col("doc_id") < heldoutMaxId)
+    val gramsBefore = TextOps.wordNgrams(heldout).select(col("gram")).distinct()
+    val gramsAfter = TextOps.wordNgrams(
+        heldout.join(rm, Seq("doc_id"), "left_anti"))
+      .select(col("gram")).distinct()
+    val bloomRow = one(gramsBefore, "n_before")
+      .crossJoin(one(gramsAfter, "n_after"))
+      .select(lit("bloom_rebuild").as("artifact"), lit("all").as("key"),
+        col("n_before"), col("n_after"),
+        (col("n_before") - col("n_after")).cast("long").as("n_removed"),
+        lit(false).as("clean"))
+    bigRow.unionByName(ctxRow).unionByName(vocRow)
+      .unionByName(cardRows).unionByName(sigRow).unionByName(bloomRow)
+      .orderBy(col("artifact"), col("key"))
+  }
+
   def takedownPropagation(documents: DataFrame, removal: DataFrame,
                           postings: DataFrame, docLengths: DataFrame,
                           sketches: DataFrame, ivfAssigned: DataFrame,

@@ -1004,8 +1004,10 @@ object TextOps {
                            vocab: DataFrame)
 
   /** The tokenize→bigram explode shared by the LM family. Callers
-    * materialize it once per consumer set (the sharedSpans lesson). */
-  private def bigramStream(documents: DataFrame): DataFrame =
+    * materialize it once per consumer set (the sharedSpans lesson).
+    * private[engine]: the takedown ledger (q273) counts a removal
+    * batch's bigram occurrences for its mass-conservation probe. */
+  private[engine] def bigramStream(documents: DataFrame): DataFrame =
     documents
       .filter(lower(col("text")).rlike("[a-z0-9_]"))
       .select(col("doc_id"),
@@ -1051,6 +1053,37 @@ object TextOps {
       stored.vocab
         .unionByName(occ.select(explode(array(col("w1"), col("w2"))).as("w")))
         .distinct())
+  }
+
+  /** INVERSE incremental LM maintenance (r15, VERDICT r14 missing #1
+    * — the q245 merge≡retrain machinery run BACKWARDS for takedown):
+    * subtract the removed documents' counts from the stored model
+    * without re-scanning the stored corpus. Because every table is
+    * additive, stored − removed is EXACTLY the model a full retrain
+    * over documents-minus-removal would fit: bigram/context rows
+    * decrement by the removal batch's own counts and vanish at zero;
+    * the vocab rebuilds as the distinct word set of the corrected
+    * bigram table (a word is in the retrain vocab iff it has ≥ 1
+    * surviving bigram occurrence — exactly the corrected table's key
+    * set, so no vocab-side counting is ever needed). Per-takedown
+    * cost: one removal-batch tokenize scan + model-bounded joins. */
+  def lmModelSubtract(stored: LmModel, removedDocs: DataFrame): LmModel = {
+    val occ = bigramStream(removedDocs).localCheckpoint(false)
+    val big = stored.bigrams
+      .join(occ.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("rc2")),
+        Seq("w1", "w2"), "left_outer")
+      .withColumn("c2", col("c2") - coalesce(col("rc2"), lit(0L)))
+      .filter(col("c2") > 0)
+      .select(col("w1"), col("w2"), col("c2"))
+      .localCheckpoint(false) // the vocab rebuild + every reader
+    val ctx = stored.contexts
+      .join(occ.groupBy(col("w1")).agg(count(lit(1)).as("rc1")),
+        Seq("w1"), "left_outer")
+      .withColumn("c1", col("c1") - coalesce(col("rc1"), lit(0L)))
+      .filter(col("c1") > 0)
+      .select(col("w1"), col("c1"))
+    val voc = big.select(explode(array(col("w1"), col("w2"))).as("w")).distinct()
+    LmModel(big, ctx, voc)
   }
 
   /** Score documents under a (possibly merged) model — exactly

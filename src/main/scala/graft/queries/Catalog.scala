@@ -5710,6 +5710,121 @@ object Catalog {
              |FROM allr ORDER BY artifact, "key"""".stripMargin),
       dumps = Seq(ivfDump)),
 
+    // TAKEDOWN of the REMAINING stores (q273, r15): the q268/q270
+    // purge extended to the stores that would otherwise still serve a
+    // deleted document's content — the LM count tables (decremented:
+    // the q245 merge run backwards), the additive corpus-card state
+    // (folded out, keeper re-evaluation included — one ledger row per
+    // (cell, measure) so every corrected sum enters the hash), the
+    // binary-signature table (anti-join), and the non-decrementable
+    // held-out-gram Bloom, whose honest row is clean = FALSE with the
+    // rebuild's key-set size. The oracle recomputes every section from
+    // raw tables minus the removal set — a hash match proves the
+    // decrement/fold-out algebra equals a full retrain.
+    QuerySpec(
+      "q273_takedown_stores",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{lit, md5, pmod}
+        val docs = Tables.documents(s, dir)
+        CorpusOps.takedownStores(
+          docs,
+          docs.filter(pmod(col("doc_id"), lit(17)) === 4).select(col("doc_id")),
+          TextOps.lmModelFor(docs, tag = dir),
+          CorpusOps.corpusCardState(docs),
+          docs.select(col("doc_id"), md5(col("text")).as("fp_md5")),
+          SimilarityOps.binarySigsFor(Tables.embeddings(s, dir), tag = dir))
+      },
+      Some(s"""WITH rm AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 17 = 4),
+              |keep AS (SELECT * FROM documents
+              |         WHERE doc_id NOT IN (SELECT doc_id FROM rm)),
+              |t AS (SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS toks
+              |      FROM documents),
+              |o AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+              |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+              |            FROM t WHERE len(toks) >= 2)),
+              |ok AS (SELECT * FROM o WHERE doc_id NOT IN (SELECT doc_id FROM rm)),
+              |lmrows AS (
+              |  SELECT 'lm_bigrams' AS artifact, 'all' AS "key",
+              |         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT w1, w2 FROM o) x) AS BIGINT) AS n_before,
+              |         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT w1, w2 FROM ok) x) AS BIGINT) AS n_after,
+              |         TRUE AS clean
+              |  UNION ALL
+              |  SELECT 'lm_contexts', 'all',
+              |         CAST((SELECT COUNT(DISTINCT w1) FROM o) AS BIGINT),
+              |         CAST((SELECT COUNT(DISTINCT w1) FROM ok) AS BIGINT), TRUE
+              |  UNION ALL
+              |  SELECT 'lm_vocab', 'all',
+              |         CAST((SELECT COUNT(DISTINCT w) FROM
+              |               (SELECT w1 AS w FROM o UNION SELECT w2 FROM o) x) AS BIGINT),
+              |         CAST((SELECT COUNT(DISTINCT w) FROM
+              |               (SELECT w1 AS w FROM ok UNION SELECT w2 FROM ok) x) AS BIGINT),
+              |         TRUE),
+              |qb AS (SELECT doc_id, n_tokens, quality FROM ($qualityPerDocSql)),
+              |cb AS (
+              |  SELECT d.lang, d.source,
+              |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |         CAST(SUM(qb.n_tokens) AS BIGINT) AS n_tokens,
+              |         CAST(SUM(CAST(floor(qb.quality * 1000000.0) AS BIGINT)) AS BIGINT) AS q_ppm_sum,
+              |         CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups
+              |  FROM (SELECT doc_id, lang, source,
+              |               doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+              |        FROM documents) d
+              |  JOIN qb USING (doc_id) GROUP BY 1, 2),
+              |qa AS (SELECT doc_id, n_tokens, quality FROM (${qualityPerDocSqlOver("keep")})),
+              |ca AS (
+              |  SELECT d.lang, d.source,
+              |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |         CAST(SUM(qa.n_tokens) AS BIGINT) AS n_tokens,
+              |         CAST(SUM(CAST(floor(qa.quality * 1000000.0) AS BIGINT)) AS BIGINT) AS q_ppm_sum,
+              |         CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups
+              |  FROM (SELECT doc_id, lang, source,
+              |               doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+              |        FROM keep) d
+              |  JOIN qa USING (doc_id) GROUP BY 1, 2),
+              |mb AS (
+              |  SELECT lang, source, 'n_docs' AS measure, n_docs AS vb FROM cb
+              |  UNION ALL SELECT lang, source, 'n_tokens', n_tokens FROM cb
+              |  UNION ALL SELECT lang, source, 'q_ppm_sum', q_ppm_sum FROM cb
+              |  UNION ALL SELECT lang, source, 'n_exact_dups', n_exact_dups FROM cb),
+              |ma AS (
+              |  SELECT lang, source, 'n_docs' AS measure, n_docs AS va FROM ca
+              |  UNION ALL SELECT lang, source, 'n_tokens', n_tokens FROM ca
+              |  UNION ALL SELECT lang, source, 'q_ppm_sum', q_ppm_sum FROM ca
+              |  UNION ALL SELECT lang, source, 'n_exact_dups', n_exact_dups FROM ca),
+              |cardrows AS (
+              |  SELECT 'card_state' AS artifact,
+              |         mb.lang || ':' || mb.source || ':' || mb.measure AS "key",
+              |         mb.vb AS n_before, CAST(COALESCE(ma.va, 0) AS BIGINT) AS n_after,
+              |         COALESCE(ma.va, 0) >= 0 AS clean
+              |  FROM mb LEFT JOIN ma USING (lang, source, measure)),
+              |sigrow AS (
+              |  SELECT 'binary_sigs' AS artifact, 'all' AS "key",
+              |         CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_before,
+              |         CAST((SELECT COUNT(*) FROM embeddings
+              |               WHERE vec_id NOT IN (SELECT doc_id FROM rm)) AS BIGINT) AS n_after,
+              |         TRUE AS clean),
+              |ngb AS (
+              |  SELECT DISTINCT array_to_string(list_slice(toks, gi, gi + 4), ' ') AS g
+              |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS gi
+              |        FROM t WHERE len(toks) >= 5)
+              |  WHERE doc_id < 50),
+              |nga AS (
+              |  SELECT DISTINCT array_to_string(list_slice(toks, gi, gi + 4), ' ') AS g
+              |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS gi
+              |        FROM t WHERE len(toks) >= 5)
+              |  WHERE doc_id < 50 AND doc_id NOT IN (SELECT doc_id FROM rm)),
+              |bloomrow AS (
+              |  SELECT 'bloom_rebuild' AS artifact, 'all' AS "key",
+              |         CAST((SELECT COUNT(*) FROM ngb) AS BIGINT) AS n_before,
+              |         CAST((SELECT COUNT(*) FROM nga) AS BIGINT) AS n_after,
+              |         FALSE AS clean),
+              |allr AS (
+              |  SELECT * FROM lmrows UNION ALL SELECT * FROM cardrows
+              |  UNION ALL SELECT * FROM sigrow UNION ALL SELECT * FROM bloomrow)
+              |SELECT artifact, "key", n_before, n_after,
+              |       CAST(n_before - n_after AS BIGINT) AS n_removed, clean
+              |FROM allr ORDER BY artifact, "key"""".stripMargin)),
+
     // IVF MERGE applier (q271): the fit-free inverse of the q259
     // split and the takedown's index-side follow-up — a deletion-heavy
     // purge (here: lists 0-2 keep only every 7th vector) leaves

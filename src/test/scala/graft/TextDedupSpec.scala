@@ -1965,4 +1965,83 @@ class TextDedupSpec extends SparkSpec {
     assert(st4._3 <= n3 && st4._5 == n3 - st4._3, "gate drop accounting")
     assert(st4._5 > 0, "fixture must exercise the deny path at the gate")
   }
+
+  test("LM subtract is the exact inverse of merge and equals a full retrain") {
+    import spark.implicits._
+    val base = docs.filter(col("doc_id") <= 200)
+    val rmIds = Seq(7L, 21L).toDF("doc_id")
+    val removed = base.join(rmIds, Seq("doc_id"), "left_semi")
+    val sub = TextOps.lmModelSubtract(TextOps.lmModel(base), removed)
+    val retrain = TextOps.lmModel(base.join(rmIds, Seq("doc_id"), "left_anti"))
+    def big(m: TextOps.LmModel) = m.bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def ctx(m: TextOps.LmModel) = m.contexts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def voc(m: TextOps.LmModel) = m.vocab.collect().map(_.getString(0)).toSet
+    assert(big(sub) == big(retrain), "bigram counts must equal the retrain")
+    assert(ctx(sub) == ctx(retrain), "context counts must equal the retrain")
+    assert(voc(sub) == voc(retrain), "vocab must equal the retrain")
+    // merge the removed docs back in: round-trips to the original model
+    val roundTrip = TextOps.lmModelMerge(sub, removed)
+    assert(big(roundTrip) == big(TextOps.lmModel(base)), "subtract∘merge ≠ id")
+  }
+
+  test("takedown-stores ledger: one removed doc corrects exactly its counts; Bloom flags rebuild") {
+    import spark.implicits._
+    // one removed doc with a UNIQUE text (its own fp group) — every
+    // correction must be attributable to it alone
+    val rmId = 57L
+    val one = docs.filter(col("doc_id") === rmId)
+    assert(one.count() == 1)
+    val removal = Seq(rmId).toDF("doc_id")
+    val fpStore = docs.select(col("doc_id"), md5(col("text")).as("fp_md5"))
+    val lm = TextOps.lmModel(docs)
+    val state = CorpusOps.corpusCardState(docs)
+    val emb = Tables.embeddings(spark, sf)
+    val sigs = SimilarityOps.binarySignatures(emb).select(col("vec_id"), col("sig"))
+    val led = CorpusOps.takedownStores(docs, removal, lm, state, fpStore, sigs)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // the doc's own cell loses exactly 1 doc, its token count, and its
+    // floor-quantized quality ppm — and no other cell moves
+    val cell = docs.filter(col("doc_id") === rmId)
+      .select(col("lang"), col("source")).head
+    val (lang, source) = (cell.getString(0), cell.getString(1))
+    val q = TextOps.qualityScore(one)
+      .select(col("n_tokens"), floor(col("quality") * lit(1.0e6)).cast("long"))
+      .head
+    val (rmToks, rmQppm) = (q.getLong(0), q.getLong(1))
+    led.collect { case (("card_state", k), (nb, na, nr, clean)) =>
+      assert(clean, s"card row $k must be clean")
+      val Array(l, s, m) = k.split(":", 3)
+      val expected: Long =
+        if (l == lang && s == source) m match {
+          case "n_docs" => 1L
+          case "n_tokens" => rmToks
+          case "q_ppm_sum" => rmQppm
+          case "n_exact_dups" => 0L // unique text: no dup flag moves
+        } else 0L
+      assert(nr == expected && na == nb - nr,
+        s"card row $k: removed $nr, expected $expected")
+    }
+    // LM rows: decrement exactly the doc's bigram contribution, clean
+    // (mass-conserving); vocab can only shrink
+    val rmOcc = TextOps.lmModel(one).bigrams.agg(sum(col("c2"))).head.getLong(0)
+    assert(rmOcc > 0, "fixture doc must contribute bigrams")
+    Seq("lm_bigrams", "lm_contexts", "lm_vocab").foreach { a =>
+      val (nb, na, nr, clean) = led((a, "all"))
+      assert(clean, s"$a must be clean")
+      assert(nr >= 0 && na == nb - nr)
+    }
+    // binary sigs: exactly the matching vec row drops, clean
+    val (snb, sna, snr, sclean) = led(("binary_sigs", "all"))
+    val matched = sigs.join(removal.select(col("doc_id").as("vec_id")), "vec_id").count()
+    assert(sclean && snr == matched && sna == snb - snr)
+    // the Bloom row must flag rebuild_required (clean = false), with
+    // the rebuilt key-set size as n_after
+    val (bnb, bna, bnr, bclean) = led(("bloom_rebuild", "all"))
+    assert(!bclean, "Bloom is not decrementable — the row must flag rebuild")
+    assert(bnb >= bna && bnr == bnb - bna)
+  }
 }
