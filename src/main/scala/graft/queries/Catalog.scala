@@ -5502,7 +5502,8 @@ object Catalog {
           RetrievalShared.docLengths(s, dir),
           SketchShared.sketches(s, dir),
           idx.assigned,
-          SimilarityOps.ivfPqCodesFor(idx, tag = dir))
+          SimilarityOps.ivfPqCodesFor(idx, tag = dir),
+          storedManifest = Some(CorpusOps.sequenceManifestFor(docs, tag = dir)))
       },
       Some("""WITH rm AS (
              |  SELECT DISTINCT doc_id FROM documents WHERE doc_id % 17 = 4),
@@ -5537,9 +5538,9 @@ object Catalog {
              |         CAST(COALESCE((SELECT SUM(dl) FROM dl JOIN rm USING (doc_id)), 0) AS BIGINT),
              |         CAST((SELECT SUM(dl) FROM dl) AS BIGINT)),
              |sksec AS (
-             |  SELECT 'sketches', CAST(doc_id AS VARCHAR),
-             |         CAST(1 AS BIGINT), CAST(1 AS BIGINT)
-             |  FROM rm),
+             |  SELECT 'sketches', CAST(d.doc_id AS VARCHAR),
+             |         CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+             |  FROM documents d JOIN rm USING (doc_id) GROUP BY d.doc_id),
              |assign AS (
              |  SELECT vec_id, CAST(list_id AS BIGINT) AS list_id
              |  FROM read_parquet('/tmp/graft_ivf_oracle/assign/*.parquet')),
@@ -5589,6 +5590,14 @@ object Catalog {
              |  SELECT 'shards', shall.lang || ':' || CAST(shall.shard_id AS VARCHAR),
              |         shrm.n_remove, shall.n_before
              |  FROM shall JOIN shrm USING (lang, shard_id)),
+             |certsec AS (
+             |  SELECT 'manifest_cert', lang || ':n_docs',
+             |         CAST(0 AS BIGINT), CAST(COUNT(*) AS BIGINT)
+             |  FROM mt WHERE n_tokens > 0 GROUP BY lang
+             |  UNION ALL
+             |  SELECT 'manifest_cert', lang || ':n_tokens',
+             |         CAST(0 AS BIGINT), CAST(SUM(n_tokens) AS BIGINT)
+             |  FROM mt WHERE n_tokens > 0 GROUP BY lang),
              |anchor AS (
              |  SELECT 'removal' AS artifact, 'n_docs' AS "key",
              |         CAST((SELECT COUNT(*) FROM rm) AS BIGINT) AS n_remove,
@@ -5598,7 +5607,7 @@ object Catalog {
              |  UNION ALL SELECT * FROM sksec  UNION ALL SELECT * FROM postsec
              |  UNION ALL SELECT * FROM statsec UNION ALL SELECT * FROM asec
              |  UNION ALL SELECT * FROM psec  UNION ALL SELECT * FROM ssec
-             |  UNION ALL SELECT * FROM shsec)
+             |  UNION ALL SELECT * FROM shsec UNION ALL SELECT * FROM certsec)
              |SELECT artifact, "key", n_remove, n_before,
              |       n_before - n_remove AS n_after
              |FROM allr ORDER BY artifact, "key"""".stripMargin),
@@ -5626,7 +5635,8 @@ object Catalog {
           RetrievalShared.docLengths(s, dir),
           SketchShared.sketches(s, dir),
           idx.assigned,
-          SimilarityOps.ivfPqCodesFor(idx, tag = dir))
+          SimilarityOps.ivfPqCodesFor(idx, tag = dir),
+          storedManifest = Some(CorpusOps.sequenceManifestFor(docs, tag = dir)))
       },
       Some("""WITH rm AS (
              |  SELECT DISTINCT doc_id FROM documents WHERE doc_id % 17 = 4),
@@ -5700,9 +5710,21 @@ object Catalog {
              |  SELECT 'shards', o.lang, o.n, CAST(COALESCE(w.n, 0) AS BIGINT)
              |  FROM shds o LEFT JOIN shds w ON o.lang = w.lang AND w.which = 'new'
              |  WHERE o.which = 'old'),
+             |certsec AS (
+             |  SELECT 'manifest_cert' AS artifact, lang || ':n_docs' AS "key",
+             |         CAST(COUNT(*) AS BIGINT) AS n_before,
+             |         CAST(COUNT(*) AS BIGINT) AS n_after,
+             |         CAST(0 AS BIGINT) AS n_removed, TRUE AS clean
+             |  FROM mc WHERE which = 'old' GROUP BY lang
+             |  UNION ALL
+             |  SELECT 'manifest_cert', lang || ':n_tokens',
+             |         CAST(SUM(n_tokens) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT),
+             |         CAST(0 AS BIGINT), TRUE
+             |  FROM mc WHERE which = 'old' GROUP BY lang),
              |allr AS (
              |  SELECT * FROM docsec UNION ALL SELECT * FROM postsec
              |  UNION ALL SELECT * FROM vecsec
+             |  UNION ALL SELECT * FROM certsec
              |  UNION ALL SELECT artifact, lang, n_before, n_after,
              |                   n_before - n_after, TRUE
              |            FROM langsec)

@@ -1007,7 +1007,13 @@ class SimilarityMultimodalSpec extends SparkSpec {
     // conservation on EVERY row, by recount not by construction trust
     res.foreach { case (a, k, nr, nb, na) =>
       assert(na == nb - nr, s"conservation broken at $a/$k")
-      assert(nr >= 1L, s"only affected keys may appear: $a/$k")
+      // manifest_cert rows are the staleness certificate — n_remove 0
+      // IS their fresh verdict; every other section lists affected keys
+      assert(nr >= 1L || a == "manifest_cert",
+        s"only affected keys may appear: $a/$k")
+    }
+    res.filter(_._1 == "manifest_cert").foreach { case (_, k, nr, _, _) =>
+      assert(nr == 0L, s"fresh manifest must certify clean at $k")
     }
     val anchor = sec("removal")
     assert(anchor == Seq(("removal", "n_docs", 1L, docs.count(), docs.count() - 1)))
@@ -1162,5 +1168,62 @@ class SimilarityMultimodalSpec extends SparkSpec {
       assert(nr == (if (lang == rmLang) rmToks else 0L),
         s"token mass: lang $lang removed $nr, expected ${if (lang == rmLang) rmToks else 0L}")
     }
+  }
+
+  test("takedown probes the STORED manifest (plan-audited); a stale manifest fails loudly") {
+    import graft.queries.{RetrievalShared, SketchShared}
+    val docs = Tables.documents(spark, sf)
+    val removal = docs.filter(col("doc_id") === 10L).select(col("doc_id"))
+    val idx = SimilarityOps.ivfIndexFor(emb, tag = sf)
+    val stored = CorpusOps.sequenceManifestFor(docs, tag = sf)
+    val plan = CorpusOps.takedownPropagation(
+      docs, removal,
+      RetrievalShared.postings(spark, sf),
+      RetrievalShared.docLengths(spark, sf),
+      SketchShared.sketches(spark, sf),
+      idx.assigned,
+      SimilarityOps.ivfPqCodesFor(idx, tag = sf),
+      storedManifest = Some(stored))
+    // plan shape: the sequence sections read the PERSISTED manifest
+    // table, and no packing cumsum window (the corpus re-pack) exists
+    // anywhere in the plan
+    val p = plan.queryExecution.executedPlan.toString
+    assert(p.contains(CorpusOps.manifestTableName(sf)),
+      s"expected the stored manifest table in:\n${p.take(1500)}")
+    assert(!"windowspecdefinition\\(lang".r.findFirstIn(p).isDefined,
+      "the propagation must not re-derive the packing cumsum from raw docs")
+    // fresh manifest: every cert row certifies clean (n_remove = 0)
+    val fresh = plan.collect()
+      .filter(_.getString(0) == "manifest_cert")
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(fresh.nonEmpty && fresh.values.forall(_ == 0L), s"fresh cert: $fresh")
+    // STALE manifest (built over a perturbed corpus): the certificate
+    // must surface nonzero drift instead of silently planning
+    val stale = CorpusOps.sequenceManifest(
+      docs.filter(col("doc_id") =!= 11L), seqLen = 2048)
+    val staleCert = CorpusOps.takedownPropagation(
+        docs, removal,
+        RetrievalShared.postings(spark, sf),
+        RetrievalShared.docLengths(spark, sf),
+        SketchShared.sketches(spark, sf),
+        idx.assigned,
+        SimilarityOps.ivfPqCodesFor(idx, tag = sf),
+        storedManifest = Some(stale)).collect()
+      .filter(_.getString(0) == "manifest_cert")
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(staleCert.exists(_._2 != 0L),
+      s"a stale manifest must show nonzero cert drift: $staleCert")
+    // the apply's cert row flags the same staleness via clean = false
+    val staleApply = CorpusOps.takedownApply(
+        docs, removal,
+        RetrievalShared.postings(spark, sf),
+        RetrievalShared.docLengths(spark, sf),
+        SketchShared.sketches(spark, sf),
+        idx.assigned,
+        SimilarityOps.ivfPqCodesFor(idx, tag = sf),
+        storedManifest = Some(stale)).collect()
+      .filter(_.getString(0) == "manifest_cert")
+    assert(staleApply.exists(!_.getBoolean(5)),
+      "the apply must flag a stale manifest clean = false")
   }
 }
