@@ -26,16 +26,24 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Default driver heap DERIVED from physical memory (ADVICE r15: a
+// fixed 48g default tuned to the 125 GiB box would OOM-kill or swap a
+// smaller contributor/CI machine): 40% of MemTotal, clamped to
+// [8g, 48g] — 48g on the 125 GiB box (the r14 eviction fix: the
+// bench/verify JVM holds the memoized localCheckpoints of 270+
+// queries in ONE session, and at 8g those MEMORY_AND_DISK blocks
+// evict to disk, inflating the checkpoint-heavy PQ/IVF-PQ family
+// 1.35-1.6x), 8g floor elsewhere. SPARK_DRIVER_MEM overrides.
+val defaultHeapGb: Int = {
+  val memTotalKb =
+    try scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .find(_.startsWith("MemTotal")).map(_.replaceAll("[^0-9]", "").toLong)
+      .getOrElse(0L)
+    catch { case _: Throwable => 0L }
+  math.max(8, math.min(48, (memTotalKb * 2 / 5 / (1024 * 1024)).toInt))
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 48g default (was 8g): the bench/verify JVM accumulates the
-  // memoized localCheckpoints of 270+ queries (IVF index, sketches,
-  // postings, exact baselines) in ONE session; at 8g on this 125 GiB
-  // box those MEMORY_AND_DISK blocks evict to disk and the
-  // checkpoint-heavy PQ/IVF-PQ family pays disk reads per pass
-  // (r14 forensics: that family inflated 1.35-1.6x in an IO-slow
-  // window while pure-relational queries held 1.0x). Measured: ~10%
-  // faster on the PQ family even in an isolated subset run.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${defaultHeapGb}g")}",
 )

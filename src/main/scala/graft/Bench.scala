@@ -72,8 +72,35 @@ object Bench {
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // Attribution counters (VERDICT r14 #2: the +36% driver-window
+    // drift needed a forensic session to call eviction-vs-co-tenancy;
+    // these make the next drift attributable from the artifact alone):
+    // the JVM's ACTUAL max heap (was the 48g default in effect?),
+    // per-pass GC time (is the window GC-bound?), and the block
+    // manager's memory/disk storage footprint after each pass (did
+    // memoized checkpoints evict to disk?).
+    import scala.jdk.CollectionConverters._
+    def gcSec(): Double =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum / 1e3
+    def storageMb(): (Long, Long) = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      (infos.map(_.memSize).sum / (1L << 20),
+       infos.map(_.diskSize).sum / (1L << 20))
+    }
     val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def timedPass(): Seq[(String, Double, Boolean)] = { loads += loadavg(); onePass() }
+    val gcs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val storMem = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val storDisk = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def timedPass(): Seq[(String, Double, Boolean)] = {
+      loads += loadavg()
+      val gc0 = gcSec()
+      val r = onePass()
+      gcs += gcSec() - gc0
+      val (m, d) = storageMb()
+      storMem += m; storDisk += d
+      r
+    }
     // ADAPTIVE warm passes (VERDICT r12 #1): with a fixed cold+2-warm
     // schedule, one co-tenant-loaded warm pass contaminates even the
     // per-query mins (r12: +11% on untouched code at loadavg 19). Keep
@@ -108,9 +135,15 @@ object Bench {
         .reduce(_ intersect _)
       warmPasses.map(_.filter(r => r._3 && common(r._1)).map(_._2).sum)
     }
+    // An EMPTY common set means no query succeeded in every warm pass
+    // — zero shared evidence, so the gate must treat it as NOT
+    // converged (ADVICE r15: 0 <= 0.05*0 would otherwise mint a
+    // falsely-converged artifact from a pathological flake pattern).
+    def commonNonEmpty: Boolean = passBuf.drop(1).toSeq
+      .map(p => p.filter(_._3).map(_._1).toSet).reduce(_ intersect _).nonEmpty
     def warmConverged: Boolean = {
       val warm = commonOkTotals.sorted
-      warm.size >= 2 && warm(1) - warm(0) <= 0.05 * warm(0)
+      commonNonEmpty && warm.size >= 2 && warm(1) - warm(0) <= 0.05 * warm(0)
     }
     var wallCapped = false
     while (!warmConverged && passBuf.size < maxPasses && !wallCapped) {
@@ -168,7 +201,11 @@ object Bench {
       ok && k.takeWhile(_ != '_').drop(1).toIntOption.exists(_ <= 53) }
       .map(_._2).sum
     val passLoads = loads.mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"failed":$failed,"pass_totals":$passTotals,"min_total_sec":$total,"baseline53_total_sec":$baseline53,"pass_loadavg":$passLoads,"warm_spread_sec":$warmSpread,"n_passes":${passes.size},"warm_best_gap_sec":$warmBestGap,"warm_converged":$warmConverged,"bench_wall_capped":$wallCapped,"bench_wall_sec":$benchElapsedSec,"sf":"$sfDir"}"""
+    val passGc = gcs.mkString("[", ",", "]")
+    val passStorMem = storMem.mkString("[", ",", "]")
+    val passStorDisk = storDisk.mkString("[", ",", "]")
+    val maxHeapGb = Runtime.getRuntime.maxMemory / (1L << 30)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"failed":$failed,"pass_totals":$passTotals,"min_total_sec":$total,"baseline53_total_sec":$baseline53,"pass_loadavg":$passLoads,"pass_gc_sec":$passGc,"pass_storage_mem_mb":$passStorMem,"pass_storage_disk_mb":$passStorDisk,"jvm_max_heap_gb":$maxHeapGb,"warm_spread_sec":$warmSpread,"n_passes":${passes.size},"warm_best_gap_sec":$warmBestGap,"warm_converged":$warmConverged,"bench_wall_capped":$wallCapped,"bench_wall_sec":$benchElapsedSec,"sf":"$sfDir"}"""
     println(line)
     // also persist the full line to a file: the stdout capture path
     // truncates long runs (150 queries of per-query timings overflow

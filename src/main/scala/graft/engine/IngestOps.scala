@@ -224,13 +224,6 @@ object IngestOps {
     import org.apache.spark.sql.{DataFrame => DF, Encoders}
     import org.apache.spark.sql.functions.{col, count, lit}
     import org.apache.spark.sql.streaming.Trigger
-    val stream = spark.readStream
-      .schema(Encoders.product[OrderRec].schema)
-      .option("maxFilesPerTrigger", 1)
-      .csv(stagingDir)
-    val agg = stream.groupBy(col("o_orderpriority"))
-      .agg(Exact.decSum(col("o_totalprice")).as("total_price"),
-           count(lit(1)).as("n_orders"))
     // STATE-PARTITION SIZING (VERDICT r13 #5 — q80's 25 s cold cost):
     // a stateful stream allocates one state-store instance per shuffle
     // partition, and each micro-batch commits one delta file per
@@ -239,28 +232,32 @@ object IngestOps {
     // stream's shuffle partitions to the KEY DOMAIN, the rule a real
     // keyed-MV pipeline applies (state partitions scale with distinct
     // keys, not with the corpus — the corpus never enters this
-    // stream). The value is captured when the first batch is planned
-    // and pinned by the checkpoint thereafter; restored after the
-    // bounded AvailableNow run completes (queries execute serially in
-    // Verify/Bench, so the temporary session override is private to
-    // this query's window).
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val q = agg.writeStream
-        .outputMode("update")
-        .option("checkpointLocation", checkpointDir)
-        .foreachBatch { (batch: DF, _: Long) =>
-          if (!batch.isEmpty)
-            WriteOps.refreshPartitions(batch, mvPath, Seq("o_orderpriority"))
-          ()
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      // restore only after the bounded run drains: micro-batches are
-      // planned asynchronously after start(), each reading the conf
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // stream). The override lives in a CHILD session (ADVICE r15:
+    // shared SparkContext, own SQLConf), so a concurrently planned
+    // query can never observe the 4-partition sizing — the old
+    // set-then-restore on the shared session relied on strictly
+    // serial execution. The value is captured when the first batch is
+    // planned and pinned by the checkpoint thereafter.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val stream = ss.readStream
+      .schema(Encoders.product[OrderRec].schema)
+      .option("maxFilesPerTrigger", 1)
+      .csv(stagingDir)
+    val agg = stream.groupBy(col("o_orderpriority"))
+      .agg(Exact.decSum(col("o_totalprice")).as("total_price"),
+           count(lit(1)).as("n_orders"))
+    val q = agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DF, _: Long) =>
+        if (!batch.isEmpty)
+          WriteOps.refreshPartitions(batch, mvPath, Seq("o_orderpriority"))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     spark.read.parquet(mvPath)
   }
 

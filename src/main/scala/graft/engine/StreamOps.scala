@@ -674,13 +674,16 @@ object StreamOps {
     *
     * Scale posture: per-tick work is the applier's bound — batch
     * assignment vs nLists broadcast centroids, flagged-member scans
-    * pruned to flagged lists, ≤2·flags fitted children. The carried
-    * assigned frame is localCheckpointed per tick HERE (local-mode
-    * stand-in); at 100 TB the assignment relation is the persisted
-    * list_id-bucketed table ([[SimilarityOps.ensureIvfTables]]) and a
-    * tick's durable write is append(batch rows) + rewrite(flagged
-    * lists' partitions) — batch-sized plus split-sized, never a
-    * corpus rewrite. */
+    * pruned to flagged lists, ≤2·flags fitted children. Durable state
+    * IS the sinks (ADVICE r15): the carried index snapshots to
+    * `outPath/index_assign` / `index_centers` per tick, so a
+    * restart-from-checkpoint (committed ticks skipped) rebuilds `cur`
+    * from the snapshot instead of silently resuming on the
+    * constructor index; at 100 TB the assignment relation is the
+    * persisted list_id-bucketed table
+    * ([[SimilarityOps.ensureIvfTables]]) and a tick's durable write
+    * is append(batch rows) + rewrite(flagged lists' partitions) —
+    * batch-sized plus split-sized, never a corpus rewrite. */
   def streamingIvfRebalance(vectors: DataFrame, index: SimilarityOps.IvfIndex,
                             outPath: String, checkpointDir: String,
                             imbalanceFactor: Long = 2L): StreamingQuery = {
@@ -701,6 +704,12 @@ object StreamOps {
             reb.updated.assigned.localCheckpoint(false),
             reb.updated.centers.localCheckpoint(false),
             reb.updated.nLists)
+          // durable state IS the sinks (ADVICE r15): the carried index
+          // snapshots per tick, so a restart-from-checkpoint rebuilds
+          // `cur` from `outPath/index_*` instead of silently resuming
+          // on the constructor index while committed ticks are skipped
+          cur.assigned.write.mode("overwrite").parquet(s"$outPath/index_assign")
+          cur.centers.write.mode("overwrite").parquet(s"$outPath/index_centers")
         }
         ()
       }
@@ -784,7 +793,10 @@ object StreamOps {
     * broadcast centroid sets); the carried relation is localCheckpoint
     * locally and the list_id-bucketed table at 100 TB, where a tick's
     * durable write is append(adds) + delete(dels) + rewrite(flagged
-    * lists' partitions). */
+    * lists' partitions). Durable state IS the sinks (ADVICE r15): the
+    * repaired index snapshots to `outPath/index_assign` /
+    * `index_centers` per tick — the restart contract the takedown and
+    * ingest streams already state. */
   def streamingIvfCdc(events: DataFrame, index: SimilarityOps.IvfIndex,
                       outPath: String, checkpointDir: String,
                       imbalanceFactor: Long = 2L,
@@ -820,6 +832,11 @@ object StreamOps {
             m.updated.assigned.localCheckpoint(false),
             m.updated.centers.localCheckpoint(false),
             m.updated.nLists)
+          // durable state IS the sinks (ADVICE r15): snapshot the
+          // carried index per tick so a restart-from-checkpoint
+          // rebuilds it instead of resuming on the constructor index
+          cur.assigned.write.mode("overwrite").parquet(s"$outPath/index_assign")
+          cur.centers.write.mode("overwrite").parquet(s"$outPath/index_centers")
         }
         ()
       }

@@ -804,6 +804,15 @@ class StreamingSpec extends SparkSpec {
         "the converged list set carries forward")
       assert(rep3.map(_._4).sum == nStored + f0.length + f1.length + 2,
         "tick-3 conservation")
+      // restart contract (ADVICE r15): the per-tick index snapshot on
+      // disk equals the carried index — a restart rebuilds from it
+      val snapAssign = spark.read.parquet(s"$out/index_assign")
+        .groupBy(col("list_id")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(snapAssign == rep3.map(t => t._1 -> t._4).toMap,
+        "the index_assign snapshot must mirror the carried per-list populations")
+      assert(spark.read.parquet(s"$out/index_centers").count() == rep3.size,
+        "the index_centers snapshot carries one row per live list")
     } finally q.stop()
     assert(SimilarityOps.indexBuilds == builds0,
       "the coarse quantizer is never re-fit in-stream")
