@@ -1196,6 +1196,54 @@ object DedupOps {
     clustersMemo = Map.empty
   }
 
+  /** ENTITY-ALIAS takedown (q276, r15 — the last store from VERDICT
+    * r14 missing #1): remove dim records from the PERSISTED alias
+    * table by re-closing ONLY the groups the removal touches. Dropping
+    * a member can do more than shrink a group — a removed BRIDGE
+    * record disconnects the transitive chain and the group SPLITS —
+    * so surviving members of touched groups re-match
+    * ([[graft.engine.TextOps.fuzzyNameMatch]] over just that subset:
+    * pair predicates are pairwise, so subset pairs ≡ full pairs
+    * restricted to the subset) and re-close; every untouched group
+    * passes through verbatim. Exactness: closure groups are edge-
+    * closed, so no edge ever crosses group boundaries and the
+    * touched-only re-close equals a FULL rebuild over
+    * part-minus-removal — which is exactly what the oracle computes
+    * (two recursive closures: before, for touched detection; after,
+    * for the result). Output: the post-takedown alias table with
+    * `status` ∈ untouched|reclosed.
+    *
+    * Scale: touched groups are removal-bounded; the re-match and
+    * closure run over their survivors only (never history²); the
+    * stored table contributes one broadcast semi/anti probe pair. */
+  def entityTakedown(part: DataFrame, removalKeys: DataFrame,
+                     stored: DataFrame): DataFrame = {
+    val rm = broadcast(removalKeys.select(col("p_partkey")).distinct()
+      .localCheckpoint(false)) // touched probe + survivor anti-join
+    val touched = stored.join(rm, Seq("p_partkey"), "left_semi")
+      .select(col("entity_id")).distinct()
+    val untouched = stored.join(broadcast(touched), Seq("entity_id"), "left_anti")
+      .select(col("p_partkey"), col("entity_id"), col("n_members"),
+        col("canonical_name"), lit("untouched").as("status"))
+    val survivors = stored.join(broadcast(touched), Seq("entity_id"), "left_semi")
+      .join(rm, Seq("p_partkey"), "left_anti")
+      .select(col("p_partkey"))
+    val subPart = part.join(broadcast(survivors), Seq("p_partkey"), "left_semi")
+      .localCheckpoint(false) // edges + closure nodes + canonical lookup
+    val edges = TextOps.fuzzyNameMatch(subPart)
+      .select(col("key_i").as("doc_i"), col("key_j").as("doc_j"))
+    val labels = connectedComponents(
+      subPart.select(col("p_partkey").as("doc_id")), edges)
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("n_members"))
+    val reclosed = labels.join(sizes, "cluster_id")
+      .join(subPart.select(col("p_partkey").as("cluster_id"),
+        col("p_name").as("canonical_name")), "cluster_id")
+      .select(col("doc_id").as("p_partkey"), col("cluster_id").as("entity_id"),
+        col("n_members"), col("canonical_name"), lit("reclosed").as("status"))
+    untouched.unionByName(reclosed).orderBy(col("p_partkey"))
+  }
+
   /** INCREMENTAL entity resolution — the q92/q109 batch-vs-stored
     * pattern over the [[entityGroups]] alias store: a new batch of
     * dim records resolves against the STORED groups without ever

@@ -5847,6 +5847,67 @@ object Catalog {
               |       CAST(n_before - n_after AS BIGINT) AS n_removed, clean
               |FROM allr ORDER BY artifact, "key"""".stripMargin)),
 
+    // ENTITY-ALIAS takedown (q276, r15): removal of dim records from
+    // the persisted alias store by touched-group re-close — a removed
+    // BRIDGE record legitimately SPLITS its group, which no row-delete
+    // can express. The oracle rebuilds the closure over
+    // part-minus-removal from scratch (and the old closure for the
+    // touched set), so a hash match proves the touched-only re-close
+    // equals the full rebuild, splits included.
+    QuerySpec(
+      "q276_entity_takedown",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{lit, pmod}
+        val part = Tables.part(s, dir)
+        DedupOps.entityTakedown(
+          part,
+          part.filter(pmod(col("p_partkey"), lit(17)) === 4)
+            .select(col("p_partkey")),
+          DedupOps.entityGroupsFor(part, tag = dir))
+      },
+      Some("""WITH RECURSIVE rm AS (
+             |  SELECT p_partkey FROM part WHERE p_partkey % 17 = 4),
+             |pro AS (
+             |  SELECT a.p_partkey AS doc_i, b.p_partkey AS doc_j
+             |  FROM part a JOIN part b
+             |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+             |  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+             |eo AS (SELECT doc_i AS src, doc_j AS dst FROM pro
+             |       UNION ALL SELECT doc_j, doc_i FROM pro),
+             |reacho(node, lbl) AS (
+             |  SELECT p_partkey, p_partkey FROM part
+             |  UNION
+             |  SELECT eo.dst, r.lbl FROM reacho r JOIN eo ON eo.src = r.node),
+             |oldcl AS (SELECT node AS p_partkey, MIN(lbl) AS old_entity
+             |          FROM reacho GROUP BY node),
+             |touched AS (
+             |  SELECT DISTINCT old_entity FROM oldcl JOIN rm USING (p_partkey)),
+             |keep AS (SELECT * FROM part
+             |         WHERE p_partkey NOT IN (SELECT p_partkey FROM rm)),
+             |prn AS (
+             |  SELECT a.p_partkey AS doc_i, b.p_partkey AS doc_j
+             |  FROM keep a JOIN keep b
+             |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+             |  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+             |en AS (SELECT doc_i AS src, doc_j AS dst FROM prn
+             |       UNION ALL SELECT doc_j, doc_i FROM prn),
+             |reachn(node, lbl) AS (
+             |  SELECT p_partkey, p_partkey FROM keep
+             |  UNION
+             |  SELECT en.dst, r.lbl FROM reachn r JOIN en ON en.src = r.node),
+             |newcl AS (SELECT node AS p_partkey, MIN(lbl) AS entity_id
+             |          FROM reachn GROUP BY node),
+             |sz AS (SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_members
+             |       FROM newcl GROUP BY 1)
+             |SELECT newcl.p_partkey, newcl.entity_id, sz.n_members,
+             |       cn.p_name AS canonical_name,
+             |       CASE WHEN oc.old_entity IN (SELECT old_entity FROM touched)
+             |            THEN 'reclosed' ELSE 'untouched' END AS status
+             |FROM newcl JOIN sz USING (entity_id)
+             |JOIN keep cn ON cn.p_partkey = newcl.entity_id
+             |JOIN oldcl oc ON oc.p_partkey = newcl.p_partkey
+             |ORDER BY newcl.p_partkey""".stripMargin)),
+
     // IVF MERGE applier (q271): the fit-free inverse of the q259
     // split and the takedown's index-side follow-up — a deletion-heavy
     // purge (here: lists 0-2 keep only every 7th vector) leaves

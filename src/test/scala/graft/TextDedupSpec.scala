@@ -1966,6 +1966,38 @@ class TextDedupSpec extends SparkSpec {
     assert(st4._5 > 0, "fixture must exercise the deny path at the gate")
   }
 
+  test("entity takedown: a removed bridge record splits its group; result equals a full rebuild") {
+    import spark.implicits._
+    // chain fixture: 1—2—3 (each link within Levenshtein 2, the ends
+    // 4 apart) — removing the middle record MUST split the group
+    val part = Seq(
+      (1L, "aaaaaa", "B1"), (2L, "aaaabb", "B1"), (3L, "aabbbb", "B1"),
+      (4L, "zzzzzz", "B2"))
+      .toDF("p_partkey", "p_name", "p_brand")
+    val stored = DedupOps.entityGroups(part)
+    assert(stored.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L), "chain closes into one group")
+    val after = DedupOps.entityTakedown(part, Seq(2L).toDF("p_partkey"), stored)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    assert(after.keySet == Set(1L, 3L, 4L))
+    assert(after(1L) == ((1L, 1L, "aaaaaa", "reclosed")), s"got ${after(1L)}")
+    assert(after(3L) == ((3L, 1L, "aabbbb", "reclosed")),
+      "the bridge removal must SPLIT 1 and 3 into singletons")
+    assert(after(4L) == ((4L, 1L, "zzzzzz", "untouched")),
+      "the untouched group passes through verbatim")
+    // fixture corpus: touched-only re-close ≡ full rebuild row-for-row
+    val p = Tables.part(spark, sf)
+    val rm = p.filter(pmod(col("p_partkey"), lit(17)) === 4)
+      .select(col("p_partkey"))
+    val got = DedupOps.entityTakedown(p, rm, DedupOps.entityGroups(p))
+      .drop("status").collect().map(_.toString).sorted.toSeq
+    val rebuild = DedupOps.entityGroups(p.join(rm, Seq("p_partkey"), "left_anti"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == rebuild, "takedown must equal the full rebuild, splits included")
+  }
+
   test("LM subtract is the exact inverse of merge and equals a full retrain") {
     import spark.implicits._
     val base = docs.filter(col("doc_id") <= 200)
