@@ -1940,4 +1940,102 @@ object CorpusOps {
       .unionByName(section("manifest_cert", col("k"), certSec))
       .orderBy(col("artifact"), col("key"))
   }
+
+  /** TAKEDOWN SERVING CERTIFICATION (q277) — the proof the q268/q270/
+    * q273 ledgers exist to enable: after the purge, drive EVERY
+    * serving surface against its purged store and certify, per
+    * surface, that (a) no removed document can be returned
+    * (`n_leaked_post` = 0), (b) the surface still serves full listings
+    * (`n_slots_post` = `n_slots_pre` — availability, not just
+    * deletion), and (c) the BLAST RADIUS is visible: `n_removed_pre`
+    * counts the pre-purge top-k slots the removed documents occupied
+    * and `n_backfilled` the post-purge entrants that replaced them
+    * (the two are equal on pointwise-scored surfaces — exact cosine,
+    * IVF, PQ — where removing r rows from a listing admits exactly
+    * the next r candidates; BM25 re-prices df/avgdl on the purged
+    * index and the binary surface re-cuts its hamming candidate set,
+    * so theirs may legitimately diverge, which is why both numbers
+    * are reported instead of asserted).
+    *
+    * Surfaces and their purged stores (all anti-joins on the
+    * broadcast removal set — removal-bounded, never a corpus rewrite):
+    * BM25 over purged postings + doc lengths
+    * ([[RetrievalOps.bm25TopKFromIndex]]), exact cosine over the
+    * purged embedding table, IVF probe over purged assignments with
+    * the UNCHANGED coarse centers (members leave, the quantizer
+    * stays — re-fitting is q259/q271's job, not the takedown's),
+    * PQ ADC over purged codes (encoding is pointwise, so encoding the
+    * purged corpus ≡ purging the stored codes), and the
+    * hamming-prune + exact-re-rank binary surface over purged
+    * signatures.
+    *
+    * Scale: each surface's query path is the already-audited serving
+    * plan (query-bounded candidate sets, broadcast queries); the cert
+    * adds only removal-sized semi-joins and top-k-sized anti-joins on
+    * (qid, id). Queries must survive the purge (a removed document's
+    * vector is itself removed content): callers pick `nQueries` below
+    * the smallest removed id, which the removal predicates in the
+    * catalog guarantee. */
+  def takedownServingCert(removal: DataFrame,
+                          postings: DataFrame, doclens: DataFrame,
+                          embeddings: DataFrame,
+                          index: SimilarityOps.IvfIndex,
+                          pqCb: SimilarityOps.PqCodebook,
+                          sigs: DataFrame,
+                          queries: Seq[String] = RetrievalOps.defaultQueries,
+                          nQueries: Int = 5, k: Int = 10, nProbe: Int = 4,
+                          nCandidates: Int = 50): DataFrame = {
+    val rm = broadcast(removal.select(col("doc_id")).distinct()
+      .localCheckpoint(false)) // every surface anti-joins + probes it
+    val rmVec = rm.select(col("doc_id").as("vec_id"))
+    def antiDoc(df: DataFrame) = df.join(rm, Seq("doc_id"), "left_anti")
+    def antiVec(df: DataFrame) = df.join(rmVec, Seq("vec_id"), "left_anti")
+    // three post-surfaces (exact, PQ, binary re-rank) read the purged
+    // vector table — pay the anti-join once
+    val embPurged = antiVec(embeddings).localCheckpoint(false)
+    def row(surface: String, pre: DataFrame, post: DataFrame,
+            idCol: String): DataFrame = {
+      val p0 = pre.select(col("qid"), col(idCol).as("id"))
+        .localCheckpoint(false) // slot count + leak probe + backfill anti-join
+      val p1 = post.select(col("qid"), col(idCol).as("id"))
+        .localCheckpoint(false)
+      val rmId = rm.select(col("doc_id").as("id"))
+      p0.agg(count(lit(1)).cast("long").as("n_slots_pre"))
+        .crossJoin(p1.agg(count(lit(1)).cast("long").as("n_slots_post")))
+        .crossJoin(p0.join(rmId, Seq("id"), "left_semi")
+          .agg(count(lit(1)).cast("long").as("n_removed_pre")))
+        .crossJoin(p1.join(rmId, Seq("id"), "left_semi")
+          .agg(count(lit(1)).cast("long").as("n_leaked_post")))
+        .crossJoin(p1.join(p0, Seq("qid", "id"), "left_anti")
+          .agg(count(lit(1)).cast("long").as("n_backfilled")))
+        .select(lit(surface).as("surface"), col("n_slots_pre"),
+          col("n_slots_post"), col("n_removed_pre"), col("n_leaked_post"),
+          col("n_backfilled"),
+          (col("n_leaked_post") === 0 &&
+            col("n_slots_post") === col("n_slots_pre")).as("clean"))
+    }
+    row("bm25",
+        RetrievalOps.bm25TopKFromIndex(postings, doclens, queries, k),
+        RetrievalOps.bm25TopKFromIndex(antiDoc(postings), antiDoc(doclens),
+          queries, k),
+        "doc_id")
+      .unionByName(row("exact_cosine",
+        SimilarityOps.exactCosineTop(embeddings, nQueries, k),
+        SimilarityOps.exactCosineTop(embPurged, nQueries, k), "vec_id"))
+      .unionByName(row("ivf_exact",
+        SimilarityOps.ivfTopK(index, nQueries, k, nProbe),
+        SimilarityOps.ivfTopK(index.copy(assigned = antiVec(index.assigned)),
+          nQueries, k, nProbe),
+        "vec_id"))
+      .unionByName(row("pq_adc",
+        SimilarityOps.pqAdcTop(pqCb, embeddings, nQueries, k),
+        SimilarityOps.pqAdcTop(pqCb, embPurged, nQueries, k), "vec_id"))
+      .unionByName(row("binary_hamming",
+        SimilarityOps.binaryCosineTop(embeddings, sigs, nQueries, k,
+          nCandidates),
+        SimilarityOps.binaryCosineTop(embPurged, antiVec(sigs), nQueries, k,
+          nCandidates),
+        "vec_id"))
+      .orderBy(col("surface"))
+  }
 }

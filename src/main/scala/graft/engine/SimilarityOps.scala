@@ -319,6 +319,27 @@ object SimilarityOps {
                                 hd: Column, nQueries: Int,
                                 k: Int, nCandidates: Int,
                                 exactTop: Option[DataFrame]): DataFrame = {
+    val (binTop, nCand) =
+      hammingCosineTop(embeddings, sigSrc, hd, nQueries, k, nCandidates)
+    val exactTopDf = exactTop.getOrElse(exactCosineTop(embeddings, nQueries, k))
+    exactTopDf.join(binTop.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"),
+           count(lit(1)).cast("long").as("k"))
+      .join(nCand, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("n_hits"), col("k"))
+      .orderBy(col("qid"))
+  }
+
+  /** The hamming-prune + exact-re-rank ranking itself: the binary
+    * surface's (qid, vec_id) top-k plus per-query candidate counts.
+    * Factored out of [[hammingRecallImpl]] so the takedown serving
+    * certification (q277) can drive the same listing over a purged
+    * signature store. */
+  private def hammingCosineTop(embeddings: DataFrame, sigSrc: DataFrame,
+                               hd: Column, nQueries: Int, k: Int,
+                               nCandidates: Int): (DataFrame, DataFrame) = {
     val v = withVec(embeddings).select(col("vec_id"), col("vec"), col("norm"))
     val sigs = sigSrc.select(col("vec_id"), col("sig"))
     val q = v.filter(col("vec_id") < nQueries)
@@ -348,16 +369,17 @@ object SimilarityOps {
       .withColumn("rn", row_number().over(wS))
       .filter(col("rn") <= k)
       .select(col("qid"), col("vec_id"))
-    val exactTopDf = exactTop.getOrElse(exactCosineTop(embeddings, nQueries, k))
-    exactTopDf.join(binTop.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
-      .groupBy(col("qid"))
-      .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"),
-           count(lit(1)).cast("long").as("k"))
-      .join(nCand, Seq("qid"), "left")
-      .select(col("qid"), coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-        col("n_hits"), col("k"))
-      .orderBy(col("qid"))
+    (binTop, nCand)
   }
+
+  /** Single-long binary surface listing for the 64-d corpus — the
+    * q264 ranking's ids, exposed for the q277 certification. */
+  private[engine] def binaryCosineTop(embeddings: DataFrame, sigs: DataFrame,
+                                      nQueries: Int, k: Int,
+                                      nCandidates: Int): DataFrame =
+    hammingCosineTop(embeddings, sigs,
+      bit_count(col("sig").bitwiseXOR(col("qsig"))), nQueries, k,
+      nCandidates)._1
 
   /** ANN LADDER decision table (q266) — the serving-policy capstone
     * over the quantization family: one row per rung with its storage
@@ -1248,6 +1270,22 @@ object SimilarityOps {
   def pqAdcRecall(cb: PqCodebook, embeddings: DataFrame,
                   nQueries: Int = 5, k: Int = 10,
                   exactTop: Option[DataFrame] = None): DataFrame = {
+    val adcTop = pqAdcTop(cb, embeddings, nQueries, k)
+    val exactTopDf = exactTop.getOrElse(exactEuclideanTop(embeddings, nQueries, k))
+    exactTopDf.join(adcTop.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"),
+           count(lit(1)).cast("long").as("k"))
+      .orderBy(col("qid"))
+  }
+
+  /** The ADC ranking itself — (qid, vec_id) top-k rows, the serving
+    * listing [[pqAdcRecall]] measures. Factored out so the takedown
+    * serving certification (q277) can drive the SAME ranking over a
+    * purged corpus: encoding is pointwise, so ADC over
+    * documents-minus-removal equals the purged stored-codes path. */
+  private[engine] def pqAdcTop(cb: PqCodebook, embeddings: DataFrame,
+                               nQueries: Int, k: Int): DataFrame = {
     val sd = cb.subDim
     val m = cb.m
     val v = embeddings
@@ -1272,14 +1310,8 @@ object SimilarityOps {
       .withColumn("adc_d2",
         (0 until m).map(s => col(s"e$s")).reduceLeft(_ + _))
     val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc_d2"), col("vec_id"))
-    val adcTop = adc.withColumn("rn", row_number().over(wAdc)).filter(col("rn") <= k)
+    adc.withColumn("rn", row_number().over(wAdc)).filter(col("rn") <= k)
       .select(col("qid"), col("vec_id"))
-    val exactTopDf = exactTop.getOrElse(exactEuclideanTop(embeddings, nQueries, k))
-    exactTopDf.join(adcTop.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
-      .groupBy(col("qid"))
-      .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"),
-           count(lit(1)).cast("long").as("k"))
-      .orderBy(col("qid"))
   }
 
   /** Versioned tag for the refit codebook (q260): the v2 artifact

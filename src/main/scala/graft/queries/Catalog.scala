@@ -5908,6 +5908,35 @@ object Catalog {
              |JOIN oldcl oc ON oc.p_partkey = newcl.p_partkey
              |ORDER BY newcl.p_partkey""".stripMargin)),
 
+    // TAKEDOWN SERVING CERTIFICATION (q277, r15): after the q270/q273
+    // purge, every serving surface (BM25, exact cosine, IVF probe,
+    // PQ ADC, binary hamming) runs against its purged store; the
+    // report certifies zero removed-doc leakage, full listing
+    // availability, and the blast radius (slots lost / backfilled).
+    // Removal is doc_id % 17 = 6 so the shared query set (qid < 5,
+    // BM25 qids 0-2) survives the purge — querying with removed
+    // content would itself be a leak. The oracle replays all TEN
+    // listings (five surfaces × pre/post) from the raw tables + the
+    // dumped IVF/PQ state and recomputes every count.
+    QuerySpec(
+      "q277_takedown_cert",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{lit, pmod}
+        val docs = Tables.documents(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val idx = SimilarityOps.ivfIndexFor(emb, tag = dir)
+        CorpusOps.takedownServingCert(
+          docs.filter(pmod(col("doc_id"), lit(17)) === 6)
+            .select(col("doc_id")),
+          RetrievalShared.postings(s, dir),
+          RetrievalShared.docLengths(s, dir),
+          emb, idx,
+          SimilarityOps.pqCodebookFor(emb, tag = dir),
+          SimilarityOps.binarySigsFor(emb, tag = dir))
+      },
+      Some(q277OracleSql),
+      dumps = Seq(ivfDump, pqDump)),
+
     // IVF MERGE applier (q271): the fit-free inverse of the q259
     // split and the takedown's index-side follow-up — a deletion-heavy
     // purge (here: lists 0-2 keep only every 7th vector) leaves
@@ -6543,6 +6572,161 @@ object Catalog {
               |LEFT JOIN bt ON ext.qid = bt.qid AND ext.vec_id = bt.vec_id
               |LEFT JOIN nc ON ext.qid = nc.qid
               |GROUP BY ext.qid, nc.n_candidates ORDER BY ext.qid""".stripMargin
+
+  /** q277 oracle building block: the five serving-surface top-k
+    * listings as named CTEs with suffix `sfx`, each optionally
+    * corpus-filtered by the removal predicate (`purged` = the
+    * post-takedown store). Shares the suffix-free CTEs (rm/q/toks/
+    * dl0/nv/qv/assign/centers/cb/codes/lut/sgn/qb) emitted once by
+    * [[q277OracleSql]]. */
+  private def q277Chains(sfx: String, purged: Boolean): String = {
+    def f(c: String) = if (purged) s" AND $c % 17 <> 6" else ""
+    s"""tf$sfx AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+       |        WHERE w IN (SELECT w FROM q)${f("doc_id")} GROUP BY doc_id, w),
+       |dfw$sfx AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf$sfx GROUP BY w),
+       |dl$sfx AS (SELECT doc_id, dl FROM dl0 WHERE TRUE${f("doc_id")}),
+       |c$sfx AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl$sfx),
+       |s$sfx AS (SELECT q.qid, t.doc_id,
+       |            CAST(floor((((nn - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
+       |                  (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (CAST(sumdl AS DOUBLE) / nn))))
+       |                 * 1000000000.0) AS BIGINT) AS score_t_ppb
+       |     FROM tf$sfx t JOIN q USING (w) JOIN dfw$sfx USING (w)
+       |     JOIN dl$sfx USING (doc_id) CROSS JOIN c$sfx),
+       |bm$sfx AS (SELECT qid, id FROM (
+       |     SELECT qid, doc_id AS id,
+       |            row_number() OVER (PARTITION BY qid
+       |              ORDER BY SUM(score_t_ppb) DESC, doc_id) AS rk
+       |     FROM s$sfx GROUP BY qid, doc_id) WHERE rk <= 10),
+       |xc$sfx AS (SELECT qid, id FROM (
+       |     SELECT qid, vec_id AS id,
+       |            row_number() OVER (PARTITION BY qid
+       |              ORDER BY list_inner_product(qe, e) / (qn * nrm) DESC, vec_id) AS rn
+       |     FROM nv CROSS JOIN qv WHERE vec_id <> qid${f("vec_id")}) WHERE rn <= 10),
+       |iv$sfx AS (SELECT qid, id FROM (
+       |     SELECT p.qid, a.vec_id AS id,
+       |            row_number() OVER (PARTITION BY p.qid
+       |              ORDER BY list_inner_product(q2.qe, nv.e) / (q2.qn * nv.nrm) DESC,
+       |                       a.vec_id) AS rn
+       |     FROM probes p JOIN assign a USING (list_id)
+       |     JOIN nv ON nv.vec_id = a.vec_id JOIN qv q2 ON q2.qid = p.qid
+       |     WHERE a.vec_id <> p.qid${f("a.vec_id")}) WHERE rn <= 10),
+       |adc$sfx AS (
+       |  SELECT qid, vec_id,
+       |         MAX(CASE WHEN s.subspace = 0 THEN qd2 END) AS e0,
+       |         MAX(CASE WHEN s.subspace = 1 THEN qd2 END) AS e1,
+       |         MAX(CASE WHEN s.subspace = 2 THEN qd2 END) AS e2,
+       |         MAX(CASE WHEN s.subspace = 3 THEN qd2 END) AS e3
+       |  FROM codes s JOIN lut USING (subspace, code)
+       |  WHERE vec_id <> qid${f("vec_id")} GROUP BY qid, vec_id),
+       |pq$sfx AS (SELECT qid, id FROM (
+       |     SELECT qid, vec_id AS id,
+       |            row_number() OVER (PARTITION BY qid
+       |              ORDER BY e0 + e1 + e2 + e3, vec_id) AS rn
+       |     FROM adc$sfx) WHERE rn <= 10),
+       |h$sfx AS (SELECT qid, s.vec_id, bit_count(xor(sig, qsig)) AS hd
+       |     FROM sgn s CROSS JOIN qb WHERE s.vec_id <> qid${f("s.vec_id")}),
+       |cnd$sfx AS (SELECT qid, vec_id FROM (
+       |     SELECT *, row_number() OVER (PARTITION BY qid ORDER BY hd, vec_id) AS cr
+       |     FROM h$sfx) WHERE cr <= 50),
+       |bi$sfx AS (SELECT qid, id FROM (
+       |     SELECT c.qid, c.vec_id AS id,
+       |            row_number() OVER (PARTITION BY c.qid
+       |              ORDER BY list_inner_product(qb.qe, nv.e) / (qb.qn * nv.nrm) DESC,
+       |                       c.vec_id) AS rn
+       |     FROM cnd$sfx c JOIN nv ON nv.vec_id = c.vec_id
+       |     JOIN qb ON qb.qid = c.qid) WHERE rn <= 10)""".stripMargin
+  }
+
+  /** q277 oracle building block: one certification row from a
+    * (pre, post) listing pair. */
+  private def q277CertRow(surface: String, pre: String, post: String): String =
+    s"""SELECT '$surface' AS surface,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $pre) AS n_slots_pre,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $post) AS n_slots_post,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $pre
+       |   WHERE id IN (SELECT doc_id FROM rm)) AS n_removed_pre,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $post
+       |   WHERE id IN (SELECT doc_id FROM rm)) AS n_leaked_post,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $post p2
+       |   WHERE NOT EXISTS (SELECT 1 FROM $pre p1
+       |                     WHERE p1.qid = p2.qid AND p1.id = p2.id)) AS n_backfilled""".stripMargin
+
+  private def q277OracleSql: String =
+    s"""WITH rm AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 17 = 6),
+       |q(qid, w) AS (
+       |  VALUES (0, 'hash'), (0, 'join'), (1, 'table'), (1, 'scan'),
+       |         (2, 'stream'), (2, 'filter')),
+       |toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS w
+       |  FROM documents),
+       |dl0 AS (SELECT doc_id,
+       |               CAST(len(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS BIGINT) AS dl
+       |        FROM documents),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |nv AS (SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm FROM v),
+       |qv AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM nv WHERE vec_id < 5),
+       |assign AS (
+       |  SELECT vec_id, CAST(list_id AS BIGINT) AS list_id
+       |  FROM read_parquet('/tmp/graft_ivf_oracle/assign/*.parquet')),
+       |centers AS (
+       |  SELECT CAST(c_list_id AS BIGINT) AS c_list_id, CAST(centroid AS DOUBLE[]) AS c
+       |  FROM read_parquet('/tmp/graft_ivf_oracle/centers/*.parquet')),
+       |qd AS (
+       |  SELECT qid, c_list_id,
+       |         list_sum(list_transform(list_zip(qe, c), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+       |  FROM qv CROSS JOIN centers),
+       |probes AS (
+       |  SELECT qid, list_id FROM (
+       |    SELECT qid, c_list_id AS list_id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY d2, c_list_id) AS pr
+       |    FROM qd) WHERE pr <= 4),
+       |cb AS (
+       |  SELECT CAST(subspace AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code,
+       |         CAST(centroid AS DOUBLE[]) AS c
+       |  FROM read_parquet('/tmp/graft_pq_oracle/centers/*.parquet')),
+       |d AS (
+       |  SELECT vec_id, subspace, code,
+       |         list_sum(list_transform(
+       |           list_zip(list_slice(e, subspace * 16 + 1, subspace * 16 + 16), c),
+       |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+       |  FROM v CROSS JOIN cb),
+       |codes AS (
+       |  SELECT vec_id, subspace, code
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+       |                                     ORDER BY d2, code) AS rk FROM d)
+       |  WHERE rk = 1),
+       |lut AS (
+       |  SELECT qid, subspace, code,
+       |         list_sum(list_transform(
+       |           list_zip(list_slice(qe, subspace * 16 + 1, subspace * 16 + 16), c),
+       |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qd2
+       |  FROM qv CROSS JOIN cb),
+       |sg0 AS (
+       |  SELECT vec_id, e,
+       |         list_sum(list_transform(list_zip(e, range(0, 64)),
+       |           p -> CASE WHEN p[1] > 0 THEN CAST(2.0 ** p[2] AS HUGEINT)
+       |                ELSE CAST(0 AS HUGEINT) END)) AS uh
+       |  FROM v),
+       |sgn AS (SELECT sg0.vec_id, $toSignedSql AS sig, nrm
+       |        FROM sg0 JOIN nv ON nv.vec_id = sg0.vec_id),
+       |qb AS (SELECT sgn.vec_id AS qid, qe, qn, sig AS qsig
+       |       FROM sgn JOIN qv ON qv.qid = sgn.vec_id),
+       |${q277Chains("a", purged = false)},
+       |${q277Chains("p", purged = true)},
+       |certrows AS (
+       |  ${q277CertRow("bm25", "bma", "bmp")}
+       |  UNION ALL
+       |  ${q277CertRow("exact_cosine", "xca", "xcp")}
+       |  UNION ALL
+       |  ${q277CertRow("ivf_exact", "iva", "ivp")}
+       |  UNION ALL
+       |  ${q277CertRow("pq_adc", "pqa", "pqp")}
+       |  UNION ALL
+       |  ${q277CertRow("binary_hamming", "bia", "bip")})
+       |SELECT surface, n_slots_pre, n_slots_post, n_removed_pre,
+       |       n_leaked_post, n_backfilled,
+       |       (n_leaked_post = 0 AND n_slots_post = n_slots_pre) AS clean
+       |FROM certrows ORDER BY surface""".stripMargin
 
   // ---------------------------------------------------------------- //
   // north-star: multimodal binary columns

@@ -1226,4 +1226,42 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(staleApply.exists(!_.getBoolean(5)),
       "the apply must flag a stale manifest clean = false")
   }
+
+  test("takedown serving cert: no surface serves a removed doc; pointwise surfaces backfill 1:1") {
+    import graft.queries.RetrievalShared
+    val docs = Tables.documents(spark, sf)
+    val removal = docs.filter(pmod(col("doc_id"), lit(17)) === 6)
+      .select(col("doc_id"))
+    val idx = SimilarityOps.ivfIndexFor(emb, tag = sf)
+    val res = CorpusOps.takedownServingCert(removal,
+        RetrievalShared.postings(spark, sf),
+        RetrievalShared.docLengths(spark, sf),
+        emb, idx,
+        SimilarityOps.pqCodebookFor(emb, tag = sf),
+        SimilarityOps.binarySigsFor(emb, tag = sf)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(res.keySet == Set("bm25", "exact_cosine", "ivf_exact", "pq_adc",
+      "binary_hamming"))
+    res.foreach { case (s, (pre, post, _, leaked, _, clean)) =>
+      // compliance: the purged store can never return a removed id
+      assert(leaked == 0L, s"$s serves a removed doc post-purge")
+      // availability: the purge must not shorten any listing
+      assert(post == pre, s"$s listing shrank: $pre -> $post")
+      assert(clean, s"$s clean flag")
+    }
+    // pointwise-scored surfaces (per-candidate score is independent of
+    // the rest of the corpus) admit EXACTLY the next candidates: the
+    // backfill equals the blast radius. BM25 re-prices df/avgdl and
+    // the binary surface re-cuts its hamming candidate set, so those
+    // two are reported, not asserted.
+    Seq("exact_cosine", "ivf_exact", "pq_adc").foreach { s =>
+      assert(res(s)._5 == res(s)._3, s"$s must backfill 1:1 " +
+        s"(removed_pre=${res(s)._3}, backfilled=${res(s)._5})")
+    }
+    // the fixture actually exercises the purge: removed docs held
+    // pre-purge top-k slots somewhere
+    assert(res.values.map(_._3).sum > 0,
+      "removal must intersect some pre-purge listing")
+  }
 }
