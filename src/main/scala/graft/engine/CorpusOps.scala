@@ -1990,52 +1990,64 @@ object CorpusOps {
     val rmVec = rm.select(col("doc_id").as("vec_id"))
     def antiDoc(df: DataFrame) = df.join(rm, Seq("doc_id"), "left_anti")
     def antiVec(df: DataFrame) = df.join(rmVec, Seq("vec_id"), "left_anti")
-    // three post-surfaces (exact, PQ, binary re-rank) read the purged
-    // vector table — pay the anti-join once
-    val embPurged = antiVec(embeddings).localCheckpoint(false)
-    def row(surface: String, pre: DataFrame, post: DataFrame,
-            idCol: String): DataFrame = {
-      val p0 = pre.select(col("qid"), col(idCol).as("id"))
-        .localCheckpoint(false) // slot count + leak probe + backfill anti-join
-      val p1 = post.select(col("qid"), col(idCol).as("id"))
-        .localCheckpoint(false)
-      val rmId = rm.select(col("doc_id").as("id"))
-      p0.agg(count(lit(1)).cast("long").as("n_slots_pre"))
-        .crossJoin(p1.agg(count(lit(1)).cast("long").as("n_slots_post")))
-        .crossJoin(p0.join(rmId, Seq("id"), "left_semi")
-          .agg(count(lit(1)).cast("long").as("n_removed_pre")))
-        .crossJoin(p1.join(rmId, Seq("id"), "left_semi")
-          .agg(count(lit(1)).cast("long").as("n_leaked_post")))
-        .crossJoin(p1.join(p0, Seq("qid", "id"), "left_anti")
-          .agg(count(lit(1)).cast("long").as("n_backfilled")))
-        .select(lit(surface).as("surface"), col("n_slots_pre"),
-          col("n_slots_post"), col("n_removed_pre"), col("n_leaked_post"),
-          col("n_backfilled"),
-          (col("n_leaked_post") === 0 &&
-            col("n_slots_post") === col("n_slots_pre")).as("clean"))
-    }
-    row("bm25",
-        RetrievalOps.bm25TopKFromIndex(postings, doclens, queries, k),
-        RetrievalOps.bm25TopKFromIndex(antiDoc(postings), antiDoc(doclens),
-          queries, k),
-        "doc_id")
-      .unionByName(row("exact_cosine",
-        SimilarityOps.exactCosineTop(embeddings, nQueries, k),
-        SimilarityOps.exactCosineTop(embPurged, nQueries, k), "vec_id"))
-      .unionByName(row("ivf_exact",
-        SimilarityOps.ivfTopK(index, nQueries, k, nProbe),
-        SimilarityOps.ivfTopK(index.copy(assigned = antiVec(index.assigned)),
-          nQueries, k, nProbe),
-        "vec_id"))
-      .unionByName(row("pq_adc",
-        SimilarityOps.pqAdcTop(pqCb, embeddings, nQueries, k),
-        SimilarityOps.pqAdcTop(pqCb, embPurged, nQueries, k), "vec_id"))
-      .unionByName(row("binary_hamming",
-        SimilarityOps.binaryCosineTop(embeddings, sigs, nQueries, k,
-          nCandidates),
-        SimilarityOps.binaryCosineTop(embPurged, antiVec(sigs), nQueries, k,
-          nCandidates),
-        "vec_id"))
+    val pre = servingListings(postings, doclens, embeddings, index, pqCb,
+        sigs, queries, nQueries, k, nProbe, nCandidates)
+      .localCheckpoint(false) // slot/leak aggregate + backfill anti-join
+    val post = servingListings(antiDoc(postings), antiDoc(doclens),
+        antiVec(embeddings), index.copy(assigned = antiVec(index.assigned)),
+        pqCb, antiVec(sigs), queries, nQueries, k, nProbe, nCandidates)
+      .localCheckpoint(false)
+    val backfill = post.join(pre, Seq("surface", "qid", "id"), "left_anti")
+      .groupBy(col("surface"))
+      .agg(count(lit(1)).cast("long").as("n_backfilled"))
+    leakAgg(pre, rm, "n_slots_pre", "n_removed_pre")
+      .join(leakAgg(post, rm, "n_slots_post", "n_leaked_post"), Seq("surface"))
+      .join(backfill, Seq("surface"), "left_outer")
+      .na.fill(0L, Seq("n_backfilled"))
+      .select(col("surface"), col("n_slots_pre"), col("n_slots_post"),
+        col("n_removed_pre"), col("n_leaked_post"), col("n_backfilled"),
+        (col("n_leaked_post") === 0 &&
+          col("n_slots_post") === col("n_slots_pre")).as("clean"))
       .orderBy(col("surface"))
   }
+
+  /** The five serving listings as ONE tagged relation
+    * (surface, qid, id) — the shared core of [[takedownServingCert]]
+    * (which drives it twice, pre- and post-purge) and the streaming
+    * compliance monitor ([[graft.engine.StreamOps.streamingTakedownServe]],
+    * which drives it over the carried stores each tick). */
+  private[graft] def servingListings(postings: DataFrame, doclens: DataFrame,
+      embeddings: DataFrame, index: SimilarityOps.IvfIndex,
+      pqCb: SimilarityOps.PqCodebook, sigs: DataFrame,
+      queries: Seq[String] = RetrievalOps.defaultQueries,
+      nQueries: Int = 5, k: Int = 10, nProbe: Int = 4,
+      nCandidates: Int = 50): DataFrame = {
+    def tag(name: String, df: DataFrame, idCol: String) =
+      df.select(lit(name).as("surface"), col("qid").cast("long").as("qid"),
+        col(idCol).cast("long").as("id"))
+    tag("bm25",
+        RetrievalOps.bm25TopKFromIndex(postings, doclens, queries, k),
+        "doc_id")
+      .unionByName(tag("exact_cosine",
+        SimilarityOps.exactCosineTop(embeddings, nQueries, k), "vec_id"))
+      .unionByName(tag("ivf_exact",
+        SimilarityOps.ivfTopK(index, nQueries, k, nProbe), "vec_id"))
+      .unionByName(tag("pq_adc",
+        SimilarityOps.pqAdcTop(pqCb, embeddings, nQueries, k), "vec_id"))
+      .unionByName(tag("binary_hamming",
+        SimilarityOps.binaryCosineTop(embeddings, sigs, nQueries, k,
+          nCandidates), "vec_id"))
+  }
+
+  /** Per-surface (slots, leaks-vs-removal) aggregate over a tagged
+    * listing — one broadcast probe join, surfaces-sized output. */
+  private[graft] def leakAgg(listing: DataFrame, removal: DataFrame,
+                             slotsCol: String, leakCol: String): DataFrame =
+    listing.join(
+        broadcast(removal.select(col("doc_id").as("id"))
+          .withColumn("is_rm", lit(1L))),
+        Seq("id"), "left_outer")
+      .groupBy(col("surface"))
+      .agg(count(lit(1)).cast("long").as(slotsCol),
+           sum(coalesce(col("is_rm"), lit(0L))).cast("long").as(leakCol))
 }

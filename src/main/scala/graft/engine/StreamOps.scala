@@ -901,6 +901,80 @@ object StreamOps {
       .start()
   }
 
+  /** STREAMING takedown SERVING monitor — q277 live: the compliance
+    * invariant a serving stack must hold CONTINUOUSLY, not just at
+    * purge time. Removal requests stream in; each tick (1) purges the
+    * tick's ids from every carried serving store (postings /
+    * doc-lengths / vectors / IVF assignments / binary signatures —
+    * one broadcast anti-join each: the q270 purge applied to the
+    * serving artifacts), then (2) re-drives all five serving listings
+    * over the purged stores ([[CorpusOps.servingListings]]) and
+    * certifies them against the CUMULATIVE removal set — an id
+    * removed at ANY earlier tick must stay unservable forever, so the
+    * leak probe runs against the whole queue, not just the tick. The
+    * tick-stamped cert (surface, n_slots, n_leaked, clean) appends to
+    * `outPath/cert`; purged snapshots rewrite (durable state IS the
+    * sinks — the restart contract the sibling takedown streams state).
+    *
+    * Stream ≡ batch: anti-joins compose, so after the last tick every
+    * carried store equals the one-shot purge over the union and the
+    * listings equal [[CorpusOps.takedownServingCert]]'s post side
+    * (asserted in StreamingSpec). Per-tick cost: removal-bounded
+    * anti-joins + the already query-bounded serving plans; the
+    * cumulative removal set is compliance-queue-sized — broadcast by
+    * construction. The coarse centers never change (re-fitting is the
+    * CDC/re-balance streams' job), so queries' probe routes are
+    * stable across ticks. */
+  def streamingTakedownServe(removals: DataFrame, postings: DataFrame,
+                             docLengths: DataFrame, embeddings: DataFrame,
+                             index: SimilarityOps.IvfIndex,
+                             pqCb: SimilarityOps.PqCodebook,
+                             sigs: DataFrame, outPath: String,
+                             checkpointDir: String): StreamingQuery = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    var post = postings.localCheckpoint(false)
+    var dl = docLengths.localCheckpoint(false)
+    var emb = embeddings.localCheckpoint(false)
+    var asg = index.assigned.localCheckpoint(false)
+    var sg = sigs.localCheckpoint(false)
+    var removedAll = Seq.empty[Long].toDF("doc_id").localCheckpoint(false)
+    removals.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, tick: Long) =>
+        if (!batch.isEmpty) {
+          val rm = broadcast(batch.select(col("doc_id")).distinct()
+            .localCheckpoint(false)) // five anti-joins
+          val rmVec = rm.select(col("doc_id").as("vec_id"))
+          removedAll = removedAll.unionByName(rm).distinct()
+            .localCheckpoint(false) // cert probe + next tick
+          post = post.join(rm, Seq("doc_id"), "left_anti")
+            .localCheckpoint(false) // listing + snapshot + next tick
+          dl = dl.join(rm, Seq("doc_id"), "left_anti").localCheckpoint(false)
+          emb = emb.join(rmVec, Seq("vec_id"), "left_anti")
+            .localCheckpoint(false)
+          asg = asg.join(rmVec, Seq("vec_id"), "left_anti")
+            .localCheckpoint(false)
+          sg = sg.join(rmVec, Seq("vec_id"), "left_anti")
+            .localCheckpoint(false)
+          val listings = CorpusOps.servingListings(post, dl, emb,
+            SimilarityOps.IvfIndex(asg, index.centers, index.nLists), pqCb, sg)
+          CorpusOps.leakAgg(listings, removedAll, "n_slots", "n_leaked")
+            .withColumn("clean", col("n_leaked") === 0L)
+            .withColumn("tick", lit(tick))
+            .write.mode("append").parquet(s"$outPath/cert")
+          post.write.mode("overwrite").parquet(s"$outPath/postings")
+          dl.write.mode("overwrite").parquet(s"$outPath/doclens")
+          emb.write.mode("overwrite").parquet(s"$outPath/vectors")
+          asg.write.mode("overwrite").parquet(s"$outPath/assign")
+          sg.write.mode("overwrite").parquet(s"$outPath/sigs")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** STREAMING ingest tick — q247 live: each micro-batch of documents
     * flows through the incremental funnel (exact vs the carried
     * fingerprint store → quality gate → near-dup vs the carried

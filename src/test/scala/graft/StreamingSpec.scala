@@ -1013,6 +1013,80 @@ class StreamingSpec extends SparkSpec {
       "ticked postings removals sum to the one-shot delta")
   }
 
+  test("streaming serving monitor: every tick certifies zero leakage; final listings equal the one-shot cert") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{CorpusOps, SimilarityOps, StreamOps, Tables}
+    import graft.queries.RetrievalShared
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf).localCheckpoint(false)
+    val postings = RetrievalShared.postings(spark, sf).localCheckpoint(false)
+    val doclens = RetrievalShared.docLengths(spark, sf).localCheckpoint(false)
+    val idx = SimilarityOps.ivfIndexFor(emb, tag = sf)
+    val cb = SimilarityOps.pqCodebookFor(emb, tag = sf)
+    val sigs = SimilarityOps.binarySigsFor(emb, tag = sf).localCheckpoint(false)
+    val rmIds = docs.filter(pmod(col("doc_id"), lit(17)) === 6)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val (t1, t2) = rmIds.splitAt(rmIds.length / 2)
+    val out = java.nio.file.Files.createTempDirectory("graft_ssm_out_").toString + "/serve"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssm_ckpt_").toString
+    val input = MemoryStream[Long]
+    val q = StreamOps.streamingTakedownServe(input.toDS().toDF("doc_id"),
+      postings, doclens, emb, idx, cb, sigs, out, ckpt)
+    try {
+      input.addData(t1.toSeq: _*)
+      q.processAllAvailable()
+      // tick 2 re-submits an already-purged id — must stay clean
+      input.addData((t2 :+ t1.head).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val cert = spark.read.parquet(s"$out/cert").collect()
+      .map(r => (r.getLong(4), r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(cert.keySet.map(_._1) == Set(0L, 1L) && cert.size == 10,
+      s"two ticks x five surfaces: ${cert.keySet}")
+    // the standing invariant: zero leakage at EVERY tick, vs the
+    // cumulative removal set
+    cert.foreach { case ((tick, s), (_, leaked, clean)) =>
+      assert(leaked == 0L && clean, s"tick $tick surface $s leaked")
+    }
+    // final per-surface slot counts equal the one-shot q277 post side
+    val oneShot = CorpusOps.takedownServingCert(
+        rmIds.toSeq.toDF("doc_id"), postings, doclens, emb, idx, cb, sigs)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    oneShot.foreach { case (s, (slotsPost, _)) =>
+      assert(cert((1L, s))._1 == slotsPost,
+        s"$s final slots: streamed ${cert((1L, s))._1} vs one-shot $slotsPost")
+    }
+    // the fixture bites: removed ids held pre-purge slots somewhere
+    assert(oneShot.values.map(_._2).sum > 0,
+      "removal must intersect some pre-purge listing")
+    // stream ≡ batch at the LISTING level: the listings recomputed
+    // from the final snapshots equal the listings over the one-shot
+    // purged stores, row set for row set
+    val rmAll = rmIds.toSeq.toDF("doc_id").localCheckpoint(false)
+    val rmVec = rmAll.select(col("doc_id").as("vec_id"))
+    def snap(p: String) = spark.read.parquet(s"$out/$p")
+    val fromSnaps = CorpusOps.servingListings(
+        snap("postings"), snap("doclens"), snap("vectors"),
+        SimilarityOps.IvfIndex(snap("assign"), idx.centers, idx.nLists),
+        cb, snap("sigs")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShotListings = CorpusOps.servingListings(
+        postings.join(rmAll, Seq("doc_id"), "left_anti"),
+        doclens.join(rmAll, Seq("doc_id"), "left_anti"),
+        emb.join(rmVec, Seq("vec_id"), "left_anti"),
+        SimilarityOps.IvfIndex(
+          idx.assigned.join(rmVec, Seq("vec_id"), "left_anti"),
+          idx.centers, idx.nLists),
+        cb, sigs.join(rmVec, Seq("vec_id"), "left_anti")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromSnaps == oneShotListings,
+      "snapshot listings must equal the one-shot purge listings")
+  }
+
   test("streaming entity resolution equals one-shot incremental across a bridging boundary") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
