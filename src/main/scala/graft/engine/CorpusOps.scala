@@ -1990,12 +1990,49 @@ object CorpusOps {
     val rmVec = rm.select(col("doc_id").as("vec_id"))
     def antiDoc(df: DataFrame) = df.join(rm, Seq("doc_id"), "left_anti")
     def antiVec(df: DataFrame) = df.join(rmVec, Seq("vec_id"), "left_anti")
-    val pre = servingListings(postings, doclens, embeddings, index, pqCb,
-        sigs, queries, nQueries, k, nProbe, nCandidates)
+    // Every vector surface is POINTWISE-scored (a candidate's score
+    // does not depend on the rest of the corpus), so each scored
+    // frame is computed ONCE and the pre/post listings are two
+    // windows over it — the purge is a filter, not a second corpus
+    // pass. Only BM25 re-prices (df/avgdl shift with the purge) and
+    // runs twice — but its plan is query-term-bounded either way.
+    def tagged(name: String, df: DataFrame, idCol: String) =
+      df.select(lit(name).as("surface"), col("qid").cast("long").as("qid"),
+        col(idCol).cast("long").as("id"))
+    val exSc = SimilarityOps.exactCosineScored(embeddings, nQueries)
+      .localCheckpoint(false) // pre + post windows
+    val ivSc = SimilarityOps.ivfScored(index, nQueries, nProbe)
+      .localCheckpoint(false)
+    val pqSc = SimilarityOps.pqAdcScored(pqCb, embeddings, nQueries)
+      .localCheckpoint(false)
+    val hdFr = SimilarityOps.hammingFrame(sigs,
+        bit_count(col("sig").bitwiseXOR(col("qsig"))), nQueries)
+      .localCheckpoint(false)
+    def vecSide(purge: DataFrame => DataFrame) = {
+      // the binary candidate cut re-windows AFTER the purge filter
+      // (the cut boundary legitimately moves); the re-rank is
+      // candidate-bounded and candidates already exclude removed ids
+      val bin = SimilarityOps.cosineRerank(
+        SimilarityOps.topCut(purge(hdFr), col("hd"), nCandidates),
+        embeddings, nQueries, k)
+      tagged("exact_cosine",
+          SimilarityOps.topCut(purge(exSc), col("score").desc, k), "vec_id")
+        .unionByName(tagged("ivf_exact",
+          SimilarityOps.topCut(purge(ivSc), col("score").desc, k), "vec_id"))
+        .unionByName(tagged("pq_adc",
+          SimilarityOps.topCut(purge(pqSc), col("adc_d2"), k), "vec_id"))
+        .unionByName(tagged("binary_hamming", bin, "vec_id"))
+    }
+    val pre = tagged("bm25",
+        RetrievalOps.bm25TopKFromIndex(postings, doclens, queries, k),
+        "doc_id")
+      .unionByName(vecSide(identity))
       .localCheckpoint(false) // slot/leak aggregate + backfill anti-join
-    val post = servingListings(antiDoc(postings), antiDoc(doclens),
-        antiVec(embeddings), index.copy(assigned = antiVec(index.assigned)),
-        pqCb, antiVec(sigs), queries, nQueries, k, nProbe, nCandidates)
+    val post = tagged("bm25",
+        RetrievalOps.bm25TopKFromIndex(antiDoc(postings), antiDoc(doclens),
+          queries, k),
+        "doc_id")
+      .unionByName(vecSide(antiVec))
       .localCheckpoint(false)
     val backfill = post.join(pre, Seq("surface", "qid", "id"), "left_anti")
       .groupBy(col("surface"))

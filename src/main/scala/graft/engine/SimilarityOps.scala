@@ -138,21 +138,36 @@ object SimilarityOps {
     * Cosine: score DESC, vec_id ties. Euclidean: d2 ASC, vec_id
     * ties (the PQ family's quantizer metric). Both return
     * (qid, vec_id). */
-  private[engine] def exactCosineTop(embeddings: DataFrame,
-                                     nQueries: Int, k: Int): DataFrame = {
+  /** All (query, candidate) cosine pairs — the scored frame
+    * [[exactCosineTop]] cuts. Exposed so the q277 cert can score ONCE
+    * and window twice (pre- and post-purge): cosine is pointwise, so
+    * the purged listing is a filter + re-window of this frame. */
+  private[engine] def exactCosineScored(embeddings: DataFrame,
+                                        nQueries: Int): DataFrame = {
     val v = withVec(embeddings)
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("vec").as("qvec"),
         col("norm").as("qnorm"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
     v.join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("dot",
         expr("aggregate(zip_with(qvec, vec, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
       .withColumn("score", col("dot") / (col("qnorm") * col("norm")))
-      .withColumn("rn", row_number().over(w))
+      .select(col("qid"), col("vec_id"), col("score"))
+  }
+
+  /** Per-query top-k cut of a scored frame: ORDER BY `order`, ties to
+    * vec_id — the one window every pointwise surface shares. */
+  private[engine] def topCut(scored: DataFrame, order: Column,
+                             k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(order, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("vec_id"))
   }
+
+  private[engine] def exactCosineTop(embeddings: DataFrame,
+                                     nQueries: Int, k: Int): DataFrame =
+    topCut(exactCosineScored(embeddings, nQueries), col("score").desc, k)
 
   private[engine] def exactEuclideanTop(embeddings: DataFrame,
                                         nQueries: Int, k: Int): DataFrame = {
@@ -340,36 +355,47 @@ object SimilarityOps {
   private def hammingCosineTop(embeddings: DataFrame, sigSrc: DataFrame,
                                hd: Column, nQueries: Int, k: Int,
                                nCandidates: Int): (DataFrame, DataFrame) = {
-    val v = withVec(embeddings).select(col("vec_id"), col("vec"), col("norm"))
-    val sigs = sigSrc.select(col("vec_id"), col("sig"))
-    val q = v.filter(col("vec_id") < nQueries)
-      .join(sigs, "vec_id")
-      .select(col("vec_id").as("qid"), col("vec").as("qvec"),
-        col("norm").as("qnorm"), col("sig").as("qsig"))
-    val wH = Window.partitionBy(col("qid")).orderBy(col("hd"), col("vec_id"))
-    // corpus-sized stage: (vec_id, sig) only — the 32× scan saving
-    val cand = sigs.join(broadcast(q.select(col("qid"), col("qsig"))),
-        col("vec_id") =!= col("qid"))
-      .withColumn("hd", hd)
-      .withColumn("cr", row_number().over(wH))
-      .filter(col("cr") <= nCandidates)
-      .select(col("qid"), col("vec_id"))
+    val cand = topCut(hammingFrame(sigSrc, hd, nQueries), col("hd"),
+        nCandidates)
       .localCheckpoint(false) // candidate count + re-rank read it
     val nCand = cand.groupBy(col("qid"))
       .agg(count(lit(1)).cast("long").as("n_candidates"))
+    (cosineRerank(cand, embeddings, nQueries, k), nCand)
+  }
+
+  /** The (qid, vec_id, hd) hamming-distance frame the binary surface
+    * candidate-cuts — corpus-sized but (vec_id, sig)-narrow (the 32×
+    * scan saving). Exposed for the q277 cert: hamming is pointwise
+    * over stored signatures, so the purged candidate cut is a
+    * filter + re-window of this one frame. */
+  private[engine] def hammingFrame(sigSrc: DataFrame, hd: Column,
+                                   nQueries: Int): DataFrame = {
+    val sigs = sigSrc.select(col("vec_id"), col("sig"))
+    val qs = sigs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("sig").as("qsig"))
+    sigs.join(broadcast(qs), col("vec_id") =!= col("qid"))
+      .withColumn("hd", hd)
+      .select(col("qid"), col("vec_id"), col("hd"))
+  }
+
+  /** Exact-cosine re-rank of a bounded (qid, vec_id) candidate set:
+    * only nQueries·nCandidates rows read their floats back. */
+  private[engine] def cosineRerank(cand: DataFrame, embeddings: DataFrame,
+                                   nQueries: Int, k: Int): DataFrame = {
+    val v = withVec(embeddings).select(col("vec_id"), col("vec"), col("norm"))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"),
+        col("norm").as("qnorm"))
     val wS = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("vec_id"))
-    // candidate-bounded vector join: only nQueries·nCandidates rows
-    // read their floats back
-    val binTop = cand.join(v, "vec_id")
-      .join(broadcast(q.select(col("qid"), col("qvec"), col("qnorm"))), "qid")
+    cand.join(v, "vec_id")
+      .join(broadcast(q), "qid")
       .withColumn("dot",
         expr("aggregate(zip_with(qvec, vec, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
       .withColumn("score", col("dot") / (col("qnorm") * col("norm")))
       .withColumn("rn", row_number().over(wS))
       .filter(col("rn") <= k)
       .select(col("qid"), col("vec_id"))
-    (binTop, nCand)
   }
 
   /** Single-long binary surface listing for the 64-d corpus — the
@@ -916,6 +942,20 @@ object SimilarityOps {
     * SQL-expressible (iterative seeded fit); recall@10 vs brute force
     * is asserted in SimilarityMultimodalSpec. */
   def ivfTopK(index: IvfIndex, nQueries: Int, k: Int, nProbe: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    ivfScored(index, nQueries, nProbe)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** The probed-candidate cosine frame [[ivfTopK]] cuts — (qid,
+    * vec_id, score) over each query's nProbe lists. Exposed for the
+    * q277 cert (centers unchanged by a purge ⇒ probe routes stable ⇒
+    * the purged listing is a filter + re-window of this frame). */
+  private[engine] def ivfScored(index: IvfIndex, nQueries: Int,
+                                nProbe: Int): DataFrame = {
     val assigned = index.assigned
     val centers = index.centers
     // each query ranks centroids by euclidean distance (the quantizer
@@ -930,17 +970,12 @@ object SimilarityOps {
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nProbe)
       .select(col("qid"), col("qvec"), col("qnorm"), col("c_list_id").as("list_id"))
-    val joined = assigned.join(broadcast(probes),
+    assigned.join(broadcast(probes),
         Seq("list_id")).filter(col("vec_id") =!= col("qid"))
       .withColumn("dot",
         expr("aggregate(zip_with(qvec, vec, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
       .withColumn("score", col("dot") / (col("qnorm") * col("norm")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
-    joined
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("vec_id"), col("score"), col("rn"))
-      .orderBy(col("qid"), col("rn"))
+      .select(col("qid"), col("vec_id"), col("score"))
   }
 
   /** IVF index health report — per-inverted-list population and
@@ -1285,7 +1320,14 @@ object SimilarityOps {
     * purged corpus: encoding is pointwise, so ADC over
     * documents-minus-removal equals the purged stored-codes path. */
   private[engine] def pqAdcTop(cb: PqCodebook, embeddings: DataFrame,
-                               nQueries: Int, k: Int): DataFrame = {
+                               nQueries: Int, k: Int): DataFrame =
+    topCut(pqAdcScored(cb, embeddings, nQueries), col("adc_d2"), k)
+
+  /** The ADC-scored frame [[pqAdcTop]] cuts — (qid, vec_id, adc_d2).
+    * Exposed for the q277 cert (ADC is pointwise over stored codes ⇒
+    * the purged listing is a filter + re-window of this frame). */
+  private[engine] def pqAdcScored(cb: PqCodebook, embeddings: DataFrame,
+                                  nQueries: Int): DataFrame = {
     val sd = cb.subDim
     val m = cb.m
     val v = embeddings
@@ -1304,14 +1346,12 @@ object SimilarityOps {
         col("qd2"))
     val eAggs = (0 until m).map { s =>
       min(when(col("subspace") === s, col("qd2"))).as(s"e$s") }
-    val adc = codesLong.join(broadcast(lut), Seq("subspace", "code"))
+    codesLong.join(broadcast(lut), Seq("subspace", "code"))
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id")).agg(eAggs.head, eAggs.tail: _*)
       .withColumn("adc_d2",
         (0 until m).map(s => col(s"e$s")).reduceLeft(_ + _))
-    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc_d2"), col("vec_id"))
-    adc.withColumn("rn", row_number().over(wAdc)).filter(col("rn") <= k)
-      .select(col("qid"), col("vec_id"))
+      .select(col("qid"), col("vec_id"), col("adc_d2"))
   }
 
   /** Versioned tag for the refit codebook (q260): the v2 artifact
