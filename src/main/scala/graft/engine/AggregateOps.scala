@@ -542,6 +542,60 @@ object AggregateOps {
       .orderBy(col("o_orderpriority"), col("o_orderstatus"))
   }
 
+  /** RANDOMIZED-RESPONSE private release (q278) — the RELEASE
+    * mechanism that completes the privacy family: the q213/q229 k/l
+    * gates and the q252 t-closeness audit decide what is SAFE to
+    * publish; this is how a per-category frequency table actually
+    * ships with local plausible deniability. Each document reports
+    * its TRUE category (here: `source`) with probability p and a
+    * uniform draw from the K-category domain otherwise, so no single
+    * row's reported value proves its real one (the classic Warner
+    * mechanism; ε = ln(p·K/(1−p) + 1) for the curious — reported as
+    * the exact-integer odds the formula derives from, not as a
+    * transcendental). The releasable columns are (n_obs, n_est);
+    * n_true rides along because this report is the CALIBRATION view
+    * the publisher inspects before shipping, and the unbiased
+    * estimator n̂_c = (obs_c − (1−p)·n/K)/p is evaluated in exact
+    * integer ppm arithmetic (floored at 0 — a clamp both engines
+    * evaluate identically, unlike trunc-vs-floor division on
+    * negatives).
+    *
+    * Determinism: both draws are XXH64 chains over doc_id (the
+    * q94/q175 bit-exact idiom; the flip-target draw hashes
+    * doc_id·1000003+1, the q184 derived-key pattern) — stateless,
+    * reproducible, oracle-replayable. Scale: one corpus projection +
+    * one K-row hash agg; the category domain is a BOUNDED dimension
+    * (the IVF-probe literal contract), collected sorted and
+    * broadcast as an array literal. */
+  def randomizedResponseRelease(documents: DataFrame,
+                                pPpm: Long = 900000L): DataFrame = {
+    require(pPpm > 0 && pPpm <= 1000000L, "pPpm in (0, 1e6]")
+    val cats = documents.select(col("source")).distinct()
+      .orderBy(col("source")).collect().map(_.getString(0)).toSeq
+    val kk = cats.length.toLong
+    val catArr = array(cats.map(lit): _*)
+    val keepDraw = pmod(xxhash64(col("doc_id")), lit(1000000L))
+    val pickDraw = pmod(xxhash64(col("doc_id") * lit(1000003L) + lit(1L)),
+      lit(kk))
+    val obs = documents.select(
+        when(keepDraw < lit(pPpm), col("source"))
+          .otherwise(element_at(catArr, (pickDraw + lit(1L)).cast("int")))
+          .as("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_obs"))
+    val nTot = documents.agg(count(lit(1)).cast("long").as("n"))
+    documents.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_true"))
+      .join(obs, Seq("source"), "left_outer")
+      .na.fill(0L, Seq("n_obs"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("n_est", expr(
+        s"CAST(GREATEST(0L, n_obs * $kk * 1000000 - n * ${1000000L - pPpm}) " +
+          s"DIV ($pPpm * $kk) AS BIGINT)"))
+      .select(col("source"), col("n_true"), col("n_obs"), col("n_est"))
+      .orderBy(col("source"))
+  }
+
   /** Exact WEIGHTED lower median — the order statistic where each row
     * counts with its weight (here: price cents weighted by quantity,
     * "the price at which half the shipped volume is cheaper"): the

@@ -679,6 +679,47 @@ object Catalog {
              |GROUP BY 1, 2
              |ORDER BY o_orderpriority, o_orderstatus""".stripMargin)),
 
+    // RANDOMIZED-RESPONSE private release (q278, r15): the RELEASE
+    // mechanism completing the privacy family — each doc reports its
+    // true source with p = 0.9 and a uniform category draw otherwise
+    // (local plausible deniability), the unbiased estimator recovers
+    // the true histogram in exact integer ppm arithmetic. Both draws
+    // are bit-exact XXH64 chains (the q175/q184 idioms), so the
+    // oracle replays every per-row flip and the estimator.
+    QuerySpec(
+      "q278_randomized_response",
+      (s, dir) => AggregateOps.randomizedResponseRelease(
+        Tables.documents(s, dir)),
+      Some {
+        import Xxh64DocIdSql.{ctes, chainFrom, tos}
+        s"""WITH $ctes,
+           |${chainFrom("SELECT doc_id, CAST(doc_id * 1000003 + 1 AS HUGEINT) AS k FROM documents", "doc_id", "p")},
+           |cats AS (SELECT source,
+           |                CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS ci
+           |         FROM (SELECT DISTINCT source FROM documents)),
+           |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS kc FROM cats),
+           |keepd AS (SELECT doc_id,
+           |                 ((${tos("h8")} % 1000000) + 1000000) % 1000000 AS kd
+           |          FROM s10),
+           |pickd AS (SELECT doc_id, ((${tos("h8")} % kc) + kc) % kc AS pd
+           |          FROM s10p CROSS JOIN kk),
+           |obs AS (
+           |  SELECT CASE WHEN keepd.kd < 900000 THEN d.source
+           |              ELSE c2.source END AS source
+           |  FROM documents d JOIN keepd USING (doc_id)
+           |  JOIN pickd USING (doc_id) JOIN cats c2 ON c2.ci = pickd.pd),
+           |oc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_obs
+           |       FROM obs GROUP BY 1),
+           |tc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_true
+           |       FROM documents GROUP BY 1),
+           |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+           |SELECT tc.source, n_true, COALESCE(n_obs, 0) AS n_obs,
+           |       CAST(GREATEST(0, COALESCE(n_obs, 0) * kc * 1000000 - n * 100000)
+           |            // (900000 * kc) AS BIGINT) AS n_est
+           |FROM tc LEFT JOIN oc USING (source) CROSS JOIN nt CROSS JOIN kk
+           |ORDER BY tc.source""".stripMargin
+      }),
+
     // k-anonymization applier: the q213 audit ENFORCED — rows in
     // failing classes generalize level by level (drop month, then
     // status, then all) until their class passes both gates; the
@@ -5471,8 +5512,9 @@ object Catalog {
     // index state.
     QuerySpec(
       "q269_nprobe_sweep",
-      (s, dir) => SimilarityOps.ivfProbeSweep(
-        SimilarityOps.ivfIndexFor(Tables.embeddings(s, dir), tag = dir)),
+      (s, dir) => SimilarityOps.ivfProbeSweepFor(
+        SimilarityOps.ivfIndexFor(Tables.embeddings(s, dir), tag = dir),
+        tag = dir),
       Some(q269OracleSql),
       dumps = Seq(ivfDump)),
 
@@ -6022,9 +6064,9 @@ object Catalog {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val idx = SimilarityOps.ivfIndexFor(emb, tag = dir)
-        SimilarityOps.ivfPqProbeSweep(idx,
+        SimilarityOps.ivfPqProbeSweepFor(idx,
           SimilarityOps.ivfPqCodebookFor(idx, tag = dir), emb,
-          SimilarityOps.ivfPqCodesFor(idx, tag = dir))
+          SimilarityOps.ivfPqCodesFor(idx, tag = dir), tag = dir)
       },
       Some(q272OracleSql),
       dumps = Seq(ivfDump, ivfPqDump)),

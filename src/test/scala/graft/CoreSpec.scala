@@ -396,6 +396,35 @@ class CoreSpec extends SparkSpec {
     assert(got("3-MEDIUM") == ((4L, 300000L, false)))
   }
 
+  test("randomized response: flips give deniability, conservation and estimator arithmetic hold") {
+    val docs = Tables.documents(spark, sf).localCheckpoint(false)
+    val n = docs.count()
+    val rel = AggregateOps.randomizedResponseRelease(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    val relMap = rel.toMap
+    val kk = rel.length.toLong
+    // conservation: every doc reports exactly one (in-domain) category
+    assert(rel.map(_._2._1).sum == n && rel.map(_._2._2).sum == n,
+      "observed mass must equal true mass")
+    // deniability: some rows actually flipped...
+    val flips = rel.map { case (_, (t, o, _)) => math.abs(t - o) }.sum
+    assert(flips > 0, "p = 0.9 over this corpus must flip someone")
+    // ...but keeps dominate (p = 0.9; flips can also land on the true
+    // category, so agreement only grows)
+    rel.foreach { case (s, (t, o, _)) =>
+      assert(o >= t / 2, s"$s: observed mass collapsed ($t -> $o)") }
+    // the estimator is the exact integer-ppm closed form over n_obs
+    rel.foreach { case (s, (_, o, e)) =>
+      val num = o * kk * 1000000L - n * 100000L
+      assert(e == math.max(0L, num) / (900000L * kk),
+        s"$s estimator arithmetic") }
+    // determinism: the draw chains are pure hashes of doc_id
+    val again = AggregateOps.randomizedResponseRelease(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(again == relMap, "re-run must reproduce the release exactly")
+  }
+
   test("watermark advice: exact percentile ranks on a planted disorder distribution") {
     import spark.implicits._
     val minUs = 60L * 1000000L
