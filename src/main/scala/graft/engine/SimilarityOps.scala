@@ -1460,6 +1460,55 @@ object SimilarityOps {
       .orderBy(col("qid"))
   }
 
+  /** INDEX A/B SHADOW COMPARE (q279) — the rollout gate between the
+    * q260 drift report and actually flipping traffic: before a refit
+    * codebook serves, run BOTH versions shadow against the same
+    * queries and measure how much the LISTINGS move — per query, the
+    * top-k overlap, the churn (slots that change owners), and the
+    * rank displacement of the slots that survive. q260 answers "did
+    * v2 recover recall vs ground truth"; this answers the operational
+    * question ground truth can't be computed for at serving time —
+    * "how different will what users see be" — from the two ADC frames
+    * alone, no exact baseline scan.
+    *
+    * v1 is the stored-corpus codebook, v2 the [[pqV2Tag]] refit
+    * artifact over stored ∪ batch (the same table q260's fired branch
+    * builds — one artifact, two reports). Both listings rank the SAME
+    * stored ∪ batch corpus, so every difference is attributable to
+    * the codebook, not the candidate set. Scale: two ADC scans (the
+    * pointwise q242 shape) + top-k-sized joins; output is
+    * queries × 1 rows, all exact integers. */
+  def pqShadowCompare(embeddings: DataFrame, batch: DataFrame, tag: String,
+                      m: Int = 4, k: Int = 16,
+                      nQueries: Int = 5, topK: Int = 10): DataFrame = {
+    val corpus = unionCorpus(embeddings, batch).localCheckpoint(false)
+    val cb1 = pqCodebookFor(embeddings, tag, m, k)
+    val cb2 = pqCodebookFor(corpus, pqV2Tag(tag), m, k)
+    def lst(cb: PqCodebook) = {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("adc_d2"), col("vec_id"))
+      pqAdcScored(cb, corpus, nQueries)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= topK)
+        .select(col("qid"), col("vec_id"), col("rn"))
+    }
+    val l1 = lst(cb1).localCheckpoint(false) // k count + overlap join
+    val l2 = lst(cb2)
+    val ov = l1.select(col("qid"), col("vec_id"), col("rn").as("rn1"))
+      .join(l2.select(col("qid"), col("vec_id"), col("rn").as("rn2")),
+        Seq("qid", "vec_id"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).cast("long").as("n_overlap"),
+           sum(abs(col("rn1") - col("rn2"))).cast("long").as("rank_l1"))
+    l1.groupBy(col("qid")).agg(count(lit(1)).cast("long").as("k"))
+      .join(ov, Seq("qid"), "left_outer")
+      .na.fill(0L, Seq("n_overlap", "rank_l1"))
+      .select(col("qid"), col("k"), col("n_overlap"),
+        (col("k") - col("n_overlap")).cast("long").as("n_churned"),
+        col("rank_l1"))
+      .orderBy(col("qid"))
+  }
+
   /** Stable oracle-facing dump of the v2 codebook — with both
     * codebooks exported ([[PqOracleDumpPath]] for v1, this for v2),
     * the q260 oracle replays BOTH recall passes plus the drift

@@ -5409,6 +5409,112 @@ object Catalog {
              |GROUP BY ext.qid, refit_fired ORDER BY ext.qid""".stripMargin),
       dumps = Seq(pqDump, pqV2Dump)),
 
+    // INDEX A/B SHADOW COMPARE (q279, r15): the rollout gate between
+    // q260's drift report and flipping traffic — v1 and v2 codebooks
+    // serve the SAME stored∪batch corpus shadow, and the report
+    // measures per query how much the listing moves (overlap, churn,
+    // rank displacement of survivors) — computable at serving time
+    // with no exact baseline scan. The oracle replays both ADC
+    // listings from the two dumped codebooks and every count.
+    QuerySpec(
+      "q279_index_ab_shadow",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        SimilarityOps.pqShadowCompare(emb, driftBatch(emb), tag = dir)
+      },
+      Some("""WITH cb1 AS (
+             |  SELECT CAST(subspace AS BIGINT) AS subspace,
+             |         CAST(code AS BIGINT) AS code,
+             |         CAST(centroid AS DOUBLE[]) AS c
+             |  FROM read_parquet('/tmp/graft_pq_oracle/centers/*.parquet')),
+             |cb2 AS (
+             |  SELECT CAST(subspace AS BIGINT) AS subspace,
+             |         CAST(code AS BIGINT) AS code,
+             |         CAST(centroid AS DOUBLE[]) AS c
+             |  FROM read_parquet('/tmp/graft_pqv2_oracle/centers/*.parquet')),
+             |v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |bt AS (
+             |  SELECT vec_id + 1000000 AS vec_id,
+             |         list_concat(
+             |           list_transform(
+             |             list_slice(CAST(embedding AS DOUBLE[]), 1, 16),
+             |             x -> x * 3.0),
+             |           list_slice(CAST(embedding AS DOUBLE[]), 17, 64)) AS e
+             |  FROM embeddings WHERE vec_id % 7 = 3),
+             |v AS (SELECT vec_id, e FROM v0 UNION ALL SELECT vec_id, e FROM bt),
+             |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+             |d1 AS (
+             |  SELECT vec_id, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(e, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM v CROSS JOIN cb1),
+             |codes1 AS (
+             |  SELECT vec_id, subspace, code
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+             |                                     ORDER BY d2, code) AS rk FROM d1)
+             |  WHERE rk = 1),
+             |d2c AS (
+             |  SELECT vec_id, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(e, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM v CROSS JOIN cb2),
+             |codes2 AS (
+             |  SELECT vec_id, subspace, code
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+             |                                     ORDER BY d2, code) AS rk FROM d2c)
+             |  WHERE rk = 1),
+             |lut1 AS (
+             |  SELECT qid, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(qe, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qd2
+             |  FROM q CROSS JOIN cb1),
+             |lut2 AS (
+             |  SELECT qid, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(qe, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qd2
+             |  FROM q CROSS JOIN cb2),
+             |a1 AS (
+             |  SELECT qid, vec_id,
+             |         MAX(CASE WHEN s.subspace = 0 THEN qd2 END) AS e0,
+             |         MAX(CASE WHEN s.subspace = 1 THEN qd2 END) AS e1,
+             |         MAX(CASE WHEN s.subspace = 2 THEN qd2 END) AS e2,
+             |         MAX(CASE WHEN s.subspace = 3 THEN qd2 END) AS e3
+             |  FROM codes1 s JOIN lut1 USING (subspace, code)
+             |  WHERE vec_id <> qid GROUP BY qid, vec_id),
+             |a2 AS (
+             |  SELECT qid, vec_id,
+             |         MAX(CASE WHEN s.subspace = 0 THEN qd2 END) AS e0,
+             |         MAX(CASE WHEN s.subspace = 1 THEN qd2 END) AS e1,
+             |         MAX(CASE WHEN s.subspace = 2 THEN qd2 END) AS e2,
+             |         MAX(CASE WHEN s.subspace = 3 THEN qd2 END) AS e3
+             |  FROM codes2 s JOIN lut2 USING (subspace, code)
+             |  WHERE vec_id <> qid GROUP BY qid, vec_id),
+             |l1 AS (SELECT qid, vec_id, rn FROM (
+             |         SELECT qid, vec_id,
+             |                row_number() OVER (PARTITION BY qid
+             |                  ORDER BY e0 + e1 + e2 + e3, vec_id) AS rn
+             |         FROM a1) WHERE rn <= 10),
+             |l2 AS (SELECT qid, vec_id, rn FROM (
+             |         SELECT qid, vec_id,
+             |                row_number() OVER (PARTITION BY qid
+             |                  ORDER BY e0 + e1 + e2 + e3, vec_id) AS rn
+             |         FROM a2) WHERE rn <= 10),
+             |ov AS (
+             |  SELECT l1.qid, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+             |         CAST(SUM(ABS(l1.rn - l2.rn)) AS BIGINT) AS rank_l1
+             |  FROM l1 JOIN l2 ON l1.qid = l2.qid AND l1.vec_id = l2.vec_id
+             |  GROUP BY l1.qid),
+             |kk AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS k FROM l1 GROUP BY qid)
+             |SELECT kk.qid, k, COALESCE(n_overlap, 0) AS n_overlap,
+             |       CAST(k - COALESCE(n_overlap, 0) AS BIGINT) AS n_churned,
+             |       COALESCE(rank_l1, 0) AS rank_l1
+             |FROM kk LEFT JOIN ov USING (qid) ORDER BY kk.qid""".stripMargin),
+      dumps = Seq(pqDump, pqV2Dump)),
+
     // CONTRASTIVE hard-negative mining (q265): per anchor, the top-k
     // candidates with cosine in the hard band [0.10, 0.95) — similar
     // enough to teach the margin, below the dup threshold so no

@@ -1264,4 +1264,34 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(res.values.map(_._3).sum > 0,
       "removal must intersect some pre-purge listing")
   }
+
+  test("index A/B shadow: identical codebooks are churn-free; the drift refit moves listings coherently") {
+    val e = emb.localCheckpoint(false)
+    // self-compare under a fresh tag: v2 fits the SAME corpus with the
+    // same seed, so both listings must be identical — zero churn, zero
+    // rank displacement, full overlap
+    val self = SimilarityOps.pqShadowCompare(e, e.filter(lit(false)),
+        tag = sf + "#shadowself").collect()
+    assert(self.length == 5)
+    self.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) && r.getLong(3) == 0L &&
+        r.getLong(4) == 0L, s"self-compare must be churn-free: $r") }
+    // the q260 drift batch (first subspace scaled 3x): per-query
+    // report arithmetic holds, and every listing is full-length
+    val drift = e.filter(pmod(col("vec_id"), lit(7)) === 3)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        expr("concat(transform(slice(embedding, 1, 16), " +
+          "x -> CAST(x AS DOUBLE) * 3.0D), " +
+          "transform(slice(embedding, 17, 48), x -> CAST(x AS DOUBLE)))")
+          .as("embedding"))
+    val rep = SimilarityOps.pqShadowCompare(e, drift, tag = sf).collect()
+    assert(rep.length == 5)
+    rep.foreach { r =>
+      val (k, ov, ch, rl) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+      assert(k == 10L, s"full listing: $r")
+      assert(ch == k - ov, s"churn accounting: $r")
+      assert(rl <= ov * (k - 1), s"rank displacement bounded: $r")
+    }
+  }
 }
