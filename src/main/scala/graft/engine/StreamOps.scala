@@ -913,8 +913,10 @@ object StreamOps {
     * removed at ANY earlier tick must stay unservable forever, so the
     * leak probe runs against the whole queue, not just the tick. The
     * tick-stamped cert (surface, n_slots, n_leaked, clean) appends to
-    * `outPath/cert`; purged snapshots rewrite (durable state IS the
-    * sinks — the restart contract the sibling takedown streams state).
+    * `outPath/cert`; the purged stores AND the cumulative removal
+    * queue snapshot per tick (durable state IS the sinks — the
+    * restart contract the sibling takedown streams state; without the
+    * queue snapshot a restart would certify only post-restart ids).
     *
     * Stream ≡ batch: anti-joins compose, so after the last tick every
     * carried store equals the one-shot purge over the union and the
@@ -969,6 +971,11 @@ object StreamOps {
           emb.write.mode("overwrite").parquet(s"$outPath/vectors")
           asg.write.mode("overwrite").parquet(s"$outPath/assign")
           sg.write.mode("overwrite").parquet(s"$outPath/sigs")
+          // the CUMULATIVE removal queue is carried state too: without
+          // this snapshot a restart-from-checkpoint would certify only
+          // post-restart ids and the standing invariant would silently
+          // weaken (the streamingIvfRebalance ADVICE class of bug)
+          removedAll.write.mode("overwrite").parquet(s"$outPath/removed")
         }
         ()
       }

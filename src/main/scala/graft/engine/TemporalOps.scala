@@ -99,4 +99,52 @@ object TemporalOps {
         col("n_orders"), col("total_price"), col("ma3"))
       .orderBy(col("o_orderpriority"), col("o_year"), col("o_month"))
   }
+
+  /** CONVERSATION PACKING manifest (q280) — multi-turn training data
+    * assembled from event logs, the composition every chat/agent
+    * pipeline runs: gap-sessionize each user's event stream (a new
+    * conversation starts when ts − prev_ts ≥ gap — the q33 session
+    * semantics, lag-expressed so the session ids are stable
+    * ordinals), then pack each user's conversations in order into
+    * fixed-length training sequences under the q105 packing law
+    * (cumulative token mass, integer start_seq/end_seq/tok_offset).
+    * Turns inside a conversation stay CONTIGUOUS by construction (the
+    * cumsum orders by session ordinal); a conversation longer than
+    * seqLen splits across sequence boundaries, honestly visible as
+    * start_seq < end_seq. Token mass here is one token per event (the
+    * deterministic stand-in — a real tokenizer swaps into the
+    * n_events aggregate and nothing downstream changes).
+    *
+    * Scale: two windows and one agg, ALL partitioned by user_id
+    * (high-cardinality key — no 3-value reducer trap); the packing
+    * cumsum runs over SESSION rows, not events. One shuffle on
+    * user_id serves everything. */
+  def sessionPackManifest(events: DataFrame, gapMinutes: Int = 5,
+                          seqLen: Int = 64): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") >= col("prev_ts") + expr(s"INTERVAL $gapMinutes MINUTES"),
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(wOrd))
+    val perSess = sess.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+           min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
+    val wPack = Window.partitionBy(col("user_id")).orderBy(col("session_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perSess
+      .withColumn("cum", sum(col("n_events")).over(wPack))
+      .withColumn("start_seq", expr(s"CAST((cum - n_events) DIV $seqLen AS BIGINT)"))
+      .withColumn("end_seq", expr(s"CAST((cum - 1) DIV $seqLen AS BIGINT)"))
+      .withColumn("tok_offset", expr(s"CAST((cum - n_events) % $seqLen AS BIGINT)"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("t_start"), col("t_end"), col("start_seq"), col("end_seq"),
+        col("tok_offset"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
 }

@@ -1319,6 +1319,43 @@ object Catalog {
              |  ON e.user_id = o.o_custkey AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP)
              |ORDER BY e.event_id""".stripMargin)),
 
+    // CONVERSATION PACKING manifest (q280, r15): gap-sessionize each
+    // user's event stream (the q33 semantics, lag-expressed for
+    // stable session ordinals), pack conversations in order into
+    // fixed-length training sequences under the q105 packing law —
+    // multi-turn training data from logs. Turns stay contiguous;
+    // over-long conversations split visibly (start_seq < end_seq).
+    QuerySpec(
+      "q280_session_pack",
+      (s, dir) => TemporalOps.sessionPackManifest(Tables.events(s, dir)),
+      Some("""WITH m AS (
+             |  SELECT user_id, ts, event_id,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                   OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+             |              THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |g AS (
+             |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+             |                             ORDER BY ts, event_id
+             |                             ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM m),
+             |ps AS (
+             |  SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+             |         CAST(COUNT(*) AS BIGINT) AS n_events,
+             |         MIN(ts) AS t_start, MAX(ts) AS t_end
+             |  FROM g GROUP BY user_id, sid),
+             |pk AS (
+             |  SELECT *, SUM(n_events) OVER (PARTITION BY user_id
+             |                                ORDER BY session_id
+             |                                ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM ps)
+             |SELECT user_id, session_id, n_events, t_start, t_end,
+             |       CAST((cum - n_events) // 64 AS BIGINT) AS start_seq,
+             |       CAST((cum - 1) // 64 AS BIGINT) AS end_seq,
+             |       CAST((cum - n_events) % 64 AS BIGINT) AS tok_offset
+             |FROM pk ORDER BY user_id, session_id""".stripMargin)),
+
     QuerySpec(
       "q34_json_extract",
       (s, dir) => ScalarOps.jsonExtract(Tables.events(s, dir)),

@@ -396,6 +396,35 @@ class CoreSpec extends SparkSpec {
     assert(got("3-MEDIUM") == ((4L, 300000L, false)))
   }
 
+  test("session packing: gap law, conservation, and the packing arithmetic per user") {
+    val ev = Tables.events(spark, sf).localCheckpoint(false)
+    val got = TemporalOps.sessionPackManifest(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    assert(got.map(_._3).sum == ev.count(),
+      "every event lands in exactly one session")
+    got.groupBy(_._1).foreach { case (u, ss) =>
+      val sorted = ss.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+        s"user $u session ordinals must be dense from 1")
+      // gap law: a new conversation starts only >= gap after the last
+      sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (a, b) = (pair(0), pair(1))
+        assert(b._4.getTime >= a._5.getTime + 5 * 60 * 1000,
+          s"user $u sessions ${a._2}/${b._2} violate the gap law")
+      }
+      // the q105 packing law replayed from scratch
+      var cum = 0L
+      sorted.foreach { s =>
+        assert(s._6 == cum / 64 && s._8 == cum % 64,
+          s"user $u session ${s._2} start/offset")
+        cum += s._3
+        assert(s._7 == (cum - 1) / 64, s"user $u session ${s._2} end_seq")
+      }
+    }
+  }
+
   test("randomized response: flips give deniability, conservation and estimator arithmetic hold") {
     val docs = Tables.documents(spark, sf).localCheckpoint(false)
     val n = docs.count()

@@ -1085,6 +1085,12 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(fromSnaps == oneShotListings,
       "snapshot listings must equal the one-shot purge listings")
+    // the cumulative removal queue is itself durable state: the
+    // snapshot must hold the full union so a restart keeps certifying
+    // against every id ever removed, not just post-restart ones
+    assert(spark.read.parquet(s"$out/removed").collect()
+        .map(_.getLong(0)).toSet == rmIds.toSet,
+      "removed-queue snapshot must hold the cumulative union")
   }
 
   test("streaming entity resolution equals one-shot incremental across a bridging boundary") {
