@@ -932,7 +932,9 @@ object StreamOps {
                              index: SimilarityOps.IvfIndex,
                              pqCb: SimilarityOps.PqCodebook,
                              sigs: DataFrame, outPath: String,
-                             checkpointDir: String): StreamingQuery = {
+                             checkpointDir: String,
+                             storedRemoved: Option[DataFrame] = None)
+      : StreamingQuery = {
     val spark = postings.sparkSession
     import spark.implicits._
     var post = postings.localCheckpoint(false)
@@ -940,7 +942,12 @@ object StreamOps {
     var emb = embeddings.localCheckpoint(false)
     var asg = index.assigned.localCheckpoint(false)
     var sg = sigs.localCheckpoint(false)
-    var removedAll = Seq.empty[Long].toDF("doc_id").localCheckpoint(false)
+    // restart contract: a monitor reconstructed from the on-disk
+    // snapshots passes `outPath/removed` back in here, so the leak
+    // probe keeps covering ids removed before the restart
+    var removedAll = storedRemoved
+      .getOrElse(Seq.empty[Long].toDF("doc_id"))
+      .select(col("doc_id")).localCheckpoint(false)
     removals.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)

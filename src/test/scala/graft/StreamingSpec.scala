@@ -1037,19 +1037,36 @@ class StreamingSpec extends SparkSpec {
     try {
       input.addData(t1.toSeq: _*)
       q.processAllAvailable()
-      // tick 2 re-submits an already-purged id — must stay clean
-      input.addData((t2 :+ t1.head).toSeq: _*)
-      q.processAllAvailable()
     } finally q.stop()
-    val cert = spark.read.parquet(s"$out/cert").collect()
-      .map(r => (r.getLong(4), r.getString(0)) ->
-        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
-    assert(cert.keySet.map(_._1) == Set(0L, 1L) && cert.size == 10,
-      s"two ticks x five surfaces: ${cert.keySet}")
-    // the standing invariant: zero leakage at EVERY tick, vs the
-    // cumulative removal set
-    cert.foreach { case ((tick, s), (_, leaked, clean)) =>
-      assert(leaked == 0L && clean, s"tick $tick surface $s leaked")
+    // RESTART: a brand-new monitor reconstructed from the on-disk
+    // snapshots alone (in-JVM state discarded) — the five stores AND
+    // the cumulative removal queue reload; tick 2 then re-submits an
+    // already-purged PRE-RESTART id, which must stay an honest no-op
+    // certified against the full queue
+    def snap1(p: String) = spark.read.parquet(s"$out/$p").localCheckpoint(false)
+    val out2 = java.nio.file.Files.createTempDirectory("graft_ssm_out2_").toString + "/serve"
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_ssm_ckpt2_").toString
+    val input2 = MemoryStream[Long]
+    val q2 = StreamOps.streamingTakedownServe(input2.toDS().toDF("doc_id"),
+      snap1("postings"), snap1("doclens"), snap1("vectors"),
+      SimilarityOps.IvfIndex(snap1("assign"), idx.centers, idx.nLists),
+      cb, snap1("sigs"), out2, ckpt2,
+      storedRemoved = Some(snap1("removed")))
+    try {
+      input2.addData((t2 :+ t1.head).toSeq: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    def certOf(dir: String) = spark.read.parquet(s"$dir/cert").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val cert1 = certOf(out)
+    val cert = certOf(out2)
+    assert(cert1.size == 5 && cert.size == 5,
+      s"five surfaces per run: ${cert1.keySet} / ${cert.keySet}")
+    // the standing invariant: zero leakage at EVERY tick, before and
+    // after the restart, vs the cumulative removal set
+    (cert1 ++ cert).foreach { case (s, (_, leaked, clean)) =>
+      assert(leaked == 0L && clean, s"surface $s leaked")
     }
     // final per-surface slot counts equal the one-shot q277 post side
     val oneShot = CorpusOps.takedownServingCert(
@@ -1057,18 +1074,18 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3))))
       .toMap
     oneShot.foreach { case (s, (slotsPost, _)) =>
-      assert(cert((1L, s))._1 == slotsPost,
-        s"$s final slots: streamed ${cert((1L, s))._1} vs one-shot $slotsPost")
+      assert(cert(s)._1 == slotsPost,
+        s"$s final slots: streamed ${cert(s)._1} vs one-shot $slotsPost")
     }
     // the fixture bites: removed ids held pre-purge slots somewhere
     assert(oneShot.values.map(_._2).sum > 0,
       "removal must intersect some pre-purge listing")
-    // stream ≡ batch at the LISTING level: the listings recomputed
-    // from the final snapshots equal the listings over the one-shot
-    // purged stores, row set for row set
+    // stream ≡ batch at the LISTING level — ACROSS the restart: the
+    // listings recomputed from the post-restart snapshots equal the
+    // listings over the one-shot purged stores, row set for row set
     val rmAll = rmIds.toSeq.toDF("doc_id").localCheckpoint(false)
     val rmVec = rmAll.select(col("doc_id").as("vec_id"))
-    def snap(p: String) = spark.read.parquet(s"$out/$p")
+    def snap(p: String) = spark.read.parquet(s"$out2/$p")
     val fromSnaps = CorpusOps.servingListings(
         snap("postings"), snap("doclens"), snap("vectors"),
         SimilarityOps.IvfIndex(snap("assign"), idx.centers, idx.nLists),
@@ -1086,11 +1103,11 @@ class StreamingSpec extends SparkSpec {
     assert(fromSnaps == oneShotListings,
       "snapshot listings must equal the one-shot purge listings")
     // the cumulative removal queue is itself durable state: the
-    // snapshot must hold the full union so a restart keeps certifying
-    // against every id ever removed, not just post-restart ones
-    assert(spark.read.parquet(s"$out/removed").collect()
+    // post-restart snapshot must hold the FULL union (pre-restart ids
+    // included), so the next restart keeps certifying all of them
+    assert(spark.read.parquet(s"$out2/removed").collect()
         .map(_.getLong(0)).toSet == rmIds.toSet,
-      "removed-queue snapshot must hold the cumulative union")
+      "removed-queue snapshot must hold the cumulative union across the restart")
   }
 
   test("streaming entity resolution equals one-shot incremental across a bridging boundary") {
