@@ -250,6 +250,70 @@ object StreamOps {
       }
   }
 
+  /** STREAMING conversation packing — q280 live:
+    * [[TemporalOps.sessionPackManifest]] as the events arrive. Per-user
+    * state extends the [[streamingSessionize]] tuple with the PACKED
+    * MASS (cum_before): a conversation finalizes when a gap-jump
+    * successor arrives inline or the watermark passes end + gap, and
+    * only at finalization does its manifest row emit — the packing
+    * offsets depend on every earlier session of the user, and
+    * finalize-in-order makes each row exact-once and immutable (an
+    * open session's slot assignment can still grow; a finalized one
+    * never changes, which is what a downstream shard writer needs).
+    * Emitted rows replay the q105 law from the carried cum:
+    * (user_id, session_id, n_events, start_seq, end_seq, tok_offset).
+    * State is O(1) per user forever. Stream ≡ batch on the finalized
+    * subset is asserted in StreamingSpec row-for-row against the
+    * batch manifest. */
+  def streamingSessionPack(events: DataFrame, gapMinutes: Int = 5,
+                           seqLen: Int = 64,
+                           watermarkDelay: String = "10 minutes")
+      : Dataset[(Long, Long, Long, Long, Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val gapUs = gapMinutes * 60L * 1000000L
+    val gapMs = gapMinutes * 60L * 1000L
+    val sl = seqLen.toLong
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, Long, Long, Long)]) =>
+          // (ordinal, open_start_us, open_end_us, open_n, cum_before)
+          var (seq, st, en, n, cum) = state.getOption.getOrElse((0L, -1L, -1L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long, Long, Long)]
+          def finalizeOpen(): Unit = {
+            out += ((user, seq, n, cum / sl, (cum + n - 1) / sl, cum % sl))
+            cum += n
+          }
+          if (state.hasTimedOut) {
+            if (st >= 0) finalizeOpen()
+            state.update((seq, -1L, -1L, 0L, cum))
+          } else {
+            // per-batch slice sorted on (ts, event_id) — the batch
+            // manifest's ordering law
+            rows.toSeq.map(r => (us(r._3), r._2)).sortBy(identity).foreach { case (t, _) =>
+              if (st < 0) { seq += 1; st = t; en = t; n = 1 }
+              else if (t - en >= gapUs) { // q33/q280 semantics: >= gap splits
+                finalizeOpen()
+                seq += 1; st = t; en = t; n = 1
+              } else { if (t > en) en = t; n += 1 }
+            }
+            state.update((seq, st, en, n, cum))
+            if (st >= 0)
+              state.setTimeoutTimestamp(
+                math.max(en / 1000 + gapMs + 1, state.getCurrentWatermarkMs() + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming last-touch attribution — [[EventOps.lastTouchAttribution]]
     * as the purchase lands: per-user state is ONE (ts_us, event_id,
     * type) triple — the latest marketing event seen so far (a

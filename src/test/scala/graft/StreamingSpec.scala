@@ -490,6 +490,60 @@ class StreamingSpec extends SparkSpec {
       spark.table("sessions_state").distinct().count())
   }
 
+  test("streaming conversation packing equals the batch manifest on every finalized session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{StreamOps, TemporalOps}
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // seqLen = 4 so user 1's second conversation SPLITS across a
+    // sequence boundary (cum_before 3, n 3 -> start_seq 0, end_seq 1)
+    val real = Seq(
+      (1L, 1L, t("2026-01-01 10:00:00")), (1L, 2L, t("2026-01-01 10:01:00")),
+      (1L, 3L, t("2026-01-01 10:02:00")),
+      (1L, 4L, t("2026-01-01 10:20:00")), (1L, 5L, t("2026-01-01 10:21:00")),
+      (1L, 6L, t("2026-01-01 10:22:00")),
+      (1L, 7L, t("2026-01-01 11:00:00")), (1L, 8L, t("2026-01-01 11:01:00")),
+      (2L, 9L, t("2026-01-01 09:00:00")), (2L, 10L, t("2026-01-01 09:01:00")),
+      (2L, 11L, t("2026-01-01 09:30:00")))
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = StreamOps.streamingSessionPack(
+        input.toDS().toDF("user_id", "event_id", "ts"), seqLen = 4)
+      .toDF("user_id", "session_id", "n_events", "start_seq", "end_seq",
+        "tok_offset")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("session_pack").start()
+    try {
+      val (b1, b2) = real.partition(_._3.before(t("2026-01-01 10:21:30")))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      // sentinel pair: raise max event time, then run with the
+      // advanced watermark so the final open sessions time out
+      input.addData((99L, 100L, t("2026-01-01 13:00:00")))
+      q.processAllAvailable()
+      input.addData((99L, 101L, t("2026-01-01 13:00:01")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("session_pack").collect()
+      .filter(_.getLong(0) != 99L)
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val batch = TemporalOps.sessionPackManifest(
+        real.toDF("user_id", "event_id", "ts"), seqLen = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got == batch, s"stream $got != batch $batch")
+    // the boundary split is real: one emitted conversation spans two
+    // training sequences
+    assert(got.values.exists(v => v._2 < v._3),
+      "fixture must exercise a cross-sequence split")
+    // exact-once: inline close + timeout never double-emit
+    assert(spark.table("session_pack").count() ==
+      spark.table("session_pack").distinct().count())
+  }
+
   private def unixMicros(t: java.sql.Timestamp): Long =
     t.getTime * 1000 + (t.getNanos / 1000) % 1000
 
