@@ -147,4 +147,90 @@ object TemporalOps {
         col("tok_offset"))
       .orderBy(col("user_id"), col("session_id"))
   }
+
+  /** INCREMENTAL conversation packing (q281) — the batch-incremental
+    * form completing the q280 one-shot / streaming-twin triple: a new
+    * slice of events folds into the STORED manifest without ever
+    * re-scanning stored events. Untouched users' rows pass through
+    * verbatim (their packing cannot move); for each touched user only
+    * the LAST stored conversation can change — a pseudo-row carrying
+    * its end time seeds the batch sessionization, so a batch event
+    * within the gap extends it (its start_seq/tok_offset are already
+    * pinned by the stored cum; only n_events/t_end/end_seq grow)
+    * while a gap-jump first event leaves it final and opens the next
+    * ordinal. The packed mass resumes from the stored
+    * start_seq·seqLen + tok_offset, so the law continues exactly.
+    *
+    * Contract: per-user event time is non-decreasing across slices
+    * (the takedown-incremental monotone-arrival contract every
+    * carried-state op here states); the oracle is the FULL q280
+    * rebuild over stored ∪ batch — a hash match proves the fold.
+    * Scale: cost is manifest-sized + batch-sized; windows partition
+    * on user_id. */
+  def sessionPackIncremental(storedManifest: DataFrame, batch: DataFrame,
+                             gapMinutes: Int = 5, seqLen: Int = 64): DataFrame = {
+    val touched = batch.select(col("user_id")).distinct()
+      .localCheckpoint(false) // three probes
+    val untouched = storedManifest.join(touched, Seq("user_id"), "left_anti")
+    val wLast = Window.partitionBy(col("user_id"))
+      .orderBy(col("session_id").desc)
+    val last = storedManifest.join(touched, Seq("user_id"), "left_semi")
+      .withColumn("rn", row_number().over(wLast)).filter(col("rn") === 1)
+      .select(col("user_id"), col("session_id").as("base_sid"),
+        col("n_events").as("open_n"), col("t_start").as("open_start"),
+        col("t_end").as("open_end"),
+        (col("start_seq") * seqLen + col("tok_offset")).as("cum_before"))
+      .localCheckpoint(false) // pseudo-row + merge join + earlier filter
+    val touchedEarlier = storedManifest.join(touched, Seq("user_id"), "left_semi")
+      .join(last.select(col("user_id"), col("base_sid")), Seq("user_id"))
+      .filter(col("session_id") < col("base_sid"))
+      .drop("base_sid")
+    // seeded sessionization: the pseudo-row (ts = stored end, id −1)
+    // sorts first by the monotone contract and never starts a session
+    val ev = batch.select(col("user_id"), col("ts"), col("event_id"))
+      .unionByName(last.select(col("user_id"), col("open_end").as("ts"),
+        lit(-1L).as("event_id")))
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val folded = ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+      .withColumn("new_sess",
+        when(col("event_id") === -1L, 0L)
+          .when(col("prev_ts").isNull ||
+            col("ts") >= col("prev_ts") + expr(s"INTERVAL $gapMinutes MINUTES"),
+            1L)
+          .otherwise(0L))
+      .withColumn("rel", sum(col("new_sess")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val segs = folded.groupBy(col("user_id"), col("rel"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+           min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+      .join(last, Seq("user_id"), "left_outer")
+    val merged = segs
+      .withColumn("session_id",
+        coalesce(col("base_sid"), lit(0L)) + col("rel"))
+      // rel 0 exists only for stateful users (the pseudo-row anchors
+      // it) and holds open_n + real rows (n_rows counts the pseudo)
+      .withColumn("n_events",
+        when(col("rel") === 0, col("open_n") + col("n_rows") - 1)
+          .otherwise(col("n_rows")))
+      // a rel-0 group with only the pseudo-row reproduces the stored
+      // last session bit-for-bit (n = open_n, t_end = open_end, same
+      // packing) — no special passthrough needed
+      .withColumn("t_start",
+        when(col("rel") === 0, col("open_start")).otherwise(col("s_start")))
+      .withColumn("t_end", col("s_end"))
+      .withColumn("cum_base", coalesce(col("cum_before"), lit(0L)))
+    val wPack = Window.partitionBy(col("user_id")).orderBy(col("session_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val repacked = merged
+      .withColumn("cum", col("cum_base") + sum(col("n_events")).over(wPack))
+      .withColumn("start_seq", expr(s"CAST((cum - n_events) DIV $seqLen AS BIGINT)"))
+      .withColumn("end_seq", expr(s"CAST((cum - 1) DIV $seqLen AS BIGINT)"))
+      .withColumn("tok_offset", expr(s"CAST((cum - n_events) % $seqLen AS BIGINT)"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("t_start"), col("t_end"), col("start_seq"), col("end_seq"),
+        col("tok_offset"))
+    untouched.unionByName(touchedEarlier).unionByName(repacked)
+      .orderBy(col("user_id"), col("session_id"))
+  }
 }

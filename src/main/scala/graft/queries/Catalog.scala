@@ -1356,6 +1356,51 @@ object Catalog {
              |       CAST((cum - n_events) % 64 AS BIGINT) AS tok_offset
              |FROM pk ORDER BY user_id, session_id""".stripMargin)),
 
+    // INCREMENTAL conversation packing (q281, r15): the mid-month
+    // event slice folds into the STORED manifest — untouched users
+    // pass through, only each touched user's LAST conversation can
+    // change (pseudo-row-seeded sessionization), the packed mass
+    // resumes from the stored offsets, stored events never re-scan.
+    // The oracle is the FULL q280 rebuild over all events: the hash
+    // match IS the incremental ≡ rebuild proof.
+    QuerySpec(
+      "q281_session_pack_incremental",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.lit
+        val ev = Tables.events(s, dir)
+        val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+        TemporalOps.sessionPackIncremental(
+          TemporalOps.sessionPackManifest(ev.filter(col("ts") < cutoff)),
+          ev.filter(col("ts") >= cutoff))
+      },
+      Some("""WITH m AS (
+             |  SELECT user_id, ts, event_id,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                   OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+             |              THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |g AS (
+             |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+             |                             ORDER BY ts, event_id
+             |                             ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM m),
+             |ps AS (
+             |  SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+             |         CAST(COUNT(*) AS BIGINT) AS n_events,
+             |         MIN(ts) AS t_start, MAX(ts) AS t_end
+             |  FROM g GROUP BY user_id, sid),
+             |pk AS (
+             |  SELECT *, SUM(n_events) OVER (PARTITION BY user_id
+             |                                ORDER BY session_id
+             |                                ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM ps)
+             |SELECT user_id, session_id, n_events, t_start, t_end,
+             |       CAST((cum - n_events) // 64 AS BIGINT) AS start_seq,
+             |       CAST((cum - 1) // 64 AS BIGINT) AS end_seq,
+             |       CAST((cum - n_events) % 64 AS BIGINT) AS tok_offset
+             |FROM pk ORDER BY user_id, session_id""".stripMargin)),
+
     QuerySpec(
       "q34_json_extract",
       (s, dir) => ScalarOps.jsonExtract(Tables.events(s, dir)),

@@ -425,6 +425,43 @@ class CoreSpec extends SparkSpec {
     }
   }
 
+  test("incremental session packing equals the full rebuild across all four fold cases") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $s")
+    // u1: batch first event WITHIN the gap — the stored last session
+    //     extends (end_seq may grow, start/offset pinned)
+    // u2: batch first event gap-jumps — stored last session is final
+    // u3: untouched — stored rows pass through verbatim
+    // u4: brand-new user — packs from zero
+    val stored = Seq(
+      (1L, 1L, t("10:00:00")), (1L, 2L, t("10:01:00")),
+      (2L, 3L, t("10:00:00")),
+      (3L, 4L, t("09:00:00")), (3L, 5L, t("09:30:00")))
+    val batch = Seq(
+      (1L, 6L, t("10:03:00")), (1L, 7L, t("10:30:00")),
+      (2L, 8L, t("11:00:00")),
+      (4L, 9L, t("12:00:00")), (4L, 10L, t("12:30:00")))
+    def df(rows: Seq[(Long, Long, java.sql.Timestamp)]) =
+      rows.toDF("user_id", "event_id", "ts")
+    // seqLen = 2 so u1's extended session crosses a sequence boundary
+    val inc = TemporalOps.sessionPackIncremental(
+        TemporalOps.sessionPackManifest(df(stored), seqLen = 2),
+        df(batch), seqLen = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSet
+    val full = TemporalOps.sessionPackManifest(df(stored ++ batch), seqLen = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSet
+    assert(inc == full, s"incremental $inc != rebuild $full")
+    // the extension case is real: u1 session 1 grew to 3 events and
+    // spans two sequences at seqLen 2
+    assert(full.contains((1L, 1L, 3L, t("10:00:00"), t("10:03:00"), 0L, 1L, 0L)),
+      s"u1 extension fixture: $full")
+  }
+
   test("randomized response: flips give deniability, conservation and estimator arithmetic hold") {
     val docs = Tables.documents(spark, sf).localCheckpoint(false)
     val n = docs.count()
