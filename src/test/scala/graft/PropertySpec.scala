@@ -465,4 +465,62 @@ class PropertySpec extends SparkSpec {
         s"trial $trial: LM merge diverged from retrain")
     }
   }
+
+  test("session packing matches an independent fold on random streams; incremental agrees at every cutoff") {
+    import spark.implicits._
+    import graft.engine.TemporalOps
+    val rnd = new Random(23)
+    val base = 1700000000000L
+    // 8 users, bursty timestamps (minute-scale steps with occasional
+    // multi-hour jumps) so 5-minute sessions split unpredictably; ties
+    // on (user, ts) exercised via duplicated instants
+    val events = (0 until 300).map { i =>
+      val u = rnd.nextInt(8).toLong
+      val ts = base + rnd.nextInt(50) * 3600000L + rnd.nextInt(12) * 60000L
+      (u, i.toLong, new java.sql.Timestamp(ts))
+    }
+    val seqLen = 3
+    def ref(evs: Seq[(Long, Long, java.sql.Timestamp)])
+        : Set[(Long, Long, Long, Long, Long, Long)] =
+      evs.groupBy(_._1).flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e._3.getTime, e._2))
+        var (sid, n, last) = (0L, 0L, Long.MinValue)
+        val sess = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        sorted.foreach { e =>
+          val t = e._3.getTime
+          if (last == Long.MinValue || t - last >= 5 * 60 * 1000L) {
+            if (n > 0) sess += ((sid, n))
+            sid += 1; n = 1
+          } else n += 1
+          last = t
+        }
+        if (n > 0) sess += ((sid, n))
+        var cum = 0L
+        sess.map { case (s, ne) =>
+          val r = (u, s, ne, cum / seqLen, (cum + ne - 1) / seqLen,
+            cum % seqLen)
+          cum += ne
+          r
+        }
+      }.toSet
+    def df(rows: Seq[(Long, Long, java.sql.Timestamp)]) =
+      rows.toDF("user_id", "event_id", "ts")
+    def shape(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5),
+        r.getLong(6), r.getLong(7))).toSet
+    val full = shape(TemporalOps.sessionPackManifest(df(events),
+      seqLen = seqLen).collect())
+    assert(full == ref(events), "manifest diverged from the reference fold")
+    // the incremental fold reproduces the rebuild at EVERY cutoff,
+    // covering extend/final/untouched/new-user mixes at random
+    val times = events.map(_._3.getTime).distinct.sorted
+    Seq(times(times.length / 4), times(times.length / 2),
+        times(3 * times.length / 4)).foreach { cut =>
+      val (stored, batch) = events.partition(_._3.getTime < cut)
+      val inc = shape(TemporalOps.sessionPackIncremental(
+        TemporalOps.sessionPackManifest(df(stored), seqLen = seqLen),
+        df(batch), seqLen = seqLen).collect())
+      assert(inc == full, s"cutoff $cut: incremental diverged from rebuild")
+    }
+  }
 }
