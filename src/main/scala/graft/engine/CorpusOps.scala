@@ -1994,19 +1994,32 @@ object CorpusOps {
     // does not depend on the rest of the corpus), so each scored
     // frame is computed ONCE and the pre/post listings are two
     // windows over it — the purge is a filter, not a second corpus
-    // pass. Only BM25 re-prices (df/avgdl shift with the purge) and
-    // runs twice — but its plan is query-term-bounded either way.
+    // pass. What materializes is not the corpus-sized frame but its
+    // top-(k + |removal|) SLICE per query: a purge removes at most
+    // |removal| candidates, so both listings live inside the slice —
+    // the checkpoint is removal-bounded at any corpus size. Only BM25
+    // re-prices (df/avgdl shift with the purge) and runs twice — but
+    // its plan is query-term-bounded either way.
+    val nRm = rm.count().toInt // compliance-queue-sized by contract
     def tagged(name: String, df: DataFrame, idCol: String) =
       df.select(lit(name).as("surface"), col("qid").cast("long").as("qid"),
         col(idCol).cast("long").as("id"))
-    val exSc = SimilarityOps.exactCosineScored(embeddings, nQueries)
+    val exSc = SimilarityOps.topSlice(
+        SimilarityOps.exactCosineScored(embeddings, nQueries),
+        col("score").desc, k + nRm)
       .localCheckpoint(false) // pre + post windows
-    val ivSc = SimilarityOps.ivfScored(index, nQueries, nProbe)
+    val ivSc = SimilarityOps.topSlice(
+        SimilarityOps.ivfScored(index, nQueries, nProbe),
+        col("score").desc, k + nRm)
       .localCheckpoint(false)
-    val pqSc = SimilarityOps.pqAdcScored(pqCb, embeddings, nQueries)
+    val pqSc = SimilarityOps.topSlice(
+        SimilarityOps.pqAdcScored(pqCb, embeddings, nQueries),
+        col("adc_d2"), k + nRm)
       .localCheckpoint(false)
-    val hdFr = SimilarityOps.hammingFrame(sigs,
-        bit_count(col("sig").bitwiseXOR(col("qsig"))), nQueries)
+    val hdFr = SimilarityOps.topSlice(
+        SimilarityOps.hammingFrame(sigs,
+          bit_count(col("sig").bitwiseXOR(col("qsig"))), nQueries),
+        col("hd"), nCandidates + nRm)
       .localCheckpoint(false)
     def vecSide(purge: DataFrame => DataFrame) = {
       // the binary candidate cut re-windows AFTER the purge filter

@@ -165,6 +165,20 @@ object SimilarityOps {
       .select(col("qid"), col("vec_id"))
   }
 
+  /** [[topCut]] keeping the score column — the bounded SLICE of a
+    * scored frame the q277 cert materializes instead of the whole
+    * frame: a purge removes at most |removal| candidates per query,
+    * so the post-purge top-k is always contained in the pre-purge
+    * top-(k + |removal|). Slicing before the checkpoint turns a
+    * corpus-sized materialization into a removal-bounded one. */
+  private[engine] def topSlice(scored: DataFrame, order: Column,
+                               k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(order, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   private[engine] def exactCosineTop(embeddings: DataFrame,
                                      nQueries: Int, k: Int): DataFrame =
     topCut(exactCosineScored(embeddings, nQueries), col("score").desc, k)
