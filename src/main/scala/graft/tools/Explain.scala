@@ -19,7 +19,9 @@ object Explain {
       else Seq("q01_flagship_geo_rollup", "q04_filter_project", "q07_topk",
                "q08_global_sort", "q42_minhash_lsh_pairs", "q46_cosine_topk",
                "q64_partitioned_dpp", "q69_bucketed_join", "q74_asof_join",
-               "q102_quantized_ann", "q103_sequence_pack", "q109_incremental_near_dedup")
+               "q102_quantized_ann", "q103_sequence_pack", "q109_incremental_near_dedup",
+               "q277_takedown_cert", "q280_session_pack",
+               "q281_session_pack_incremental")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
