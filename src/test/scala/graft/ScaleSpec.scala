@@ -625,4 +625,31 @@ class ScaleSpec extends SparkSpec {
     assert(inBin.toDouble / total < 0.05,
       s"median bin holds $inBin of $total rows — the in-bin pass is not bounded")
   }
+
+  test("r15 conversation packing: windows partition on the user key, state joins broadcast") {
+    import graft.engine.TemporalOps
+    val ev = Tables.events(spark, sf)
+    // q280: every window spec must carry user_id — no corpus-global
+    // window and no low-cardinality partition key anywhere
+    val p280 = TemporalOps.sessionPackManifest(ev)
+      .queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p280).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"expected windows in:\n${p280.take(1500)}")
+    specs.foreach { s =>
+      assert(s.contains("user_id"), s"q280 window must key on user_id: $s") }
+    // q281: the incremental fold's state joins (touched probe, last-
+    // session seed, untouched passthrough) must all broadcast — the
+    // carried manifest is session-sized, never shuffled corpus-wide
+    val cutoff = org.apache.spark.sql.functions.lit("2024-01-16 00:00:00")
+      .cast("timestamp")
+    val p281 = TemporalOps.sessionPackIncremental(
+        TemporalOps.sessionPackManifest(ev.filter(col("ts") < cutoff)),
+        ev.filter(col("ts") >= cutoff))
+      .queryExecution.executedPlan.toString
+    assert(!p281.contains("SortMergeJoin"),
+      s"q281 state joins must broadcast:\n${p281.take(1500)}")
+    assert(p281.contains("BroadcastHashJoin"),
+      s"q281 expected broadcast state joins:\n${p281.take(1500)}")
+  }
 }
