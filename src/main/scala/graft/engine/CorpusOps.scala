@@ -2089,6 +2089,55 @@ object CorpusOps {
           nCandidates), "vec_id"))
   }
 
+  /** TAKEDOWN SERVING CERTIFICATION for the COMPRESSED read path
+    * (q282) — [[takedownServingCert]] covers the five exact-vector
+    * surfaces, but the path a production store actually serves from
+    * is IVF-PQ: stored codes probed by centroid rank and scored by
+    * ADC. A purged ASSIGNMENT store (the q277 ivf surface) does NOT
+    * stop the codes table from returning a removed id, and the q273
+    * ledger only counts the codes purge — this certifies its serving
+    * RESULT: zero leaked ids, conserved listing lengths, 1:1 backfill
+    * (ADC is pointwise and the coarse routes are centroid-fixed, so
+    * the purge admits exactly the next candidates). Same
+    * removal-bounded materialization as q277: both listings live in
+    * the per-query ADC top-(k + |removal|) slice. */
+  def takedownServingCertIvfPq(removal: DataFrame, embeddings: DataFrame,
+                               index: SimilarityOps.IvfIndex,
+                               cb: SimilarityOps.PqCodebook,
+                               storedCodes: DataFrame,
+                               nQueries: Int = 5, k: Int = 10,
+                               nProbe: Int = 4): DataFrame = {
+    val rm = broadcast(removal.select(col("doc_id")).distinct()
+      .localCheckpoint(false)) // count + leak probes + purge filter
+    val rmVec = rm.select(col("doc_id").as("vec_id"))
+    val nRm = rm.count().toInt
+    val sc = SimilarityOps.topSlice(
+        SimilarityOps.ivfPqAdcScored(index, cb, embeddings, storedCodes,
+          nQueries, nProbe),
+        col("adc_d2"), k + nRm)
+      .localCheckpoint(false) // pre + post windows
+    def tagged(df: DataFrame) =
+      df.select(lit("ivfpq_adc").as("surface"),
+        col("qid").cast("long").as("qid"), col("vec_id").cast("long").as("id"))
+    val pre = tagged(SimilarityOps.topCut(sc, col("adc_d2"), k))
+      .localCheckpoint(false)
+    val post = tagged(SimilarityOps.topCut(
+        sc.join(rmVec, Seq("vec_id"), "left_anti"), col("adc_d2"), k))
+      .localCheckpoint(false)
+    val backfill = post.join(pre, Seq("surface", "qid", "id"), "left_anti")
+      .groupBy(col("surface"))
+      .agg(count(lit(1)).cast("long").as("n_backfilled"))
+    leakAgg(pre, rm, "n_slots_pre", "n_removed_pre")
+      .join(leakAgg(post, rm, "n_slots_post", "n_leaked_post"), Seq("surface"))
+      .join(backfill, Seq("surface"), "left_outer")
+      .na.fill(0L, Seq("n_backfilled"))
+      .select(col("surface"), col("n_slots_pre"), col("n_slots_post"),
+        col("n_removed_pre"), col("n_leaked_post"), col("n_backfilled"),
+        (col("n_leaked_post") === 0 &&
+          col("n_slots_post") === col("n_slots_pre")).as("clean"))
+      .orderBy(col("surface"))
+  }
+
   /** Per-surface (slots, leaks-vs-removal) aggregate over a tagged
     * listing — one broadcast probe join, surfaces-sized output. */
   private[graft] def leakAgg(listing: DataFrame, removal: DataFrame,

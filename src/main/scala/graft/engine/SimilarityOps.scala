@@ -1703,6 +1703,32 @@ object SimilarityOps {
                   storedCodes: DataFrame,
                   nQueries: Int = 5, k: Int = 10, nProbe: Int = 4,
                   exactTop: Option[DataFrame] = None): DataFrame = {
+    val adc = ivfPqAdcScored(index, cb, embeddings, storedCodes,
+        nQueries, nProbe)
+      .localCheckpoint(false) // candidates + top-k read it; it is candidate-sized
+    val nCand = adc.groupBy(col("qid")).agg(count(lit(1)).as("n_candidates"))
+    val adcTop = topCut(adc, col("adc_d2"), k)
+    val exactTopDf = exactTop.getOrElse(exactEuclideanTop(embeddings, nQueries, k))
+    exactTopDf.join(adcTop.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"),
+           count(lit(1)).cast("long").as("k"))
+      .join(nCand, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("n_hits"), col("k"))
+      .orderBy(col("qid"))
+  }
+
+  /** The IVF-PQ ADC-scored candidate frame [[ivfPqRecall]] cuts —
+    * (qid, vec_id, adc_d2) over each query's nProbe lists, scored
+    * from the STORED codes. Exposed for the q282 takedown cert:
+    * probe routes are centroid-fixed and ADC is pointwise over the
+    * codes, so the purged listing is a filter + re-window of this
+    * frame. */
+  private[engine] def ivfPqAdcScored(index: IvfIndex, cb: PqCodebook,
+                                     embeddings: DataFrame,
+                                     storedCodes: DataFrame,
+                                     nQueries: Int, nProbe: Int): DataFrame = {
     val sd = cb.subDim
     val m = cb.m
     val codes = storedCodes
@@ -1730,24 +1756,11 @@ object SimilarityOps {
         col("code").cast("long").as("code"), col("qd2"))
     val eAggs = (0 until m).map { s =>
       min(when(col("subspace") === s, col("qd2"))).as(s"e$s") }
-    val adc = codes.join(broadcast(lut), Seq("list_id", "subspace", "code"))
+    codes.join(broadcast(lut), Seq("list_id", "subspace", "code"))
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id")).agg(eAggs.head, eAggs.tail: _*)
       .withColumn("adc_d2", (0 until m).map(s => col(s"e$s")).reduceLeft(_ + _))
-      .localCheckpoint(false) // candidates + top-k read it; it is candidate-sized
-    val nCand = adc.groupBy(col("qid")).agg(count(lit(1)).as("n_candidates"))
-    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc_d2"), col("vec_id"))
-    val adcTop = adc.withColumn("rn", row_number().over(wAdc)).filter(col("rn") <= k)
-      .select(col("qid"), col("vec_id"))
-    val exactTopDf = exactTop.getOrElse(exactEuclideanTop(embeddings, nQueries, k))
-    exactTopDf.join(adcTop.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
-      .groupBy(col("qid"))
-      .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"),
-           count(lit(1)).cast("long").as("k"))
-      .join(nCand, Seq("qid"), "left")
-      .select(col("qid"), coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-        col("n_hits"), col("k"))
-      .orderBy(col("qid"))
+      .select(col("qid"), col("vec_id"), col("adc_d2"))
   }
 
   /** IVF-PQ nProbe SWEEP (q272) — q269's dial priced on the

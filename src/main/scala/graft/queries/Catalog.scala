@@ -6167,6 +6167,102 @@ object Catalog {
       Some(q277OracleSql),
       dumps = Seq(ivfDump, pqDump)),
 
+    // TAKEDOWN SERVING CERT, COMPRESSED PATH (q282, r15): q277 for
+    // the IVF-PQ read path — a purged assignment store does not stop
+    // the CODES table from serving a removed id, so the production
+    // path gets its own pre/post listing cert (zero leakage,
+    // conserved slots, 1:1 backfill — ADC pointwise, routes fixed).
+    // The oracle replays the full q255 chain (residual encode, coarse
+    // probe, LUT, ADC) from the dumped quantizers, both listings.
+    QuerySpec(
+      "q282_takedown_cert_ivfpq",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{lit, pmod}
+        val docs = Tables.documents(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val idx = SimilarityOps.ivfIndexFor(emb, tag = dir)
+        CorpusOps.takedownServingCertIvfPq(
+          docs.filter(pmod(col("doc_id"), lit(17)) === 6)
+            .select(col("doc_id")),
+          emb, idx,
+          SimilarityOps.ivfPqCodebookFor(idx, tag = dir),
+          SimilarityOps.ivfPqCodesFor(idx, tag = dir))
+      },
+      Some(s"""WITH rm AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 17 = 6),
+             |a AS (
+             |  SELECT vec_id, CAST(list_id AS BIGINT) AS list_id
+             |  FROM read_parquet('/tmp/graft_ivf_oracle/assign/*.parquet')),
+             |ic AS (
+             |  SELECT CAST(c_list_id AS BIGINT) AS list_id,
+             |         CAST(centroid AS DOUBLE[]) AS icent
+             |  FROM read_parquet('/tmp/graft_ivf_oracle/centers/*.parquet')),
+             |cb AS (
+             |  SELECT CAST(subspace AS BIGINT) AS subspace,
+             |         CAST(code AS BIGINT) AS code,
+             |         CAST(centroid AS DOUBLE[]) AS c
+             |  FROM read_parquet('/tmp/graft_ivfpq_oracle/centers/*.parquet')),
+             |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |r AS (
+             |  SELECT v.vec_id, a.list_id,
+             |         list_transform(list_zip(e, icent), p -> p[1] - p[2]) AS res
+             |  FROM v JOIN a USING (vec_id) JOIN ic USING (list_id)),
+             |d AS (
+             |  SELECT vec_id, list_id, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(res, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM r CROSS JOIN cb),
+             |codes AS (
+             |  SELECT vec_id, list_id, subspace, code
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+             |                                     ORDER BY d2, code) AS rk FROM d)
+             |  WHERE rk = 1),
+             |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+             |co0 AS (
+             |  SELECT qid, list_id, icent, qe,
+             |         list_sum(list_transform(list_zip(qe, icent),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS cd2
+             |  FROM q CROSS JOIN ic),
+             |coarse AS (
+             |  SELECT qid, list_id,
+             |         list_transform(list_zip(qe, icent), p -> p[1] - p[2]) AS qres
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+             |                                     ORDER BY cd2, list_id) AS rk FROM co0)
+             |  WHERE rk <= 4),
+             |lut AS (
+             |  SELECT qid, list_id, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(qres, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qd2
+             |  FROM coarse CROSS JOIN cb),
+             |adc0 AS (
+             |  SELECT qid, vec_id,
+             |         MAX(CASE WHEN s.subspace = 0 THEN qd2 END) AS e0,
+             |         MAX(CASE WHEN s.subspace = 1 THEN qd2 END) AS e1,
+             |         MAX(CASE WHEN s.subspace = 2 THEN qd2 END) AS e2,
+             |         MAX(CASE WHEN s.subspace = 3 THEN qd2 END) AS e3
+             |  FROM codes s JOIN lut USING (list_id, subspace, code)
+             |  WHERE vec_id <> qid GROUP BY qid, vec_id),
+             |pre1 AS (
+             |  SELECT qid, vec_id AS id
+             |  FROM (SELECT qid, vec_id,
+             |               row_number() OVER (PARTITION BY qid
+             |                 ORDER BY e0 + e1 + e2 + e3, vec_id) AS rn
+             |        FROM adc0) WHERE rn <= 10),
+             |post1 AS (
+             |  SELECT qid, vec_id AS id
+             |  FROM (SELECT qid, vec_id,
+             |               row_number() OVER (PARTITION BY qid
+             |                 ORDER BY e0 + e1 + e2 + e3, vec_id) AS rn
+             |        FROM adc0 WHERE vec_id % 17 <> 6) WHERE rn <= 10),
+             |certrows AS (
+             |  ${q277CertRow("ivfpq_adc", "pre1", "post1")})
+             |SELECT surface, n_slots_pre, n_slots_post, n_removed_pre,
+             |       n_leaked_post, n_backfilled,
+             |       (n_leaked_post = 0 AND n_slots_post = n_slots_pre) AS clean
+             |FROM certrows ORDER BY surface""".stripMargin),
+      dumps = Seq(ivfDump, ivfPqDump)),
+
     // IVF MERGE applier (q271): the fit-free inverse of the q259
     // split and the takedown's index-side follow-up — a deletion-heavy
     // purge (here: lists 0-2 keep only every 7th vector) leaves

@@ -1265,6 +1265,24 @@ class SimilarityMultimodalSpec extends SparkSpec {
       "removal must intersect some pre-purge listing")
   }
 
+  test("takedown cert covers the compressed read path: zero leakage, availability, 1:1 backfill") {
+    val docs = Tables.documents(spark, sf)
+    val idx = SimilarityOps.ivfIndexFor(emb, tag = sf)
+    val r = CorpusOps.takedownServingCertIvfPq(
+        docs.filter(pmod(col("doc_id"), lit(17)) === 6).select(col("doc_id")),
+        emb, idx,
+        SimilarityOps.ivfPqCodebookFor(idx, tag = sf),
+        SimilarityOps.ivfPqCodesFor(idx, tag = sf)).collect()
+    assert(r.length == 1 && r.head.getString(0) == "ivfpq_adc")
+    val row = r.head
+    assert(row.getLong(4) == 0L && row.getBoolean(6),
+      s"compressed path must not serve a removed id: $row")
+    assert(row.getLong(2) == row.getLong(1), s"availability: $row")
+    // ADC is pointwise and probe routes are centroid-fixed, so the
+    // purge admits exactly the evicted slots' worth of successors
+    assert(row.getLong(5) == row.getLong(3), s"1:1 backfill: $row")
+  }
+
   test("index A/B shadow: identical codebooks are churn-free; the drift refit moves listings coherently") {
     val e = emb.localCheckpoint(false)
     // self-compare under a fresh tag: v2 fits the SAME corpus with the
