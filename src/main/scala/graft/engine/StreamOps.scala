@@ -969,10 +969,13 @@ object StreamOps {
     * invariant a serving stack must hold CONTINUOUSLY, not just at
     * purge time. Removal requests stream in; each tick (1) purges the
     * tick's ids from every carried serving store (postings /
-    * doc-lengths / vectors / IVF assignments / binary signatures —
-    * one broadcast anti-join each: the q270 purge applied to the
-    * serving artifacts), then (2) re-drives all five serving listings
-    * over the purged stores ([[CorpusOps.servingListings]]) and
+    * doc-lengths / vectors / IVF assignments / binary signatures /
+    * IVF-PQ codes — one broadcast anti-join each: the q270 purge
+    * applied to the serving artifacts), then (2) re-drives all SIX
+    * serving listings over the purged stores
+    * ([[CorpusOps.servingListings]] plus the compressed IVF-PQ path,
+    * which serves from the CODES store and is not silenced by an
+    * assignment purge — the q282 point) and
     * certifies them against the CUMULATIVE removal set — an id
     * removed at ANY earlier tick must stay unservable forever, so the
     * leak probe runs against the whole queue, not just the tick. The
@@ -995,7 +998,9 @@ object StreamOps {
                              docLengths: DataFrame, embeddings: DataFrame,
                              index: SimilarityOps.IvfIndex,
                              pqCb: SimilarityOps.PqCodebook,
-                             sigs: DataFrame, outPath: String,
+                             sigs: DataFrame, ivfPqCodes: DataFrame,
+                             ivfPqCb: SimilarityOps.PqCodebook,
+                             outPath: String,
                              checkpointDir: String,
                              storedRemoved: Option[DataFrame] = None)
       : StreamingQuery = {
@@ -1006,6 +1011,7 @@ object StreamOps {
     var emb = embeddings.localCheckpoint(false)
     var asg = index.assigned.localCheckpoint(false)
     var sg = sigs.localCheckpoint(false)
+    var cds = ivfPqCodes.localCheckpoint(false)
     // restart contract: a monitor reconstructed from the on-disk
     // snapshots passes `outPath/removed` back in here, so the leak
     // probe keeps covering ids removed before the restart
@@ -1031,8 +1037,21 @@ object StreamOps {
             .localCheckpoint(false)
           sg = sg.join(rmVec, Seq("vec_id"), "left_anti")
             .localCheckpoint(false)
+          cds = cds.join(rmVec, Seq("vec_id"), "left_anti")
+            .localCheckpoint(false)
+          // the PRODUCTION path serves from the CODES store — a purged
+          // assignment store does not silence it (the q282 point), so
+          // the monitor drives its listing too, from the carried codes
+          val ivfPqListing = SimilarityOps.topCut(
+              SimilarityOps.ivfPqAdcScored(index, ivfPqCb, emb, cds,
+                nQueries = 5, nProbe = 4),
+              col("adc_d2"), 10)
+            .select(lit("ivfpq_adc").as("surface"),
+              col("qid").cast("long").as("qid"),
+              col("vec_id").cast("long").as("id"))
           val listings = CorpusOps.servingListings(post, dl, emb,
             SimilarityOps.IvfIndex(asg, index.centers, index.nLists), pqCb, sg)
+            .unionByName(ivfPqListing)
           CorpusOps.leakAgg(listings, removedAll, "n_slots", "n_leaked")
             .withColumn("clean", col("n_leaked") === 0L)
             .withColumn("tick", lit(tick))
@@ -1042,6 +1061,7 @@ object StreamOps {
           emb.write.mode("overwrite").parquet(s"$outPath/vectors")
           asg.write.mode("overwrite").parquet(s"$outPath/assign")
           sg.write.mode("overwrite").parquet(s"$outPath/sigs")
+          cds.write.mode("overwrite").parquet(s"$outPath/codes")
           // the CUMULATIVE removal queue is carried state too: without
           // this snapshot a restart-from-checkpoint would certify only
           // post-restart ids and the standing invariant would silently

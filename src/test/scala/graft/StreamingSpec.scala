@@ -1086,8 +1086,11 @@ class StreamingSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("graft_ssm_out_").toString + "/serve"
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ssm_ckpt_").toString
     val input = MemoryStream[Long]
+    val ivfPqCb = SimilarityOps.ivfPqCodebookFor(idx, tag = sf)
+    val ivfPqCodes = SimilarityOps.ivfPqCodesFor(idx, tag = sf)
+      .localCheckpoint(false)
     val q = StreamOps.streamingTakedownServe(input.toDS().toDF("doc_id"),
-      postings, doclens, emb, idx, cb, sigs, out, ckpt)
+      postings, doclens, emb, idx, cb, sigs, ivfPqCodes, ivfPqCb, out, ckpt)
     try {
       input.addData(t1.toSeq: _*)
       q.processAllAvailable()
@@ -1104,7 +1107,7 @@ class StreamingSpec extends SparkSpec {
     val q2 = StreamOps.streamingTakedownServe(input2.toDS().toDF("doc_id"),
       snap1("postings"), snap1("doclens"), snap1("vectors"),
       SimilarityOps.IvfIndex(snap1("assign"), idx.centers, idx.nLists),
-      cb, snap1("sigs"), out2, ckpt2,
+      cb, snap1("sigs"), snap1("codes"), ivfPqCb, out2, ckpt2,
       storedRemoved = Some(snap1("removed")))
     try {
       input2.addData((t2 :+ t1.head).toSeq: _*)
@@ -1115,8 +1118,8 @@ class StreamingSpec extends SparkSpec {
       .toMap
     val cert1 = certOf(out)
     val cert = certOf(out2)
-    assert(cert1.size == 5 && cert.size == 5,
-      s"five surfaces per run: ${cert1.keySet} / ${cert.keySet}")
+    assert(cert1.size == 6 && cert.size == 6,
+      s"six surfaces per run: ${cert1.keySet} / ${cert.keySet}")
     // the standing invariant: zero leakage at EVERY tick, before and
     // after the restart, vs the cumulative removal set
     (cert1 ++ cert).foreach { case (s, (_, leaked, clean)) =>
@@ -1134,6 +1137,12 @@ class StreamingSpec extends SparkSpec {
     // the fixture bites: removed ids held pre-purge slots somewhere
     assert(oneShot.values.map(_._2).sum > 0,
       "removal must intersect some pre-purge listing")
+    // the compressed path's final slots equal ITS one-shot cert
+    val oneShotPq = CorpusOps.takedownServingCertIvfPq(
+        rmIds.toSeq.toDF("doc_id"), emb, idx, ivfPqCb, ivfPqCodes)
+      .collect().head
+    assert(cert("ivfpq_adc")._1 == oneShotPq.getLong(2),
+      "ivfpq final slots must equal the one-shot q282 post side")
     // stream ≡ batch at the LISTING level — ACROSS the restart: the
     // listings recomputed from the post-restart snapshots equal the
     // listings over the one-shot purged stores, row set for row set
