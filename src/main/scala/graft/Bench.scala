@@ -124,26 +124,39 @@ object Bench {
       timedPass(), timedPass(), timedPass())
     def passTotal(p: Seq[(String, Double, Boolean)]): Double =
       p.filter(_._3).map(_._2).sum
-    // Convergence totals are computed over the INTERSECTION of queries
-    // that succeeded in every warm pass (ADVICE r13: a query that
-    // flakes in exactly one pass shifts that pass's total and can
-    // falsely satisfy or block the 5% gate on unequal query sets).
-    def commonOkTotals: Seq[Double] = {
+    // Convergence is gated on PER-QUERY-MIN STABILITY (VERDICT r15
+    // #6): the previous gate compared the two lowest warm-pass TOTALS,
+    // so ONE co-tenant-loaded pass could hold the whole window
+    // un-converged even though every per-query min was already backed
+    // by two agreeing measurements from different passes. Over the
+    // INTERSECTION of queries that succeeded in every warm pass
+    // (ADVICE r13: unequal query sets skew any total), sum each
+    // query's best and second-best warm timing — taken per query, so
+    // the two measurements may come from DIFFERENT passes; converged
+    // when the second-best sum is within 5% of the best sum. That is
+    // exactly the claim the headline min column makes ("each min is
+    // reproducible"), robust to any single slow pass.
+    def minStabilitySums: Option[(Double, Double)] = {
       val warmPasses = passBuf.drop(1).toSeq
       val common = warmPasses
         .map(p => p.filter(_._3).map(_._1).toSet)
         .reduce(_ intersect _)
-      warmPasses.map(_.filter(r => r._3 && common(r._1)).map(_._2).sum)
+      // An EMPTY common set means no query succeeded in every warm
+      // pass — zero shared evidence, so the gate must treat it as NOT
+      // converged (ADVICE r15: 0 <= 0.05*0 would otherwise mint a
+      // falsely-converged artifact from a pathological flake pattern).
+      if (common.isEmpty || warmPasses.size < 2) None
+      else {
+        val perQuery = common.toSeq.map { name =>
+          val ts = warmPasses
+            .flatMap(_.find(r => r._1 == name && r._3)).map(_._2).sorted
+          (ts(0), ts(1))
+        }
+        Some((perQuery.map(_._1).sum, perQuery.map(_._2).sum))
+      }
     }
-    // An EMPTY common set means no query succeeded in every warm pass
-    // — zero shared evidence, so the gate must treat it as NOT
-    // converged (ADVICE r15: 0 <= 0.05*0 would otherwise mint a
-    // falsely-converged artifact from a pathological flake pattern).
-    def commonNonEmpty: Boolean = passBuf.drop(1).toSeq
-      .map(p => p.filter(_._3).map(_._1).toSet).reduce(_ intersect _).nonEmpty
-    def warmConverged: Boolean = {
-      val warm = commonOkTotals.sorted
-      commonNonEmpty && warm.size >= 2 && warm(1) - warm(0) <= 0.05 * warm(0)
+    def warmConverged: Boolean = minStabilitySums.exists {
+      case (best, second) => second - best <= 0.05 * best
     }
     var wallCapped = false
     while (!warmConverged && passBuf.size < maxPasses && !wallCapped) {
@@ -181,12 +194,12 @@ object Bench {
     val passTotals = passTotalSeq.mkString("[", ",", "]")
     val warmTotals = passTotalSeq.drop(1)
     val warmSpread = warmTotals.max - warmTotals.min
-    // gap between the two best warm totals (common-ok-set basis, same
-    // as the convergence gate) — ≤5% of the best means the adaptive
-    // loop converged; at the pass/wall cap it records how far off the
-    // window still was (the artifact's own credibility annotation)
-    val warmSorted = commonOkTotals.sorted
-    val warmBestGap = warmSorted(1) - warmSorted(0)
+    // gap between the per-query second-best and best sums (the
+    // convergence gate's own numbers) — ≤5% of the best sum means the
+    // adaptive loop converged; at the pass/wall cap it records how far
+    // off the window still was (the artifact's credibility annotation)
+    val warmBestGap = minStabilitySums
+      .map { case (best, second) => second - best }.getOrElse(-1.0)
     // min_total_sec repeats "value" under its semantic name: the
     // per-query-MIN sum is the load-robust headline (VERDICT r7: the
     // driver's warm PASS totals carried a 10 s machine-load spread

@@ -468,12 +468,25 @@ object SimilarityOps {
     // the multi-word generalization's cost law; = 8 on this 64-d
     // corpus, 32 on a 256-d one). One-row read, not a scan.
     val dim = embeddings.select(size(col("embedding")).as("d")).limit(1).head.getInt(0)
-    rung("binary_sign64", 8L * ((dim + 63) / 64),
+    // d ≤ 64 keeps the single-long fast path; above it the rung is
+    // SCORED by the multi-word path over the persisted wide-sig table
+    // (VERDICT r15 #3: the ladder previously priced 8·⌈d/64⌉ but
+    // scored via binaryHammingRecall, whose ADVICE-r13 guard RAISES
+    // past 64 dims — so q266/q274 could not run on production-width
+    // embeddings despite the q275 wide machinery existing)
+    val binRep =
+      if (dim <= 64)
         binaryHammingRecall(embeddings, nQueries, k,
           storedSigs = Some(binarySigsFor(embeddings, tag)),
-          exactTop = Some(exCos)))
-      // int8 codes (d bytes) + the stored integer norm (8 B)
-      .unionByName(rung("int8_sym127", 72L,
+          exactTop = Some(exCos))
+      else
+        binaryHammingRecallWide(embeddings, nQueries, k,
+          storedSigs = Some(binarySigsWideFor(embeddings, tag)),
+          exactTop = Some(exCos))
+    rung("binary_sign64", 8L * ((dim + 63) / 64), binRep)
+      // int8 codes (d bytes) + the stored integer norm (8 B) — the
+      // dimension law, not the 64-d constant (same r15 #3 fix)
+      .unionByName(rung("int8_sym127", dim.toLong + 8L,
         int8Recall(embeddings, nQueries, k, exactTop = Some(exCos))))
       .unionByName(rung("pq4x16", 4L,
         pqAdcRecall(pqCodebookFor(embeddings, tag), embeddings, nQueries, k,
@@ -760,7 +773,16 @@ object SimilarityOps {
     * the three constituent queries also serve — memoizing makes the
     * capstone READ its constituents instead of re-pricing every rung.
     * Values are localCheckpointed (tiny), keyed by (session,
-    * descriptor); [[release]] drops them with the other memos. */
+    * descriptor); [[release]] drops them with the other memos.
+    *
+    * THE TAG PINS THE DATASET (ADVICE r15): like [[ivfIndexFor]] and
+    * every other tagged artifact here, the memo key is (session, tag,
+    * params) and deliberately ignores the DataFrame arguments — a tag
+    * names ONE corpus for the session's lifetime, so a second call
+    * with the same tag but different embeddings/codes returns the
+    * first dataset's report. Callers scoring a different corpus must
+    * use a fresh tag (the specs' `"w" + dir` pattern) or [[release]]
+    * first. */
   @transient private var reportMemo: Map[(SparkSession, String), DataFrame] =
     Map.empty
   private def memoReport(spark: SparkSession, key: String)

@@ -188,26 +188,60 @@ object StreamOps {
       }
   }
 
+  /** Insert one event (epoch micros) into a time-ordered session
+    * buffer, merging the neighbours it bridges — the late-data-correct
+    * core the two watermark-buffered session streams share (ADVICE
+    * r15). An event inside an existing session's span only increments
+    * its count; one in a gap extends a neighbour, MERGES two sessions
+    * it simultaneously joins, or opens a new session between them.
+    * Adding events can never split a session, so (start, end, n)
+    * summaries are sufficient state — no event retention. `splitGe`
+    * selects the family's split law: q280 packing splits on
+    * d ≥ gap, q33 [[EventOps.sessionize]] on d > gap. */
+  private def insertSessionEvent(
+      buf: scala.collection.mutable.ArrayBuffer[(Long, Long, Long)],
+      t: Long, gapUs: Long, splitGe: Boolean): Unit = {
+    def joins(d: Long): Boolean = if (splitGe) d < gapUs else d <= gapUs
+    var i = 0
+    while (i < buf.length && buf(i)._1 <= t) i += 1
+    val p = i - 1 // nearest session starting at or before t, if any
+    val joinsPrev = p >= 0 && (t <= buf(p)._2 || joins(t - buf(p)._2))
+    val joinsNext = i < buf.length && joins(buf(i)._1 - t)
+    if (joinsPrev && joinsNext) {
+      val (ps, pe, pn) = buf(p); val (_, ne, nn) = buf(i)
+      buf(p) = (ps, math.max(pe, ne), pn + nn + 1)
+      buf.remove(i)
+    } else if (joinsPrev) {
+      val (ps, pe, pn) = buf(p); buf(p) = (ps, math.max(pe, t), pn + 1)
+    } else if (joinsNext) {
+      val (_, ne, nn) = buf(i); buf(i) = (t, ne, nn + 1)
+    } else buf.insert(i, (t, t, 1L))
+  }
+
   /** Streaming sessionization with EVENT-TIME state expiry — the
     * stateful shape the other custom-state ops don't exercise:
     * `GroupStateTimeout.EventTimeTimeout`, where the WATERMARK (not
-    * processing time, not a new event) closes the open session. State
-    * per user is one (session counter, open start/end/count) tuple;
-    * each batch folds its events into the open session (a > gap jump
-    * closes it inline and opens the next), then re-arms a timeout at
-    * session end + gap — when the watermark passes that instant the
-    * timeout callback emits the completed session exactly once and
-    * drops the open-session state, leaving only the O(1) counter.
-    * That is the production contract for session feeds: sessions
-    * complete deterministically from event time, state is bounded,
-    * and a quiet user's session still closes without another event
-    * ever arriving.
+    * processing time, not a new event) finalizes a session. State per
+    * user is the emitted-session counter plus a time-ordered buffer of
+    * UNFINALIZED session summaries (start, end, n): each batch folds
+    * its events into the buffer ([[insertSessionEvent]] — an
+    * out-of-order event still within the watermark delay lands in,
+    * extends, or MERGES the closed-but-unwatermarked sessions it
+    * belongs to, which an inline gap-jump emission could never take
+    * back), then a session emits exactly once, in start order, when
+    * the watermark passes its end + gap — only then can no admissible
+    * event still reach it, because Spark drops input older than the
+    * watermark (ADVICE r15: the previous inline-close form corrupted
+    * the successor session on such late data). A timeout re-arms at
+    * the EARLIEST buffered end + gap, so a quiet user's sessions
+    * still close without another event ever arriving.
     *
+    * State is bounded by the watermark-delay window: at most
+    * ⌈delay/gap⌉ + 1 session summaries per user, O(1) amortized.
     * Output rows match batch [[EventOps.sessionize]]'s (user_id,
     * session_id, n_events, start, duration) in epoch micros;
-    * equivalence over an in-order feed is asserted in StreamingSpec
-    * (cross-batch late data is bounded by the watermark delay, as in
-    * every watermarked op here). */
+    * stream ≡ batch is asserted in StreamingSpec including
+    * out-of-order cross-batch late data within the delay. */
   def streamingSessionize(events: DataFrame, gapMinutes: Int = 30,
                           watermarkDelay: String = "10 minutes")
       : Dataset[(Long, Long, Long, Long, Long)] = {
@@ -224,47 +258,51 @@ object StreamOps {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
-         state: GroupState[(Long, Long, Long, Long)]) =>
-          var (seq, st, en, n) = state.getOption.getOrElse((0L, -1L, -1L, 0L))
+         state: GroupState[(Long, Seq[(Long, Long, Long)])]) =>
+          var (seq, saved) = state.getOption.getOrElse((0L, Seq.empty[(Long, Long, Long)]))
+          val buf = scala.collection.mutable.ArrayBuffer(saved: _*)
+          if (!state.hasTimedOut)
+            rows.foreach(r => insertSessionEvent(buf, us(r._3), gapUs, splitGe = false))
+          val wm = state.getCurrentWatermarkMs()
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
-          if (state.hasTimedOut) {
-            // watermark passed end + gap: the session is final
-            if (st >= 0) out += ((user, seq, n, st, en - st))
-            state.update((seq, -1L, -1L, 0L)) // counter survives, open session gone
-          } else {
-            // micro-batch arrival order is not event order — sort the
-            // (bounded, per-user-per-batch) slice on (ts, event_id)
-            rows.toSeq.map(r => (us(r._3), r._2)).sortBy(identity).foreach { case (t, _) =>
-              if (st < 0) { seq += 1; st = t; en = t; n = 1 }
-              else if (t - en > gapUs) {
-                out += ((user, seq, n, st, en - st))
-                seq += 1; st = t; en = t; n = 1
-              } else { if (t > en) en = t; n += 1 }
-            }
-            state.update((seq, st, en, n))
-            if (st >= 0)
-              state.setTimeoutTimestamp(
-                math.max(en / 1000 + gapMs + 1, state.getCurrentWatermarkMs() + 1))
+          // emit-in-order: only the buffer HEAD can be final — a later
+          // event may still merge two buffered successors, so nothing
+          // but the watermark finalizes a session
+          while (buf.nonEmpty && wm >= buf.head._2 / 1000 + gapMs + 1) {
+            val (st, en, n) = buf.remove(0)
+            seq += 1
+            out += ((user, seq, n, st, en - st))
           }
+          state.update((seq, buf.toSeq))
+          if (buf.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(buf.head._2 / 1000 + gapMs + 1, wm + 1))
           out.iterator
       }
   }
 
   /** STREAMING conversation packing — q280 live:
-    * [[TemporalOps.sessionPackManifest]] as the events arrive. Per-user
-    * state extends the [[streamingSessionize]] tuple with the PACKED
-    * MASS (cum_before): a conversation finalizes when a gap-jump
-    * successor arrives inline or the watermark passes end + gap, and
-    * only at finalization does its manifest row emit — the packing
-    * offsets depend on every earlier session of the user, and
-    * finalize-in-order makes each row exact-once and immutable (an
-    * open session's slot assignment can still grow; a finalized one
-    * never changes, which is what a downstream shard writer needs).
-    * Emitted rows replay the q105 law from the carried cum:
-    * (user_id, session_id, n_events, start_seq, end_seq, tok_offset).
-    * State is O(1) per user forever. Stream ≡ batch on the finalized
-    * subset is asserted in StreamingSpec row-for-row against the
-    * batch manifest. */
+    * [[TemporalOps.sessionPackManifest]] as the events arrive.
+    * Per-user state extends [[streamingSessionize]]'s watermark
+    * buffer with the PACKED MASS (cum_before): conversations fold
+    * into a time-ordered buffer of (start, end, n) summaries
+    * ([[insertSessionEvent]], split on ≥ gap — the pack family's law,
+    * vs q33's strict >), and a conversation finalizes ONLY when the
+    * watermark passes its end + gap — never inline on a gap-jump, so
+    * an out-of-order event still inside the watermark delay folds
+    * into the closed-but-unwatermarked conversation it belongs to (or
+    * merges two of them) instead of corrupting the newer open session
+    * (ADVICE r15). Only at finalization does the manifest row emit —
+    * the packing offsets depend on every earlier conversation of the
+    * user, and finalize-in-order makes each row exact-once and
+    * immutable (a buffered conversation's slot assignment can still
+    * grow; a finalized one never changes, which is what a downstream
+    * shard writer needs). Emitted rows replay the q105 law from the
+    * carried cum: (user_id, session_id, n_events, start_seq, end_seq,
+    * tok_offset). State is bounded by ⌈delay/gap⌉ + 1 summaries per
+    * user. Stream ≡ batch on the finalized subset is asserted in
+    * StreamingSpec row-for-row against the batch manifest, including
+    * late out-of-order arrivals into already-closed conversations. */
   def streamingSessionPack(events: DataFrame, gapMinutes: Int = 5,
                            seqLen: Int = 64,
                            watermarkDelay: String = "10 minutes")
@@ -283,33 +321,26 @@ object StreamOps {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
-         state: GroupState[(Long, Long, Long, Long, Long)]) =>
-          // (ordinal, open_start_us, open_end_us, open_n, cum_before)
-          var (seq, st, en, n, cum) = state.getOption.getOrElse((0L, -1L, -1L, 0L, 0L))
+         state: GroupState[(Long, Long, Seq[(Long, Long, Long)])]) =>
+          // (emitted ordinal, packed mass, unfinalized session buffer)
+          var (seq, cum, saved) =
+            state.getOption.getOrElse((0L, 0L, Seq.empty[(Long, Long, Long)]))
+          val buf = scala.collection.mutable.ArrayBuffer(saved: _*)
+          if (!state.hasTimedOut)
+            rows.foreach(r => insertSessionEvent(buf, us(r._3), gapUs, splitGe = true))
+          val wm = state.getCurrentWatermarkMs()
           val out = scala.collection.mutable.ArrayBuffer
             .empty[(Long, Long, Long, Long, Long, Long)]
-          def finalizeOpen(): Unit = {
+          while (buf.nonEmpty && wm >= buf.head._2 / 1000 + gapMs + 1) {
+            val (_, _, n) = buf.remove(0)
+            seq += 1
             out += ((user, seq, n, cum / sl, (cum + n - 1) / sl, cum % sl))
             cum += n
           }
-          if (state.hasTimedOut) {
-            if (st >= 0) finalizeOpen()
-            state.update((seq, -1L, -1L, 0L, cum))
-          } else {
-            // per-batch slice sorted on (ts, event_id) — the batch
-            // manifest's ordering law
-            rows.toSeq.map(r => (us(r._3), r._2)).sortBy(identity).foreach { case (t, _) =>
-              if (st < 0) { seq += 1; st = t; en = t; n = 1 }
-              else if (t - en >= gapUs) { // q33/q280 semantics: >= gap splits
-                finalizeOpen()
-                seq += 1; st = t; en = t; n = 1
-              } else { if (t > en) en = t; n += 1 }
-            }
-            state.update((seq, st, en, n, cum))
-            if (st >= 0)
-              state.setTimeoutTimestamp(
-                math.max(en / 1000 + gapMs + 1, state.getCurrentWatermarkMs() + 1))
-          }
+          state.update((seq, cum, buf.toSeq))
+          if (buf.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(buf.head._2 / 1000 + gapMs + 1, wm + 1))
           out.iterator
       }
   }
@@ -979,9 +1010,12 @@ object StreamOps {
     * certifies them against the CUMULATIVE removal set — an id
     * removed at ANY earlier tick must stay unservable forever, so the
     * leak probe runs against the whole queue, not just the tick. The
-    * tick-stamped cert (surface, n_slots, n_leaked, clean) appends to
-    * `outPath/cert`; the purged stores AND the cumulative removal
-    * queue snapshot per tick (durable state IS the sinks — the
+    * tick-stamped cert (surface, n_slots, n_leaked, clean) writes
+    * idempotently to `outPath/cert/tick=N` (a replayed at-least-once
+    * tick overwrites itself); the purged stores AND the cumulative
+    * removal queue snapshot per tick, queue FIRST so a mid-tick crash
+    * leaves it ahead of the stores, never behind (durable state IS
+    * the sinks — the
     * restart contract the sibling takedown streams state; without the
     * queue snapshot a restart would certify only post-restart ids).
     *
@@ -1052,21 +1086,32 @@ object StreamOps {
           val listings = CorpusOps.servingListings(post, dl, emb,
             SimilarityOps.IvfIndex(asg, index.centers, index.nLists), pqCb, sg)
             .unionByName(ivfPqListing)
+          // tick-IDEMPOTENT cert (ADVICE r15): foreachBatch is
+          // at-least-once, so a replayed tick must OVERWRITE its own
+          // cert rows, never append duplicates — the tick number is
+          // the partition directory (recovered as a column when
+          // `outPath/cert` is read), and mode("overwrite") on the
+          // tick-versioned path makes the replay a no-op.
           CorpusOps.leakAgg(listings, removedAll, "n_slots", "n_leaked")
             .withColumn("clean", col("n_leaked") === 0L)
-            .withColumn("tick", lit(tick))
-            .write.mode("append").parquet(s"$outPath/cert")
+            .write.mode("overwrite").parquet(s"$outPath/cert/tick=$tick")
+          // the CUMULATIVE removal queue is carried state too: without
+          // this snapshot a restart-from-checkpoint would certify only
+          // post-restart ids and the standing invariant would silently
+          // weaken (the streamingIvfRebalance ADVICE class of bug).
+          // It writes BEFORE the store snapshots (ADVICE r15): a crash
+          // between the writes must leave the queue AHEAD of the
+          // stores, never behind — the replayed tick re-applies
+          // idempotent anti-joins against an over-complete queue,
+          // while a queue behind the stores would silently shrink the
+          // standing leak probe after a restart.
+          removedAll.write.mode("overwrite").parquet(s"$outPath/removed")
           post.write.mode("overwrite").parquet(s"$outPath/postings")
           dl.write.mode("overwrite").parquet(s"$outPath/doclens")
           emb.write.mode("overwrite").parquet(s"$outPath/vectors")
           asg.write.mode("overwrite").parquet(s"$outPath/assign")
           sg.write.mode("overwrite").parquet(s"$outPath/sigs")
           cds.write.mode("overwrite").parquet(s"$outPath/codes")
-          // the CUMULATIVE removal queue is carried state too: without
-          // this snapshot a restart-from-checkpoint would certify only
-          // post-restart ids and the standing invariant would silently
-          // weaken (the streamingIvfRebalance ADVICE class of bug)
-          removedAll.write.mode("overwrite").parquet(s"$outPath/removed")
         }
         ()
       }

@@ -103,9 +103,12 @@ object TemporalOps {
   /** CONVERSATION PACKING manifest (q280) — multi-turn training data
     * assembled from event logs, the composition every chat/agent
     * pipeline runs: gap-sessionize each user's event stream (a new
-    * conversation starts when ts − prev_ts ≥ gap — the q33 session
-    * semantics, lag-expressed so the session ids are stable
-    * ordinals), then pack each user's conversations in order into
+    * conversation starts when ts − prev_ts ≥ gap — note this family
+    * deliberately splits on ≥ while q33/[[graft.engine.EventOps
+    * .sessionize]] splits on strictly >; an event exactly gap minutes
+    * after its predecessor OPENS a new conversation here but extends
+    * the q33 session. Lag-expressed so the session ids are stable
+    * ordinals. Then pack each user's conversations in order into
     * fixed-length training sequences under the q105 packing law
     * (cumulative token mass, integer start_seq/end_seq/tok_offset).
     * Turns inside a conversation stay CONTIGUOUS by construction (the

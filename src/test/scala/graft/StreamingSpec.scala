@@ -544,6 +544,105 @@ class StreamingSpec extends SparkSpec {
       spark.table("session_pack").distinct().count())
   }
 
+  test("streaming pack folds late out-of-order events into closed-but-unwatermarked conversations") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{StreamOps, TemporalOps}
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // ADVICE r15 fixture: batch 1 gap-jumps past user 1's first
+    // conversation (10:08 − 10:01 = 7 min ≥ 5) — the old inline-close
+    // form would have EMITTED it then and misfiled the late 10:03
+    // arrival into the newer session. The 10:03/10:04 events in batch
+    // 2 are within the 10-minute watermark delay (wm after batch 1 =
+    // 9:58): 10:03 must fold into user 1's closed-but-unwatermarked
+    // first conversation; user 2's 10:04 must MERGE its two buffered
+    // singleton sessions into one 3-event conversation.
+    val real = Seq(
+      (1L, 1L, t("2026-01-01 10:00:00")), (1L, 2L, t("2026-01-01 10:01:00")),
+      (1L, 3L, t("2026-01-01 10:08:00")),
+      (2L, 4L, t("2026-01-01 10:00:00")), (2L, 5L, t("2026-01-01 10:08:00")),
+      (1L, 6L, t("2026-01-01 10:03:00")), (2L, 7L, t("2026-01-01 10:04:00")))
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = StreamOps.streamingSessionPack(
+        input.toDS().toDF("user_id", "event_id", "ts"), seqLen = 4)
+      .toDF("user_id", "session_id", "n_events", "start_seq", "end_seq",
+        "tok_offset")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("session_pack_late").start()
+    try {
+      input.addData(real.take(5): _*)
+      q.processAllAvailable()
+      input.addData(real.drop(5): _*) // the late arrivals
+      q.processAllAvailable()
+      input.addData((99L, 100L, t("2026-01-01 13:00:00")))
+      q.processAllAvailable()
+      input.addData((99L, 101L, t("2026-01-01 13:00:01")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("session_pack_late").collect()
+      .filter(_.getLong(0) != 99L)
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val batch = TemporalOps.sessionPackManifest(
+        real.toDF("user_id", "event_id", "ts"), seqLen = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got == batch, s"stream $got != batch $batch")
+    // the fixture bites: user 1 conv 1 absorbed the late event (n=3)
+    // and user 2's two singletons merged into one conversation
+    assert(got((1L, 1L))._1 == 3L, s"late event must fold into conv 1: $got")
+    assert(got((2L, 1L))._1 == 3L && !got.contains((2L, 2L)),
+      s"bridging late event must merge user 2's sessions: $got")
+    assert(spark.table("session_pack_late").count() ==
+      spark.table("session_pack_late").distinct().count())
+  }
+
+  test("streaming sessionize folds late out-of-order events under the watermark buffer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // Same shape as the pack late-data fixture but on the q33 law
+    // (split strictly > gap) with gap 5: the 10:03 late arrival lands
+    // in user 1's gap-jumped first session; 10:04 bridges user 2's.
+    val real = Seq(
+      (1L, 1L, t("2026-01-01 10:00:00")), (1L, 2L, t("2026-01-01 10:01:00")),
+      (1L, 3L, t("2026-01-01 10:08:00")),
+      (2L, 4L, t("2026-01-01 10:00:00")), (2L, 5L, t("2026-01-01 10:08:00")),
+      (1L, 6L, t("2026-01-01 10:03:00")), (2L, 7L, t("2026-01-01 10:04:00")))
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = StreamOps.streamingSessionize(
+        input.toDS().toDF("user_id", "event_id", "ts"), gapMinutes = 5)
+      .toDF("user_id", "session_id", "n_events", "start_us", "duration_us")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_late").start()
+    try {
+      input.addData(real.take(5): _*)
+      q.processAllAvailable()
+      input.addData(real.drop(5): _*)
+      q.processAllAvailable()
+      input.addData((99L, 100L, t("2026-01-01 13:00:00")))
+      q.processAllAvailable()
+      input.addData((99L, 101L, t("2026-01-01 13:00:01")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sessions_late").collect()
+      .filter(_.getLong(0) != 99L)
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val batch = graft.engine.EventOps.sessionize(
+        real.toDF("user_id", "event_id", "ts"), gapMinutes = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), unixMicros(r.getTimestamp(3)), r.getLong(5))).toMap
+    assert(got == batch, s"stream $got != batch $batch")
+    // the law divergence is visible on the SAME fixture: q33 joins the
+    // exactly-5-minute jump (> splits), so user 1 is ONE 4-event
+    // session here while the pack family (≥ splits) made it 3 + 1
+    assert(got((1L, 1L))._1 == 4L && got((2L, 1L))._1 == 3L,
+      s"late arrivals must fold into the buffered sessions: $got")
+  }
+
   private def unixMicros(t: java.sql.Timestamp): Long =
     t.getTime * 1000 + (t.getNanos / 1000) % 1000
 
