@@ -47,6 +47,24 @@ object Catalog {
     (s, dir) => SimilarityOps.dumpIvfPqOracle(
       SimilarityOps.ivfIndexFor(Tables.embeddings(s, dir), tag = dir), tag = dir))
 
+  /** STORE-MEMBERSHIP dumps (r16, VERDICT r15 #4): the takedown
+    * oracles previously ASSUMED the persisted sketch and
+    * binary-signature stores are 1:1 with documents/embeddings — true
+    * today (both builders run unfiltered), but a future
+    * quality-filtered store would keep passing the oracle against a
+    * WRONG engine count. Dumping each store's key column lets the SQL
+    * derive membership from the ACTUAL store, the ivfDump pattern;
+    * key multiplicity is preserved (no DISTINCT) so the counts match
+    * the engine's row-level probes exactly. */
+  private val sketchDump = OracleDump("/tmp/graft_sketch_oracle",
+    (s, dir) => SketchShared.sketches(s, dir).select(col("doc_id"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet("/tmp/graft_sketch_oracle/docids"))
+  private val binSigDump = OracleDump("/tmp/graft_binsig_oracle",
+    (s, dir) => SimilarityOps.binarySigsFor(Tables.embeddings(s, dir), tag = dir)
+      .select(col("vec_id")).coalesce(1).write.mode("overwrite")
+      .parquet("/tmp/graft_binsig_oracle/vecids"))
+
   /** The q259 flood batch: 1/7 of the corpus mapped to a far cluster
     * near (100, …, 100) with per-vector jitter — every row argmins
     * into the same stored list and pushes it past the q235 gate, so
@@ -5768,9 +5786,11 @@ object Catalog {
              |         CAST(COALESCE((SELECT SUM(dl) FROM dl JOIN rm USING (doc_id)), 0) AS BIGINT),
              |         CAST((SELECT SUM(dl) FROM dl) AS BIGINT)),
              |sksec AS (
-             |  SELECT 'sketches', CAST(d.doc_id AS VARCHAR),
+             |  SELECT 'sketches', CAST(sk.doc_id AS VARCHAR),
              |         CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT)
-             |  FROM documents d JOIN rm USING (doc_id) GROUP BY d.doc_id),
+             |  FROM (SELECT doc_id
+             |        FROM read_parquet('/tmp/graft_sketch_oracle/docids/*.parquet')) sk
+             |  JOIN rm USING (doc_id) GROUP BY sk.doc_id),
              |assign AS (
              |  SELECT vec_id, CAST(list_id AS BIGINT) AS list_id
              |  FROM read_parquet('/tmp/graft_ivf_oracle/assign/*.parquet')),
@@ -5841,7 +5861,7 @@ object Catalog {
              |SELECT artifact, "key", n_remove, n_before,
              |       n_before - n_remove AS n_after
              |FROM allr ORDER BY artifact, "key"""".stripMargin),
-      dumps = Seq(ivfDump)),
+      dumps = Seq(ivfDump, sketchDump)),
 
     // TAKEDOWN APPLY (q270): execute the q268 plan — every artifact
     // anti-joined into its purged successor, the audit RECOUNTED from
@@ -5875,8 +5895,19 @@ object Catalog {
              |docsec AS (
              |  SELECT a AS artifact, 'all' AS "key", nd.n AS n_before,
              |         nd.n - nr.n AS n_after, nr.n AS n_removed, TRUE AS clean
-             |  FROM (VALUES ('fingerprints'), ('sketches'), ('doc_lengths')) AS t(a)
+             |  FROM (VALUES ('fingerprints'), ('doc_lengths')) AS t(a)
              |  CROSS JOIN nd CROSS JOIN nr),
+             |skst AS (
+             |  SELECT doc_id
+             |  FROM read_parquet('/tmp/graft_sketch_oracle/docids/*.parquet')),
+             |sksec AS (
+             |  SELECT 'sketches', 'all',
+             |         CAST((SELECT COUNT(*) FROM skst) AS BIGINT),
+             |         CAST((SELECT COUNT(*) FROM skst
+             |               WHERE doc_id NOT IN (SELECT doc_id FROM rm)) AS BIGINT),
+             |         CAST((SELECT COUNT(*) FROM skst
+             |               WHERE doc_id IN (SELECT doc_id FROM rm)) AS BIGINT),
+             |         TRUE),
              |post AS (
              |  SELECT doc_id, w
              |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS w
@@ -5952,7 +5983,8 @@ object Catalog {
              |         CAST(0 AS BIGINT), TRUE
              |  FROM mc WHERE which = 'old' GROUP BY lang),
              |allr AS (
-             |  SELECT * FROM docsec UNION ALL SELECT * FROM postsec
+             |  SELECT * FROM docsec UNION ALL SELECT * FROM sksec
+             |  UNION ALL SELECT * FROM postsec
              |  UNION ALL SELECT * FROM vecsec
              |  UNION ALL SELECT * FROM certsec
              |  UNION ALL SELECT artifact, lang, n_before, n_after,
@@ -5960,7 +5992,7 @@ object Catalog {
              |            FROM langsec)
              |SELECT artifact, "key", n_before, n_after, n_removed, clean
              |FROM allr ORDER BY artifact, "key"""".stripMargin),
-      dumps = Seq(ivfDump)),
+      dumps = Seq(ivfDump, sketchDump)),
 
     // TAKEDOWN of the REMAINING stores (q273, r15): the q268/q270
     // purge extended to the stores that would otherwise still serve a
@@ -6049,10 +6081,13 @@ object Catalog {
               |         mb.vb AS n_before, CAST(COALESCE(ma.va, 0) AS BIGINT) AS n_after,
               |         COALESCE(ma.va, 0) >= 0 AS clean
               |  FROM mb LEFT JOIN ma USING (lang, source, measure)),
+              |sgst AS (
+              |  SELECT vec_id
+              |  FROM read_parquet('/tmp/graft_binsig_oracle/vecids/*.parquet')),
               |sigrow AS (
               |  SELECT 'binary_sigs' AS artifact, 'all' AS "key",
-              |         CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_before,
-              |         CAST((SELECT COUNT(*) FROM embeddings
+              |         CAST((SELECT COUNT(*) FROM sgst) AS BIGINT) AS n_before,
+              |         CAST((SELECT COUNT(*) FROM sgst
               |               WHERE vec_id NOT IN (SELECT doc_id FROM rm)) AS BIGINT) AS n_after,
               |         TRUE AS clean),
               |ngb AS (
@@ -6075,7 +6110,8 @@ object Catalog {
               |  UNION ALL SELECT * FROM sigrow UNION ALL SELECT * FROM bloomrow)
               |SELECT artifact, "key", n_before, n_after,
               |       CAST(n_before - n_after AS BIGINT) AS n_removed, clean
-              |FROM allr ORDER BY artifact, "key"""".stripMargin)),
+              |FROM allr ORDER BY artifact, "key"""".stripMargin),
+      dumps = Seq(binSigDump)),
 
     // ENTITY-ALIAS takedown (q276, r15): removal of dim records from
     // the persisted alias store by touched-group re-close — a removed

@@ -1207,6 +1207,42 @@ class SimilarityMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("takedown counts ACTUAL store membership: a doc-subsetted sketch store fails loudly, not silently") {
+    // VERDICT r15 #4 (ADVICE r14 #5): the sketch sections must derive
+    // from the store's own rows, never from an assumed 1:1 with
+    // documents — a future quality-filtered store must change the
+    // counts (and therefore hash-mismatch a 1:1-assuming oracle).
+    import graft.queries.RetrievalShared
+    import org.apache.spark.sql.functions.pmod
+    val docs = Tables.documents(spark, sf)
+    // one removed doc IN the subsetted store (even id), one NOT (odd)
+    val removal = docs.filter(col("doc_id").isin(10L, 11L)).select(col("doc_id"))
+    val subStore = DedupOps.docSketches(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+    val idx = SimilarityOps.ivfIndexFor(emb, tag = sf)
+    val plan = CorpusOps.takedownPropagation(
+        docs, removal,
+        RetrievalShared.postings(spark, sf),
+        RetrievalShared.docLengths(spark, sf),
+        subStore, idx.assigned,
+        SimilarityOps.ivfPqCodesFor(idx, tag = sf)).collect()
+    val skKeys = plan.filter(_.getString(0) == "sketches")
+      .map(_.getString(1)).toSet
+    assert(skKeys == Set("10"),
+      s"only STORE-resident removed docs may plan a sketch purge: $skKeys")
+    val ap = CorpusOps.takedownApply(
+        docs, removal,
+        RetrievalShared.postings(spark, sf),
+        RetrievalShared.docLengths(spark, sf),
+        subStore, idx.assigned,
+        SimilarityOps.ivfPqCodesFor(idx, tag = sf)).collect()
+      .filter(_.getString(0) == "sketches").head
+    assert(ap.getLong(2) == subStore.count(),
+      "apply's n_before must count the actual store rows")
+    assert(ap.getLong(4) == 1L,
+      "apply must remove exactly the store-resident half of the removal")
+  }
+
   test("takedown probes the STORED manifest (plan-audited); a stale manifest fails loudly") {
     import graft.queries.{RetrievalShared, SketchShared}
     val docs = Tables.documents(spark, sf)
