@@ -2018,6 +2018,47 @@ class TextDedupSpec extends SparkSpec {
     assert(big(roundTrip) == big(TextOps.lmModel(base)), "subtract∘merge ≠ id")
   }
 
+  test("bloom rebuild applier: removed held-out grams stop serving; surviving contamination keeps flagging") {
+    import spark.implicits._
+    // synthetic fixture: held-out docs 1 (REMOVED) and 2 (kept), each
+    // 12 unique words (8 distinct 5-grams > the minShared=5 gate);
+    // corpus doc 100 contaminated only by doc 1, 101 only by doc 2,
+    // 102 clean.
+    def words(p: String) = (1 to 12).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, words("rmheld")), (2L, words("keepheld")),
+      (100L, words("rmheld")), (101L, words("keepheld")),
+      (102L, words("clean"))).toDF("doc_id", "text")
+    val removal = Seq(1L).toDF("doc_id")
+    val led = TextOps.bloomRebuildApply(docs, removal).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // the q273 row FLIPPED: key-set conservation, clean = true
+    val (nb, na, nr, kclean) = led(("bloom_rebuild", "all"))
+    assert(kclean && nb == 16L && na == 8L && nr == 8L, s"got $led")
+    // pre-rebuild every removed-only gram still probes positive (no
+    // false negatives); post-rebuild none do at this scale (FP-only)
+    val (rpo, rpn, _, rclean) = led(("removed_grams", "all"))
+    assert(rclean && rpo == 8L && rpn == 0L, s"got $led")
+    // serving verdicts: doc 100 unflagged by the rebuild, 101 keeps
+    val (fo, fn, _, sclean) = led(("serving", "n_flagged"))
+    assert(sclean && fo == 2L && fn == 1L, s"got $led")
+    // per-doc cross-check against independent q85 runs on each filter
+    // generation: rebuilt ≡ built-from-scratch at the serving level
+    val heldOld = docs.filter(col("doc_id") < 50)
+    val heldNew = heldOld.filter(col("doc_id") =!= 1L)
+    val corpus = docs.filter(col("doc_id") >= 50)
+    def flags(h: org.apache.spark.sql.DataFrame) =
+      TextOps.bloomContaminationCheck(corpus, h).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val pre = flags(heldOld)
+    val post = flags(heldNew)
+    assert(pre == Map(100L -> true, 101L -> true, 102L -> false), s"$pre")
+    assert(post == Map(100L -> false, 101L -> true, 102L -> false), s"$post")
+    assert(fn == post.values.count(identity).toLong,
+      "report flag count must equal the from-scratch run")
+  }
+
   test("takedown-stores ledger: one removed doc corrects exactly its counts; Bloom flags rebuild") {
     import spark.implicits._
     // one removed doc with a UNIQUE text (its own fp group) — every
