@@ -1166,6 +1166,121 @@ class StreamingSpec extends SparkSpec {
       "ticked postings removals sum to the one-shot delta")
   }
 
+  test("streaming store takedown: LM/card/sig folds equal the one-shot q273 algebra over the union") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{CorpusOps, SimilarityOps, StreamOps, Tables, TextOps}
+    val docs = Tables.documents(spark, sf).localCheckpoint(false)
+    val emb = Tables.embeddings(spark, sf)
+    val lm0raw = TextOps.lmModel(docs)
+    val lm0 = TextOps.LmModel(lm0raw.bigrams.localCheckpoint(false),
+      lm0raw.contexts.localCheckpoint(false),
+      lm0raw.vocab.localCheckpoint(false))
+    val card0 = CorpusOps.corpusCardState(docs).localCheckpoint(false)
+    val fp0 = docs.select(col("doc_id"), md5(col("text")).as("fp_md5"))
+      .localCheckpoint(false)
+    val sigs0 = SimilarityOps.binarySignatures(emb)
+      .select(col("vec_id"), col("sig")).localCheckpoint(false)
+    val out = java.nio.file.Files.createTempDirectory("graft_sts_out_").toString + "/td"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sts_ckpt_").toString
+    val input = MemoryStream[Long]
+    val q = StreamOps.streamingTakedownStores(
+      input.toDS().toDF("doc_id"), docs, lm0, card0, fp0, sigs0, out, ckpt)
+    try {
+      input.addData(3L, 20L)
+      q.processAllAvailable()
+      input.addData(3L, 41L) // re-submission + a new id
+      q.processAllAvailable()
+    } finally q.stop()
+    val rmAll = Seq(3L, 20L, 41L).toDF("doc_id").localCheckpoint(false)
+    // LM: final snapshots ≡ one-shot subtract over the union ≡ retrain
+    val oneLm = TextOps.lmModelSubtract(lm0,
+      docs.join(rmAll, Seq("doc_id"), "left_semi"))
+    assert(spark.read.parquet(s"$out/lm_bigrams").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap ==
+      oneLm.bigrams.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
+      "ticked LM bigram decrements ≡ one-shot subtract")
+    assert(spark.read.parquet(s"$out/lm_contexts").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      oneLm.contexts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    assert(spark.read.parquet(s"$out/lm_vocab").collect()
+        .map(_.getString(0)).toSet ==
+      oneLm.vocab.collect().map(_.getString(0)).toSet)
+    // card state ≡ one-shot fold-out over the union
+    def cardMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(cardMap(spark.read.parquet(s"$out/card_state")) ==
+      cardMap(CorpusOps.corpusCardTakedownState(card0, fp0, docs, rmAll)),
+      "ticked card fold-outs ≡ one-shot fold-out")
+    // signature store ≡ one anti-join
+    assert(spark.read.parquet(s"$out/sigs").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      sigs0.join(rmAll.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_anti").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // ledger: every probe clean on every tick (the Bloom row honestly
+    // never is); the re-submitted id contributed nothing at tick 2
+    val ledger = spark.read.parquet(s"$out/ledger").collect()
+      .map(r => (r.getInt(5), r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    ledger.foreach { case ((tick, a), (_, _, _, clean)) =>
+      if (a == "bloom_rebuild")
+        assert(!clean, s"the Bloom row must keep flagging rebuild (tick $tick)")
+      else assert(clean, s"$a must be clean at tick $tick")
+    }
+    val sigRows1 = ledger((1, "binary_sigs"))
+    assert(sigRows1._3 == sigs0.join(Seq(41L).toDF("vec_id"), "vec_id").count(),
+      "tick 2 must fold out ONLY the new id (re-submission is a no-op)")
+    // the cumulative queue snapshot holds the union
+    assert(spark.read.parquet(s"$out/removed").collect()
+      .map(_.getLong(0)).toSet == Set(3L, 20L, 41L))
+  }
+
+  test("streaming entity takedown equals the one-shot q276 re-close over the union") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{DedupOps, StreamOps, Tables}
+    val part = Tables.part(spark, sf).localCheckpoint(false)
+    val stored = DedupOps.entityGroups(part).localCheckpoint(false)
+    val rmKeys = part.filter(pmod(col("p_partkey"), lit(17)) === 4)
+      .select(col("p_partkey")).collect().map(_.getLong(0)).sorted
+    assert(rmKeys.length >= 2, "fixture needs at least two removal keys")
+    val (t1, t2) = rmKeys.splitAt(rmKeys.length / 2)
+    val out = java.nio.file.Files.createTempDirectory("graft_set_out_").toString + "/etd"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_set_ckpt_").toString
+    val input = MemoryStream[Long]
+    val q = StreamOps.streamingEntityTakedown(
+      input.toDS().toDF("p_partkey"), part, stored, out, ckpt)
+    try {
+      input.addData(t1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData((t2 :+ t1.head).toSeq: _*) // re-submission + new keys
+      q.processAllAvailable()
+    } finally q.stop()
+    val union = rmKeys.toSeq.toDF("p_partkey")
+    def aliasMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val oneShot = DedupOps.entityTakedown(part, union, stored)
+      .select(col("p_partkey"), col("entity_id"), col("n_members"),
+        col("canonical_name"))
+    assert(aliasMap(spark.read.parquet(s"$out/aliases")) == aliasMap(oneShot),
+      "ticked re-closes must equal the one-shot q276 over the union")
+    // ledger: clean at every tick; conservation of the store rows
+    val ledger = spark.read.parquet(s"$out/ledger").collect()
+      .map(r => r.getInt(5) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(ledger.values.forall(_._4), s"no removed key may survive: $ledger")
+    assert(ledger(0)._1 == stored.count() && ledger(1)._2 == oneShot.count(),
+      "ledger endpoints must track the carried store")
+    assert(spark.read.parquet(s"$out/removed").collect()
+      .map(_.getLong(0)).toSet == rmKeys.toSet)
+  }
+
   test("streaming serving monitor: every tick certifies zero leakage; final listings equal the one-shot cert") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
