@@ -1112,6 +1112,115 @@ object StreamOps {
       .start()
   }
 
+  /** STREAMING user-level takedown — q284's ticked twin: "delete user
+    * X" requests stream in and each tick folds them out of every
+    * carried event-derived store. User-partitioned stores (the q280
+    * conversation manifest, q161 sessions, q172 attribution rows)
+    * anti-join; user-decomposable aggregates (funnel stage counts,
+    * retention cells, the transition matrix) DECREMENT by the tick
+    * users' own contributions ([[EventOps.removedReach]] /
+    * [[EventOps.removedRetentionCells]] / [[EventOps.removedEdges]] —
+    * the exact frames the one-shot q284 applies). Decrements are NOT
+    * idempotent, so tick users gate against the cumulative queue
+    * first (re-submission = honest zero-delta no-op). Cells/edges
+    * that reach zero DROP — matching what a rebuild over the kept
+    * events would emit, which is what StreamingSpec asserts store by
+    * store over the union. Ledger rows write idempotently per tick;
+    * snapshots write queue-first (the crash contract). Per-tick cost:
+    * one removal-user-bounded event slice + dimension-sized store
+    * corrections. */
+  def streamingUserTakedown(removals: DataFrame, events: DataFrame,
+                            manifest: DataFrame, sessions: DataFrame,
+                            funnelStore: DataFrame, retentionStore: DataFrame,
+                            transitionStore: DataFrame,
+                            attributionStore: DataFrame,
+                            outPath: String, checkpointDir: String,
+                            storedRemoved: Option[DataFrame] = None)
+      : StreamingQuery = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    var mani = manifest.localCheckpoint(false)
+    var sess = sessions.localCheckpoint(false)
+    var attr = attributionStore.localCheckpoint(false)
+    var fun = funnelStore.select(col("stage"), col("n_users").cast("long")
+      .as("n_users")).localCheckpoint(false)
+    var ret = retentionStore.select(col("cohort_week"), col("week_offset"),
+      col("n_active").cast("long").as("n_active")).localCheckpoint(false)
+    var trans = transitionStore.select(col("event_type"), col("next_type"),
+      col("n_transitions").cast("long").as("n_transitions"))
+      .localCheckpoint(false)
+    var removedAll = storedRemoved
+      .getOrElse(Seq.empty[Long].toDF("user_id"))
+      .select(col("user_id")).localCheckpoint(false)
+    removals.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, tick: Long) =>
+        if (!batch.isEmpty) {
+          val rmEff = broadcast(batch.select(col("user_id")).distinct()
+            .join(removedAll, Seq("user_id"), "left_anti")
+            .localCheckpoint(false))
+          val rmEvents = events.join(rmEff, Seq("user_id"), "left_semi")
+            .localCheckpoint(false) // reach + cells + edges
+          val mani2 = mani.join(rmEff, Seq("user_id"), "left_anti")
+            .localCheckpoint(false)
+          val sess2 = sess.join(rmEff, Seq("user_id"), "left_anti")
+            .localCheckpoint(false)
+          val attr2 = attr.join(rmEff, Seq("user_id"), "left_anti")
+            .localCheckpoint(false)
+          val fun2 = fun.crossJoin(broadcast(EventOps.removedReach(rmEvents)))
+            .select(col("stage"),
+              (col("n_users") - when(col("stage") === "view", col("d1"))
+                .when(col("stage") === "click", col("d2"))
+                .otherwise(col("d3"))).cast("long").as("n_users"))
+            .localCheckpoint(false)
+          val rmFirst = rmEvents.groupBy(col("user_id"))
+            .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+          val ret2 = ret.join(
+              broadcast(EventOps.removedRetentionCells(rmEvents, rmFirst)),
+              Seq("cohort_week", "week_offset"), "left_outer")
+            .select(col("cohort_week"), col("week_offset"),
+              (col("n_active") - coalesce(col("d"), lit(0L))).cast("long")
+                .as("n_active"))
+            .filter(col("n_active") > 0) // a rebuild never emits 0 cells
+            .localCheckpoint(false)
+          val trans2 = trans.join(broadcast(EventOps.removedEdges(rmEvents)),
+              Seq("event_type", "next_type"), "left_outer")
+            .select(col("event_type"), col("next_type"),
+              (col("n_transitions") - coalesce(col("d"), lit(0L))).cast("long")
+                .as("n_transitions"))
+            .filter(col("n_transitions") > 0)
+            .localCheckpoint(false)
+          Seq(
+            ("manifest", mani.count(), mani2.count()),
+            ("sessions", sess.count(), sess2.count()),
+            ("attribution", attr.count(), attr2.count()),
+            ("funnel", fun.agg(coalesce(sum(col("n_users")), lit(0L)))
+              .head.getLong(0),
+              fun2.agg(coalesce(sum(col("n_users")), lit(0L))).head.getLong(0)),
+            ("retention", ret.count(), ret2.count()),
+            ("transitions", trans.count(), trans2.count()))
+            .toDF("artifact", "n_before", "n_after")
+            .select(col("artifact"), col("n_before"), col("n_after"),
+              (col("n_before") - col("n_after")).as("n_removed"),
+              (col("n_after") <= col("n_before")).as("clean"))
+            .write.mode("overwrite").parquet(s"$outPath/ledger/tick=$tick")
+          mani = mani2; sess = sess2; attr = attr2
+          fun = fun2; ret = ret2; trans = trans2
+          removedAll = removedAll.unionByName(rmEff).localCheckpoint(false)
+          removedAll.write.mode("overwrite").parquet(s"$outPath/removed")
+          mani.write.mode("overwrite").parquet(s"$outPath/manifest")
+          sess.write.mode("overwrite").parquet(s"$outPath/sessions")
+          attr.write.mode("overwrite").parquet(s"$outPath/attribution")
+          fun.write.mode("overwrite").parquet(s"$outPath/funnel")
+          ret.write.mode("overwrite").parquet(s"$outPath/retention")
+          trans.write.mode("overwrite").parquet(s"$outPath/transitions")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** STREAMING entity-alias takedown — q276's ticked twin: dim-record
     * removal keys stream in, and each tick re-closes ONLY the alias
     * groups the tick touches ([[DedupOps.entityTakedown]] — a removed

@@ -1755,6 +1755,33 @@ object Catalog {
              |FROM c JOIN t USING (event_type)
              |ORDER BY event_type, next_type""".stripMargin)),
 
+    // USER-LEVEL takedown (q284, r16 — VERDICT r15 missing #2):
+    // "delete user X" across every event-derived store the doc/vector
+    // takedown family never reaches. User-partitioned stores (the
+    // q280 conversation manifest, q161 sessions, q172 attribution)
+    // purge by anti-join — per-user independence makes the purge THE
+    // rebuild; user-decomposable aggregates (q146 funnel stages, q147
+    // retention cells + cohort sizes, q199 transition matrix)
+    // DECREMENT by the removed users' own contributions. The oracle
+    // recomputes every section from events and events-minus-users, so
+    // a hash match proves store freshness AND decrement ≡ rebuild.
+    QuerySpec(
+      "q284_user_takedown",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{lit, pmod}
+        val ev = Tables.events(s, dir)
+        EventOps.userTakedown(
+          ev,
+          ev.filter(pmod(col("user_id"), lit(13)) === 5).select(col("user_id")),
+          TemporalOps.sessionPackManifest(ev),
+          EventOps.sessionize(ev),
+          EventOps.funnel(ev),
+          EventOps.retentionCohorts(ev),
+          EventOps.eventTransitions(ev),
+          EventOps.lastTouchAttribution(ev))
+      },
+      Some(q284OracleSql)),
+
     // ordered conversion funnel view→click→purchase: stage k counts
     // only events at or after the user's stage-k−1 conversion; the
     // oracle replays the identical chained-window prefix flags
@@ -9076,6 +9103,129 @@ object Catalog {
        |       CAST(n_before - n_after AS BIGINT) AS n_removed, clean
        |FROM rows_ ORDER BY artifact, "key"""".stripMargin
   }
+
+  /** q284 section chains, each parameterized over the event source so
+    * the oracle runs every section TWICE — full events vs
+    * events-minus-removed-users — and the diff becomes the ledger. */
+  private def q284SessionsPerUserSql(src: String, gapPred: String): String =
+    s"""SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_rows
+       |FROM (
+       |  SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                                   ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM (SELECT user_id, ts, event_id,
+       |               CASE WHEN lag(ts) OVER w IS NULL OR $gapPred THEN 1 ELSE 0 END AS new_s
+       |        FROM $src
+       |        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
+       |GROUP BY user_id""".stripMargin
+  // the q280 pack law (>= 5 min splits) and the q161 session law
+  // (> 30 min splits) — the two user-partitioned row stores
+  private def q284ManifestRowsSql(src: String): String =
+    q284SessionsPerUserSql(src, "ts - lag(ts) OVER w >= INTERVAL '5 minutes'")
+  private def q284SessionRowsSql(src: String): String =
+    q284SessionsPerUserSql(src,
+      "epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000")
+  private def q284FunnelCountsSql(src: String): String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS total, CAST(SUM(r1) AS BIGINT) AS n1,
+       |       CAST(SUM(r2) AS BIGINT) AS n2, CAST(SUM(r3) AS BIGINT) AS n3
+       |FROM (
+       |  SELECT user_id, MAX(s1) AS r1, MAX(s2) AS r2, MAX(s3) AS r3
+       |  FROM (
+       |    SELECT *, MAX(CASE WHEN event_type = 'purchase' AND s2 = 1 THEN 1 ELSE 0 END) OVER w AS s3
+       |    FROM (SELECT *, MAX(CASE WHEN event_type = 'click' AND s1 = 1 THEN 1 ELSE 0 END) OVER w AS s2
+       |          FROM (SELECT user_id, ts, event_id, event_type,
+       |                       MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER w AS s1
+       |                FROM $src
+       |                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING))
+       |          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING))
+       |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING))
+       |  GROUP BY user_id)""".stripMargin
+  private def q284RetentionSql(src: String): String =
+    s"""SELECT f.cohort_week,
+       |       CAST(date_diff('day', f.cohort_week, a.wk) // 7 AS BIGINT) AS week_offset,
+       |       CAST(COUNT(*) AS BIGINT) AS n_active
+       |FROM (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM $src) a
+       |JOIN (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+       |      FROM $src GROUP BY user_id) f USING (user_id)
+       |GROUP BY 1, 2""".stripMargin
+  private def q284TransitionsSql(src: String): String =
+    s"""SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM (SELECT user_id, event_type,
+       |             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+       |      FROM $src)
+       |WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin
+
+  private def q284OracleSql: String =
+    s"""WITH rmu AS (SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 5),
+       |ke AS (SELECT * FROM events WHERE user_id NOT IN (SELECT user_id FROM rmu)),
+       |mf AS (${q284ManifestRowsSql("events")}),
+       |mk AS (${q284ManifestRowsSql("ke")}),
+       |sf AS (${q284SessionRowsSql("events")}),
+       |sk AS (${q284SessionRowsSql("ke")}),
+       |af AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+       |       FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+       |ak AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+       |       FROM ke WHERE event_type = 'purchase' GROUP BY user_id),
+       |ff AS (${q284FunnelCountsSql("events")}),
+       |fk AS (${q284FunnelCountsSql("ke")}),
+       |rf AS (${q284RetentionSql("events")}),
+       |rk AS (${q284RetentionSql("ke")}),
+       |tf AS (${q284TransitionsSql("events")}),
+       |tk AS (${q284TransitionsSql("ke")}),
+       |rows_ AS (
+       |  SELECT 'users' AS artifact, 'all' AS "key",
+       |         CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT) AS n_before,
+       |         CAST((SELECT COUNT(DISTINCT user_id) FROM ke) AS BIGINT) AS n_after,
+       |         TRUE AS clean
+       |  UNION ALL
+       |  SELECT 'manifest', 'rows',
+       |         (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM mf),
+       |         (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM mk), TRUE
+       |  UNION ALL
+       |  SELECT 'manifest', CAST(user_id AS VARCHAR), n_rows, CAST(0 AS BIGINT), TRUE
+       |  FROM mf JOIN rmu USING (user_id)
+       |  UNION ALL
+       |  SELECT 'sessions', 'rows',
+       |         (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM sf),
+       |         (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM sk), TRUE
+       |  UNION ALL
+       |  SELECT 'sessions', CAST(user_id AS VARCHAR), n_rows, CAST(0 AS BIGINT), TRUE
+       |  FROM sf JOIN rmu USING (user_id)
+       |  UNION ALL
+       |  SELECT 'attribution', 'rows',
+       |         (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM af),
+       |         (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM ak), TRUE
+       |  UNION ALL
+       |  SELECT 'attribution', CAST(user_id AS VARCHAR), n_rows, CAST(0 AS BIGINT), TRUE
+       |  FROM af JOIN rmu USING (user_id)
+       |  UNION ALL
+       |  SELECT 'funnel', 'view', ff.n1, fk.n1,
+       |         fk.n1 >= 0 AND fk.n1 <= ff.n1 FROM ff, fk
+       |  UNION ALL
+       |  SELECT 'funnel', 'click', ff.n2, fk.n2,
+       |         fk.n2 >= 0 AND fk.n2 <= ff.n2 FROM ff, fk
+       |  UNION ALL
+       |  SELECT 'funnel', 'purchase', ff.n3, fk.n3,
+       |         fk.n3 >= 0 AND fk.n3 <= ff.n3 FROM ff, fk
+       |  UNION ALL
+       |  SELECT 'retention',
+       |         CAST(rf.cohort_week AS VARCHAR) || ':' || CAST(rf.week_offset AS VARCHAR),
+       |         rf.n_active, CAST(COALESCE(rk.n_active, 0) AS BIGINT),
+       |         COALESCE(rk.n_active, 0) >= 0
+       |  FROM rf LEFT JOIN rk USING (cohort_week, week_offset)
+       |  UNION ALL
+       |  SELECT 'retention_size', CAST(rf0.cohort_week AS VARCHAR),
+       |         rf0.n_active, CAST(COALESCE(rk0.n_active, 0) AS BIGINT),
+       |         COALESCE(rk0.n_active, 0) >= 0
+       |  FROM (SELECT cohort_week, n_active FROM rf WHERE week_offset = 0) rf0
+       |  LEFT JOIN (SELECT cohort_week, n_active FROM rk WHERE week_offset = 0) rk0
+       |    USING (cohort_week)
+       |  UNION ALL
+       |  SELECT 'transitions', tf.event_type || ':' || tf.next_type,
+       |         tf.n, CAST(COALESCE(tk.n, 0) AS BIGINT), COALESCE(tk.n, 0) >= 0
+       |  FROM tf LEFT JOIN tk USING (event_type, next_type))
+       |SELECT artifact, "key", n_before, n_after,
+       |       CAST(n_before - n_after AS BIGINT) AS n_removed, clean
+       |FROM rows_ ORDER BY artifact, "key"""".stripMargin
 
   /** q86 oracle: Spark's CountMinSketch (stream-lib scheme) is
     * deterministic given the seed — row constants are

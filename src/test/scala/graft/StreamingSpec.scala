@@ -1239,6 +1239,82 @@ class StreamingSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == Set(3L, 20L, 41L))
   }
 
+  test("streaming user takedown: every carried store equals a rebuild over events minus the union") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{EventOps, StreamOps, Tables, TemporalOps}
+    val ev = Tables.events(spark, sf).localCheckpoint(false)
+    val mani0 = TemporalOps.sessionPackManifest(ev).localCheckpoint(false)
+    val sess0 = EventOps.sessionize(ev).localCheckpoint(false)
+    val fun0 = EventOps.funnel(ev).localCheckpoint(false)
+    val ret0 = EventOps.retentionCohorts(ev).localCheckpoint(false)
+    val trans0 = EventOps.eventTransitions(ev).localCheckpoint(false)
+    val attr0 = EventOps.lastTouchAttribution(ev).localCheckpoint(false)
+    val rmUsers = ev.filter(pmod(col("user_id"), lit(5)) === 2)
+      .select(col("user_id")).distinct().collect().map(_.getLong(0)).sorted
+    assert(rmUsers.length >= 2, s"fixture needs >= 2 removable users: ${rmUsers.toSeq}")
+    val (t1, t2) = rmUsers.splitAt(1)
+    val out = java.nio.file.Files.createTempDirectory("graft_sut_out_").toString + "/utd"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sut_ckpt_").toString
+    val input = MemoryStream[Long]
+    val q = StreamOps.streamingUserTakedown(
+      input.toDS().toDF("user_id"), ev, mani0, sess0, fun0, ret0, trans0,
+      attr0, out, ckpt)
+    try {
+      input.addData(t1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData((t2 :+ t1.head).toSeq: _*) // re-submission + new users
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = ev.join(rmUsers.toSeq.toDF("user_id"), Seq("user_id"), "left_anti")
+      .localCheckpoint(false)
+    def snap(p: String) = spark.read.parquet(s"$out/$p")
+    // conversation manifest: per-user independence makes the ticked
+    // purge THE rebuild over the kept events
+    def maniKey(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("start_seq"), col("end_seq"), col("tok_offset")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(maniKey(snap("manifest")) ==
+      maniKey(TemporalOps.sessionPackManifest(kept)),
+      "ticked manifest purge ≡ rebuild over kept events")
+    // sessions store
+    def sessKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(5)))
+      .toMap
+    assert(sessKey(snap("sessions")) == sessKey(EventOps.sessionize(kept)))
+    // attribution rows
+    def attrKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(1) -> ((Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(attrKey(snap("attribution")) ==
+      attrKey(EventOps.lastTouchAttribution(kept)))
+    // funnel stage counts ≡ rebuild's
+    assert(snap("funnel").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      EventOps.funnel(kept).collect()
+        .map(r => r.getString(1) -> r.getLong(2)).toMap,
+      "ticked funnel decrements ≡ rebuild stage counts")
+    // retention cells ≡ rebuild's (zero cells dropped on both sides)
+    def retKey(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("cohort_week").cast("string"), col("week_offset"),
+        col("n_active")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(retKey(snap("retention")) == retKey(EventOps.retentionCohorts(kept)))
+    // transition matrix ≡ rebuild's
+    def trKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(trKey(snap("transitions")) == trKey(EventOps.eventTransitions(kept)
+      .select(col("event_type"), col("next_type"), col("n_transitions"))))
+    // ledger: clean everywhere; the queue holds the union
+    val ledger = spark.read.parquet(s"$out/ledger").collect()
+      .map(r => (r.getInt(5), r.getString(0)) -> r.getBoolean(4)).toMap
+    assert(ledger.values.forall(identity), s"all ticks clean: $ledger")
+    assert(spark.read.parquet(s"$out/removed").collect()
+      .map(_.getLong(0)).toSet == rmUsers.toSet)
+  }
+
   test("streaming entity takedown equals the one-shot q276 re-close over the union") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
