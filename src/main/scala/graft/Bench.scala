@@ -155,9 +155,30 @@ object Bench {
         Some((perQuery.map(_._1).sum, perQuery.map(_._2).sum))
       }
     }
-    def warmConverged: Boolean = minStabilitySums.exists {
+    // The totals arm (the pre-r16 gate) stays alongside: the
+    // min-stability statistic is ONE-SIDED (second-best ≥ best per
+    // query, so jitter accumulates without the cross-query
+    // cancellation a pass total gets) and at small SF it can exceed
+    // 5% on pure ms-scale noise while two whole passes agree fine.
+    // Either gate certifies a reproducible window — totals agreement
+    // is cancellation-robust, min-stability is slow-pass-robust — so
+    // converged = either passes.
+    def commonOkTotals: Seq[Double] = {
+      val warmPasses = passBuf.drop(1).toSeq
+      val common = warmPasses
+        .map(p => p.filter(_._3).map(_._1).toSet)
+        .reduce(_ intersect _)
+      if (common.isEmpty) Seq.empty
+      else warmPasses.map(_.filter(r => r._3 && common(r._1)).map(_._2).sum)
+    }
+    def totalsConverged: Boolean = {
+      val warm = commonOkTotals.sorted
+      warm.size >= 2 && warm(1) - warm(0) <= 0.05 * warm(0)
+    }
+    def minStabilityConverged: Boolean = minStabilitySums.exists {
       case (best, second) => second - best <= 0.05 * best
     }
+    def warmConverged: Boolean = totalsConverged || minStabilityConverged
     var wallCapped = false
     while (!warmConverged && passBuf.size < maxPasses && !wallCapped) {
       if (benchElapsedSec > wallCapSec) wallCapped = true
@@ -194,12 +215,20 @@ object Bench {
     val passTotals = passTotalSeq.mkString("[", ",", "]")
     val warmTotals = passTotalSeq.drop(1)
     val warmSpread = warmTotals.max - warmTotals.min
-    // gap between the per-query second-best and best sums (the
-    // convergence gate's own numbers) — ≤5% of the best sum means the
-    // adaptive loop converged; at the pass/wall cap it records how far
-    // off the window still was (the artifact's credibility annotation)
-    val warmBestGap = minStabilitySums
+    // both gates' gaps land in the artifact (credibility annotations):
+    // warm_best_gap_sec keeps its ≤r15 meaning (two lowest warm pass
+    // totals), warm_minstab_gap_sec is the per-query one-sided sum
+    val warmBestGap = {
+      val warm = commonOkTotals.sorted
+      if (warm.size >= 2) warm(1) - warm(0) else -1.0
+    }
+    val warmMinstabGap = minStabilitySums
       .map { case (best, second) => second - best }.getOrElse(-1.0)
+    val convergedVia =
+      if (totalsConverged && minStabilityConverged) "both"
+      else if (totalsConverged) "totals"
+      else if (minStabilityConverged) "min_stability"
+      else "none"
     // min_total_sec repeats "value" under its semantic name: the
     // per-query-MIN sum is the load-robust headline (VERDICT r7: the
     // driver's warm PASS totals carried a 10 s machine-load spread
@@ -218,7 +247,7 @@ object Bench {
     val passStorMem = storMem.mkString("[", ",", "]")
     val passStorDisk = storDisk.mkString("[", ",", "]")
     val maxHeapGb = Runtime.getRuntime.maxMemory / (1L << 30)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"failed":$failed,"pass_totals":$passTotals,"min_total_sec":$total,"baseline53_total_sec":$baseline53,"pass_loadavg":$passLoads,"pass_gc_sec":$passGc,"pass_storage_mem_mb":$passStorMem,"pass_storage_disk_mb":$passStorDisk,"jvm_max_heap_gb":$maxHeapGb,"warm_spread_sec":$warmSpread,"n_passes":${passes.size},"warm_best_gap_sec":$warmBestGap,"warm_converged":$warmConverged,"bench_wall_capped":$wallCapped,"bench_wall_sec":$benchElapsedSec,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"failed":$failed,"pass_totals":$passTotals,"min_total_sec":$total,"baseline53_total_sec":$baseline53,"pass_loadavg":$passLoads,"pass_gc_sec":$passGc,"pass_storage_mem_mb":$passStorMem,"pass_storage_disk_mb":$passStorDisk,"jvm_max_heap_gb":$maxHeapGb,"warm_spread_sec":$warmSpread,"n_passes":${passes.size},"warm_best_gap_sec":$warmBestGap,"warm_minstab_gap_sec":$warmMinstabGap,"warm_converged_via":"$convergedVia","warm_converged":$warmConverged,"bench_wall_capped":$wallCapped,"bench_wall_sec":$benchElapsedSec,"sf":"$sfDir"}"""
     println(line)
     // also persist the full line to a file: the stdout capture path
     // truncates long runs (150 queries of per-query timings overflow

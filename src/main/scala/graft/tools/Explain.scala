@@ -26,7 +26,11 @@ object Explain {
                // IVF/PQ artifacts at plan-build time — an "explain" must
                // stay a plan print. Name it explicitly to audit it.
                "q280_session_pack",
-               "q281_session_pack_incremental")
+               "q281_session_pack_incremental",
+               // q284 is declarative end-to-end (no driver action), so
+               // its plan audits cleanly; q283 stays out for the same
+               // reason as q277 (eager filter builds at plan time)
+               "q284_user_takedown")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -1237,6 +1237,12 @@ class StreamingSpec extends SparkSpec {
     // the cumulative queue snapshot holds the union
     assert(spark.read.parquet(s"$out/removed").collect()
       .map(_.getLong(0)).toSet == Set(3L, 20L, 41L))
+    // flag → applier closure: the q283 rebuild over the final queue
+    // flips the Bloom row the monitor kept honestly flagging
+    val rebuilt = TextOps.bloomRebuildApply(docs,
+        spark.read.parquet(s"$out/removed")).collect()
+      .map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(rebuilt("bloom_rebuild"), "the rebuild must flip the flag clean")
   }
 
   test("streaming user takedown: every carried store equals a rebuild over events minus the union") {
