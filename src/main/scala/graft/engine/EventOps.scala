@@ -676,6 +676,232 @@ object EventOps {
       .orderBy(col("artifact"), col("key"))
   }
 
+  /** AGE-BASED RETENTION SWEEP (q286, r16) — the TIME-keyed
+    * complement to the id-keyed takedown family: a data-retention
+    * policy ("drop everything older than the horizon") expires every
+    * event with ts < cutoff and corrects the event-derived stores.
+    * Unlike q284's user deletion, age expiry is NOT a per-user drop,
+    * so each store corrects by the mechanism its order-sensitivity
+    * allows:
+    *   - VERBATIM — untouched users (no expired events) pass through
+    *     every store unchanged. (In a long-lived system the touched
+    *     set is the long-tenured users; new users ride this path.)
+    *   - RE-DERIVE, touched-bounded — session ordinals, packing
+    *     offsets, funnel reach and cohort assignment all depend on a
+    *     user's FIRST events, which expiry removes: the q280
+    *     manifest, q161 sessions and q172 attribution rebuild from
+    *     the touched users' KEPT events only (the q281 touched-user
+    *     machinery on the time axis); funnel stages and retention
+    *     cells correct as stored − touched-old-contribution +
+    *     touched-new-contribution, both contributions computed from
+    *     touched users' events alone. Cohort MIGRATION is handled
+    *     honestly: a touched user's cohort moves to their first kept
+    *     week, which can create cells the store never had.
+    *   - DECREMENT — the transition matrix: expiry removes a strict
+    *     per-user (ts, event_id)-prefix, so no NEW adjacency can
+    *     appear and the corrected counts are stored − edges WITHIN
+    *     the expired slice − the one (last-expired → first-kept)
+    *     BOUNDARY edge per user with both; pure removal-bounded
+    *     probes, no rebuild.
+    * Conservation identities ride as clean flags: every kept event
+    * lands in exactly one manifest/session row (token mass ≡ kept
+    * count), every kept purchase gets an attribution row, corrected
+    * edges total kept_events − users_with_kept, funnel/retention
+    * counts stay in [0, before]. The oracle recomputes every section
+    * from events-at-or-after-cutoff, so a hash match proves the
+    * verbatim/decrement/re-derive classification ≡ a full rebuild.
+    *
+    * Scale: the expired slice and the touched users' kept events
+    * bound all window work; untouched users never rescan; the only
+    * full-event passes are one count/distinct anchor aggregate and
+    * the slice filters themselves. Declarative end-to-end. */
+  def retentionSweep(events: DataFrame, cutoff: String,
+                     manifest: DataFrame, sessions: DataFrame,
+                     funnelStore: DataFrame, retentionStore: DataFrame,
+                     transitionStore: DataFrame,
+                     attributionStore: DataFrame): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp")
+    val expired = events.filter(col("ts") < cut)
+      .localCheckpoint(false) // edges + boundary + reach + cells + aggs
+    val touched = broadcast(expired.select(col("user_id")).distinct()
+      .localCheckpoint(false)) // every store probes it
+    val keptTouched = events.filter(col("ts") >= cut)
+      .join(touched, Seq("user_id"), "left_semi")
+      .localCheckpoint(false) // re-derives + new contributions
+    val touchedFull = expired.unionByName(keptTouched)
+      .localCheckpoint(false) // old reach + old cells
+    val eAgg = events.agg(count(lit(1)).as("ne"),
+        countDistinct(col("user_id")).as("nu"))
+      .localCheckpoint(false) // anchor + conservation identities
+    val xAgg = expired.agg(count(lit(1)).as("nx"),
+        countDistinct(col("user_id")).as("nt"),
+        coalesce(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)), lit(0L)).as("xp"))
+      .localCheckpoint(false)
+    val kAgg = keptTouched.agg(countDistinct(col("user_id")).as("ntk"))
+      .localCheckpoint(false)
+    def section(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("artifact"), col("key").cast("string").as("key"),
+        col("n_before").cast("long").as("n_before"),
+        col("n_after").cast("long").as("n_after"),
+        (col("n_before") - col("n_after")).cast("long").as("n_removed"),
+        col("clean"))
+    val base = eAgg.crossJoin(xAgg).crossJoin(kAgg).localCheckpoint(false)
+    val eventsRow = base.select(lit("all").as("key"),
+      col("ne").as("n_before"), (col("ne") - col("nx")).as("n_after"),
+      lit(true).as("clean"))
+    val usersRows = base.select(explode(array(
+        struct(lit("all").as("key"), col("nu").as("n_before"),
+          (col("nu") - col("nt") + col("ntk")).as("n_after")),
+        struct(lit("touched").as("key"), col("nt").as("n_before"),
+          col("ntk").as("n_after")))).as("s"))
+      .select(col("s.key").as("key"), col("s.n_before").as("n_before"),
+        col("s.n_after").as("n_after"), lit(true).as("clean"))
+    // user-partitioned row stores: untouched verbatim + touched
+    // re-derived, with the token-mass conservation identity as clean
+    def rowStore(store: DataFrame, rederived: DataFrame,
+                 massCol: Option[String]): DataFrame = {
+      val untouched = store.join(touched, Seq("user_id"), "left_anti")
+      def cnt(df: DataFrame, n: String, m: String) = massCol match {
+        case Some(c) => df.agg(count(lit(1)).as(n),
+          coalesce(sum(col(c)), lit(0L)).as(m))
+        case None => df.agg(count(lit(1)).as(n), lit(0L).as(m))
+      }
+      cnt(store, "n_before", "m_before")
+        .crossJoin(cnt(untouched, "n_unt", "m_unt"))
+        .crossJoin(cnt(rederived, "n_red", "m_red"))
+        .crossJoin(base)
+        .select(lit("rows").as("key"), col("n_before"),
+          (col("n_unt") + col("n_red")).as("n_after"),
+          (massCol.map(_ => col("m_unt") + col("m_red") === col("ne") - col("nx"))
+            .getOrElse(lit(true))).as("clean"))
+    }
+    val maniRederived = TemporalOps.sessionPackManifest(keptTouched)
+      .localCheckpoint(false) // rows + mass + per-user listing
+    val sessRederived = sessionize(keptTouched)
+    val attrRederived = lastTouchAttribution(keptTouched)
+    val maniRow = rowStore(manifest, maniRederived, Some("n_events"))
+    val sessRow = rowStore(sessions, sessRederived, Some("n_events"))
+    // attribution clean: corrected rows ≡ kept purchases (untouched
+    // users' purchases are all kept; touched re-derive covers theirs)
+    val attrRow = attributionStore.agg(count(lit(1)).as("n_before"))
+      .crossJoin(attributionStore.join(touched, Seq("user_id"), "left_anti")
+        .agg(count(lit(1)).as("n_unt")))
+      .crossJoin(attrRederived.agg(count(lit(1)).as("n_red")))
+      .crossJoin(base)
+      .select(lit("rows").as("key"), col("n_before"),
+        (col("n_unt") + col("n_red")).as("n_after"),
+        (col("n_unt") + col("n_red") === col("n_before") - col("xp"))
+          .as("clean"))
+    // per-touched-user manifest listing: stored rows vs re-derived
+    val maniTouched = manifest.join(touched, Seq("user_id"), "left_semi")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_before"))
+      .join(maniRederived.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_after")),
+        Seq("user_id"), "left_outer")
+      .na.fill(0L, Seq("n_after"))
+      .select(col("user_id").cast("string").as("key"), col("n_before"),
+        col("n_after"), lit(true).as("clean"))
+    // funnel: stored − touched-old-reach + touched-new-reach
+    val oldReach = removedReach(touchedFull)
+      .select(col("d1").as("o1"), col("d2").as("o2"), col("d3").as("o3"))
+    val newReach = removedReach(keptTouched)
+    val funnelRows = funnelStore.select(col("stage"), col("n_users"))
+      .crossJoin(broadcast(oldReach)).crossJoin(broadcast(newReach))
+      .select(col("stage").as("key"), col("n_users").as("n_before"),
+        (col("n_users") - when(col("stage") === "view", col("o1") - col("d1"))
+          .when(col("stage") === "click", col("o2") - col("d2"))
+          .otherwise(col("o3") - col("d3"))).as("n_after"))
+      .withColumn("clean", col("n_after") >= 0 && col("n_after") <= col("n_before"))
+    // retention cells: stored − old contributions + new contributions;
+    // a migrated cohort can CREATE cells (full outer on the key)
+    val oldFirst = touchedFull.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+      .localCheckpoint(false)
+    val newFirst = keptTouched.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+      .localCheckpoint(false)
+    val cellDelta = removedRetentionCells(touchedFull, oldFirst)
+      .join(removedRetentionCells(keptTouched, newFirst)
+          .withColumnRenamed("d", "a"),
+        Seq("cohort_week", "week_offset"), "full_outer")
+      .na.fill(0L, Seq("d", "a"))
+    val retRows = retentionStore
+      .select(col("cohort_week"), col("week_offset"), col("n_active"))
+      .join(broadcast(cellDelta), Seq("cohort_week", "week_offset"),
+        "full_outer")
+      .na.fill(0L, Seq("n_active", "d", "a"))
+      .select(concat(col("cohort_week").cast("string"), lit(":"),
+          col("week_offset")).as("key"),
+        col("n_active").as("n_before"),
+        (col("n_active") - col("d") + col("a")).as("n_after"))
+      .filter(col("n_before") > 0 || col("n_after") > 0)
+      .withColumn("clean", col("n_after") >= 0)
+    val sizeDelta = oldFirst.groupBy(col("cohort_week")).agg(count(lit(1)).as("d"))
+      .join(newFirst.groupBy(col("cohort_week")).agg(count(lit(1)).as("a")),
+        Seq("cohort_week"), "full_outer")
+      .na.fill(0L, Seq("d", "a"))
+    val sizeRows = retentionStore.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_active"))
+      .join(broadcast(sizeDelta), Seq("cohort_week"), "full_outer")
+      .na.fill(0L, Seq("n_active", "d", "a"))
+      .select(col("cohort_week").cast("string").as("key"),
+        col("n_active").as("n_before"),
+        (col("n_active") - col("d") + col("a")).as("n_after"))
+      .filter(col("n_before") > 0 || col("n_after") > 0)
+      .withColumn("clean", col("n_after") >= 0)
+    // transitions: pure decrement — expiry is a strict per-user
+    // prefix, so corrected = stored − within-expired − boundary edges
+    val within = removedEdges(expired)
+    val wDesc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val wAsc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val boundary = expired
+      .withColumn("rn", row_number().over(wDesc)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"))
+      .join(keptTouched
+          .withColumn("rn", row_number().over(wAsc)).filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("next_type")),
+        "user_id")
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("b"))
+    val transCorrected = transitionStore
+      .select(col("event_type"), col("next_type"), col("n_transitions"))
+      .join(broadcast(within), Seq("event_type", "next_type"), "left_outer")
+      .join(broadcast(boundary), Seq("event_type", "next_type"), "left_outer")
+      .na.fill(0L, Seq("d", "b"))
+      .select(col("event_type"), col("next_type"),
+        col("n_transitions").as("n_before"),
+        (col("n_transitions") - col("d") - col("b")).as("n_after"))
+      .localCheckpoint(false) // per-edge rows + the conservation total
+    val transRows = transCorrected
+      .select(concat(col("event_type"), lit(":"), col("next_type")).as("key"),
+        col("n_before"), col("n_after"))
+      .withColumn("clean", col("n_after") >= 0)
+    // Σ corrected edges ≡ kept_events − users_with_kept
+    val transTotal = transCorrected
+      .agg(coalesce(sum(col("n_before")), lit(0L)).as("n_before"),
+           coalesce(sum(col("n_after")), lit(0L)).as("n_after"))
+      .crossJoin(base)
+      .select(lit("all").as("key"), col("n_before"), col("n_after"),
+        (col("n_after") ===
+          (col("ne") - col("nx")) - (col("nu") - col("nt") + col("ntk")))
+          .as("clean"))
+    section("events", eventsRow)
+      .unionByName(section("users", usersRows))
+      .unionByName(section("manifest", maniRow))
+      .unionByName(section("manifest_touched", maniTouched))
+      .unionByName(section("sessions", sessRow))
+      .unionByName(section("attribution", attrRow))
+      .unionByName(section("funnel", funnelRows))
+      .unionByName(section("retention", retRows))
+      .unionByName(section("retention_size", sizeRows))
+      .unionByName(section("transitions", transRows))
+      .unionByName(section("transitions_total", transTotal))
+      .orderBy(col("artifact"), col("key"))
+  }
+
   /** The removed users' own funnel-reach counts (one row: d1/d2/d3) —
     * reach flags are within-user, so kept users' flags cannot change
     * and the stored stage counts decrement by exactly these. Shared

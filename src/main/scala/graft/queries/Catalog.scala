@@ -1782,6 +1782,33 @@ object Catalog {
       },
       Some(q284OracleSql)),
 
+    // AGE-BASED RETENTION SWEEP (q286, r16): the TIME-keyed complement
+    // to q284 — a data-retention policy expires every event older than
+    // the horizon and corrects the event-derived stores by what their
+    // order-sensitivity allows: untouched users VERBATIM; session
+    // ordinals / packing offsets / funnel reach / cohort assignment
+    // RE-DERIVED from touched users' kept events (cohort migration
+    // can create cells the store never had); the transition matrix
+    // purely DECREMENTED (expiry is a strict per-user prefix, so
+    // corrected = stored − within-expired − one boundary edge per
+    // user). Conservation identities ride as clean flags. The oracle
+    // recomputes every section from events-at-or-after-cutoff, so a
+    // hash match proves the classification ≡ a full rebuild.
+    QuerySpec(
+      "q286_retention_sweep",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        EventOps.retentionSweep(
+          ev, "2024-01-05 00:00:00",
+          TemporalOps.sessionPackManifest(ev),
+          EventOps.sessionize(ev),
+          EventOps.funnel(ev),
+          EventOps.retentionCohorts(ev),
+          EventOps.eventTransitions(ev),
+          EventOps.lastTouchAttribution(ev))
+      },
+      Some(q286OracleSql)),
+
     // ordered conversion funnel view→click→purchase: stage k counts
     // only events at or after the user's stage-k−1 conversion; the
     // oracle replays the identical chained-window prefix flags
@@ -9153,6 +9180,94 @@ object Catalog {
        |             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
        |      FROM $src)
        |WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin
+
+  /** q286 oracle: every retention-sweep section recomputed from the
+    * kept slice (ts ≥ cutoff) vs full events — the q284 builders
+    * instantiated on a TIME predicate instead of a user list. The
+    * store-freshness proof (before columns) and the
+    * verbatim/decrement/re-derive ≡ rebuild proof (after columns)
+    * both ride the same hash. */
+  private def q286OracleSql: String = {
+    val cut = "TIMESTAMP '2024-01-05 00:00:00'"
+    s"""WITH ke AS (SELECT * FROM events WHERE ts >= $cut),
+       |tu AS (SELECT DISTINCT user_id FROM events WHERE ts < $cut),
+       |mf AS (${q284ManifestRowsSql("events")}),
+       |mk AS (${q284ManifestRowsSql("ke")}),
+       |sf2 AS (${q284SessionRowsSql("events")}),
+       |sk2 AS (${q284SessionRowsSql("ke")}),
+       |ff AS (${q284FunnelCountsSql("events")}),
+       |fk AS (${q284FunnelCountsSql("ke")}),
+       |rf AS (${q284RetentionSql("events")}),
+       |rk AS (${q284RetentionSql("ke")}),
+       |tf AS (${q284TransitionsSql("events")}),
+       |tk AS (${q284TransitionsSql("ke")}),
+       |rows_ AS (
+       |  SELECT 'events' AS artifact, 'all' AS "key",
+       |         CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_before,
+       |         CAST((SELECT COUNT(*) FROM ke) AS BIGINT) AS n_after,
+       |         TRUE AS clean
+       |  UNION ALL
+       |  SELECT 'users', 'all',
+       |         CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT),
+       |         CAST((SELECT COUNT(DISTINCT user_id) FROM ke) AS BIGINT), TRUE
+       |  UNION ALL
+       |  SELECT 'users', 'touched',
+       |         CAST((SELECT COUNT(*) FROM tu) AS BIGINT),
+       |         CAST((SELECT COUNT(DISTINCT user_id) FROM ke JOIN tu USING (user_id)) AS BIGINT),
+       |         TRUE
+       |  UNION ALL
+       |  SELECT 'manifest', 'rows',
+       |         (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM mf),
+       |         (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM mk), TRUE
+       |  UNION ALL
+       |  SELECT 'manifest_touched', CAST(mf.user_id AS VARCHAR), mf.n_rows,
+       |         CAST(COALESCE(mk.n_rows, 0) AS BIGINT), TRUE
+       |  FROM mf JOIN tu USING (user_id) LEFT JOIN mk USING (user_id)
+       |  UNION ALL
+       |  SELECT 'sessions', 'rows',
+       |         (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM sf2),
+       |         (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM sk2), TRUE
+       |  UNION ALL
+       |  SELECT 'attribution', 'rows',
+       |         CAST((SELECT COUNT(*) FROM events WHERE event_type = 'purchase') AS BIGINT),
+       |         CAST((SELECT COUNT(*) FROM ke WHERE event_type = 'purchase') AS BIGINT),
+       |         TRUE
+       |  UNION ALL
+       |  SELECT 'funnel', 'view', ff.n1, fk.n1,
+       |         fk.n1 >= 0 AND fk.n1 <= ff.n1 FROM ff, fk
+       |  UNION ALL
+       |  SELECT 'funnel', 'click', ff.n2, fk.n2,
+       |         fk.n2 >= 0 AND fk.n2 <= ff.n2 FROM ff, fk
+       |  UNION ALL
+       |  SELECT 'funnel', 'purchase', ff.n3, fk.n3,
+       |         fk.n3 >= 0 AND fk.n3 <= ff.n3 FROM ff, fk
+       |  UNION ALL
+       |  SELECT 'retention',
+       |         CAST(cohort_week AS VARCHAR) || ':' || CAST(week_offset AS VARCHAR),
+       |         CAST(COALESCE(rf.n_active, 0) AS BIGINT),
+       |         CAST(COALESCE(rk.n_active, 0) AS BIGINT),
+       |         COALESCE(rk.n_active, 0) >= 0
+       |  FROM rf FULL OUTER JOIN rk USING (cohort_week, week_offset)
+       |  UNION ALL
+       |  SELECT 'retention_size', CAST(cohort_week AS VARCHAR),
+       |         CAST(COALESCE(rf0.n_active, 0) AS BIGINT),
+       |         CAST(COALESCE(rk0.n_active, 0) AS BIGINT),
+       |         COALESCE(rk0.n_active, 0) >= 0
+       |  FROM (SELECT cohort_week, n_active FROM rf WHERE week_offset = 0) rf0
+       |  FULL OUTER JOIN (SELECT cohort_week, n_active FROM rk WHERE week_offset = 0) rk0
+       |    USING (cohort_week)
+       |  UNION ALL
+       |  SELECT 'transitions', tf.event_type || ':' || tf.next_type,
+       |         tf.n, CAST(COALESCE(tk.n, 0) AS BIGINT), COALESCE(tk.n, 0) >= 0
+       |  FROM tf LEFT JOIN tk USING (event_type, next_type)
+       |  UNION ALL
+       |  SELECT 'transitions_total', 'all',
+       |         (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM tf),
+       |         (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM tk), TRUE)
+       |SELECT artifact, "key", n_before, n_after,
+       |       CAST(n_before - n_after AS BIGINT) AS n_removed, clean
+       |FROM rows_ ORDER BY artifact, "key"""".stripMargin
+  }
 
   private def q284OracleSql: String =
     s"""WITH rmu AS (SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 5),

@@ -1424,6 +1424,63 @@ class CoreSpec extends SparkSpec {
     assert(got("C") == ((2L, 2L, 4L, None)), s"C: ${got("C")}")
   }
 
+  test("retention sweep: verbatim untouched, re-derived touched (cohort migration), decremented edges") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // cutoff 2024-01-08 (a Monday — week boundaries at 01-01/01-08):
+    // u1 TOUCHED with kept events (cohort MIGRATES A→B, funnel view
+    // reach lost, boundary edge view→click removed), u2 UNTOUCHED
+    // (verbatim everywhere), u3 fully expired (drops everywhere).
+    val ev = Seq(
+      (1L, 1L, t("2024-01-02 09:00:00"), "view"),
+      (1L, 2L, t("2024-01-10 09:00:00"), "click"),
+      (1L, 3L, t("2024-01-10 09:03:00"), "purchase"),
+      (2L, 4L, t("2024-01-10 10:00:00"), "view"),
+      (2L, 5L, t("2024-01-10 10:01:00"), "click"),
+      (2L, 6L, t("2024-01-10 10:02:00"), "purchase"),
+      (3L, 7L, t("2024-01-02 10:00:00"), "view"),
+      (3L, 8L, t("2024-01-02 10:10:00"), "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val led = EventOps.retentionSweep(ev, "2024-01-08 00:00:00",
+        TemporalOps.sessionPackManifest(ev), EventOps.sessionize(ev),
+        EventOps.funnel(ev), EventOps.retentionCohorts(ev),
+        EventOps.eventTransitions(ev), EventOps.lastTouchAttribution(ev))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(5)))).toMap
+    assert(led.values.forall(_._3), s"every probe must be clean: $led")
+    assert(led(("events", "all")) == ((8L, 5L, true)))
+    assert(led(("users", "all")) == ((3L, 2L, true)))
+    assert(led(("users", "touched")) == ((2L, 1L, true)),
+      "u1 and u3 touched; only u1 has kept events")
+    // funnel: u1's kept click/purchase lose their expired view anchor
+    assert(led(("funnel", "view")) == ((3L, 1L, true)), s"$led")
+    assert(led(("funnel", "click")) == ((2L, 1L, true)))
+    assert(led(("funnel", "purchase")) == ((2L, 1L, true)))
+    // transitions: within-expired u3 edge gone, u1's BOUNDARY edge
+    // view→click gone, kept-side edges intact
+    assert(led(("transitions", "view:click")) == ((2L, 1L, true)))
+    assert(led(("transitions", "click:purchase")) == ((2L, 2L, true)))
+    assert(led(("transitions", "view:purchase")) == ((1L, 0L, true)))
+    assert(led(("transitions_total", "all")) == ((5L, 3L, true)),
+      "corrected edges must total kept_events - users_with_kept")
+    // cohort migration: week-A cells empty out, u1 JOINS week B's
+    // cohort (a cell legitimately GROWS past its before value)
+    assert(led(("retention", "2024-01-01:0")) == ((2L, 0L, true)))
+    assert(led(("retention", "2024-01-01:1")) == ((1L, 0L, true)))
+    assert(led(("retention", "2024-01-08:0")) == ((1L, 2L, true)))
+    assert(led(("retention_size", "2024-01-01")) == ((2L, 0L, true)))
+    assert(led(("retention_size", "2024-01-08")) == ((1L, 2L, true)))
+    // manifest: u1 re-derives to one 2-event conversation, u3 drops,
+    // u2 verbatim; mass identity (clean) already asserted above
+    assert(led(("manifest", "rows")) == ((5L, 2L, true)),
+      "u1: 2 convs -> 1; u2: 1 conv; u3: 2 convs -> 0")
+    assert(led(("manifest_touched", "1")) == ((2L, 1L, true)))
+    assert(led(("manifest_touched", "3")) == ((2L, 0L, true)))
+    assert(led(("sessions", "rows")) == ((4L, 2L, true)))
+    assert(led(("attribution", "rows")) == ((3L, 2L, true)))
+  }
+
   test("every oracle /tmp artifact read is dump-registered on its spec, and vice versa") {
     // The round-11 q255 failure class, closed structurally: an oracle
     // SQL reading /tmp state must DECLARE the dump on its QuerySpec
