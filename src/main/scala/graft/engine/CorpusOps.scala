@@ -1700,6 +1700,160 @@ object CorpusOps {
       .filter(col("n_docs") > 0)
   }
 
+  /** Inverse of [[corpusCardTakedownState]] (q287): fold PREVIOUSLY
+    * REMOVED docs back INTO the additive card state, with the same
+    * touched-group keeper re-evaluation — restoring a doc that was
+    * its group's keeper displaces the interim keeper and flips the
+    * survivors' dup flags back, so restore ∘ takedown ≡ identity
+    * cell for cell (the q287 round-trip law). `fpStore` is the FULL
+    * fingerprint store (quarantine retains the restored docs' rows).
+    * Same removal-bounded shape as the fold-out. */
+  def corpusCardRestoreState(purgedState: DataFrame, fpStore: DataFrame,
+                             documents: DataFrame, restored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rs = broadcast(restored.select(col("doc_id")).distinct()
+      .localCheckpoint(false)) // contribution rollup + flag passes
+    val rsDocs = documents.join(rs, Seq("doc_id"), "left_semi")
+    val qual = TextOps.qualityScore(rsDocs)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val addContrib = rsDocs.select(col("doc_id"), col("lang"), col("source"))
+      .join(qual, "doc_id")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("a_docs"),
+           sum(col("n_tokens")).as("a_tokens"),
+           sum(floor(col("quality") * lit(1.0e6))).as("a_q_ppm"))
+    val touchedFps = fpStore.join(rs, Seq("doc_id"), "left_semi")
+      .select(col("fp_md5")).distinct()
+    val members = fpStore.join(broadcast(touchedFps), "fp_md5")
+      .join(documents.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+      .join(rs.select(col("doc_id"), lit(true).as("is_restored")),
+        Seq("doc_id"), "left_outer")
+      .withColumn("is_restored", coalesce(col("is_restored"), lit(false)))
+    val wFp = Window.partitionBy(col("fp_md5"))
+    val dupDelta = members
+      .withColumn("keeper_without",
+        min(when(!col("is_restored"), col("doc_id"))).over(wFp))
+      .withColumn("keeper_with", min(col("doc_id")).over(wFp))
+      .withColumn("dup_without",
+        !col("is_restored") && col("doc_id") =!= col("keeper_without"))
+      .withColumn("dup_with", col("doc_id") =!= col("keeper_with"))
+      .groupBy(col("lang"), col("source"))
+      .agg((sum(when(col("dup_with"), 1L).otherwise(0L)) -
+            sum(when(col("dup_without"), 1L).otherwise(0L))).as("a_dups"))
+    purgedState
+      .join(addContrib, Seq("lang", "source"), "full_outer")
+      .join(dupDelta, Seq("lang", "source"), "full_outer")
+      .select(col("lang"), col("source"),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("a_docs"), lit(0L)))
+          .cast("long").as("n_docs"),
+        (coalesce(col("n_tokens"), lit(0L)) + coalesce(col("a_tokens"), lit(0L)))
+          .cast("long").as("n_tokens"),
+        (coalesce(col("q_ppm_sum"), lit(0L)) + coalesce(col("a_q_ppm"), lit(0L)))
+          .cast("long").as("q_ppm_sum"),
+        (coalesce(col("n_exact_dups"), lit(0L)) + coalesce(col("a_dups"), lit(0L)))
+          .cast("long").as("n_exact_dups"))
+      .filter(col("n_docs") > 0)
+  }
+
+  /** QUARANTINE ROUND-TRIP certification (q287, r16) — soft delete
+    * with a legal-hold restore path: the quarantine retains ONLY the
+    * source rows (the removed documents and their embedding vectors);
+    * every derived store hard-purges, and RESTORE re-derives the
+    * removed rows from the quarantined source through the engine's
+    * own incremental machinery — postings/doc-length re-tokenize,
+    * fingerprint/sketch/signature recompute (deterministic exact
+    * integers), IVF re-assign + PQ re-encode against the UNCHANGED
+    * stored quantizers ([[SimilarityOps.ivfIncrementalAssign]] /
+    * [[SimilarityOps.ivfPqIncrementalCodes]]), the LM merges back
+    * ([[TextOps.lmModelMerge]] — subtract∘merge ≡ id), and the card
+    * state folds back in ([[corpusCardRestoreState]], keeper
+    * re-evaluation inverted). One ledger row per store:
+    * (n_before, n_purged, n_restored, clean), clean = the restored
+    * store is ROW-IDENTICAL to the original (symmetric exceptAll
+    * empty AND counts conserved) — the proof that hard-deleting every
+    * derived row while quarantining only source loses nothing.
+    *
+    * Scale: purges are broadcast anti-joins; re-derivations are
+    * quarantine-bounded; the identity probes are the one full
+    * store-compare pass a restore certification owes (the q270
+    * recount posture — run at restore time, not per query). */
+  def quarantineRoundTrip(documents: DataFrame, embeddings: DataFrame,
+                          removal: DataFrame,
+                          postings: DataFrame, docLengths: DataFrame,
+                          sketches: DataFrame, fpStore: DataFrame,
+                          lm: TextOps.LmModel, cardState: DataFrame,
+                          index: SimilarityOps.IvfIndex,
+                          ivfPqCodes: DataFrame,
+                          ivfPqCb: SimilarityOps.PqCodebook,
+                          binarySigs: DataFrame): DataFrame = {
+    val rm = broadcast(removal.select(col("doc_id")).distinct()
+      .localCheckpoint(false)) // every purge + both quarantine slices
+    val rmVec = broadcast(rm.select(col("doc_id").as("vec_id")))
+    val qDocs = documents.join(rm, Seq("doc_id"), "left_semi")
+      .localCheckpoint(false) // the quarantined SOURCE (text side)
+    val qEmb = embeddings.join(rmVec, Seq("vec_id"), "left_semi")
+      .localCheckpoint(false) // the quarantined SOURCE (vector side)
+    def row(artifact: String, original: DataFrame, purged: DataFrame,
+            restored: DataFrame): DataFrame = {
+      val rest = restored.localCheckpoint(false) // count + both excepts
+      val diff = rest.exceptAll(original)
+        .unionByName(original.exceptAll(rest))
+        .agg(count(lit(1)).as("n_diff"))
+      original.agg(count(lit(1)).cast("long").as("n_before"))
+        .crossJoin(purged.agg(count(lit(1)).cast("long").as("n_purged")))
+        .crossJoin(rest.agg(count(lit(1)).cast("long").as("n_restored")))
+        .crossJoin(diff)
+        .select(lit(artifact).as("artifact"), lit("all").as("key"),
+          col("n_before"), col("n_purged"), col("n_restored"),
+          (col("n_diff") === 0 && col("n_restored") === col("n_before"))
+            .as("clean"))
+    }
+    // the using-join moves the key column to the front; re-select the
+    // store's own column ORDER so the identity probes (positional
+    // exceptAll) and the re-derived unions stay aligned
+    def purgeDoc(st: DataFrame) = st.join(rm, Seq("doc_id"), "left_anti")
+      .select(st.columns.map(col(_)): _*)
+    def purgeVec(st: DataFrame) = st.join(rmVec, Seq("vec_id"), "left_anti")
+      .select(st.columns.map(col(_)): _*)
+    val postP = purgeDoc(postings)
+    val dlP = purgeDoc(docLengths)
+    val fpP = purgeDoc(fpStore)
+    val skP = purgeDoc(sketches)
+    val sigProj = binarySigs.select(col("vec_id"), col("sig"))
+    val sgP = purgeVec(sigProj)
+    val asgProj = index.assigned
+      .select(col("vec_id"), col("list_id").cast("long").as("list_id"))
+    val asgP = purgeVec(asgProj)
+    val cdP = purgeVec(ivfPqCodes)
+    val codeCols = ivfPqCodes.columns.map(col(_))
+    val sub = TextOps.lmModelSubtract(lm, qDocs)
+    val mer = TextOps.lmModelMerge(sub, qDocs)
+    val cardP = corpusCardTakedownState(cardState, fpStore, documents, rm)
+      .localCheckpoint(false) // ledger count + the restore fold
+    val cardR = corpusCardRestoreState(cardP, fpStore, documents, rm)
+    row("postings", postings, postP,
+        postP.unionByName(RetrievalOps.bm25Postings(qDocs)))
+      .unionByName(row("doc_lengths", docLengths, dlP,
+        dlP.unionByName(RetrievalOps.bm25DocLengths(qDocs))))
+      .unionByName(row("fingerprints", fpStore, fpP,
+        fpP.unionByName(qDocs.select(col("doc_id"), md5(col("text")).as("fp_md5")))))
+      .unionByName(row("sketches", sketches, skP,
+        skP.unionByName(DedupOps.docSketches(qDocs))))
+      .unionByName(row("binary_sigs", sigProj, sgP,
+        sgP.unionByName(SimilarityOps.binarySignatures(qEmb)
+          .select(col("vec_id"), col("sig")))))
+      .unionByName(row("ivf_assign", asgProj, asgP,
+        asgP.unionByName(SimilarityOps.ivfIncrementalAssign(index, qEmb))))
+      .unionByName(row("pq_codes", ivfPqCodes, cdP,
+        cdP.unionByName(SimilarityOps.ivfPqIncrementalCodes(index, ivfPqCb, qEmb)
+          .select(codeCols: _*))))
+      .unionByName(row("lm_bigrams", lm.bigrams, sub.bigrams, mer.bigrams))
+      .unionByName(row("lm_contexts", lm.contexts, sub.contexts, mer.contexts))
+      .unionByName(row("lm_vocab", lm.vocab, sub.vocab, mer.vocab))
+      .unionByName(row("card_state", cardState, cardP, cardR))
+      .orderBy(col("artifact"))
+  }
+
   /** TAKEDOWN of the REMAINING persisted stores (q273, r15 — VERDICT
     * r14 missing #1): q268/q270 reach fingerprints, sketches,
     * postings, corpus stats, the vector indexes, sequences and

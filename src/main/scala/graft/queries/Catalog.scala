@@ -6189,6 +6189,120 @@ object Catalog {
       },
       Some(q283OracleSql)),
 
+    // QUARANTINE ROUND-TRIP (q287, r16): soft delete with a
+    // legal-hold restore — the quarantine retains ONLY source rows
+    // (removed docs + their vectors), every derived store
+    // hard-purges, and restore RE-DERIVES the removed rows through
+    // the engine's own incremental machinery (re-tokenize, recompute
+    // fingerprints/sketches/signatures, re-assign + re-encode against
+    // the unchanged quantizers, LM merge-back, card fold-in with
+    // keeper re-evaluation inverted). clean = the restored store is
+    // row-identical to the original — the proof that hard-deleting
+    // every derived row while quarantining only source loses nothing.
+    // The oracle recomputes each store's before/purged/restored
+    // counts from raw tables and dumped store keys and expects every
+    // clean flag TRUE, so an engine whose restore drifts by even one
+    // row fails loudly.
+    QuerySpec(
+      "q287_quarantine_roundtrip",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{lit, md5, pmod}
+        val docs = Tables.documents(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val idx = SimilarityOps.ivfIndexFor(emb, tag = dir)
+        CorpusOps.quarantineRoundTrip(
+          docs, emb,
+          docs.filter(pmod(col("doc_id"), lit(17)) === 4).select(col("doc_id")),
+          RetrievalShared.postings(s, dir),
+          RetrievalShared.docLengths(s, dir),
+          SketchShared.sketches(s, dir),
+          docs.select(col("doc_id"), md5(col("text")).as("fp_md5")),
+          TextOps.lmModelFor(docs, tag = dir),
+          CorpusOps.corpusCardState(docs),
+          idx,
+          SimilarityOps.ivfPqCodesFor(idx, tag = dir),
+          SimilarityOps.ivfPqCodebookFor(idx, tag = dir),
+          SimilarityOps.binarySigsFor(emb, tag = dir))
+      },
+      Some(s"""WITH rm AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 17 = 4),
+              |keep AS (SELECT * FROM documents
+              |         WHERE doc_id NOT IN (SELECT doc_id FROM rm)),
+              |t AS (SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS toks
+              |      FROM documents),
+              |post AS (SELECT w, doc_id
+              |         FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2),
+              |o AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+              |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+              |            FROM t WHERE len(toks) >= 2)),
+              |ok AS (SELECT * FROM o WHERE doc_id NOT IN (SELECT doc_id FROM rm)),
+              |skst AS (SELECT doc_id
+              |         FROM read_parquet('/tmp/graft_sketch_oracle/docids/*.parquet')),
+              |sgst AS (SELECT vec_id
+              |         FROM read_parquet('/tmp/graft_binsig_oracle/vecids/*.parquet')),
+              |assign AS (SELECT vec_id
+              |           FROM read_parquet('/tmp/graft_ivf_oracle/assign/*.parquet')),
+              |rows_ AS (
+              |  SELECT 'postings' AS artifact, 'all' AS "key",
+              |         CAST((SELECT COUNT(*) FROM post) AS BIGINT) AS n_before,
+              |         CAST((SELECT COUNT(*) FROM post
+              |               WHERE doc_id NOT IN (SELECT doc_id FROM rm)) AS BIGINT) AS n_purged,
+              |         CAST((SELECT COUNT(*) FROM post) AS BIGINT) AS n_restored,
+              |         TRUE AS clean
+              |  UNION ALL
+              |  SELECT a, 'all',
+              |         CAST((SELECT COUNT(*) FROM documents) AS BIGINT),
+              |         CAST((SELECT COUNT(*) FROM keep) AS BIGINT),
+              |         CAST((SELECT COUNT(*) FROM documents) AS BIGINT), TRUE
+              |  FROM (VALUES ('doc_lengths'), ('fingerprints')) AS v(a)
+              |  UNION ALL
+              |  SELECT 'sketches', 'all',
+              |         CAST((SELECT COUNT(*) FROM skst) AS BIGINT),
+              |         CAST((SELECT COUNT(*) FROM skst
+              |               WHERE doc_id NOT IN (SELECT doc_id FROM rm)) AS BIGINT),
+              |         CAST((SELECT COUNT(*) FROM skst) AS BIGINT), TRUE
+              |  UNION ALL
+              |  SELECT 'binary_sigs', 'all',
+              |         CAST((SELECT COUNT(*) FROM sgst) AS BIGINT),
+              |         CAST((SELECT COUNT(*) FROM sgst
+              |               WHERE vec_id NOT IN (SELECT doc_id FROM rm)) AS BIGINT),
+              |         CAST((SELECT COUNT(*) FROM sgst) AS BIGINT), TRUE
+              |  UNION ALL
+              |  SELECT a, 'all',
+              |         CAST((SELECT COUNT(*) FROM assign) AS BIGINT),
+              |         CAST((SELECT COUNT(*) FROM assign
+              |               WHERE vec_id NOT IN (SELECT doc_id FROM rm)) AS BIGINT),
+              |         CAST((SELECT COUNT(*) FROM assign) AS BIGINT), TRUE
+              |  FROM (VALUES ('ivf_assign'), ('pq_codes')) AS v(a)
+              |  UNION ALL
+              |  SELECT 'lm_bigrams', 'all',
+              |         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT w1, w2 FROM o) x) AS BIGINT),
+              |         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT w1, w2 FROM ok) x) AS BIGINT),
+              |         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT w1, w2 FROM o) x) AS BIGINT), TRUE
+              |  UNION ALL
+              |  SELECT 'lm_contexts', 'all',
+              |         CAST((SELECT COUNT(DISTINCT w1) FROM o) AS BIGINT),
+              |         CAST((SELECT COUNT(DISTINCT w1) FROM ok) AS BIGINT),
+              |         CAST((SELECT COUNT(DISTINCT w1) FROM o) AS BIGINT), TRUE
+              |  UNION ALL
+              |  SELECT 'lm_vocab', 'all',
+              |         CAST((SELECT COUNT(DISTINCT w) FROM
+              |               (SELECT w1 AS w FROM o UNION SELECT w2 FROM o) x) AS BIGINT),
+              |         CAST((SELECT COUNT(DISTINCT w) FROM
+              |               (SELECT w1 AS w FROM ok UNION SELECT w2 FROM ok) x) AS BIGINT),
+              |         CAST((SELECT COUNT(DISTINCT w) FROM
+              |               (SELECT w1 AS w FROM o UNION SELECT w2 FROM o) x) AS BIGINT), TRUE
+              |  UNION ALL
+              |  SELECT 'card_state', 'all',
+              |         CAST((SELECT COUNT(*) FROM
+              |               (SELECT DISTINCT lang, source FROM documents) x) AS BIGINT),
+              |         CAST((SELECT COUNT(*) FROM
+              |               (SELECT DISTINCT lang, source FROM keep) x) AS BIGINT),
+              |         CAST((SELECT COUNT(*) FROM
+              |               (SELECT DISTINCT lang, source FROM documents) x) AS BIGINT), TRUE)
+              |SELECT artifact, "key", n_before, n_purged, n_restored, clean
+              |FROM rows_ ORDER BY artifact""".stripMargin),
+      dumps = Seq(ivfDump, ivfPqDump, sketchDump, binSigDump)),
+
     // ENTITY-ALIAS takedown (q276, r15): removal of dim records from
     // the persisted alias store by touched-group re-close — a removed
     // BRIDGE record legitimately SPLITS its group, which no row-delete

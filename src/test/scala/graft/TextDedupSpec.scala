@@ -2059,6 +2059,33 @@ class TextDedupSpec extends SparkSpec {
       "report flag count must equal the from-scratch run")
   }
 
+  test("quarantine round-trip: cross-cell keeper restore flips dup attribution back") {
+    import spark.implicits._
+    // docs 1 (cell en:web) and 2 (cell fr:api) share text; keeper = 1
+    // (min id). Removing 1 promotes 2 to keeper — fr:api's dup count
+    // drops to 0. Restoring 1 must displace the interim keeper and
+    // move the dup flag BACK to fr:api — the case a naive
+    // seen-is-dup incremental fold-in would misattribute.
+    val docs = Seq(
+      (1L, "en", "web", "the same shared text body"),
+      (2L, "fr", "api", "the same shared text body"),
+      (3L, "en", "web", "a unique text one two three"))
+      .toDF("doc_id", "lang", "source", "text")
+    val rm = Seq(1L).toDF("doc_id")
+    val fp = docs.select(col("doc_id"), md5(col("text")).as("fp_md5"))
+    val st0 = CorpusOps.corpusCardState(docs)
+    val stP = CorpusOps.corpusCardTakedownState(st0, fp, docs, rm)
+    val stR = CorpusOps.corpusCardRestoreState(stP, fp, docs, rm)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(m(stR) == m(st0), s"restore ∘ takedown must be the identity:\n" +
+      s"got ${m(stR)}\nexp ${m(st0)}")
+    assert(m(st0)(("fr", "api"))._4 == 1L, "doc 2 is a dup while 1 exists")
+    assert(m(stP)(("fr", "api"))._4 == 0L,
+      "fold-out must promote doc 2 to keeper (dup flag leaves fr:api)")
+  }
+
   test("takedown-stores ledger: one removed doc corrects exactly its counts; Bloom flags rebuild") {
     import spark.implicits._
     // one removed doc with a UNIQUE text (its own fp group) — every
