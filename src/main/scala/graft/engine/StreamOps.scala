@@ -943,11 +943,12 @@ object StreamOps {
     * queue actually has), and each tick purges them from the carried
     * artifact stores. Per tick: the tick's removal set broadcasts
     * into one anti-join per store (postings / doc-length / sketch —
-    * the q270 purge executed incrementally), a tick-stamped ledger
-    * row per artifact appends to `outPath/ledger` (n_removed
-    * RECOUNTED as a semi-join against the pre-purge store, so
-    * re-submitting an already-purged id is an honest no-op, not a
-    * double-count), and the purged snapshots rewrite.
+    * the q270 purge executed incrementally), a ledger row per
+    * artifact writes idempotently to `outPath/ledger/tick=N`
+    * (n_removed RECOUNTED as a semi-join against the pre-purge
+    * store, so re-submitting an already-purged id is an honest
+    * no-op, not a double-count; a replayed at-least-once tick
+    * overwrites its own rows), and the purged snapshots rewrite.
     *
     * Stream ≡ batch: anti-joins against disjoint-or-repeated removal
     * sets compose (purging in ticks ≡ one purge of the union), so the
@@ -981,11 +982,13 @@ object StreamOps {
           val (p2, pRm, pN) = purge(post)
           val (d2, dRm, dN) = purge(dl)
           val (s2, sRm, sN) = purge(sk)
+          // tick-IDEMPOTENT ledger (the streamingTakedownServe
+          // contract): a replayed at-least-once tick overwrites its
+          // own rows instead of appending duplicates
           Seq(("postings", pRm, pN), ("doc_lengths", dRm, dN),
               ("sketches", sRm, sN))
             .toDF("artifact", "n_removed", "n_after")
-            .withColumn("tick", lit(tick))
-            .write.mode("append").parquet(s"$outPath/ledger")
+            .write.mode("overwrite").parquet(s"$outPath/ledger/tick=$tick")
           post = p2; dl = d2; sk = s2
           post.write.mode("overwrite").parquet(s"$outPath/postings")
           dl.write.mode("overwrite").parquet(s"$outPath/doclens")

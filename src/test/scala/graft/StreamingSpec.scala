@@ -1141,7 +1141,7 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
     val ledger = spark.read.parquet(s"$out/ledger").collect()
-      .map(r => (r.getLong(3), r.getString(0)) -> ((r.getLong(1), r.getLong(2))))
+      .map(r => (r.getInt(3).toLong, r.getString(0)) -> ((r.getLong(1), r.getLong(2))))
       .toMap
     val rmAll = Seq(3L, 20L, 41L).toDF("doc_id")
     def oneShot(store: org.apache.spark.sql.DataFrame) =
