@@ -523,4 +523,72 @@ class PropertySpec extends SparkSpec {
       assert(inc == full, s"cutoff $cut: incremental diverged from rebuild")
     }
   }
+
+  test("user-takedown and retention-sweep ledgers equal rebuilds on random event streams") {
+    import spark.implicits._
+    import graft.engine.{EventOps, TemporalOps}
+    val rnd = new Random(41)
+    val base = 1700000000000L
+    val types = Array("view", "click", "purchase", "error", "signup")
+    val events = (0 until 400).map { i =>
+      val u = rnd.nextInt(10).toLong
+      val ts = base + rnd.nextInt(40) * 3600000L + rnd.nextInt(30) * 60000L
+      (u, i.toLong, new java.sql.Timestamp(ts), types(rnd.nextInt(types.length)))
+    }
+    val ev = events.toDF("user_id", "event_id", "ts", "event_type")
+      .localCheckpoint(false)
+    def stores(e: org.apache.spark.sql.DataFrame) = (
+      TemporalOps.sessionPackManifest(e), EventOps.sessionize(e),
+      EventOps.funnel(e), EventOps.retentionCohorts(e),
+      EventOps.eventTransitions(e), EventOps.lastTouchAttribution(e))
+    val (mani, sess, fun, ret, trans, attr) = stores(ev)
+    def ledgerMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    // the DECREMENT/RE-DERIVE path must equal a full REBUILD over the
+    // kept events, section for section, on arbitrary removals
+    def check(tag: String, led: Map[(String, String), Long],
+              kept: org.apache.spark.sql.DataFrame): Unit = {
+      val (m2, s2, f2, r2, t2, a2) = stores(kept)
+      assert(led(("users", "all")) ==
+        kept.select(col("user_id")).distinct().count(), tag)
+      assert(led(("manifest", "rows")) == m2.count(), tag)
+      assert(led(("sessions", "rows")) == s2.count(), tag)
+      assert(led(("attribution", "rows")) == a2.count(), tag)
+      f2.collect().foreach(r =>
+        assert(led(("funnel", r.getString(1))) == r.getLong(2),
+          s"$tag funnel ${r.getString(1)}"))
+      val cells = r2.collect()
+        .map(r => s"${r.getDate(0)}:${r.getLong(1)}" -> r.getLong(2)).toMap
+      assert(led.collect { case (("retention", k), v) if v != 0 => k -> v }
+        .toMap == cells, s"$tag retention cells")
+      val edges = t2.collect()
+        .map(r => s"${r.getString(0)}:${r.getString(1)}" -> r.getLong(2)).toMap
+      assert(led.collect { case (("transitions", k), v) if v != 0 => k -> v }
+        .toMap == edges, s"$tag transition edges")
+    }
+    // random user-removal sets (q284)
+    (1 to 3).foreach { s =>
+      val rs = new Random(100 + s)
+      val rmUsers = (0 until 10).filter(_ => rs.nextBoolean()).map(_.toLong)
+      if (rmUsers.nonEmpty && rmUsers.size < 10) {
+        val rm = rmUsers.toDF("user_id")
+        val led = ledgerMap(EventOps.userTakedown(
+          ev, rm, mani, sess, fun, ret, trans, attr))
+        check(s"rm=$rmUsers", led,
+          ev.join(rm, Seq("user_id"), "left_anti").localCheckpoint(false))
+      }
+    }
+    // random age cutoffs (q286) — ISO-Z strings so the parse is
+    // timezone-independent
+    val times = events.map(_._3.getTime).distinct.sorted
+    Seq(times(times.length / 4), times(times.length / 2),
+        times(3 * times.length / 4)).foreach { cut =>
+      val cs = java.time.Instant.ofEpochMilli(cut).toString
+      val led = ledgerMap(EventOps.retentionSweep(
+        ev, cs, mani, sess, fun, ret, trans, attr))
+      check(s"cut=$cs", led,
+        ev.filter(col("ts") >= lit(cs).cast("timestamp"))
+          .localCheckpoint(false))
+    }
+  }
 }
