@@ -6301,7 +6301,9 @@ object Catalog {
               |               (SELECT DISTINCT lang, source FROM documents) x) AS BIGINT), TRUE)
               |SELECT artifact, "key", n_before, n_purged, n_restored, clean
               |FROM rows_ ORDER BY artifact""".stripMargin),
-      dumps = Seq(ivfDump, ivfPqDump, sketchDump, binSigDump)),
+      // pq_codes counts derive from the assign dump (codes are 1:1
+      // with assignments), so only three dumps are actually read
+      dumps = Seq(ivfDump, sketchDump, binSigDump)),
 
     // ENTITY-ALIAS takedown (q276, r15): removal of dim records from
     // the persisted alias store by touched-group re-close — a removed
