@@ -93,9 +93,14 @@ object Bench {
     val storMem = scala.collection.mutable.ArrayBuffer.empty[Long]
     val storDisk = scala.collection.mutable.ArrayBuffer.empty[Long]
     def timedPass(): Seq[(String, Double, Boolean)] = {
-      loads += loadavg()
+      // loadavg DURING the pass, not just at its start (VERDICT r15
+      // #6): the 1-minute average read immediately AFTER a multi-
+      // minute pass reflects the co-tenancy it actually ran under —
+      // record the worse of the two endpoints per pass
+      val l0 = loadavg()
       val gc0 = gcSec()
       val r = onePass()
+      loads += math.max(l0, loadavg())
       gcs += gcSec() - gc0
       val (m, d) = storageMb()
       storMem += m; storDisk += d
