@@ -609,15 +609,20 @@ object EventOps {
       .crossJoin(rmEvents.agg(countDistinct(col("user_id")).as("n_rm")))
       .select(lit("all").as("key"), col("n_before"),
         (col("n_before") - col("n_rm")).as("n_after"), lit(true).as("clean"))
-    // user-partitioned stores: totals + per-removed-user listing
+    // user-partitioned stores: totals + per-removed-user listing.
+    // The totals clean flag is a CONSERVATION recount, not a
+    // semi-probe over the purge's own lineage (which is true by
+    // construction and certifies nothing — ADVICE r16): the purge
+    // delta (anti-join path) must equal an independent semi-join
+    // recount of the removed users' rows on the pre-purge store.
     def userKeyed(store: DataFrame): DataFrame = {
       val purged = store.join(rmU, Seq("user_id"), "left_anti")
       val totals = store.agg(count(lit(1)).as("n_before"))
         .crossJoin(purged.agg(count(lit(1)).as("n_after")))
-        .crossJoin(purged.join(rmU, Seq("user_id"), "left_semi")
-          .agg(count(lit(1)).as("n_dirty")))
+        .crossJoin(store.join(rmU, Seq("user_id"), "left_semi")
+          .agg(count(lit(1)).as("n_rm")))
         .select(lit("rows").as("key"), col("n_before"), col("n_after"),
-          (col("n_dirty") === 0).as("clean"))
+          (col("n_before") - col("n_after") === col("n_rm")).as("clean"))
       val perUser = store.join(rmU, Seq("user_id"), "left_semi")
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_before"))

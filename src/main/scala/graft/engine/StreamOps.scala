@@ -1020,8 +1020,17 @@ object StreamOps {
     * `outPath/ledger/tick=N` with mass-conservation probes (bigram/
     * context occurrence mass decrements by exactly the tick's
     * measured occurrence count; vocab only shrinks; no card cell
-    * goes negative; no removed signature survives). Snapshots write
-    * queue-FIRST (the [[streamingTakedownServe]] crash contract).
+    * goes negative; no removed signature survives the PERSISTED
+    * staged snapshot — the probe re-reads the written bytes, never
+    * the in-memory purge lineage). Because the decrements are not
+    * idempotent, the queue-first ordering the anti-join monitor uses
+    * is UNSAFE here (a crash between the queue and store writes
+    * would lose the corrections forever) — so the whole tick commits
+    * atomically through [[TickCommit]]: every store plus the
+    * cumulative queue stages under `outPath/snap/tick=N`, the ledger
+    * writes, and the `_COMMITTED` marker seals last. A restart loads
+    * state via [[TickCommit.readLatest]]; a replayed already-sealed
+    * tick is skipped whole (ledger rows preserved).
     *
     * Stream ≡ batch: gated decrements over disjoint effective sets
     * compose, so the final stores equal the one-shot q273 algebra
@@ -1052,7 +1061,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           // effective removal = tick ids minus the cumulative queue
           val rmEff = broadcast(batch.select(col("doc_id")).distinct()
             .join(removedAll, Seq("doc_id"), "left_anti")
@@ -1086,7 +1095,19 @@ object StreamOps {
           val newWords = voc2.join(voc, Seq("w"), "left_anti").count()
           val negCard = card2.filter(col("n_docs") < 0 || col("n_tokens") < 0 ||
             col("q_ppm_sum") < 0 || col("n_exact_dups") < 0).count()
-          val sigDirty = sigs2.join(rmVec, Seq("vec_id"), "left_semi").count()
+          // STAGE the whole tick (stores + queue) before any of it
+          // becomes visible — no marker yet, so a crash anywhere in
+          // here leaves the previous committed tick authoritative
+          val removedAll2 = removedAll.unionByName(rmEff)
+            .localCheckpoint(false)
+          TickCommit.stage(spark, outPath, tick, Seq(
+            "removed" -> removedAll2, "lm_bigrams" -> big2,
+            "lm_contexts" -> ctx2, "lm_vocab" -> voc2,
+            "card_state" -> card2, "fps" -> fps2, "sigs" -> sigs2))
+          // the sig clean probe certifies the PERSISTED staged bytes,
+          // not the in-memory anti-join lineage it was derived from
+          val sigDirty = TickCommit.readStaged(spark, outPath, tick, "sigs")
+            .join(rmVec, Seq("vec_id"), "left_semi").count()
           Seq(
             ("lm_bigrams", big.count(), big2.count(), mA == mB - rOcc),
             ("lm_contexts", ctx.count(), ctx2.count(), cA == cB - rOcc),
@@ -1098,17 +1119,10 @@ object StreamOps {
             .select(col("artifact"), col("n_before"), col("n_after"),
               (col("n_before") - col("n_after")).as("n_removed"), col("clean"))
             .write.mode("overwrite").parquet(s"$outPath/ledger/tick=$tick")
+          TickCommit.seal(spark, outPath, tick) // the commit point
           big = big2; ctx = ctx2; voc = voc2
           card = card2; fps = fps2; sigs = sigs2
-          removedAll = removedAll.unionByName(rmEff).localCheckpoint(false)
-          // queue-first snapshot ordering (crash leaves it AHEAD)
-          removedAll.write.mode("overwrite").parquet(s"$outPath/removed")
-          big.write.mode("overwrite").parquet(s"$outPath/lm_bigrams")
-          ctx.write.mode("overwrite").parquet(s"$outPath/lm_contexts")
-          voc.write.mode("overwrite").parquet(s"$outPath/lm_vocab")
-          card.write.mode("overwrite").parquet(s"$outPath/card_state")
-          fps.write.mode("overwrite").parquet(s"$outPath/fps")
-          sigs.write.mode("overwrite").parquet(s"$outPath/sigs")
+          removedAll = removedAll2
         }
         ()
       }
@@ -1128,10 +1142,12 @@ object StreamOps {
     * first (re-submission = honest zero-delta no-op). Cells/edges
     * that reach zero DROP — matching what a rebuild over the kept
     * events would emit, which is what StreamingSpec asserts store by
-    * store over the union. Ledger rows write idempotently per tick;
-    * snapshots write queue-first (the crash contract). Per-tick cost:
-    * one removal-user-bounded event slice + dimension-sized store
-    * corrections. */
+    * store over the union. Because the decrements are not idempotent,
+    * the tick commits atomically via [[TickCommit]] (stage stores +
+    * queue under `snap/tick=N`, ledger, marker last — restart loads
+    * [[TickCommit.readLatest]]; a replayed sealed tick is skipped).
+    * Per-tick cost: one removal-user-bounded event slice +
+    * dimension-sized store corrections. */
   def streamingUserTakedown(removals: DataFrame, events: DataFrame,
                             manifest: DataFrame, sessions: DataFrame,
                             funnelStore: DataFrame, retentionStore: DataFrame,
@@ -1159,7 +1175,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           val rmEff = broadcast(batch.select(col("user_id")).distinct()
             .join(removedAll, Seq("user_id"), "left_anti")
             .localCheckpoint(false))
@@ -1194,30 +1210,38 @@ object StreamOps {
                 .as("n_transitions"))
             .filter(col("n_transitions") > 0)
             .localCheckpoint(false)
+          // stage the whole tick, then probe the PERSISTED manifest
+          // snapshot for the clean flag (a semi-probe over the
+          // in-memory anti-join lineage is true by construction)
+          val removedAll2 = removedAll.unionByName(rmEff)
+            .localCheckpoint(false)
+          TickCommit.stage(spark, outPath, tick, Seq(
+            "removed" -> removedAll2, "manifest" -> mani2,
+            "sessions" -> sess2, "attribution" -> attr2, "funnel" -> fun2,
+            "retention" -> ret2, "transitions" -> trans2))
+          val maniDirty = TickCommit
+            .readStaged(spark, outPath, tick, "manifest")
+            .join(rmEff, Seq("user_id"), "left_semi").count()
           Seq(
-            ("manifest", mani.count(), mani2.count()),
-            ("sessions", sess.count(), sess2.count()),
-            ("attribution", attr.count(), attr2.count()),
+            ("manifest", mani.count(), mani2.count(), maniDirty == 0L),
+            ("sessions", sess.count(), sess2.count(), true),
+            ("attribution", attr.count(), attr2.count(), true),
             ("funnel", fun.agg(coalesce(sum(col("n_users")), lit(0L)))
               .head.getLong(0),
-              fun2.agg(coalesce(sum(col("n_users")), lit(0L))).head.getLong(0)),
-            ("retention", ret.count(), ret2.count()),
-            ("transitions", trans.count(), trans2.count()))
-            .toDF("artifact", "n_before", "n_after")
+              fun2.agg(coalesce(sum(col("n_users")), lit(0L))).head.getLong(0),
+              true),
+            ("retention", ret.count(), ret2.count(), true),
+            ("transitions", trans.count(), trans2.count(), true))
+            .toDF("artifact", "n_before", "n_after", "persisted_ok")
             .select(col("artifact"), col("n_before"), col("n_after"),
               (col("n_before") - col("n_after")).as("n_removed"),
-              (col("n_after") <= col("n_before")).as("clean"))
+              (col("n_after") <= col("n_before") && col("persisted_ok"))
+                .as("clean"))
             .write.mode("overwrite").parquet(s"$outPath/ledger/tick=$tick")
+          TickCommit.seal(spark, outPath, tick) // the commit point
           mani = mani2; sess = sess2; attr = attr2
           fun = fun2; ret = ret2; trans = trans2
-          removedAll = removedAll.unionByName(rmEff).localCheckpoint(false)
-          removedAll.write.mode("overwrite").parquet(s"$outPath/removed")
-          mani.write.mode("overwrite").parquet(s"$outPath/manifest")
-          sess.write.mode("overwrite").parquet(s"$outPath/sessions")
-          attr.write.mode("overwrite").parquet(s"$outPath/attribution")
-          fun.write.mode("overwrite").parquet(s"$outPath/funnel")
-          ret.write.mode("overwrite").parquet(s"$outPath/retention")
-          trans.write.mode("overwrite").parquet(s"$outPath/transitions")
+          removedAll = removedAll2
         }
         ()
       }
@@ -1230,8 +1254,12 @@ object StreamOps {
     * bridge still legitimately SPLITS its group mid-stream), carrying
     * the updated alias store forward. Re-submitted keys are gated
     * against the cumulative queue (honest no-op, zero-delta ledger
-    * row). Ledger rows write idempotently per tick; snapshots write
-    * queue-first.
+    * row). The re-close is not idempotent against a stale store, so
+    * the tick commits atomically via [[TickCommit]] (stage aliases +
+    * queue, ledger, marker last; restart loads
+    * [[TickCommit.readLatest]]; a replayed sealed tick is skipped)
+    * and the ledger's dirty probe re-reads the PERSISTED staged
+    * alias snapshot.
     *
     * Stream ≡ batch: each tick leaves the store equal to a full
     * rebuild over part-minus-queue (the q276 exactness argument), so
@@ -1253,7 +1281,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           val rmEff = broadcast(batch.select(col("p_partkey")).distinct()
             .join(removedAll, Seq("p_partkey"), "left_anti")
             .localCheckpoint(false))
@@ -1261,18 +1289,24 @@ object StreamOps {
           val next = DedupOps.entityTakedown(partCur, rmEff, aliases)
             .localCheckpoint(false) // ledger counts + carried store
           val nReclosed = next.filter(col("status") === "reclosed").count()
-          val dirty = next.join(rmEff, Seq("p_partkey"), "left_semi").count()
-          Seq(("alias_store", aliases.count(), next.count(), nReclosed,
+          // status is per-tick provenance, not carried state
+          val aliases2 = next.select(col("p_partkey"), col("entity_id"),
+              col("n_members"), col("canonical_name"))
+            .localCheckpoint(false)
+          val removedAll2 = removedAll.unionByName(rmEff)
+            .localCheckpoint(false)
+          TickCommit.stage(spark, outPath, tick, Seq(
+            "removed" -> removedAll2, "aliases" -> aliases2))
+          // dirty probe against the PERSISTED staged alias snapshot
+          val dirty = TickCommit.readStaged(spark, outPath, tick, "aliases")
+            .join(rmEff, Seq("p_partkey"), "left_semi").count()
+          Seq(("alias_store", aliases.count(), aliases2.count(), nReclosed,
               dirty == 0L))
             .toDF("artifact", "n_before", "n_after", "n_reclosed", "clean")
             .write.mode("overwrite").parquet(s"$outPath/ledger/tick=$tick")
-          // status is per-tick provenance, not carried state
-          aliases = next.select(col("p_partkey"), col("entity_id"),
-              col("n_members"), col("canonical_name"))
-            .localCheckpoint(false)
-          removedAll = removedAll.unionByName(rmEff).localCheckpoint(false)
-          removedAll.write.mode("overwrite").parquet(s"$outPath/removed")
-          aliases.write.mode("overwrite").parquet(s"$outPath/aliases")
+          TickCommit.seal(spark, outPath, tick) // the commit point
+          aliases = aliases2
+          removedAll = removedAll2
         }
         ()
       }

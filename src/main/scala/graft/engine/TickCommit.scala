@@ -1,0 +1,116 @@
+package graft.engine
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Atomic, tick-versioned snapshot commits for the streaming sinks
+  * that apply NON-IDEMPOTENT corrections (LM count subtraction, card
+  * fold-out, funnel/retention/transition decrements, alias re-close).
+  *
+  * The problem this solves (ADVICE r16, high): those sinks used to
+  * write the cumulative removal queue FIRST and the store snapshots
+  * after it — an ordering that is only safe for pure anti-join
+  * maintenance. If a crash landed between the queue write and the
+  * store writes, a restart would reload a queue that already contains
+  * the crashed tick's ids next to stores that never received the
+  * corrections; the replayed tick then derives an EMPTY effective set
+  * (ids already queued) and the corrections are silently lost
+  * forever. Reversing the order instead would double-apply the
+  * decrements on replay — neither ordering of independent writes can
+  * be correct, so the tick has to become atomic.
+  *
+  * Contract: every frame a tick produces (stores + cumulative queue)
+  * writes under `outPath/snap/tick=N/<name>`, and a `_COMMITTED`
+  * marker file is created LAST. The authoritative state is the
+  * largest tick whose marker exists; a snapshot directory without the
+  * marker is an aborted tick and is invisible to every reader. The
+  * crash matrix collapses to two cases:
+  *   - crash BEFORE the marker: the restart loads tick M (the last
+  *     committed one), whose queue does NOT contain tick N's ids, so
+  *     the replayed tick re-derives the same non-empty effective set
+  *     and re-applies the corrections — the staged leftovers are
+  *     overwritten frame by frame and the marker finally seals them;
+  *   - crash AFTER the marker: [[isCommitted]] tells the replayed
+  *     foreachBatch to skip the whole tick body (corrections, ledger
+  *     and snapshots are all already durable), so nothing
+  *     double-applies and the tick's ledger rows — written before the
+  *     marker, re-derived deterministically on an aborted replay —
+  *     are never overwritten with zero-delta rows (ADVICE r16, low).
+  *
+  * [[stage]] and [[seal]] are split so a clean probe can re-read the
+  * PERSISTED bytes between them (the q270 recount posture — a probe
+  * over the in-memory purge lineage is true by construction and
+  * certifies nothing; ADVICE r16, low).
+  *
+  * Scale: one tiny marker file per tick on top of the snapshot writes
+  * the sink already pays; [[seal]] prunes every older snapshot
+  * directory, so disk holds at most the committed tick plus the one
+  * being staged. The marker create and directory listing are pure
+  * filesystem metadata operations.
+  */
+object TickCommit {
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Snapshot directory for one tick. */
+  def snapDir(outPath: String, tick: Long): String =
+    s"$outPath/snap/tick=$tick"
+
+  private def marker(outPath: String, tick: Long): Path =
+    new Path(snapDir(outPath, tick), "_COMMITTED")
+
+  /** True iff tick N sealed — the replayed-tick skip guard. */
+  def isCommitted(spark: SparkSession, outPath: String, tick: Long): Boolean = {
+    val m = marker(outPath, tick)
+    fsOf(spark, m).exists(m)
+  }
+
+  /** Write the tick's frames under its snapshot directory — NO marker
+    * yet, so a crash mid-stage leaves the tick invisible. */
+  def stage(spark: SparkSession, outPath: String, tick: Long,
+            frames: Seq[(String, DataFrame)]): Unit = {
+    val dir = snapDir(outPath, tick)
+    frames.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/$name")
+    }
+  }
+
+  /** Create the marker (the commit point), then prune every older
+    * snapshot directory — committed predecessors and aborted stage
+    * leftovers alike are dead once tick N is durable. */
+  def seal(spark: SparkSession, outPath: String, tick: Long): Unit = {
+    val m = marker(outPath, tick)
+    fsOf(spark, m).create(m, true).close()
+    val root = new Path(s"$outPath/snap")
+    val f = fsOf(spark, root)
+    if (f.exists(root)) f.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("tick=") && n.stripPrefix("tick=").toLong < tick)
+        f.delete(st.getPath, true)
+    }
+  }
+
+  /** A frame from the staged (not yet sealed) tick, re-read from the
+    * persisted bytes — what the clean probes certify against. */
+  def readStaged(spark: SparkSession, outPath: String, tick: Long,
+                 name: String): DataFrame =
+    spark.read.parquet(s"${snapDir(outPath, tick)}/$name")
+
+  /** Largest committed tick, if any — aborted stages are skipped. */
+  def latestTick(spark: SparkSession, outPath: String): Option[Long] = {
+    val root = new Path(s"$outPath/snap")
+    val f = fsOf(spark, root)
+    if (!f.exists(root)) None
+    else f.listStatus(root).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("tick=") => s.stripPrefix("tick=").toLong }
+      .filter(t => isCommitted(spark, outPath, t))
+      .sorted.lastOption
+  }
+
+  /** One store from the latest COMMITTED snapshot — the restart
+    * loader every caller of the non-idempotent sinks must use. */
+  def readLatest(spark: SparkSession, outPath: String,
+                 name: String): Option[DataFrame] =
+    latestTick(spark, outPath)
+      .map(t => spark.read.parquet(s"${snapDir(outPath, t)}/$name"))
+}

@@ -1194,29 +1194,34 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
     val rmAll = Seq(3L, 20L, 41L).toDF("doc_id").localCheckpoint(false)
+    // authoritative state = the latest COMMITTED atomic snapshot
+    import graft.engine.TickCommit
+    def committed(p: String) = TickCommit.readLatest(spark, out, p).get
+    assert(TickCommit.latestTick(spark, out).contains(1L),
+      "both ticks must have sealed atomic snapshots")
     // LM: final snapshots ≡ one-shot subtract over the union ≡ retrain
     val oneLm = TextOps.lmModelSubtract(lm0,
       docs.join(rmAll, Seq("doc_id"), "left_semi"))
-    assert(spark.read.parquet(s"$out/lm_bigrams").collect()
+    assert(committed("lm_bigrams").collect()
         .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap ==
       oneLm.bigrams.collect()
         .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
       "ticked LM bigram decrements ≡ one-shot subtract")
-    assert(spark.read.parquet(s"$out/lm_contexts").collect()
+    assert(committed("lm_contexts").collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap ==
       oneLm.contexts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
-    assert(spark.read.parquet(s"$out/lm_vocab").collect()
+    assert(committed("lm_vocab").collect()
         .map(_.getString(0)).toSet ==
       oneLm.vocab.collect().map(_.getString(0)).toSet)
     // card state ≡ one-shot fold-out over the union
     def cardMap(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
-    assert(cardMap(spark.read.parquet(s"$out/card_state")) ==
+    assert(cardMap(committed("card_state")) ==
       cardMap(CorpusOps.corpusCardTakedownState(card0, fp0, docs, rmAll)),
       "ticked card fold-outs ≡ one-shot fold-out")
     // signature store ≡ one anti-join
-    assert(spark.read.parquet(s"$out/sigs").collect()
+    assert(committed("sigs").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
       sigs0.join(rmAll.select(col("doc_id").as("vec_id")),
           Seq("vec_id"), "left_anti").collect()
@@ -1235,14 +1240,96 @@ class StreamingSpec extends SparkSpec {
     assert(sigRows1._3 == sigs0.join(Seq(41L).toDF("vec_id"), "vec_id").count(),
       "tick 2 must fold out ONLY the new id (re-submission is a no-op)")
     // the cumulative queue snapshot holds the union
-    assert(spark.read.parquet(s"$out/removed").collect()
+    assert(committed("removed").collect()
       .map(_.getLong(0)).toSet == Set(3L, 20L, 41L))
     // flag → applier closure: the q283 rebuild over the final queue
     // flips the Bloom row the monitor kept honestly flagging
     val rebuilt = TextOps.bloomRebuildApply(docs,
-        spark.read.parquet(s"$out/removed")).collect()
+        committed("removed")).collect()
       .map(r => r.getString(0) -> r.getBoolean(5)).toMap
     assert(rebuilt("bloom_rebuild"), "the rebuild must flip the flag clean")
+  }
+
+  test("streaming store takedown: a tick crashed mid-write is invisible and its replay re-applies the corrections") {
+    // The ADVICE r16 high scenario. Under the old queue-first layout
+    // a crash between the queue write and the store writes left a
+    // queue that already held the crashed tick's ids next to stores
+    // that never received the corrections; the replayed tick then
+    // derived an EMPTY effective set and the LM/card decrements were
+    // lost forever. With atomic tick commits the aborted tick has no
+    // _COMMITTED marker, so the restart resolves to the last sealed
+    // tick — whose queue does NOT hold the crashed ids — and the
+    // replay re-applies the corrections.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{CorpusOps, SimilarityOps, StreamOps, Tables, TextOps, TickCommit}
+    val docs = Tables.documents(spark, sf).localCheckpoint(false)
+    val emb = Tables.embeddings(spark, sf)
+    val lm0raw = TextOps.lmModel(docs)
+    val lm0 = TextOps.LmModel(lm0raw.bigrams.localCheckpoint(false),
+      lm0raw.contexts.localCheckpoint(false),
+      lm0raw.vocab.localCheckpoint(false))
+    val card0 = CorpusOps.corpusCardState(docs).localCheckpoint(false)
+    val fp0 = docs.select(col("doc_id"), md5(col("text")).as("fp_md5"))
+      .localCheckpoint(false)
+    val sigs0 = SimilarityOps.binarySignatures(emb)
+      .select(col("vec_id"), col("sig")).localCheckpoint(false)
+    val out = java.nio.file.Files.createTempDirectory("graft_stc_out_").toString + "/td"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stc_ckpt_").toString
+    val input = MemoryStream[Long]
+    val q = StreamOps.streamingTakedownStores(
+      input.toDS().toDF("doc_id"), docs, lm0, card0, fp0, sigs0, out, ckpt)
+    try {
+      input.addData(3L, 20L)
+      q.processAllAvailable()
+    } finally q.stop()
+    // simulate the crash at tick 1: the cumulative queue staged AHEAD
+    // of the stores (the worst-case write the old design made
+    // visible), ids 41 included — but the tick never seals
+    TickCommit.stage(spark, out, 1L,
+      Seq("removed" -> Seq(3L, 20L, 41L).toDF("doc_id")))
+    assert(TickCommit.latestTick(spark, out).contains(0L),
+      "an unsealed tick must be invisible")
+    assert(TickCommit.readLatest(spark, out, "removed").get.collect()
+      .map(_.getLong(0)).toSet == Set(3L, 20L),
+      "the restart queue must NOT contain the crashed tick's id")
+    // restart: reconstruct the monitor from the committed snapshot
+    // alone and replay the crashed tick's batch
+    def committed(p: String) =
+      TickCommit.readLatest(spark, out, p).get.localCheckpoint(false)
+    val out2 = java.nio.file.Files.createTempDirectory("graft_stc_out2_").toString + "/td"
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_stc_ckpt2_").toString
+    val input2 = MemoryStream[Long]
+    val q2 = StreamOps.streamingTakedownStores(
+      input2.toDS().toDF("doc_id"), docs,
+      TextOps.LmModel(committed("lm_bigrams"), committed("lm_contexts"),
+        committed("lm_vocab")),
+      committed("card_state"), committed("fps"), committed("sigs"),
+      out2, ckpt2, storedRemoved = Some(committed("removed")))
+    try {
+      input2.addData(41L) // the crashed tick, re-delivered
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // the replay must have applied the corrections: final LM ≡ the
+    // one-shot subtract over the FULL union, and the replayed tick's
+    // ledger shows a non-zero delta (not the empty-set no-op the old
+    // layout produced)
+    val rmAll = Seq(3L, 20L, 41L).toDF("doc_id").localCheckpoint(false)
+    val oneLm = TextOps.lmModelSubtract(lm0,
+      docs.join(rmAll, Seq("doc_id"), "left_semi"))
+    assert(TickCommit.readLatest(spark, out2, "lm_bigrams").get.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap ==
+      oneLm.bigrams.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
+      "replayed corrections must land — LM ≡ one-shot subtract over the union")
+    assert(TickCommit.readLatest(spark, out2, "sigs").get
+      .join(Seq(41L).toDF("vec_id"), Seq("vec_id"), "left_semi").count() == 0L,
+      "the crashed id's signature must be gone after the replay")
+    val replayLedger = spark.read.parquet(s"$out2/ledger").collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(replayLedger("binary_sigs") == 1L,
+      "the replayed tick must record a real delta, not an empty no-op")
   }
 
   test("streaming user takedown: every carried store equals a rebuild over events minus the union") {
@@ -1275,7 +1362,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     val kept = ev.join(rmUsers.toSeq.toDF("user_id"), Seq("user_id"), "left_anti")
       .localCheckpoint(false)
-    def snap(p: String) = spark.read.parquet(s"$out/$p")
+    def snap(p: String) = graft.engine.TickCommit.readLatest(spark, out, p).get
     // conversation manifest: per-user independence makes the ticked
     // purge THE rebuild over the kept events
     def maniKey(df: org.apache.spark.sql.DataFrame) = df
@@ -1317,7 +1404,7 @@ class StreamingSpec extends SparkSpec {
     val ledger = spark.read.parquet(s"$out/ledger").collect()
       .map(r => (r.getInt(5), r.getString(0)) -> r.getBoolean(4)).toMap
     assert(ledger.values.forall(identity), s"all ticks clean: $ledger")
-    assert(spark.read.parquet(s"$out/removed").collect()
+    assert(snap("removed").collect()
       .map(_.getLong(0)).toSet == rmUsers.toSet)
   }
 
@@ -1350,7 +1437,8 @@ class StreamingSpec extends SparkSpec {
     val oneShot = DedupOps.entityTakedown(part, union, stored)
       .select(col("p_partkey"), col("entity_id"), col("n_members"),
         col("canonical_name"))
-    assert(aliasMap(spark.read.parquet(s"$out/aliases")) == aliasMap(oneShot),
+    def snapE(p: String) = graft.engine.TickCommit.readLatest(spark, out, p).get
+    assert(aliasMap(snapE("aliases")) == aliasMap(oneShot),
       "ticked re-closes must equal the one-shot q276 over the union")
     // ledger: clean at every tick; conservation of the store rows
     val ledger = spark.read.parquet(s"$out/ledger").collect()
@@ -1359,7 +1447,7 @@ class StreamingSpec extends SparkSpec {
     assert(ledger.values.forall(_._4), s"no removed key may survive: $ledger")
     assert(ledger(0)._1 == stored.count() && ledger(1)._2 == oneShot.count(),
       "ledger endpoints must track the carried store")
-    assert(spark.read.parquet(s"$out/removed").collect()
+    assert(snapE("removed").collect()
       .map(_.getLong(0)).toSet == rmKeys.toSet)
   }
 
