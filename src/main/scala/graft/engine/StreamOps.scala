@@ -891,14 +891,35 @@ object StreamOps {
     * lists' partitions). Durable state IS the sinks (ADVICE r15): the
     * repaired index snapshots to `outPath/index_assign` /
     * `index_centers` per tick — the restart contract the takedown and
-    * ingest streams already state. */
+    * ingest streams already state.
+    *
+    * With `codes`/`cb` supplied, the persisted IVF-PQ codes table is
+    * carried too: each tick runs [[SimilarityOps.ivfPqCodesRepair]]
+    * against the pre-tick index (deleted rows drop, moved or
+    * re-centroided rows re-encode under the UNCHANGED stored
+    * codebook, everything else rides verbatim), appends the q288 cell
+    * report to `outPath/codes_report`, and snapshots the repaired
+    * table to `outPath/codes` — so the compressed q255/q272/q282 read
+    * path stays exactly consistent with the tick's centroid set
+    * (StreamingSpec asserts codes ≡ a from-scratch encode at a tick
+    * that both split and deleted). */
   def streamingIvfCdc(events: DataFrame, index: SimilarityOps.IvfIndex,
                       outPath: String, checkpointDir: String,
                       imbalanceFactor: Long = 2L,
-                      underfullFactor: Long = 4L): StreamingQuery = {
+                      underfullFactor: Long = 4L,
+                      codes: Option[DataFrame] = None,
+                      cb: Option[SimilarityOps.PqCodebook] = None)
+      : StreamingQuery = {
     val spark = events.sparkSession
     import spark.implicits._
     var cur = index
+    // optional COMPRESSED-path maintenance (q288 live): carry the
+    // persisted IVF-PQ codes table alongside the index, repairing it
+    // through SimilarityOps.ivfPqCodesRepair after every tick's
+    // dels/splits/merges — so the q255/q272/q282 serving path reads
+    // codes that always match the tick's centroid set, closing the
+    // "CDC maintains only the uncompressed index" seam (VERDICT r16).
+    var codesCur = codes.map(_.localCheckpoint(false))
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -923,6 +944,17 @@ object StreamOps {
             .toDF("n_add", "n_del", "n_splits", "n_merges")
             .withColumn("tick", lit(tick))
             .write.mode("append").parquet(s"$outPath/ticks")
+          // repair the codes table against the PRE-tick index the
+          // stored codes were encoded under: deleted rows drop,
+          // moved/re-centroided rows re-encode, the rest ride verbatim
+          codesCur = (codesCur, cb) match {
+            case (Some(c), Some(book)) =>
+              val r = SimilarityOps.ivfPqCodesRepair(c, cur, m.updated, book)
+              r.report.withColumn("tick", lit(tick))
+                .write.mode("append").parquet(s"$outPath/codes_report")
+              Some(r.codes.localCheckpoint(false))
+            case _ => codesCur
+          }
           cur = SimilarityOps.IvfIndex(
             m.updated.assigned.localCheckpoint(false),
             m.updated.centers.localCheckpoint(false),
@@ -932,6 +964,8 @@ object StreamOps {
           // rebuilds it instead of resuming on the constructor index
           cur.assigned.write.mode("overwrite").parquet(s"$outPath/index_assign")
           cur.centers.write.mode("overwrite").parquet(s"$outPath/index_centers")
+          codesCur.foreach(_.write.mode("overwrite")
+            .parquet(s"$outPath/codes"))
         }
         ()
       }

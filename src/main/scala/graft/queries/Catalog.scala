@@ -6676,7 +6676,141 @@ object Catalog {
               |  SELECT 'trunc_' || CAST(dim AS VARCHAR), CAST(dim * 4 AS BIGINT),
               |         CAST(SUM(n_hits) AS BIGINT), CAST(SUM(k) AS BIGINT)
               |  FROM (${q249OracleSqlOver(wideCorpusSql)}) GROUP BY dim
-              |) ORDER BY method""".stripMargin))
+              |) ORDER BY method""".stripMargin)),
+
+    // IVF-PQ CODES REPAIR (q288, r17 — VERDICT r16 missing #1): make
+    // the persisted codes table FOLLOW the q259 split. The stored
+    // codes are residuals against the pre-split centroids; after the
+    // applier replaces a flagged parent with fitted children, every
+    // member of that parent (including child 0's, which keeps the
+    // parent's list id but gets a re-fit centroid) re-takes its
+    // residual against its child centroid and re-encodes under the
+    // UNCHANGED stored codebook, while unflagged lists' rows ride
+    // verbatim and the appended batch encodes fresh. The report is
+    // cell-granular (the q256 posture), so the oracle certifies BOTH
+    // sides: n_kept only matches if the kept rows equal the original
+    // residual-argmin replay, n_reencoded only if the repaired rows
+    // equal an independent replay against the post-split centroid
+    // set (the q259 reassignment chain composed with the q256 encode
+    // chain — three dumped artifacts, zero trusted intermediates).
+    QuerySpec(
+      "q288_ivfpq_codes_repair",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val idx = SimilarityOps.ivfIndexFor(emb, tag = dir)
+        SimilarityOps.ivfPqCodesRepair(
+          SimilarityOps.ivfPqCodesFor(idx, tag = dir),
+          idx,
+          SimilarityOps.ivfRebalanceFor(idx, rebalanceBatch(emb), tag = dir)
+            .updated,
+          SimilarityOps.ivfPqCodebookFor(idx, tag = dir)).report
+      },
+      Some("""WITH centers AS (
+             |  SELECT CAST(c_list_id AS BIGINT) AS list_id, CAST(centroid AS DOUBLE[]) AS c
+             |  FROM read_parquet('/tmp/graft_ivf_oracle/centers/*.parquet')),
+             |assign AS (
+             |  SELECT vec_id, CAST(list_id AS BIGINT) AS list_id
+             |  FROM read_parquet('/tmp/graft_ivf_oracle/assign/*.parquet')),
+             |ch AS (
+             |  SELECT CAST(parent_list_id AS BIGINT) AS parent_list_id,
+             |         CAST(child_list_id AS BIGINT) AS child_list_id,
+             |         CAST(centroid AS DOUBLE[]) AS cc
+             |  FROM read_parquet('/tmp/graft_ivfreb_oracle/children/*.parquet')),
+             |cb AS (
+             |  SELECT CAST(subspace AS BIGINT) AS subspace,
+             |         CAST(code AS BIGINT) AS code,
+             |         CAST(centroid AS DOUBLE[]) AS c
+             |  FROM read_parquet('/tmp/graft_ivfpq_oracle/centers/*.parquet')),
+             |nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lists FROM centers),
+             |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |b AS (
+             |  SELECT vec_id + 1000000 AS vec_id,
+             |         list_transform(CAST(embedding AS DOUBLE[]), x -> 100.0 + x * 0.01) AS e
+             |  FROM embeddings WHERE vec_id % 7 = 3),
+             |bd AS (
+             |  SELECT b.vec_id, centers.list_id,
+             |         list_sum(list_transform(list_zip(e, c), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM b CROSS JOIN centers),
+             |ba AS (
+             |  SELECT vec_id, list_id
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rk
+             |        FROM bd) WHERE rk = 1),
+             |nb AS (SELECT list_id, CAST(COUNT(*) AS BIGINT) AS n_before FROM assign GROUP BY 1),
+             |nn AS (SELECT list_id, CAST(COUNT(*) AS BIGINT) AS n_new FROM ba GROUP BY 1),
+             |r AS (
+             |  SELECT centers.list_id,
+             |         COALESCE(n_before, 0) + COALESCE(n_new, 0) AS n_after
+             |  FROM centers LEFT JOIN nb USING (list_id) LEFT JOIN nn USING (list_id)),
+             |t AS (SELECT CAST(SUM(n_after) AS BIGINT) AS total_after FROM r),
+             |flags AS (SELECT r.list_id FROM r CROSS JOIN t CROSS JOIN nl
+             |          WHERE n_after * n_lists > 2 * total_after),
+             |mem AS (
+             |  SELECT a.vec_id, a.list_id AS parent_list_id, v.e
+             |  FROM assign a JOIN v USING (vec_id)
+             |  WHERE a.list_id IN (SELECT list_id FROM flags)
+             |  UNION ALL
+             |  SELECT ba.vec_id, ba.list_id, b.e
+             |  FROM ba JOIN b USING (vec_id)
+             |  WHERE ba.list_id IN (SELECT list_id FROM flags)),
+             |md AS (
+             |  SELECT mem.vec_id, ch.child_list_id, ch.cc, mem.e,
+             |         list_sum(list_transform(list_zip(e, cc), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM mem JOIN ch ON mem.parent_list_id = ch.parent_list_id),
+             |re AS (
+             |  SELECT vec_id, child_list_id AS list_id, cc, e
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, child_list_id) AS rk
+             |        FROM md) WHERE rk = 1),
+             |renc AS (
+             |  SELECT vec_id, list_id,
+             |         list_transform(list_zip(e, cc), p -> p[1] - p[2]) AS res
+             |  FROM re
+             |  UNION ALL
+             |  SELECT ba.vec_id, ba.list_id,
+             |         list_transform(list_zip(b.e, centers.c), p -> p[1] - p[2]) AS res
+             |  FROM ba JOIN b USING (vec_id) JOIN centers ON ba.list_id = centers.list_id
+             |  WHERE ba.list_id NOT IN (SELECT list_id FROM flags)),
+             |rd AS (
+             |  SELECT vec_id, list_id, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(res, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM renc CROSS JOIN cb),
+             |rcodes AS (
+             |  SELECT list_id, subspace, code
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+             |                                     ORDER BY d2, code) AS rk FROM rd)
+             |  WHERE rk = 1),
+             |kmem AS (
+             |  SELECT a.vec_id, a.list_id,
+             |         list_transform(list_zip(v.e, centers.c), p -> p[1] - p[2]) AS res
+             |  FROM assign a JOIN v USING (vec_id) JOIN centers ON a.list_id = centers.list_id
+             |  WHERE a.list_id NOT IN (SELECT list_id FROM flags)),
+             |kd AS (
+             |  SELECT vec_id, list_id, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(res, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM kmem CROSS JOIN cb),
+             |kcodes AS (
+             |  SELECT list_id, subspace, code
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+             |                                     ORDER BY d2, code) AS rk FROM kd)
+             |  WHERE rk = 1),
+             |nk AS (SELECT list_id, subspace, code, CAST(COUNT(*) AS BIGINT) AS n_kept
+             |       FROM kcodes GROUP BY 1, 2, 3),
+             |nr AS (SELECT list_id, subspace, code, CAST(COUNT(*) AS BIGINT) AS n_reencoded
+             |       FROM rcodes GROUP BY 1, 2, 3)
+             |SELECT COALESCE(nk.list_id, nr.list_id) AS list_id,
+             |       COALESCE(nk.subspace, nr.subspace) AS subspace,
+             |       COALESCE(nk.code, nr.code) AS code,
+             |       COALESCE(n_kept, 0) AS n_kept,
+             |       COALESCE(n_reencoded, 0) AS n_reencoded,
+             |       COALESCE(n_kept, 0) + COALESCE(n_reencoded, 0) AS n_total
+             |FROM nk FULL OUTER JOIN nr
+             |  ON nk.list_id = nr.list_id AND nk.subspace = nr.subspace
+             | AND nk.code = nr.code
+             |ORDER BY list_id, subspace, code""".stripMargin),
+      dumps = Seq(ivfDump, ivfPqDump, rebDump))
   )
 
 

@@ -639,6 +639,73 @@ class SimilarityMultimodalSpec extends SparkSpec {
       "the repaired index serves probes")
   }
 
+  test("IVF-PQ codes repair: repaired table ≡ from-scratch encode after a split AND a merge; re-encode is touched-bounded") {
+    import spark.implicits._
+    val index = SimilarityOps.ivfIndexFor(emb, tag = sf)
+    val cb = SimilarityOps.ivfPqCodebookFor(index, tag = sf)
+    val codes = SimilarityOps.ivfPqCodesFor(index, tag = sf).localCheckpoint(false)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // SPLIT: the far-cluster flood forces a split, so the repaired
+    // codes must re-take residuals against the child centroids —
+    // including child 0, which KEEPS the parent list id but gets a
+    // re-fit centroid (the subtle stale case)
+    val batch = emb.filter(pmod(col("vec_id"), lit(7)) === 3)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        expr("transform(embedding, x -> 100.0D + CAST(x AS DOUBLE) * 0.01D)")
+          .as("embedding"))
+    val reb = SimilarityOps.ivfRebalanceApply(index, batch)
+    val flagged = reb.children.select(col("parent_list_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty, "the flood fixture must split at least one list")
+    val rep = SimilarityOps.ivfPqCodesRepair(codes, index, reb.updated, cb)
+    val scratch = SimilarityOps.pqEncodeWithList(cb,
+      SimilarityOps.residualFrame(reb.updated))
+    assert(key(rep.codes) == key(scratch),
+      "repaired codes must equal a from-scratch encode of the post-split index")
+    assert(rep.codes.count() == reb.updated.assigned.count(),
+      "one code row per member of the repaired index")
+    // boundedness: exactly the flagged lists' stored members plus the
+    // batch re-encode (each vector contributes m cell increments)
+    val nStale = index.assigned
+      .filter(col("list_id").isin(flagged.toSeq: _*)).count() + batch.count()
+    val reSum = rep.report.agg(sum(col("n_reencoded"))).head.getLong(0)
+    assert(reSum == nStale * cb.m,
+      s"re-encode must be touched-bounded: $reSum vs ${nStale * cb.m}")
+    // kept rows ride the stored table verbatim — cell-level identity
+    // with the stored codes restricted to untouched lists
+    val keptSum = rep.report.agg(sum(col("n_kept"))).head.getLong(0)
+    assert(keptSum == (codes.count() - (nStale - batch.count())) * cb.m)
+    // MERGE: shrink one list far under the low-water gate, merge, and
+    // repair — moved members re-encode against their absorbing
+    // centroid, survivors' rows are untouched
+    val victim = index.assigned
+      .groupBy(col("list_id").cast("long").as("list_id")).count()
+      .orderBy(col("count"), col("list_id")).head.getLong(0)
+    val victimIds = index.assigned
+      .filter(col("list_id") === victim).select(col("vec_id"))
+      .orderBy(col("vec_id")).limit(1000).collect().map(_.getLong(0)).drop(1)
+    val shrunk = SimilarityOps.IvfIndex(
+      index.assigned.filter(col("list_id") =!= victim ||
+        !col("vec_id").isin(victimIds: _*)),
+      index.centers, index.nLists)
+    val codes2 = codes.join(
+      shrunk.assigned.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    val m = SimilarityOps.ivfMergeApply(shrunk, underfullFactor = 4L)
+    assert(m.report.filter(col("merged")).count() >= 1L,
+      "the shrunk list must merge away")
+    val rep2 = SimilarityOps.ivfPqCodesRepair(codes2, shrunk, m.updated, cb)
+    val scratch2 = SimilarityOps.pqEncodeWithList(cb,
+      SimilarityOps.residualFrame(m.updated))
+    assert(key(rep2.codes) == key(scratch2),
+      "repaired codes must equal a from-scratch encode of the post-merge index")
+    assert(rep2.codes.count() == m.updated.assigned.count())
+    // deletion path: the dropped victims' rows are GONE, not kept
+    assert(rep2.codes.filter(col("vec_id").isin(victimIds: _*)).count() == 0L)
+  }
+
   test("binary signatures set exactly the positive dims; recall report is sane integers") {
     import spark.implicits._
     val vecs = Seq(

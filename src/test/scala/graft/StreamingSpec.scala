@@ -1061,8 +1061,30 @@ class StreamingSpec extends SparkSpec {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt_").toString
     val input = MemoryStream[(Long, Array[Float], String)]
     val (builds0, fits0) = (SimilarityOps.indexBuilds, SimilarityOps.rebFits)
+    // carry the COMPRESSED serving artifact too (q288 live): the
+    // persisted codes table rides the CDC stream and must stay
+    // exactly consistent with the tick's centroid set
+    val cdcCb = SimilarityOps.ivfPqCodebookFor(index, tag = sf)
+    val codes0 = SimilarityOps.ivfPqCodesFor(index, tag = sf)
     val q = StreamOps.streamingIvfCdc(
-      input.toDS().toDF("vec_id", "embedding", "op"), index, out, ckpt)
+      input.toDS().toDF("vec_id", "embedding", "op"), index, out, ckpt,
+      codes = Some(codes0), cb = Some(cdcCb))
+    // the carried codes snapshot must equal a from-scratch encode of
+    // the carried index (same codebook) — checked from the SINKS, the
+    // restart-authoritative state
+    def codesMatchIndex(at: String): Unit = {
+      val asg = spark.read.parquet(s"$out/index_assign").localCheckpoint(false)
+      val ctr = spark.read.parquet(s"$out/index_centers").localCheckpoint(false)
+      val curIdx = SimilarityOps.IvfIndex(asg, ctr, ctr.count().toInt)
+      val scratch = SimilarityOps.pqEncodeWithList(cdcCb,
+        SimilarityOps.residualFrame(curIdx))
+      def keyC(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5)))).toMap
+      assert(keyC(spark.read.parquet(s"$out/codes")) == keyC(scratch),
+        s"$at: carried codes must equal a from-scratch encode of the carried index")
+    }
     def report(tick: Long) = spark.read.parquet(s"$out/report")
       .filter(col("tick") === tick).collect()
       .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(4)))
@@ -1103,6 +1125,11 @@ class StreamingSpec extends SparkSpec {
         s"the gutted list $targetList merges AT its deletion tick: $rep1")
       assert(rep1.map(_._4).sum == nStored + f0.length - victims.length,
         "tick-1 conservation: deletes leave, survivors absorb the rest")
+      codesMatchIndex("after the deletion/merge tick")
+      assert(spark.read.parquet(s"$out/codes")
+          .join(victims.toSeq.toDF("vec_id"), Seq("vec_id"), "left_semi")
+          .count() == 0L,
+        "deleted vectors' code rows must be gone at their tick")
       input.addData(f2.toSeq: _*)
       q.processAllAvailable()
       val t2 = ticks(2)
@@ -1113,6 +1140,17 @@ class StreamingSpec extends SparkSpec {
       assert(rep2.map(_._4).sum ==
         nStored + f0.length - victims.length + f2.length,
         "tick-2 conservation over the carried, maintained index")
+      codesMatchIndex("after the split tick")
+      // the compressed read path serves from the carried codes at the
+      // split tick — the q282 point, live
+      val asg2 = spark.read.parquet(s"$out/index_assign").localCheckpoint(false)
+      val ctr2 = spark.read.parquet(s"$out/index_centers").localCheckpoint(false)
+      val idx2 = SimilarityOps.IvfIndex(asg2, ctr2, ctr2.count().toInt)
+      assert(SimilarityOps.ivfPqRecall(idx2, cdcCb,
+          Tables.embeddings(spark, sf),
+          spark.read.parquet(s"$out/codes"), nQueries = 2, k = 5,
+          nProbe = 4).count() > 0L,
+        "the compressed serving path answers from the repaired codes")
     } finally q.stop()
     assert(SimilarityOps.indexBuilds == builds0,
       "the coarse quantizer is never re-fit by CDC maintenance")
