@@ -5576,97 +5576,7 @@ object Catalog {
         val emb = Tables.embeddings(s, dir)
         SimilarityOps.pqShadowCompare(emb, driftBatch(emb), tag = dir)
       },
-      Some("""WITH cb1 AS (
-             |  SELECT CAST(subspace AS BIGINT) AS subspace,
-             |         CAST(code AS BIGINT) AS code,
-             |         CAST(centroid AS DOUBLE[]) AS c
-             |  FROM read_parquet('/tmp/graft_pq_oracle/centers/*.parquet')),
-             |cb2 AS (
-             |  SELECT CAST(subspace AS BIGINT) AS subspace,
-             |         CAST(code AS BIGINT) AS code,
-             |         CAST(centroid AS DOUBLE[]) AS c
-             |  FROM read_parquet('/tmp/graft_pqv2_oracle/centers/*.parquet')),
-             |v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-             |bt AS (
-             |  SELECT vec_id + 1000000 AS vec_id,
-             |         list_concat(
-             |           list_transform(
-             |             list_slice(CAST(embedding AS DOUBLE[]), 1, 16),
-             |             x -> x * 3.0),
-             |           list_slice(CAST(embedding AS DOUBLE[]), 17, 64)) AS e
-             |  FROM embeddings WHERE vec_id % 7 = 3),
-             |v AS (SELECT vec_id, e FROM v0 UNION ALL SELECT vec_id, e FROM bt),
-             |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
-             |d1 AS (
-             |  SELECT vec_id, subspace, code,
-             |         list_sum(list_transform(
-             |           list_zip(list_slice(e, subspace * 16 + 1, subspace * 16 + 16), c),
-             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
-             |  FROM v CROSS JOIN cb1),
-             |codes1 AS (
-             |  SELECT vec_id, subspace, code
-             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
-             |                                     ORDER BY d2, code) AS rk FROM d1)
-             |  WHERE rk = 1),
-             |d2c AS (
-             |  SELECT vec_id, subspace, code,
-             |         list_sum(list_transform(
-             |           list_zip(list_slice(e, subspace * 16 + 1, subspace * 16 + 16), c),
-             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
-             |  FROM v CROSS JOIN cb2),
-             |codes2 AS (
-             |  SELECT vec_id, subspace, code
-             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
-             |                                     ORDER BY d2, code) AS rk FROM d2c)
-             |  WHERE rk = 1),
-             |lut1 AS (
-             |  SELECT qid, subspace, code,
-             |         list_sum(list_transform(
-             |           list_zip(list_slice(qe, subspace * 16 + 1, subspace * 16 + 16), c),
-             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qd2
-             |  FROM q CROSS JOIN cb1),
-             |lut2 AS (
-             |  SELECT qid, subspace, code,
-             |         list_sum(list_transform(
-             |           list_zip(list_slice(qe, subspace * 16 + 1, subspace * 16 + 16), c),
-             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qd2
-             |  FROM q CROSS JOIN cb2),
-             |a1 AS (
-             |  SELECT qid, vec_id,
-             |         MAX(CASE WHEN s.subspace = 0 THEN qd2 END) AS e0,
-             |         MAX(CASE WHEN s.subspace = 1 THEN qd2 END) AS e1,
-             |         MAX(CASE WHEN s.subspace = 2 THEN qd2 END) AS e2,
-             |         MAX(CASE WHEN s.subspace = 3 THEN qd2 END) AS e3
-             |  FROM codes1 s JOIN lut1 USING (subspace, code)
-             |  WHERE vec_id <> qid GROUP BY qid, vec_id),
-             |a2 AS (
-             |  SELECT qid, vec_id,
-             |         MAX(CASE WHEN s.subspace = 0 THEN qd2 END) AS e0,
-             |         MAX(CASE WHEN s.subspace = 1 THEN qd2 END) AS e1,
-             |         MAX(CASE WHEN s.subspace = 2 THEN qd2 END) AS e2,
-             |         MAX(CASE WHEN s.subspace = 3 THEN qd2 END) AS e3
-             |  FROM codes2 s JOIN lut2 USING (subspace, code)
-             |  WHERE vec_id <> qid GROUP BY qid, vec_id),
-             |l1 AS (SELECT qid, vec_id, rn FROM (
-             |         SELECT qid, vec_id,
-             |                row_number() OVER (PARTITION BY qid
-             |                  ORDER BY e0 + e1 + e2 + e3, vec_id) AS rn
-             |         FROM a1) WHERE rn <= 10),
-             |l2 AS (SELECT qid, vec_id, rn FROM (
-             |         SELECT qid, vec_id,
-             |                row_number() OVER (PARTITION BY qid
-             |                  ORDER BY e0 + e1 + e2 + e3, vec_id) AS rn
-             |         FROM a2) WHERE rn <= 10),
-             |ov AS (
-             |  SELECT l1.qid, CAST(COUNT(*) AS BIGINT) AS n_overlap,
-             |         CAST(SUM(ABS(l1.rn - l2.rn)) AS BIGINT) AS rank_l1
-             |  FROM l1 JOIN l2 ON l1.qid = l2.qid AND l1.vec_id = l2.vec_id
-             |  GROUP BY l1.qid),
-             |kk AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS k FROM l1 GROUP BY qid)
-             |SELECT kk.qid, k, COALESCE(n_overlap, 0) AS n_overlap,
-             |       CAST(k - COALESCE(n_overlap, 0) AS BIGINT) AS n_churned,
-             |       COALESCE(rank_l1, 0) AS rank_l1
-             |FROM kk LEFT JOIN ov USING (qid) ORDER BY kk.qid""".stripMargin),
+      Some(q279OracleSql),
       dumps = Seq(pqDump, pqV2Dump)),
 
     // CONTRASTIVE hard-negative mining (q265): per anchor, the top-k
@@ -6810,7 +6720,112 @@ object Catalog {
              |  ON nk.list_id = nr.list_id AND nk.subspace = nr.subspace
              | AND nk.code = nr.code
              |ORDER BY list_id, subspace, code""".stripMargin),
-      dumps = Seq(ivfDump, ivfPqDump, rebDump))
+      dumps = Seq(ivfDump, ivfPqDump, rebDump)),
+
+    // PQ V2 PROMOTION applier (q289, r17 — VERDICT r16 missing #2):
+    // execute the rollout the q279 shadow gate prices. The gate is a
+    // deterministic integer rule (every query's churn within the
+    // budget); on approval the corpus∪batch re-encodes under the v2
+    // codebook into a NEW versioned codes table (v1 untouched — the
+    // q260 contract) and the serving pointer flips; on rejection the
+    // applier is a no-op on artifacts. The cert probes PERSISTED
+    // state (pointer re-read, availability anti-join against the
+    // pointed-at table, served codes at cell granularity), and the
+    // oracle replays the gate from the q279 chain plus BOTH codes
+    // tables from the dumped codebooks — so the decision, the flip,
+    // and every served code are independently certified whichever
+    // branch fires at this SF.
+    QuerySpec(
+      "q289_pq_v2_promotion",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        SimilarityOps.pqPromoteApply(emb, driftBatch(emb), tag = dir)
+      },
+      Some(s"""WITH cb1 AS (
+              |  SELECT CAST(subspace AS BIGINT) AS subspace,
+              |         CAST(code AS BIGINT) AS code,
+              |         CAST(centroid AS DOUBLE[]) AS c
+              |  FROM read_parquet('/tmp/graft_pq_oracle/centers/*.parquet')),
+              |cb2 AS (
+              |  SELECT CAST(subspace AS BIGINT) AS subspace,
+              |         CAST(code AS BIGINT) AS code,
+              |         CAST(centroid AS DOUBLE[]) AS c
+              |  FROM read_parquet('/tmp/graft_pqv2_oracle/centers/*.parquet')),
+              |v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              |bt AS (
+              |  SELECT vec_id + 1000000 AS vec_id,
+              |         list_concat(
+              |           list_transform(
+              |             list_slice(CAST(embedding AS DOUBLE[]), 1, 16),
+              |             x -> x * 3.0),
+              |           list_slice(CAST(embedding AS DOUBLE[]), 17, 64)) AS e
+              |  FROM embeddings WHERE vec_id % 7 = 3),
+              |v AS (SELECT vec_id, e FROM v0 UNION ALL SELECT vec_id, e FROM bt),
+              |d1 AS (
+              |  SELECT vec_id, subspace, code,
+              |         list_sum(list_transform(
+              |           list_zip(list_slice(e, subspace * 16 + 1, subspace * 16 + 16), c),
+              |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+              |  FROM v0 CROSS JOIN cb1),
+              |c1 AS (
+              |  SELECT vec_id, subspace, code
+              |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+              |                                     ORDER BY d2, code) AS rk FROM d1)
+              |  WHERE rk = 1),
+              |d2c AS (
+              |  SELECT vec_id, subspace, code,
+              |         list_sum(list_transform(
+              |           list_zip(list_slice(e, subspace * 16 + 1, subspace * 16 + 16), c),
+              |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+              |  FROM v CROSS JOIN cb2),
+              |c2 AS (
+              |  SELECT vec_id, subspace, code
+              |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+              |                                     ORDER BY d2, code) AS rk FROM d2c)
+              |  WHERE rk = 1),
+              |promo AS (
+              |  SELECT CAST(MAX(n_churned) AS BIGINT) AS max_churn,
+              |         MAX(n_churned) <= 5 AS promoted
+              |  FROM ($q279OracleSql)),
+              |n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v0),
+              |nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+              |srv AS (
+              |  SELECT subspace, code FROM c2
+              |  WHERE (SELECT promoted FROM promo)
+              |  UNION ALL
+              |  SELECT subspace, code FROM c1
+              |  WHERE NOT (SELECT promoted FROM promo)),
+              |cell1 AS (SELECT subspace, code, CAST(COUNT(*) AS BIGINT) AS n_v1
+              |          FROM c1 GROUP BY 1, 2),
+              |cells AS (SELECT subspace, code, CAST(COUNT(*) AS BIGINT) AS n_v2
+              |          FROM srv GROUP BY 1, 2),
+              |rows_all AS (
+              |  SELECT 'gate_max_churn' AS step, CAST(0 AS BIGINT) AS key,
+              |         max_churn AS n_v1, CAST(5 AS BIGINT) AS n_v2,
+              |         promoted, promoted AS clean
+              |  FROM promo
+              |  UNION ALL
+              |  SELECT 'pointer', 0, 1,
+              |         CASE WHEN promoted THEN 2 ELSE 1 END, promoted, TRUE
+              |  FROM promo
+              |  UNION ALL
+              |  SELECT 'codes_rows', 0, (SELECT n FROM n0),
+              |         CASE WHEN promoted THEN (SELECT n FROM nu)
+              |              ELSE (SELECT n FROM n0) END, promoted, TRUE
+              |  FROM promo
+              |  UNION ALL
+              |  SELECT 'availability', 0, (SELECT n FROM nu),
+              |         CASE WHEN promoted THEN (SELECT n FROM nu)
+              |              ELSE (SELECT n FROM n0) END, promoted, TRUE
+              |  FROM promo
+              |  UNION ALL
+              |  SELECT 'codes_cell', subspace * 100 + code,
+              |         COALESCE(n_v1, 0), COALESCE(n_v2, 0), promoted, TRUE
+              |  FROM cell1 FULL OUTER JOIN cells USING (subspace, code)
+              |  CROSS JOIN promo)
+              |SELECT step, key, n_v1, n_v2, promoted, clean
+              |FROM rows_all ORDER BY step, key""".stripMargin),
+      dumps = Seq(pqDump, pqV2Dump))
   )
 
 
@@ -6963,6 +6978,102 @@ object Catalog {
        |       CAST(COUNT(*) AS BIGINT) AS k
        |FROM ext LEFT JOIN adct ON ext.qid = adct.qid AND ext.vec_id = adct.vec_id
        |GROUP BY ext.qid ORDER BY ext.qid""".stripMargin
+
+  /** q279 oracle: both ADC listings replayed from the two dumped
+    * codebooks over the stored∪batch corpus — factored so the q289
+    * promotion gate replays the SAME text. */
+  private def q279OracleSql: String =
+    """WITH cb1 AS (
+             |  SELECT CAST(subspace AS BIGINT) AS subspace,
+             |         CAST(code AS BIGINT) AS code,
+             |         CAST(centroid AS DOUBLE[]) AS c
+             |  FROM read_parquet('/tmp/graft_pq_oracle/centers/*.parquet')),
+             |cb2 AS (
+             |  SELECT CAST(subspace AS BIGINT) AS subspace,
+             |         CAST(code AS BIGINT) AS code,
+             |         CAST(centroid AS DOUBLE[]) AS c
+             |  FROM read_parquet('/tmp/graft_pqv2_oracle/centers/*.parquet')),
+             |v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |bt AS (
+             |  SELECT vec_id + 1000000 AS vec_id,
+             |         list_concat(
+             |           list_transform(
+             |             list_slice(CAST(embedding AS DOUBLE[]), 1, 16),
+             |             x -> x * 3.0),
+             |           list_slice(CAST(embedding AS DOUBLE[]), 17, 64)) AS e
+             |  FROM embeddings WHERE vec_id % 7 = 3),
+             |v AS (SELECT vec_id, e FROM v0 UNION ALL SELECT vec_id, e FROM bt),
+             |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+             |d1 AS (
+             |  SELECT vec_id, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(e, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM v CROSS JOIN cb1),
+             |codes1 AS (
+             |  SELECT vec_id, subspace, code
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+             |                                     ORDER BY d2, code) AS rk FROM d1)
+             |  WHERE rk = 1),
+             |d2c AS (
+             |  SELECT vec_id, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(e, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             |  FROM v CROSS JOIN cb2),
+             |codes2 AS (
+             |  SELECT vec_id, subspace, code
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+             |                                     ORDER BY d2, code) AS rk FROM d2c)
+             |  WHERE rk = 1),
+             |lut1 AS (
+             |  SELECT qid, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(qe, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qd2
+             |  FROM q CROSS JOIN cb1),
+             |lut2 AS (
+             |  SELECT qid, subspace, code,
+             |         list_sum(list_transform(
+             |           list_zip(list_slice(qe, subspace * 16 + 1, subspace * 16 + 16), c),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qd2
+             |  FROM q CROSS JOIN cb2),
+             |a1 AS (
+             |  SELECT qid, vec_id,
+             |         MAX(CASE WHEN s.subspace = 0 THEN qd2 END) AS e0,
+             |         MAX(CASE WHEN s.subspace = 1 THEN qd2 END) AS e1,
+             |         MAX(CASE WHEN s.subspace = 2 THEN qd2 END) AS e2,
+             |         MAX(CASE WHEN s.subspace = 3 THEN qd2 END) AS e3
+             |  FROM codes1 s JOIN lut1 USING (subspace, code)
+             |  WHERE vec_id <> qid GROUP BY qid, vec_id),
+             |a2 AS (
+             |  SELECT qid, vec_id,
+             |         MAX(CASE WHEN s.subspace = 0 THEN qd2 END) AS e0,
+             |         MAX(CASE WHEN s.subspace = 1 THEN qd2 END) AS e1,
+             |         MAX(CASE WHEN s.subspace = 2 THEN qd2 END) AS e2,
+             |         MAX(CASE WHEN s.subspace = 3 THEN qd2 END) AS e3
+             |  FROM codes2 s JOIN lut2 USING (subspace, code)
+             |  WHERE vec_id <> qid GROUP BY qid, vec_id),
+             |l1 AS (SELECT qid, vec_id, rn FROM (
+             |         SELECT qid, vec_id,
+             |                row_number() OVER (PARTITION BY qid
+             |                  ORDER BY e0 + e1 + e2 + e3, vec_id) AS rn
+             |         FROM a1) WHERE rn <= 10),
+             |l2 AS (SELECT qid, vec_id, rn FROM (
+             |         SELECT qid, vec_id,
+             |                row_number() OVER (PARTITION BY qid
+             |                  ORDER BY e0 + e1 + e2 + e3, vec_id) AS rn
+             |         FROM a2) WHERE rn <= 10),
+             |ov AS (
+             |  SELECT l1.qid, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+             |         CAST(SUM(ABS(l1.rn - l2.rn)) AS BIGINT) AS rank_l1
+             |  FROM l1 JOIN l2 ON l1.qid = l2.qid AND l1.vec_id = l2.vec_id
+             |  GROUP BY l1.qid),
+             |kk AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS k FROM l1 GROUP BY qid)
+             |SELECT kk.qid, k, COALESCE(n_overlap, 0) AS n_overlap,
+             |       CAST(k - COALESCE(n_overlap, 0) AS BIGINT) AS n_churned,
+             |       COALESCE(rank_l1, 0) AS rank_l1
+             |FROM kk LEFT JOIN ov USING (qid) ORDER BY kk.qid""".stripMargin
 
   private def q255OracleSql: String =
     """WITH a AS (

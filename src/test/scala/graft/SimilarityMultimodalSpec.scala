@@ -706,6 +706,65 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(rep2.codes.filter(col("vec_id").isin(victimIds: _*)).count() == 0L)
   }
 
+  test("PQ v2 promotion: approved flip serves the v2 encode via the pointer; rejected gate is a no-op on artifacts") {
+    import spark.implicits._
+    def keyOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("code_0"), col("code_1"), col("code_2"),
+        col("code_3")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val batch = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + lit(5000000L)).as("vec_id"), col("embedding"))
+    val corpus = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+      .unionByName(batch.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding")))
+    // PROMOTE: churn can never exceed topK, so the gate must approve
+    val tagP = sf + "#promoA"
+    val rep = SimilarityOps.pqPromoteApply(emb, batch, tagP,
+      maxChurnPerQuery = 10L).collect()
+    val byStep = rep.filter(_.getLong(1) == 0L)
+      .map(r => r.getString(0) -> r).toMap
+    assert(rep.forall(_.getBoolean(4)), "promoted flag set on every row")
+    assert(rep.forall(_.getBoolean(5)), "every cert row clean on promotion")
+    assert(byStep("pointer").getLong(3) == 2L, "pointer flipped to v2")
+    val (ver, served) = SimilarityOps.pqServingCodesFor(spark, tagP)
+    assert(ver == 2L)
+    // the promoted path serves ≡ a from-scratch v2 encode of the union
+    val scratchV2 = SimilarityOps.pqEncode(
+      SimilarityOps.pqCodebookFor(corpus, SimilarityOps.pqV2Tag(tagP)), corpus)
+    assert(keyOf(served) == keyOf(scratchV2),
+      "promoted serving ≡ from-scratch v2 encode")
+    // v1's table is untouched by the flip (the q260 contract)
+    val v1 = spark.read.table(SimilarityOps.pqCodesTableName(tagP, 4, 16))
+    assert(keyOf(v1) ==
+      keyOf(SimilarityOps.pqEncode(
+        SimilarityOps.pqCodebookFor(emb, tagP), emb)),
+      "v1 codes table still equals the v1 encode of the stored corpus")
+    // REJECT: an impossible gate — the applier must be a no-op on
+    // artifacts (no v2 codes table, pointer still v1)
+    val tagR = sf + "#promoR"
+    val rep2 = SimilarityOps.pqPromoteApply(emb, batch, tagR,
+      maxChurnPerQuery = -1L).collect()
+    val byStep2 = rep2.filter(_.getLong(1) == 0L)
+      .map(r => r.getString(0) -> r).toMap
+    assert(rep2.forall(!_.getBoolean(4)), "nothing promoted")
+    assert(!byStep2("gate_max_churn").getBoolean(5),
+      "the gate row honestly reports the rejection")
+    assert(byStep2("pointer").getLong(3) == 1L &&
+      byStep2("pointer").getBoolean(5), "pointer stays at v1")
+    assert(byStep2("availability").getBoolean(5),
+      "missing == batch size is the honest no-op availability")
+    assert(!spark.catalog.tableExists(
+      SimilarityOps.pqCodesTableName(SimilarityOps.pqV2Tag(tagR), 4, 16)),
+      "no v2 codes table is created on rejection")
+    val (verR, servedR) = SimilarityOps.pqServingCodesFor(spark, tagR)
+    assert(verR == 1L)
+    assert(keyOf(servedR) ==
+      keyOf(spark.read.table(SimilarityOps.pqCodesTableName(tagR, 4, 16))),
+      "the un-promoted path serves v1 unchanged")
+  }
+
   test("binary signatures set exactly the positive dims; recall report is sane integers") {
     import spark.implicits._
     val vecs = Seq(
