@@ -907,6 +907,165 @@ object EventOps {
       .orderBy(col("artifact"), col("key"))
   }
 
+  /** USER-LEVEL QUARANTINE ROUND-TRIP (q290, r17 — VERDICT r16
+    * missing #3): [[graft.engine.CorpusOps.quarantineRoundTrip]]'s
+    * soft-delete/restore certification for the q284 event-store
+    * family — a legal hold that retains ONLY the user's raw events
+    * while every derived store hard-purges, then proves the restore
+    * loses nothing.
+    *
+    * Quarantine: the removed users' events are the single retained
+    * artifact. Purge = exactly the q284 corrections: user-partitioned
+    * stores (the q280 conversation manifest, q161 sessions, q172
+    * attribution) anti-join — per-user independence makes the purge
+    * THE rebuild; user-decomposable aggregates (funnel stages,
+    * retention cells, the transition matrix) DECREMENT by the
+    * quarantined users' own contributions ([[removedReach]] /
+    * [[removedRetentionCells]] / [[removedEdges]]), zero cells
+    * dropping as a rebuild would. Restore = the same algebra run
+    * backwards, from the quarantined events alone: the partitioned
+    * stores re-derive their users' rows through the engine's own
+    * builders (per-user windows mean the re-derived rows land
+    * byte-identical — conversation boundaries, packing offsets and
+    * session ordinals included) and union back; the aggregates
+    * RE-INCREMENT by the identical d-frames, resurrecting dropped
+    * cells via a full-outer fold.
+    *
+    * One ledger row per store: (artifact, key, n_before, n_purged,
+    * n_restored, clean) — counts are row counts for partitioned
+    * stores and value masses (Σ n_users / Σ n_active /
+    * Σ n_transitions) for the decrement stores, and clean is the
+    * q287 identity proof: the restored store is ROW-IDENTICAL to the
+    * original (equal counts AND equal order-insensitive Σ xxhash64
+    * multiset commitments — two map-only scans, never a store×store
+    * compare). The decrement stores certify on their carried
+    * (key, count) projection — the exact relation the q284 streaming
+    * twins persist.
+    *
+    * Scale: the removal set broadcasts; purges are anti-joins;
+    * re-derivations and d-frames are quarantine-bounded window work;
+    * the identity probes are commitment aggregates. Declarative
+    * end-to-end. */
+  def userQuarantineRoundTrip(events: DataFrame, removal: DataFrame,
+                              manifest: DataFrame, sessions: DataFrame,
+                              funnelStore: DataFrame,
+                              retentionStore: DataFrame,
+                              transitionStore: DataFrame,
+                              attributionStore: DataFrame): DataFrame = {
+    val rmU = broadcast(removal.select(col("user_id")).distinct()
+      .localCheckpoint(false)) // every purge + the quarantine slice
+    // the QUARANTINE: only these raw events are retained
+    val qEvents = events.join(rmU, Seq("user_id"), "left_semi")
+      .localCheckpoint(false) // re-derivations + all three d-frames
+    def commitAgg(df: DataFrame, n: String, h: String) = df.agg(
+      count(lit(1)).cast("long").as(n),
+      coalesce(sum(xxhash64(df.columns.map(col(_)): _*)
+          .cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as(h))
+    def row(artifact: String, original: DataFrame, purged: DataFrame,
+            restored: DataFrame, mass: Option[String]): DataFrame = {
+      def m(df: DataFrame, as: String) = mass match {
+        case Some(c) => df.agg(coalesce(sum(col(c)), lit(0L))
+          .cast("long").as(as))
+        case None => df.agg(count(lit(1)).cast("long").as(as))
+      }
+      commitAgg(original, "n_rows_b", "h_before")
+        .crossJoin(m(original, "n_before"))
+        .crossJoin(m(purged, "n_purged"))
+        .crossJoin(m(restored, "n_restored"))
+        .crossJoin(commitAgg(restored, "n_rows_r", "h_restored"))
+        .select(lit(artifact).as("artifact"), lit("all").as("key"),
+          col("n_before"), col("n_purged"), col("n_restored"),
+          (col("h_restored") === col("h_before") &&
+            col("n_rows_r") === col("n_rows_b")).as("clean"))
+    }
+    // user-partitioned stores: purge anti-joins; restore re-derives
+    // the quarantined users' rows through the engine's own builder
+    // and unions back (per-user windows ⇒ byte-identical rows)
+    def partitioned(name: String, store: DataFrame,
+                    rederived: DataFrame): DataFrame = {
+      val cols = store.columns.map(col(_))
+      val purged = store.join(rmU, Seq("user_id"), "left_anti")
+        .select(cols: _*)
+      row(name, store, purged,
+        purged.unionByName(rederived.select(cols: _*)), None)
+    }
+    // users anchor: the distinct-user relation itself round-trips
+    val usersAll = events.select(col("user_id")).distinct()
+      .localCheckpoint(false) // commitment + purge + restore
+    val usersKept = usersAll.join(rmU, Seq("user_id"), "left_anti")
+    val usersRow = row("users", usersAll, usersKept,
+      usersKept.unionByName(
+        qEvents.select(col("user_id")).distinct()), None)
+    // funnel: decrement by the quarantined users' reach, re-increment
+    // by the SAME frame — merge ≡ the q284 decrement run backwards
+    val reach = broadcast(removedReach(qEvents)
+      .localCheckpoint(false)) // purge + restore
+    val fp = funnelStore.select(col("stage"),
+      col("n_users").cast("long").as("n_users"))
+    def funnelShift(df: DataFrame, sign: Int) = df.crossJoin(reach)
+      .select(col("stage"),
+        (col("n_users") + lit(sign.toLong) *
+          when(col("stage") === "view", col("d1"))
+            .when(col("stage") === "click", col("d2"))
+            .otherwise(col("d3"))).cast("long").as("n_users"))
+    val funPurged = funnelShift(fp, -1).localCheckpoint(false)
+    val funnelRow = row("funnel", fp, funPurged, funnelShift(funPurged, 1),
+      Some("n_users"))
+    // retention: cells decrement (zero cells DROP, the rebuild
+    // semantic); restore folds the same d-frame back full-outer so
+    // dropped cells resurrect
+    val rmFirst = qEvents.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    val dCells = broadcast(removedRetentionCells(qEvents, rmFirst)
+      .localCheckpoint(false)) // purge + restore
+    val rp = retentionStore.select(col("cohort_week"), col("week_offset"),
+      col("n_active").cast("long").as("n_active"))
+    val retPurged = rp.join(dCells, Seq("cohort_week", "week_offset"),
+        "left_outer")
+      .select(col("cohort_week"), col("week_offset"),
+        (col("n_active") - coalesce(col("d"), lit(0L))).cast("long")
+          .as("n_active"))
+      .filter(col("n_active") > 0)
+      .localCheckpoint(false) // restore fold + ledger mass
+    val retRestored = retPurged
+      .join(dCells, Seq("cohort_week", "week_offset"), "full_outer")
+      .select(col("cohort_week"), col("week_offset"),
+        (coalesce(col("n_active"), lit(0L)) + coalesce(col("d"), lit(0L)))
+          .cast("long").as("n_active"))
+    val retRow = row("retention", rp, retPurged, retRestored,
+      Some("n_active"))
+    // transitions: the same decrement/fold-back pattern on edges
+    val dEdges = broadcast(removedEdges(qEvents)
+      .localCheckpoint(false)) // purge + restore
+    val tp = transitionStore.select(col("event_type"), col("next_type"),
+      col("n_transitions").cast("long").as("n_transitions"))
+    val transPurged = tp.join(dEdges, Seq("event_type", "next_type"),
+        "left_outer")
+      .select(col("event_type"), col("next_type"),
+        (col("n_transitions") - coalesce(col("d"), lit(0L))).cast("long")
+          .as("n_transitions"))
+      .filter(col("n_transitions") > 0)
+      .localCheckpoint(false) // restore fold + ledger mass
+    val transRestored = transPurged
+      .join(dEdges, Seq("event_type", "next_type"), "full_outer")
+      .select(col("event_type"), col("next_type"),
+        (coalesce(col("n_transitions"), lit(0L)) + coalesce(col("d"), lit(0L)))
+          .cast("long").as("n_transitions"))
+    val transRow = row("transitions", tp, transPurged, transRestored,
+      Some("n_transitions"))
+    usersRow
+      .unionByName(partitioned("manifest", manifest,
+        TemporalOps.sessionPackManifest(qEvents)))
+      .unionByName(partitioned("sessions", sessions, sessionize(qEvents)))
+      .unionByName(partitioned("attribution", attributionStore,
+        lastTouchAttribution(qEvents)))
+      .unionByName(funnelRow)
+      .unionByName(retRow)
+      .unionByName(transRow)
+      .orderBy(col("artifact"), col("key"))
+  }
+
   /** The removed users' own funnel-reach counts (one row: d1/d2/d3) —
     * reach flags are within-user, so kept users' flags cannot change
     * and the stored stage counts decrement by exactly these. Shared

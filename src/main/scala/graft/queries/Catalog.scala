@@ -64,6 +64,11 @@ object Catalog {
     (s, dir) => SimilarityOps.binarySigsFor(Tables.embeddings(s, dir), tag = dir)
       .select(col("vec_id")).coalesce(1).write.mode("overwrite")
       .parquet("/tmp/graft_binsig_oracle/vecids"))
+  private val binSigWideDump = OracleDump("/tmp/graft_binsigw_oracle",
+    (s, dir) => SimilarityOps.binarySigsWideFor(wideEmbeddings(s, dir),
+        tag = "w" + dir)
+      .select(col("vec_id")).coalesce(1).write.mode("overwrite")
+      .parquet("/tmp/graft_binsigw_oracle/vecids"))
 
   /** The q259 flood batch: 1/7 of the corpus mapped to a far cluster
     * near (100, …, 100) with per-vector jitter — every row argmins
@@ -1808,6 +1813,36 @@ object Catalog {
           EventOps.lastTouchAttribution(ev))
       },
       Some(q286OracleSql)),
+
+    // USER-LEVEL QUARANTINE ROUND-TRIP (q290, r17 — VERDICT r16
+    // missing #3): q287's soft-delete/restore certification for the
+    // q284 event-store family. The quarantine retains ONLY the
+    // removed users' raw events; every derived store hard-purges
+    // (anti-join) or decrements (the q284 corrections); restore
+    // re-derives the partitioned stores from the quarantined events
+    // through the engine's own builders and re-increments the
+    // aggregates by the identical d-frames — merge ≡ the q284
+    // decrement run backwards. Clean = restored ≡ original by
+    // order-insensitive Σxxhash64 multiset commitment; the oracle
+    // recomputes every section's before/purged masses from events
+    // and events-minus-users and pins restored = before with clean
+    // TRUE, so a hash match proves the round trip loses nothing.
+    QuerySpec(
+      "q290_user_quarantine_roundtrip",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{lit, pmod}
+        val ev = Tables.events(s, dir)
+        EventOps.userQuarantineRoundTrip(
+          ev,
+          ev.filter(pmod(col("user_id"), lit(13)) === 5).select(col("user_id")),
+          TemporalOps.sessionPackManifest(ev),
+          EventOps.sessionize(ev),
+          EventOps.funnel(ev),
+          EventOps.retentionCohorts(ev),
+          EventOps.eventTransitions(ev),
+          EventOps.lastTouchAttribution(ev))
+      },
+      Some(q290OracleSql)),
 
     // ordered conversion funnel view→click→purchase: stage k counts
     // only events at or after the user's stage-k−1 conversion; the
@@ -5852,110 +5887,7 @@ object Catalog {
           SimilarityOps.ivfPqCodesFor(idx, tag = dir),
           storedManifest = Some(CorpusOps.sequenceManifestFor(docs, tag = dir)))
       },
-      Some("""WITH rm AS (
-             |  SELECT DISTINCT doc_id FROM documents WHERE doc_id % 17 = 4),
-             |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-             |nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rm),
-             |docsec AS (
-             |  SELECT a AS artifact, 'all' AS "key", nd.n AS n_before,
-             |         nd.n - nr.n AS n_after, nr.n AS n_removed, TRUE AS clean
-             |  FROM (VALUES ('fingerprints'), ('doc_lengths')) AS t(a)
-             |  CROSS JOIN nd CROSS JOIN nr),
-             |skst AS (
-             |  SELECT doc_id
-             |  FROM read_parquet('/tmp/graft_sketch_oracle/docids/*.parquet')),
-             |sksec AS (
-             |  SELECT 'sketches', 'all',
-             |         CAST((SELECT COUNT(*) FROM skst) AS BIGINT),
-             |         CAST((SELECT COUNT(*) FROM skst
-             |               WHERE doc_id NOT IN (SELECT doc_id FROM rm)) AS BIGINT),
-             |         CAST((SELECT COUNT(*) FROM skst
-             |               WHERE doc_id IN (SELECT doc_id FROM rm)) AS BIGINT),
-             |         TRUE),
-             |post AS (
-             |  SELECT doc_id, w
-             |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS w
-             |        FROM documents) GROUP BY 1, 2),
-             |postsec AS (
-             |  SELECT 'postings', 'all', CAST(COUNT(*) AS BIGINT),
-             |         CAST(SUM(CASE WHEN doc_id NOT IN (SELECT doc_id FROM rm) THEN 1 ELSE 0 END) AS BIGINT),
-             |         CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM rm) THEN 1 ELSE 0 END) AS BIGINT),
-             |         TRUE
-             |  FROM post),
-             |assign AS (
-             |  SELECT vec_id FROM read_parquet('/tmp/graft_ivf_oracle/assign/*.parquet')),
-             |vecsec AS (
-             |  SELECT a, 'all', CAST(COUNT(*) AS BIGINT),
-             |         CAST(SUM(CASE WHEN vec_id NOT IN (SELECT doc_id FROM rm) THEN 1 ELSE 0 END) AS BIGINT),
-             |         CAST(SUM(CASE WHEN vec_id IN (SELECT doc_id FROM rm) THEN 1 ELSE 0 END) AS BIGINT),
-             |         TRUE
-             |  FROM (VALUES ('ivf_assign'), ('pq_codes')) AS t(a) CROSS JOIN assign
-             |  GROUP BY a),
-             |srcs AS (
-             |  SELECT 'old' AS which, lang, doc_id, text FROM documents
-             |  UNION ALL
-             |  SELECT 'new', lang, doc_id, text FROM documents
-             |  WHERE doc_id NOT IN (SELECT doc_id FROM rm)),
-             |mt AS (
-             |  SELECT which, lang, doc_id,
-             |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
-             |  FROM srcs),
-             |mc AS (
-             |  SELECT which, lang, doc_id, n_tokens,
-             |         SUM(n_tokens) OVER (PARTITION BY which, lang ORDER BY doc_id) AS cum
-             |  FROM mt WHERE n_tokens > 0),
-             |sp AS (
-             |  SELECT which, lang, doc_id, n_tokens,
-             |         CAST((cum - n_tokens) // 2048 AS BIGINT) AS start_seq,
-             |         CAST((cum - 1) // 2048 AS BIGINT) AS end_seq,
-             |         CAST((cum - n_tokens) % 2048 AS BIGINT) AS tok_offset
-             |  FROM mc),
-             |e AS (
-             |  SELECT which, lang, n_tokens, tok_offset, start_seq,
-             |         CAST(unnest(range(start_seq, end_seq + 1)) AS BIGINT) AS seq_id
-             |  FROM sp),
-             |m AS (
-             |  SELECT which, lang, seq_id,
-             |         CAST(LEAST(start_seq * 2048 + tok_offset + n_tokens, seq_id * 2048 + 2048)
-             |              - GREATEST(start_seq * 2048 + tok_offset, seq_id * 2048) AS BIGINT) AS n_from_doc
-             |  FROM e),
-             |tok AS (SELECT which, lang, CAST(SUM(n_from_doc) AS BIGINT) AS n FROM m GROUP BY 1, 2),
-             |seqs AS (SELECT which, lang, CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n FROM m GROUP BY 1, 2),
-             |shds AS (SELECT which, lang, CAST(COUNT(DISTINCT seq_id // 16) AS BIGINT) AS n FROM m GROUP BY 1, 2),
-             |langsec AS (
-             |  SELECT 'seq_tokens' AS artifact, o.lang, o.n AS n_before,
-             |         CAST(COALESCE(w.n, 0) AS BIGINT) AS n_after
-             |  FROM tok o LEFT JOIN tok w ON o.lang = w.lang AND w.which = 'new'
-             |  WHERE o.which = 'old'
-             |  UNION ALL
-             |  SELECT 'sequences', o.lang, o.n, CAST(COALESCE(w.n, 0) AS BIGINT)
-             |  FROM seqs o LEFT JOIN seqs w ON o.lang = w.lang AND w.which = 'new'
-             |  WHERE o.which = 'old'
-             |  UNION ALL
-             |  SELECT 'shards', o.lang, o.n, CAST(COALESCE(w.n, 0) AS BIGINT)
-             |  FROM shds o LEFT JOIN shds w ON o.lang = w.lang AND w.which = 'new'
-             |  WHERE o.which = 'old'),
-             |certsec AS (
-             |  SELECT 'manifest_cert' AS artifact, lang || ':n_docs' AS "key",
-             |         CAST(COUNT(*) AS BIGINT) AS n_before,
-             |         CAST(COUNT(*) AS BIGINT) AS n_after,
-             |         CAST(0 AS BIGINT) AS n_removed, TRUE AS clean
-             |  FROM mc WHERE which = 'old' GROUP BY lang
-             |  UNION ALL
-             |  SELECT 'manifest_cert', lang || ':n_tokens',
-             |         CAST(SUM(n_tokens) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT),
-             |         CAST(0 AS BIGINT), TRUE
-             |  FROM mc WHERE which = 'old' GROUP BY lang),
-             |allr AS (
-             |  SELECT * FROM docsec UNION ALL SELECT * FROM sksec
-             |  UNION ALL SELECT * FROM postsec
-             |  UNION ALL SELECT * FROM vecsec
-             |  UNION ALL SELECT * FROM certsec
-             |  UNION ALL SELECT artifact, lang, n_before, n_after,
-             |                   n_before - n_after, TRUE
-             |            FROM langsec)
-             |SELECT artifact, "key", n_before, n_after, n_removed, clean
-             |FROM allr ORDER BY artifact, "key"""".stripMargin),
+      Some(q270OracleSqlOver("doc_id % 17 = 4")),
       dumps = Seq(ivfDump, sketchDump)),
 
     // TAKEDOWN of the REMAINING stores (q273, r15): the q268/q270
@@ -5980,102 +5912,54 @@ object Catalog {
           TextOps.lmModelFor(docs, tag = dir),
           CorpusOps.corpusCardState(docs),
           docs.select(col("doc_id"), md5(col("text")).as("fp_md5")),
-          SimilarityOps.binarySigsFor(Tables.embeddings(s, dir), tag = dir))
+          SimilarityOps.binarySigsFor(Tables.embeddings(s, dir), tag = dir),
+          binarySigsWide = Some(SimilarityOps.binarySigsWideFor(
+            wideEmbeddings(s, dir), tag = "w" + dir)))
       },
-      Some(s"""WITH rm AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 17 = 4),
-              |keep AS (SELECT * FROM documents
-              |         WHERE doc_id NOT IN (SELECT doc_id FROM rm)),
-              |t AS (SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS toks
-              |      FROM documents),
-              |o AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
-              |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
-              |            FROM t WHERE len(toks) >= 2)),
-              |ok AS (SELECT * FROM o WHERE doc_id NOT IN (SELECT doc_id FROM rm)),
-              |lmrows AS (
-              |  SELECT 'lm_bigrams' AS artifact, 'all' AS "key",
-              |         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT w1, w2 FROM o) x) AS BIGINT) AS n_before,
-              |         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT w1, w2 FROM ok) x) AS BIGINT) AS n_after,
-              |         TRUE AS clean
-              |  UNION ALL
-              |  SELECT 'lm_contexts', 'all',
-              |         CAST((SELECT COUNT(DISTINCT w1) FROM o) AS BIGINT),
-              |         CAST((SELECT COUNT(DISTINCT w1) FROM ok) AS BIGINT), TRUE
-              |  UNION ALL
-              |  SELECT 'lm_vocab', 'all',
-              |         CAST((SELECT COUNT(DISTINCT w) FROM
-              |               (SELECT w1 AS w FROM o UNION SELECT w2 FROM o) x) AS BIGINT),
-              |         CAST((SELECT COUNT(DISTINCT w) FROM
-              |               (SELECT w1 AS w FROM ok UNION SELECT w2 FROM ok) x) AS BIGINT),
-              |         TRUE),
-              |qb AS (SELECT doc_id, n_tokens, quality FROM ($qualityPerDocSql)),
-              |cb AS (
-              |  SELECT d.lang, d.source,
-              |         CAST(COUNT(*) AS BIGINT) AS n_docs,
-              |         CAST(SUM(qb.n_tokens) AS BIGINT) AS n_tokens,
-              |         CAST(SUM(CAST(floor(qb.quality * 1000000.0) AS BIGINT)) AS BIGINT) AS q_ppm_sum,
-              |         CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups
-              |  FROM (SELECT doc_id, lang, source,
-              |               doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
-              |        FROM documents) d
-              |  JOIN qb USING (doc_id) GROUP BY 1, 2),
-              |qa AS (SELECT doc_id, n_tokens, quality FROM (${qualityPerDocSqlOver("keep")})),
-              |ca AS (
-              |  SELECT d.lang, d.source,
-              |         CAST(COUNT(*) AS BIGINT) AS n_docs,
-              |         CAST(SUM(qa.n_tokens) AS BIGINT) AS n_tokens,
-              |         CAST(SUM(CAST(floor(qa.quality * 1000000.0) AS BIGINT)) AS BIGINT) AS q_ppm_sum,
-              |         CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups
-              |  FROM (SELECT doc_id, lang, source,
-              |               doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
-              |        FROM keep) d
-              |  JOIN qa USING (doc_id) GROUP BY 1, 2),
-              |mb AS (
-              |  SELECT lang, source, 'n_docs' AS measure, n_docs AS vb FROM cb
-              |  UNION ALL SELECT lang, source, 'n_tokens', n_tokens FROM cb
-              |  UNION ALL SELECT lang, source, 'q_ppm_sum', q_ppm_sum FROM cb
-              |  UNION ALL SELECT lang, source, 'n_exact_dups', n_exact_dups FROM cb),
-              |ma AS (
-              |  SELECT lang, source, 'n_docs' AS measure, n_docs AS va FROM ca
-              |  UNION ALL SELECT lang, source, 'n_tokens', n_tokens FROM ca
-              |  UNION ALL SELECT lang, source, 'q_ppm_sum', q_ppm_sum FROM ca
-              |  UNION ALL SELECT lang, source, 'n_exact_dups', n_exact_dups FROM ca),
-              |cardrows AS (
-              |  SELECT 'card_state' AS artifact,
-              |         mb.lang || ':' || mb.source || ':' || mb.measure AS "key",
-              |         mb.vb AS n_before, CAST(COALESCE(ma.va, 0) AS BIGINT) AS n_after,
-              |         COALESCE(ma.va, 0) >= 0 AS clean
-              |  FROM mb LEFT JOIN ma USING (lang, source, measure)),
-              |sgst AS (
-              |  SELECT vec_id
-              |  FROM read_parquet('/tmp/graft_binsig_oracle/vecids/*.parquet')),
-              |sigrow AS (
-              |  SELECT 'binary_sigs' AS artifact, 'all' AS "key",
-              |         CAST((SELECT COUNT(*) FROM sgst) AS BIGINT) AS n_before,
-              |         CAST((SELECT COUNT(*) FROM sgst
-              |               WHERE vec_id NOT IN (SELECT doc_id FROM rm)) AS BIGINT) AS n_after,
-              |         TRUE AS clean),
-              |ngb AS (
-              |  SELECT DISTINCT array_to_string(list_slice(toks, gi, gi + 4), ' ') AS g
-              |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS gi
-              |        FROM t WHERE len(toks) >= 5)
-              |  WHERE doc_id < 50),
-              |nga AS (
-              |  SELECT DISTINCT array_to_string(list_slice(toks, gi, gi + 4), ' ') AS g
-              |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS gi
-              |        FROM t WHERE len(toks) >= 5)
-              |  WHERE doc_id < 50 AND doc_id NOT IN (SELECT doc_id FROM rm)),
-              |bloomrow AS (
-              |  SELECT 'bloom_rebuild' AS artifact, 'all' AS "key",
-              |         CAST((SELECT COUNT(*) FROM ngb) AS BIGINT) AS n_before,
-              |         CAST((SELECT COUNT(*) FROM nga) AS BIGINT) AS n_after,
-              |         FALSE AS clean),
-              |allr AS (
-              |  SELECT * FROM lmrows UNION ALL SELECT * FROM cardrows
-              |  UNION ALL SELECT * FROM sigrow UNION ALL SELECT * FROM bloomrow)
-              |SELECT artifact, "key", n_before, n_after,
-              |       CAST(n_before - n_after AS BIGINT) AS n_removed, clean
-              |FROM allr ORDER BY artifact, "key"""".stripMargin),
-      dumps = Seq(binSigDump)),
+      Some(q273OracleSqlOver("doc_id % 17 = 4")),
+      dumps = Seq(binSigDump, binSigWideDump)),
+
+    // DOCUMENT-AGE RETENTION SWEEP (q291, r17 — VERDICT r16 missing
+    // #4): the q286 time predicate on the corpus side — expire every
+    // document ingested before the horizon and drive the expired set
+    // through the TWO already-certified purge appliers: q270's
+    // (postings df ledger, doc lengths, fingerprints, sketches, IVF
+    // assignments + IVF-PQ codes, packed-manifest rebuild with
+    // token-mass conservation) and q273's (LM decrements, card
+    // fold-out, signature anti-join, the honest bloom_rebuild flag).
+    // The synthetic ingest timestamp is a deterministic function of
+    // doc_id (day = doc_id mod 28 from 2024-01-01), so the oracle
+    // replays the SAME factored q270+q273 chains with the time
+    // predicate in place of the id list — one conservation ledger,
+    // every section recomputed from documents at-or-after the cutoff.
+    QuerySpec(
+      "q291_doc_retention_sweep",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{expr, md5}
+        val docs = Tables.documents(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val idx = SimilarityOps.ivfIndexFor(emb, tag = dir)
+        CorpusOps.docRetentionSweep(
+          docs,
+          expr("CAST(date_add(DATE'2024-01-01', CAST(doc_id % 28 AS INT)) AS TIMESTAMP)"),
+          "2024-01-08 00:00:00",
+          RetrievalShared.postings(s, dir),
+          RetrievalShared.docLengths(s, dir),
+          SketchShared.sketches(s, dir),
+          idx.assigned,
+          SimilarityOps.ivfPqCodesFor(idx, tag = dir),
+          TextOps.lmModelFor(docs, tag = dir),
+          CorpusOps.corpusCardState(docs),
+          SimilarityOps.binarySigsFor(emb, tag = dir),
+          storedManifest = Some(CorpusOps.sequenceManifestFor(docs, tag = dir)),
+          binarySigsWide = Some(SimilarityOps.binarySigsWideFor(
+            wideEmbeddings(s, dir), tag = "w" + dir)))
+      },
+      Some(s"""SELECT * FROM (${q270OracleSqlOver("doc_id % 28 < 7")})
+              |UNION ALL
+              |SELECT * FROM (${q273OracleSqlOver("doc_id % 28 < 7")})
+              |ORDER BY artifact, "key"""".stripMargin),
+      dumps = Seq(ivfDump, sketchDump, binSigDump, binSigWideDump)),
 
     // BLOOM REBUILD applier (q283, r16 — VERDICT r15 missing #1): the
     // follow-through on q273's honest `bloom_rebuild, clean=false`
@@ -6132,7 +6016,10 @@ object Catalog {
           idx,
           SimilarityOps.ivfPqCodesFor(idx, tag = dir),
           SimilarityOps.ivfPqCodebookFor(idx, tag = dir),
-          SimilarityOps.binarySigsFor(emb, tag = dir))
+          SimilarityOps.binarySigsFor(emb, tag = dir),
+          wide = Some((wideEmbeddings(s, dir),
+            SimilarityOps.binarySigsWideFor(wideEmbeddings(s, dir),
+              tag = "w" + dir))))
       },
       Some(s"""WITH rm AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 17 = 4),
               |keep AS (SELECT * FROM documents
@@ -6149,6 +6036,8 @@ object Catalog {
               |         FROM read_parquet('/tmp/graft_sketch_oracle/docids/*.parquet')),
               |sgst AS (SELECT vec_id
               |         FROM read_parquet('/tmp/graft_binsig_oracle/vecids/*.parquet')),
+              |sgwst AS (SELECT vec_id
+              |         FROM read_parquet('/tmp/graft_binsigw_oracle/vecids/*.parquet')),
               |assign AS (SELECT vec_id
               |           FROM read_parquet('/tmp/graft_ivf_oracle/assign/*.parquet')),
               |rows_ AS (
@@ -6176,6 +6065,12 @@ object Catalog {
               |         CAST((SELECT COUNT(*) FROM sgst
               |               WHERE vec_id NOT IN (SELECT doc_id FROM rm)) AS BIGINT),
               |         CAST((SELECT COUNT(*) FROM sgst) AS BIGINT), TRUE
+              |  UNION ALL
+              |  SELECT 'binary_sigs_wide', 'all',
+              |         CAST((SELECT COUNT(*) FROM sgwst) AS BIGINT),
+              |         CAST((SELECT COUNT(*) FROM sgwst
+              |               WHERE vec_id NOT IN (SELECT doc_id FROM rm)) AS BIGINT),
+              |         CAST((SELECT COUNT(*) FROM sgwst) AS BIGINT), TRUE
               |  UNION ALL
               |  SELECT a, 'all',
               |         CAST((SELECT COUNT(*) FROM assign) AS BIGINT),
@@ -6212,8 +6107,8 @@ object Catalog {
               |SELECT artifact, "key", n_before, n_purged, n_restored, clean
               |FROM rows_ ORDER BY artifact""".stripMargin),
       // pq_codes counts derive from the assign dump (codes are 1:1
-      // with assignments), so only three dumps are actually read
-      dumps = Seq(ivfDump, sketchDump, binSigDump)),
+      // with assignments), so only four dumps are actually read
+      dumps = Seq(ivfDump, sketchDump, binSigDump, binSigWideDump)),
 
     // ENTITY-ALIAS takedown (q276, r15): removal of dim records from
     // the persisted alias store by touched-group re-close — a removed
@@ -9701,6 +9596,273 @@ object Catalog {
        |  FROM tf LEFT JOIN tk USING (event_type, next_type))
        |SELECT artifact, "key", n_before, n_after,
        |       CAST(n_before - n_after AS BIGINT) AS n_removed, clean
+       |FROM rows_ ORDER BY artifact, "key"""".stripMargin
+
+  /** q270/q273 oracles factored over the removal predicate (r17):
+    * the q291 document-age sweep replays the SAME certified chains
+    * with a time predicate in place of the id list. */
+  private def q270OracleSqlOver(rmPred: String): String =
+    s"""WITH rm AS (
+             |  SELECT DISTINCT doc_id FROM documents WHERE $rmPred),
+             |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+             |nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rm),
+             |docsec AS (
+             |  SELECT a AS artifact, 'all' AS "key", nd.n AS n_before,
+             |         nd.n - nr.n AS n_after, nr.n AS n_removed, TRUE AS clean
+             |  FROM (VALUES ('fingerprints'), ('doc_lengths')) AS t(a)
+             |  CROSS JOIN nd CROSS JOIN nr),
+             |skst AS (
+             |  SELECT doc_id
+             |  FROM read_parquet('/tmp/graft_sketch_oracle/docids/*.parquet')),
+             |sksec AS (
+             |  SELECT 'sketches', 'all',
+             |         CAST((SELECT COUNT(*) FROM skst) AS BIGINT),
+             |         CAST((SELECT COUNT(*) FROM skst
+             |               WHERE doc_id NOT IN (SELECT doc_id FROM rm)) AS BIGINT),
+             |         CAST((SELECT COUNT(*) FROM skst
+             |               WHERE doc_id IN (SELECT doc_id FROM rm)) AS BIGINT),
+             |         TRUE),
+             |post AS (
+             |  SELECT doc_id, w
+             |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS w
+             |        FROM documents) GROUP BY 1, 2),
+             |postsec AS (
+             |  SELECT 'postings', 'all', CAST(COUNT(*) AS BIGINT),
+             |         CAST(SUM(CASE WHEN doc_id NOT IN (SELECT doc_id FROM rm) THEN 1 ELSE 0 END) AS BIGINT),
+             |         CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM rm) THEN 1 ELSE 0 END) AS BIGINT),
+             |         TRUE
+             |  FROM post),
+             |assign AS (
+             |  SELECT vec_id FROM read_parquet('/tmp/graft_ivf_oracle/assign/*.parquet')),
+             |vecsec AS (
+             |  SELECT a, 'all', CAST(COUNT(*) AS BIGINT),
+             |         CAST(SUM(CASE WHEN vec_id NOT IN (SELECT doc_id FROM rm) THEN 1 ELSE 0 END) AS BIGINT),
+             |         CAST(SUM(CASE WHEN vec_id IN (SELECT doc_id FROM rm) THEN 1 ELSE 0 END) AS BIGINT),
+             |         TRUE
+             |  FROM (VALUES ('ivf_assign'), ('pq_codes')) AS t(a) CROSS JOIN assign
+             |  GROUP BY a),
+             |srcs AS (
+             |  SELECT 'old' AS which, lang, doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT 'new', lang, doc_id, text FROM documents
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM rm)),
+             |mt AS (
+             |  SELECT which, lang, doc_id,
+             |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+             |  FROM srcs),
+             |mc AS (
+             |  SELECT which, lang, doc_id, n_tokens,
+             |         SUM(n_tokens) OVER (PARTITION BY which, lang ORDER BY doc_id) AS cum
+             |  FROM mt WHERE n_tokens > 0),
+             |sp AS (
+             |  SELECT which, lang, doc_id, n_tokens,
+             |         CAST((cum - n_tokens) // 2048 AS BIGINT) AS start_seq,
+             |         CAST((cum - 1) // 2048 AS BIGINT) AS end_seq,
+             |         CAST((cum - n_tokens) % 2048 AS BIGINT) AS tok_offset
+             |  FROM mc),
+             |e AS (
+             |  SELECT which, lang, n_tokens, tok_offset, start_seq,
+             |         CAST(unnest(range(start_seq, end_seq + 1)) AS BIGINT) AS seq_id
+             |  FROM sp),
+             |m AS (
+             |  SELECT which, lang, seq_id,
+             |         CAST(LEAST(start_seq * 2048 + tok_offset + n_tokens, seq_id * 2048 + 2048)
+             |              - GREATEST(start_seq * 2048 + tok_offset, seq_id * 2048) AS BIGINT) AS n_from_doc
+             |  FROM e),
+             |tok AS (SELECT which, lang, CAST(SUM(n_from_doc) AS BIGINT) AS n FROM m GROUP BY 1, 2),
+             |seqs AS (SELECT which, lang, CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n FROM m GROUP BY 1, 2),
+             |shds AS (SELECT which, lang, CAST(COUNT(DISTINCT seq_id // 16) AS BIGINT) AS n FROM m GROUP BY 1, 2),
+             |langsec AS (
+             |  SELECT 'seq_tokens' AS artifact, o.lang, o.n AS n_before,
+             |         CAST(COALESCE(w.n, 0) AS BIGINT) AS n_after
+             |  FROM tok o LEFT JOIN tok w ON o.lang = w.lang AND w.which = 'new'
+             |  WHERE o.which = 'old'
+             |  UNION ALL
+             |  SELECT 'sequences', o.lang, o.n, CAST(COALESCE(w.n, 0) AS BIGINT)
+             |  FROM seqs o LEFT JOIN seqs w ON o.lang = w.lang AND w.which = 'new'
+             |  WHERE o.which = 'old'
+             |  UNION ALL
+             |  SELECT 'shards', o.lang, o.n, CAST(COALESCE(w.n, 0) AS BIGINT)
+             |  FROM shds o LEFT JOIN shds w ON o.lang = w.lang AND w.which = 'new'
+             |  WHERE o.which = 'old'),
+             |certsec AS (
+             |  SELECT 'manifest_cert' AS artifact, lang || ':n_docs' AS "key",
+             |         CAST(COUNT(*) AS BIGINT) AS n_before,
+             |         CAST(COUNT(*) AS BIGINT) AS n_after,
+             |         CAST(0 AS BIGINT) AS n_removed, TRUE AS clean
+             |  FROM mc WHERE which = 'old' GROUP BY lang
+             |  UNION ALL
+             |  SELECT 'manifest_cert', lang || ':n_tokens',
+             |         CAST(SUM(n_tokens) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT),
+             |         CAST(0 AS BIGINT), TRUE
+             |  FROM mc WHERE which = 'old' GROUP BY lang),
+             |allr AS (
+             |  SELECT * FROM docsec UNION ALL SELECT * FROM sksec
+             |  UNION ALL SELECT * FROM postsec
+             |  UNION ALL SELECT * FROM vecsec
+             |  UNION ALL SELECT * FROM certsec
+             |  UNION ALL SELECT artifact, lang, n_before, n_after,
+             |                   n_before - n_after, TRUE
+             |            FROM langsec)
+             |SELECT artifact, "key", n_before, n_after, n_removed, clean
+             |FROM allr ORDER BY artifact, "key"""".stripMargin
+
+  private def q273OracleSqlOver(rmPred: String): String =
+    s"""WITH rm AS (SELECT DISTINCT doc_id FROM documents WHERE $rmPred),
+              |keep AS (SELECT * FROM documents
+              |         WHERE doc_id NOT IN (SELECT doc_id FROM rm)),
+              |t AS (SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS toks
+              |      FROM documents),
+              |o AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+              |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+              |            FROM t WHERE len(toks) >= 2)),
+              |ok AS (SELECT * FROM o WHERE doc_id NOT IN (SELECT doc_id FROM rm)),
+              |lmrows AS (
+              |  SELECT 'lm_bigrams' AS artifact, 'all' AS "key",
+              |         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT w1, w2 FROM o) x) AS BIGINT) AS n_before,
+              |         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT w1, w2 FROM ok) x) AS BIGINT) AS n_after,
+              |         TRUE AS clean
+              |  UNION ALL
+              |  SELECT 'lm_contexts', 'all',
+              |         CAST((SELECT COUNT(DISTINCT w1) FROM o) AS BIGINT),
+              |         CAST((SELECT COUNT(DISTINCT w1) FROM ok) AS BIGINT), TRUE
+              |  UNION ALL
+              |  SELECT 'lm_vocab', 'all',
+              |         CAST((SELECT COUNT(DISTINCT w) FROM
+              |               (SELECT w1 AS w FROM o UNION SELECT w2 FROM o) x) AS BIGINT),
+              |         CAST((SELECT COUNT(DISTINCT w) FROM
+              |               (SELECT w1 AS w FROM ok UNION SELECT w2 FROM ok) x) AS BIGINT),
+              |         TRUE),
+              |qb AS (SELECT doc_id, n_tokens, quality FROM ($qualityPerDocSql)),
+              |cb AS (
+              |  SELECT d.lang, d.source,
+              |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |         CAST(SUM(qb.n_tokens) AS BIGINT) AS n_tokens,
+              |         CAST(SUM(CAST(floor(qb.quality * 1000000.0) AS BIGINT)) AS BIGINT) AS q_ppm_sum,
+              |         CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups
+              |  FROM (SELECT doc_id, lang, source,
+              |               doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+              |        FROM documents) d
+              |  JOIN qb USING (doc_id) GROUP BY 1, 2),
+              |qa AS (SELECT doc_id, n_tokens, quality FROM (${qualityPerDocSqlOver("keep")})),
+              |ca AS (
+              |  SELECT d.lang, d.source,
+              |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |         CAST(SUM(qa.n_tokens) AS BIGINT) AS n_tokens,
+              |         CAST(SUM(CAST(floor(qa.quality * 1000000.0) AS BIGINT)) AS BIGINT) AS q_ppm_sum,
+              |         CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups
+              |  FROM (SELECT doc_id, lang, source,
+              |               doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+              |        FROM keep) d
+              |  JOIN qa USING (doc_id) GROUP BY 1, 2),
+              |mb AS (
+              |  SELECT lang, source, 'n_docs' AS measure, n_docs AS vb FROM cb
+              |  UNION ALL SELECT lang, source, 'n_tokens', n_tokens FROM cb
+              |  UNION ALL SELECT lang, source, 'q_ppm_sum', q_ppm_sum FROM cb
+              |  UNION ALL SELECT lang, source, 'n_exact_dups', n_exact_dups FROM cb),
+              |ma AS (
+              |  SELECT lang, source, 'n_docs' AS measure, n_docs AS va FROM ca
+              |  UNION ALL SELECT lang, source, 'n_tokens', n_tokens FROM ca
+              |  UNION ALL SELECT lang, source, 'q_ppm_sum', q_ppm_sum FROM ca
+              |  UNION ALL SELECT lang, source, 'n_exact_dups', n_exact_dups FROM ca),
+              |cardrows AS (
+              |  SELECT 'card_state' AS artifact,
+              |         mb.lang || ':' || mb.source || ':' || mb.measure AS "key",
+              |         mb.vb AS n_before, CAST(COALESCE(ma.va, 0) AS BIGINT) AS n_after,
+              |         COALESCE(ma.va, 0) >= 0 AS clean
+              |  FROM mb LEFT JOIN ma USING (lang, source, measure)),
+              |sgst AS (
+              |  SELECT vec_id
+              |  FROM read_parquet('/tmp/graft_binsig_oracle/vecids/*.parquet')),
+              |sigrow AS (
+              |  SELECT 'binary_sigs' AS artifact, 'all' AS "key",
+              |         CAST((SELECT COUNT(*) FROM sgst) AS BIGINT) AS n_before,
+              |         CAST((SELECT COUNT(*) FROM sgst
+              |               WHERE vec_id NOT IN (SELECT doc_id FROM rm)) AS BIGINT) AS n_after,
+              |         TRUE AS clean),
+              |sgwst AS (
+              |  SELECT vec_id
+              |  FROM read_parquet('/tmp/graft_binsigw_oracle/vecids/*.parquet')),
+              |sigwrow AS (
+              |  SELECT 'binary_sigs_wide' AS artifact, 'all' AS "key",
+              |         CAST((SELECT COUNT(*) FROM sgwst) AS BIGINT) AS n_before,
+              |         CAST((SELECT COUNT(*) FROM sgwst
+              |               WHERE vec_id NOT IN (SELECT doc_id FROM rm)) AS BIGINT) AS n_after,
+              |         TRUE AS clean),
+              |ngb AS (
+              |  SELECT DISTINCT array_to_string(list_slice(toks, gi, gi + 4), ' ') AS g
+              |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS gi
+              |        FROM t WHERE len(toks) >= 5)
+              |  WHERE doc_id < 50),
+              |nga AS (
+              |  SELECT DISTINCT array_to_string(list_slice(toks, gi, gi + 4), ' ') AS g
+              |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS gi
+              |        FROM t WHERE len(toks) >= 5)
+              |  WHERE doc_id < 50 AND doc_id NOT IN (SELECT doc_id FROM rm)),
+              |bloomrow AS (
+              |  SELECT 'bloom_rebuild' AS artifact, 'all' AS "key",
+              |         CAST((SELECT COUNT(*) FROM ngb) AS BIGINT) AS n_before,
+              |         CAST((SELECT COUNT(*) FROM nga) AS BIGINT) AS n_after,
+              |         FALSE AS clean),
+              |allr AS (
+              |  SELECT * FROM lmrows UNION ALL SELECT * FROM cardrows
+              |  UNION ALL SELECT * FROM sigrow UNION ALL SELECT * FROM sigwrow
+              |  UNION ALL SELECT * FROM bloomrow)
+              |SELECT artifact, "key", n_before, n_after,
+              |       CAST(n_before - n_after AS BIGINT) AS n_removed, clean
+              |FROM allr ORDER BY artifact, "key"""".stripMargin
+
+  /** q290 oracle: every quarantine-round-trip section's before and
+    * purged masses recomputed from events and events-minus-users (the
+    * q284 builders), with restored pinned to before and clean TRUE —
+    * the engine's commitment-based identity probe must agree. */
+  private def q290OracleSql: String =
+    s"""WITH rmu AS (SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 5),
+       |ke AS (SELECT * FROM events WHERE user_id NOT IN (SELECT user_id FROM rmu)),
+       |mf AS (${q284ManifestRowsSql("events")}),
+       |mk AS (${q284ManifestRowsSql("ke")}),
+       |sf AS (${q284SessionRowsSql("events")}),
+       |sk AS (${q284SessionRowsSql("ke")}),
+       |af AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+       |       FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+       |ak AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+       |       FROM ke WHERE event_type = 'purchase' GROUP BY user_id),
+       |ff AS (${q284FunnelCountsSql("events")}),
+       |fk AS (${q284FunnelCountsSql("ke")}),
+       |rf AS (${q284RetentionSql("events")}),
+       |rk AS (${q284RetentionSql("ke")}),
+       |tf AS (${q284TransitionsSql("events")}),
+       |tk AS (${q284TransitionsSql("ke")}),
+       |rows_ AS (
+       |  SELECT 'users' AS artifact, 'all' AS "key",
+       |         CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT) AS n_before,
+       |         CAST((SELECT COUNT(DISTINCT user_id) FROM ke) AS BIGINT) AS n_purged
+       |  UNION ALL
+       |  SELECT 'manifest', 'all',
+       |         (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM mf),
+       |         (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM mk)
+       |  UNION ALL
+       |  SELECT 'sessions', 'all',
+       |         (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM sf),
+       |         (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM sk)
+       |  UNION ALL
+       |  SELECT 'attribution', 'all',
+       |         (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM af),
+       |         (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM ak)
+       |  UNION ALL
+       |  SELECT 'funnel', 'all',
+       |         (SELECT CAST(n1 + n2 + n3 AS BIGINT) FROM ff),
+       |         (SELECT CAST(n1 + n2 + n3 AS BIGINT) FROM fk)
+       |  UNION ALL
+       |  SELECT 'retention', 'all',
+       |         (SELECT CAST(COALESCE(SUM(n_active), 0) AS BIGINT) FROM rf),
+       |         (SELECT CAST(COALESCE(SUM(n_active), 0) AS BIGINT) FROM rk)
+       |  UNION ALL
+       |  SELECT 'transitions', 'all',
+       |         (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM tf),
+       |         (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM tk))
+       |SELECT artifact, "key", n_before, n_purged,
+       |       n_before AS n_restored, TRUE AS clean
        |FROM rows_ ORDER BY artifact, "key"""".stripMargin
 
   /** q86 oracle: Spark's CountMinSketch (stream-lib scheme) is

@@ -1424,6 +1424,52 @@ class CoreSpec extends SparkSpec {
     assert(got("C") == ((2L, 2L, 4L, None)), s"C: ${got("C")}")
   }
 
+  test("user quarantine round-trip: every store restores row-identical; boundaries land where they started") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1/u3 quarantined (u1 has TWO conversations under the >= 5 min
+    // pack law), u2 stays. Restore must re-derive u1's conversation
+    // boundaries exactly and re-increment every decremented count.
+    val ev = Seq(
+      (1L, 1L, t("2024-01-02 09:00:00"), "view"),
+      (1L, 2L, t("2024-01-02 09:02:00"), "click"),
+      (1L, 3L, t("2024-01-02 09:30:00"), "purchase"),
+      (2L, 4L, t("2024-01-03 10:00:00"), "view"),
+      (2L, 5L, t("2024-01-03 10:01:00"), "purchase"),
+      (3L, 6L, t("2024-01-10 11:00:00"), "view"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val rm = Seq(1L, 3L).toDF("user_id")
+    val mani = TemporalOps.sessionPackManifest(ev)
+    val led = EventOps.userQuarantineRoundTrip(ev, rm,
+        mani, EventOps.sessionize(ev), EventOps.funnel(ev),
+        EventOps.retentionCohorts(ev), EventOps.eventTransitions(ev),
+        EventOps.lastTouchAttribution(ev)).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    led.foreach { case (a, (nb, _, nr, clean)) =>
+      assert(clean, s"$a must restore row-identical to the original")
+      assert(nr == nb, s"$a restored mass must equal the original")
+    }
+    // the purge really removed the quarantined users' contributions:
+    // manifest 4 conversations -> u2's single one; funnel mass
+    // (view 3 + click 1 + purchase 1) -> u2's view-only reach
+    assert(led("manifest") == ((4L, 1L, 4L, true)), s"${led("manifest")}")
+    assert(led("funnel") == ((5L, 1L, 5L, true)), s"${led("funnel")}")
+    assert(led("users") == ((3L, 1L, 3L, true)), s"${led("users")}")
+    // conversation boundaries: the rows the restore re-derives from
+    // the quarantined events alone are byte-identical to the
+    // original manifest rows (per-user windows)
+    def maniKey(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("user_id") === 1L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getTimestamp(3),
+        r.getTimestamp(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toSet
+    val qEv = ev.join(rm, Seq("user_id"), "left_semi")
+    assert(maniKey(TemporalOps.sessionPackManifest(qEv)) == maniKey(mani) &&
+      maniKey(mani).size == 2,
+      "the restored user's conversation boundaries land exactly where they started")
+  }
+
   test("retention sweep: verbatim untouched, re-derived touched (cohort migration), decremented edges") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)

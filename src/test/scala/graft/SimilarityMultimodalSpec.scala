@@ -960,6 +960,53 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(cert("binary_hamming")._1 > 0)
   }
 
+  test("wide-signature store rides the takedown LEDGER and the quarantine round-trip") {
+    // VERDICT r16 #5: the q277-at-width cert proved the wide store
+    // SERVABLE post-purge, but no ledger row ever purged it — a
+    // removed vector's wide signature outlived a takedown the ledger
+    // called clean. This drives the purge through the LEDGER path.
+    val docs = Tables.documents(spark, sf)
+    val wideEmb = emb.select(col("vec_id"),
+      expr("concat(transform(embedding, x -> CAST(x AS DOUBLE)), " +
+           "transform(embedding, x -> 0.5D - CAST(x AS DOUBLE)))").as("embedding"))
+    val wSigs = SimilarityOps.binarySigsWideFor(wideEmb, tag = "w" + sf)
+      .localCheckpoint(false)
+    val rm = docs.filter(pmod(col("doc_id"), lit(17)) === 4)
+      .select(col("doc_id")).localCheckpoint(false)
+    val nRm = wSigs.join(rm.select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_semi").count()
+    assert(nRm > 0, "fixture must remove at least one wide signature")
+    val fp = docs.select(col("doc_id"), md5(col("text")).as("fp_md5"))
+    val led = CorpusOps.takedownStores(docs, rm,
+        TextOps.lmModelFor(docs, tag = sf), CorpusOps.corpusCardState(docs),
+        fp, SimilarityOps.binarySigsFor(emb, tag = sf),
+        binarySigsWide = Some(wSigs)).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(led(("binary_sigs_wide", "all")) ==
+      ((wSigs.count(), wSigs.count() - nRm, nRm, true)),
+      s"wide row must purge through the ledger: ${led(("binary_sigs_wide", "all"))}")
+    // quarantine round-trip: the wide store purges AND restores
+    // commitment-identical from the quarantined wide vectors
+    import graft.queries.{RetrievalShared, SketchShared}
+    val idx = SimilarityOps.ivfIndexFor(emb, tag = sf)
+    val qled = CorpusOps.quarantineRoundTrip(docs, emb, rm,
+        RetrievalShared.postings(spark, sf),
+        RetrievalShared.docLengths(spark, sf),
+        SketchShared.sketches(spark, sf), fp,
+        TextOps.lmModelFor(docs, tag = sf), CorpusOps.corpusCardState(docs),
+        idx, SimilarityOps.ivfPqCodesFor(idx, tag = sf),
+        SimilarityOps.ivfPqCodebookFor(idx, tag = sf),
+        SimilarityOps.binarySigsFor(emb, tag = sf),
+        wide = Some((wideEmb, wSigs))).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    val w = qled("binary_sigs_wide")
+    assert(w._4, s"restored wide store must be commitment-identical: $w")
+    assert(w._1 == wSigs.count() && w._2 == wSigs.count() - nRm &&
+      w._3 == w._1, s"wide round-trip counts: $w")
+  }
+
   test("hard negatives: band excludes a planted duplicate, hardest ranked first") {
     import spark.implicits._
     // plant an exact copy of anchor 0 — a positive/duplicate, which
