@@ -1697,6 +1697,126 @@ object SimilarityOps {
     summary.unionByName(cellRows).orderBy(col("step"), col("key"))
   }
 
+  /** ADC-scored frame over a STORED flat-PQ codes table — the
+    * read-from-the-artifact form of [[pqAdcScored]] (which encodes
+    * inline): queries supply (qid, qvec), candidates come ONLY from
+    * the codes table, so what this ranks is exactly what the store
+    * serves — the property the q292 takedown cert needs. LUT
+    * broadcast (queries × m·k rows); codes scanned once. */
+  private[graft] def pqAdcScoredFromCodes(cb: PqCodebook, queries: DataFrame,
+                                          codes: DataFrame): DataFrame = {
+    val sd = cb.subDim
+    val m = cb.m
+    val codesLong = codes.selectExpr("vec_id",
+      s"stack($m, ${(0 until m).map(s => s"$s, code_$s").mkString(", ")}) " +
+        "as (subspace, code)")
+    val lut = queries.crossJoin(broadcast(cb.centers))
+      .withColumn("qd2", expr(
+        s"aggregate(zip_with(slice(qvec, subspace * $sd + 1, $sd), centroid, " +
+          "(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .select(col("qid"), col("subspace"), col("code").cast("long").as("code"),
+        col("qd2"))
+    val eAggs = (0 until m).map { s =>
+      min(when(col("subspace") === s, col("qd2"))).as(s"e$s") }
+    codesLong.join(broadcast(lut), Seq("subspace", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id")).agg(eAggs.head, eAggs.tail: _*)
+      .withColumn("adc_d2",
+        (0 until m).map(s => col(s"e$s")).reduceLeft(_ + _))
+      .select(col("qid"), col("vec_id"), col("adc_d2"))
+  }
+
+  /** FLAT-PQ SERVING TAKEDOWN cert (q292, r17) — the q289 promotion
+    * creates a NEW persisted serving surface (versioned codes tables
+    * behind a pointer), and every serving surface must obey takedown
+    * (the invariant the wide-signature ledger row closed for the
+    * binary path this round). A removal purges BOTH versioned codes
+    * tables — a rollback to v1 must not resurrect a removed vector —
+    * and the cert drives the POINTER-RESOLVED ADC listing over the
+    * purged serving store ([[pqAdcScoredFromCodes]] — candidates come
+    * only from the store, so a leak can't hide behind a re-encode)
+    * with a leak probe against the removal set.
+    *
+    * Rows (artifact, key, n_before, n_after, n_removed, clean):
+    * `pointer` (which version serves — the q289 gate decides, the
+    * oracle replays it), `codes_v1`/`codes_v2` (purge recounts; clean
+    * = the anti-join delta equals an independent semi-join recount on
+    * the pre-purge store; v2 all-zeros when the gate rejected),
+    * `serving` (n_before = listing slots, n_after = slots owned by
+    * removed ids — clean = zero leaked). Scale: the removal set
+    * broadcasts; purges are anti-joins; the listing is query-bounded
+    * over the purged store; the gate is the q289 bound. */
+  def pqServingTakedown(embeddings: DataFrame, batch: DataFrame, tag: String,
+                        removal: DataFrame,
+                        m: Int = 4, k: Int = 16,
+                        nQueries: Int = 5, topK: Int = 10,
+                        maxChurnPerQuery: Long = 5L): DataFrame = {
+    val spark = embeddings.sparkSession
+    // ensure the q289 artifacts exist and the pointer reflects the
+    // gate (idempotent — same catalog tables, same decision)
+    pqPromoteApply(embeddings, batch, tag, m, k, nQueries, topK,
+      maxChurnPerQuery).count()
+    val (ver, _) = pqServingCodesFor(spark, tag, m, k)
+    val rm = broadcast(removal.select(col("doc_id").as("vec_id")).distinct()
+      .localCheckpoint(false)) // both purges + the leak probe
+    val corpus = unionCorpus(embeddings, batch).localCheckpoint(false)
+    def codesRow(name: String, store: DataFrame,
+                 purged: DataFrame): DataFrame =
+      store.agg(count(lit(1)).cast("long").as("n_before"))
+        .crossJoin(purged.agg(count(lit(1)).cast("long").as("n_after")))
+        .crossJoin(store.join(rm, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).cast("long").as("n_rm")))
+        .select(lit(name).as("artifact"), lit("all").as("key"),
+          col("n_before"), col("n_after"),
+          (col("n_before") - col("n_after")).cast("long").as("n_removed"),
+          (col("n_before") - col("n_after") === col("n_rm")).as("clean"))
+    val v1 = spark.read.table(pqCodesTableName(tag, m, k))
+    val v1P = v1.join(rm, Seq("vec_id"), "left_anti").localCheckpoint(false)
+    val v2t = pqCodesTableName(pqV2Tag(tag), m, k)
+    val v2Opt =
+      if (spark.catalog.tableExists(v2t)) Some(spark.read.table(v2t))
+      else None
+    val v2POpt = v2Opt.map(_.join(rm, Seq("vec_id"), "left_anti")
+      .localCheckpoint(false))
+    val v2Row = (v2Opt, v2POpt) match {
+      case (Some(v2), Some(v2P)) => codesRow("codes_v2", v2, v2P)
+      case _ =>
+        import spark.implicits._
+        Seq(("codes_v2", "all", 0L, 0L, 0L, true))
+          .toDF("artifact", "key", "n_before", "n_after", "n_removed",
+            "clean")
+    }
+    val cbServed =
+      if (ver == 2L) pqCodebookFor(corpus, pqV2Tag(tag), m, k)
+      else pqCodebookFor(embeddings, tag, m, k)
+    val servedP = if (ver == 2L) v2POpt.getOrElse(v1P) else v1P
+    val queries = corpus.join(rm, Seq("vec_id"), "left_anti")
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qvec"))
+    val listing = topCut(
+        pqAdcScoredFromCodes(cbServed, queries, servedP),
+        col("adc_d2"), topK)
+      .localCheckpoint(false) // slot count + leak probe
+    val servingRow = listing.agg(count(lit(1)).cast("long").as("n_before"))
+      .crossJoin(listing.join(rm, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_after")))
+      .select(lit("serving").as("artifact"), lit("all").as("key"),
+        col("n_before"), col("n_after"), lit(0L).as("n_removed"),
+        (col("n_after") === 0L).as("clean"))
+    val pointerRow = {
+      import spark.implicits._
+      Seq(("pointer", "all", 1L, ver, 0L, ver == 1L || ver == 2L))
+        .toDF("artifact", "key", "n_before", "n_after", "n_removed",
+          "clean")
+    }
+    pointerRow
+      .unionByName(codesRow("codes_v1", v1, v1P))
+      .unionByName(v2Row)
+      .unionByName(servingRow)
+      .orderBy(col("artifact"))
+  }
+
   /** Stable oracle-facing dump of the v2 codebook — with both
     * codebooks exported ([[PqOracleDumpPath]] for v1, this for v2),
     * the q260 oracle replays BOTH recall passes plus the drift

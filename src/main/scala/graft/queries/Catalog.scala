@@ -6720,6 +6720,123 @@ object Catalog {
               |  CROSS JOIN promo)
               |SELECT step, key, n_v1, n_v2, promoted, clean
               |FROM rows_all ORDER BY step, key""".stripMargin),
+      dumps = Seq(pqDump, pqV2Dump)),
+
+    // FLAT-PQ SERVING TAKEDOWN cert (q292, r17): the q289 promotion
+    // creates a new persisted serving surface — versioned codes
+    // tables behind a pointer — and every serving surface must obey
+    // takedown (the invariant the wide-signature ledger row closed
+    // for the binary path). A removal purges BOTH versioned tables
+    // (a rollback must not resurrect a removed vector) and the
+    // pointer-resolved ADC listing is driven over the PURGED serving
+    // store with a leak probe. The oracle replays the gate (which
+    // version serves), both purge recounts, and the full listing —
+    // candidates from the purged store only — so n_slots certifies
+    // the end-to-end surface, not a re-encode.
+    QuerySpec(
+      "q292_pq_serving_takedown",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{lit, pmod}
+        val emb = Tables.embeddings(s, dir)
+        SimilarityOps.pqServingTakedown(emb, driftBatch(emb), tag = dir,
+          Tables.documents(s, dir)
+            .filter(pmod(col("doc_id"), lit(17)) === 4)
+            .select(col("doc_id")))
+      },
+      Some(s"""WITH cb1 AS (
+              |  SELECT CAST(subspace AS BIGINT) AS subspace,
+              |         CAST(code AS BIGINT) AS code,
+              |         CAST(centroid AS DOUBLE[]) AS c
+              |  FROM read_parquet('/tmp/graft_pq_oracle/centers/*.parquet')),
+              |cb2 AS (
+              |  SELECT CAST(subspace AS BIGINT) AS subspace,
+              |         CAST(code AS BIGINT) AS code,
+              |         CAST(centroid AS DOUBLE[]) AS c
+              |  FROM read_parquet('/tmp/graft_pqv2_oracle/centers/*.parquet')),
+              |v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              |bt AS (
+              |  SELECT vec_id + 1000000 AS vec_id,
+              |         list_concat(
+              |           list_transform(
+              |             list_slice(CAST(embedding AS DOUBLE[]), 1, 16),
+              |             x -> x * 3.0),
+              |           list_slice(CAST(embedding AS DOUBLE[]), 17, 64)) AS e
+              |  FROM embeddings WHERE vec_id % 7 = 3),
+              |v AS (SELECT vec_id, e FROM v0 UNION ALL SELECT vec_id, e FROM bt),
+              |promo AS (
+              |  SELECT MAX(n_churned) <= 5 AS promoted
+              |  FROM ($q279OracleSql)),
+              |rm AS (SELECT DISTINCT doc_id AS vec_id FROM documents
+              |       WHERE doc_id % 17 = 4),
+              |cand AS (
+              |  SELECT vec_id, e FROM v
+              |  WHERE vec_id NOT IN (SELECT vec_id FROM rm)
+              |    AND ((SELECT promoted FROM promo) OR vec_id < 1000000)),
+              |scb AS (
+              |  SELECT * FROM cb2 WHERE (SELECT promoted FROM promo)
+              |  UNION ALL
+              |  SELECT * FROM cb1 WHERE NOT (SELECT promoted FROM promo)),
+              |cdist AS (
+              |  SELECT vec_id, subspace, code,
+              |         list_sum(list_transform(
+              |           list_zip(list_slice(e, subspace * 16 + 1, subspace * 16 + 16), c),
+              |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+              |  FROM cand CROSS JOIN scb),
+              |cd AS (
+              |  SELECT vec_id, subspace, code
+              |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+              |                                     ORDER BY d2, code) AS rk FROM cdist)
+              |  WHERE rk = 1),
+              |q AS (SELECT vec_id AS qid, e AS qe FROM cand WHERE vec_id < 5),
+              |lut AS (
+              |  SELECT qid, subspace, code,
+              |         list_sum(list_transform(
+              |           list_zip(list_slice(qe, subspace * 16 + 1, subspace * 16 + 16), c),
+              |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qd2
+              |  FROM q CROSS JOIN scb),
+              |a AS (
+              |  SELECT qid, vec_id,
+              |         MAX(CASE WHEN s.subspace = 0 THEN qd2 END) AS e0,
+              |         MAX(CASE WHEN s.subspace = 1 THEN qd2 END) AS e1,
+              |         MAX(CASE WHEN s.subspace = 2 THEN qd2 END) AS e2,
+              |         MAX(CASE WHEN s.subspace = 3 THEN qd2 END) AS e3
+              |  FROM cd s JOIN lut USING (subspace, code)
+              |  WHERE vec_id <> qid GROUP BY qid, vec_id),
+              |l AS (SELECT qid, vec_id FROM (
+              |        SELECT qid, vec_id,
+              |               row_number() OVER (PARTITION BY qid
+              |                 ORDER BY e0 + e1 + e2 + e3, vec_id) AS rn
+              |        FROM a) WHERE rn <= 10),
+              |n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v0),
+              |n0k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v0
+              |        WHERE vec_id NOT IN (SELECT vec_id FROM rm)),
+              |nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+              |nuk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v
+              |        WHERE vec_id NOT IN (SELECT vec_id FROM rm)),
+              |rows_ AS (
+              |  SELECT 'pointer' AS artifact, 'all' AS "key",
+              |         CAST(1 AS BIGINT) AS n_before,
+              |         CASE WHEN promoted THEN CAST(2 AS BIGINT)
+              |              ELSE CAST(1 AS BIGINT) END AS n_after,
+              |         CAST(0 AS BIGINT) AS n_removed, TRUE AS clean
+              |  FROM promo
+              |  UNION ALL
+              |  SELECT 'codes_v1', 'all', (SELECT n FROM n0), (SELECT n FROM n0k),
+              |         (SELECT n FROM n0) - (SELECT n FROM n0k), TRUE
+              |  UNION ALL
+              |  SELECT 'codes_v2', 'all',
+              |         CASE WHEN promoted THEN (SELECT n FROM nu) ELSE 0 END,
+              |         CASE WHEN promoted THEN (SELECT n FROM nuk) ELSE 0 END,
+              |         CASE WHEN promoted
+              |              THEN (SELECT n FROM nu) - (SELECT n FROM nuk)
+              |              ELSE 0 END, TRUE
+              |  FROM promo
+              |  UNION ALL
+              |  SELECT 'serving', 'all',
+              |         (SELECT CAST(COUNT(*) AS BIGINT) FROM l),
+              |         CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE)
+              |SELECT artifact, "key", n_before, n_after, n_removed, clean
+              |FROM rows_ ORDER BY artifact""".stripMargin),
       dumps = Seq(pqDump, pqV2Dump))
   )
 

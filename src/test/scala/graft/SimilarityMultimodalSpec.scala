@@ -765,6 +765,46 @@ class SimilarityMultimodalSpec extends SparkSpec {
       "the un-promoted path serves v1 unchanged")
   }
 
+  test("flat-PQ serving takedown: both versioned tables purge; a rank-1 served id stops serving") {
+    import spark.implicits._
+    val tagT = sf + "#ptd"
+    val batch = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + lit(5000000L)).as("vec_id"), col("embedding"))
+    SimilarityOps.pqPromoteApply(emb, batch, tagT,
+      maxChurnPerQuery = 10L).count()
+    val (ver0, served0) = SimilarityOps.pqServingCodesFor(spark, tagT)
+    assert(ver0 == 2L, "fixture promotes (churn can never exceed topK)")
+    // the victim is the CURRENT rank-1 answer for query 0 on the
+    // pointer-resolved store — so the probe provably bites
+    val corpus = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+      .unionByName(batch.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding")))
+    val cb2 = SimilarityOps.pqCodebookFor(corpus, SimilarityOps.pqV2Tag(tagT))
+    val q0 = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qvec"))
+    val victim = SimilarityOps.pqAdcScoredFromCodes(cb2, q0, served0)
+      .filter(col("qid") === 0)
+      .orderBy(col("adc_d2"), col("vec_id"))
+      .select(col("vec_id")).head.getLong(0)
+    val led = SimilarityOps.pqServingTakedown(emb, batch, tagT,
+        Seq(victim).toDF("doc_id"), maxChurnPerQuery = 10L).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(led("pointer")._2 == 2L, s"pointer serves v2: $led")
+    assert(led.values.forall(_._4), s"every cert row clean: $led")
+    // both versioned tables forget the victim (rollback-safe)
+    val inV1 = if (victim < 5000000L) 1L else 0L
+    val n0 = emb.count()
+    assert(led("codes_v1") == ((n0, n0 - inV1, inV1, true)), s"$led")
+    assert(led("codes_v2") == ((n0 + 3L, n0 + 2L, 1L, true)), s"$led")
+    // the rank-1 id stops serving: the listing ranks the PURGED store
+    // and the leak probe counts zero removed slots
+    assert(led("serving")._2 == 0L && led("serving")._1 > 0L,
+      s"the served listing must exclude the removed rank-1 id: $led")
+  }
+
   test("binary signatures set exactly the positive dims; recall report is sane integers") {
     import spark.implicits._
     val vecs = Seq(
