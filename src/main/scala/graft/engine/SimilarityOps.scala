@@ -777,7 +777,8 @@ object SimilarityOps {
 
   def release(): Unit =
     synchronized { ivfMemo = Map.empty; pqMemo = Map.empty
-                   rebMemo = Map.empty; reportMemo = Map.empty }
+                   rebMemo = Map.empty; reportMemo = Map.empty
+                   shadowMemo = Map.empty; promoMemo = Map.empty }
 
   /** Session-lifetime memo for the dimension-sized POLICY REPORTS
     * (the q266 ladder, the q269/q272 nProbe sweeps): each is a
@@ -1603,6 +1604,78 @@ object SimilarityOps {
     (ver, spark.read.table(table))
   }
 
+  /** Session-lifetime memo for the q279 shadow report — q279, the
+    * q289 promotion gate and the q292 serving-takedown cert all
+    * decide off the SAME report; memoizing makes the dependents READ
+    * it instead of re-running two ADC listings each. Keyed by
+    * (session, tag, params) — THE TAG PINS THE DATASET (the
+    * [[reportMemo]] contract). */
+  @transient private var shadowMemo
+    : Map[(SparkSession, String, Int, Int, Int, Int), DataFrame] = Map.empty
+
+  def pqShadowFor(embeddings: DataFrame, batch: DataFrame, tag: String,
+                  m: Int = 4, k: Int = 16,
+                  nQueries: Int = 5, topK: Int = 10): DataFrame =
+    synchronized {
+      val key = (embeddings.sparkSession, tag, m, k, nQueries, topK)
+      shadowMemo.getOrElse(key, {
+        val r = pqShadowCompare(embeddings, batch, tag, m, k,
+          nQueries, topK).localCheckpoint(false)
+        shadowMemo += (key -> r)
+        r
+      })
+    }
+
+  /** The promotion DECISION + artifact ensure, factored from the cert
+    * ([[pqPromoteApply]]) so q292 can route on the flipped pointer
+    * without re-deriving the q289 report: gate on the memoized shadow
+    * report, ensure v1 codes + pointer, and on approval ensure the
+    * versioned v2 codes table and flip. Deterministic per (session,
+    * tag) — memoized, so repeated callers pay the gate once. Returns
+    * (promoted, observed max churn). */
+  @transient private var promoMemo
+    : Map[(SparkSession, String, Int, Int, Long), (Boolean, Long)] = Map.empty
+
+  def ensurePqPromotion(embeddings: DataFrame, batch: DataFrame, tag: String,
+                        m: Int = 4, k: Int = 16,
+                        nQueries: Int = 5, topK: Int = 10,
+                        maxChurnPerQuery: Long = 5L): (Boolean, Long) = {
+    val spark = embeddings.sparkSession
+    val key = (spark, tag, m, k, maxChurnPerQuery)
+    synchronized {
+      promoMemo.get(key) match {
+        case Some(r) => return r
+        case None =>
+      }
+    }
+    val maxChurn = pqShadowFor(embeddings, batch, tag, m, k,
+        nQueries, topK)
+      .agg(max(col("n_churned"))).head.getLong(0)
+    val promoted = maxChurn <= maxChurnPerQuery
+    val v1t = ensurePqCodesTable(embeddings, tag, m, k)
+    val ptrT = pqPtrTableName(tag, m, k)
+    val corpus = unionCorpus(embeddings, batch)
+    synchronized {
+      import spark.implicits._
+      if (!spark.catalog.tableExists(ptrT))
+        Seq((1L, v1t, tag)).toDF("version", "codes_table", "codebook_tag")
+          .write.mode("overwrite").saveAsTable(ptrT)
+      if (promoted) {
+        val v2tag = pqV2Tag(tag)
+        val v2t = pqCodesTableName(v2tag, m, k)
+        if (!spark.catalog.tableExists(v2t))
+          pqEncode(pqCodebookFor(corpus, v2tag, m, k), corpus)
+            .select(col("vec_id") +:
+              (0 until m).map(s => col(s"code_$s")): _*)
+            .write.mode("overwrite").saveAsTable(v2t)
+        Seq((2L, v2t, v2tag)).toDF("version", "codes_table", "codebook_tag")
+          .write.mode("overwrite").saveAsTable(ptrT)
+      }
+      promoMemo += (key -> ((promoted, maxChurn)))
+    }
+    (promoted, maxChurn)
+  }
+
   /** PQ v2 PROMOTION applier (q289) — EXECUTE the rollout the q279
     * shadow gate approves (VERDICT r16 missing #2). The q260 refit
     * leaves codebook v2 as a fitted-but-unserved artifact; q279
@@ -1639,30 +1712,9 @@ object SimilarityOps {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val corpus = unionCorpus(embeddings, batch).localCheckpoint(false)
-    val maxChurn = pqShadowCompare(embeddings, batch, tag, m, k,
-        nQueries, topK)
-      .agg(max(col("n_churned"))).head.getLong(0)
-    val promoted = maxChurn <= maxChurnPerQuery
-    val v1t = ensurePqCodesTable(embeddings, tag, m, k)
-    val ptrT = pqPtrTableName(tag, m, k)
-    synchronized {
-      if (!spark.catalog.tableExists(ptrT))
-        Seq((1L, v1t, tag)).toDF("version", "codes_table", "codebook_tag")
-          .write.mode("overwrite").saveAsTable(ptrT)
-    }
-    if (promoted) {
-      val v2tag = pqV2Tag(tag)
-      val v2t = pqCodesTableName(v2tag, m, k)
-      synchronized {
-        if (!spark.catalog.tableExists(v2t))
-          pqEncode(pqCodebookFor(corpus, v2tag, m, k), corpus)
-            .select(col("vec_id") +:
-              (0 until m).map(s => col(s"code_$s")): _*)
-            .write.mode("overwrite").saveAsTable(v2t)
-      }
-      Seq((2L, v2t, v2tag)).toDF("version", "codes_table", "codebook_tag")
-        .write.mode("overwrite").saveAsTable(ptrT)
-    }
+    val (promoted, maxChurn) = ensurePqPromotion(embeddings, batch, tag,
+      m, k, nQueries, topK, maxChurnPerQuery)
+    val v1t = pqCodesTableName(tag, m, k)
     // every probe below re-reads PERSISTED state (pointer + tables)
     val (ptrVer, served) = pqServingCodesFor(spark, tag, m, k)
     val v1codes = spark.read.table(v1t)
@@ -1753,9 +1805,9 @@ object SimilarityOps {
                         maxChurnPerQuery: Long = 5L): DataFrame = {
     val spark = embeddings.sparkSession
     // ensure the q289 artifacts exist and the pointer reflects the
-    // gate (idempotent — same catalog tables, same decision)
-    pqPromoteApply(embeddings, batch, tag, m, k, nQueries, topK,
-      maxChurnPerQuery).count()
+    // gate (idempotent, memoized — same catalog tables, same decision)
+    ensurePqPromotion(embeddings, batch, tag, m, k, nQueries, topK,
+      maxChurnPerQuery)
     val (ver, _) = pqServingCodesFor(spark, tag, m, k)
     val rm = broadcast(removal.select(col("doc_id").as("vec_id")).distinct()
       .localCheckpoint(false)) // both purges + the leak probe

@@ -1282,6 +1282,182 @@ object StreamOps {
       .start()
   }
 
+  /** STREAMING user-level quarantine/restore — q290 live: legal-hold
+    * requests arrive as a stream of (user_id, op ∈ quarantine|restore)
+    * and each tick applies them to the carried q284 stores plus a
+    * QUARANTINE stash of the affected users' raw events (the single
+    * retained artifact — the q290 contract).
+    *
+    * Per tick: effective quarantines = requested users not already
+    * held (re-submission = honest no-op); effective restores =
+    * requested users currently held and not re-quarantined this tick.
+    * Quarantine side stashes the users' events and applies exactly
+    * the q284 corrections (partitioned stores anti-join, aggregates
+    * decrement by the users' own d-frames, zero cells/edges drop);
+    * restore side re-derives the users' rows FROM THE STASH ALONE
+    * through the engine's own builders (per-user windows ⇒
+    * byte-identical conversation boundaries) and re-increments the
+    * aggregates by the identical d-frames, resurrecting dropped cells
+    * via full-outer folds — merge ≡ the decrement run backwards.
+    *
+    * The corrections are not idempotent, so the tick commits
+    * atomically via [[TickCommit]]: every store, the stash, and the
+    * held-users set stage under `snap/tick=N` and the marker seals
+    * last; a restart loads [[TickCommit.readLatest]], a replayed
+    * sealed tick is skipped whole. Ledger rows (artifact, n_before,
+    * n_after, n_quarantined, n_restored) write idempotently per tick.
+    *
+    * Stream ≡ batch: after any tick the carried stores equal a
+    * rebuild over events-minus-currently-held, and a quarantine →
+    * restore round trip across ticks is an exact identity — both
+    * asserted in StreamingSpec. Per-tick cost: request-user-bounded
+    * event slices + dimension-sized store corrections. */
+  def streamingUserQuarantine(requests: DataFrame, events: DataFrame,
+                              manifest: DataFrame, sessions: DataFrame,
+                              funnelStore: DataFrame,
+                              retentionStore: DataFrame,
+                              transitionStore: DataFrame,
+                              attributionStore: DataFrame,
+                              outPath: String, checkpointDir: String,
+                              storedHeld: Option[DataFrame] = None,
+                              storedStash: Option[DataFrame] = None)
+      : StreamingQuery = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    var mani = manifest.localCheckpoint(false)
+    var sess = sessions.localCheckpoint(false)
+    var attr = attributionStore.localCheckpoint(false)
+    var fun = funnelStore.select(col("stage"), col("n_users").cast("long")
+      .as("n_users")).localCheckpoint(false)
+    var ret = retentionStore.select(col("cohort_week"), col("week_offset"),
+      col("n_active").cast("long").as("n_active")).localCheckpoint(false)
+    var trans = transitionStore.select(col("event_type"), col("next_type"),
+      col("n_transitions").cast("long").as("n_transitions"))
+      .localCheckpoint(false)
+    var held = storedHeld
+      .getOrElse(Seq.empty[Long].toDF("user_id"))
+      .select(col("user_id")).localCheckpoint(false)
+    var stash = storedStash
+      .getOrElse(events.filter(lit(false)))
+      .localCheckpoint(false)
+    requests.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, tick: Long) =>
+        if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
+          val b = batch.localCheckpoint(false) // both request slices
+          val effQ = broadcast(b.filter(col("op") === "quarantine")
+            .select(col("user_id")).distinct()
+            .join(held, Seq("user_id"), "left_anti")
+            .localCheckpoint(false))
+          val effR = broadcast(b.filter(col("op") === "restore")
+            .select(col("user_id")).distinct()
+            .join(held, Seq("user_id"), "left_semi")
+            .join(effQ, Seq("user_id"), "left_anti")
+            .localCheckpoint(false))
+          val qEvents = events.join(effQ, Seq("user_id"), "left_semi")
+            .localCheckpoint(false) // stash + all quarantine d-frames
+          val rEvents = stash.join(effR, Seq("user_id"), "left_semi")
+            .localCheckpoint(false) // restore re-derive + d-frames
+          // partitioned stores: anti-join the quarantined, union the
+          // restored users' re-derived rows (from the stash alone)
+          def roundTrip(store: DataFrame, rederived: DataFrame): DataFrame = {
+            val cols = store.columns.map(col(_))
+            store.join(effQ, Seq("user_id"), "left_anti")
+              .select(cols: _*)
+              .unionByName(rederived.select(cols: _*))
+              .localCheckpoint(false)
+          }
+          val mani2 = roundTrip(mani, TemporalOps.sessionPackManifest(rEvents))
+          val sess2 = roundTrip(sess, EventOps.sessionize(rEvents))
+          val attr2 = roundTrip(attr, EventOps.lastTouchAttribution(rEvents))
+          // aggregates: decrement by the quarantined users' d-frames,
+          // re-increment by the restored users' (the exact inverse)
+          val dReachQ = broadcast(EventOps.removedReach(qEvents))
+          val dReachR = broadcast(EventOps.removedReach(rEvents))
+          def funnelShift(df: DataFrame, reach: DataFrame,
+                          sign: Long): DataFrame = df.crossJoin(reach)
+            .select(col("stage"),
+              (col("n_users") + lit(sign) *
+                when(col("stage") === "view", col("d1"))
+                  .when(col("stage") === "click", col("d2"))
+                  .otherwise(col("d3"))).cast("long").as("n_users"))
+          val fun2 = funnelShift(funnelShift(fun, dReachQ, -1L), dReachR, 1L)
+            .localCheckpoint(false)
+          def firstWeek(ev: DataFrame) = ev.groupBy(col("user_id"))
+            .agg(date_trunc("week", min(col("ts"))).cast("date")
+              .as("cohort_week"))
+          val dCellsQ = broadcast(
+            EventOps.removedRetentionCells(qEvents, firstWeek(qEvents)))
+          val dCellsR = broadcast(
+            EventOps.removedRetentionCells(rEvents, firstWeek(rEvents)))
+          val ret2 = ret.join(dCellsQ, Seq("cohort_week", "week_offset"),
+              "left_outer")
+            .select(col("cohort_week"), col("week_offset"),
+              (col("n_active") - coalesce(col("d"), lit(0L))).cast("long")
+                .as("n_active"))
+            .filter(col("n_active") > 0) // a rebuild never emits 0 cells
+            .join(dCellsR, Seq("cohort_week", "week_offset"), "full_outer")
+            .select(col("cohort_week"), col("week_offset"),
+              (coalesce(col("n_active"), lit(0L)) +
+                coalesce(col("d"), lit(0L))).cast("long").as("n_active"))
+            .localCheckpoint(false)
+          val dEdgesQ = broadcast(EventOps.removedEdges(qEvents))
+          val dEdgesR = broadcast(EventOps.removedEdges(rEvents))
+          val trans2 = trans.join(dEdgesQ, Seq("event_type", "next_type"),
+              "left_outer")
+            .select(col("event_type"), col("next_type"),
+              (col("n_transitions") - coalesce(col("d"), lit(0L)))
+                .cast("long").as("n_transitions"))
+            .filter(col("n_transitions") > 0)
+            .join(dEdgesR, Seq("event_type", "next_type"), "full_outer")
+            .select(col("event_type"), col("next_type"),
+              (coalesce(col("n_transitions"), lit(0L)) +
+                coalesce(col("d"), lit(0L))).cast("long")
+                .as("n_transitions"))
+            .localCheckpoint(false)
+          val held2 = held.unionByName(effQ)
+            .join(effR, Seq("user_id"), "left_anti")
+            .localCheckpoint(false)
+          val stash2 = stash.join(effR, Seq("user_id"), "left_anti")
+            .unionByName(qEvents)
+            .localCheckpoint(false)
+          // atomic tick: stage everything, probe persisted, ledger,
+          // seal (the non-idempotent crash contract)
+          TickCommit.stage(spark, outPath, tick, Seq(
+            "held" -> held2, "stash" -> stash2, "manifest" -> mani2,
+            "sessions" -> sess2, "attribution" -> attr2, "funnel" -> fun2,
+            "retention" -> ret2, "transitions" -> trans2))
+          val maniDirty = TickCommit
+            .readStaged(spark, outPath, tick, "manifest")
+            .join(effQ, Seq("user_id"), "left_semi").count()
+          val (nQ, nR) = (effQ.count(), effR.count())
+          Seq(
+            ("manifest", mani.count(), mani2.count(), maniDirty == 0L),
+            ("sessions", sess.count(), sess2.count(), true),
+            ("attribution", attr.count(), attr2.count(), true),
+            ("funnel", fun.agg(coalesce(sum(col("n_users")), lit(0L)))
+              .head.getLong(0),
+              fun2.agg(coalesce(sum(col("n_users")), lit(0L)))
+                .head.getLong(0), true),
+            ("retention", ret.count(), ret2.count(), true),
+            ("transitions", trans.count(), trans2.count(), true),
+            ("stash", stash.count(), stash2.count(), true))
+            .toDF("artifact", "n_before", "n_after", "persisted_ok")
+            .select(col("artifact"), col("n_before"), col("n_after"),
+              lit(nQ).as("n_quarantined"), lit(nR).as("n_restored"),
+              col("persisted_ok").as("clean"))
+            .write.mode("overwrite").parquet(s"$outPath/ledger/tick=$tick")
+          TickCommit.seal(spark, outPath, tick) // the commit point
+          mani = mani2; sess = sess2; attr = attr2
+          fun = fun2; ret = ret2; trans = trans2
+          held = held2; stash = stash2
+        }
+        ()
+      }
+      .start()
+  }
+
   /** STREAMING entity-alias takedown — q276's ticked twin: dim-record
     * removal keys stream in, and each tick re-closes ONLY the alias
     * groups the tick touches ([[DedupOps.entityTakedown]] — a removed

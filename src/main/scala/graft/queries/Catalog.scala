@@ -5609,7 +5609,7 @@ object Catalog {
       "q279_index_ab_shadow",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        SimilarityOps.pqShadowCompare(emb, driftBatch(emb), tag = dir)
+        SimilarityOps.pqShadowFor(emb, driftBatch(emb), tag = dir)
       },
       Some(q279OracleSql),
       dumps = Seq(pqDump, pqV2Dump)),

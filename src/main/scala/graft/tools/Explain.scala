@@ -30,7 +30,11 @@ object Explain {
                // q284 is declarative end-to-end (no driver action), so
                // its plan audits cleanly; q283 stays out for the same
                // reason as q277 (eager filter builds at plan time)
-               "q284_user_takedown")
+               "q284_user_takedown",
+               // q290 is declarative like q284 (commitment aggregates,
+               // no driver actions); q288/q291/q292 stay out (eager
+               // index fits / removal collects at plan time)
+               "q290_user_quarantine_roundtrip")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

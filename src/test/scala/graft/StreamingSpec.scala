@@ -1446,6 +1446,87 @@ class StreamingSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == rmUsers.toSet)
   }
 
+  test("streaming user quarantine: restore is an exact inverse; final stores ≡ rebuild over events minus held") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{EventOps, StreamOps, Tables, TemporalOps, TickCommit}
+    val ev = Tables.events(spark, sf).localCheckpoint(false)
+    val mani0 = TemporalOps.sessionPackManifest(ev).localCheckpoint(false)
+    val sess0 = EventOps.sessionize(ev).localCheckpoint(false)
+    val fun0 = EventOps.funnel(ev).localCheckpoint(false)
+    val ret0 = EventOps.retentionCohorts(ev).localCheckpoint(false)
+    val trans0 = EventOps.eventTransitions(ev).localCheckpoint(false)
+    val attr0 = EventOps.lastTouchAttribution(ev).localCheckpoint(false)
+    val users = ev.filter(pmod(col("user_id"), lit(5)) === 2)
+      .select(col("user_id")).distinct().collect().map(_.getLong(0)).sorted
+    assert(users.length >= 2, s"fixture needs >= 2 holdable users: ${users.toSeq}")
+    val (a, b) = users.splitAt(users.length / 2)
+    val out = java.nio.file.Files.createTempDirectory("graft_suq_out_").toString + "/uq"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_suq_ckpt_").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingUserQuarantine(
+      input.toDS().toDF("user_id", "op"), ev, mani0, sess0, fun0, ret0,
+      trans0, attr0, out, ckpt)
+    try {
+      // tick 0: hold everyone; tick 1: restore the a-half, plus two
+      // honest no-ops (re-quarantine an already-held user, restore a
+      // user nobody holds)
+      input.addData(users.map(u => (u, "quarantine")).toSeq: _*)
+      q.processAllAvailable()
+      input.addData((a.map(u => (u, "restore")) :+
+        ((b.head, "quarantine")) :+ ((999999999L, "restore"))).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = ev.join(b.toSeq.toDF("user_id"), Seq("user_id"), "left_anti")
+      .localCheckpoint(false)
+    def snap(p: String) = TickCommit.readLatest(spark, out, p).get
+    // restored users' rows came back byte-identical (boundaries
+    // included): the whole store equals a rebuild over events-minus-b
+    def maniKey(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("start_seq"), col("end_seq"), col("tok_offset")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(maniKey(snap("manifest")) ==
+      maniKey(TemporalOps.sessionPackManifest(kept)),
+      "quarantine→restore manifest ≡ rebuild over events minus held")
+    def sessKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(5)))
+      .toMap
+    assert(sessKey(snap("sessions")) == sessKey(EventOps.sessionize(kept)))
+    def attrKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(1) -> ((Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(attrKey(snap("attribution")) ==
+      attrKey(EventOps.lastTouchAttribution(kept)))
+    assert(snap("funnel").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      EventOps.funnel(kept).collect()
+        .map(r => r.getString(1) -> r.getLong(2)).toMap,
+      "decrement→re-increment funnel ≡ rebuild stage counts")
+    def retKey(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("cohort_week").cast("string"), col("week_offset"),
+        col("n_active")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(retKey(snap("retention")) == retKey(EventOps.retentionCohorts(kept)),
+      "dropped cells resurrect on restore; held users' cells stay out")
+    def trKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(trKey(snap("transitions")) == trKey(EventOps.eventTransitions(kept)
+      .select(col("event_type"), col("next_type"), col("n_transitions"))))
+    // the hold set and the stash carry exactly the still-held users
+    assert(snap("held").collect().map(_.getLong(0)).toSet == b.toSet)
+    assert(snap("stash").count() ==
+      ev.join(b.toSeq.toDF("user_id"), Seq("user_id"), "left_semi").count(),
+      "the stash retains exactly the held users' raw events")
+    // ledger tick 1: the no-ops contributed nothing
+    val led1 = spark.read.parquet(s"$out/ledger")
+      .filter(col("tick") === 1).collect()
+    assert(led1.forall(_.getBoolean(5)), "tick-1 rows clean")
+    assert(led1.forall(r => r.getLong(3) == 0L && r.getLong(4) == a.length.toLong),
+      s"tick 1: zero effective quarantines (re-submission no-op), ${a.length} restores")
+  }
+
   test("streaming entity takedown equals the one-shot q276 re-close over the union") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
