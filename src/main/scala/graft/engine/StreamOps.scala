@@ -655,10 +655,12 @@ object StreamOps {
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, tick: Long) =>
+        // tick-partitioned overwrite: an at-least-once replay rewrites
+        // its own partition instead of appending duplicate rows
         if (!batch.isEmpty)
           TextOps.repetitionRuleFilter(batch)
-            .write.mode("append").parquet(outPath)
+            .write.mode("overwrite").parquet(s"$outPath/tick=$tick")
         ()
       }
       .start()
@@ -668,12 +670,12 @@ object StreamOps {
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, tick: Long) =>
         if (!batch.isEmpty) {
           val sigs = DedupOps.minhashSignatures(batch).localCheckpoint(false)
           DedupOps.incrementalNearDedupFromSigs(
               batch.select(col("doc_id")), sigs, storedSigs)
-            .write.mode("append").parquet(outPath)
+            .write.mode("overwrite").parquet(s"$outPath/tick=$tick")
         }
         ()
       }
@@ -693,10 +695,10 @@ object StreamOps {
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, tick: Long) =>
         if (!batch.isEmpty)
           SimilarityOps.ivfIncrementalAssign(index, batch)
-            .write.mode("append").parquet(outPath)
+            .write.mode("overwrite").parquet(s"$outPath/tick=$tick")
         ()
       }
       .start()
@@ -730,18 +732,21 @@ object StreamOps {
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, tick: Long) =>
         if (!batch.isEmpty) {
           val assigned = SimilarityOps.ivfIncrementalAssign(index, batch)
-            .localCheckpoint(false) // sink append + count fold
-          assigned.write.mode("append").parquet(s"$outPath/assign")
-          counts = counts.unionByName(
+            .localCheckpoint(false) // sink write + count fold
+          assigned.write.mode("overwrite").parquet(s"$outPath/assign/tick=$tick")
+          // fold into a LOCAL successor and assign the var only after
+          // every write lands — a retried tick must not double-fold
+          val counts2 = counts.unionByName(
               assigned.groupBy(col("list_id")).agg(count(lit(1)).as("n_new")))
             .groupBy(col("list_id"))
             .agg(sum(col("n_new")).cast("long").as("n_new"))
             .localCheckpoint(false) // next fold + report
-          SimilarityOps.ivfAppendReport(index, counts, imbalanceFactor)
+          SimilarityOps.ivfAppendReport(index, counts2, imbalanceFactor)
             .write.mode("overwrite").parquet(s"$outPath/report")
+          counts = counts2
         }
         ()
       }
@@ -770,11 +775,13 @@ object StreamOps {
     * Scale posture: per-tick work is the applier's bound — batch
     * assignment vs nLists broadcast centroids, flagged-member scans
     * pruned to flagged lists, ≤2·flags fitted children. Durable state
-    * IS the sinks (ADVICE r15): the carried index snapshots to
-    * `outPath/index_assign` / `index_centers` per tick, so a
-    * restart-from-checkpoint (committed ticks skipped) rebuilds `cur`
-    * from the snapshot instead of silently resuming on the
-    * constructor index; at 100 TB the assignment relation is the
+    * IS the sinks (ADVICE r15): the carried index snapshots
+    * ATOMICALLY per tick via [[TickCommit]] (`snap/tick=N/
+    * index_assign` + `index_centers`, marker last — a crash between
+    * the two writes must not leave assignments against a different
+    * tick's centroids), so a restart-from-checkpoint rebuilds `cur`
+    * from [[TickCommit.readLatest]] instead of silently resuming on
+    * the constructor index; at 100 TB the assignment relation is the
     * persisted list_id-bucketed table
     * ([[SimilarityOps.ensureIvfTables]]) and a tick's durable write
     * is append(batch rows) + rewrite(flagged lists' partitions) —
@@ -782,6 +789,7 @@ object StreamOps {
   def streamingIvfRebalance(vectors: DataFrame, index: SimilarityOps.IvfIndex,
                             outPath: String, checkpointDir: String,
                             imbalanceFactor: Long = 2L): StreamingQuery = {
+    val spark2 = vectors.sparkSession
     var cur = index
     vectors.writeStream
       .outputMode("append")
@@ -789,22 +797,24 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, tick: Long) =>
         if (!batch.isEmpty) {
           val reb = SimilarityOps.ivfRebalanceApply(cur, batch, imbalanceFactor)
-          reb.report.withColumn("tick", lit(tick))
-            .write.mode("append").parquet(s"$outPath/report")
+          // tick-partitioned overwrites: an at-least-once replay
+          // rewrites its own partition, never appends duplicates
+          reb.report
+            .write.mode("overwrite").parquet(s"$outPath/report/tick=$tick")
           reb.children
             .select(col("parent_list_id"), col("child_list_id"))
-            .withColumn("tick", lit(tick))
-            .write.mode("append").parquet(s"$outPath/splits")
+            .write.mode("overwrite").parquet(s"$outPath/splits/tick=$tick")
           cur = SimilarityOps.IvfIndex(
             reb.updated.assigned.localCheckpoint(false),
             reb.updated.centers.localCheckpoint(false),
             reb.updated.nLists)
-          // durable state IS the sinks (ADVICE r15): the carried index
-          // snapshots per tick, so a restart-from-checkpoint rebuilds
-          // `cur` from `outPath/index_*` instead of silently resuming
-          // on the constructor index while committed ticks are skipped
-          cur.assigned.write.mode("overwrite").parquet(s"$outPath/index_assign")
-          cur.centers.write.mode("overwrite").parquet(s"$outPath/index_centers")
+          // durable state IS the sinks (ADVICE r15), and the TWO index
+          // frames commit ATOMICALLY (TickCommit — a crash between the
+          // assign and centers writes must not leave a restart loading
+          // assignments against a different tick's centroid set)
+          TickCommit.stage(spark2, outPath, tick, Seq(
+            "index_assign" -> cur.assigned, "index_centers" -> cur.centers))
+          TickCommit.seal(spark2, outPath, tick)
         }
         ()
       }
@@ -846,18 +856,23 @@ object StreamOps {
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, tick: Long) =>
         if (!batch.isEmpty) {
           val newCodes = SimilarityOps.ivfPqIncrementalCodes(index, cb, batch)
-            .localCheckpoint(false) // sink append + cell fold
-          newCodes.write.mode("append").parquet(s"$outPath/codes")
-          cells = cells.unionByName(
+            .localCheckpoint(false) // sink write + cell fold
+          // tick-partitioned overwrite (replay-idempotent), and the
+          // cell fold lands in a LOCAL successor assigned only after
+          // the writes — a retried tick must not double-fold
+          newCodes.write.mode("overwrite")
+            .parquet(s"$outPath/codes/tick=$tick")
+          val cells2 = cells.unionByName(
               SimilarityOps.pqCodeCells(newCodes, cb.m, "n_new"))
             .groupBy(col("list_id"), col("subspace"), col("code"))
             .agg(sum(col("n_new")).cast("long").as("n_new"))
             .localCheckpoint(false) // next fold + report
-          SimilarityOps.ivfPqCellReport(before, cells)
+          SimilarityOps.ivfPqCellReport(before, cells2)
             .write.mode("overwrite").parquet(s"$outPath/report")
+          cells = cells2
         }
         ()
       }
@@ -889,9 +904,10 @@ object StreamOps {
     * locally and the list_id-bucketed table at 100 TB, where a tick's
     * durable write is append(adds) + delete(dels) + rewrite(flagged
     * lists' partitions). Durable state IS the sinks (ADVICE r15): the
-    * repaired index snapshots to `outPath/index_assign` /
-    * `index_centers` per tick — the restart contract the takedown and
-    * ingest streams already state.
+    * repaired index (and, when carried, the codes table) snapshots
+    * ATOMICALLY per tick via [[TickCommit]] — codes are residuals
+    * against the tick's centroid set, so the snapshot pair must never
+    * mix ticks; restarts load [[TickCommit.readLatest]].
     *
     * With `codes`/`cb` supplied, the persisted IVF-PQ codes table is
     * carried too: each tick runs [[SimilarityOps.ivfPqCodesRepair]]
@@ -936,22 +952,21 @@ object StreamOps {
           val reb = SimilarityOps.ivfRebalanceApply(
             afterDel, adds, imbalanceFactor)
           val m = SimilarityOps.ivfMergeApply(reb.updated, underfullFactor)
-          m.report.withColumn("tick", lit(tick))
-            .write.mode("append").parquet(s"$outPath/report")
+          m.report
+            .write.mode("overwrite").parquet(s"$outPath/report/tick=$tick")
           Seq((adds.count(), dels.count(),
               reb.children.select(col("parent_list_id")).distinct().count(),
               m.report.filter(col("merged")).count()))
             .toDF("n_add", "n_del", "n_splits", "n_merges")
-            .withColumn("tick", lit(tick))
-            .write.mode("append").parquet(s"$outPath/ticks")
+            .write.mode("overwrite").parquet(s"$outPath/ticks/tick=$tick")
           // repair the codes table against the PRE-tick index the
           // stored codes were encoded under: deleted rows drop,
           // moved/re-centroided rows re-encode, the rest ride verbatim
           codesCur = (codesCur, cb) match {
             case (Some(c), Some(book)) =>
               val r = SimilarityOps.ivfPqCodesRepair(c, cur, m.updated, book)
-              r.report.withColumn("tick", lit(tick))
-                .write.mode("append").parquet(s"$outPath/codes_report")
+              r.report.write.mode("overwrite")
+                .parquet(s"$outPath/codes_report/tick=$tick")
               Some(r.codes.localCheckpoint(false))
             case _ => codesCur
           }
@@ -959,13 +974,18 @@ object StreamOps {
             m.updated.assigned.localCheckpoint(false),
             m.updated.centers.localCheckpoint(false),
             m.updated.nLists)
-          // durable state IS the sinks (ADVICE r15): snapshot the
-          // carried index per tick so a restart-from-checkpoint
-          // rebuilds it instead of resuming on the constructor index
-          cur.assigned.write.mode("overwrite").parquet(s"$outPath/index_assign")
-          cur.centers.write.mode("overwrite").parquet(s"$outPath/index_centers")
-          codesCur.foreach(_.write.mode("overwrite")
-            .parquet(s"$outPath/codes"))
+          // durable state IS the sinks (ADVICE r15) and the THREE
+          // carried frames commit ATOMICALLY (TickCommit): codes are
+          // residuals against the tick's centroid set, so a crash
+          // between the index and codes writes would leave a restart
+          // repairing codes against the WRONG "old" centroids (the
+          // repair detects staleness by old-vs-new centroid diff — it
+          // needs a consistent snapshot pair to diff against)
+          TickCommit.stage(spark, outPath, tick, Seq(
+            "index_assign" -> cur.assigned,
+            "index_centers" -> cur.centers) ++
+            codesCur.map(c => "codes" -> c).toSeq)
+          TickCommit.seal(spark, outPath, tick)
         }
         ()
       }
@@ -1677,15 +1697,15 @@ object StreamOps {
             CorpusOps.ingestStages(fps, sigs, b, bSigs)
           val admitted = ndKeep0.localCheckpoint(false) // report + both growths
           CorpusOps.ingestReport(b, (exactKeep, gateKeep, admitted))
-            .withColumn("tick", lit(tick))
-            .write.mode("append").parquet(s"$outPath/funnel")
-          fps = fps.unionByName(
+            .write.mode("overwrite").parquet(s"$outPath/funnel/tick=$tick")
+          val fps2 = fps.unionByName(
               b.join(admitted, "doc_id").select(md5(col("text")).as("fp_md5")))
             .distinct().localCheckpoint(false)
-          sigs = sigs.unionByName(bSigs.join(admitted, "doc_id"))
+          val sigs2 = sigs.unionByName(bSigs.join(admitted, "doc_id"))
             .localCheckpoint(false)
-          fps.write.mode("overwrite").parquet(s"$outPath/fps")
-          sigs.write.mode("overwrite").parquet(s"$outPath/sigs")
+          fps2.write.mode("overwrite").parquet(s"$outPath/fps")
+          sigs2.write.mode("overwrite").parquet(s"$outPath/sigs")
+          fps = fps2; sigs = sigs2
         }
         ()
       }
@@ -1725,15 +1745,15 @@ object StreamOps {
           val stages = CorpusOps.licensedIngestStages(fps, sigs, b, bSigs, dim)
           val admitted = stages.last._2.localCheckpoint(false) // report + growths
           CorpusOps.ingestReportStages(b, stages.init :+ (stages.last._1 -> admitted))
-            .withColumn("tick", lit(tick))
-            .write.mode("append").parquet(s"$outPath/funnel")
-          fps = fps.unionByName(
+            .write.mode("overwrite").parquet(s"$outPath/funnel/tick=$tick")
+          val fps2 = fps.unionByName(
               b.join(admitted, "doc_id").select(md5(col("text")).as("fp_md5")))
             .distinct().localCheckpoint(false)
-          sigs = sigs.unionByName(bSigs.join(admitted, "doc_id"))
+          val sigs2 = sigs.unionByName(bSigs.join(admitted, "doc_id"))
             .localCheckpoint(false)
-          fps.write.mode("overwrite").parquet(s"$outPath/fps")
-          sigs.write.mode("overwrite").parquet(s"$outPath/sigs")
+          fps2.write.mode("overwrite").parquet(s"$outPath/fps")
+          sigs2.write.mode("overwrite").parquet(s"$outPath/sigs")
+          fps = fps2; sigs = sigs2
         }
         ()
       }
@@ -1765,8 +1785,8 @@ object StreamOps {
           val scores = MultimodalOps
             .crossModalScores(batch, captionChars, threshold)
             .localCheckpoint(false) // verdict sink + count fold
-          scores.withColumn("tick", lit(tick))
-            .write.mode("append").parquet(s"$outPath/verdicts")
+          scores.write.mode("overwrite")
+            .parquet(s"$outPath/verdicts/tick=$tick")
           val tickCounts = scores.groupBy(col("source"))
             .agg(count(lit(1)).cast("long").as("n_docs"),
               sum(when(col("aligned"), 1L).otherwise(0L)).cast("long").as("n_aligned"),
@@ -1812,12 +1832,13 @@ object StreamOps {
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, tick: Long) =>
         if (!batch.isEmpty) {
           val b = batch.localCheckpoint(false) // probe + keeper assign
           val verdicts = SimilarityOps.ivfSemanticProbe(index, b)
             .localCheckpoint(false) // verdict write + keeper semi-join
-          verdicts.write.mode("append").parquet(s"$outPath/verdicts")
+          verdicts.write.mode("overwrite")
+            .parquet(s"$outPath/verdicts/tick=$tick")
           val keepers = b.join(
             verdicts.filter(!col("is_dup")).select(col("vec_id")),
             Seq("vec_id"), "left_semi")
@@ -1826,9 +1847,9 @@ object StreamOps {
               .join(SimilarityOps.ivfIncrementalAssign(index, keepers), "vec_id")
               .select(cols: _*))
             .localCheckpoint(false) // next probe + snapshot write
-          index = SimilarityOps.IvfIndex(grown, index.centers, index.nLists)
           grown.select(col("vec_id"), col("list_id"))
             .write.mode("overwrite").parquet(s"$outPath/assign")
+          index = SimilarityOps.IvfIndex(grown, index.centers, index.nLists)
         }
         ()
       }
@@ -1905,15 +1926,16 @@ object StreamOps {
     batchDocs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, tick: Long) =>
         if (!batch.isEmpty) {
           val b = batch.localCheckpoint(false) // count fold + scoring
-          model = pin(TextOps.lmModelMerge(model, b))
-          TextOps.lmScoreWith(model, b)
-            .write.mode("append").parquet(s"$outPath/scores")
-          model.bigrams.write.mode("overwrite").parquet(s"$outPath/bigrams")
-          model.contexts.write.mode("overwrite").parquet(s"$outPath/contexts")
-          model.vocab.write.mode("overwrite").parquet(s"$outPath/vocab")
+          val model2 = pin(TextOps.lmModelMerge(model, b))
+          TextOps.lmScoreWith(model2, b)
+            .write.mode("overwrite").parquet(s"$outPath/scores/tick=$tick")
+          model2.bigrams.write.mode("overwrite").parquet(s"$outPath/bigrams")
+          model2.contexts.write.mode("overwrite").parquet(s"$outPath/contexts")
+          model2.vocab.write.mode("overwrite").parquet(s"$outPath/vocab")
+          model = model2
         }
         ()
       }
@@ -1953,15 +1975,18 @@ object StreamOps {
     batchDocs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, tick: Long) =>
         if (!batch.isEmpty) {
           val b = batch.localCheckpoint(false) // count fold + scoring
-          pool = pin(TextOps.lmModelMerge(pool, b))
-          TextOps.importanceVerdicts(target, pool, b)
-            .write.mode("append").parquet(s"$outPath/verdicts")
-          pool.bigrams.write.mode("overwrite").parquet(s"$outPath/pool_bigrams")
-          pool.contexts.write.mode("overwrite").parquet(s"$outPath/pool_contexts")
-          pool.vocab.write.mode("overwrite").parquet(s"$outPath/pool_vocab")
+          val pool2 = pin(TextOps.lmModelMerge(pool, b))
+          TextOps.importanceVerdicts(target, pool2, b)
+            .write.mode("overwrite").parquet(s"$outPath/verdicts/tick=$tick")
+          pool2.bigrams.write.mode("overwrite")
+            .parquet(s"$outPath/pool_bigrams")
+          pool2.contexts.write.mode("overwrite")
+            .parquet(s"$outPath/pool_contexts")
+          pool2.vocab.write.mode("overwrite").parquet(s"$outPath/pool_vocab")
+          pool = pool2
         }
         ()
       }
@@ -2003,13 +2028,13 @@ object StreamOps {
     batchRecords.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, tick: Long) =>
         if (!batch.isEmpty) {
           val b = batch.localCheckpoint(false) // edges + verdict join + dim growth
           val resolved = DedupOps.incrementalEntityGroups(aliases, dim, b)
             .localCheckpoint(false) // verdict write + store update
           resolved.join(b.select(col("p_partkey")), Seq("p_partkey"), "left_semi")
-            .write.mode("append").parquet(s"$outPath/verdicts")
+            .write.mode("overwrite").parquet(s"$outPath/verdicts/tick=$tick")
           resolved.select(col("p_partkey"), col("entity_id"),
               col("n_members"), col("canonical_name"))
             .write.mode("overwrite").parquet(s"$outPath/store")

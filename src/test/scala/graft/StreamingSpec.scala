@@ -900,7 +900,9 @@ class StreamingSpec extends SparkSpec {
       assert(stillFlagged.size == 1 && stillFlagged.head._4 >= f1.length,
         s"the flood child stays flagged after round 1: $splits")
       // the splits sink records the event at the tick it happened
-      def events() = spark.read.parquet(s"$out/splits").collect()
+      def events() = spark.read.parquet(s"$out/splits")
+        .select(col("parent_list_id"), col("child_list_id"),
+          col("tick").cast("long")).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val ev1 = events()
       assert(ev1.nonEmpty && ev1.forall(_._3 == 1L),
@@ -959,12 +961,14 @@ class StreamingSpec extends SparkSpec {
         "tick-3 conservation")
       // restart contract (ADVICE r15): the per-tick index snapshot on
       // disk equals the carried index — a restart rebuilds from it
-      val snapAssign = spark.read.parquet(s"$out/index_assign")
+      val snapAssign = graft.engine.TickCommit
+        .readLatest(spark, out, "index_assign").get
         .groupBy(col("list_id")).count().collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(snapAssign == rep3.map(t => t._1 -> t._4).toMap,
         "the index_assign snapshot must mirror the carried per-list populations")
-      assert(spark.read.parquet(s"$out/index_centers").count() == rep3.size,
+      assert(graft.engine.TickCommit.readLatest(spark, out, "index_centers")
+          .get.count() == rep3.size,
         "the index_centers snapshot carries one row per live list")
     } finally q.stop()
     assert(SimilarityOps.indexBuilds == builds0,
@@ -1073,8 +1077,10 @@ class StreamingSpec extends SparkSpec {
     // the carried index (same codebook) — checked from the SINKS, the
     // restart-authoritative state
     def codesMatchIndex(at: String): Unit = {
-      val asg = spark.read.parquet(s"$out/index_assign").localCheckpoint(false)
-      val ctr = spark.read.parquet(s"$out/index_centers").localCheckpoint(false)
+      val asg = graft.engine.TickCommit
+        .readLatest(spark, out, "index_assign").get.localCheckpoint(false)
+      val ctr = graft.engine.TickCommit
+        .readLatest(spark, out, "index_centers").get.localCheckpoint(false)
       val curIdx = SimilarityOps.IvfIndex(asg, ctr, ctr.count().toInt)
       val scratch = SimilarityOps.pqEncodeWithList(cdcCb,
         SimilarityOps.residualFrame(curIdx))
@@ -1082,7 +1088,8 @@ class StreamingSpec extends SparkSpec {
         .map(r => r.getLong(0) ->
           ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
             r.getLong(5)))).toMap
-      assert(keyC(spark.read.parquet(s"$out/codes")) == keyC(scratch),
+      assert(keyC(graft.engine.TickCommit.readLatest(spark, out, "codes").get)
+          == keyC(scratch),
         s"$at: carried codes must equal a from-scratch encode of the carried index")
     }
     def report(tick: Long) = spark.read.parquet(s"$out/report")
@@ -1126,7 +1133,7 @@ class StreamingSpec extends SparkSpec {
       assert(rep1.map(_._4).sum == nStored + f0.length - victims.length,
         "tick-1 conservation: deletes leave, survivors absorb the rest")
       codesMatchIndex("after the deletion/merge tick")
-      assert(spark.read.parquet(s"$out/codes")
+      assert(graft.engine.TickCommit.readLatest(spark, out, "codes").get
           .join(victims.toSeq.toDF("vec_id"), Seq("vec_id"), "left_semi")
           .count() == 0L,
         "deleted vectors' code rows must be gone at their tick")
@@ -1143,12 +1150,15 @@ class StreamingSpec extends SparkSpec {
       codesMatchIndex("after the split tick")
       // the compressed read path serves from the carried codes at the
       // split tick — the q282 point, live
-      val asg2 = spark.read.parquet(s"$out/index_assign").localCheckpoint(false)
-      val ctr2 = spark.read.parquet(s"$out/index_centers").localCheckpoint(false)
+      val asg2 = graft.engine.TickCommit
+        .readLatest(spark, out, "index_assign").get.localCheckpoint(false)
+      val ctr2 = graft.engine.TickCommit
+        .readLatest(spark, out, "index_centers").get.localCheckpoint(false)
       val idx2 = SimilarityOps.IvfIndex(asg2, ctr2, ctr2.count().toInt)
       assert(SimilarityOps.ivfPqRecall(idx2, cdcCb,
           Tables.embeddings(spark, sf),
-          spark.read.parquet(s"$out/codes"), nQueries = 2, k = 5,
+          graft.engine.TickCommit.readLatest(spark, out, "codes").get,
+          nQueries = 2, k = 5,
           nProbe = 4).count() > 0L,
         "the compressed serving path answers from the repaired codes")
     } finally q.stop()
@@ -1812,9 +1822,11 @@ class StreamingSpec extends SparkSpec {
       input.addData(b2: _*)
       q.processAllAvailable()
     } finally q.stop()
-    val f = spark.read.parquet(s"$out/funnel").collect()
-      .map(r => (r.getAs[Long]("tick"), r.getAs[Long]("stage")) ->
-        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_dropped")))).toMap
+    val f = spark.read.parquet(s"$out/funnel")
+      .select(col("tick").cast("long").as("tick"), col("stage"),
+        col("n_docs"), col("n_dropped")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
     assert(f((0L, 0L)) == ((2L, 0L)) && f((0L, 3L)) == ((2L, 0L)),
       s"tick 0 admits both fresh docs: $f")
     assert(f((1L, 0L)) == ((3L, 0L)))
@@ -1859,27 +1871,33 @@ class StreamingSpec extends SparkSpec {
     // snapshots — the in-JVM vars are gone with q1
     val fps = spark.read.parquet(s"$out/fps").localCheckpoint(true)
     val sigs = spark.read.parquet(s"$out/sigs").localCheckpoint(true)
+    // a fresh checkpoint restarts tick numbering at 0, and the funnel
+    // sink is tick-partitioned-overwrite (replay-idempotent) — so a
+    // LOGICALLY new query takes a new sink root; only the durable
+    // stores carry over (resuming the SAME checkpoint would instead
+    // continue the tick numbering into the same root)
+    val out2 = java.nio.file.Files.createTempDirectory("graft_rst_out2_")
+      .toString + "/it"
     val in2 = MemoryStream[(Long, String)]
     val q2 = StreamOps.streamingIngestTick(in2.toDS().toDF("doc_id", "text"),
-      fps, sigs, out, ck2)
+      fps, sigs, out2, ck2)
     try {
       in2.addData((9400002L, k + " extras"), (9400003L, k))
       q2.processAllAvailable()
     } finally q2.stop()
     // the pre-restart keeper still guards: its exact copy drops at the
-    // exact stage, its near-dup at the sketch stage — across the
-    // restart. Both queries stamp their own tick 0, so assert on the
-    // row set (stage, counts) rather than a tick-keyed map.
-    val rows = spark.read.parquet(s"$out/funnel")
+    // exact stage, its near-dup at the sketch stage — across the restart
+    def rowsOf(root: String) = spark.read.parquet(s"$root/funnel")
       .select(col("stage"), col("n_docs"), col("n_dropped")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(rows.contains((3L, 1L, 0L)),
-      s"pre-restart tick admits its keeper end-to-end: $rows")
-    assert(rows.contains((0L, 2L, 0L)) && rows.contains((1L, 1L, 1L)),
-      s"post-restart: the reloaded fp store drops the exact copy: $rows")
-    assert(rows.contains((3L, 0L, 1L)),
-      s"post-restart: the reloaded sketch store drops the near-dup: $rows")
-    assert(spark.read.parquet(s"$out/fps").count() == fps.count(),
+    assert(rowsOf(out).contains((3L, 1L, 0L)),
+      s"pre-restart tick admits its keeper end-to-end: ${rowsOf(out)}")
+    assert(rowsOf(out2).contains((0L, 2L, 0L)) &&
+      rowsOf(out2).contains((1L, 1L, 1L)),
+      s"post-restart: the reloaded fp store drops the exact copy: ${rowsOf(out2)}")
+    assert(rowsOf(out2).contains((3L, 0L, 1L)),
+      s"post-restart: the reloaded sketch store drops the near-dup: ${rowsOf(out2)}")
+    assert(spark.read.parquet(s"$out2/fps").count() == fps.count(),
       "no new fingerprints: both post-restart docs were rejected")
   }
 
@@ -1917,9 +1935,11 @@ class StreamingSpec extends SparkSpec {
       input.addData(b2: _*)
       q.processAllAvailable()
     } finally q.stop()
-    val f = spark.read.parquet(s"$out/funnel").collect()
-      .map(r => (r.getAs[Long]("tick"), r.getAs[Long]("stage")) ->
-        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_dropped")))).toMap
+    val f = spark.read.parquet(s"$out/funnel")
+      .select(col("tick").cast("long").as("tick"), col("stage"),
+        col("n_docs"), col("n_dropped")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
     assert(f((0L, 0L)) == ((2L, 0L)) && f((0L, 3L)) == ((2L, 0L)),
       s"tick 0: both docs survive to near-dup: $f")
     assert(f((0L, 4L)) == ((1L, 1L)),
