@@ -704,6 +704,14 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(rep2.codes.count() == m.updated.assigned.count())
     // deletion path: the dropped victims' rows are GONE, not kept
     assert(rep2.codes.filter(col("vec_id").isin(victimIds: _*)).count() == 0L)
+    // MULTI-ROUND: the convergence loop may split across several
+    // rounds; one repair against (initial, final) still detects every
+    // stale row (staleness is content-diffed, not round-counted)
+    val loop = SimilarityOps.ivfRebalanceUntilBalanced(index, batch)
+    val rep3 = SimilarityOps.ivfPqCodesRepair(codes, index, loop.index, cb)
+    assert(key(rep3.codes) == key(SimilarityOps.pqEncodeWithList(cb,
+        SimilarityOps.residualFrame(loop.index))),
+      "one repair spans the whole convergence loop")
   }
 
   test("PQ v2 promotion: approved flip serves the v2 encode via the pointer; rejected gate is a no-op on artifacts") {
