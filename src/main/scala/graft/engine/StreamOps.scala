@@ -804,17 +804,21 @@ object StreamOps {
           reb.children
             .select(col("parent_list_id"), col("child_list_id"))
             .write.mode("overwrite").parquet(s"$outPath/splits/tick=$tick")
-          cur = SimilarityOps.IvfIndex(
+          val cur2 = SimilarityOps.IvfIndex(
             reb.updated.assigned.localCheckpoint(false),
             reb.updated.centers.localCheckpoint(false),
             reb.updated.nLists)
           // durable state IS the sinks (ADVICE r15), and the TWO index
           // frames commit ATOMICALLY (TickCommit — a crash between the
           // assign and centers writes must not leave a restart loading
-          // assignments against a different tick's centroid set)
+          // assignments against a different tick's centroid set); the
+          // carried var advances only after the seal, so an in-JVM
+          // retry recomputes from the pre-tick state
           TickCommit.stage(spark2, outPath, tick, Seq(
-            "index_assign" -> cur.assigned, "index_centers" -> cur.centers))
+            "index_assign" -> cur2.assigned,
+            "index_centers" -> cur2.centers))
           TickCommit.seal(spark2, outPath, tick)
+          cur = cur2
         }
         ()
       }
@@ -962,7 +966,7 @@ object StreamOps {
           // repair the codes table against the PRE-tick index the
           // stored codes were encoded under: deleted rows drop,
           // moved/re-centroided rows re-encode, the rest ride verbatim
-          codesCur = (codesCur, cb) match {
+          val codesNext = (codesCur, cb) match {
             case (Some(c), Some(book)) =>
               val r = SimilarityOps.ivfPqCodesRepair(c, cur, m.updated, book)
               r.report.write.mode("overwrite")
@@ -970,7 +974,7 @@ object StreamOps {
               Some(r.codes.localCheckpoint(false))
             case _ => codesCur
           }
-          cur = SimilarityOps.IvfIndex(
+          val cur2 = SimilarityOps.IvfIndex(
             m.updated.assigned.localCheckpoint(false),
             m.updated.centers.localCheckpoint(false),
             m.updated.nLists)
@@ -982,10 +986,12 @@ object StreamOps {
           // repair detects staleness by old-vs-new centroid diff — it
           // needs a consistent snapshot pair to diff against)
           TickCommit.stage(spark, outPath, tick, Seq(
-            "index_assign" -> cur.assigned,
-            "index_centers" -> cur.centers) ++
-            codesCur.map(c => "codes" -> c).toSeq)
+            "index_assign" -> cur2.assigned,
+            "index_centers" -> cur2.centers) ++
+            codesNext.map(c => "codes" -> c).toSeq)
           TickCommit.seal(spark, outPath, tick)
+          // vars advance only after the seal (in-JVM retry safety)
+          cur = cur2; codesCur = codesNext
         }
         ()
       }
@@ -1791,15 +1797,18 @@ object StreamOps {
             .agg(count(lit(1)).cast("long").as("n_docs"),
               sum(when(col("aligned"), 1L).otherwise(0L)).cast("long").as("n_aligned"),
               sum(when(col("aligned"), 0L).otherwise(1L)).cast("long").as("n_dropped"))
-          counts = (if (counts == null) tickCounts
+          // LOCAL successor; the var advances only after the write
+          // lands (an in-JVM retry must not double-fold the tick)
+          val counts2 = (if (counts == null) tickCounts
             else counts.unionByName(tickCounts)
               .groupBy(col("source"))
               .agg(sum(col("n_docs")).cast("long").as("n_docs"),
                 sum(col("n_aligned")).cast("long").as("n_aligned"),
                 sum(col("n_dropped")).cast("long").as("n_dropped")))
             .localCheckpoint(false) // next fold + report
-          counts.orderBy(col("source"))
+          counts2.orderBy(col("source"))
             .write.mode("overwrite").parquet(s"$outPath/accounting")
+          counts = counts2
         }
         ()
       }
@@ -1884,16 +1893,19 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val b = batch.localCheckpoint(false) // state fold + fp growth
-          state = CorpusOps.corpusCardIncrementalState(state, fps, b)
+          // fold into LOCAL successors; vars advance only after every
+          // write lands (an in-JVM retry must not double-fold)
+          val state2 = CorpusOps.corpusCardIncrementalState(state, fps, b)
             .drop("n_batch_docs")
             .localCheckpoint(false) // next fold + both snapshot writes
-          state.write.mode("overwrite").parquet(s"$outPath/state")
-          CorpusOps.cardFromState(state)
+          state2.write.mode("overwrite").parquet(s"$outPath/state")
+          CorpusOps.cardFromState(state2)
             .write.mode("overwrite").parquet(s"$outPath/card")
-          fps = fps.unionByName(DedupOps.fingerprintStore(b))
+          val fps2 = fps.unionByName(DedupOps.fingerprintStore(b))
             .groupBy(col("fp_md5")).agg(min(col("keeper_id")).as("keeper_id"))
             .localCheckpoint(false)
-          fps.write.mode("overwrite").parquet(s"$outPath/fprints")
+          fps2.write.mode("overwrite").parquet(s"$outPath/fprints")
+          state = state2; fps = fps2
         }
         ()
       }
