@@ -590,5 +590,25 @@ class PropertySpec extends SparkSpec {
         ev.filter(col("ts") >= lit(cs).cast("timestamp"))
           .localCheckpoint(false))
     }
+    // random quarantine round-trips (q290): EVERY store must restore
+    // row-identical (clean = the multiset-commitment identity) for
+    // arbitrary removal sets — restore ≡ the purge run backwards
+    (1 to 3).foreach { s =>
+      val rs = new Random(200 + s)
+      val rmUsers = (0 until 10).filter(_ => rs.nextBoolean()).map(_.toLong)
+      if (rmUsers.nonEmpty && rmUsers.size < 10) {
+        val rows = EventOps.userQuarantineRoundTrip(
+            ev, rmUsers.toDF("user_id"),
+            mani, sess, fun, ret, trans, attr).collect()
+        rows.foreach { r =>
+          assert(r.getBoolean(5),
+            s"rm=$rmUsers: ${r.getString(0)} must restore row-identical")
+          assert(r.getLong(4) == r.getLong(2),
+            s"rm=$rmUsers: ${r.getString(0)} restored mass must equal before")
+        }
+        assert(rows.exists(r => r.getLong(3) != r.getLong(2)),
+          s"rm=$rmUsers: the purge must have removed something")
+      }
+    }
   }
 }
