@@ -1634,14 +1634,18 @@ object SimilarityOps {
     * tag) — memoized, so repeated callers pay the gate once. Returns
     * (promoted, observed max churn). */
   @transient private var promoMemo
-    : Map[(SparkSession, String, Int, Int, Long), (Boolean, Long)] = Map.empty
+    : Map[(SparkSession, String, Int, Int, Int, Int, Long), (Boolean, Long)] =
+    Map.empty
 
   def ensurePqPromotion(embeddings: DataFrame, batch: DataFrame, tag: String,
                         m: Int = 4, k: Int = 16,
                         nQueries: Int = 5, topK: Int = 10,
                         maxChurnPerQuery: Long = 5L): (Boolean, Long) = {
     val spark = embeddings.sparkSession
-    val key = (spark, tag, m, k, maxChurnPerQuery)
+    // the full shadow-gate parameter set, matching shadowMemo's key
+    // (ADVICE r17): a later call with different nQueries/topK must
+    // re-run the gate, not inherit the first call's decision
+    val key = (spark, tag, m, k, nQueries, topK, maxChurnPerQuery)
     synchronized {
       promoMemo.get(key) match {
         case Some(r) => return r

@@ -795,7 +795,11 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
-        if (!batch.isEmpty) {
+        // replay guard (ADVICE r17): a crash after seal() but before
+        // Spark's commit-log write replays this tick against the
+        // POST-tick index a restart loads via readLatest — without the
+        // guard the batch's assignments append twice
+        if (!batch.isEmpty && !TickCommit.isCommitted(spark2, outPath, tick)) {
           val reb = SimilarityOps.ivfRebalanceApply(cur, batch, imbalanceFactor)
           // tick-partitioned overwrites: an at-least-once replay
           // rewrites its own partition, never appends duplicates
@@ -944,7 +948,10 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
-        if (!batch.isEmpty) {
+        // replay guard (ADVICE r17): crash-after-seal must not re-run
+        // the dels/splits/merges (and the codes repair) against the
+        // post-tick state a restart loads via readLatest
+        if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           val b = batch.localCheckpoint(false) // dels + adds + counts
           val dels = b.filter(col("op") === "del")
             .select(col("vec_id")).distinct()
@@ -1685,18 +1692,29 @@ object StreamOps {
     *
     * Scale: per-tick cost is the q247 bound — batch-sized scans, one
     * fp anti-join, the banded sketch probe; snapshots are store-sized.
-    * Durable state is the two snapshots, not executor memory: after a
-    * restart, reconstruct from `outPath/fps` and `outPath/sigs`. */
+    * Durable state is the two snapshots, not executor memory — and the
+    * PAIR commits atomically via [[TickCommit]] (ADVICE r17): a crash
+    * between independent fps/sigs writes would persist the admitted
+    * docs' fingerprints without their signatures, and on replay the
+    * fps exact-dup gate filters those docs so the sigs store never
+    * receives them (permanent loss — no write ordering fixes it;
+    * sigs-first makes replayed docs self-near-dup instead). After a
+    * restart, reconstruct via `TickCommit.readLatest(outPath,
+    * "fps"|"sigs")`. */
   def streamingIngestTick(batchDocs: DataFrame, storedFps: DataFrame,
                           storedSigs: DataFrame, outPath: String,
                           checkpointDir: String): StreamingQuery = {
+    val spark = batchDocs.sparkSession
     var fps = storedFps.select(col("fp_md5")).localCheckpoint(false)
     var sigs = storedSigs.localCheckpoint(false)
     batchDocs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
-        if (!batch.isEmpty) {
+        // crash-after-seal replay must not re-run the funnel against
+        // the POST-tick stores a restart loads (it would overwrite the
+        // tick's funnel ledger with all-dropped rows)
+        if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           val b = batch.localCheckpoint(false) // stages + report + fp growth
           val bSigs = DedupOps.minhashSignatures(b).localCheckpoint(false)
           val (exactKeep, gateKeep, ndKeep0) =
@@ -1709,8 +1727,9 @@ object StreamOps {
             .distinct().localCheckpoint(false)
           val sigs2 = sigs.unionByName(bSigs.join(admitted, "doc_id"))
             .localCheckpoint(false)
-          fps2.write.mode("overwrite").parquet(s"$outPath/fps")
-          sigs2.write.mode("overwrite").parquet(s"$outPath/sigs")
+          TickCommit.stage(spark, outPath, tick,
+            Seq("fps" -> fps2, "sigs" -> sigs2))
+          TickCommit.seal(spark, outPath, tick)
           fps = fps2; sigs = sigs2
         }
         ()
@@ -1731,13 +1750,16 @@ object StreamOps {
     * dedups against (asserted in StreamingSpec).
     *
     * Per-tick cost = q247's bound + one broadcast semi-join; durable
-    * state is the two snapshots, same restart contract as
-    * [[streamingIngestTick]]. `batchDocs` must carry (doc_id, text,
-    * source). */
+    * state is the two snapshots — committed ATOMICALLY per tick via
+    * [[TickCommit]] with a crash-after-seal replay guard, the same
+    * contract (and the same fps-without-sigs loss window it closes;
+    * ADVICE r17) as [[streamingIngestTick]]. `batchDocs` must carry
+    * (doc_id, text, source). */
   def streamingLicensedIngestTick(batchDocs: DataFrame, storedFps: DataFrame,
                                   storedSigs: DataFrame, licenseDim: DataFrame,
                                   outPath: String,
                                   checkpointDir: String): StreamingQuery = {
+    val spark = batchDocs.sparkSession
     var fps = storedFps.select(col("fp_md5")).localCheckpoint(false)
     var sigs = storedSigs.localCheckpoint(false)
     val dim = licenseDim.localCheckpoint(false) // static registry, pinned once
@@ -1745,7 +1767,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           val b = batch.localCheckpoint(false) // stages + report + fp growth
           val bSigs = DedupOps.minhashSignatures(b).localCheckpoint(false)
           val stages = CorpusOps.licensedIngestStages(fps, sigs, b, bSigs, dim)
@@ -1757,8 +1779,9 @@ object StreamOps {
             .distinct().localCheckpoint(false)
           val sigs2 = sigs.unionByName(bSigs.join(admitted, "doc_id"))
             .localCheckpoint(false)
-          fps2.write.mode("overwrite").parquet(s"$outPath/fps")
-          sigs2.write.mode("overwrite").parquet(s"$outPath/sigs")
+          TickCommit.stage(spark, outPath, tick,
+            Seq("fps" -> fps2, "sigs" -> sigs2))
+          TickCommit.seal(spark, outPath, tick)
           fps = fps2; sigs = sigs2
         }
         ()
@@ -1879,32 +1902,42 @@ object StreamOps {
     *
     * Scale: per micro-batch cost is one batch scan + a batch×fp-store
     * probe; the card snapshot is dimension-sized. Durable state is
-    * the card + fingerprint snapshots, not executor memory — after a
-    * restart, reconstruct from `outPath/state` and `outPath/fprints`
-    * (the in-JVM vars cache exactly those tables). */
+    * the state + fingerprint snapshots, not executor memory — and the
+    * pair (plus the derived display card) commits ATOMICALLY per tick
+    * via [[TickCommit]] (ADVICE r17): a crash between independent
+    * state/fprints writes would persist a state that already folded
+    * the batch next to a fingerprint store that never grew, so a
+    * replay from those snapshots double-counts the batch's docs (or,
+    * ordered the other way, drops them as dups before the fold —
+    * neither ordering is safe). After a restart, reconstruct via
+    * `TickCommit.readLatest(outPath, "state"|"fprints"|"card")`. */
   def streamingCorpusCard(batchDocs: DataFrame, storedState: DataFrame,
                           storedFprints: DataFrame, outPath: String,
                           checkpointDir: String): StreamingQuery = {
+    val spark = batchDocs.sparkSession
     var state = storedState.localCheckpoint(false)
     var fps = storedFprints.localCheckpoint(false)
     batchDocs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+      .foreachBatch { (batch: DataFrame, tick: Long) =>
+        // crash-after-seal replay guard: the fold is NOT idempotent
+        // against the post-tick snapshots a restart loads
+        if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           val b = batch.localCheckpoint(false) // state fold + fp growth
           // fold into LOCAL successors; vars advance only after every
           // write lands (an in-JVM retry must not double-fold)
           val state2 = CorpusOps.corpusCardIncrementalState(state, fps, b)
             .drop("n_batch_docs")
             .localCheckpoint(false) // next fold + both snapshot writes
-          state2.write.mode("overwrite").parquet(s"$outPath/state")
-          CorpusOps.cardFromState(state2)
-            .write.mode("overwrite").parquet(s"$outPath/card")
           val fps2 = fps.unionByName(DedupOps.fingerprintStore(b))
             .groupBy(col("fp_md5")).agg(min(col("keeper_id")).as("keeper_id"))
             .localCheckpoint(false)
-          fps2.write.mode("overwrite").parquet(s"$outPath/fprints")
+          TickCommit.stage(spark, outPath, tick, Seq(
+            "state" -> state2,
+            "card" -> CorpusOps.cardFromState(state2),
+            "fprints" -> fps2))
+          TickCommit.seal(spark, outPath, tick)
           state = state2; fps = fps2
         }
         ()

@@ -77,8 +77,27 @@ object TickCommit {
 
   /** Create the marker (the commit point), then prune every older
     * snapshot directory — committed predecessors and aborted stage
-    * leftovers alike are dead once tick N is durable. */
+    * leftovers alike are dead once tick N is durable.
+    *
+    * Refuses to seal BACKWARDS (ADVICE r17): [[latestTick]] takes the
+    * max and prune is strictly-below, so tick ids must grow
+    * monotonically for the outPath's lifetime. Restarting a query
+    * with a FRESH checkpoint directory (batch ids restart at 0)
+    * against an existing outPath would otherwise leave the old run's
+    * higher tick permanently authoritative — readLatest keeps serving
+    * the stale snapshot while new seals never prune it. The throw
+    * turns that silent stale-serve into a loud misconfiguration
+    * error: resume the original checkpoint, or take a fresh outPath. */
   def seal(spark: SparkSession, outPath: String, tick: Long): Unit = {
+    latestTick(spark, outPath).filter(_ > tick).foreach { latest =>
+      throw new IllegalStateException(
+        s"TickCommit: refusing to seal tick=$tick under $outPath — " +
+        s"tick=$latest is already committed. A fresh checkpoint dir " +
+        "restarts tick numbering at 0 and must not interleave with an " +
+        "old run's ticks: resume the original checkpoint, or point the " +
+        "restarted query at a fresh outPath (seeding it from " +
+        "readLatest of the old one).")
+    }
     val m = marker(outPath, tick)
     fsOf(spark, m).create(m, true).close()
     val root = new Path(s"$outPath/snap")

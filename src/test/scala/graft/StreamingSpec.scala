@@ -1773,7 +1773,7 @@ class StreamingSpec extends SparkSpec {
     def proj(rows: Array[org.apache.spark.sql.Row]) = rows
       .map(r => (r.getString(0), r.getString(1)) ->
         ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
-    val streamed = proj(spark.read.parquet(s"$out/card")
+    val streamed = proj(graft.engine.TickCommit.readLatest(spark, out, "card").get
       .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
         col("avg_quality_ppm"), col("n_exact_dups"), col("dup_rate")).collect())
     val rebuilt = proj(CorpusOps.corpusCard(docs.unionByName(
@@ -1836,8 +1836,9 @@ class StreamingSpec extends SparkSpec {
       s"the near-dup of tick 0's keeper must drop at the SKETCH stage: $f")
     // stores grew by exactly the three admitted docs
     val baseFps = DedupOps.fingerprintStore(docs).count()
-    assert(spark.read.parquet(s"$out/fps").count() == baseFps + 3)
-    assert(spark.read.parquet(s"$out/sigs").count() ==
+    assert(graft.engine.TickCommit.readLatest(spark, out, "fps").get.count() ==
+      baseFps + 3)
+    assert(graft.engine.TickCommit.readLatest(spark, out, "sigs").get.count() ==
       DedupOps.minhashSignatures(docs).count() + 3)
     // and the per-tick reports equal the batch API run sequentially
     val fps1 = DedupOps.fingerprintStore(docs)
@@ -1869,8 +1870,10 @@ class StreamingSpec extends SparkSpec {
     try { in1.addData((9400001L, k)); q1.processAllAvailable() } finally q1.stop()
     // RESTART: a brand-new query reconstructed from the durable
     // snapshots — the in-JVM vars are gone with q1
-    val fps = spark.read.parquet(s"$out/fps").localCheckpoint(true)
-    val sigs = spark.read.parquet(s"$out/sigs").localCheckpoint(true)
+    val fps = graft.engine.TickCommit.readLatest(spark, out, "fps")
+      .get.localCheckpoint(true)
+    val sigs = graft.engine.TickCommit.readLatest(spark, out, "sigs")
+      .get.localCheckpoint(true)
     // a fresh checkpoint restarts tick numbering at 0, and the funnel
     // sink is tick-partitioned-overwrite (replay-idempotent) — so a
     // LOGICALLY new query takes a new sink root; only the durable
@@ -1897,7 +1900,8 @@ class StreamingSpec extends SparkSpec {
       s"post-restart: the reloaded fp store drops the exact copy: ${rowsOf(out2)}")
     assert(rowsOf(out2).contains((3L, 0L, 1L)),
       s"post-restart: the reloaded sketch store drops the near-dup: ${rowsOf(out2)}")
-    assert(spark.read.parquet(s"$out2/fps").count() == fps.count(),
+    assert(graft.engine.TickCommit.readLatest(spark, out2, "fps").get.count() ==
+      fps.count(),
       "no new fingerprints: both post-restart docs were rejected")
   }
 
@@ -1953,9 +1957,9 @@ class StreamingSpec extends SparkSpec {
         s"the deny doc never seeded the store: $f")
     // stores grew by exactly the two admitted docs (tick 0 keeper +
     // tick 1 deny-text copy), never by any rejected doc
-    assert(spark.read.parquet(s"$out/fps").count() ==
+    assert(graft.engine.TickCommit.readLatest(spark, out, "fps").get.count() ==
       DedupOps.fingerprintStore(docs).count() + 2)
-    assert(spark.read.parquet(s"$out/sigs").count() ==
+    assert(graft.engine.TickCommit.readLatest(spark, out, "sigs").get.count() ==
       DedupOps.minhashSignatures(docs).count() + 2)
     // per-tick reports equal the batch API run sequentially
     val fps1 = DedupOps.fingerprintStore(docs)
@@ -1971,6 +1975,115 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(4)))).toMap
     (0L to 4L).foreach(st => assert(f((1L, st)) == expected2(st),
       s"tick 1 stage $st diverged from the batch API: ${f((1L, st))} vs ${expected2(st)}"))
+  }
+
+  test("ingest tick crash-after-seal: the replayed committed tick is skipped, not falsified") {
+    // The ADVICE r17 replay window: a crash AFTER TickCommit.seal but
+    // BEFORE Spark writes its commit log re-delivers the tick, and a
+    // restart loads the POST-tick stores via readLatest — so without
+    // the isCommitted guard the replayed funnel would drop every doc
+    // at the exact stage (they're already fingerprinted) and
+    // OVERWRITE the tick's honest ledger row with all-dropped rows.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{DedupOps, StreamOps, Tables, TickCommit}
+    val docs = Tables.documents(spark, sf)
+    val b = Seq(
+      (9600001L, "an admitted replay-window document about tidal energy " +
+        "turbines and their seasonal maintenance routines"),
+      (9600002L, "a second admitted document describing alpine railway " +
+        "snow clearance procedures in considerable detail"))
+    val out = java.nio.file.Files.createTempDirectory("graft_rpl_out_").toString + "/it"
+    val ck1 = java.nio.file.Files.createTempDirectory("graft_rpl_ck1_").toString
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = StreamOps.streamingIngestTick(in1.toDS().toDF("doc_id", "text"),
+      DedupOps.fingerprintStore(docs), DedupOps.minhashSignatures(docs), out, ck1)
+    try { in1.addData(b: _*); q1.processAllAvailable() } finally q1.stop()
+    assert(TickCommit.isCommitted(spark, out, 0L), "tick 0 sealed")
+    val fpsN = TickCommit.readLatest(spark, out, "fps").get.count()
+    // the replay: a restarted query (fresh checkpoint → tick ids
+    // restart at 0) reconstructed from readLatest, re-delivered the
+    // SAME batch against the SAME outPath — exactly what the crashed
+    // query's recovery does for the unacknowledged tick
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_rpl_ck2_").toString
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = StreamOps.streamingIngestTick(in2.toDS().toDF("doc_id", "text"),
+      TickCommit.readLatest(spark, out, "fps").get,
+      TickCommit.readLatest(spark, out, "sigs").get, out, ck2)
+    try { in2.addData(b: _*); q2.processAllAvailable() } finally q2.stop()
+    // guarded: the funnel ledger still shows the docs ADMITTED (the
+    // unguarded replay would rewrite stage 1 as (2 docs, 2 dropped))
+    val f = spark.read.parquet(s"$out/funnel")
+      .select(col("tick").cast("long"), col("stage"), col("n_docs"),
+        col("n_dropped")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(f((0L, 1L)) == ((2L, 0L)),
+      s"the committed tick's ledger must survive the replay untouched: $f")
+    assert(f((0L, 3L)) == ((2L, 0L)), s"both docs still admitted: $f")
+    assert(TickCommit.readLatest(spark, out, "fps").get.count() == fpsN,
+      "the replayed tick must not grow the stores")
+  }
+
+  test("IVF rebalance crash-after-seal: the replayed committed tick must not double-append") {
+    // Same ADVICE r17 window for the index sinks: readLatest hands the
+    // restart the POST-tick index, so an unguarded replay re-appends
+    // the batch's assignments (duplicate vec_ids, double-counted lists).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{SimilarityOps, StreamOps, Tables, TickCommit}
+    val emb = Tables.embeddings(spark, sf)
+    val index = SimilarityOps.ivfIndexFor(emb, tag = sf)
+    val feed = emb.filter(col("vec_id") % 11 === 4)
+      .select(col("vec_id") + lit(9700000L), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val out = java.nio.file.Files.createTempDirectory("graft_rrb_out_").toString + "/rb"
+    val ck1 = java.nio.file.Files.createTempDirectory("graft_rrb_ck1_").toString
+    val in1 = MemoryStream[(Long, Array[Float])]
+    val q1 = StreamOps.streamingIvfRebalance(
+      in1.toDS().toDF("vec_id", "embedding"), index, out, ck1)
+    try { in1.addData(feed.toSeq: _*); q1.processAllAvailable() } finally q1.stop()
+    val n1 = TickCommit.readLatest(spark, out, "index_assign").get.count()
+    assert(n1 == emb.count() + feed.length, "tick 0 appended the batch once")
+    // restart from the committed snapshot, fresh checkpoint, same
+    // outPath, same re-delivered batch
+    val restored = SimilarityOps.IvfIndex(
+      TickCommit.readLatest(spark, out, "index_assign").get.localCheckpoint(false),
+      TickCommit.readLatest(spark, out, "index_centers").get.localCheckpoint(false),
+      index.nLists)
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_rrb_ck2_").toString
+    val in2 = MemoryStream[(Long, Array[Float])]
+    val q2 = StreamOps.streamingIvfRebalance(
+      in2.toDS().toDF("vec_id", "embedding"), restored, out, ck2)
+    try { in2.addData(feed.toSeq: _*); q2.processAllAvailable() } finally q2.stop()
+    val after = TickCommit.readLatest(spark, out, "index_assign").get
+    assert(after.count() == n1,
+      "the guarded replay must leave the committed index untouched")
+    assert(after.select(col("vec_id")).distinct().count() == n1,
+      "no duplicate vec_ids after the replay")
+  }
+
+  test("TickCommit refuses to seal backwards against a later committed tick") {
+    // The ADVICE r17 fresh-checkpoint hazard: batch ids restart at 0,
+    // so sealing tick 0 under an outPath whose tick 5 is committed
+    // would leave tick 5 permanently authoritative (readLatest max)
+    // while the new run believes it is making progress.
+    import spark.implicits._
+    import graft.engine.TickCommit
+    val out = java.nio.file.Files.createTempDirectory("graft_bwd_out_").toString + "/tc"
+    TickCommit.stage(spark, out, 5L, Seq("t" -> Seq(1L).toDF("x")))
+    TickCommit.seal(spark, out, 5L)
+    TickCommit.stage(spark, out, 0L, Seq("t" -> Seq(2L).toDF("x")))
+    val e = intercept[IllegalStateException] { TickCommit.seal(spark, out, 0L) }
+    assert(e.getMessage.contains("refusing to seal"), e.getMessage)
+    assert(TickCommit.latestTick(spark, out).contains(5L),
+      "the old run's committed tick stays authoritative")
+    assert(TickCommit.readLatest(spark, out, "t").get.head().getLong(0) == 1L,
+      "readLatest still serves the committed snapshot")
+    // re-sealing the SAME tick (a legitimate replay shape) still works
+    TickCommit.seal(spark, out, 5L)
+    assert(TickCommit.latestTick(spark, out).contains(5L))
   }
 
   test("streaming cross-modal gate equals the q261 batch accounting across a micro-batch split") {
