@@ -254,6 +254,13 @@ object Bench {
     val maxHeapGb = Runtime.getRuntime.maxMemory / (1L << 30)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"failed":$failed,"pass_totals":$passTotals,"min_total_sec":$total,"baseline53_total_sec":$baseline53,"pass_loadavg":$passLoads,"pass_gc_sec":$passGc,"pass_storage_mem_mb":$passStorMem,"pass_storage_disk_mb":$passStorDisk,"jvm_max_heap_gb":$maxHeapGb,"warm_spread_sec":$warmSpread,"n_passes":${passes.size},"warm_best_gap_sec":$warmBestGap,"warm_minstab_gap_sec":$warmMinstabGap,"warm_converged_via":"$convergedVia","warm_converged":$warmConverged,"bench_wall_capped":$wallCapped,"bench_wall_sec":$benchElapsedSec,"sf":"$sfDir"}"""
     println(line)
+    // a COMPACT summary line LAST: the stdout capture keeps only a
+    // bounded tail, and ~290 per-query timings push the full line's
+    // opening brace out of it (BENCH_r15..r17 recorded parsed:null) —
+    // this line carries every scalar headline field in well under the
+    // tail window, with the per-query maps in the file named below
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(!_._3)},"min_total_sec":$total,"baseline53_total_sec":$baseline53,"jvm_max_heap_gb":$maxHeapGb,"warm_spread_sec":$warmSpread,"n_passes":${passes.size},"warm_best_gap_sec":$warmBestGap,"warm_minstab_gap_sec":$warmMinstabGap,"warm_converged_via":"$convergedVia","warm_converged":$warmConverged,"bench_wall_capped":$wallCapped,"bench_wall_sec":$benchElapsedSec,"queries_in":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+    println(compact)
     // also persist the full line to a file: the stdout capture path
     // truncates long runs (150 queries of per-query timings overflow
     // a bounded tail buffer), and the file keeps every number
