@@ -1027,6 +1027,95 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Data-constrained multi-epoch repetition schedule — when the
+    * training-token budget EXCEEDS the corpus (B = `budgetMult` × the
+    * total token mass), decide how many times each source repeats.
+    * Target per source is its temperature share of B (the
+    * [[temperatureMixWeights]] α=1/2 design: w = ⌊√tokens⌋, so small
+    * clean sources repeat more than their raw share), capped at
+    * `maxEpochs` full passes — the published diminishing-returns
+    * bound for repeated data (repeating beyond ~4 epochs is worth
+    * less than the compute it costs). The schedule is exact integer
+    * arithmetic end-to-end: target = (B div W)·w + ((B mod W)·w) div W
+    * — algebraically equal to ⌊B·w/W⌋ but every intermediate product
+    * stays under 2⁶³ even at 100 TB token masses (B·w itself would
+    * overflow; (B mod W)·w < W² ≈ 10¹⁷ for √-scale weights) — then
+    * full_epochs = min(maxEpochs, target div tokens) whole passes
+    * plus a `tail_tokens` partial pass, realized = full·tokens + tail
+    * = min(target, maxEpochs·tokens) exactly. Cost: one corpus scan +
+    * source-dimension algebra (catalog-scale at any corpus size).
+    * [[epochAdmission]] enforces this plan at document granularity. */
+  def epochSchedule(documents: DataFrame, budgetMult: Long = 2L,
+                    maxEpochs: Long = 4L): DataFrame = {
+    val per = documents
+      .select(col("source"),
+        size(expr(s"regexp_extract_all(text, '${TextOps.tokenRe}', 0)"))
+          .cast("long").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+           sum(col("n_toks")).cast("long").as("n_tokens"))
+      .withColumn("w_sqrt", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      .localCheckpoint(false) // totals + the final source-dim select
+    val tot = per.agg(sum(col("n_tokens")).cast("long").as("tot_tokens"),
+      sum(col("w_sqrt")).cast("long").as("tot_w"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("budget", (col("tot_tokens") * budgetMult).cast("long"))
+      // overflow-safe exact ⌊B·w/W⌋ (see scaladoc)
+      .withColumn("target_tokens",
+        (expr("budget div tot_w") * col("w_sqrt") +
+          expr("((budget % tot_w) * w_sqrt) div tot_w")).cast("long"))
+      .withColumn("full_epochs",
+        least(lit(maxEpochs), when(col("n_tokens") > 0,
+          expr("target_tokens div n_tokens")).otherwise(lit(0L))).cast("long"))
+      .withColumn("capped", col("target_tokens") > lit(maxEpochs) * col("n_tokens"))
+      .withColumn("realized_tokens",
+        least(col("target_tokens"), lit(maxEpochs) * col("n_tokens")).cast("long"))
+      .withColumn("tail_tokens",
+        (col("realized_tokens") - col("full_epochs") * col("n_tokens")).cast("long"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("w_sqrt"),
+        col("target_tokens"), col("full_epochs"), col("tail_tokens"),
+        col("realized_tokens"), col("capped"))
+      .orderBy(col("source"))
+  }
+
+  /** [[epochSchedule]] ENFORCED at document granularity — the q230
+    * admission pattern lifted to epochs: every doc repeats once per
+    * full epoch (admitted unconditionally), and the PARTIAL epoch
+    * (full_epochs + 1, present only when tail_tokens > 0) admits docs
+    * in ingest order while the per-source running token count stays
+    * within the tail — whole docs only, so the realized token mass
+    * per source is ≤ the schedule's by construction and the epoch
+    * column is the loader's repeat index. One per-source cumsum
+    * window (parallel across sources, no global order) + a
+    * source-dim broadcast join + a bounded explode (≤ maxEpochs + 1
+    * rows per doc — output is O(epochs·corpus), the size the training
+    * loader consumes anyway). */
+  def epochAdmission(documents: DataFrame, budgetMult: Long = 2L,
+                     maxEpochs: Long = 4L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sched = epochSchedule(documents, budgetMult, maxEpochs)
+      .select(col("source"), col("full_epochs"), col("tail_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"), col("source"),
+        size(expr(s"regexp_extract_all(text, '${TextOps.tokenRe}', 0)"))
+          .cast("long").as("n_toks"))
+      .withColumn("cum_tokens", sum(col("n_toks")).over(w))
+      .join(broadcast(sched), "source")
+      .withColumn("n_slots", (col("full_epochs") +
+        when(col("tail_tokens") > 0, 1L).otherwise(0L)).cast("long"))
+      .filter(col("n_slots") > 0)
+      .select(col("doc_id"), col("source"), col("n_toks"), col("cum_tokens"),
+        col("full_epochs"), col("tail_tokens"),
+        explode(expr("sequence(1L, n_slots)")).as("epoch"))
+      .withColumn("admitted",
+        col("epoch") <= col("full_epochs") || col("cum_tokens") <= col("tail_tokens"))
+      .select(col("doc_id"), col("source"), col("epoch"), col("n_toks"),
+        col("cum_tokens"), col("admitted"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
   /** Deterministic training-order shuffle — the loader-facing global
     * permutation: shuffle key = xxhash64(doc_id) (Spark's codegen'd
     * XXH64, seed 42 — the same chain the q94 split and q104 mix fate

@@ -132,4 +132,34 @@ object TickCommit {
                  name: String): Option[DataFrame] =
     latestTick(spark, outPath)
       .map(t => spark.read.parquet(s"${snapDir(outPath, t)}/$name"))
+
+  /** Seed a FRESH outPath from another run's latest committed
+    * snapshot — the remedy [[seal]]'s backwards-refusal prescribes,
+    * mechanized: a query restarted with a fresh checkpoint (batch ids
+    * back at 0) takes a new outPath, and this copies every frame of
+    * `fromOut`'s authoritative tick there, sealed at tick -1, so
+    * (a) [[readLatest]] on the new path serves the carried state
+    * immediately, before the first new tick lands, and (b) the new
+    * run's tick 0 seals strictly above the seed. Refuses a target
+    * that already has committed ticks ≥ 0 (seeding into a LIVE run is
+    * the same interleaving hazard the seal guard closes). Returns the
+    * tick the seed was taken from. Cost: one read+write per frame of
+    * one snapshot — the same bytes a tick write pays. */
+  def resumeInto(spark: SparkSession, fromOut: String, toOut: String): Long = {
+    val t = latestTick(spark, fromOut).getOrElse(throw new IllegalStateException(
+      s"TickCommit: nothing to resume — no committed tick under $fromOut"))
+    latestTick(spark, toOut).filter(_ >= 0L).foreach { busy =>
+      throw new IllegalStateException(
+        s"TickCommit: refusing to seed $toOut — tick=$busy is already " +
+        "committed there; resume targets must be fresh outPaths.")
+    }
+    val dir = new Path(snapDir(fromOut, t))
+    val fs = fsOf(spark, dir)
+    val frames = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_ != "_COMMITTED")
+    stage(spark, toOut, -1L, frames.map(n =>
+      n -> spark.read.parquet(s"${snapDir(fromOut, t)}/$n")))
+    seal(spark, toOut, -1L)
+    t
+  }
 }

@@ -1626,6 +1626,57 @@ object Catalog {
               |FROM cm JOIN a USING (source)
               |ORDER BY cm.doc_id""".stripMargin)),
 
+    // data-constrained epoch schedule: when the training budget
+    // EXCEEDS the corpus (B = 4× token mass), how many times each
+    // source repeats — temperature target (q124's ⌊√tokens⌋ weights)
+    // capped at 4 full epochs (the published diminishing-returns
+    // bound for repeated data) + an exact integer tail. The ⌊B·w/W⌋
+    // decomposition keeps every product under 2⁶³ at 100 TB masses;
+    // mult=4 sits on the upweight=1 boundary, so the oracle exercises
+    // capped and uncapped sources at every SF.
+    QuerySpec(
+      "q293_epoch_schedule",
+      (s, dir) => CorpusOps.epochSchedule(Tables.documents(s, dir),
+        budgetMult = 4L),
+      Some(s"""WITH $epochScheduleCtes
+              |SELECT source, n_docs, n_tokens, w_sqrt, target_tokens,
+              |       full_epochs,
+              |       CAST(realized_tokens - full_epochs * n_tokens AS BIGINT)
+              |         AS tail_tokens,
+              |       realized_tokens, capped
+              |FROM sch ORDER BY source""".stripMargin)),
+
+    // the q293 schedule ENFORCED at document granularity (the q230
+    // admission pattern lifted to epochs): full epochs admit every
+    // doc; the partial epoch admits in ingest order while the
+    // per-source cumsum stays within the tail — whole docs only, so
+    // per-source realized mass ≤ the schedule's by construction, and
+    // `epoch` is the loader's repeat index.
+    QuerySpec(
+      "q294_epoch_admission",
+      (s, dir) => CorpusOps.epochAdmission(Tables.documents(s, dir),
+        budgetMult = 4L),
+      Some(s"""WITH $epochScheduleCtes,
+              |cm AS (SELECT doc_id, source,
+              |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_toks,
+              |         CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9_]+')))
+              |           OVER (PARTITION BY source ORDER BY doc_id
+              |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              |       FROM documents),
+              |j AS (SELECT cm.doc_id, cm.source, cm.n_toks, cm.cum_tokens,
+              |        sch.full_epochs,
+              |        CAST(sch.realized_tokens - sch.full_epochs * sch.n_tokens
+              |          AS BIGINT) AS tail_tokens
+              |      FROM cm JOIN sch USING (source)),
+              |j2 AS (SELECT *, CAST(full_epochs +
+              |         CASE WHEN tail_tokens > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_slots
+              |       FROM j)
+              |SELECT doc_id, source, CAST(e.epoch AS BIGINT) AS epoch,
+              |       n_toks, cum_tokens,
+              |       (e.epoch <= full_epochs OR cum_tokens <= tail_tokens) AS admitted
+              |FROM j2, UNNEST(generate_series(1, n_slots)) AS e(epoch)
+              |ORDER BY doc_id, epoch""".stripMargin)),
+
     // leakage-safe split: near-dup clusters (the q61 demonstrator
     // closure) assign train/val/test as a UNIT via
     // xxhash64(cluster_id) — preventing at assignment time the
@@ -7868,6 +7919,33 @@ object Catalog {
     * gated by it): the integer water-fill CTE chain ending in
     * `a(source, n_docs, demand, alloc_tokens)`. One SQL text keeps
     * the two queries' allocations provably identical. */
+  /** Shared CTE chain for q293/q294: the data-constrained epoch
+    * schedule at budgetMult=4, maxEpochs=4 — per-source temperature
+    * target via the overflow-safe ⌊B·w/W⌋ decomposition
+    * (B div W)·w + ((B mod W)·w) div W, then the epoch split. mult=4
+    * sits ON the upweight=1 boundary, so sources smaller than average
+    * cap at 4 epochs and larger ones keep a partial tail — both
+    * branches live in the oracle at every SF. */
+  private val epochScheduleCtes: String =
+    """per AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |w AS (SELECT source, n_docs, n_tokens,
+      |        CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_sqrt FROM per),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+      |               CAST(SUM(w_sqrt) AS BIGINT) AS tot_w FROM w),
+      |tgt AS (SELECT source, n_docs, n_tokens, w_sqrt,
+      |          CAST(((4 * tot_tokens) // tot_w) * w_sqrt
+      |             + (((4 * tot_tokens) % tot_w) * w_sqrt) // tot_w AS BIGINT) AS target_tokens
+      |        FROM w CROSS JOIN tot),
+      |sch AS (SELECT source, n_docs, n_tokens, w_sqrt, target_tokens,
+      |          CAST(LEAST(4, CASE WHEN n_tokens > 0
+      |            THEN target_tokens // n_tokens ELSE 0 END) AS BIGINT) AS full_epochs,
+      |          (target_tokens > 4 * n_tokens) AS capped,
+      |          CAST(LEAST(target_tokens, 4 * n_tokens) AS BIGINT) AS realized_tokens
+      |        FROM tgt)""".stripMargin
+
   private val waterFillCtes: String =
     """dem AS (
       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -1398,6 +1398,44 @@ class CoreSpec extends SparkSpec {
       s"near-equal split: $tight")
   }
 
+  test("epoch schedule: temperature targets, 4-epoch cap, exact tails; admission enforces them") {
+    import spark.implicits._
+    def doc(id: Long, src: String, n: Int) = (id, ("tok " * n).trim, "en", src)
+    // tiny: 4 tokens (w=2); big: 100 tokens over two docs (w=10)
+    // T=104, W=12, B=2T=208:
+    //   target_tiny = ⌊208·2/12⌋ = 34 > 4·4  → capped, full=4, tail=0
+    //   target_big  = ⌊208·10/12⌋ = 173 < 400 → full=1, tail=73
+    val docs = Seq(doc(1, "tiny", 4), doc(2, "big", 64), doc(3, "big", 36))
+      .toDF("doc_id", "text", "lang", "source")
+    val sched = CorpusOps.epochSchedule(docs, budgetMult = 2L).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getBoolean(8))))
+      .toMap
+    assert(sched("tiny") == ((34L, 4L, 0L, 16L, true)),
+      s"small source caps at 4 full epochs, no tail: $sched")
+    assert(sched("big") == ((173L, 1L, 73L, 173L, false)),
+      s"big source: 1 full epoch + a 73-token tail: $sched")
+    // realized = target when uncapped, = maxEpochs·tokens when capped
+    assert(sched.values.forall { case (t, _, _, r, capped) =>
+      if (capped) r < t else r == t }, s"realized semantics: $sched")
+    val adm = CorpusOps.epochAdmission(docs, budgetMult = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getBoolean(5)).toMap
+    // tiny repeats all 4 epochs; big: epoch 1 whole, epoch 2 (the
+    // tail) admits doc 2 (cum 64 ≤ 73) and rejects doc 3 (cum 100)
+    assert(adm == Map(
+      (1L, 1L) -> true, (1L, 2L) -> true, (1L, 3L) -> true, (1L, 4L) -> true,
+      (2L, 1L) -> true, (2L, 2L) -> true,
+      (3L, 1L) -> true, (3L, 2L) -> false), s"$adm")
+    // enforcement invariant: per-source admitted token mass never
+    // exceeds the schedule's realized allocation
+    val massBySrc = CorpusOps.epochAdmission(docs, budgetMult = 2L)
+      .filter(col("admitted"))
+      .groupBy(col("source")).agg(sum(col("n_toks")).as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(massBySrc("tiny") == 16L && massBySrc("big") == 164L &&
+      massBySrc.forall { case (s, m) => m <= sched(s)._4 }, s"$massBySrc")
+  }
+
   test("rater kappa: perfect = 1e6, inverted = -1e6, degenerate marginals = NULL") {
     import spark.implicits._
     val en = "the and of to in"   // classifier guesses en

@@ -2086,6 +2086,54 @@ class StreamingSpec extends SparkSpec {
     assert(TickCommit.latestTick(spark, out).contains(5L))
   }
 
+  test("resumeInto seeds a fresh outPath whose new run continues the carried stores") {
+    // the remedy the backwards-seal error prescribes, mechanized: copy
+    // the old run's authoritative snapshot into a fresh outPath sealed
+    // at tick -1, so the restarted query's tick 0 seals above it and
+    // readLatest serves the seed before the first new tick lands.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{DedupOps, StreamOps, Tables, TickCommit}
+    val docs = Tables.documents(spark, sf)
+    val k = "a resumable keeper document cataloguing lighthouse lens " +
+      "maintenance intervals and coastal fog signal schedules"
+    val out1 = java.nio.file.Files.createTempDirectory("graft_rsm_out1_").toString + "/it"
+    val ck1 = java.nio.file.Files.createTempDirectory("graft_rsm_ck1_").toString
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = StreamOps.streamingIngestTick(in1.toDS().toDF("doc_id", "text"),
+      DedupOps.fingerprintStore(docs), DedupOps.minhashSignatures(docs), out1, ck1)
+    try { in1.addData((9800001L, k)); q1.processAllAvailable() } finally q1.stop()
+    val out2 = java.nio.file.Files.createTempDirectory("graft_rsm_out2_").toString + "/it"
+    assert(TickCommit.resumeInto(spark, out1, out2) == 0L,
+      "the seed reports which tick it carried")
+    assert(TickCommit.latestTick(spark, out2).contains(-1L))
+    assert(TickCommit.readLatest(spark, out2, "fps").get.count() ==
+      TickCommit.readLatest(spark, out1, "fps").get.count(),
+      "the seed serves the carried store before any new tick")
+    // a brand-new query against the seeded path: the old keeper still
+    // guards (its copy drops at the exact stage), and tick 0 seals
+    // cleanly above the tick=-1 seed
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_rsm_ck2_").toString
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = StreamOps.streamingIngestTick(in2.toDS().toDF("doc_id", "text"),
+      TickCommit.readLatest(spark, out2, "fps").get,
+      TickCommit.readLatest(spark, out2, "sigs").get, out2, ck2)
+    try { in2.addData((9800002L, k)); q2.processAllAvailable() } finally q2.stop()
+    assert(TickCommit.latestTick(spark, out2).contains(0L),
+      "the resumed run's tick 0 is now authoritative")
+    val f = spark.read.parquet(s"$out2/funnel")
+      .select(col("stage"), col("n_docs"), col("n_dropped")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(f.contains((1L, 0L, 1L)),
+      s"the pre-resume keeper drops its copy at the exact stage: $f")
+    // seeding into a path with committed ticks >= 0 refuses
+    val e = intercept[IllegalStateException] {
+      TickCommit.resumeInto(spark, out1, out2)
+    }
+    assert(e.getMessage.contains("refusing to seed"), e.getMessage)
+  }
+
   test("streaming cross-modal gate equals the q261 batch accounting across a micro-batch split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
