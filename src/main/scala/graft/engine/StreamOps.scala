@@ -721,11 +721,16 @@ object StreamOps {
     * micro-batch split folds to the one-shot report (StreamingSpec,
     * across a planted far-cluster boundary). State is nLists longs —
     * executor-memory-free at any corpus scale; durable state is the
-    * report + assign sinks (restart: rebuild counts from
-    * `outPath/assign` in one scan). */
+    * assign sink + the per-tick atomic counts/report snapshot
+    * ([[TickCommit]], r18): the old "rebuild counts from
+    * `outPath/assign`" restart recipe would double-fold the crashed
+    * tick (its assign partition is already written when the tick
+    * replays) — a restart loads `readLatest("counts")` instead, and
+    * a replayed committed tick is skipped whole. */
   def streamingIvfMaintain(vectors: DataFrame, index: SimilarityOps.IvfIndex,
                            outPath: String, checkpointDir: String,
                            imbalanceFactor: Long = 2L): StreamingQuery = {
+    val spark = vectors.sparkSession
     var counts = index.centers
       .select(col("c_list_id").cast("long").as("list_id"), lit(0L).as("n_new"))
       .localCheckpoint(false)
@@ -733,7 +738,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           val assigned = SimilarityOps.ivfIncrementalAssign(index, batch)
             .localCheckpoint(false) // sink write + count fold
           assigned.write.mode("overwrite").parquet(s"$outPath/assign/tick=$tick")
@@ -744,8 +749,11 @@ object StreamOps {
             .groupBy(col("list_id"))
             .agg(sum(col("n_new")).cast("long").as("n_new"))
             .localCheckpoint(false) // next fold + report
-          SimilarityOps.ivfAppendReport(index, counts2, imbalanceFactor)
-            .write.mode("overwrite").parquet(s"$outPath/report")
+          TickCommit.stage(spark, outPath, tick, Seq(
+            "counts" -> counts2,
+            "report" -> SimilarityOps.ivfAppendReport(index, counts2,
+              imbalanceFactor)))
+          TickCommit.seal(spark, outPath, tick)
           counts = counts2
         }
         ()
@@ -838,8 +846,8 @@ object StreamOps {
     * rows to `outPath/codes`, folds the tick's (list_id, subspace,
     * code) cell counts into the carried cumulative-cell state
     * ([[SimilarityOps.pqCodeCells]] — factored for exactly this), and
-    * rewrites the q256-shaped reconciliation report at
-    * `outPath/report` via [[SimilarityOps.ivfPqCellReport]].
+    * snapshots the q256-shaped reconciliation report
+    * ([[SimilarityOps.ivfPqCellReport]]) with the cells per tick.
     *
     * Stream ≡ batch by construction: the report is pure arithmetic
     * over per-cell COUNTS and counts are additive, so any micro-batch
@@ -848,13 +856,18 @@ object StreamOps {
     * is ≤ nLists·m·k cell rows (≤1024 here) — index-metadata-sized at
     * any corpus scale; the stored-codes side aggregates ONCE at start
     * (the persisted table is never re-scanned per tick). Durable
-    * state is the codes + report sinks (restart: rebuild cells from
-    * `outPath/codes` in one scan). */
+    * state is the codes sink + the per-tick atomic cells/report
+    * snapshot ([[TickCommit]], r18): the old "rebuild cells from
+    * `outPath/codes`" restart recipe would double-fold the crashed
+    * tick (its codes partition is already written when the tick
+    * replays) — restart via `readLatest("cells")`; a replayed
+    * committed tick is skipped whole. */
   def streamingIvfPqCodeMaintain(vectors: DataFrame,
                                  index: SimilarityOps.IvfIndex,
                                  cb: SimilarityOps.PqCodebook,
                                  storedCodes: DataFrame, outPath: String,
                                  checkpointDir: String): StreamingQuery = {
+    val spark = vectors.sparkSession
     val before = SimilarityOps.pqCodeCells(storedCodes, cb.m, "n_before")
       .localCheckpoint(false) // every tick's report reads it
     var cells = before.select(col("list_id"), col("subspace"), col("code"),
@@ -865,7 +878,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           val newCodes = SimilarityOps.ivfPqIncrementalCodes(index, cb, batch)
             .localCheckpoint(false) // sink write + cell fold
           // tick-partitioned overwrite (replay-idempotent), and the
@@ -878,8 +891,10 @@ object StreamOps {
             .groupBy(col("list_id"), col("subspace"), col("code"))
             .agg(sum(col("n_new")).cast("long").as("n_new"))
             .localCheckpoint(false) // next fold + report
-          SimilarityOps.ivfPqCellReport(before, cells2)
-            .write.mode("overwrite").parquet(s"$outPath/report")
+          TickCommit.stage(spark, outPath, tick, Seq(
+            "cells" -> cells2,
+            "report" -> SimilarityOps.ivfPqCellReport(before, cells2)))
+          TickCommit.seal(spark, outPath, tick)
           cells = cells2
         }
         ()
@@ -1796,21 +1811,29 @@ object StreamOps {
     * any verdict), appends tick-stamped per-doc verdicts to
     * `outPath/verdicts`, folds the tick's per-source counts into the
     * carried accounting state (additive — the q235 argument), and
-    * rewrites the q261-shaped conservation report at
-    * `outPath/accounting`. Stream ≡ batch by construction
-    * (StreamingSpec, across a split with the pinned mismatch pair on
-    * the boundary). State is source-count-sized; durable state is the
-    * two sinks (restart: rebuild counts from the verdict sink in one
-    * scan). */
+    * snapshots the q261-shaped conservation report with the counts
+    * per tick. Stream ≡ batch by construction (StreamingSpec, across
+    * a split with the pinned mismatch pair on the boundary). State is
+    * source-count-sized; durable state is the verdict sink + the
+    * atomic counts/accounting snapshot ([[TickCommit]], r18 — the old
+    * "rebuild counts from the verdict sink" recipe had no constructor
+    * seam to inject the rebuilt counts AND would double-fold the
+    * crashed tick's already-written verdict partition on replay).
+    * This sink SELF-RESUMES: a restart against the same outPath loads
+    * the committed counts snapshot automatically and the replayed
+    * committed tick is skipped whole. */
   def streamingCrossModalGate(docs: DataFrame, outPath: String,
                               checkpointDir: String, captionChars: Int = 64,
                               threshold: Double = 0.9): StreamingQuery = {
-    var counts: DataFrame = null
+    val spark = docs.sparkSession
+    var counts: DataFrame =
+      TickCommit.readLatest(spark, outPath, "counts")
+        .map(_.localCheckpoint(false)).orNull
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           val scores = MultimodalOps
             .crossModalScores(batch, captionChars, threshold)
             .localCheckpoint(false) // verdict sink + count fold
@@ -1829,8 +1852,10 @@ object StreamOps {
                 sum(col("n_aligned")).cast("long").as("n_aligned"),
                 sum(col("n_dropped")).cast("long").as("n_dropped")))
             .localCheckpoint(false) // next fold + report
-          counts2.orderBy(col("source"))
-            .write.mode("overwrite").parquet(s"$outPath/accounting")
+          TickCommit.stage(spark, outPath, tick, Seq(
+            "counts" -> counts2,
+            "accounting" -> counts2.orderBy(col("source"))))
+          TickCommit.seal(spark, outPath, tick)
           counts = counts2
         }
         ()
@@ -1852,11 +1877,16 @@ object StreamOps {
     * probed lists) + a batch-sized assignment append; the (vec_id,
     * list_id) snapshot rewrite is assignment-sized — the same cadence
     * as the persisted table a maintenance job would append to.
-    * Durable state is the snapshot, not executor memory: after a
-    * restart, rebuild the index frame from `outPath/assign` joined to
-    * the vector store. */
+    * Durable state is the per-tick atomic assign snapshot
+    * ([[TickCommit]], r18): after a restart, rebuild the index frame
+    * from `readLatest("assign")` joined to the vector store. The
+    * growth itself is replay-convergent (a keeper probing an index
+    * that already contains it flags dup and is not re-added), but an
+    * unguarded replay would overwrite the tick's verdict ledger with
+    * all-dup rows — the guard keeps the ledger honest. */
   def streamingSemanticDedup(vectors: DataFrame, stored: SimilarityOps.IvfIndex,
                              outPath: String, checkpointDir: String): StreamingQuery = {
+    val spark = vectors.sparkSession
     val cols = Seq(col("vec_id"), col("vec"), col("norm"), col("list_id"))
     var index = SimilarityOps.IvfIndex(
       stored.assigned.select(cols: _*).localCheckpoint(false),
@@ -1865,7 +1895,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           val b = batch.localCheckpoint(false) // probe + keeper assign
           val verdicts = SimilarityOps.ivfSemanticProbe(index, b)
             .localCheckpoint(false) // verdict write + keeper semi-join
@@ -1879,8 +1909,9 @@ object StreamOps {
               .join(SimilarityOps.ivfIncrementalAssign(index, keepers), "vec_id")
               .select(cols: _*))
             .localCheckpoint(false) // next probe + snapshot write
-          grown.select(col("vec_id"), col("list_id"))
-            .write.mode("overwrite").parquet(s"$outPath/assign")
+          TickCommit.stage(spark, outPath, tick, Seq(
+            "assign" -> grown.select(col("vec_id"), col("list_id"))))
+          TickCommit.seal(spark, outPath, tick)
           index = SimilarityOps.IvfIndex(grown, index.centers, index.nLists)
         }
         ()
@@ -1958,11 +1989,19 @@ object StreamOps {
     *
     * Scale: per micro-batch cost is one batch tokenize scan +
     * model-bounded merges; snapshots are model-sized. Durable state
-    * is the snapshot triple, not executor memory — after a restart,
-    * reconstruct the query from `outPath/bigrams|contexts|vocab`
-    * (the in-JVM var caches exactly those tables). */
+    * is the snapshot triple — committed ATOMICALLY per tick via
+    * [[TickCommit]] (r18): the merge is NOT idempotent, so the three
+    * independent fixed-path writes this sink used to make carried
+    * both failure modes the takedown protocol closed — a crash
+    * BETWEEN the frame writes persisted a mixed-tick model (bigrams
+    * merged, contexts not: corrupt probabilities forever), and a
+    * crash after all three persisted but before Spark's commit log
+    * re-merged the batch on replay (double-counted n). A restart
+    * reconstructs from `readLatest("bigrams"|"contexts"|"vocab")`;
+    * a replayed committed tick is skipped whole. */
   def streamingLmMaintain(batchDocs: DataFrame, stored: TextOps.LmModel,
                           outPath: String, checkpointDir: String): StreamingQuery = {
+    val spark = batchDocs.sparkSession
     def pin(m: TextOps.LmModel): TextOps.LmModel = TextOps.LmModel(
       m.bigrams.localCheckpoint(false),
       m.contexts.localCheckpoint(false),
@@ -1972,14 +2011,16 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           val b = batch.localCheckpoint(false) // count fold + scoring
           val model2 = pin(TextOps.lmModelMerge(model, b))
           TextOps.lmScoreWith(model2, b)
             .write.mode("overwrite").parquet(s"$outPath/scores/tick=$tick")
-          model2.bigrams.write.mode("overwrite").parquet(s"$outPath/bigrams")
-          model2.contexts.write.mode("overwrite").parquet(s"$outPath/contexts")
-          model2.vocab.write.mode("overwrite").parquet(s"$outPath/vocab")
+          TickCommit.stage(spark, outPath, tick, Seq(
+            "bigrams" -> model2.bigrams,
+            "contexts" -> model2.contexts,
+            "vocab" -> model2.vocab))
+          TickCommit.seal(spark, outPath, tick)
           model = model2
         }
         ()
@@ -2000,17 +2041,20 @@ object StreamOps {
     * p_raw rises and its weight — hence its deterministic acceptance
     * rate — falls, which is precisely DSIR's behavior when the raw
     * distribution drifts. Verdicts append; the pool snapshot
-    * rewrites per batch.
+    * commits ATOMICALLY per tick.
     *
     * Scale: per micro-batch one batch tokenize + model-bounded
-    * merges/joins; durable state is the pool snapshot triple, not
-    * executor memory — after restart, rebuild the query from
-    * `outPath/pool_*` (the in-JVM var caches exactly those tables). */
+    * merges/joins; durable state is the pool snapshot triple via
+    * [[TickCommit]] (r18 — same non-idempotent-merge crash matrix as
+    * [[streamingLmMaintain]]): restart from
+    * `readLatest("pool_bigrams"|"pool_contexts"|"pool_vocab")`;
+    * a replayed committed tick is skipped whole. */
   def streamingImportanceResample(batchDocs: DataFrame,
                                   targetModel: TextOps.LmModel,
                                   storedPool: TextOps.LmModel,
                                   outPath: String,
                                   checkpointDir: String): StreamingQuery = {
+    val spark = batchDocs.sparkSession
     def pin(m: TextOps.LmModel): TextOps.LmModel = TextOps.LmModel(
       m.bigrams.localCheckpoint(false),
       m.contexts.localCheckpoint(false),
@@ -2021,16 +2065,16 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           val b = batch.localCheckpoint(false) // count fold + scoring
           val pool2 = pin(TextOps.lmModelMerge(pool, b))
           TextOps.importanceVerdicts(target, pool2, b)
             .write.mode("overwrite").parquet(s"$outPath/verdicts/tick=$tick")
-          pool2.bigrams.write.mode("overwrite")
-            .parquet(s"$outPath/pool_bigrams")
-          pool2.contexts.write.mode("overwrite")
-            .parquet(s"$outPath/pool_contexts")
-          pool2.vocab.write.mode("overwrite").parquet(s"$outPath/pool_vocab")
+          TickCommit.stage(spark, outPath, tick, Seq(
+            "pool_bigrams" -> pool2.bigrams,
+            "pool_contexts" -> pool2.contexts,
+            "pool_vocab" -> pool2.vocab))
+          TickCommit.seal(spark, outPath, tick)
           pool = pool2
         }
         ()
@@ -2061,33 +2105,41 @@ object StreamOps {
     * Scale: per micro-batch cost is the q226 bound (batch + touched
     * groups); the store snapshot write is dim-sized, the same
     * overwrite cadence as the q80 streaming MV maintain. Durable
-    * state is the store SNAPSHOT, not executor memory — after a
-    * restart, reconstruct the query passing the last snapshot
-    * (`outPath/store`) as `storedAliases` (the in-JVM vars are a
-    * session-lifetime cache of exactly that table). */
+    * state is the per-tick ATOMIC (store, dim) snapshot pair
+    * ([[TickCommit]], r18): the old contract snapshotted only the
+    * alias store, so a restart silently FORGOT the streamed records'
+    * names (the grown dim lived in executor memory alone — a later
+    * record within match distance of an earlier streamed record could
+    * no longer bridge), and an unguarded replay re-unioned the batch
+    * into the dim (duplicate dim rows inflate n_members). After a
+    * restart, pass `readLatest("store")` as `storedAliases` and
+    * `readLatest("dim")` as `storedDim`; a replayed committed tick is
+    * skipped whole. */
   def streamingEntityResolution(batchRecords: DataFrame, storedAliases: DataFrame,
                                 storedDim: DataFrame, outPath: String,
                                 checkpointDir: String): StreamingQuery = {
+    val spark = batchRecords.sparkSession
     var aliases = storedAliases.localCheckpoint(false)
     var dim = storedDim.localCheckpoint(false)
     batchRecords.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           val b = batch.localCheckpoint(false) // edges + verdict join + dim growth
           val resolved = DedupOps.incrementalEntityGroups(aliases, dim, b)
             .localCheckpoint(false) // verdict write + store update
           resolved.join(b.select(col("p_partkey")), Seq("p_partkey"), "left_semi")
             .write.mode("overwrite").parquet(s"$outPath/verdicts/tick=$tick")
-          resolved.select(col("p_partkey"), col("entity_id"),
-              col("n_members"), col("canonical_name"))
-            .write.mode("overwrite").parquet(s"$outPath/store")
-          aliases = resolved.select(col("p_partkey"), col("entity_id"),
+          val aliases2 = resolved.select(col("p_partkey"), col("entity_id"),
             col("n_members"), col("canonical_name")).localCheckpoint(false)
-          dim = dim.unionByName(
+          val dim2 = dim.unionByName(
               b.select(col("p_partkey"), col("p_name"), col("p_brand")))
             .localCheckpoint(false)
+          TickCommit.stage(spark, outPath, tick, Seq(
+            "store" -> aliases2, "dim" -> dim2))
+          TickCommit.seal(spark, outPath, tick)
+          aliases = aliases2; dim = dim2
         }
         ()
       }

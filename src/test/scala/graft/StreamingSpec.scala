@@ -805,7 +805,8 @@ class StreamingSpec extends SparkSpec {
     val builds0 = SimilarityOps.indexBuilds
     val q = StreamOps.streamingIvfMaintain(
       input.toDS().toDF("vec_id", "embedding"), index, out, ckpt)
-    def report() = spark.read.parquet(s"$out/report").collect()
+    def report() = graft.engine.TickCommit.readLatest(spark, out, "report")
+      .get.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4), r.getBoolean(5))).sortBy(_._1).toSeq
     try {
@@ -1007,7 +1008,8 @@ class StreamingSpec extends SparkSpec {
     def proj(rows: Array[org.apache.spark.sql.Row]) = rows
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
         ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
-    val streamed = proj(spark.read.parquet(s"$out/report").collect())
+    val streamed = proj(graft.engine.TickCommit.readLatest(spark, out, "report")
+      .get.collect())
     val oneShot = proj(SimilarityOps.ivfPqCodeMaintain(storedCodes,
       SimilarityOps.ivfPqIncrementalCodes(index, cb, batch)).collect())
     assert(streamed == oneShot,
@@ -1718,7 +1720,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     def proj(rows: Array[org.apache.spark.sql.Row]) = rows
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
-    val streamedStore = proj(spark.read.parquet(s"$out/store")
+    val streamedStore = proj(graft.engine.TickCommit.readLatest(spark, out, "store").get
       .select(col("p_partkey"), col("entity_id"), col("n_members"), col("canonical_name"))
       .collect())
     val oneShot = proj(DedupOps.incrementalEntityGroups(
@@ -2162,7 +2164,8 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     def proj(rows: Array[org.apache.spark.sql.Row]) = rows
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-    val streamed = proj(spark.read.parquet(s"$out/accounting")
+    val streamed = proj(
+      graft.engine.TickCommit.readLatest(spark, out, "accounting").get
       .select(col("source"), col("n_docs"), col("n_aligned"), col("n_dropped"))
       .collect())
     val batch = proj(MultimodalOps.crossModalAlignmentGate(
@@ -2214,8 +2217,8 @@ class StreamingSpec extends SparkSpec {
       s"cross-batch copy must flag dup to the earlier KEEPER: ${v(9200003L)}")
     assert(!v(9200004L)._1, s"second novel must pass: ${v(9200004L)}")
     // index grew by exactly the two keepers; dups never entered
-    val assignedIds = spark.read.parquet(s"$out/assign")
-      .collect().map(_.getLong(0)).toSet
+    val assignedIds = graft.engine.TickCommit.readLatest(spark, out, "assign")
+      .get.collect().map(_.getLong(0)).toSet
     assert(assignedIds.contains(9200001L) && assignedIds.contains(9200004L))
     assert(!assignedIds.contains(9200002L) && !assignedIds.contains(9200003L))
     assert(assignedIds.size == emb.count().toInt + 2)
@@ -2267,7 +2270,8 @@ class StreamingSpec extends SparkSpec {
       pool0Docs.unionByName((b1 ++ b2).toDF("doc_id", "text")))
     def biSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
-    assert(biSet(spark.read.parquet(s"$out/pool_bigrams")) == biSet(retrain.bigrams),
+    assert(biSet(graft.engine.TickCommit.readLatest(spark, out, "pool_bigrams").get)
+        == biSet(retrain.bigrams),
       "final pool snapshot must equal the full retrain")
   }
 
@@ -2312,10 +2316,46 @@ class StreamingSpec extends SparkSpec {
       docs.unionByName((b1 ++ b2).toDF("doc_id", "text")))
     def biSet(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
-    assert(biSet(spark.read.parquet(s"$out/bigrams")) == biSet(retrain.bigrams),
+    assert(biSet(graft.engine.TickCommit.readLatest(spark, out, "bigrams").get)
+        == biSet(retrain.bigrams),
       "final bigram snapshot must equal the full retrain")
-    assert(spark.read.parquet(s"$out/vocab").collect().map(_.getString(0)).toSet ==
+    assert(graft.engine.TickCommit.readLatest(spark, out, "vocab").get
+        .collect().map(_.getString(0)).toSet ==
       retrain.vocab.collect().map(_.getString(0)).toSet)
+  }
+
+  test("LM maintenance crash-after-seal: the replayed committed tick must not re-merge") {
+    // the merge is NOT idempotent: a replay against the post-tick
+    // model a restart loads via readLatest would double-count every
+    // bigram of the batch — the r18 guard skips the committed tick.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{StreamOps, Tables, TextOps, TickCommit}
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val b = Seq((9900001L, "qqzv gamma delta epsilon"))
+    val out = java.nio.file.Files.createTempDirectory("graft_rlm_out_").toString + "/lm"
+    val ck1 = java.nio.file.Files.createTempDirectory("graft_rlm_ck1_").toString
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = StreamOps.streamingLmMaintain(
+      in1.toDS().toDF("doc_id", "text"), TextOps.lmModel(docs), out, ck1)
+    try { in1.addData(b: _*); q1.processAllAvailable() } finally q1.stop()
+    def bigrams() = TickCommit.readLatest(spark, out, "bigrams").get.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val once = bigrams()
+    assert(once(("qqzv", "gamma")) == 1L, s"merged once: ${once.size} bigrams")
+    // replay the committed tick: restart-from-readLatest, fresh
+    // checkpoint (tick 0 again), same outPath, same batch
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_rlm_ck2_").toString
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = StreamOps.streamingLmMaintain(
+      in2.toDS().toDF("doc_id", "text"),
+      TextOps.LmModel(TickCommit.readLatest(spark, out, "bigrams").get,
+        TickCommit.readLatest(spark, out, "contexts").get,
+        TickCommit.readLatest(spark, out, "vocab").get), out, ck2)
+    try { in2.addData(b: _*); q2.processAllAvailable() } finally q2.stop()
+    assert(bigrams() == once,
+      "the guarded replay must not double-merge the batch's counts")
   }
 
   test("streaming gate verdicts equal the batch gate across a micro-batch boundary") {
