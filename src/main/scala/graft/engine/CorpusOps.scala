@@ -1091,7 +1091,16 @@ object CorpusOps {
     * rows per doc — output is O(epochs·corpus), the size the training
     * loader consumes anyway). */
   def epochAdmission(documents: DataFrame, budgetMult: Long = 2L,
-                     maxEpochs: Long = 4L): DataFrame = {
+                     maxEpochs: Long = 4L): DataFrame =
+    epochAdmissionRows(documents, budgetMult, maxEpochs)
+      .orderBy(col("doc_id"), col("epoch"))
+
+  /** The UNORDERED admission rows — [[epochAdmission]] adds the
+    * display sort; [[epochTrainingOrder]] consumes these directly so
+    * its shard hash-partitioning isn't preceded by a thrown-away
+    * global range sort (plan-audited). */
+  private def epochAdmissionRows(documents: DataFrame, budgetMult: Long,
+                                 maxEpochs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sched = epochSchedule(documents, budgetMult, maxEpochs)
       .select(col("source"), col("full_epochs"), col("tail_tokens"))
@@ -1113,7 +1122,34 @@ object CorpusOps {
         col("epoch") <= col("full_epochs") || col("cum_tokens") <= col("tail_tokens"))
       .select(col("doc_id"), col("source"), col("epoch"), col("n_toks"),
         col("cum_tokens"), col("admitted"))
-      .orderBy(col("doc_id"), col("epoch"))
+  }
+
+  /** The loader-facing composition of [[epochAdmission]] and
+    * [[seededShuffle]]: the admitted (doc, epoch) pairs become the
+    * actual training order. The epoch FOLDS INTO THE KEY DOMAIN —
+    * shuffle key = xxhash64(doc_id·8 + epoch), injective while
+    * epoch < 8 (epochs are capped at maxEpochs + 1 ≤ 5) — so each
+    * epoch's pass is an independent deterministic permutation (the
+    * epoch-reshuffle property) while staying a SINGLE-long hash the
+    * oracle replays bit-exactly through the existing XXH64 chain.
+    * Same scale shape as [[seededShuffle]]: no global sort — the
+    * permutation is (shard, pos_in_shard), one hash-partitioned
+    * shuffle + in-partition sort. */
+  def epochTrainingOrder(documents: DataFrame, budgetMult: Long = 4L,
+                         maxEpochs: Long = 4L, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = epochAdmissionRows(documents, budgetMult, maxEpochs)
+      .filter(col("admitted"))
+      .select(col("doc_id"), col("epoch"))
+      .withColumn("shuffle_key", xxhash64(col("doc_id") * 8L + col("epoch")))
+      .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_key"), col("doc_id"), col("epoch"))
+    keyed
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("epoch"), col("shuffle_key"), col("shard"),
+        col("pos"))
+      .orderBy(col("shard"), col("pos"))
   }
 
   /** Deterministic training-order shuffle — the loader-facing global

@@ -1656,26 +1656,21 @@ object Catalog {
       "q294_epoch_admission",
       (s, dir) => CorpusOps.epochAdmission(Tables.documents(s, dir),
         budgetMult = 4L),
-      Some(s"""WITH $epochScheduleCtes,
-              |cm AS (SELECT doc_id, source,
-              |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_toks,
-              |         CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9_]+')))
-              |           OVER (PARTITION BY source ORDER BY doc_id
-              |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
-              |       FROM documents),
-              |j AS (SELECT cm.doc_id, cm.source, cm.n_toks, cm.cum_tokens,
-              |        sch.full_epochs,
-              |        CAST(sch.realized_tokens - sch.full_epochs * sch.n_tokens
-              |          AS BIGINT) AS tail_tokens
-              |      FROM cm JOIN sch USING (source)),
-              |j2 AS (SELECT *, CAST(full_epochs +
-              |         CASE WHEN tail_tokens > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_slots
-              |       FROM j)
-              |SELECT doc_id, source, CAST(e.epoch AS BIGINT) AS epoch,
-              |       n_toks, cum_tokens,
-              |       (e.epoch <= full_epochs OR cum_tokens <= tail_tokens) AS admitted
-              |FROM j2, UNNEST(generate_series(1, n_slots)) AS e(epoch)
-              |ORDER BY doc_id, epoch""".stripMargin)),
+      Some(s"""WITH $epochAdmissionCtes
+              |SELECT doc_id, source, epoch, n_toks, cum_tokens, admitted
+              |FROM adm ORDER BY doc_id, epoch""".stripMargin)),
+
+    // the loader-facing composition: admitted (doc, epoch) pairs →
+    // the actual training order. Epoch folds into the key domain
+    // (xxhash64(doc_id·8 + epoch), injective at epochs ≤ 5) so each
+    // pass is an independent deterministic permutation replayable
+    // through the same bit-exact XXH64 chain as q141; shard/pos is
+    // the no-global-sort permutation shape.
+    QuerySpec(
+      "q295_epoch_order",
+      (s, dir) => CorpusOps.epochTrainingOrder(Tables.documents(s, dir),
+        budgetMult = 4L),
+      Some(q295OracleSql)),
 
     // leakage-safe split: near-dup clusters (the q61 demonstrator
     // closure) assign train/val/test as a UNIT via
@@ -7945,6 +7940,49 @@ object Catalog {
       |          (target_tokens > 4 * n_tokens) AS capped,
       |          CAST(LEAST(target_tokens, 4 * n_tokens) AS BIGINT) AS realized_tokens
       |        FROM tgt)""".stripMargin
+
+  /** q293's schedule extended to document granularity, ending in
+    * `adm(doc_id, source, epoch, n_toks, cum_tokens, admitted)` —
+    * shared by q294 (the admission report itself) and q295 (the
+    * training order built from the admitted pairs), so the two
+    * queries' admissions are provably identical. */
+  private val epochAdmissionCtes: String =
+    s"""$epochScheduleCtes,
+       |cm AS (SELECT doc_id, source,
+       |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_toks,
+       |         CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9_]+')))
+       |           OVER (PARTITION BY source ORDER BY doc_id
+       |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |       FROM documents),
+       |j AS (SELECT cm.doc_id, cm.source, cm.n_toks, cm.cum_tokens,
+       |        sch.full_epochs,
+       |        CAST(sch.realized_tokens - sch.full_epochs * sch.n_tokens
+       |          AS BIGINT) AS tail_tokens
+       |      FROM cm JOIN sch USING (source)),
+       |j2 AS (SELECT *, CAST(full_epochs +
+       |         CASE WHEN tail_tokens > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_slots
+       |       FROM j),
+       |adm AS (SELECT doc_id, source, CAST(e.epoch AS BIGINT) AS epoch,
+       |          n_toks, cum_tokens,
+       |          (e.epoch <= full_epochs OR cum_tokens <= tail_tokens) AS admitted
+       |        FROM j2, UNNEST(generate_series(1, n_slots)) AS e(epoch))""".stripMargin
+
+  /** q295: the XXH64 chain over the epoch-folded key doc_id·8+epoch,
+    * shard/pos exactly as q141's oracle. */
+  private val q295OracleSql: String = {
+    import Xxh64DocIdSql.{chainFrom, tos}
+    s"""WITH $epochAdmissionCtes,
+       |${chainFrom(
+        "SELECT doc_id, epoch, CAST(doc_id * 8 + epoch AS HUGEINT) AS k " +
+          "FROM adm WHERE admitted", "doc_id, epoch")},
+       |kk AS (SELECT doc_id, epoch, ${tos("h8")} AS shuffle_key FROM s10),
+       |sh AS (SELECT doc_id, epoch, shuffle_key,
+       |         CAST(((shuffle_key % 8) + 8) % 8 AS BIGINT) AS shard FROM kk)
+       |SELECT doc_id, epoch, shuffle_key, shard,
+       |       CAST(row_number() OVER (PARTITION BY shard
+       |           ORDER BY shuffle_key, doc_id, epoch) AS BIGINT) AS pos
+       |FROM sh ORDER BY shard, pos""".stripMargin
+  }
 
   private val waterFillCtes: String =
     """dem AS (

@@ -1434,6 +1434,20 @@ class CoreSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(massBySrc("tiny") == 16L && massBySrc("big") == 164L &&
       massBySrc.forall { case (s, m) => m <= sched(s)._4 }, s"$massBySrc")
+    // training order: one row per admitted pair, dense per-shard
+    // positions, and the epoch-reshuffle property (an epoch is not a
+    // replay of the previous epoch's key order)
+    val ord = CorpusOps.epochTrainingOrder(docs, budgetMult = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(ord.length == 7 && ord.map(_._1).distinct.length == 7,
+      s"one row per admitted (doc, epoch): ${ord.length}")
+    val byShard = ord.groupBy(_._2._2)
+    assert(byShard.values.forall(rows =>
+      rows.map(_._2._3).sorted.toSeq == (1L to rows.length).toSeq),
+      "dense per-shard positions")
+    val keyOf = ord.toMap
+    assert(keyOf((1L, 1L))._1 != keyOf((1L, 2L))._1,
+      "epochs get independent shuffle keys")
   }
 
   test("rater kappa: perfect = 1e6, inverted = -1e6, degenerate marginals = NULL") {
