@@ -725,14 +725,16 @@ object StreamOps {
     * ([[TickCommit]], r18): the old "rebuild counts from
     * `outPath/assign`" restart recipe would double-fold the crashed
     * tick (its assign partition is already written when the tick
-    * replays) — a restart loads `readLatest("counts")` instead, and
-    * a replayed committed tick is skipped whole. */
+    * replays). This sink SELF-RESUMES — a same-checkpoint restart
+    * against the same outPath loads the committed counts snapshot
+    * automatically — and a replayed committed tick is skipped whole. */
   def streamingIvfMaintain(vectors: DataFrame, index: SimilarityOps.IvfIndex,
                            outPath: String, checkpointDir: String,
                            imbalanceFactor: Long = 2L): StreamingQuery = {
     val spark = vectors.sparkSession
-    var counts = index.centers
-      .select(col("c_list_id").cast("long").as("list_id"), lit(0L).as("n_new"))
+    var counts = TickCommit.readLatest(spark, outPath, "counts")
+      .getOrElse(index.centers
+        .select(col("c_list_id").cast("long").as("list_id"), lit(0L).as("n_new")))
       .localCheckpoint(false)
     vectors.writeStream
       .outputMode("append")
@@ -860,8 +862,9 @@ object StreamOps {
     * snapshot ([[TickCommit]], r18): the old "rebuild cells from
     * `outPath/codes`" restart recipe would double-fold the crashed
     * tick (its codes partition is already written when the tick
-    * replays) — restart via `readLatest("cells")`; a replayed
-    * committed tick is skipped whole. */
+    * replays). SELF-RESUMES like [[streamingIvfMaintain]]: a
+    * same-checkpoint restart loads the committed cells snapshot
+    * automatically; a replayed committed tick is skipped whole. */
   def streamingIvfPqCodeMaintain(vectors: DataFrame,
                                  index: SimilarityOps.IvfIndex,
                                  cb: SimilarityOps.PqCodebook,
@@ -870,9 +873,11 @@ object StreamOps {
     val spark = vectors.sparkSession
     val before = SimilarityOps.pqCodeCells(storedCodes, cb.m, "n_before")
       .localCheckpoint(false) // every tick's report reads it
-    var cells = before.select(col("list_id"), col("subspace"), col("code"),
-        lit(0L).as("n_new"))
-      .filter(lit(false)) // start empty; cells appear as ticks land
+    var cells = TickCommit.readLatest(spark, outPath, "cells")
+      .getOrElse(before
+        .select(col("list_id"), col("subspace"), col("code"),
+          lit(0L).as("n_new"))
+        .filter(lit(false))) // start empty; cells appear as ticks land
       .localCheckpoint(false)
     vectors.writeStream
       .outputMode("append")

@@ -2066,6 +2066,54 @@ class StreamingSpec extends SparkSpec {
       "no duplicate vec_ids after the replay")
   }
 
+  test("IVF maintenance self-resumes from its committed counts snapshot") {
+    // same-outPath restart: tick 0 re-delivered is skipped by the
+    // replay guard (assign partition and report untouched), and the
+    // NEXT tick folds into the counts loaded from the committed
+    // snapshot — so the standing report stays cumulative across the
+    // restart without any constructor seam.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{SimilarityOps, StreamOps, Tables, TickCommit}
+    val emb = Tables.embeddings(spark, sf)
+    val index = SimilarityOps.ivfIndexFor(emb, tag = sf)
+    def feed(m: Int, base: Long) = emb.filter(col("vec_id") % 13 === m)
+      .select(col("vec_id") + lit(base), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val (fA, fC) = (feed(1, 7000000L), feed(3, 7200000L))
+    val out = java.nio.file.Files.createTempDirectory("graft_srm_out_").toString + "/m"
+    val ck1 = java.nio.file.Files.createTempDirectory("graft_srm_ck1_").toString
+    val in1 = MemoryStream[(Long, Array[Float])]
+    val q1 = StreamOps.streamingIvfMaintain(
+      in1.toDS().toDF("vec_id", "embedding"), index, out, ck1)
+    try { in1.addData(fA.toSeq: _*); q1.processAllAvailable() } finally q1.stop()
+    // restart: fresh checkpoint, same outPath — its tick 0 (the
+    // re-delivered shape) must be skipped, its tick 1 must continue
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_srm_ck2_").toString
+    val in2 = MemoryStream[(Long, Array[Float])]
+    val q2 = StreamOps.streamingIvfMaintain(
+      in2.toDS().toDF("vec_id", "embedding"), index, out, ck2)
+    try {
+      in2.addData(fA.toSeq: _*) // the replayed tick 0
+      q2.processAllAvailable()
+      in2.addData(fC.toSeq: _*) // tick 1: genuinely new
+      q2.processAllAvailable()
+    } finally q2.stop()
+    def proj(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5))).sortBy(_._1).toSeq
+    val streamed = proj(TickCommit.readLatest(spark, out, "report").get.collect())
+    val oneShot = proj(SimilarityOps.ivfIncrementalAppend(index,
+      (fA ++ fC).toSeq.toDF("vec_id", "embedding")).collect())
+    assert(streamed == oneShot,
+      "post-restart report must be cumulative over tick 0 + the new tick, " +
+        "with the replayed tick folded exactly once")
+    val assigned = spark.read.parquet(s"$out/assign").count()
+    assert(assigned == fA.length + fC.length,
+      "the replayed tick's assign partition is untouched, the new tick appends")
+  }
+
   test("TickCommit refuses to seal backwards against a later committed tick") {
     // The ADVICE r17 fresh-checkpoint hazard: batch ids restart at 0,
     // so sealing tick 0 under an outPath whose tick 5 is committed
