@@ -427,6 +427,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("epoch schedule invariants hold on random corpora and budgets") {
+    import spark.implicits._
+    import graft.engine.CorpusOps
+    // reference model in plain Scala: target = ⌊B·w/W⌋ by the same
+    // overflow-safe decomposition, then the cap/tail split — the
+    // engine must agree exactly, and admission must never exceed it
+    val rnd = new Random(67)
+    (0 until 8).foreach { trial =>
+      val nSrc = 2 + rnd.nextInt(5)
+      val mult = 1L + rnd.nextInt(6)
+      val docsSeq = (0 until nSrc).flatMap { i =>
+        (0 until 1 + rnd.nextInt(4)).map(j =>
+          (i * 100L + j, ("t " * (1 + rnd.nextInt(30))).trim, "en", f"s$i%02d"))
+      }
+      val docs = docsSeq.toDF("doc_id", "text", "lang", "source")
+      val toks = docsSeq.groupBy(_._4).view
+        .mapValues(_.map(d => (d._2.length + 1L) / 2).sum).toMap
+      val w = toks.view.mapValues(t => math.sqrt(t.toDouble).toLong).toMap
+      val (bigT, bigW) = (toks.values.sum, w.values.sum)
+      val budget = mult * bigT
+      val sched = CorpusOps.epochSchedule(docs, budgetMult = mult).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+        .toMap
+      sched.foreach { case (src, (t, target, full, tail, realized)) =>
+        assert(t == toks(src), s"trial $trial $src token mass")
+        val want = (budget / bigW) * w(src) + ((budget % bigW) * w(src)) / bigW
+        assert(target == want, s"trial $trial $src target: $target vs $want")
+        assert(full == math.min(4L, target / t), s"trial $trial $src full")
+        assert(realized == math.min(target, 4L * t) && tail == realized - full * t
+          && tail >= 0 && tail < t, s"trial $trial $src tail/realized")
+      }
+      // admission never exceeds the plan, per source
+      val mass = CorpusOps.epochAdmission(docs, budgetMult = mult)
+        .filter(col("admitted"))
+        .groupBy(col("source")).agg(sum(col("n_toks")).as("m")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      mass.foreach { case (src, m) =>
+        assert(m <= sched(src)._5, s"trial $trial $src admitted mass $m") }
+    }
+  }
+
   test("additive-state merges equal full rebuilds on random corpora") {
     import spark.implicits._
     import graft.engine.{CorpusOps, TextOps}
