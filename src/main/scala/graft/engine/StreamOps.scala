@@ -1041,10 +1041,16 @@ object StreamOps {
     * sets compose (purging in ticks ≡ one purge of the union), so the
     * final stores equal the one-shot q270 purge over everything
     * streamed — asserted in StreamingSpec, including an
-    * already-removed id re-arriving. Durable state is the store
-    * snapshots (the [[streamingIngestTick]] restart contract); the
-    * per-tick cost is removal-bounded probes + the successor-store
-    * writes a real purge pays anyway. */
+    * already-removed id re-arriving. Durable state is the per-tick
+    * ATOMIC store snapshot ([[TickCommit]], r18 — the anti-join
+    * algebra made independent overwrites replay-SAFE, but a crash
+    * mid-overwrite still corrupted a snapshot: parquet overwrite is
+    * delete-then-write, so neither generation was readable; staging
+    * under the unsealed tick closes that); restart via
+    * `readLatest("postings"|"doclens"|"sketches")`, replayed
+    * committed ticks skipped (ledger recounts preserved). Per-tick
+    * cost is removal-bounded probes + the successor-store writes a
+    * real purge pays anyway. */
   def streamingTakedown(removals: DataFrame, postings: DataFrame,
                         docLengths: DataFrame, sketches: DataFrame,
                         outPath: String, checkpointDir: String): StreamingQuery = {
@@ -1057,7 +1063,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           val rm = broadcast(batch.select(col("doc_id")).distinct()
             .localCheckpoint(false)) // 3 semi-probes + 3 anti-joins
           def purge(store: DataFrame): (DataFrame, Long, Long) = {
@@ -1076,10 +1082,10 @@ object StreamOps {
               ("sketches", sRm, sN))
             .toDF("artifact", "n_removed", "n_after")
             .write.mode("overwrite").parquet(s"$outPath/ledger/tick=$tick")
+          TickCommit.stage(spark, outPath, tick, Seq(
+            "postings" -> p2, "doclens" -> d2, "sketches" -> s2))
+          TickCommit.seal(spark, outPath, tick)
           post = p2; dl = d2; sk = s2
-          post.write.mode("overwrite").parquet(s"$outPath/postings")
-          dl.write.mode("overwrite").parquet(s"$outPath/doclens")
-          sk.write.mode("overwrite").parquet(s"$outPath/sketches")
         }
         ()
       }
@@ -1627,8 +1633,9 @@ object StreamOps {
     var sg = sigs.localCheckpoint(false)
     var cds = ivfPqCodes.localCheckpoint(false)
     // restart contract: a monitor reconstructed from the on-disk
-    // snapshots passes `outPath/removed` back in here, so the leak
-    // probe keeps covering ids removed before the restart
+    // snapshots passes `TickCommit.readLatest(outPath, "removed")`
+    // back in here, so the leak probe keeps covering ids removed
+    // before the restart
     var removedAll = storedRemoved
       .getOrElse(Seq.empty[Long].toDF("doc_id"))
       .select(col("doc_id")).localCheckpoint(false)
@@ -1636,7 +1643,10 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
-        if (!batch.isEmpty) {
+        // replay guard (r18): the anti-joins are idempotent, but a
+        // replayed committed tick would still redo seven store scans
+        // and overwrite the cert for nothing — skip it whole
+        if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           val rm = broadcast(batch.select(col("doc_id")).distinct()
             .localCheckpoint(false)) // five anti-joins
           val rmVec = rm.select(col("doc_id").as("vec_id"))
@@ -1679,19 +1689,16 @@ object StreamOps {
           // this snapshot a restart-from-checkpoint would certify only
           // post-restart ids and the standing invariant would silently
           // weaken (the streamingIvfRebalance ADVICE class of bug).
-          // It writes BEFORE the store snapshots (ADVICE r15): a crash
-          // between the writes must leave the queue AHEAD of the
-          // stores, never behind — the replayed tick re-applies
-          // idempotent anti-joins against an over-complete queue,
-          // while a queue behind the stores would silently shrink the
-          // standing leak probe after a restart.
-          removedAll.write.mode("overwrite").parquet(s"$outPath/removed")
-          post.write.mode("overwrite").parquet(s"$outPath/postings")
-          dl.write.mode("overwrite").parquet(s"$outPath/doclens")
-          emb.write.mode("overwrite").parquet(s"$outPath/vectors")
-          asg.write.mode("overwrite").parquet(s"$outPath/assign")
-          sg.write.mode("overwrite").parquet(s"$outPath/sigs")
-          cds.write.mode("overwrite").parquet(s"$outPath/codes")
+          // r18: the queue and all six stores commit ATOMICALLY per
+          // tick — the r15 queue-first ordering made a crash between
+          // independent writes replay-safe, but a crash mid-overwrite
+          // still corrupted whichever snapshot it interrupted
+          // (delete-then-write); the unsealed stage closes that while
+          // keeping the queue ≥ the stores in every visible state.
+          TickCommit.stage(spark, outPath, tick, Seq(
+            "removed" -> removedAll, "postings" -> post, "doclens" -> dl,
+            "vectors" -> emb, "assign" -> asg, "sigs" -> sg, "codes" -> cds))
+          TickCommit.seal(spark, outPath, tick)
         }
         ()
       }

@@ -1197,12 +1197,13 @@ class StreamingSpec extends SparkSpec {
     def oneShot(store: org.apache.spark.sql.DataFrame) =
       store.join(rmAll, Seq("doc_id"), "left_anti")
     // final snapshots ≡ the one-shot purge over everything streamed
-    assert(spark.read.parquet(s"$out/doclens").collect()
+    def tdSnap(p: String) = graft.engine.TickCommit.readLatest(spark, out, p).get
+    assert(tdSnap("doclens").collect()
         .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
       oneShot(doclens).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
       "streamed doc-length store ≡ one-shot purge")
-    assert(spark.read.parquet(s"$out/postings").count() == oneShot(postings).count())
-    assert(spark.read.parquet(s"$out/sketches").count() == oneShot(sketches).count())
+    assert(tdSnap("postings").count() == oneShot(postings).count())
+    assert(tdSnap("sketches").count() == oneShot(sketches).count())
     // ledger reconciliation: per-tick removals sum to the one-shot
     // delta, and the re-submitted id contributed NOTHING at tick 1
     def dlRows(id: Long) = doclens.filter(col("doc_id") === id).count()
@@ -1615,7 +1616,8 @@ class StreamingSpec extends SparkSpec {
     // the cumulative removal queue reload; tick 2 then re-submits an
     // already-purged PRE-RESTART id, which must stay an honest no-op
     // certified against the full queue
-    def snap1(p: String) = spark.read.parquet(s"$out/$p").localCheckpoint(false)
+    def snap1(p: String) = graft.engine.TickCommit.readLatest(spark, out, p)
+      .get.localCheckpoint(false)
     val out2 = java.nio.file.Files.createTempDirectory("graft_ssm_out2_").toString + "/serve"
     val ckpt2 = java.nio.file.Files.createTempDirectory("graft_ssm_ckpt2_").toString
     val input2 = MemoryStream[Long]
@@ -1663,7 +1665,7 @@ class StreamingSpec extends SparkSpec {
     // listings over the one-shot purged stores, row set for row set
     val rmAll = rmIds.toSeq.toDF("doc_id").localCheckpoint(false)
     val rmVec = rmAll.select(col("doc_id").as("vec_id"))
-    def snap(p: String) = spark.read.parquet(s"$out2/$p")
+    def snap(p: String) = graft.engine.TickCommit.readLatest(spark, out2, p).get
     val fromSnaps = CorpusOps.servingListings(
         snap("postings"), snap("doclens"), snap("vectors"),
         SimilarityOps.IvfIndex(snap("assign"), idx.centers, idx.nLists),
@@ -1683,8 +1685,8 @@ class StreamingSpec extends SparkSpec {
     // the cumulative removal queue is itself durable state: the
     // post-restart snapshot must hold the FULL union (pre-restart ids
     // included), so the next restart keeps certifying all of them
-    assert(spark.read.parquet(s"$out2/removed").collect()
-        .map(_.getLong(0)).toSet == rmIds.toSet,
+    assert(graft.engine.TickCommit.readLatest(spark, out2, "removed").get
+        .collect().map(_.getLong(0)).toSet == rmIds.toSet,
       "removed-queue snapshot must hold the cumulative union across the restart")
   }
 
