@@ -1124,6 +1124,50 @@ object CorpusOps {
         col("cum_tokens"), col("admitted"))
   }
 
+  /** Mixture-realization audit — the monitoring leg of the epoch
+    * family (plan q293 → admit q294 → order q295 → AUDIT): per
+    * source, the token mass the admitted (doc, epoch) pairs actually
+    * realize vs the temperature target share the plan was built from,
+    * both as exact integer ppm ((x·10⁶) div total — the q252/q278
+    * integer-release pattern), with `drift_ppm` and an honest flag at
+    * |drift| > `driftPpm`. Caps make drift INTENTIONAL: a source
+    * capped at maxEpochs realizes less than its target share and the
+    * surplus dilutes over the others — the audit prices exactly that,
+    * which is what a mixture dashboard needs to show. Cost: the q294
+    * bound + source-dimension algebra. */
+  def mixRealization(documents: DataFrame, budgetMult: Long = 4L,
+                     maxEpochs: Long = 4L, driftPpm: Long = 50000L): DataFrame = {
+    val realized = epochAdmissionRows(documents, budgetMult, maxEpochs)
+      .filter(col("admitted"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_toks")).cast("long").as("realized_tokens"))
+    val target = documents
+      .select(col("source"),
+        size(expr(s"regexp_extract_all(text, '${TextOps.tokenRe}', 0)"))
+          .cast("long").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_toks")).cast("long").as("n_tokens"))
+      .withColumn("w_sqrt", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val joined = target.join(realized, Seq("source"), "left_outer")
+      .withColumn("realized_tokens", coalesce(col("realized_tokens"), lit(0L)))
+    val tot = joined.agg(sum(col("w_sqrt")).cast("long").as("tot_w"),
+      sum(col("realized_tokens")).cast("long").as("tot_realized"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("target_share_ppm",
+        expr("(w_sqrt * 1000000L) div tot_w").cast("long"))
+      .withColumn("realized_share_ppm",
+        when(col("tot_realized") > 0,
+          expr("(realized_tokens * 1000000L) div tot_realized"))
+          .otherwise(lit(0L)).cast("long"))
+      .withColumn("drift_ppm",
+        (col("realized_share_ppm") - col("target_share_ppm")).cast("long"))
+      .withColumn("drifted", abs(col("drift_ppm")) > driftPpm)
+      .select(col("source"), col("n_tokens"), col("realized_tokens"),
+        col("target_share_ppm"), col("realized_share_ppm"), col("drift_ppm"),
+        col("drifted"))
+      .orderBy(col("source"))
+  }
+
   /** The loader-facing composition of [[epochAdmission]] and
     * [[seededShuffle]]: the admitted (doc, epoch) pairs become the
     * actual training order. The epoch FOLDS INTO THE KEY DOMAIN —

@@ -2094,6 +2094,78 @@ object StreamOps {
       .start()
   }
 
+  /** STREAMING mixture monitor — q296 live: the mixture-realization
+    * audit as a standing dashboard over the ingest stream. The TARGET
+    * is a STATIC dim (the q124 temperature design the pipeline was
+    * launched with — source, w_sqrt; pinned once, broadcast into
+    * every tick); each micro-batch folds its per-source token mass
+    * into the carried ADDITIVE counts and the q296-shaped drift
+    * report snapshots with them per tick — so a source flooding past
+    * its designed share flags `drifted` AT THE TICK it happens, not
+    * at the next offline audit.
+    *
+    * Stream ≡ batch by construction (token masses are additive — the
+    * q235 argument; asserted in StreamingSpec across a split with a
+    * planted flood on the boundary). State is source-dimension-sized;
+    * durable state is the per-tick atomic counts/report snapshot
+    * ([[TickCommit]]); SELF-RESUMES from its own committed counts on
+    * a same-checkpoint restart; replayed committed ticks are skipped
+    * whole. */
+  def streamingMixMonitor(batchDocs: DataFrame, targetWeights: DataFrame,
+                          outPath: String, checkpointDir: String,
+                          driftPpm: Long = 50000L): StreamingQuery = {
+    val spark = batchDocs.sparkSession
+    val target = targetWeights.select(col("source"), col("w_sqrt"))
+      .localCheckpoint(false) // static design dim, pinned once
+    var counts: DataFrame =
+      TickCommit.readLatest(spark, outPath, "counts")
+        .map(_.localCheckpoint(false)).orNull
+    batchDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, tick: Long) =>
+        if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
+          val tickCounts = batch
+            .select(col("source"),
+              size(expr(s"regexp_extract_all(text, '${TextOps.tokenRe}', 0)"))
+                .cast("long").as("n_toks"))
+            .groupBy(col("source"))
+            .agg(sum(col("n_toks")).cast("long").as("realized_tokens"))
+          val counts2 = (if (counts == null) tickCounts
+            else counts.unionByName(tickCounts)
+              .groupBy(col("source"))
+              .agg(sum(col("realized_tokens")).cast("long").as("realized_tokens")))
+            .localCheckpoint(false) // next fold + report
+          val joined = target.join(counts2, Seq("source"), "left_outer")
+            .withColumn("realized_tokens",
+              coalesce(col("realized_tokens"), lit(0L)))
+          val tot = joined.agg(
+            sum(col("w_sqrt")).cast("long").as("tot_w"),
+            sum(col("realized_tokens")).cast("long").as("tot_realized"))
+          val report = joined.crossJoin(broadcast(tot))
+            .withColumn("target_share_ppm",
+              expr("(w_sqrt * 1000000L) div tot_w").cast("long"))
+            .withColumn("realized_share_ppm",
+              when(col("tot_realized") > 0,
+                expr("(realized_tokens * 1000000L) div tot_realized"))
+                .otherwise(lit(0L)).cast("long"))
+            .withColumn("drift_ppm",
+              (col("realized_share_ppm") - col("target_share_ppm")).cast("long"))
+            .withColumn("drifted", abs(col("drift_ppm")) > driftPpm)
+            .select(col("source"), col("realized_tokens"),
+              col("target_share_ppm"), col("realized_share_ppm"),
+              col("drift_ppm"), col("drifted"))
+            .orderBy(col("source"))
+          TickCommit.stage(spark, outPath, tick, Seq(
+            "counts" -> counts2, "report" -> report))
+          TickCommit.seal(spark, outPath, tick)
+          counts = counts2
+        }
+        ()
+      }
+      .start()
+  }
+
   /** STREAMING incremental entity resolution — q226's alias-store
     * maintenance as a landing-zone stream: each micro-batch of new
     * dim records (p_partkey, p_name, p_brand) resolves against the

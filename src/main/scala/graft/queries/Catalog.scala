@@ -1672,6 +1672,36 @@ object Catalog {
         budgetMult = 4L),
       Some(q295OracleSql)),
 
+    // mixture-realization audit — the monitoring leg of the epoch
+    // family: realized (admitted-epoch) token share vs the
+    // temperature target share, both exact integer ppm, drift flag
+    // at |drift| > 50000 ppm. Caps make drift intentional (a capped
+    // source under-realizes and the surplus dilutes over the rest);
+    // the audit prices exactly that. Streaming twin:
+    // StreamOps.streamingMixMonitor.
+    QuerySpec(
+      "q296_mix_realization",
+      (s, dir) => CorpusOps.mixRealization(Tables.documents(s, dir)),
+      Some(s"""WITH $epochAdmissionCtes,
+              |realz AS (SELECT source, CAST(SUM(n_toks) AS BIGINT) AS realized_tokens
+              |          FROM adm WHERE admitted GROUP BY 1),
+              |tw AS (SELECT w.source, w.n_tokens, w.w_sqrt,
+              |         CAST(COALESCE(realz.realized_tokens, 0) AS BIGINT) AS realized_tokens
+              |       FROM w LEFT JOIN realz USING (source)),
+              |tt AS (SELECT CAST(SUM(w_sqrt) AS BIGINT) AS tot_w,
+              |              CAST(SUM(realized_tokens) AS BIGINT) AS tot_realized FROM tw),
+              |pp AS (SELECT source, n_tokens, realized_tokens,
+              |         CAST((w_sqrt * 1000000) // tot_w AS BIGINT) AS target_share_ppm,
+              |         CAST(CASE WHEN tot_realized > 0
+              |           THEN (realized_tokens * 1000000) // tot_realized
+              |           ELSE 0 END AS BIGINT) AS realized_share_ppm
+              |       FROM tw CROSS JOIN tt)
+              |SELECT source, n_tokens, realized_tokens, target_share_ppm,
+              |       realized_share_ppm,
+              |       CAST(realized_share_ppm - target_share_ppm AS BIGINT) AS drift_ppm,
+              |       (ABS(realized_share_ppm - target_share_ppm) > 50000) AS drifted
+              |FROM pp ORDER BY source""".stripMargin)),
+
     // leakage-safe split: near-dup clusters (the q61 demonstrator
     // closure) assign train/val/test as a UNIT via
     // xxhash64(cluster_id) — preventing at assignment time the

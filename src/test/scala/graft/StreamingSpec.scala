@@ -1690,6 +1690,59 @@ class StreamingSpec extends SparkSpec {
       "removed-queue snapshot must hold the cumulative union across the restart")
   }
 
+  test("streaming mix monitor flags a flooding source at its arrival tick") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{CorpusOps, StreamOps, Tables, TickCommit}
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val target = CorpusOps.temperatureMixWeights(docs).localCheckpoint(true)
+    // b1: a balanced slice; b2: a flood of src0 tokens — src0's
+    // realized share must cross its designed share + 5% only at tick 1
+    val b1 = docs.limit(40).as[(Long, String, String, String)].collect()
+      .map(r => (r._1 + 9990000L, r._2, r._4)).toSeq
+    val flood = (0 until 25).map(i =>
+      (9995000L + i, ("flood " * 40).trim, "src0"))
+    val out = java.nio.file.Files.createTempDirectory("graft_smx_out_").toString + "/mx"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_smx_ckpt_").toString
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamOps.streamingMixMonitor(
+      input.toDS().toDF("doc_id", "text", "source"), target, out, ckpt)
+    def report() = TickCommit.readLatest(spark, out, "report").get.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      val t0 = report()
+      assert(!t0("src0")._5, s"balanced tick must not flag src0: ${t0("src0")}")
+      input.addData(flood: _*)
+      q.processAllAvailable()
+      val t1 = report()
+      assert(t1("src0")._5 && t1("src0")._4 > t1("src0")._2,
+        s"the flood must flag src0 AT its tick: ${t1("src0")}")
+      // stream ≡ batch: the final report equals the same arithmetic
+      // computed one-shot over everything streamed
+      val streamed = (b1 ++ flood).toDF("doc_id", "text", "source")
+      val masses = streamed
+        .select(col("source"), size(expr(
+          "regexp_extract_all(text, '[A-Za-z0-9_]+', 0)")).cast("long").as("n"))
+        .groupBy(col("source")).agg(sum(col("n")).as("m")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val totR = masses.values.sum
+      val w = target.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      val totW = w.values.sum
+      t1.foreach { case (src, (realized, tgtPpm, realPpm, drift, _)) =>
+        assert(realized == masses.getOrElse(src, 0L), s"$src realized mass")
+        assert(tgtPpm == (w(src) * 1000000L) / totW, s"$src target ppm")
+        assert(realPpm == (masses.getOrElse(src, 0L) * 1000000L) / totR,
+          s"$src realized ppm")
+        assert(drift == realPpm - tgtPpm, s"$src drift")
+      }
+    } finally q.stop()
+  }
+
   test("streaming entity resolution equals one-shot incremental across a bridging boundary") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
