@@ -1004,27 +1004,64 @@ object CorpusOps {
     * everything after it in the stream — is rejected, so admitted
     * token mass per source is ≤ its allocation by construction and
     * the report shows exactly where each source's budget ran out.
-    * One per-source cumsum window (parallel across sources, the
-    * packing pattern — no global order anywhere) + a source-dim-sized
-    * broadcast join against the allocation table. The streaming twin
+    * The running count is the [[sourceOrderedCumsum]] two-phase scan
+    * (r18): a source is a LOW-cardinality key, so the per-source
+    * window this used to run was ~|sources| single-task ordered scans
+    * at 100 TB; the two-phase scan parallelizes to sources × buckets
+    * with bit-identical output. Plus a source-dim-sized broadcast
+    * join against the allocation table. The streaming twin
     * ([[StreamOps.streamingAdmission]]) carries the same running
     * count as per-source state. */
   def budgetAdmission(documents: DataFrame, totalBudget: Long = 26000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val alloc = tokenWaterFill(documents, totalBudget)
       .select(col("source"), col("alloc_tokens"))
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents
+    val perDoc = documents
       .select(col("doc_id"), col("source"),
         size(expr(s"regexp_extract_all(text, '${TextOps.tokenRe}', 0)"))
           .cast("long").as("n_toks"))
-      .withColumn("cum_tokens", sum(col("n_toks")).over(w))
+    sourceOrderedCumsum(perDoc)
       .join(broadcast(alloc), "source")
       .withColumn("admitted", col("cum_tokens") <= col("alloc_tokens"))
       .select(col("doc_id"), col("source"), col("n_toks"), col("cum_tokens"),
         col("admitted"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Distributed prefix sum of `n_toks` per source in doc_id order —
+    * the scalable replacement for `Window.partitionBy(source)
+    * .orderBy(doc_id)` cumsums in the admission family. A source is a
+    * LOW-cardinality key (tens, not millions), so the naive per-source
+    * window is ~20 single-task ordered scans at 100 TB — the
+    * unpartitioned-window anti-pattern wearing a thin disguise. The
+    * classic two-phase scan fixes it without changing one output bit:
+    *   1. bucket = doc_id div 2²⁰ (order-preserving);
+    *   2. per-(source, bucket) subtotals → per-source EXCLUSIVE
+    *      running offsets over buckets (a window over bucket COUNTS —
+    *      ~10⁵ rows at 10¹¹ docs, broadcastable metadata);
+    *   3. per-(source, bucket) in-bucket cumsum + the broadcast
+    *      offset — parallelism is nSources × nBuckets.
+    * Result ≡ the naive cumsum exactly (same integer sums, same
+    * order), which the q230/q294 oracles re-verify end-to-end. */
+  private[graft] def sourceOrderedCumsum(perDoc: DataFrame,
+                                         bucketWidth: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = perDoc.withColumn("bucket",
+      expr(s"doc_id div ${bucketWidth}L"))
+    val offsets = bucketed.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_toks")).cast("long").as("bsum"))
+      .withColumn("b_prefix", coalesce(
+        sum(col("bsum")).over(Window.partitionBy(col("source"))
+          .orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("bucket"), col("b_prefix"))
+    val inBucket = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .join(broadcast(offsets), Seq("source", "bucket"))
+      .withColumn("cum_tokens",
+        (col("b_prefix") + sum(col("n_toks")).over(inBucket)).cast("long"))
+      .drop("bucket", "b_prefix")
   }
 
   /** Data-constrained multi-epoch repetition schedule — when the
@@ -1085,8 +1122,9 @@ object CorpusOps {
     * in ingest order while the per-source running token count stays
     * within the tail — whole docs only, so the realized token mass
     * per source is ≤ the schedule's by construction and the epoch
-    * column is the loader's repeat index. One per-source cumsum
-    * window (parallel across sources, no global order) + a
+    * column is the loader's repeat index. The running count is the
+    * [[sourceOrderedCumsum]] two-phase scan (sources × buckets
+    * parallelism — never |sources| single-task ordered scans) + a
     * source-dim broadcast join + a bounded explode (≤ maxEpochs + 1
     * rows per doc — output is O(epochs·corpus), the size the training
     * loader consumes anyway). */
@@ -1101,16 +1139,13 @@ object CorpusOps {
     * global range sort (plan-audited). */
   private def epochAdmissionRows(documents: DataFrame, budgetMult: Long,
                                  maxEpochs: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sched = epochSchedule(documents, budgetMult, maxEpochs)
       .select(col("source"), col("full_epochs"), col("tail_tokens"))
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents
+    val perDoc = documents
       .select(col("doc_id"), col("source"),
         size(expr(s"regexp_extract_all(text, '${TextOps.tokenRe}', 0)"))
           .cast("long").as("n_toks"))
-      .withColumn("cum_tokens", sum(col("n_toks")).over(w))
+    sourceOrderedCumsum(perDoc)
       .join(broadcast(sched), "source")
       .withColumn("n_slots", (col("full_epochs") +
         when(col("tail_tokens") > 0, 1L).otherwise(0L)).cast("long"))

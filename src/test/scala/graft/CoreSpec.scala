@@ -1450,6 +1450,29 @@ class CoreSpec extends SparkSpec {
       "epochs get independent shuffle keys")
   }
 
+  test("distributed prefix sum equals the naive per-source cumsum across bucket boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // tiny bucket width forces the cross-bucket offset path the
+    // admission family relies on at 100 TB (locally a 2^20 width puts
+    // everything in one bucket and phase 2 never fires)
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map(i =>
+      (i.toLong * (1 + rnd.nextInt(3)), s"s${rnd.nextInt(4)}", rnd.nextInt(50).toLong))
+      .distinctBy(_._1)
+    val df = rows.toDF("doc_id", "source", "n_toks")
+    val got = CorpusOps.sourceOrderedCumsum(df, bucketWidth = 7L)
+      .select(col("doc_id"), col("cum_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = df.withColumn("cum_tokens",
+        sum(col("n_toks")).over(Window.partitionBy(col("source"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("cum_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naive, "two-phase scan must equal the naive window bit-for-bit")
+  }
+
   test("rater kappa: perfect = 1e6, inverted = -1e6, degenerate marginals = NULL") {
     import spark.implicits._
     val en = "the and of to in"   // classifier guesses en
