@@ -345,9 +345,10 @@ object CorpusOps {
       .select(keys ++ Seq(col("doc_id"),
         size(expr(s"regexp_extract_all(text, '${TextOps.pieceRe}', 0)"))
           .cast("long").as("n_tokens")): _*)
-    val w = Window.partitionBy(keys: _*).orderBy(col("doc_id"))
-    toks
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+    // running token mass via the two-phase scan (r18): the default
+    // stream key (lang) has FIVE values, so the per-stream window
+    // this used to run was five single-task ordered scans at 100 TB
+    keyedOrderedCumsum(toks, streamCols, Seq("doc_id"), "n_tokens", "cum")
       .withColumn("start_seq", expr(s"(cum - n_tokens) DIV $seqLen"))
       .withColumn("end_seq", expr(s"(cum - 1) DIV $seqLen"))
       .withColumn("tok_offset", expr(s"(cum - n_tokens) % $seqLen"))
@@ -695,10 +696,12 @@ object CorpusOps {
       .select(col("doc_id"),
         size(expr(s"regexp_extract_all(text, '${TextOps.pieceRe}', 0)"))
           .cast("long").as("n_tokens"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"), col("epoch"))
-    mixCorpus(documents, weights)
-      .join(toks, "doc_id")
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+    // per-(doc, epoch) running mass via the two-phase scan (r18):
+    // lang has five values — buckets from doc_id, epochs of a doc
+    // share its bucket so the (doc_id, epoch) order stays in-bucket
+    keyedOrderedCumsum(
+        mixCorpus(documents, weights).join(toks, "doc_id"),
+        Seq("lang"), Seq("doc_id", "epoch"), "n_tokens", "cum")
       .withColumn("start_seq", expr(s"(cum - n_tokens) DIV $seqLen"))
       .withColumn("end_seq", expr(s"(cum - 1) DIV $seqLen"))
       .withColumn("tok_offset", expr(s"(cum - n_tokens) % $seqLen"))
@@ -1043,25 +1046,39 @@ object CorpusOps {
     * Result ≡ the naive cumsum exactly (same integer sums, same
     * order), which the q230/q294 oracles re-verify end-to-end. */
   private[graft] def sourceOrderedCumsum(perDoc: DataFrame,
-                                         bucketWidth: Long = 1L << 20): DataFrame = {
+                                         bucketWidth: Long = 1L << 20): DataFrame =
+    keyedOrderedCumsum(perDoc, Seq("source"), Seq("doc_id"), "n_toks",
+      "cum_tokens", bucketWidth)
+
+  /** The general form over any stream key set and order columns —
+    * [[packSequencesBy]]'s packing cumsum (stream keys default to
+    * `lang`, FIVE values) and any other low-cardinality-keyed running
+    * sum route through here. Buckets derive from the FIRST order
+    * column (rows tied on it always share a bucket, so secondary
+    * order columns stay correct in-bucket). */
+  private[graft] def keyedOrderedCumsum(rows: DataFrame, keyCols: Seq[String],
+                                        orderCols: Seq[String], valueCol: String,
+                                        outCol: String,
+                                        bucketWidth: Long = 1L << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bucketed = perDoc.withColumn("bucket",
-      expr(s"doc_id div ${bucketWidth}L"))
-    val offsets = bucketed.groupBy(col("source"), col("bucket"))
-      .agg(sum(col("n_toks")).cast("long").as("bsum"))
-      .withColumn("b_prefix", coalesce(
-        sum(col("bsum")).over(Window.partitionBy(col("source"))
-          .orderBy(col("bucket"))
+    val keys = keyCols.map(col)
+    val bucketed = rows.withColumn("__bucket",
+      expr(s"${orderCols.head} div ${bucketWidth}L"))
+    val offsets = bucketed.groupBy(keys :+ col("__bucket"): _*)
+      .agg(sum(col(valueCol)).cast("long").as("__bsum"))
+      .withColumn("__b_prefix", coalesce(
+        sum(col("__bsum")).over(Window.partitionBy(keys: _*)
+          .orderBy(col("__bucket"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("source"), col("bucket"), col("b_prefix"))
-    val inBucket = Window.partitionBy(col("source"), col("bucket"))
-      .orderBy(col("doc_id"))
+      .select(keys :+ col("__bucket") :+ col("__b_prefix"): _*)
+    val inBucket = Window.partitionBy(keys :+ col("__bucket"): _*)
+      .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bucketed
-      .join(broadcast(offsets), Seq("source", "bucket"))
-      .withColumn("cum_tokens",
-        (col("b_prefix") + sum(col("n_toks")).over(inBucket)).cast("long"))
-      .drop("bucket", "b_prefix")
+      .join(broadcast(offsets), keyCols :+ "__bucket")
+      .withColumn(outCol,
+        (col("__b_prefix") + sum(col(valueCol)).over(inBucket)).cast("long"))
+      .drop("__bucket", "__b_prefix")
   }
 
   /** Data-constrained multi-epoch repetition schedule — when the

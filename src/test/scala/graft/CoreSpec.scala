@@ -1471,6 +1471,22 @@ class CoreSpec extends SparkSpec {
       .select(col("doc_id"), col("cum_tokens"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == naive, "two-phase scan must equal the naive window bit-for-bit")
+    // multi-order-col form (the packMixedSequences shape): epochs of a
+    // doc share its bucket, so the (doc_id, epoch) order survives
+    val epochRows = rows.flatMap { case (id, src, n) =>
+      (1L to 1L + id % 3).map(e => (id, e, src, n + e)) }
+      .toDF("doc_id", "epoch", "source", "n_toks")
+    val got2 = CorpusOps.keyedOrderedCumsum(epochRows, Seq("source"),
+        Seq("doc_id", "epoch"), "n_toks", "cum", bucketWidth = 7L)
+      .select(col("doc_id"), col("epoch"), col("cum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val naive2 = epochRows.withColumn("cum",
+        sum(col("n_toks")).over(Window.partitionBy(col("source"))
+          .orderBy(col("doc_id"), col("epoch"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("epoch"), col("cum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got2 == naive2, "multi-order-col scan must equal the naive window")
   }
 
   test("rater kappa: perfect = 1e6, inverted = -1e6, degenerate marginals = NULL") {
