@@ -1062,8 +1062,17 @@ object CorpusOps {
                                         bucketWidth: Long = 1L << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keys = keyCols.map(col)
+    // materialize the NARROW (keys, order, value) projection once:
+    // the bucket-offsets aggregate and the main cumsum both read it,
+    // and without the checkpoint Catalyst duplicates the upstream
+    // subtree on both join sides — for the packing callers that means
+    // the dominant regexp token pass runs TWICE per row (the round-7
+    // pushdown lesson, pinned by ScaleSpec's evaluate-once audit).
+    // Row-count-bounded, no text columns — the quantileCalibration
+    // precedent.
     val bucketed = rows.withColumn("__bucket",
       expr(s"${orderCols.head} div ${bucketWidth}L"))
+      .localCheckpoint(false)
     val offsets = bucketed.groupBy(keys :+ col("__bucket"): _*)
       .agg(sum(col(valueCol)).cast("long").as("__bsum"))
       .withColumn("__b_prefix", coalesce(
@@ -1232,21 +1241,58 @@ object CorpusOps {
     * permutation is (shard, pos_in_shard), one hash-partitioned
     * shuffle + in-partition sort. */
   def epochTrainingOrder(documents: DataFrame, budgetMult: Long = 4L,
-                         maxEpochs: Long = 4L, nShards: Int = 8): DataFrame = {
+                         maxEpochs: Long = 4L, nShards: Int = 8): DataFrame =
+    epochOrderRows(documents, budgetMult, maxEpochs, nShards)
+      .select(col("doc_id"), col("epoch"), col("shuffle_key"), col("shard"),
+        col("pos"))
+      .orderBy(col("shard"), col("pos"))
+
+  /** The ranked order rows WITH their token masses — shared by
+    * [[epochTrainingOrder]] (which drops n_toks for the q295 shape)
+    * and [[epochPack]] (which packs by it), so the two artifacts'
+    * permutations are provably identical without a second corpus
+    * scan. Per-shard rank windows follow the [[seededShuffle]]
+    * posture: nShards IS the parallelism knob (production uses
+    * thousands), each task streams one shard in order. */
+  private def epochOrderRows(documents: DataFrame, budgetMult: Long,
+                             maxEpochs: Long, nShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keyed = epochAdmissionRows(documents, budgetMult, maxEpochs)
       .filter(col("admitted"))
-      .select(col("doc_id"), col("epoch"))
+      .select(col("doc_id"), col("epoch"), col("n_toks"))
       .withColumn("shuffle_key", xxhash64(col("doc_id") * 8L + col("epoch")))
       .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("shuffle_key"), col("doc_id"), col("epoch"))
-    keyed
-      .withColumn("pos", row_number().over(w).cast("long"))
-      .select(col("doc_id"), col("epoch"), col("shuffle_key"), col("shard"),
-        col("pos"))
-      .orderBy(col("shard"), col("pos"))
+    keyed.withColumn("pos", row_number().over(w).cast("long"))
   }
+
+  /** Pack the REALIZED multi-epoch corpus into training sequences —
+    * the capstone the q293→q294→q295 chain feeds: the admitted
+    * (doc, epoch) pairs concatenate IN SHUFFLE ORDER (shard, pos) and
+    * cut into `seqLen`-token sequences per shard, so each repeat of a
+    * document maps to its own sequence span in its own epoch-shuffled
+    * position — exactly the fixed-length batches a multi-epoch
+    * training run reads. The q103 packing law per shard stream; the
+    * running mass is the [[keyedOrderedCumsum]] two-phase scan;
+    * zero-token pairs carry nothing and drop (the [[packSequencesBy]]
+    * rule). Deterministic integer arithmetic end-to-end → full
+    * hash-match oracle (q297). */
+  def epochPack(documents: DataFrame, budgetMult: Long = 4L,
+                maxEpochs: Long = 4L, nShards: Int = 8,
+                seqLen: Int = 2048): DataFrame =
+    keyedOrderedCumsum(
+        epochOrderRows(documents, budgetMult, maxEpochs, nShards)
+          .filter(col("n_toks") > 0),
+        Seq("shard"), Seq("pos"), "n_toks", "cum")
+      .withColumn("start_seq", expr(s"(cum - n_toks) DIV $seqLen"))
+      .withColumn("end_seq", expr(s"(cum - 1) DIV $seqLen"))
+      .withColumn("tok_offset", expr(s"(cum - n_toks) % $seqLen"))
+      .withColumn("n_seqs", col("end_seq") - col("start_seq") + lit(1L))
+      .select(col("shard"), col("pos"), col("doc_id"), col("epoch"),
+        col("n_toks"), col("start_seq"), col("end_seq"), col("tok_offset"),
+        col("n_seqs"))
+      .orderBy(col("shard"), col("pos"))
 
   /** Deterministic training-order shuffle — the loader-facing global
     * permutation: shuffle key = xxhash64(doc_id) (Spark's codegen'd

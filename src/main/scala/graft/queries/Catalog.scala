@@ -1672,6 +1672,27 @@ object Catalog {
         budgetMult = 4L),
       Some(q295OracleSql)),
 
+    // the capstone the q293→q294→q295 chain feeds: the admitted
+    // (doc, epoch) pairs concatenate IN SHUFFLE ORDER and cut into
+    // 2048-token sequences per shard — each repeat of a document maps
+    // to its own sequence span at its own epoch-shuffled position,
+    // the fixed-length batches a multi-epoch run actually reads.
+    QuerySpec(
+      "q297_epoch_pack",
+      (s, dir) => CorpusOps.epochPack(Tables.documents(s, dir),
+        budgetMult = 4L),
+      Some(s"""WITH $epochOrderCtes,
+              |pk AS (SELECT shard, pos, doc_id, epoch, n_toks,
+              |         CAST(SUM(n_toks) OVER (PARTITION BY shard ORDER BY pos
+              |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              |       FROM ord WHERE n_toks > 0)
+              |SELECT shard, pos, doc_id, epoch, n_toks,
+              |       CAST((cum - n_toks) // 2048 AS BIGINT) AS start_seq,
+              |       CAST((cum - 1) // 2048 AS BIGINT) AS end_seq,
+              |       CAST((cum - n_toks) % 2048 AS BIGINT) AS tok_offset,
+              |       CAST((cum - 1) // 2048 - (cum - n_toks) // 2048 + 1 AS BIGINT) AS n_seqs
+              |FROM pk ORDER BY shard, pos""".stripMargin)),
+
     // mixture-realization audit — the monitoring leg of the epoch
     // family: realized (admitted-epoch) token share vs the
     // temperature target share, both exact integer ppm, drift flag
@@ -7997,22 +8018,29 @@ object Catalog {
        |          (e.epoch <= full_epochs OR cum_tokens <= tail_tokens) AS admitted
        |        FROM j2, UNNEST(generate_series(1, n_slots)) AS e(epoch))""".stripMargin
 
-  /** q295: the XXH64 chain over the epoch-folded key doc_id·8+epoch,
-    * shard/pos exactly as q141's oracle. */
-  private val q295OracleSql: String = {
+  /** The XXH64 chain over the epoch-folded key doc_id·8+epoch with
+    * shard/pos exactly as q141's oracle, n_toks carried through —
+    * ends in `ord(doc_id, epoch, n_toks, shuffle_key, shard, pos)`;
+    * shared by q295 (the order itself) and q297 (packing by it). */
+  private val epochOrderCtes: String = {
     import Xxh64DocIdSql.{chainFrom, tos}
-    s"""WITH $epochAdmissionCtes,
+    s"""$epochAdmissionCtes,
        |${chainFrom(
-        "SELECT doc_id, epoch, CAST(doc_id * 8 + epoch AS HUGEINT) AS k " +
-          "FROM adm WHERE admitted", "doc_id, epoch")},
-       |kk AS (SELECT doc_id, epoch, ${tos("h8")} AS shuffle_key FROM s10),
-       |sh AS (SELECT doc_id, epoch, shuffle_key,
-       |         CAST(((shuffle_key % 8) + 8) % 8 AS BIGINT) AS shard FROM kk)
-       |SELECT doc_id, epoch, shuffle_key, shard,
-       |       CAST(row_number() OVER (PARTITION BY shard
-       |           ORDER BY shuffle_key, doc_id, epoch) AS BIGINT) AS pos
-       |FROM sh ORDER BY shard, pos""".stripMargin
+        "SELECT doc_id, epoch, n_toks, CAST(doc_id * 8 + epoch AS HUGEINT) AS k " +
+          "FROM adm WHERE admitted", "doc_id, epoch, n_toks")},
+       |kk AS (SELECT doc_id, epoch, n_toks, ${tos("h8")} AS shuffle_key FROM s10),
+       |sh AS (SELECT doc_id, epoch, n_toks, shuffle_key,
+       |         CAST(((shuffle_key % 8) + 8) % 8 AS BIGINT) AS shard FROM kk),
+       |ord AS (SELECT doc_id, epoch, n_toks, shuffle_key, shard,
+       |          CAST(row_number() OVER (PARTITION BY shard
+       |              ORDER BY shuffle_key, doc_id, epoch) AS BIGINT) AS pos
+       |        FROM sh)""".stripMargin
   }
+
+  private val q295OracleSql: String =
+    s"""WITH $epochOrderCtes
+       |SELECT doc_id, epoch, shuffle_key, shard, pos
+       |FROM ord ORDER BY shard, pos""".stripMargin
 
   private val waterFillCtes: String =
     """dem AS (

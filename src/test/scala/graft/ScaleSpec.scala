@@ -198,7 +198,12 @@ class ScaleSpec extends SparkSpec {
     assert(occurrences(DedupOps.simhashSignatures(docs), "regexp_extract_all") == 1)
     assert(occurrences(TextOps.wordNgrams(docs), "regexp_extract_all") == 1)
     assert(occurrences(TextOps.repetitionSignals(docs), "regexp_extract_all") == 1)
-    assert(occurrences(CorpusOps.packSequences(docs), "regexp_extract_all") == 1)
+    // packing routes through the two-phase cumsum (r18), whose narrow
+    // token projection materializes ONCE behind a localCheckpoint —
+    // the consumer plan must carry ZERO copies of the regex pass (a
+    // reappearance means the single-materialization dedup broke and
+    // the pass runs per join side again)
+    assert(occurrences(CorpusOps.packSequences(docs), "regexp_extract_all") == 0)
   }
 
   test("shared-span postings cap bounds a boilerplate-flooded corpus") {
