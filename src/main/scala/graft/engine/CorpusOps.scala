@@ -1157,6 +1157,8 @@ object CorpusOps {
   def epochAdmission(documents: DataFrame, budgetMult: Long = 2L,
                      maxEpochs: Long = 4L): DataFrame =
     epochAdmissionRows(documents, budgetMult, maxEpochs)
+      .select(col("doc_id"), col("source"), col("epoch"), col("n_toks"),
+        col("cum_tokens"), col("admitted"))
       .orderBy(col("doc_id"), col("epoch"))
 
   /** The UNORDERED admission rows — [[epochAdmission]] adds the
@@ -1182,7 +1184,7 @@ object CorpusOps {
       .withColumn("admitted",
         col("epoch") <= col("full_epochs") || col("cum_tokens") <= col("tail_tokens"))
       .select(col("doc_id"), col("source"), col("epoch"), col("n_toks"),
-        col("cum_tokens"), col("admitted"))
+        col("cum_tokens"), col("full_epochs"), col("admitted"))
   }
 
   /** Mixture-realization audit — the monitoring leg of the epoch
@@ -1259,7 +1261,7 @@ object CorpusOps {
     import org.apache.spark.sql.expressions.Window
     val keyed = epochAdmissionRows(documents, budgetMult, maxEpochs)
       .filter(col("admitted"))
-      .select(col("doc_id"), col("epoch"), col("n_toks"))
+      .select(col("doc_id"), col("source"), col("epoch"), col("n_toks"))
       .withColumn("shuffle_key", xxhash64(col("doc_id") * 8L + col("epoch")))
       .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
     val w = Window.partitionBy(col("shard"))
@@ -1281,6 +1283,20 @@ object CorpusOps {
   def epochPack(documents: DataFrame, budgetMult: Long = 4L,
                 maxEpochs: Long = 4L, nShards: Int = 8,
                 seqLen: Int = 2048): DataFrame =
+    epochPackRows(documents, budgetMult, maxEpochs, nShards, seqLen)
+      .select(col("shard"), col("pos"), col("doc_id"), col("epoch"),
+        col("n_toks"), col("start_seq"), col("end_seq"), col("tok_offset"),
+        col("n_seqs"))
+      .orderBy(col("shard"), col("pos"))
+
+  /** The pack rows WITH the running mass (`cum`) and no display sort
+    * — [[epochPack]] adds the q297 shape; [[loaderResume]] and
+    * [[epochSpacing]] consume these directly so the three artifacts'
+    * sequence spans are provably identical (one code path, one
+    * cumsum). */
+  private def epochPackRows(documents: DataFrame, budgetMult: Long,
+                            maxEpochs: Long, nShards: Int,
+                            seqLen: Int): DataFrame =
     keyedOrderedCumsum(
         epochOrderRows(documents, budgetMult, maxEpochs, nShards)
           .filter(col("n_toks") > 0),
@@ -1289,10 +1305,163 @@ object CorpusOps {
       .withColumn("end_seq", expr(s"(cum - 1) DIV $seqLen"))
       .withColumn("tok_offset", expr(s"(cum - n_toks) % $seqLen"))
       .withColumn("n_seqs", col("end_seq") - col("start_seq") + lit(1L))
+
+  /** Resume-from-step manifest — the loader-side restart artifact the
+    * epoch family exists to feed: a data-parallel training run maps
+    * rank r to shard r and global step s to sequence s of EVERY
+    * shard, so "resume at step S" means sequences 0..S-1 of every
+    * shard are consumed. The manifest is the [[epochPack]] spans that
+    * still intersect the un-consumed region (end_seq ≥ S) with the
+    * doc-granular restart state a loader needs: `consumed_toks`
+    * (tokens of this span already trained on — > 0 only for the one
+    * span per shard that straddles the S boundary), `remaining_toks`,
+    * and `resume_seq` = the first sequence this span feeds on
+    * restart. Conservation (pinned in CoreSpec): per shard, consumed
+    * mass across retained spans + total mass of dropped spans =
+    * min(S·seqLen, shard mass). Pure integer arithmetic over the
+    * shared pack rows → full hash-match oracle; cost = the q297
+    * bound (the filter prunes output, not work — at 100 TB the
+    * pack rows would be a materialized table and this is a
+    * predicate-pushed scan of it). */
+  def loaderResume(documents: DataFrame, budgetMult: Long = 4L,
+                   maxEpochs: Long = 4L, nShards: Int = 8,
+                   seqLen: Int = 2048, resumeStep: Long = 2L): DataFrame =
+    epochPackRows(documents, budgetMult, maxEpochs, nShards, seqLen)
+      .filter(col("end_seq") >= resumeStep)
+      .withColumn("consumed_toks",
+        greatest(lit(0L), lit(resumeStep * seqLen) - (col("cum") - col("n_toks")))
+          .cast("long"))
+      .withColumn("remaining_toks", (col("n_toks") - col("consumed_toks")).cast("long"))
+      .withColumn("resume_seq", greatest(col("start_seq"), lit(resumeStep)).cast("long"))
       .select(col("shard"), col("pos"), col("doc_id"), col("epoch"),
-        col("n_toks"), col("start_seq"), col("end_seq"), col("tok_offset"),
-        col("n_seqs"))
+        col("n_toks"), col("start_seq"), col("end_seq"), col("resume_seq"),
+        col("consumed_toks"), col("remaining_toks"))
       .orderBy(col("shard"), col("pos"))
+
+  /** Shuffle-quality audit — certifies the q295 permutation actually
+    * MIXED the sources: per shard, the observed count of adjacent
+    * same-source pairs and the longest same-source run, against the
+    * EXACT expected adjacency rate under a uniform random permutation
+    * of that shard's multiset — P(adjacent pair shares a source) =
+    * Σ_s n_s(n_s−1) / (n(n−1)) — both as exact integer ppm (the
+    * overflow-safe (x div y)·10⁶ + ((x mod y)·10⁶) div y
+    * decomposition, so Σ n_s(n_s−1) ≈ n² never multiplies by 10⁶
+    * directly). `clustered` flags a shard whose observed rate
+    * exceeds `marginMult`× the expected rate — the degenerate-shuffle
+    * alarm (a buggy key change that stops interleaving sources fires
+    * it immediately; a healthy XXH64 shuffle sits at ≈1×).
+    *
+    * Scale: one narrow (shard, source) projection of the order rows,
+    * localCheckpoint'd (row-count-bounded, no text) because the
+    * adjacency window, the run-length islands, and the per-source
+    * counts all read it; per-shard windows follow the family's
+    * posture (nShards IS the parallelism knob). */
+  def shuffleQualityAudit(documents: DataFrame, budgetMult: Long = 4L,
+                          maxEpochs: Long = 4L, nShards: Int = 8,
+                          marginMult: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = epochOrderRows(documents, budgetMult, maxEpochs, nShards)
+      .select(col("shard"), col("pos"), col("source"))
+      .localCheckpoint(false)
+    val w = Window.partitionBy(col("shard")).orderBy(col("pos"))
+    val marked = rows
+      .withColumn("prev_src", lag(col("source"), 1).over(w))
+      .withColumn("same", when(col("prev_src") === col("source"), 1L).otherwise(0L))
+      .withColumn("chg", when(col("prev_src").isNull ||
+        col("prev_src") =!= col("source"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint(false) // three aggregates below read it
+    val adj = marked.groupBy(col("shard"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+           sum(col("same")).cast("long").as("same_pairs"))
+    val runs = marked.groupBy(col("shard"), col("run_id"))
+      .agg(count(lit(1)).cast("long").as("run_len"))
+      .groupBy(col("shard"))
+      .agg(max(col("run_len")).cast("long").as("max_run"))
+    val srcs = marked.groupBy(col("shard"), col("source"))
+      .agg(count(lit(1)).cast("long").as("n_s"))
+      .groupBy(col("shard"))
+      .agg(countDistinct(col("source")).cast("long").as("n_sources"),
+           sum(col("n_s") * (col("n_s") - 1L)).cast("long").as("s2"))
+    adj.join(runs, "shard").join(srcs, "shard")
+      .withColumn("obs_ppm", when(col("n_rows") > 1,
+        expr("(same_pairs * 1000000L) div (n_rows - 1)")).otherwise(lit(0L))
+        .cast("long"))
+      .withColumn("exp_ppm", when(col("n_rows") > 1,
+        expr("(s2 div (n_rows * (n_rows - 1))) * 1000000L" +
+          " + ((s2 % (n_rows * (n_rows - 1))) * 1000000L) div (n_rows * (n_rows - 1))"))
+        .otherwise(lit(0L)).cast("long"))
+      .withColumn("clustered", col("obs_ppm") > lit(marginMult) * col("exp_ppm"))
+      .select(col("shard"), col("n_rows"), col("n_sources"), col("same_pairs"),
+        col("max_run"), col("obs_ppm"), col("exp_ppm"), col("clustered"))
+      .orderBy(col("shard"))
+  }
+
+  /** Inter-epoch spacing audit — are a document's repeats actually
+    * SPREAD across training time? In the data-parallel reading (rank
+    * r streams shard r, global step s = sequence s everywhere), a
+    * span's training time is its `start_seq`. For every doc admitted
+    * ≥ 2 times: the step of its first and last occurrence and the
+    * minimum step gap between consecutive occurrences (ordered by
+    * step, shard, epoch); `too_close` flags min_gap < `minGapSteps` —
+    * at the default 1 that means two repeats of the SAME document
+    * begin inside the same global step (the same data-parallel batch
+    * sees it twice), the exact pathology the epoch-folded shuffle key
+    * is supposed to make rare. One doc_id-partitioned window over the
+    * shared pack rows + a per-doc aggregate. */
+  def epochSpacing(documents: DataFrame, budgetMult: Long = 4L,
+                   maxEpochs: Long = 4L, nShards: Int = 8,
+                   seqLen: Int = 2048, minGapSteps: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy(col("doc_id"))
+      .orderBy(col("start_seq"), col("shard"), col("epoch"))
+    epochPackRows(documents, budgetMult, maxEpochs, nShards, seqLen)
+      .withColumn("gap", col("start_seq") - lag(col("start_seq"), 1).over(wd))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_reps"),
+           min(col("start_seq")).cast("long").as("first_step"),
+           max(col("start_seq")).cast("long").as("last_step"),
+           min(col("gap")).cast("long").as("min_gap"))
+      .filter(col("n_reps") >= 2)
+      .withColumn("too_close", col("min_gap") < minGapSteps)
+      .select(col("doc_id"), col("n_reps"), col("first_step"), col("last_step"),
+        col("min_gap"), col("too_close"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality-annealed training order — the published end-of-training
+    * annealing recipe expressed over the epoch family: the FULL
+    * epochs keep the q295 hash-shuffled order, but the PARTIAL
+    * (tail) epoch moves to the END of every shard and sorts by
+    * ASCENDING quality score, so the run finishes on its
+    * highest-quality data (the anneal phase). Within a shard the
+    * order key is (is_anneal, quality-if-anneal, key-if-shuffled,
+    * doc_id, epoch) — one window per shard, same no-global-sort
+    * permutation shape as [[seededShuffle]]. The quality double is
+    * the [[TextOps.qualityScore]] exact-reproducible expression tree,
+    * so the oracle replays the full order bit-exactly. */
+  def annealOrder(documents: DataFrame, budgetMult: Long = 4L,
+                  maxEpochs: Long = 4L, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qual = TextOps.qualityScore(documents).select(col("doc_id"), col("quality"))
+    val keyed = epochAdmissionRows(documents, budgetMult, maxEpochs)
+      .filter(col("admitted"))
+      .withColumn("is_anneal", col("epoch") > col("full_epochs"))
+      .select(col("doc_id"), col("epoch"), col("is_anneal"))
+      .withColumn("shuffle_key", xxhash64(col("doc_id") * 8L + col("epoch")))
+      .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
+      .join(qual, "doc_id")
+    val w = Window.partitionBy(col("shard")).orderBy(
+      col("is_anneal"),
+      when(col("is_anneal"), col("quality")).otherwise(lit(0.0)),
+      when(col("is_anneal"), lit(0L)).otherwise(col("shuffle_key")),
+      col("doc_id"), col("epoch"))
+    keyed.withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"), col("epoch"),
+        col("is_anneal"), col("quality"))
+      .orderBy(col("shard"), col("pos"))
+  }
 
   /** Deterministic training-order shuffle — the loader-facing global
     * permutation: shuffle key = xxhash64(doc_id) (Spark's codegen'd

@@ -1681,17 +1681,109 @@ object Catalog {
       "q297_epoch_pack",
       (s, dir) => CorpusOps.epochPack(Tables.documents(s, dir),
         budgetMult = 4L),
-      Some(s"""WITH $epochOrderCtes,
-              |pk AS (SELECT shard, pos, doc_id, epoch, n_toks,
-              |         CAST(SUM(n_toks) OVER (PARTITION BY shard ORDER BY pos
-              |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-              |       FROM ord WHERE n_toks > 0)
-              |SELECT shard, pos, doc_id, epoch, n_toks,
-              |       CAST((cum - n_toks) // 2048 AS BIGINT) AS start_seq,
-              |       CAST((cum - 1) // 2048 AS BIGINT) AS end_seq,
-              |       CAST((cum - n_toks) % 2048 AS BIGINT) AS tok_offset,
-              |       CAST((cum - 1) // 2048 - (cum - n_toks) // 2048 + 1 AS BIGINT) AS n_seqs
-              |FROM pk ORDER BY shard, pos""".stripMargin)),
+      Some(s"""WITH $epochPackCtes
+              |SELECT shard, pos, doc_id, epoch, n_toks, start_seq, end_seq,
+              |       tok_offset,
+              |       CAST(end_seq - start_seq + 1 AS BIGINT) AS n_seqs
+              |FROM pk2 ORDER BY shard, pos""".stripMargin)),
+
+    // resume-from-step manifest: a data-parallel run maps rank r to
+    // shard r and global step s to sequence s of EVERY shard, so
+    // "resume at step 2" consumes sequences 0..1 everywhere. The
+    // manifest is the q297 spans still intersecting the un-consumed
+    // region, with the doc-granular restart state: consumed/remaining
+    // tokens and the first sequence each span feeds on restart.
+    // Conservation vs the dropped spans is pinned in CoreSpec.
+    QuerySpec(
+      "q298_loader_resume",
+      (s, dir) => CorpusOps.loaderResume(Tables.documents(s, dir),
+        budgetMult = 4L),
+      Some(s"""WITH $epochPackCtes
+              |SELECT shard, pos, doc_id, epoch, n_toks, start_seq, end_seq,
+              |       CAST(GREATEST(start_seq, 2) AS BIGINT) AS resume_seq,
+              |       CAST(GREATEST(0, 4096 - (cum - n_toks)) AS BIGINT) AS consumed_toks,
+              |       CAST(n_toks - GREATEST(0, 4096 - (cum - n_toks)) AS BIGINT) AS remaining_toks
+              |FROM pk2 WHERE end_seq >= 2 ORDER BY shard, pos""".stripMargin)),
+
+    // shuffle-quality audit: per shard, observed adjacent same-source
+    // pairs + longest same-source run vs the EXACT expected adjacency
+    // rate under a uniform permutation of the shard's multiset
+    // (Σ n_s(n_s−1) / (n(n−1)), integer ppm via the overflow-safe
+    // decomposition); `clustered` fires when observed > 2× expected —
+    // the degenerate-shuffle alarm.
+    QuerySpec(
+      "q299_shuffle_quality",
+      (s, dir) => CorpusOps.shuffleQualityAudit(Tables.documents(s, dir),
+        budgetMult = 4L),
+      Some(s"""WITH $epochOrderSrcCtes,
+              |mk AS (SELECT shard, pos, source,
+              |         lag(source) OVER (PARTITION BY shard ORDER BY pos) AS prev_src
+              |       FROM ords),
+              |mk2 AS (SELECT shard, pos, source,
+              |          CASE WHEN prev_src = source THEN 1 ELSE 0 END AS same,
+              |          CASE WHEN prev_src IS NULL OR prev_src <> source THEN 1 ELSE 0 END AS chg
+              |        FROM mk),
+              |mk3 AS (SELECT shard, source, same,
+              |          SUM(chg) OVER (PARTITION BY shard ORDER BY pos
+              |            ROWS UNBOUNDED PRECEDING) AS run_id
+              |        FROM mk2),
+              |adj AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              |          CAST(SUM(same) AS BIGINT) AS same_pairs
+              |        FROM mk3 GROUP BY shard),
+              |rn AS (SELECT shard, CAST(MAX(run_len) AS BIGINT) AS max_run FROM
+              |         (SELECT shard, run_id, COUNT(*) AS run_len
+              |          FROM mk3 GROUP BY 1, 2) GROUP BY shard),
+              |sc AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_sources,
+              |          CAST(SUM(n_s * (n_s - 1)) AS BIGINT) AS s2 FROM
+              |         (SELECT shard, source, CAST(COUNT(*) AS BIGINT) AS n_s
+              |          FROM mk3 GROUP BY 1, 2) GROUP BY shard)
+              |SELECT adj.shard, n_rows, n_sources, same_pairs, max_run,
+              |       CAST(CASE WHEN n_rows > 1
+              |         THEN (same_pairs * 1000000) // (n_rows - 1) ELSE 0 END
+              |         AS BIGINT) AS obs_ppm,
+              |       CAST(CASE WHEN n_rows > 1
+              |         THEN (s2 // (n_rows * (n_rows - 1))) * 1000000
+              |            + ((s2 % (n_rows * (n_rows - 1))) * 1000000) // (n_rows * (n_rows - 1))
+              |         ELSE 0 END AS BIGINT) AS exp_ppm,
+              |       (obs_ppm > 2 * exp_ppm) AS clustered
+              |FROM adj JOIN rn USING (shard) JOIN sc USING (shard)
+              |ORDER BY adj.shard""".stripMargin)),
+
+    // inter-epoch spacing audit: per repeated doc, the step (global
+    // sequence index) of each occurrence and the minimum step gap
+    // between consecutive occurrences; `too_close` = two repeats of
+    // the SAME doc begin inside the same global step (the same
+    // data-parallel batch sees it twice) — the pathology the
+    // epoch-folded shuffle key is supposed to make rare.
+    QuerySpec(
+      "q300_epoch_spacing",
+      (s, dir) => CorpusOps.epochSpacing(Tables.documents(s, dir),
+        budgetMult = 4L),
+      Some(s"""WITH $epochPackCtes,
+              |g AS (SELECT doc_id, start_seq,
+              |        start_seq - lag(start_seq) OVER (PARTITION BY doc_id
+              |          ORDER BY start_seq, shard, epoch) AS gap
+              |      FROM pk2),
+              |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_reps,
+              |        CAST(MIN(start_seq) AS BIGINT) AS first_step,
+              |        CAST(MAX(start_seq) AS BIGINT) AS last_step,
+              |        CAST(MIN(gap) AS BIGINT) AS min_gap
+              |      FROM g GROUP BY doc_id)
+              |SELECT doc_id, n_reps, first_step, last_step, min_gap,
+              |       (min_gap < 1) AS too_close
+              |FROM a WHERE n_reps >= 2 ORDER BY doc_id""".stripMargin)),
+
+    // quality-annealed order: full epochs keep the q295 hash shuffle,
+    // the partial (tail) epoch moves to the END of every shard sorted
+    // by ASCENDING quality — the run finishes on its highest-quality
+    // data (the published end-of-training annealing recipe). The
+    // quality double is the exact-reproducible q93 expression tree,
+    // so the oracle replays the full order bit-exactly.
+    QuerySpec(
+      "q301_anneal_order",
+      (s, dir) => CorpusOps.annealOrder(Tables.documents(s, dir),
+        budgetMult = 4L),
+      Some(q301OracleSql)),
 
     // mixture-realization audit — the monitoring leg of the epoch
     // family: realized (admitted-epoch) token share vs the
@@ -8041,6 +8133,73 @@ object Catalog {
     s"""WITH $epochOrderCtes
        |SELECT doc_id, epoch, shuffle_key, shard, pos
        |FROM ord ORDER BY shard, pos""".stripMargin
+
+  /** The q297 per-shard packing cumsum + sequence-span arithmetic
+    * over `ord`, ending in `pk2(shard, pos, doc_id, epoch, n_toks,
+    * cum, start_seq, end_seq, tok_offset)` — shared by q297 (the
+    * pack itself), q298 (resume manifest over the same spans) and
+    * q300 (spacing audit over the same spans). */
+  private val epochPackCtes: String =
+    s"""$epochOrderCtes,
+       |pk AS (SELECT shard, pos, doc_id, epoch, n_toks,
+       |         CAST(SUM(n_toks) OVER (PARTITION BY shard ORDER BY pos
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |       FROM ord WHERE n_toks > 0),
+       |pk2 AS (SELECT shard, pos, doc_id, epoch, n_toks, cum,
+       |          CAST((cum - n_toks) // 2048 AS BIGINT) AS start_seq,
+       |          CAST((cum - 1) // 2048 AS BIGINT) AS end_seq,
+       |          CAST((cum - n_toks) % 2048 AS BIGINT) AS tok_offset
+       |        FROM pk)""".stripMargin
+
+  /** q301 oracle: the admission chain re-joined to the schedule for
+    * full_epochs (is_anneal = epoch beyond the full passes), the
+    * XXH64 chain over the epoch-folded key carrying the anneal flag,
+    * the exact-reproducible quality tree, and the per-shard window
+    * whose order key switches to ascending quality for anneal rows. */
+  private val q301OracleSql: String = {
+    import Xxh64DocIdSql.{chainFrom, tos}
+    s"""WITH $epochAdmissionCtes,
+       |fe AS (SELECT adm.doc_id, adm.epoch,
+       |         (adm.epoch > sch.full_epochs) AS is_anneal
+       |       FROM adm JOIN sch USING (source) WHERE adm.admitted),
+       |${chainFrom(
+        "SELECT doc_id, epoch, is_anneal, CAST(doc_id * 8 + epoch AS HUGEINT) AS k FROM fe",
+        "doc_id, epoch, is_anneal")},
+       |kk AS (SELECT doc_id, epoch, is_anneal, ${tos("h8")} AS shuffle_key FROM s10),
+       |sh2 AS (SELECT doc_id, epoch, is_anneal, shuffle_key,
+       |          CAST(((shuffle_key % 8) + 8) % 8 AS BIGINT) AS shard FROM kk),
+       |qsc AS ($qualityPerDocSql),
+       |jq AS (SELECT sh2.doc_id, sh2.epoch, sh2.is_anneal, sh2.shuffle_key,
+       |         sh2.shard, qsc.quality
+       |       FROM sh2 JOIN qsc USING (doc_id)),
+       |ordq AS (SELECT shard, doc_id, epoch, is_anneal, quality,
+       |          CAST(row_number() OVER (PARTITION BY shard ORDER BY is_anneal,
+       |            CASE WHEN is_anneal THEN quality ELSE 0.0 END,
+       |            CASE WHEN is_anneal THEN 0 ELSE shuffle_key END,
+       |            doc_id, epoch) AS BIGINT) AS pos
+       |        FROM jq)
+       |SELECT shard, pos, doc_id, epoch, is_anneal, quality
+       |FROM ordq ORDER BY shard, pos""".stripMargin
+  }
+
+  /** The q295 XXH64 order chain with `source` carried through every
+    * stage, ending in `ords(doc_id, source, epoch, n_toks,
+    * shuffle_key, shard, pos)` — q299's shuffle-quality audit needs
+    * the source label at every position. */
+  private val epochOrderSrcCtes: String = {
+    import Xxh64DocIdSql.{chainFrom, tos}
+    s"""$epochAdmissionCtes,
+       |${chainFrom(
+        "SELECT doc_id, source, epoch, n_toks, CAST(doc_id * 8 + epoch AS HUGEINT) AS k " +
+          "FROM adm WHERE admitted", "doc_id, source, epoch, n_toks")},
+       |kk AS (SELECT doc_id, source, epoch, n_toks, ${tos("h8")} AS shuffle_key FROM s10),
+       |sh AS (SELECT doc_id, source, epoch, n_toks, shuffle_key,
+       |         CAST(((shuffle_key % 8) + 8) % 8 AS BIGINT) AS shard FROM kk),
+       |ords AS (SELECT doc_id, source, epoch, n_toks, shuffle_key, shard,
+       |          CAST(row_number() OVER (PARTITION BY shard
+       |              ORDER BY shuffle_key, doc_id, epoch) AS BIGINT) AS pos
+       |        FROM sh)""".stripMargin
+  }
 
   private val waterFillCtes: String =
     """dem AS (

@@ -1489,6 +1489,128 @@ class CoreSpec extends SparkSpec {
     assert(got2 == naive2, "multi-order-col scan must equal the naive window")
   }
 
+  test("loader resume: restart state + per-shard token conservation at the step boundary") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (1 to 60).map { i =>
+      (i.toLong, ("tok " * (1 + rnd.nextInt(40))).trim, "en", s"s${i % 3}") }
+      .toDF("doc_id", "text", "lang", "source")
+    val S = 2L; val L = 16
+    val pack = CorpusOps.epochPack(docs, budgetMult = 2L, nShards = 2, seqLen = L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+    val man = CorpusOps.loaderResume(docs, budgetMult = 2L, nShards = 2,
+        seqLen = L, resumeStep = S).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9))))
+    val manMap = man.toMap
+    // the manifest is exactly the pack spans intersecting sequences ≥ S
+    assert(man.map(_._1).toSet == pack.filter(_._2._5 >= S).map(_._1).toSet)
+    man.foreach { case (k, (nToks, startSeq, _, resumeSeq, consumed, remaining)) =>
+      assert(resumeSeq == math.max(startSeq, S), s"$k resume_seq")
+      assert(consumed >= 0 && remaining >= 1 && consumed + remaining == nToks,
+        s"$k restart state: consumed=$consumed remaining=$remaining n=$nToks")
+      // only the one straddling span per shard may have consumed > 0
+      if (startSeq >= S) assert(consumed == 0, s"$k wholly unconsumed")
+    }
+    // conservation: per shard, consumed mass on retained spans +
+    // full mass of dropped spans = min(S·L, shard mass)
+    pack.groupBy(_._1._1).foreach { case (shard, spans) =>
+      val shardMass = spans.map(_._2._3).sum
+      val dropped = spans.filter(_._2._5 < S).map(_._2._3).sum
+      val consumed = spans.flatMap(s => manMap.get(s._1).map(_._5)).sum
+      assert(dropped + consumed == math.min(S * L, shardMass),
+        s"shard $shard: dropped=$dropped consumed=$consumed mass=$shardMass")
+    }
+  }
+
+  test("shuffle-quality audit equals a naive recomputation over the realized order") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val docs = (1 to 80).map { i =>
+      (i.toLong, ("tok " * (1 + rnd.nextInt(30))).trim, "en", s"s${i % 4}") }
+      .toDF("doc_id", "text", "lang", "source")
+    val srcOf = docs.select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ordered = CorpusOps.epochTrainingOrder(docs, budgetMult = 2L, nShards = 4)
+      .collect().map(r => (r.getLong(3), r.getLong(4), srcOf(r.getLong(0))))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    def ppm(num: Long, den: Long): Long = (num / den) * 1000000L + ((num % den) * 1000000L) / den
+    val expect = ordered.map { case (shard, srcs) =>
+      val n = srcs.length.toLong
+      val same = srcs.sliding(2).count { case Seq(a, b) => a == b; case _ => false }.toLong
+      val maxRun = { var m = 1; var c = 1
+        srcs.sliding(2).foreach { case Seq(a, b) =>
+          c = if (a == b) c + 1 else 1; m = math.max(m, c); case _ => () }
+        m.toLong }
+      val s2 = srcs.groupBy(identity).values.map(g => g.length.toLong * (g.length - 1)).sum
+      val obs = if (n > 1) (same * 1000000L) / (n - 1) else 0L
+      val exp = if (n > 1) ppm(s2, n * (n - 1)) else 0L
+      shard -> ((n, srcs.distinct.length.toLong, same, maxRun, obs, exp, obs > 2 * exp))
+    }
+    val got = CorpusOps.shuffleQualityAudit(docs, budgetMult = 2L, nShards = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getBoolean(7)))).toMap
+    assert(got == expect, s"audit vs naive:\n got=$got\n exp=$expect")
+    // a healthy XXH64 shuffle of 4 interleaved sources must not trip
+    // the degenerate-shuffle alarm on every shard
+    assert(got.values.exists(!_._7), "healthy shuffle should not look clustered everywhere")
+  }
+
+  test("epoch spacing: per-doc gaps recomputed from the pack spans") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val docs = (1 to 50).map { i =>
+      (i.toLong, ("tok " * (1 + rnd.nextInt(25))).trim, "en", s"s${i % 2}") }
+      .toDF("doc_id", "text", "lang", "source")
+    val pack = CorpusOps.epochPack(docs, budgetMult = 3L, nShards = 2, seqLen = 8)
+      .collect().map(r => (r.getLong(2), r.getLong(5), r.getLong(0), r.getLong(3)))
+    val expect = pack.groupBy(_._1).collect { case (doc, spans) if spans.length >= 2 =>
+      val steps = spans.sortBy(s => (s._2, s._3, s._4)).map(_._2)
+      val gaps = steps.sliding(2).map { case Array(a, b) => b - a }.toSeq
+      doc -> ((spans.length.toLong, steps.min, steps.max, gaps.min, gaps.min < 1L))
+    }
+    val got = CorpusOps.epochSpacing(docs, budgetMult = 3L, nShards = 2, seqLen = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got == expect, s"spacing vs naive:\n got=$got\n exp=$expect")
+  }
+
+  test("anneal order: full epochs keep the hash order, the tail sorts by ascending quality at the end") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val docs = (1 to 60).map { i =>
+      (i.toLong, ("tok " * (1 + rnd.nextInt(40))).trim, "en", s"s${i % 3}") }
+      .toDF("doc_id", "text", "lang", "source")
+    val q295 = CorpusOps.epochTrainingOrder(docs, budgetMult = 2L, nShards = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3), r.getLong(4)))
+    val qual = TextOps.qualityScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val ann = CorpusOps.annealOrder(docs, budgetMult = 2L, nShards = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getDouble(5)))
+    // same admitted (doc, epoch) multiset as the q295 order
+    assert(ann.map(t => (t._3, t._4)).sorted.toSeq ==
+      q295.map(_._1).sorted.toSeq, "same admitted pairs")
+    assert(ann.forall(t => t._6 == qual(t._3)), "quality column is the q93 score")
+    ann.groupBy(_._1).foreach { case (shard, rows) =>
+      val inPos = rows.sortBy(_._2)
+      // a boundary: every non-anneal row precedes every anneal row
+      val flags = inPos.map(_._5)
+      assert(!flags.zip(flags.drop(1)).exists { case (a, b) => a && !b },
+        s"shard $shard: anneal rows must form the tail")
+      // the anneal tail is sorted by (quality, doc_id, epoch) ascending
+      val tail = inPos.filter(_._5).map(t => (t._6, t._3, t._4))
+      assert(tail.sameElements(tail.sortBy(identity)), s"shard $shard tail order")
+      // the shuffled head preserves its q295 relative order
+      val headPairs = inPos.filterNot(_._5).map(t => (t._3, t._4)).toSeq
+      val q295Shard = q295.filter(t => t._2 == shard).sortBy(_._3).map(_._1)
+        .filter(headPairs.toSet).toSeq
+      assert(headPairs == q295Shard, s"shard $shard head order")
+    }
+  }
+
   test("rater kappa: perfect = 1e6, inverted = -1e6, degenerate marginals = NULL") {
     import spark.implicits._
     val en = "the and of to in"   // classifier guesses en
