@@ -1430,6 +1430,136 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Pack-efficiency report — the numbers that justify sequence
+    * packing over pad-to-max batching, per shard: sequence count,
+    * span count, spans per sequence (mean, integer ppm), the count of
+    * spans cut by a sequence boundary and the total number of cuts,
+    * the ragged tail's fill, and overall utilization
+    * (mass / (n_seqs·seqLen), ppm — < 10⁶ only from the tail, since
+    * packing leaves no interior padding). Pure integer algebra over
+    * the shared pack rows → one group-by over the q297 bound. */
+  def packEfficiency(documents: DataFrame, budgetMult: Long = 4L,
+                     maxEpochs: Long = 4L, nShards: Int = 8,
+                     seqLen: Int = 2048): DataFrame =
+    epochPackRows(documents, budgetMult, maxEpochs, nShards, seqLen)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+           (max(col("end_seq")) + 1L).cast("long").as("n_seqs"),
+           sum(col("n_toks")).cast("long").as("shard_toks"),
+           sum(when(col("n_seqs") >= 2L, 1L).otherwise(0L)).cast("long")
+             .as("split_spans"),
+           sum(col("n_seqs") - 1L).cast("long").as("n_cuts"))
+      .withColumn("tail_fill",
+        (col("shard_toks") - (col("n_seqs") - 1L) * seqLen).cast("long"))
+      .withColumn("spans_per_seq_ppm",
+        expr("(n_spans * 1000000L) div n_seqs").cast("long"))
+      .withColumn("fill_ppm",
+        expr(s"(shard_toks * 1000000L) div (n_seqs * ${seqLen}L)").cast("long"))
+      .select(col("shard"), col("n_spans"), col("n_seqs"), col("shard_toks"),
+        col("split_spans"), col("n_cuts"), col("tail_fill"),
+        col("spans_per_seq_ppm"), col("fill_ppm"))
+      .orderBy(col("shard"))
+
+  /** Incremental-rebuild planner — when the corpus changes, which
+    * packed sequences survive? Removing (or adding) documents shifts
+    * the WHOLE epoch chain — schedule targets move with the token
+    * masses — so the honest answer diffs the v1 and v2 packs
+    * directly: per shard, the first position where the two span
+    * streams disagree on (doc_id, epoch, n_toks) and the number of
+    * REUSABLE full sequences = ⌊clean-prefix mass / seqLen⌋ (the
+    * identical prefix pins the running mass, so every sequence fully
+    * inside it is byte-identical; the sequence the first dirty span
+    * touches is not). A shard with no disagreement reuses everything.
+    * Cost: two pack chains + one co-partitioned full-outer join on
+    * (shard, pos) — the price of CERTIFYING reuse; a production run
+    * diffs stored manifests instead of recomputing both sides. */
+  def packInvalidation(documentsV1: DataFrame, documentsV2: DataFrame,
+                       budgetMult: Long = 4L, maxEpochs: Long = 4L,
+                       nShards: Int = 8, seqLen: Int = 2048): DataFrame = {
+    def side(docs: DataFrame, p: String) =
+      epochPackRows(docs, budgetMult, maxEpochs, nShards, seqLen)
+        .select(col("shard"), col("pos"), col("doc_id").as(s"${p}_doc"),
+          col("epoch").as(s"${p}_epoch"), col("n_toks").as(s"${p}_toks"),
+          col("cum").as(s"${p}_cum"), col("end_seq").as(s"${p}_end"))
+    val j = side(documentsV1, "v1").join(side(documentsV2, "v2"),
+        Seq("shard", "pos"), "full_outer")
+      .withColumn("dirty",
+        col("v1_doc").isNull || col("v2_doc").isNull ||
+        col("v1_doc") =!= col("v2_doc") || col("v1_epoch") =!= col("v2_epoch") ||
+        col("v1_toks") =!= col("v2_toks"))
+    // the reusable prefix ends at the FIRST dirty position — a later
+    // re-sync of the two streams must not count (the sequences between
+    // the first dirty span and the re-sync are not byte-identical), so
+    // clean_cum is the v1 running mass strictly before first_dirty,
+    // not the max over all clean rows
+    import org.apache.spark.sql.expressions.Window
+    j.withColumn("fd", min(when(col("dirty"), col("pos")))
+        .over(Window.partitionBy(col("shard"))))
+      .groupBy(col("shard"))
+      .agg(sum(when(col("v1_doc").isNotNull, 1L).otherwise(0L)).cast("long")
+             .as("v1_spans"),
+           sum(when(col("v2_doc").isNotNull, 1L).otherwise(0L)).cast("long")
+             .as("v2_spans"),
+           (max(when(col("v1_doc").isNotNull, col("v1_end"))) + 1L).cast("long")
+             .as("v1_seqs"),
+           min(when(col("dirty"), col("pos"))).cast("long").as("first_dirty_pos"),
+           max(when(col("pos") < coalesce(col("fd"), lit(Long.MaxValue)),
+             col("v1_cum"))).cast("long").as("clean_cum"))
+      .withColumn("reusable_seqs",
+        when(col("first_dirty_pos").isNull, col("v1_seqs"))
+          .when(col("first_dirty_pos") === 1L, lit(0L))
+          .otherwise(expr(s"clean_cum div ${seqLen}L")).cast("long"))
+      .select(col("shard"), col("v1_spans"), col("v2_spans"), col("v1_seqs"),
+        col("first_dirty_pos"), col("reusable_seqs"))
+      .orderBy(col("shard"))
+  }
+
+  /** Per-step batch-mixture audit — in the data-parallel reading
+    * (rank r streams shard r), global step s trains on sequence s of
+    * every shard at once; this reports, for every step, what that
+    * combined batch actually contains: spans and distinct docs
+    * touched, total token mass, and the DOMINANT source's share
+    * (integer ppm) with a `skewed` flag past `maxShareppm` — the
+    * batch-level mixing check that q299's shard-level audit cannot
+    * see. A span contributes min(cum, (s+1)·L) − max(cum−n_toks, s·L)
+    * tokens to step s, for s in [start_seq, end_seq] — the bounded
+    * explode is O(token mass / seqLen + spans), the size class of the
+    * pack itself; one row out per training step (a monitoring table a
+    * real run writes anyway). */
+  def batchMixture(documents: DataFrame, budgetMult: Long = 4L,
+                   maxEpochs: Long = 4L, nShards: Int = 8,
+                   seqLen: Int = 2048, maxSharePpm: Long = 500000L): DataFrame = {
+    val contrib = epochPackRows(documents, budgetMult, maxEpochs, nShards, seqLen)
+      .select(col("shard"), col("doc_id"), col("source"), col("n_toks"),
+        col("cum"), explode(expr("sequence(start_seq, end_seq)")).as("step"))
+      .withColumn("toks_in_step",
+        (least(col("cum"), (col("step") + 1L) * seqLen) -
+          greatest(col("cum") - col("n_toks"), col("step") * lit(seqLen.toLong))
+          ).cast("long"))
+      .select(col("step"), col("source"), col("doc_id"), col("toks_in_step"))
+      // narrow, row-count-bounded; the per-source and per-step
+      // aggregates below both read it (evaluate-once posture)
+      .localCheckpoint(false)
+    val bySrc = contrib.groupBy(col("step"), col("source"))
+      .agg(sum(col("toks_in_step")).cast("long").as("src_toks"))
+    val top = bySrc.groupBy(col("step"))
+      .agg(max_by(struct(col("src_toks"), col("source")),
+        struct(col("src_toks"), col("source"))).as("top"),
+        sum(col("src_toks")).cast("long").as("step_toks"))
+      .select(col("step"), col("top.source").as("top_source"),
+        col("top.src_toks").as("top_toks"), col("step_toks"))
+    val spans = contrib.groupBy(col("step"))
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+           countDistinct(col("doc_id")).cast("long").as("n_docs"))
+    spans.join(top, "step")
+      .withColumn("top_share_ppm",
+        expr("(top_toks * 1000000L) div step_toks").cast("long"))
+      .withColumn("skewed", col("top_share_ppm") > maxSharePpm)
+      .select(col("step"), col("n_spans"), col("n_docs"), col("step_toks"),
+        col("top_source"), col("top_share_ppm"), col("skewed"))
+      .orderBy(col("step"))
+  }
+
   /** Quality-annealed training order — the published end-of-training
     * annealing recipe expressed over the epoch family: the FULL
     * epochs keep the q295 hash-shuffled order, but the PARTIAL

@@ -1785,6 +1785,77 @@ object Catalog {
         budgetMult = 4L),
       Some(q301OracleSql)),
 
+    // pack-efficiency report: per shard, sequences/spans, spans per
+    // sequence, boundary-cut counts, ragged-tail fill and overall
+    // utilization ppm — the numbers that justify sequence packing
+    // over pad-to-max batching (interior padding is zero by
+    // construction; fill < 10^6 comes only from the tail).
+    QuerySpec(
+      "q302_pack_efficiency",
+      (s, dir) => CorpusOps.packEfficiency(Tables.documents(s, dir),
+        budgetMult = 4L),
+      Some(s"""WITH $epochPackCtes
+              |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_spans,
+              |       CAST(MAX(end_seq) + 1 AS BIGINT) AS n_seqs,
+              |       CAST(SUM(n_toks) AS BIGINT) AS shard_toks,
+              |       CAST(SUM(CASE WHEN end_seq - start_seq + 1 >= 2
+              |         THEN 1 ELSE 0 END) AS BIGINT) AS split_spans,
+              |       CAST(SUM(end_seq - start_seq) AS BIGINT) AS n_cuts,
+              |       CAST(SUM(n_toks) - MAX(end_seq) * 2048 AS BIGINT) AS tail_fill,
+              |       CAST((COUNT(*) * 1000000) // (MAX(end_seq) + 1) AS BIGINT)
+              |         AS spans_per_seq_ppm,
+              |       CAST((SUM(n_toks) * 1000000) // ((MAX(end_seq) + 1) * 2048)
+              |         AS BIGINT) AS fill_ppm
+              |FROM pk2 GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // incremental-rebuild planner: corpus delta (docs with
+    // doc_id % 37 == 0 removed) → per shard, the first position where
+    // the v1 and v2 span streams disagree and the number of REUSABLE
+    // full sequences (the identical prefix pins the running mass).
+    // A later re-sync of the streams does NOT count — reuse stops at
+    // the first dirty span.
+    QuerySpec(
+      "q303_pack_invalidation",
+      (s, dir) => CorpusOps.packInvalidation(
+        Tables.documents(s, dir),
+        Tables.documents(s, dir).filter(expr("doc_id % 37 != 0")),
+        budgetMult = 4L),
+      Some(q303OracleSql)),
+
+    // per-step batch-mixture audit: in the data-parallel reading,
+    // step s trains on sequence s of EVERY shard; per step — spans
+    // and distinct docs touched, token mass, the dominant source's
+    // share (integer ppm) and a skew flag past 50% — the batch-level
+    // mixing check q299's shard-level audit cannot see.
+    QuerySpec(
+      "q304_batch_mixture",
+      (s, dir) => CorpusOps.batchMixture(Tables.documents(s, dir),
+        budgetMult = 4L),
+      Some(s"""WITH $epochPackCtes,
+              |ex AS (SELECT p.shard, p.doc_id, d.source, p.n_toks, p.cum, e.step
+              |       FROM pk2 p JOIN documents d ON p.doc_id = d.doc_id,
+              |            UNNEST(generate_series(p.start_seq, p.end_seq)) AS e(step)),
+              |ct AS (SELECT step, source, doc_id,
+              |         CAST(LEAST(cum, (step + 1) * 2048)
+              |            - GREATEST(cum - n_toks, step * 2048) AS BIGINT) AS toks
+              |       FROM ex),
+              |bs AS (SELECT step, source, CAST(SUM(toks) AS BIGINT) AS src_toks
+              |       FROM ct GROUP BY 1, 2),
+              |tp AS (SELECT step, source AS top_source, src_toks AS top_toks,
+              |         row_number() OVER (PARTITION BY step
+              |           ORDER BY src_toks DESC, source DESC) AS rn,
+              |         SUM(src_toks) OVER (PARTITION BY step) AS step_toks_u
+              |       FROM bs),
+              |sp AS (SELECT step, CAST(COUNT(*) AS BIGINT) AS n_spans,
+              |         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+              |       FROM ct GROUP BY step)
+              |SELECT sp.step, n_spans, n_docs,
+              |       CAST(step_toks_u AS BIGINT) AS step_toks, top_source,
+              |       CAST((top_toks * 1000000) // step_toks_u AS BIGINT) AS top_share_ppm,
+              |       ((top_toks * 1000000) // step_toks_u > 500000) AS skewed
+              |FROM sp JOIN tp USING (step) WHERE rn = 1
+              |ORDER BY sp.step""".stripMargin)),
+
     // mixture-realization audit — the monitoring leg of the epoch
     // family: realized (admitted-epoch) token share vs the
     // temperature target share, both exact integer ppm, drift flag
@@ -8064,70 +8135,76 @@ object Catalog {
     * sits ON the upweight=1 boundary, so sources smaller than average
     * cap at 4 epochs and larger ones keep a partial tail — both
     * branches live in the oracle at every SF. */
-  private val epochScheduleCtes: String =
-    """per AS (
+  private def epochScheduleCtesOver(rel: String, z: String): String =
+    s"""per$z AS (
       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
       |         CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))) AS BIGINT) AS n_tokens
-      |  FROM documents GROUP BY 1),
-      |w AS (SELECT source, n_docs, n_tokens,
-      |        CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_sqrt FROM per),
-      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
-      |               CAST(SUM(w_sqrt) AS BIGINT) AS tot_w FROM w),
-      |tgt AS (SELECT source, n_docs, n_tokens, w_sqrt,
+      |  FROM $rel GROUP BY 1),
+      |w$z AS (SELECT source, n_docs, n_tokens,
+      |        CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_sqrt FROM per$z),
+      |tot$z AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+      |               CAST(SUM(w_sqrt) AS BIGINT) AS tot_w FROM w$z),
+      |tgt$z AS (SELECT source, n_docs, n_tokens, w_sqrt,
       |          CAST(((4 * tot_tokens) // tot_w) * w_sqrt
       |             + (((4 * tot_tokens) % tot_w) * w_sqrt) // tot_w AS BIGINT) AS target_tokens
-      |        FROM w CROSS JOIN tot),
-      |sch AS (SELECT source, n_docs, n_tokens, w_sqrt, target_tokens,
+      |        FROM w$z CROSS JOIN tot$z),
+      |sch$z AS (SELECT source, n_docs, n_tokens, w_sqrt, target_tokens,
       |          CAST(LEAST(4, CASE WHEN n_tokens > 0
       |            THEN target_tokens // n_tokens ELSE 0 END) AS BIGINT) AS full_epochs,
       |          (target_tokens > 4 * n_tokens) AS capped,
       |          CAST(LEAST(target_tokens, 4 * n_tokens) AS BIGINT) AS realized_tokens
-      |        FROM tgt)""".stripMargin
+      |        FROM tgt$z)""".stripMargin
+
+  private val epochScheduleCtes: String = epochScheduleCtesOver("documents", "")
 
   /** q293's schedule extended to document granularity, ending in
     * `adm(doc_id, source, epoch, n_toks, cum_tokens, admitted)` —
     * shared by q294 (the admission report itself) and q295 (the
     * training order built from the admitted pairs), so the two
     * queries' admissions are provably identical. */
-  private val epochAdmissionCtes: String =
-    s"""$epochScheduleCtes,
-       |cm AS (SELECT doc_id, source,
+  private def epochAdmissionCtesOver(rel: String, z: String): String =
+    s"""${epochScheduleCtesOver(rel, z)},
+       |cm$z AS (SELECT doc_id, source,
        |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_toks,
        |         CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9_]+')))
        |           OVER (PARTITION BY source ORDER BY doc_id
        |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
-       |       FROM documents),
-       |j AS (SELECT cm.doc_id, cm.source, cm.n_toks, cm.cum_tokens,
-       |        sch.full_epochs,
-       |        CAST(sch.realized_tokens - sch.full_epochs * sch.n_tokens
+       |       FROM $rel),
+       |j$z AS (SELECT cm$z.doc_id, cm$z.source, cm$z.n_toks, cm$z.cum_tokens,
+       |        sch$z.full_epochs,
+       |        CAST(sch$z.realized_tokens - sch$z.full_epochs * sch$z.n_tokens
        |          AS BIGINT) AS tail_tokens
-       |      FROM cm JOIN sch USING (source)),
-       |j2 AS (SELECT *, CAST(full_epochs +
+       |      FROM cm$z JOIN sch$z USING (source)),
+       |j2$z AS (SELECT *, CAST(full_epochs +
        |         CASE WHEN tail_tokens > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_slots
-       |       FROM j),
-       |adm AS (SELECT doc_id, source, CAST(e.epoch AS BIGINT) AS epoch,
+       |       FROM j$z),
+       |adm$z AS (SELECT doc_id, source, CAST(e.epoch AS BIGINT) AS epoch,
        |          n_toks, cum_tokens,
        |          (e.epoch <= full_epochs OR cum_tokens <= tail_tokens) AS admitted
-       |        FROM j2, UNNEST(generate_series(1, n_slots)) AS e(epoch))""".stripMargin
+       |        FROM j2$z, UNNEST(generate_series(1, n_slots)) AS e(epoch))""".stripMargin
+
+  private val epochAdmissionCtes: String = epochAdmissionCtesOver("documents", "")
 
   /** The XXH64 chain over the epoch-folded key doc_id·8+epoch with
     * shard/pos exactly as q141's oracle, n_toks carried through —
     * ends in `ord(doc_id, epoch, n_toks, shuffle_key, shard, pos)`;
     * shared by q295 (the order itself) and q297 (packing by it). */
-  private val epochOrderCtes: String = {
+  private def epochOrderCtesOver(rel: String, z: String): String = {
     import Xxh64DocIdSql.{chainFrom, tos}
-    s"""$epochAdmissionCtes,
+    s"""${epochAdmissionCtesOver(rel, z)},
        |${chainFrom(
-        "SELECT doc_id, epoch, n_toks, CAST(doc_id * 8 + epoch AS HUGEINT) AS k " +
-          "FROM adm WHERE admitted", "doc_id, epoch, n_toks")},
-       |kk AS (SELECT doc_id, epoch, n_toks, ${tos("h8")} AS shuffle_key FROM s10),
-       |sh AS (SELECT doc_id, epoch, n_toks, shuffle_key,
-       |         CAST(((shuffle_key % 8) + 8) % 8 AS BIGINT) AS shard FROM kk),
-       |ord AS (SELECT doc_id, epoch, n_toks, shuffle_key, shard,
+        s"SELECT doc_id, epoch, n_toks, CAST(doc_id * 8 + epoch AS HUGEINT) AS k " +
+          s"FROM adm$z WHERE admitted", "doc_id, epoch, n_toks", z)},
+       |kk$z AS (SELECT doc_id, epoch, n_toks, ${tos("h8")} AS shuffle_key FROM s10$z),
+       |sh$z AS (SELECT doc_id, epoch, n_toks, shuffle_key,
+       |         CAST(((shuffle_key % 8) + 8) % 8 AS BIGINT) AS shard FROM kk$z),
+       |ord$z AS (SELECT doc_id, epoch, n_toks, shuffle_key, shard,
        |          CAST(row_number() OVER (PARTITION BY shard
        |              ORDER BY shuffle_key, doc_id, epoch) AS BIGINT) AS pos
-       |        FROM sh)""".stripMargin
+       |        FROM sh$z)""".stripMargin
   }
+
+  private val epochOrderCtes: String = epochOrderCtesOver("documents", "")
 
   private val q295OracleSql: String =
     s"""WITH $epochOrderCtes
@@ -8139,17 +8216,19 @@ object Catalog {
     * cum, start_seq, end_seq, tok_offset)` — shared by q297 (the
     * pack itself), q298 (resume manifest over the same spans) and
     * q300 (spacing audit over the same spans). */
-  private val epochPackCtes: String =
-    s"""$epochOrderCtes,
-       |pk AS (SELECT shard, pos, doc_id, epoch, n_toks,
+  private def epochPackCtesOver(rel: String, z: String): String =
+    s"""${epochOrderCtesOver(rel, z)},
+       |pk$z AS (SELECT shard, pos, doc_id, epoch, n_toks,
        |         CAST(SUM(n_toks) OVER (PARTITION BY shard ORDER BY pos
        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-       |       FROM ord WHERE n_toks > 0),
-       |pk2 AS (SELECT shard, pos, doc_id, epoch, n_toks, cum,
+       |       FROM ord$z WHERE n_toks > 0),
+       |pk2$z AS (SELECT shard, pos, doc_id, epoch, n_toks, cum,
        |          CAST((cum - n_toks) // 2048 AS BIGINT) AS start_seq,
        |          CAST((cum - 1) // 2048 AS BIGINT) AS end_seq,
        |          CAST((cum - n_toks) % 2048 AS BIGINT) AS tok_offset
-       |        FROM pk)""".stripMargin
+       |        FROM pk$z)""".stripMargin
+
+  private val epochPackCtes: String = epochPackCtesOver("documents", "")
 
   /** q301 oracle: the admission chain re-joined to the schedule for
     * full_epochs (is_anneal = epoch beyond the full passes), the
@@ -8181,6 +8260,38 @@ object Catalog {
        |SELECT shard, pos, doc_id, epoch, is_anneal, quality
        |FROM ordq ORDER BY shard, pos""".stripMargin
   }
+
+  /** q303 oracle: TWO full pack chains — v1 over documents, v2 over
+    * documents minus the removed set — full-outer joined on
+    * (shard, pos); reuse stops at the FIRST dirty position (the
+    * window min), so a later re-sync of the streams cannot count. */
+  private val q303OracleSql: String =
+    s"""WITH ${epochPackCtesOver("documents", "v1")},
+       |${epochPackCtesOver("(SELECT * FROM documents WHERE doc_id % 37 <> 0)", "v2")},
+       |jj AS (SELECT COALESCE(a.shard, b.shard) AS shard,
+       |         COALESCE(a.pos, b.pos) AS pos,
+       |         a.doc_id AS v1_doc, a.epoch AS v1_epoch, a.n_toks AS v1_toks,
+       |         a.cum AS v1_cum, a.end_seq AS v1_end,
+       |         b.doc_id AS v2_doc, b.epoch AS v2_epoch, b.n_toks AS v2_toks
+       |       FROM pk2v1 a FULL OUTER JOIN pk2v2 b
+       |         ON a.shard = b.shard AND a.pos = b.pos),
+       |jd AS (SELECT *, (v1_doc IS NULL OR v2_doc IS NULL OR v1_doc <> v2_doc
+       |         OR v1_epoch <> v2_epoch OR v1_toks <> v2_toks) AS dirty FROM jj),
+       |jf AS (SELECT *, MIN(CASE WHEN dirty THEN pos END)
+       |         OVER (PARTITION BY shard) AS fd FROM jd),
+       |ag AS (SELECT shard,
+       |         CAST(SUM(CASE WHEN v1_doc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1_spans,
+       |         CAST(SUM(CASE WHEN v2_doc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS v2_spans,
+       |         CAST(MAX(CASE WHEN v1_doc IS NOT NULL THEN v1_end END) + 1 AS BIGINT) AS v1_seqs,
+       |         CAST(MIN(CASE WHEN dirty THEN pos END) AS BIGINT) AS first_dirty_pos,
+       |         CAST(MAX(CASE WHEN pos < COALESCE(fd, 9223372036854775807)
+       |           THEN v1_cum END) AS BIGINT) AS clean_cum
+       |       FROM jf GROUP BY shard)
+       |SELECT shard, v1_spans, v2_spans, v1_seqs, first_dirty_pos,
+       |       CAST(CASE WHEN first_dirty_pos IS NULL THEN v1_seqs
+       |            WHEN first_dirty_pos = 1 THEN 0
+       |            ELSE clean_cum // 2048 END AS BIGINT) AS reusable_seqs
+       |FROM ag ORDER BY shard""".stripMargin
 
   /** The q295 XXH64 order chain with `source` carried through every
     * stage, ending in `ords(doc_id, source, epoch, n_toks,

@@ -1577,6 +1577,94 @@ class CoreSpec extends SparkSpec {
     assert(got == expect, s"spacing vs naive:\n got=$got\n exp=$expect")
   }
 
+  test("pack efficiency, invalidation, and batch mixture recomputed naively from the pack") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val docs = (1 to 70).map { i =>
+      (i.toLong, ("tok " * (1 + rnd.nextInt(30))).trim, "en", s"s${i % 3}") }
+      .toDF("doc_id", "text", "lang", "source")
+    val L = 16
+    // (shard, pos, doc_id, epoch, n_toks, start_seq, end_seq)
+    val pack = CorpusOps.epochPack(docs, budgetMult = 2L, nShards = 2, seqLen = L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val srcOf = docs.select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // efficiency
+    val effExpect = pack.groupBy(_._1).map { case (shard, spans) =>
+      val nSeqs = spans.map(_._7).max + 1
+      val mass = spans.map(_._5).sum
+      shard -> ((spans.length.toLong, nSeqs, mass,
+        spans.count(s => s._7 - s._6 + 1 >= 2).toLong,
+        spans.map(s => s._7 - s._6).sum,
+        mass - (nSeqs - 1) * L,
+        spans.length.toLong * 1000000L / nSeqs,
+        mass * 1000000L / (nSeqs * L)))
+    }
+    val effGot = CorpusOps.packEfficiency(docs, budgetMult = 2L, nShards = 2, seqLen = L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+    assert(effGot == effExpect, s"efficiency:\n got=$effGot\n exp=$effExpect")
+
+    // invalidation: v2 removes every 5th doc; naive first-dirty diff
+    val docsV2 = docs.filter(expr("doc_id % 5 != 0"))
+    val packV2 = CorpusOps.epochPack(docsV2, budgetMult = 2L, nShards = 2, seqLen = L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val invExpect = (pack.map(_._1) ++ packV2.map(_._1)).distinct.sorted.map { shard =>
+      val a = pack.filter(_._1 == shard).sortBy(_._2)
+      val b = packV2.filter(_._1 == shard).sortBy(_._2)
+      val n = math.max(a.length, b.length)
+      val firstDirty = (0 until n).find { i =>
+        i >= a.length || i >= b.length ||
+          (a(i)._3, a(i)._4, a(i)._5) != ((b(i)._3, b(i)._4, b(i)._5))
+      }.map(_ + 1L)
+      val v1Seqs = a.map(_._7).max + 1
+      val reusable = firstDirty match {
+        case None => v1Seqs
+        case Some(1L) => 0L
+        case Some(p) => a.take(p.toInt - 1).map(_._5).sum / L
+      }
+      shard -> ((a.length.toLong, b.length.toLong, v1Seqs, firstDirty, reusable))
+    }.toMap
+    val invGot = CorpusOps.packInvalidation(docs, docsV2, budgetMult = 2L,
+        nShards = 2, seqLen = L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5)))).toMap
+    assert(invGot == invExpect, s"invalidation:\n got=$invGot\n exp=$invExpect")
+    // identity delta: everything reusable, no dirty position anywhere
+    val idGot = CorpusOps.packInvalidation(docs, docs, budgetMult = 2L,
+        nShards = 2, seqLen = L).collect()
+    assert(idGot.forall(r => r.isNullAt(4) && r.getLong(5) == r.getLong(3)),
+      "identity delta reuses every sequence")
+
+    // batch mixture: per step, dominant source recomputed naively
+    val mixGot = CorpusOps.batchMixture(docs, budgetMult = 2L, nShards = 2, seqLen = L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5), r.getBoolean(6)))).toMap
+    // recompute per-step contributions from the pack's running mass
+    val contribs = pack.groupBy(_._1).toSeq.flatMap { case (_, spans) =>
+      val ordered = spans.sortBy(_._2)
+      val cums = ordered.scanLeft(0L)(_ + _._5).drop(1)
+      ordered.zip(cums).flatMap { case ((_, _, doc, _, nToks, sSeq, eSeq), cum) =>
+        (sSeq to eSeq).map { step =>
+          val toks = math.min(cum, (step + 1) * L) - math.max(cum - nToks, step * L)
+          (step, doc, srcOf(doc), toks)
+        }
+      }
+    }
+    val mixExpect2 = contribs.groupBy(_._1).map { case (step, rows) =>
+      val bySrc = rows.groupBy(_._3).view.mapValues(_.map(_._4).sum).toMap
+      val (topSrc, topToks) = bySrc.maxBy { case (s, t) => (t, s) }
+      val tot = bySrc.values.sum
+      val share = topToks * 1000000L / tot
+      step -> ((rows.length.toLong, rows.map(_._2).distinct.length.toLong, tot,
+        topSrc, share, share > 500000L))
+    }
+    assert(mixGot == mixExpect2, s"mixture:\n got=$mixGot\n exp=$mixExpect2")
+  }
+
   test("anneal order: full epochs keep the hash order, the tail sorts by ascending quality at the end") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
