@@ -204,6 +204,16 @@ class ScaleSpec extends SparkSpec {
     // reappearance means the single-materialization dedup broke and
     // the pass runs per join side again)
     assert(occurrences(CorpusOps.packSequences(docs), "regexp_extract_all") == 0)
+    // the r18 loader family consumes the pack/order rows through the
+    // same checkpointed narrow projections — zero regex copies in any
+    // consumer plan; annealOrder adds exactly the quality pass (two
+    // regexp_extract_all: token count + stopword count), once
+    assert(occurrences(CorpusOps.loaderResume(docs), "regexp_extract_all") == 0)
+    assert(occurrences(CorpusOps.shuffleQualityAudit(docs), "regexp_extract_all") == 0)
+    assert(occurrences(CorpusOps.epochSpacing(docs), "regexp_extract_all") == 0)
+    assert(occurrences(CorpusOps.packEfficiency(docs), "regexp_extract_all") == 0)
+    assert(occurrences(CorpusOps.batchMixture(docs), "regexp_extract_all") == 0)
+    assert(occurrences(CorpusOps.annealOrder(docs), "regexp_extract_all") == 2)
   }
 
   test("shared-span postings cap bounds a boilerplate-flooded corpus") {
@@ -380,6 +390,38 @@ class ScaleSpec extends SparkSpec {
     val finalPlan = plan.split("== Initial Plan ==").head
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(finalPlan).size
     assert(bnlj <= 1, s"only the 1-row count frame may nested-loop (saw $bnlj):\n$finalPlan")
+  }
+
+  test("r18 loader family: windows key on shard/doc; the invalidation diff has no cartesian") {
+    import graft.engine.{CorpusOps, Tables}
+    val docs = Tables.documents(spark, sf)
+    // q300: the spacing window partitions by doc_id — bounded per doc
+    // (≤ 5 occurrences), never a global order
+    val sp = CorpusOps.epochSpacing(docs)
+    sp.collect()
+    val spPlan = sp.queryExecution.executedPlan.toString
+    assert(spPlan.contains("hashpartitioning(doc_id"),
+      s"spacing window must key on doc_id:\n${spPlan.take(2000)}")
+    // q301: the anneal rank partitions by shard (nShards is the
+    // parallelism knob) and there is no global Sort below the window
+    val ann = CorpusOps.annealOrder(docs)
+    ann.collect()
+    val annPlan = ann.queryExecution.executedPlan.toString
+    assert(annPlan.contains("hashpartitioning(shard"),
+      s"anneal rank must key on shard:\n${annPlan.take(2000)}")
+    // q303: the v1/v2 diff is an equi-join on (shard, pos) — a
+    // co-partitioned shuffle, never a nested-loop product
+    val inv = CorpusOps.packInvalidation(docs, docs.filter(col("doc_id") % 37 =!= 0))
+    inv.collect()
+    val invPlan = inv.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!invPlan.contains("CartesianProduct") &&
+      !invPlan.contains("BroadcastNestedLoopJoin"),
+      s"invalidation diff must equi-join on (shard, pos):\n${invPlan.take(2000)}")
+    // and the first-dirty window keys on shard, sharing the join's
+    // partitioning family rather than collapsing to a single task
+    assert(invPlan.contains("hashpartitioning(shard"),
+      s"first-dirty window must key on shard:\n${invPlan.take(2000)}")
   }
 
   test("r10 windows: admission cumsum keys on source; hard-negative ranks key on anchor") {
