@@ -1306,6 +1306,20 @@ object CorpusOps {
       .withColumn("tok_offset", expr(s"(cum - n_toks) % $seqLen"))
       .withColumn("n_seqs", col("end_seq") - col("start_seq") + lit(1L))
 
+  /** The stored-manifest shape of the pack — the rows a production
+    * run writes once and every progress/resume consumer reads:
+    * the q297 spans WITH their source label and running mass.
+    * [[graft.engine.StreamOps.streamingLoaderProgress]] pins this as
+    * its static manifest; at 100 TB it would be a partitioned table
+    * (by shard, ordered by start_seq) so delta reads prune. */
+  def epochPackManifest(documents: DataFrame, budgetMult: Long = 4L,
+                        maxEpochs: Long = 4L, nShards: Int = 8,
+                        seqLen: Int = 2048): DataFrame =
+    epochPackRows(documents, budgetMult, maxEpochs, nShards, seqLen)
+      .select(col("shard"), col("pos"), col("doc_id"), col("epoch"),
+        col("source"), col("n_toks"), col("cum"), col("start_seq"),
+        col("end_seq"))
+
   /** Resume-from-step manifest — the loader-side restart artifact the
     * epoch family exists to feed: a data-parallel training run maps
     * rank r to shard r and global step s to sequence s of EVERY

@@ -2166,6 +2166,98 @@ object StreamOps {
       .start()
   }
 
+  /** STREAMING training-progress monitor — q298 live: a training run
+    * reports step completions (shard, step) as it consumes the packed
+    * corpus, and the monitor maintains the loader-resume accounting
+    * as a standing dashboard. Carried state is per-shard HIGH-WATER
+    * (hw = 1 + max completed step — duplicate and out-of-order
+    * reports fold idempotently through max) plus per-source CONSUMED
+    * token mass, advanced by the exact interval DELTA each tick: a
+    * span's contribution to [old_hw, new_hw) is
+    * consumedAt(new) − consumedAt(old) with consumedAt(S) =
+    * clamp(S·seqLen − span_start, 0, n_toks) — additive by
+    * construction, so stream ≡ batch (the final consumed equals the
+    * one-shot arithmetic at the final high-waters; StreamingSpec).
+    * The per-tick report joins the static per-source totals:
+    * consumed_ppm and a `done` flag per source.
+    *
+    * Scale: the manifest is pinned ONCE (a production run reads its
+    * stored pack table; partitioned by shard / ordered by start_seq
+    * the delta predicate end_seq ≥ old_hw ∧ start_seq < new_hw
+    * prunes to the spans the tick actually touched); the hw dim is
+    * nShards rows and BROADCASTS into the delta join; state writes
+    * are source/shard-dimension-sized. Durable state is the per-tick
+    * atomic (hw, consumed, report) triple via [[TickCommit]];
+    * SELF-RESUMES from its committed snapshots; replayed committed
+    * ticks are skipped whole. */
+  def streamingLoaderProgress(stepEvents: DataFrame, documents: DataFrame,
+                              outPath: String, checkpointDir: String,
+                              budgetMult: Long = 4L, maxEpochs: Long = 4L,
+                              nShards: Int = 8, seqLen: Int = 2048): StreamingQuery = {
+    val spark = stepEvents.sparkSession
+    val manifest = CorpusOps.epochPackManifest(documents, budgetMult,
+        maxEpochs, nShards, seqLen)
+      .select(col("shard"), col("source"), col("n_toks"), col("cum"),
+        col("start_seq"), col("end_seq"))
+      .localCheckpoint(false) // static pack manifest, pinned once
+    val totals = manifest.groupBy(col("source"))
+      .agg(sum(col("n_toks")).cast("long").as("total_toks"))
+      .localCheckpoint(false)
+    var hw: DataFrame = TickCommit.readLatest(spark, outPath, "hw")
+      .map(_.localCheckpoint(false)).orNull
+    var consumed: DataFrame = TickCommit.readLatest(spark, outPath, "consumed")
+      .map(_.localCheckpoint(false)).orNull
+    stepEvents.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, tick: Long) =>
+        if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
+          val bHw = batch.groupBy(col("shard"))
+            .agg((max(col("step")) + 1L).cast("long").as("b_hw"))
+          val hwPair = (if (hw == null)
+              bHw.select(col("shard"), lit(0L).as("old_hw"), col("b_hw").as("new_hw"))
+            else hw.join(bHw, Seq("shard"), "full_outer")
+              .select(col("shard"),
+                coalesce(col("hw_step"), lit(0L)).as("old_hw"),
+                greatest(coalesce(col("hw_step"), lit(0L)),
+                  coalesce(col("b_hw"), lit(0L))).as("new_hw")))
+            .localCheckpoint(false) // delta join + the hw snapshot
+          def consumedAt(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+            greatest(lit(0L), least(col("cum"), s * seqLen) -
+              (col("cum") - col("n_toks")))
+          val delta = manifest.join(broadcast(hwPair), "shard")
+            .filter(col("end_seq") >= col("old_hw") &&
+              col("start_seq") < col("new_hw"))
+            .withColumn("d",
+              (consumedAt(col("new_hw")) - consumedAt(col("old_hw"))).cast("long"))
+            .groupBy(col("source"))
+            .agg(sum(col("d")).cast("long").as("consumed_toks"))
+          val consumed2 = (if (consumed == null) delta
+            else consumed.unionByName(delta)
+              .groupBy(col("source"))
+              .agg(sum(col("consumed_toks")).cast("long").as("consumed_toks")))
+            .localCheckpoint(false) // next fold + report
+          val hw2 = hwPair.select(col("shard"), col("new_hw").as("hw_step"))
+            .localCheckpoint(false)
+          val report = totals.join(consumed2, Seq("source"), "left_outer")
+            .withColumn("consumed_toks", coalesce(col("consumed_toks"), lit(0L)))
+            .withColumn("consumed_ppm",
+              expr("(consumed_toks * 1000000L) div total_toks").cast("long"))
+            .withColumn("done", col("consumed_toks") === col("total_toks"))
+            .select(col("source"), col("total_toks"), col("consumed_toks"),
+              col("consumed_ppm"), col("done"))
+            .orderBy(col("source"))
+          TickCommit.stage(spark, outPath, tick, Seq(
+            "hw" -> hw2, "consumed" -> consumed2, "report" -> report))
+          TickCommit.seal(spark, outPath, tick)
+          hw = hw2
+          consumed = consumed2
+        }
+        ()
+      }
+      .start()
+  }
+
   /** STREAMING incremental entity resolution — q226's alias-store
     * maintenance as a landing-zone stream: each micro-batch of new
     * dim records (p_partkey, p_name, p_brand) resolves against the

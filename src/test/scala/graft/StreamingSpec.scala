@@ -1743,6 +1743,73 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming loader progress equals the one-shot accounting at every high-water") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{CorpusOps, StreamOps, Tables, TickCommit}
+    val docs = Tables.documents(spark, sf)
+    val L = 16
+    // (shard, source, n_toks, cum)
+    val manifest = CorpusOps.epochPackManifest(docs, budgetMult = 2L,
+        nShards = 2, seqLen = L).collect()
+      .map(r => (r.getLong(0), r.getString(4), r.getLong(5), r.getLong(6)))
+    val totals = manifest.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    def oneShot(hw: Map[Long, Long]): Map[String, Long] =
+      manifest.groupBy(_._2).view.mapValues(_.map { case (shard, _, n, cum) =>
+        val s = hw.getOrElse(shard, 0L)
+        math.max(0L, math.min(cum, s * L) - (cum - n))
+      }.sum).toMap
+    val out = java.nio.file.Files.createTempDirectory("graft_slp_out_").toString + "/lp"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_slp_ckpt_").toString
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamOps.streamingLoaderProgress(
+      input.toDS().toDF("shard", "step"), docs, out, ckpt,
+      budgetMult = 2L, nShards = 2, seqLen = L)
+    def report(path: String) = TickCommit.readLatest(spark, path, "report").get
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    try {
+      // tick 1: duplicates and out-of-order completions fold via max
+      input.addData((0L, 0L), (0L, 2L), (0L, 1L), (1L, 0L), (0L, 2L))
+      q.processAllAvailable()
+      val t1 = report(out)
+      val exp1 = oneShot(Map(0L -> 3L, 1L -> 1L))
+      t1.foreach { case (src, (tot, consumed, ppm, done)) =>
+        assert(tot == totals(src) && consumed == exp1(src), s"$src tick1: $t1 vs $exp1")
+        assert(ppm == consumed * 1000000L / tot && done == (consumed == tot))
+      }
+      // tick 2: a stale report for shard 0 is a no-op; shard 1 advances
+      input.addData((0L, 1L), (1L, 4L), (1L, 2L))
+      q.processAllAvailable()
+      val t2 = report(out)
+      val exp2 = oneShot(Map(0L -> 3L, 1L -> 5L))
+      t2.foreach { case (src, (_, consumed, _, _)) =>
+        assert(consumed == exp2(src), s"$src tick2: $t2 vs $exp2") }
+      assert(TickCommit.readLatest(spark, out, "hw").get.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(0L -> 3L, 1L -> 5L),
+        "high-water snapshot")
+    } finally q.stop()
+    // restart with a fresh checkpoint: seed a fresh outPath from the
+    // committed snapshots (the seal guard's prescribed recipe), then
+    // drive every shard to completion — progress must carry over
+    val out2 = java.nio.file.Files.createTempDirectory("graft_slp_out2_").toString + "/lp"
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_slp_ckpt2_").toString
+    TickCommit.resumeInto(spark, out, out2)
+    val input2 = MemoryStream[(Long, Long)]
+    val q2 = StreamOps.streamingLoaderProgress(
+      input2.toDS().toDF("shard", "step"), docs, out2, ckpt2,
+      budgetMult = 2L, nShards = 2, seqLen = L)
+    try {
+      input2.addData((0L, 10000L), (1L, 10000L))
+      q2.processAllAvailable()
+      val t3 = report(out2)
+      t3.foreach { case (src, (tot, consumed, ppm, done)) =>
+        assert(consumed == tot && ppm == 1000000L && done,
+          s"$src must finish consumed after the restart tick: $t3") }
+    } finally q2.stop()
+  }
+
   test("streaming entity resolution equals one-shot incremental across a bridging boundary") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
