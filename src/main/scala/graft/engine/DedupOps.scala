@@ -1182,11 +1182,15 @@ object DedupOps {
     * so q222 (the table itself) and q223 (facts joined through it)
     * share ONE closure build per run; the lazy local checkpoint
     * materializes it at first use. */
-  @transient private var entityMemo: Map[String, DataFrame] = Map.empty
+  // (session, tag)-keyed like clustersFor — a tag surviving a
+  // SparkSession restart must not resurrect a dead plan
+  @transient private var entityMemo
+    : Map[(org.apache.spark.sql.SparkSession, String), DataFrame] = Map.empty
   def entityGroupsFor(part: DataFrame, tag: String): DataFrame = synchronized {
-    entityMemo.getOrElse(tag, {
+    val key = (part.sparkSession, tag)
+    entityMemo.getOrElse(key, {
       val df = entityGroups(part).localCheckpoint(false)
-      entityMemo += (tag -> df)
+      entityMemo += (key -> df)
       df
     })
   }

@@ -2243,15 +2243,18 @@ object SimilarityOps {
     * (index ⊕ batch): (parent_list_id, child_list_id, centroid) —
     * ≤ 2·nLists rows. Memoized per (session, tag) so the q259 query
     * and its oracle dump share one set of fits. */
+  // the FULL parameter set in the key (the promoMemo lesson, ADVICE
+  // r17): a later call with a different imbalanceFactor must re-run
+  // the rebalance decision, not inherit the first call's
   @transient private var rebMemo
-    : Map[(org.apache.spark.sql.SparkSession, String), IvfRebalance] = Map.empty
+    : Map[(org.apache.spark.sql.SparkSession, String, Long), IvfRebalance] = Map.empty
 
   def ivfRebalanceFor(index: IvfIndex, batch: DataFrame, tag: String,
                       imbalanceFactor: Long = 2L): IvfRebalance = synchronized {
     val spark = index.assigned.sparkSession
-    rebMemo.getOrElse((spark, tag), {
+    rebMemo.getOrElse((spark, tag, imbalanceFactor), {
       val r = ivfRebalanceApply(index, batch, imbalanceFactor)
-      rebMemo += ((spark, tag) -> r)
+      rebMemo += ((spark, tag, imbalanceFactor) -> r)
       r
     })
   }

@@ -1207,6 +1207,30 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(got(0).getLong(3) == 1L && got(0).getLong(4) == 2L)
   }
 
+  test("rebalance memo keys on the full gate parameters, not just the tag") {
+    import spark.implicits._
+    // the promoMemo lesson (ADVICE r17) applied to ivfRebalanceFor: a
+    // second call with a different imbalanceFactor must re-run the
+    // gate, not inherit the first call's memoized decision
+    val dim = 8
+    def pt(axis: Int, v: Float) = Array.tabulate(dim)(d => if (d == axis) v else 0f)
+    val corpus = ((0 until 20).map(i => (i.toLong, pt(0, 10f))) ++
+      (20 until 40).map(i => (i.toLong, pt(1, 10f + (i % 5) * 0.1f))) ++
+      (40 until 60).map(i => (i.toLong, pt(2, -10f - (i % 5) * 0.1f))) ++
+      (60 until 80).map(i => (i.toLong, pt(3, 10f + (i % 7) * 0.1f))))
+      .toDF("vec_id", "embedding")
+    val idx = SimilarityOps.buildIvfIndex(corpus, nLists = 4)
+    val flood = (0 until 100).map(i => (600000L + i, pt(0, 10f)))
+      .toDF("vec_id", "embedding")
+    val strict = SimilarityOps.ivfRebalanceFor(idx, flood, tag = "memo_key_t")
+    assert(strict.report.collect().exists(_.getBoolean(2)),
+      "factor 2 must flag and split the flooded list")
+    val lax = SimilarityOps.ivfRebalanceFor(idx, flood, tag = "memo_key_t",
+      imbalanceFactor = 1000000L)
+    assert(!lax.report.collect().exists(_.getBoolean(2)),
+      "a laxer gate under the same tag must re-run, not inherit the split")
+  }
+
   test("rebalance drops a zero-member child: an all-identical flood leaves no dead list") {
     import spark.implicits._
     // 4 well-separated clusters; cluster A is ONE point repeated, so
