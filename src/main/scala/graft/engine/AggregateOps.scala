@@ -972,4 +972,48 @@ object AggregateOps {
         coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** ANALYZE-style table profile — per column: row/null counts,
+    * distinct count, and min/max rendered canonically (floating
+    * columns round-trip through DECIMAL(38,6) so Spark and the oracle
+    * print identical digits — the Exact-decimal precedent; everything
+    * else casts its native string form). ONE scan: every column's
+    * count/ndv/min/max rides a single `agg` — exact NDV plans one
+    * Expand (n_cols copies of the scan's rows into the shuffle, the
+    * certified form); `exact = false` flips to HLL
+    * approx_count_distinct — no Expand, the 100 TB form, same plan
+    * otherwise. The single 1-row collect and the schema-bounded
+    * output are the S7 boundedness argument; this is the stats pass a
+    * cost-based planner or a data catalog runs per table refresh. */
+  def tableProfile(df: DataFrame, exact: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+    val spark = df.sparkSession
+    val fields = df.schema.fields.toSeq
+    def rendered(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case DoubleType | FloatType => c.cast(DecimalType(38, 6)).cast("string")
+        case _ => c.cast("string")
+      }
+    val aggCols = fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(count(c).cast("long").as(s"__c_${f.name}"),
+          (if (exact) countDistinct(c) else approx_count_distinct(c))
+            .cast("long").as(s"__d_${f.name}"),
+          rendered(min(c), f.dataType).as(s"__mn_${f.name}"),
+          rendered(max(c), f.dataType).as(s"__mx_${f.name}"))
+    }
+    val row = df.agg(count(lit(1)).cast("long").as("__n"), aggCols: _*).head()
+    val n = row.getAs[Long]("__n")
+    val out = fields.map { f =>
+      (f.name, f.dataType.simpleString, n,
+        n - row.getAs[Long](s"__c_${f.name}"),
+        row.getAs[Long](s"__d_${f.name}"),
+        row.getAs[String](s"__mn_${f.name}"),
+        row.getAs[String](s"__mx_${f.name}"))
+    }
+    spark.createDataFrame(out)
+      .toDF("col_name", "dtype", "n_rows", "n_nulls", "n_distinct",
+        "min_str", "max_str")
+      .orderBy(col("col_name"))
+  }
 }

@@ -1856,6 +1856,16 @@ object Catalog {
               |FROM sp JOIN tp USING (step) WHERE rn = 1
               |ORDER BY sp.step""".stripMargin)),
 
+    // ANALYZE-style table profile: per column — row/null/distinct
+    // counts plus canonically-rendered min/max (doubles round-trip
+    // through DECIMAL(38,6) so both engines print identical digits) —
+    // one scan, exact NDV; the stats pass a cost-based planner or
+    // data catalog runs per table refresh.
+    QuerySpec(
+      "q305_table_profile",
+      (s, dir) => AggregateOps.tableProfile(Tables.lineitem(s, dir)),
+      Some(q305OracleSql)),
+
     // mixture-realization audit — the monitoring leg of the epoch
     // family: realized (admitted-epoch) token share vs the
     // temperature target share, both exact integer ppm, drift flag
@@ -8259,6 +8269,31 @@ object Catalog {
        |        FROM jq)
        |SELECT shard, pos, doc_id, epoch, is_anneal, quality
        |FROM ordq ORDER BY shard, pos""".stripMargin
+  }
+
+  /** q305 oracle: one UNION ALL branch per lineitem column, each
+    * computing that column's stats with the same canonical rendering
+    * (doubles through DECIMAL(38,6)); dtype literals mirror Spark's
+    * simpleString for the parquet-read schema. */
+  private val q305OracleSql: String = {
+    val cols = Seq(
+      ("l_orderkey", "bigint", false), ("l_partkey", "bigint", false),
+      ("l_suppkey", "bigint", false), ("l_linenumber", "int", false),
+      ("l_quantity", "double", true), ("l_extendedprice", "double", true),
+      ("l_discount", "double", true), ("l_tax", "double", true),
+      ("l_returnflag", "string", false), ("l_linestatus", "string", false),
+      ("l_shipdate", "timestamp_ntz", false))
+    cols.map { case (c, t, dbl) =>
+      def mm(f: String) =
+        if (dbl) s"CAST(CAST($f($c) AS DECIMAL(38,6)) AS VARCHAR)"
+        else s"CAST($f($c) AS VARCHAR)"
+      s"""SELECT '$c' AS col_name, '$t' AS dtype,
+         |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+         |       CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |       ${mm("MIN")} AS min_str, ${mm("MAX")} AS max_str
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
   /** q303 oracle: TWO full pack chains — v1 over documents, v2 over

@@ -1489,6 +1489,35 @@ class CoreSpec extends SparkSpec {
     assert(got2 == naive2, "multi-order-col scan must equal the naive window")
   }
 
+  test("table profile: exact stats on a hand fixture; the approx form drops the Expand") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option(1.5), Option("a")), (2L, Option.empty[Double], Option("b")),
+      (3L, Option(2.5), Option("b")), (3L, Option(1.5), Option.empty[String]))
+      .toDF("id", "x", "s")
+    val got = AggregateOps.tableProfile(df).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getString(6)))).toMap
+    assert(got("id") == (("bigint", 4L, 0L, 3L, "1", "3")), s"$got")
+    assert(got("x") == (("double", 4L, 1L, 2L, "1.500000", "2.500000")), s"$got")
+    assert(got("s") == (("string", 4L, 1L, 2L, "a", "b")), s"$got")
+    // exact NDV plans one Expand; the HLL form must not
+    val exactPlan = AggregateOps.tableProfile(df, exact = true)
+    val approx = AggregateOps.tableProfile(df, exact = false)
+    assert(approx.collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+      .toSet == got.map { case (c, v) => (c, v._2, v._3) }.toSet,
+      "approx profile keeps exact row/null counts")
+    // the profile collects internally, so audit the aggregate plans
+    def aggPlan(exact: Boolean): String = {
+      import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct}
+      df.agg(if (exact) countDistinct(col("id")) else approx_count_distinct(col("id")),
+        if (exact) countDistinct(col("x")) else approx_count_distinct(col("x")))
+        .queryExecution.executedPlan.toString
+    }
+    assert(aggPlan(true).contains("Expand"), "exact multi-NDV rides an Expand")
+    assert(!aggPlan(false).contains("Expand"), "HLL multi-NDV needs no Expand")
+  }
+
   test("loader resume: restart state + per-shard token conservation at the step boundary") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
