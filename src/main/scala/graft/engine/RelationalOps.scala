@@ -349,4 +349,60 @@ object RelationalOps {
           .as("share_of_total"))
       .orderBy(col("r_name"), col("n_name"))
   }
+
+  /** Referential-integrity audit — the DQ pass a warehouse runs per
+    * load: every FK edge of the star schema as a null-excluded
+    * anti-join count (a NULL FK is absent, not broken — the SQL
+    * convention) and every PK as rows − distinct keys. One row per
+    * constraint, `ok` = zero violations. Scale: each FK check is one
+    * anti-join shuffled on its own key (dim parents broadcast under
+    * AQE's threshold automatically); each PK check is one
+    * count+distinct aggregate; constraint rows union at the end —
+    * all independent, so the scheduler runs them as parallel stages
+    * off shared scans. */
+  def referentialAudit(lineitem: DataFrame, orders: DataFrame,
+                       customer: DataFrame, supplier: DataFrame,
+                       part: DataFrame, nation: DataFrame,
+                       region: DataFrame): DataFrame = {
+    def fk(name: String, child: DataFrame, ck: String,
+           parent: DataFrame, pk: String): DataFrame = {
+      val present = child.select(col(ck)).filter(col(ck).isNotNull)
+        .localCheckpoint(false) // the row count and the anti-join read it
+      val orphans = present.join(parent.select(col(pk)),
+        col(ck) === col(pk), "left_anti")
+      present.agg(count(lit(1)).cast("long").as("n_rows"))
+        .crossJoin(orphans.agg(count(lit(1)).cast("long").as("n_violations")))
+        .select(lit(name).as("check_name"), col("n_rows"), col("n_violations"),
+          (col("n_violations") === 0L).as("ok"))
+    }
+    def pk(name: String, table: DataFrame, key: String): DataFrame =
+      table.agg(count(col(key)).cast("long").as("n_rows"),
+          countDistinct(col(key)).cast("long").as("n_distinct"))
+        .select(lit(name).as("check_name"), col("n_rows"),
+          (col("n_rows") - col("n_distinct")).as("n_violations"),
+          (col("n_rows") === col("n_distinct")).as("ok"))
+    Seq(
+      fk("fk lineitem.l_orderkey -> orders.o_orderkey",
+        lineitem, "l_orderkey", orders, "o_orderkey"),
+      fk("fk lineitem.l_partkey -> part.p_partkey",
+        lineitem, "l_partkey", part, "p_partkey"),
+      fk("fk lineitem.l_suppkey -> supplier.s_suppkey",
+        lineitem, "l_suppkey", supplier, "s_suppkey"),
+      fk("fk orders.o_custkey -> customer.c_custkey",
+        orders, "o_custkey", customer, "c_custkey"),
+      fk("fk customer.c_nationkey -> nation.n_nationkey",
+        customer, "c_nationkey", nation, "n_nationkey"),
+      fk("fk supplier.s_nationkey -> nation.n_nationkey",
+        supplier, "s_nationkey", nation, "n_nationkey"),
+      fk("fk nation.n_regionkey -> region.r_regionkey",
+        nation, "n_regionkey", region, "r_regionkey"),
+      pk("pk orders.o_orderkey", orders, "o_orderkey"),
+      pk("pk customer.c_custkey", customer, "c_custkey"),
+      pk("pk part.p_partkey", part, "p_partkey"),
+      pk("pk supplier.s_suppkey", supplier, "s_suppkey"),
+      pk("pk nation.n_nationkey", nation, "n_nationkey"),
+      pk("pk region.r_regionkey", region, "r_regionkey"))
+      .reduce(_ unionByName _)
+      .orderBy(col("check_name"))
+  }
 }

@@ -1866,6 +1866,18 @@ object Catalog {
       (s, dir) => AggregateOps.tableProfile(Tables.lineitem(s, dir)),
       Some(q305OracleSql)),
 
+    // referential-integrity audit: every FK edge of the star schema
+    // (null-excluded anti-join counts) and every PK (rows − distinct
+    // keys), one row per constraint with an ok flag — the DQ pass a
+    // warehouse runs per load.
+    QuerySpec(
+      "q306_referential_audit",
+      (s, dir) => RelationalOps.referentialAudit(
+        Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.supplier(s, dir), Tables.part(s, dir), Tables.nation(s, dir),
+        Tables.region(s, dir)),
+      Some(q306OracleSql)),
+
     // mixture-realization audit — the monitoring leg of the epoch
     // family: realized (admitted-epoch) token share vs the
     // temperature target share, both exact integer ppm, drift flag
@@ -8294,6 +8306,39 @@ object Catalog {
          |       ${mm("MIN")} AS min_str, ${mm("MAX")} AS max_str
          |FROM lineitem""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  /** q306 oracle: one UNION ALL branch per constraint — FK orphans
+    * via null-excluded NOT EXISTS counts, PK duplicates via
+    * rows − distinct keys. */
+  private val q306OracleSql: String = {
+    def fkRow(child: String, ck: String, parent: String, pk: String) =
+      s"""SELECT 'fk $child.$ck -> $parent.$pk' AS check_name,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $child
+         |   WHERE $ck IS NOT NULL) AS n_rows,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $child c
+         |   WHERE c.$ck IS NOT NULL AND NOT EXISTS
+         |     (SELECT 1 FROM $parent p WHERE p.$pk = c.$ck)) AS n_violations""".stripMargin
+    def pkRow(table: String, key: String) =
+      s"""SELECT 'pk $table.$key' AS check_name,
+         |  (SELECT CAST(COUNT($key) AS BIGINT) FROM $table) AS n_rows,
+         |  (SELECT CAST(COUNT($key) - COUNT(DISTINCT $key) AS BIGINT)
+         |   FROM $table) AS n_violations""".stripMargin
+    val rows = Seq(
+      fkRow("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      fkRow("lineitem", "l_partkey", "part", "p_partkey"),
+      fkRow("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      fkRow("orders", "o_custkey", "customer", "c_custkey"),
+      fkRow("customer", "c_nationkey", "nation", "n_nationkey"),
+      fkRow("supplier", "s_nationkey", "nation", "n_nationkey"),
+      fkRow("nation", "n_regionkey", "region", "r_regionkey"),
+      pkRow("orders", "o_orderkey"), pkRow("customer", "c_custkey"),
+      pkRow("part", "p_partkey"), pkRow("supplier", "s_suppkey"),
+      pkRow("nation", "n_nationkey"), pkRow("region", "r_regionkey"))
+      .mkString("\nUNION ALL\n")
+    s"""SELECT check_name, n_rows, n_violations, n_violations = 0 AS ok
+       |FROM ($rows)
+       |ORDER BY check_name""".stripMargin
   }
 
   /** q303 oracle: TWO full pack chains — v1 over documents, v2 over

@@ -1489,6 +1489,35 @@ class CoreSpec extends SparkSpec {
     assert(got2 == naive2, "multi-order-col scan must equal the naive window")
   }
 
+  test("referential audit flags planted orphans and duplicate keys; nulls are absent, not broken") {
+    import spark.implicits._
+    val lineitem = Seq((Option(1L), 100L, 1000L), (Option(3L), 100L, 1000L),
+      (Option.empty[Long], 101L, 1001L)).toDF("l_orderkey", "l_partkey", "l_suppkey")
+    val orders = Seq((1L, 10L), (1L, 10L), (2L, 99L)).toDF("o_orderkey", "o_custkey")
+    val customer = Seq((10L, 5L)).toDF("c_custkey", "c_nationkey")
+    val supplier = Seq((1000L, 6L)).toDF("s_suppkey", "s_nationkey")
+    val part = Seq(Tuple1(100L), Tuple1(101L)).toDF("p_partkey")
+    val nation = Seq((5L, 50L)).toDF("n_nationkey", "n_regionkey")
+    val region = Seq(Tuple1(50L)).toDF("r_regionkey")
+    val got = RelationalOps.referentialAudit(lineitem, orders, customer,
+        supplier, part, nation, region)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // the NULL l_orderkey is excluded from the FK domain; key 3 is
+    // the orphan; orderkey 1 is duplicated; custkey 99 and supplier
+    // nation 6 dangle
+    assert(got("fk lineitem.l_orderkey -> orders.o_orderkey") == ((2L, 1L, false)), s"$got")
+    assert(got("fk lineitem.l_partkey -> part.p_partkey") == ((3L, 0L, true)))
+    assert(got("fk lineitem.l_suppkey -> supplier.s_suppkey") == ((3L, 1L, false)))
+    assert(got("fk orders.o_custkey -> customer.c_custkey") == ((3L, 1L, false)))
+    assert(got("fk customer.c_nationkey -> nation.n_nationkey") == ((1L, 0L, true)))
+    assert(got("fk supplier.s_nationkey -> nation.n_nationkey") == ((1L, 1L, false)))
+    assert(got("fk nation.n_regionkey -> region.r_regionkey") == ((1L, 0L, true)))
+    assert(got("pk orders.o_orderkey") == ((3L, 1L, false)))
+    assert(got("pk customer.c_custkey") == ((1L, 0L, true)))
+    assert(got.size == 13)
+  }
+
   test("table profile: exact stats on a hand fixture; the approx form drops the Expand") {
     import spark.implicits._
     val df = Seq(
