@@ -1444,6 +1444,33 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Training-order reproducibility commitment — the cheap handshake
+    * two runs (a rerun after a code change, a second cluster, the
+    * oracle) exchange INSTEAD of diffing billions of rows: per shard,
+    * the pair count plus two order-insensitive-exact aggregates over
+    * the admitted stream — Σ h (membership commitment) and Σ h·pos
+    * (order commitment; weighting by position pins the permutation,
+    * not just the set), h = the epoch-folded shuffle key, summed in
+    * DECIMAL(38,0) so the values are exact integers both engines
+    * reproduce digit-for-digit (the q287 Σxxhash64 pattern, exposed
+    * as a query). Commitments equal ⇒ packs identical; a mismatch is
+    * the trigger to run the expensive q303 first-dirty diff. At
+    * extreme row counts the exact decimal sum approaches its 38-digit
+    * bound — a production run mod-reduces; the catalog form stays
+    * exact so the oracle can certify it. */
+  def orderCommitment(documents: DataFrame, budgetMult: Long = 4L,
+                      maxEpochs: Long = 4L, nShards: Int = 8): DataFrame =
+    epochOrderRows(documents, budgetMult, maxEpochs, nShards)
+      .withColumn("h", col("shuffle_key").cast("decimal(38,0)"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+           sum(col("h")).cast("string").as("member_commit"),
+           sum(col("h") * col("pos").cast("decimal(38,0)")).cast("string")
+             .as("order_commit"))
+      .select(col("shard"), col("n_pairs"), col("member_commit"),
+        col("order_commit"))
+      .orderBy(col("shard"))
+
   /** Pack-efficiency report — the numbers that justify sequence
     * packing over pad-to-max batching, per shard: sequence count,
     * span count, spans per sequence (mean, integer ppm), the count of

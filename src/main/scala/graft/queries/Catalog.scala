@@ -1856,6 +1856,22 @@ object Catalog {
               |FROM sp JOIN tp USING (step) WHERE rn = 1
               |ORDER BY sp.step""".stripMargin)),
 
+    // training-order reproducibility commitment: per shard, Σh and
+    // Σh·pos over the admitted stream in exact DECIMAL(38,0) — the
+    // cheap cross-run handshake (commitments equal ⇒ packs identical;
+    // mismatch ⇒ run the q303 first-dirty diff).
+    QuerySpec(
+      "q307_order_commitment",
+      (s, dir) => CorpusOps.orderCommitment(Tables.documents(s, dir),
+        budgetMult = 4L),
+      Some(s"""WITH $epochOrderCtes
+              |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              |       CAST(SUM(CAST(shuffle_key AS HUGEINT)) AS VARCHAR)
+              |         AS member_commit,
+              |       CAST(SUM(CAST(shuffle_key AS HUGEINT) * pos) AS VARCHAR)
+              |         AS order_commit
+              |FROM ord GROUP BY shard ORDER BY shard""".stripMargin)),
+
     // ANALYZE-style table profile: per column — row/null/distinct
     // counts plus canonically-rendered min/max (doubles round-trip
     // through DECIMAL(38,6) so both engines print identical digits) —

@@ -1723,6 +1723,31 @@ class CoreSpec extends SparkSpec {
     assert(mixGot == mixExpect2, s"mixture:\n got=$mixGot\n exp=$mixExpect2")
   }
 
+  test("order commitment equals the BigInt recomputation and separates different corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val docs = (1 to 50).map { i =>
+      (i.toLong, ("tok " * (1 + rnd.nextInt(20))).trim, "en", s"s${i % 2}") }
+      .toDF("doc_id", "text", "lang", "source")
+    val ord = CorpusOps.epochTrainingOrder(docs, budgetMult = 2L, nShards = 2)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    val expect = ord.groupBy(_._2).map { case (shard, rows) =>
+      shard -> ((rows.length.toLong,
+        rows.map(r => BigInt(r._1)).sum.toString,
+        rows.map(r => BigInt(r._1) * r._3).sum.toString))
+    }
+    val got = CorpusOps.orderCommitment(docs, budgetMult = 2L, nShards = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3)))).toMap
+    assert(got == expect, s"commitment:\n got=$got\n exp=$expect")
+    // a one-doc perturbation must move at least one shard's commitment
+    val docs2 = docs.filter(col("doc_id") =!= 25L)
+    val got2 = CorpusOps.orderCommitment(docs2, budgetMult = 2L, nShards = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3)))).toMap
+    assert(got2 != got, "removing a doc must change the handshake")
+  }
+
   test("anneal order: full epochs keep the hash order, the tail sorts by ascending quality at the end") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
