@@ -1083,8 +1083,14 @@ object CorpusOps {
     val inBucket = Window.partitionBy(keys :+ col("__bucket"): _*)
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bucketed
-      .join(broadcast(offsets), keyCols :+ "__bucket")
+    // null-SAFE join: a NULL key (or a NULL first order column) forms
+    // its own cumsum partition exactly as Window.partitionBy treats
+    // it — a plain equi-join would silently DROP those rows (NULL =
+    // NULL is false), losing data the window form carried
+    val joinKeys = keyCols :+ "__bucket"
+    val cond = joinKeys.map(k => bucketed(k) <=> offsets(k)).reduce(_ && _)
+    joinKeys.foldLeft(bucketed.join(broadcast(offsets), cond)) {
+        (d, k) => d.drop(offsets(k)) }
       .withColumn(outCol,
         (col("__b_prefix") + sum(col(valueCol)).over(inBucket)).cast("long"))
       .drop("__bucket", "__b_prefix")
@@ -1108,12 +1114,23 @@ object CorpusOps {
     * = min(target, maxEpochs·tokens) exactly. Cost: one corpus scan +
     * source-dimension algebra (catalog-scale at any corpus size).
     * [[epochAdmission]] enforces this plan at document granularity. */
-  def epochSchedule(documents: DataFrame, budgetMult: Long = 2L,
-                    maxEpochs: Long = 4L): DataFrame = {
-    val per = documents
-      .select(col("source"),
-        size(expr(s"regexp_extract_all(text, '${TextOps.tokenRe}', 0)"))
-          .cast("long").as("n_toks"))
+  def epochSchedule(documents: DataFrame, budgetMult: Long = 4L,
+                    maxEpochs: Long = 4L): DataFrame =
+    epochScheduleFromPerDoc(epochPerDoc(documents), budgetMult, maxEpochs)
+
+  /** The family's ONE tokenize pass: (doc_id, source, n_toks) — every
+    * epoch-family entry point materializes this once (localCheckpoint
+    * at the call site) and derives both the schedule aggregate and
+    * the admission cumsum from it, so the dominant regex runs a
+    * single time per query regardless of how many legs compose. */
+  private def epochPerDoc(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("source"),
+      size(expr(s"regexp_extract_all(text, '${TextOps.tokenRe}', 0)"))
+        .cast("long").as("n_toks"))
+
+  private def epochScheduleFromPerDoc(perDoc: DataFrame, budgetMult: Long,
+                                      maxEpochs: Long): DataFrame = {
+    val per = perDoc
       .groupBy(col("source"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
            sum(col("n_toks")).cast("long").as("n_tokens"))
@@ -1154,7 +1171,7 @@ object CorpusOps {
     * source-dim broadcast join + a bounded explode (≤ maxEpochs + 1
     * rows per doc — output is O(epochs·corpus), the size the training
     * loader consumes anyway). */
-  def epochAdmission(documents: DataFrame, budgetMult: Long = 2L,
+  def epochAdmission(documents: DataFrame, budgetMult: Long = 4L,
                      maxEpochs: Long = 4L): DataFrame =
     epochAdmissionRows(documents, budgetMult, maxEpochs)
       .select(col("doc_id"), col("source"), col("epoch"), col("n_toks"),
@@ -1166,13 +1183,19 @@ object CorpusOps {
     * its shard hash-partitioning isn't preceded by a thrown-away
     * global range sort (plan-audited). */
   private def epochAdmissionRows(documents: DataFrame, budgetMult: Long,
-                                 maxEpochs: Long): DataFrame = {
-    val sched = epochSchedule(documents, budgetMult, maxEpochs)
+                                 maxEpochs: Long): DataFrame =
+    epochAdmissionRowsFromPerDoc(
+      epochPerDoc(documents).localCheckpoint(false), budgetMult, maxEpochs)
+
+  /** Admission over a MATERIALIZED per-doc frame — the schedule
+    * aggregate and the cumsum both read `perDoc`, so the caller's
+    * checkpoint makes the whole admission one tokenize pass; callers
+    * composing further legs (q296's target shares) reuse the same
+    * frame for those too. */
+  private def epochAdmissionRowsFromPerDoc(perDoc: DataFrame, budgetMult: Long,
+                                           maxEpochs: Long): DataFrame = {
+    val sched = epochScheduleFromPerDoc(perDoc, budgetMult, maxEpochs)
       .select(col("source"), col("full_epochs"), col("tail_tokens"))
-    val perDoc = documents
-      .select(col("doc_id"), col("source"),
-        size(expr(s"regexp_extract_all(text, '${TextOps.tokenRe}', 0)"))
-          .cast("long").as("n_toks"))
     sourceOrderedCumsum(perDoc)
       .join(broadcast(sched), "source")
       .withColumn("n_slots", (col("full_epochs") +
@@ -1200,14 +1223,14 @@ object CorpusOps {
     * bound + source-dimension algebra. */
   def mixRealization(documents: DataFrame, budgetMult: Long = 4L,
                      maxEpochs: Long = 4L, driftPpm: Long = 50000L): DataFrame = {
-    val realized = epochAdmissionRows(documents, budgetMult, maxEpochs)
+    // ONE tokenize pass feeds both legs: the admission (realized) and
+    // the target shares aggregate off the same materialized frame
+    val perDoc = epochPerDoc(documents).localCheckpoint(false)
+    val realized = epochAdmissionRowsFromPerDoc(perDoc, budgetMult, maxEpochs)
       .filter(col("admitted"))
       .groupBy(col("source"))
       .agg(sum(col("n_toks")).cast("long").as("realized_tokens"))
-    val target = documents
-      .select(col("source"),
-        size(expr(s"regexp_extract_all(text, '${TextOps.tokenRe}', 0)"))
-          .cast("long").as("n_toks"))
+    val target = perDoc
       .groupBy(col("source"))
       .agg(sum(col("n_toks")).cast("long").as("n_tokens"))
       .withColumn("w_sqrt", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
@@ -1259,14 +1282,33 @@ object CorpusOps {
   private def epochOrderRows(documents: DataFrame, budgetMult: Long,
                              maxEpochs: Long, nShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val keyed = epochAdmissionRows(documents, budgetMult, maxEpochs)
-      .filter(col("admitted"))
-      .select(col("doc_id"), col("source"), col("epoch"), col("n_toks"))
-      .withColumn("shuffle_key", xxhash64(col("doc_id") * 8L + col("epoch")))
-      .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
+    val keyed = epochKeyedRows(documents, budgetMult, maxEpochs, nShards)
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("shuffle_key"), col("doc_id"), col("epoch"))
     keyed.withColumn("pos", row_number().over(w).cast("long"))
+  }
+
+  /** The ONE derivation site for the epoch-folded permutation key:
+    * admitted pairs → shuffle_key = xxhash64(doc_id·8 + epoch) and
+    * shard — [[epochOrderRows]] (hash order) and [[annealOrder]]
+    * (quality-switched order) both key through here, so a future
+    * change to the folding cannot silently diverge the two
+    * permutations. The fold is injective only while epochs stay
+    * below 8 — enforced, not assumed: epochs run 1..maxEpochs+1, so
+    * maxEpochs ≤ 7 (the published repeat-data bound is 4; anything
+    * higher is already wasted compute). `extraCols` carries
+    * admission columns a caller needs (annealOrder: full_epochs). */
+  private def epochKeyedRows(documents: DataFrame, budgetMult: Long,
+                             maxEpochs: Long, nShards: Int,
+                             extraCols: Seq[String] = Nil): DataFrame = {
+    require(maxEpochs + 1 <= 8,
+      s"epoch folding doc_id*8+epoch is injective only for epochs <= 8 " +
+        s"(maxEpochs <= 7); got maxEpochs=$maxEpochs")
+    epochAdmissionRows(documents, budgetMult, maxEpochs)
+      .filter(col("admitted"))
+      .select((Seq("doc_id", "source", "epoch", "n_toks") ++ extraCols).map(col): _*)
+      .withColumn("shuffle_key", xxhash64(col("doc_id") * 8L + col("epoch")))
+      .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
   }
 
   /** Pack the REALIZED multi-epoch corpus into training sequences —
@@ -1616,12 +1658,9 @@ object CorpusOps {
                   maxEpochs: Long = 4L, nShards: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qual = TextOps.qualityScore(documents).select(col("doc_id"), col("quality"))
-    val keyed = epochAdmissionRows(documents, budgetMult, maxEpochs)
-      .filter(col("admitted"))
+    val keyed = epochKeyedRows(documents, budgetMult, maxEpochs, nShards,
+        extraCols = Seq("full_epochs"))
       .withColumn("is_anneal", col("epoch") > col("full_epochs"))
-      .select(col("doc_id"), col("epoch"), col("is_anneal"))
-      .withColumn("shuffle_key", xxhash64(col("doc_id") * 8L + col("epoch")))
-      .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
       .join(qual, "doc_id")
     val w = Window.partitionBy(col("shard")).orderBy(
       col("is_anneal"),

@@ -740,6 +740,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
+        TickCommit.bind(spark, outPath, checkpointDir)
         if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           val assigned = SimilarityOps.ivfIncrementalAssign(index, batch)
             .localCheckpoint(false) // sink write + count fold
@@ -805,6 +806,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
+        TickCommit.bind(spark2, outPath, checkpointDir)
         // replay guard (ADVICE r17): a crash after seal() but before
         // Spark's commit-log write replays this tick against the
         // POST-tick index a restart loads via readLatest — without the
@@ -883,6 +885,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
+        TickCommit.bind(spark, outPath, checkpointDir)
         if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           val newCodes = SimilarityOps.ivfPqIncrementalCodes(index, cb, batch)
             .localCheckpoint(false) // sink write + cell fold
@@ -968,6 +971,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
+        TickCommit.bind(spark, outPath, checkpointDir)
         // replay guard (ADVICE r17): crash-after-seal must not re-run
         // the dels/splits/merges (and the codes repair) against the
         // post-tick state a restart loads via readLatest
@@ -1063,6 +1067,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
+        TickCommit.bind(spark, outPath, checkpointDir)
         if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           val rm = broadcast(batch.select(col("doc_id")).distinct()
             .localCheckpoint(false)) // 3 semi-probes + 3 anti-joins
@@ -1154,6 +1159,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
+        TickCommit.bind(spark, outPath, checkpointDir)
         if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           // effective removal = tick ids minus the cumulative queue
           val rmEff = broadcast(batch.select(col("doc_id")).distinct()
@@ -1268,6 +1274,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
+        TickCommit.bind(spark, outPath, checkpointDir)
         if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           val rmEff = broadcast(batch.select(col("user_id")).distinct()
             .join(removedAll, Seq("user_id"), "left_anti")
@@ -1403,6 +1410,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
+        TickCommit.bind(spark, outPath, checkpointDir)
         if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           val b = batch.localCheckpoint(false) // both request slices
           val effQ = broadcast(b.filter(col("op") === "quarantine")
@@ -1550,6 +1558,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
+        TickCommit.bind(spark, outPath, checkpointDir)
         if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           val rmEff = broadcast(batch.select(col("p_partkey")).distinct()
             .join(removedAll, Seq("p_partkey"), "left_anti")
@@ -1643,6 +1652,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
+        TickCommit.bind(spark, outPath, checkpointDir)
         // replay guard (r18): the anti-joins are idempotent, but a
         // replayed committed tick would still redo seven store scans
         // and overwrite the cert for nothing — skip it whole
@@ -1738,6 +1748,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
+        TickCommit.bind(spark, outPath, checkpointDir)
         // crash-after-seal replay must not re-run the funnel against
         // the POST-tick stores a restart loads (it would overwrite the
         // tick's funnel ledger with all-dropped rows)
@@ -1794,6 +1805,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
+        TickCommit.bind(spark, outPath, checkpointDir)
         if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           val b = batch.localCheckpoint(false) // stages + report + fp growth
           val bSigs = DedupOps.minhashSignatures(b).localCheckpoint(false)
@@ -1845,6 +1857,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
+        TickCommit.bind(spark, outPath, checkpointDir)
         if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           val scores = MultimodalOps
             .crossModalScores(batch, captionChars, threshold)
@@ -1907,6 +1920,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
+        TickCommit.bind(spark, outPath, checkpointDir)
         if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           val b = batch.localCheckpoint(false) // probe + keeper assign
           val verdicts = SimilarityOps.ivfSemanticProbe(index, b)
@@ -1964,6 +1978,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
+        TickCommit.bind(spark, outPath, checkpointDir)
         // crash-after-seal replay guard: the fold is NOT idempotent
         // against the post-tick snapshots a restart loads
         if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
@@ -2023,6 +2038,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
+        TickCommit.bind(spark, outPath, checkpointDir)
         if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           val b = batch.localCheckpoint(false) // count fold + scoring
           val model2 = pin(TextOps.lmModelMerge(model, b))
@@ -2077,6 +2093,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
+        TickCommit.bind(spark, outPath, checkpointDir)
         if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           val b = batch.localCheckpoint(false) // count fold + scoring
           val pool2 = pin(TextOps.lmModelMerge(pool, b))
@@ -2124,6 +2141,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
+        TickCommit.bind(spark, outPath, checkpointDir)
         if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           val tickCounts = batch
             .select(col("source"),
@@ -2136,9 +2154,16 @@ object StreamOps {
               .groupBy(col("source"))
               .agg(sum(col("realized_tokens")).cast("long").as("realized_tokens")))
             .localCheckpoint(false) // next fold + report
-          val joined = target.join(counts2, Seq("source"), "left_outer")
+          // FULL outer (ADVICE-class fix): a source streaming in that
+          // the launch design never listed must surface with target
+          // share 0 and its full realized mass — a left join dropped
+          // it from the report AND from tot_realized, deflating every
+          // other source's denominator, so the exact flood this
+          // monitor promises to flag stayed invisible
+          val joined = target.join(counts2, Seq("source"), "full_outer")
             .withColumn("realized_tokens",
               coalesce(col("realized_tokens"), lit(0L)))
+            .withColumn("w_sqrt", coalesce(col("w_sqrt"), lit(0L)))
           val tot = joined.agg(
             sum(col("w_sqrt")).cast("long").as("tot_w"),
             sum(col("realized_tokens")).cast("long").as("tot_realized"))
@@ -2211,6 +2236,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
+        TickCommit.bind(spark, outPath, checkpointDir)
         if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           val bHw = batch.groupBy(col("shard"))
             .agg((max(col("step")) + 1L).cast("long").as("b_hw"))
@@ -2301,6 +2327,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, tick: Long) =>
+        TickCommit.bind(spark, outPath, checkpointDir)
         if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
           val b = batch.localCheckpoint(false) // edges + verdict join + dim growth
           val resolved = DedupOps.incrementalEntityGroups(aliases, dim, b)

@@ -65,6 +65,44 @@ object TickCommit {
     fsOf(spark, m).exists(m)
   }
 
+  /** Bind an outPath to the checkpoint directory that numbers its
+    * ticks — called ONCE at sink construction. Closes the hole the
+    * backwards-seal guard cannot see: a fresh-checkpoint restart
+    * whose batch ids collide with the old run's high-water tick is
+    * silently SKIPPED by [[isCommitted]] (the batch's data is lost
+    * with no error) and its next tick seals cleanly above, so the
+    * misconfiguration never surfaces. Recording the checkpoint dir in
+    * a `run_binding` file turns that into a loud construction-time
+    * error: same checkpoint → resume as normal; different checkpoint
+    * over live committed ticks (≥ 0) → throw with the
+    * [[resumeInto]] remedy; different checkpoint over only a seed
+    * tick (−1, what resumeInto plants) → rebind to the new run. */
+  def bind(spark: SparkSession, outPath: String, checkpointDir: String): Unit = {
+    val p = new Path(s"$outPath/run_binding")
+    val fs = fsOf(spark, p)
+    def write(): Unit = {
+      val out = fs.create(p, true)
+      out.write(checkpointDir.getBytes("UTF-8")); out.close()
+    }
+    if (!fs.exists(p)) write()
+    else {
+      val in = fs.open(p)
+      val bound = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      if (bound != checkpointDir) {
+        if (latestTick(spark, outPath).exists(_ >= 0L))
+          throw new IllegalStateException(
+            s"TickCommit: $outPath is bound to checkpoint '$bound' but this " +
+            s"sink was constructed with checkpoint '$checkpointDir'. A fresh " +
+            "checkpoint restarts tick numbering at 0 — ticks colliding with " +
+            "the old run's are silently skipped as replays (data loss). " +
+            "Resume the original checkpoint, or seed a fresh outPath via " +
+            "TickCommit.resumeInto.")
+        write() // only a resumeInto seed (tick −1) committed: adopt the new run
+      }
+    }
+  }
+
   /** Write the tick's frames under its snapshot directory — NO marker
     * yet, so a crash mid-stage leaves the tick invisible. */
   def stage(spark: SparkSession, outPath: String, tick: Long,

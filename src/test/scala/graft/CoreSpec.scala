@@ -1457,8 +1457,14 @@ class CoreSpec extends SparkSpec {
     // admission family relies on at 100 TB (locally a 2^20 width puts
     // everything in one bucket and phase 2 never fires)
     val rnd = new scala.util.Random(11)
+    // NULL keys included: a null source must form its own cumsum
+    // partition exactly as Window.partitionBy treats it — the
+    // two-phase join is null-SAFE, not a plain equi-join (which would
+    // silently drop those rows)
     val rows = (0 until 200).map(i =>
-      (i.toLong * (1 + rnd.nextInt(3)), s"s${rnd.nextInt(4)}", rnd.nextInt(50).toLong))
+      (i.toLong * (1 + rnd.nextInt(3)),
+        if (rnd.nextInt(10) == 0) null else s"s${rnd.nextInt(4)}",
+        rnd.nextInt(50).toLong))
       .distinctBy(_._1)
     val df = rows.toDF("doc_id", "source", "n_toks")
     val got = CorpusOps.sourceOrderedCumsum(df, bucketWidth = 7L)

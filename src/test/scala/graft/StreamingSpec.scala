@@ -1722,9 +1722,20 @@ class StreamingSpec extends SparkSpec {
       val t1 = report()
       assert(t1("src0")._5 && t1("src0")._4 > t1("src0")._2,
         s"the flood must flag src0 AT its tick: ${t1("src0")}")
+      // a source the launch design never listed must SURFACE with
+      // target share 0 and flag — not silently vanish from the report
+      // while deflating everyone else's denominator (the left-join bug)
+      val rogue = (0 until 20).map(i =>
+        (9998000L + i, ("rogue " * 40).trim, "crawl_v2"))
+      input.addData(rogue: _*)
+      q.processAllAvailable()
+      val t2 = report()
+      assert(t2.contains("crawl_v2") && t2("crawl_v2")._2 == 0L &&
+        t2("crawl_v2")._5,
+        s"an undesigned source must appear with target 0 and flag: $t2")
       // stream ≡ batch: the final report equals the same arithmetic
       // computed one-shot over everything streamed
-      val streamed = (b1 ++ flood).toDF("doc_id", "text", "source")
+      val streamed = (b1 ++ flood ++ rogue).toDF("doc_id", "text", "source")
       val masses = streamed
         .select(col("source"), size(expr(
           "regexp_extract_all(text, '[A-Za-z0-9_]+', 0)")).cast("long").as("n"))
@@ -1733,9 +1744,9 @@ class StreamingSpec extends SparkSpec {
       val totR = masses.values.sum
       val w = target.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
       val totW = w.values.sum
-      t1.foreach { case (src, (realized, tgtPpm, realPpm, drift, _)) =>
+      t2.foreach { case (src, (realized, tgtPpm, realPpm, drift, _)) =>
         assert(realized == masses.getOrElse(src, 0L), s"$src realized mass")
-        assert(tgtPpm == (w(src) * 1000000L) / totW, s"$src target ppm")
+        assert(tgtPpm == (w.getOrElse(src, 0L) * 1000000L) / totW, s"$src target ppm")
         assert(realPpm == (masses.getOrElse(src, 0L) * 1000000L) / totR,
           s"$src realized ppm")
         assert(drift == realPpm - tgtPpm, s"$src drift")
@@ -1808,6 +1819,37 @@ class StreamingSpec extends SparkSpec {
         assert(consumed == tot && ppm == 1000000L && done,
           s"$src must finish consumed after the restart tick: $t3") }
     } finally q2.stop()
+  }
+
+  test("a fresh checkpoint against a live outPath fails loudly instead of skipping colliding ticks") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{StreamOps, Tables}
+    val docs = Tables.documents(spark, sf)
+    val out = java.nio.file.Files.createTempDirectory("graft_bind_out_").toString + "/lp"
+    val ckptA = java.nio.file.Files.createTempDirectory("graft_bind_ckA_").toString
+    val ckptB = java.nio.file.Files.createTempDirectory("graft_bind_ckB_").toString
+    val inA = MemoryStream[(Long, Long)]
+    val qA = StreamOps.streamingLoaderProgress(
+      inA.toDS().toDF("shard", "step"), docs, out, ckptA,
+      budgetMult = 2L, nShards = 2, seqLen = 16)
+    try { inA.addData((0L, 0L)); qA.processAllAvailable() } finally qA.stop()
+    // the misconfiguration the seal guard can't see: batch ids restart
+    // at 0 and collide with the committed tick — without the binding
+    // the first new batch would be silently skipped as a replay
+    val inB = MemoryStream[(Long, Long)]
+    val qB = StreamOps.streamingLoaderProgress(
+      inB.toDS().toDF("shard", "step"), docs, out, ckptB,
+      budgetMult = 2L, nShards = 2, seqLen = 16)
+    try {
+      inB.addData((1L, 3L))
+      val e = intercept[Exception] { qB.processAllAvailable() }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(e).exists(_.contains("bound to checkpoint")),
+        s"expected the binding error, got: ${chain(e)}")
+    } finally qB.stop()
   }
 
   test("streaming entity resolution equals one-shot incremental across a bridging boundary") {
