@@ -2168,16 +2168,17 @@ class StreamingSpec extends SparkSpec {
     try { in1.addData(b: _*); q1.processAllAvailable() } finally q1.stop()
     assert(TickCommit.isCommitted(spark, out, 0L), "tick 0 sealed")
     val fpsN = TickCommit.readLatest(spark, out, "fps").get.count()
-    // the replay: a restarted query (fresh checkpoint → tick ids
-    // restart at 0) reconstructed from readLatest, re-delivered the
-    // SAME batch against the SAME outPath — exactly what the crashed
-    // query's recovery does for the unacknowledged tick
-    val ck2 = java.nio.file.Files.createTempDirectory("graft_rpl_ck2_").toString
-    val in2 = MemoryStream[(Long, String)]
-    val q2 = StreamOps.streamingIngestTick(in2.toDS().toDF("doc_id", "text"),
+    // the replay, simulated FAITHFULLY: the crash landed after seal()
+    // but before Spark's commit-log write — erase the batch's commit
+    // record and restart from the SAME checkpoint (TickCommit.bind
+    // rejects a fresh one); recovery re-delivers tick 0, the sink's
+    // state reconstructed from readLatest
+    assert(new java.io.File(s"$ck1/commits/0").delete(), "commit record erased")
+    new java.io.File(s"$ck1/commits/.0.crc").delete() // local-FS checksum shadow
+    val q2 = StreamOps.streamingIngestTick(in1.toDS().toDF("doc_id", "text"),
       TickCommit.readLatest(spark, out, "fps").get,
-      TickCommit.readLatest(spark, out, "sigs").get, out, ck2)
-    try { in2.addData(b: _*); q2.processAllAvailable() } finally q2.stop()
+      TickCommit.readLatest(spark, out, "sigs").get, out, ck1)
+    try { q2.processAllAvailable() } finally q2.stop()
     // guarded: the funnel ledger still shows the docs ADMITTED (the
     // unguarded replay would rewrite stage 1 as (2 docs, 2 dropped))
     val f = spark.read.parquet(s"$out/funnel")
@@ -2212,17 +2213,18 @@ class StreamingSpec extends SparkSpec {
     try { in1.addData(feed.toSeq: _*); q1.processAllAvailable() } finally q1.stop()
     val n1 = TickCommit.readLatest(spark, out, "index_assign").get.count()
     assert(n1 == emb.count() + feed.length, "tick 0 appended the batch once")
-    // restart from the committed snapshot, fresh checkpoint, same
-    // outPath, same re-delivered batch
+    // the crash window, simulated faithfully: erase the commit-log
+    // record and restart from the SAME checkpoint with the POST-tick
+    // index readLatest hands a recovery — tick 0 re-delivers
     val restored = SimilarityOps.IvfIndex(
       TickCommit.readLatest(spark, out, "index_assign").get.localCheckpoint(false),
       TickCommit.readLatest(spark, out, "index_centers").get.localCheckpoint(false),
       index.nLists)
-    val ck2 = java.nio.file.Files.createTempDirectory("graft_rrb_ck2_").toString
-    val in2 = MemoryStream[(Long, Array[Float])]
+    assert(new java.io.File(s"$ck1/commits/0").delete(), "commit record erased")
+    new java.io.File(s"$ck1/commits/.0.crc").delete() // local-FS checksum shadow
     val q2 = StreamOps.streamingIvfRebalance(
-      in2.toDS().toDF("vec_id", "embedding"), restored, out, ck2)
-    try { in2.addData(feed.toSeq: _*); q2.processAllAvailable() } finally q2.stop()
+      in1.toDS().toDF("vec_id", "embedding"), restored, out, ck1)
+    try { q2.processAllAvailable() } finally q2.stop()
     val after = TickCommit.readLatest(spark, out, "index_assign").get
     assert(after.count() == n1,
       "the guarded replay must leave the committed index untouched")
@@ -2252,16 +2254,17 @@ class StreamingSpec extends SparkSpec {
     val q1 = StreamOps.streamingIvfMaintain(
       in1.toDS().toDF("vec_id", "embedding"), index, out, ck1)
     try { in1.addData(fA.toSeq: _*); q1.processAllAvailable() } finally q1.stop()
-    // restart: fresh checkpoint, same outPath — its tick 0 (the
-    // re-delivered shape) must be skipped, its tick 1 must continue
-    val ck2 = java.nio.file.Files.createTempDirectory("graft_srm_ck2_").toString
-    val in2 = MemoryStream[(Long, Array[Float])]
+    // restart after the crash window: erase the commit record and
+    // resume the SAME checkpoint — tick 0 re-delivers (skipped by the
+    // guard), tick 1 folds into the counts loaded from the committed
+    // snapshot
+    assert(new java.io.File(s"$ck1/commits/0").delete(), "commit record erased")
+    new java.io.File(s"$ck1/commits/.0.crc").delete() // local-FS checksum shadow
     val q2 = StreamOps.streamingIvfMaintain(
-      in2.toDS().toDF("vec_id", "embedding"), index, out, ck2)
+      in1.toDS().toDF("vec_id", "embedding"), index, out, ck1)
     try {
-      in2.addData(fA.toSeq: _*) // the replayed tick 0
-      q2.processAllAvailable()
-      in2.addData(fC.toSeq: _*) // tick 1: genuinely new
+      q2.processAllAvailable()   // the replayed tick 0
+      in1.addData(fC.toSeq: _*)  // tick 1: genuinely new
       q2.processAllAvailable()
     } finally q2.stop()
     def proj(rows: Array[org.apache.spark.sql.Row]) = rows
@@ -2556,16 +2559,17 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val once = bigrams()
     assert(once(("qqzv", "gamma")) == 1L, s"merged once: ${once.size} bigrams")
-    // replay the committed tick: restart-from-readLatest, fresh
-    // checkpoint (tick 0 again), same outPath, same batch
-    val ck2 = java.nio.file.Files.createTempDirectory("graft_rlm_ck2_").toString
-    val in2 = MemoryStream[(Long, String)]
+    // replay the committed tick: erase the commit record and restart
+    // the SAME checkpoint with the post-tick model readLatest hands a
+    // recovery — tick 0 re-delivers the same batch
+    assert(new java.io.File(s"$ck1/commits/0").delete(), "commit record erased")
+    new java.io.File(s"$ck1/commits/.0.crc").delete() // local-FS checksum shadow
     val q2 = StreamOps.streamingLmMaintain(
-      in2.toDS().toDF("doc_id", "text"),
+      in1.toDS().toDF("doc_id", "text"),
       TextOps.LmModel(TickCommit.readLatest(spark, out, "bigrams").get,
         TickCommit.readLatest(spark, out, "contexts").get,
-        TickCommit.readLatest(spark, out, "vocab").get), out, ck2)
-    try { in2.addData(b: _*); q2.processAllAvailable() } finally q2.stop()
+        TickCommit.readLatest(spark, out, "vocab").get), out, ck1)
+    try { q2.processAllAvailable() } finally q2.stop()
     assert(bigrams() == once,
       "the guarded replay must not double-merge the batch's counts")
   }
