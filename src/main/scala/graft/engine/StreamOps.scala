@@ -2191,6 +2191,73 @@ object StreamOps {
       .start()
   }
 
+  /** STREAMING referential audit — q306 live: the per-load DQ pass as
+    * a landing-zone monitor. Each micro-batch of arriving lineitem
+    * facts checks its three FK edges against the PINNED parent
+    * relations (stream-static anti-joins; the dims broadcast under
+    * AQE, the orders edge shuffles on its key), writes the batch's
+    * orphan ROWS to a tick-partitioned quarantine (at-least-once
+    * replays rewrite their own partition), and folds the per-edge
+    * counts into a carried cumulative ledger snapshotted atomically
+    * per tick — so a broken upstream export flags AT ITS ARRIVAL
+    * TICK with the offending rows already isolated for replay-safe
+    * re-ingest once the parent lands. Counts are additive ⇒ stream ≡
+    * batch (the final ledger equals q306's fk rows over everything
+    * streamed); TickCommit ledger, bind, self-resume, replay guard. */
+  def streamingReferentialAudit(facts: DataFrame, orders: DataFrame,
+                                part: DataFrame, supplier: DataFrame,
+                                outPath: String,
+                                checkpointDir: String): StreamingQuery = {
+    val spark = facts.sparkSession
+    val edges: Seq[(String, String, DataFrame, String)] = Seq(
+      ("fk lineitem.l_orderkey -> orders.o_orderkey", "l_orderkey",
+        orders.select(col("o_orderkey")).localCheckpoint(false), "o_orderkey"),
+      ("fk lineitem.l_partkey -> part.p_partkey", "l_partkey",
+        part.select(col("p_partkey")).localCheckpoint(false), "p_partkey"),
+      ("fk lineitem.l_suppkey -> supplier.s_suppkey", "l_suppkey",
+        supplier.select(col("s_suppkey")).localCheckpoint(false), "s_suppkey"))
+    var ledger: DataFrame = TickCommit.readLatest(spark, outPath, "ledger")
+      .map(_.localCheckpoint(false)).orNull
+    facts.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, tick: Long) =>
+        TickCommit.bind(spark, outPath, checkpointDir)
+        if (!batch.isEmpty && !TickCommit.isCommitted(spark, outPath, tick)) {
+          val b = batch.localCheckpoint(false) // three edges read it
+          val perEdge = edges.map { case (name, ck, parent, pk) =>
+            val present = b.filter(col(ck).isNotNull)
+              .localCheckpoint(false) // row count + anti-join + quarantine
+            val orphans = present.join(parent, col(ck) === col(pk), "left_anti")
+              .localCheckpoint(false) // count + quarantine write
+            orphans.write.mode("overwrite")
+              .parquet(s"$outPath/quarantine/edge=${ck}/tick=$tick")
+            present.agg(count(lit(1)).cast("long").as("n_rows"))
+              .crossJoin(orphans.agg(count(lit(1)).cast("long")
+                .as("n_violations")))
+              .select(lit(name).as("check_name"), col("n_rows"),
+                col("n_violations"))
+          }.reduce(_ unionByName _)
+          val ledger2 = (if (ledger == null) perEdge
+            else ledger
+              .select(col("check_name"), col("n_rows"), col("n_violations"))
+              .unionByName(perEdge)
+              .groupBy(col("check_name"))
+              .agg(sum(col("n_rows")).cast("long").as("n_rows"),
+                   sum(col("n_violations")).cast("long").as("n_violations")))
+            .withColumn("ok", col("n_violations") === 0L)
+            .select(col("check_name"), col("n_rows"), col("n_violations"),
+              col("ok"))
+            .localCheckpoint(false) // next fold + snapshot
+          TickCommit.stage(spark, outPath, tick, Seq("ledger" -> ledger2))
+          TickCommit.seal(spark, outPath, tick)
+          ledger = ledger2
+        }
+        ()
+      }
+      .start()
+  }
+
   /** STREAMING training-progress monitor — q298 live: a training run
     * reports step completions (shard, step) as it consumes the packed
     * corpus, and the monitor maintains the loader-resume accounting

@@ -1754,6 +1754,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming referential audit accumulates the q306 ledger and quarantines orphans") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.{StreamOps, Tables, TickCommit}
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .as[(Long, Long, Long)].collect().sorted.take(60)
+    val (c1, c2) = li.splitAt(30)
+    val (okOrd, okPart, okSupp) = c1.head
+    // one orphan per edge, each otherwise-valid
+    val bad = Seq((9999991L, okPart, okSupp), (okOrd, 9999992L, okSupp),
+      (okOrd, okPart, 9999993L))
+    val out = java.nio.file.Files.createTempDirectory("graft_sra_out_").toString + "/ra"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sra_ckpt_").toString
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = StreamOps.streamingReferentialAudit(
+      input.toDS().toDF("l_orderkey", "l_partkey", "l_suppkey"),
+      Tables.orders(spark, sf), Tables.part(spark, sf),
+      Tables.supplier(spark, sf), out, ckpt)
+    def ledger() = TickCommit.readLatest(spark, out, "ledger").get.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    try {
+      input.addData(c1.toSeq: _*)
+      q.processAllAvailable()
+      val t0 = ledger()
+      assert(t0.values.forall { case (n, v, ok) => n == 30L && v == 0L && ok },
+        s"clean tick: $t0")
+      input.addData((c2 ++ bad).toSeq: _*)
+      q.processAllAvailable()
+      val t1 = ledger()
+      assert(t1.values.forall { case (n, v, ok) => n == 63L && v == 1L && !ok },
+        s"the broken export must flag at its tick: $t1")
+    } finally q.stop()
+    // the quarantine isolates exactly the orphan rows, per edge
+    val qn = spark.read.option("basePath", s"$out/quarantine")
+      .parquet(s"$out/quarantine/edge=l_orderkey")
+      .select(col("l_orderkey")).collect().map(_.getLong(0)).toSeq
+    assert(qn == Seq(9999991L), s"orderkey quarantine: $qn")
+    val qp = spark.read.parquet(s"$out/quarantine/edge=l_partkey")
+      .select(col("l_partkey")).collect().map(_.getLong(0)).toSeq
+    assert(qp == Seq(9999992L), s"partkey quarantine: $qp")
+  }
+
   test("streaming loader progress equals the one-shot accounting at every high-water") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
