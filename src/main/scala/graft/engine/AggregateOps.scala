@@ -977,14 +977,18 @@ object AggregateOps {
     * distinct count, and min/max rendered canonically (floating
     * columns round-trip through DECIMAL(38,6) so Spark and the oracle
     * print identical digits — the Exact-decimal precedent; everything
-    * else casts its native string form). ONE scan: every column's
-    * count/ndv/min/max rides a single `agg` — exact NDV plans one
-    * Expand (n_cols copies of the scan's rows into the shuffle, the
-    * certified form); `exact = false` flips to HLL
-    * approx_count_distinct — no Expand, the 100 TB form, same plan
-    * otherwise. The single 1-row collect and the schema-bounded
-    * output are the S7 boundedness argument; this is the stats pass a
-    * cost-based planner or a data catalog runs per table refresh. */
+    * else casts its native string form). The counts and min/max for
+    * EVERY column ride one Expand-free `agg` (one scan); the NDVs are
+    * where the plans diverge — `exact = false` (the 100 TB form)
+    * folds HLL approx_count_distinct into the same single pass, while
+    * the exact form runs one column-pruned distinct-count job per
+    * column, submitted CONCURRENTLY (the naive alternative — n_cols
+    * distinct aggregates in one `agg` — plans a single n_cols-way
+    * Expand that multiplies every scan row into the shuffle and
+    * benched 8× slower than the split at sf0.1). The 1-row collect
+    * and the schema-bounded output are the S7 boundedness argument;
+    * this is the stats pass a cost-based planner or a data catalog
+    * runs per table refresh. */
   def tableProfile(df: DataFrame, exact: Boolean = true): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
     val spark = df.sparkSession
@@ -997,17 +1001,34 @@ object AggregateOps {
     val aggCols = fields.flatMap { f =>
       val c = col(f.name)
       Seq(count(c).cast("long").as(s"__c_${f.name}"),
-          (if (exact) countDistinct(c) else approx_count_distinct(c))
-            .cast("long").as(s"__d_${f.name}"),
           rendered(min(c), f.dataType).as(s"__mn_${f.name}"),
-          rendered(max(c), f.dataType).as(s"__mx_${f.name}"))
+          rendered(max(c), f.dataType).as(s"__mx_${f.name}")) ++
+        (if (exact) Nil
+         else Seq(approx_count_distinct(c).cast("long").as(s"__d_${f.name}")))
     }
-    val row = df.agg(count(lit(1)).cast("long").as("__n"), aggCols: _*).head()
+    // NOT checkpointed: each NDV job re-reads the source with its own
+    // single-column pruned scan — cheaper than materializing the full
+    // width once (columnar scans make the n_cols re-reads near-free)
+    val src = df
+    val row = src.agg(count(lit(1)).cast("long").as("__n"), aggCols: _*).head()
     val n = row.getAs[Long]("__n")
+    val ndv: Map[String, Long] =
+      if (!exact) fields.map(f => f.name -> row.getAs[Long](s"__d_${f.name}")).toMap
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        Await.result(
+          Future.traverse(fields) { f =>
+            Future(f.name ->
+              src.select(col(f.name)).filter(col(f.name).isNotNull)
+                .distinct().count())
+          }, Duration.Inf).toMap
+      }
     val out = fields.map { f =>
       (f.name, f.dataType.simpleString, n,
         n - row.getAs[Long](s"__c_${f.name}"),
-        row.getAs[Long](s"__d_${f.name}"),
+        ndv(f.name),
         row.getAs[String](s"__mn_${f.name}"),
         row.getAs[String](s"__mx_${f.name}"))
     }

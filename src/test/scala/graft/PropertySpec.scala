@@ -469,6 +469,58 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("loader-family invariants hold on random corpora, shard counts, and resume steps") {
+    import spark.implicits._
+    import graft.engine.CorpusOps
+    // conservation laws the loader family must obey for ANY
+    // (budget, shards, seqLen, step): pack mass ≡ admitted mass,
+    // efficiency totals ≡ pack totals, resume splits mass exactly at
+    // the step boundary, commitments are recomputation-stable
+    val rnd = new Random(83)
+    (0 until 6).foreach { trial =>
+      val docsSeq = (0 until 2 + rnd.nextInt(3)).flatMap { i =>
+        (0 until 5 + rnd.nextInt(15)).map(j =>
+          (i * 1000L + j, ("t " * rnd.nextInt(25)).trim, "en", f"s$i%02d"))
+      }
+      val docs = docsSeq.toDF("doc_id", "text", "lang", "source")
+      val mult = 1L + rnd.nextInt(5)
+      val nSh = 1 + rnd.nextInt(4)
+      val L = 4 + rnd.nextInt(29)
+      val S = rnd.nextInt(6).toLong
+      val admitted = CorpusOps.epochAdmission(docs, budgetMult = mult)
+        .filter(col("admitted")).agg(sum(col("n_toks"))).head()
+      val admittedMass = if (admitted.isNullAt(0)) 0L else admitted.getLong(0)
+      val eff = CorpusOps.packEfficiency(docs, budgetMult = mult,
+        nShards = nSh, seqLen = L).collect()
+      // pack conservation: shard masses sum to the admitted mass and
+      // every shard's tail fill fits its last sequence
+      assert(eff.map(_.getLong(3)).sum == admittedMass,
+        s"trial $trial: pack mass vs admitted mass")
+      eff.foreach { r =>
+        val (nSeqs, toks, tail) = (r.getLong(2), r.getLong(3), r.getLong(6))
+        assert(tail >= 1 && tail <= L && toks == (nSeqs - 1) * L + tail,
+          s"trial $trial shard ${r.getLong(0)}: tail law")
+      }
+      // resume conservation at a random step: dropped + consumed +
+      // remaining ≡ shard mass, and remaining ≡ mass - min(S·L, mass)
+      val man = CorpusOps.loaderResume(docs, budgetMult = mult,
+        nShards = nSh, seqLen = L, resumeStep = S).collect()
+      val remBy = man.groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(9)).sum).toMap
+      eff.foreach { r =>
+        val (shard, mass) = (r.getLong(0), r.getLong(3))
+        assert(remBy.getOrElse(shard, 0L) == mass - math.min(S * L, mass),
+          s"trial $trial shard $shard: resume conservation")
+      }
+      // the handshake is recomputation-stable
+      val c1 = CorpusOps.orderCommitment(docs, budgetMult = mult, nShards = nSh)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      val c2 = CorpusOps.orderCommitment(docs, budgetMult = mult, nShards = nSh)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      assert(c1.sameElements(c2), s"trial $trial: commitment stability")
+    }
+  }
+
   test("additive-state merges equal full rebuilds on random corpora") {
     import spark.implicits._
     import graft.engine.{CorpusOps, TextOps}
