@@ -166,6 +166,26 @@ object WriteOps {
     orders.sparkSession.read.orc(path).orderBy(col("o_orderkey"))
   }
 
+  /** CSV round-trip — the text-format interchange path (exports to
+    * spreadsheets/legacy loaders and back): write with header, read
+    * back with an EXPLICIT schema (never inference — at 100 TB schema
+    * inference is a full extra pass and a type-drift hazard; the
+    * explicit schema also keeps the read a single pruned scan).
+    * Doubles survive because Spark writes round-trip-precise digits.
+    * Same slice/shape as the q112 ORC path so the one oracle text
+    * certifies every format's fidelity. */
+  def csvRoundTrip(orders: DataFrame, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    orders.filter(col("o_orderkey") <= 6000)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .write.mode("overwrite").option("header", "true").csv(path)
+    orders.sparkSession.read
+      .option("header", "true")
+      .schema("o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE")
+      .csv(path)
+      .orderBy(col("o_orderkey"))
+  }
+
   /** 16-bit Morton (Z-order) interleave of two integer columns as an
     * unrolled arithmetic expression — `>>`, `&`, `*`, `+` only, so
     * the SAME string evaluates identically in Spark SQL and DuckDB

@@ -10992,6 +10992,17 @@ object Catalog {
                |FROM orders WHERE o_orderkey <= 6000
                |ORDER BY o_orderkey""".stripMargin)),
 
+      // the text-format interchange path: CSV write with header, read
+      // back under an EXPLICIT schema (inference is a full extra pass
+      // and a drift hazard at scale) — same slice as q112 so one
+      // oracle text certifies every format's fidelity
+      QuerySpec(
+        "q308_csv_roundtrip",
+        (s, dir) => WriteOps.csvRoundTrip(Tables.orders(s, dir), tmp("csvrt", dir)),
+        Some("""SELECT o_orderkey, o_orderpriority, o_totalprice
+               |FROM orders WHERE o_orderkey <= 6000
+               |ORDER BY o_orderkey""".stripMargin)),
+
       // q54's slice with garbage injected into a landing page: the
       // PERMISSIVE + corrupt-record-column read quarantines malformed
       // lines and salvages every good row, so the clean output
