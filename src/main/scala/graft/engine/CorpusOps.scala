@@ -1655,7 +1655,18 @@ object CorpusOps {
     * the [[TextOps.qualityScore]] exact-reproducible expression tree,
     * so the oracle replays the full order bit-exactly. */
   def annealOrder(documents: DataFrame, budgetMult: Long = 4L,
-                  maxEpochs: Long = 4L, nShards: Int = 8): DataFrame = {
+                  maxEpochs: Long = 4L, nShards: Int = 8): DataFrame =
+    annealOrderRows(documents, budgetMult, maxEpochs, nShards)
+      .select(col("shard"), col("pos"), col("doc_id"), col("epoch"),
+        col("is_anneal"), col("quality"))
+      .orderBy(col("shard"), col("pos"))
+
+  /** The ranked anneal-order rows WITH token masses — [[annealOrder]]
+    * adds the q301 shape; [[annealPack]] packs by them, so the two
+    * artifacts' permutations are provably identical (the
+    * order/pack sharing pattern of [[epochOrderRows]]). */
+  private def annealOrderRows(documents: DataFrame, budgetMult: Long,
+                              maxEpochs: Long, nShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qual = TextOps.qualityScore(documents).select(col("doc_id"), col("quality"))
     val keyed = epochKeyedRows(documents, budgetMult, maxEpochs, nShards,
@@ -1668,10 +1679,29 @@ object CorpusOps {
       when(col("is_anneal"), lit(0L)).otherwise(col("shuffle_key")),
       col("doc_id"), col("epoch"))
     keyed.withColumn("pos", row_number().over(w).cast("long"))
-      .select(col("shard"), col("pos"), col("doc_id"), col("epoch"),
-        col("is_anneal"), col("quality"))
-      .orderBy(col("shard"), col("pos"))
   }
+
+  /** Pack the ANNEAL order into training sequences — the q297 packing
+    * law over the q301 permutation, so the run's fixed-length batches
+    * themselves end on the quality-ascending tail: every span carries
+    * `is_anneal`, and because anneal rows form the tail of every
+    * shard's stream, the anneal spans occupy the FINAL sequences of
+    * each shard (one boundary sequence may mix phases — exactly the
+    * span arithmetic reports). Same cost shape as [[epochPack]]. */
+  def annealPack(documents: DataFrame, budgetMult: Long = 4L,
+                 maxEpochs: Long = 4L, nShards: Int = 8,
+                 seqLen: Int = 2048): DataFrame =
+    keyedOrderedCumsum(
+        annealOrderRows(documents, budgetMult, maxEpochs, nShards)
+          .filter(col("n_toks") > 0),
+        Seq("shard"), Seq("pos"), "n_toks", "cum")
+      .withColumn("start_seq", expr(s"(cum - n_toks) DIV $seqLen"))
+      .withColumn("end_seq", expr(s"(cum - 1) DIV $seqLen"))
+      .withColumn("n_seqs", col("end_seq") - col("start_seq") + lit(1L))
+      .select(col("shard"), col("pos"), col("doc_id"), col("epoch"),
+        col("is_anneal"), col("n_toks"), col("start_seq"), col("end_seq"),
+        col("n_seqs"))
+      .orderBy(col("shard"), col("pos"))
 
   /** Deterministic training-order shuffle — the loader-facing global
     * permutation: shuffle key = xxhash64(doc_id) (Spark's codegen'd

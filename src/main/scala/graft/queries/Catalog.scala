@@ -1856,6 +1856,16 @@ object Catalog {
               |FROM sp JOIN tp USING (step) WHERE rn = 1
               |ORDER BY sp.step""".stripMargin)),
 
+    // the q297 packing law over the q301 anneal permutation: the
+    // run's fixed-length batches themselves end on the
+    // quality-ascending tail — every span carries is_anneal, and the
+    // anneal spans occupy each shard's final sequences.
+    QuerySpec(
+      "q309_anneal_pack",
+      (s, dir) => CorpusOps.annealPack(Tables.documents(s, dir),
+        budgetMult = 4L),
+      Some(q309OracleSql)),
+
     // training-order reproducibility commitment: per shard, Σh and
     // Σh·pos over the admitted stream in exact DECIMAL(38,0) — the
     // cheap cross-run handshake (commitments equal ⇒ packs identical;
@@ -8273,31 +8283,50 @@ object Catalog {
     * XXH64 chain over the epoch-folded key carrying the anneal flag,
     * the exact-reproducible quality tree, and the per-shard window
     * whose order key switches to ascending quality for anneal rows. */
-  private val q301OracleSql: String = {
+  /** Shared CTE chain for q301/q309, ending in `ordq(shard, pos,
+    * doc_id, epoch, is_anneal, n_toks, quality)` — the anneal
+    * permutation with token masses carried so q309 can pack by it. */
+  private val annealOrderCtes: String = {
     import Xxh64DocIdSql.{chainFrom, tos}
-    s"""WITH $epochAdmissionCtes,
-       |fe AS (SELECT adm.doc_id, adm.epoch,
+    s"""$epochAdmissionCtes,
+       |fe AS (SELECT adm.doc_id, adm.epoch, adm.n_toks,
        |         (adm.epoch > sch.full_epochs) AS is_anneal
        |       FROM adm JOIN sch USING (source) WHERE adm.admitted),
        |${chainFrom(
-        "SELECT doc_id, epoch, is_anneal, CAST(doc_id * 8 + epoch AS HUGEINT) AS k FROM fe",
-        "doc_id, epoch, is_anneal")},
-       |kk AS (SELECT doc_id, epoch, is_anneal, ${tos("h8")} AS shuffle_key FROM s10),
-       |sh2 AS (SELECT doc_id, epoch, is_anneal, shuffle_key,
+        "SELECT doc_id, epoch, n_toks, is_anneal, CAST(doc_id * 8 + epoch AS HUGEINT) AS k FROM fe",
+        "doc_id, epoch, n_toks, is_anneal")},
+       |kk AS (SELECT doc_id, epoch, n_toks, is_anneal, ${tos("h8")} AS shuffle_key FROM s10),
+       |sh2 AS (SELECT doc_id, epoch, n_toks, is_anneal, shuffle_key,
        |          CAST(((shuffle_key % 8) + 8) % 8 AS BIGINT) AS shard FROM kk),
        |qsc AS ($qualityPerDocSql),
-       |jq AS (SELECT sh2.doc_id, sh2.epoch, sh2.is_anneal, sh2.shuffle_key,
-       |         sh2.shard, qsc.quality
+       |jq AS (SELECT sh2.doc_id, sh2.epoch, sh2.n_toks, sh2.is_anneal,
+       |         sh2.shuffle_key, sh2.shard, qsc.quality
        |       FROM sh2 JOIN qsc USING (doc_id)),
-       |ordq AS (SELECT shard, doc_id, epoch, is_anneal, quality,
+       |ordq AS (SELECT shard, doc_id, epoch, is_anneal, n_toks, quality,
        |          CAST(row_number() OVER (PARTITION BY shard ORDER BY is_anneal,
        |            CASE WHEN is_anneal THEN quality ELSE 0.0 END,
        |            CASE WHEN is_anneal THEN 0 ELSE shuffle_key END,
        |            doc_id, epoch) AS BIGINT) AS pos
-       |        FROM jq)
+       |        FROM jq)""".stripMargin
+  }
+
+  private val q301OracleSql: String =
+    s"""WITH $annealOrderCtes
        |SELECT shard, pos, doc_id, epoch, is_anneal, quality
        |FROM ordq ORDER BY shard, pos""".stripMargin
-  }
+
+  private val q309OracleSql: String =
+    s"""WITH $annealOrderCtes,
+       |apk AS (SELECT shard, pos, doc_id, epoch, is_anneal, n_toks,
+       |          CAST(SUM(n_toks) OVER (PARTITION BY shard ORDER BY pos
+       |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |        FROM ordq WHERE n_toks > 0)
+       |SELECT shard, pos, doc_id, epoch, is_anneal, n_toks,
+       |       CAST((cum - n_toks) // 2048 AS BIGINT) AS start_seq,
+       |       CAST((cum - 1) // 2048 AS BIGINT) AS end_seq,
+       |       CAST((cum - 1) // 2048 - (cum - n_toks) // 2048 + 1 AS BIGINT)
+       |         AS n_seqs
+       |FROM apk ORDER BY shard, pos""".stripMargin
 
   /** q305 oracle: one UNION ALL branch per lineitem column, each
     * computing that column's stats with the same canonical rendering

@@ -1786,6 +1786,22 @@ class CoreSpec extends SparkSpec {
         .filter(headPairs.toSet).toSeq
       assert(headPairs == q295Shard, s"shard $shard head order")
     }
+    // the anneal pack follows the anneal order exactly and its anneal
+    // spans occupy each shard's FINAL sequences (one boundary sequence
+    // may mix phases)
+    val apack = CorpusOps.annealPack(docs, budgetMult = 2L, nShards = 2, seqLen = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val annByPair = ann.map(t => (t._3, t._4) -> t._5).toMap
+    assert(apack.forall(s => annByPair((s._3, s._4)) == s._5),
+      "pack spans carry the order's anneal flags")
+    apack.groupBy(_._1).foreach { case (shard, spans) =>
+      val annealStart = spans.filter(_._5).map(_._7)
+      val headEnd = spans.filterNot(_._5).map(_._8)
+      if (annealStart.nonEmpty && headEnd.nonEmpty)
+        assert(annealStart.min >= headEnd.max,
+          s"shard $shard: anneal spans must start at or after the head's last sequence")
+    }
   }
 
   test("rater kappa: perfect = 1e6, inverted = -1e6, degenerate marginals = NULL") {
