@@ -1086,11 +1086,17 @@ object CorpusOps {
     // null-SAFE join: a NULL key (or a NULL first order column) forms
     // its own cumsum partition exactly as Window.partitionBy treats
     // it — a plain equi-join would silently DROP those rows (NULL =
-    // NULL is false), losing data the window form carried
+    // NULL is false), losing data the window form carried. The
+    // offsets side is explicitly RENAMED before the join: offsets
+    // derives from bucketed, so unaliased column references would
+    // lean on Spark's ambiguous-self-join resolution (it resolves
+    // correctly but warns per call)
     val joinKeys = keyCols :+ "__bucket"
-    val cond = joinKeys.map(k => bucketed(k) <=> offsets(k)).reduce(_ && _)
-    joinKeys.foldLeft(bucketed.join(broadcast(offsets), cond)) {
-        (d, k) => d.drop(offsets(k)) }
+    val off = offsets.select(
+      joinKeys.map(k => col(k).as(s"__o_$k")) :+ col("__b_prefix"): _*)
+    val cond = joinKeys.map(k => col(k) <=> col(s"__o_$k")).reduce(_ && _)
+    bucketed.join(broadcast(off), cond)
+      .drop(joinKeys.map(k => s"__o_$k"): _*)
       .withColumn(outCol,
         (col("__b_prefix") + sum(col(valueCol)).over(inBucket)).cast("long"))
       .drop("__bucket", "__b_prefix")
