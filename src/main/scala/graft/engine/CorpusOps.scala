@@ -2486,21 +2486,53 @@ object CorpusOps {
     // difference is a scan vs a full-store join). The sum carries
     // multiplicity, so duplicate rows can't cancel; a single drifted
     // row flips the commitment.
+    //
+    // ONE tag-union aggregate for the WHOLE ledger (r18, guide
+    // §2.3/§2.4): the previous shape cross-joined three single-row
+    // aggregates per artifact — 12 artifacts, ~36 aggregate subtrees,
+    // each its own AQE stage job, with the purged frame's lineage
+    // planned twice wherever the restore unions on top of it. Every
+    // distinct input now enters ONCE as (artifact, side, row-hash) —
+    // a purged frame that is also the restore's base explodes into
+    // both tags — and a single groupBy(artifact) computes every count
+    // and commitment with conditional sums. Values are bit-identical:
+    // counts and the commutative decimal hash sums cannot change
+    // under regrouping.
+    val ledgerParts =
+      scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame, Seq[String])]
     def row(artifact: String, original: DataFrame, purged: DataFrame,
-            restored: DataFrame): DataFrame = {
-      def commit(df: DataFrame, n: String, h: String) = df.agg(
-        count(lit(1)).cast("long").as(n),
-        coalesce(sum(xxhash64(df.columns.map(col(_)): _*)
-            .cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)")).as(h))
-      commit(original, "n_before", "h_before")
-        .crossJoin(purged.agg(count(lit(1)).cast("long").as("n_purged")))
-        .crossJoin(commit(restored, "n_restored", "h_restored"))
-        .select(lit(artifact).as("artifact"), lit("all").as("key"),
+            rederived: DataFrame): Unit = {
+      ledgerParts += ((artifact, original, Seq("b")))
+      ledgerParts += ((artifact, purged, Seq("p", "r")))
+      ledgerParts += ((artifact, rederived, Seq("r")))
+    }
+    // non-union restores (LM decrement/merge, card fold-out/fold-in):
+    // each side is its own frame
+    def rowSides(artifact: String, original: DataFrame, purged: DataFrame,
+                 restored: DataFrame): Unit = {
+      ledgerParts += ((artifact, original, Seq("b")))
+      ledgerParts += ((artifact, purged, Seq("p")))
+      ledgerParts += ((artifact, restored, Seq("r")))
+    }
+    def ledger(): DataFrame =
+      ledgerParts.map { case (artifact, df, sides) =>
+        df.select(lit(artifact).as("artifact"),
+          explode(array(sides.map(lit(_)): _*)).as("side"),
+          xxhash64(df.columns.map(col(_)): _*).cast("decimal(38,0)").as("h"))
+      }.reduce(_ unionByName _)
+        .groupBy(col("artifact"))
+        .agg(
+          count(when(col("side") === "b", lit(1))).cast("long").as("n_before"),
+          count(when(col("side") === "p", lit(1))).cast("long").as("n_purged"),
+          count(when(col("side") === "r", lit(1))).cast("long").as("n_restored"),
+          coalesce(sum(when(col("side") === "b", col("h"))),
+            lit(0).cast("decimal(38,0)")).as("h_before"),
+          coalesce(sum(when(col("side") === "r", col("h"))),
+            lit(0).cast("decimal(38,0)")).as("h_restored"))
+        .select(col("artifact"), lit("all").as("key"),
           col("n_before"), col("n_purged"), col("n_restored"),
           (col("h_restored") === col("h_before") &&
             col("n_restored") === col("n_before")).as("clean"))
-    }
     // the using-join moves the key column to the front; re-select the
     // store's own column ORDER so the identity probes (positional
     // exceptAll) and the re-derived unions stay aligned
@@ -2524,39 +2556,34 @@ object CorpusOps {
     val cardP = corpusCardTakedownState(cardState, fpStore, documents, rm)
       .localCheckpoint(false) // ledger count + the restore fold
     val cardR = corpusCardRestoreState(cardP, fpStore, documents, rm)
-    row("postings", postings, postP,
-        postP.unionByName(RetrievalOps.bm25Postings(qDocs)))
-      .unionByName(row("doc_lengths", docLengths, dlP,
-        dlP.unionByName(RetrievalOps.bm25DocLengths(qDocs))))
-      .unionByName(row("fingerprints", fpStore, fpP,
-        fpP.unionByName(qDocs.select(col("doc_id"), md5(col("text")).as("fp_md5")))))
-      .unionByName(row("sketches", sketches, skP,
-        skP.unionByName(DedupOps.docSketches(qDocs))))
-      .unionByName(row("binary_sigs", sigProj, sgP,
-        sgP.unionByName(SimilarityOps.binarySignatures(qEmb)
-          .select(col("vec_id"), col("sig")))))
-      .unionByName(row("ivf_assign", asgProj, asgP,
-        asgP.unionByName(SimilarityOps.ivfIncrementalAssign(index, qEmb))))
-      .unionByName(row("pq_codes", ivfPqCodes, cdP,
-        cdP.unionByName(SimilarityOps.ivfPqIncrementalCodes(index, ivfPqCb, qEmb)
-          .select(codeCols: _*))))
-      .unionByName(row("lm_bigrams", lm.bigrams, sub.bigrams, mer.bigrams))
-      .unionByName(row("lm_contexts", lm.contexts, sub.contexts, mer.contexts))
-      .unionByName(row("lm_vocab", lm.vocab, sub.vocab, mer.vocab))
-      .unionByName(row("card_state", cardState, cardP, cardR))
-      .unionByName(wide.map { case (embWide, sigsWide) =>
-        // the PRODUCTION-WIDTH signature store round-trips too (r17,
-        // VERDICT r16 missing #5): purge anti-joins, restore
-        // recomputes the quarantined vectors' multi-word signatures —
-        // exact deterministic integers, so the commitment must match
-        val swProj = sigsWide.select(col("vec_id"), col("sig"))
-        val qEmbWide = embWide.join(rmVec, Seq("vec_id"), "left_semi")
-        val swP = purgeVec(swProj)
-        row("binary_sigs_wide", swProj, swP,
-          swP.unionByName(SimilarityOps.binarySignaturesWide(qEmbWide)
-            .select(col("vec_id"), col("sig"))))
-      }.getOrElse(row("card_state", cardState, cardP, cardR).filter(lit(false))))
-      .orderBy(col("artifact"))
+    row("postings", postings, postP, RetrievalOps.bm25Postings(qDocs))
+    row("doc_lengths", docLengths, dlP, RetrievalOps.bm25DocLengths(qDocs))
+    row("fingerprints", fpStore, fpP,
+      qDocs.select(col("doc_id"), md5(col("text")).as("fp_md5")))
+    row("sketches", sketches, skP, DedupOps.docSketches(qDocs))
+    row("binary_sigs", sigProj, sgP,
+      SimilarityOps.binarySignatures(qEmb).select(col("vec_id"), col("sig")))
+    row("ivf_assign", asgProj, asgP, SimilarityOps.ivfIncrementalAssign(index, qEmb))
+    row("pq_codes", ivfPqCodes, cdP,
+      SimilarityOps.ivfPqIncrementalCodes(index, ivfPqCb, qEmb)
+        .select(codeCols: _*))
+    rowSides("lm_bigrams", lm.bigrams, sub.bigrams, mer.bigrams)
+    rowSides("lm_contexts", lm.contexts, sub.contexts, mer.contexts)
+    rowSides("lm_vocab", lm.vocab, sub.vocab, mer.vocab)
+    rowSides("card_state", cardState, cardP, cardR)
+    wide.foreach { case (embWide, sigsWide) =>
+      // the PRODUCTION-WIDTH signature store round-trips too (r17,
+      // VERDICT r16 missing #5): purge anti-joins, restore
+      // recomputes the quarantined vectors' multi-word signatures —
+      // exact deterministic integers, so the commitment must match
+      val swProj = sigsWide.select(col("vec_id"), col("sig"))
+      val qEmbWide = embWide.join(rmVec, Seq("vec_id"), "left_semi")
+      val swP = purgeVec(swProj)
+      row("binary_sigs_wide", swProj, swP,
+        SimilarityOps.binarySignaturesWide(qEmbWide)
+          .select(col("vec_id"), col("sig")))
+    }
+    ledger().orderBy(col("artifact"))
   }
 
   /** TAKEDOWN of the REMAINING persisted stores (q273, r15 — VERDICT

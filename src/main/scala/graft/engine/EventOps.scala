@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -604,9 +604,19 @@ object EventOps {
         col("n_after").cast("long").as("n_after"),
         (col("n_before") - col("n_after")).cast("long").as("n_removed"),
         col("clean"))
-    // anchor: distinct users before/after (the q268 removal row)
-    val usersRow = events.agg(countDistinct(col("user_id")).as("n_before"))
-      .crossJoin(rmEvents.agg(countDistinct(col("user_id")).as("n_rm")))
+    // anchor: distinct users before/after (the q268 removal row) —
+    // ONE distinct shuffle + a broadcast membership flag instead of
+    // two cross-joined countDistinct subtrees (and deliberately NOT
+    // two conditional countDistincts in one agg: multiple distinct
+    // aggregates plan an Expand that doubles the shuffled rows — the
+    // q305 NDV lesson). A removed user always has events, so the
+    // flagged distinct-user frame carries both counts exactly.
+    val usersRow = events.select(col("user_id")).distinct()
+      .join(rmU.withColumn("__rm", lit(1)), Seq("user_id"), "left_outer")
+      .select(explode(when(col("__rm") === 1, array(lit("b"), lit("m")))
+        .otherwise(array(lit("b")))).as("side"))
+      .agg(count(when(col("side") === "b", lit(1))).as("n_before"),
+           count(when(col("side") === "m", lit(1))).as("n_rm"))
       .select(lit("all").as("key"), col("n_before"),
         (col("n_before") - col("n_rm")).as("n_after"), lit(true).as("clean"))
     // user-partitioned stores: totals + per-removed-user listing.
@@ -616,14 +626,20 @@ object EventOps {
     // delta (anti-join path) must equal an independent semi-join
     // recount of the removed users' rows on the pre-purge store.
     def userKeyed(store: DataFrame): DataFrame = {
+      // one tag-union aggregate for the three totals (the q290 r18
+      // collapse); the anti/semi split is preserved exactly by
+      // tagging each row with the sides it lands on
       val purged = store.join(rmU, Seq("user_id"), "left_anti")
-      val totals = store.agg(count(lit(1)).as("n_before"))
-        .crossJoin(purged.agg(count(lit(1)).as("n_after")))
-        .crossJoin(store.join(rmU, Seq("user_id"), "left_semi")
-          .agg(count(lit(1)).as("n_rm")))
+      val semi = store.join(rmU, Seq("user_id"), "left_semi")
+      val totals = store.select(lit("b").as("side"))
+        .unionByName(purged.select(lit("a").as("side")))
+        .unionByName(semi.select(lit("m").as("side")))
+        .agg(count(when(col("side") === "b", lit(1))).as("n_before"),
+             count(when(col("side") === "a", lit(1))).as("n_after"),
+             count(when(col("side") === "m", lit(1))).as("n_rm"))
         .select(lit("rows").as("key"), col("n_before"), col("n_after"),
           (col("n_before") - col("n_after") === col("n_rm")).as("clean"))
-      val perUser = store.join(rmU, Seq("user_id"), "left_semi")
+      val perUser = semi
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_before"))
         .select(col("user_id").cast("string").as("key"), col("n_before"),
@@ -764,17 +780,22 @@ object EventOps {
         col("s.n_after").as("n_after"), lit(true).as("clean"))
     // user-partitioned row stores: untouched verbatim + touched
     // re-derived, with the token-mass conservation identity as clean
+    // one tag-union aggregate instead of three cross-joined single-row
+    // aggregates (the q290 r18 collapse — counts/masses are exact
+    // integer sums, so regrouping is value-identical)
     def rowStore(store: DataFrame, rederived: DataFrame,
                  massCol: Option[String]): DataFrame = {
       val untouched = store.join(touched, Seq("user_id"), "left_anti")
-      def cnt(df: DataFrame, n: String, m: String) = massCol match {
-        case Some(c) => df.agg(count(lit(1)).as(n),
-          coalesce(sum(col(c)), lit(0L)).as(m))
-        case None => df.agg(count(lit(1)).as(n), lit(0L).as(m))
-      }
-      cnt(store, "n_before", "m_before")
-        .crossJoin(cnt(untouched, "n_unt", "m_unt"))
-        .crossJoin(cnt(rederived, "n_red", "m_red"))
+      def tag(df: DataFrame, s: String) = df.select(lit(s).as("side"),
+        massCol.map(col(_).cast("long")).getOrElse(lit(0L)).as("m"))
+      tag(store, "b").unionByName(tag(untouched, "u"))
+        .unionByName(tag(rederived, "d"))
+        .agg(
+          count(when(col("side") === "b", lit(1))).as("n_before"),
+          count(when(col("side") === "u", lit(1))).as("n_unt"),
+          count(when(col("side") === "d", lit(1))).as("n_red"),
+          coalesce(sum(when(col("side") === "u", col("m"))), lit(0L)).as("m_unt"),
+          coalesce(sum(when(col("side") === "d", col("m"))), lit(0L)).as("m_red"))
         .crossJoin(base)
         .select(lit("rows").as("key"), col("n_before"),
           (col("n_unt") + col("n_red")).as("n_after"),
@@ -789,10 +810,13 @@ object EventOps {
     val sessRow = rowStore(sessions, sessRederived, Some("n_events"))
     // attribution clean: corrected rows ≡ kept purchases (untouched
     // users' purchases are all kept; touched re-derive covers theirs)
-    val attrRow = attributionStore.agg(count(lit(1)).as("n_before"))
-      .crossJoin(attributionStore.join(touched, Seq("user_id"), "left_anti")
-        .agg(count(lit(1)).as("n_unt")))
-      .crossJoin(attrRederived.agg(count(lit(1)).as("n_red")))
+    val attrRow = attributionStore.select(lit("b").as("side"))
+      .unionByName(attributionStore.join(touched, Seq("user_id"), "left_anti")
+        .select(lit("u").as("side")))
+      .unionByName(attrRederived.select(lit("d").as("side")))
+      .agg(count(when(col("side") === "b", lit(1))).as("n_before"),
+           count(when(col("side") === "u", lit(1))).as("n_unt"),
+           count(when(col("side") === "d", lit(1))).as("n_red"))
       .crossJoin(base)
       .select(lit("rows").as("key"), col("n_before"),
         (col("n_unt") + col("n_red")).as("n_after"),
@@ -957,23 +981,42 @@ object EventOps {
     // the QUARANTINE: only these raw events are retained
     val qEvents = events.join(rmU, Seq("user_id"), "left_semi")
       .localCheckpoint(false) // re-derivations + all three d-frames
-    def commitAgg(df: DataFrame, n: String, h: String) = df.agg(
-      count(lit(1)).cast("long").as(n),
-      coalesce(sum(xxhash64(df.columns.map(col(_)): _*)
-          .cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)")).as(h))
-    def row(artifact: String, original: DataFrame, purged: DataFrame,
-            restored: DataFrame, mass: Option[String]): DataFrame = {
-      def m(df: DataFrame, as: String) = mass match {
-        case Some(c) => df.agg(coalesce(sum(col(c)), lit(0L))
-          .cast("long").as(as))
-        case None => df.agg(count(lit(1)).cast("long").as(as))
-      }
-      commitAgg(original, "n_rows_b", "h_before")
-        .crossJoin(m(original, "n_before"))
-        .crossJoin(m(purged, "n_purged"))
-        .crossJoin(m(restored, "n_restored"))
-        .crossJoin(commitAgg(restored, "n_rows_r", "h_restored"))
+    // ONE tag-union aggregate per artifact (r18 optimization, guide
+    // §2.3/§2.4): the previous shape cross-joined FIVE single-row
+    // aggregates (two commitments + three masses), so every input's
+    // lineage — including the expensive per-user window re-derivations
+    // on the restore side — planned and ran multiple times (Spark has
+    // no cross-subtree CSE beyond exchange reuse; Profile r18 measured
+    // 110 jobs / 34-42 s summed task time for q290). Each distinct
+    // input now enters ONCE, tagged with the ledger side(s) it belongs
+    // to ('b'efore / 'p'urged / 'r'estored — a purged frame that is
+    // also the restore's base explodes into both tags), and one global
+    // aggregate computes every count, mass and commitment hash with
+    // conditional sums. Values are bit-identical: the commitment is a
+    // commutative decimal SUM of row hashes and the masses are exact
+    // integer sums, so regrouping cannot change them.
+    def row(artifact: String, mass: Option[String],
+            parts: Seq[(DataFrame, Seq[String])]): DataFrame = {
+      val tagged = parts.map { case (df, sides) =>
+        df.select(
+          xxhash64(df.columns.map(col(_)): _*).cast("decimal(38,0)").as("h"),
+          (mass match {
+            case Some(c) => col(c).cast("long")
+            case None => lit(1L)
+          }).as("m"),
+          explode(array(sides.map(lit(_)): _*)).as("side"))
+      }.reduce(_ unionByName _)
+      def onSide(s: String, c: Column) = when(col("side") === s, c)
+      tagged.agg(
+          coalesce(sum(onSide("b", col("m"))), lit(0L)).cast("long").as("n_before"),
+          coalesce(sum(onSide("p", col("m"))), lit(0L)).cast("long").as("n_purged"),
+          coalesce(sum(onSide("r", col("m"))), lit(0L)).cast("long").as("n_restored"),
+          count(onSide("b", lit(1))).cast("long").as("n_rows_b"),
+          count(onSide("r", lit(1))).cast("long").as("n_rows_r"),
+          coalesce(sum(onSide("b", col("h"))),
+            lit(0).cast("decimal(38,0)")).as("h_before"),
+          coalesce(sum(onSide("r", col("h"))),
+            lit(0).cast("decimal(38,0)")).as("h_restored"))
         .select(lit(artifact).as("artifact"), lit("all").as("key"),
           col("n_before"), col("n_purged"), col("n_restored"),
           (col("h_restored") === col("h_before") &&
@@ -981,22 +1024,27 @@ object EventOps {
     }
     // user-partitioned stores: purge anti-joins; restore re-derives
     // the quarantined users' rows through the engine's own builder
-    // and unions back (per-user windows ⇒ byte-identical rows)
+    // and unions back (per-user windows ⇒ byte-identical rows). The
+    // purged frame carries both the 'p' tag and (as the restore's
+    // verbatim half) the 'r' tag.
     def partitioned(name: String, store: DataFrame,
                     rederived: DataFrame): DataFrame = {
       val cols = store.columns.map(col(_))
       val purged = store.join(rmU, Seq("user_id"), "left_anti")
         .select(cols: _*)
-      row(name, store, purged,
-        purged.unionByName(rederived.select(cols: _*)), None)
+      row(name, None, Seq(
+        (store, Seq("b")),
+        (purged, Seq("p", "r")),
+        (rederived.select(cols: _*), Seq("r"))))
     }
     // users anchor: the distinct-user relation itself round-trips
     val usersAll = events.select(col("user_id")).distinct()
       .localCheckpoint(false) // commitment + purge + restore
     val usersKept = usersAll.join(rmU, Seq("user_id"), "left_anti")
-    val usersRow = row("users", usersAll, usersKept,
-      usersKept.unionByName(
-        qEvents.select(col("user_id")).distinct()), None)
+    val usersRow = row("users", None, Seq(
+      (usersAll, Seq("b")),
+      (usersKept, Seq("p", "r")),
+      (qEvents.select(col("user_id")).distinct(), Seq("r"))))
     // funnel: decrement by the quarantined users' reach, re-increment
     // by the SAME frame — merge ≡ the q284 decrement run backwards
     val reach = broadcast(removedReach(qEvents)
@@ -1009,9 +1057,13 @@ object EventOps {
           when(col("stage") === "view", col("d1"))
             .when(col("stage") === "click", col("d2"))
             .otherwise(col("d3"))).cast("long").as("n_users"))
-    val funPurged = funnelShift(fp, -1).localCheckpoint(false)
-    val funnelRow = row("funnel", fp, funPurged, funnelShift(funPurged, 1),
-      Some("n_users"))
+    // funPurged's lineage is one broadcast crossJoin over the store —
+    // cheap to re-derive for the restore side, no checkpoint needed
+    val funPurged = funnelShift(fp, -1)
+    val funnelRow = row("funnel", Some("n_users"), Seq(
+      (fp, Seq("b")),
+      (funPurged, Seq("p")),
+      (funnelShift(funPurged, 1), Seq("r"))))
     // retention: cells decrement (zero cells DROP, the rebuild
     // semantic); restore folds the same d-frame back full-outer so
     // dropped cells resurrect
@@ -1027,14 +1079,15 @@ object EventOps {
         (col("n_active") - coalesce(col("d"), lit(0L))).cast("long")
           .as("n_active"))
       .filter(col("n_active") > 0)
-      .localCheckpoint(false) // restore fold + ledger mass
     val retRestored = retPurged
       .join(dCells, Seq("cohort_week", "week_offset"), "full_outer")
       .select(col("cohort_week"), col("week_offset"),
         (coalesce(col("n_active"), lit(0L)) + coalesce(col("d"), lit(0L)))
           .cast("long").as("n_active"))
-    val retRow = row("retention", rp, retPurged, retRestored,
-      Some("n_active"))
+    val retRow = row("retention", Some("n_active"), Seq(
+      (rp, Seq("b")),
+      (retPurged, Seq("p")),
+      (retRestored, Seq("r"))))
     // transitions: the same decrement/fold-back pattern on edges
     val dEdges = broadcast(removedEdges(qEvents)
       .localCheckpoint(false)) // purge + restore
@@ -1046,14 +1099,15 @@ object EventOps {
         (col("n_transitions") - coalesce(col("d"), lit(0L))).cast("long")
           .as("n_transitions"))
       .filter(col("n_transitions") > 0)
-      .localCheckpoint(false) // restore fold + ledger mass
     val transRestored = transPurged
       .join(dEdges, Seq("event_type", "next_type"), "full_outer")
       .select(col("event_type"), col("next_type"),
         (coalesce(col("n_transitions"), lit(0L)) + coalesce(col("d"), lit(0L)))
           .cast("long").as("n_transitions"))
-    val transRow = row("transitions", tp, transPurged, transRestored,
-      Some("n_transitions"))
+    val transRow = row("transitions", Some("n_transitions"), Seq(
+      (tp, Seq("b")),
+      (transPurged, Seq("p")),
+      (transRestored, Seq("r"))))
     usersRow
       .unionByName(partitioned("manifest", manifest,
         TemporalOps.sessionPackManifest(qEvents)))

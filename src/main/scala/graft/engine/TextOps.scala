@@ -259,7 +259,8 @@ object TextOps {
     // dictionary three (contamination join + both overlap sides) —
     // checkpoint each once so the tokenize+gram scan runs once (the
     // q113 lesson applied at design time)
-    val grams = assigned
+    val grams = Spread.byKey(
+        assigned.select(col("doc_id"), col("split"), col("text")), col("doc_id"))
       .select(col("doc_id"), col("split"),
         expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)").as("toks"))
       .select(col("doc_id"), col("split"), explode(array_distinct(
@@ -481,16 +482,28 @@ object TextOps {
     // expansion runs parallel (the broadcast build side needs no
     // particular partitioning)
     val probeParts = part.sparkSession.sparkContext.defaultParallelism
+    // LENGTH-BANDED blocking (r18, guide §3): |len_i − len_j| ≤
+    // maxDist is a necessary condition for dist ≤ maxDist, so the
+    // length bucket joins as a KEY instead of filtering after the
+    // brand block's quadratic expansion. The probe sits in its own
+    // width-(maxDist+1) bucket; the build side explodes to every
+    // bucket its length ± maxDist touches (≤ 3 rows), so each
+    // qualifying pair meets EXACTLY once — same rows out, the
+    // per-block pair space cut by the block's length spread.
+    val bw = maxDist + 1
     val a = part.select(col("p_partkey").as("key_i"), col("p_brand"),
                         col("p_name").as("name_i"))
+      .withColumn("__lb", expr(s"length(name_i) DIV $bw"))
       .repartition(probeParts)
     val b = part.select(col("p_partkey").as("key_j"), col("p_brand"),
                         col("p_name").as("name_j"))
-    a.join(b, Seq("p_brand"))
+      .withColumn("__lb", explode(expr(
+        s"sequence(greatest(length(name_j) - $maxDist, 0) DIV $bw, " +
+        s"(length(name_j) + $maxDist) DIV $bw)")))
+    a.join(b, Seq("p_brand", "__lb"))
       .filter(col("key_i") < col("key_j"))
-      // length band is a NECESSARY condition for dist <= maxDist — an
-      // integer compare that prunes most of the block before any edit
-      // distance runs
+      // the exact band stays as a residual filter (bucket co-occurrence
+      // is the necessary-condition superset)
       .filter(abs(length(col("name_i")) - length(col("name_j"))) <= maxDist)
       // thresholded levenshtein: banded O(maxDist·len) with early
       // exit, returning -1 past the threshold — ~5× the unthresholded
@@ -513,12 +526,20 @@ object TextOps {
   def fuzzyNameMatchAcross(probe: DataFrame, reference: DataFrame,
                            maxDist: Int = 2): DataFrame = {
     val probeParts = probe.sparkSession.sparkContext.defaultParallelism
+    // same length-banded blocking as [[fuzzyNameMatch]]: probe in its
+    // own bucket, reference exploded to the covering buckets — each
+    // qualifying pair meets exactly once
+    val bw = maxDist + 1
     val a = probe.select(col("p_partkey").as("key_a"), col("p_brand"),
                          col("p_name").as("name_a"))
+      .withColumn("__lb", expr(s"length(name_a) DIV $bw"))
       .repartition(probeParts)
     val b = reference.select(col("p_partkey").as("key_b"), col("p_brand"),
                              col("p_name").as("name_b"))
-    a.join(b, Seq("p_brand"))
+      .withColumn("__lb", explode(expr(
+        s"sequence(greatest(length(name_b) - $maxDist, 0) DIV $bw, " +
+        s"(length(name_b) + $maxDist) DIV $bw)")))
+    a.join(b, Seq("p_brand", "__lb"))
       .filter(col("key_a") =!= col("key_b"))
       .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
       .withColumn("dist",
@@ -701,7 +722,9 @@ object TextOps {
     * (map-side combinable MIN — boilerplate grams collapse early) +
     * one co-keyed join back; ppm integers, one display division. */
   def gramNovelty(documents: DataFrame, n: Int = 5): DataFrame = {
-    val grams = wordNgrams(documents, n)
+    // spread before the gram explosion (Spread scaladoc)
+    val grams = wordNgrams(
+        Spread.byKey(documents.select(col("doc_id"), col("text")), col("doc_id")), n)
       .select(col("doc_id"), col("gram")).distinct()
       .localCheckpoint(false) // first-seen rollup + the join back
     val firstSeen = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
@@ -766,7 +789,9 @@ object TextOps {
     // scan (plan-audited: 4 Generate+Scan subtrees; measured 2.98 →
     // 1.40 s at sf0.1). Size is bounded by the corpus's token count —
     // the same data the postings-count shuffle moves anyway.
-    val ng = documents
+    // Spread: the tokenize+gram explosion is the op's CPU center and a
+    // single-row-group scan would run it on one task (Spread scaladoc)
+    val ng = Spread.byKey(documents.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"),
         expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)").as("toks"))
       .select(col("doc_id"), explode(expr(
@@ -835,8 +860,9 @@ object TextOps {
                      maxPostings: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // same positioned-gram construction as sharedSpans; checkpointed
-    // because it feeds both the postings count and the probe
-    val ng = documents
+    // because it feeds both the postings count and the probe; spread
+    // for the same reason as there
+    val ng = Spread.byKey(documents.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"),
         expr(s"regexp_extract_all(lower(text), '$tokenRe', 0)").as("toks"))
       .select(col("doc_id"), explode(expr(

@@ -11240,10 +11240,13 @@ object Catalog {
           val agg = RelationalOps.geoRollup(
             Tables.lineitem(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir))
           val path = tmp("mv_inc", dir)
-          WriteOps.rebuild(agg, path, Seq("n_name"))
+          val rebuilt = WriteOps.rebuild(agg, path, Seq("n_name"))
           // refresh one key present at every scale factor: the rollup's
-          // minimum nation (sf0.001 has suppliers in only 10 nations)
-          val hotKey = agg.agg(min(col("n_name"))).head().getString(0)
+          // minimum nation (sf0.001 has suppliers in only 10 nations).
+          // Probed from the just-rebuilt view (25 tiny files) instead
+          // of re-running the join+rollup a second time (r18): the
+          // view IS agg, so min(n_name) is identical by construction
+          val hotKey = rebuilt.agg(min(col("n_name"))).head().getString(0)
           WriteOps.refreshPartitions(
             agg.filter(col("n_name") === hotKey), path, Seq("n_name"))
           s.read.parquet(path)

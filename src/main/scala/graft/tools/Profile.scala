@@ -51,11 +51,23 @@ object Profile {
     val gcMs = new AtomicLong
     val shufWrite = new AtomicLong
     val shufRead = new AtomicLong
+    // per-stage attribution (printed when SPARK_GRAFT_PROFILE_STAGES=1):
+    // (name, run-ms, tasks, wall-ms)
+    val stageRows =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Int, Long)]
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
-      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
+        val si = e.stageInfo
+        val wall = (for {s <- si.submissionTime; c <- si.completionTime}
+          yield c - s).getOrElse(0L)
+        val where = si.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("Profile"))
+          .getOrElse(si.name.takeWhile(_ != '\n')).trim.take(110)
+        stageRows.add((where, si.taskMetrics.executorRunTime, si.numTasks, wall))
+      }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         val m = e.taskMetrics
@@ -70,8 +82,9 @@ object Profile {
     spark.sparkContext.addSparkListener(listener)
     def resetCounters(): Unit = {
       jobs.set(0); stages.set(0); tasks.set(0); taskNs.set(0); gcMs.set(0)
-      shufWrite.set(0); shufRead.set(0)
+      shufWrite.set(0); shufRead.set(0); stageRows.clear()
     }
+    val dumpStages = sys.env.get("SPARK_GRAFT_PROFILE_STAGES").contains("1")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       (0 to nWarm).foreach { i =>
@@ -86,6 +99,17 @@ object Profile {
         println(f"PROFILE $name%-36s run$i wall=$wall%7.3fs jobs=${jobs.get}%3d " +
           f"stages=${stages.get}%3d tasks=${tasks.get}%5d taskTime=${taskNs.get / 1e3}%8.2fs " +
           f"gc=${gcMs.get / 1e3}%5.2fs shufW=${shufWrite.get / 1e6}%8.1fMB shufR=${shufRead.get / 1e6}%8.1fMB")
+        if (dumpStages && i == nWarm) {
+          import scala.jdk.CollectionConverters._
+          val byName = stageRows.asScala.toSeq
+            .groupBy(_._1).view.mapValues { rs =>
+              (rs.map(_._2).sum, rs.map(_._3).sum, rs.map(_._4).sum, rs.size)
+            }.toSeq.sortBy(-_._2._1).take(12)
+          byName.foreach { case (n, (runMs, nt, wallMs, cnt)) =>
+            println(f"  STAGE run=${runMs / 1e3}%7.2fs wall=${wallMs / 1e3}%7.2fs " +
+              f"tasks=$nt%4d x$cnt%-3d $n")
+          }
+        }
       }
     }
     spark.stop()
