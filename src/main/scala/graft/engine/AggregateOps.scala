@@ -927,26 +927,43 @@ object AggregateOps {
       round(col("l_extendedprice") * 100).cast("long").as("c"))
       .localCheckpoint(false) // median sketch+refine, deviation, outlier pass
     val medTarget = Seq((50, 0.5, "(n + 1) DIV 2"))
+    // medR carries BOTH the group count and the median — one frame,
+    // no counts⋈med re-join (r18: the old 4-join assembly spent more
+    // AQE stage jobs than the statistics themselves)
     val medR = exactRankValues(cents, "l_returnflag", medTarget)
-    val counts = medR.select(col("l_returnflag"), col("n"))
-    val med = medR.select(col("l_returnflag"), col("c_at_k").as("med"))
-    val dev = cents.join(broadcast(med), "l_returnflag")
+      .select(col("l_returnflag"), col("n"), col("c_at_k").as("med"))
+      .localCheckpoint(false) // dev probe + the final assembly
+    val dev = cents.join(broadcast(medR), "l_returnflag")
       .withColumn("d", abs(col("c") - col("med")))
       .localCheckpoint(false) // MAD sketch+refine + the outlier pass
     val mad = exactRankValues(
       dev.select(col("l_returnflag"), col("d").as("c")), "l_returnflag", medTarget)
       .select(col("l_returnflag"), col("c_at_k").as("mad"))
+      .localCheckpoint(false) // outlier probe + the final assembly
     val outliers = dev.join(broadcast(mad), "l_returnflag")
       .filter(col("d") > col("mad") * k)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).cast("long").as("n_outliers"))
-    counts.join(med, "l_returnflag").join(mad, "l_returnflag")
-      .join(outliers, Seq("l_returnflag"), "left_outer")
+    // tag-union assembly: the three per-group scalar frames meet in
+    // ONE keyed aggregate instead of three broadcast joins (each a
+    // separate AQE stage + broadcast-build job); min() picks the one
+    // non-null value per column — bit-identical output
+    medR.select(col("l_returnflag"), col("n"), col("med"),
+        lit(null).cast("long").as("mad"), lit(null).cast("long").as("n_out"))
+      .unionByName(mad.select(col("l_returnflag"),
+        lit(null).cast("long").as("n"), lit(null).cast("long").as("med"),
+        col("mad"), lit(null).cast("long").as("n_out")))
+      .unionByName(outliers.select(col("l_returnflag"),
+        lit(null).cast("long").as("n"), lit(null).cast("long").as("med"),
+        lit(null).cast("long").as("mad"), col("n_outliers").as("n_out")))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("n")).as("n"), min(col("med")).as("med"),
+           min(col("mad")).as("mad"), min(col("n_out")).as("n_out"))
       .select(col("l_returnflag"),
         col("n").cast("long").as("n_rows"),
         (col("med").cast("double") / 100).as("median_price"),
         (col("mad").cast("double") / 100).as("mad_price"),
-        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+        coalesce(col("n_out"), lit(0L)).as("n_outliers"))
       .orderBy(col("l_returnflag"))
   }
 

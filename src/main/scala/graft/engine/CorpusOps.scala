@@ -23,7 +23,7 @@ object CorpusOps {
 
   def curate(documents: DataFrame): DataFrame = {
     val edges = DedupOps.jaccardPairs(documents).select(col("doc_i"), col("doc_j"))
-    val clusters = DedupOps.connectedComponents(documents.select(col("doc_id")), edges)
+    val clusters = DedupOps.connectedComponentsAuto(documents.select(col("doc_id")), edges)
     val sizes = clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
     val canonIds = clusters.filter(col("doc_id") === col("cluster_id"))
       .join(sizes, "cluster_id")
@@ -79,15 +79,19 @@ object CorpusOps {
   private def curationStageIds(documents: DataFrame,
                                nearDupEdges: Option[DataFrame])
       : (DataFrame, Seq[(String, DataFrame)]) = {
-    val toks = documents.select(col("doc_id"),
-      size(expr(s"regexp_extract_all(text, '${TextOps.pieceRe}', 0)"))
-        .cast("long").as("n_toks"))
+    // spread the tokenize pass (Spread scaladoc): the piece regex is
+    // corpus-wide single-task work on a single-row-group scan
+    val toks = Spread.byKey(documents.select(col("doc_id"), col("text")),
+        col("doc_id"))
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(text, '${TextOps.pieceRe}', 0)"))
+          .cast("long").as("n_toks"))
       .localCheckpoint(false) // every stage rollup reads it
     val exactKeep = DedupOps.exactDedup(documents).select(col("doc_id"))
     val edges = nearDupEdges
       .getOrElse(DedupOps.jaccardPairs(documents))
       .select(col("doc_i"), col("doc_j"))
-    val clusters = DedupOps.connectedComponents(documents.select(col("doc_id")), edges)
+    val clusters = DedupOps.connectedComponentsAuto(documents.select(col("doc_id")), edges)
     val nearKeep = exactKeep
       .join(clusters.filter(col("doc_id") === col("cluster_id"))
         .select(col("doc_id")), "doc_id")
@@ -218,9 +222,13 @@ object CorpusOps {
   private[engine] def ingestReportStages(batch: DataFrame,
       stages: Seq[(String, DataFrame)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = batch.select(col("doc_id"),
-      size(expr(s"regexp_extract_all(text, '${TextOps.pieceRe}', 0)"))
-        .cast("long").as("n_toks"))
+    // spread (Spread scaladoc; a no-op for streaming tick batches —
+    // no file source behind them)
+    val toks = Spread.byKey(batch.select(col("doc_id"), col("text")),
+        col("doc_id"))
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(text, '${TextOps.pieceRe}', 0)"))
+          .cast("long").as("n_toks"))
       .localCheckpoint(false) // every stage rollup reads it
     def stage(i: Int, name: String, ids: DataFrame): DataFrame =
       ids.join(toks, "doc_id")
@@ -340,8 +348,12 @@ object CorpusOps {
     // doubling the query's dominant regex cost). Every non-space char
     // contributes to some piece of the token regex and spaces
     // contribute nothing, so `has a non-space char` is the same set.
-    val toks = documents
-      .filter(col("text").rlike("[^ ]"))
+    // spread the tokenize pass: the piece regex is the op's CPU center
+    // and a single-row-group scan runs it on one task (Spread scaladoc;
+    // a no-op for tick batches — no file source — and cluster layouts)
+    val toks = Spread.byKey(documents
+        .filter(col("text").rlike("[^ ]"))
+        .select(keys ++ Seq(col("doc_id"), col("text")): _*), col("doc_id"))
       .select(keys ++ Seq(col("doc_id"),
         size(expr(s"regexp_extract_all(text, '${TextOps.pieceRe}', 0)"))
           .cast("long").as("n_tokens")): _*)
@@ -425,8 +437,9 @@ object CorpusOps {
                                seqLen: Int = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keys = streamCols.map(col)
-    def toks(df: DataFrame) = df
-      .filter(col("text").rlike("[^ ]"))
+    def toks(df: DataFrame) = Spread.byKey(df
+        .filter(col("text").rlike("[^ ]"))
+        .select(keys ++ Seq(col("doc_id"), col("text")): _*), col("doc_id"))
       .select(keys ++ Seq(col("doc_id"),
         size(expr(s"regexp_extract_all(text, '${TextOps.pieceRe}', 0)"))
           .cast("long").as("n_tokens")): _*)
@@ -691,8 +704,9 @@ object CorpusOps {
   def packMixedSequences(documents: DataFrame, weights: Map[String, Double],
                          seqLen: Int = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = documents
-      .filter(col("text").rlike("[^ ]"))
+    val toks = Spread.byKey(documents
+        .filter(col("text").rlike("[^ ]"))
+        .select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"),
         size(expr(s"regexp_extract_all(text, '${TextOps.pieceRe}', 0)"))
           .cast("long").as("n_tokens"))
@@ -1786,8 +1800,9 @@ object CorpusOps {
     import org.apache.spark.sql.expressions.Window
     val buckets = (4 to 13).map(1 << _) // 16..8192
     val bucketArr = buckets.mkString("array(", ", ", ")")
-    val toks = documents
-      .filter(col("text").rlike("[^ ]"))
+    val toks = Spread.byKey(documents
+        .filter(col("text").rlike("[^ ]"))
+        .select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"),
         size(expr(s"regexp_extract_all(text, '${TextOps.pieceRe}', 0)"))
           .cast("long").as("n_tokens"))
@@ -1911,7 +1926,7 @@ object CorpusOps {
   def contrastiveTriplets(documents: DataFrame, edges: DataFrame,
                           nNeg: Int = 2): DataFrame =
     contrastiveTripletsFromClusters(
-      DedupOps.connectedComponents(documents.select(col("doc_id")), edges)
+      DedupOps.connectedComponentsAuto(documents.select(col("doc_id")), edges)
         .localCheckpoint(false), nNeg)
 
   /** [[contrastiveTriplets]] over the prebuilt label table (every doc
@@ -2245,7 +2260,8 @@ object CorpusOps {
       .select(col("lang"), col("seq_id"), col("doc_id"), col("n_from_doc"))
     // staleness certificate: the stored manifest's per-lang totals
     // must equal the live PRE-removal corpus (clean = fresh)
-    val liveTotals = documents.filter(col("text").rlike("[^ ]"))
+    val liveTotals = Spread.byKey(documents.filter(col("text").rlike("[^ ]"))
+        .select(col("lang"), col("doc_id"), col("text")), col("doc_id"))
       .select(col("lang"),
         size(expr(s"regexp_extract_all(text, '${TextOps.pieceRe}', 0)"))
           .cast("long").as("nt"))
@@ -2835,7 +2851,8 @@ object CorpusOps {
     val storedTotals = manFull.groupBy(col("lang"))
       .agg(countDistinct(col("doc_id")).cast("long").as("m_docs"),
            sum(col("n_from_doc")).cast("long").as("m_tokens"))
-    val liveTotals = documents.filter(col("text").rlike("[^ ]"))
+    val liveTotals = Spread.byKey(documents.filter(col("text").rlike("[^ ]"))
+        .select(col("lang"), col("doc_id"), col("text")), col("doc_id"))
       .select(col("lang"),
         size(expr(s"regexp_extract_all(text, '${TextOps.pieceRe}', 0)"))
           .cast("long").as("nt"))

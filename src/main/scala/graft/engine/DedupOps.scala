@@ -934,7 +934,7 @@ object DedupOps {
     * DuckDB reproduces the transitive closure with a recursive CTE). */
   def nearDedup(documents: DataFrame, edges: DataFrame): DataFrame =
     nearDedupFromClusters(
-      connectedComponents(documents.select(col("doc_id")), edges))
+      connectedComponentsAuto(documents.select(col("doc_id")), edges))
 
   /** [[nearDedup]] over a PREBUILT cluster-label table (the
     * [[clustersFor]] catalog artifact): the closure is a corpus
@@ -959,7 +959,7 @@ object DedupOps {
     * distinct-sizes small. */
   def clusterSizeHistogram(documents: DataFrame, edges: DataFrame): DataFrame =
     clusterSizeHistogramFromClusters(
-      connectedComponents(documents.select(col("doc_id")), edges))
+      connectedComponentsAuto(documents.select(col("doc_id")), edges))
 
   /** [[clusterSizeHistogram]] over the prebuilt label table. */
   def clusterSizeHistogramFromClusters(clusters: DataFrame): DataFrame =
@@ -983,7 +983,7 @@ object DedupOps {
     * cluster table is small. */
   def canonicalByQuality(documents: DataFrame, edges: DataFrame): DataFrame =
     canonicalByQualityFromClusters(documents,
-      connectedComponents(documents.select(col("doc_id")), edges))
+      connectedComponentsAuto(documents.select(col("doc_id")), edges))
 
   /** [[canonicalByQuality]] over the prebuilt label table. */
   def canonicalByQualityFromClusters(documents: DataFrame,
@@ -1017,7 +1017,7 @@ object DedupOps {
     * join. */
   def clusterAwareSplit(documents: DataFrame, edges: DataFrame): DataFrame =
     clusterAwareSplitFromClusters(
-      connectedComponents(documents.select(col("doc_id")), edges))
+      connectedComponentsAuto(documents.select(col("doc_id")), edges))
 
   /** [[clusterAwareSplit]] over the prebuilt label table. */
   def clusterAwareSplitFromClusters(clusters: DataFrame): DataFrame = {
@@ -1045,7 +1045,7 @@ object DedupOps {
   def clustersFor(documents: DataFrame, tag: String): DataFrame = synchronized {
     val key = (documents.sparkSession, tag)
     clustersMemo.getOrElse(key, {
-      val df = connectedComponents(documents.select(col("doc_id")),
+      val df = connectedComponentsAuto(documents.select(col("doc_id")),
         jaccardPairs(documents).select(col("doc_i"), col("doc_j")))
         .localCheckpoint(false)
       clustersMemo += (key -> df)
@@ -1176,7 +1176,7 @@ object DedupOps {
   def entityGroups(part: DataFrame): DataFrame = {
     val edges = TextOps.fuzzyNameMatch(part)
       .select(col("key_i").as("doc_i"), col("key_j").as("doc_j"))
-    val labels = connectedComponents(
+    val labels = connectedComponentsAuto(
       part.select(col("p_partkey").as("doc_id")), edges)
     val sizes = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).cast("long").as("n_members"))
@@ -1247,7 +1247,7 @@ object DedupOps {
       .localCheckpoint(false) // edges + closure nodes + canonical lookup
     val edges = TextOps.fuzzyNameMatch(subPart)
       .select(col("key_i").as("doc_i"), col("key_j").as("doc_j"))
-    val labels = connectedComponents(
+    val labels = connectedComponentsAuto(
       subPart.select(col("p_partkey").as("doc_id")), edges)
     val sizes = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).cast("long").as("n_members"))
@@ -1415,7 +1415,7 @@ object DedupOps {
     * rollup broadcast back onto the membership table. */
   def dupTrainingWeights(documents: DataFrame, edges: DataFrame): DataFrame =
     dupTrainingWeightsFromClusters(
-      connectedComponents(documents.select(col("doc_id")), edges))
+      connectedComponentsAuto(documents.select(col("doc_id")), edges))
 
   /** [[dupTrainingWeights]] over the prebuilt label table. */
   def dupTrainingWeightsFromClusters(clusters: DataFrame): DataFrame = {

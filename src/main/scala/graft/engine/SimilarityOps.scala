@@ -2644,7 +2644,7 @@ object SimilarityOps {
                     threshold: Double = 0.95): DataFrame = {
     val edges = semanticDupPairs(embeddings, numPlanes, threshold)
       .select(col("vec_i").as("doc_i"), col("vec_j").as("doc_j"))
-    DedupOps.connectedComponents(embeddings.select(col("vec_id").as("doc_id")), edges)
+    DedupOps.connectedComponentsAuto(embeddings.select(col("vec_id").as("doc_id")), edges)
       .select(col("doc_id").as("vec_id"), col("cluster_id"),
               (col("doc_id") =!= col("cluster_id")).as("is_dup"))
       .orderBy(col("vec_id"))
