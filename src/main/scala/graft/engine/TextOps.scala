@@ -382,32 +382,52 @@ object TextOps {
       .localCheckpoint(false)
     val removedOnly = oldGrams.join(newGrams, Seq("gram"), "left_anti")
       .localCheckpoint(false) // two probes + count
-    val nOld = oldGrams.count()
-    val nNew = newGrams.count()
-    val nRemovedOnly = removedOnly.count()
+    // ONE action for the three gram-set cardinalities (r18: they were
+    // three separate count() jobs) — the frames are checkpointed, so
+    // the union re-reads blocks
+    val cardRows = oldGrams.select(lit("o").as("side"))
+      .unionByName(newGrams.select(lit("n").as("side")))
+      .unionByName(removedOnly.select(lit("r").as("side")))
+      .groupBy(col("side")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nOld = cardRows.getOrElse("o", 0L)
+    val nNew = cardRows.getOrElse("n", 0L)
+    val nRemovedOnly = cardRows.getOrElse("r", 0L)
     val bfOld = oldGrams.stat.bloomFilter("gram", math.max(nOld, 1L), fpp)
     val bfNew = newGrams.stat.bloomFilter("gram", math.max(nNew, 1L), fpp)
-    def removedProbe(bf: org.apache.spark.util.sketch.BloomFilter): Long =
-      removedOnly
-        .filter(graft.functions.BloomProbe.probe(spark, bf, col("gram")))
-        .count()
-    // the q85 verdict counts under one filter: docs with >= minShared
-    // probing grams, and the total probing-gram mass
-    def servingStats(bf: org.apache.spark.util.sketch.BloomFilter): (Long, Long) = {
-      val r = wordNgrams(corpus, n)
-        .filter(graft.functions.BloomProbe.probe(spark, bf, col("gram")))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).cast("long").as("n_shared"))
-        .agg(coalesce(sum(when(col("n_shared") >= minShared, 1L)
-            .otherwise(0L)), lit(0L)).cast("long"),
-          coalesce(sum(col("n_shared")), lit(0L)).cast("long"))
-        .head
-      (r.getLong(0), r.getLong(1))
-    }
-    val (flagPre, sumPre) = servingStats(bfOld)
-    val (flagPost, sumPost) = servingStats(bfNew)
-    val rpOld = removedProbe(bfOld)
-    val rpNew = removedProbe(bfNew)
+    // both filters probe in ONE pass per relation (r18: the old/new
+    // re-drives each re-ran the corpus gram explode — the op's CPU
+    // center — as separate single-task actions; now the explode runs
+    // once, spread across cores, with both probe columns in the same
+    // codegen'd projection). Counts are bit-identical: a doc with no
+    // probing gram contributes 0 to every sum either way.
+    val rmProbes = removedOnly
+      .select(graft.functions.BloomProbe.probe(spark, bfOld, col("gram"))
+          .cast("long").as("po"),
+        graft.functions.BloomProbe.probe(spark, bfNew, col("gram"))
+          .cast("long").as("pn"))
+      .agg(coalesce(sum(col("po")), lit(0L)).cast("long"),
+           coalesce(sum(col("pn")), lit(0L)).cast("long"))
+      .head
+    val (rpOld, rpNew) = (rmProbes.getLong(0), rmProbes.getLong(1))
+    val servingRow = wordNgrams(Spread.byKey(
+        corpus.select(col("doc_id"), col("text")), col("doc_id")), n)
+      .select(col("doc_id"),
+        graft.functions.BloomProbe.probe(spark, bfOld, col("gram"))
+          .cast("long").as("po"),
+        graft.functions.BloomProbe.probe(spark, bfNew, col("gram"))
+          .cast("long").as("pn"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("po")).as("nsh_old"), sum(col("pn")).as("nsh_new"))
+      .agg(coalesce(sum(when(col("nsh_old") >= minShared, 1L)
+          .otherwise(0L)), lit(0L)).cast("long"),
+        coalesce(sum(col("nsh_old")), lit(0L)).cast("long"),
+        coalesce(sum(when(col("nsh_new") >= minShared, 1L)
+          .otherwise(0L)), lit(0L)).cast("long"),
+        coalesce(sum(col("nsh_new")), lit(0L)).cast("long"))
+      .head
+    val (flagPre, sumPre, flagPost, sumPost) = (servingRow.getLong(0),
+      servingRow.getLong(1), servingRow.getLong(2), servingRow.getLong(3))
     Seq(
       ("bloom_rebuild", "all", nOld, nNew, nNew == nOld - nRemovedOnly),
       ("removed_grams", "all", rpOld, rpNew, rpOld == nRemovedOnly),

@@ -610,9 +610,19 @@ class ScaleSpec extends SparkSpec {
     // (l_returnflag, tag) — the refine window over the in-bracket
     // sliver — never by the 3-value group key alone (the r14 verdict
     // scale-killer: three reducers each sorting a third of the corpus)
+    // q167's report now localCheckpoints the median/MAD frames (r18:
+    // the assembly collapse), so its FINAL plan shows ExistingRDD
+    // scans where the rank windows used to print — the windows live
+    // in the exactRankValues frames the checkpoints materialize.
+    // Assert the invariant on that frame directly (same target spec
+    // madOutlierReport passes), plus q165 whose plan still carries
+    // the windows end-to-end.
+    val cents167 = li.select(col("l_returnflag"),
+      round(col("l_extendedprice") * 100).cast("long").as("c"))
     for ((name, df) <- Seq(
         "q165" -> AggregateOps.winsorizedMean(li),
-        "q167" -> AggregateOps.madOutlierReport(li))) {
+        "q167" -> AggregateOps.exactRankValues(cents167, "l_returnflag",
+          Seq((50, 0.5, "(n + 1) DIV 2"))))) {
       val plan = df.queryExecution.executedPlan.toString
       val rankSpecs = "row_number\\(\\) windowspecdefinition\\(([^)]*)\\)".r
         .findAllMatchIn(plan).map(_.group(1)).toSeq
